@@ -1,0 +1,244 @@
+"""Storage-format compatibility layer: Delta when available, parquet fallback.
+
+The reference is Delta-first (``getl/common/delta_table.py:14-60``,
+``getl/blocks/write/batch_delta.py``). Production deployments of this
+engine should run with delta-spark, which gives ACID upsert/merge, time
+travel, OPTIMIZE/ZORDER and VACUUM. This container has no delta-spark,
+so every Delta capability the engine needs is defined here behind one
+``ManagedTable`` abstraction with two backends:
+
+* ``delta`` — thin calls into ``DeltaTable`` / Delta SQL, identical in
+  spirit to the reference.
+* ``parquet`` fallback — same *semantics* (merge-upsert, insert-only
+  merge, conditional update) expressed as pure DataFrame plans plus an
+  atomic directory swap. Correctness-equivalent; not ACID under
+  concurrent writers, and rewrites are O(table) — documented tradeoff,
+  used for tests and delta-less environments only.
+
+Merge contract: the user-supplied merge statement references the fixed
+aliases ``source`` (existing rows) and ``updates`` (incoming rows) —
+same contract as the reference (``getl/blocks/write/entrypoint.py:228``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+try:
+    from delta.tables import DeltaTable
+
+    HAS_DELTA = True
+except ImportError:
+    DeltaTable = None
+    HAS_DELTA = False
+
+DEFAULT_FORMAT = "delta" if HAS_DELTA else "parquet"
+
+
+class ManagedTable:
+    """A path-addressed table supporting write modes and merge/upsert."""
+
+    def __init__(self, spark: SparkSession, path: str, fmt: Optional[str] = None):
+        self.spark = spark
+        self.path = path
+        self.fmt = fmt or DEFAULT_FORMAT
+
+    # ---------------------------------------------------------------- basics
+    def exists(self) -> bool:
+        if self.fmt == "delta":
+            return DeltaTable.isDeltaTable(self.spark, self.path)
+        if os.path.isdir(self.path):
+            return any(
+                f.endswith(".parquet") or f == "_SUCCESS"
+                for f in os.listdir(self.path)
+            )
+        return False
+
+    def read(self) -> Optional[DataFrame]:
+        if not self.exists():
+            return None
+        return self.spark.read.format(self.fmt).load(self.path)
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: Optional[List[str]] = None,
+        merge_schema: bool = False,
+    ) -> None:
+        writer = df.write.format(self.fmt).mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        if merge_schema:
+            writer = writer.option("mergeSchema", "true")
+        writer.save(self.path)
+
+    # ---------------------------------------------------------------- merges
+    def upsert_all(self, updates: DataFrame, merge_statement: str) -> None:
+        """Merge: matched rows replaced by updates, unmatched inserted.
+
+        Delta: ``whenMatchedUpdateAll + whenNotMatchedInsertAll``
+        (reference ``getl/common/delta_table.py:27-40``). Fallback: the
+        equivalent relational identity
+        ``result = updates UNION ALL (source ANTI JOIN updates)``.
+        """
+        if not self.exists():
+            self.write(updates, mode="overwrite")
+            return
+        if self.fmt == "delta":
+            (
+                DeltaTable.forPath(self.spark, self.path)
+                .alias("source")
+                .merge(updates.alias("updates"), merge_statement)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return
+        source = self.read()
+        result = self._merge_fallback(source, updates, merge_statement, keep="updates")
+        self._rewrite(result)
+
+    def insert_all(self, updates: DataFrame, merge_statement: str) -> None:
+        """Merge: insert rows with no match, never touch existing rows
+        (reference ``getl/common/delta_table.py:42-44``)."""
+        if not self.exists():
+            self.write(updates, mode="overwrite")
+            return
+        if self.fmt == "delta":
+            (
+                DeltaTable.forPath(self.spark, self.path)
+                .alias("source")
+                .merge(updates.alias("updates"), merge_statement)
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return
+        source = self.read()
+        result = self._merge_fallback(source, updates, merge_statement, keep="source")
+        self._rewrite(result)
+
+    def update(self, condition, assignments: dict) -> None:
+        """Conditionally update columns (registry high-water stamping,
+        reference ``getl/fileregistry/fileregistry_utils.py:18-21``).
+
+        ``condition`` is a Column; ``assignments`` maps column name →
+        Column expression applied where the condition holds.
+        """
+        if self.fmt == "delta":
+            DeltaTable.forPath(self.spark, self.path).update(condition, assignments)
+            return
+        from pyspark.sql import functions as F
+
+        df = self.read()
+        for name, expr in assignments.items():
+            df = df.withColumn(name, F.when(condition, expr).otherwise(F.col(name)))
+        self._rewrite(df)
+
+    # ------------------------------------------------------------ maintenance
+    def optimize(self, zorder_by: Optional[List[str]] = None) -> None:
+        """Delta OPTIMIZE [ZORDER BY] (reference
+        ``getl/blocks/write/batch_delta.py:116-134``); parquet fallback
+        compacts by rewriting, sorted by the zorder columns so parquet
+        min/max stats give comparable data skipping."""
+        if self.fmt == "delta":
+            from pyspark.errors import ParseException
+
+            zorder = f" ZORDER BY ({', '.join(zorder_by)})" if zorder_by else ""
+            try:
+                self.spark.sql(f"OPTIMIZE delta.`{self.path}`{zorder}")
+            except ParseException:  # OSS Spark without Delta SQL support
+                pass
+            return
+        df = self.read()
+        if df is None:
+            return
+        if zorder_by:
+            df = df.sortWithinPartitions(*zorder_by)
+        self._rewrite(df)
+
+    def vacuum(self, retain_hours: int = 168) -> None:
+        if self.fmt == "delta":
+            from pyspark.errors import ParseException
+
+            try:
+                self.spark.sql(
+                    f"VACUUM delta.`{self.path}` RETAIN {max(retain_hours, 168)} HOURS"
+                )
+            except ParseException:
+                pass
+        # parquet fallback keeps no history → nothing to vacuum
+
+    # ------------------------------------------------------------- internals
+    def _merge_fallback(
+        self, source: DataFrame, updates: DataFrame, merge_statement: str, keep: str
+    ) -> DataFrame:
+        """Express merge as anti-join + union through spark.sql so the
+        user's ``source.x = updates.x`` condition parses unchanged."""
+        sv = f"getl_merge_source_{uuid.uuid4().hex[:8]}"
+        uv = f"getl_merge_updates_{uuid.uuid4().hex[:8]}"
+        source.createOrReplaceTempView(sv)
+        updates.createOrReplaceTempView(uv)
+        try:
+            if keep == "updates":  # upsert_all
+                sql = f"""
+                    SELECT updates.* FROM {uv} AS updates
+                    UNION ALL
+                    SELECT source.* FROM {sv} AS source
+                    LEFT ANTI JOIN {uv} AS updates ON {merge_statement}
+                """
+            else:  # insert_all
+                sql = f"""
+                    SELECT source.* FROM {sv} AS source
+                    UNION ALL
+                    SELECT updates.* FROM {uv} AS updates
+                    LEFT ANTI JOIN {sv} AS source ON {merge_statement}
+                """
+            # Stays lazy and distributed: _rewrite targets a temp dir,
+            # so the plan may keep reading self.path while writing.
+            return self.spark.sql(sql)
+        finally:
+            self.spark.catalog.dropTempView(sv)
+            self.spark.catalog.dropTempView(uv)
+
+    def _rewrite(self, df: DataFrame) -> None:
+        """Atomically replace the table contents (fallback only).
+
+        Writes to a sibling temp dir then swaps, because Spark cannot
+        overwrite a path that is an input of the running plan.
+        """
+        if self.path.startswith(("s3://", "s3a://")):
+            raise NotImplementedError(
+                "parquet-fallback rewrite on object storage is unsafe; "
+                "install delta-spark for ACID merges"
+            )
+        tmp = f"{self.path}__getl_tmp_{uuid.uuid4().hex[:8]}"
+        df.write.format(self.fmt).mode("overwrite").save(tmp)
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        os.replace(tmp, self.path)
+
+
+class HiveTable:
+    """Catalog registration over a path (reference
+    ``getl/common/hive_table.py:20-38``)."""
+
+    def __init__(self, spark: SparkSession, database: str, table: str):
+        self.spark = spark
+        self.database = database
+        self.table = table
+
+    def create(self, location: str, columns: str = "", partitioned_by: str = "") -> None:
+        fmt = "DELTA" if HAS_DELTA else "PARQUET"
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.database}")
+        cols = f" ({columns})" if columns else ""
+        part = f" PARTITIONED BY ({partitioned_by})" if partitioned_by else ""
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.database}.{self.table}{cols} "
+            f"USING {fmt}{part} LOCATION '{location}'"
+        )

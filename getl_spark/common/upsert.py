@@ -1,0 +1,131 @@
+"""Distributed RDBMS upserts via ``foreachPartition``.
+
+The one place the engine legitimately drops below the DataFrame API
+(reference ``getl/common/upsert.py``): JDBC writers can't express
+``INSERT … ON CONFLICT``, so each *executor* opens a connection per
+partition and streams batched upsert statements. Scale properties:
+parallelism = number of partitions (control with
+``df.repartition(n)`` before the sink), bounded memory via paging, and
+per-batch retry with backoff for transient DB failures.
+
+psycopg2 / mysql-connector are optional deps, imported inside the
+partition function so the engine imports cleanly without them.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, List, Optional
+
+from pyspark.sql import DataFrame
+
+PAGE_SIZE = 1000
+MAX_TRIES = 10
+SLEEP_SECONDS = 60
+
+
+def _paged(rows: Iterator, size: int) -> Iterator[List[tuple]]:
+    page: List[tuple] = []
+    for row in rows:
+        page.append(tuple(row))
+        if len(page) >= size:
+            yield page
+            page = []
+    if page:
+        yield page
+
+
+def _with_retry(fn, max_tries: int = MAX_TRIES, sleep: int = SLEEP_SECONDS):
+    for attempt in range(1, max_tries + 1):
+        try:
+            return fn()
+        except Exception:  # noqa: BLE001 - transient DB errors by contract
+            if attempt == max_tries:
+                raise
+            time.sleep(sleep)
+
+
+def postgres_upsert(
+    df: DataFrame,
+    conn_url: str,
+    user: str,
+    password: str,
+    table: str,
+    columns: List[str],
+    conflict_columns: List[str],
+    update_columns: Optional[List[str]] = None,
+) -> None:
+    """``INSERT … ON CONFLICT (…) DO UPDATE`` executed on executors.
+
+    ``update_columns`` defaults to ``columns − conflict_columns``
+    (reference ``getl/common/upsert.py:26-27``).
+    """
+    update_columns = update_columns or [
+        c for c in columns if c not in conflict_columns
+    ]
+    col_sql = ", ".join(columns)
+    conflict_sql = ", ".join(conflict_columns)
+    update_sql = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_columns)
+    statement = (
+        f"INSERT INTO {table} ({col_sql}) VALUES %s "
+        f"ON CONFLICT ({conflict_sql}) DO UPDATE SET {update_sql}"
+    )
+
+    def run_partition(rows: Iterator) -> None:
+        import psycopg2
+        from psycopg2.extras import execute_values
+
+        def flush(page: List[tuple]) -> None:
+            conn = psycopg2.connect(dsn=conn_url, user=user, password=password)
+            try:
+                with conn.cursor() as cur:
+                    execute_values(cur, statement, page, page_size=PAGE_SIZE)
+                conn.commit()
+            finally:
+                conn.close()
+
+        for page in _paged(rows, PAGE_SIZE):
+            _with_retry(lambda: flush(page))
+
+    df.select(*columns).rdd.foreachPartition(run_partition)
+
+
+def mysql_upsert(
+    df: DataFrame,
+    host: str,
+    port: int,
+    database: str,
+    user: str,
+    password: str,
+    table: str,
+    columns: List[str],
+    update_columns: Optional[List[str]] = None,
+) -> None:
+    """``INSERT … ON DUPLICATE KEY UPDATE`` executed on executors."""
+    update_columns = update_columns or columns
+    col_sql = ", ".join(columns)
+    placeholders = ", ".join(["%s"] * len(columns))
+    update_sql = ", ".join(f"{c} = VALUES({c})" for c in update_columns)
+    statement = (
+        f"INSERT INTO {table} ({col_sql}) VALUES ({placeholders}) "
+        f"ON DUPLICATE KEY UPDATE {update_sql}"
+    )
+
+    def run_partition(rows: Iterator) -> None:
+        import mysql.connector
+
+        def flush(page: List[tuple]) -> None:
+            conn = mysql.connector.connect(
+                host=host, port=port, database=database, user=user, password=password
+            )
+            try:
+                cur = conn.cursor()
+                cur.executemany(statement, page)
+                conn.commit()
+            finally:
+                conn.close()
+
+        for page in _paged(rows, PAGE_SIZE):
+            _with_retry(lambda: flush(page))
+
+    df.select(*columns).rdd.foreachPartition(run_partition)

@@ -1,0 +1,197 @@
+"""Entrypoint for transform blocks.
+
+``transform::generic`` (reference
+``getl/blocks/transform/entrypoint.py:18-76``) folds an ordered list of
+named functions over the input DataFrame. Function names resolve:
+
+* bare name (``where``, ``select``…) → ``getl_spark.operators.transform``
+* dotted path (``add_column.date.year``, ``dedup.minhash_lsh``,
+  ``text.quality``…) → module ``getl_spark.functions.<path-head>``,
+  attribute ``<tail>``.
+
+Beyond the reference, this family adds first-class relational blocks
+the reference only reaches through its SQL escape hatch:
+``transform::aggregate``, ``transform::window``, ``transform::sort``,
+``transform::limit``, ``transform::distinct``, ``transform::with_columns``.
+All emit plain DataFrame plans — aggregations get map-side partial
+aggregation and AQE coalescing from Catalyst automatically.
+"""
+
+from __future__ import annotations
+
+from importlib import import_module
+from typing import Callable, Tuple
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from getl_spark.operators import transform as _transform_module
+from getl_spark.plans.context import BlockConfig
+
+
+def resolve(func: Callable, bconf: BlockConfig) -> DataFrame:
+    return func(bconf)
+
+
+# ------------------------------------------------------------------ generic
+def generic(conf: BlockConfig) -> DataFrame:
+    dataframe = conf.history.get(conf.input)
+    for func_meta in conf.get("Functions"):
+        name, params = _function_meta(func_meta)
+        func = _lookup(name)
+        if name in ("join", "union", "union_by_name"):
+            # multi-input operators consume [left, right] from Input
+            dataframe = func(*_two_inputs(conf), **params)
+        else:
+            dataframe = func(dataframe, **params)
+    return dataframe
+
+
+def _two_inputs(conf: BlockConfig) -> Tuple[DataFrame, DataFrame]:
+    if not isinstance(conf.input, list) or len(conf.input) != 2:
+        raise ValueError(
+            f"Block '{conf.section_name}' needs Input: [left, right]"
+        )
+    return conf.history.get(conf.input[0]), conf.history.get(conf.input[1])
+
+
+def _function_meta(func_meta) -> Tuple[str, dict]:
+    if isinstance(func_meta, str):
+        return func_meta, {}
+    if isinstance(func_meta, dict) and len(func_meta) == 1:
+        name = next(iter(func_meta))
+        return name, func_meta[name] or {}
+    raise ValueError(f"Could not process function {func_meta!r}")
+
+
+def _lookup(name: str) -> Callable:
+    if "." not in name:
+        try:
+            return getattr(_transform_module, name)
+        except AttributeError:
+            raise ValueError(
+                f"Unknown transform function '{name}'"
+            ) from None
+    module_path, func_name = name.rsplit(".", 1)
+    module = import_module(f"getl_spark.functions.{module_path}")
+    return getattr(module, func_name)
+
+
+# --------------------------------------------------------------- extensions
+def aggregate(conf: BlockConfig) -> DataFrame:
+    """GroupBy + aggregate block.
+
+    Properties::
+
+        GroupBy: [col, ...]            # optional → global aggregate
+        Aggregations:
+          - {col: x, agg: sum, alias: sum_x}
+        Pivot: {col: status, values: [O, F]}   # optional
+    """
+    df = conf.input_df()
+    group_cols = conf.get("GroupBy", [])
+    aggs = []
+    for spec in conf.get("Aggregations"):
+        agg_name = spec["agg"]
+        col = spec.get("col", "*")
+        alias = spec.get("alias", f"{agg_name}_{col}")
+        if agg_name == "count" and col == "*":
+            expr = F.count(F.lit(1))
+        elif agg_name == "count_distinct":
+            expr = F.countDistinct(col)
+        elif agg_name == "expr":
+            expr = F.expr(spec["expr"])
+        else:
+            expr = getattr(F, agg_name)(col)
+        aggs.append(expr.alias(alias))
+    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    if conf.exists("Pivot"):
+        grouped = grouped.pivot(
+            conf.get("Pivot.col"), conf.get("Pivot.values", None)
+        )
+    return grouped.agg(*aggs)
+
+
+def window(conf: BlockConfig) -> DataFrame:
+    """Window-function block.
+
+    Properties::
+
+        PartitionBy: [col, ...]
+        OrderBy: [col or {col, desc: true}, ...]
+        Functions:
+          - {func: row_number, alias: rn}
+          - {func: lag, col: value, offset: 1, alias: prev}
+          - {func: sum, col: value, alias: running,
+             rows_between: [unbounded_preceding, current_row]}
+    """
+    df = conf.input_df()
+    spec = Window.partitionBy(*conf.get("PartitionBy", []))
+    order_cols = []
+    for item in conf.get("OrderBy", []):
+        if isinstance(item, dict):
+            col = F.col(item["col"])
+            order_cols.append(col.desc() if item.get("desc") else col.asc())
+        else:
+            order_cols.append(F.col(item))
+    if order_cols:
+        spec = spec.orderBy(*order_cols)
+    bounds = {
+        "unbounded_preceding": Window.unboundedPreceding,
+        "unbounded_following": Window.unboundedFollowing,
+        "current_row": Window.currentRow,
+    }
+    for fn in conf.get("Functions"):
+        wspec = spec
+        if "rows_between" in fn:
+            lo, hi = fn["rows_between"]
+            wspec = spec.rowsBetween(
+                bounds.get(lo, lo) if not isinstance(lo, int) else lo,
+                bounds.get(hi, hi) if not isinstance(hi, int) else hi,
+            )
+        name = fn["func"]
+        if name in ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist"):
+            expr = getattr(F, name)()
+        elif name in ("lag", "lead"):
+            expr = getattr(F, name)(fn["col"], fn.get("offset", 1), fn.get("default"))
+        elif name == "ntile":
+            expr = F.ntile(fn["n"])
+        else:
+            expr = getattr(F, name)(fn["col"])
+        df = df.withColumn(fn["alias"], expr.over(wspec))
+    return df
+
+
+def sort(conf: BlockConfig) -> DataFrame:
+    """Global sort block: ``OrderBy: [col or {col, desc: true}]``,
+    optional ``Limit``. A global sort is a range-partitioned shuffle;
+    with ``Limit`` Spark rewrites it to TakeOrderedAndProject, which
+    never materializes the full sorted relation."""
+    df = conf.input_df()
+    cols = []
+    for item in conf.get("OrderBy"):
+        if isinstance(item, dict):
+            col = F.col(item["col"])
+            cols.append(col.desc() if item.get("desc") else col.asc())
+        else:
+            cols.append(F.col(item))
+    df = df.orderBy(*cols)
+    if conf.exists("Limit"):
+        df = df.limit(conf.get("Limit"))
+    return df
+
+
+def limit(conf: BlockConfig) -> DataFrame:
+    return conf.input_df().limit(conf.get("Rows"))
+
+
+def distinct(conf: BlockConfig) -> DataFrame:
+    return conf.input_df().distinct()
+
+
+def with_columns(conf: BlockConfig) -> DataFrame:
+    """Add computed columns from SQL expressions:
+    ``Columns: [{name: x2, expr: "x * 2"}, ...]`` — stays fully inside
+    whole-stage codegen."""
+    df = conf.input_df()
+    exprs = {c["name"]: F.expr(c["expr"]) for c in conf.get("Columns")}
+    return df.withColumns(exprs)

@@ -1,0 +1,71 @@
+"""SparkSession factory tuned for the engine.
+
+The reference pins its session config in ``tests/conftest.py:32-72``
+(UTC timezone, LEGACY time parser for the quirky ``sss`` pattern in
+``getl/blocks/transform/add_column/date.py:15``, modest shuffle
+parallelism, Delta extension when available). We reproduce that here as
+a first-class factory and add the scale-oriented defaults a 100 TB
+deployment wants: AQE with partition coalescing and skew-join handling,
+Arrow for any pandas exchange, and shuffle parallelism sized to the
+cluster rather than Spark's legacy 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+try:  # delta-spark is optional in this environment
+    from delta import configure_spark_with_delta_pip
+
+    HAS_DELTA = True
+except ImportError:  # pragma: no cover
+    configure_spark_with_delta_pip = None
+    HAS_DELTA = False
+
+
+def get_spark(
+    app_name: str = "getl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Local mode sizes shuffle parallelism to the core count — on a real
+    cluster leave ``shuffle_partitions`` None and let AQE coalesce from
+    a high initial value instead.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        # reference relies on SimpleDateFormat patterns (add_column/date.py:15)
+        .config("spark.sql.legacy.timeParserPolicy", "LEGACY")
+        # Adaptive execution: runtime re-plan, partition coalescing, skew joins
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("GETL_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if HAS_DELTA:  # pragma: no cover - delta not installed in CI container
+        builder = builder.config(
+            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    if HAS_DELTA:  # pragma: no cover
+        builder = configure_spark_with_delta_pip(builder)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
