@@ -1,38 +1,1130 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the getl_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pricing-summary query through the
+full engine (YAML lift definition → blocks → Catalyst) at sf0.001.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) → DataFrame callable; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each (omitted only for sketch-based ops whose
+hash families SQL cannot replicate — those get rows-only checks).
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+money/float aggregates are summed in DECIMAL (exact), cast to DOUBLE,
+and ROUNDed; integer sums are CAST to BIGINT (DuckDB sums to HUGEINT);
+every LIMIT is preceded by a total order with a unique tie-break.
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import yaml
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
 
 
+# --------------------------------------------------------------- helpers
+def _ensure_conf(spark: SparkSession) -> None:
+    """Session confs the queries depend on, applied at runtime so they
+    hold even when the caller (the driver) built its own session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
+    # events.parquet stores TIMESTAMP(NANOS); Spark reads it as bigint
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _load_blocks(sf_dir: str, tables: list[str]) -> dict:
+    return {
+        t: {
+            "Type": "load::batch_parquet",
+            "Properties": {"Path": f"{sf_dir}/{t}.parquet"},
+        }
+        for t in tables
+    }
+
+
+def _run_lift(spark: SparkSession, blocks: dict, result: str = "Result") -> DataFrame:
+    from getl_spark import lift
+
+    _ensure_conf(spark)
+    return lift(spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False)).get(result)
+
+
+def _engine_sql(sql: str, tables: list[str]):
+    """Query expressed in ANSI SQL shared verbatim with the DuckDB
+    oracle, executed through the engine's load + custom::sql blocks."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        blocks = _load_blocks(sf_dir, tables)
+        blocks["Result"] = {"Type": "custom::sql", "Properties": {"Statement": sql}}
+        return _run_lift(spark, blocks)
+
+    return run
+
+
+_REV = "ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2)"
+
+# ------------------------------------------------- shared-SQL analytics
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+  {_REV} AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3_SQL = f"""
+SELECT l_orderkey, {_REV} AS revenue, o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+Q5_SQL = f"""
+SELECT n_name, {_REV} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+Q6_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, {_REV} AS revenue, c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+WINDOW_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn = 1
+"""
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+ANTI_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers_without_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# -------------------------------------------- engine block-level queries
+def _q_where_dsl(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["lineitem"])
+    blocks["Result"] = {
+        "Type": "transform::generic",
+        "Input": "lineitem",
+        "Properties": {
+            "Functions": [
+                {
+                    "where": {
+                        "predicate": [
+                            ["l_shipdate", "<", "1996-01-01"],
+                            "and",
+                            [["l_discount", ">", 0.05], "or", ["l_quantity", "<", 5]],
+                        ]
+                    }
+                },
+                {
+                    "select": {
+                        "cols": [
+                            {"col": "l_orderkey"},
+                            {"col": "l_linenumber"},
+                            {"col": "l_quantity", "alias": "qty", "cast": "int"},
+                            {"col": "l_returnflag", "alias": "flag"},
+                        ]
+                    }
+                },
+            ]
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+WHERE_DSL_ORACLE = """
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty, l_returnflag AS flag
+FROM lineitem
+WHERE l_shipdate < '1996-01-01' AND (l_discount > 0.05 OR l_quantity < 5)
+"""
+
+
+def _q_where_in_null(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["events"])
+    blocks["Extract"] = {
+        "Type": "transform::generic",
+        "Input": "events",
+        "Properties": {
+            "Functions": [
+                {"get_json_object": {"col": "props", "new_col": "k_val", "path": "k"}},
+                {
+                    "where": {
+                        "predicate": [
+                            ["k_val", "!=", "null"],
+                            "and",
+                            ["event_type", "in", ["click", "view"]],
+                        ]
+                    }
+                },
+                {"cast_column": {"col": "k_val", "new_type": "int"}},
+            ]
+        },
+    }
+    blocks["Result"] = {
+        "Type": "transform::aggregate",
+        "Input": "Extract",
+        "Properties": {
+            "GroupBy": ["event_type"],
+            "Aggregations": [
+                {"agg": "expr", "expr": "CAST(COUNT(*) AS BIGINT)", "alias": "n"},
+                {"agg": "expr", "expr": "CAST(SUM(k_val) AS BIGINT)", "alias": "sum_k"},
+            ],
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+WHERE_IN_NULL_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+  AND event_type IN ('click', 'view')
+GROUP BY event_type
+"""
+
+
+def _q_filter_subtract(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["nation"])
+    blocks["Result"] = {
+        "Type": "transform::generic",
+        "Input": "nation",
+        "Properties": {
+            "Functions": [{"filter_dataframe": {"predicate": ["n_regionkey", "in", [0, 2]]}}]
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+FILTER_SUBTRACT_ORACLE = """
+SELECT * FROM nation
+EXCEPT
+SELECT * FROM nation WHERE n_regionkey IN (0, 2)
+"""
+
+
+def _q_dedup_all(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["lineitem"])
+    blocks["Result"] = {
+        "Type": "transform::generic",
+        "Input": "lineitem",
+        "Properties": {
+            "Functions": [
+                {
+                    "select": {
+                        "cols": [
+                            {"col": "l_returnflag"},
+                            {"col": "l_linestatus"},
+                            {"col": "l_shipdate"},
+                        ]
+                    }
+                },
+                {"drop_duplicates": {}},
+            ]
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+DEDUP_ALL_ORACLE = "SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem"
+
+
+def _q_dedup_subset_nested(spark, sf_dir):
+    """Nested-column dedup: the concat_ws subset path of
+    drop_duplicates over struct fields."""
+    blocks = _load_blocks(sf_dir, ["orders"])
+    blocks["Nest"] = {
+        "Type": "custom::sql",
+        "Properties": {
+            "Statement": "SELECT named_struct('status', o_orderstatus, 'priority', o_orderpriority) AS info, o_totalprice FROM orders"
+        },
+    }
+    blocks["Dedup"] = {
+        "Type": "transform::generic",
+        "Input": "Nest",
+        "Properties": {
+            "Functions": [
+                {"drop_duplicates": {"columns": ["info.status", "info.priority"]}},
+                {
+                    "select": {
+                        "cols": [
+                            {"col": "info.status", "alias": "status"},
+                            {"col": "info.priority", "alias": "priority"},
+                        ]
+                    }
+                },
+            ]
+        },
+    }
+    return _run_lift(spark, blocks, "Dedup")
+
+
+DEDUP_SUBSET_ORACLE = "SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS priority FROM orders"
+
+
+def _q_join_block(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["lineitem", "orders"])
+    blocks["RenamedOrders"] = {
+        "Type": "transform::generic",
+        "Input": "orders",
+        "Properties": {
+            "Functions": [{"rename_column": {"col": "o_orderkey", "new_name": "l_orderkey"}}]
+        },
+    }
+    blocks["Joined"] = {
+        "Type": "transform::generic",
+        "Input": ["lineitem", "RenamedOrders"],
+        "Properties": {
+            "Functions": [{"join": {"cols": ["l_orderkey"], "join_type": "inner"}}]
+        },
+    }
+    blocks["Result"] = {
+        "Type": "transform::aggregate",
+        "Input": "Joined",
+        "Properties": {
+            "GroupBy": ["o_orderstatus"],
+            "Aggregations": [
+                {"agg": "expr", "expr": "CAST(COUNT(*) AS BIGINT)", "alias": "n_lines"},
+                {
+                    "agg": "expr",
+                    "expr": "ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)",
+                    "alias": "sum_qty",
+                },
+            ],
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+JOIN_BLOCK_ORACLE = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def _q_union_block(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["orders"])
+    blocks["High"] = {
+        "Type": "transform::generic",
+        "Input": "orders",
+        "Properties": {
+            "Functions": [
+                {"where": {"predicate": ["o_orderpriority", "==", "1-URGENT"]}},
+                {"select": {"cols": [{"col": "o_orderkey"}, {"col": "o_totalprice"}]}},
+            ]
+        },
+    }
+    blocks["Low"] = {
+        "Type": "transform::generic",
+        "Input": "orders",
+        "Properties": {
+            "Functions": [
+                {"where": {"predicate": ["o_orderpriority", "==", "5-LOW"]}},
+                {"select": {"cols": [{"col": "o_orderkey"}, {"col": "o_totalprice"}]}},
+            ]
+        },
+    }
+    blocks["Result"] = {
+        "Type": "transform::generic",
+        "Input": ["High", "Low"],
+        "Properties": {"Functions": ["union"]},
+    }
+    return _run_lift(spark, blocks)
+
+
+UNION_BLOCK_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+def _q_explode_split(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["documents"])
+    blocks["Words"] = {
+        "Type": "transform::generic",
+        "Input": "documents",
+        "Properties": {
+            "Functions": [
+                {"split": {"col": "text", "new_col": "words", "split_on": " "}},
+                {"explode": {"col": "words", "new_col": "word"}},
+            ]
+        },
+    }
+    blocks["Result"] = {
+        "Type": "transform::aggregate",
+        "Input": "Words",
+        "Properties": {
+            "GroupBy": ["word"],
+            "Aggregations": [
+                {"agg": "expr", "expr": "CAST(COUNT(*) AS BIGINT)", "alias": "n"}
+            ],
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+EXPLODE_SPLIT_ORACLE = """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+GROUP BY word
+"""
+
+
+def _q_string_ops(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["customer"])
+    blocks["Result"] = {
+        "Type": "transform::generic",
+        "Input": "customer",
+        "Properties": {
+            "Functions": [
+                {"substring": {"col": "c_name", "new_col": "name_prefix", "pos": 1, "length": 9}},
+                {"split": {"col": "c_name", "new_col": "name_parts", "split_on": "#"}},
+                {"get_item": {"col": "name_parts", "new_col": "name_num", "index": 1}},
+                {
+                    "concat": {
+                        "from_columns": ["c_mktsegment", "name_num"],
+                        "to_column": "seg_id",
+                        "delimiter": ":",
+                    }
+                },
+                {
+                    "select": {
+                        "cols": [
+                            {"col": "c_custkey"},
+                            {"col": "name_prefix"},
+                            {"col": "name_num"},
+                            {"col": "seg_id"},
+                        ]
+                    }
+                },
+            ]
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+STRING_OPS_ORACLE = """
+SELECT c_custkey,
+       substring(c_name, 1, 9) AS name_prefix,
+       string_split(c_name, '#')[2] AS name_num,
+       c_mktsegment || ':' || string_split(c_name, '#')[2] AS seg_id
+FROM customer
+"""
+
+
+def _q_date_functions(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["events"])
+    blocks["Conv"] = {
+        "Type": "transform::with_columns",
+        "Input": "events",
+        "Properties": {
+            "Columns": [
+                {"name": "ts", "expr": "timestamp_micros(CAST(ts div 1000 AS BIGINT))"}
+            ]
+        },
+    }
+    blocks["Result"] = {
+        "Type": "transform::generic",
+        "Input": "Conv",
+        "Properties": {
+            "Functions": [
+                {"add_column.date.year": {"from_column": "ts", "to_column": "yr"}},
+                {"add_column.date.month": {"from_column": "ts", "to_column": "mo"}},
+                {"add_column.date.dayofmonth": {"from_column": "ts", "to_column": "dom"}},
+                {"add_column.date.date": {"from_column": "ts", "to_column": "d"}},
+                {
+                    "select": {
+                        "cols": [
+                            {"col": "event_id"},
+                            {"col": "yr"},
+                            {"col": "mo"},
+                            {"col": "dom"},
+                            {"col": "d"},
+                        ]
+                    }
+                },
+            ]
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+DATE_FUNCTIONS_ORACLE = """
+SELECT event_id,
+       CAST(year(ts) AS VARCHAR) AS yr,
+       CAST(month(ts) AS VARCHAR) AS mo,
+       CAST(dayofmonth(ts) AS VARCHAR) AS dom,
+       CAST(ts AS DATE) AS d
+FROM events
+"""
+
+
+def _q_unixtime(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["events"])
+    blocks["Result"] = {
+        "Type": "transform::generic",
+        "Input": "events",
+        "Properties": {
+            "Functions": [
+                {
+                    "add_column.date.unixtime_to_utcz": {
+                        "from_column": "event_id",
+                        "to_column": "utc_str",
+                    }
+                },
+                {"select": {"cols": [{"col": "event_id"}, {"col": "utc_str"}]}},
+            ]
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+UNIXTIME_ORACLE = """
+SELECT event_id,
+       strftime(to_timestamp(event_id), '%Y-%m-%dT%H:%M:0%S+0000') AS utc_str
+FROM events
+"""
+
+
+def _q_select_add_column(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["region"])
+    blocks["Result"] = {
+        "Type": "transform::generic",
+        "Input": "region",
+        "Properties": {
+            "Functions": [
+                {
+                    "select": {
+                        "cols": [
+                            {"col": "r_regionkey", "alias": "key", "cast": "bigint"},
+                            {"col": "r_name"},
+                            {"col": "extra", "add_new_column": True},
+                        ]
+                    }
+                },
+                {"cast_column": {"col": "extra", "new_type": "string"}},
+            ]
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+SELECT_ADD_COLUMN_ORACLE = """
+SELECT CAST(r_regionkey AS BIGINT) AS key, r_name, CAST(NULL AS VARCHAR) AS extra
+FROM region
+"""
+
+
+def _q_python_codeblock(spark, sf_dir):
+    def top_spender(params):
+        orders = params["dataframes"]["orders"]
+        customer = params["dataframes"]["customer"]
+        joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+        return (
+            joined.groupBy("c_nationkey")
+            .agg(
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2
+                ).alias("total_spend"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+
+    from getl_spark import lift
+
+    blocks = _load_blocks(sf_dir, ["orders", "customer"])
+    blocks["Result"] = {
+        "Type": "custom::python_codeblock",
+        "Input": ["orders", "customer"],
+        "Properties": {"CustomFunction": "${fn}"},
+    }
+    return lift(
+        spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False), {"fn": top_spender}
+    ).get("Result")
+
+
+PYTHON_CODEBLOCK_ORACLE = """
+SELECT c_nationkey,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_spend,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def _q_window_block_v2(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["events"])
+    blocks["Windowed"] = {
+        "Type": "transform::window",
+        "Input": "events",
+        "Properties": {
+            "PartitionBy": ["user_id"],
+            "OrderBy": ["ts", "event_id"],
+            "Functions": [
+                {"func": "row_number", "alias": "seq"},
+                {"func": "lag", "col": "value", "offset": 1, "alias": "prev_value"},
+            ],
+        },
+    }
+    blocks["Result"] = {
+        "Type": "custom::sql",
+        "Properties": {
+            "Statement": "SELECT event_id, user_id, CAST(seq AS INT) AS seq, prev_value FROM Windowed"
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+WINDOW_BLOCK_ORACLE = """
+SELECT event_id, user_id, CAST(seq AS INTEGER) AS seq, prev_value FROM (
+  SELECT event_id, user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+         LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events) t
+"""
+
+
+def _q_sort_limit(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["part"])
+    blocks["Result"] = {
+        "Type": "transform::sort",
+        "Input": "part",
+        "Properties": {
+            "OrderBy": [{"col": "p_retailprice", "desc": True}, "p_partkey"],
+            "Limit": 15,
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+SORT_LIMIT_ORACLE = """
+SELECT * FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15
+"""
+
+
+def _q_registry_incremental(spark, sf_dir):
+    """Full end-to-end incremental ingest: write source files, let a
+    full_scan registry discover them, lift to a sink, read back."""
+    tmp = "/tmp/getl_spark_q/registry_incremental"
+    shutil.rmtree(tmp, ignore_errors=True)
+    src, out, reg = f"{tmp}/src", f"{tmp}/out", f"{tmp}/registry"
+    if True:
+        spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            "o_orderstatus = 'F'"
+        ).coalesce(4).write.mode("overwrite").parquet(src)
+        definition = {
+            "FileRegistry": {
+                "Reg": {
+                    "Type": "fileregistry::s3_full_scan",
+                    "Properties": {"BasePath": reg, "UpdateAfter": "Write"},
+                }
+            },
+            "LiftJob": {
+                "Load": {
+                    "Type": "load::batch_parquet",
+                    "Properties": {"Path": src, "FileRegistry": "Reg"},
+                },
+                "Write": {
+                    "Type": "write::batch_parquet",
+                    "Input": "Load",
+                    "Properties": {"Path": out, "Mode": "overwrite"},
+                },
+            },
+        }
+        from getl_spark import lift
+
+        lift(spark, yaml.safe_dump(definition, sort_keys=False))
+        return spark.read.parquet(out)
+
+
+REGISTRY_ORACLE = "SELECT * FROM orders WHERE o_orderstatus = 'F'"
+
+
+def _q_upsert_merge(spark, sf_dir):
+    """Delta-semantics merge-upsert through the write block: base =
+    pre-1997 orders, updates = doubled totals for 1996-1997 overlap."""
+    tmp = "/tmp/getl_spark_q/upsert_merge"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if True:
+        target = f"{tmp}/t"
+        base_sql = (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+        )
+        upd_sql = (
+            "SELECT o_orderkey, ROUND(o_totalprice * 2, 2) AS o_totalprice FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        )
+        blocks1 = _load_blocks(sf_dir, ["orders"])
+        blocks1["Base"] = {"Type": "custom::sql", "Properties": {"Statement": base_sql}}
+        blocks1["W"] = {
+            "Type": "write::batch_delta",
+            "Input": "Base",
+            "Properties": {"Path": target, "Mode": "overwrite"},
+        }
+        _run_lift(spark, blocks1, "W")
+        blocks2 = _load_blocks(sf_dir, ["orders"])
+        blocks2["Upd"] = {"Type": "custom::sql", "Properties": {"Statement": upd_sql}}
+        blocks2["W"] = {
+            "Type": "write::batch_delta",
+            "Input": "Upd",
+            "Properties": {
+                "Path": target,
+                "Mode": "upsert",
+                "Upsert": {"MergeStatement": "source.o_orderkey = updates.o_orderkey"},
+            },
+        }
+        _run_lift(spark, blocks2, "W")
+        from getl_spark.common.tables import ManagedTable
+
+        return ManagedTable(spark, target).read()
+
+
+UPSERT_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+upd AS (
+  SELECT o_orderkey, ROUND(o_totalprice * 2, 2) AS o_totalprice FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
+SELECT * FROM upd
+UNION ALL
+SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+"""
+
+
+def _q_stream_roundtrip(spark, sf_dir):
+    """stream_json → streamed sink with availableNow trigger →
+    read back the materialized output."""
+    tmp = "/tmp/getl_spark_q/stream_roundtrip"
+    shutil.rmtree(tmp, ignore_errors=True)
+    src, out = f"{tmp}/src", f"{tmp}/out"
+    if True:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        events.where("event_type = 'click'").select(
+            "event_id", "user_id", "event_type", "value"
+        ).coalesce(4).write.mode("overwrite").json(src)
+        schema_json = (
+            '{"type":"struct","fields":['
+            '{"name":"event_id","type":"long","nullable":true,"metadata":{}},'
+            '{"name":"user_id","type":"long","nullable":true,"metadata":{}},'
+            '{"name":"event_type","type":"string","nullable":true,"metadata":{}},'
+            '{"name":"value","type":"double","nullable":true,"metadata":{}}]}'
+        )
+        import json as _json
+
+        definition = {
+            "LiftJob": {
+                "Read": {
+                    "Type": "load::stream_json",
+                    "Properties": {"Path": src, "JsonSchema": _json.loads(schema_json)},
+                },
+                "Sink": {
+                    "Type": "write::stream_delta",
+                    "Input": "Read",
+                    "Properties": {"Path": out, "OutputMode": "append"},
+                },
+            }
+        }
+        from getl_spark import lift
+
+        lift(spark, yaml.safe_dump(definition, sort_keys=False))
+        from getl_spark.common.tables import ManagedTable
+
+        return ManagedTable(spark, out).read()
+
+
+STREAM_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'click'
+"""
+
+
+# ----------------------------------------------------- LLM-data queries
+def _q_dedup_exact(spark, sf_dir):
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_prefix = docs.withColumn("prefix", F.substring("text", 1, 40))
+    return dedup.exact(with_prefix, ["prefix"], order_by="doc_id").select(
+        "doc_id", "prefix"
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT doc_id, prefix FROM (
+  SELECT doc_id, substring(text, 1, 40) AS prefix,
+         ROW_NUMBER() OVER (PARTITION BY substring(text, 1, 40) ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn = 1
+"""
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard(docs, n=3, threshold=0.12).select("id_a", "id_b")
+
+
+NGRAM_JACCARD_ORACLE = """
+WITH shingled AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents) t
+),
+sizes AS (SELECT id, COUNT(*) AS size FROM shingled GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE ROUND(inter / CAST(sa.size + sb.size - inter AS DOUBLE), 6) >= 0.12
+"""
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh(docs, n=3, num_hashes=64, bands=16, threshold=0.12).select(
+        "id_a", "id_b"
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_pairs(docs, max_hamming=12, bands=4)
+
+
+def _q_emb_cosine_pairs(spark, sf_dir):
+    from getl_spark.functions import dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_cosine_pairs(
+        emb, threshold=0.4, brute_force=True
+    ).select("id_a", "id_b")
+
+
+EMB_COSINE_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+"""
+
+
+def _q_sim_topk(spark, sf_dir):
+    from getl_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.topk(emb, query_ids=list(range(8)), k=5)
+
+
+SIM_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS nbr_id,
+         ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id != q.query_id)
+SELECT query_id, nbr_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
+
+
+def _q_sim_topk_lsh(spark, sf_dir):
+    from getl_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.topk(emb, query_ids=list(range(8)), k=5, method="lsh")
+
+
+def _q_text_quality(spark, sf_dir):
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.quality(docs).select(
+        "doc_id", "q_n_chars", "q_n_words", "q_avg_word_len", "q_digit_ratio"
+    )
+
+
+TEXT_QUALITY_ORACLE = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS q_n_chars,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS q_n_words,
+       ROUND((length(text) - (len(string_split(text, ' ')) - 1))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS q_avg_word_len,
+       ROUND((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+             / CAST(length(text) AS DOUBLE), 4) AS q_digit_ratio
+FROM documents
+"""
+
+
+def _q_token_count(spark, sf_dir):
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.token_count(docs).select("doc_id", "n_tokens", "n_tokens_bpe_est")
+
+
+TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est
+FROM documents
+"""
+
+
+def _q_fingerprint(spark, sf_dir):
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def _q_lang_id(spark, sf_dir):
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def _langid_oracle() -> str:
+    from getl_spark.functions.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_intersect(list_distinct(string_split(lower(text), ' ')), [{words}]))"
+            f" AS s_{lang}"
+        )
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN s_{lang} = best AND best > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {", ".join(score_cols)} FROM documents),
+best AS (SELECT *, {greatest} AS best FROM scored)
+SELECT doc_id, lang, {case} AS lang_pred FROM best
+"""
+
+
+def _q_multimodal(spark, sf_dir):
+    from getl_spark.functions import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.to_media(docs, "text")
+    return multimodal.extract_features(media).select("doc_id", "n_bytes", "sha256")
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def _q_frame_sample(spark, sf_dir):
+    from getl_spark.functions import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.to_media(docs, "text")
+    return multimodal.frame_sample(media, num_frames=4).select("doc_id", "frame_idx")
+
+
+FRAME_SAMPLE_ORACLE = """
+SELECT doc_id, CAST(g.i AS INTEGER) AS frame_idx
+FROM documents, generate_series(0, 3) AS g(i)
+"""
+
+
+# ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pricing summary through the full engine at sf0.001."""
+    return _engine_sql(Q1_SQL, ["lineitem"])(spark, "/root/testdata/sf0.001")
+
+
+def _wrap(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_conf(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {name: _wrap(fn) for name, fn in _raw_queries().items()}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # shared-SQL analytics through engine load + custom::sql blocks
+        "q1_pricing_summary": _engine_sql(Q1_SQL, ["lineitem"]),
+        "q3_shipping_priority": _engine_sql(Q3_SQL, ["customer", "orders", "lineitem"]),
+        "q5_local_supplier": _engine_sql(
+            Q5_SQL, ["customer", "orders", "lineitem", "supplier", "nation", "region"]
+        ),
+        "q6_forecast_revenue": _engine_sql(Q6_SQL, ["lineitem"]),
+        "q10_returned_items": _engine_sql(
+            Q10_SQL, ["customer", "orders", "lineitem", "nation"]
+        ),
+        "sql_window_top_order": _engine_sql(WINDOW_SQL, ["orders"]),
+        "sql_rollup_counts": _engine_sql(ROLLUP_SQL, ["lineitem"]),
+        "sql_anti_join": _engine_sql(ANTI_SQL, ["customer", "orders"]),
+        # block-level engine operators
+        "where_predicate_dsl": _q_where_dsl,
+        "where_in_null_json": _q_where_in_null,
+        "filter_dataframe_subtract": _q_filter_subtract,
+        "drop_duplicates_all": _q_dedup_all,
+        "drop_duplicates_nested_subset": _q_dedup_subset_nested,
+        "join_block": _q_join_block,
+        "union_block": _q_union_block,
+        "explode_split_wordcount": _q_explode_split,
+        "string_ops": _q_string_ops,
+        "date_functions": _q_date_functions,
+        "unixtime_format": _q_unixtime,
+        "select_add_column": _q_select_add_column,
+        "python_codeblock": _q_python_codeblock,
+        "window_block": _q_window_block_v2,
+        "sort_limit_block": _q_sort_limit,
+        "registry_incremental_load": _q_registry_incremental,
+        "upsert_merge": _q_upsert_merge,
+        "stream_json_roundtrip": _q_stream_roundtrip,
+        # LLM-data operators
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_simhash": _q_simhash,
+        "dedup_embedding_cosine": _q_emb_cosine_pairs,
+        "similarity_topk_bruteforce": _q_sim_topk,
+        "similarity_topk_lsh": _q_sim_topk_lsh,
+        "text_quality": _q_text_quality,
+        "text_token_count": _q_token_count,
+        "text_fingerprint": _q_fingerprint,
+        "text_lang_id": _q_lang_id,
+        "multimodal_features": _q_multimodal,
+        "multimodal_frame_sample": _q_frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q5_local_supplier": Q5_SQL,
+        "q6_forecast_revenue": Q6_SQL,
+        "q10_returned_items": Q10_SQL,
+        "sql_window_top_order": WINDOW_SQL,
+        "sql_rollup_counts": ROLLUP_SQL,
+        "sql_anti_join": ANTI_SQL,
+        "where_predicate_dsl": WHERE_DSL_ORACLE,
+        "where_in_null_json": WHERE_IN_NULL_ORACLE,
+        "filter_dataframe_subtract": FILTER_SUBTRACT_ORACLE,
+        "drop_duplicates_all": DEDUP_ALL_ORACLE,
+        "drop_duplicates_nested_subset": DEDUP_SUBSET_ORACLE,
+        "join_block": JOIN_BLOCK_ORACLE,
+        "union_block": UNION_BLOCK_ORACLE,
+        "explode_split_wordcount": EXPLODE_SPLIT_ORACLE,
+        "string_ops": STRING_OPS_ORACLE,
+        "date_functions": DATE_FUNCTIONS_ORACLE,
+        "unixtime_format": UNIXTIME_ORACLE,
+        "select_add_column": SELECT_ADD_COLUMN_ORACLE,
+        "python_codeblock": PYTHON_CODEBLOCK_ORACLE,
+        "window_block": WINDOW_BLOCK_ORACLE,
+        "sort_limit_block": SORT_LIMIT_ORACLE,
+        "registry_incremental_load": REGISTRY_ORACLE,
+        "upsert_merge": UPSERT_ORACLE,
+        "stream_json_roundtrip": STREAM_ORACLE,
+        "dedup_exact": DEDUP_EXACT_ORACLE,
+        "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,
+        "dedup_embedding_cosine": EMB_COSINE_ORACLE,
+        "similarity_topk_bruteforce": SIM_TOPK_ORACLE,
+        "text_quality": TEXT_QUALITY_ORACLE,
+        "text_token_count": TOKEN_COUNT_ORACLE,
+        "text_fingerprint": FINGERPRINT_ORACLE,
+        "text_lang_id": _langid_oracle(),
+        "multimodal_features": MULTIMODAL_ORACLE,
+        "multimodal_frame_sample": FRAME_SAMPLE_ORACLE,
+        # no oracle (hash-family sketches, SQL-inexpressible):
+        # dedup_minhash_lsh, dedup_simhash, similarity_topk_lsh
+    }

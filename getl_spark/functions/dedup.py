@@ -1,0 +1,361 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, cheapest first; all distributed, none collects to the
+driver:
+
+* ``exact`` — hash-groupBy on key columns, deterministic winner per
+  group (min of an order column). One shuffle on the key.
+* ``ngram_jaccard`` — exact word-n-gram Jaccard over candidate pairs
+  produced by a shingle-inverted-index self-join. Quadratic in the
+  worst case: the ground-truth / small-corpus tool, and the verifier
+  for the sketch methods below.
+* ``minhash_lsh`` — MinHash signatures + banded LSH: near-dup pairs in
+  ~O(corpus) with tunable recall. The 100 TB scale path. Deterministic:
+  hash family is ``xxhash64(seed_i ‖ shingle)``, no RNG.
+* ``simhash`` — 64-bit SimHash fingerprints + hamming-ball candidate
+  join via band keys. Cheapest sketch; one fingerprint per doc.
+* ``embedding_cosine`` — semantic near-dup via cosine similarity over
+  an embedding column, LSH-bucketed (random hyperplanes, fixed seed)
+  with exact verification inside buckets.
+
+Each returns either the survivors or the duplicate *pairs* — pairs
+compose with ``exact``-style winner selection downstream.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+# --------------------------------------------------------------- exact
+def exact(
+    df: DataFrame,
+    key_columns: List[str],
+    order_by: Optional[str] = None,
+) -> DataFrame:
+    """Keep one row per key. With ``order_by``, the minimum of that
+    column wins (deterministic); otherwise an arbitrary row (plain
+    ``dropDuplicates`` — cheaper, no window)."""
+    if order_by is None:
+        return df.dropDuplicates(key_columns)
+    w = Window.partitionBy(*key_columns).orderBy(F.col(order_by).asc())
+    return (
+        df.withColumn("__getl_rn", F.row_number().over(w))
+        .where(F.col("__getl_rn") == 1)
+        .drop("__getl_rn")
+    )
+
+
+# ------------------------------------------------------------ shingling
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) with distinct word-n-gram shingles per doc.
+
+    Built-ins only: split → transform over a slide window → explode.
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    num = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), num - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), F.lit(n))),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.array_distinct(grams).alias("grams"))
+        .where(F.size("grams") > 0)
+        .select("id", F.explode("grams").alias("shingle"))
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact all-pairs word-n-gram Jaccard ≥ threshold.
+
+    Inverted-index self-join: pairs sharing at least one shingle are
+    the only candidates (Jaccard > 0 requires a shared shingle), so
+    the join is |index| * avg-posting-length, not |docs|².
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+    """
+    shingles = _shingles(df, id_col, text_col, n).cache()
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("size"))
+    left = shingles.withColumnRenamed("id", "id_a")
+    right = shingles.withColumnRenamed("id", "id_b")
+    inter = (
+        left.join(right, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- minhash
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures.
+
+    Hash family: ``xxhash64(i, shingle)`` for i in 0..num_hashes-1 —
+    deterministic, seedless, computed entirely in the JVM. One shuffle
+    (groupBy id) regardless of num_hashes.
+    """
+    shingles = _shingles(df, id_col, text_col, n)
+    hashed = shingles.select(
+        "id",
+        F.array(
+            *[F.xxhash64(F.lit(i), F.col("shingle")) for i in range(num_hashes)]
+        ).alias("hashes"),
+    )
+    mins = [F.min(F.col("hashes")[i]).alias(f"h{i}") for i in range(num_hashes)]
+    return (
+        hashed.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def minhash_lsh(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH.
+
+    ``bands`` bands of ``num_hashes/bands`` rows each; candidate pairs
+    collide in ≥1 band (p ≈ 1-(1-s^r)^b). With ``verify`` the
+    candidates are re-checked with exact n-gram Jaccard and filtered
+    to ``threshold`` — the standard sketch-then-verify pipeline that
+    scales to corpus sizes where all-pairs is impossible.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias(
+                            "key"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    candidates = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return candidates
+    shingles = _shingles(df, id_col, text_col, n)
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("size"))
+    left = shingles.withColumnRenamed("id", "id_a")
+    right = shingles.withColumnRenamed("id", "id_b")
+    inter = (
+        candidates.join(left, "id_a")
+        .join(right.withColumnRenamed("shingle", "shingle_b"), "id_b")
+        .where(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- simhash
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
+
+    Each token hashes once (``xxhash64``); bit b of the fingerprint is
+    the sign of the sum over tokens of ±1 at that bit. All JVM
+    expressions; one aggregate per document.
+    """
+    tokens_df = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias(
+                "token"
+            ),
+        )
+        .withColumn("h", F.xxhash64("token"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tokens_df.groupBy("id").agg(*bit_sums)
+    fingerprint = None
+    for b in range(bits):
+        contrib = F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+        ).otherwise(F.lit(0).cast("bigint"))
+        fingerprint = contrib if fingerprint is None else fingerprint.bitwiseOR(contrib)
+    return agg.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into ``bands``
+    chunks; any pair within the hamming ball agrees exactly on ≥1
+    chunk, so candidates come from equi-joins on chunk values —
+    no quadratic scan. Exact popcount verification follows.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, id_col, text_col)
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "simhash", "bc.band", "bc.chunk")
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "chunk"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ----------------------------------------------------- embedding cosine
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 8,
+    seed: int = 42,
+    brute_force: bool = False,
+) -> DataFrame:
+    """Semantic near-dup pairs: cosine(a, b) ≥ threshold.
+
+    Scale path (default): random-hyperplane LSH — ``planes`` fixed
+    hyperplanes (numpy RandomState(seed), broadcast as literals) give a
+    sign-bucket per vector; only same-bucket pairs are verified
+    exactly. High-threshold pairs almost surely share a bucket.
+    ``brute_force=True`` skips bucketing (ground truth / small data).
+    """
+    from getl_spark.functions.similarity import cosine_expr, with_norm
+
+    vecs = with_norm(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
+    if not brute_force:
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        dim = len(vecs.select("vec").first().vec)
+        hyper = rng.randn(planes, dim)
+        bucket = None
+        for p in range(planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    "vec",
+                    F.array(*[F.lit(float(x)) for x in hyper[p]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        vecs = vecs.withColumn("bucket", bucket)
+        join_on = ["bucket"]
+        a = vecs.alias("a")
+        b = vecs.alias("b")
+        pairs = a.join(b, join_on).where(F.col("a.id") < F.col("b.id"))
+    else:
+        a = vecs.alias("a")
+        b = vecs.alias("b")
+        pairs = a.crossJoin(b).where(F.col("a.id") < F.col("b.id"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                cosine_expr(F.col("a.vec"), F.col("b.vec"), F.col("a.norm"), F.col("b.norm")),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

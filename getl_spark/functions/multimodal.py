@@ -1,0 +1,127 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns plus typed metadata structs —
+the lakehouse-native layout for multimodal training data. The *Spark*
+side here is real and tested: schemas, Arrow-batched ``mapInPandas``
+plumbing, partition sizing. The codec step is stubbed behind
+``GETL_SPARK_FAKE_DECODE`` because no image/audio libraries exist in
+this container: with the flag (default) a deterministic byte-level
+"decode" runs; without it the operator raises ``NotImplementedError``
+pointing at the PIL/ffmpeg integration seam.
+
+Scale notes: media rows are large — keep
+``spark.sql.files.maxPartitionBytes`` at/below 128 MB so a partition of
+binaries fits executor memory, and never collect. ``mapInPandas``
+streams Arrow record batches, so peak memory is one batch, not one
+partition.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+FAKE_DECODE = os.environ.get("GETL_SPARK_FAKE_DECODE", "1") == "1"
+
+MEDIA_META_SCHEMA = (
+    "media_type string, mime string, width int, height int, duration_ms int"
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "n_bytes bigint, sha256 string, byte_mean double, byte_histogram array<int>"
+)
+
+
+def to_media(
+    df: DataFrame,
+    content_col: str,
+    media_type: str = "image",
+    mime: str = "application/octet-stream",
+) -> DataFrame:
+    """Wrap a binary/string column into the standard media layout:
+    ``content binary, meta struct<...>``."""
+    return df.withColumn("content", F.col(content_col).cast("binary")).withColumn(
+        "meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+
+
+def extract_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary content.
+
+    Real pipeline: decode → resize → embed. Here the decode seam is
+    stubbed; the computed features (byte stats + sha256) are real and
+    deterministic, so the full distributed path — schema, batching,
+    shuffle-free map — is exercised end-to-end.
+    """
+    if not FAKE_DECODE:
+        raise NotImplementedError(
+            "Real media decode requires PIL/torchvision/ffmpeg; install and "
+            "replace _decode_batch (seam: getl_spark/functions/multimodal.py)."
+        )
+    out_schema = f"{id_col} bigint, n_bytes bigint, sha256 string, byte_mean double"
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            contents = pdf[content_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": contents.map(len).astype("int64"),
+                    "sha256": contents.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "byte_mean": contents.map(
+                        lambda b: round(float(np.frombuffer(bytes(b), dtype=np.uint8).mean()), 6)
+                        if len(b)
+                        else 0.0
+                    ),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(decode_batches, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    num_frames: int = 4,
+) -> DataFrame:
+    """Deterministic "frame" sampling stub for video binaries: emits
+    ``num_frames`` evenly-spaced byte slices per row. The row-explosion
+    shape (one input row → N frame rows) matches a real ffmpeg
+    frame sampler, so downstream operators can build against it."""
+    if not FAKE_DECODE:
+        raise NotImplementedError("Real frame sampling requires ffmpeg bindings.")
+    out_schema = f"{id_col} bigint, frame_idx int, frame_bytes binary"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {id_col: [], "frame_idx": [], "frame_bytes": []}
+            for _, row in pdf.iterrows():
+                blob = bytes(row[content_col])
+                step = max(len(blob) // num_frames, 1)
+                for i in range(num_frames):
+                    rows[id_col].append(row[id_col])
+                    rows["frame_idx"].append(i)
+                    rows["frame_bytes"].append(blob[i * step : i * step + step])
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(sample, out_schema)

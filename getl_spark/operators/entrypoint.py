@@ -34,7 +34,11 @@ def resolve(func: Callable, bconf: BlockConfig) -> DataFrame:
 
 # ------------------------------------------------------------------ generic
 def generic(conf: BlockConfig) -> DataFrame:
-    dataframe = conf.history.get(conf.input)
+    # multi-input blocks (Input: [left, right]) start from the join/
+    # union function itself; single-input blocks fold over the input df
+    dataframe = (
+        conf.history.get(conf.input) if isinstance(conf.input, str) else None
+    )
     for func_meta in conf.get("Functions"):
         name, params = _function_meta(func_meta)
         func = _lookup(name)
@@ -42,6 +46,11 @@ def generic(conf: BlockConfig) -> DataFrame:
             # multi-input operators consume [left, right] from Input
             dataframe = func(*_two_inputs(conf), **params)
         else:
+            if dataframe is None:
+                raise ValueError(
+                    f"Block '{conf.section_name}' has a list Input; its first "
+                    "function must be join/union/union_by_name"
+                )
             dataframe = func(dataframe, **params)
     return dataframe
 

@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # reference relies on SimpleDateFormat patterns (add_column/date.py:15)
         .config("spark.sql.legacy.timeParserPolicy", "LEGACY")
+        # read parquet TIMESTAMP(NANOS) as bigint nanos (Spark has no
+        # nanosecond timestamp type); convert with
+        # timestamp_micros(CAST(col div 1000 AS BIGINT))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Adaptive execution: runtime re-plan, partition coalescing, skew joins
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
