@@ -862,7 +862,7 @@ def _q_simhash(spark, sf_dir):
     from getl_spark.functions import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.simhash_pairs(docs, max_hamming=12, bands=4)
+    return dedup.simhash_pairs(docs, max_hamming=6, bands=4)
 
 
 def _q_emb_cosine_pairs(spark, sf_dir):

@@ -49,21 +49,28 @@ def exact(
 
 
 # ------------------------------------------------------------ shingling
+from getl_spark.common.scale import parallelize as _parallelize  # noqa: E402
+
+
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) with distinct word-n-gram shingles per doc.
 
     Built-ins only: split → transform over a slide window → explode.
     """
+    df = _parallelize(df)
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     num = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(0), num - F.lit(1)),
         lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), F.lit(n))),
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.array_distinct(grams).alias("grams"))
-        .where(F.size("grams") > 0)
-        .select("id", F.explode("grams").alias("shingle"))
+    # Explode the expression DIRECTLY — naming it in an intermediate
+    # column makes InferFiltersFromGenerate add a size(col)>0 filter
+    # that gets substituted + pushed to the scan, recomputing the whole
+    # shingle expression once per row on the narrow pre-repartition side.
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
     )
 
 
@@ -114,18 +121,24 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures.
 
-    Hash family: ``xxhash64(i, shingle)`` for i in 0..num_hashes-1 —
-    deterministic, seedless, computed entirely in the JVM. One shuffle
-    (groupBy id) regardless of num_hashes.
+    Hash family: the shingle string is xxhash64'd to a long ONCE, then
+    hash i is ``xxhash64(i, base)`` over that fixed-width long —
+    deterministic, seedless, and ~10× cheaper than re-hashing the
+    string num_hashes times. One shuffle (groupBy id) regardless of
+    num_hashes.
     """
-    shingles = _shingles(df, id_col, text_col, n)
+    if shingles is None:
+        shingles = _shingles(df, id_col, text_col, n)
     hashed = shingles.select(
+        "id", F.xxhash64("shingle").alias("base")
+    ).select(
         "id",
         F.array(
-            *[F.xxhash64(F.lit(i), F.col("shingle")) for i in range(num_hashes)]
+            *[F.xxhash64(F.lit(i), F.col("base")) for i in range(num_hashes)]
         ).alias("hashes"),
     )
     mins = [F.min(F.col("hashes")[i]).alias(f"h{i}") for i in range(num_hashes)]
@@ -155,7 +168,15 @@ def minhash_lsh(
     scales to corpus sizes where all-pairs is impossible.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # One materialized shingle table feeds both the signatures and the
+    # exact verification — shingling is the dominant cost, never do it
+    # twice. localCheckpoint (not cache) also truncates lineage, so the
+    # LSH self-join and verify join don't each drag a duplicated
+    # 64-wide expression tree through the optimizer. (On a production
+    # cluster, persist this to a table instead if executor loss during
+    # the job is a concern — checkpointed lineage can't recompute.)
+    shingles = _shingles(df, id_col, text_col, n).localCheckpoint()
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=shingles)
     banded = sigs.select(
         "id",
         F.explode(
@@ -172,6 +193,10 @@ def minhash_lsh(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
+    # band keys are tiny (docs × bands rows); materializing them keeps
+    # the self-join plan to two table stubs instead of two signature
+    # pipelines
+    banded = banded.localCheckpoint()
     candidates = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])
@@ -181,7 +206,6 @@ def minhash_lsh(
     )
     if not verify:
         return candidates
-    shingles = _shingles(df, id_col, text_col, n)
     sizes = shingles.groupBy("id").agg(F.count("*").alias("size"))
     left = shingles.withColumnRenamed("id", "id_a")
     right = shingles.withColumnRenamed("id", "id_b")
@@ -222,7 +246,7 @@ def simhash(
     expressions; one aggregate per document.
     """
     tokens_df = (
-        df.select(
+        _parallelize(df).select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias(
                 "token"

@@ -95,7 +95,11 @@ def extract_features(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(decode_batches, out_schema)
+    from getl_spark.common.scale import parallelize
+
+    return parallelize(df.select(id_col, content_col)).mapInPandas(
+        decode_batches, out_schema
+    )
 
 
 def frame_sample(
@@ -124,4 +128,8 @@ def frame_sample(
                     rows["frame_bytes"].append(blob[i * step : i * step + step])
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, content_col).mapInPandas(sample, out_schema)
+    from getl_spark.common.scale import parallelize
+
+    return parallelize(df.select(id_col, content_col)).mapInPandas(
+        sample, out_schema
+    )

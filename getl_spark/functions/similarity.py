@@ -41,9 +41,17 @@ def cosine_expr(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
 
 def with_norm(df: DataFrame, vec_col: str = "vec") -> DataFrame:
     """Adds a precomputed L2 norm and casts to double once — norms are
-    reused across every pair the row participates in."""
+    reused across every pair the row participates in. Also widens
+    single-file inputs to cluster parallelism (dot products are
+    compute-bound, not IO-bound)."""
+    from getl_spark.common.scale import parallelize
+
     doubled = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.withColumn(vec_col, doubled).withColumn("norm", norm_expr(F.col(vec_col)))
+    return (
+        parallelize(df)
+        .withColumn(vec_col, doubled)
+        .withColumn("norm", norm_expr(F.col(vec_col)))
+    )
 
 
 def topk_bruteforce(
