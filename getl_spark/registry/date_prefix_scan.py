@@ -43,8 +43,9 @@ def _advance(moment: dt.datetime, granularity: str) -> dt.datetime:
     if granularity == "day":
         return moment + dt.timedelta(days=1)
     if granularity == "month":
-        year, month = divmod(moment.year * 12 + moment.month, 12)
-        return moment.replace(year=year if month else year - 1, month=month or 12, day=1)
+        if moment.month == 12:
+            return moment.replace(year=moment.year + 1, month=1, day=1)
+        return moment.replace(month=moment.month + 1, day=1)
     return moment.replace(year=moment.year + 1, month=1, day=1)
 
 

@@ -9,7 +9,10 @@ pick broadcast/sort-merge for the anti-join. Without Delta (this
 container), the same contract is kept by snapshotting the source's key
 columns at ``update()`` time and anti-joining the live table against
 the snapshot — only ``JoinOnFields`` are stored, so the snapshot is a
-narrow key table, not a copy of the data.
+narrow key table, not a copy of the data. Snapshots are written to
+append-only versioned subdirectories (``snapshot/v<N>``) so DataFrames
+returned by ``load()`` stay valid after ``update()`` commits — the
+same reason Delta itself never deletes live files.
 
 The watermark is a single-row control table (``version_date``), as the
 reference.
@@ -39,7 +42,7 @@ class DeltaDiff(FileRegistry):
             else dt.datetime.fromisoformat(str(default))
         )
         self.watermark_table = ManagedTable(self.spark, f"{self.base_path}/watermark")
-        self.snapshot_table = ManagedTable(self.spark, f"{self.base_path}/snapshot")
+        self.snapshot_dir = f"{self.base_path}/snapshot"
         self._source_path: Optional[str] = None
 
     # ------------------------------------------------------------------ api
@@ -65,7 +68,9 @@ class DeltaDiff(FileRegistry):
                 .select(*self.join_fields)
                 .distinct()
             )
-            self.snapshot_table.write(keys, mode="overwrite")
+            keys.write.mode("overwrite").parquet(
+                f"{self.snapshot_dir}/v{self._latest_snapshot_version() + 1}"
+            )
 
     # ------------------------------------------------------------ internals
     def _baseline(self, path: str) -> Optional[DataFrame]:
@@ -83,7 +88,22 @@ class DeltaDiff(FileRegistry):
                 .load(path)
                 .select(*self.join_fields)
             )
-        return self.snapshot_table.read()
+        version = self._latest_snapshot_version()
+        if version < 0:
+            return None
+        return self.spark.read.parquet(f"{self.snapshot_dir}/v{version}")
+
+    def _latest_snapshot_version(self) -> int:
+        import os
+
+        if not os.path.isdir(self.snapshot_dir):
+            return -1
+        versions = [
+            int(d[1:])
+            for d in os.listdir(self.snapshot_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        return max(versions, default=-1)
 
     def _last_lift_time(self) -> Optional[dt.datetime]:
         df = self.watermark_table.read()

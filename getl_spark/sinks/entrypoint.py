@@ -52,22 +52,23 @@ def batch_delta(conf: BlockConfig) -> DataFrame:
     merge_schema = conf.get("MergeSchema", False)
     table = ManagedTable(conf.spark, path)
 
-    if conf.exists("HiveTable.DatabaseName"):
-        htable = HiveTable(
-            conf.spark, conf.get("HiveTable.DatabaseName"), conf.get("HiveTable.TableName")
-        )
-        htable.create(
-            path,
-            conf.get("HiveTable.Schema", ""),
-            ", ".join(partition_by) if partition_by else "",
-        )
-
     if mode == UPSERT_MODE:
         table.upsert_all(df, conf.get("Upsert.MergeStatement"))
     elif mode == CLEAN_WRITE_MODE:
         table.write(df, "overwrite", partition_by, merge_schema)
     else:
         table.write(df, mode, partition_by, merge_schema)
+
+    if conf.exists("HiveTable.DatabaseName"):
+        # registered after the write: a path-based table needs data (or
+        # an explicit Schema) present for catalog schema resolution
+        HiveTable(
+            conf.spark, conf.get("HiveTable.DatabaseName"), conf.get("HiveTable.TableName")
+        ).create(
+            path,
+            conf.get("HiveTable.Schema", ""),
+            ", ".join(partition_by) if partition_by else "",
+        )
 
     if conf.get("Optimize.Enabled", False):
         zorder = conf.get("Optimize.ZorderBy", None)

@@ -1,0 +1,57 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from getl_spark import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    session = get_spark(
+        "getl-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/getl_test_warehouse"},
+    )
+    yield session
+
+
+@pytest.fixture()
+def princess_df(spark):
+    """Primary transform fixture (mirrors reference tests/getl/data/samples.py)."""
+    return spark.createDataFrame(
+        [
+            ("Cinderella", 16, False, ("thorns", "2020-10-14")),
+            ("Snow white", 17, True, ("apple", "2020-10-14")),
+            ("Belle", 18, False, ("roses", "2020-10-14")),
+            ("Jasmine", 19, True, ("jafar", "2020-10-14")),
+        ],
+        "name STRING, age BIGINT, happy BOOLEAN, "
+        "items STRUCT<weakness: STRING, created: STRING>",
+    )
+
+
+@pytest.fixture()
+def nullable_df(spark):
+    return spark.createDataFrame(
+        [("Cinderella", 16), ("Snow white", 17), ("Belle", None), ("Jasmine", None)],
+        "name STRING, age BIGINT",
+    )
+
+
+@pytest.fixture()
+def travel_df(spark):
+    return spark.createDataFrame(
+        [
+            ("London", "Brussels", 500),
+            ("London", "Brussels", 490),
+            ("Brussels", "Stockholm", 1000),
+            ("Brussels", "Stockholm", 1000),
+            ("Stockholm", "Brussels", 1100),
+            ("London", "Stockholm", 1300),
+        ],
+        "`from` STRING, `to` STRING, cost BIGINT",
+    )

@@ -1,0 +1,246 @@
+"""End-to-end block/executor tests through the public lift() API."""
+
+import json
+import os
+
+import pytest
+
+from getl_spark import lift
+from getl_spark.common.errors import NoDataToProcess
+
+
+@pytest.fixture()
+def sample_dir(tmp_path, spark):
+    df = spark.createDataFrame(
+        [("Mark", 9, False), ("Tove", 10, True), ("Lisa", 11, False)],
+        "name STRING, empid INT, happy BOOLEAN",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "parquet"))
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(
+        str(tmp_path / "csv")
+    )
+    df.coalesce(1).write.mode("overwrite").json(str(tmp_path / "json"))
+    return tmp_path
+
+
+def test_load_transform_roundtrip(spark, sample_dir):
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  Load:
+    Type: load::batch_parquet
+    Properties: {{Path: {sample_dir}/parquet}}
+  Happy:
+    Type: transform::generic
+    Input: Load
+    Properties:
+      Functions:
+        - where: {{predicate: [happy, '==', true]}}
+""",
+    )
+    assert log.get("Happy").collect()[0].name == "Tove"
+
+
+def test_load_csv_with_options(spark, sample_dir):
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  Load:
+    Type: load::batch_csv
+    Properties:
+      Path: {sample_dir}/csv
+      Options: {{header: true, inferSchema: true}}
+""",
+    )
+    assert log.get("Load").count() == 3
+
+
+def test_load_json_with_json_schema(spark, sample_dir):
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "name", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "empid", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+    import yaml
+
+    definition = {
+        "LiftJob": {
+            "Load": {
+                "Type": "load::batch_json",
+                "Properties": {"Path": str(sample_dir / "json"), "JsonSchema": schema},
+            }
+        }
+    }
+    log = lift(spark, yaml.safe_dump(definition, sort_keys=False))
+    df = log.get("Load")
+    assert df.columns == ["name", "empid"] and df.count() == 3
+
+
+def test_load_xml(spark, tmp_path):
+    xml = "<people>" + "".join(
+        f"<person><name>p{i}</name><age>{20 + i}</age></person>" for i in range(3)
+    ) + "</people>"
+    (tmp_path / "data.xml").write_text(xml)
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  Load:
+    Type: load::batch_xml
+    Properties:
+      Path: {tmp_path}/data.xml
+      RowTag: person
+""",
+    )
+    assert log.get("Load").count() == 3
+
+
+def test_custom_sql_references_prior_blocks(spark, sample_dir):
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  Emp:
+    Type: load::batch_parquet
+    Properties: {{Path: {sample_dir}/parquet}}
+  Agg:
+    Type: custom::sql
+    Properties:
+      Statement: SELECT happy, count(*) AS n FROM Emp GROUP BY happy
+""",
+    )
+    assert log.get("Agg").count() == 2
+
+
+def test_python_codeblock_multi_output(spark, sample_dir):
+    def splitter(params):
+        df = params["dataframes"]["Load"]
+        return {
+            "happy": df.where("happy"),
+            "sad": df.where("NOT happy"),
+        }
+
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  Load:
+    Type: load::batch_parquet
+    Properties: {{Path: {sample_dir}/parquet}}
+  Split:
+    Type: custom::python_codeblock
+    Input: [Load]
+    Properties:
+      CustomFunction: ${{fn}}
+      Output: [happy, sad]
+""",
+        {"fn": splitter},
+    )
+    assert log.get("Split.happy").count() == 1
+    assert log.get("Split.sad").count() == 2
+
+
+def test_python_codeblock_undeclared_output_raises(spark, sample_dir):
+    def bad(params):
+        return {"unexpected": params["dataframes"]["Load"]}
+
+    with pytest.raises(TypeError, match="unexpected"):
+        lift(
+            spark,
+            f"""
+LiftJob:
+  Load:
+    Type: load::batch_parquet
+    Properties: {{Path: {sample_dir}/parquet}}
+  Split:
+    Type: custom::python_codeblock
+    Input: [Load]
+    Properties:
+      CustomFunction: ${{fn}}
+      Output: [declared]
+""",
+            {"fn": bad},
+        )
+
+
+def test_custom_code_path(spark, sample_dir, tmp_path):
+    code = (
+        "def resolve(params):\n"
+        "    df = params['dataframes']['Load']\n"
+        "    return df.limit(params['n'])\n"
+    )
+    (tmp_path / "code.py").write_text(code)
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  Load:
+    Type: load::batch_parquet
+    Properties: {{Path: {sample_dir}/parquet}}
+  Custom:
+    Type: custom::python_codeblock
+    Input: [Load]
+    Properties:
+      CustomCodePath: {tmp_path}/code.py
+      CustomProps: {{n: 2}}
+""",
+    )
+    assert log.get("Custom").count() == 2
+
+
+def test_aggregate_window_sort_blocks(spark, sample_dir):
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  Load:
+    Type: load::batch_parquet
+    Properties: {{Path: {sample_dir}/parquet}}
+  Agg:
+    Type: transform::aggregate
+    Input: Load
+    Properties:
+      GroupBy: [happy]
+      Aggregations:
+        - {{col: empid, agg: max, alias: max_id}}
+        - {{agg: count, alias: n}}
+  Win:
+    Type: transform::window
+    Input: Load
+    Properties:
+      OrderBy: [empid]
+      Functions:
+        - {{func: row_number, alias: rn}}
+  Sorted:
+    Type: transform::sort
+    Input: Load
+    Properties:
+      OrderBy: [{{col: empid, desc: true}}]
+      Limit: 1
+""",
+    )
+    assert log.get("Agg").count() == 2
+    assert [r.rn for r in log.get("Win").collect()] == [1, 2, 3]
+    assert log.get("Sorted").first().empid == 11
+
+
+def test_unknown_function_raises(spark, sample_dir):
+    with pytest.raises(ValueError, match="nonsense"):
+        lift(
+            spark,
+            f"""
+LiftJob:
+  Load:
+    Type: load::batch_parquet
+    Properties: {{Path: {sample_dir}/parquet}}
+  T:
+    Type: transform::generic
+    Input: Load
+    Properties:
+      Functions: [{{nonsense: {{}}}}]
+""",
+        )

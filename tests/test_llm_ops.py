@@ -1,0 +1,163 @@
+"""LLM-data operator tests: recall against exact ground truth,
+determinism, and plumbing shapes."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from getl_spark.functions import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Synthetic corpus with planted near-duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the tall green tree near the old stone wall by the river"
+    )
+    rows = [(0, base), (1, base.replace("quick", "fast")),  # near-dup of 0
+            (2, base.replace("river", "lake").replace("cat", "bird")),  # near-dup
+            (3, "completely different text about spark engines and big data"),
+            (4, "another unrelated document mentioning parquet files and schemas")]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_exact_dedup_deterministic_winner(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], "id BIGINT, k STRING"
+    )
+    out = dedup.exact(df, ["k"], order_by="id")
+    assert sorted((r.id, r.k) for r in out.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_minhash_recall_against_exact(docs):
+    """Every high-similarity pair found exactly must be recovered by the
+    LSH pipeline (at j>=0.3 with 16 bands of 4 rows, collision
+    probability is ~1; the verify stage then makes precision exact)."""
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard(docs, threshold=0.3).collect()
+    }
+    lsh_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh(docs, threshold=0.3).collect()
+    }
+    assert lsh_pairs <= exact_pairs  # verification guarantees precision
+    if exact_pairs:
+        recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.8
+
+
+def test_minhash_finds_planted_near_dups(near_dup_docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh(near_dup_docs, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_simhash_separates_near_dups(near_dup_docs):
+    pairs = dedup.simhash_pairs(near_dup_docs, max_hamming=16).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found
+    by_pair = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    # planted near-dups are closer in hamming space than unrelated docs
+    assert by_pair[(0, 1)] <= min(
+        [h for (a, b), h in by_pair.items() if 3 in (a, b) or 4 in (a, b)],
+        default=64,
+    )
+
+
+def test_embedding_cosine_lsh_vs_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # planted near-duplicate: tiny perturbation
+        rows.append((100 + i, [float(x) for x in v + rng.randn(16) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(
+            df, threshold=0.99, brute_force=True
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.99).collect()
+    }
+    assert lsh <= brute
+    assert len(lsh) / len(brute) >= 0.9  # high-threshold pairs share buckets
+
+
+def test_topk_lsh_recall_on_clustered_vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(5, 16) * 3
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(20):
+            rows.append((vid, [float(x) for x in c + rng.randn(16) * 0.1]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    brute = similarity.topk(df, query_ids=[0, 20, 40], k=5)
+    approx = similarity.topk(df, query_ids=[0, 20, 40], k=5, method="lsh")
+    b = {(r.query_id, r.nbr_id) for r in brute.collect()}
+    a = {(r.query_id, r.nbr_id) for r in approx.collect()}
+    assert len(a & b) / len(b) >= 0.8
+
+
+def test_lang_id_accuracy(spark):
+    rows = [
+        (0, "the cat sat on the mat and it is a good day for the dog", "en"),
+        (1, "der hund und die katze sind nicht in das haus mit der maus", "de"),
+        (2, "le chat est dans la maison et les oiseaux sont pour le jardin", "fr"),
+        (3, "el perro y el gato es un animal de la casa que es muy bueno", "es"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+    out = text.lang_id(df)
+    assert all(r.lang_pred == r.lang for r in out.collect())
+
+
+def test_quality_and_token_count(spark):
+    df = spark.createDataFrame([(0, "one two three 42")], "doc_id BIGINT, text STRING")
+    q = text.quality(df).first()
+    assert q.q_n_words == 4 and q.q_n_chars == 16
+    tc = text.token_count(df).first()
+    assert tc.n_tokens == 4 and tc.n_tokens_bpe_est == 4
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world")], "doc_id BIGINT, text STRING"
+    )
+    fps = [r.fingerprint for r in text.fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_feature_shapes(docs):
+    media = multimodal.to_media(docs, "text")
+    assert dict(media.dtypes)["content"] == "binary"
+    feats = multimodal.extract_features(media)
+    rows = feats.limit(5).collect()
+    assert all(len(r.sha256) == 64 and r.n_bytes > 0 for r in rows)
+
+
+def test_frame_sample_explodes_rows(docs):
+    media = multimodal.to_media(docs.limit(10), "text")
+    frames = multimodal.frame_sample(media, num_frames=3)
+    assert frames.count() == 30
+    assert frames.groupBy("doc_id").count().first()["count"] == 3

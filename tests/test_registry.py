@@ -1,0 +1,169 @@
+"""File-registry tests: incremental discovery, stamping, three-phase
+relift, and the date-range generator (property-based)."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from getl_spark import lift
+from getl_spark.registry.date_prefix_scan import date_range
+
+
+# ----------------------------------------------------- range generator
+@given(
+    start=st.datetimes(
+        min_value=dt.datetime(2000, 1, 1), max_value=dt.datetime(2030, 1, 1)
+    ),
+    days=st.integers(min_value=0, max_value=400),
+)
+@settings(max_examples=50, deadline=None)
+def test_date_range_daily_is_contiguous(start, days):
+    stop = start + dt.timedelta(days=days)
+    values = list(date_range(start, stop, "%Y/%m/%d"))
+    assert len(values) == days + 1 or len(values) == days + 2  # truncation edge
+    assert all(b - a == dt.timedelta(days=1) for a, b in zip(values, values[1:]))
+    assert values[0] <= start and values[-1] <= stop
+
+
+def test_date_range_monthly():
+    values = list(
+        date_range(dt.datetime(2022, 11, 15), dt.datetime(2023, 2, 1), "%Y/%m")
+    )
+    assert values == [
+        dt.datetime(2022, 11, 1),
+        dt.datetime(2022, 12, 1),
+        dt.datetime(2023, 1, 1),
+        dt.datetime(2023, 2, 1),
+    ]
+
+
+def test_date_range_hourly():
+    values = list(
+        date_range(
+            dt.datetime(2022, 1, 1, 22, 30), dt.datetime(2022, 1, 2, 1, 0), "%Y/%m/%d/%H"
+        )
+    )
+    assert len(values) == 4
+
+
+# ------------------------------------------------------ full_scan lift
+def _definition(src, reg, out):
+    return f"""
+FileRegistry:
+  Reg:
+    Type: fileregistry::s3_full_scan
+    Properties:
+      BasePath: {reg}
+      UpdateAfter: Write
+LiftJob:
+  Load:
+    Type: load::batch_parquet
+    Properties:
+      Path: {src}
+      FileRegistry: Reg
+  Write:
+    Type: write::batch_parquet
+    Input: Load
+    Properties: {{Path: {out}, Mode: append}}
+"""
+
+
+def test_full_scan_three_phase(spark, tmp_path):
+    src, reg, out = str(tmp_path / "src"), str(tmp_path / "reg"), str(tmp_path / "out")
+    batch1 = spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, v STRING")
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    # phase 1: discovers and lifts both files' rows
+    lift(spark, _definition(src, reg, out))
+    assert spark.read.parquet(out).count() == 2
+
+    # phase 2: no new files → NoDataToProcess short-circuits (no new rows)
+    lift(spark, _definition(src, reg, out))
+    assert spark.read.parquet(out).count() == 2
+
+    # phase 3: a new file arrives → only its rows are lifted
+    spark.createDataFrame([(3, "c")], "id BIGINT, v STRING").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    lift(spark, _definition(src, reg, out))
+    assert spark.read.parquet(out).count() == 3
+    # registry fully stamped
+    reg_df = spark.read.parquet(reg)
+    assert reg_df.where("date_lifted IS NULL").count() == 0
+
+
+def test_date_prefix_scan_lift(spark, tmp_path):
+    src, reg, out = str(tmp_path / "src"), str(tmp_path / "reg"), str(tmp_path / "out")
+    df = spark.createDataFrame([(1, "a")], "id BIGINT, v STRING")
+    for prefix in ["2022/05/05", "2022/05/06", "2022/06/15"]:
+        df.coalesce(1).write.mode("append").parquet(f"{src}/{prefix}")
+    definition = f"""
+FileRegistry:
+  Reg:
+    Type: fileregistry::s3_date_prefix_scan
+    Properties:
+      BasePath: {reg}
+      UpdateAfter: Write
+      DefaultStartDate: 2022-05-01
+      PartitionFormat: "%Y/%m/%d"
+LiftJob:
+  Load:
+    Type: load::batch_parquet
+    Properties:
+      Path: {src}
+      FileRegistry: Reg
+  Write:
+    Type: write::batch_parquet
+    Input: Load
+    Properties: {{Path: {out}, Mode: append}}
+"""
+    # scanning stops at "now", far past 2022 — all three prefixes found
+    lift(spark, definition)
+    assert spark.read.parquet(out).count() == 3
+    reg_df = spark.read.parquet(reg)
+    assert reg_df.count() == 3
+    assert reg_df.where("prefix_date IS NULL").count() == 0
+
+
+def test_delta_diff_three_phase(spark, tmp_path):
+    """Mirrors reference tests/integration/test_delta_file_registry.py:52-108
+    (snapshot-fallback strategy without delta-spark)."""
+    src, reg = str(tmp_path / "src"), str(tmp_path / "reg")
+    spark.createDataFrame([(0, "Z")], "id BIGINT, name STRING").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    definition = f"""
+FileRegistry:
+  Reg:
+    Type: fileregistry::delta_diff
+    Properties:
+      BasePath: {reg}
+      UpdateAfter: Loaded
+      DefaultStartDate: '2020-01-01 00:00:00'
+      JoinOnFields: [id]
+LiftJob:
+  Loaded:
+    Type: load::batch_delta
+    Properties:
+      Path: {src}
+      FileRegistry: Reg
+"""
+    # lift 1: baseline absent → everything is new
+    log = lift(spark, definition)
+    assert sorted(r.id for r in log.get("Loaded").collect()) == [0]
+
+    # lift 2: overwrite with new rows → only unseen ids returned
+    spark.createDataFrame(
+        [(1, "A"), (2, "B")], "id BIGINT, name STRING"
+    ).write.mode("overwrite").parquet(src)
+    log = lift(spark, definition)
+    assert sorted(r.id for r in log.get("Loaded").collect()) == [1, 2]
+
+    # lift 3: partial overlap → only id 3 is new
+    spark.createDataFrame(
+        [(2, "B"), (3, "C")], "id BIGINT, name STRING"
+    ).write.mode("overwrite").parquet(src)
+    log = lift(spark, definition)
+    assert sorted(r.id for r in log.get("Loaded").collect()) == [3]

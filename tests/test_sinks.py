@@ -1,0 +1,129 @@
+"""Sink-block tests: managed-table modes, merge-upsert contract, JSON."""
+
+import pytest
+
+from getl_spark import lift
+from getl_spark.common.tables import ManagedTable
+
+
+@pytest.fixture()
+def writer_df(spark):
+    """Mirrors reference tests/getl/blocks/write/test_write_entrypoint.py:11-22."""
+    return spark.createDataFrame(
+        [("path/to/file1", 1, 2020, 10), ("path/to/file2", 4, 2020, 10)],
+        "file_path STRING, count INT, year INT, month INT",
+    )
+
+
+def _write(spark, df, path, mode, extra_props=""):
+    df.createOrReplaceTempView("writer_input")
+    return lift(
+        spark,
+        f"""
+LiftJob:
+  In:
+    Type: custom::sql
+    Properties: {{Statement: SELECT * FROM writer_input}}
+  W:
+    Type: write::batch_delta
+    Input: In
+    Properties:
+      Path: {path}
+      Mode: {mode}
+{extra_props}
+""",
+    )
+
+
+def test_append_and_overwrite(spark, writer_df, tmp_path):
+    path = str(tmp_path / "t")
+    _write(spark, writer_df, path, "append")
+    _write(spark, writer_df, path, "append")
+    assert ManagedTable(spark, path).read().count() == 4
+    _write(spark, writer_df, path, "overwrite")
+    assert ManagedTable(spark, path).read().count() == 2
+
+
+def test_clean_write(spark, writer_df, tmp_path):
+    path = str(tmp_path / "t")
+    _write(spark, writer_df, path, "append")
+    _write(spark, writer_df, path, "clean_write")
+    assert ManagedTable(spark, path).read().count() == 2
+
+
+def test_upsert_create_then_merge(spark, writer_df, tmp_path):
+    """Reference contract (test_write_entrypoint.py:158-182): upsert on a
+    missing target creates it; the second batch updates matches and
+    inserts the rest."""
+    path = str(tmp_path / "t")
+    merge = (
+        "      Upsert:\n"
+        "        MergeStatement: source.file_path = updates.file_path\n"
+    )
+    _write(spark, writer_df, path, "upsert", merge)
+    assert ManagedTable(spark, path).read().count() == 2
+
+    batch2 = spark.createDataFrame(
+        [("path/to/file1", 5, 2020, 10), ("path/to/file6", 6, 2020, 10)],
+        "file_path STRING, count INT, year INT, month INT",
+    )
+    _write(spark, batch2, path, "upsert", merge)
+    result = ManagedTable(spark, path).read()
+    assert result.count() == 3
+    assert result.where("file_path = 'path/to/file1'").first()["count"] == 5
+
+
+def test_partition_by_layout(spark, writer_df, tmp_path):
+    path = str(tmp_path / "t")
+    _write(
+        spark,
+        writer_df,
+        path,
+        "overwrite",
+        "      PartitionBy:\n        Columns: [year, month]\n",
+    )
+    assert (tmp_path / "t" / "year=2020" / "month=10").exists()
+
+
+def test_optimize_zorder_rewrites(spark, writer_df, tmp_path):
+    path = str(tmp_path / "t")
+    _write(
+        spark,
+        writer_df,
+        path,
+        "overwrite",
+        "      Optimize:\n        Enabled: true\n        ZorderBy: file_path\n",
+    )
+    assert ManagedTable(spark, path).read().count() == 2
+
+
+def test_json_sink(spark, writer_df, tmp_path):
+    writer_df.createOrReplaceTempView("writer_input")
+    lift(
+        spark,
+        f"""
+LiftJob:
+  In:
+    Type: custom::sql
+    Properties: {{Statement: SELECT * FROM writer_input}}
+  W:
+    Type: write::batch_json
+    Input: W_in_alias_not_needed
+    Properties: {{Path: {tmp_path}/j, Mode: overwrite}}
+""".replace("Input: W_in_alias_not_needed", "Input: In"),
+    )
+    assert spark.read.json(str(tmp_path / "j")).count() == 2
+
+
+def test_hive_table_registration(spark, writer_df, tmp_path):
+    path = str(tmp_path / "ht")
+    _write(
+        spark,
+        writer_df,
+        path,
+        "overwrite",
+        "      HiveTable:\n        DatabaseName: testdb\n        TableName: files\n",
+    )
+    assert spark.sql("SELECT count(*) n FROM testdb.files").first().n == 2
+    spark.sql("DROP TABLE testdb.files")
+    spark.sql("DROP DATABASE testdb")
