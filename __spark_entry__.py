@@ -801,6 +801,91 @@ SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'clic
 """
 
 
+def _events_conv_block() -> dict:
+    return {
+        "Type": "transform::with_columns",
+        "Input": "events",
+        "Properties": {
+            "Columns": [
+                {"name": "ts", "expr": "timestamp_micros(CAST(ts div 1000 AS BIGINT))"}
+            ]
+        },
+    }
+
+
+def _q_tumbling_window(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["events"])
+    blocks["Conv"] = _events_conv_block()
+    blocks["Result"] = {
+        "Type": "transform::time_window",
+        "Input": "Conv",
+        "Properties": {
+            "TimeColumn": "ts",
+            "WindowDuration": "1 hour",
+            "GroupBy": ["event_type"],
+            "Aggregations": [
+                {"agg": "expr", "expr": "CAST(COUNT(*) AS BIGINT)", "alias": "n"},
+                {
+                    "agg": "expr",
+                    "expr": "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)",
+                    "alias": "sum_value",
+                },
+            ],
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_session_window(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["events"])
+    blocks["Conv"] = _events_conv_block()
+    blocks["Result"] = {
+        "Type": "transform::session_window",
+        "Input": "Conv",
+        "Properties": {
+            "TimeColumn": "ts",
+            "Gap": "10 minutes",
+            "GroupBy": ["user_id"],
+            "Aggregations": [
+                {"agg": "expr", "expr": "CAST(COUNT(*) AS BIGINT)", "alias": "n_events"}
+            ],
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT min(ts) AS window_start, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
 # ----------------------------------------------------- LLM-data queries
 def _q_dedup_exact(spark, sf_dir):
     from getl_spark.functions import dedup
@@ -1070,6 +1155,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registry_incremental_load": _q_registry_incremental,
         "upsert_merge": _q_upsert_merge,
         "stream_json_roundtrip": _q_stream_roundtrip,
+        "tumbling_window_hourly": _q_tumbling_window,
+        "session_window_10min": _q_session_window,
         # LLM-data operators
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1115,6 +1202,8 @@ def oracle_sql() -> dict[str, str]:
         "registry_incremental_load": REGISTRY_ORACLE,
         "upsert_merge": UPSERT_ORACLE,
         "stream_json_roundtrip": STREAM_ORACLE,
+        "tumbling_window_hourly": TUMBLING_ORACLE,
+        "session_window_10min": SESSION_ORACLE,
         "dedup_exact": DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,
         "dedup_embedding_cosine": EMB_COSINE_ORACLE,

@@ -197,6 +197,50 @@ def distinct(conf: BlockConfig) -> DataFrame:
     return conf.input_df().distinct()
 
 
+def time_window(conf: BlockConfig) -> DataFrame:
+    """Event-time tumbling/sliding window block (batch & streaming).
+
+    Properties: ``TimeColumn``, ``WindowDuration``, ``SlideDuration``
+    (optional → sliding), ``GroupBy`` (extra keys), ``Watermark``
+    (streaming state bound), ``Aggregations`` (as transform::aggregate).
+    """
+    from getl_spark.streaming import windows as W
+
+    df = conf.input_df()
+    common = dict(
+        time_col=conf.get("TimeColumn"),
+        aggregations=conf.get("Aggregations"),
+        group_by=conf.get("GroupBy", None),
+        watermark=conf.get("Watermark", None),
+    )
+    if conf.exists("SlideDuration"):
+        return W.sliding(
+            df,
+            duration=conf.get("WindowDuration"),
+            slide=conf.get("SlideDuration"),
+            **common,
+        )
+    return W.tumbling(df, duration=conf.get("WindowDuration"), **common)
+
+
+def session_window(conf: BlockConfig) -> DataFrame:
+    """Event-time session window block (batch & streaming).
+
+    Properties: ``TimeColumn``, ``Gap``, ``GroupBy``, ``Watermark``,
+    ``Aggregations``.
+    """
+    from getl_spark.streaming import windows as W
+
+    return W.session(
+        conf.input_df(),
+        time_col=conf.get("TimeColumn"),
+        gap=conf.get("Gap"),
+        aggregations=conf.get("Aggregations"),
+        group_by=conf.get("GroupBy", None),
+        watermark=conf.get("Watermark", None),
+    )
+
+
 def with_columns(conf: BlockConfig) -> DataFrame:
     """Add computed columns from SQL expressions:
     ``Columns: [{name: x2, expr: "x * 2"}, ...]`` — stays fully inside

@@ -35,6 +35,24 @@ from getl_spark.plans.context import (
 
 LOGGER = logging.getLogger(__name__)
 
+SECRET_KEYS = ("password", "secret", "token", "credential")
+
+
+def redact(params) -> object:
+    """Deep-copy params with secret-named values masked — block
+    parameters are logged, and connection blocks carry passwords
+    (reference redacts in its job log; asserted in its integration
+    tests)."""
+    if isinstance(params, dict):
+        return {
+            key: "***" if any(s in key.lower() for s in SECRET_KEYS) else redact(value)
+            for key, value in params.items()
+        }
+    if isinstance(params, list):
+        return [redact(value) for value in params]
+    return params
+
+
 BLOCK_MODULES = {
     "load": "getl_spark.sources.entrypoint",
     "transform": "getl_spark.operators.entrypoint",
@@ -70,6 +88,7 @@ class Executor:
     # ------------------------------------------------------------------ guts
     def _run_blocks(self, sections: dict) -> Iterator[Tuple[BlockConfig, object]]:
         for section_name, params in sections.items():
+            LOGGER.info("Process block %s with params %s", section_name, redact(params))
             if "Type" not in params:
                 raise ValueError(f"Block '{section_name}' is missing a Type")
             module_name, _, function_name = params["Type"].partition("::")

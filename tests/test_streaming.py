@@ -67,3 +67,44 @@ LiftJob:
     Properties: {{Path: {tmp_path}}}
 """,
         )
+
+
+def test_time_window_on_real_stream(spark, tmp_path):
+    """Windowed aggregation with watermark on a streaming source —
+    the extension path the reference lacks entirely."""
+    import yaml
+    from getl_spark.streaming import windows as W
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    with open(src / "data.json", "w") as fh:
+        fh.write('{"ts": "2024-01-01T00:05:00.000Z", "v": 1.0}\n')
+        fh.write('{"ts": "2024-01-01T00:25:00.000Z", "v": 2.0}\n')
+        fh.write('{"ts": "2024-01-01T01:05:00.000Z", "v": 3.0}\n')
+
+    schema = "ts TIMESTAMP, v DOUBLE"
+    stream = spark.readStream.schema(schema).json(str(src))
+    assert stream.isStreaming
+    windowed = W.tumbling(
+        stream,
+        time_col="ts",
+        duration="1 hour",
+        watermark="2 hours",
+        aggregations=[{"agg": "count", "alias": "n"}, {"agg": "sum", "col": "v", "alias": "s"}],
+    )
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    rows = {
+        r.window_start.isoformat(): (r.n, r.s)
+        for r in spark.sql("SELECT * FROM win_test").collect()
+    }
+    assert rows == {
+        "2024-01-01T00:00:00": (2, 3.0),
+        "2024-01-01T01:00:00": (1, 3.0),
+    }
