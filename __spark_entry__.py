@@ -157,6 +157,64 @@ FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
+Q12_SQL = """
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_count,
+  CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS kept_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+Q14_SQL = """
+SELECT ROUND(
+  100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+  4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 14, 23)
+GROUP BY p_brand, p_type, p_size
+"""
+
+Q18_SQL = """
+SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+"""
+
+Q19_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size >= 1 AND p_size <= 10 AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size >= 5 AND p_size <= 20 AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size >= 10 AND p_size <= 30 AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+CORRELATED_SQL = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = customer.c_nationkey)
+  AND c_nationkey < 5
+"""
+
 
 # -------------------------------------------- engine block-level queries
 def _q_where_dsl(spark, sf_dir):
@@ -886,6 +944,26 @@ GROUP BY user_id, sid
 """
 
 
+def _q_grouped_zscore(spark, sf_dir):
+    """Grouped applyInPandas (Arrow) — per-event-type z-scores."""
+    from getl_spark.functions import grouped
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    return grouped.zscore(events, ["event_type"], "value").select(
+        "event_id", "event_type", "zscore"
+    )
+
+
+GROUPED_ZSCORE_ORACLE = """
+SELECT event_id, event_type,
+       ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+
 # ----------------------------------------------------- LLM-data queries
 def _q_dedup_exact(spark, sf_dir):
     from getl_spark.functions import dedup
@@ -1136,6 +1214,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_window_top_order": _engine_sql(WINDOW_SQL, ["orders"]),
         "sql_rollup_counts": _engine_sql(ROLLUP_SQL, ["lineitem"]),
         "sql_anti_join": _engine_sql(ANTI_SQL, ["customer", "orders"]),
+        "q12_priority_returns": _engine_sql(Q12_SQL, ["orders", "lineitem"]),
+        "q14_promo_revenue": _engine_sql(Q14_SQL, ["lineitem", "part"]),
+        "q16_supplier_counts": _engine_sql(Q16_SQL, ["part", "lineitem"]),
+        "q18_large_orders": _engine_sql(Q18_SQL, ["customer", "orders", "lineitem"]),
+        "q19_disjunctive_pushdown": _engine_sql(Q19_SQL, ["lineitem", "part"]),
+        "correlated_subquery": _engine_sql(CORRELATED_SQL, ["customer"]),
         # block-level engine operators
         "where_predicate_dsl": _q_where_dsl,
         "where_in_null_json": _q_where_in_null,
@@ -1157,6 +1241,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_json_roundtrip": _q_stream_roundtrip,
         "tumbling_window_hourly": _q_tumbling_window,
         "session_window_10min": _q_session_window,
+        "grouped_pandas_zscore": _q_grouped_zscore,
         # LLM-data operators
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1184,6 +1269,12 @@ def oracle_sql() -> dict[str, str]:
         "sql_window_top_order": WINDOW_SQL,
         "sql_rollup_counts": ROLLUP_SQL,
         "sql_anti_join": ANTI_SQL,
+        "q12_priority_returns": Q12_SQL,
+        "q14_promo_revenue": Q14_SQL,
+        "q16_supplier_counts": Q16_SQL,
+        "q18_large_orders": Q18_SQL,
+        "q19_disjunctive_pushdown": Q19_SQL,
+        "correlated_subquery": CORRELATED_SQL,
         "where_predicate_dsl": WHERE_DSL_ORACLE,
         "where_in_null_json": WHERE_IN_NULL_ORACLE,
         "filter_dataframe_subtract": FILTER_SUBTRACT_ORACLE,
@@ -1204,6 +1295,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_json_roundtrip": STREAM_ORACLE,
         "tumbling_window_hourly": TUMBLING_ORACLE,
         "session_window_10min": SESSION_ORACLE,
+        "grouped_pandas_zscore": GROUPED_ZSCORE_ORACLE,
         "dedup_exact": DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,
         "dedup_embedding_cosine": EMB_COSINE_ORACLE,

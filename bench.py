@@ -26,7 +26,11 @@ BENCH_QUERIES = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "sql_window_top_order",
+    "tumbling_window_hourly",
+    "session_window_10min",
     "where_predicate_dsl",
     "join_block",
     "drop_duplicates_all",

@@ -244,3 +244,94 @@ LiftJob:
       Functions: [{{nonsense: {{}}}}]
 """,
         )
+
+
+def test_xml_batching_unions_all_files(spark, tmp_path):
+    """Many XML files read in bounded batches and unioned by name
+    (reference 200-file batching, here BatchSize 2 over 5 files)."""
+    xml_dir = tmp_path / "xmls"
+    xml_dir.mkdir()
+    files = []
+    for i in range(5):
+        p = xml_dir / f"f{i}.xml"
+        p.write_text(f"<rows><r><id>{i}</id></r></rows>")
+        files.append(str(p))
+    import yaml
+
+    definition = {
+        "LiftJob": {
+            "Load": {
+                "Type": "load::batch_xml",
+                "Properties": {"Path": "${files}", "RowTag": "r", "BatchSize": 2},
+            }
+        }
+    }
+    log = lift(spark, yaml.safe_dump(definition, sort_keys=False), {"files": files})
+    assert sorted(r.id for r in log.get("Load").collect()) == [0, 1, 2, 3, 4]
+
+
+def test_batch_delta_missing_table_yields_empty(spark, tmp_path):
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  Load:
+    Type: load::batch_delta
+    Properties: {{Path: {tmp_path}/does_not_exist}}
+""",
+    )
+    assert log.get("Load").count() == 0
+
+
+def test_aggregate_block_pivot(spark, sample_dir):
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  Load:
+    Type: load::batch_parquet
+    Properties: {{Path: {sample_dir}/parquet}}
+  Pivoted:
+    Type: transform::aggregate
+    Input: Load
+    Properties:
+      GroupBy: [happy]
+      Pivot: {{col: name, values: [Mark, Tove, Lisa]}}
+      Aggregations:
+        - {{col: empid, agg: max, alias: id}}
+""",
+    )
+    df = log.get("Pivoted")
+    assert set(df.columns) == {"happy", "Mark", "Tove", "Lisa"}
+    row = {r.happy: r for r in df.collect()}
+    assert row[True].Tove == 10 and row[False].Mark == 9
+
+
+def test_union_by_name_with_missing_columns(spark, sample_dir):
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  Load:
+    Type: load::batch_parquet
+    Properties: {{Path: {sample_dir}/parquet}}
+  A:
+    Type: transform::generic
+    Input: Load
+    Properties:
+      Functions:
+        - select: {{cols: [{{col: name}}, {{col: empid}}]}}
+  B:
+    Type: transform::generic
+    Input: Load
+    Properties:
+      Functions:
+        - select: {{cols: [{{col: empid}}, {{col: name}}]}}
+  U:
+    Type: transform::generic
+    Input: [A, B]
+    Properties:
+      Functions: [union_by_name]
+""",
+    )
+    assert log.get("U").count() == 6
