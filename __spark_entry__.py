@@ -944,6 +944,148 @@ GROUP BY user_id, sid
 """
 
 
+def _q_load_csv_roundtrip(spark, sf_dir):
+    """write::batch_csv → load::batch_csv with header+schema options."""
+    tmp = "/tmp/getl_spark_q/csv_roundtrip"
+    shutil.rmtree(tmp, ignore_errors=True)
+    blocks = _load_blocks(sf_dir, ["nation"])
+    blocks["W"] = {
+        "Type": "write::batch_csv",
+        "Input": "nation",
+        "Properties": {
+            "Path": f"{tmp}/out",
+            "Mode": "overwrite",
+            "Options": {"header": True},
+        },
+    }
+    _run_lift(spark, blocks, "W")
+    blocks2 = {
+        "Result": {
+            "Type": "load::batch_csv",
+            "Properties": {
+                "Path": f"{tmp}/out",
+                "Options": {"header": True, "inferSchema": True},
+            },
+        }
+    }
+    return _run_lift(spark, blocks2)
+
+
+LOAD_CSV_ORACLE = "SELECT * FROM nation"
+
+
+def _q_load_xml_roundtrip(spark, sf_dir):
+    """XML writer→reader roundtrip through the batched XML source."""
+    tmp = "/tmp/getl_spark_q/xml_roundtrip"
+    shutil.rmtree(tmp, ignore_errors=True)
+    import os
+
+    os.makedirs(tmp, exist_ok=True)
+    rows = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .orderBy("r_regionkey")
+        .collect()
+    )
+    # two files to exercise the list-of-files batched union path
+    half = len(rows) // 2 or 1
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        body = "".join(
+            f"<row><r_regionkey>{r.r_regionkey}</r_regionkey>"
+            f"<r_name>{r.r_name}</r_name></row>"
+            for r in chunk
+        )
+        with open(f"{tmp}/part{i}.xml", "w") as fh:
+            fh.write(f"<rows>{body}</rows>")
+    import yaml as _yaml
+
+    from getl_spark import lift
+
+    _ensure_conf(spark)
+    definition = {
+        "LiftJob": {
+            "Result": {
+                "Type": "load::batch_xml",
+                "Properties": {
+                    "Path": "${files}",
+                    "RowTag": "row",
+                    "BatchSize": 1,
+                },
+            }
+        }
+    }
+    files = [f"{tmp}/part0.xml", f"{tmp}/part1.xml"]
+    log = lift(spark, _yaml.safe_dump(definition, sort_keys=False), {"files": files})
+    return log.get("Result").select(
+        F.col("r_regionkey").cast("int").alias("r_regionkey"), "r_name"
+    )
+
+
+LOAD_XML_ORACLE = "SELECT r_regionkey, r_name FROM region"
+
+
+def _q_load_json_schema(spark, sf_dir):
+    """JSON load with a declared portable JSON schema (no inference)."""
+    tmp = "/tmp/getl_spark_q/json_schema"
+    shutil.rmtree(tmp, ignore_errors=True)
+    blocks = _load_blocks(sf_dir, ["supplier"])
+    blocks["W"] = {
+        "Type": "write::batch_json",
+        "Input": "supplier",
+        "Properties": {"Path": f"{tmp}/out", "Mode": "overwrite"},
+    }
+    _run_lift(spark, blocks, "W")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "s_suppkey", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "s_name", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "s_acctbal", "type": "double", "nullable": True, "metadata": {}},
+        ],
+    }
+    blocks2 = {
+        "Result": {
+            "Type": "load::batch_json",
+            "Properties": {"Path": f"{tmp}/out", "JsonSchema": schema},
+        }
+    }
+    return _run_lift(spark, blocks2)
+
+
+LOAD_JSON_ORACLE = "SELECT s_suppkey, s_name, s_acctbal FROM supplier"
+
+
+def _q_with_columns(spark, sf_dir):
+    blocks = _load_blocks(sf_dir, ["part"])
+    blocks["Result"] = {
+        "Type": "transform::with_columns",
+        "Input": "part",
+        "Properties": {
+            "Columns": [
+                {"name": "price_tier", "expr": "CASE WHEN p_retailprice > 1500 THEN 'high' WHEN p_retailprice > 1000 THEN 'mid' ELSE 'low' END"},
+                {"name": "size_sq", "expr": "CAST(p_size * p_size AS INT)"},
+            ]
+        },
+    }
+    blocks["Sel"] = {
+        "Type": "transform::generic",
+        "Input": "Result",
+        "Properties": {
+            "Functions": [
+                {"select": {"cols": [{"col": "p_partkey"}, {"col": "price_tier"}, {"col": "size_sq"}]}}
+            ]
+        },
+    }
+    return _run_lift(spark, blocks, "Sel")
+
+
+WITH_COLUMNS_ORACLE = """
+SELECT p_partkey,
+       CASE WHEN p_retailprice > 1500 THEN 'high' WHEN p_retailprice > 1000 THEN 'mid' ELSE 'low' END AS price_tier,
+       CAST(p_size * p_size AS INTEGER) AS size_sq
+FROM part
+"""
+
+
 def _q_grouped_zscore(spark, sf_dir):
     """Grouped applyInPandas (Arrow) — per-event-type z-scores."""
     from getl_spark.functions import grouped
@@ -1242,6 +1384,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_hourly": _q_tumbling_window,
         "session_window_10min": _q_session_window,
         "grouped_pandas_zscore": _q_grouped_zscore,
+        "load_csv_roundtrip": _q_load_csv_roundtrip,
+        "load_xml_roundtrip": _q_load_xml_roundtrip,
+        "load_json_declared_schema": _q_load_json_schema,
+        "with_columns_exprs": _q_with_columns,
         # LLM-data operators
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1296,6 +1442,10 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window_hourly": TUMBLING_ORACLE,
         "session_window_10min": SESSION_ORACLE,
         "grouped_pandas_zscore": GROUPED_ZSCORE_ORACLE,
+        "load_csv_roundtrip": LOAD_CSV_ORACLE,
+        "load_xml_roundtrip": LOAD_XML_ORACLE,
+        "load_json_declared_schema": LOAD_JSON_ORACLE,
+        "with_columns_exprs": WITH_COLUMNS_ORACLE,
         "dedup_exact": DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,
         "dedup_embedding_cosine": EMB_COSINE_ORACLE,
