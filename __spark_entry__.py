@@ -944,6 +944,23 @@ GROUP BY user_id, sid
 """
 
 
+PERCENTILES_SPARK_SQL = """
+SELECT o_orderpriority,
+       ROUND(percentile(o_totalprice, 0.5), 4) AS p50,
+       ROUND(percentile(o_totalprice, 0.9), 4) AS p90,
+       ROUND(percentile(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderpriority
+"""
+
+PERCENTILES_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def _q_load_csv_roundtrip(spark, sf_dir):
     """write::batch_csv → load::batch_csv with header+schema options."""
     tmp = "/tmp/getl_spark_q/csv_roundtrip"
@@ -1388,6 +1405,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_xml_roundtrip": _q_load_xml_roundtrip,
         "load_json_declared_schema": _q_load_json_schema,
         "with_columns_exprs": _q_with_columns,
+        "percentiles_exact": _engine_sql(PERCENTILES_SPARK_SQL, ["orders"]),
         # LLM-data operators
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1446,6 +1464,7 @@ def oracle_sql() -> dict[str, str]:
         "load_xml_roundtrip": LOAD_XML_ORACLE,
         "load_json_declared_schema": LOAD_JSON_ORACLE,
         "with_columns_exprs": WITH_COLUMNS_ORACLE,
+        "percentiles_exact": PERCENTILES_ORACLE,
         "dedup_exact": DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,
         "dedup_embedding_cosine": EMB_COSINE_ORACLE,

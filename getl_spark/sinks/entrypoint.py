@@ -85,6 +85,11 @@ def batch_delta(conf: BlockConfig) -> DataFrame:
 
 # ------------------------------------------------------------- file sinks
 def _file_sink(conf: BlockConfig, fmt: str) -> DataFrame:
+    """Shared file-sink path. ``Bucketing: {Columns, NumBuckets,
+    TableName, SortBy?}`` writes a bucketed catalog table: two tables
+    bucketed the same way join WITHOUT a shuffle — the cheapest
+    repeated-join strategy at 100 TB (bucket metadata lives in the
+    catalog, so this path uses saveAsTable)."""
     df = conf.input_df()
     writer = df.write.mode(conf.get("Mode", "overwrite")).format(fmt)
     partition_by = conf.get("PartitionBy.Columns", None)
@@ -92,6 +97,15 @@ def _file_sink(conf: BlockConfig, fmt: str) -> DataFrame:
         writer = writer.partitionBy(partition_by)
     for key, value in (conf.get("Options", {}) or {}).items():
         writer = writer.option(key, value)
+    if conf.exists("Bucketing"):
+        cols = conf.get("Bucketing.Columns")
+        writer = writer.bucketBy(int(conf.get("Bucketing.NumBuckets", 32)), *cols)
+        if conf.exists("Bucketing.SortBy"):
+            writer = writer.sortBy(*conf.get("Bucketing.SortBy"))
+        if conf.exists("Path"):
+            writer = writer.option("path", conf.get("Path"))
+        writer.saveAsTable(conf.get("Bucketing.TableName"))
+        return df
     writer.save(conf.get("Path"))
     return df
 

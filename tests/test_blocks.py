@@ -335,3 +335,61 @@ LiftJob:
 """,
     )
     assert log.get("U").count() == 6
+
+
+def test_bucketed_write_joins_without_shuffle(spark, sample_dir, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with
+    no Exchange — the co-located-join scale path."""
+    for name in ("bt_left", "bt_right"):
+        lift(
+            spark,
+            f"""
+LiftJob:
+  Load:
+    Type: load::batch_parquet
+    Properties: {{Path: {sample_dir}/parquet}}
+  W:
+    Type: write::batch_parquet
+    Input: Load
+    Properties:
+      Mode: overwrite
+      Path: {tmp_path}/{name}
+      Bucketing:
+        Columns: [empid]
+        NumBuckets: 4
+        TableName: {name}
+""",
+        )
+    # force sort-merge (tiny tables would broadcast) to observe the
+    # bucketed, shuffle-free join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_left").join(spark.table("bt_right"), "empid")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan  # no shuffle
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE bt_left")
+        spark.sql("DROP TABLE bt_right")
+
+
+def test_salted_join_equivalent_to_plain(spark):
+    from getl_spark.functions.skew import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", 1), ("miss", 2)],
+        "k STRING, v INT",
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("extra", "E")], "k STRING, label STRING"
+    )
+    plain = left.join(right, ["k"], "inner")
+    salted = salted_join(left, right, ["k"], "inner", salt=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left join keeps unmatched left rows exactly once
+    plain_l = left.join(right, ["k"], "left")
+    salted_l = salted_join(left, right, ["k"], "left", salt=8)
+    assert sorted(map(tuple, salted_l.collect())) == sorted(map(tuple, plain_l.collect()))
