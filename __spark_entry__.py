@@ -1230,6 +1230,13 @@ def _q_sim_topk_lsh(spark, sf_dir):
     return similarity.topk(emb, query_ids=list(range(8)), k=5, method="lsh")
 
 
+def _q_sim_topk_ivf(spark, sf_dir):
+    from getl_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.topk(emb, query_ids=list(range(8)), k=5, method="ivf")
+
+
 def _q_text_quality(spark, sf_dir):
     from getl_spark.functions import text
 
@@ -1414,6 +1421,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_emb_cosine_pairs,
         "similarity_topk_bruteforce": _q_sim_topk,
         "similarity_topk_lsh": _q_sim_topk_lsh,
+        "similarity_topk_ivf": _q_sim_topk_ivf,
         "text_quality": _q_text_quality,
         "text_token_count": _q_token_count,
         "text_fingerprint": _q_fingerprint,

@@ -158,6 +158,119 @@ def topk_lsh(
     )
 
 
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    train_limit: int = 10000,
+    kmeans_iters: int = 10,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) indexing.
+
+    A k-means coarse quantizer is trained driver-side on a bounded,
+    deterministic sample (first ``train_limit`` ids); every corpus
+    vector is assigned to its nearest centroid with JVM expressions;
+    each query probes its ``nprobe`` nearest cells and reranks exactly
+    within them. Scan cost drops ~nlist/nprobe-fold versus brute force.
+    Deterministic: fixed seed, ordered training sample, seeded
+    numpy k-means.
+    """
+    import numpy as np
+
+    train = np.array(
+        corpus.orderBy(id_col)
+        .limit(train_limit)
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype="float64",
+    )
+    rng = np.random.RandomState(seed)
+    centroids = train[rng.choice(len(train), size=min(nlist, len(train)), replace=False)]
+    # normalized k-means (cosine): assign by max dot with normalized centroids
+    train_n = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+    for _ in range(kmeans_iters):
+        cent_n = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        assign = np.argmax(train_n @ cent_n.T, axis=1)
+        for c in range(len(centroids)):
+            members = train[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    cent_n = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    def cell_col(vec: Column) -> Column:
+        """argmax over centroid dots via array_sort — linear expression
+        size (a when/otherwise fold would double the tree per centroid
+        and blow the JVM heap at codegen)."""
+        structs = [
+            F.struct(
+                dot_expr(vec, F.array(*[F.lit(float(x)) for x in cent])).alias("dot"),
+                F.lit(idx).alias("cell"),
+            )
+            for idx, cent in enumerate(cent_n)
+        ]
+        return F.reverse(F.array_sort(F.array(*structs)))[0]["cell"]
+
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vec"))
+    ).withColumnRenamed("vec", "cvec").withColumnRenamed("norm", "cnorm")
+    c = c.withColumn("cell", cell_col(F.col("cvec"))).localCheckpoint()
+
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec"))
+    ).withColumnRenamed("vec", "qvec").withColumnRenamed("norm", "qnorm")
+    # nprobe nearest cells per query; the query norm is a positive
+    # scalar so raw dots rank cells identically to normalized ones
+    probe_structs = [
+        F.struct(
+            dot_expr(F.col("qvec"), F.array(*[F.lit(float(x)) for x in cent])).alias(
+                "dot"
+            ),
+            F.lit(idx).alias("cell"),
+        )
+        for idx, cent in enumerate(cent_n)
+    ]
+    q = (
+        q.withColumn(
+            "probes",
+            F.slice(
+                F.reverse(F.array_sort(F.array(*probe_structs))), 1, nprobe
+            ),
+        )
+        .withColumn("probe", F.explode("probes"))
+        .select("query_id", "qvec", "qnorm", F.col("probe.cell").alias("cell"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(
+                cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")), 6
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "nbr_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
 # --------------------------------------------------- YAML-callable forms
 def topk(
     df: DataFrame,
@@ -174,4 +287,6 @@ def topk(
     queries = df.where(F.col(id_col).isin(list(query_ids)))
     if method == "lsh":
         return topk_lsh(df, queries, k, id_col, vec_col, planes=planes, seed=seed)
+    if method == "ivf":
+        return topk_ivf(df, queries, k, id_col, vec_col, seed=seed)
     return topk_bruteforce(df, queries, k, id_col, vec_col)

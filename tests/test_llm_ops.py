@@ -161,3 +161,22 @@ def test_frame_sample_explodes_rows(docs):
     frames = multimodal.frame_sample(media, num_frames=3)
     assert frames.count() == 30
     assert frames.groupBy("doc_id").count().first()["count"] == 3
+
+
+def test_topk_ivf_recall_on_clustered_vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    centers = rng.randn(5, 16) * 3
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(20):
+            rows.append((vid, [float(x) for x in c + rng.randn(16) * 0.1]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    brute = similarity.topk(df, query_ids=[0, 20, 40], k=5)
+    ivf = similarity.topk(df, query_ids=[0, 20, 40], k=5, method="ivf")
+    b = {(r.query_id, r.nbr_id) for r in brute.collect()}
+    a = {(r.query_id, r.nbr_id) for r in ivf.collect()}
+    assert len(a & b) / len(b) >= 0.8
