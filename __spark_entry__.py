@@ -1237,6 +1237,83 @@ def _q_sim_topk_ivf(spark, sf_dir):
     return similarity.topk(emb, query_ids=list(range(8)), k=5, method="ivf")
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental-corpus dedup: docs with even ids form the index,
+    odd-id docs are the increment; survivors are odd docs whose exact
+    fingerprint doesn't appear among even docs."""
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1")
+    return dedup.against_index(new, index).select("doc_id")
+
+
+DEDUP_INCREMENTAL_ORACLE = """
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1
+  AND md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) NOT IN (
+    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    FROM documents WHERE doc_id % 2 = 0)
+"""
+
+
+def _q_corpus_clean_pipeline(spark, sf_dir):
+    """End-to-end corpus cleaning as ONE YAML pipeline: quality
+    signals → predicate filter → fingerprint → exact dedup keeping the
+    lowest doc_id per fingerprint."""
+    blocks = _load_blocks(sf_dir, ["documents"])
+    blocks["Quality"] = {
+        "Type": "transform::generic",
+        "Input": "documents",
+        "Properties": {
+            "Functions": [
+                {"text.quality": {"text_col": "text"}},
+                {"text.fingerprint": {"text_col": "text"}},
+                {
+                    "where": {
+                        "predicate": [
+                            ["q_n_words", ">=", 30],
+                            "and",
+                            ["q_avg_word_len", "<", 6],
+                        ]
+                    }
+                },
+                {"dedup.exact": {"key_columns": ["fingerprint"], "order_by": "doc_id"}},
+                {
+                    "select": {
+                        "cols": [
+                            {"col": "doc_id"},
+                            {"col": "q_n_words"},
+                            {"col": "fingerprint"},
+                        ]
+                    }
+                },
+            ]
+        },
+    }
+    return _run_lift(spark, blocks, "Quality")
+
+
+CORPUS_CLEAN_ORACLE = """
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS q_n_words,
+         ROUND((length(text) - (len(string_split(text, ' ')) - 1))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS q_avg_word_len,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM scored WHERE q_n_words >= 30 AND q_avg_word_len < 6
+)
+SELECT doc_id, q_n_words, fingerprint FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM filtered) t
+WHERE rn = 1
+"""
+
+
 def _q_text_quality(spark, sf_dir):
     from getl_spark.functions import text
 
@@ -1419,6 +1496,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "dedup_embedding_cosine": _q_emb_cosine_pairs,
+        "dedup_incremental_index": _q_dedup_incremental,
+        "corpus_clean_pipeline": _q_corpus_clean_pipeline,
         "similarity_topk_bruteforce": _q_sim_topk,
         "similarity_topk_lsh": _q_sim_topk_lsh,
         "similarity_topk_ivf": _q_sim_topk_ivf,
@@ -1476,6 +1555,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,
         "dedup_embedding_cosine": EMB_COSINE_ORACLE,
+        "dedup_incremental_index": DEDUP_INCREMENTAL_ORACLE,
+        "corpus_clean_pipeline": CORPUS_CLEAN_ORACLE,
         "similarity_topk_bruteforce": SIM_TOPK_ORACLE,
         "text_quality": TEXT_QUALITY_ORACLE,
         "text_token_count": TOKEN_COUNT_ORACLE,

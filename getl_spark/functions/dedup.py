@@ -323,6 +323,64 @@ def simhash_pairs(
     )
 
 
+# ------------------------------------------------- incremental dedup
+def against_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint_col: str = "fingerprint",
+    near_threshold: Optional[float] = None,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental-corpus dedup: keep only new documents that are
+    neither exact nor (optionally) near duplicates of an existing
+    indexed corpus.
+
+    ``index_df`` is the persisted corpus index — at minimum a
+    ``fingerprint`` column (md5 of normalized text, cheap to store for
+    trillions of docs); with ``near_threshold`` set it must also carry
+    ``text`` for the shingle comparison. Exact phase is a broadcast-or-
+    shuffle anti-join on the fingerprint; near phase reuses the
+    inverted-index shingle join restricted to (new × index) pairs.
+    This is the daily-ingest shape of a training-corpus pipeline:
+    index once, dedup each increment against it.
+    """
+    from getl_spark.functions.text import fingerprint as fp
+
+    new_with_fp = fp(new_df, text_col, fingerprint_col)
+    if fingerprint_col not in index_df.columns:
+        index_df = fp(index_df, text_col, fingerprint_col)
+    survivors = new_with_fp.join(
+        index_df.select(fingerprint_col), fingerprint_col, "anti"
+    )
+    if near_threshold is None:
+        return survivors.drop(fingerprint_col)
+
+    new_sh = _shingles(survivors, id_col, text_col, n)
+    idx_sh = _shingles(index_df, id_col, text_col, n)
+    new_sizes = new_sh.groupBy("id").agg(F.count("*").alias("size_a"))
+    idx_sizes = idx_sh.groupBy("id").agg(F.count("*").alias("size_b"))
+    inter = (
+        new_sh.withColumnRenamed("id", "id_a")
+        .join(idx_sh.withColumnRenamed("id", "id_b"), "shingle")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    near_dups = (
+        inter.join(new_sizes.withColumnRenamed("id", "id_a"), "id_a")
+        .join(idx_sizes.withColumnRenamed("id", "id_b"), "id_b")
+        .where(
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+            >= near_threshold
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(near_dups, id_col, "anti").drop(fingerprint_col)
+
+
 # ----------------------------------------------------- embedding cosine
 def embedding_cosine_pairs(
     df: DataFrame,

@@ -9,20 +9,23 @@ Semantics match the reference (``getl/lift_definition.py:12-42``):
 * A string value that is *exactly* ``${name}`` is replaced by the raw
   Python object from ``parameters`` — this is how callables,
   StructTypes, and DataFrames are injected into a pipeline.
-* Any other string runs through ``string.Template.substitute`` so
-  ``"s3://bucket/${env}/data"`` interpolates textually.
+* Any other string has each embedded ``${name}`` interpolated
+  textually. Unlike the reference's ``string.Template`` (which chokes
+  on any bare ``$`` — e.g. in a JSONPath or SQL string), only the
+  explicit ``${name}`` form is treated as a placeholder; a missing
+  parameter still raises KeyError.
 """
 
 from __future__ import annotations
 
 import os
 import re
-import string
 from typing import Any, Mapping
 
 import yaml
 
 _RAW_PARAM = re.compile(r"^\$\{(\w+)\}$")
+_EMBEDDED_PARAM = re.compile(r"\$\{(\w+)\}")
 
 
 def fetch_definition(lift_def: str) -> dict:
@@ -56,7 +59,14 @@ def substitute(node: Any, parameters: Mapping[str, Any]) -> Any:
             if name not in parameters:
                 raise KeyError(f"Lift parameter '{name}' was not provided")
             return parameters[name]
-        return string.Template(node).substitute(parameters)
+
+        def interpolate(m: re.Match) -> str:
+            name = m.group(1)
+            if name not in parameters:
+                raise KeyError(f"Lift parameter '{name}' was not provided")
+            return str(parameters[name])
+
+        return _EMBEDDED_PARAM.sub(interpolate, node)
     return node
 
 

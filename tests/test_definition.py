@@ -40,3 +40,15 @@ def test_non_string_values_pass_through():
     )
     props = definition["LiftJob"]["B"]["Properties"]
     assert props["N"] == 42 and props["Flag"] is True
+
+
+def test_bare_dollar_signs_pass_through():
+    """SQL/JSONPath strings with bare $ must not crash substitution
+    (string.Template would); only ${name} is a placeholder."""
+    definition = resolve_definition(
+        "LiftJob:\n  B:\n    Properties:\n"
+        "      Statement: \"SELECT get_json_object(p, '$.k') FROM t WHERE x = '${env}'\"\n",
+        {"env": "prod"},
+    )
+    stmt = definition["LiftJob"]["B"]["Properties"]["Statement"]
+    assert stmt == "SELECT get_json_object(p, '$.k') FROM t WHERE x = 'prod'"

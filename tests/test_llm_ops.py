@@ -180,3 +180,19 @@ def test_topk_ivf_recall_on_clustered_vectors(spark):
     b = {(r.query_id, r.nbr_id) for r in brute.collect()}
     a = {(r.query_id, r.nbr_id) for r in ivf.collect()}
     assert len(a & b) / len(b) >= 0.8
+
+
+def test_against_index_exact_and_near(spark, near_dup_docs):
+    index = near_dup_docs.where("doc_id IN (0, 3)")
+    new = near_dup_docs.where("doc_id IN (1, 2, 4)").unionByName(
+        near_dup_docs.where("doc_id = 3").selectExpr("100 AS doc_id", "text")
+    )
+    # exact only: doc 100 (same text as indexed 3) is dropped
+    exact_survivors = {r.doc_id for r in dedup.against_index(new, index).collect()}
+    assert exact_survivors == {1, 2, 4}
+    # near phase: 1 and 2 are near-dups of indexed 0 -> only 4 survives
+    near_survivors = {
+        r.doc_id
+        for r in dedup.against_index(new, index, near_threshold=0.3).collect()
+    }
+    assert near_survivors == {4}
