@@ -16,9 +16,27 @@ Public API (parity with reference ``getl/lift.py:12-25`` and
     df = log.get("BlockName")
 """
 
+from getl_spark.common.path import StoragePath
+from getl_spark.common.utils import (
+    copy_and_cleanup,
+    copy_keys,
+    delete_files,
+    json_to_spark_schema,
+)
 from getl_spark.lift import lift
 from getl_spark.plans.context import BlockConfig, BlockLog, LiftJobLog
 from getl_spark.session import get_spark
 
-__all__ = ["lift", "get_spark", "BlockConfig", "BlockLog", "LiftJobLog"]
+__all__ = [
+    "lift",
+    "get_spark",
+    "BlockConfig",
+    "BlockLog",
+    "LiftJobLog",
+    "StoragePath",
+    "json_to_spark_schema",
+    "delete_files",
+    "copy_keys",
+    "copy_and_cleanup",
+]
 __version__ = "0.1.0"

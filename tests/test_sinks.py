@@ -127,3 +127,45 @@ def test_hive_table_registration(spark, writer_df, tmp_path):
     assert spark.sql("SELECT count(*) n FROM testdb.files").first().n == 2
     spark.sql("DROP TABLE testdb.files")
     spark.sql("DROP DATABASE testdb")
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Date-derived partition columns written via the engine must give
+    partition-PRUNED scans for downstream readers — the layout/pruning
+    contract that matters at 100 TB."""
+    events = spark.createDataFrame(
+        [(1, "2024-01-15 10:00:00", 5.0), (2, "2024-02-20 11:00:00", 6.0),
+         (3, "2024-02-25 12:00:00", 7.0), (4, "2024-03-01 13:00:00", 8.0)],
+        "event_id BIGINT, ts STRING, value DOUBLE",
+    )
+    events.createOrReplaceTempView("ev_src")
+    from getl_spark import lift
+
+    lift(
+        spark,
+        f"""
+LiftJob:
+  In:
+    Type: custom::sql
+    Properties: {{Statement: "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM ev_src"}}
+  Derive:
+    Type: transform::generic
+    Input: In
+    Properties:
+      Functions:
+        - add_column.date.year: {{from_column: ts, to_column: year}}
+        - add_column.date.month: {{from_column: ts, to_column: month}}
+  W:
+    Type: write::batch_parquet
+    Input: Derive
+    Properties:
+      Path: {tmp_path}/ev
+      Mode: overwrite
+      PartitionBy:
+        Columns: [year, month]
+""",
+    )
+    read = spark.read.parquet(str(tmp_path / "ev")).where("month = '2'")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(month" in plan
+    assert read.count() == 2

@@ -84,3 +84,21 @@ def test_secret_redaction():
     assert clean["Properties"]["Nested"][0]["ClientSecret"] == "***"
     assert clean["Properties"]["Nested"][0]["Name"] == "ok"
     assert params["Properties"]["Password"] == "hunter2"  # original untouched
+
+
+def test_storage_path_local_roundtrip(tmp_path):
+    from getl_spark.common.path import StoragePath
+
+    base = StoragePath(str(tmp_path))
+    f = base / "sub" / "a.txt"
+    f.write_text("hello")
+    assert f.exists() and f.read_text() == "hello"
+    (base / "sub" / "b.json").write_text("{}")
+    found = [str(p) for p in base.glob(".txt")]
+    assert found == [str(tmp_path / "sub" / "a.txt")]
+    g = base / "copy.txt"
+    f.copy(g)
+    assert g.read_text() == "hello"
+    f.delete()
+    assert not f.exists() and g.exists()
+    assert (base / "x") / "" == base / "x"
