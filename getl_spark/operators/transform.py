@@ -199,6 +199,38 @@ def get_json_object(
     return dataframe.withColumn(new_col, F.get_json_object(F.col(col), "$." + path))
 
 
+def repartition(
+    dataframe: DataFrame,
+    num_partitions: Optional[int] = None,
+    columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """Extension: explicit repartitioning — by count (round-robin), by
+    columns (hash, pre-shuffling for a downstream co-partitioned op),
+    or both. The YAML-level knob for partition-count-follows-compute."""
+    if num_partitions and columns:
+        return dataframe.repartition(num_partitions, *[F.col(c) for c in columns])
+    if columns:
+        return dataframe.repartition(*[F.col(c) for c in columns])
+    if num_partitions:
+        return dataframe.repartition(num_partitions)
+    return dataframe
+
+
+def coalesce_partitions(dataframe: DataFrame, num_partitions: int) -> DataFrame:
+    """Extension: shuffle-free partition reduction (small-file control
+    before writes)."""
+    return dataframe.coalesce(num_partitions)
+
+
+def hint(dataframe: DataFrame, name: str, columns: Optional[List[str]] = None) -> DataFrame:
+    """Extension: Catalyst hint passthrough — ``broadcast``, ``merge``,
+    ``shuffle_hash``, ``shuffle_replicate_nl``, ``rebalance`` — for
+    overriding join strategy on a specific input."""
+    if columns:
+        return dataframe.hint(name, *columns)
+    return dataframe.hint(name)
+
+
 def concat(
     dataframe: DataFrame,
     from_columns: List[str],

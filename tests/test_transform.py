@@ -148,3 +148,31 @@ def test_join_types(spark):
     assert t.join(left, right, ["k"]).count() == 2  # default left
     assert t.join(left, right, ["k"], "inner").count() == 1
     assert t.join(left, right, ["k"], "anti").count() == 1
+
+
+# ------------------------------------------------------ tuning surface
+def test_repartition_and_coalesce(spark):
+    df = spark.range(100)
+    assert t.repartition(df, 8).rdd.getNumPartitions() == 8
+    assert t.coalesce_partitions(t.repartition(df, 8), 2).rdd.getNumPartitions() == 2
+    by_col = t.repartition(df.withColumn("k", df.id % 4), columns=["k"])
+    assert by_col.count() == 100
+
+
+def test_broadcast_hint_changes_join_strategy(spark):
+    left = spark.range(10000).withColumnRenamed("id", "k")
+    right = spark.range(10).withColumnRenamed("id", "k")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = left.join(right, "k")._jdf.queryExecution().executedPlan().toString()
+        hinted = (
+            left.join(t.hint(right, "broadcast"), "k")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plain
+        assert "BroadcastHashJoin" in hinted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
