@@ -92,6 +92,7 @@ def aggregate(conf: BlockConfig) -> DataFrame:
     Properties::
 
         GroupBy: [col, ...]            # optional → global aggregate
+        Grouping: rollup | cube        # optional multi-dim grouping
         Aggregations:
           - {col: x, agg: sum, alias: sum_x}
         Pivot: {col: status, values: [O, F]}   # optional
@@ -112,7 +113,15 @@ def aggregate(conf: BlockConfig) -> DataFrame:
         else:
             expr = getattr(F, agg_name)(col)
         aggs.append(expr.alias(alias))
-    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    grouping = conf.get("Grouping", None)
+    if grouping == "rollup":
+        grouped = df.rollup(*group_cols)
+    elif grouping == "cube":
+        grouped = df.cube(*group_cols)
+    elif group_cols:
+        grouped = df.groupBy(*group_cols)
+    else:
+        grouped = df.groupBy()
     if conf.exists("Pivot"):
         grouped = grouped.pivot(
             conf.get("Pivot.col"), conf.get("Pivot.values", None)

@@ -393,3 +393,35 @@ def test_salted_join_equivalent_to_plain(spark):
     plain_l = left.join(right, ["k"], "left")
     salted_l = salted_join(left, right, ["k"], "left", salt=8)
     assert sorted(map(tuple, salted_l.collect())) == sorted(map(tuple, plain_l.collect()))
+
+
+def test_aggregate_block_rollup_and_cube(spark, sample_dir):
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  Load:
+    Type: load::batch_parquet
+    Properties: {{Path: {sample_dir}/parquet}}
+  R:
+    Type: transform::aggregate
+    Input: Load
+    Properties:
+      GroupBy: [happy]
+      Grouping: rollup
+      Aggregations:
+        - {{agg: count, alias: n}}
+  C:
+    Type: transform::aggregate
+    Input: Load
+    Properties:
+      GroupBy: [happy, name]
+      Grouping: cube
+      Aggregations:
+        - {{agg: count, alias: n}}
+""",
+    )
+    assert log.get("R").count() == 3  # (true),(false),(grand total)
+    # cube grouping sets over present combos: 3 (happy,name) + 2 (happy)
+    # + 3 (name) + 1 (total)
+    assert log.get("C").count() == 9
