@@ -242,8 +242,10 @@ def simhash(
     """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
 
     Each token hashes once (``xxhash64``); bit b of the fingerprint is
-    the sign of the sum over tokens of ±1 at that bit. All JVM
-    expressions; one aggregate per document.
+    set when more than half the tokens have bit b set (equivalent to
+    the classic sign-of-±1-sum definition). The per-row aggregate input
+    is a plain ``(h >> b) & 1`` — a conditional (CASE) per bit per row
+    costs ~7× more in codegen'd evaluation, measured at sf0.1.
     """
     tokens_df = (
         _parallelize(df).select(
@@ -254,17 +256,16 @@ def simhash(
         )
         .withColumn("h", F.xxhash64("token"))
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
         for b in range(bits)
     ]
-    agg = tokens_df.groupBy("id").agg(*bit_sums)
+    agg = tokens_df.groupBy("id").agg(*aggs)
     fingerprint = None
     for b in range(bits):
         contrib = F.when(
-            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+            F.col(f"b{b}") * 2 > F.col("__n"),
+            F.shiftleft(F.lit(1).cast("bigint"), b),
         ).otherwise(F.lit(0).cast("bigint"))
         fingerprint = contrib if fingerprint is None else fingerprint.bitwiseOR(contrib)
     return agg.select("id", fingerprint.alias("simhash"))
@@ -286,7 +287,10 @@ def simhash_pairs(
     """
     width = 64 // bands
     mask = (1 << width) - 1
-    sigs = simhash(df, id_col, text_col)
+    # fingerprints are one row per doc — materialize so the self-join
+    # below doesn't duplicate (and re-optimize/re-run) the 64-wide
+    # aggregation pipeline on both sides
+    sigs = simhash(df, id_col, text_col).localCheckpoint()
     banded = sigs.select(
         "id",
         "simhash",
@@ -304,22 +308,29 @@ def simhash_pairs(
             )
         ).alias("bc"),
     ).select("id", "simhash", "bc.band", "bc.chunk")
-    pairs = (
+    # The banded table is tiny (docs × bands) so AQE would coalesce the
+    # self-join to one task — but its OUTPUT is O(collisions), which on
+    # near-duplicate-rich corpora is millions of rows. Explicitly
+    # repartition on the join key to keep the collision work wide.
+    banded = banded.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "band", "chunk"
+    )
+    # hamming filter BEFORE the cross-band dedup: popcount per joined
+    # row is cheap, while distinct over every band collision (which can
+    # be an order of magnitude larger than the survivors) is not
+    return (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "chunk"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
-        .distinct()
-    )
-    return (
-        pairs.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
