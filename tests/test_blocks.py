@@ -425,3 +425,32 @@ LiftJob:
     # cube grouping sets over present combos: 3 (happy,name) + 2 (happy)
     # + 3 (name) + 1 (total)
     assert log.get("C").count() == 9
+
+
+def test_limit_distinct_and_alias_blocks(spark, sample_dir):
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  Load:
+    Type: load::batch_parquet
+    Properties:
+      Path: {sample_dir}/parquet
+      Alias: employees
+  Dup:
+    Type: transform::generic
+    Input: [Load, Load]
+    Properties:
+      Functions: [union]
+  Uniq:
+    Type: transform::distinct
+    Input: Dup
+  Limited:
+    Type: transform::limit
+    Input: Uniq
+    Properties: {{Rows: 2}}
+""",
+    )
+    assert log.get("Dup").count() == 6
+    assert log.get("Uniq").count() == 3
+    assert log.get("Limited").count() == 2

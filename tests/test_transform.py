@@ -176,3 +176,8 @@ def test_broadcast_hint_changes_join_strategy(spark):
         assert "BroadcastHashJoin" in hinted
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_drop_columns(princess_df):
+    out = t.drop_columns(princess_df, ["items", "happy"])
+    assert out.columns == ["name", "age"]
