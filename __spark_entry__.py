@@ -760,6 +760,77 @@ def _q_registry_incremental(spark, sf_dir):
 REGISTRY_ORACLE = "SELECT * FROM orders WHERE o_orderstatus = 'F'"
 
 
+def _q_registry_date_prefix(spark, sf_dir):
+    """Date-prefix-scan registry: monthly-partitioned landing zone,
+    discovery pruned to the [DefaultStartDate, now] window."""
+    tmp = "/tmp/getl_spark_q/registry_date_prefix"
+    shutil.rmtree(tmp, ignore_errors=True)
+    src, out, reg = f"{tmp}/src", f"{tmp}/out", f"{tmp}/registry"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (
+        orders.where("o_orderdate < TIMESTAMP '1996-01-01 00:00:00'")
+        .withColumn("y", F.date_format("o_orderdate", "yyyy"))
+        .withColumn("m", F.date_format("o_orderdate", "MM"))
+        .repartition(2)
+        .write.mode("overwrite")
+        .partitionBy("y", "m")
+        .parquet(src)
+    )
+    definition = {
+        "FileRegistry": {
+            "Reg": {
+                "Type": "fileregistry::s3_date_prefix_scan",
+                "Properties": {
+                    "BasePath": reg,
+                    "UpdateAfter": "Write",
+                    "DefaultStartDate": "1995-01-01",
+                    "PartitionFormat": "y=%Y/m=%m",
+                },
+            }
+        },
+        "LiftJob": {
+            "Load": {
+                "Type": "load::batch_parquet",
+                # basePath restores the partition-dir columns (y, m)
+                # when reading the registry's explicit leaf-file list
+                "Properties": {
+                    "Path": src,
+                    "FileRegistry": "Reg",
+                    "Options": {"basePath": src},
+                },
+            },
+            "Write": {
+                "Type": "write::batch_parquet",
+                "Input": "Load",
+                "Properties": {"Path": out, "Mode": "overwrite"},
+            },
+        },
+    }
+    from getl_spark import lift
+
+    _ensure_conf(spark)
+    lift(spark, yaml.safe_dump(definition, sort_keys=False))
+    return (
+        spark.read.parquet(out)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("y").cast("int").alias("y"),
+            F.col("m").cast("int").alias("m"),
+        )
+    )
+
+
+REGISTRY_DATE_PREFIX_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(month(o_orderdate) AS INTEGER) AS m
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+"""
+
+
 def _q_upsert_merge(spark, sf_dir):
     """Delta-semantics merge-upsert through the write block: base =
     pre-1997 orders, updates = doubled totals for 1996-1997 overlap."""
@@ -1480,6 +1551,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_block": _q_window_block_v2,
         "sort_limit_block": _q_sort_limit,
         "registry_incremental_load": _q_registry_incremental,
+        "registry_date_prefix_load": _q_registry_date_prefix,
         "upsert_merge": _q_upsert_merge,
         "stream_json_roundtrip": _q_stream_roundtrip,
         "tumbling_window_hourly": _q_tumbling_window,
@@ -1542,6 +1614,7 @@ def oracle_sql() -> dict[str, str]:
         "window_block": WINDOW_BLOCK_ORACLE,
         "sort_limit_block": SORT_LIMIT_ORACLE,
         "registry_incremental_load": REGISTRY_ORACLE,
+        "registry_date_prefix_load": REGISTRY_DATE_PREFIX_ORACLE,
         "upsert_merge": UPSERT_ORACLE,
         "stream_json_roundtrip": STREAM_ORACLE,
         "tumbling_window_hourly": TUMBLING_ORACLE,
