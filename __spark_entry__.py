@@ -1385,6 +1385,56 @@ WHERE rn = 1
 """
 
 
+def _q_text_scrub(spark, sf_dir):
+    """PII/noise scrubbing + normalization over synthesized dirty text."""
+    from getl_spark.functions import text
+
+    blocks = _load_blocks(sf_dir, ["documents"])
+    blocks["Dirty"] = {
+        "Type": "transform::with_columns",
+        "Input": "documents",
+        "Properties": {
+            "Columns": [
+                {
+                    "name": "dirty",
+                    "expr": (
+                        "concat(substring(text, 1, 40), ' mail user', "
+                        "CAST(doc_id AS STRING), '@example.com see "
+                        "https://site.example/page?id=', CAST(doc_id AS STRING), "
+                        "' tel 0123 456 789 end')"
+                    ),
+                }
+            ]
+        },
+    }
+    df = _run_lift(spark, blocks, "Dirty")
+    scrubbed = text.scrub(df, "dirty", "clean")
+    return text.normalize(scrubbed, "clean", "clean_norm").select(
+        "doc_id", "clean", "clean_norm"
+    )
+
+
+TEXT_SCRUB_ORACLE = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         concat(substring(text, 1, 40), ' mail user', CAST(doc_id AS VARCHAR),
+                '@example.com see https://site.example/page?id=',
+                CAST(doc_id AS VARCHAR), ' tel 0123 456 789 end') AS dirty
+  FROM documents),
+clean AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(dirty,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+', '<EMAIL>', 'g'),
+           'https?://[^ ]+', '<URL>', 'g'),
+           '[0-9][0-9 ()+.-]{7,}[0-9]', '<NUMBER>', 'g') AS clean
+  FROM dirty)
+SELECT doc_id, clean,
+       trim(regexp_replace(regexp_replace(lower(clean), '[^a-z0-9 ]', ' ', 'g'),
+            ' +', ' ', 'g')) AS clean_norm
+FROM clean
+"""
+
+
 def _q_text_quality(spark, sf_dir):
     from getl_spark.functions import text
 
@@ -1577,6 +1627,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _q_token_count,
         "text_fingerprint": _q_fingerprint,
         "text_lang_id": _q_lang_id,
+        "text_scrub_normalize": _q_text_scrub,
         "multimodal_features": _q_multimodal,
         "multimodal_frame_sample": _q_frame_sample,
     }
@@ -1635,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_count": TOKEN_COUNT_ORACLE,
         "text_fingerprint": FINGERPRINT_ORACLE,
         "text_lang_id": _langid_oracle(),
+        "text_scrub_normalize": TEXT_SCRUB_ORACLE,
         "multimodal_features": MULTIMODAL_ORACLE,
         "multimodal_frame_sample": FRAME_SAMPLE_ORACLE,
         # no oracle (hash-family sketches, SQL-inexpressible):

@@ -106,6 +106,33 @@ def lang_id(
     return df.withColumn(new_col, result)
 
 
+def normalize(
+    df: DataFrame, text_col: str = "text", new_col: str = "text_norm"
+) -> DataFrame:
+    """Canonical text normalization: lowercase, strip non-alphanumerics
+    (keeping spaces), collapse whitespace, trim. The usual precursor to
+    shingling/fingerprinting so trivial formatting differences don't
+    defeat dedup."""
+    text = F.lower(F.col(text_col))
+    text = F.regexp_replace(text, r"[^a-z0-9 ]", " ")
+    text = F.regexp_replace(text, r" +", " ")
+    return df.withColumn(new_col, F.trim(text))
+
+
+def scrub(
+    df: DataFrame, text_col: str = "text", new_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Redact emails, URLs, and long digit runs (phone/ID-like) —
+    baseline PII/noise scrubbing for training corpora. Patterns are
+    deliberately regex-dialect-portable (plain character classes, no
+    lookaround) so the same expressions run in Spark and DuckDB."""
+    text = F.col(text_col)
+    text = F.regexp_replace(text, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+", "<EMAIL>")
+    text = F.regexp_replace(text, r"https?://[^ ]+", "<URL>")
+    text = F.regexp_replace(text, r"[0-9][0-9 ()+.-]{7,}[0-9]", "<NUMBER>")
+    return df.withColumn(new_col, text)
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -196,3 +196,16 @@ def test_against_index_exact_and_near(spark, near_dup_docs):
         for r in dedup.against_index(new, index, near_threshold=0.3).collect()
     }
     assert near_survivors == {4}
+
+
+def test_scrub_and_normalize(spark):
+    df = spark.createDataFrame(
+        [(0, "Email a.b@c.org or visit https://x.io/page then call 0123 456 7890 ok")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = text.normalize(text.scrub(df), "text_scrubbed", "norm").first()
+    assert "<EMAIL>" in out.text_scrubbed
+    assert "<URL>" in out.text_scrubbed
+    assert "<NUMBER>" in out.text_scrubbed
+    assert "a.b@c.org" not in out.text_scrubbed
+    assert out.norm == "email email or visit url then call number ok"
