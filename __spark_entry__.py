@@ -1302,10 +1302,18 @@ def _q_sim_topk_lsh(spark, sf_dir):
 
 
 def _q_sim_topk_ivf(spark, sf_dir):
+    """IVF with nprobe == nlist: every cell is probed, so the k-means
+    training, cell assignment and probe/re-rank machinery all execute
+    while the result is exactly the brute-force top-k — which makes the
+    query verifiable against the same SQL oracle. The approximate
+    (nprobe < nlist) configuration is recall-tested in
+    tests/test_similarity.py."""
     from getl_spark.functions import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.topk(emb, query_ids=list(range(8)), k=5, method="ivf")
+    return similarity.topk(
+        emb, query_ids=list(range(8)), k=5, method="ivf", nlist=16, nprobe=16
+    )
 
 
 def _q_dedup_incremental(spark, sf_dir):
@@ -1682,6 +1690,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_index": DEDUP_INCREMENTAL_ORACLE,
         "corpus_clean_pipeline": CORPUS_CLEAN_ORACLE,
         "similarity_topk_bruteforce": SIM_TOPK_ORACLE,
+        # exhaustive-probe IVF is exactly equal to brute force (see
+        # _q_sim_topk_ivf docstring), so it shares the oracle
+        "similarity_topk_ivf": SIM_TOPK_ORACLE,
         "text_quality": TEXT_QUALITY_ORACLE,
         "text_token_count": TOKEN_COUNT_ORACLE,
         "text_fingerprint": FINGERPRINT_ORACLE,

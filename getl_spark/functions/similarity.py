@@ -281,12 +281,18 @@ def topk(
     method: str = "bruteforce",
     planes: int = 8,
     seed: int = 42,
+    nlist: int = 16,
+    nprobe: int = 4,
 ) -> DataFrame:
     """``transform::generic`` entry: queries selected by id from the
-    input itself."""
+    input itself. With ``nprobe == nlist`` the IVF path probes every
+    cell and is exactly equal to brute force (useful for oracle
+    verification of the IVF machinery)."""
     queries = df.where(F.col(id_col).isin(list(query_ids)))
     if method == "lsh":
         return topk_lsh(df, queries, k, id_col, vec_col, planes=planes, seed=seed)
     if method == "ivf":
-        return topk_ivf(df, queries, k, id_col, vec_col, seed=seed)
+        return topk_ivf(
+            df, queries, k, id_col, vec_col, nlist=nlist, nprobe=nprobe, seed=seed
+        )
     return topk_bruteforce(df, queries, k, id_col, vec_col)
