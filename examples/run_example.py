@@ -20,8 +20,7 @@ def main() -> None:
 
     spark = get_spark("getl-example")
     log = lift(spark, args.definition, parameters)
-    for name, entry in log.log.items():
-        df = entry["result"]
+    for name, df in log.items():
         print(f"== {name}: {df.count()} rows ==")
         df.show(5, truncate=False)
 

@@ -63,15 +63,30 @@ def delete_files(paths: List[str]) -> None:
 
 
 def copy_keys(transactions: List[Tuple[str, str]]) -> None:
-    """Copy (source, target) path pairs; fails fast on missing source."""
+    """Copy (source, target) path pairs; fails fast on missing source.
+
+    Each side's scheme is branched independently, so all four
+    combinations work: s3→s3 (server-side copy), s3→local (download),
+    local→s3 (upload), local→local (copy2).
+    """
     for source, target in transactions:
-        if _is_s3(source) or _is_s3(target):
+        src_s3, tgt_s3 = _is_s3(source), _is_s3(target)
+        if src_s3 or tgt_s3:
             import boto3
 
             s3 = boto3.client("s3")
-            sb, sk = _split_s3(source)
-            tb, tk = _split_s3(target)
-            s3.copy({"Bucket": sb, "Key": sk}, tb, tk)
+            if src_s3 and tgt_s3:
+                sb, sk = _split_s3(source)
+                tb, tk = _split_s3(target)
+                s3.copy({"Bucket": sb, "Key": sk}, tb, tk)
+            elif src_s3:
+                sb, sk = _split_s3(source)
+                if os.path.dirname(target):
+                    os.makedirs(os.path.dirname(target), exist_ok=True)
+                s3.download_file(sb, sk, target)
+            else:
+                tb, tk = _split_s3(target)
+                s3.upload_file(source, tb, tk)
         else:
             os.makedirs(os.path.dirname(target), exist_ok=True)
             shutil.copy2(source, target)

@@ -39,6 +39,19 @@ def cosine_expr(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return dot_expr(a, b) / (norm_a * norm_b)
 
 
+def embedding_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from a sampled row, with a readable
+    error on an empty/all-null corpus (a bare ``.first()[0]`` would
+    raise an opaque TypeError)."""
+    row = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if row is None:
+        raise ValueError(
+            f"Cannot infer embedding dimension: no non-null '{vec_col}' "
+            "rows. Pass dim= explicitly or supply a non-empty corpus."
+        )
+    return len(row[0])
+
+
 def with_norm(df: DataFrame, vec_col: str = "vec") -> DataFrame:
     """Adds a precomputed L2 norm and casts to double once — norms are
     reused across every pair the row participates in. Also widens
@@ -100,19 +113,20 @@ def topk_lsh(
     planes: int = 8,
     seed: int = 42,
     multiprobe: bool = True,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
 
     Corpus vectors land in one sign bucket; each query probes its own
     bucket plus (with ``multiprobe``) every single-bit flip — 1+planes
     probes — then reranks exactly. Recall is tested against
-    ``topk_bruteforce`` in tests/test_similarity.py.
+    ``topk_bruteforce`` in tests/test_similarity.py. Pass ``dim``
+    explicitly to skip the one-row sampling job.
     """
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    first = corpus.select(vec_col).first()
-    dim = len(first[0])
+    dim = dim or embedding_dim(corpus, vec_col)
     hyper = rng.randn(planes, dim)
 
     def bucket_col(vec: Column) -> Column:

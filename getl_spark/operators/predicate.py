@@ -67,17 +67,25 @@ def _escape_column(column: str) -> str:
     )
 
 
-def _format_value(operator: str, value: Any) -> str:
-    if isinstance(value, _SEQ):
-        if len(value) == 1:
-            return f"('{value[0]}')"
-        return str(tuple(value))
+def _scalar_sql(value: Any) -> str:
     if isinstance(value, bool):
         return str(value)  # TRUE/FALSE keywords are case-insensitive
     if isinstance(value, str):
         escaped = value.replace("'", "''")
         return f"'{escaped}'"
     return str(value)
+
+
+def _format_value(operator: str, value: Any) -> str:
+    if isinstance(value, _SEQ):
+        # Every element goes through the same quote-escaping as scalar
+        # strings — a value like "O'Brien" must not produce malformed
+        # SQL (or an injection surface). Single-element lists are still
+        # always rendered quoted, as the reference does.
+        if len(value) == 1:
+            return f"('{str(value[0]).replace(chr(39), chr(39) * 2)}')"
+        return "(" + ", ".join(_scalar_sql(v) for v in value) + ")"
+    return _scalar_sql(value)
 
 
 def _compile_leaf(predicate: Sequence) -> str:

@@ -1,57 +1,93 @@
 """Execution context: per-block config and the named-DataFrame log.
 
 The engine's "IR" between blocks is simply a name → lazy DataFrame
-environment (reference ``getl/block.py:9-37``). Because DataFrames stay
-lazy across blocks, Catalyst optimizes the *whole pipeline* as one plan
-— a load→where→select→write chain collapses into a single parquet scan
-with pushed filters and pruned columns. Every block result is also
-registered as a temp view so SQL blocks can reference prior blocks
-relationally.
+environment (the same contract as the reference's ``getl/block.py:9-37``
+``BlockLog``/``BlockConfig``, re-expressed here with dataclass entries).
+Because DataFrames stay lazy across blocks, Catalyst optimizes the
+*whole pipeline* as one plan — a load→where→select→write chain collapses
+into a single parquet scan with pushed filters and pruned columns.
+Every block result is also registered as a temp view so SQL blocks can
+reference prior blocks relationally.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Any, List, Optional, Union
+from dataclasses import dataclass, field
+from typing import Any, Iterator, List, Optional, Tuple, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MISSING = object()
 
+_VIEW_SAFE = re.compile(r"[^A-Za-z0-9_]")
 
+
+@dataclass
+class LogEntry:
+    """One executed block: its produced value plus the config it ran with."""
+
+    result: Any
+    config: "BlockConfig"
+
+
+@dataclass
 class BlockLog:
-    """Ordered name → {result, bconf} log of executed blocks."""
+    """Ordered name → :class:`LogEntry` log of executed blocks.
 
-    def __init__(self) -> None:
-        self.log: dict = {}
+    Public contract (kept stable for parity with the reference API):
+    ``add``, ``get(name)``, ``find((key, value))``, ``in``.
+    ``find_all`` is an extension — a pipeline may legitimately have
+    several registries keyed on the same ``UpdateAfter`` block, and all
+    of them must commit.
+    """
+
+    _entries: dict = field(default_factory=dict)
 
     def add(self, bconf: "BlockConfig", result: Any) -> None:
-        self.log[bconf.section_name] = {"result": result, "bconf": bconf}
+        self._entries[bconf.section_name] = LogEntry(result, bconf)
         if isinstance(result, DataFrame):
-            # view names can't contain dots; multi-output Section.Sub
-            # becomes Section_Sub
-            view = re.sub(r"[^A-Za-z0-9_]", "_", bconf.section_name)
-            result.createOrReplaceTempView(view)
+            # Temp-view names can't contain dots; multi-output
+            # Section.Sub becomes Section_Sub.
+            result.createOrReplaceTempView(
+                _VIEW_SAFE.sub("_", bconf.section_name)
+            )
 
     def get(self, section_name: str) -> Any:
-        if section_name not in self.log:
+        entry = self._entries.get(section_name)
+        if entry is None:
             raise KeyError(
-                f"Block '{section_name}' not found; available: {list(self.log)}"
+                f"Block '{section_name}' not found; "
+                f"available: {list(self._entries)}"
             )
-        return self.log[section_name]["result"]
+        return entry.result
 
     def find(self, prop: Optional[tuple] = None) -> Any:
-        """Find the first block whose config has property key == value."""
-        if not prop:
-            return None
-        key, value = prop
-        for entry in self.log.values():
-            if entry["bconf"].get(key, None) == value:
-                return entry["result"]
+        """First block result whose config has property key == value."""
+        for result in self.find_all(prop):
+            return result
         return None
 
+    def find_all(self, prop: Optional[tuple] = None) -> List[Any]:
+        """Every block result whose config has property key == value."""
+        if not prop:
+            return []
+        key, value = prop
+        return [
+            entry.result
+            for entry in self._entries.values()
+            if entry.config.get(key, None) == value
+        ]
+
+    def items(self) -> Iterator[Tuple[str, Any]]:
+        """(name, result) pairs in execution order."""
+        return ((name, e.result) for name, e in self._entries.items())
+
     def __contains__(self, section_name: str) -> bool:
-        return section_name in self.log
+        return section_name in self._entries
+
+    def __len__(self) -> int:
+        return len(self._entries)
 
 
 class FileRegistryLog(BlockLog):

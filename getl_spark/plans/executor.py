@@ -76,10 +76,13 @@ class Executor:
         try:
             for bconf, result in self._run_blocks(lift_job):
                 self._log_result(bconf, result)
-                registry = self.file_registry.find(
+                # Commit every registry keyed on this block — a pipeline
+                # may have several (e.g. two sources merged by one
+                # write), and missing one would reprocess its files on
+                # every run.
+                for registry in self.file_registry.find_all(
                     prop=("UpdateAfter", bconf.section_name)
-                )
-                if registry:
+                ):
                     registry.update()
         except NoDataToProcess:
             LOGGER.info("No new data to process; exiting lift job cleanly.")

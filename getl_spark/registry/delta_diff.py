@@ -44,31 +44,43 @@ class DeltaDiff(FileRegistry):
         self.watermark_table = ManagedTable(self.spark, f"{self.base_path}/watermark")
         self.snapshot_dir = f"{self.base_path}/snapshot"
         self._source_path: Optional[str] = None
+        self._as_of: Optional[dt.datetime] = None
+        self._staged_keys: Optional[DataFrame] = None
 
     # ------------------------------------------------------------------ api
     def load(self, path: str, suffix: str = "") -> DataFrame:
+        """Pins the as-of moment (and, without Delta, the exact key set)
+        at load time; ``update()`` commits that pinned state, never the
+        live source. Rows committed to the source between ``load()`` and
+        ``update()`` therefore reappear on the next run (at-least-once)
+        instead of being silently skipped — the same guarantee the
+        reference gets by pinning ``current_date`` once
+        (``getl/fileregistry/delta_diff.py``)."""
         self._source_path = path
+        self._as_of = utcnow()
         current = self.spark.read.format(
             "delta" if HAS_DELTA else "parquet"
         ).load(path)
+        if not HAS_DELTA:
+            # Eagerly materialize the key set present right now —
+            # localCheckpoint pins it so a later update() commits these
+            # keys, not whatever the source holds by then. The distinct
+            # keys are computed exactly once (update() reuses the pin).
+            self._staged_keys = (
+                current.select(*self.join_fields).distinct().localCheckpoint()
+            )
         baseline = self._baseline(path)
         if baseline is None:
             return current
         return current.join(baseline, self.join_fields, how="anti")
 
     def update(self) -> None:
-        now = utcnow()
         watermark = self.spark.createDataFrame(
-            [(now,)], "version_date timestamp"
+            [(self._as_of or utcnow(),)], "version_date timestamp"
         )
         self.watermark_table.write(watermark, mode="overwrite")
-        if not HAS_DELTA and self._source_path:
-            keys = (
-                self.spark.read.parquet(self._source_path)
-                .select(*self.join_fields)
-                .distinct()
-            )
-            keys.write.mode("overwrite").parquet(
+        if not HAS_DELTA and self._staged_keys is not None:
+            self._staged_keys.write.mode("overwrite").parquet(
                 f"{self.snapshot_dir}/v{self._latest_snapshot_version() + 1}"
             )
 

@@ -31,6 +31,9 @@ from getl_spark.operators.predicate import predicate_to_sql
             "(a > 1 or (b < 2 and c == 3))",
         ),
         (["name", "==", "O'Hara"], "name == 'O''Hara'"),
+        # in-list elements get the same quote escaping as scalars
+        (["name", "in", ["O'Brien", "Smith"]], "name in ('O''Brien', 'Smith')"),
+        (["name", "in", ["O'Brien"]], "name in ('O''Brien')"),
     ],
 )
 def test_golden_sql(predicate, expected):

@@ -167,3 +167,89 @@ LiftJob:
     ).write.mode("overwrite").parquet(src)
     log = lift(spark, definition)
     assert sorted(r.id for r in log.get("Loaded").collect()) == [3]
+
+
+def test_delta_diff_pins_snapshot_at_load(spark, tmp_path):
+    """Rows committed to the source between load() and update() must
+    NOT be marked processed — they reappear on the next lift
+    (at-least-once). The reference gets this by pinning current_date
+    once in load (getl/fileregistry/delta_diff.py); the snapshot
+    fallback pins the key set via localCheckpoint at load() time."""
+    from getl_spark.plans.context import BlockConfig
+    from getl_spark.registry.delta_diff import DeltaDiff
+
+    src, reg = str(tmp_path / "src"), str(tmp_path / "reg")
+    spark.createDataFrame([(1,), (2,)], "id BIGINT").write.parquet(src)
+
+    def registry():
+        return DeltaDiff(
+            BlockConfig(
+                "Reg",
+                spark,
+                None,
+                {
+                    "BasePath": reg,
+                    "JoinOnFields": ["id"],
+                    "DefaultStartDate": "2020-01-01 00:00:00",
+                },
+            )
+        )
+
+    first = registry()
+    loaded = first.load(src)
+    assert sorted(r.id for r in loaded.collect()) == [1, 2]
+    # a writer sneaks in AFTER load() but BEFORE update()
+    spark.createDataFrame([(3,)], "id BIGINT").write.mode("append").parquet(src)
+    first.update()
+
+    # next run must surface id=3 — the old behavior snapshotted the
+    # live source at update() time and lost it silently
+    assert sorted(r.id for r in registry().load(src).collect()) == [3]
+
+
+def test_two_registries_same_update_after_both_commit(spark, tmp_path):
+    """Two file registries keyed on the same UpdateAfter block must both
+    commit; committing only the first would make the second reprocess
+    its files every run."""
+    import os
+
+    from getl_spark import lift
+
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    reg_a, reg_b = str(tmp_path / "rega"), str(tmp_path / "regb")
+    for src in (src_a, src_b):
+        spark.createDataFrame([(1, "x")], "id BIGINT, v STRING").write.parquet(src)
+
+    definition = f"""
+FileRegistry:
+  RegA:
+    Type: fileregistry::s3_full_scan
+    Properties:
+      BasePath: {reg_a}
+      UpdateAfter: Union
+  RegB:
+    Type: fileregistry::s3_full_scan
+    Properties:
+      BasePath: {reg_b}
+      UpdateAfter: Union
+LiftJob:
+  LoadA:
+    Type: load::batch_parquet
+    Properties:
+      Path: {src_a}
+      FileRegistry: RegA
+  LoadB:
+    Type: load::batch_parquet
+    Properties:
+      Path: {src_b}
+      FileRegistry: RegB
+  Union:
+    Type: transform::generic
+    Input: [LoadA, LoadB]
+    Properties:
+      Functions: [union]
+"""
+    lift(spark, definition)
+    for reg in (reg_a, reg_b):
+        assert os.path.isdir(reg), f"registry {reg} never committed"
+        assert spark.read.parquet(reg).where("date_lifted IS NOT NULL").count() >= 1
