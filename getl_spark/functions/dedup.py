@@ -393,62 +393,124 @@ def against_index(
 
 
 # ----------------------------------------------------- embedding cosine
+def _hyperplane_band_keys(bands: int, planes_per_band: int, dim: int, seed: int):
+    """Vectorized band-key UDF: one Arrow batch → (batch × dim) @
+    (dim × bands·r) numpy matmul → per-band sign-bit keys.
+
+    The plane matrix lives in the UDF closure (pickled to executors
+    once), so the plane count scales freely with corpus size — unlike
+    the literal-expression encoding, whose codegen cost grows with
+    ``planes × dim`` and dominated the old single-band implementation.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(bands * planes_per_band, dim)
+    weights = (1 << np.arange(planes_per_band)).astype("int64")
+
+    def _keys(vecs):
+        mat = np.array(vecs.tolist(), dtype="float64")
+        bits = (mat @ planes.T) >= 0  # (n, bands*r)
+        keys = [
+            bits[:, b * planes_per_band : (b + 1) * planes_per_band] @ weights
+            for b in range(bands)
+        ]
+        return pd.Series(list(np.stack(keys, axis=1)))
+
+    # explicit signature: the module's `from __future__ import
+    # annotations` would stringify pd.Series type hints beyond
+    # pandas_udf's resolver
+    return pandas_udf(_keys, "array<long>")
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    planes: int = 8,
+    bands: int = 8,
+    planes_per_band: int = 12,
     seed: int = 42,
     brute_force: bool = False,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Semantic near-dup pairs: cosine(a, b) ≥ threshold.
 
-    Scale path (default): random-hyperplane LSH — ``planes`` fixed
-    hyperplanes (numpy RandomState(seed), broadcast as literals) give a
-    sign-bucket per vector; only same-bucket pairs are verified
-    exactly. High-threshold pairs almost surely share a bucket.
+    Scale path (default): *banded* random-hyperplane LSH, the same
+    sketch-then-verify shape as ``minhash_lsh``. Each vector gets
+    ``bands`` keys of ``planes_per_band`` sign bits; a pair is a
+    candidate if ANY band matches (p ≈ 1-(1-p_bit^r)^b with
+    p_bit = 1-θ/π), then candidates are verified with the exact cosine.
+    At the defaults (8×12), a cosine-0.95 pair is found with ~97%
+    probability while a random pair collides in a band with chance
+    2^-12 — candidate volume ≈ b·n²/2^r = n²/512, and both knobs are
+    free to grow with corpus size because the planes are applied by a
+    vectorized Arrow UDF, not literal expression trees. The single-band
+    variant this replaces missed any pair straddling one of its 8
+    hyperplanes (recall ≈ 0.43 at θ=18°).
+
     ``brute_force=True`` skips bucketing (ground truth / small data).
     """
-    from getl_spark.functions.similarity import cosine_expr, with_norm
+    from getl_spark.functions.similarity import cosine_expr, embedding_dim, with_norm
 
     vecs = with_norm(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
-    if not brute_force:
-        import numpy as np
-
-        rng = np.random.RandomState(seed)
-        dim = len(vecs.select("vec").first().vec)
-        hyper = rng.randn(planes, dim)
-        bucket = None
-        for p in range(planes):
-            dot = F.aggregate(
-                F.zip_with(
-                    "vec",
-                    F.array(*[F.lit(float(x)) for x in hyper[p]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        vecs = vecs.withColumn("bucket", bucket)
-        join_on = ["bucket"]
-        a = vecs.alias("a")
-        b = vecs.alias("b")
-        pairs = a.join(b, join_on).where(F.col("a.id") < F.col("b.id"))
-    else:
+    if brute_force:
         a = vecs.alias("a")
         b = vecs.alias("b")
         pairs = a.crossJoin(b).where(F.col("a.id") < F.col("b.id"))
-    return (
-        pairs.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+    else:
+        dim = dim or embedding_dim(df, vec_col)
+        keys_udf = _hyperplane_band_keys(bands, planes_per_band, dim, seed)
+        # vectors are re-read by the verify join; pin them so the scan
+        # and norm computation happen once
+        vecs = vecs.localCheckpoint()
+        banded = vecs.select(
+            "id", F.posexplode(keys_udf("vec")).alias("band", "key")
+        ).localCheckpoint()  # tiny (n × bands); keeps the self-join to table stubs
+        candidates = (
+            banded.alias("a")
+            .join(banded.alias("b"), ["band", "key"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        verified = (
+            candidates.join(
+                vecs.select(
+                    F.col("id").alias("id_a"),
+                    F.col("vec").alias("a_vec"),
+                    F.col("norm").alias("a_norm"),
+                ),
+                "id_a",
+            )
+            .join(
+                vecs.select(
+                    F.col("id").alias("id_b"),
+                    F.col("vec").alias("b_vec"),
+                    F.col("norm").alias("b_norm"),
+                ),
+                "id_b",
+            )
+        )
+        return verified.select(
+            "id_a",
+            "id_b",
             F.round(
-                cosine_expr(F.col("a.vec"), F.col("b.vec"), F.col("a.norm"), F.col("b.norm")),
+                cosine_expr(
+                    F.col("a_vec"), F.col("b_vec"), F.col("a_norm"), F.col("b_norm")
+                ),
                 6,
             ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+        ).where(F.col("cosine") >= threshold)
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(
+            cosine_expr(
+                F.col("a.vec"), F.col("b.vec"), F.col("a.norm"), F.col("b.norm")
+            ),
+            6,
+        ).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)

@@ -209,3 +209,41 @@ def test_scrub_and_normalize(spark):
     assert "<NUMBER>" in out.text_scrubbed
     assert "a.b@c.org" not in out.text_scrubbed
     assert out.norm == "email email or visit url then call number ok"
+
+
+def test_embedding_cosine_banded_recall_across_boundaries(spark):
+    """The single-band scheme this replaced missed any pair straddling
+    one of its hyperplanes. With banding (any-band match), recall on
+    planted cosine≈0.99 pairs must be ≥0.9 regardless of which single
+    planes the pair straddles."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for i in range(60):
+        v = rng.randn(32)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in v + rng.randn(32) * 0.02]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    planted = {(i, 1000 + i) for i in range(60)}
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.95).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(
+            df, threshold=0.95, brute_force=True
+        ).collect()
+    }
+    assert lsh <= brute  # verify step: no false positives
+    found_planted = lsh & planted
+    assert len(found_planted) / len(planted & brute) >= 0.9
+
+
+def test_embedding_dim_empty_corpus_message(spark):
+    from getl_spark.functions.similarity import embedding_dim
+
+    empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    with pytest.raises(ValueError, match="no non-null"):
+        embedding_dim(empty, "embedding")
