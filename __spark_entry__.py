@@ -1062,6 +1062,70 @@ def _q_load_csv_roundtrip(spark, sf_dir):
 LOAD_CSV_ORACLE = "SELECT * FROM nation"
 
 
+def _q_jdbc_roundtrip(spark, sf_dir):
+    """write::batch_jdbc → load::jdbc against embedded Apache Derby
+    (pyspark ships derby on the classpath). The read uses the Query
+    property, so the GROUP BY below executes inside the database —
+    genuine JDBC pushdown, the same code path a Postgres/MySQL
+    deployment runs (reference getl/blocks/load/entrypoint.py:265-301,
+    getl/blocks/write/entrypoint.py:21-62)."""
+    tmp = "/tmp/getl_spark_q/jdbc_derby"
+    shutil.rmtree(tmp, ignore_errors=True)
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    url = f"jdbc:derby:{tmp}/db;create=true"
+    creds = {"Driver": driver, "ConnUrl": url, "User": "app", "Password": "app"}
+    blocks = _load_blocks(sf_dir, ["orders"])
+    blocks["Subset"] = {
+        "Type": "custom::sql",
+        "Properties": {
+            "Statement": "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders"
+        },
+    }
+    blocks["W"] = {
+        "Type": "write::batch_jdbc",
+        "Input": "Subset",
+        "Properties": {
+            "Mode": "overwrite",
+            "Table": "orders_t",
+            "NumPartitions": 4,
+            # Derby maps StringType to CLOB by default, which can't be
+            # grouped/compared — override with VARCHAR
+            "Options": {
+                "createTableColumnTypes": (
+                    "o_orderstatus VARCHAR(10), o_orderpriority VARCHAR(30)"
+                )
+            },
+            **creds,
+        },
+    }
+    _run_lift(spark, blocks, "W")
+    blocks2 = {
+        "Agg": {
+            "Type": "load::jdbc",
+            "Properties": {
+                # Spark's JDBC writer creates case-preserving quoted
+                # columns; the Derby-side SQL quotes them back
+                "Query": (
+                    'SELECT "o_orderstatus", "o_orderpriority", COUNT(*) AS "cnt" '
+                    'FROM orders_t GROUP BY "o_orderstatus", "o_orderpriority"'
+                ),
+                **creds,
+            },
+        }
+    }
+    return _run_lift(spark, blocks2, "Agg").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+JDBC_ROUNDTRIP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
 def _q_load_xml_roundtrip(spark, sf_dir):
     """XML writer→reader roundtrip through the batched XML source."""
     tmp = "/tmp/getl_spark_q/xml_roundtrip"
@@ -1616,6 +1680,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_10min": _q_session_window,
         "grouped_pandas_zscore": _q_grouped_zscore,
         "load_csv_roundtrip": _q_load_csv_roundtrip,
+        "jdbc_roundtrip": _q_jdbc_roundtrip,
         "load_xml_roundtrip": _q_load_xml_roundtrip,
         "load_json_declared_schema": _q_load_json_schema,
         "with_columns_exprs": _q_with_columns,
@@ -1680,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_10min": SESSION_ORACLE,
         "grouped_pandas_zscore": GROUPED_ZSCORE_ORACLE,
         "load_csv_roundtrip": LOAD_CSV_ORACLE,
+        "jdbc_roundtrip": JDBC_ROUNDTRIP_ORACLE,
         "load_xml_roundtrip": LOAD_XML_ORACLE,
         "load_json_declared_schema": LOAD_JSON_ORACLE,
         "with_columns_exprs": WITH_COLUMNS_ORACLE,

@@ -128,7 +128,10 @@ def batch_csv(conf: BlockConfig) -> DataFrame:
 # -------------------------------------------------------------------- jdbc
 def batch_jdbc(conf: BlockConfig) -> DataFrame:
     """Properties: ``Mode``, ``Driver``, ``ConnUrl``, ``Table``,
-    ``User``, ``Password``, ``NumPartitions`` (write parallelism)."""
+    ``User``, ``Password``, ``NumPartitions`` (write parallelism), and
+    passthrough ``Options`` (e.g. ``createTableColumnTypes`` to
+    override the dialect's default type mapping, ``batchsize``,
+    ``truncate``)."""
     df = conf.input_df()
     writer = (
         df.write.format("jdbc")
@@ -142,6 +145,8 @@ def batch_jdbc(conf: BlockConfig) -> DataFrame:
     )
     if conf.exists("NumPartitions"):
         writer = writer.option("numPartitions", int(conf.get("NumPartitions")))
+    for key, value in conf.get("Options", {}).items():
+        writer = writer.option(key, value)
     writer.save()
     return df
 
