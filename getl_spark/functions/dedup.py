@@ -80,6 +80,7 @@ def ngram_jaccard(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: Optional[int] = None,
 ) -> DataFrame:
     """Exact all-pairs word-n-gram Jaccard ≥ threshold.
 
@@ -87,17 +88,55 @@ def ngram_jaccard(
     the only candidates (Jaccard > 0 requires a shared shingle), so
     the join is |index| * avg-posting-length, not |docs|².
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+
+    ``max_df`` caps posting-list length: shingles appearing in more
+    than ``max_df`` documents are dropped from *candidate generation*
+    (the standard document-frequency cutoff — one ubiquitous shingle
+    otherwise creates a near-quadratic skew key in the self-join).
+    Jaccard values for surviving candidates stay exact because the
+    intersection is re-counted against the FULL shingle table. The only
+    recall loss: a pair whose every shared shingle has df > max_df —
+    set ``max_df`` above the largest expected duplicate-cluster size.
     """
     shingles = _shingles(df, id_col, text_col, n).cache()
     sizes = shingles.groupBy("id").agg(F.count("*").alias("size"))
-    left = shingles.withColumnRenamed("id", "id_a")
-    right = shingles.withColumnRenamed("id", "id_b")
-    inter = (
-        left.join(right, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    if max_df is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        index = shingles.join(rare, "shingle")
+        candidates = (
+            index.withColumnRenamed("id", "id_a")
+            .join(index.withColumnRenamed("id", "id_b"), "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # exact intersection over the uncapped shingle sets
+        inter = (
+            candidates.join(shingles.withColumnRenamed("id", "id_a"), "id_a")
+            .join(
+                shingles.withColumnRenamed("id", "id_b").withColumnRenamed(
+                    "shingle", "shingle_b"
+                ),
+                "id_b",
+            )
+            .where(F.col("shingle") == F.col("shingle_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        left = shingles.withColumnRenamed("id", "id_a")
+        right = shingles.withColumnRenamed("id", "id_b")
+        inter = (
+            left.join(right, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("size", "size_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("size", "size_b"), "id_b")

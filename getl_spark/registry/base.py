@@ -13,12 +13,15 @@ mark. At-least-once processing, effectively-once marking.
 from __future__ import annotations
 
 import datetime as dt
+import logging
 from abc import ABC, abstractmethod
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType, StringType, TimestampType
 
 from getl_spark.common.tables import ManagedTable
+
+LOGGER = logging.getLogger(__name__)
 
 
 def utcnow() -> dt.datetime:
@@ -49,6 +52,13 @@ class ControlTableRegistry(FileRegistry, ABC):
         self.spark = bconf.spark
         self.registry_path = bconf.get("BasePath")
         self.update_after = bconf.get("UpdateAfter", None)
+        # Divergence from the reference (which has no bound): caps how
+        # many pending files one run returns, so a multi-million-file
+        # backlog can't funnel through the driver's collect() and a
+        # single spark.read.load([...]) argument list. Deferred files
+        # stay date_lifted=NULL and surface on the next run.
+        self.max_files_per_run = bconf.get("MaxFilesPerRun", None)
+        self._current_batch = None
         self.table = ManagedTable(self.spark, self.registry_path)
         if bconf.exists("HiveDatabaseName"):
             from getl_spark.common.tables import HiveTable
@@ -63,10 +73,16 @@ class ControlTableRegistry(FileRegistry, ABC):
 
     def update(self) -> None:
         """Stamp date_lifted=now() on every not-yet-lifted row (reference
-        ``getl/fileregistry/fileregistry_utils.py:14-32``)."""
+        ``getl/fileregistry/fileregistry_utils.py:14-32``) — or, when a
+        ``MaxFilesPerRun`` batch is active, only on the rows that were
+        actually returned by ``load()`` (stamping the deferred ones
+        would mark them processed without ever reading them)."""
         if self.table.exists():
+            condition = F.col("date_lifted").isNull()
+            if self._current_batch is not None:
+                condition = condition & F.col("file_path").isin(self._current_batch)
             self.table.update(
-                F.col("date_lifted").isNull(),
+                condition,
                 {"date_lifted": F.lit(utcnow()).cast("timestamp")},
             )
 
@@ -82,4 +98,16 @@ class ControlTableRegistry(FileRegistry, ABC):
         if df is None:
             return []
         data = df.where(F.col("date_lifted").isNull()).select("file_path").collect()
-        return sorted(row.file_path for row in data)
+        paths = sorted(row.file_path for row in data)
+        cap = self.max_files_per_run
+        if cap is not None and len(paths) > int(cap):
+            LOGGER.info(
+                "MaxFilesPerRun=%s: returning %s of %s pending files "
+                "(%s deferred to the next run)",
+                cap, cap, len(paths), len(paths) - int(cap),
+            )
+            paths = paths[: int(cap)]
+            self._current_batch = paths
+        else:
+            self._current_batch = None
+        return paths

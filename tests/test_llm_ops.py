@@ -247,3 +247,36 @@ def test_embedding_dim_empty_corpus_message(spark):
     empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>")
     with pytest.raises(ValueError, match="no non-null"):
         embedding_dim(empty, "embedding")
+
+
+def test_ngram_jaccard_max_df_caps_stopword_skew(spark):
+    """Every doc shares one ubiquitous phrase; without the df cutoff the
+    inverted index emits all O(n^2) candidate pairs through that one
+    posting list. With max_df, the stop shingle is dropped from
+    candidate generation (bounded candidates) while the surviving
+    pairs' jaccard values stay exact (intersection re-counted against
+    the full shingle table)."""
+    stop = "lorem ipsum dolor sit amet"
+    rows = [(i, f"{stop} unique{i} token{i} text{i}") for i in range(40)]
+    # planted near-dup pair sharing rare content
+    rows.append((100, f"{stop} shared shared shared alpha beta gamma"))
+    rows.append((101, f"{stop} shared shared shared alpha beta delta"))
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard(df, threshold=0.01, n=3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard(df, threshold=0.01, n=3, max_df=5).collect()
+    }
+    # uncapped: the stop phrase makes every pair a candidate -> ~n^2/2
+    assert len(uncapped) == (42 * 41) // 2
+    # capped: only pairs sharing a rare shingle survive -> bounded
+    assert len(capped) < 42
+    # the planted pair survives with the EXACT same jaccard value
+    assert (100, 101) in capped
+    assert capped[(100, 101)] == uncapped[(100, 101)]
+    # and every capped pair's value matches the exact computation
+    assert all(uncapped[p] == j for p, j in capped.items())

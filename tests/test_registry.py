@@ -253,3 +253,50 @@ LiftJob:
     for reg in (reg_a, reg_b):
         assert os.path.isdir(reg), f"registry {reg} never committed"
         assert spark.read.parquet(reg).where("date_lifted IS NOT NULL").count() >= 1
+
+
+def test_max_files_per_run_bounds_backlog(spark, tmp_path):
+    """MaxFilesPerRun caps each run's batch (driver-collect bound at
+    scale); deferred files keep date_lifted=NULL and drain on later
+    runs — and update() must never stamp files it didn't return."""
+    src, reg, out = str(tmp_path / "src"), str(tmp_path / "reg"), str(tmp_path / "out")
+    for i in range(5):
+        spark.createDataFrame([(i,)], "id BIGINT").coalesce(1).write.mode(
+            "append"
+        ).json(src)
+
+    definition = f"""
+FileRegistry:
+  Reg:
+    Type: fileregistry::s3_full_scan
+    Properties:
+      BasePath: {reg}
+      UpdateAfter: Sink
+      MaxFilesPerRun: 2
+LiftJob:
+  Loaded:
+    Type: load::batch_json
+    Properties:
+      Path: {src}
+      FileRegistry: Reg
+      JsonSchema:
+        type: struct
+        fields:
+          - {{name: id, type: long, nullable: true}}
+  Sink:
+    Type: write::batch_json
+    Input: Loaded
+    Properties:
+      Path: {out}
+      Mode: append
+"""
+    seen = 0
+    for expected_batch in (2, 2, 1):
+        log = lift(spark, definition)
+        batch = log.get("Loaded").count()
+        assert batch == expected_batch
+        seen += batch
+    assert seen == 5
+    reg_df = spark.read.parquet(reg)
+    assert reg_df.where("date_lifted IS NULL").count() == 0
+    assert reg_df.count() == 5
