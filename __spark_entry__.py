@@ -760,6 +760,50 @@ def _q_registry_incremental(spark, sf_dir):
 REGISTRY_ORACLE = "SELECT * FROM orders WHERE o_orderstatus = 'F'"
 
 
+def _q_registry_delta_diff(spark, sf_dir):
+    """Row-level incremental diff (fileregistry::delta_diff, snapshot
+    fallback without delta-spark): lift 1 sees keys %4==0 and commits
+    the key snapshot; the source then grows to keys %2==0; lift 2 must
+    return exactly the rows whose key is new (%2==0 but not %4==0)."""
+    tmp = "/tmp/getl_spark_q/registry_delta_diff"
+    shutil.rmtree(tmp, ignore_errors=True)
+    src, reg = f"{tmp}/src", f"{tmp}/registry"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    definition = {
+        "FileRegistry": {
+            "Reg": {
+                "Type": "fileregistry::delta_diff",
+                "Properties": {
+                    "BasePath": reg,
+                    "UpdateAfter": "Loaded",
+                    "DefaultStartDate": "2020-01-01 00:00:00",
+                    "JoinOnFields": ["o_orderkey"],
+                },
+            }
+        },
+        "LiftJob": {
+            "Loaded": {
+                "Type": "load::batch_delta",
+                "Properties": {"Path": src, "FileRegistry": "Reg"},
+            }
+        },
+    }
+    from getl_spark import lift
+
+    orders.where("o_orderkey % 4 = 0").write.mode("overwrite").parquet(src)
+    lift(spark, yaml.safe_dump(definition, sort_keys=False))
+    orders.where("o_orderkey % 2 = 0").write.mode("overwrite").parquet(src)
+    return lift(spark, yaml.safe_dump(definition, sort_keys=False)).get("Loaded")
+
+
+REGISTRY_DELTA_DIFF_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
+"""
+
+
 def _q_registry_date_prefix(spark, sf_dir):
     """Date-prefix-scan registry: monthly-partitioned landing zone,
     discovery pruned to the [DefaultStartDate, now] window."""
@@ -1681,6 +1725,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_pandas_zscore": _q_grouped_zscore,
         "load_csv_roundtrip": _q_load_csv_roundtrip,
         "jdbc_roundtrip": _q_jdbc_roundtrip,
+        "registry_delta_diff": _q_registry_delta_diff,
         "load_xml_roundtrip": _q_load_xml_roundtrip,
         "load_json_declared_schema": _q_load_json_schema,
         "with_columns_exprs": _q_with_columns,
@@ -1746,6 +1791,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_pandas_zscore": GROUPED_ZSCORE_ORACLE,
         "load_csv_roundtrip": LOAD_CSV_ORACLE,
         "jdbc_roundtrip": JDBC_ROUNDTRIP_ORACLE,
+        "registry_delta_diff": REGISTRY_DELTA_DIFF_ORACLE,
         "load_xml_roundtrip": LOAD_XML_ORACLE,
         "load_json_declared_schema": LOAD_JSON_ORACLE,
         "with_columns_exprs": WITH_COLUMNS_ORACLE,
