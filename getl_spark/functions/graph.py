@@ -1,0 +1,146 @@
+"""Distributed connected components — the pairs→clusters step of dedup.
+
+Candidate-pair generators (``dedup.ngram_jaccard``, ``dedup.minhash_lsh``,
+``dedup.simhash_pairs``, ``dedup.embedding_cosine_pairs``) emit edges;
+training-data dedup then needs each document's *cluster* so exactly one
+canonical doc per near-duplicate group survives. This module closes that
+gap with the alternating large-star / small-star algorithm (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
+literature), which converges in O(log n) rounds of pure DataFrame
+joins/aggregations — no driver-side graph state, so it scales to
+edge sets that never fit on one machine.
+
+Why not plain min-label propagation: its round count is the graph
+*diameter* (a 1M-node chain needs 1M rounds); large-star/small-star
+contracts paths geometrically, so even adversarial chains finish in
+~log₂(n) rounds. Each round is two shuffles on node id; intermediate
+edge sets are localCheckpointed to truncate lineage (an iterative plan
+otherwise grows exponentially and breaks codegen).
+
+YAML-callable as ``graph.cluster_components`` inside
+``transform::generic``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _signature(edges: DataFrame) -> tuple:
+    """Cheap order-insensitive fingerprint of an edge set: (count,
+    xor of per-edge hashes — xor can't overflow under ANSI mode, and
+    the edge set is distinct so cancellation needs a real collision).
+    Two driver scalars — safe at any scale."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def cluster_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: Optional[DataFrame] = None,
+    node_col: str = "doc_id",
+    out_col: str = "component",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) where component = min node id reachable.
+
+    ``edges`` is an undirected pair list (direction/duplicates are
+    normalized away). When ``nodes`` is given, isolated nodes appear as
+    singleton components of themselves — pass the full corpus id set so
+    every document gets a cluster id.
+
+    Algorithm per round (node ids are compared as plain values, so any
+    orderable id type works):
+
+    * large-star: every node links its *larger* neighbors to the
+      minimum of its closed neighborhood.
+    * small-star: every node links its *smaller-or-equal* neighbors
+      (and itself) to that minimum.
+
+    The fixpoint is a star forest: each non-root points at its
+    component's minimum. Convergence is detected by an order-insensitive
+    edge-set fingerprint; ``max_iter`` is a guard far above the
+    ~log₂(n) rounds the algorithm needs (50 covers n ≈ 2⁵⁰).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = _signature(e)
+    for _ in range(max_iter):
+        if prev_sig[0] == 0:
+            break
+        # large-star: over the symmetric view, m(u) = min(N(u) ∪ {u});
+        # emit (v, m(u)) for each neighbor v > u.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient edges high→low, m(u) = min of the low side;
+        # emit (v, m(u)) for each low neighbor and (u, m(u)) for u itself.
+        o = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smin = o.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            o.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e_new = small.localCheckpoint()
+        sig = _signature(e_new)
+        e = e_new
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    comp = e.select(F.col("u").alias(node_col), F.col("v").alias(out_col)).union(
+        e.select(F.col("v").alias(node_col), F.col("v").alias(out_col)).distinct()
+    )
+    if nodes is not None:
+        all_nodes = nodes.select(F.col(node_col)).distinct()
+        comp = (
+            all_nodes.join(comp, node_col, "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.col(node_col)))
+        )
+    return comp.select(node_col, out_col)
+
+
+def dedup_by_component(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    keep: str = "min",
+) -> DataFrame:
+    """Keep one canonical row per near-duplicate cluster.
+
+    Composes ``cluster_components`` with a semi-join back onto the
+    corpus: the survivor of each cluster is its minimum id (``keep
+    ='min'``, deterministic). Rows in no pair survive untouched. The
+    corpus-side join is on id — broadcastable when the pair set is
+    small relative to the corpus, one shuffle otherwise.
+    """
+    if keep != "min":
+        raise ValueError("only keep='min' is supported (deterministic winner)")
+    comp = cluster_components(pairs, src=src, dst=dst, node_col=id_col)
+    losers = comp.where(F.col(id_col) != F.col("component")).select(id_col)
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,166 @@
+"""Connected-components clustering and as-of join."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from getl_spark.functions import asof, graph
+
+
+def _brute_components(edges, nodes):
+    """Driver-side union-find ground truth."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, then label by component min
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def test_components_basic_clusters(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        (r["doc_id"], r["component"])
+        for r in graph.cluster_components(df).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
+
+
+def test_components_long_chain_converges_fast(spark):
+    # a 200-node path is the worst case for plain label propagation;
+    # large-star/small-star must still finish within its iteration guard
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = graph.cluster_components(df, max_iter=12).collect()
+    assert len(out) == 201
+    assert {r["component"] for r in out} == {0}
+
+
+def test_components_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(120))
+    edges = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(90)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    truth = _brute_components(edges, nodes)
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], ["doc_id"])
+    edges_df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["doc_id"]: r["component"]
+        for r in graph.cluster_components(edges_df, nodes=nodes_df).collect()
+    }
+    assert got == truth
+
+
+def test_components_empty_and_isolated(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(5,), (9,)], ["doc_id"])
+    got = {
+        (r["doc_id"], r["component"])
+        for r in graph.cluster_components(edges, nodes=nodes).collect()
+    }
+    assert got == {(5, 5), (9, 9)}
+
+
+def test_dedup_by_component_keeps_cluster_min(spark):
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 3), (3, 5), (1, 4)], ["id_a", "id_b"])
+    kept = {r["doc_id"] for r in graph.dedup_by_component(df, pairs).collect()}
+    assert kept == {0, 1, 2}
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 25, "l2"), (1, 5, "l0"), (2, 40, "l3")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0), (2, 50, 9.0)], ["k", "ts", "val"]
+    )
+    out = {
+        r["tag"]: (r["ts_right"], r["val"])
+        for r in asof.join(left, right, on="k", left_ts="ts").collect()
+    }
+    # inclusive at equal ts, latest-at-or-before otherwise, NULL when none
+    assert out == {
+        "l0": (None, None),
+        "l1": (10, 1.0),
+        "l2": (20, 2.0),
+        "l3": (None, None),
+    }
+
+
+def test_asof_forward_and_tolerance(spark):
+    left = spark.createDataFrame([(1, 10), (1, 100)], ["k", "ts"])
+    right = spark.createDataFrame([(1, 12, "a"), (1, 300, "b")], ["k", "ts", "v"])
+    fwd = {
+        r["ts"]: r["v"]
+        for r in asof.join(left, right, on="k", left_ts="ts", direction="forward").collect()
+    }
+    assert fwd == {10: "a", 100: "b"}
+    tol = {
+        r["ts"]: r["v"]
+        for r in asof.join(
+            left, right, on="k", left_ts="ts", direction="forward", tolerance=F.lit(50)
+        ).collect()
+    }
+    assert tol == {10: "a", 100: None}
+
+
+def test_asof_null_right_value_still_matches(spark):
+    # a right row whose VALUE is null must still win over an older row
+    left = spark.createDataFrame([(1, 30)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [Row(k=1, ts=10, v="old"), Row(k=1, ts=20, v=None)], ["k", "ts", "v"]
+    )
+    row = asof.join(left, right, on="k", left_ts="ts").collect()[0]
+    assert row["ts_right"] == 20 and row["v"] is None
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    rng = random.Random(11)
+    lrows = [(rng.randrange(4), rng.randrange(1000)) for _ in range(300)]
+    rrows = [
+        (rng.randrange(4), rng.randrange(1000), rng.random()) for _ in range(200)
+    ]
+    left = spark.createDataFrame(lrows, ["k", "ts"]).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    right = spark.createDataFrame(rrows, ["k", "ts", "val"])
+    # pandas merge_asof needs unique right (k, ts); dedup to max val
+    rpdf = (
+        pd.DataFrame(rrows, columns=["k", "ts", "val"])
+        .groupby(["k", "ts"], as_index=False)["val"]
+        .max()
+        .sort_values("ts")
+    )
+    rdf = spark.createDataFrame(rpdf)
+    got = (
+        asof.join(left, rdf, on="k", left_ts="ts")
+        .orderBy("rid")
+        .toPandas()
+    )
+    lpdf = got[["k", "ts", "rid"]].sort_values("ts")
+    expect = pd.merge_asof(lpdf, rpdf, on="ts", by="k", direction="backward")
+    expect = expect.sort_values("rid")
+    assert list(got.sort_values("rid")["val"].fillna(-1).round(9)) == list(
+        expect["val"].fillna(-1).round(9)
+    )
