@@ -256,4 +256,8 @@ def with_columns(conf: BlockConfig) -> DataFrame:
     whole-stage codegen."""
     df = conf.input_df()
     exprs = {c["name"]: F.expr(c["expr"]) for c in conf.get("Columns")}
-    return df.withColumns(exprs)
+    out = df.withColumns(exprs)
+    keep = conf.get("Select", default=None)
+    if keep:
+        out = out.select(*keep)
+    return out
