@@ -6,15 +6,20 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {...}, "sf": ...}
 
-Each query is forced with a count()/collect() action; the session is
-warmed with one tiny action first so JVM/codegen startup isn't billed
-to the first query.
+Each query is forced with a count() action; the session is warmed with
+one tiny action first so JVM/codegen startup isn't billed to the first
+query. Three runs per query: the headline number is the min
+(steady-state, least machine-load noise); per-run times and the median
+go out in ``runs``/``queries_median`` so round-over-round deltas can be
+told apart from variance (round 2 showed a uniform ±20-50% swing on
+untouched queries — machine noise, not regressions).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -33,16 +38,19 @@ BENCH_QUERIES = [
     "session_window_10min",
     "where_predicate_dsl",
     "join_block",
-    "drop_duplicates_all",
+    "drop_duplicates_block",
     "explode_split_wordcount",
+    "asof_join_events",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_cluster_components",
     "similarity_topk_bruteforce",
-    "text_quality",
-    "text_fingerprint",
-    "multimodal_features",
+    "text_analysis",
+    "multimodal_pipeline",
 ]
+
+RUNS = 3
 
 
 def main() -> None:
@@ -57,22 +65,24 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = queries[name]
-        # best of 2: first run pays one-time codegen/JIT for the
-        # query's operators; the min is the steady-state number and
-        # halves machine-load noise
-        best, rows = None, 0
-        for _ in range(2):
+        # run 1 pays one-time codegen/JIT for the query's operators;
+        # min over 3 is the steady-state number
+        times, rows = [], 0
+        for _ in range(RUNS):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             rows = df.count()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            times.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(times)
+        medians[name] = round(statistics.median(times), 3)
+        runs[name] = times
         total += timings[name]
-        print(f"# {name}: {rows} rows in {best:.2f}s", file=sys.stderr)
+        print(f"# {name}: {rows} rows in {min(times):.2f}s {times}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -81,8 +91,16 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "runs_per_query": 2,
+                "queries_median": medians,
+                "runs": runs,
+                "runs_per_query": RUNS,
                 "agg": "min",
+                "variance_note": (
+                    "per-query min over 3 runs; medians + raw runs included "
+                    "so cross-round deltas can be separated from machine "
+                    "noise (r01->r02 showed uniform +-20-50% swings on "
+                    "untouched pure-SQL queries)"
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

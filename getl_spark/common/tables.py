@@ -140,6 +140,40 @@ class ManagedTable:
             df = df.withColumn(name, F.when(condition, expr).otherwise(F.col(name)))
         self._rewrite(df)
 
+    def update_matching(
+        self, keys: DataFrame, key_col: str, condition, assignments: dict
+    ) -> None:
+        """Join-based conditional update: rows whose ``key_col`` appears
+        in ``keys`` AND satisfy ``condition`` get ``assignments``
+        applied. The set-membership test runs as a (broadcastable) join
+        instead of an ``isin()`` list, which would otherwise build an
+        In-expression as wide as the key set — a codegen/analysis
+        hazard past a few thousand values."""
+        if self.fmt == "delta":
+            (
+                DeltaTable.forPath(self.spark, self.path)
+                .alias("source")
+                .merge(
+                    keys.select(key_col).alias("updates"),
+                    f"source.{key_col} = updates.{key_col}",
+                )
+                .whenMatchedUpdate(condition=condition, set=assignments)
+                .execute()
+            )
+            return
+        from pyspark.sql import functions as F
+
+        flag = "__getl_in_keys"
+        marked = self.read().join(
+            keys.select(key_col).distinct().withColumn(flag, F.lit(True)),
+            key_col,
+            "left",
+        )
+        cond = condition & F.col(flag).isNotNull()
+        for name, expr in assignments.items():
+            marked = marked.withColumn(name, F.when(cond, expr).otherwise(F.col(name)))
+        self._rewrite(marked.drop(flag))
+
     # ------------------------------------------------------------ maintenance
     def optimize(self, zorder_by: Optional[List[str]] = None) -> None:
         """Delta OPTIMIZE [ZORDER BY] (reference

@@ -98,7 +98,11 @@ def ngram_jaccard(
     recall loss: a pair whose every shared shingle has df > max_df —
     set ``max_df`` above the largest expected duplicate-cluster size.
     """
-    shingles = _shingles(df, id_col, text_col, n).cache()
+    # localCheckpoint (not cache): truncates lineage so the multi-way
+    # reuse below plans against a materialized stub, and the blocks are
+    # freed when the DataFrame is dereferenced — cache() persisted for
+    # the session lifetime unless manually unpersisted
+    shingles = _shingles(df, id_col, text_col, n).localCheckpoint()
     sizes = shingles.groupBy("id").agg(F.count("*").alias("size"))
     if max_df is not None:
         rare = (
@@ -450,7 +454,10 @@ def _hyperplane_band_keys(bands: int, planes_per_band: int, dim: int, seed: int)
     weights = (1 << np.arange(planes_per_band)).astype("int64")
 
     def _keys(vecs):
-        mat = np.array(vecs.tolist(), dtype="float64")
+        # reshape: a zero-row batch otherwise yields shape (0,) and the
+        # matmul raises; null embeddings must be filtered upstream (a
+        # null row here would turn the array into dtype=object)
+        mat = np.array(vecs.tolist(), dtype="float64").reshape(-1, dim)
         bits = (mat @ planes.T) >= 0  # (n, bands*r)
         keys = [
             bits[:, b * planes_per_band : (b + 1) * planes_per_band] @ weights
@@ -474,6 +481,7 @@ def embedding_cosine_pairs(
     seed: int = 42,
     brute_force: bool = False,
     dim: Optional[int] = None,
+    planes: Optional[int] = None,
 ) -> DataFrame:
     """Semantic near-dup pairs: cosine(a, b) ≥ threshold.
 
@@ -491,10 +499,31 @@ def embedding_cosine_pairs(
     hyperplanes (recall ≈ 0.43 at θ=18°).
 
     ``brute_force=True`` skips bucketing (ground truth / small data).
+
+    ``planes=`` (the pre-banding parameter name) is accepted for
+    backward compatibility and maps to a single band of that many sign
+    bits — equivalent to the old single-band behavior.
     """
     from getl_spark.functions.similarity import cosine_expr, embedding_dim, with_norm
 
-    vecs = with_norm(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
+    if planes is not None:
+        import warnings
+
+        warnings.warn(
+            "embedding_cosine_pairs(planes=...) is deprecated; use "
+            "bands=/planes_per_band= (planes=N maps to bands=1, "
+            "planes_per_band=N — the old single-band scheme with its "
+            "known recall gap on pairs straddling a hyperplane)",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        bands, planes_per_band = 1, int(planes)
+
+    vecs = with_norm(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).where(
+            F.col("vec").isNotNull()
+        )
+    )
     if brute_force:
         a = vecs.alias("a")
         b = vecs.alias("b")

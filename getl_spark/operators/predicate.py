@@ -83,7 +83,9 @@ def _format_value(operator: str, value: Any) -> str:
         # SQL (or an injection surface). Single-element lists are still
         # always rendered quoted, as the reference does.
         if len(value) == 1:
-            return f"('{str(value[0]).replace(chr(39), chr(39) * 2)}')"
+            # reference quirk (documented): a single-element in-list is
+            # always rendered quoted, even for non-string elements
+            return "(" + _scalar_sql(str(value[0])) + ")"
         return "(" + ", ".join(_scalar_sql(v) for v in value) + ")"
     return _scalar_sql(value)
 

@@ -23,6 +23,12 @@ from getl_spark.common.tables import ManagedTable
 
 LOGGER = logging.getLogger(__name__)
 
+# past this batch size, update() stamps via a join instead of isin()
+_ISIN_LIMIT = 1000
+# an uncapped backlog above this size logs a warning recommending
+# MaxFilesPerRun (reference parity keeps the default unbounded)
+_BACKLOG_WARN_THRESHOLD = 100_000
+
 
 def utcnow() -> dt.datetime:
     return dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
@@ -79,12 +85,19 @@ class ControlTableRegistry(FileRegistry, ABC):
         would mark them processed without ever reading them)."""
         if self.table.exists():
             condition = F.col("date_lifted").isNull()
-            if self._current_batch is not None:
-                condition = condition & F.col("file_path").isin(self._current_batch)
-            self.table.update(
-                condition,
-                {"date_lifted": F.lit(utcnow()).cast("timestamp")},
-            )
+            stamp = {"date_lifted": F.lit(utcnow()).cast("timestamp")}
+            batch = self._current_batch
+            if batch is not None and len(batch) > _ISIN_LIMIT:
+                # join-based stamping: an isin() over a huge batch builds
+                # an In-expression as wide as the batch
+                keys = self.spark.createDataFrame(
+                    [(p,) for p in batch], "file_path string"
+                )
+                self.table.update_matching(keys, "file_path", condition, stamp)
+            else:
+                if batch is not None:
+                    condition = condition & F.col("file_path").isin(batch)
+                self.table.update(condition, stamp)
 
     def _register_new_files(self, rows: list) -> None:
         """Insert-only merge of newly discovered files."""
@@ -94,12 +107,23 @@ class ControlTableRegistry(FileRegistry, ABC):
         self.table.insert_all(updates, "source.file_path = updates.file_path")
 
     def _unlifted_paths(self) -> list:
+        # reset up front: a stale batch from a prior load() on this
+        # instance must never restrict a later update() to old paths
+        self._current_batch = None
         df = self.table.read()
         if df is None:
             return []
         data = df.where(F.col("date_lifted").isNull()).select("file_path").collect()
         paths = sorted(row.file_path for row in data)
         cap = self.max_files_per_run
+        if cap is None and len(paths) > _BACKLOG_WARN_THRESHOLD:
+            LOGGER.warning(
+                "file registry at %s has %s pending files and no "
+                "MaxFilesPerRun bound — the whole backlog funnels through "
+                "one driver collect() and one load; set MaxFilesPerRun to "
+                "process it in bounded batches",
+                self.registry_path, len(paths),
+            )
         if cap is not None and len(paths) > int(cap):
             LOGGER.info(
                 "MaxFilesPerRun=%s: returning %s of %s pending files "

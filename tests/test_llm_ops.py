@@ -280,3 +280,31 @@ def test_ngram_jaccard_max_df_caps_stopword_skew(spark):
     assert capped[(100, 101)] == uncapped[(100, 101)]
     # and every capped pair's value matches the exact computation
     assert all(uncapped[p] == j for p, j in capped.items())
+
+
+def test_embedding_cosine_null_vectors_and_empty_partitions(spark):
+    """Null embedding rows are filtered before the band-key UDF (a null
+    would turn the Arrow batch into dtype=object), and empty partitions
+    (zero-row batches) don't break the matmul."""
+    from getl_spark.functions import dedup
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.001, 0.0]), (2, None), (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).repartition(16)
+    pairs = dedup.embedding_cosine_pairs(df, threshold=0.99).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(0, 1)}
+
+
+def test_embedding_cosine_planes_kwarg_deprecated(spark):
+    import pytest as _pytest
+
+    from getl_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.01])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    with _pytest.warns(DeprecationWarning, match="planes_per_band"):
+        out = dedup.embedding_cosine_pairs(df, threshold=0.99, planes=8)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(0, 1)}

@@ -12,14 +12,22 @@ ROWS = [
     {"a": 2, "b": "y", "c": -0.5},
     {"a": 3, "b": "z", "c": 0.0},
     {"a": 4, "b": "x", "c": 2.5},
+    {"a": 5, "b": "O'Brien", "c": 1.0},
+    {"a": 6, "b": "it''s", "c": 1.0},
     {"a": None, "b": None, "c": None},
 ]
+
+# quote-bearing values exercise the '' escaping in every list length
+# (single-element lists go through a separate formatter branch)
+B_VALUES = ["x", "y", "z", "w", "O'Brien", "it''s", "'", "a'b"]
 
 leaf = st.one_of(
     st.tuples(st.just("a"), st.sampled_from(["<", "<=", ">", ">=", "==", "!="]),
               st.integers(min_value=0, max_value=5)),
     st.tuples(st.just("b"), st.just("in"),
-              st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=3, unique=True)),
+              st.lists(st.sampled_from(B_VALUES), min_size=1, max_size=3, unique=True)),
+    st.tuples(st.just("b"), st.sampled_from(["==", "!="]),
+              st.sampled_from(B_VALUES[4:])),
     st.tuples(st.just("c"), st.sampled_from(["<", ">"]),
               st.floats(min_value=-1, max_value=3, allow_nan=False)),
     st.tuples(st.just("b"), st.just("=="), st.just("null")),
