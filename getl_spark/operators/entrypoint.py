@@ -250,6 +250,52 @@ def session_window(conf: BlockConfig) -> DataFrame:
     )
 
 
+def asof_join(conf: BlockConfig) -> DataFrame:
+    """As-of join block: ``Input: [left, right]``.
+
+    Properties: ``JoinOn`` (key column or list — named to dodge the
+    YAML 1.1 footgun where a bare ``On:`` key parses as boolean True;
+    ``On`` still works from dict-built definitions), ``LeftTime``,
+    ``RightTime`` (default = LeftTime), ``RightColumns`` (default = all
+    non-key, non-time right columns), ``Direction`` (backward|forward),
+    ``Tolerance`` (SQL expression, e.g. ``3600`` or
+    ``INTERVAL 1 HOUR``), ``Suffix``.
+    """
+    from getl_spark.functions import asof as A
+
+    left, right = _two_inputs(conf)
+    tolerance = conf.get("Tolerance", None)
+    return A.join(
+        left,
+        right,
+        on=conf.get("JoinOn", None) or conf.get("On"),
+        left_ts=conf.get("LeftTime"),
+        right_ts=conf.get("RightTime", None),
+        right_cols=conf.get("RightColumns", None),
+        direction=conf.get("Direction", "backward"),
+        tolerance=F.expr(str(tolerance)) if tolerance is not None else None,
+        suffix=conf.get("Suffix", "_right"),
+    )
+
+
+def stream_dedup(conf: BlockConfig) -> DataFrame:
+    """Ingest dedup block (batch & streaming).
+
+    Properties: ``Keys`` (subset columns), ``TimeColumn`` +
+    ``Watermark`` (streaming: bounds the per-key state to the watermark
+    horizon via ``dropDuplicatesWithinWatermark``). Batch inputs get an
+    exact ``dropDuplicates``.
+    """
+    from getl_spark.streaming import windows as W
+
+    return W.dedup(
+        conf.input_df(),
+        keys=conf.get("Keys"),
+        time_col=conf.get("TimeColumn", None),
+        watermark=conf.get("Watermark", None),
+    )
+
+
 def with_columns(conf: BlockConfig) -> DataFrame:
     """Add computed columns from SQL expressions:
     ``Columns: [{name: x2, expr: "x * 2"}, ...]`` — stays fully inside

@@ -44,8 +44,11 @@ def redact(params) -> object:
     (reference redacts in its job log; asserted in its integration
     tests)."""
     if isinstance(params, dict):
+        # str(key): YAML 1.1 keys like `On:` arrive as booleans
         return {
-            key: "***" if any(s in key.lower() for s in SECRET_KEYS) else redact(value)
+            key: "***"
+            if any(s in str(key).lower() for s in SECRET_KEYS)
+            else redact(value)
             for key, value in params.items()
         }
     if isinstance(params, list):

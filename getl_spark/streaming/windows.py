@@ -102,3 +102,26 @@ def session(
         *(group_by or []),
         *[spec.get("alias", f"{spec['agg']}_{spec.get('col', 'all')}") for spec in aggregations],
     )
+
+
+def dedup(
+    df: DataFrame,
+    keys: List[str],
+    time_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Streaming/batch ingest deduplication on key columns.
+
+    On a stream with ``time_col`` + ``watermark``,
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
+    watermark horizon — the state stays finite on an unbounded stream,
+    the property plain ``dropDuplicates`` lacks (its state grows with
+    every distinct key ever seen). A duplicate arriving within the
+    watermark of its first occurrence is dropped; later re-occurrences
+    (beyond state eviction) can re-emit — the standard at-least-once
+    ingest-dedup contract. On a batch DataFrame the same call is an
+    exact ``dropDuplicates`` (deterministic for the oracle).
+    """
+    if df.isStreaming and time_col and watermark:
+        return df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)

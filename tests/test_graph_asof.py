@@ -164,3 +164,39 @@ def test_asof_matches_pandas_merge_asof(spark):
     assert list(got.sort_values("rid")["val"].fillna(-1).round(9)) == list(
         expect["val"].fillna(-1).round(9)
     )
+
+
+def test_asof_join_yaml_block(spark, tmp_path):
+    """transform::asof_join as a two-input lift block, with tolerance."""
+    from getl_spark import lift
+
+    left_p, right_p = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [(1, 10), (1, 100), (2, 50)], "k BIGINT, ts BIGINT"
+    ).write.parquet(left_p)
+    spark.createDataFrame(
+        [(1, 8, "a"), (1, 20, "b"), (2, 49, "c")], "k BIGINT, ts BIGINT, v STRING"
+    ).write.parquet(right_p)
+
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  L:
+    Type: load::batch_parquet
+    Properties: {{Path: {left_p}}}
+  R:
+    Type: load::batch_parquet
+    Properties: {{Path: {right_p}}}
+  A:
+    Type: transform::asof_join
+    Input: [L, R]
+    Properties:
+      JoinOn: k
+      LeftTime: ts
+      Tolerance: 10
+""",
+    )
+    out = {(r.k, r.ts): r.v for r in log.get("A").collect()}
+    # (1,100): nearest prior is ts=20, 80 away > tolerance 10 → null
+    assert out == {(1, 10): "a", (1, 100): None, (2, 50): "c"}

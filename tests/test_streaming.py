@@ -108,3 +108,56 @@ def test_time_window_on_real_stream(spark, tmp_path):
         "2024-01-01T00:00:00": (2, 3.0),
         "2024-01-01T01:00:00": (1, 3.0),
     }
+
+
+def test_stream_dedup_within_watermark_on_real_stream(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps per-key state only for the
+    watermark horizon — duplicates inside it are dropped; state stays
+    finite on an unbounded stream."""
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    with open(src / "data.json", "w") as fh:
+        fh.write('{"ts": "2024-01-01T00:00:00.000Z", "k": "a", "v": 1}\n')
+        fh.write('{"ts": "2024-01-01T00:01:00.000Z", "k": "a", "v": 2}\n')  # dup key
+        fh.write('{"ts": "2024-01-01T00:02:00.000Z", "k": "b", "v": 3}\n')
+
+    stream = spark.readStream.schema("ts TIMESTAMP, k STRING, v LONG").json(str(src))
+    from getl_spark.streaming import windows as W
+
+    deduped = W.dedup(stream, keys=["k"], time_col="ts", watermark="1 hour")
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    rows = spark.sql("SELECT k FROM dedup_test").collect()
+    assert sorted(r.k for r in rows) == ["a", "b"]
+
+
+def test_stream_dedup_block_batch_path(spark, tmp_path):
+    """The transform::stream_dedup block on a batch input is an exact
+    dropDuplicates over the keys."""
+    from getl_spark import lift
+
+    src = str(tmp_path / "batch_src")
+    spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")], "id BIGINT, v STRING"
+    ).write.parquet(src)
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  L:
+    Type: load::batch_parquet
+    Properties: {{Path: {src}}}
+  D:
+    Type: transform::stream_dedup
+    Input: L
+    Properties:
+      Keys: [id]
+""",
+    )
+    assert sorted(r.id for r in log.get("D").collect()) == [1, 2]
