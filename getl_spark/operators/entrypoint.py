@@ -278,6 +278,25 @@ def asof_join(conf: BlockConfig) -> DataFrame:
     )
 
 
+def quota_filter(conf: BlockConfig) -> DataFrame:
+    """Per-key contribution-budget block (batch & streaming).
+
+    Properties: ``Key``, ``CountColumn``, ``Budget``, ``OrderColumn``.
+    Streaming inputs carry the spent amount as per-key state across
+    micro-batches (``applyInPandasWithState``); batch inputs run a
+    cumulative-window filter.
+    """
+    from getl_spark.streaming.stateful import quota_filter as _qf
+
+    return _qf(
+        conf.input_df(),
+        key_col=conf.get("Key"),
+        count_col=conf.get("CountColumn"),
+        budget=int(conf.get("Budget")),
+        order_col=conf.get("OrderColumn"),
+    )
+
+
 def stream_dedup(conf: BlockConfig) -> DataFrame:
     """Ingest dedup block (batch & streaming).
 

@@ -1,0 +1,91 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The one implemented here, ``quota_filter``, is a data-mixing primitive
+for training pipelines: cap how much each key (source/domain/license
+bucket) may contribute — rows pass through in ``order_col`` order until
+the key's ``budget`` of ``count_col`` units (tokens, bytes, docs) is
+spent; everything after is dropped. On a stream the spent amount is
+**per-key state carried across micro-batches** (Arrow-batched, state is
+one long per key, so state size is O(distinct keys), not O(rows)); on a
+batch DataFrame the same semantics run as a cumulative-sum window — one
+shuffle, no Python state at all.
+
+Why applyInPandasWithState and not an aggregation: the operator emits
+*rows* (append mode), filtered by a running per-key total that must
+survive across triggers — exactly the shape Spark's built-in windowed
+aggregations can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_CUM = "__getl_cum"
+
+
+def quota_filter(
+    df: DataFrame,
+    key_col: str,
+    count_col: str,
+    budget: int,
+    order_col: str,
+) -> DataFrame:
+    """Keep rows per key while the running sum of ``count_col`` (in
+    ``order_col`` order) stays within ``budget``; a row that would cross
+    the budget is dropped, as is everything after it for that key.
+
+    Batch: cumulative window sum, fully JVM-side. Streaming: per-key
+    long state via ``applyInPandasWithState``; within one micro-batch
+    rows are processed in ``order_col`` order, across batches in
+    arrival order (standard streaming quota semantics — a global order
+    over an unbounded stream does not exist).
+    """
+    if not df.isStreaming:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.withColumn(_CUM, F.sum(count_col).over(w))
+            .where(F.col(_CUM) <= budget)
+            .drop(_CUM)
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = df.schema
+    columns = df.columns
+
+    def apply_quota(key, pdf_iter, state: GroupState):
+        used = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            keep_rows = []
+            for _, row in pdf.iterrows():
+                inc = int(row[count_col])
+                if used + inc > budget:
+                    # budget crossed: this row and later ones drop, but
+                    # keep scanning — a smaller later row may still fit
+                    # in batch order? No: quota semantics are
+                    # first-come-first-served, so stop consuming.
+                    used = budget + 1  # poison: nothing further fits
+                    break
+                used += inc
+                keep_rows.append(row)
+            if keep_rows:
+                import pandas as pd
+
+                yield pd.DataFrame(keep_rows)[columns]
+        state.update((min(used, budget + 1),))
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            apply_quota,
+            out_schema,
+            "used long",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

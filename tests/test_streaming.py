@@ -161,3 +161,81 @@ LiftJob:
 """,
     )
     assert sorted(r.id for r in log.get("D").collect()) == [1, 2]
+
+
+def test_quota_filter_batch_cumulative(spark):
+    """Batch path: per-key first-come-first-served budget via
+    cumulative window sum."""
+    from getl_spark.streaming.stateful import quota_filter
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 5), ("a", 2, 10), ("a", 3, 3),  # 5 ok, 15 crosses, stop
+            ("b", 1, 8), ("b", 2, 1),                # 8 ok, 9 crosses
+        ],
+        "k STRING, seq BIGINT, n BIGINT",
+    )
+    out = {(r.k, r.seq) for r in quota_filter(df, "k", "n", 8, "seq").collect()}
+    assert out == {("a", 1), ("b", 1)}
+
+
+def test_quota_filter_state_carries_across_microbatches(spark, tmp_path):
+    """Streaming path: the per-key spent amount persists across
+    triggers — budget consumed in batch 1 limits batch 2."""
+    import json as _json
+
+    from getl_spark.streaming.stateful import quota_filter
+
+    src = tmp_path / "quota_in"
+    src.mkdir()
+    # two files + maxFilesPerTrigger=1 → two micro-batches
+    with open(src / "b1.json", "w") as fh:
+        fh.write(_json.dumps({"k": "a", "seq": 1, "n": 6}) + "\n")
+        fh.write(_json.dumps({"k": "b", "seq": 1, "n": 2}) + "\n")
+    with open(src / "b2.json", "w") as fh:
+        fh.write(_json.dumps({"k": "a", "seq": 2, "n": 5}) + "\n")  # 6+5 > 8: drop
+        fh.write(_json.dumps({"k": "b", "seq": 2, "n": 5}) + "\n")  # 2+5 <= 8: keep
+
+    stream = (
+        spark.readStream.schema("k STRING, seq BIGINT, n BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = quota_filter(stream, "k", "n", 8, "seq")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("quota_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    rows = {(r.k, r.seq) for r in spark.sql("SELECT k, seq FROM quota_test").collect()}
+    assert rows == {("a", 1), ("b", 1), ("b", 2)}
+
+
+def test_quota_filter_yaml_block(spark, tmp_path):
+    from getl_spark import lift
+
+    src = str(tmp_path / "quota_src")
+    spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 10), ("b", 1, 8)], "k STRING, seq BIGINT, n BIGINT"
+    ).write.parquet(src)
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  L:
+    Type: load::batch_parquet
+    Properties: {{Path: {src}}}
+  Q:
+    Type: transform::quota_filter
+    Input: L
+    Properties:
+      Key: k
+      CountColumn: n
+      Budget: 8
+      OrderColumn: seq
+""",
+    )
+    assert {(r.k, r.seq) for r in log.get("Q").collect()} == {("a", 1), ("b", 1)}
