@@ -1,0 +1,94 @@
+"""Deterministic sampling & source-mixing for training-data pipelines.
+
+Random sampling with ``rand()`` is not reproducible across retries,
+task re-execution, or cluster re-runs — a liability when a training
+mixture must be auditable. Every operator here derives its randomness
+from a *content hash* (``xxhash64`` of id columns + a seed salt), so
+the same input rows always make the same decision, on any cluster, at
+any parallelism:
+
+* ``hash_fraction`` — Bernoulli-style keep-with-probability-p as a pure
+  scan-side filter: no shuffle, no state, pushdown-friendly.
+* ``per_key_cap`` — exactly ≤ k rows per key, chosen by hash order:
+  one shuffle (window on key), the per-key winner set is stable.
+* ``weighted_mix`` — a named mixture over sources: each source is
+  hash-sampled to its weight and tagged, then unioned — the standard
+  "data recipe" step before training, reproducible end to end.
+
+All JVM column expressions; nothing leaves whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# hash bucket granularity: probabilities resolve to 1/2^20 steps
+_BUCKETS = 1 << 20
+
+
+def _unit_hash(id_cols: Sequence[str], seed: int):
+    """Deterministic uniform-ish value in [0, 1) from id columns."""
+    h = F.xxhash64(*[F.col(c) for c in id_cols], F.lit(seed))
+    return F.pmod(h, F.lit(_BUCKETS)) / F.lit(float(_BUCKETS))
+
+
+def hash_fraction(
+    df: DataFrame,
+    fraction: float,
+    id_cols: Sequence[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Keep each row with probability ``fraction``, decided by a
+    content hash — deterministic, shuffle-free, and stable under
+    retries (the property ``df.sample()`` lacks)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(_unit_hash(id_cols, seed) < fraction)
+
+
+def per_key_cap(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    k: int,
+    id_cols: Sequence[str],
+    seed: int = 0,
+) -> DataFrame:
+    """At most ``k`` rows per key, selected by hash order — a
+    deterministic uniform-without-replacement sample per key. One
+    shuffle on the key; ties broken by the full hash so the winner set
+    is unique for distinct ids."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        _unit_hash(id_cols, seed).asc(), *[F.col(c).asc() for c in id_cols]
+    )
+    tag = "__getl_sample_rn"
+    return df.withColumn(tag, F.row_number().over(w)).where(F.col(tag) <= k).drop(tag)
+
+
+def weighted_mix(
+    sources: Dict[str, DataFrame],
+    weights: Dict[str, float],
+    id_cols: Sequence[str],
+    seed: int = 0,
+    source_col: Optional[str] = "source_name",
+) -> DataFrame:
+    """Build a training mixture: hash-sample each named source to its
+    weight (a keep-fraction in [0, 1]) and union the results, tagging
+    rows with ``source_col``. Schemas must match (unionByName). Weights
+    are per-source keep rates, not normalized shares — callers that
+    want shares compute fractions from corpus sizes first."""
+    missing = set(sources) - set(weights)
+    if missing:
+        raise ValueError(f"no weight for sources: {sorted(missing)}")
+    parts: List[DataFrame] = []
+    for idx, (name, df) in enumerate(sorted(sources.items())):
+        part = hash_fraction(df, weights[name], id_cols, seed=seed + idx)
+        if source_col:
+            part = part.withColumn(source_col, F.lit(name))
+        parts.append(part)
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out

@@ -1,0 +1,90 @@
+"""Deterministic sampling / mixing operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from getl_spark.functions import sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("src"),
+    )
+
+
+def test_hash_fraction_deterministic_and_unbiased(docs):
+    a = sample.hash_fraction(docs, 0.3, ["doc_id"], seed=7)
+    b = sample.hash_fraction(docs, 0.3, ["doc_id"], seed=7)
+    ids_a = {r.doc_id for r in a.collect()}
+    ids_b = {r.doc_id for r in b.collect()}
+    assert ids_a == ids_b  # reproducible
+    assert 0.25 < len(ids_a) / 2000 < 0.35  # close to requested rate
+    # different seed → different (mostly) selection
+    ids_c = {r.doc_id for r in sample.hash_fraction(docs, 0.3, ["doc_id"], seed=8).collect()}
+    assert ids_c != ids_a
+
+
+def test_hash_fraction_is_nested_by_rate(docs):
+    """A 0.2 sample is a subset of the 0.5 sample at the same seed —
+    hash thresholds nest, so growing a sample never reshuffles it."""
+    small = {r.doc_id for r in sample.hash_fraction(docs, 0.2, ["doc_id"], seed=1).collect()}
+    large = {r.doc_id for r in sample.hash_fraction(docs, 0.5, ["doc_id"], seed=1).collect()}
+    assert small <= large
+
+
+def test_hash_fraction_bounds():
+    with pytest.raises(ValueError):
+        sample.hash_fraction(None, 1.5, ["doc_id"])
+
+
+def test_per_key_cap_exact_k_and_stable(docs):
+    capped = sample.per_key_cap(docs, "src", 10, ["doc_id"], seed=3)
+    counts = {r.src: r.n for r in capped.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 10, "1": 10, "2": 10, "3": 10}
+    again = sample.per_key_cap(docs, "src", 10, ["doc_id"], seed=3)
+    assert {tuple(r) for r in capped.collect()} == {tuple(r) for r in again.collect()}
+    # keys with fewer than k rows keep everything
+    tiny = docs.where(F.col("doc_id") < 3)
+    assert sample.per_key_cap(tiny, "src", 10, ["doc_id"]).count() == 3
+
+
+def test_weighted_mix_tags_and_rates(spark, docs):
+    srcs = {
+        "web": docs.where(F.col("src") == "0").select("doc_id"),
+        "books": docs.where(F.col("src") == "1").select("doc_id"),
+    }
+    mixed = sample.weighted_mix(srcs, {"web": 0.1, "books": 1.0}, ["doc_id"], seed=5)
+    by_src = {r.source_name: r.n for r in mixed.groupBy("source_name").agg(F.count("*").alias("n")).collect()}
+    assert by_src["books"] == 500  # weight 1.0 keeps all
+    assert 20 < by_src["web"] < 80  # ~10% of 500
+    with pytest.raises(ValueError, match="no weight"):
+        sample.weighted_mix(srcs, {"web": 0.1}, ["doc_id"])
+
+
+def test_sampling_yaml_path(spark, tmp_path):
+    """Dotted-path call through transform::generic."""
+    from getl_spark import lift
+
+    src = str(tmp_path / "s")
+    spark.range(100).select(F.col("id").alias("doc_id")).write.parquet(src)
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  L:
+    Type: load::batch_parquet
+    Properties: {{Path: {src}}}
+  S:
+    Type: transform::generic
+    Input: L
+    Properties:
+      Functions:
+        - sample.hash_fraction: {{fraction: 0.5, id_cols: [doc_id], seed: 2}}
+""",
+    )
+    n = log.get("S").count()
+    assert 30 < n < 70
