@@ -42,7 +42,14 @@ def generic(conf: BlockConfig) -> DataFrame:
     for func_meta in conf.get("Functions"):
         name, params = _function_meta(func_meta)
         func = _lookup(name)
-        if name in ("join", "union", "union_by_name", "skew.salted_join"):
+        if name in (
+            "join",
+            "union",
+            "union_by_name",
+            "skew.salted_join",
+            "interval.join",
+            "asof.join",
+        ):
             # multi-input operators consume [left, right] from Input
             dataframe = func(*_two_inputs(conf), **params)
         else:

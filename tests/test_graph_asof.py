@@ -200,3 +200,14 @@ LiftJob:
     out = {(r.k, r.ts): r.v for r in log.get("A").collect()}
     # (1,100): nearest prior is ts=20, 80 away > tolerance 10 → null
     assert out == {(1, 10): "a", (1, 100): None, (2, 50): "c"}
+
+
+def test_components_hub_skew(spark):
+    """A 500-spoke star (one hub) is the worst-case skew key for the
+    self-join family; large-star/small-star must converge in few rounds
+    and label everything with the min."""
+    edges = [(250, i) for i in range(500) if i != 250]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = graph.cluster_components(df, max_iter=6).collect()
+    assert len(out) == 500
+    assert {r["component"] for r in out} == {0}

@@ -1,0 +1,107 @@
+"""Bucketized interval join vs naive inequality-join ground truth."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from getl_spark.functions import interval
+
+
+def _naive(points, intervals, keys, closed):
+    out = set()
+    for pk, p, pid in points:
+        for ik, s, e, iid in intervals:
+            if keys and pk != ik:
+                continue
+            lo = s <= p if closed in ("both", "left") else s < p
+            hi = p <= e if closed in ("both", "right") else p < e
+            if lo and hi:
+                out.add((pid, iid))
+    return out
+
+
+@pytest.mark.parametrize("closed", ["both", "left", "right", "neither"])
+def test_interval_join_matches_naive(spark, closed):
+    rng = random.Random(3)
+    points = [(rng.randrange(3), rng.randrange(200), i) for i in range(150)]
+    intervals = []
+    for i in range(60):
+        s = rng.randrange(200)
+        intervals.append((rng.randrange(3), s, s + rng.randrange(0, 40), i))
+
+    pdf = spark.createDataFrame(points, "k INT, p INT, pid INT")
+    idf = spark.createDataFrame(intervals, "k INT, s INT, e INT, iid INT")
+    got = {
+        (r.pid, r.iid)
+        for r in interval.join(
+            pdf, idf, "p", "s", "e", bucket_width=16, on="k", closed=closed
+        ).collect()
+    }
+    assert got == _naive(points, intervals, keys=True, closed=closed)
+
+
+def test_interval_join_no_keys_and_wide_intervals(spark):
+    # interval spanning many buckets still matches exactly once
+    pdf = spark.createDataFrame([(5, 0), (99, 1), (100, 2)], "p INT, pid INT")
+    idf = spark.createDataFrame([(0, 100, 0)], "s INT, e INT, iid INT")
+    got = {
+        (r.pid, r.iid)
+        for r in interval.join(pdf, idf, "p", "s", "e", bucket_width=3).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0)}
+
+
+def test_interval_join_column_collision_suffix(spark):
+    pdf = spark.createDataFrame([(10, "pt")], "p INT, tag STRING")
+    idf = spark.createDataFrame([(5, 15, "iv")], "s INT, e INT, tag STRING")
+    row = interval.join(pdf, idf, "p", "s", "e", bucket_width=10).collect()[0]
+    assert row.tag == "pt" and row.tag_iv == "iv"
+
+
+def test_interval_join_validation(spark):
+    pdf = spark.createDataFrame([(1,)], "p INT")
+    with pytest.raises(ValueError, match="closed"):
+        interval.join(pdf, pdf, "p", "p", "p", 1, closed="open")
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval.join(pdf, pdf, "p", "p", "p", 0)
+
+
+def test_interval_join_negative_values(spark):
+    pdf = spark.createDataFrame([(-7, 0), (0, 1)], "p INT, pid INT")
+    idf = spark.createDataFrame([(-10, -5, 0), (-1, 1, 1)], "s INT, e INT, iid INT")
+    got = {
+        (r.pid, r.iid)
+        for r in interval.join(pdf, idf, "p", "s", "e", bucket_width=4).collect()
+    }
+    assert got == {(0, 0), (1, 1)}
+
+
+def test_interval_join_yaml_two_input(spark, tmp_path):
+    from getl_spark import lift
+
+    p_path, i_path = str(tmp_path / "p"), str(tmp_path / "i")
+    spark.createDataFrame([(10, 0), (50, 1)], "p INT, pid INT").write.parquet(p_path)
+    spark.createDataFrame([(5, 15, 7)], "s INT, e INT, iid INT").write.parquet(i_path)
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  P:
+    Type: load::batch_parquet
+    Properties: {{Path: {p_path}}}
+  I:
+    Type: load::batch_parquet
+    Properties: {{Path: {i_path}}}
+  J:
+    Type: transform::generic
+    Input: [P, I]
+    Properties:
+      Functions:
+        - interval.join: {{point_col: p, start_col: s, end_col: e, bucket_width: 8}}
+""",
+    )
+    got = {(r.pid, r.iid) for r in log.get("J").collect()}
+    assert got == {(0, 7)}
