@@ -31,13 +31,14 @@ _MATCHED = "__asof_ts"
 def join(
     left: DataFrame,
     right: DataFrame,
-    on: Union[str, Sequence[str]],
-    left_ts: str,
+    on: Optional[Union[str, Sequence[str]]] = None,
+    left_ts: str = "",
     right_ts: Optional[str] = None,
     right_cols: Optional[List[str]] = None,
     direction: str = "backward",
     tolerance: Optional[Column] = None,
     suffix: str = "_right",
+    join_on: Optional[Union[str, Sequence[str]]] = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the right row with the
     greatest ``right_ts`` <= ``left_ts`` for the same key(s)
@@ -56,6 +57,11 @@ def join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    # join_on is the YAML-safe alias: a bare `on:` key parses as
+    # boolean True under YAML 1.1
+    on = on if on is not None else join_on
+    if not on or not left_ts:
+        raise ValueError("asof.join requires on/join_on and left_ts")
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
     if right_cols is None:

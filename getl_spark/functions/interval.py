@@ -39,6 +39,7 @@ def join(
     on: Optional[Union[str, Sequence[str]]] = None,
     closed: str = "both",
     suffix: str = "_iv",
+    join_on: Optional[Union[str, Sequence[str]]] = None,
 ) -> DataFrame:
     """Inner-join each point row to every interval row containing it
     (``closed`` picks boundary inclusivity), optionally also matching
@@ -52,6 +53,8 @@ def join(
         raise ValueError(f"closed must be one of {sorted(_CLOSED)}")
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    # YAML-safe alias (bare `on:` parses as boolean True in YAML 1.1)
+    on = on if on is not None else join_on
     keys = [on] if isinstance(on, str) else list(on or [])
 
     bw = F.lit(bucket_width)

@@ -211,3 +211,33 @@ def test_components_hub_skew(spark):
     out = graph.cluster_components(df, max_iter=6).collect()
     assert len(out) == 500
     assert {r["component"] for r in out} == {0}
+
+
+def test_asof_join_as_generic_head_with_join_on(spark, tmp_path):
+    """asof.join as the two-input head of transform::generic, using the
+    YAML-safe join_on alias."""
+    from getl_spark import lift
+
+    lp, rp = str(tmp_path / "gl"), str(tmp_path / "gr")
+    spark.createDataFrame([(1, 10)], "k BIGINT, ts BIGINT").write.parquet(lp)
+    spark.createDataFrame([(1, 7, "m")], "k BIGINT, ts BIGINT, v STRING").write.parquet(rp)
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  L:
+    Type: load::batch_parquet
+    Properties: {{Path: {lp}}}
+  R:
+    Type: load::batch_parquet
+    Properties: {{Path: {rp}}}
+  A:
+    Type: transform::generic
+    Input: [L, R]
+    Properties:
+      Functions:
+        - asof.join: {{join_on: k, left_ts: ts}}
+""",
+    )
+    row = log.get("A").collect()[0]
+    assert row.v == "m" and row.ts_right == 7
