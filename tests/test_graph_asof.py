@@ -241,3 +241,13 @@ LiftJob:
     )
     row = log.get("A").collect()[0]
     assert row.v == "m" and row.ts_right == 7
+
+
+def test_asof_plan_single_window_no_join(spark):
+    """asof.join compiles to union + one window pass — no join operator
+    at all, hence no range-explosion risk."""
+    left = spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("ts"))
+    right = spark.range(50).select(F.col("id").alias("k"), F.col("id").alias("ts"), F.col("id").alias("v"))
+    plan = asof.join(left, right, on="k", left_ts="ts")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Window") == 1

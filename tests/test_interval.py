@@ -105,3 +105,17 @@ LiftJob:
     )
     got = {(r.pid, r.iid) for r in log.get("J").collect()}
     assert got == {(0, 7)}
+
+
+def test_interval_join_plan_is_hash_join_not_nested_loop(spark):
+    """The reason this operator exists: the plan must be an equi
+    (hash/sort-merge) join on the bucket, never BroadcastNestedLoop or
+    a cartesian product."""
+    pdf = spark.range(1000).select(F.col("id").alias("p"), F.col("id").alias("pid"))
+    idf = spark.range(100).select(
+        (F.col("id") * 10).alias("s"), (F.col("id") * 10 + 5).alias("e"),
+        F.col("id").alias("iid"),
+    )
+    plan = interval.join(pdf, idf, "p", "s", "e", bucket_width=8)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan
