@@ -1,0 +1,65 @@
+"""Mergeable cardinality sketches (Apache DataSketches HLL, built into
+Spark ≥3.5 as ``hll_sketch_agg`` / ``hll_union_agg``).
+
+The 100 TB pattern: computing ``COUNT(DISTINCT x)`` over the whole lake
+per report is a full shuffle of every distinct value. Instead, sketch
+each partition/day/source ONCE into a few-KB binary, store the
+sketches, and answer any later rollup ("distinct users last 90 days",
+"unique docs per source overall") by *merging sketches* — no rescan, no
+re-shuffle of raw data, ~2% standard error at the default lgK=12.
+
+All JVM aggregate expressions (DataSketches is codegen'd); sketches are
+plain ``binary`` columns, so they persist through any sink and merge
+across jobs, clusters, and days.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_LGK = 12  # 2^12 buckets ≈ 2% relative standard error
+
+
+def distinct_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    sketch_col: str = "hll_sketch",
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """One HLL sketch of ``value_col`` per group (or one row total):
+    the build step, run close to the data (per partition/day/source)."""
+    keys = list(group_by or [])
+    agg = F.hll_sketch_agg(value_col, F.lit(lgk)).alias(sketch_col)
+    return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
+
+
+def merge_sketches(
+    df: DataFrame,
+    sketch_col: str = "hll_sketch",
+    group_by: Optional[Sequence[str]] = None,
+    estimate_col: str = "distinct_estimate",
+) -> DataFrame:
+    """Merge stored sketches (optionally re-grouped to a coarser key)
+    and emit the cardinality estimate — the rollup step, touching only
+    sketch bytes, never the raw data."""
+    keys = list(group_by or [])
+    merged = F.hll_union_agg(sketch_col, F.lit(True)).alias(sketch_col)
+    out = df.groupBy(*keys).agg(merged) if keys else df.agg(merged)
+    return out.withColumn(estimate_col, F.hll_sketch_estimate(sketch_col))
+
+
+def distinct_estimate(
+    df: DataFrame,
+    value_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    estimate_col: str = "distinct_estimate",
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Build + estimate in one pass (when no sketch needs storing)."""
+    sk = distinct_sketch(df, value_col, group_by, lgk=lgk)
+    return sk.withColumn(estimate_col, F.hll_sketch_estimate("hll_sketch")).drop(
+        "hll_sketch"
+    )
