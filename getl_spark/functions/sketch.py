@@ -63,3 +63,88 @@ def distinct_estimate(
     return sk.withColumn(estimate_col, F.hll_sketch_estimate("hll_sketch")).drop(
         "hll_sketch"
     )
+
+
+# ---------------------------------------------------- quantile sketches
+_KLL_DTYPES = ("double", "float", "bigint")
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    sketch_col: str = "kll_sketch",
+    dtype: str = "double",
+) -> DataFrame:
+    """One KLL quantile sketch of ``value_col`` per group — the
+    mergeable alternative to exact percentiles (which need a full sort
+    of every value): build per partition/day, answer any
+    quantile/rank later from the sketch bytes."""
+    if dtype not in _KLL_DTYPES:
+        raise ValueError(f"dtype must be one of {_KLL_DTYPES}")
+    agg = getattr(F, f"kll_sketch_agg_{dtype}")(
+        F.col(value_col).cast(dtype)
+    ).alias(sketch_col)
+    keys = list(group_by or [])
+    return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
+
+
+def merge_quantile_sketches(
+    df: DataFrame,
+    quantiles: Sequence[float],
+    sketch_col: str = "kll_sketch",
+    group_by: Optional[Sequence[str]] = None,
+    dtype: str = "double",
+) -> DataFrame:
+    """Merge stored KLL sketches (optionally to a coarser grouping) and
+    emit ``q_<quantile>`` columns."""
+    if dtype not in _KLL_DTYPES:
+        raise ValueError(f"dtype must be one of {_KLL_DTYPES}")
+    keys = list(group_by or [])
+    merged = getattr(F, f"kll_merge_agg_{dtype}")(sketch_col).alias(sketch_col)
+    out = df.groupBy(*keys).agg(merged) if keys else df.agg(merged)
+    get_q = getattr(F, f"kll_sketch_get_quantile_{dtype}")
+    for q in quantiles:
+        name = f"q_{str(q).replace('.', '_')}"
+        out = out.withColumn(name, get_q(F.col(sketch_col), F.lit(float(q))))
+    return out.drop(sketch_col)
+
+
+# ----------------------------------------------------- theta set algebra
+def theta_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    sketch_col: str = "theta_sketch",
+) -> DataFrame:
+    """Theta sketch per group: like HLL but supporting set *algebra* —
+    union, intersection, and difference cardinalities across stored
+    sketches ("unique users in source A ∩ B" without joining raw
+    data)."""
+    keys = list(group_by or [])
+    agg = F.theta_sketch_agg(value_col).alias(sketch_col)
+    return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
+
+
+def theta_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    op: str = "intersection",
+    sketch_col: str = "theta_sketch",
+    estimate_col: str = "distinct_estimate",
+) -> DataFrame:
+    """Cardinality of ``left <op> right`` from two single-row sketch
+    frames (``op``: union | intersection | difference)."""
+    ops = {
+        "union": F.theta_union,
+        "intersection": F.theta_intersection,
+        "difference": F.theta_difference,
+    }
+    if op not in ops:
+        raise ValueError(f"op must be one of {sorted(ops)}")
+    combined = left.select(F.col(sketch_col).alias("__a")).crossJoin(
+        right.select(F.col(sketch_col).alias("__b"))
+    )
+    return combined.select(
+        F.theta_sketch_estimate(ops[op]("__a", "__b")).alias(estimate_col)
+    )

@@ -75,3 +75,38 @@ LiftJob:
     )
     est = log.get("E").collect()[0].distinct_estimate
     assert abs(est - 123) / 123 < 0.05
+
+
+def test_quantile_sketch_build_merge(events, spark, tmp_path):
+    """Per-source KLL sketches merge to global quantiles close to the
+    exact percentiles, without ever sorting the full data."""
+    per_src = sketch.quantile_sketch(
+        events.withColumn("v", F.col("user_id").cast("double")), "v", group_by=["src"]
+    )
+    path = str(tmp_path / "kll")
+    per_src.write.parquet(path)
+    got = sketch.merge_quantile_sketches(
+        spark.read.parquet(path), quantiles=[0.5, 0.9]
+    ).collect()[0]
+    # user_id uniform over [0, 700)
+    assert abs(got.q_0_5 - 350) < 25
+    assert abs(got.q_0_9 - 630) < 25
+
+
+def test_theta_set_algebra(spark):
+    a = sketch.theta_sketch(
+        spark.range(0, 600).select(F.col("id").alias("u")), "u"
+    )
+    b = sketch.theta_sketch(
+        spark.range(400, 1000).select(F.col("id").alias("u")), "u"
+    )
+    inter = sketch.theta_estimate(a, b, "intersection").collect()[0].distinct_estimate
+    union = sketch.theta_estimate(a, b, "union").collect()[0].distinct_estimate
+    diff = sketch.theta_estimate(a, b, "difference").collect()[0].distinct_estimate
+    assert abs(inter - 200) / 200 < 0.05
+    assert abs(union - 1000) / 1000 < 0.05
+    assert abs(diff - 400) / 400 < 0.05
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="op must be"):
+        sketch.theta_estimate(a, b, "xor")
