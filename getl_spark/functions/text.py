@@ -146,3 +146,32 @@ def fingerprint(
     if normalize:
         text = F.regexp_replace(F.lower(text), r"\s+", " ")
     return df.withColumn(new_col, F.md5(text.cast("string")))
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", new_col: str = "compression_ratio"
+) -> DataFrame:
+    """zlib compressed-size / raw-size per document — the standard
+    cheap redundancy signal for corpus filtering (highly repetitive
+    boilerplate compresses far below ~0.3; near-random noise sits near
+    1.0). No JVM zlib expression exists, so this is the one text signal
+    computed in Python — Arrow-batched ``pandas_udf``, never per-row
+    Python, and deterministic (zlib level pinned)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio(texts):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+
+        return pd.Series([one(t) for t in texts])
+
+    # explicit signature (module uses `from __future__ import annotations`)
+    return df.withColumn(new_col, pandas_udf(_ratio, "double")(F.col(text_col)))

@@ -251,3 +251,18 @@ def test_asof_plan_single_window_no_join(spark):
     plan = asof.join(left, right, on="k", left_ts="ts")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_components_string_ids(spark):
+    """Node ids only need to be orderable — string doc ids cluster with
+    lexicographic-min labels."""
+    edges = [("docB", "docA"), ("docB", "docC"), ("x", "y")]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        (r["doc_id"], r["component"])
+        for r in graph.cluster_components(df).collect()
+    }
+    assert got == {
+        ("docA", "docA"), ("docB", "docA"), ("docC", "docA"),
+        ("x", "x"), ("y", "x"),
+    }

@@ -308,3 +308,24 @@ def test_embedding_cosine_planes_kwarg_deprecated(spark):
     with _pytest.warns(DeprecationWarning, match="planes_per_band"):
         out = dedup.embedding_cosine_pairs(df, threshold=0.99, planes=8)
     assert {(r.id_a, r.id_b) for r in out.collect()} == {(0, 1)}
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    from getl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam " * 200),                      # highly repetitive
+            (1, "the quick brown fox jumps over the lazy dog and then "
+                "discusses entropy, compression, and corpora at length"),
+            (2, None),
+            (3, ""),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r.compression_ratio for r in T.compression_ratio(df).collect()}
+    assert got[0] < 0.1 < got[1]
+    assert got[2] is None and got[3] == 1.0
+    # deterministic across invocations
+    again = {r.doc_id: r.compression_ratio for r in T.compression_ratio(df).collect()}
+    assert got == again
