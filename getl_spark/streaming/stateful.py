@@ -38,7 +38,8 @@ def quota_filter(
     long state via ``applyInPandasWithState``; within one micro-batch
     rows are processed in ``order_col`` order, across batches in
     arrival order (standard streaming quota semantics — a global order
-    over an unbounded stream does not exist).
+    over an unbounded stream does not exist). ``count_col`` values must
+    be nonnegative (a quota consumes; it cannot refund).
     """
     if not df.isStreaming:
         w = (
@@ -61,22 +62,17 @@ def quota_filter(
         used = state.get[0] if state.exists else 0
         for pdf in pdf_iter:
             pdf = pdf.sort_values(order_col, kind="mergesort")
-            keep_rows = []
-            for _, row in pdf.iterrows():
-                inc = int(row[count_col])
-                if used + inc > budget:
-                    # budget crossed: this row and later ones drop, but
-                    # keep scanning — a smaller later row may still fit
-                    # in batch order? No: quota semantics are
-                    # first-come-first-served, so stop consuming.
-                    used = budget + 1  # poison: nothing further fits
-                    break
-                used += inc
-                keep_rows.append(row)
-            if keep_rows:
-                import pandas as pd
-
-                yield pd.DataFrame(keep_rows)[columns]
+            # counts are nonnegative, so the running total is monotone
+            # and the kept set is exactly the prefix with cum <= budget
+            # — vectorized, no per-row Python loop
+            cum = pdf[count_col].astype("int64").cumsum() + used
+            kept = pdf[cum <= budget]
+            if len(kept) < len(pdf):
+                used = budget + 1  # poison: first-come-first-served
+            elif len(kept):
+                used = int(cum.iloc[len(kept) - 1])
+            if len(kept):
+                yield kept[columns]
         state.update((min(used, budget + 1),))
 
     return (
