@@ -59,6 +59,10 @@ def join(
 
     bw = F.lit(bucket_width)
     pt = points.withColumn("__bucket", F.floor(F.col(point_col) / bw))
+    # malformed start>end intervals can never match, but Spark's
+    # sequence() would silently emit a DESCENDING bucket range for them
+    # — drop them before the explode
+    intervals = intervals.where(F.col(start_col) <= F.col(end_col))
     iv = intervals.withColumn(
         "__bucket",
         F.explode(

@@ -47,8 +47,18 @@ def quota_filter(
             .orderBy(F.col(order_col).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # a negative count would break prefix monotonicity and silently
+        # change semantics — fail loudly. assert_true must live inside
+        # the summed expression, or column pruning would elide it; it
+        # yields NULL on success, so coalesce makes it a no-op +0.
+        checked = F.col(count_col) + F.coalesce(
+            F.assert_true(
+                F.col(count_col) >= 0, F.lit("quota_filter: negative count")
+            ).cast("long"),
+            F.lit(0),
+        )
         return (
-            df.withColumn(_CUM, F.sum(count_col).over(w))
+            df.withColumn(_CUM, F.sum(checked).over(w))
             .where(F.col(_CUM) <= budget)
             .drop(_CUM)
         )
@@ -65,7 +75,10 @@ def quota_filter(
             # counts are nonnegative, so the running total is monotone
             # and the kept set is exactly the prefix with cum <= budget
             # — vectorized, no per-row Python loop
-            cum = pdf[count_col].astype("int64").cumsum() + used
+            counts = pdf[count_col].astype("int64")
+            if (counts < 0).any():
+                raise ValueError("quota_filter: negative count")
+            cum = counts.cumsum() + used
             kept = pdf[cum <= budget]
             if len(kept) < len(pdf):
                 used = budget + 1  # poison: first-come-first-served

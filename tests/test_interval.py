@@ -119,3 +119,13 @@ def test_interval_join_plan_is_hash_join_not_nested_loop(spark):
     plan = interval.join(pdf, idf, "p", "s", "e", bucket_width=8)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Join" in plan
+
+
+def test_interval_join_malformed_intervals_dropped(spark):
+    pdf = spark.createDataFrame([(5, 0)], "p INT, pid INT")
+    idf = spark.createDataFrame([(10, 2, 0), (4, 6, 1)], "s INT, e INT, iid INT")
+    got = {
+        (r.pid, r.iid)
+        for r in interval.join(pdf, idf, "p", "s", "e", bucket_width=4).collect()
+    }
+    assert got == {(0, 1)}

@@ -239,3 +239,41 @@ LiftJob:
 """,
     )
     assert {(r.k, r.seq) for r in log.get("Q").collect()} == {("a", 1), ("b", 1)}
+
+
+def test_quota_filter_property_prefix_semantics(spark):
+    """Property: for random nonnegative counts, kept rows per key are
+    exactly the maximal order-prefix whose cumulative sum fits."""
+    import random
+
+    from getl_spark.streaming.stateful import quota_filter
+
+    rng = random.Random(17)
+    rows = [
+        (str(rng.randrange(5)), i, rng.randrange(0, 7)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k STRING, seq BIGINT, n BIGINT")
+    budget = 20
+    got = {(r.k, r.seq) for r in quota_filter(df, "k", "n", budget, "seq").collect()}
+
+    expect = set()
+    per_key = {}
+    for k, seq, n in sorted(rows, key=lambda r: (r[0], r[1])):
+        used = per_key.get(k, 0)
+        if used <= budget and used + n <= budget:
+            expect.add((k, seq))
+            per_key[k] = used + n
+        else:
+            per_key[k] = budget + 1  # poison
+    assert got == expect
+
+
+def test_quota_filter_rejects_negative_counts(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from getl_spark.streaming.stateful import quota_filter
+
+    df = spark.createDataFrame([("a", 1, -5)], "k STRING, seq BIGINT, n BIGINT")
+    with _pytest.raises(Exception, match="negative count|assert"):
+        quota_filter(df, "k", "n", 10, "seq").collect()
