@@ -175,3 +175,63 @@ def compression_ratio(
 
     # explicit signature (module uses `from __future__ import annotations`)
     return df.withColumn(new_col, pandas_udf(_ratio, "double")(F.col(text_col)))
+
+
+def remove_common_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 10,
+    new_col: Optional[str] = None,
+    min_len: int = 1,
+) -> DataFrame:
+    """Boilerplate removal: drop every line that occurs in more than
+    ``max_df`` documents (nav bars, cookie banners, license footers —
+    the RefinedWeb/CCNet-style cleanup). Lines shorter than ``min_len``
+    characters are kept unconditionally (blank separators aren't
+    boilerplate evidence).
+
+    Distributed shape: explode to (doc, pos, line), count distinct-doc
+    frequency per line (one shuffle on the line — partial-aggregated,
+    so bytes ∝ distinct lines), anti-join the frequent set, reassemble
+    in original order with a grouped sort. No Python, no collect;
+    line order within each document is preserved exactly.
+    """
+    out = new_col or text_col
+    other_cols = [c for c in df.columns if c != text_col]
+
+    lines = df.select(
+        *other_cols,
+        F.col(text_col).alias("__orig"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    frequent = (
+        lines.where(F.length("__line") >= min_len)
+        .groupBy("__line")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .where(F.col("__df") > max_df)
+        .select("__line")
+    )
+    kept = lines.join(
+        frequent.withColumn("__drop", F.lit(True)),
+        "__line",
+        "left",
+    ).where(F.col("__drop").isNull() | (F.length("__line") < min_len))
+    rebuilt = (
+        kept.groupBy(*other_cols, "__orig")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias(out)
+        )
+        .drop("__orig")
+    )
+    if out == text_col:
+        return rebuilt.select(*other_cols, out)
+    return rebuilt

@@ -329,3 +329,58 @@ def test_compression_ratio_orders_redundancy(spark):
     # deterministic across invocations
     again = {r.doc_id: r.compression_ratio for r in T.compression_ratio(df).collect()}
     assert got == again
+
+
+def test_remove_common_lines_strips_boilerplate(spark):
+    """Lines shared by many docs vanish; unique content and line order
+    survive; DuckDB cross-check of the same semantics."""
+    import duckdb
+
+    from getl_spark.functions import text as T
+
+    docs = [
+        (i, f"unique opener {i}\nCOOKIE BANNER\nbody text {i}\nCOPYRIGHT FOOTER")
+        for i in range(8)
+    ] + [(100, "no boilerplate here\njust content")]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    got = {
+        r.doc_id: r.text
+        for r in T.remove_common_lines(df, max_df=3).collect()
+    }
+    assert got[0] == "unique opener 0\nbody text 0"
+    assert got[100] == "no boilerplate here\njust content"
+    assert len(got) == 9
+
+    # DuckDB replica of the semantics over the same rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", docs)
+    duck = {
+        r[0]: r[1]
+        for r in con.execute("""
+            WITH lines AS (
+              SELECT doc_id, g.i AS pos, l.line
+              FROM docs,
+                   LATERAL (SELECT string_split(text, chr(10)) AS ls) s,
+                   LATERAL (SELECT unnest(range(1, len(s.ls)+1)) AS i) g,
+                   LATERAL (SELECT s.ls[g.i] AS line) l),
+            freq AS (
+              SELECT line FROM lines WHERE length(line) >= 1
+              GROUP BY line HAVING COUNT(DISTINCT doc_id) > 3)
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM lines WHERE line NOT IN (SELECT line FROM freq)
+            GROUP BY doc_id
+        """).fetchall()
+    }
+    assert got == duck
+
+
+def test_remove_common_lines_keeps_blank_separators(spark):
+    from getl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(i, f"a{i}\n\nb{i}") for i in range(5)], "doc_id BIGINT, text STRING"
+    )
+    got = T.remove_common_lines(df, max_df=2, min_len=1).collect()
+    # blank line occurs in all 5 docs but is under min_len → kept
+    assert all(r.text == f"a{r.doc_id}\n\nb{r.doc_id}" for r in got)
