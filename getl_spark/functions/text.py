@@ -235,3 +235,16 @@ def remove_common_lines(
     if out == text_col:
         return rebuilt.select(*other_cols, out)
     return rebuilt
+
+
+def url_host(
+    df: DataFrame, url_col: str, new_col: str = "host", strip_www: bool = True
+) -> DataFrame:
+    """Registrable-host extraction from a URL column (JVM
+    ``parse_url``) — the grouping key for per-domain quotas
+    (``transform::quota_filter``), per-domain dedup, and domain-level
+    quality stats."""
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return df.withColumn(new_col, host)

@@ -384,3 +384,20 @@ def test_remove_common_lines_keeps_blank_separators(spark):
     got = T.remove_common_lines(df, max_df=2, min_len=1).collect()
     # blank line occurs in all 5 docs but is under min_len → kept
     assert all(r.text == f"a{r.doc_id}\n\nb{r.doc_id}" for r in got)
+
+
+def test_url_host_extraction(spark):
+    from getl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://www.Example.COM/path?q=1"),
+            (1, "http://sub.site.org:8080/x"),
+            (2, "not a url"),
+        ],
+        "doc_id BIGINT, url STRING",
+    )
+    got = {r.doc_id: r.host for r in T.url_host(df, "url").collect()}
+    assert got[0] == "example.com"
+    assert got[1] == "sub.site.org"
+    assert got[2] is None
