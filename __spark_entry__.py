@@ -1758,6 +1758,119 @@ FROM documents, generate_series(0, 3) AS g(i)
 """
 
 
+def _q_text_repetition(spark, sf_dir):
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.repetition_signals(docs).select(
+        "doc_id",
+        "rep_dup_line_frac",
+        "rep_dup_line_char_frac",
+        "rep_dup_para_frac",
+        "rep_dup_para_char_frac",
+    )
+
+
+# Same Gopher-convention definitions, expressed relationally (explode →
+# per-line counts → duplicated-occurrence sums) instead of Spark's
+# sorted-adjacency array pass.
+TEXT_REPETITION_ORACLE = """
+WITH lines AS (
+  SELECT doc_id, trim(l) AS item FROM documents,
+         unnest(string_split(text, chr(10))) AS t(l)),
+paras AS (
+  SELECT doc_id, trim(p) AS item FROM documents,
+         unnest(regexp_split_to_array(text, '\\n\\s*\\n')) AS t(p)),
+lc AS (SELECT doc_id, item, count(*) AS c, length(item) AS len
+       FROM lines WHERE item != '' GROUP BY ALL),
+pc AS (SELECT doc_id, item, count(*) AS c, length(item) AS len
+       FROM paras WHERE item != '' GROUP BY ALL),
+lagg AS (SELECT doc_id,
+  ROUND(COALESCE(SUM(c) FILTER (WHERE c > 1), 0)
+        / CAST(SUM(c) AS DOUBLE), 4) AS lf,
+  CASE WHEN SUM(c * len) = 0 THEN 0.0 ELSE
+    ROUND(COALESCE(SUM(c * len) FILTER (WHERE c > 1), 0)
+          / CAST(SUM(c * len) AS DOUBLE), 4) END AS lcf
+  FROM lc GROUP BY doc_id),
+pagg AS (SELECT doc_id,
+  ROUND(COALESCE(SUM(c) FILTER (WHERE c > 1), 0)
+        / CAST(SUM(c) AS DOUBLE), 4) AS pf,
+  CASE WHEN SUM(c * len) = 0 THEN 0.0 ELSE
+    ROUND(COALESCE(SUM(c * len) FILTER (WHERE c > 1), 0)
+          / CAST(SUM(c * len) AS DOUBLE), 4) END AS pcf
+  FROM pc GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(l.lf, 0.0) END
+    AS rep_dup_line_frac,
+  CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(l.lcf, 0.0) END
+    AS rep_dup_line_char_frac,
+  CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(p.pf, 0.0) END
+    AS rep_dup_para_frac,
+  CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(p.pcf, 0.0) END
+    AS rep_dup_para_char_frac
+FROM documents d
+LEFT JOIN lagg l ON d.doc_id = l.doc_id
+LEFT JOIN pagg p ON d.doc_id = p.doc_id
+"""
+
+
+def _q_text_top_ngram(spark, sf_dir):
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.top_ngram_frac(docs, n=2).select("doc_id", "top_2gram_char_frac")
+
+
+TOP_NGRAM_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 \\n]', ' ', 'g'), '[ \\n]+', ' ', 'g')) AS t
+  FROM documents),
+w AS (SELECT doc_id, length(t) AS nchars, string_split(t, ' ') AS words
+      FROM norm WHERE length(t) > 0),
+grams AS (
+  SELECT doc_id, nchars, array_to_string(words[i:i+1], ' ') AS ngram
+  FROM w, unnest(range(1, greatest(len(words) - 1, 1) + 1)) AS r(i)),
+counts AS (SELECT doc_id, nchars, ngram, count(*) AS c
+           FROM grams WHERE ngram != '' GROUP BY ALL),
+top AS (SELECT doc_id, nchars, c, ngram,
+        row_number() OVER (PARTITION BY doc_id
+          ORDER BY c DESC, length(ngram) DESC, ngram DESC) AS rn
+        FROM counts)
+SELECT d.doc_id,
+  COALESCE(ROUND(LEAST(1.0, (t.c * length(t.ngram))
+           / CAST(t.nchars AS DOUBLE)), 4), 0.0) AS top_2gram_char_frac
+FROM documents d LEFT JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1
+"""
+
+
+def _q_text_decontaminate(spark, sf_dir):
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    evals = docs.where((F.col("doc_id") % 97) == 0).select("text")
+    return text.decontaminate(docs, evals, n=8).select("doc_id", "contaminated")
+
+
+DECONTAMINATE_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 \\n]', ' ', 'g'), '[ \\n]+', ' ', 'g')) AS t
+  FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS words
+      FROM norm WHERE length(t) > 0),
+grams AS (
+  SELECT doc_id, array_to_string(words[i:i+7], ' ') AS ngram
+  FROM w, unnest(range(1, greatest(len(words) - 7, 1) + 1)) AS r(i)),
+eval_grams AS (SELECT DISTINCT ngram FROM grams
+               WHERE doc_id % 97 = 0 AND ngram != ''),
+hits AS (SELECT DISTINCT g.doc_id FROM grams g
+         JOIN eval_grams e USING (ngram) WHERE g.ngram != '')
+SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 # ------------------------------------------- consolidated driver queries
 def _q_text_analysis(spark, sf_dir):
     """The full text-analysis family in one driver row: quality
@@ -2067,6 +2180,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_normalize": _q_text_scrub,
         "multimodal_features": _q_multimodal,
         "multimodal_frame_sample": _q_frame_sample,
+        "text_repetition": _q_text_repetition,
+        "text_top_ngram": _q_text_top_ngram,
+        "text_decontaminate": _q_text_decontaminate,
     }
 
 
@@ -2087,6 +2203,9 @@ def demoted_oracle_sql() -> dict[str, str]:
         "text_scrub_normalize": TEXT_SCRUB_ORACLE,
         "multimodal_features": MULTIMODAL_ORACLE,
         "multimodal_frame_sample": FRAME_SAMPLE_ORACLE,
+        "text_repetition": TEXT_REPETITION_ORACLE,
+        "text_top_ngram": TOP_NGRAM_ORACLE,
+        "text_decontaminate": DECONTAMINATE_ORACLE,
     }
 
 

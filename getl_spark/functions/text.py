@@ -248,3 +248,306 @@ def url_host(
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
     return df.withColumn(new_col, host)
+
+
+def _dup_char_frac_expr(col: str) -> "F.Column":
+    """Fraction of characters sitting in elements of sorted array column
+    ``col`` that occur more than once. The array is pre-sorted so
+    duplicates are adjacent — one O(n) pass instead of the O(n²)
+    count-each-element shape; everything stays a JVM higher-order
+    expression inside whole-stage codegen."""
+    total = f"aggregate({col}, 0L, (a, x) -> a + length(x))"
+    return F.expr(
+        f"""CASE WHEN size({col}) = 0 OR {total} = 0 THEN 0.0
+        ELSE round(
+          aggregate(
+            transform(sequence(0, size({col}) - 1), i ->
+              CASE WHEN (i > 0 AND {col}[i] = {col}[i-1])
+                     OR (i < size({col}) - 1 AND {col}[i] = {col}[i+1])
+                   THEN length({col}[i]) ELSE 0L END),
+            0L, (a, x) -> a + x) / cast({total} AS double), 4)
+        END"""
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", prefix: str = "rep_"
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style filtering
+    rules): fraction of duplicate lines / paragraphs, and fraction of
+    *characters* inside duplicated lines / paragraphs. Highly
+    repetitive documents (scraper loops, keyword stuffing, templated
+    listings) score high and are filtered before training.
+
+    Pure JVM array expressions — split, sort, one linear pass per
+    document; no shuffle, no UDF, runs at scan speed on a 100 TB
+    corpus. Lines split on ``\\n``, paragraphs on blank lines; blank /
+    whitespace-only entries are ignored (they are separators, not
+    repetition evidence).
+    """
+    tmp_l, tmp_p = "__rep_lines", "__rep_paras"
+
+    def _split_sorted(pattern: str) -> "F.Column":
+        return F.array_sort(
+            F.filter(
+                F.transform(
+                    F.split(F.col(text_col), pattern), lambda x: F.trim(x)
+                ),
+                lambda x: x != "",
+            )
+        )
+
+    def _dup_frac(col: str) -> "F.Column":
+        # Gopher convention: every occurrence of a value appearing >1
+        # time counts as duplicated (so "aa aa bb" -> 2/3, not 1/3).
+        # Same sorted-adjacency pass as the char fraction, weight 1.
+        return F.expr(
+            f"""CASE WHEN size({col}) = 0 THEN 0.0
+            ELSE round(
+              aggregate(
+                transform(sequence(0, size({col}) - 1), i ->
+                  CASE WHEN (i > 0 AND {col}[i] = {col}[i-1])
+                         OR (i < size({col}) - 1 AND {col}[i] = {col}[i+1])
+                       THEN 1L ELSE 0L END),
+                0L, (a, x) -> a + x) / cast(size({col}) AS double), 4)
+            END"""
+        )
+
+    out = (
+        df.withColumn(tmp_l, _split_sorted("\n"))
+        .withColumn(tmp_p, _split_sorted("\n\\s*\n"))
+        .withColumn(f"{prefix}dup_line_frac", _dup_frac(tmp_l))
+        .withColumn(f"{prefix}dup_line_char_frac", _dup_char_frac_expr(tmp_l))
+        .withColumn(f"{prefix}dup_para_frac", _dup_frac(tmp_p))
+        .withColumn(f"{prefix}dup_para_char_frac", _dup_char_frac_expr(tmp_p))
+    )
+    return out.drop(tmp_l, tmp_p)
+
+
+def _norm_words_expr(text_col: str) -> "F.Column":
+    """Normalized text (lowercase, alnum+space, collapsed) — the shared
+    canonical form for n-gram signals so punctuation/casing noise does
+    not defeat matching."""
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, r"[^a-z0-9 \n]", " ")
+    t = F.regexp_replace(t, r"[ \n]+", " ")
+    return F.trim(t)
+
+
+def _ngram_array_expr(norm_col: str, n: int) -> str:
+    """SQL for the array of word ``n``-grams of normalized column
+    ``norm_col``. Documents shorter than ``n`` words yield one n-gram
+    covering the whole document (so short exact matches still hit)."""
+    w = f"split({norm_col}, ' ')"
+    return (
+        f"transform(sequence(0, greatest(size({w}) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice({w}, i + 1, {n})))"
+    )
+
+
+def top_ngram_frac(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    new_col: Optional[str] = None,
+) -> DataFrame:
+    """Fraction of characters covered by the most frequent word
+    ``n``-gram in each document (the Gopher ``top_ngram`` repetition
+    rule): ``count × len(ngram) / len(normalized_text)``, capped at
+    1.0 (overlapping occurrences can nominally exceed the document
+    length). Ties break on longer n-gram, then lexicographic — fully
+    deterministic.
+
+    Distributed shape: explode word n-grams (linear in tokens), two
+    partial-aggregated shuffles keyed by document id (+ n-gram), then a
+    join back on id. No Python, no collect; survives a 100× scale-up
+    because every stage is keyed and combiner-friendly.
+    """
+    out = new_col or f"top_{n}gram_char_frac"
+    tmp = "__tnorm"
+    base = df.withColumn(tmp, _norm_words_expr(text_col))
+    grams = (
+        base.where(F.length(tmp) > 0)
+        .select(
+            F.col(id_col),
+            F.length(tmp).alias("__nchars"),
+            F.explode(F.expr(_ngram_array_expr(tmp, n))).alias("__ngram"),
+        )
+        .where(F.col("__ngram") != "")
+    )
+    counts = grams.groupBy(id_col, "__nchars", "__ngram").agg(
+        F.count("*").alias("__cnt")
+    )
+    tops = counts.groupBy(id_col, "__nchars").agg(
+        F.max(
+            F.struct(
+                F.col("__cnt"),
+                F.length("__ngram").alias("__nglen"),
+                F.col("__ngram"),
+            )
+        ).alias("__top")
+    )
+    fracs = tops.select(
+        F.col(id_col),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("__top.__cnt") * F.col("__top.__nglen"))
+                / F.col("__nchars").cast("double"),
+            ),
+            4,
+        ).alias(out),
+    )
+    return base.drop(tmp).join(fracs, id_col, "left").na.fill({out: 0.0})
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: Optional[str] = None,
+    n: int = 8,
+    new_col: str = "contaminated",
+    remove: bool = False,
+) -> DataFrame:
+    """Test-set decontamination: flag (or drop, ``remove=True``) every
+    training document sharing any normalized word ``n``-gram with the
+    evaluation corpus ``eval_df`` — the standard GPT-3/PaLM-style
+    n-gram-overlap contamination check run before training.
+
+    Scale shape: the eval side (benchmarks — thousands of rows, not
+    terabytes) collapses to a distinct n-gram set and is **broadcast**;
+    the corpus side explodes n-grams map-side and semi-joins with zero
+    shuffle. The contaminated-id set (≪ corpus) is broadcast for the
+    final flag join, so the whole operator adds no corpus-wide shuffle.
+    Eval docs shorter than ``n`` words contribute one whole-document
+    n-gram and therefore only match near-identical short documents.
+    """
+    from pyspark.sql.functions import broadcast
+
+    ecol = eval_text_col or text_col
+    tmp = "__dnorm"
+
+    def _grams(frame: DataFrame, col: str, keep: List[str]) -> DataFrame:
+        with_norm = frame.withColumn(tmp, _norm_words_expr(col))
+        return (
+            with_norm.where(F.length(tmp) > 0)
+            .select(
+                *keep,
+                F.explode(F.expr(_ngram_array_expr(tmp, n))).alias("__ngram"),
+            )
+            .where(F.col("__ngram") != "")
+        )
+
+    eval_grams = _grams(eval_df, ecol, []).select("__ngram").distinct()
+    doc_grams = _grams(df, text_col, [id_col])
+    hits = (
+        doc_grams.join(broadcast(eval_grams), "__ngram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    flagged = df.join(
+        broadcast(hits.withColumn(new_col, F.lit(True))), id_col, "left"
+    ).withColumn(new_col, F.coalesce(F.col(new_col), F.lit(False)))
+    if remove:
+        return flagged.where(~F.col(new_col)).drop(new_col)
+    return flagged
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: Optional[str] = None,
+    max_tokens: int = 2048,
+    buckets: int = 200,
+) -> DataFrame:
+    """Greedy sequence packing for training: assign each document to a
+    fixed-budget pack of ≤ ``max_tokens`` tokens (first-fit-decreasing
+    within deterministic hash buckets), returning ``(id, n_tokens,
+    pack_id, pack_pos, oversize)``. Join the result back on ``id_col``
+    to materialize packed batches.
+
+    Token counts come from ``token_col`` when given, else whitespace
+    tokens of ``text_col``. Documents longer than ``max_tokens`` get a
+    singleton pack with ``oversize=true`` (truncation is the trainer's
+    decision, not silently done here).
+
+    Scale shape: one shuffle on the hash bucket; each bucket is packed
+    independently in an Arrow-batched ``applyInPandas`` (sized by
+    ``buckets`` — pick corpus_rows/buckets ≲ a few million so a group
+    fits an executor). Packing is deterministic: bucket =
+    ``xxhash64(id) mod buckets``, order = (tokens desc, id asc).
+    Cross-bucket packing would need a global sort for marginal fill
+    gain; per-bucket first-fit-decreasing fills ≥ ~99% at realistic
+    doc-length distributions.
+    """
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    if token_col:
+        tok = F.col(token_col)
+    else:
+        trimmed = F.trim(F.col(text_col))
+        tok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+            F.size(F.split(trimmed, r"\s+"))
+        )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.coalesce(tok.cast("long"), F.lit(0)).alias("__tokens"),
+    ).withColumn(
+        "__bucket",
+        F.pmod(F.xxhash64(F.col("__id").cast("string")), F.lit(buckets)),
+    )
+
+    out_schema = (
+        f"{id_col} {id_type}, n_tokens long, pack_id string, "
+        "pack_pos int, oversize boolean"
+    )
+    budget = int(max_tokens)
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["__tokens", "__id"], ascending=[False, True], kind="mergesort"
+        )
+        bucket = int(pdf["__bucket"].iloc[0])
+        remaining: list = []  # capacity per open pack
+        counts: list = []  # items per pack (for pack_pos)
+        ids, toks, pack_ids, positions, oversizes = [], [], [], [], []
+        for doc, t in zip(pdf["__id"], pdf["__tokens"]):
+            t = int(t)
+            if t > budget:
+                pack = len(remaining)
+                remaining.append(0)
+                counts.append(1)
+                pos, over = 0, True
+            else:
+                pack = next(
+                    (i for i, cap in enumerate(remaining) if cap >= t), None
+                )
+                if pack is None:
+                    pack = len(remaining)
+                    remaining.append(budget)
+                    counts.append(0)
+                remaining[pack] -= t
+                pos = counts[pack]
+                counts[pack] += 1
+                over = False
+            ids.append(doc)
+            toks.append(t)
+            pack_ids.append(f"b{bucket}-p{pack}")
+            positions.append(pos)
+            oversizes.append(over)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "n_tokens": toks,
+                "pack_id": pack_ids,
+                "pack_pos": positions,
+                "oversize": oversizes,
+            }
+        )
+
+    return base.groupBy("__bucket").applyInPandas(_pack, out_schema)

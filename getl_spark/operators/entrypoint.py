@@ -49,6 +49,7 @@ def generic(conf: BlockConfig) -> DataFrame:
             "skew.salted_join",
             "interval.join",
             "asof.join",
+            "text.decontaminate",
         ):
             # multi-input operators consume [left, right] from Input
             dataframe = func(*_two_inputs(conf), **params)

@@ -1,0 +1,202 @@
+"""Corpus-hygiene operators: repetition signals, top-n-gram fraction,
+test-set decontamination, sequence packing. Expected values are
+hand-computed on tiny fixtures; packing is checked for invariants and
+determinism."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from getl_spark.functions import text
+
+
+# ------------------------------------------------------- repetition signals
+def test_repetition_signals_dup_lines(spark):
+    # 5 non-blank lines: aa, bb, aa, bb, c -> 2 distinct dup'd of 5
+    doc = "aa\nbb\naa\nbb\nc"
+    df = spark.createDataFrame([(1, doc)], "doc_id BIGINT, text STRING")
+    row = text.repetition_signals(df).first()
+    # Gopher convention: all 4 occurrences of the duplicated lines count
+    assert row.rep_dup_line_frac == pytest.approx(0.8)
+    # chars in duplicated lines: aa+aa+bb+bb = 8 of total 9
+    assert row.rep_dup_line_char_frac == pytest.approx(round(8 / 9, 4))
+
+
+def test_repetition_signals_paragraphs_and_blanks(spark):
+    # paragraphs split on blank lines; the repeated paragraph spans lines
+    doc = "p one\np two\n\np one\np two\n\nunique"
+    df = spark.createDataFrame([(1, doc)], "doc_id BIGINT, text STRING")
+    row = text.repetition_signals(df).first()
+    # paragraphs: "p one\np two" x2, "unique" -> dup frac 2/3
+    assert row.rep_dup_para_frac == pytest.approx(round(2 / 3, 4))
+    # line-level: every line of the repeated para is duplicated
+    assert row.rep_dup_line_frac == pytest.approx(0.8)  # 4 of 5 lines
+
+
+def test_repetition_signals_clean_doc_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha\nbeta\ngamma"), (2, ""), (3, None)],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r.doc_id: r for r in text.repetition_signals(df).collect()}
+    assert rows[1].rep_dup_line_frac == 0.0
+    assert rows[1].rep_dup_line_char_frac == 0.0
+    assert rows[2].rep_dup_line_frac == 0.0
+    assert rows[3].rep_dup_para_char_frac is None or (
+        rows[3].rep_dup_para_char_frac == 0.0
+    )
+
+
+# ---------------------------------------------------------- top n-gram frac
+def test_top_ngram_frac_hand_computed(spark):
+    # normalized text: "the cat sat the cat ran" (23 chars)
+    # top 2-gram "the cat" (7 chars) occurs twice -> 14/23
+    df = spark.createDataFrame(
+        [(1, "The cat sat; the cat ran.")], "doc_id BIGINT, text STRING"
+    )
+    row = text.top_ngram_frac(df, n=2).first()
+    assert row.top_2gram_char_frac == pytest.approx(round(14 / 23, 4))
+
+
+def test_top_ngram_frac_capped_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a a a"), (2, ""), (3, "word")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r.doc_id: r for r in text.top_ngram_frac(df, n=2).collect()}
+    assert rows[1].top_2gram_char_frac == 1.0  # overlap-capped
+    assert rows[2].top_2gram_char_frac == 0.0  # empty -> no n-grams
+    # doc shorter than n: whole-doc gram, frac 4/4 = 1.0
+    assert rows[3].top_2gram_char_frac == 1.0
+
+
+def test_top_ngram_keeps_all_rows_and_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "x y", "k"), (2, "", "k2")], "doc_id BIGINT, text STRING, extra STRING"
+    )
+    out = text.top_ngram_frac(df, n=2)
+    assert out.count() == 2
+    assert set(out.columns) == {"doc_id", "text", "extra", "top_2gram_char_frac"}
+
+
+# ---------------------------------------------------------- decontamination
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "completely unrelated text about parquet files and big data engines"),
+            (3, "short doc"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+
+
+def test_decontaminate_flags_overlapping_doc(spark, corpus):
+    evals = spark.createDataFrame(
+        [("Q: the quick brown fox jumps over the lazy dog?",)], "text STRING"
+    )
+    out = {r.doc_id: r.contaminated for r in text.decontaminate(corpus, evals).collect()}
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_decontaminate_remove_drops_rows(spark, corpus):
+    evals = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text STRING"
+    )
+    out = text.decontaminate(corpus, evals, remove=True)
+    assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+    assert "contaminated" not in out.columns
+
+
+def test_decontaminate_short_eval_matches_short_doc(spark, corpus):
+    # eval doc shorter than n -> whole-doc n-gram; matches doc 3 exactly
+    evals = spark.createDataFrame([("Short DOC!",)], "text STRING")
+    out = {r.doc_id: r.contaminated for r in text.decontaminate(corpus, evals, n=8).collect()}
+    assert out == {1: False, 2: False, 3: True}
+
+
+def test_decontaminate_yaml_two_input_block(spark, tmp_path, corpus):
+    """text.decontaminate as a two-input function in transform::generic."""
+    from getl_spark import lift
+
+    docs_p, eval_p = str(tmp_path / "docs"), str(tmp_path / "evals")
+    corpus.write.parquet(docs_p)
+    spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text STRING"
+    ).write.parquet(eval_p)
+
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  Docs:
+    Type: load::batch_parquet
+    Properties: {{Path: {docs_p}}}
+  Evals:
+    Type: load::batch_parquet
+    Properties: {{Path: {eval_p}}}
+  Clean:
+    Type: transform::generic
+    Input: [Docs, Evals]
+    Properties:
+      Functions:
+        - text.decontaminate: {{remove: true}}
+""",
+    )
+    assert sorted(r.doc_id for r in log.get("Clean").collect()) == [2, 3]
+
+
+def test_decontaminate_normalization_defeats_formatting(spark, corpus):
+    evals = spark.createDataFrame(
+        [("THE  Quick,   brown FOX jumps over the lazy dog",)], "text STRING"
+    )
+    out = {r.doc_id: r.contaminated for r in text.decontaminate(corpus, evals).collect()}
+    assert out[1] is True
+
+
+# -------------------------------------------------------- sequence packing
+def _mk_docs(spark, sizes):
+    rows = [(i, "w " * t) for i, t in enumerate(sizes)]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_pack_sequences_invariants(spark):
+    sizes = [100, 900, 300, 700, 650, 350, 200, 50, 1024, 10]
+    df = _mk_docs(spark, sizes)
+    out = text.pack_sequences(df, max_tokens=1024, buckets=2).collect()
+    # every doc appears exactly once
+    assert sorted(r.doc_id for r in out) == list(range(len(sizes)))
+    # no pack over budget
+    fills = {}
+    for r in out:
+        fills.setdefault(r.pack_id, []).append(r)
+    for pack, rows in fills.items():
+        assert sum(r.n_tokens for r in rows) <= 1024
+        # pack_pos is 0..k-1 within each pack
+        assert sorted(r.pack_pos for r in rows) == list(range(len(rows)))
+    assert not any(r.oversize for r in out)
+
+
+def test_pack_sequences_oversize_isolated(spark):
+    df = _mk_docs(spark, [5000, 10, 20])
+    out = text.pack_sequences(df, max_tokens=1024, buckets=1).collect()
+    big = next(r for r in out if r.doc_id == 0)
+    assert big.oversize and big.pack_pos == 0
+    assert sum(1 for r in out if r.pack_id == big.pack_id) == 1
+
+
+def test_pack_sequences_deterministic(spark):
+    df = _mk_docs(spark, [100, 900, 300, 700, 650, 350])
+    a = sorted(map(tuple, text.pack_sequences(df, max_tokens=1000, buckets=3).collect()))
+    b = sorted(map(tuple, text.pack_sequences(df, max_tokens=1000, buckets=3).collect()))
+    assert a == b
+
+
+def test_pack_sequences_token_col_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, "irrelevant", 20)],
+        "doc_id BIGINT, text STRING, n_tok BIGINT",
+    )
+    out = text.pack_sequences(df, token_col="n_tok", max_tokens=64, buckets=1).collect()
+    assert {r.doc_id: r.n_tokens for r in out} == {1: 10, 2: 20}
