@@ -40,6 +40,52 @@ def _signature(edges: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
+def _driver_union_find(
+    rows, e: DataFrame, node_col: str, out_col: str
+) -> DataFrame:
+    """Union-find on the collected edge list ``rows``, component = min
+    node id. Only called when the edge count is at most
+    ``driver_threshold`` — candidate-pair sets from banded LSH are
+    orders of magnitude smaller than the corpus, so in practice this is
+    the common path; the collect is bounded by ``limit(threshold+1)``
+    before any row reaches the driver."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in rows:
+        u, v = row["u"], row["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[rv] = ru
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    rows = [(node, comp_min[find(node)]) for node in parent]
+    id_field = e.schema["u"]
+    spark = e.sparkSession
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(node_col, id_field.dataType, True),
+            StructField(out_col, id_field.dataType, True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def cluster_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -48,6 +94,7 @@ def cluster_components(
     node_col: str = "doc_id",
     out_col: str = "component",
     max_iter: int = 50,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
@@ -56,8 +103,16 @@ def cluster_components(
     singleton components of themselves — pass the full corpus id set so
     every document gets a cluster id.
 
-    Algorithm per round (node ids are compared as plain values, so any
-    orderable id type works):
+    Edge sets at or under ``driver_threshold`` (counted before any
+    collect — the convergence fingerprint already pays for it) run as a
+    single-pass driver union-find: near-dup pair lists are typically
+    10³–10⁶ edges even when the corpus is 10¹² rows, and one bounded
+    collect beats ~log n iterative shuffle rounds. Larger edge sets run
+    the distributed alternating-star loop. Set ``driver_threshold=0``
+    to force the distributed path.
+
+    Distributed algorithm per round (node ids are compared as plain
+    values, so any orderable id type works):
 
     * large-star: every node links its *larger* neighbors to the
       minimum of its closed neighborhood.
@@ -76,6 +131,21 @@ def cluster_components(
         .distinct()
         .localCheckpoint()
     )
+    if driver_threshold > 0:
+        # one bounded job replaces the count: limit(t+1) either proves
+        # the set is small enough (and hands us the edges) or overflows
+        # into the distributed loop without ever collecting more.
+        sample = e.limit(driver_threshold + 1).collect()
+        if len(sample) <= driver_threshold:
+            comp = _driver_union_find(sample, e, node_col, out_col)
+            if nodes is not None:
+                all_nodes = nodes.select(F.col(node_col)).distinct()
+                comp = all_nodes.join(
+                    F.broadcast(comp), node_col, "left"
+                ).withColumn(
+                    out_col, F.coalesce(F.col(out_col), F.col(node_col))
+                )
+            return comp.select(node_col, out_col)
     prev_sig = _signature(e)
     for _ in range(max_iter):
         if prev_sig[0] == 0:

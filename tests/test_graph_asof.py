@@ -44,11 +44,28 @@ def test_components_basic_clusters(spark):
 def test_components_long_chain_converges_fast(spark):
     # a 200-node path is the worst case for plain label propagation;
     # large-star/small-star must still finish within its iteration guard
+    # (driver_threshold=0 forces the distributed loop)
     edges = [(i, i + 1) for i in range(200)]
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
-    out = graph.cluster_components(df, max_iter=12).collect()
+    out = graph.cluster_components(df, max_iter=12, driver_threshold=0).collect()
     assert len(out) == 201
     assert {r["component"] for r in out} == {0}
+
+
+def test_components_driver_and_distributed_paths_agree(spark):
+    rng = random.Random(13)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {
+        (r["doc_id"], r["component"])
+        for r in graph.cluster_components(df).collect()
+    }
+    slow = {
+        (r["doc_id"], r["component"])
+        for r in graph.cluster_components(df, driver_threshold=0).collect()
+    }
+    assert fast == slow
 
 
 def test_components_random_graph_matches_union_find(spark):
