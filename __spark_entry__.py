@@ -1871,6 +1871,54 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+def _q_text_chunks(spark, sf_dir):
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.chunk(docs, chunk_tokens=64, overlap=16).select(
+        "doc_id", "chunk_idx", "chunk_text"
+    )
+
+
+# stride = chunk_tokens - overlap = 48; windows cover every token, the
+# last window is the only one allowed to be short.
+TEXT_CHUNKS_ORACLE = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+c AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         array_to_string(words[i*48+1 : i*48+64], ' ') AS chunk_text
+  FROM w, unnest(range(0,
+       CAST(ceil(greatest(len(words) - 64, 0) / 48.0) AS BIGINT) + 1)) AS r(i))
+SELECT doc_id, chunk_idx, chunk_text FROM c
+"""
+
+
+def _q_embedding_stats(spark, sf_dir):
+    from getl_spark.functions import embedding
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding.norm_stats(vecs, "embedding")
+
+
+EMBEDDING_STATS_ORACLE = """
+WITH norms AS (
+  SELECT len(embedding) AS dim,
+         round(sqrt(list_aggregate(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           'sum')), 4) AS norm
+  FROM embeddings WHERE embedding IS NOT NULL)
+SELECT COUNT(*) AS n_vectors,
+       CAST(MIN(dim) AS INTEGER) AS min_dim,
+       CAST(MAX(dim) AS INTEGER) AS max_dim,
+       ROUND(AVG(norm), 4) AS avg_norm,
+       ROUND(MIN(norm), 4) AS min_norm,
+       ROUND(MAX(norm), 4) AS max_norm
+FROM norms
+"""
+
+
 # ------------------------------------------- consolidated driver queries
 def _q_text_analysis(spark, sf_dir):
     """The full text-analysis family in one driver row: quality
@@ -2183,6 +2231,8 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_top_ngram": _q_text_top_ngram,
         "text_decontaminate": _q_text_decontaminate,
+        "text_chunks": _q_text_chunks,
+        "embedding_stats": _q_embedding_stats,
     }
 
 
@@ -2206,6 +2256,8 @@ def demoted_oracle_sql() -> dict[str, str]:
         "text_repetition": TEXT_REPETITION_ORACLE,
         "text_top_ngram": TOP_NGRAM_ORACLE,
         "text_decontaminate": DECONTAMINATE_ORACLE,
+        "text_chunks": TEXT_CHUNKS_ORACLE,
+        "embedding_stats": EMBEDDING_STATS_ORACLE,
     }
 
 

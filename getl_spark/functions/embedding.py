@@ -1,0 +1,126 @@
+"""Embedding-column utilities for vector corpora.
+
+Everything here is a JVM higher-order array expression (``transform`` /
+``aggregate``) — no Python in the hot path, so these run at scan speed
+over a 100 TB embedding table. Quantization cuts storage/shuffle bytes
+4× (float32 → int8), which at cluster scale is usually the difference
+between a broadcastable index and a shuffled one.
+
+YAML-callable as ``embedding.<name>`` inside ``transform::generic``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _norm_expr(vec_col: str) -> "F.Column":
+    return F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+
+
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", new_col: Optional[str] = None
+) -> DataFrame:
+    """Unit-normalize a vector column (double precision). Zero vectors
+    stay zero instead of dividing by 0; null vectors stay null. After
+    this, cosine similarity is a plain dot product — the precondition
+    the ANN operators (``similarity.topk_*``,
+    ``dedup.embedding_cosine_pairs``) assume for their sketch math."""
+    out = new_col or vec_col
+    tmp = "__l2norm"
+    return (
+        df.withColumn(tmp, _norm_expr(vec_col))
+        .withColumn(
+            out,
+            F.when(F.col(tmp) == 0.0, F.col(vec_col).cast("array<double>")).otherwise(
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double") / F.col(tmp)
+                )
+            ),
+        )
+        .drop(tmp)
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q_vec",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max(|x|)/127``,
+    ``q = round(x/scale)`` as ``array<tinyint>`` — 4× smaller than
+    float32 with ~0.4% worst-case element error. Zero vectors get
+    ``scale = 0`` and an all-zero code. Reconstruct with
+    ``dequantize_int8``; error bound |x - x̂| ≤ scale/2."""
+    tmp = "__absmax"
+    absmax = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, x),
+    )
+    return (
+        df.withColumn(tmp, absmax)
+        .withColumn(scale_col, F.col(tmp) / F.lit(127.0))
+        .withColumn(
+            q_col,
+            F.when(
+                F.col(tmp) == 0.0,
+                F.transform(F.col(vec_col), lambda x: F.lit(0).cast("tinyint")),
+            ).otherwise(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: F.round(
+                        x.cast("double") / F.col(scale_col)
+                    ).cast("tinyint"),
+                )
+            ),
+        )
+        .drop(tmp)
+    )
+
+
+def dequantize_int8(
+    df: DataFrame,
+    q_col: str = "q_vec",
+    scale_col: str = "q_scale",
+    new_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of ``quantize_int8``: ``x̂ = q × scale`` as
+    ``array<double>``."""
+    return df.withColumn(
+        new_col,
+        F.transform(
+            F.col(q_col), lambda q: q.cast("double") * F.col(scale_col)
+        ),
+    )
+
+
+def norm_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-row corpus sanity profile: vector count, dimension range
+    (min=max unless the table is corrupt), and L2-norm distribution.
+    The cheap pre-flight check before ANN indexing — a dimension
+    mismatch or an un-normalized corpus shows up here, not three hours
+    into an index build. Single partial-aggregated pass."""
+    norms = df.where(F.col(vec_col).isNotNull()).select(
+        F.size(F.col(vec_col)).alias("__dim"),
+        F.round(_norm_expr(vec_col), 4).alias("__norm"),
+    )
+    return norms.agg(
+        F.count("*").alias("n_vectors"),
+        F.min("__dim").alias("min_dim"),
+        F.max("__dim").alias("max_dim"),
+        F.round(F.avg("__norm"), 4).alias("avg_norm"),
+        F.round(F.min("__norm"), 4).alias("min_norm"),
+        F.round(F.max("__norm"), 4).alias("max_norm"),
+    )

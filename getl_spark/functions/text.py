@@ -456,6 +456,57 @@ def decontaminate(
     return flagged
 
 
+def chunk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    chunk_col: str = "chunk_text",
+    idx_col: str = "chunk_idx",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows (RAG /
+    context-window chunking): windows of ``chunk_tokens`` whitespace
+    tokens advancing by ``chunk_tokens - overlap``. Every token lands in
+    at least one chunk; documents at or under ``chunk_tokens`` yield one
+    chunk; empty/null documents yield none.
+
+    One ``posexplode`` over a computed ``sequence`` — pure JVM, row
+    growth is len/stride (bounded), no shuffle. All original columns
+    are kept alongside ``(chunk_idx, chunk_text)``.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens "
+            f"({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    tmp_w = "__chunk_words"
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size(F.col(tmp_w)) - chunk_tokens, F.lit(0))
+            / F.lit(float(stride))
+        )
+        + 1
+    )
+    base = df.withColumn(tmp_w, words).where(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    )
+    out = base.select(
+        *[c for c in df.columns],
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(idx_col, "__i"),
+        F.col(tmp_w),
+    ).select(
+        *[c for c in df.columns],
+        F.col(idx_col),
+        F.concat_ws(
+            " ", F.slice(F.col(tmp_w), F.col(idx_col) * stride + 1, chunk_tokens)
+        ).alias(chunk_col),
+    )
+    return out
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,103 @@
+"""Embedding utilities: numpy-differential normalize/quantize, chunking
+edge cases."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from getl_spark.functions import embedding, text
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(42)
+    rows = [(i, rng.randn(8).astype("float32").tolist()) for i in range(20)]
+    rows.append((20, [0.0] * 8))  # zero vector
+    rows.append((21, None))  # null vector
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+
+def test_l2_normalize_matches_numpy(spark, vecs):
+    out = {r.vec_id: r.embedding for r in embedding.l2_normalize(vecs).collect()}
+    src = {r.vec_id: r.embedding for r in vecs.collect()}
+    for vid, v in src.items():
+        if v is None:
+            assert out[vid] is None
+            continue
+        arr = np.array(v, dtype="float64")
+        n = np.linalg.norm(arr)
+        expected = arr / n if n > 0 else arr
+        np.testing.assert_allclose(out[vid], expected, rtol=1e-6)
+
+
+def test_l2_normalize_unit_norms(spark, vecs):
+    normed = embedding.l2_normalize(vecs.where("vec_id < 20"))
+    stats = embedding.norm_stats(normed).first()
+    assert stats.min_norm == pytest.approx(1.0, abs=1e-3)
+    assert stats.max_norm == pytest.approx(1.0, abs=1e-3)
+
+
+def test_quantize_roundtrip_error_bound(spark, vecs):
+    q = embedding.quantize_int8(vecs.where("vec_id < 20"))
+    deq = embedding.dequantize_int8(q, new_col="recon")
+    for r in deq.collect():
+        orig = np.array(r.embedding, dtype="float64")
+        recon = np.array(r.recon, dtype="float64")
+        scale = r.q_scale
+        assert np.all(np.abs(orig - recon) <= scale / 2 + 1e-9)
+        assert all(-127 <= c <= 127 for c in r.q_vec)
+
+
+def test_quantize_zero_vector(spark, vecs):
+    r = embedding.quantize_int8(vecs.where("vec_id = 20")).first()
+    assert r.q_scale == 0.0
+    assert list(r.q_vec) == [0] * 8
+
+
+def test_norm_stats_shape(spark, vecs):
+    r = embedding.norm_stats(vecs).first()
+    assert r.n_vectors == 21  # null vector excluded
+    assert r.min_dim == r.max_dim == 8
+    assert r.min_norm == 0.0  # the zero vector
+
+
+# ------------------------------------------------------------- chunking
+def test_chunk_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id BIGINT, text STRING")
+    out = text.chunk(df, chunk_tokens=10, overlap=2).collect()
+    assert len(out) == 1
+    assert out[0].chunk_idx == 0 and out[0].chunk_text == "a b c"
+
+
+def test_chunk_overlap_windows_cover_all_tokens(spark):
+    words = [f"w{i}" for i in range(25)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id BIGINT, text STRING")
+    out = sorted(
+        text.chunk(df, chunk_tokens=10, overlap=4).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # stride 6: ceil((25-10)/6)+1 = 4 chunks
+    assert len(out) == 4
+    assert out[0].chunk_text.split() == words[0:10]
+    assert out[1].chunk_text.split() == words[6:16]
+    assert out[3].chunk_text.split() == words[18:25]
+    covered = set()
+    for r in out:
+        covered.update(r.chunk_text.split())
+    assert covered == set(words)
+
+
+def test_chunk_empty_and_null_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, ""), (3, None), (4, "   ")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = text.chunk(df, chunk_tokens=4, overlap=1).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError, match="overlap"):
+        text.chunk(df, chunk_tokens=8, overlap=8)
