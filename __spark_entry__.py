@@ -1895,6 +1895,29 @@ SELECT doc_id, chunk_idx, chunk_text FROM c
 """
 
 
+def _q_dedup_paragraphs(spark, sf_dir):
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.dedup_paragraphs(docs, new_col="text_dedup").select(
+        "doc_id", "text_dedup"
+    )
+
+
+DEDUP_PARAGRAPHS_ORACLE = """
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL ELSE
+    array_to_string(
+      list_filter(pt, (x, i) -> x != '' AND list_position(pt, x) = i),
+      chr(10) || chr(10))
+  END AS text_dedup
+FROM (SELECT doc_id, text,
+        list_transform(regexp_split_to_array(text, '\\n\\s*\\n'),
+                       x -> trim(x)) AS pt
+      FROM documents)
+"""
+
+
 def _q_embedding_stats(spark, sf_dir):
     from getl_spark.functions import embedding
 
@@ -2232,6 +2255,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngram": _q_text_top_ngram,
         "text_decontaminate": _q_text_decontaminate,
         "text_chunks": _q_text_chunks,
+        "text_dedup_paragraphs": _q_dedup_paragraphs,
         "embedding_stats": _q_embedding_stats,
     }
 
@@ -2257,6 +2281,7 @@ def demoted_oracle_sql() -> dict[str, str]:
         "text_top_ngram": TOP_NGRAM_ORACLE,
         "text_decontaminate": DECONTAMINATE_ORACLE,
         "text_chunks": TEXT_CHUNKS_ORACLE,
+        "text_dedup_paragraphs": DEDUP_PARAGRAPHS_ORACLE,
         "embedding_stats": EMBEDDING_STATS_ORACLE,
     }
 

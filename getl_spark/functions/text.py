@@ -456,6 +456,97 @@ def decontaminate(
     return flagged
 
 
+def dedup_paragraphs(
+    df: DataFrame, text_col: str = "text", new_col: Optional[str] = None
+) -> DataFrame:
+    """Remove repeated paragraphs within each document, keeping the
+    first occurrence (scraper loops and templated listings repeat whole
+    paragraphs; corpus-level dedup won't catch repetition *inside* one
+    document). Paragraphs are compared trimmed; empty paragraphs are
+    dropped; surviving paragraphs are re-joined with a blank line.
+    Null documents stay null.
+
+    One JVM array expression per row — no shuffle. The
+    ``array_position`` scan is O(k²) in paragraphs-per-document, which
+    is tens, not thousands — irrelevant next to the scan cost.
+    """
+    out = new_col or text_col
+    paras = (
+        f"transform(split({text_col}, '\\n\\\\s*\\n'), x -> trim(x))"
+    )
+    expr = (
+        f"array_join(filter({paras}, (p, i) -> "
+        f"p != '' AND array_position({paras}, p) = i + 1), '\\n\\n')"
+    )
+    return df.withColumn(
+        out,
+        F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(F.expr(expr)),
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    min_stopword_hits: int = 2,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    new_col: str = "gopher_keep",
+    remove: bool = False,
+) -> DataFrame:
+    """Composite Gopher-style quality gate: word-count window, mean
+    word length window, minimum distinct-stopword hits, and duplicate
+    line caps — the published rule set for filtering web-scraped
+    training corpora, with every threshold overridable. Adds a boolean
+    ``new_col`` (or drops failing rows with ``remove=True``).
+
+    Pure JVM single-pass expressions (same machinery as ``quality`` and
+    ``repetition_signals``) — scan speed, no shuffle, no UDF.
+    """
+    tmp_pfx = "__gf_"
+    scored = repetition_signals(df, text_col=text_col, prefix=tmp_pfx)
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(words)
+    )
+    n_chars = F.length(F.trim(text))
+    avg_word_len = (n_chars - (n_words - F.lit(1))) / n_words.cast("double")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, lambda w: F.lower(w)),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    keep = (
+        text.isNotNull()
+        & (n_words >= min_words)
+        & (n_words <= max_words)
+        & (avg_word_len >= min_avg_word_len)
+        & (avg_word_len <= max_avg_word_len)
+        & (stop_hits >= min_stopword_hits)
+        & (F.col(f"{tmp_pfx}dup_line_frac") <= max_dup_line_frac)
+        & (F.col(f"{tmp_pfx}dup_line_char_frac") <= max_dup_line_char_frac)
+    )
+    out = scored.withColumn(new_col, F.coalesce(keep, F.lit(False))).drop(
+        *[
+            f"{tmp_pfx}{c}"
+            for c in (
+                "dup_line_frac",
+                "dup_line_char_frac",
+                "dup_para_frac",
+                "dup_para_char_frac",
+            )
+        ]
+    )
+    if remove:
+        return out.where(F.col(new_col)).drop(new_col)
+    return out
+
+
 def chunk(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -155,6 +155,46 @@ def test_decontaminate_normalization_defeats_formatting(spark, corpus):
     assert out[1] is True
 
 
+# --------------------------------------------------- paragraph dedup / gate
+def test_dedup_paragraphs_keeps_first_occurrence(spark):
+    doc = "intro para\n\nbody text\n\nintro para\n\nconclusion"
+    df = spark.createDataFrame([(1, doc)], "doc_id BIGINT, text STRING")
+    out = text.dedup_paragraphs(df).first().text
+    assert out == "intro para\n\nbody text\n\nconclusion"
+
+
+def test_dedup_paragraphs_trim_compare_and_null(spark):
+    doc = "para one\n\n  para one  \n\npara two"
+    df = spark.createDataFrame(
+        [(1, doc), (2, None), (3, "")], "doc_id BIGINT, text STRING"
+    )
+    rows = {r.doc_id: r.text for r in text.dedup_paragraphs(df).collect()}
+    assert rows[1] == "para one\n\npara two"
+    assert rows[2] is None
+    assert rows[3] == ""
+
+
+def test_gopher_filter_rules(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs far into "
+        "the woods where it finds a quiet stream and rests for a while "
+        "before returning home to the den with food for the young ones "
+        "it is a calm day in the forest and all the animals are busy"
+    )
+    too_short = "tiny doc"
+    no_stopwords = " ".join(f"tok{i}" for i in range(60))
+    repetitive = "\n".join(["same line here"] * 40)
+    df = spark.createDataFrame(
+        [(1, good), (2, too_short), (3, no_stopwords), (4, repetitive), (5, None)],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r.gopher_keep for r in text.gopher_filter(df).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: False, 5: False}
+    kept = text.gopher_filter(df, remove=True)
+    assert [r.doc_id for r in kept.collect()] == [1]
+    assert "gopher_keep" not in kept.columns
+
+
 # -------------------------------------------------------- sequence packing
 def _mk_docs(spark, sizes):
     rows = [(i, "w " * t) for i, t in enumerate(sizes)]
