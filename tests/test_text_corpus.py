@@ -155,6 +155,31 @@ def test_decontaminate_normalization_defeats_formatting(spark, corpus):
     assert out[1] is True
 
 
+def test_corpus_curation_example_pipeline(spark, tmp_path):
+    """The examples/corpus_curation.yaml recipe end-to-end at sf0.001."""
+    import os
+
+    from getl_spark import lift
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    log = lift(
+        spark,
+        os.path.join(repo, "examples", "corpus_curation.yaml"),
+        {
+            "source_dir": "/root/testdata/sf0.001",
+            "out_dir": str(tmp_path / "curation"),
+        },
+    )
+    n_docs = log.get("LoadDocs").count()
+    n_clean = log.get("Decontaminated").count()
+    assert 0 < n_clean < n_docs  # eval-overlapping docs were dropped
+    packs = log.get("Packs")
+    assert {"doc_id", "n_tokens", "pack_id", "pack_pos", "oversize"} <= set(
+        packs.columns
+    )
+    assert (tmp_path / "curation" / "chunks").exists()
+
+
 # --------------------------------------------------- paragraph dedup / gate
 def test_dedup_paragraphs_keeps_first_occurrence(spark):
     doc = "intro para\n\nbody text\n\nintro para\n\nconclusion"
