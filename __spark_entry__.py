@@ -1918,6 +1918,35 @@ FROM (SELECT doc_id, text,
 """
 
 
+def _q_stats_profile(spark, sf_dir):
+    from getl_spark.functions import stats
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return stats.profile(
+        cust, columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    )
+
+
+STATS_PROFILE_ORACLE = """
+SELECT 'c_custkey' AS "column", COUNT(*) AS n_rows,
+       SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+       COUNT(DISTINCT CAST(c_custkey AS VARCHAR)) AS n_distinct
+FROM customer
+UNION ALL
+SELECT 'c_name', COUNT(*),
+       SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT c_name) FROM customer
+UNION ALL
+SELECT 'c_nationkey', COUNT(*),
+       SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT CAST(c_nationkey AS VARCHAR)) FROM customer
+UNION ALL
+SELECT 'c_mktsegment', COUNT(*),
+       SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT c_mktsegment) FROM customer
+"""
+
+
 def _q_embedding_stats(spark, sf_dir):
     from getl_spark.functions import embedding
 
@@ -2257,6 +2286,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": _q_text_chunks,
         "text_dedup_paragraphs": _q_dedup_paragraphs,
         "embedding_stats": _q_embedding_stats,
+        "stats_profile": _q_stats_profile,
     }
 
 
@@ -2283,6 +2313,7 @@ def demoted_oracle_sql() -> dict[str, str]:
         "text_chunks": TEXT_CHUNKS_ORACLE,
         "text_dedup_paragraphs": DEDUP_PARAGRAPHS_ORACLE,
         "embedding_stats": EMBEDDING_STATS_ORACLE,
+        "stats_profile": STATS_PROFILE_ORACLE,
     }
 
 

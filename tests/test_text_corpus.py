@@ -155,6 +155,22 @@ def test_decontaminate_normalization_defeats_formatting(spark, corpus):
     assert out[1] is True
 
 
+def test_stats_profile_counts(spark):
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0), (3, None, 5.0), (3, "b", None)],
+        "id BIGINT, s STRING, d DOUBLE",
+    )
+    rows = {r["column"]: r for r in stats.profile(df).collect()}
+    assert rows["id"].n_rows == 4 and rows["id"].n_null == 0
+    assert rows["id"].n_distinct == 3
+    assert rows["s"].n_null == 1 and rows["s"].n_distinct == 2
+    assert rows["d"].n_null == 2 and rows["d"].n_distinct == 1
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        stats.profile(df, columns=["nope"])
+
+
 def test_corpus_curation_example_pipeline(spark, tmp_path):
     """The examples/corpus_curation.yaml recipe end-to-end at sf0.001."""
     import os
