@@ -43,6 +43,24 @@ def _ensure_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def _events_ts_exprs(sf_dir: str) -> tuple[str, str]:
+    """(timestamp_expr, micros_expr) for ``events.ts``, adaptive to how
+    the driver generated the parquet. Older testdata stored TIMESTAMP
+    (NANOS) / raw int64, which Spark reads as bigint nanos under
+    ``nanosAsLong``; newer testdata stores TIMESTAMP(MICROS), which
+    Spark reads as TIMESTAMP_NTZ directly. Both exprs yield identical
+    instants either way (session timezone is pinned to UTC)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    if getattr(t, "unit", None) in (None, "ns"):
+        return (
+            "timestamp_micros(CAST(ts div 1000 AS BIGINT))",
+            "CAST(ts div 1000 AS BIGINT)",
+        )
+    return ("CAST(ts AS TIMESTAMP)", "unix_micros(CAST(ts AS TIMESTAMP))")
+
+
 def _load_blocks(sf_dir: str, tables: list[str]) -> dict:
     return {
         t: {
@@ -620,15 +638,7 @@ FROM customer
 
 def _q_date_functions(spark, sf_dir):
     blocks = _load_blocks(sf_dir, ["events"])
-    blocks["Conv"] = {
-        "Type": "transform::with_columns",
-        "Input": "events",
-        "Properties": {
-            "Columns": [
-                {"name": "ts", "expr": "timestamp_micros(CAST(ts div 1000 AS BIGINT))"}
-            ]
-        },
-    }
+    blocks["Conv"] = _events_conv_block(sf_dir)
     blocks["Result"] = {
         "Type": "transform::generic",
         "Input": "Conv",
@@ -1071,21 +1081,18 @@ SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'clic
 """
 
 
-def _events_conv_block() -> dict:
+def _events_conv_block(sf_dir: str) -> dict:
+    ts_expr, _ = _events_ts_exprs(sf_dir)
     return {
         "Type": "transform::with_columns",
         "Input": "events",
-        "Properties": {
-            "Columns": [
-                {"name": "ts", "expr": "timestamp_micros(CAST(ts div 1000 AS BIGINT))"}
-            ]
-        },
+        "Properties": {"Columns": [{"name": "ts", "expr": ts_expr}]},
     }
 
 
 def _q_tumbling_window(spark, sf_dir):
     blocks = _load_blocks(sf_dir, ["events"])
-    blocks["Conv"] = _events_conv_block()
+    blocks["Conv"] = _events_conv_block(sf_dir)
     blocks["Result"] = {
         "Type": "transform::time_window",
         "Input": "Conv",
@@ -1119,7 +1126,7 @@ GROUP BY 1, 2, 3
 
 def _q_session_window(spark, sf_dir):
     blocks = _load_blocks(sf_dir, ["events"])
-    blocks["Conv"] = _events_conv_block()
+    blocks["Conv"] = _events_conv_block(sf_dir)
     blocks["Result"] = {
         "Type": "transform::session_window",
         "Input": "Conv",
@@ -2129,9 +2136,11 @@ def _q_asof_events(spark, sf_dir):
     as a micros TIMESTAMP — both floor identically)."""
     from getl_spark.functions import asof
 
-    # integer div, not /: float division of int64 nanos loses precision
+    # integer micros (div for the nanos layout, unix_micros for the
+    # timestamp layout): float division of int64 nanos loses precision
+    _, us_expr = _events_ts_exprs(sf_dir)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "us", F.expr("ts div 1000")
+        "us", F.expr(us_expr)
     )
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "us"
