@@ -53,3 +53,38 @@ def test_demoted_registry_consistent():
     assert set(demoted) == set(demoted_oracles)
     # demoted names must not overlap registered names
     assert not set(demoted) & set(entry._raw_queries())
+
+
+def test_events_ts_exprs_adaptive(spark, tmp_path):
+    """events.ts arrives as either int64/TIMESTAMP(NANOS) (bigint nanos
+    under nanosAsLong) or TIMESTAMP(MICROS) (TIMESTAMP_NTZ). Both
+    layouts must resolve to the same instant and the same micros."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1_704_079_804_729_045, 1_704_363_359_645_136]
+
+    nanos_dir = tmp_path / "nanos"
+    micros_dir = tmp_path / "micros"
+    nanos_dir.mkdir()
+    micros_dir.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([m * 1000 for m in micros], pa.int64())}),
+        nanos_dir / "events.parquet",
+    )
+    pq.write_table(
+        pa.table({"ts": pa.array(micros, pa.timestamp("us"))}),
+        micros_dir / "events.parquet",
+    )
+
+    entry._ensure_conf(spark)
+    results = []
+    for d in (nanos_dir, micros_dir):
+        ts_expr, us_expr = entry._events_ts_exprs(str(d))
+        df = spark.read.parquet(str(d / "events.parquet")).selectExpr(
+            f"unix_micros({ts_expr}) AS ts_us", f"{us_expr} AS us"
+        )
+        results.append(sorted(map(tuple, df.collect())))
+    expected = sorted((m, m) for m in micros)
+    assert results[0] == expected
+    assert results[1] == expected
