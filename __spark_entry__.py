@@ -1961,6 +1961,59 @@ def _q_embedding_stats(spark, sf_dir):
     return embedding.norm_stats(vecs, "embedding")
 
 
+BM25_QUERIES = ["spark join filter", "stream window watermark", "vector hash"]
+
+
+def _q_search_bm25(spark, sf_dir):
+    """BM25 keyword retrieval (retrieval-based curation): top-10 docs
+    per query, scored distributed with a broadcast query-term set."""
+    from getl_spark.functions import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return search.bm25_topk(docs, BM25_QUERIES, k=10)
+
+
+_BM25_VALUES = ", ".join(
+    f"({i}, '{q}')" for i, q in enumerate(BM25_QUERIES)
+)
+
+SEARCH_BM25_ORACLE = f"""
+WITH q(query_id, query) AS (VALUES {_BM25_VALUES}),
+qt AS (
+  SELECT DISTINCT query_id, unnest(list_filter(
+    string_split_regex(lower(query), '\\s+'), x -> x != '')) AS token
+  FROM q),
+tok AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT token, COUNT(*) AS doc_freq FROM tf
+  WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+    ROUND(SUM(
+      ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+      * tf * (1.2 + 1)
+      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+    ), 6) AS score
+  FROM tf
+  JOIN qt USING (token)
+  JOIN dfreq USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored) t
+WHERE rank <= 10
+"""
+
+
 EMBEDDING_STATS_ORACLE = """
 WITH norms AS (
   SELECT len(embedding) AS dim,
@@ -2296,6 +2349,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dedup_paragraphs": _q_dedup_paragraphs,
         "embedding_stats": _q_embedding_stats,
         "stats_profile": _q_stats_profile,
+        "search_bm25": _q_search_bm25,
     }
 
 
@@ -2323,6 +2377,7 @@ def demoted_oracle_sql() -> dict[str, str]:
         "text_dedup_paragraphs": DEDUP_PARAGRAPHS_ORACLE,
         "embedding_stats": EMBEDDING_STATS_ORACLE,
         "stats_profile": STATS_PROFILE_ORACLE,
+        "search_bm25": SEARCH_BM25_ORACLE,
     }
 
 

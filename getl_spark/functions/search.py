@@ -1,0 +1,173 @@
+"""BM25 keyword retrieval over a document corpus.
+
+Retrieval-based curation is a standard step in training-data pipelines
+(mine documents matching a topic/query mix, score corpus coverage of a
+query set, build seed sets for classifier bootstrapping). This module
+implements Okapi BM25 (Robertson & Walker, public literature) as pure
+DataFrame operations:
+
+* corpus side: one explode + partial-aggregated ``groupBy`` builds the
+  (doc, term, tf) table — every term of a document lives in one input
+  row, so map-side partial aggregation finishes each (doc, term) count
+  locally and the shuffle only moves already-reduced triples;
+* the query term set is tiny and broadcast — the corpus term table is
+  pruned to query terms BEFORE any per-query work, so scoring cost is
+  O(matching postings), not O(corpus);
+* document frequencies for the pruned terms and the corpus-wide
+  (N, avgdl) scalars are computed distributed and re-attached with a
+  broadcast of one- or few-row DataFrames — no driver-side state.
+
+At 100 TB the dominant cost is the single corpus scan + one shuffle of
+partially-aggregated (doc, term, tf) triples; everything downstream is
+proportional to the posting lists of the query terms.
+
+YAML-callable as ``search.bm25_topk`` inside ``transform::generic``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _words(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token, dl) — lowercase whitespace tokens plus the document
+    length, carried alongside so downstream scoring never joins back to
+    the corpus for it."""
+    return df.select(
+        F.col(id_col).alias("id"), _words(text_col).alias("w")
+    ).select(
+        "id",
+        F.explode("w").alias("token"),
+        F.size("w").alias("dl"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents per query under Okapi BM25.
+
+    ``queries`` is a list of query strings (their index is the
+    ``query_id``). Scoring uses the standard formulation::
+
+        idf(t)   = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+        score(q, d) = sum over distinct t in q of
+            idf(t) * tf(t,d) * (k1 + 1)
+                   / (tf(t,d) + k1 * (1 - b + b * dl(d) / avgdl))
+
+    Scores are rounded to 6 decimals BEFORE ranking so ties (and the
+    deterministic ``doc_id`` ascending tie-break) are stable across
+    summation orders. Documents with no query term in common are not
+    returned. Output: ``(query_id, doc_id, score, rank)``.
+    """
+    if not queries:
+        raise ValueError("bm25_topk needs at least one query string")
+    spark = df.sparkSession
+
+    toks = _tokens(df, id_col, text_col)
+    # (id, token, tf, dl) — partial agg completes map-side (see module
+    # doc); dl rides along so scoring needs no join back to the corpus
+    tf = toks.groupBy("id", "token").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+
+    # corpus scalars as a 1-row broadcast, not a driver collect; one
+    # narrow scan of the text column only
+    stats = df.select(F.size(_words(text_col)).alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    qterms = (
+        spark.createDataFrame(
+            [(i, q) for i, q in enumerate(queries)], "query_id INT, query STRING"
+        )
+        .select(
+            "query_id",
+            F.explode(F.split(F.lower(F.col("query")), r"\s+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+
+    # prune the corpus term table to query terms before anything else
+    matched = tf.join(
+        F.broadcast(qterms.select("token").distinct()), "token"
+    )
+    dfreq = matched.groupBy("token").agg(
+        F.count("*").alias("doc_freq")
+    )
+
+    scored = (
+        matched.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+                / (F.col("doc_freq") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (F.lit(k1) + 1)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def coverage(
+    df: DataFrame,
+    queries: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_score: float = 0.0,
+) -> DataFrame:
+    """Per-query corpus coverage: how many documents score above
+    ``min_score`` for each query, plus the mean of those scores — the
+    aggregate view used to balance a retrieval-curated training mix.
+    Output: ``(query_id, n_docs, mean_score)``.
+    """
+    hits = bm25_topk(
+        df, queries, k=2**31 - 1, id_col=id_col, text_col=text_col
+    ).where(F.col("score") > min_score)
+    return hits.groupBy("query_id").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+    )

@@ -1,0 +1,96 @@
+"""BM25 retrieval (functions/search.py) unit tests — numeric parity
+with DuckDB is covered by tests/test_demoted_oracle.py::search_bm25."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from getl_spark.functions import search
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry date"),
+        (4, "unrelated words only"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bm25_matches_hand_computation(corpus):
+    out = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in search.bm25_topk(corpus, ["apple"], k=10).collect()
+    }
+    # N=4, df(apple)=1, dl(doc1)=3, avgdl=(3+2+4+3)/4=3
+    idf = math.log(1 + (4 - 1 + 0.5) / (1 + 0.5))
+    tf = 2.0
+    expected = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * 3 / 3))
+    assert out == {(0, 1): pytest.approx(round(expected, 6))}
+
+
+def test_bm25_topk_rank_and_tiebreak(corpus):
+    rows = search.bm25_topk(corpus, ["cherry banana"], k=10).collect()
+    by_q = sorted(rows, key=lambda r: r["rank"])
+    # doc 3 (cherry-heavy) outranks docs 1/2; doc 4 never appears
+    assert [r["doc_id"] for r in by_q][0] in (2, 3)
+    assert all(r["doc_id"] != 4 for r in rows)
+    ranks = [r["rank"] for r in by_q]
+    assert ranks == sorted(ranks) and len(set(ranks)) == len(ranks)
+
+
+def test_bm25_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "Apple APPLE"), (2, "orange")], ["doc_id", "text"]
+    )
+    rows = search.bm25_topk(df, ["aPpLe"], k=5).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_bm25_empty_queries_raises(corpus):
+    with pytest.raises(ValueError):
+        search.bm25_topk(corpus, [])
+
+
+def test_coverage_counts(corpus):
+    cov = {
+        r["query_id"]: r["n_docs"]
+        for r in search.coverage(corpus, ["cherry", "apple", "zzz"]).collect()
+    }
+    assert cov[0] == 2  # docs 2 and 3 contain cherry
+    assert cov[1] == 1
+    assert 2 not in cov  # no hits -> no row
+
+
+def test_bm25_yaml_callable(spark):
+    import yaml
+
+    from getl_spark import lift
+
+    df = spark.createDataFrame(
+        [(1, "spark join filter"), (2, "sort merge")], ["doc_id", "text"]
+    )
+    df.createOrReplaceTempView("bm25_src")
+    blocks = {
+        "Src": {
+            "Type": "custom::sql",
+            "Properties": {"Statement": "SELECT * FROM bm25_src"},
+        },
+        "Result": {
+            "Type": "transform::generic",
+            "Input": "Src",
+            "Properties": {
+                "Functions": [
+                    {"search.bm25_topk": {"queries": ["spark"], "k": 3}}
+                ]
+            },
+        },
+    }
+    out = lift(spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False)).get(
+        "Result"
+    )
+    assert [r["doc_id"] for r in out.collect()] == [1]
