@@ -7,19 +7,25 @@ implements Okapi BM25 (Robertson & Walker, public literature) as pure
 DataFrame operations:
 
 * corpus side: one explode + partial-aggregated ``groupBy`` builds the
-  (doc, term, tf) table — every term of a document lives in one input
-  row, so map-side partial aggregation finishes each (doc, term) count
-  locally and the shuffle only moves already-reduced triples;
-* the query term set is tiny and broadcast — the corpus term table is
-  pruned to query terms BEFORE any per-query work, so scoring cost is
+  (doc, term, tf, dl) inverted index — every term of a document lives
+  in one input row, so map-side partial aggregation finishes each
+  (doc, term) count locally and the shuffle only moves already-reduced
+  quads;
+* the query term set is tiny and broadcast — the index is pruned to
+  query terms BEFORE any per-query work, so scoring cost is
   O(matching postings), not O(corpus);
 * document frequencies for the pruned terms and the corpus-wide
   (N, avgdl) scalars are computed distributed and re-attached with a
   broadcast of one- or few-row DataFrames — no driver-side state.
 
+The index table is self-contained (corpus stats derive from it), so a
+standing query workload writes ``build_index`` output to parquet once
+and runs ``bm25_topk`` against it for every query batch — the corpus
+scan is paid once, not per batch.
+
 At 100 TB the dominant cost is the single corpus scan + one shuffle of
-partially-aggregated (doc, term, tf) triples; everything downstream is
-proportional to the posting lists of the query terms.
+partially-aggregated (doc, term, tf, dl) quads; everything downstream
+is proportional to the posting lists of the query terms.
 
 YAML-callable as ``search.bm25_topk`` inside ``transform::generic``.
 """
@@ -29,6 +35,8 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+_INDEX_COLS = ["id", "token", "tf", "dl"]
 
 
 def _words(text_col: str):
@@ -50,6 +58,29 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def build_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The persistable inverted index: ``(id, token, tf, dl)``.
+
+    One corpus scan; the groupBy completes map-side (all terms of a doc
+    share an input row), so the exchange moves already-reduced quads.
+    Corpus stats (N, avgdl) derive from the index itself, so writing
+    this one table to parquet is enough to serve ``bm25_topk`` without
+    the corpus — the standing-workload shape: index once, score every
+    query batch against it.
+    """
+    return (
+        _tokens(df, id_col, text_col)
+        .groupBy("id", "token")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+
+
+def _is_index(df: DataFrame) -> bool:
+    return [c for c in df.columns if c in _INDEX_COLS] == _INDEX_COLS
+
+
 def bm25_topk(
     df: DataFrame,
     queries: Sequence[str],
@@ -61,7 +92,9 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k documents per query under Okapi BM25.
 
-    ``queries`` is a list of query strings (their index is the
+    ``df`` is either the raw corpus (indexed on the fly) or a prebuilt
+    ``build_index`` table — recognized by its ``(id, token, tf, dl)``
+    columns. ``queries`` is a list of query strings (their index is the
     ``query_id``). Scoring uses the standard formulation::
 
         idf(t)   = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
@@ -77,18 +110,16 @@ def bm25_topk(
     if not queries:
         raise ValueError("bm25_topk needs at least one query string")
     spark = df.sparkSession
+    index = df if _is_index(df) else build_index(df, id_col, text_col)
 
-    toks = _tokens(df, id_col, text_col)
-    # (id, token, tf, dl) — partial agg completes map-side (see module
-    # doc); dl rides along so scoring needs no join back to the corpus
-    tf = toks.groupBy("id", "token").agg(
-        F.count("*").alias("tf"), F.first("dl").alias("dl")
-    )
-
-    # corpus scalars as a 1-row broadcast, not a driver collect; one
-    # narrow scan of the text column only
-    stats = df.select(F.size(_words(text_col)).alias("dl")).agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    # corpus scalars as a broadcast 1-row aggregate, not a driver
+    # collect; derived from the index so a persisted index is
+    # self-contained (per-doc dl repeats on every posting — distinct
+    # first, partial agg keeps the exchange at one row per doc)
+    stats = (
+        index.select("id", "dl")
+        .distinct()
+        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     )
 
     qterms = (
@@ -103,8 +134,8 @@ def bm25_topk(
         .distinct()
     )
 
-    # prune the corpus term table to query terms before anything else
-    matched = tf.join(
+    # prune the index to query terms before anything else
+    matched = index.join(
         F.broadcast(qterms.select("token").distinct()), "token"
     )
     dfreq = matched.groupBy("token").agg(

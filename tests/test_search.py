@@ -66,6 +66,17 @@ def test_coverage_counts(corpus):
     assert 2 not in cov  # no hits -> no row
 
 
+def test_bm25_prebuilt_index_roundtrip(spark, corpus, tmp_path):
+    """A persisted build_index table serves identical results to
+    indexing on the fly — the standing-workload shape."""
+    direct = sorted(map(tuple, search.bm25_topk(corpus, ["cherry banana"]).collect()))
+    path = str(tmp_path / "bm25_index")
+    search.build_index(corpus).write.parquet(path)
+    index = spark.read.parquet(path)
+    via_index = sorted(map(tuple, search.bm25_topk(index, ["cherry banana"]).collect()))
+    assert direct == via_index
+
+
 def test_bm25_yaml_callable(spark):
     import yaml
 
