@@ -1082,11 +1082,18 @@ SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'clic
 
 
 def _events_conv_block(sf_dir: str) -> dict:
-    ts_expr, _ = _events_ts_exprs(sf_dir)
+    """Normalize events.ts to TIMESTAMP whatever layout the parquet
+    was generated with (int64 nanos or TIMESTAMP(MICROS)) — the
+    engine's own schema-drift operator, no schema peeking needed."""
+    del sf_dir  # layout resolved per-row by ensure_timestamp
     return {
-        "Type": "transform::with_columns",
+        "Type": "transform::generic",
         "Input": "events",
-        "Properties": {"Columns": [{"name": "ts", "expr": ts_expr}]},
+        "Properties": {
+            "Functions": [
+                {"add_column.date.ensure_timestamp": {"from_column": "ts"}}
+            ]
+        },
     }
 
 

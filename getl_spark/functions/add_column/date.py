@@ -41,3 +41,68 @@ def dayofmonth(dataframe: DataFrame, from_column: str, to_column: str) -> DataFr
 
 def date(dataframe: DataFrame, from_column: str, to_column: str) -> DataFrame:
     return dataframe.withColumn(to_column, F.col(from_column).cast(DateType()))
+
+
+def ensure_timestamp(
+    dataframe: DataFrame,
+    from_column: str,
+    to_column: str | None = None,
+    unit: str = "auto",
+) -> DataFrame:
+    """Normalize a timestamp-ish column to TIMESTAMP — the schema-drift
+    guard for sources whose time column arrives either as a native
+    (parquet-annotated) timestamp or as a raw epoch integer, and whose
+    layout can change between deliveries (this repo's ``events.ts``
+    switched from int64 nanos to TIMESTAMP(MICROS) between testdata
+    generations; real feeds do the same).
+
+    * timestamp / timestamp_ntz / date input: plain cast — ``unit`` is
+      ignored.
+    * integer input: interpreted per ``unit`` (``s``/``ms``/``us``/
+      ``ns``). ``unit='auto'`` infers the unit per row from magnitude
+      with fixed documented bands (|v| < 1e11 → s, < 1e14 → ms,
+      < 1e17 → us, else ns) — unambiguous for any instant between 1973
+      and 5138, a per-row CASE with no extra data pass. Feeds outside
+      that window (pre-1973 epochs) must pass ``unit`` explicitly.
+
+    Fractional-second precision is preserved to the microsecond (Spark
+    TIMESTAMP resolution); ``ns`` floors to micros.
+    """
+    to_column = to_column or from_column
+    dtype = dict(dataframe.dtypes).get(from_column)
+    if dtype is None:
+        raise ValueError(f"ensure_timestamp: no column '{from_column}'")
+    col = F.col(from_column)
+    if dtype.startswith("timestamp") or dtype == "date":
+        return dataframe.withColumn(to_column, col.cast("timestamp"))
+    if dtype not in ("bigint", "int", "long", "integer", "smallint", "tinyint"):
+        raise ValueError(
+            f"ensure_timestamp: column '{from_column}' is {dtype}; expected "
+            "a timestamp or integer epoch column"
+        )
+    v = col.cast("bigint")
+    # integer `div` (not /): float division of int64 nanos loses
+    # precision past 2^53
+    ns_to_us = F.expr(f"CAST(`{from_column}` AS BIGINT) div 1000")
+
+    if unit == "auto":
+        a = F.abs(v)
+        micros = (
+            F.when(a < F.lit(100_000_000_000), v * F.lit(1_000_000))
+            .when(a < F.lit(100_000_000_000_000), v * F.lit(1_000))
+            .when(a < F.lit(100_000_000_000_000_000), v)
+            .otherwise(ns_to_us)
+        )
+    elif unit == "s":
+        micros = v * F.lit(1_000_000)
+    elif unit == "ms":
+        micros = v * F.lit(1_000)
+    elif unit == "us":
+        micros = v
+    elif unit == "ns":
+        micros = ns_to_us
+    else:
+        raise ValueError(f"ensure_timestamp: unknown unit '{unit}'")
+    return dataframe.withColumn(
+        to_column, F.timestamp_micros(micros.cast("bigint"))
+    )
