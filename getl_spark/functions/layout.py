@@ -1,0 +1,138 @@
+"""Data-layout keys: multi-dimensional z-order clustering.
+
+At 100 TB the cheapest query is the one that never reads the file:
+parquet min/max footer stats skip whole files when the data is
+*clustered* on the filter columns. A lexicographic sort on (a, b)
+clusters only ``a`` — every file spans the full range of ``b``, so
+filters on ``b`` alone prune nothing. A Morton (z-order) key
+interleaves the bits of all dimensions, so consecutive rows are close
+in EVERY dimension and each file's bounding box is small on all of
+them (the same layout Delta OPTIMIZE ZORDER BY produces).
+
+``zorder_key`` builds the key as pure JVM expressions: one broadcast
+1-row aggregate for per-column (min, max), then a static bit-interleave
+expression — no UDFs, no extra shuffle beyond the aggregate. Cluster a
+table with::
+
+    keyed = zorder_key(df, ["user_id", "ts"], bits=12)
+    keyed.repartitionByRange(n_files, "zorder_key") \\
+         .sortWithinPartitions("zorder_key") \\
+         .drop("zorder_key").write.parquet(path)
+
+Min/max linear scaling is outlier-sensitive (one huge value compresses
+everyone else into few buckets); for skewed columns pre-transform
+(log, clamp) or bucket by rank first. Public-literature technique
+(Morton 1966; used by Delta/Iceberg/Hudi compaction).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_NUMERIC = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
+
+
+def _bucket_expr(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
+    """Scale ``col`` into [0, 2^bits) against broadcast (min, max)."""
+    span = (cmax - cmin).cast("double")
+    frac = F.when(span > 0, (col.cast("double") - cmin.cast("double")) / span).otherwise(
+        F.lit(0.0)
+    )
+    top = F.lit((1 << bits) - 1)
+    # clamp both ends: NULLs coalesce to 0 which can sit below the
+    # non-null min (negative frac), and frac == 1.0 hits 2^bits
+    return F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(top.cast("bigint"), F.floor(frac * (1 << bits)).cast("bigint")),
+    )
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 12,
+    out_col: str = "zorder_key",
+) -> DataFrame:
+    """Append a Morton-interleaved clustering key over ``cols``.
+
+    Each column is linearly scaled to a ``bits``-bit integer against
+    its global (min, max) — computed in ONE aggregate and re-attached
+    as a broadcast 1-row DataFrame — then the per-column bits are
+    interleaved (column i contributes bit b to key position
+    ``b * len(cols) + i``). ``len(cols) * bits`` must be ≤ 63.
+
+    Columns must be numeric, date, or timestamp (dates/timestamps
+    interleave on their epoch value). NULLs bucket to 0 — cluster
+    nulls-first, same as Delta.
+    """
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"{len(cols)} cols x {bits} bits = {len(cols) * bits} key bits; "
+            "must fit a signed 64-bit key (<= 63). Lower bits="
+        )
+    dtypes = dict(df.dtypes)
+    casted = {}
+    for c in cols:
+        t = dtypes.get(c)
+        if t is None:
+            raise ValueError(f"zorder_key: no column '{c}'")
+        if t.startswith("timestamp"):
+            casted[c] = F.unix_micros(F.col(c).cast("timestamp"))
+        elif t == "date":
+            casted[c] = F.datediff(F.col(c), F.lit("1970-01-01"))
+        elif t.startswith(_NUMERIC):
+            casted[c] = F.col(c)
+        else:
+            raise ValueError(
+                f"zorder_key: column '{c}' is {t}; numeric/date/timestamp only "
+                "(hash string columns to a numeric first if needed)"
+            )
+
+    stats = df.agg(
+        *[F.min(expr).alias(f"__min_{i}") for i, expr in enumerate(casted.values())],
+        *[F.max(expr).alias(f"__max_{i}") for i, expr in enumerate(casted.values())],
+    )
+    keyed = df.crossJoin(F.broadcast(stats))
+
+    ndims = len(cols)
+    key = F.lit(0).cast("bigint")
+    for i, expr in enumerate(casted.values()):
+        bucket = _bucket_expr(
+            F.coalesce(expr, F.lit(0)),
+            F.coalesce(F.col(f"__min_{i}"), F.lit(0)),
+            F.coalesce(F.col(f"__max_{i}"), F.lit(0)),
+            bits,
+        )
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)).cast("bigint"),
+                    b * ndims + i,
+                )
+            )
+    return keyed.withColumn(out_col, key).drop(
+        *[f"__min_{i}" for i in range(ndims)], *[f"__max_{i}" for i in range(ndims)]
+    )
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: List[str],
+    num_files: int,
+    bits: int = 12,
+) -> DataFrame:
+    """Return ``df`` re-arranged into ``num_files`` range partitions of
+    the z-order key, sorted within each — write this out and every
+    file's min/max stats are tight on ALL of ``cols``. One range
+    shuffle (sampled boundaries), same cost shape as any compaction
+    rewrite."""
+    keyed = zorder_key(df, cols, bits=bits)
+    return (
+        keyed.repartitionByRange(num_files, "zorder_key")
+        .sortWithinPartitions("zorder_key")
+        .drop("zorder_key")
+    )

@@ -1,0 +1,128 @@
+"""Z-order layout keys (functions/layout.py) and the optimize()
+fallback clustering that uses them."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from getl_spark.functions import layout
+
+
+def _python_morton(xs, bits, ndims, dim):
+    """Reference interleave: bit b of x goes to position b*ndims+dim."""
+    out = []
+    for x in xs:
+        key = 0
+        for b in range(bits):
+            key |= ((x >> b) & 1) << (b * ndims + dim)
+        out.append(key)
+    return out
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    # values already spanning [0, 15] with bits=4 -> buckets == values
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["zorder_key"]
+        for r in layout.zorder_key(df, ["a", "b"], bits=4).collect()
+    }
+    for a, b in rows:
+        expected = _python_morton([a], 4, 2, 0)[0] | _python_morton([b], 4, 2, 1)[0]
+        assert got[(a, b)] == expected, (a, b)
+
+
+def test_zorder_key_scales_minmax(spark):
+    # min/max normalization: [100, 300] with bits=1 -> low half 0, high half 1
+    df = spark.createDataFrame([(100,), (199,), (201,), (300,)], ["v"])
+    got = [r["zorder_key"] for r in layout.zorder_key(df, ["v"], bits=1).orderBy("v").collect()]
+    assert got == [0, 0, 1, 1]
+
+
+def test_zorder_key_temporal_and_null(spark):
+    rows = [
+        (datetime.datetime(2024, 1, 1),),
+        (datetime.datetime(2024, 6, 1),),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, ["ts"])
+    out = layout.zorder_key(df, ["ts"], bits=4).collect()
+    by_ts = {r["ts"]: r["zorder_key"] for r in out}
+    assert by_ts[None] == 0  # nulls cluster first
+    assert by_ts[datetime.datetime(2024, 1, 1)] < by_ts[datetime.datetime(2024, 6, 1)]
+
+
+def test_zorder_key_errors(spark):
+    df = spark.createDataFrame([(1, "x")], ["a", "s"])
+    with pytest.raises(ValueError, match="63"):
+        layout.zorder_key(df, ["a"], bits=64)
+    with pytest.raises(ValueError, match="no column"):
+        layout.zorder_key(df, ["missing"])
+    with pytest.raises(ValueError, match="numeric"):
+        layout.zorder_key(df, ["s"])
+    with pytest.raises(ValueError, match="at least one"):
+        layout.zorder_key(df, [])
+
+
+def _file_bounding_fraction(path, col, lo, hi):
+    """Mean per-file min/max span of `col` as a fraction of [lo, hi]."""
+    fracs = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        cmin, cmax = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    cmin = s.min if cmin is None else min(cmin, s.min)
+                    cmax = s.max if cmax is None else max(cmax, s.max)
+        if cmin is not None:
+            fracs.append((cmax - cmin) / (hi - lo))
+    assert fracs, f"no parquet stats found under {path}"
+    return sum(fracs) / len(fracs)
+
+
+def test_cluster_by_zorder_tightens_all_dimensions(spark, tmp_path):
+    """The point of z-order: after clustering, per-file min/max spans
+    are small on BOTH columns; a lexicographic sort leaves the second
+    column's span at ~full range in every file."""
+    n = 64
+    rows = [(a, b) for a in range(n) for b in range(n)]
+    df = spark.createDataFrame(rows, ["a", "b"]).repartition(8)
+
+    zpath = str(tmp_path / "z")
+    layout.cluster_by_zorder(df, ["a", "b"], num_files=16, bits=6).write.parquet(zpath)
+    lpath = str(tmp_path / "lex")
+    df.repartitionByRange(16, "a", "b").sortWithinPartitions("a", "b").write.parquet(lpath)
+
+    z_a = _file_bounding_fraction(zpath, "a", 0, n - 1)
+    z_b = _file_bounding_fraction(zpath, "b", 0, n - 1)
+    lex_b = _file_bounding_fraction(lpath, "b", 0, n - 1)
+    # z-order: both dims tight; lexicographic: second dim spans ~everything
+    assert z_a < 0.5 and z_b < 0.5, (z_a, z_b)
+    assert lex_b > 0.9
+    assert z_b < lex_b / 2
+
+
+def test_optimize_fallback_uses_zorder(spark, tmp_path):
+    from getl_spark.common.tables import ManagedTable
+
+    n = 32
+    rows = [(a, b) for a in range(n) for b in range(n)]
+    df = spark.createDataFrame(rows, ["a", "b"]).repartition(8)
+    path = str(tmp_path / "tbl")
+    table = ManagedTable(spark, path)
+    table.write(df, mode="overwrite")
+    table.optimize(zorder_by=["a", "b"])
+    out = spark.read.parquet(path)
+    assert out.count() == n * n
+    assert sorted(map(tuple, out.collect())) == sorted(rows)
+    frac_b = _file_bounding_fraction(path, "b", 0, n - 1)
+    assert frac_b < 0.9  # clustered on the second dim too
