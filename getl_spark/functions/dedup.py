@@ -466,6 +466,94 @@ def against_index(
     return survivors.join(near_dups, id_col, "anti").drop(fingerprint_col)
 
 
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    right_id_col: Optional[str] = None,
+    right_text_col: Optional[str] = None,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Fuzzy (approximate-text) join between two tables: all cross-table
+    pairs with word-``n``-gram Jaccard ≥ ``threshold``. The entity-
+    resolution shape — match scraped records against a canonical table,
+    crawl snapshots against each other, product titles across feeds.
+
+    Same inverted-index architecture as ``ngram_jaccard`` but across
+    two tables: candidates are pairs sharing ≥1 shingle (cost
+    Σ_shingle df_left·df_right, never |left|·|right|), shingle keys are
+    xxhash64'd to 8-byte longs, and with ``max_df`` hot shingles are
+    dropped from *candidate generation* only (intersections re-counted
+    exactly on the full shingle tables). Returns
+    ``(id_a, id_b, jaccard)`` with ``id_a`` from ``left``.
+
+    YAML-callable with ``Input: [Left, Right]`` inside
+    ``transform::generic``.
+    """
+    right_id_col = right_id_col or id_col
+    right_text_col = right_text_col or text_col
+    sh_a = (
+        _shingles(left, id_col, text_col, n)
+        .select("id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint()
+    )
+    sh_b = (
+        _shingles(right, right_id_col, right_text_col, n)
+        .select("id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint()
+    )
+    sizes_a = sh_a.groupBy("id").agg(F.count("*").alias("size_a"))
+    sizes_b = sh_b.groupBy("id").agg(F.count("*").alias("size_b"))
+    left_sh = sh_a.withColumnRenamed("id", "id_a")
+    right_sh = sh_b.withColumnRenamed("id", "id_b")
+    if max_df is not None:
+        df_a = sh_a.groupBy("shingle").agg(F.count("*").alias("dfa"))
+        df_b = sh_b.groupBy("shingle").agg(F.count("*").alias("dfb"))
+        rare = (
+            df_a.join(df_b, "shingle")
+            .where((F.col("dfa") <= max_df) & (F.col("dfb") <= max_df))
+            .select("shingle")
+        )
+        candidates = (
+            left_sh.join(rare, "shingle")
+            .join(right_sh.join(rare, "shingle"), "shingle")
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        inter = (
+            candidates.join(left_sh, "id_a")
+            .join(
+                right_sh.withColumnRenamed("shingle", "shingle_b"), "id_b"
+            )
+            .where(F.col("shingle") == F.col("shingle_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            left_sh.join(right_sh, "shingle")
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    return (
+        inter.join(sizes_a.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sizes_b.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ----------------------------------------------------- embedding cosine
 def _hyperplane_band_keys(bands: int, planes_per_band: int, dim: int, seed: int):
     """Vectorized band-key UDF: one Arrow batch → (batch × dim) @

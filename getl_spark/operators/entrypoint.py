@@ -50,6 +50,7 @@ def generic(conf: BlockConfig) -> DataFrame:
             "interval.join",
             "asof.join",
             "text.decontaminate",
+            "dedup.fuzzy_join",
         ):
             # multi-input operators consume [left, right] from Input
             dataframe = func(*_two_inputs(conf), **params)
