@@ -8,8 +8,12 @@ SURVEY.md §2 — as (spark, sf_dir) → DataFrame callables;
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for each (omitted only
 for sketch-based ops whose hash families SQL cannot replicate — those
 get rows-only checks). ``demoted_queries()``/``demoted_oracle_sql()``
-hold 15 further queries consolidated out of the budget, value-hash
-checked in tests/test_demoted_oracle.py instead.
+hold the queries consolidated out of the budget, value-hash checked in
+tests/test_demoted_oracle.py; a deterministic round-keyed rotation
+(``_rotation_promoted``) cycles ``ROTATION_SLOTS`` of them per round
+into the driver-checked 50 (displacing redundant ``custom::sql``
+donors) so every family gets a driver-audited CORRECTNESS row every
+few rounds.
 
 Determinism rules used throughout (so Spark and DuckDB hash-match):
 money/float aggregates are summed in DECIMAL (exact), cast to DOUBLE,
@@ -19,6 +23,7 @@ every LIMIT is preceded by a total order with a unique tie-break.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -1461,6 +1466,67 @@ WHERE ROUND(inter / CAST(sa.size + sb.size - inter AS DOUBLE), 6) >= 0.12
 """
 
 
+def _q_fuzzy_join(spark, sf_dir):
+    """Cross-table fuzzy (approximate-text) join: even-id documents
+    matched against odd-id documents on exact 3-gram Jaccard."""
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    left = docs.where("doc_id % 2 = 0")
+    right = docs.where("doc_id % 2 = 1")
+    return dedup.fuzzy_join(left, right, n=3, threshold=0.12).select("id_a", "id_b")
+
+
+FUZZY_JOIN_ORACLE = """
+WITH shingled AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents) t
+),
+sizes AS (SELECT id, COUNT(*) AS size FROM shingled GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM shingled a JOIN shingled b ON a.shingle = b.shingle
+  WHERE a.id % 2 = 0 AND b.id % 2 = 1
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE ROUND(inter / CAST(sa.size + sb.size - inter AS DOUBLE), 6) >= 0.12
+"""
+
+
+def _q_quota_filter(spark, sf_dir):
+    """Per-source contribution budget over the documents table through
+    the ``transform::quota_filter`` block (batch path: cumulative-window
+    prefix filter, fully JVM-side)."""
+    blocks = _load_blocks(sf_dir, ["documents"])
+    blocks["Result"] = {
+        "Type": "transform::quota_filter",
+        "Input": "documents",
+        "Properties": {
+            "Key": "source",
+            "CountColumn": "n_chars",
+            "Budget": 4000,
+            "OrderColumn": "doc_id",
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+QUOTA_FILTER_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, SUM(n_chars) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents) t
+WHERE cum <= 4000
+"""
+
+
 def _q_minhash_lsh(spark, sf_dir):
     from getl_spark.functions import dedup
 
@@ -2245,7 +2311,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _raw_queries().items()}
 
 
-def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every query on the surface — checked + demoted — independent of
+    the per-round rotation. Stable lookup for bench.py and tooling."""
+    combined = {**_base_queries(), **_base_demoted()}
+    return {name: _wrap(fn) for name, fn in combined.items()}
+
+
+def _round_number() -> int:
+    """Current build round, inferred from the driver's own artifacts:
+    one ``CORRECTNESS_r{N}.json`` lands per completed round, so the
+    round in progress is max(N)+1. Deterministic for the whole round —
+    the driver writes the next file only at round end."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+# Rotation: each round, ROTATION_SLOTS entries from the demoted pool are
+# promoted into the driver-checked 50 (displacing the DONOR slots —
+# redundant pure-custom::sql variants whose engine path q1/q3/q6 always
+# cover), so every demoted query gets a driver-audited CORRECTNESS row
+# every ceil(len(pool)/SLOTS) ≈ 7 rounds instead of living forever
+# behind pytest-only checks. The schedule is a round-keyed ring slice —
+# deterministic within a round, advancing across rounds.
+ROTATION_SLOTS = 4
+ROTATION_DONORS = (
+    "q5_local_supplier",
+    "sql_window_top_order",
+    "sql_rollup_counts",
+    "q18_large_orders",
+)
+
+
+def _rotation_promoted(rnd: int | None = None) -> list[str]:
+    pool = list(_base_demoted())
+    rnd = _round_number() if rnd is None else rnd
+    start = ((rnd - 1) * ROTATION_SLOTS) % len(pool)
+    return [pool[(start + i) % len(pool)] for i in range(ROTATION_SLOTS)]
+
+
+def _raw_queries(rnd: int | None = None) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """This round's checked set: the base 50 with the donor slots
+    replaced in place by this round's promoted demoted-pool entries
+    (order preserved, so the no-oracle sketches stay last and every
+    oracle-bearing query stays inside the checked prefix)."""
+    demoted = _base_demoted()
+    promoted = iter(_rotation_promoted(rnd))
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, fn in _base_queries().items():
+        if name in ROTATION_DONORS:
+            pname = next(promoted)
+            out[pname] = demoted[pname]
+        else:
+            out[name] = fn
+    return out
+
+
+def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly ``DRIVER_CHECK_BUDGET`` entries, oracle-bearing first.
 
     The correctness driver evaluates only the first 50 entries in dict
@@ -2268,12 +2398,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             Q5_SQL, ["customer", "orders", "lineitem", "supplier", "nation", "region"]
         ),
         "q6_forecast_revenue": _engine_sql(Q6_SQL, ["lineitem"]),
-        "q10_returned_items": _engine_sql(
-            Q10_SQL, ["customer", "orders", "lineitem", "nation"]
-        ),
         "sql_window_top_order": _engine_sql(WINDOW_SQL, ["orders"]),
         "sql_rollup_counts": _engine_sql(ROLLUP_SQL, ["lineitem"]),
-        "q14_promo_revenue": _engine_sql(Q14_SQL, ["lineitem", "part"]),
         "q18_large_orders": _engine_sql(Q18_SQL, ["customer", "orders", "lineitem"]),
         # block-level engine operators
         "where_predicate_dsl": _q_where_dsl,
@@ -2307,6 +2433,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-data operators
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_fuzzy_join": _q_fuzzy_join,
+        "quota_filter_batch": _q_quota_filter,
         "dedup_cluster_components": _q_cluster_components,
         "dedup_embedding_cosine": _q_emb_cosine_pairs,
         "dedup_incremental_index": _q_dedup_incremental,
@@ -2325,15 +2453,36 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 DRIVER_CHECK_BUDGET = 50
 
 
-def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def demoted_queries(
+    rnd: int | None = None,
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """This round's pytest-checked set: the base demoted pool minus the
+    entries promoted into the driver budget this round, plus the donor
+    slots they displaced (donors are plain ``custom::sql`` queries with
+    oracles, so they stay value-hash checked in
+    tests/test_demoted_oracle.py during their round out)."""
+    promoted = set(_rotation_promoted(rnd))
+    base = _base_queries()
+    out = {n: f for n, f in _base_demoted().items() if n not in promoted}
+    for donor in ROTATION_DONORS:
+        out[donor] = base[donor]
+    return out
+
+
+def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
-    (tests/test_demoted_oracle.py) at sf0.001. The fine-grained text /
-    multimodal / dedup / date entries are subsumed by consolidated
-    driver queries; the q12/q16/q19/anti/correlated SQL variants
-    exercise the same ``custom::sql`` path as nine still-registered
-    queries."""
+    (tests/test_demoted_oracle.py) at sf0.001, and the rotation
+    (``_rotation_promoted``) cycles them through the driver-checked 50
+    a few per round. The fine-grained text / multimodal / dedup / date
+    entries are subsumed by consolidated driver queries; the
+    q10/q12/q14/q16/q19/anti/correlated SQL variants exercise the same
+    ``custom::sql`` path as seven still-registered queries."""
     return {
+        "q10_returned_items": _engine_sql(
+            Q10_SQL, ["customer", "orders", "lineitem", "nation"]
+        ),
+        "q14_promo_revenue": _engine_sql(Q14_SQL, ["lineitem", "part"]),
         "q12_priority_returns": _engine_sql(Q12_SQL, ["orders", "lineitem"]),
         "q16_supplier_counts": _engine_sql(Q16_SQL, ["part", "lineitem"]),
         "q19_disjunctive_pushdown": _engine_sql(Q19_SQL, ["lineitem", "part"]),
@@ -2360,8 +2509,21 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def demoted_oracle_sql() -> dict[str, str]:
+def demoted_oracle_sql(rnd: int | None = None) -> dict[str, str]:
+    promoted = set(_rotation_promoted(rnd))
+    base_oracles = _base_oracles()
+    out = {
+        n: sql for n, sql in _base_demoted_oracles().items() if n not in promoted
+    }
+    for donor in ROTATION_DONORS:
+        out[donor] = base_oracles[donor]
+    return out
+
+
+def _base_demoted_oracles() -> dict[str, str]:
     return {
+        "q10_returned_items": Q10_SQL,
+        "q14_promo_revenue": Q14_SQL,
         "q12_priority_returns": Q12_SQL,
         "q16_supplier_counts": Q16_SQL,
         "q19_disjunctive_pushdown": Q19_SQL,
@@ -2388,16 +2550,29 @@ def demoted_oracle_sql() -> dict[str, str]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(rnd: int | None = None) -> dict[str, str]:
+    """Oracle SQL for this round's checked set: base oracles minus the
+    rotated-out donors, plus the promoted entries' (demoted-pool)
+    oracles — keyed identically to ``queries()``."""
+    base, dem = _base_oracles(), _base_demoted_oracles()
+    out: dict[str, str] = {}
+    for name in _raw_queries(rnd):
+        if name in base:
+            out[name] = base[name]
+        elif name in dem:
+            out[name] = dem[name]
+        # else: no-oracle sketch — intentionally absent
+    return out
+
+
+def _base_oracles() -> dict[str, str]:
     return {
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_local_supplier": Q5_SQL,
         "q6_forecast_revenue": Q6_SQL,
-        "q10_returned_items": Q10_SQL,
         "sql_window_top_order": WINDOW_SQL,
         "sql_rollup_counts": ROLLUP_SQL,
-        "q14_promo_revenue": Q14_SQL,
         "q18_large_orders": Q18_SQL,
         "where_predicate_dsl": WHERE_DSL_ORACLE,
         "where_in_null_json": WHERE_IN_NULL_ORACLE,
@@ -2429,6 +2604,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": ASOF_EVENTS_ORACLE,
         "dedup_exact": DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,
+        "dedup_fuzzy_join": FUZZY_JOIN_ORACLE,
+        "quota_filter_batch": QUOTA_FILTER_ORACLE,
         "dedup_cluster_components": CLUSTER_COMPONENTS_ORACLE,
         "dedup_embedding_cosine": EMB_COSINE_ORACLE,
         "dedup_incremental_index": DEDUP_INCREMENTAL_ORACLE,

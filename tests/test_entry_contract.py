@@ -55,6 +55,52 @@ def test_demoted_registry_consistent():
     assert not set(demoted) & set(entry._raw_queries())
 
 
+def test_rotation_invariants_hold_for_every_round():
+    """The demoted-pool rotation must keep every driver contract intact
+    for ANY round number: exactly 50 checked entries, every
+    oracle-bearing entry inside the checked prefix, sketches last,
+    no checked/demoted overlap — and the full pool must pass through
+    the driver within one cycle."""
+    pool = set(entry._base_demoted())
+    covered = set()
+    for rnd in range(1, 12):
+        qs = entry._raw_queries(rnd)
+        oracles = entry.oracle_sql(rnd)
+        demoted = entry.demoted_queries(rnd)
+        demoted_oracles = entry.demoted_oracle_sql(rnd)
+        assert len(qs) == entry.DRIVER_CHECK_BUDGET
+        assert set(oracles) <= set(qs)
+        assert set(qs) - set(oracles) == NO_ORACLE
+        assert set(list(qs)[-len(NO_ORACLE):]) == NO_ORACLE
+        assert not set(demoted) & set(qs)
+        assert set(demoted) == set(demoted_oracles)
+        # checked + demoted together cover the whole surface, always
+        assert set(qs) | set(demoted) == set(entry._base_queries()) | pool
+        covered |= set(entry._rotation_promoted(rnd))
+    cycle = -(-len(pool) // entry.ROTATION_SLOTS) + 1
+    assert covered == pool, f"pool not fully driver-audited in {cycle} rounds"
+
+
+def test_rotation_round_number_matches_driver_artifacts():
+    """_round_number derives from CORRECTNESS_r*.json files next to the
+    entry module — with r01..r04 present this must be round 5."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(entry.__file__))
+    files = glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+    expected = (
+        max(
+            int(re.search(r"CORRECTNESS_r(\d+)\.json$", f).group(1)) for f in files
+        )
+        + 1
+        if files
+        else 1
+    )
+    assert entry._round_number() == expected
+
+
 def test_events_ts_exprs_adaptive(spark, tmp_path):
     """events.ts arrives as either int64/TIMESTAMP(NANOS) (bigint nanos
     under nanosAsLong) or TIMESTAMP(MICROS) (TIMESTAMP_NTZ). Both

@@ -401,3 +401,131 @@ def test_url_host_extraction(spark):
     assert got[0] == "example.com"
     assert got[1] == "sub.site.org"
     assert got[2] is None
+
+
+# ------------------------------------------------------------ fuzzy_join
+@pytest.fixture(scope="module")
+def fuzzy_tables(spark):
+    """Two tables with hand-computable 3-gram Jaccard pairs.
+
+    left 1 vs right 10: shingle sets {"a b c","b c d","c d e"} vs
+    {"a b c","b c d","c d x"} — inter 2, union 4, J = 0.5.
+    left 2 vs right 12: identical text, J = 1.0.
+    right 11 shares nothing with anything.
+    """
+    left = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "p q r s")], "doc_id BIGINT, text STRING"
+    )
+    right = spark.createDataFrame(
+        [(10, "a b c d x"), (11, "z0 z1 z2 z3"), (12, "p q r s")],
+        "doc_id BIGINT, text STRING",
+    )
+    return left, right
+
+
+def test_fuzzy_join_known_jaccard_pairs(fuzzy_tables):
+    left, right = fuzzy_tables
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.fuzzy_join(left, right, threshold=0.5).collect()
+    }
+    assert got == {(1, 10): 0.5, (2, 12): 1.0}
+
+
+def test_fuzzy_join_matches_exact_jaccard_on_corpus(spark, docs):
+    """Cross-table fuzzy_join over an even/odd split of the corpus must
+    equal the cross-parity subset of the exact all-pairs ngram_jaccard."""
+    left = docs.where("doc_id % 2 = 0")
+    right = docs.where("doc_id % 2 = 1")
+    exact = {
+        tuple(sorted((r.id_a, r.id_b))): r.jaccard
+        for r in dedup.ngram_jaccard(docs, threshold=0.12).collect()
+        if (r.id_a % 2) != (r.id_b % 2)
+    }
+    got = {
+        tuple(sorted((r.id_a, r.id_b))): r.jaccard
+        for r in dedup.fuzzy_join(left, right, threshold=0.12).collect()
+    }
+    assert got == exact
+    # id_a always comes from the left table
+    for r in dedup.fuzzy_join(left, right, threshold=0.12).collect():
+        assert r.id_a % 2 == 0 and r.id_b % 2 == 1
+
+
+def test_fuzzy_join_max_df_equivalence_and_pruning(spark):
+    """max_df high → identical to the plain path; max_df low → a pair
+    whose EVERY shared shingle is hot is dropped, while pairs that also
+    share a rare shingle survive with their EXACT (uncapped) jaccard."""
+    hot = "the common filler phrase here"  # 3-grams shared by many docs
+    left = spark.createDataFrame(
+        [(1, f"{hot} alpha beta gamma"), (2, hot), (3, "unrelated words only here")],
+        "doc_id BIGINT, text STRING",
+    )
+    right = spark.createDataFrame(
+        [(10, f"{hot} alpha beta gamma"), (11, hot)]
+        + [(20 + i, f"{hot} padding{i} x{i} y{i}") for i in range(6)],
+        "doc_id BIGINT, text STRING",
+    )
+    plain = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.fuzzy_join(left, right, threshold=0.2).collect()
+    }
+    high = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.fuzzy_join(left, right, threshold=0.2, max_df=100).collect()
+    }
+    assert high == plain
+    low = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.fuzzy_join(left, right, threshold=0.2, max_df=2).collect()
+    }
+    # (2, 11) share ONLY the hot shingles -> pruned from candidates
+    assert (2, 11) in plain and (2, 11) not in low
+    # (1, 10) also share the rare "alpha beta gamma" shingles -> kept,
+    # and the jaccard is the exact uncapped value
+    assert low[(1, 10)] == plain[(1, 10)] == 1.0
+
+
+def test_fuzzy_join_asymmetric_column_names(fuzzy_tables):
+    left, right = fuzzy_tables
+    renamed = right.withColumnRenamed("doc_id", "rid").withColumnRenamed(
+        "text", "body"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.fuzzy_join(
+            left, renamed, right_id_col="rid", right_text_col="body", threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 10), (2, 12)}
+
+
+def test_fuzzy_join_yaml_lift_roundtrip(spark, fuzzy_tables, tmp_path):
+    import yaml
+
+    from getl_spark import lift
+
+    left, right = fuzzy_tables
+    left.write.parquet(f"{tmp_path}/left")
+    right.write.parquet(f"{tmp_path}/right")
+    blocks = {
+        "Left": {
+            "Type": "load::batch_parquet",
+            "Properties": {"Path": f"{tmp_path}/left"},
+        },
+        "Right": {
+            "Type": "load::batch_parquet",
+            "Properties": {"Path": f"{tmp_path}/right"},
+        },
+        "Result": {
+            "Type": "transform::generic",
+            "Input": ["Left", "Right"],
+            "Properties": {
+                "Functions": [{"dedup.fuzzy_join": {"threshold": 0.5, "max_df": 50}}]
+            },
+        },
+    }
+    out = lift(spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False)).get(
+        "Result"
+    )
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 10), (2, 12)}
