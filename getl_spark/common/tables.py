@@ -175,14 +175,20 @@ class ManagedTable:
         self._rewrite(marked.drop(flag))
 
     # ------------------------------------------------------------ maintenance
-    def optimize(self, zorder_by: Optional[List[str]] = None) -> None:
+    def optimize(
+        self,
+        zorder_by: Optional[List[str]] = None,
+        target_file_bytes: Optional[int] = None,
+    ) -> None:
         """Delta OPTIMIZE [ZORDER BY] (reference
         ``getl/blocks/write/batch_delta.py:116-134``); parquet fallback
-        compacts by rewriting with a true Morton-interleaved cluster
-        (``functions.layout``) when the zorder columns are numeric/
-        temporal — every file's min/max stats end up tight on ALL the
-        zorder columns, not just the first — and falls back to a
-        lexicographic sort for other column types."""
+        compacts to ``ceil(table_bytes / target_file_bytes)`` files
+        (default ~1 GiB, Delta's OPTIMIZE target), rewriting with a
+        true Morton-interleaved cluster (``functions.layout``) when the
+        zorder columns are numeric/temporal — every file's min/max
+        stats end up tight on ALL the zorder columns, not just the
+        first — and falls back to a lexicographic sort for other column
+        types."""
         if self.fmt == "delta":
             from pyspark.errors import ParseException
 
@@ -195,15 +201,36 @@ class ManagedTable:
         df = self.read()
         if df is None:
             return
+        num_files = self._compaction_file_count(target_file_bytes)
         if zorder_by:
             from getl_spark.functions import layout
 
-            num_files = max(df.rdd.getNumPartitions(), 1)
             try:
                 df = layout.cluster_by_zorder(df, list(zorder_by), num_files)
             except ValueError:  # non-numeric zorder column
-                df = df.sortWithinPartitions(*zorder_by)
+                df = df.repartition(num_files).sortWithinPartitions(*zorder_by)
+        else:
+            # plain compaction: coalesce (no shuffle) down to the
+            # size-derived file count
+            df = df.coalesce(num_files)
         self._rewrite(df)
+
+    _TARGET_FILE_BYTES = 1 << 30  # Delta OPTIMIZE's ~1 GiB default
+
+    def _compaction_file_count(self, target_file_bytes: Optional[int] = None) -> int:
+        """OPTIMIZE output file count from TABLE SIZE, not from the
+        existing partition count — a fragmented table's own partition
+        count would write the fragmentation straight back (many small
+        files in → the same many small files out)."""
+        try:
+            sc = self.spark.sparkContext
+            jpath = sc._jvm.org.apache.hadoop.fs.Path(self.path)
+            fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+            total_bytes = fs.getContentSummary(jpath).getLength()
+        except Exception:  # unreachable stats (e.g. Connect) — no-op size
+            read = self.read()
+            return max(read.rdd.getNumPartitions(), 1) if read is not None else 1
+        return max(1, -(-total_bytes // (target_file_bytes or self._TARGET_FILE_BYTES)))
 
     def vacuum(self, retain_hours: int = 168) -> None:
         if self.fmt == "delta":

@@ -81,9 +81,12 @@ def ensure_timestamp(
             "a timestamp or integer epoch column"
         )
     v = col.cast("bigint")
-    # integer `div` (not /): float division of int64 nanos loses
-    # precision past 2^53
-    ns_to_us = F.expr(f"CAST(`{from_column}` AS BIGINT) div 1000")
+    # integer arithmetic (not /): float division of int64 nanos loses
+    # precision past 2^53. Plain `div` truncates toward zero, which
+    # would round NEGATIVE (pre-1970) nanos up by 1µs — subtracting
+    # pmod (always non-negative) first makes it exact floor division.
+    _v = f"CAST(`{from_column}` AS BIGINT)"
+    ns_to_us = F.expr(f"({_v} - pmod({_v}, 1000)) div 1000")
 
     if unit == "auto":
         a = F.abs(v)

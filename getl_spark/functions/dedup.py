@@ -345,6 +345,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    max_chunk_df: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
@@ -352,6 +353,22 @@ def simhash_pairs(
     chunks; any pair within the hamming ball agrees exactly on ≥1
     chunk, so candidates come from equi-joins on chunk values —
     no quadratic scan. Exact popcount verification follows.
+
+    ``max_chunk_df`` caps candidate-bucket size, the same document-
+    frequency cutoff ``ngram_jaccard``'s ``max_df`` applies to shingle
+    postings: a ``(band, chunk)`` value shared by more than
+    ``max_chunk_df`` fingerprints is dropped from candidate generation,
+    so one popular chunk value can't emit O(bucket²) joined rows. With
+    ``bands=4`` the 16-bit chunks give *random* pairs a ~bands·n²/2¹⁶
+    collision rate — at 10⁹ docs that is ~10¹⁴ pre-filter rows, so at
+    that scale set a cap (10⁴ is generous: random buckets average
+    n/2¹⁶ ≈ 15k at 10⁹ docs, set it above that only for corpora with
+    massive true-duplicate clusters). Recall contract: a qualifying
+    pair is missed only if EVERY chunk the two fingerprints agree on is
+    hot — for non-identical near-dups agreeing chunks are
+    content-specific and cold; the pairs a cap does drop are inside
+    giant identical-fingerprint clusters, which ``dedup.exact`` on the
+    fingerprint (or ``text.fingerprint``) removes more cheaply first.
     """
     width = 64 // bands
     mask = (1 << width) - 1
@@ -376,6 +393,14 @@ def simhash_pairs(
             )
         ).alias("bc"),
     ).select("id", "simhash", "bc.band", "bc.chunk")
+    if max_chunk_df is not None:
+        cold = (
+            banded.groupBy("band", "chunk")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_chunk_df)
+            .select("band", "chunk")
+        )
+        banded = banded.join(cold, ["band", "chunk"])
     # The banded table is tiny (docs × bands) so AQE would coalesce the
     # self-join to one task — but its OUTPUT is O(collisions), which on
     # near-duplicate-rich corpora is millions of rows. Explicitly

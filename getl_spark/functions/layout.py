@@ -64,8 +64,9 @@ def zorder_key(
     ``b * len(cols) + i``). ``len(cols) * bits`` must be ≤ 63.
 
     Columns must be numeric, date, or timestamp (dates/timestamps
-    interleave on their epoch value). NULLs bucket to 0 — cluster
-    nulls-first, same as Delta.
+    interleave on their epoch value). NULLs take the column minimum and
+    so land in bucket 0 — cluster nulls-first, same as Delta, even when
+    the column range is negative.
     """
     if not cols:
         raise ValueError("zorder_key needs at least one column")
@@ -101,8 +102,13 @@ def zorder_key(
     ndims = len(cols)
     key = F.lit(0).cast("bigint")
     for i, expr in enumerate(casted.values()):
+        # NULLs take the column MIN (not literal 0): on a column whose
+        # min is negative, 0 sits mid-range and would scatter nulls
+        # into the middle buckets, widening mid-range files' bounding
+        # boxes. Coalescing to the min lands them in bucket 0 —
+        # nulls-first, as documented.
         bucket = _bucket_expr(
-            F.coalesce(expr, F.lit(0)),
+            F.coalesce(expr, F.col(f"__min_{i}"), F.lit(0)),
             F.coalesce(F.col(f"__min_{i}"), F.lit(0)),
             F.coalesce(F.col(f"__max_{i}"), F.lit(0)),
             bits,

@@ -103,3 +103,17 @@ def test_yaml_callable_on_events(spark):
     )
     assert dict(out.dtypes)["ts_norm"] == "timestamp"
     assert out.where("ts_norm IS NULL").count() == 0
+
+
+def test_ns_negative_epoch_floors_to_micros(spark):
+    """Pre-1970 nanosecond epochs must FLOOR to micros (-1501 ns is
+    inside the microsecond that started at -2 µs), not truncate toward
+    zero (-1 µs)."""
+    df = spark.createDataFrame(
+        [(-1501,), (-1000,), (-999,), (1501,)], "ts BIGINT"
+    )
+    out = date_fns.ensure_timestamp(df, "ts", "t", unit="ns").selectExpr(
+        "ts", "unix_micros(t) AS us"
+    )
+    got = {r.ts: r.us for r in out.collect()}
+    assert got == {-1501: -2, -1000: -1, -999: -1, 1501: 1}

@@ -58,6 +58,21 @@ def test_zorder_key_temporal_and_null(spark):
     assert by_ts[datetime.datetime(2024, 1, 1)] < by_ts[datetime.datetime(2024, 6, 1)]
 
 
+def test_zorder_key_nulls_first_on_negative_range(spark):
+    """On a column whose min is negative, literal 0 sits mid-range —
+    nulls must still land in bucket 0 (with the minimum), not scatter
+    into the middle of the keyspace."""
+    df = spark.createDataFrame(
+        [(-100,), (0,), (100,), (None,)], "v BIGINT"
+    )
+    by_v = {
+        r["v"]: r["zorder_key"]
+        for r in layout.zorder_key(df, ["v"], bits=4).collect()
+    }
+    assert by_v[None] == by_v[-100] == 0  # nulls cluster with the min
+    assert by_v[None] < by_v[0] < by_v[100]
+
+
 def test_zorder_key_errors(spark):
     df = spark.createDataFrame([(1, "x")], ["a", "s"])
     with pytest.raises(ValueError, match="63"):
@@ -120,7 +135,9 @@ def test_optimize_fallback_uses_zorder(spark, tmp_path):
     path = str(tmp_path / "tbl")
     table = ManagedTable(spark, path)
     table.write(df, mode="overwrite")
-    table.optimize(zorder_by=["a", "b"])
+    # tiny target -> several output files, so per-file stat tightness
+    # is measurable (the default ~1 GiB target would compact to 1 file)
+    table.optimize(zorder_by=["a", "b"], target_file_bytes=2048)
     out = spark.read.parquet(path)
     assert out.count() == n * n
     assert sorted(map(tuple, out.collect())) == sorted(rows)

@@ -529,3 +529,54 @@ def test_fuzzy_join_yaml_lift_roundtrip(spark, fuzzy_tables, tmp_path):
         "Result"
     )
     assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 10), (2, 12)}
+
+
+def test_simhash_max_chunk_df_prunes_hot_buckets(spark):
+    """A giant identical-fingerprint cluster floods the chunk buckets;
+    the cap drops those buckets from candidate generation while a
+    distinctive near-dup pair (cold chunks) is still found."""
+    cluster_text = "identical boilerplate page repeated across the whole crawl corpus"
+    # long text + one appended token -> hamming(simhash) = 2 (xxhash64 is
+    # deterministic, so this distance is fixed)
+    pair_text = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey xray yankee zulu one two three four five six seven "
+        "eight nine ten eleven twelve thirteen fourteen fifteen sixteen "
+        "seventeen eighteen nineteen twenty"
+    )
+    rows = [(i, cluster_text) for i in range(12)] + [
+        (100, pair_text),
+        (101, pair_text + " extended"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs(df, max_hamming=8).collect()
+    }
+    # identical docs pair with each other, and the planted pair is found
+    assert (0, 1) in uncapped and (100, 101) in uncapped
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs(df, max_hamming=8, max_chunk_df=5).collect()
+    }
+    # every chunk the cluster agrees on sits in a 12-deep bucket > cap
+    assert not any(a < 12 and b < 12 for a, b in capped)
+    # the distinctive pair's agreeing chunks are cold -> still found
+    assert (100, 101) in capped
+
+
+def test_simhash_max_chunk_df_no_op_when_above_bucket_sizes(near_dup_docs):
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs(near_dup_docs, max_hamming=16).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs(
+            near_dup_docs, max_hamming=16, max_chunk_df=1000
+        ).collect()
+    }
+    assert capped == uncapped

@@ -97,6 +97,29 @@ def test_optimize_zorder_rewrites(spark, writer_df, tmp_path):
     assert ManagedTable(spark, path).read().count() == 2
 
 
+def test_optimize_actually_compacts_small_files(spark, tmp_path):
+    """A fragmented table (many tiny files) must come out of optimize()
+    with a size-derived file count — not the same fragmentation written
+    back (the old behavior reused the input partition count)."""
+    import glob
+
+    path = str(tmp_path / "frag")
+    spark.range(1000).repartition(16).write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 16
+    table = ManagedTable(spark, path)
+    assert table._compaction_file_count() == 1  # tiny table, 1 GiB target
+    table.optimize()
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 1
+    assert table.read().count() == 1000
+    # zordered compaction also compacts
+    spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(16).write.mode(
+        "overwrite"
+    ).parquet(path)
+    table.optimize(zorder_by=["v"])
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 1
+    assert table.read().count() == 1000
+
+
 def test_json_sink(spark, writer_df, tmp_path):
     writer_df.createOrReplaceTempView("writer_input")
     lift(
