@@ -80,7 +80,16 @@ def ensure_timestamp(
             f"ensure_timestamp: column '{from_column}' is {dtype}; expected "
             "a timestamp or integer epoch column"
         )
-    v = col.cast("bigint")
+    return dataframe.withColumn(
+        to_column, F.timestamp_micros(epoch_micros_expr(from_column, unit))
+    )
+
+
+def epoch_micros_expr(from_column: str, unit: str = "auto"):
+    """Column expression converting an integer epoch column to
+    microseconds — the unit-band decision table behind
+    ``ensure_timestamp``, shared with ``schema.coerce``."""
+    v = F.col(from_column).cast("bigint")
     # integer arithmetic (not /): float division of int64 nanos loses
     # precision past 2^53. Plain `div` truncates toward zero, which
     # would round NEGATIVE (pre-1970) nanos up by 1µs — subtracting
@@ -106,6 +115,4 @@ def ensure_timestamp(
         micros = ns_to_us
     else:
         raise ValueError(f"ensure_timestamp: unknown unit '{unit}'")
-    return dataframe.withColumn(
-        to_column, F.timestamp_micros(micros.cast("bigint"))
-    )
+    return micros.cast("bigint")

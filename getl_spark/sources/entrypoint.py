@@ -34,6 +34,15 @@ from getl_spark.plans.context import BlockConfig
 
 def resolve(func: Callable, bconf: BlockConfig) -> DataFrame:
     df = func(bconf)
+    coerce_types = bconf.get("CoerceTypes", None)
+    if coerce_types:
+        # schema-drift guard: normalize drift-prone columns to the
+        # types downstream blocks were written against (int width,
+        # decimal→double, epoch int / string date → timestamp) — one
+        # projection, JVM-side casts only
+        from getl_spark.functions.schema import coerce
+
+        df = coerce(df, coerce_types)
     alias = bconf.get("Alias", None)
     if alias:
         # The reference calls df.alias() and drops the result
