@@ -580,6 +580,101 @@ def fuzzy_join(
 
 
 # ----------------------------------------------------- embedding cosine
+def embedding_lsh_params(
+    n_docs: int,
+    candidate_budget: int,
+    threshold: float = 0.95,
+    target_recall: float = 0.95,
+    max_planes: int = 32,
+) -> dict:
+    """Choose ``(bands, planes_per_band)`` for ``embedding_cosine_pairs``
+    from corpus size and a candidate-pair budget — the scaling formula,
+    executable.
+
+    Model: a true pair at cosine ``threshold`` agrees on one sign bit
+    with p = 1 - θ/π (θ = arccos threshold); a band of r planes matches
+    with p^r, and recall over b bands is 1-(1-p^r)^b. A *random* pair
+    matches a band with ~2^-r, so expected candidates ≈ b·n²/2^(r+1).
+    The helper picks the smallest r whose minimal recall-meeting b fits
+    the budget — more planes per band cut candidates exponentially but
+    demand more bands (linear cost in key rows) for the same recall.
+
+    Returns ``{"bands", "planes_per_band", "est_candidates",
+    "est_recall"}``; raises if even ``max_planes`` can't fit the
+    budget (corpus too large for the budget — raise one or both).
+    """
+    import math
+
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    p_bit = 1.0 - math.acos(threshold) / math.pi
+    pairs = n_docs * (n_docs - 1) / 2.0
+    for r in range(4, max_planes + 1):
+        p_band = p_bit**r
+        if p_band <= 0:
+            continue
+        b = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
+        est = b * pairs * 2.0**-r
+        if est <= candidate_budget:
+            return {
+                "bands": b,
+                "planes_per_band": r,
+                "est_candidates": int(est),
+                "est_recall": round(1.0 - (1.0 - p_band) ** b, 4),
+            }
+    raise ValueError(
+        f"no (bands ≤ ∞, planes ≤ {max_planes}) fits {n_docs:,} docs in a "
+        f"{candidate_budget:,}-candidate budget at recall {target_recall}; "
+        "raise the budget, lower target_recall, or pre-partition the corpus"
+    )
+
+
+def embedding_lsh_candidate_estimate(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    planes_per_band: int = 12,
+    seed: int = 42,
+    sample: int = 10_000,
+) -> int:
+    """Estimate the candidate-pair count ``embedding_cosine_pairs``
+    would generate at these settings, from a bounded sample — run this
+    BEFORE a large job to sanity-check the blow-up factor.
+
+    Bucketizes ``sample`` vectors with the same hyperplane family,
+    counts Σ c·(c-1)/2 over the sample's band buckets, and scales by
+    (n/m)² (bucket occupancy is proportional to corpus size per band
+    key). Exact when ``sample >= n``. One scan of the sample, one tiny
+    groupBy — driver state is just the bucket histogram.
+    """
+    from getl_spark.functions.similarity import embedding_dim
+
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).where(
+        F.col("vec").isNotNull()
+    )
+    n = vecs.count()
+    if n == 0:
+        return 0
+    frac = min(1.0, sample / n)
+    sampled = vecs.sample(fraction=frac, seed=seed) if frac < 1.0 else vecs
+    dim = embedding_dim(df, vec_col)
+    keys_udf = _hyperplane_band_keys(bands, planes_per_band, dim, seed)
+    counts = (
+        sampled.select(F.posexplode(keys_udf("vec")).alias("band", "key"))
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
+            F.sum("c").alias("m_rows"),
+        )
+        .first()
+    )
+    m = counts["m_rows"] / bands  # actual sampled vector count
+    scale = (n / m) ** 2 if m else 0.0
+    return int((counts["pairs"] or 0) * scale)
+
+
 def _hyperplane_band_keys(bands: int, planes_per_band: int, dim: int, seed: int):
     """Vectorized band-key UDF: one Arrow batch → (batch × dim) @
     (dim × bands·r) numpy matmul → per-band sign-bit keys.

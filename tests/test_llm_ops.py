@@ -580,3 +580,49 @@ def test_simhash_max_chunk_df_no_op_when_above_bucket_sizes(near_dup_docs):
         ).collect()
     }
     assert capped == uncapped
+
+
+# ---------------------------------------------- embedding LSH sizing
+def test_embedding_lsh_params_meets_budget_and_recall():
+    p = dedup.embedding_lsh_params(10_000_000, candidate_budget=10**9)
+    assert p["est_candidates"] <= 10**9
+    assert p["est_recall"] >= 0.95
+    # tighter budget -> more planes per band (exponentially fewer
+    # random collisions), never fewer
+    tight = dedup.embedding_lsh_params(10_000_000, candidate_budget=10**7)
+    assert tight["planes_per_band"] >= p["planes_per_band"]
+    assert tight["est_candidates"] <= 10**7
+
+
+def test_embedding_lsh_params_impossible_budget_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        dedup.embedding_lsh_params(10**9, candidate_budget=10, max_planes=8)
+
+
+def test_embedding_lsh_candidate_estimate_exact_on_full_sample(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    est = dedup.embedding_lsh_candidate_estimate(
+        df, bands=4, planes_per_band=6, sample=10_000
+    )
+    # sample >= n -> the estimate is the exact per-band collision count
+    # (an upper bound on distinct candidate pairs, which dedupe bands)
+    banded = df.select(
+        F.posexplode(
+            dedup._hyperplane_band_keys(4, 6, 16, 42)("embedding")
+        ).alias("band", "key")
+    )
+    actual = (
+        banded.groupBy("band", "key")
+        .count()
+        .selectExpr("CAST(sum(count * (count - 1) / 2) AS BIGINT) AS p")
+        .first()
+        .p
+    )
+    assert est == actual
+    assert est > 0
