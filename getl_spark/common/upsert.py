@@ -45,6 +45,28 @@ def _with_retry(fn, max_tries: int = MAX_TRIES, sleep: int = SLEEP_SECONDS):
             time.sleep(sleep)
 
 
+def run_upsert_partitions(
+    df: DataFrame,
+    columns: List[str],
+    flush_factory,
+    max_tries: int = MAX_TRIES,
+    sleep: int = SLEEP_SECONDS,
+) -> None:
+    """Shared executor-side upsert loop: per partition, build a flush
+    callable (``flush_factory() -> flush(page)``), page the rows, and
+    retry each page with backoff. The postgres/mysql upserts are this
+    loop plus their connector-specific flush; integration tests drive
+    the SAME loop against an embedded engine (sqlite) so the
+    paging/conflict/retry logic executes real SQL, not mocks."""
+
+    def run_partition(rows: Iterator) -> None:
+        flush = flush_factory()
+        for page in _paged(rows, PAGE_SIZE):
+            _with_retry(lambda: flush(page), max_tries=max_tries, sleep=sleep)
+
+    df.select(*columns).rdd.foreachPartition(run_partition)
+
+
 def postgres_upsert(
     df: DataFrame,
     conn_url: str,
@@ -71,7 +93,7 @@ def postgres_upsert(
         f"ON CONFLICT ({conflict_sql}) DO UPDATE SET {update_sql}"
     )
 
-    def run_partition(rows: Iterator) -> None:
+    def flush_factory():
         import psycopg2
         from psycopg2.extras import execute_values
 
@@ -84,10 +106,9 @@ def postgres_upsert(
             finally:
                 conn.close()
 
-        for page in _paged(rows, PAGE_SIZE):
-            _with_retry(lambda: flush(page))
+        return flush
 
-    df.select(*columns).rdd.foreachPartition(run_partition)
+    run_upsert_partitions(df, columns, flush_factory)
 
 
 def mysql_upsert(
@@ -111,7 +132,7 @@ def mysql_upsert(
         f"ON DUPLICATE KEY UPDATE {update_sql}"
     )
 
-    def run_partition(rows: Iterator) -> None:
+    def flush_factory():
         import mysql.connector
 
         def flush(page: List[tuple]) -> None:
@@ -125,7 +146,6 @@ def mysql_upsert(
             finally:
                 conn.close()
 
-        for page in _paged(rows, PAGE_SIZE):
-            _with_retry(lambda: flush(page))
+        return flush
 
-    df.select(*columns).rdd.foreachPartition(run_partition)
+    run_upsert_partitions(df, columns, flush_factory)
