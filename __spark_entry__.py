@@ -1270,6 +1270,27 @@ def _q_load_csv_roundtrip(spark, sf_dir):
 LOAD_CSV_ORACLE = "SELECT * FROM nation"
 
 
+def _q_load_orc_roundtrip(spark, sf_dir):
+    """write::batch_orc → load::batch_orc (ORC is built into Spark —
+    the third columnar format on the surface alongside parquet/delta)."""
+    tmp = "/tmp/getl_spark_q/orc_roundtrip"
+    shutil.rmtree(tmp, ignore_errors=True)
+    blocks = _load_blocks(sf_dir, ["supplier"])
+    blocks["W"] = {
+        "Type": "write::batch_orc",
+        "Input": "supplier",
+        "Properties": {"Path": f"{tmp}/out", "Mode": "overwrite"},
+    }
+    _run_lift(spark, blocks, "W")
+    return _run_lift(
+        spark,
+        {"Result": {"Type": "load::batch_orc", "Properties": {"Path": f"{tmp}/out"}}},
+    )
+
+
+LOAD_ORC_ORACLE = "SELECT * FROM supplier"
+
+
 def _q_jdbc_roundtrip(spark, sf_dir):
     """write::batch_jdbc → load::jdbc against embedded Apache Derby
     (pyspark ships derby on the classpath). The read uses the Query
@@ -2554,6 +2575,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": _q_embedding_stats,
         "stats_profile": _q_stats_profile,
         "search_bm25": _q_search_bm25,
+        "load_orc_roundtrip": _q_load_orc_roundtrip,
     }
 
 
@@ -2595,6 +2617,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "embedding_stats": EMBEDDING_STATS_ORACLE,
         "stats_profile": STATS_PROFILE_ORACLE,
         "search_bm25": SEARCH_BM25_ORACLE,
+        "load_orc_roundtrip": LOAD_ORC_ORACLE,
     }
 
 

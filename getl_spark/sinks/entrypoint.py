@@ -125,6 +125,12 @@ def batch_csv(conf: BlockConfig) -> DataFrame:
     return _file_sink(conf, "csv")
 
 
+def batch_orc(conf: BlockConfig) -> DataFrame:
+    """Extension sink: ORC with optional partitioning/bucketing —
+    same surface as ``batch_parquet``."""
+    return _file_sink(conf, "orc")
+
+
 # -------------------------------------------------------------------- jdbc
 def batch_jdbc(conf: BlockConfig) -> DataFrame:
     """Properties: ``Mode``, ``Driver``, ``ConnUrl``, ``Table``,

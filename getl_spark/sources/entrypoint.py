@@ -72,6 +72,18 @@ def batch_parquet(conf: BlockConfig) -> DataFrame:
     )
 
 
+def batch_orc(conf: BlockConfig) -> DataFrame:
+    """Extension source: ORC (built into Spark, no extra jar), same
+    surface as ``batch_parquet`` — ``Path``, ``Options``,
+    ``FileRegistry`` narrowing on ``.orc`` files."""
+    return _batch_read(
+        conf.spark,
+        _registry_paths(conf, conf.get("Path"), ".orc"),
+        "orc",
+        _reader_options(conf),
+    )
+
+
 def batch_json(conf: BlockConfig) -> DataFrame:
     """Properties: ``Path``, ``Suffix``, schema options, ``Options``,
     ``FileRegistry``."""

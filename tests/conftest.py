@@ -55,3 +55,19 @@ def travel_df(spark):
         ],
         "`from` STRING, `to` STRING, cost BIGINT",
     )
+
+
+def pytest_report_header(config):
+    """Keep the Delta gate VISIBLE in every test run: three tests in
+    test_delta_only.py skip when delta-spark is absent, and a silent
+    skip can hide that the native Delta paths (CDF, time travel, real
+    OPTIMIZE ZORDER) never execute in this environment."""
+    from getl_spark.common.tables import HAS_DELTA
+
+    if HAS_DELTA:
+        return "delta gate: delta-spark INSTALLED — native Delta paths active"
+    return (
+        "delta gate: delta-spark NOT installed — parquet fallback carries "
+        "write::batch_delta / registries; tests/test_delta_only.py will skip "
+        "(CDF, time travel, OPTIMIZE ZORDER run only on a real cluster)"
+    )

@@ -192,3 +192,43 @@ LiftJob:
     plan = read._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(month" in plan
     assert read.count() == 2
+
+
+def test_orc_source_sink_roundtrip_with_partitioning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 2020), (2, "b", 2020), (3, "c", 2021)],
+        "id BIGINT, s STRING, year INT",
+    )
+    df.createOrReplaceTempView("orc_input")
+    lift(
+        spark,
+        f"""
+LiftJob:
+  In:
+    Type: custom::sql
+    Properties: {{Statement: SELECT * FROM orc_input}}
+  W:
+    Type: write::batch_orc
+    Input: In
+    Properties:
+      Path: {tmp_path}/orc
+      Mode: overwrite
+      PartitionBy:
+        Columns: [year]
+""",
+    )
+    assert (tmp_path / "orc" / "year=2020").exists()
+    out = lift(
+        spark,
+        f"""
+LiftJob:
+  R:
+    Type: load::batch_orc
+    Properties: {{Path: {tmp_path}/orc}}
+""",
+    ).get("R")
+    assert sorted((r.id, r.s, r.year) for r in out.collect()) == [
+        (1, "a", 2020),
+        (2, "b", 2020),
+        (3, "c", 2021),
+    ]
