@@ -1596,6 +1596,32 @@ WHERE cum <= 4000
 """
 
 
+def _q_validate_drop(spark, sf_dir):
+    """transform::validate with drop-action expectations — the
+    data-quality gate as a pure pushdown-friendly filter."""
+    blocks = _load_blocks(sf_dir, ["lineitem"])
+    blocks["Result"] = {
+        "Type": "transform::validate",
+        "Input": "lineitem",
+        "Properties": {
+            "Expectations": [
+                {"name": "qty_pos", "expr": "l_quantity > 0"},
+                {"name": "disc_range", "expr": "l_discount BETWEEN 0 AND 0.08"},
+                {"name": "flag_known", "expr": "l_returnflag IN ('A','N','R')"},
+            ]
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+VALIDATE_DROP_ORACLE = """
+SELECT * FROM lineitem
+WHERE COALESCE(l_quantity > 0, FALSE)
+  AND COALESCE(l_discount BETWEEN 0 AND 0.08, FALSE)
+  AND COALESCE(l_returnflag IN ('A','N','R'), FALSE)
+"""
+
+
 def _q_minhash_lsh(spark, sf_dir):
     from getl_spark.functions import dedup
 
@@ -2576,6 +2602,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_profile": _q_stats_profile,
         "search_bm25": _q_search_bm25,
         "load_orc_roundtrip": _q_load_orc_roundtrip,
+        "validate_expectations": _q_validate_drop,
     }
 
 
@@ -2618,6 +2645,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_profile": STATS_PROFILE_ORACLE,
         "search_bm25": SEARCH_BM25_ORACLE,
         "load_orc_roundtrip": LOAD_ORC_ORACLE,
+        "validate_expectations": VALIDATE_DROP_ORACLE,
     }
 
 

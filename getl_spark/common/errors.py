@@ -20,6 +20,17 @@ class BlockError(Exception):
     """A block failed to resolve or execute."""
 
 
+class ValidationError(Exception):
+    """A ``transform::validate`` expectation with ``action: fail``
+    found violating rows. Carries ``counts`` — a
+    ``{expectation_name: violation_count}`` dict for the failing
+    expectations."""
+
+    def __init__(self, message: str, counts: dict):
+        super().__init__(message)
+        self.counts = counts
+
+
 @contextmanager
 def missing_table_as_empty(result_holder: list):
     """Yield, converting a missing-table AnalysisException into a sentinel.

@@ -335,3 +335,93 @@ def with_columns(conf: BlockConfig) -> DataFrame:
     if keep:
         out = out.select(*keep)
     return out
+
+
+def validate(conf: BlockConfig):
+    """Data-quality expectations block (the Delta-Live-Tables
+    expectations shape, engine-native).
+
+    Properties::
+
+        Expectations:
+          - {name: qty_positive, expr: "l_quantity > 0", action: drop}
+          - {name: key_not_null, expr: "l_orderkey IS NOT NULL", action: fail}
+          - {name: price_sane, expr: "l_extendedprice < 1e7", action: tag}
+        Quarantine: true          # also emit the violating rows
+        TagColumn: __violations   # array<string> column for tag/quarantine
+
+    Semantics (SQL three-valued logic: a NULL predicate is a
+    violation):
+
+    * ``fail`` — ANY violating row aborts the lift with
+      ``ValidationError`` carrying per-expectation counts. All fail
+      expectations are counted in ONE aggregate job (map-side partial
+      agg, k-row reduce) before anything downstream runs — an explicit
+      fail-fast gate, the only extra pass this block takes.
+    * ``drop`` (default) — violating rows are removed from the valid
+      output.
+    * ``tag`` — rows are kept; the expectation's name is appended to
+      ``TagColumn``.
+
+    With ``Quarantine: true`` the block is multi-output (declare
+    ``Output: [valid, violations]``): ``violations`` holds every row
+    failing any drop/tag expectation, with ``TagColumn`` listing which.
+    Everything except the fail gate is a pure column expression — no
+    shuffle, no UDF, filters still push toward the scan.
+    """
+    from getl_spark.common.errors import ValidationError
+
+    df = conf.input_df()
+    specs = list(conf.get("Expectations"))
+    tag_col = conf.get("TagColumn", "__violations")
+    quarantine = bool(conf.get("Quarantine", False))
+    for s in specs:
+        s.setdefault("action", "drop")
+        if s["action"] not in ("fail", "drop", "tag"):
+            raise ValueError(
+                f"validate: expectation '{s.get('name')}' has unknown "
+                f"action '{s['action']}' (fail|drop|tag)"
+            )
+
+    def holds(s) -> "F.Column":
+        # NULL -> violation, per three-valued logic
+        return F.coalesce(F.expr(s["expr"]), F.lit(False))
+
+    fails = [s for s in specs if s["action"] == "fail"]
+    if fails:
+        counts_row = df.agg(
+            *[
+                F.sum(F.when(~holds(s), 1).otherwise(0)).alias(s["name"])
+                for s in fails
+            ]
+        ).first()
+        bad = {s["name"]: counts_row[s["name"]] for s in fails if counts_row[s["name"]]}
+        if bad:
+            raise ValidationError(
+                f"validate: expectations failed in block "
+                f"'{conf.section_name}': {bad}",
+                counts=bad,
+            )
+
+    drops = [s for s in specs if s["action"] == "drop"]
+    tags = [s for s in specs if s["action"] == "tag"]
+    valid = df
+    for s in drops:
+        valid = valid.where(holds(s))
+    if tags:
+        valid = valid.withColumn(
+            tag_col,
+            F.array_compact(
+                F.array(*[F.when(~holds(s), F.lit(s["name"])) for s in tags])
+            ),
+        )
+    if not quarantine:
+        return valid
+    flagged = drops + tags
+    violations = df.withColumn(
+        tag_col,
+        F.array_compact(
+            F.array(*[F.when(~holds(s), F.lit(s["name"])) for s in flagged])
+        ),
+    ).where(F.size(F.col(tag_col)) > 0)
+    return {"valid": valid, "violations": violations}

@@ -215,3 +215,45 @@ def stream_delta(conf: BlockConfig) -> DataFrame:
         .awaitTermination()
     )
     return df
+
+
+def stream_upsert(conf: BlockConfig) -> DataFrame:
+    """Streamed MERGE sink: each micro-batch is upserted into the
+    managed table via ``foreachBatch`` — the standard pattern for
+    incrementally maintaining a keyed table from a stream (append-only
+    sinks can't update matched rows; built-in streaming writers can't
+    express MERGE).
+
+    Properties: ``Path``, ``MergeStatement`` (``source.x = updates.x``,
+    same contract as batch upsert), ``Keys`` (optional — dedup each
+    micro-batch on these columns first, so MERGE's one-match-per-row
+    contract holds when the stream can repeat a key within a batch),
+    ``Checkpoint`` (default ``<Path>/checkpoint``).
+    ``trigger(availableNow=True)`` drains everything new then stops —
+    incremental-batch, exactly like ``stream_delta``.
+    """
+    from getl_spark.common.tables import ManagedTable
+
+    df = conf.input_df()
+    path = conf.get("Path")
+    merge_statement = conf.get("MergeStatement")
+    keys = conf.get("Keys", None)
+    checkpoint = conf.get("Checkpoint", f"{path}/checkpoint")
+
+    def upsert_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if keys:
+            batch_df = batch_df.dropDuplicates(list(keys))
+        ManagedTable(batch_df.sparkSession, path).upsert_all(
+            batch_df, merge_statement
+        )
+
+    (
+        df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(upsert_batch)
+        .start()
+        .awaitTermination()
+    )
+    return df

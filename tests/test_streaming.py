@@ -277,3 +277,59 @@ def test_quota_filter_rejects_negative_counts(spark):
     df = spark.createDataFrame([("a", 1, -5)], "k STRING, seq BIGINT, n BIGINT")
     with _pytest.raises(Exception, match="negative count|assert"):
         quota_filter(df, "k", "n", 10, "seq").collect()
+
+
+def test_stream_upsert_merges_incrementally(spark, tmp_path):
+    """write::stream_upsert maintains a keyed table across two stream
+    drains: wave 2 updates matched keys and inserts new ones, and the
+    checkpoint ensures wave-1 files aren't reprocessed."""
+    import json as _json
+    import yaml as _yaml
+
+    from getl_spark import lift
+
+    src = tmp_path / "in"
+    src.mkdir()
+    target = str(tmp_path / "target")
+
+    def run():
+        blocks = {
+            "S": {
+                "Type": "load::stream_json",
+                "Properties": {
+                    "Path": str(src),
+                    "JsonSchema": {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                        ],
+                    },
+                },
+            },
+            "W": {
+                "Type": "write::stream_upsert",
+                "Input": "S",
+                "Properties": {
+                    "Path": target,
+                    "MergeStatement": "source.k = updates.k",
+                    "Keys": ["k"],
+                    "Checkpoint": str(tmp_path / "ckpt"),
+                },
+            },
+        }
+        lift(spark, _yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+
+    (src / "w1.json").write_text(
+        "\n".join(_json.dumps({"k": k, "v": f"v{k}"}) for k in range(5))
+    )
+    run()
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {k: f"v{k}" for k in range(5)}
+
+    (src / "w2.json").write_text(
+        "\n".join(_json.dumps({"k": k, "v": f"new{k}"}) for k in [1, 3, 7])
+    )
+    run()
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {0: "v0", 1: "new1", 2: "v2", 3: "new3", 4: "v4", 7: "new7"}
