@@ -407,7 +407,11 @@ def validate(conf: BlockConfig):
     tags = [s for s in specs if s["action"] == "tag"]
     valid = df
     for s in drops:
-        valid = valid.where(holds(s))
+        # raw predicate, not coalesce(expr, false): WHERE already
+        # excludes NULL results, and the bare comparison pushes down to
+        # the parquet scan (PushedFilters) while a coalesce() wrapper
+        # blocks pushdown entirely
+        valid = valid.where(F.expr(s["expr"]))
     if tags:
         valid = valid.withColumn(
             tag_col,
