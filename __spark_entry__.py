@@ -1596,6 +1596,27 @@ WHERE cum <= 4000
 """
 
 
+def _q_stats_correlations(spark, sf_dir):
+    """stats.correlations — pairwise Pearson matrix in one aggregate."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return stats.correlations(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+STATS_CORR_ORACLE = """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 6) FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+UNION ALL SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 6) FROM lineitem
+"""
+
+
 def _q_validate_drop(spark, sf_dir):
     """transform::validate with drop-action expectations — the
     data-quality gate as a pure pushdown-friendly filter."""
@@ -2603,6 +2624,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": _q_search_bm25,
         "load_orc_roundtrip": _q_load_orc_roundtrip,
         "validate_expectations": _q_validate_drop,
+        "stats_correlations": _q_stats_correlations,
     }
 
 
@@ -2646,6 +2668,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "search_bm25": SEARCH_BM25_ORACLE,
         "load_orc_roundtrip": LOAD_ORC_ORACLE,
         "validate_expectations": VALIDATE_DROP_ORACLE,
+        "stats_correlations": STATS_CORR_ORACLE,
     }
 
 

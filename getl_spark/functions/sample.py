@@ -92,3 +92,39 @@ def weighted_mix(
     for part in parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def split(
+    df: DataFrame,
+    fractions: Dict[str, float],
+    id_cols: Sequence[str],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: tag each row with the
+    name of the bucket its content hash lands in. ``fractions`` maps
+    split name → share; shares must sum to ≤ 1 (any remainder is
+    dropped — useful for "90/5/5 of a 10% subsample" recipes).
+
+    The split is a pure scan-side expression (no shuffle, no state)
+    and every row's assignment is stable across retries, clusters, and
+    added/removed neighbors — the property ``randomSplit`` lacks
+    (its assignment shifts when partitioning changes). Disjointness
+    and exhaustiveness hold by construction: one hash, adjacent
+    half-open intervals.
+    """
+    if not fractions:
+        raise ValueError("split: need at least one named fraction")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split: fractions sum to {total}; must be <= 1")
+    u = _unit_hash(id_cols, seed)
+    expr = None
+    lo = 0.0
+    for name, frac in fractions.items():  # insertion order = interval order
+        hi = lo + frac
+        cond = (u >= F.lit(lo)) & (u < F.lit(hi))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    out = df.withColumn(split_col, expr)
+    return out.where(F.col(split_col).isNotNull()) if lo < 1.0 - 1e-9 else out

@@ -46,3 +46,45 @@ def profile(df: DataFrame, columns: Optional[List[str]] = None) -> DataFrame:
         F.sum(F.col("value").isNull().cast("long")).alias("n_null"),
         F.count_distinct("value").alias("n_distinct"),
     )
+
+
+def correlations(
+    df: DataFrame,
+    columns: List[str],
+    method: str = "pearson",
+) -> DataFrame:
+    """Pairwise correlation matrix over numeric columns, computed in
+    ONE aggregate pass: ``(col_a, col_b, corr)`` for every unordered
+    pair, ``col_a < col_b``. The standard pre-training feature sanity
+    check (finding redundant or leaking signals) without k² scans —
+    ``F.corr`` aggregates are all map-side partial, so the reduce side
+    is a single row regardless of input size.
+    """
+    if method != "pearson":
+        raise ValueError("correlations: only pearson is implemented")
+    if len(columns) < 2:
+        raise ValueError("correlations: need at least two columns")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"correlations: columns not in DataFrame: {missing}")
+    pairs = [
+        (a, b) for i, a in enumerate(columns) for b in columns[i + 1 :]
+    ]
+    row = df.agg(
+        *[F.corr(a, b).alias(f"__c{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.round(F.col(f"__c{i}"), 6).alias("corr"),
+                    )
+                    for i, (a, b) in enumerate(pairs)
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.col_a", "p.col_b", "p.corr")

@@ -88,3 +88,48 @@ LiftJob:
     )
     n = log.get("S").count()
     assert 30 < n < 70
+
+
+# ------------------------------------------------------------ split
+def test_split_disjoint_exhaustive_deterministic(spark):
+    from getl_spark.functions import sample as S
+
+    df = spark.range(10_000).selectExpr("id")
+    out = S.split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, ["id"])
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("cnt")
+    ).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 10_000  # exhaustive
+    assert 0.75 < counts["train"] / 10_000 < 0.85
+    # deterministic: same assignment on recompute and across partitioning
+    again = S.split(df.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1}, ["id"])
+    a = {r.id: r.split for r in out.collect()}
+    b = {r.id: r.split for r in again.collect()}
+    assert a == b
+
+
+def test_split_remainder_dropped_and_validation(spark):
+    import pytest as _pytest
+
+    from getl_spark.functions import sample as S
+
+    df = spark.range(1000)
+    out = S.split(df, {"sub": 0.25}, ["id"])
+    n = out.count()
+    assert 200 < n < 300 and {r.split for r in out.collect()} == {"sub"}
+    with _pytest.raises(ValueError, match="<= 1"):
+        S.split(df, {"a": 0.9, "b": 0.2}, ["id"])
+    with _pytest.raises(ValueError, match="at least one"):
+        S.split(df, {}, ["id"])
+
+
+def test_split_no_shuffle(spark):
+    from getl_spark.functions import sample as S
+
+    df = spark.range(100)
+    plan = (
+        S.split(df, {"train": 0.5, "val": 0.5}, ["id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -110,3 +110,41 @@ def test_theta_set_algebra(spark):
 
     with _pytest.raises(ValueError, match="op must be"):
         sketch.theta_estimate(a, b, "xor")
+
+
+def test_correlations_matches_duckdb(spark):
+    import duckdb
+
+    from getl_spark.functions import stats as S
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in S.correlations(
+            df, ["l_quantity", "l_extendedprice", "l_discount"]
+        ).collect()
+    }
+    duck = duckdb.sql("""
+        SELECT round(corr(l_quantity, l_extendedprice), 6) AS qe,
+               round(corr(l_quantity, l_discount), 6) AS qd,
+               round(corr(l_extendedprice, l_discount), 6) AS ed
+        FROM '/root/testdata/sf0.001/lineitem.parquet'
+    """).fetchone()
+    assert got[("l_quantity", "l_extendedprice")] == duck[0]
+    assert got[("l_quantity", "l_discount")] == duck[1]
+    assert got[("l_extendedprice", "l_discount")] == duck[2]
+
+
+def test_correlations_single_pass(spark):
+    from getl_spark.functions import stats as S
+
+    df = spark.range(100).selectExpr("id AS a", "id * 2 AS b", "100 - id AS c")
+    out = S.correlations(df, ["a", "b", "c"])
+    assert {(r.col_a, r.col_b): r.corr for r in out.collect()} == {
+        ("a", "b"): 1.0,
+        ("a", "c"): -1.0,
+        ("b", "c"): -1.0,
+    }
+    # one aggregate -> exactly one pair of exchanges, no per-pair scans
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1
