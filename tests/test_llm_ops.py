@@ -626,3 +626,36 @@ def test_embedding_lsh_candidate_estimate_exact_on_full_sample(spark):
     )
     assert est == actual
     assert est > 0
+
+
+# ------------------------------------------- plan-shape scale contracts
+@pytest.mark.parametrize(
+    "build",
+    [
+        lambda d: dedup.ngram_jaccard(d, threshold=0.3),
+        lambda d: dedup.ngram_jaccard(d, threshold=0.3, max_df=50),
+        lambda d: dedup.minhash_lsh(d, threshold=0.3),
+        lambda d: dedup.simhash_pairs(d, max_hamming=6),
+        lambda d: dedup.simhash_pairs(d, max_hamming=6, max_chunk_df=100),
+        lambda d: dedup.fuzzy_join(
+            d.where("doc_id % 2 = 0"), d.where("doc_id % 2 = 1"), threshold=0.3
+        ),
+        lambda d: dedup.fuzzy_join(
+            d.where("doc_id % 2 = 0"),
+            d.where("doc_id % 2 = 1"),
+            threshold=0.3,
+            max_df=50,
+        ),
+    ],
+    ids=[
+        "ngram", "ngram_maxdf", "minhash", "simhash", "simhash_cap",
+        "fuzzy", "fuzzy_maxdf",
+    ],
+)
+def test_dedup_plans_never_go_quadratic(docs, build):
+    """Every sketch/index dedup path must plan as equi-joins only — a
+    CartesianProduct or BroadcastNestedLoopJoin would mean some join
+    lost its keys and the operator silently went O(n²) at scale."""
+    plan = build(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
