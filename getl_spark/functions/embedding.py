@@ -124,3 +124,64 @@ def norm_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.round(F.min("__norm"), 4).alias("min_norm"),
         F.round(F.max("__norm"), 4).alias("max_norm"),
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    new_col: str = "embedding",
+    seed: int = 0,
+    normalize: bool = True,
+) -> DataFrame:
+    """Model-free text embeddings via the signed hashing trick:
+    ``(id, embedding: array<float>)`` where each whitespace token adds
+    ±1 to the bucket ``xxhash64(token) mod dim`` (sign from an
+    independent hash bit, which unbiases bucket collisions — Weinberger
+    et al.'s feature hashing). L2-normalized by default so the vectors
+    drop straight into ``similarity.topk_*`` and
+    ``dedup.embedding_cosine_pairs``.
+
+    This is NOT a semantic model — it's a deterministic, vocabulary-free
+    bag-of-words sketch. Its job in a pipeline: give the vector
+    operators something to run on when no learned embedding exists yet
+    (bootstrap dedup/clustering), at pure JVM scan speed. Two shuffles:
+    (id, bucket) partial-agg, then id assembly — both keyed, both
+    map-side combined; per-doc state ≤ ``dim`` entries.
+    """
+    if dim < 2:
+        raise ValueError("hash_embed: dim must be >= 2")
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    h = F.xxhash64("token", F.lit(seed))
+    signed = tokens.select(
+        "id",
+        F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
+        F.when(F.pmod(F.xxhash64("token", F.lit(seed + 1)), F.lit(2)) == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .alias("sign"),
+    )
+    weights = signed.groupBy("id", "bucket").agg(F.sum("sign").alias("w"))
+    assembled = (
+        weights.groupBy("id")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("bucket"), F.collect_list("w")
+            ).alias("m")
+        )
+        .select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i.cast("int")), F.lit(0.0)
+                ).cast("float"),
+            ).alias(new_col),
+        )
+    )
+    if normalize:
+        assembled = l2_normalize(assembled, new_col)
+    return assembled.withColumnRenamed("id", id_col)

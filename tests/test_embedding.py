@@ -101,3 +101,72 @@ def test_chunk_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id BIGINT, text STRING")
     with pytest.raises(ValueError, match="overlap"):
         text.chunk(df, chunk_tokens=8, overlap=8)
+
+
+# --------------------------------------------------------- hash_embed
+def test_hash_embed_shape_norm_determinism(spark):
+    from getl_spark.functions import embedding as E
+
+    df = spark.createDataFrame(
+        [(0, "spark shuffles data between stages"),
+         (1, "spark shuffles data between stages"),
+         (2, "an entirely different sentence about cats")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = E.hash_embed(df, dim=64).collect()
+    vecs = {r.doc_id: r.embedding for r in out}
+    assert all(len(v) == 64 for v in vecs.values())
+    import math
+    for v in vecs.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+    # identical text -> identical vector (deterministic, content-only)
+    assert vecs[0] == vecs[1]
+    assert vecs[0] != vecs[2]
+
+
+def test_hash_embed_similarity_orders_correctly(spark):
+    from getl_spark.functions import embedding as E
+
+    base = "the training corpus needs deduplication before tokenization"
+    df = spark.createDataFrame(
+        [(0, base),
+         (1, base + " today"),                      # near-dup of 0
+         (2, "unrelated weather forecast for the alpine region tomorrow")],
+        "doc_id BIGINT, text STRING",
+    )
+    vecs = {r.doc_id: r.embedding for r in E.hash_embed(df, dim=128).collect()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(vecs[0], vecs[1]) > 0.8
+    assert cos(vecs[0], vecs[1]) > cos(vecs[0], vecs[2])
+
+
+def test_hash_embed_feeds_embedding_cosine_pairs(spark):
+    """Planted near-identical pairs must surface through the full
+    hash_embed → embedding_cosine_pairs pipeline, and unrelated docs
+    must not."""
+    from getl_spark.functions import dedup
+    from getl_spark.functions import embedding as E
+
+    texts = [
+        "spark executes declarative plans through catalyst and tungsten stages",
+        "training corpora require deduplication quality filtering and packing",
+        "file registries track which deliveries were already ingested downstream",
+    ]
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((i, t + " alpha beta gamma delta epsilon zeta"))
+        rows.append((100 + i, t + " alpha beta gamma delta epsilon eta"))  # near-dup
+    rows.append((900, "completely disjoint vocabulary about mountain weather patterns"))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    emb = E.hash_embed(docs, dim=256).withColumnRenamed("doc_id", "vec_id")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(
+            emb, threshold=0.9, brute_force=True
+        ).collect()
+    }
+    assert {(i, 100 + i) for i in range(3)} <= got
+    assert all(900 not in p for p in got)
