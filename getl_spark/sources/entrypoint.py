@@ -25,7 +25,7 @@ import json
 import os
 from typing import Callable, List, Optional, Union
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from getl_spark.common.errors import NoDataToProcess
 from getl_spark.common.utils import json_to_spark_schema
@@ -82,6 +82,25 @@ def batch_orc(conf: BlockConfig) -> DataFrame:
         "orc",
         _reader_options(conf),
     )
+
+
+def batch_text(conf: BlockConfig) -> DataFrame:
+    """Extension source: raw text — the entry point for unprocessed
+    corpus files. Properties: ``Path``, ``Suffix`` (default ``.txt``,
+    for FileRegistry narrowing), ``WholeText`` (one row per FILE
+    instead of per line — the usual corpus-document shape),
+    ``PathColumn`` (add the source file path from the scan's
+    ``_metadata``, so doc identity survives the load), ``Options``
+    (reader passthrough, e.g. ``lineSep``)."""
+    options = _reader_options(conf)
+    if conf.get("WholeText", False):
+        options["wholetext"] = True
+    paths = _registry_paths(conf, conf.get("Path"), conf.get("Suffix", ".txt"))
+    df = _batch_read(conf.spark, paths, "text", options)
+    path_col = conf.get("PathColumn", None)
+    if path_col:
+        df = df.withColumn(path_col, F.col("_metadata.file_path"))
+    return df
 
 
 def batch_json(conf: BlockConfig) -> DataFrame:

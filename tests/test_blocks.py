@@ -454,3 +454,30 @@ LiftJob:
     assert log.get("Dup").count() == 6
     assert log.get("Uniq").count() == 3
     assert log.get("Limited").count() == 2
+
+
+def test_batch_text_line_and_wholetext_modes(spark, tmp_path):
+    import yaml
+
+    from getl_spark import lift
+
+    (tmp_path / "a.txt").write_text("line one\nline two")
+    (tmp_path / "b.txt").write_text("solo document body")
+
+    def load(props):
+        blocks = {
+            "T": {
+                "Type": "load::batch_text",
+                "Properties": {"Path": str(tmp_path), **props},
+            }
+        }
+        return lift(spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False)).get("T")
+
+    lines = load({})
+    assert sorted(r.value for r in lines.collect()) == [
+        "line one", "line two", "solo document body",
+    ]
+
+    docs = load({"WholeText": True, "PathColumn": "src"})
+    got = {r.src.rsplit("/", 1)[-1]: r.value for r in docs.collect()}
+    assert got == {"a.txt": "line one\nline two", "b.txt": "solo document body"}
