@@ -102,6 +102,67 @@ def extract_features(
     )
 
 
+def resize(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image resize over binary content: ``(id, content, meta)`` with
+    ``meta.width/height`` set to the target. The real pipeline decodes
+    → resamples → re-encodes per Arrow batch; here the codec seam is
+    stubbed (no PIL in this container) with a deterministic byte-level
+    resample — truncate-or-cycle the payload to ``width*height`` bytes
+    — so the distributed shape (schema with a rebuilt meta struct,
+    Arrow batching, shuffle-free map, output size ∝ target not input)
+    is exercised end-to-end and downstream operators can build against
+    it."""
+    if not FAKE_DECODE:
+        raise NotImplementedError(
+            "Real resize requires PIL/torchvision; install and replace the "
+            "resample step (seam: getl_spark/functions/multimodal.py)."
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError("resize: width and height must be positive")
+    target = width * height
+    out_schema = (
+        f"{id_col} bigint, content binary, meta struct<{MEDIA_META_SCHEMA}>"
+    )
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fit(blob) -> bytes:
+            b = bytes(blob)
+            if not b:
+                return bytes(target)
+            reps = -(-target // len(b))
+            return (b * reps)[:target]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": pdf["content"].map(fit),
+                    "meta": [
+                        {
+                            "media_type": "image",
+                            "mime": "application/octet-stream",
+                            "width": width,
+                            "height": height,
+                            "duration_ms": None,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    from getl_spark.common.scale import parallelize
+
+    return parallelize(df.select(id_col, "content")).mapInPandas(
+        resample, out_schema
+    )
+
+
 def frame_sample(
     df: DataFrame,
     content_col: str = "content",

@@ -659,3 +659,16 @@ def test_dedup_plans_never_go_quadratic(docs, build):
     plan = build(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_resize_shapes_and_meta(docs):
+    media = multimodal.to_media(docs.limit(8), "text")
+    out = multimodal.resize(media, width=16, height=8)
+    rows = out.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert len(r.content) == 16 * 8
+        assert r.meta.width == 16 and r.meta.height == 8
+    # deterministic: same input -> same bytes
+    again = {r.doc_id: bytes(r.content) for r in multimodal.resize(media, 16, 8).collect()}
+    assert {r.doc_id: bytes(r.content) for r in rows} == again
