@@ -228,7 +228,11 @@ def stream_upsert(conf: BlockConfig) -> DataFrame:
     same contract as batch upsert), ``Keys`` (optional — dedup each
     micro-batch on these columns first, so MERGE's one-match-per-row
     contract holds when the stream can repeat a key within a batch),
-    ``Checkpoint`` (default ``<Path>/checkpoint``).
+    ``Checkpoint`` (default ``<Path>/checkpoint``), ``OutputMode``
+    (default ``append``; use ``update`` when the input is a windowed
+    aggregation — each micro-batch then delivers the CHANGED window
+    rows and the MERGE keeps the target current, i.e. an incrementally
+    maintained rollup/continuous aggregate).
     ``trigger(availableNow=True)`` drains everything new then stops —
     incremental-batch, exactly like ``stream_delta``.
     """
@@ -251,6 +255,7 @@ def stream_upsert(conf: BlockConfig) -> DataFrame:
 
     (
         df.writeStream.trigger(availableNow=True)
+        .outputMode(conf.get("OutputMode", "append"))
         .option("checkpointLocation", checkpoint)
         .foreachBatch(upsert_batch)
         .start()

@@ -333,3 +333,92 @@ def test_stream_upsert_merges_incrementally(spark, tmp_path):
     run()
     got = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert got == {0: "v0", 1: "new1", 2: "v2", 3: "new3", 4: "v4", 7: "new7"}
+
+
+def test_streaming_rollup_continuous_aggregate(spark, tmp_path):
+    """stream_json -> tumbling hourly agg -> stream_upsert(update):
+    an incrementally maintained rollup. Wave 2 adds events to an
+    already-rolled-up hour; the MERGE must update that window's counts
+    rather than append a duplicate row."""
+    import json as _json
+    import yaml as _yaml
+
+    from getl_spark import lift
+
+    src = tmp_path / "in"
+    src.mkdir()
+    target = str(tmp_path / "rollup")
+
+    def run():
+        blocks = {
+            "S": {
+                "Type": "load::stream_json",
+                "Properties": {
+                    "Path": str(src),
+                    "JsonSchema": {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "ts", "type": "timestamp", "nullable": True, "metadata": {}},
+                            {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+                        ],
+                    },
+                },
+            },
+            "Hourly": {
+                "Type": "transform::time_window",
+                "Input": "S",
+                "Properties": {
+                    "TimeColumn": "ts",
+                    "WindowDuration": "1 hour",
+                    "Watermark": "2 hours",
+                    "Aggregations": [
+                        {"agg": "expr", "expr": "CAST(COUNT(*) AS BIGINT)", "alias": "n"},
+                        {"agg": "expr", "expr": "ROUND(SUM(v), 3)", "alias": "sum_v"},
+                    ],
+                },
+            },
+            "W": {
+                "Type": "write::stream_upsert",
+                "Input": "Hourly",
+                "Properties": {
+                    "Path": target,
+                    "MergeStatement": "source.window_start = updates.window_start",
+                    "OutputMode": "update",
+                    "Checkpoint": str(tmp_path / "ckpt"),
+                },
+            },
+        }
+        lift(spark, _yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+
+    def write_wave(name, events):
+        (src / name).write_text(
+            "\n".join(_json.dumps({"ts": ts, "v": v}) for ts, v in events)
+        )
+
+    write_wave("w1.json", [
+        ("2024-01-01 10:05:00", 1.0),
+        ("2024-01-01 10:35:00", 2.0),
+        ("2024-01-01 11:10:00", 4.0),
+    ])
+    run()
+    got = {
+        str(r.window_start): (r.n, r.sum_v)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got["2024-01-01 10:00:00"] == (2, 3.0)
+    assert got["2024-01-01 11:00:00"] == (1, 4.0)
+
+    # wave 2: more rows in the 11:00 hour + a new 12:00 hour
+    write_wave("w2.json", [
+        ("2024-01-01 11:45:00", 8.0),
+        ("2024-01-01 12:01:00", 16.0),
+    ])
+    run()
+    got = {
+        str(r.window_start): (r.n, r.sum_v)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got["2024-01-01 10:00:00"] == (2, 3.0)
+    assert got["2024-01-01 11:00:00"] == (2, 12.0)  # updated, not duplicated
+    assert got["2024-01-01 12:00:00"] == (1, 16.0)
+    assert len(got) == 3
