@@ -1596,6 +1596,33 @@ WHERE cum <= 4000
 """
 
 
+def _q_melt_unpivot(spark, sf_dir):
+    """transform::generic melt — wide → long reshape (SQL UNPIVOT)."""
+    blocks = _load_blocks(sf_dir, ["lineitem"])
+    blocks["Result"] = {
+        "Type": "transform::generic",
+        "Input": "lineitem",
+        "Properties": {
+            "Functions": [
+                {
+                    "melt": {
+                        "id_columns": ["l_orderkey", "l_linenumber"],
+                        "value_columns": ["l_quantity", "l_discount", "l_tax"],
+                    }
+                }
+            ]
+        },
+    }
+    return _run_lift(spark, blocks)
+
+
+MELT_ORACLE = """
+SELECT l_orderkey, l_linenumber, variable, value
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax FROM lineitem)
+UNPIVOT (value FOR variable IN (l_quantity, l_discount, l_tax))
+"""
+
+
 def _q_stats_correlations(spark, sf_dir):
     """stats.correlations — pairwise Pearson matrix in one aggregate."""
     from getl_spark.functions import stats
@@ -2625,6 +2652,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_orc_roundtrip": _q_load_orc_roundtrip,
         "validate_expectations": _q_validate_drop,
         "stats_correlations": _q_stats_correlations,
+        "melt_unpivot": _q_melt_unpivot,
     }
 
 
@@ -2669,6 +2697,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "load_orc_roundtrip": LOAD_ORC_ORACLE,
         "validate_expectations": VALIDATE_DROP_ORACLE,
         "stats_correlations": STATS_CORR_ORACLE,
+        "melt_unpivot": MELT_ORACLE,
     }
 
 

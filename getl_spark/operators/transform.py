@@ -246,3 +246,25 @@ def concat(
             pieces.append(F.lit(delimiter))
         pieces.append(F.col(name).cast(StringType()))
     return dataframe.withColumn(to_column, F.concat(*pieces))
+
+
+def melt(
+    dataframe: DataFrame,
+    id_columns: List[str],
+    value_columns: List[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide → long reshape (SQL UNPIVOT / pandas melt): one output row
+    per (id row, value column). Spark's native ``unpivot`` — a zero-
+    shuffle row generator, so at scale the cost is row expansion only.
+    Value columns are cast to a common type by Spark; mixed
+    incompatible types raise upfront rather than corrupting data."""
+    for c in id_columns + value_columns:
+        _require_column(dataframe, c)
+    return dataframe.unpivot(
+        [F.col(c) for c in id_columns],
+        [F.col(c) for c in value_columns],
+        var_name,
+        value_name,
+    )

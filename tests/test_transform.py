@@ -181,3 +181,21 @@ def test_broadcast_hint_changes_join_strategy(spark):
 def test_drop_columns(princess_df):
     out = t.drop_columns(princess_df, ["items", "happy"])
     assert out.columns == ["name", "age"]
+
+
+def test_melt_wide_to_long(spark):
+    from getl_spark.operators import transform as T
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 30.0, 40.0)], "id BIGINT, a DOUBLE, b DOUBLE"
+    )
+    out = T.melt(df, ["id"], ["a", "b"])
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0), (2, "b", 40.0),
+    ]
+    named = T.melt(df, ["id"], ["a"], var_name="metric", value_name="reading")
+    assert named.columns == ["id", "metric", "reading"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not present"):
+        T.melt(df, ["id"], ["nope"])
