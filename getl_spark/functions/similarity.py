@@ -172,28 +172,18 @@ def topk_lsh(
     )
 
 
-def topk_ivf(
+def _train_centroids(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    nlist: int = 16,
-    nprobe: int = 4,
-    seed: int = 42,
-    train_limit: int = 10000,
-    kmeans_iters: int = 10,
-) -> DataFrame:
-    """Approximate cosine top-k via IVF (inverted-file) indexing.
-
-    A k-means coarse quantizer is trained driver-side on a bounded,
-    deterministic sample (first ``train_limit`` ids); every corpus
-    vector is assigned to its nearest centroid with JVM expressions;
-    each query probes its ``nprobe`` nearest cells and reranks exactly
-    within them. Scan cost drops ~nlist/nprobe-fold versus brute force.
-    Deterministic: fixed seed, ordered training sample, seeded
-    numpy k-means.
-    """
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    seed: int,
+    train_limit: int,
+    kmeans_iters: int,
+):
+    """Driver-side normalized k-means on a bounded, deterministic
+    sample (first ``train_limit`` ids). Returns the row-normalized
+    centroid matrix (numpy, nlist × dim)."""
     import numpy as np
 
     train = np.array(
@@ -217,8 +207,38 @@ def topk_ivf(
             members = train[assign == c]
             if len(members):
                 centroids[c] = members.mean(axis=0)
-    cent_n = centroids / np.maximum(
+    return centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    train_limit: int = 10000,
+    kmeans_iters: int = 10,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) indexing.
+
+    A k-means coarse quantizer is trained driver-side on a bounded,
+    deterministic sample (first ``train_limit`` ids); every corpus
+    vector is assigned to its nearest centroid with JVM expressions;
+    each query probes its ``nprobe`` nearest cells and reranks exactly
+    within them. Scan cost drops ~nlist/nprobe-fold versus brute force.
+    Deterministic: fixed seed, ordered training sample, seeded
+    numpy k-means. For repeated querying over a stable corpus, build
+    the assignment once with ``build_ivf_index`` and query with
+    ``topk_ivf_indexed`` instead — training and assignment are the
+    expensive half.
+    """
+    cent_n = _train_centroids(
+        corpus, id_col, vec_col, nlist, seed, train_limit, kmeans_iters
     )
 
     def cell_col(vec: Column) -> Column:
@@ -238,7 +258,21 @@ def topk_ivf(
         corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vec"))
     ).withColumnRenamed("vec", "cvec").withColumnRenamed("norm", "cnorm")
     c = c.withColumn("cell", cell_col(F.col("cvec"))).localCheckpoint()
+    return _probe_and_rerank(c, queries, cent_n, nprobe, k, id_col, vec_col)
 
+
+def _probe_and_rerank(
+    assigned: DataFrame,
+    queries: DataFrame,
+    cent_n,
+    nprobe: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """IVF query half: probe each query's ``nprobe`` nearest cells of
+    ``assigned`` (columns ``nbr_id, cvec, cnorm, cell``), rerank
+    exactly within them. Queries are broadcast (bounded query sets)."""
     q = with_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec"))
     ).withColumnRenamed("vec", "qvec").withColumnRenamed("norm", "qnorm")
@@ -264,7 +298,7 @@ def topk_ivf(
         .select("query_id", "qvec", "qnorm", F.col("probe.cell").alias("cell"))
     )
     scored = (
-        c.join(F.broadcast(q), "cell")
+        assigned.join(F.broadcast(q), "cell")
         .where(F.col("nbr_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -283,6 +317,84 @@ def topk_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    train_limit: int = 10000,
+    kmeans_iters: int = 10,
+) -> DataFrame:
+    """Persist an IVF index: train the coarse quantizer, assign every
+    corpus vector to its cell, and write ``{path}/centroids`` (cell →
+    normalized centroid) + ``{path}/vectors`` (nbr_id, cvec, cnorm,
+    cell — partitioned by cell, so a probe reads only its cells'
+    files). Build once per corpus snapshot; ``topk_ivf_indexed`` then
+    skips training AND assignment — the expensive half of every query
+    at scale. Returns a per-cell occupancy summary (the index health
+    check: one empty or giant cell means retrain with different
+    ``nlist``)."""
+    cent_n = _train_centroids(
+        corpus, id_col, vec_col, nlist, seed, train_limit, kmeans_iters
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in cent]) for i, cent in enumerate(cent_n)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    structs = [
+        F.struct(
+            dot_expr(F.col("cvec"), F.array(*[F.lit(float(x)) for x in cent])).alias(
+                "dot"
+            ),
+            F.lit(idx).alias("cell"),
+        )
+        for idx, cent in enumerate(cent_n)
+    ]
+    assigned = (
+        with_norm(
+            corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vec"))
+        )
+        .withColumnRenamed("vec", "cvec")
+        .withColumnRenamed("norm", "cnorm")
+        .withColumn("cell", F.reverse(F.array_sort(F.array(*structs)))[0]["cell"])
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    return (
+        spark.read.parquet(f"{path}/vectors")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+def topk_ivf_indexed(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index (``build_ivf_index``): no training,
+    no assignment — read the centroids (nlist rows, driver-bounded),
+    probe, rerank. The vectors table is partitioned by cell, so with
+    partition pruning a probe touches only ``nprobe`` cells' files per
+    query set."""
+    import numpy as np
+
+    cent_rows = (
+        spark.read.parquet(f"{index_path}/centroids").orderBy("cell").collect()
+    )
+    cent_n = np.array([r.centroid for r in cent_rows], dtype="float64")
+    assigned = spark.read.parquet(f"{index_path}/vectors")
+    return _probe_and_rerank(assigned, queries, cent_n, nprobe, k, id_col, vec_col)
 
 
 # --------------------------------------------------- YAML-callable forms

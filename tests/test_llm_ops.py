@@ -672,3 +672,26 @@ def test_multimodal_resize_shapes_and_meta(docs):
     # deterministic: same input -> same bytes
     again = {r.doc_id: bytes(r.content) for r in multimodal.resize(media, 16, 8).collect()}
     assert {r.doc_id: bytes(r.content) for r in rows} == again
+
+
+def test_ivf_index_build_query_matches_fresh(spark, tmp_path):
+    """A persisted IVF index must answer queries identically to the
+    in-session IVF at the same settings (exhaustive probe ⇒ both equal
+    brute force), with the vectors table partitioned by cell."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    summary = similarity.build_ivf_index(emb, path, nlist=8)
+    counts = {r.cell: r.n_vectors for r in summary.collect()}
+    assert sum(counts.values()) == emb.count()
+    assert (tmp_path / "ivf" / "vectors" / "cell=0").exists()
+
+    queries = emb.where("vec_id < 8")
+    fresh = similarity.topk_ivf(emb, queries, k=5, nlist=8, nprobe=8)
+    from_index = similarity.topk_ivf_indexed(spark, queries, path, k=5, nprobe=8)
+    assert sorted(map(tuple, fresh.collect())) == sorted(
+        map(tuple, from_index.collect())
+    )
+    # approximate probing still returns k rows per query
+    approx = similarity.topk_ivf_indexed(spark, queries, path, k=5, nprobe=2)
+    per_q = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in per_q)
