@@ -209,6 +209,27 @@ def minhash_signatures(
     )
 
 
+def _band_keys(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band, key) — one xxhash64 key per band over that band's
+    signature slice."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias(
+                            "key"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+
 def minhash_lsh(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -245,22 +266,7 @@ def minhash_lsh(
         .localCheckpoint()
     )
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=shingles)
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias(
-                            "key"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+    banded = _band_keys(sigs, bands, rows)
     # band keys are tiny (docs × bands rows); materializing them keeps
     # the self-join plan to two table stubs instead of two signature
     # pipelines
@@ -501,23 +507,40 @@ def fuzzy_join(
     n: int = 3,
     threshold: float = 0.5,
     max_df: Optional[int] = None,
+    method: str = "exact",
+    num_hashes: int = 64,
+    bands: int = 16,
 ) -> DataFrame:
     """Fuzzy (approximate-text) join between two tables: all cross-table
     pairs with word-``n``-gram Jaccard ≥ ``threshold``. The entity-
     resolution shape — match scraped records against a canonical table,
     crawl snapshots against each other, product titles across feeds.
 
-    Same inverted-index architecture as ``ngram_jaccard`` but across
-    two tables: candidates are pairs sharing ≥1 shingle (cost
-    Σ_shingle df_left·df_right, never |left|·|right|), shingle keys are
-    xxhash64'd to 8-byte longs, and with ``max_df`` hot shingles are
-    dropped from *candidate generation* only (intersections re-counted
-    exactly on the full shingle tables). Returns
-    ``(id_a, id_b, jaccard)`` with ``id_a`` from ``left``.
+    ``method='exact'`` (default): same inverted-index architecture as
+    ``ngram_jaccard`` but across two tables — candidates are pairs
+    sharing ≥1 shingle (cost Σ_shingle df_left·df_right, never
+    |left|·|right|), shingle keys are xxhash64'd to 8-byte longs, and
+    with ``max_df`` hot shingles are dropped from *candidate
+    generation* only (intersections re-counted exactly on the full
+    shingle tables). Full recall; the cost grows with the product of
+    per-shingle frequencies, so duplicate-dense corpora pay
+    quadratically in the duplication factor (measured: 10 exact copies
+    → ~100× candidates).
 
+    ``method='minhash'``: banded MinHash LSH candidates across the two
+    tables (``num_hashes``/``bands``, the ``minhash_lsh`` machinery),
+    then the SAME exact-Jaccard verification — candidate volume tracks
+    true cross-table similarity density instead of posting-length
+    products, so this is the scale path for duplicate-heavy inputs.
+    Recall follows the LSH curve p ≈ 1-(1-s^r)^b; precision stays
+    exact.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a`` from ``left``.
     YAML-callable with ``Input: [Left, Right]`` inside
     ``transform::generic``.
     """
+    if method not in ("exact", "minhash"):
+        raise ValueError(f"fuzzy_join: unknown method '{method}' (exact|minhash)")
     right_id_col = right_id_col or id_col
     right_text_col = right_text_col or text_col
     sh_a = (
@@ -534,7 +557,35 @@ def fuzzy_join(
     sizes_b = sh_b.groupBy("id").agg(F.count("*").alias("size_b"))
     left_sh = sh_a.withColumnRenamed("id", "id_a")
     right_sh = sh_b.withColumnRenamed("id", "id_b")
-    if max_df is not None:
+    if method == "minhash":
+        rows = num_hashes // bands
+        banded_a = _band_keys(
+            minhash_signatures(left, id_col, text_col, n, num_hashes, shingles=sh_a),
+            bands,
+            rows,
+        ).withColumnRenamed("id", "id_a")
+        banded_b = _band_keys(
+            minhash_signatures(
+                right, right_id_col, right_text_col, n, num_hashes, shingles=sh_b
+            ),
+            bands,
+            rows,
+        ).withColumnRenamed("id", "id_b")
+        candidates = (
+            banded_a.join(banded_b, ["band", "key"])
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        inter = (
+            candidates.join(left_sh, "id_a")
+            .join(
+                right_sh.withColumnRenamed("shingle", "shingle_b"), "id_b"
+            )
+            .where(F.col("shingle") == F.col("shingle_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    elif max_df is not None:
         df_a = sh_a.groupBy("shingle").agg(F.count("*").alias("dfa"))
         df_b = sh_b.groupBy("shingle").agg(F.count("*").alias("dfb"))
         rare = (

@@ -695,3 +695,30 @@ def test_ivf_index_build_query_matches_fresh(spark, tmp_path):
     approx = similarity.topk_ivf_indexed(spark, queries, path, k=5, nprobe=2)
     per_q = approx.groupBy("query_id").count().collect()
     assert all(r["count"] == 5 for r in per_q)
+
+
+def test_fuzzy_join_minhash_method_recall_and_precision(spark, docs):
+    """fuzzy_join(method='minhash') must be a subset of the exact join
+    (verification makes precision exact) with high recall at a
+    threshold where the LSH collision probability is ~1."""
+    left = docs.where("doc_id % 2 = 0")
+    right = docs.where("doc_id % 2 = 1")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.fuzzy_join(left, right, threshold=0.3).collect()
+    }
+    sketch = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.fuzzy_join(
+            left, right, threshold=0.3, method="minhash"
+        ).collect()
+    }
+    assert set(sketch) <= set(exact)
+    for pair, j in sketch.items():
+        assert j == exact[pair]  # verified jaccard is the exact value
+    if exact:
+        assert len(sketch) / len(exact) >= 0.8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown method"):
+        dedup.fuzzy_join(left, right, method="bogus")
