@@ -409,16 +409,25 @@ def topk(
     seed: int = 42,
     nlist: int = 16,
     nprobe: int = 4,
+    index_path: str = None,
 ) -> DataFrame:
     """``transform::generic`` entry: queries selected by id from the
     input itself. With ``nprobe == nlist`` the IVF path probes every
     cell and is exactly equal to brute force (useful for oracle
-    verification of the IVF machinery)."""
+    verification of the IVF machinery). ``method='ivf_index'`` queries
+    a persisted ``build_ivf_index`` at ``index_path`` instead of
+    training/assigning in-session."""
     queries = df.where(F.col(id_col).isin(list(query_ids)))
     if method == "lsh":
         return topk_lsh(df, queries, k, id_col, vec_col, planes=planes, seed=seed)
     if method == "ivf":
         return topk_ivf(
             df, queries, k, id_col, vec_col, nlist=nlist, nprobe=nprobe, seed=seed
+        )
+    if method == "ivf_index":
+        if not index_path:
+            raise ValueError("topk: method='ivf_index' needs index_path")
+        return topk_ivf_indexed(
+            df.sparkSession, queries, index_path, k, nprobe, id_col, vec_col
         )
     return topk_bruteforce(df, queries, k, id_col, vec_col)
