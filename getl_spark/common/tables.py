@@ -192,6 +192,14 @@ class ManagedTable:
         if self.fmt == "delta":
             from pyspark.errors import ParseException
 
+            if target_file_bytes:
+                # best-effort: OSS/Databricks Delta reads this conf for
+                # its OPTIMIZE file-size target; unknown confs are
+                # harmless
+                self.spark.conf.set(
+                    "spark.databricks.delta.optimize.maxFileSize",
+                    str(target_file_bytes),
+                )
             zorder = f" ZORDER BY ({', '.join(zorder_by)})" if zorder_by else ""
             try:
                 self.spark.sql(f"OPTIMIZE delta.`{self.path}`{zorder}")
@@ -201,14 +209,20 @@ class ManagedTable:
         df = self.read()
         if df is None:
             return
-        num_files = self._compaction_file_count(target_file_bytes)
+        num_files = self._compaction_file_count(target_file_bytes, df)
         if zorder_by:
             from getl_spark.functions import layout
 
             try:
                 df = layout.cluster_by_zorder(df, list(zorder_by), num_files)
             except ValueError:  # non-numeric zorder column
-                df = df.repartition(num_files).sortWithinPartitions(*zorder_by)
+                # range-partition on the sort key, NOT round-robin: a
+                # round-robin repartition scatters rows so every file's
+                # min/max spans the whole range and footer stats prune
+                # nothing
+                df = df.repartitionByRange(num_files, *zorder_by).sortWithinPartitions(
+                    *zorder_by
+                )
         else:
             # plain compaction: coalesce (no shuffle) down to the
             # size-derived file count
@@ -217,7 +231,11 @@ class ManagedTable:
 
     _TARGET_FILE_BYTES = 1 << 30  # Delta OPTIMIZE's ~1 GiB default
 
-    def _compaction_file_count(self, target_file_bytes: Optional[int] = None) -> int:
+    def _compaction_file_count(
+        self,
+        target_file_bytes: Optional[int] = None,
+        df: Optional[DataFrame] = None,
+    ) -> int:
         """OPTIMIZE output file count from TABLE SIZE, not from the
         existing partition count — a fragmented table's own partition
         count would write the fragmentation straight back (many small
@@ -228,8 +246,8 @@ class ManagedTable:
             fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
             total_bytes = fs.getContentSummary(jpath).getLength()
         except Exception:  # unreachable stats (e.g. Connect) — no-op size
-            read = self.read()
-            return max(read.rdd.getNumPartitions(), 1) if read is not None else 1
+            df = df if df is not None else self.read()
+            return max(df.rdd.getNumPartitions(), 1) if df is not None else 1
         return max(1, -(-total_bytes // (target_file_bytes or self._TARGET_FILE_BYTES)))
 
     def vacuum(self, retain_hours: int = 168) -> None:

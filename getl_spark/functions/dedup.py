@@ -721,9 +721,11 @@ def embedding_lsh_candidate_estimate(
         )
         .first()
     )
-    m = counts["m_rows"] / bands  # actual sampled vector count
-    scale = (n / m) ** 2 if m else 0.0
-    return int((counts["pairs"] or 0) * scale)
+    m_rows = counts["m_rows"] or 0  # Bernoulli sample can return 0 rows
+    if not m_rows:
+        return 0
+    m = m_rows / bands  # actual sampled vector count
+    return int((counts["pairs"] or 0) * (n / m) ** 2)
 
 
 def _hyperplane_band_keys(bands: int, planes_per_band: int, dim: int, seed: int):

@@ -152,15 +152,33 @@ def hash_embed(
     """
     if dim < 2:
         raise ValueError("hash_embed: dim must be >= 2")
+    # explode_outer + pre-filtered token array: a doc whose text is
+    # NULL/empty/whitespace keeps ONE row with token=NULL, so it
+    # survives the aggregation as a zero vector instead of silently
+    # vanishing from the output (collect_list below skips the NULL
+    # bucket/weight consistently — null token nulls both)
     tokens = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
-    ).where(F.col("token") != "")
+        F.explode_outer(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
     h = F.xxhash64("token", F.lit(seed))
+    # xxhash64 SKIPS null inputs (returns the seed hash, not null), so
+    # both bucket and sign must be nulled explicitly for the
+    # empty-doc marker row — collect_list skips them consistently
     signed = tokens.select(
         "id",
-        F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
-        F.when(F.pmod(F.xxhash64("token", F.lit(seed + 1)), F.lit(2)) == 0, F.lit(1.0))
+        F.when(F.col("token").isNull(), F.lit(None).cast("int"))
+        .otherwise(F.pmod(h, F.lit(dim)).cast("int"))
+        .alias("bucket"),
+        F.when(F.col("token").isNull(), F.lit(None).cast("double"))
+        .when(
+            F.pmod(F.xxhash64("token", F.lit(seed + 1)), F.lit(2)) == 0, F.lit(1.0)
+        )
         .otherwise(F.lit(-1.0))
         .alias("sign"),
     )

@@ -131,7 +131,9 @@ def resize(
     )
 
     def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def fit(blob) -> bytes:
+        def fit(blob):
+            if blob is None:
+                return None  # null media stays null, never crashes the task
             b = bytes(blob)
             if not b:
                 return bytes(target)
@@ -142,7 +144,7 @@ def resize(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "content": pdf["content"].map(fit),
+                    "content": pdf[content_col].map(fit),
                     "meta": [
                         {
                             "media_type": "image",
@@ -158,7 +160,7 @@ def resize(
 
     from getl_spark.common.scale import parallelize
 
-    return parallelize(df.select(id_col, "content")).mapInPandas(
+    return parallelize(df.select(id_col, content_col)).mapInPandas(
         resample, out_schema
     )
 

@@ -228,7 +228,10 @@ def stream_upsert(conf: BlockConfig) -> DataFrame:
     same contract as batch upsert), ``Keys`` (optional — dedup each
     micro-batch on these columns first, so MERGE's one-match-per-row
     contract holds when the stream can repeat a key within a batch),
-    ``Checkpoint`` (default ``<Path>/checkpoint``), ``OutputMode``
+    ``Checkpoint`` (default ``<Path>__checkpoint`` — a SIBLING of the
+    table, never inside it: the parquet-fallback MERGE rewrites the
+    table directory, which would wipe a co-located checkpoint
+    mid-stream), ``OutputMode``
     (default ``append``; use ``update`` when the input is a windowed
     aggregation — each micro-batch then delivers the CHANGED window
     rows and the MERGE keeps the target current, i.e. an incrementally
@@ -242,7 +245,7 @@ def stream_upsert(conf: BlockConfig) -> DataFrame:
     path = conf.get("Path")
     merge_statement = conf.get("MergeStatement")
     keys = conf.get("Keys", None)
-    checkpoint = conf.get("Checkpoint", f"{path}/checkpoint")
+    checkpoint = conf.get("Checkpoint", f"{path.rstrip('/')}__checkpoint")
 
     def upsert_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -170,3 +170,18 @@ def test_hash_embed_feeds_embedding_cosine_pairs(spark):
     }
     assert {(i, 100 + i) for i in range(3)} <= got
     assert all(900 not in p for p in got)
+
+
+def test_hash_embed_empty_and_null_docs_become_zero_vectors(spark):
+    from getl_spark.functions import embedding as E
+
+    df = spark.createDataFrame(
+        [(0, "real tokens here"), (1, ""), (2, None), (3, "   ")],
+        "doc_id BIGINT, text STRING",
+    )
+    vecs = {r.doc_id: r.embedding for r in E.hash_embed(df, dim=16).collect()}
+    # no doc silently vanishes; token-less docs carry the zero vector
+    assert set(vecs) == {0, 1, 2, 3}
+    for d in (1, 2, 3):
+        assert all(x == 0.0 for x in vecs[d])
+    assert any(x != 0.0 for x in vecs[0])

@@ -722,3 +722,31 @@ def test_fuzzy_join_minhash_method_recall_and_precision(spark, docs):
 
     with _pytest.raises(ValueError, match="unknown method"):
         dedup.fuzzy_join(left, right, method="bogus")
+
+
+def test_multimodal_resize_custom_content_col_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(0, b"abc"), (1, None), (2, b"")],
+        "doc_id BIGINT, image_bytes BINARY",
+    )
+    out = {
+        r.doc_id: r.content
+        for r in multimodal.resize(
+            df, width=4, height=2, content_col="image_bytes"
+        ).collect()
+    }
+    assert out[0] == b"abcabcab"
+    assert out[1] is None  # null media passes through, no task crash
+    assert out[2] == bytes(8)
+
+
+def test_embedding_lsh_candidate_estimate_tiny_sample_no_crash(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    est = dedup.embedding_lsh_candidate_estimate(
+        df, bands=2, planes_per_band=4, sample=1
+    )
+    assert isinstance(est, int) and est >= 0

@@ -232,3 +232,37 @@ LiftJob:
         (2, "b", 2020),
         (3, "c", 2021),
     ]
+
+
+def test_optimize_string_zorder_fallback_range_clusters(spark, tmp_path):
+    """Non-numeric zorder columns fall back to range partition + sort:
+    each output file must cover a narrow slice of the sort key, not the
+    whole range (round-robin scatter would defeat footer-stat pruning)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    rows = [(i, chr(ord("a") + i % 26) + f"{i:04d}") for i in range(2600)]
+    spark.createDataFrame(rows, "id BIGINT, name STRING").repartition(8).write.parquet(
+        path
+    )
+    table = ManagedTable(spark, path)
+    table.optimize(zorder_by=["name"], target_file_bytes=8 * 1024)
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) > 2
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # files form nearly disjoint key ranges: each file's span must not
+    # cover the whole alphabet
+    whole = ord("z") - ord("a")
+    for lo, hi in ranges:
+        assert (ord(hi[0]) - ord(lo[0])) < whole * 0.6

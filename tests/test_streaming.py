@@ -422,3 +422,54 @@ def test_streaming_rollup_continuous_aggregate(spark, tmp_path):
     assert got["2024-01-01 11:00:00"] == (2, 12.0)  # updated, not duplicated
     assert got["2024-01-01 12:00:00"] == (1, 16.0)
     assert len(got) == 3
+
+
+def test_stream_upsert_default_checkpoint_outside_table(spark, tmp_path):
+    """With no explicit Checkpoint, the default must live OUTSIDE the
+    table directory: the parquet-fallback MERGE rewrites (rmtree) the
+    table path, which would destroy a co-located checkpoint and break
+    the incremental guarantee on the next drain."""
+    import json as _json
+    import yaml as _yaml
+
+    from getl_spark import lift
+
+    src = tmp_path / "in"
+    src.mkdir()
+    target = str(tmp_path / "tbl")
+
+    def run():
+        blocks = {
+            "S": {
+                "Type": "load::stream_json",
+                "Properties": {
+                    "Path": str(src),
+                    "JsonSchema": {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                        ],
+                    },
+                },
+            },
+            "W": {
+                "Type": "write::stream_upsert",
+                "Input": "S",
+                "Properties": {
+                    "Path": target,
+                    "MergeStatement": "source.k = updates.k",
+                },
+            },
+        }
+        lift(spark, _yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+
+    (src / "w1.json").write_text(_json.dumps({"k": 1, "v": "a"}))
+    run()
+    assert (tmp_path / "tbl__checkpoint").exists()
+    # second drain: wave-1 file must NOT be reprocessed (checkpoint
+    # survived the table rewrite) and the merge still works
+    (src / "w2.json").write_text(_json.dumps({"k": 1, "v": "b"}))
+    run()
+    rows = spark.read.parquet(target).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "b")]
