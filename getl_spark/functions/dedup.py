@@ -442,6 +442,9 @@ def against_index(
     fingerprint_col: str = "fingerprint",
     near_threshold: Optional[float] = None,
     n: int = 3,
+    method: str = "exact",
+    num_hashes: int = 64,
+    bands: int = 16,
 ) -> DataFrame:
     """Incremental-corpus dedup: keep only new documents that are
     neither exact nor (optionally) near duplicates of an existing
@@ -452,10 +455,17 @@ def against_index(
     trillions of docs); with ``near_threshold`` set it must also carry
     ``text`` for the shingle comparison. Exact phase is a broadcast-or-
     shuffle anti-join on the fingerprint; near phase reuses the
-    inverted-index shingle join restricted to (new × index) pairs.
-    This is the daily-ingest shape of a training-corpus pipeline:
-    index once, dedup each increment against it.
+    inverted-index shingle join restricted to (new × index) pairs —
+    or, with ``method='minhash'``, banded MinHash LSH candidates
+    (``num_hashes``/``bands``) with the same exact-Jaccard
+    verification, whose cost tracks true similarity density instead of
+    posting-length products (the scale path when the index is
+    duplicate-rich or the increment is large). This is the daily-ingest
+    shape of a training-corpus pipeline: index once, dedup each
+    increment against it.
     """
+    if method not in ("exact", "minhash"):
+        raise ValueError(f"against_index: unknown method '{method}' (exact|minhash)")
     from getl_spark.functions.text import fingerprint as fp
 
     new_with_fp = fp(new_df, text_col, fingerprint_col)
@@ -475,14 +485,44 @@ def against_index(
     idx_sh = _shingles(index_df, id_col, text_col, n).select(
         "id", F.xxhash64("shingle").alias("shingle")
     )
+    if method == "minhash":
+        new_sh = new_sh.localCheckpoint()
+        idx_sh = idx_sh.localCheckpoint()
+        rows = num_hashes // bands
+        banded_new = _band_keys(
+            minhash_signatures(survivors, id_col, text_col, n, num_hashes, shingles=new_sh),
+            bands,
+            rows,
+        ).withColumnRenamed("id", "id_a")
+        banded_idx = _band_keys(
+            minhash_signatures(index_df, id_col, text_col, n, num_hashes, shingles=idx_sh),
+            bands,
+            rows,
+        ).withColumnRenamed("id", "id_b")
+        candidates = (
+            banded_new.join(banded_idx, ["band", "key"]).select("id_a", "id_b").distinct()
+        )
+        inter = (
+            candidates.join(new_sh.withColumnRenamed("id", "id_a"), "id_a")
+            .join(
+                idx_sh.withColumnRenamed("id", "id_b").withColumnRenamed(
+                    "shingle", "shingle_b"
+                ),
+                "id_b",
+            )
+            .where(F.col("shingle") == F.col("shingle_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            new_sh.withColumnRenamed("id", "id_a")
+            .join(idx_sh.withColumnRenamed("id", "id_b"), "shingle")
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
     new_sizes = new_sh.groupBy("id").agg(F.count("*").alias("size_a"))
     idx_sizes = idx_sh.groupBy("id").agg(F.count("*").alias("size_b"))
-    inter = (
-        new_sh.withColumnRenamed("id", "id_a")
-        .join(idx_sh.withColumnRenamed("id", "id_b"), "shingle")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
     near_dups = (
         inter.join(new_sizes.withColumnRenamed("id", "id_a"), "id_a")
         .join(idx_sizes.withColumnRenamed("id", "id_b"), "id_b")

@@ -750,3 +750,24 @@ def test_embedding_lsh_candidate_estimate_tiny_sample_no_crash(spark):
         df, bands=2, planes_per_band=4, sample=1
     )
     assert isinstance(est, int) and est >= 0
+
+
+def test_against_index_minhash_method_matches_exact(spark, near_dup_docs):
+    index = near_dup_docs.where("doc_id IN (0, 3)")
+    new = near_dup_docs.where("doc_id IN (1, 2, 4)")
+    exact_out = {
+        r.doc_id
+        for r in dedup.against_index(new, index, near_threshold=0.3).collect()
+    }
+    sketch_out = {
+        r.doc_id
+        for r in dedup.against_index(
+            new, index, near_threshold=0.3, method="minhash"
+        ).collect()
+    }
+    # at j>=0.3 with 16x4 bands collision probability ~1: same survivors
+    assert sketch_out == exact_out == {4}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown method"):
+        dedup.against_index(new, index, method="nope")
