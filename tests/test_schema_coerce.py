@@ -125,3 +125,44 @@ def test_entry_declared_types_are_noop_against_current_testdata(spark):
         )
         for col, typ in declared.items():
             assert actual.get(col) == typ, (table, col, actual.get(col), typ)
+
+
+def test_coerce_types_on_stream_load(spark, tmp_path):
+    """CoerceTypes applies to streaming loads too (resolve is shared):
+    a drifted stream delivery is normalized before any downstream
+    block sees it."""
+    import json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        json.dumps({"k": 7, "price": "12.5", "d": "2024-03-15 00:00:00"})
+    )
+    blocks = {
+        "S": {
+            "Type": "load::stream_json",
+            "Properties": {
+                "Path": str(src),
+                "JsonSchema": {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+                        {"name": "price", "type": "string", "nullable": True, "metadata": {}},
+                        {"name": "d", "type": "string", "nullable": True, "metadata": {}},
+                    ],
+                },
+                "CoerceTypes": {"k": "bigint", "price": "double", "d": "timestamp"},
+            },
+        },
+        "W": {
+            "Type": "write::stream_delta",
+            "Input": "S",
+            "Properties": {"Path": str(tmp_path / "out")},
+        },
+    }
+    lift(spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert dict(out.dtypes) == {"k": "bigint", "price": "double", "d": "timestamp"}
+    r = out.first()
+    assert r.k == 7 and r.price == 12.5
+    assert r.d == datetime.datetime(2024, 3, 15, 0, 0)
