@@ -148,3 +148,87 @@ def theta_estimate(
     return combined.select(
         F.theta_sketch_estimate(ops[op]("__a", "__b")).alias(estimate_col)
     )
+
+
+# ------------------------------------------------ group MinHash / Jaccard
+def group_minhash(
+    df: "DataFrame",
+    group_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+) -> "DataFrame":
+    """One MinHash signature per GROUP (source, snapshot, shard) over
+    the union of its documents' word-``n``-gram shingles:
+    ``(group, sig: array<bigint>)``. Mergeable like the other sketches
+    — min is associative, so per-partition partial aggregation applies
+    and signatures for two corpus snapshots can be compared without
+    re-reading either. One shuffle keyed by group.
+    """
+    from getl_spark.functions.dedup import _shingles
+
+    sh = _shingles(
+        df.select(F.col(group_col).alias("id"), F.col(text_col).alias("__t")),
+        "id",
+        "__t",
+        n,
+    ).select("id", F.xxhash64("shingle").alias("base"))
+    hashed = sh.select(
+        "id",
+        F.array(
+            *[F.xxhash64(F.lit(i), F.col("base")) for i in range(num_hashes)]
+        ).alias("hashes"),
+    )
+    mins = [F.min(F.col("hashes")[i]).alias(f"h{i}") for i in range(num_hashes)]
+    return (
+        hashed.groupBy("id")
+        .agg(*mins)
+        .select(
+            F.col("id").alias(group_col),
+            F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+        )
+    )
+
+
+def jaccard_matrix(
+    df: "DataFrame",
+    group_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+) -> "DataFrame":
+    """Estimated pairwise shingle-set Jaccard between every pair of
+    groups: ``(group_a, group_b, jaccard_est)`` with group_a < group_b.
+    The signature table is one row per group, so the pairwise step is a
+    cross join of tiny frames — corpus cost is ONE scan + one keyed
+    shuffle regardless of how many pairs get compared (vs an
+    inverted-index join per pair). Estimator std ≈ √(j(1−j)/k); raise
+    ``num_hashes`` for tighter estimates. The hash family makes this
+    SQL-inexpressible — verified in pytest against exact Jaccard.
+    """
+    sigs = group_minhash(df, group_col, text_col, n, num_hashes)
+    a = sigs.select(
+        F.col(group_col).alias("group_a"), F.col("sig").alias("__sa")
+    )
+    b = sigs.select(
+        F.col(group_col).alias("group_b"), F.col("sig").alias("__sb")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "__sa", "__sb", lambda x, y: (x == y).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(float(num_hashes)),
+                6,
+            ).alias("jaccard_est"),
+        )
+    )

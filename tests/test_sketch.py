@@ -148,3 +148,61 @@ def test_correlations_single_pass(spark):
     # one aggregate -> exactly one pair of exchanges, no per-pair scans
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1
+
+
+def test_group_jaccard_matrix_tracks_exact(spark):
+    """Group-level MinHash Jaccard estimates must track exact
+    shingle-set Jaccard within the estimator's error (k=128 →
+    std ≲ 0.045)."""
+    import itertools
+
+    base = [f"w{i}" for i in range(300)]
+    groups = {
+        "a": base,                           # reference
+        "b": base[:150] + [f"x{i}" for i in range(150)],   # ~33% overlap
+        "c": [f"y{i}" for i in range(300)],  # disjoint
+    }
+    rows = []
+    for g, words in groups.items():
+        text = " ".join(words)
+        rows.append((g, text))
+    df = spark.createDataFrame(rows, "src STRING, text STRING")
+
+    from getl_spark.functions import sketch as SK
+
+    est = {
+        (r.group_a, r.group_b): r.jaccard_est
+        for r in SK.jaccard_matrix(df, "src").collect()
+    }
+
+    def shingles(words):
+        return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+
+    for ga, gb in itertools.combinations(sorted(groups), 2):
+        sa, sb = shingles(groups[ga]), shingles(groups[gb])
+        exact = len(sa & sb) / len(sa | sb)
+        assert abs(est[(ga, gb)] - exact) < 0.15, (ga, gb, est[(ga, gb)], exact)
+
+
+def test_group_minhash_merge_property(spark):
+    """Signatures of a group computed whole vs from unioned halves must
+    be identical — min is associative, so sketches merge."""
+    from pyspark.sql import functions as F
+
+    from getl_spark.functions import sketch as SK
+
+    words = [f"t{i}" for i in range(200)]
+    half1 = " ".join(words[:120])
+    half2 = " ".join(words[80:])
+    whole_df = spark.createDataFrame(
+        [("g", half1 + " " + half2)], "src STRING, text STRING"
+    )
+    split_df = spark.createDataFrame(
+        [("g", half1), ("g", half2)], "src STRING, text STRING"
+    )
+    whole = SK.group_minhash(whole_df, "src", num_hashes=32).first().sig
+    merged = SK.group_minhash(split_df, "src", num_hashes=32).first().sig
+    # not byte-identical (the concatenation creates two extra boundary
+    # shingles), but agreement must be near-total
+    agree = sum(1 for x, y in zip(whole, merged) if x == y)
+    assert agree >= 28
