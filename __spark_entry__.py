@@ -1644,6 +1644,43 @@ UNION ALL SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 6) FROM l
 """
 
 
+def _q_text_normalize_unicode(spark, sf_dir):
+    """text.normalize_unicode NFC (strip_control=False for exact
+    nfc_normalize parity — control stripping is pytest-covered)."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.normalize_unicode(docs, strip_control=False).select(
+        "doc_id", "text_nfc"
+    )
+
+
+TEXT_NFC_ORACLE = "SELECT doc_id, nfc_normalize(text) AS text_nfc FROM documents"
+
+
+def _q_stats_histogram(spark, sf_dir):
+    """stats.histogram — equi-width numeric histogram."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return stats.histogram(li, "l_quantity", bins=5)
+
+
+STATS_HISTOGRAM_ORACLE = """
+WITH b AS (SELECT MIN(l_quantity * 1.0) AS blo, MAX(l_quantity * 1.0) AS bhi
+           FROM lineitem WHERE l_quantity IS NOT NULL),
+assigned AS (
+  SELECT LEAST(CAST(FLOOR((l_quantity - b.blo) / ((b.bhi - b.blo) / 5)) AS INT), 4)
+           AS bucket, b.blo, b.bhi
+  FROM lineitem, b WHERE l_quantity IS NOT NULL)
+SELECT bucket,
+       ROUND(blo + bucket * (bhi - blo) / 5, 6) AS lo,
+       ROUND(blo + (bucket + 1) * (bhi - blo) / 5, 6) AS hi,
+       COUNT(*) AS n
+FROM assigned GROUP BY bucket, blo, bhi ORDER BY bucket
+"""
+
+
 def _q_validate_drop(spark, sf_dir):
     """transform::validate with drop-action expectations — the
     data-quality gate as a pure pushdown-friendly filter."""
@@ -2653,6 +2690,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_expectations": _q_validate_drop,
         "stats_correlations": _q_stats_correlations,
         "melt_unpivot": _q_melt_unpivot,
+        "text_normalize_unicode": _q_text_normalize_unicode,
+        "stats_histogram": _q_stats_histogram,
     }
 
 
@@ -2698,6 +2737,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "validate_expectations": VALIDATE_DROP_ORACLE,
         "stats_correlations": STATS_CORR_ORACLE,
         "melt_unpivot": MELT_ORACLE,
+        "text_normalize_unicode": TEXT_NFC_ORACLE,
+        "stats_histogram": STATS_HISTOGRAM_ORACLE,
     }
 
 

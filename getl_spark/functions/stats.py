@@ -88,3 +88,50 @@ def correlations(
         ).alias("p")
     )
     return stacked.select("p.col_a", "p.col_b", "p.corr")
+
+
+def histogram(
+    df: DataFrame,
+    column: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column:
+    ``(bucket, lo, hi, n)`` for ``bins`` buckets spanning [min, max]
+    (max-valued rows land in the last bucket; NULLs excluded). One
+    aggregate for the bounds (1-row broadcast) + one keyed count —
+    profiling cost is two scans of one column regardless of table
+    width.
+    """
+    if bins < 1:
+        raise ValueError("histogram: bins must be >= 1")
+    bounds = df.agg(
+        F.min(F.col(column).cast("double")).alias("__lo"),
+        F.max(F.col(column).cast("double")).alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(column).cast("double") - F.col("__lo")) / width).cast(
+                "int"
+            ),
+            F.lit(bins - 1),
+        )
+    )
+    return (
+        df.where(F.col(column).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            (F.col("__lo") + bucket * width).alias("lo"),
+            (F.col("__lo") + (bucket + 1) * width).alias("hi"),
+        )
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("bucket")
+    )

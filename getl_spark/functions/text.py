@@ -693,3 +693,46 @@ def pack_sequences(
         )
 
     return base.groupBy("__bucket").applyInPandas(_pack, out_schema)
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    new_col: str = "text_nfc",
+    form: str = "NFC",
+    strip_control: bool = True,
+) -> DataFrame:
+    """Unicode-normalize a text column (default NFC — canonical
+    composition, the web-standard storage form; NFKC folds
+    compatibility characters too) and optionally strip C0/C1 control
+    characters except tab/newline. The canonical first step of corpus
+    cleaning: visually identical strings with different codepoint
+    sequences (é composed vs e+◌́) otherwise defeat exact dedup and
+    fingerprinting.
+
+    JVM has no unicode-normalization expression, so this is an
+    Arrow-batched pandas_udf (the same justified-UDF shape as
+    ``compression_ratio``) — one scan, no shuffle.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"normalize_unicode: unknown form '{form}'")
+    ctrl = dict.fromkeys(
+        c for c in range(0x20) if chr(c) not in "\t\n"
+    ) | dict.fromkeys(range(0x7F, 0xA0))
+
+    # no type annotations: this module's `from __future__ import
+    # annotations` stringifies hints beyond pandas_udf's resolver
+    def _norm(s):
+        def one(t):
+            if t is None:
+                return None
+            out = unicodedata.normalize(form, t)
+            return out.translate(ctrl) if strip_control else out
+
+        return s.map(one)
+
+    return df.withColumn(new_col, pandas_udf(_norm, "string")(F.col(text_col)))

@@ -206,3 +206,27 @@ def test_group_minhash_merge_property(spark):
     # shingles), but agreement must be near-total
     agree = sum(1 for x, y in zip(whole, merged) if x == y)
     assert agree >= 28
+
+
+def test_histogram_buckets_and_edges(spark):
+    from getl_spark.functions import stats as S
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]] + [(None,)],
+        "v DOUBLE",
+    )
+    rows = S.histogram(df, "v", bins=5).collect()
+    assert [r.bucket for r in rows] == [0, 1, 2, 3, 4]
+    # max value lands in the LAST bucket, nulls excluded
+    assert sum(r.n for r in rows) == 11
+    assert rows[-1].n == 3  # 8, 9, 10
+    assert rows[0].lo == 0.0 and rows[-1].hi == 10.0
+
+    # constant column: single bucket 0 with every row
+    const = spark.createDataFrame([(5.0,), (5.0,)], "v DOUBLE")
+    crows = S.histogram(const, "v", bins=4).collect()
+    assert len(crows) == 1 and crows[0].bucket == 0 and crows[0].n == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins"):
+        S.histogram(df, "v", bins=0)

@@ -281,3 +281,42 @@ def test_pack_sequences_token_col_and_null_text(spark):
     )
     out = text.pack_sequences(df, token_col="n_tok", max_tokens=64, buckets=1).collect()
     assert {r.doc_id: r.n_tokens for r in out} == {1: 10, 2: 20}
+
+
+def test_normalize_unicode_nfc_and_control_strip(spark):
+    from getl_spark.functions import text as T
+
+    composed = "\u00e9cole"                    # e-acute as one codepoint
+    decomposed = "e\u0301cole"                 # e + combining acute
+    df = spark.createDataFrame(
+        [(0, composed), (1, decomposed), (2, "tab\there\x00bad\x1fxy"), (3, None)],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r.text_nfc for r in T.normalize_unicode(df).collect()}
+    assert out[0] == out[1] == composed      # NFC unifies the two forms
+    assert out[2] == "tab\therebadxy"        # C0/C1 stripped, tab kept
+    assert out[3] is None
+    # NFKC additionally folds compatibility chars (fi ligature)
+    df2 = spark.createDataFrame([(0, "\ufb01le")], "doc_id BIGINT, text STRING")
+    assert T.normalize_unicode(df2, form="NFKC").first().text_nfc == "file"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown form"):
+        T.normalize_unicode(df, form="NFX")
+
+
+def test_normalize_unicode_fixes_dedup_fingerprints(spark):
+    """The motivating case: visually identical strings with different
+    codepoint sequences must fingerprint identically after NFC."""
+    from getl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(0, "\u00e9cole"), (1, "e\u0301cole")], "doc_id BIGINT, text STRING"
+    )
+    raw = [r.fingerprint for r in T.fingerprint(df).collect()]
+    assert raw[0] != raw[1]  # without normalization they differ
+    normed = T.normalize_unicode(df).drop("text").withColumnRenamed(
+        "text_nfc", "text"
+    )
+    fixed = [r.fingerprint for r in T.fingerprint(normed).collect()]
+    assert fixed[0] == fixed[1]
