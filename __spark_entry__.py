@@ -1658,6 +1658,45 @@ def _q_text_normalize_unicode(spark, sf_dir):
 TEXT_NFC_ORACLE = "SELECT doc_id, nfc_normalize(text) AS text_nfc FROM documents"
 
 
+def _q_text_strip_html(spark, sf_dir):
+    """text.strip_html over documents wrapped in markup (tags, a script
+    block containing a '<', comments, entities) — byte-compared with a
+    DuckDB replica of the same RE2-safe regex chain."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wrapped = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.col("text"),
+            F.lit("</p><script>var x = 1 < 2;</script>&amp; tail</body></html>"),
+        ),
+    )
+    return text.strip_html(wrapped).select("doc_id", "text_plain")
+
+
+STRIP_HTML_ORACLE = """
+WITH wrapped AS (
+  SELECT doc_id, '<html><body><p>' || text ||
+         '</p><script>var x = 1 < 2;</script>&amp; tail</body></html>' AS t
+  FROM documents)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+      '<[^>]+>', ' ', 'g'),
+    '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+  '\\s+', ' ', 'g')) AS text_plain
+FROM wrapped
+"""
+
+
 def _q_stats_histogram(spark, sf_dir):
     """stats.histogram — equi-width numeric histogram."""
     from getl_spark.functions import stats
@@ -2692,6 +2731,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt_unpivot": _q_melt_unpivot,
         "text_normalize_unicode": _q_text_normalize_unicode,
         "stats_histogram": _q_stats_histogram,
+        "text_strip_html": _q_text_strip_html,
     }
 
 
@@ -2739,6 +2779,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "melt_unpivot": MELT_ORACLE,
         "text_normalize_unicode": TEXT_NFC_ORACLE,
         "stats_histogram": STATS_HISTOGRAM_ORACLE,
+        "text_strip_html": STRIP_HTML_ORACLE,
     }
 
 

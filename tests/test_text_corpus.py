@@ -320,3 +320,25 @@ def test_normalize_unicode_fixes_dedup_fingerprints(spark):
     )
     fixed = [r.fingerprint for r in T.fingerprint(normed).collect()]
     assert fixed[0] == fixed[1]
+
+
+def test_strip_html_tags_entities_blocks(spark):
+    from getl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (0, "<html><head><style>p {color: red}</style></head><body>"
+                "<p>Hello <b>world</b></p><!-- hidden --><script>if (1 < 2) x();"
+                "</script>A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39; &nbsp;end"
+                "</body></html>"),
+            (1, "no markup at all"),
+            (2, "<div class='x'>multi\n  line</div>"),
+            (3, None),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r.text_plain for r in T.strip_html(df).collect()}
+    assert out[0] == "Hello world A & B <ok> \"q\" 's' end"
+    assert out[1] == "no markup at all"
+    assert out[2] == "multi line"
+    assert out[3] is None
