@@ -42,3 +42,48 @@ def salted_join(
     return salted_left.join(
         replicated_right, cols + [SALT_COL], join_type
     ).drop(SALT_COL)
+
+
+def top_keys(
+    df: DataFrame,
+    cols: List[str],
+    k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter diagnosis BEFORE a big join/agg: the ``k`` most
+    frequent key tuples with count, share of all rows, and a suggested
+    salt factor — ``ceil(count / median key count)`` capped at 64, i.e.
+    enough sub-keys to flatten the hitter down to a TYPICAL key's load.
+    One partial-aggregated shuffle + a 1-row stats broadcast + a
+    TakeOrdered top-k (no global window, no single-partition stage);
+    run it on a sample for quick looks at very large inputs.
+
+    Returns ``(keys..., n, share, suggested_salt)`` ordered by n desc.
+    """
+    if k < 1:
+        raise ValueError("top_keys: k must be >= 1")
+    counts = df.groupBy(*cols).agg(F.count("*").alias("n"))
+    stats = counts.agg(
+        F.sum("n").alias("__t"),
+        F.percentile_approx("n", 0.5).alias("__med"),
+    )
+    top = counts.orderBy(
+        F.col("n").desc(), *[F.col(c).asc_nulls_last() for c in cols]
+    ).limit(k)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            *cols,
+            "n",
+            F.round(F.col("n") / F.col("__t"), 6).alias("share"),
+            F.least(
+                F.greatest(
+                    F.ceil(F.col("n") / F.greatest(F.col("__med"), F.lit(1))).cast(
+                        "int"
+                    ),
+                    F.lit(1),
+                ),
+                F.lit(64),
+            ).alias("suggested_salt"),
+        )
+        .orderBy(F.col("n").desc(), *cols)
+    )

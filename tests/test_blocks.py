@@ -481,3 +481,23 @@ def test_batch_text_line_and_wholetext_modes(spark, tmp_path):
     docs = load({"WholeText": True, "PathColumn": "src"})
     got = {r.src.rsplit("/", 1)[-1]: r.value for r in docs.collect()}
     assert got == {"a.txt": "line one\nline two", "b.txt": "solo document body"}
+
+
+def test_skew_top_keys_diagnosis(spark):
+    from getl_spark.functions import skew
+
+    rows = [("hot",)] * 1000 + [("warm",)] * 100 + [(f"k{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "key STRING")
+    out = skew.top_keys(df, ["key"], k=5).collect()
+    assert out[0].key == "hot" and out[0].n == 1000
+    assert out[0].suggested_salt == 64  # 1000/median(1) capped
+    assert out[1].key == "warm" and out[1].suggested_salt == 64
+    assert all(r.suggested_salt == 1 for r in out[2:])
+    assert abs(sum(r.share for r in out[:2]) - 1100 / 1150) < 1e-4
+    # no single-partition window stage
+    plan = skew.top_keys(df, ["key"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        skew.top_keys(df, ["key"], k=0)
