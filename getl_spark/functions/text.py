@@ -765,3 +765,51 @@ def strip_html(
         t = F.regexp_replace(t, ent, ch)
     t = F.regexp_replace(t, r"\s+", " ")
     return df.withColumn(new_col, F.trim(t))
+
+
+# Writing-system codepoint ranges (BMP core blocks — public Unicode).
+SCRIPT_RANGES = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "hebrew": "֐-׿",
+    "devanagari": "ऀ-ॿ",
+    "cjk": "一-鿿぀-ヿ가-힯",
+}
+
+
+def script_id(
+    df: DataFrame,
+    text_col: str = "text",
+    new_col: str = "script_pred",
+    min_frac: float = 0.3,
+) -> DataFrame:
+    """Writing-system detection by codepoint-range counting: the script
+    (latin/cyrillic/greek/arabic/hebrew/devanagari/cjk) owning the most
+    characters wins, or ``'und'`` when no script reaches ``min_frac``
+    of the non-whitespace characters. Pure JVM expressions — one
+    ``regexp_replace`` length-diff per script, no shuffle.
+
+    The honest complement to ``lang_id``: stopword scoring only works
+    within its configured languages, while script detection routes
+    CJK/Cyrillic/Arabic/... text to the right downstream handling
+    without pretending to know the exact language.
+    """
+    text = F.col(text_col)
+    non_ws = F.length(F.regexp_replace(text, r"\s", ""))
+    counts = {
+        name: F.length(text) - F.length(F.regexp_replace(text, f"[{rng}]", ""))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    names = sorted(counts)
+    best = F.greatest(*[counts[n] for n in names])
+    result = F.lit("und")
+    for name in reversed(names):  # first in sorted order wins ties
+        result = F.when(
+            (counts[name] == best)
+            & (best >= F.lit(min_frac) * non_ws)
+            & (best > 0),
+            F.lit(name),
+        ).otherwise(result)
+    return df.withColumn(new_col, result)

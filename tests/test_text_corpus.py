@@ -342,3 +342,23 @@ def test_strip_html_tags_entities_blocks(spark):
     assert out[1] == "no markup at all"
     assert out[2] == "multi line"
     assert out[3] is None
+
+
+def test_script_id_detects_writing_systems(spark):
+    from getl_spark.functions import text as T
+
+    rows = [
+        (0, "plain english text with latin letters"),
+        (1, "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u043a\u0430\u043a \u0434\u0435\u043b\u0430"),   # russian
+        (2, "\u4f60\u597d\u4e16\u754c \u8fd9\u662f\u4e2d\u6587"),                       # chinese
+        (3, "\u05e9\u05dc\u05d5\u05dd \u05e2\u05d5\u05dc\u05dd"),                       # hebrew
+        (4, "\u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645"),  # arabic
+        (5, "12345 67890 !!!"),                                          # no script
+        (6, "\u03b3\u03b5\u03b9\u03b1 \u03c3\u03bf\u03c5 \u03ba\u03bf\u03c3\u03bc\u03b5"),  # greek
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r.script_pred for r in T.script_id(df).collect()}
+    assert out == {
+        0: "latin", 1: "cyrillic", 2: "cjk", 3: "hebrew",
+        4: "arabic", 5: "und", 6: "greek",
+    }
