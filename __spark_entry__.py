@@ -2537,21 +2537,34 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in combined.items()}
 
 
+_ROUND_CACHE: list[int] = []
+
+
 def _round_number() -> int:
-    """Current build round, inferred from the driver's own artifacts:
-    one ``CORRECTNESS_r{N}.json`` lands per completed round, so the
-    round in progress is max(N)+1. Deterministic for the whole round —
-    the driver writes the next file only at round end."""
+    """Current build round. Resolution order: explicit
+    ``GETL_SPARK_ROUND`` env override (pin the rotation on a fresh
+    clone or CI), else inferred from the driver's own artifacts — one
+    ``CORRECTNESS_r{N}.json`` lands per completed round, so the round
+    in progress is max(N)+1. Cached per process so the checked set
+    cannot shift mid-run if an artifact appears while we execute."""
+    if _ROUND_CACHE:
+        return _ROUND_CACHE[0]
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(m.group(1))
-        for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
-    ]
-    return (max(rounds) + 1) if rounds else 1
+    env = os.environ.get("GETL_SPARK_ROUND")
+    if env and env.isdigit() and int(env) >= 1:
+        rnd = int(env)
+    else:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 1
+    _ROUND_CACHE.append(rnd)
+    return rnd
 
 
 # Rotation: each round, ROTATION_SLOTS entries from the demoted pool are

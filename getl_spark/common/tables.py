@@ -192,19 +192,27 @@ class ManagedTable:
         if self.fmt == "delta":
             from pyspark.errors import ParseException
 
+            size_conf = "spark.databricks.delta.optimize.maxFileSize"
+            prior: Optional[str] = None
             if target_file_bytes:
                 # best-effort: OSS/Databricks Delta reads this conf for
                 # its OPTIMIZE file-size target; unknown confs are
-                # harmless
-                self.spark.conf.set(
-                    "spark.databricks.delta.optimize.maxFileSize",
-                    str(target_file_bytes),
-                )
+                # harmless. Scoped to this statement — restored in the
+                # finally so later optimize() calls on the shared
+                # session don't inherit this call's target.
+                prior = self.spark.conf.get(size_conf, None)
+                self.spark.conf.set(size_conf, str(target_file_bytes))
             zorder = f" ZORDER BY ({', '.join(zorder_by)})" if zorder_by else ""
             try:
                 self.spark.sql(f"OPTIMIZE delta.`{self.path}`{zorder}")
             except ParseException:  # OSS Spark without Delta SQL support
                 pass
+            finally:
+                if target_file_bytes:
+                    if prior is None:
+                        self.spark.conf.unset(size_conf)
+                    else:
+                        self.spark.conf.set(size_conf, prior)
             return
         df = self.read()
         if df is None:

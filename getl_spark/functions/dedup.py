@@ -466,6 +466,12 @@ def against_index(
     """
     if method not in ("exact", "minhash"):
         raise ValueError(f"against_index: unknown method '{method}' (exact|minhash)")
+    if method == "minhash" and num_hashes % bands:
+        raise ValueError(
+            f"against_index: num_hashes ({num_hashes}) must be divisible by "
+            f"bands ({bands}) — {num_hashes % bands} hashes would be silently "
+            "dropped and the documented LSH recall curve broken"
+        )
     from getl_spark.functions.text import fingerprint as fp
 
     new_with_fp = fp(new_df, text_col, fingerprint_col)
@@ -502,15 +508,11 @@ def against_index(
         candidates = (
             banded_new.join(banded_idx, ["band", "key"]).select("id_a", "id_b").distinct()
         )
+        # explicit two-key equi-join (id_b AND shingle) — plan safety
+        # independent of Catalyst's filter-into-join fold
         inter = (
             candidates.join(new_sh.withColumnRenamed("id", "id_a"), "id_a")
-            .join(
-                idx_sh.withColumnRenamed("id", "id_b").withColumnRenamed(
-                    "shingle", "shingle_b"
-                ),
-                "id_b",
-            )
-            .where(F.col("shingle") == F.col("shingle_b"))
+            .join(idx_sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("inter"))
         )
@@ -581,6 +583,20 @@ def fuzzy_join(
     """
     if method not in ("exact", "minhash"):
         raise ValueError(f"fuzzy_join: unknown method '{method}' (exact|minhash)")
+    if method == "minhash":
+        if num_hashes % bands:
+            raise ValueError(
+                f"fuzzy_join: num_hashes ({num_hashes}) must be divisible by "
+                f"bands ({bands}) — {num_hashes % bands} hashes would be "
+                "silently dropped and the documented LSH recall curve broken"
+            )
+        if max_df is not None:
+            raise ValueError(
+                "fuzzy_join: max_df only applies to method='exact' (it caps "
+                "inverted-index posting lists; minhash candidate generation "
+                "has no posting lists to cap) — drop max_df or use "
+                "method='exact'"
+            )
     right_id_col = right_id_col or id_col
     right_text_col = right_text_col or text_col
     sh_a = (
@@ -616,12 +632,12 @@ def fuzzy_join(
             .select("id_a", "id_b")
             .distinct()
         )
+        # explicit two-key equi-join (id_b AND shingle) so the plan's
+        # safety does not depend on Catalyst folding a post-filter into
+        # the join keys
         inter = (
             candidates.join(left_sh, "id_a")
-            .join(
-                right_sh.withColumnRenamed("shingle", "shingle_b"), "id_b"
-            )
-            .where(F.col("shingle") == F.col("shingle_b"))
+            .join(right_sh, ["id_b", "shingle"])
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("inter"))
         )
@@ -641,10 +657,7 @@ def fuzzy_join(
         )
         inter = (
             candidates.join(left_sh, "id_a")
-            .join(
-                right_sh.withColumnRenamed("shingle", "shingle_b"), "id_b"
-            )
-            .where(F.col("shingle") == F.col("shingle_b"))
+            .join(right_sh, ["id_b", "shingle"])
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("inter"))
         )

@@ -228,6 +228,11 @@ def stream_upsert(conf: BlockConfig) -> DataFrame:
     same contract as batch upsert), ``Keys`` (optional — dedup each
     micro-batch on these columns first, so MERGE's one-match-per-row
     contract holds when the stream can repeat a key within a batch),
+    ``OrderBy`` (optional, with ``Keys`` — keep the row with the MAX
+    value of this column per key, so a micro-batch carrying several
+    versions of a key merges the latest one deterministically; without
+    it the dedup keeps an arbitrary row, fine only when at most one
+    meaningful row per key per batch can occur),
     ``Checkpoint`` (default ``<Path>__checkpoint`` — a SIBLING of the
     table, never inside it: the parquet-fallback MERGE rewrites the
     table directory, which would wipe a co-located checkpoint
@@ -245,12 +250,26 @@ def stream_upsert(conf: BlockConfig) -> DataFrame:
     path = conf.get("Path")
     merge_statement = conf.get("MergeStatement")
     keys = conf.get("Keys", None)
+    order_by = conf.get("OrderBy", None)
     checkpoint = conf.get("Checkpoint", f"{path.rstrip('/')}__checkpoint")
 
     def upsert_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if keys:
+        if keys and order_by:
+            # Deterministic latest-wins: rank within each key by the
+            # ordering column (desc) and keep the top row — a batch
+            # holding several versions of a key merges the newest.
+            from pyspark.sql import functions as F
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.col(order_by).desc())
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        elif keys:
             batch_df = batch_df.dropDuplicates(list(keys))
         ManagedTable(batch_df.sparkSession, path).upsert_all(
             batch_df, merge_statement

@@ -101,6 +101,25 @@ def test_rotation_round_number_matches_driver_artifacts():
     assert entry._round_number() == expected
 
 
+def test_round_number_env_override_and_cache(monkeypatch):
+    """GETL_SPARK_ROUND pins the rotation explicitly (fresh clones, CI);
+    the per-process cache keeps the checked set stable even if an
+    artifact lands mid-run."""
+    cached = entry._round_number()
+    # cache wins over a later env change — the set cannot shift mid-run
+    monkeypatch.setenv("GETL_SPARK_ROUND", str(cached + 7))
+    assert entry._round_number() == cached
+    # with the cache cleared, the env override takes effect
+    monkeypatch.setattr(entry, "_ROUND_CACHE", [])
+    assert entry._round_number() == cached + 7
+    # garbage values fall back to artifact inference
+    monkeypatch.setattr(entry, "_ROUND_CACHE", [])
+    monkeypatch.setenv("GETL_SPARK_ROUND", "zero")
+    assert entry._round_number() == cached
+    # restore the original cached value for the rest of the suite
+    monkeypatch.setattr(entry, "_ROUND_CACHE", [cached])
+
+
 def test_events_ts_exprs_adaptive(spark, tmp_path):
     """events.ts arrives as either int64/TIMESTAMP(NANOS) (bigint nanos
     under nanosAsLong) or TIMESTAMP(MICROS) (TIMESTAMP_NTZ). Both

@@ -120,6 +120,29 @@ def test_optimize_actually_compacts_small_files(spark, tmp_path):
     assert table.read().count() == 1000
 
 
+def test_optimize_restores_maxfilesize_conf(spark, tmp_path):
+    """optimize(target_file_bytes=...) on a delta-format table must not
+    leak the delta maxFileSize conf into the shared session — a later
+    optimize() without the argument would silently inherit it."""
+    conf_key = "spark.databricks.delta.optimize.maxFileSize"
+    table = ManagedTable(spark, str(tmp_path / "d"), fmt="delta")
+    # unset before: must be unset after
+    assert spark.conf.get(conf_key, None) is None
+    try:
+        table.optimize(target_file_bytes=123456)
+    except Exception:
+        pass  # no delta runtime here; the conf contract still holds
+    assert spark.conf.get(conf_key, None) is None
+    # pre-existing value: must be restored, not clobbered
+    spark.conf.set(conf_key, "999")
+    try:
+        table.optimize(target_file_bytes=123456)
+    except Exception:
+        pass
+    assert spark.conf.get(conf_key, None) == "999"
+    spark.conf.unset(conf_key)
+
+
 def test_json_sink(spark, writer_df, tmp_path):
     writer_df.createOrReplaceTempView("writer_input")
     lift(

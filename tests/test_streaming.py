@@ -335,6 +335,58 @@ def test_stream_upsert_merges_incrementally(spark, tmp_path):
     assert got == {0: "v0", 1: "new1", 2: "v2", 3: "new3", 4: "v4", 7: "new7"}
 
 
+def test_stream_upsert_orderby_keeps_latest_version(spark, tmp_path):
+    """With Keys + OrderBy, a micro-batch carrying several versions of
+    a key MERGEs the one with the max OrderBy value — deterministic
+    latest-wins instead of dropDuplicates' arbitrary pick."""
+    import json as _json
+    import yaml as _yaml
+
+    from getl_spark import lift
+
+    src = tmp_path / "in"
+    src.mkdir()
+    target = str(tmp_path / "target")
+    # one file, three versions of k=1 (out of order) plus one k=2 row
+    rows = [
+        {"k": 1, "seq": 2, "v": "mid"},
+        {"k": 1, "seq": 5, "v": "latest"},
+        {"k": 2, "seq": 1, "v": "only"},
+        {"k": 1, "seq": 1, "v": "oldest"},
+    ]
+    (src / "w1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    blocks = {
+        "S": {
+            "Type": "load::stream_json",
+            "Properties": {
+                "Path": str(src),
+                "JsonSchema": {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                        {"name": "seq", "type": "long", "nullable": True, "metadata": {}},
+                        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                    ],
+                },
+            },
+        },
+        "W": {
+            "Type": "write::stream_upsert",
+            "Input": "S",
+            "Properties": {
+                "Path": target,
+                "MergeStatement": "source.k = updates.k",
+                "Keys": ["k"],
+                "OrderBy": "seq",
+                "Checkpoint": str(tmp_path / "ckpt"),
+            },
+        },
+    }
+    lift(spark, _yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: "latest", 2: "only"}
+
+
 def test_streaming_rollup_continuous_aggregate(spark, tmp_path):
     """stream_json -> tumbling hourly agg -> stream_upsert(update):
     an incrementally maintained rollup. Wave 2 adds events to an
