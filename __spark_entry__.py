@@ -2512,6 +2512,210 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def _q_text_script_id(spark, sf_dir):
+    """text.script_id over documents rewritten (deterministically, by
+    doc_id band) into Cyrillic/CJK/Arabic/mixed variants — DuckDB
+    replicates the codepoint-range counting and sorted-order tie-break
+    exactly."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = F.pmod(F.col("doc_id"), F.lit(5))
+    rewritten = docs.withColumn(
+        "text",
+        F.when(v == 0, F.lit("Привет мир это тестовый документ для проверки"))
+        .when(v == 1, F.lit("这是一个测试文档 好世界 你好 世界"))
+        .when(v == 2, F.lit("هذا مستند تجريبي للاختبار فقط"))
+        .when(v == 3, F.concat(F.col("text"), F.lit(" mixed latin tail")))
+        .otherwise(F.col("text")),
+    )
+    return text.script_id(rewritten).select("doc_id", "script_pred")
+
+
+def _script_id_oracle() -> str:
+    """DuckDB replica of ``text.script_id``: per-script counts via
+    regexp_replace length-diffs, greatest-wins with first-in-sorted-
+    order tie-break, 'und' below the 0.3 non-whitespace floor."""
+    from getl_spark.functions.text import SCRIPT_RANGES
+
+    cnt = {
+        name: f"(length(t) - length(regexp_replace(t, '[{rng}]', '', 'g')))"
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    names = sorted(cnt)
+    best = "greatest(" + ", ".join(cnt[n] for n in names) + ")"
+    whens = "\n    ".join(
+        f"WHEN {cnt[n]} = best AND best >= 0.3 * non_ws AND best > 0 THEN '{n}'"
+        for n in names
+    )
+    return f"""
+WITH rewritten AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'Привет мир это тестовый документ для проверки'
+      WHEN 1 THEN '这是一个测试文档 好世界 你好 世界'
+      WHEN 2 THEN 'هذا مستند تجريبي للاختبار فقط'
+      WHEN 3 THEN text || ' mixed latin tail'
+      ELSE text END AS t
+  FROM documents),
+scored AS (
+  SELECT doc_id, t,
+    {best} AS best,
+    length(regexp_replace(t, '\\s', '', 'g')) AS non_ws
+  FROM rewritten)
+SELECT doc_id,
+  CASE
+    {whens}
+    ELSE 'und' END AS script_pred
+FROM scored
+"""
+
+
+def _q_skew_top_keys(spark, sf_dir):
+    """skew.top_keys heavy-hitter diagnosis on lineitem.l_partkey.
+    Spark's percentile_approx(n, 0.5) returns the lower-median element
+    at these cardinalities — matched by DuckDB's quantile_disc."""
+    from getl_spark.functions import skew
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return skew.top_keys(li, ["l_partkey"], k=15)
+
+
+SKEW_TOP_KEYS_ORACLE = """
+WITH c AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+s AS (SELECT SUM(n) AS t, quantile_disc(n, 0.5) AS med FROM c)
+SELECT l_partkey, n,
+       ROUND(n / (t * 1.0), 6) AS share,
+       LEAST(GREATEST(CAST(CEIL(n / (GREATEST(med, 1) * 1.0)) AS INT), 1), 64)
+         AS suggested_salt
+FROM c, s
+ORDER BY n DESC, l_partkey
+LIMIT 15
+"""
+
+
+def _q_schema_coerce(spark, sf_dir):
+    """schema.coerce drift guard: int-width narrowing, long→string,
+    double→float, timestamp→date, and an on_missing='null' typed-NULL
+    column — each a plain cast DuckDB replicates exactly."""
+    from getl_spark.functions import schema
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = schema.coerce(
+        li,
+        {
+            "l_orderkey": "string",
+            "l_linenumber": "int",
+            "l_quantity": "float",
+            "l_shipdate": "date",
+            "extra_col": "int",
+        },
+        on_missing="null",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "extra_col"
+    )
+
+
+SCHEMA_COERCE_ORACLE = """
+SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+       CAST(l_linenumber AS INT) AS l_linenumber,
+       CAST(l_quantity AS FLOAT) AS l_quantity,
+       CAST(l_shipdate AS DATE) AS l_shipdate,
+       CAST(NULL AS INT) AS extra_col
+FROM lineitem
+"""
+
+
+def _q_sample_split(spark, sf_dir):
+    """sample.split over a FIXED 300-id frame (sf-independent): per-
+    split row count and id checksum. The assignment is Spark
+    xxhash64-keyed — inexpressible in DuckDB — so the oracle pins the
+    golden aggregate; disjointness/exhaustiveness/stability are
+    hypothesis-tested in tests/test_sample.py."""
+    from getl_spark.functions import sample
+
+    ids = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    out = sample.split(
+        ids, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"], seed=7
+    )
+    return out.groupBy("split").agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+SAMPLE_SPLIT_ORACLE = """
+SELECT * FROM (VALUES
+  ('train', CAST(231 AS BIGINT), CAST(34979 AS BIGINT)),
+  ('val',   CAST(27  AS BIGINT), CAST(3936  AS BIGINT)),
+  ('test',  CAST(42  AS BIGINT), CAST(5935  AS BIGINT))
+) AS t(split, n, id_sum)
+"""
+
+
+def _q_embedding_hash_embed(spark, sf_dir):
+    """embedding.hash_embed on six fixed docs (dim=8, unnormalized so
+    weights are exact signed token counts), covering collisions,
+    repeats, empty text, and NULL text → zero vectors. xxhash64 bucket
+    assignment is inexpressible in DuckDB; the oracle pins the golden
+    vectors."""
+    from getl_spark.functions import embedding
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "jumps over the lazy dog"),
+            (2, "the the the"),
+            (3, ""),
+            (4, None),
+            (5, "pack my box with five dozen jugs"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    return embedding.hash_embed(docs, dim=8, normalize=False)
+
+
+HASH_EMBED_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST([1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0] AS FLOAT[])),
+  (CAST(1 AS BIGINT), CAST([0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0] AS FLOAT[])),
+  (CAST(2 AS BIGINT), CAST([0.0, 0.0, 0.0, 0.0, 0.0, 3.0, 0.0, 0.0] AS FLOAT[])),
+  (CAST(3 AS BIGINT), CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS FLOAT[])),
+  (CAST(4 AS BIGINT), CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS FLOAT[])),
+  (CAST(5 AS BIGINT), CAST([-2.0, 0.0, 0.0, -1.0, -1.0, 1.0, -1.0, 1.0] AS FLOAT[]))
+) AS t(doc_id, embedding)
+"""
+
+
+def _q_sketch_jaccard_matrix(spark, sf_dir):
+    """sketch.jaccard_matrix over three fixed sources (two overlapping,
+    one disjoint). The MinHash family is inexpressible in DuckDB; the
+    oracle pins the golden estimates (128 hashes → est ±0.04 of true
+    J≈0.21 for the overlapping pair, exactly 0 for disjoint), and
+    tests/test_sketch.py checks the estimator against exact Jaccard."""
+    from getl_spark.functions import sketch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    alt = "alpha beta gamma delta epsilon zeta omega psi chi phi"
+    other = "one two three four five six seven eight nine ten"
+    rows = []
+    for i in range(5):
+        rows.append(("src_a", f"{base} doc{i}"))
+        rows.append(("src_b", f"{alt} doc{i}"))
+        rows.append(("src_c", f"{other} doc{i}"))
+    gdf = spark.createDataFrame(rows, "source STRING, text STRING")
+    return sketch.jaccard_matrix(gdf, "source", num_hashes=128)
+
+
+JACCARD_MATRIX_ORACLE = """
+SELECT * FROM (VALUES
+  ('src_a', 'src_b', CAST(0.1875 AS DOUBLE)),
+  ('src_a', 'src_c', CAST(0.0 AS DOUBLE)),
+  ('src_b', 'src_c', CAST(0.0 AS DOUBLE))
+) AS t(group_a, group_b, jaccard_est)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -2745,6 +2949,12 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize_unicode": _q_text_normalize_unicode,
         "stats_histogram": _q_stats_histogram,
         "text_strip_html": _q_text_strip_html,
+        "text_script_id": _q_text_script_id,
+        "skew_top_keys": _q_skew_top_keys,
+        "schema_coerce": _q_schema_coerce,
+        "sample_split": _q_sample_split,
+        "embedding_hash_embed": _q_embedding_hash_embed,
+        "sketch_jaccard_matrix": _q_sketch_jaccard_matrix,
     }
 
 
@@ -2793,6 +3003,12 @@ def _base_demoted_oracles() -> dict[str, str]:
         "text_normalize_unicode": TEXT_NFC_ORACLE,
         "stats_histogram": STATS_HISTOGRAM_ORACLE,
         "text_strip_html": STRIP_HTML_ORACLE,
+        "text_script_id": _script_id_oracle(),
+        "skew_top_keys": SKEW_TOP_KEYS_ORACLE,
+        "schema_coerce": SCHEMA_COERCE_ORACLE,
+        "sample_split": SAMPLE_SPLIT_ORACLE,
+        "embedding_hash_embed": HASH_EMBED_ORACLE,
+        "sketch_jaccard_matrix": JACCARD_MATRIX_ORACLE,
     }
 
 
