@@ -2716,6 +2716,145 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_stream_upsert_drain(spark, sf_dir):
+    """write::stream_upsert driven end-to-end: two availableNow drains
+    maintain a keyed table from a JSON stream built out of ``orders``.
+    Wave 1 loads keys %10<5; wave 2 carries keys %10∈{3..6} with TWO
+    versions each (seq 1 garbage, seq 2 final) so the ``OrderBy``
+    latest-wins path is exercised driver-visibly. Final state: wave-1
+    keys %10<3 original, %10∈{3,4} updated, %10∈{5,6} inserted."""
+    tmp = "/tmp/getl_spark_q/stream_upsert"
+    shutil.rmtree(tmp, ignore_errors=True)
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "o_orderkey", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "seq", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "price", "type": "double", "nullable": True, "metadata": {}},
+        ],
+    }
+
+    def drain():
+        definition = {
+            "LiftJob": {
+                "Read": {
+                    "Type": "load::stream_json",
+                    "Properties": {"Path": src, "JsonSchema": schema},
+                },
+                "Sink": {
+                    "Type": "write::stream_upsert",
+                    "Input": "Read",
+                    "Properties": {
+                        "Path": out,
+                        "MergeStatement": "source.o_orderkey = updates.o_orderkey",
+                        "Keys": ["o_orderkey"],
+                        "OrderBy": "seq",
+                        "Checkpoint": ckpt,
+                    },
+                },
+            }
+        }
+        from getl_spark import lift
+
+        lift(spark, yaml.safe_dump(definition, sort_keys=False))
+
+    w1 = orders.where("o_orderkey % 10 < 5").select(
+        "o_orderkey",
+        F.lit(0).cast("long").alias("seq"),
+        F.col("o_totalprice").alias("price"),
+    )
+    w1.coalesce(2).write.mode("overwrite").json(src)
+    drain()
+    w2_keys = orders.where("o_orderkey % 10 IN (3, 4, 5, 6)")
+    w2 = w2_keys.select(
+        "o_orderkey",
+        F.lit(2).cast("long").alias("seq"),
+        (F.col("o_totalprice") * 2).alias("price"),
+    ).unionByName(
+        w2_keys.select(
+            "o_orderkey",
+            F.lit(1).cast("long").alias("seq"),
+            F.lit(-1.0).alias("price"),
+        )
+    )
+    w2.coalesce(2).write.mode("append").json(src)
+    drain()
+    from getl_spark.common.tables import ManagedTable
+
+    return ManagedTable(spark, out).read()
+
+
+STREAM_UPSERT_ORACLE = """
+SELECT o_orderkey, CAST(0 AS BIGINT) AS seq, o_totalprice AS price
+FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)
+UNION ALL
+SELECT o_orderkey, CAST(2 AS BIGINT) AS seq, o_totalprice * 2 AS price
+FROM orders WHERE o_orderkey % 10 IN (3, 4, 5, 6)
+"""
+
+
+def _q_stream_dedup_drain(spark, sf_dir):
+    """transform::stream_dedup on a real stream: an orders sample
+    written to JSON in triplicate (exact copies, so the surviving row
+    is deterministic), drained with availableNow through
+    dropDuplicatesWithinWatermark into a parquet sink. The oracle is
+    the single-copy sample."""
+    tmp = "/tmp/getl_spark_q/stream_dedup"
+    shutil.rmtree(tmp, ignore_errors=True)
+    src, out = f"{tmp}/src", f"{tmp}/out"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    one = orders.where("o_orderkey % 20 < 2").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    one.unionByName(one).unionByName(one).coalesce(2).write.mode(
+        "overwrite"
+    ).json(src)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "o_orderkey", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "o_orderdate", "type": "timestamp", "nullable": True, "metadata": {}},
+            {"name": "o_totalprice", "type": "double", "nullable": True, "metadata": {}},
+        ],
+    }
+    definition = {
+        "LiftJob": {
+            "Read": {
+                "Type": "load::stream_json",
+                "Properties": {"Path": src, "JsonSchema": schema},
+            },
+            "Dedup": {
+                "Type": "transform::stream_dedup",
+                "Input": "Read",
+                "Properties": {
+                    "Keys": ["o_orderkey"],
+                    "TimeColumn": "o_orderdate",
+                    "Watermark": "24 hours",
+                },
+            },
+            "Sink": {
+                "Type": "write::stream_delta",
+                "Input": "Dedup",
+                "Properties": {"Path": out, "OutputMode": "append"},
+            },
+        }
+    }
+    from getl_spark import lift
+
+    lift(spark, yaml.safe_dump(definition, sort_keys=False))
+    from getl_spark.common.tables import ManagedTable
+
+    return ManagedTable(spark, out).read()
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders WHERE o_orderkey % 20 < 2
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -2955,6 +3094,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": _q_sample_split,
         "embedding_hash_embed": _q_embedding_hash_embed,
         "sketch_jaccard_matrix": _q_sketch_jaccard_matrix,
+        "stream_upsert_drain": _q_stream_upsert_drain,
+        "stream_dedup_drain": _q_stream_dedup_drain,
     }
 
 
@@ -3009,6 +3150,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sample_split": SAMPLE_SPLIT_ORACLE,
         "embedding_hash_embed": HASH_EMBED_ORACLE,
         "sketch_jaccard_matrix": JACCARD_MATRIX_ORACLE,
+        "stream_upsert_drain": STREAM_UPSERT_ORACLE,
+        "stream_dedup_drain": STREAM_DEDUP_ORACLE,
     }
 
 
