@@ -67,6 +67,48 @@ def run_upsert_partitions(
     df.select(*columns).rdd.foreachPartition(run_partition)
 
 
+def postgres_upsert_statement(
+    table: str,
+    columns: List[str],
+    conflict_columns: List[str],
+    update_columns: Optional[List[str]] = None,
+) -> str:
+    """The literal ``INSERT … ON CONFLICT (…) DO UPDATE`` string the
+    executors send (``VALUES %s`` is psycopg2 ``execute_values``'s
+    template slot — the client library expands it to row tuples before
+    the statement reaches the server). Exposed as a pure function so
+    integration tests can execute the exact string against a real
+    UPSERT grammar (sqlite accepts the postgres form verbatim)."""
+    update_columns = update_columns or [
+        c for c in columns if c not in conflict_columns
+    ]
+    col_sql = ", ".join(columns)
+    conflict_sql = ", ".join(conflict_columns)
+    update_sql = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_columns)
+    return (
+        f"INSERT INTO {table} ({col_sql}) VALUES %s "
+        f"ON CONFLICT ({conflict_sql}) DO UPDATE SET {update_sql}"
+    )
+
+
+def mysql_upsert_statement(
+    table: str,
+    columns: List[str],
+    update_columns: Optional[List[str]] = None,
+) -> str:
+    """The literal ``INSERT … ON DUPLICATE KEY UPDATE`` string the
+    executors send (``%s`` placeholders are mysql-connector's
+    paramstyle, one per column)."""
+    update_columns = update_columns or columns
+    col_sql = ", ".join(columns)
+    placeholders = ", ".join(["%s"] * len(columns))
+    update_sql = ", ".join(f"{c} = VALUES({c})" for c in update_columns)
+    return (
+        f"INSERT INTO {table} ({col_sql}) VALUES ({placeholders}) "
+        f"ON DUPLICATE KEY UPDATE {update_sql}"
+    )
+
+
 def postgres_upsert(
     df: DataFrame,
     conn_url: str,
@@ -82,15 +124,8 @@ def postgres_upsert(
     ``update_columns`` defaults to ``columns − conflict_columns``
     (reference ``getl/common/upsert.py:26-27``).
     """
-    update_columns = update_columns or [
-        c for c in columns if c not in conflict_columns
-    ]
-    col_sql = ", ".join(columns)
-    conflict_sql = ", ".join(conflict_columns)
-    update_sql = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_columns)
-    statement = (
-        f"INSERT INTO {table} ({col_sql}) VALUES %s "
-        f"ON CONFLICT ({conflict_sql}) DO UPDATE SET {update_sql}"
+    statement = postgres_upsert_statement(
+        table, columns, conflict_columns, update_columns
     )
 
     def flush_factory():
@@ -123,14 +158,7 @@ def mysql_upsert(
     update_columns: Optional[List[str]] = None,
 ) -> None:
     """``INSERT … ON DUPLICATE KEY UPDATE`` executed on executors."""
-    update_columns = update_columns or columns
-    col_sql = ", ".join(columns)
-    placeholders = ", ".join(["%s"] * len(columns))
-    update_sql = ", ".join(f"{c} = VALUES({c})" for c in update_columns)
-    statement = (
-        f"INSERT INTO {table} ({col_sql}) VALUES ({placeholders}) "
-        f"ON DUPLICATE KEY UPDATE {update_sql}"
-    )
+    statement = mysql_upsert_statement(table, columns, update_columns)
 
     def flush_factory():
         import mysql.connector

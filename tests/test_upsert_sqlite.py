@@ -12,7 +12,11 @@ import sqlite3
 
 import pytest
 
-from getl_spark.common.upsert import run_upsert_partitions
+from getl_spark.common.upsert import (
+    mysql_upsert_statement,
+    postgres_upsert_statement,
+    run_upsert_partitions,
+)
 
 
 def _sqlite_flush_factory(db_path: str, statement: str):
@@ -34,10 +38,16 @@ def _sqlite_flush_factory(db_path: str, statement: str):
     return factory
 
 
-UPSERT_SQL = (
-    "INSERT INTO target (k, v, n) VALUES (?, ?, ?) "
-    "ON CONFLICT (k) DO UPDATE SET v = excluded.v, n = excluded.n"
-)
+# The LITERAL statement postgres_upsert sends, with only psycopg2's
+# client-side execute_values expansion applied (the single `VALUES %s`
+# template slot becomes per-row value tuples before any SQL reaches the
+# server — `(?, ?, ?)` is that expansion in sqlite's qmark paramstyle).
+# sqlite's UPSERT grammar accepts the postgres ON CONFLICT form
+# verbatim, so every test below parses AND executes the dialect-exact
+# string, not a hand-written lookalike.
+UPSERT_SQL = postgres_upsert_statement(
+    "target", ["k", "v", "n"], conflict_columns=["k"]
+).replace("%s", "(?, ?, ?)")
 
 
 @pytest.fixture()
@@ -120,3 +130,52 @@ def test_upsert_retries_transient_failure(spark, db, tmp_path):
     ).coalesce(2)
     run_upsert_partitions(df, ["k", "v", "n"], factory, sleep=0)
     assert _read_all(db) == [(i, f"v{i}", 7) for i in range(100)]
+
+
+def test_postgres_statement_literal_form():
+    """The generated postgres statement is exactly the documented
+    dialect string — a regression pin on the SQL the executors send."""
+    assert postgres_upsert_statement("t", ["a", "b", "c"], ["a"]) == (
+        "INSERT INTO t (a, b, c) VALUES %s "
+        "ON CONFLICT (a) DO UPDATE SET b = EXCLUDED.b, c = EXCLUDED.c"
+    )
+    # explicit update_columns override
+    assert postgres_upsert_statement("t", ["a", "b", "c"], ["a"], ["c"]) == (
+        "INSERT INTO t (a, b, c) VALUES %s "
+        "ON CONFLICT (a) DO UPDATE SET c = EXCLUDED.c"
+    )
+
+
+def test_mysql_statement_literal_form_and_paramstyle():
+    """Pinned golden for the mysql dialect string (no embeddable MySQL
+    grammar exists in this container, so the exact string is asserted)
+    plus the paramstyle contract: exactly one %s per column, so
+    executemany's tuple arity always matches."""
+    stmt = mysql_upsert_statement("t", ["a", "b", "c"])
+    assert stmt == (
+        "INSERT INTO t (a, b, c) VALUES (%s, %s, %s) "
+        "ON DUPLICATE KEY UPDATE a = VALUES(a), b = VALUES(b), c = VALUES(c)"
+    )
+    assert stmt.count("%s") == 3
+    assert mysql_upsert_statement("t", ["a", "b"], ["b"]) == (
+        "INSERT INTO t (a, b) VALUES (%s, %s) "
+        "ON DUPLICATE KEY UPDATE b = VALUES(b)"
+    )
+
+
+def test_postgres_statement_round_trips_through_sqlite_grammar(db):
+    """The dialect-exact postgres string (modulo the execute_values
+    client-side expansion) is parsed and executed by a real UPSERT
+    grammar: insert, then conflict-update, single connection — no
+    Spark needed, pure statement-validity check."""
+    stmt = postgres_upsert_statement(
+        "target", ["k", "v", "n"], conflict_columns=["k"]
+    ).replace("%s", "(?, ?, ?)")
+    conn = sqlite3.connect(db)
+    try:
+        conn.executemany(stmt, [(1, "x", 10), (2, "y", 20)])
+        conn.executemany(stmt, [(2, "y2", 21), (3, "z", 30)])
+        conn.commit()
+    finally:
+        conn.close()
+    assert _read_all(db) == [(1, "x", 10), (2, "y2", 21), (3, "z", 30)]
