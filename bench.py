@@ -54,6 +54,13 @@ BENCH_QUERIES = [
 
 RUNS = 3
 
+# Sub-second queries swing ±30% on 50-80 ms absolute deltas — pure
+# machine noise that reads like a regression every round. Give them
+# extra runs so the min is a tighter steady-state estimate (~10 s of
+# extra bench budget total).
+MICRO_RUNS = 5
+MICRO_THRESHOLD_SEC = 0.7
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,9 +83,13 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = queries[name]
         # run 1 pays one-time codegen/JIT for the query's operators;
-        # min over 3 is the steady-state number
+        # min over the runs is the steady-state number. Queries whose
+        # first timed runs land under MICRO_THRESHOLD_SEC get
+        # MICRO_RUNS total — sub-second timings are noise-dominated.
         times, rows = [], 0
-        for _ in range(RUNS):
+        for i in range(MICRO_RUNS):
+            if i >= RUNS and min(times) >= MICRO_THRESHOLD_SEC:
+                break
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             rows = df.count()
@@ -98,13 +109,17 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "runs": runs,
-                "runs_per_query": RUNS,
+                "runs_per_query": {"default": RUNS, "micro": MICRO_RUNS},
+                "micro_threshold_sec": MICRO_THRESHOLD_SEC,
                 "agg": "min",
                 "variance_note": (
-                    "per-query min over 3 runs; medians + raw runs included "
-                    "so cross-round deltas can be separated from machine "
-                    "noise (r01->r02 showed uniform +-20-50% swings on "
-                    "untouched pure-SQL queries)"
+                    "per-query min; 3 runs, widened to 5 for queries whose "
+                    "min lands under 0.7 s (sub-second timings are "
+                    "noise-dominated: r01->r02 showed uniform +-20-50% "
+                    "swings on untouched pure-SQL queries; r4->r5 flagged "
+                    "six 50-80 ms deltas that were machine noise). Medians "
+                    "+ raw runs included so cross-round deltas can be "
+                    "separated from variance"
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
