@@ -2855,6 +2855,152 @@ FROM orders WHERE o_orderkey % 20 < 2
 """
 
 
+def _q_scd2_merge(spark, sf_dir):
+    """write::batch_scd2 driven through two waves built from orders:
+    wave 2 leaves %10∈{0..4} untouched (4 is re-sent unchanged),
+    changes %10=5, inserts %10∈{6,7}. The final table is full SCD2
+    history, replicated in DuckDB as the union of untouched / closed /
+    opened version rows."""
+    tmp = "/tmp/getl_spark_q/scd2"
+    shutil.rmtree(tmp, ignore_errors=True)
+    path = f"{tmp}/dim"
+    from getl_spark.common.tables import ManagedTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t1 = F.lit("2024-01-01").cast("timestamp")
+    t2 = F.lit("2024-02-01").cast("timestamp")
+    wave1 = orders.where("o_orderkey % 10 < 6").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", t1.alias("ts")
+    )
+    wave2 = orders.where("o_orderkey % 10 = 4").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", t2.alias("ts")
+    ).unionByName(
+        orders.where("o_orderkey % 10 IN (5, 6, 7)").select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            t2.alias("ts"),
+        )
+    )
+    table = ManagedTable(spark, path)
+    table.scd2_merge(wave1, keys=["o_orderkey"], ts_col="ts")
+    table.scd2_merge(wave2, keys=["o_orderkey"], ts_col="ts")
+    return table.read()
+
+
+SCD2_ORACLE = """
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       TIMESTAMP '2024-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+       TRUE AS is_current
+FROM base WHERE o_orderkey % 10 < 5
+UNION ALL  -- %10=5: wave-1 version closed at wave 2's effective time
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', FALSE
+FROM base WHERE o_orderkey % 10 = 5
+UNION ALL  -- %10∈{5,6,7}: wave-2 version current
+SELECT o_orderkey, 'X', o_totalprice * 2,
+       TIMESTAMP '2024-02-01', NULL, TRUE
+FROM base WHERE o_orderkey % 10 IN (5, 6, 7)
+"""
+
+
+def _q_latest_by_key(spark, sf_dir):
+    """dedup.latest_by_key — changelog compaction: lineitem as a log
+    keyed by order, highest line number wins; the quantity tiebreak
+    makes the output tuple fully deterministic (the synthetic data has
+    repeated line numbers within an order)."""
+    from getl_spark.functions import dedup
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return dedup.latest_by_key(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        ["l_orderkey"],
+        "l_linenumber",
+        tiebreak_cols=["l_quantity"],
+    )
+
+
+LATEST_BY_KEY_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber DESC, l_quantity DESC) AS rn
+  FROM lineitem) t
+WHERE rn = 1
+"""
+
+
+def _q_table_diff(spark, sf_dir):
+    """stats.table_diff — keyed reconciliation of two orders versions
+    with added / removed / changed / unchanged rows."""
+    from getl_spark.functions import stats
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    left = orders.where("o_orderkey % 10 < 8").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    right = orders.where("o_orderkey % 10 >= 2").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return stats.table_diff(left, right, ["o_orderkey"])
+
+
+TABLE_DIFF_ORACLE = """
+WITH l AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 10 < 8),
+r AS (SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 >= 2)
+SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+  CASE WHEN r.o_orderkey IS NULL THEN 'removed'
+       WHEN l.o_orderkey IS NULL THEN 'added'
+       WHEN l.o_orderstatus IS NOT DISTINCT FROM r.o_orderstatus
+        AND l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice
+       THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+"""
+
+
+def _q_batch_binary(spark, sf_dir):
+    """load::batch_binary — raw-file ingest: a corpus slice written as
+    one file per document, read back through the binaryFile source
+    (basename + size + bytes; modificationTime excluded — wall-clock).
+    DuckDB oracle reads the same directory with read_blob."""
+    tmp = "/tmp/getl_spark_q/binary"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(f"{tmp}/files")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for row in docs.where("doc_id % 10 = 0").select("doc_id", "text").collect():
+        with open(f"{tmp}/files/doc_{row.doc_id}.txt", "wb") as fh:
+            fh.write(row.text.encode("utf-8"))
+    blocks = {
+        "L": {
+            "Type": "load::batch_binary",
+            "Properties": {"Path": f"{tmp}/files", "PathGlobFilter": "*.txt"},
+        }
+    }
+    df = _run_lift(spark, blocks, result="L")
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("filename"),
+        F.col("length").alias("size"),
+        "content",
+    )
+
+
+BINARY_ORACLE = """
+SELECT regexp_extract(filename, '[^/]+$') AS filename,
+       size, content
+FROM read_blob('/tmp/getl_spark_q/binary/files/*.txt')
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -3096,6 +3242,10 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_jaccard_matrix": _q_sketch_jaccard_matrix,
         "stream_upsert_drain": _q_stream_upsert_drain,
         "stream_dedup_drain": _q_stream_dedup_drain,
+        "scd2_merge": _q_scd2_merge,
+        "latest_by_key": _q_latest_by_key,
+        "table_diff": _q_table_diff,
+        "load_binary_files": _q_batch_binary,
     }
 
 
@@ -3152,6 +3302,10 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sketch_jaccard_matrix": JACCARD_MATRIX_ORACLE,
         "stream_upsert_drain": STREAM_UPSERT_ORACLE,
         "stream_dedup_drain": STREAM_DEDUP_ORACLE,
+        "scd2_merge": SCD2_ORACLE,
+        "latest_by_key": LATEST_BY_KEY_ORACLE,
+        "table_diff": TABLE_DIFF_ORACLE,
+        "load_binary_files": BINARY_ORACLE,
     }
 
 

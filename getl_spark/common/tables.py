@@ -174,6 +174,108 @@ class ManagedTable:
             marked = marked.withColumn(name, F.when(cond, expr).otherwise(F.col(name)))
         self._rewrite(marked.drop(flag))
 
+    def scd2_merge(
+        self,
+        updates: DataFrame,
+        keys: List[str],
+        ts_col: str,
+        compare_cols: Optional[List[str]] = None,
+        valid_from_col: str = "valid_from",
+        valid_to_col: str = "valid_to",
+        current_col: str = "is_current",
+    ) -> None:
+        """Slowly-changing-dimension type-2 merge: the table keeps FULL
+        version history — each business row carries ``valid_from`` /
+        ``valid_to`` / ``is_current``, and an incoming batch (keyed by
+        ``keys``, effective at its ``ts_col`` value) closes the current
+        version of every key whose ``compare_cols`` changed and opens a
+        new current version; unchanged keys are untouched; new keys are
+        inserted. Within a batch the latest ``ts_col`` row per key wins
+        (earlier same-batch versions are intermediate states the batch
+        itself superseded). Batches are assumed effective-time
+        monotonic per key — the standard SCD2 ingest contract.
+
+        Scale shape: one keyed join of CURRENT rows × the batch —
+        history rows only pass through the rewrite. On Delta this
+        becomes file-level MERGE I/O; the parquet fallback rewrites the
+        table like ``upsert_all`` does.
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        business = [c for c in updates.columns if c != ts_col]
+        if compare_cols is None:
+            compare_cols = [c for c in business if c not in keys]
+        # latest row per key within the batch
+        w = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
+        batch = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        fresh = batch.select(
+            *[F.col(c) for c in business],
+            F.col(ts_col).cast("timestamp").alias(valid_from_col),
+            F.lit(None).cast("timestamp").alias(valid_to_col),
+            F.lit(True).alias(current_col),
+        )
+        if not self.exists():
+            self.write(fresh, mode="overwrite")
+            return
+        target = self.read()
+        history = target.where(~F.col(current_col))
+        current = target.where(F.col(current_col))
+        probe = batch.select(
+            *[F.col(k).alias(f"__u_{k}") for k in keys],
+            *[F.col(c).alias(f"__u_{c}") for c in compare_cols],
+            F.col(ts_col).cast("timestamp").alias("__u_ts"),
+        )
+        cond = None
+        for k in keys:
+            eq = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
+            cond = eq if cond is None else cond & eq
+        same = F.lit(True)
+        for c in compare_cols:
+            same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+        joined = current.join(probe, cond, "left")
+        matched = F.col("__u_ts").isNotNull()
+        # changed current rows close at the update's effective time;
+        # unmatched or unchanged current rows pass through untouched
+        closed_or_kept = joined.select(
+            *[F.col(c) for c in target.columns if c not in (valid_to_col, current_col)],
+            F.when(matched & ~same, F.col("__u_ts"))
+            .otherwise(F.col(valid_to_col))
+            .alias(valid_to_col),
+            F.when(matched & ~same, F.lit(False))
+            .otherwise(F.col(current_col))
+            .alias(current_col),
+        ).select(*target.columns)
+        # batch rows that are new keys or changed versions open as current
+        cur_probe = current.select(
+            *[F.col(k).alias(f"__c_{k}") for k in keys],
+            *[F.col(c).alias(f"__c_{c}") for c in compare_cols],
+        )
+        ccond = None
+        for k in keys:
+            eq = F.col(k).eqNullSafe(F.col(f"__c_{k}"))
+            ccond = eq if ccond is None else ccond & eq
+        csame = F.lit(True)
+        for c in compare_cols:
+            csame = csame & F.col(c).eqNullSafe(F.col(f"__c_{c}"))
+        opened = (
+            fresh.join(cur_probe, ccond, "left")
+            .where(F.col(f"__c_{keys[0]}").isNull() | ~csame)
+            .select(*fresh.columns)
+        )
+        result = history.select(*target.columns).unionByName(
+            closed_or_kept
+        ).unionByName(opened.select(*target.columns))
+        if self.fmt == "delta" and self.exists():
+            # compute-then-overwrite is still ACID on Delta
+            self.write(result.localCheckpoint(), mode="overwrite")
+            return
+        self._rewrite(result)
+
     # ------------------------------------------------------------ maintenance
     def optimize(
         self,

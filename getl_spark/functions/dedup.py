@@ -927,3 +927,40 @@ def embedding_cosine_pairs(
             6,
         ).alias("cosine"),
     ).where(F.col("cosine") >= threshold)
+
+
+# -------------------------------------------------------- log compaction
+def latest_by_key(
+    df: DataFrame,
+    keys: "List[str]",
+    order_col: str,
+    keep: str = "max",
+    tiebreak_cols: "Optional[List[str]]" = None,
+) -> DataFrame:
+    """CDC-log / changelog compaction: one row per key — the one with
+    the max (``keep='max'``, default) or min value of ``order_col``.
+    The batch counterpart of ``write::stream_upsert``'s OrderBy
+    latest-wins merge: append-only ingest stays cheap, and a single
+    compaction pass materializes current state.
+
+    One shuffle on the keys; the per-key reduction is a window
+    ``row_number`` (partial top-1 per partition under AQE). Ties on
+    ``order_col`` pick an arbitrary row unless ``tiebreak_cols`` adds
+    a deterministic total order — pass it whenever the order column
+    can repeat within a key (e.g. same-second updates).
+    """
+    if keep not in ("max", "min"):
+        raise ValueError(f"latest_by_key: keep must be max|min, got '{keep}'")
+    from pyspark.sql.window import Window
+
+    direction = F.col(order_col).desc() if keep == "max" else F.col(order_col).asc()
+    order = [direction] + [
+        F.col(c).desc() if keep == "max" else F.col(c).asc()
+        for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -135,3 +135,64 @@ def histogram(
         )
         .orderBy("bucket")
     )
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: List[str],
+    compare_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Keyed reconciliation of two table versions — the migration /
+    backfill validation primitive: for every key in either side,
+    ``status`` ∈ ``added`` (right only), ``removed`` (left only),
+    ``changed`` (both, some compared column differs), ``unchanged``.
+
+    ``compare_cols`` defaults to the non-key columns present in BOTH
+    schemas. Comparison is null-safe (NULL == NULL). One full outer
+    equi-join on the keys — sort-merge at scale, broadcast when one
+    side is small; aggregate the result for a summary, or filter
+    ``status != 'unchanged'`` for the discrepancy list.
+
+    YAML-callable inside ``transform::generic`` with
+    ``Input: [Left, Right]`` as ``stats.table_diff``.
+    """
+    if not keys:
+        raise ValueError("table_diff: need at least one key column")
+    if compare_cols is None:
+        compare_cols = [
+            c for c in left.columns if c not in keys and c in right.columns
+        ]
+    lhs = left.select(
+        *[F.col(k).alias(f"__lk_{k}") for k in keys],
+        *[F.col(c).alias(f"__l_{c}") for c in compare_cols],
+    )
+    rhs = right.select(
+        *[F.col(k).alias(f"__rk_{k}") for k in keys],
+        *[F.col(c).alias(f"__r_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__lk_{k}").eqNullSafe(F.col(f"__rk_{k}"))
+        cond = eq if cond is None else cond & eq
+    in_left = F.col(f"__lk_{keys[0]}").isNotNull()
+    in_right = F.col(f"__rk_{keys[0]}").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+    status = (
+        F.when(~in_right, F.lit("removed"))
+        .when(~in_left, F.lit("added"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        lhs.join(rhs, cond, "full_outer")
+        .select(
+            *[
+                F.coalesce(F.col(f"__lk_{k}"), F.col(f"__rk_{k}")).alias(k)
+                for k in keys
+            ],
+            status.alias("status"),
+        )
+    )

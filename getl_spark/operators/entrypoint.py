@@ -51,6 +51,7 @@ def generic(conf: BlockConfig) -> DataFrame:
             "asof.join",
             "text.decontaminate",
             "dedup.fuzzy_join",
+            "stats.table_diff",
         ):
             # multi-input operators consume [left, right] from Input
             dataframe = func(*_two_inputs(conf), **params)

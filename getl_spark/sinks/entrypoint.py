@@ -131,6 +131,33 @@ def batch_orc(conf: BlockConfig) -> DataFrame:
     return _file_sink(conf, "orc")
 
 
+def batch_scd2(conf: BlockConfig) -> DataFrame:
+    """Extension sink: slowly-changing-dimension type-2 history merge.
+    The target keeps every version of each keyed business row with
+    ``valid_from`` / ``valid_to`` / ``is_current``; each batch closes
+    changed versions at the batch's effective time and opens new ones
+    — the dimension-table pattern for auditable attribute history.
+
+    Properties: ``Path``, ``Keys``, ``TsColumn`` (effective timestamp
+    in the input), ``CompareColumns`` (default: all non-key non-ts
+    columns), ``ValidFromColumn``/``ValidToColumn``/``CurrentColumn``
+    (rename the metadata columns).
+    """
+    from getl_spark.common.tables import ManagedTable
+
+    df = conf.input_df()
+    ManagedTable(conf.spark, conf.get("Path")).scd2_merge(
+        df,
+        keys=list(conf.get("Keys")),
+        ts_col=conf.get("TsColumn"),
+        compare_cols=conf.get("CompareColumns", None),
+        valid_from_col=conf.get("ValidFromColumn", "valid_from"),
+        valid_to_col=conf.get("ValidToColumn", "valid_to"),
+        current_col=conf.get("CurrentColumn", "is_current"),
+    )
+    return df
+
+
 # -------------------------------------------------------------------- jdbc
 def batch_jdbc(conf: BlockConfig) -> DataFrame:
     """Properties: ``Mode``, ``Driver``, ``ConnUrl``, ``Table``,

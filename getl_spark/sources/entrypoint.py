@@ -103,6 +103,34 @@ def batch_text(conf: BlockConfig) -> DataFrame:
     return df
 
 
+def batch_binary(conf: BlockConfig) -> DataFrame:
+    """Extension source: raw binary files via Spark's ``binaryFile``
+    format — the ingest entry point for multimodal corpora (images,
+    audio, PDFs) feeding ``multimodal.to_media``. One row per file:
+    ``(path, modificationTime, length, content: binary)`` — schema
+    fixed by the format.
+
+    Properties: ``Path``, ``PathGlobFilter`` (e.g. ``*.png`` — applied
+    at FILE LISTING time, so non-matching files are never opened),
+    ``Recursive`` (recursiveFileLookup), ``Suffix`` (FileRegistry
+    narrowing, default no filter), ``FileRegistry``.
+
+    Scale: content rows are whole files, so partition sizing is file
+    sizing — keep ``spark.sql.files.maxPartitionBytes`` at or below
+    executor batch budget; the format never splits a file. Column
+    pruning applies: a plan that only reads ``path``/``length`` never
+    fetches the bytes.
+    """
+    options = _reader_options(conf)
+    glob = conf.get("PathGlobFilter", None)
+    if glob:
+        options["pathGlobFilter"] = glob
+    if conf.get("Recursive", False):
+        options["recursiveFileLookup"] = True
+    paths = _registry_paths(conf, conf.get("Path"), conf.get("Suffix", ""))
+    return _batch_read(conf.spark, paths, "binaryFile", options)
+
+
 def batch_json(conf: BlockConfig) -> DataFrame:
     """Properties: ``Path``, ``Suffix``, schema options, ``Options``,
     ``FileRegistry``."""

@@ -1,0 +1,204 @@
+"""SCD2 history merge (write::batch_scd2 / ManagedTable.scd2_merge),
+CDC-log compaction (dedup.latest_by_key), keyed table reconciliation
+(stats.table_diff), and the binary-file source (load::batch_binary)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+import yaml
+
+from getl_spark import lift
+from getl_spark.common.tables import ManagedTable
+from getl_spark.functions import dedup, stats
+
+T1 = datetime.datetime(2024, 1, 1)
+T2 = datetime.datetime(2024, 2, 1)
+
+
+# ------------------------------------------------------------------ scd2
+def _wave(spark, rows):
+    return spark.createDataFrame(rows, "k BIGINT, v STRING, ts TIMESTAMP")
+
+
+def test_scd2_merge_two_waves_full_history(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    table = ManagedTable(spark, path)
+    table.scd2_merge(
+        _wave(spark, [(1, "a", T1), (2, "b", T1), (3, "c", T1)]),
+        keys=["k"],
+        ts_col="ts",
+    )
+    got = {(r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+           for r in table.read().collect()}
+    assert got == {
+        (1, "a", T1, None, True),
+        (2, "b", T1, None, True),
+        (3, "c", T1, None, True),
+    }
+    # wave 2: k=1 changed, k=2 unchanged, k=4 new
+    table.scd2_merge(
+        _wave(spark, [(1, "a2", T2), (2, "b", T2), (4, "d", T2)]),
+        keys=["k"],
+        ts_col="ts",
+    )
+    got = {(r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+           for r in table.read().collect()}
+    assert got == {
+        (1, "a", T1, T2, False),   # closed at the change's effective time
+        (1, "a2", T2, None, True),  # new current version
+        (2, "b", T1, None, True),   # unchanged: untouched, keeps T1
+        (3, "c", T1, None, True),   # absent from wave 2: untouched
+        (4, "d", T2, None, True),   # new key
+    }
+
+
+def test_scd2_merge_in_batch_latest_version_wins(spark, tmp_path):
+    """Two versions of a key inside ONE batch: only the latest-ts row
+    opens; the earlier one is an intermediate state the batch itself
+    superseded."""
+    path = str(tmp_path / "dim")
+    table = ManagedTable(spark, path)
+    table.scd2_merge(
+        _wave(spark, [(1, "old", T1), (1, "new", T2)]), keys=["k"], ts_col="ts"
+    )
+    got = [(r.k, r.v, r.valid_from, r.is_current) for r in table.read().collect()]
+    assert got == [(1, "new", T2, True)]
+
+
+def test_scd2_sink_block_yaml(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _wave(spark, [(1, "a", T1)]).write.parquet(src)
+    path = str(tmp_path / "dim")
+    blocks = {
+        "L": {"Type": "load::batch_parquet", "Properties": {"Path": src}},
+        "W": {
+            "Type": "write::batch_scd2",
+            "Input": "L",
+            "Properties": {"Path": path, "Keys": ["k"], "TsColumn": "ts"},
+        },
+    }
+    lift(spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+    rows = ManagedTable(spark, path).read().collect()
+    assert [(r.k, r.v, r.is_current) for r in rows] == [(1, "a", True)]
+
+
+# --------------------------------------------------------- latest_by_key
+def test_latest_by_key_compacts_changelog(spark):
+    log = spark.createDataFrame(
+        [(1, 1, "v1"), (1, 3, "v3"), (1, 2, "v2"), (2, 1, "x1")],
+        "k BIGINT, seq BIGINT, v STRING",
+    )
+    got = {(r.k, r.v) for r in dedup.latest_by_key(log, ["k"], "seq").collect()}
+    assert got == {(1, "v3"), (2, "x1")}
+    got_min = {
+        (r.k, r.v)
+        for r in dedup.latest_by_key(log, ["k"], "seq", keep="min").collect()
+    }
+    assert got_min == {(1, "v1"), (2, "x1")}
+    with pytest.raises(ValueError, match="max|min"):
+        dedup.latest_by_key(log, ["k"], "seq", keep="newest")
+
+
+def test_latest_by_key_tiebreak_deterministic(spark):
+    log = spark.createDataFrame(
+        [(1, 5, "b"), (1, 5, "a"), (1, 5, "c")], "k BIGINT, seq BIGINT, v STRING"
+    )
+    got = dedup.latest_by_key(log, ["k"], "seq", tiebreak_cols=["v"]).collect()
+    assert [(r.k, r.v) for r in got] == [(1, "c")]  # max tiebreak on v
+
+
+# ------------------------------------------------------------ table_diff
+def test_table_diff_statuses(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k BIGINT, v STRING, n BIGINT",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, None, 40), (5, "e", 50)],
+        "k BIGINT, v STRING, n BIGINT",
+    )
+    got = {(r.k, r.status) for r in stats.table_diff(left, right, ["k"]).collect()}
+    assert got == {
+        (1, "unchanged"),
+        (2, "changed"),
+        (3, "removed"),
+        (4, "unchanged"),  # NULL == NULL is null-safe
+        (5, "added"),
+    }
+
+
+def test_table_diff_compare_subset_and_yaml(spark, tmp_path):
+    left = spark.createDataFrame([(1, "a", 1)], "k BIGINT, v STRING, extra BIGINT")
+    right = spark.createDataFrame([(1, "a", 2)], "k BIGINT, v STRING, extra BIGINT")
+    # full compare: changed; restricted to v: unchanged
+    assert stats.table_diff(left, right, ["k"]).collect()[0].status == "changed"
+    assert (
+        stats.table_diff(left, right, ["k"], compare_cols=["v"])
+        .collect()[0]
+        .status
+        == "unchanged"
+    )
+    # multi-input YAML path
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+    blocks = {
+        "L": {"Type": "load::batch_parquet", "Properties": {"Path": lp}},
+        "R": {"Type": "load::batch_parquet", "Properties": {"Path": rp}},
+        "D": {
+            "Type": "transform::generic",
+            "Input": ["L", "R"],
+            "Properties": {
+                "Functions": [{"stats.table_diff": {"keys": ["k"]}}]
+            },
+        },
+    }
+    log = lift(spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+    assert log.get("D").collect()[0].status == "changed"
+
+    with pytest.raises(ValueError, match="key"):
+        stats.table_diff(left, right, [])
+
+
+# ---------------------------------------------------------- batch_binary
+def test_batch_binary_reads_files_with_glob(spark, tmp_path):
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG-fake-a")
+    (d / "b.png").write_bytes(b"\x89PNG-fake-b")
+    (d / "notes.txt").write_bytes(b"not media")
+    blocks = {
+        "L": {
+            "Type": "load::batch_binary",
+            "Properties": {"Path": str(d), "PathGlobFilter": "*.png"},
+        },
+    }
+    log = lift(spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+    df = log.get("L")
+    assert {"path", "modificationTime", "length", "content"} <= set(df.columns)
+    rows = sorted(df.collect(), key=lambda r: r.path)
+    assert [r.path.rsplit("/", 1)[-1] for r in rows] == ["a.png", "b.png"]
+    assert rows[0].content == b"\x89PNG-fake-a"
+    assert rows[0].length == len(b"\x89PNG-fake-a")
+
+
+def test_batch_binary_column_pruning_skips_content(spark, tmp_path):
+    """A projection without `content` must not read file bytes — the
+    binaryFile scan's ReadSchema should exclude the content column."""
+    d = tmp_path / "media2"
+    d.mkdir()
+    (d / "x.bin").write_bytes(b"abc")
+    blocks = {
+        "L": {"Type": "load::batch_binary", "Properties": {"Path": str(d)}},
+    }
+    log = lift(spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+    plan = (
+        log.get("L")
+        .select("path", "length")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "content" not in plan
