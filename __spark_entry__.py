@@ -3001,6 +3001,69 @@ FROM read_blob('/tmp/getl_spark_q/binary/files/*.txt')
 """
 
 
+_BOILER = (
+    "this content is provided under the creative commons attribution "
+    "license terms"
+)
+
+
+def _q_substring_dedup(spark, sf_dir):
+    """dedup.substring_spans — corpus-wide duplicated-passage spans:
+    documents with a planted licence boilerplate (appended once to
+    %6=0 docs, twice to %6=3 docs — cross-doc dups plus a self-repeat).
+    DuckDB replicates the gram/first-occurrence/island logic on string
+    grams (Spark keys on xxhash64 of the same grams — same grouping)."""
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = F.pmod(F.col("doc_id"), F.lit(6))
+    rewritten = docs.withColumn(
+        "text",
+        F.when(v == 0, F.concat(F.col("text"), F.lit(" " + _BOILER)))
+        .when(v == 3, F.concat(F.col("text"), F.lit(" " + _BOILER + " " + _BOILER)))
+        .otherwise(F.col("text")),
+    )
+    return dedup.substring_spans(rewritten, min_tokens=8)
+
+
+SUBSTRING_DEDUP_ORACLE = f"""
+WITH rewritten AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN text || ' {_BOILER}'
+      WHEN 3 THEN text || ' {_BOILER} {_BOILER}'
+      ELSE text END AS t
+  FROM documents),
+toks AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM rewritten),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(w[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) s
+  WHERE len(w) >= 8),
+marked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY gram) AS n
+  FROM grams),
+dup AS (SELECT doc_id, pos AS "start", pos + 8 AS "end"
+        FROM marked WHERE n > 1 AND rn > 1),
+isl AS (
+  SELECT doc_id, "start", "end",
+    CASE WHEN "start" > COALESCE(MAX("end") OVER (
+        PARTITION BY doc_id ORDER BY "start", "end"
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS newf
+  FROM dup),
+isl2 AS (
+  SELECT doc_id, "start", "end",
+         SUM(newf) OVER (PARTITION BY doc_id ORDER BY "start", "end") AS island
+  FROM isl)
+SELECT doc_id AS id, CAST(MIN("start") AS INT) AS "start",
+       CAST(MAX("end") AS INT) AS "end"
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -3246,6 +3309,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_by_key": _q_latest_by_key,
         "table_diff": _q_table_diff,
         "load_binary_files": _q_batch_binary,
+        "substring_dedup": _q_substring_dedup,
     }
 
 
@@ -3306,6 +3370,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "latest_by_key": LATEST_BY_KEY_ORACLE,
         "table_diff": TABLE_DIFF_ORACLE,
         "load_binary_files": BINARY_ORACLE,
+        "substring_dedup": SUBSTRING_DEDUP_ORACLE,
     }
 
 

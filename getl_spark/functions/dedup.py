@@ -60,10 +60,16 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     df = _parallelize(df)
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     num = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), num - F.lit(1)),
+    # sequence(0, -1) generates a DESCENDING [0, -1] (Spark's sequence
+    # never yields empty), so docs shorter than n words would feed
+    # slice() a start of 0 and crash the task — clamp the index range
+    # to one element and swap in a typed empty array for short docs
+    idx = F.sequence(F.lit(0), F.greatest(num, F.lit(1)) - F.lit(1))
+    grams_all = F.transform(
+        idx,
         lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), F.lit(n))),
     )
+    grams = F.when(num > F.lit(0), grams_all).otherwise(F.slice(grams_all, 1, 0))
     # Explode the expression DIRECTLY — naming it in an intermediate
     # column makes InferFiltersFromGenerate add a size(col)>0 filter
     # that gets substituted + pushed to the scan, recomputing the whole
@@ -964,3 +970,122 @@ def latest_by_key(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# ------------------------------------------------- substring-level dedup
+def substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Corpus-wide duplicated-passage detection: every maximal run of
+    ≥ ``min_tokens`` whitespace tokens that appears more than once in
+    the corpus (across documents OR repeated within one) is returned as
+    a token span to cut — ``(id, start, end)`` half-open token indexes —
+    for every occurrence EXCEPT the globally first (min ``(id, pos)``).
+    Substring-level dedup removes boilerplate/licence blocks/templating
+    that document-level near-dup methods can't see, and is the
+    published complement to MinHash document dedup.
+
+    Plan shape (all JVM expressions, no UDFs):
+    1. one pass builds ``min_tokens``-grams per doc (array slice +
+       concat inside ``transform`` — no token-level explode),
+    2. grams are xxhash64'd to 8 bytes and grouped — one shuffle keyed
+       by gram; ``min_by((id,pos))`` picks the global first occurrence,
+    3. every other occurrence contributes span ``[pos, pos+L)``;
+       overlapping/adjacent spans merge per doc via a windowed
+       islands pass (running-max of span ends), so an M-token repeated
+       passage collapses from M−L+1 gram hits to ONE span.
+
+    Shuffle bytes ∝ total corpus tokens (one 8-byte key per token
+    position) — linear, the same budget as the MinHash shingle pass.
+    """
+    if min_tokens < 2:
+        raise ValueError("substring_spans: min_tokens must be >= 2")
+    L = min_tokens
+    words = F.split(F.col(text_col), r"\s+")
+    n_grams = F.greatest(F.size(words) - F.lit(L - 1), F.lit(0))
+    # same short-doc guard as _shingles: sequence() never yields empty
+    idx = F.sequence(F.lit(0), F.greatest(n_grams, F.lit(1)) - F.lit(1))
+    grams_all = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.concat_ws(" ", F.slice(words, i + F.lit(1), F.lit(L)))).alias(
+                "gram"
+            ),
+        ),
+    )
+    grams = F.when(n_grams > F.lit(0), grams_all).otherwise(
+        F.slice(grams_all, 1, 0)
+    )
+    occ = (
+        _parallelize(df)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .select("id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    firsts = occ.groupBy("gram").agg(
+        F.count("*").alias("n"),
+        F.min(F.struct("id", "pos")).alias("first"),
+    )
+    dup_occ = (
+        occ.join(firsts.where(F.col("n") > 1), "gram")
+        .where(
+            (F.col("id") != F.col("first.id")) | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("id", F.col("pos").alias("start"), (F.col("pos") + L).alias("end"))
+    )
+    # islands: merge overlapping/adjacent spans per doc
+    w = Window.partitionBy("id").orderBy("start", "end")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        dup_occ.withColumn(
+            "__new", (prev_max_end.isNull() | (F.col("start") > prev_max_end)).cast("int")
+        )
+        .withColumn("__island", F.sum("__new").over(w))
+        .groupBy("id", "__island")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+        .select("id", "start", "end")
+    )
+    return islands
+
+
+def remove_substring_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    new_col: str = "text_dedup",
+) -> DataFrame:
+    """Apply ``substring_spans``: cut every duplicated ≥ ``min_tokens``
+    token passage (keeping its globally first occurrence) out of the
+    corpus and return the input plus ``new_col``. Output text is
+    whitespace-normalized (tokens rejoined with single spaces). The cut
+    runs as a broadcast-shaped join of docs × their merged span arrays
+    plus one higher-order filter — no Python in the row path.
+    """
+    spans = substring_spans(df, id_col, text_col, min_tokens)
+    span_arr = spans.groupBy("id").agg(
+        F.collect_list(F.struct("start", "end")).alias("__spans")
+    )
+    joined = df.join(
+        span_arr.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    words = F.split(F.col(text_col), r"\s+")
+    indexed = F.transform(
+        words, lambda wrd, i: F.struct(wrd.alias("w"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (s["i"] >= sp["start"]) & (s["i"] < sp["end"]),
+        ),
+    )
+    out_text = F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(" ", F.transform(kept, lambda s: s["w"]))
+    )
+    return joined.withColumn(new_col, out_text).drop("__spans")

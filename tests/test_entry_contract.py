@@ -63,7 +63,9 @@ def test_rotation_invariants_hold_for_every_round():
     the driver within one cycle."""
     pool = set(entry._base_demoted())
     covered = set()
-    for rnd in range(1, 12):
+    # one full rotation cycle (+1 slack round) regardless of pool size
+    cycle_rounds = -(-len(pool) // entry.ROTATION_SLOTS) + 1
+    for rnd in range(1, cycle_rounds + 1):
         qs = entry._raw_queries(rnd)
         oracles = entry.oracle_sql(rnd)
         demoted = entry.demoted_queries(rnd)

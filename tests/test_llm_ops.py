@@ -809,3 +809,86 @@ def test_fuzzy_join_verify_is_two_key_equijoin(spark, fuzzy_tables):
     # some equi-join keyed on both id_b and shingle
     joins = _re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*", plan)
     assert any("id_b" in j and "shingle" in j for j in joins), joins
+
+
+# ------------------------------------------- substring-level dedup
+@pytest.fixture(scope="module")
+def passage_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),                  # global first occurrence
+            (1, "x y a b c d e z"),                  # cross-doc dup 5-gram
+            (2, "p q r s t u v w"),                  # unique
+            (3, "a b c d e f g q a b c d e f g r"),  # dup of doc0 + self-repeat
+            (4, "m n a b c d e a b c d e o"),        # overlapping self-repeats
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+
+
+def test_substring_spans_first_occurrence_wins_and_islands_merge(passage_docs):
+    spans = {
+        (r.id, r.start, r.end)
+        for r in dedup.substring_spans(passage_docs, min_tokens=5).collect()
+    }
+    # doc 0 (global first) keeps everything; doc 2 unique
+    assert not any(i in (0, 2) for i, _, _ in spans)
+    assert spans == {
+        (1, 2, 7),    # "a b c d e" inside doc 1
+        (3, 0, 7),    # doc 3's first copy (dup of doc 0's prefix), merged
+        (3, 8, 15),   # doc 3's second copy
+        (4, 2, 12),   # two overlapping copies merged into ONE island
+    }
+
+
+def test_remove_substring_dups_cuts_and_keeps(passage_docs):
+    out = {
+        r.doc_id: r.text_dedup
+        for r in dedup.remove_substring_dups(passage_docs, min_tokens=5).collect()
+    }
+    assert out == {
+        0: "a b c d e f g h",   # winner untouched
+        1: "x y z",
+        2: "p q r s t u v w",   # no spans -> original text verbatim
+        3: "q r",
+        4: "m n o",
+    }
+
+
+def test_substring_spans_short_docs_and_validation(spark, passage_docs):
+    short = spark.createDataFrame(
+        [(0, "one two"), (1, "one two")], "doc_id BIGINT, text STRING"
+    )
+    # docs shorter than min_tokens produce no grams -> no spans
+    assert dedup.substring_spans(short, min_tokens=5).count() == 0
+    with pytest.raises(ValueError, match="min_tokens"):
+        dedup.substring_spans(passage_docs, min_tokens=1)
+
+
+def test_substring_spans_no_python_udf_in_plan(passage_docs):
+    plan = (
+        dedup.remove_substring_dups(passage_docs, min_tokens=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shingle_ops_survive_short_docs(spark):
+    """Regression: docs shorter than the shingle size n used to crash
+    every shingle-based operator (sequence(0,-1) descends, slice(0)
+    throws). Short docs must contribute zero shingles, not kill the
+    job."""
+    mixed = spark.createDataFrame(
+        [(0, "one two"), (1, "a"), (2, ""),
+         (3, "the quick brown fox jumps over the lazy dog"),
+         (4, "the quick brown fox jumps over the lazy cat")],
+        "doc_id BIGINT, text STRING",
+    )
+    sh = dedup._shingles(mixed, "doc_id", "text", 3)
+    assert {r.id for r in sh.select("id").distinct().collect()} == {3, 4}
+    pairs = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard(mixed, threshold=0.3).collect()}
+    assert pairs == {(3, 4)}
+    # minhash path too (signatures for short docs are skipped, not fatal)
+    assert dedup.minhash_lsh(mixed, threshold=0.3).count() >= 0
