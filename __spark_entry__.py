@@ -3064,6 +3064,81 @@ FROM isl2 GROUP BY doc_id, island
 """
 
 
+def _q_malformed_drop(spark, sf_dir):
+    """load::batch_json with OnMalformed=drop over a file that mixes
+    valid document rows with corrupt lines — the crawl-ingest
+    robustness path. DuckDB replica: read_json(ignore_errors)."""
+    import json as _json
+
+    tmp = "/tmp/getl_spark_q/malformed"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with open(f"{tmp}/data.json", "w") as fh:
+        for i, row in enumerate(
+            docs.where("doc_id % 4 = 0").select("doc_id", "text").collect()
+        ):
+            if i % 7 == 3:
+                fh.write("{this line is not json at all\n")
+            fh.write(_json.dumps({"doc_id": row.doc_id, "text": row.text}) + "\n")
+    blocks = {
+        "L": {
+            "Type": "load::batch_json",
+            "Properties": {
+                "Path": f"{tmp}/data.json",
+                "OnMalformed": "drop",
+                "JsonSchema": {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+                        {"name": "text", "type": "string", "nullable": True, "metadata": {}},
+                    ],
+                },
+            },
+        }
+    }
+    return _run_lift(spark, blocks, result="L")
+
+
+MALFORMED_DROP_ORACLE = """
+SELECT doc_id, text
+FROM read_json('/tmp/getl_spark_q/malformed/data.json',
+               format='newline_delimited', ignore_errors=true,
+               columns={doc_id: 'BIGINT', text: 'VARCHAR'})
+WHERE doc_id IS NOT NULL
+"""
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """sample.stratified corpus mixing on a FIXED frame (the hash is
+    Spark xxhash64 — inexpressible in DuckDB, so the oracle pins the
+    golden per-stratum keep counts; equivalence to per-stratum
+    hash_fraction is pytest-proven)."""
+    from getl_spark.functions import sample
+
+    base = spark.range(0, 1200).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("books"), F.lit("code")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("source"),
+    )
+    mixed = sample.stratified(
+        base, "source", {"web": 0.25, "books": 1.0}, ["doc_id"], seed=11
+    )
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+SAMPLE_STRATIFIED_ORACLE = """
+SELECT * FROM (VALUES
+  ('web',   CAST(109 AS BIGINT), CAST(58611 AS BIGINT)),
+  ('books', CAST(400 AS BIGINT), CAST(239800 AS BIGINT))
+) AS t(source, n, id_sum)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -3310,6 +3385,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": _q_table_diff,
         "load_binary_files": _q_batch_binary,
         "substring_dedup": _q_substring_dedup,
+        "malformed_drop": _q_malformed_drop,
+        "sample_stratified": _q_sample_stratified,
     }
 
 
@@ -3371,6 +3448,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "table_diff": TABLE_DIFF_ORACLE,
         "load_binary_files": BINARY_ORACLE,
         "substring_dedup": SUBSTRING_DEDUP_ORACLE,
+        "malformed_drop": MALFORMED_DROP_ORACLE,
+        "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
     }
 
 

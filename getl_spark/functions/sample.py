@@ -128,3 +128,50 @@ def split(
         lo = hi
     out = df.withColumn(split_col, expr)
     return out.where(F.col(split_col).isNotNull()) if lo < 1.0 - 1e-9 else out
+
+
+def stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Dict,
+    id_cols: Sequence[str],
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing
+    primitive: ``fractions`` maps stratum value (e.g. source/domain/
+    language) → keep fraction; strata not listed keep
+    ``default_fraction`` (default 0: unlisted strata drop out, so a
+    whitelist mix is the natural spelling). "Downsample web to 10%,
+    keep books and code at 100%" is one call.
+
+    Decisions are pure functions of (content hash, seed) like
+    ``hash_fraction`` — shuffle-free, reproducible across
+    retries/clusters/repartitioning, and composable: running with a
+    superset mix later yields a superset sample (hash intervals nest).
+    Unlike ``df.sampleBy``, no RNG state and no action to build
+    per-stratum thresholds.
+    """
+    for value, frac in fractions.items():
+        if not 0.0 <= float(frac) <= 1.0:
+            raise ValueError(
+                f"stratified: fraction for stratum {value!r} is {frac}; "
+                "must be in [0, 1]"
+            )
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("stratified: default_fraction must be in [0, 1]")
+    u = _unit_hash(id_cols, seed)
+    frac_expr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col).eqNullSafe(F.lit(value))
+        frac_expr = (
+            F.when(cond, F.lit(float(frac)))
+            if frac_expr is None
+            else frac_expr.when(cond, F.lit(float(frac)))
+        )
+    frac_expr = (
+        F.lit(float(default_fraction))
+        if frac_expr is None
+        else frac_expr.otherwise(F.lit(float(default_fraction)))
+    )
+    return df.where(u < frac_expr)

@@ -217,11 +217,22 @@ def jdbc(conf: BlockConfig) -> DataFrame:
 def stream_json(conf: BlockConfig) -> DataFrame:
     """Streamed JSON source; schema is mandatory (streams can't infer).
     Properties: ``Path``, ``SchemaPath`` | ``JsonSchema`` |
-    ``PySparkSchema``."""
+    ``PySparkSchema``, ``MaxFilesPerTrigger`` (bound each micro-batch
+    to N source files — the backpressure knob that keeps a backlogged
+    drain from loading the whole backlog into one giant batch; with
+    ``availableNow`` sinks the backlog still fully drains, split into
+    bounded batches), ``OnMalformed``/``CorruptColumn`` (same policy
+    surface as the batch loads)."""
     schema = _resolve_schema(conf, path_key="SchemaPath")
     if schema is None:
         raise ValueError("stream_json requires SchemaPath/JsonSchema/PySparkSchema")
-    return conf.spark.readStream.schema(schema).json(conf.get("Path"))
+    options = _reader_options(conf)
+    max_files = conf.get("MaxFilesPerTrigger", None)
+    if max_files is not None:
+        options["maxFilesPerTrigger"] = int(max_files)
+    return (
+        conf.spark.readStream.schema(schema).options(**options).json(conf.get("Path"))
+    )
 
 
 # -------------------------------------------------------------- internals
@@ -244,8 +255,34 @@ def _is_missing_table_error(msg: str) -> bool:
     )
 
 
+_MALFORMED_MODES = {
+    "keep": "PERMISSIVE",
+    "drop": "DROPMALFORMED",
+    "fail": "FAILFAST",
+}
+
+
 def _reader_options(conf: BlockConfig) -> dict:
-    return dict(conf.get("Options", {}) or {})
+    """Reader passthrough ``Options`` plus the ``OnMalformed`` policy
+    for semi-structured formats (csv/json/xml): ``keep`` (PERMISSIVE —
+    Spark's default, bad rows become nulls / land in
+    ``CorruptColumn`` when set), ``drop`` (DROPMALFORMED), ``fail``
+    (FAILFAST — abort the lift on the first bad row). A crawl ingest
+    wants ``drop``; a financial feed wants ``fail``; ``keep`` +
+    ``CorruptColumn`` quarantines the raw bad lines for inspection."""
+    options = dict(conf.get("Options", {}) or {})
+    on_malformed = conf.get("OnMalformed", None)
+    if on_malformed is not None:
+        if on_malformed not in _MALFORMED_MODES:
+            raise ValueError(
+                f"OnMalformed must be one of {sorted(_MALFORMED_MODES)}, "
+                f"got '{on_malformed}'"
+            )
+        options["mode"] = _MALFORMED_MODES[on_malformed]
+    corrupt_col = conf.get("CorruptColumn", None)
+    if corrupt_col:
+        options["columnNameOfCorruptRecord"] = corrupt_col
+    return options
 
 
 def _batch_read(

@@ -501,3 +501,99 @@ def test_skew_top_keys_diagnosis(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         skew.top_keys(df, ["key"], k=0)
+
+
+def test_on_malformed_policies_json(spark, tmp_path):
+    """OnMalformed: drop discards bad rows, fail aborts the lift, keep
+    + CorruptColumn quarantines the raw bad line."""
+    import yaml as _yaml
+
+    from getl_spark import lift
+
+    src = tmp_path / "mal"
+    src.mkdir()
+    (src / "data.json").write_text(
+        '{"k": 1, "v": "good"}\n'
+        "{broken json line\n"
+        '{"k": 2, "v": "also good"}\n'
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+
+    def run(props):
+        blocks = {
+            "L": {
+                "Type": "load::batch_json",
+                "Properties": {"Path": str(src), "JsonSchema": schema, **props},
+            }
+        }
+        return lift(
+            spark, _yaml.safe_dump({"LiftJob": blocks}, sort_keys=False)
+        ).get("L")
+
+    assert sorted(r.k for r in run({"OnMalformed": "drop"}).collect()) == [1, 2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="MALFORMED|FAILFAST|Malformed"):
+        run({"OnMalformed": "fail"}).collect()
+
+    with _pytest.raises(ValueError, match="OnMalformed"):
+        run({"OnMalformed": "explode"})
+
+    quarantine_schema = dict(schema)
+    quarantine_schema = {
+        "type": "struct",
+        "fields": schema["fields"]
+        + [{"name": "_bad", "type": "string", "nullable": True, "metadata": {}}],
+    }
+    blocks_keep = run(
+        {
+            "OnMalformed": "keep",
+            "CorruptColumn": "_bad",
+            "JsonSchema": quarantine_schema,
+        }
+    )
+    rows = blocks_keep.collect()
+    bad = [r for r in rows if r._bad is not None]
+    assert len(bad) == 1 and "broken" in bad[0]._bad
+    assert sorted(r.k for r in rows if r._bad is None) == [1, 2]
+
+
+def test_stream_json_max_files_per_trigger(spark, tmp_path):
+    """MaxFilesPerTrigger=1 splits a 3-file backlog into 3 bounded
+    micro-batches under availableNow instead of one giant batch."""
+    import json as _json
+
+    src = tmp_path / "rate"
+    src.mkdir()
+    for i in range(3):
+        (src / f"f{i}.json").write_text(_json.dumps({"k": i}) + "\n")
+    schema = {
+        "type": "struct",
+        "fields": [{"name": "k", "type": "long", "nullable": True, "metadata": {}}],
+    }
+    from getl_spark.plans.context import BlockConfig
+    from getl_spark.sources.entrypoint import stream_json
+
+    conf = BlockConfig(
+        "L",
+        spark,
+        None,
+        {"Path": str(src), "JsonSchema": schema, "MaxFilesPerTrigger": 1},
+    )
+    stream = stream_json(conf)
+    batches = []
+    (
+        stream.writeStream.trigger(availableNow=True)
+        .foreachBatch(lambda df, bid: batches.append((bid, df.count())))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+        .awaitTermination()
+    )
+    assert len(batches) == 3 and all(n == 1 for _, n in batches)

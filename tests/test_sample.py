@@ -133,3 +133,48 @@ def test_split_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------ stratified
+def test_stratified_equals_per_stratum_hash_fraction(docs):
+    """stratified is exactly hash_fraction applied per stratum — same
+    hash, same seed, same interval — so the mix is verifiable against
+    the simpler primitive."""
+    mixed = sample.stratified(
+        docs, "src", {"0": 0.3, "1": 1.0}, ["doc_id"], seed=5
+    )
+    expect = (
+        sample.hash_fraction(docs.where("src = '0'"), 0.3, ["doc_id"], seed=5)
+        .unionByName(
+            sample.hash_fraction(docs.where("src = '1'"), 1.0, ["doc_id"], seed=5)
+        )
+    )
+    got = {r.doc_id for r in mixed.collect()}
+    assert got == {r.doc_id for r in expect.collect()}
+    # unlisted strata drop out by default
+    assert mixed.where("src NOT IN ('0', '1')").count() == 0
+
+
+def test_stratified_default_fraction_and_validation(docs):
+    kept_all = sample.stratified(
+        docs, "src", {"0": 0.0}, ["doc_id"], default_fraction=1.0
+    )
+    # stratum 0 dropped entirely, every other stratum kept whole
+    assert kept_all.where("src = '0'").count() == 0
+    assert kept_all.count() == docs.where("src != '0'").count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fraction"):
+        sample.stratified(docs, "src", {"0": 1.5}, ["doc_id"])
+    with _pytest.raises(ValueError, match="default_fraction"):
+        sample.stratified(docs, "src", {}, ["doc_id"], default_fraction=-0.1)
+
+
+def test_stratified_no_shuffle(docs):
+    plan = (
+        sample.stratified(docs, "src", {"0": 0.5}, ["doc_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
