@@ -3139,6 +3139,64 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_sessionize(spark, sf_dir):
+    """sessions.sessionize — batch inactivity-gap sessionization of the
+    events table per user (10-minute gap), microsecond-exact."""
+    from getl_spark.functions import sessions
+
+    ts_expr, _ = _events_ts_exprs(sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.expr(ts_expr).alias("ts")
+    )
+    return sessions.sessionize(ev, ["user_id"], "ts", gap_seconds=600).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+SESSIONIZE_ORACLE = """
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+flagged AS (
+  SELECT event_id, user_id, us,
+    CASE WHEN LAG(us) OVER w IS NULL
+          OR us - LAG(us) OVER w > 600 * 1000000
+      THEN 1 ELSE 0 END AS nf
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us))
+SELECT event_id, user_id,
+       SUM(nf) OVER (PARTITION BY user_id ORDER BY us) AS session_id
+FROM flagged
+"""
+
+
+def _q_rolling_window(spark, sf_dir):
+    """sessions.rolling — trailing-hour per-user value sum/count as a
+    RANGE window frame over epoch micros (no bucketing artifacts)."""
+    from getl_spark.functions import sessions
+
+    ts_expr, _ = _events_ts_exprs(sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.expr(ts_expr).alias("ts"), "value"
+    )
+    out = sessions.rolling(
+        ev, "ts", "value", 3600, ["user_id"], aggs=["sum", "count"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("roll_sum", 4).alias("roll_sum"),
+        "roll_count",
+    )
+
+
+ROLLING_ORACLE = """
+SELECT event_id, user_id,
+  ROUND(SUM(value) OVER w, 4) AS roll_sum,
+  COUNT(value) OVER w AS roll_count
+FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -3387,6 +3445,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "malformed_drop": _q_malformed_drop,
         "sample_stratified": _q_sample_stratified,
+        "sessionize_events": _q_sessionize,
+        "rolling_window": _q_rolling_window,
     }
 
 
@@ -3450,6 +3510,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "substring_dedup": SUBSTRING_DEDUP_ORACLE,
         "malformed_drop": MALFORMED_DROP_ORACLE,
         "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
+        "sessionize_events": SESSIONIZE_ORACLE,
+        "rolling_window": ROLLING_ORACLE,
     }
 
 
