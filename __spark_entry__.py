@@ -3197,6 +3197,59 @@ WINDOW w AS (PARTITION BY user_id ORDER BY us
 """
 
 
+def _q_ks_drift(spark, sf_dir):
+    """stats.ks_drift — two-sample KS statistic between the price
+    distributions of even- vs odd-keyed lineitem halves."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return stats.ks_drift(
+        li.where("l_orderkey % 2 = 0"),
+        li.where("l_orderkey % 2 = 1"),
+        "l_extendedprice",
+    )
+
+
+KS_DRIFT_ORACLE = """
+WITH lv AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+            WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL),
+rv AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+       WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL),
+m AS (
+  SELECT v, SUM(cl) AS cl, SUM(cr) AS cr FROM (
+    SELECT v, COUNT(*) AS cl, 0 AS cr FROM lv GROUP BY v
+    UNION ALL
+    SELECT v, 0, COUNT(*) FROM rv GROUP BY v) u
+  GROUP BY v),
+c AS (SELECT SUM(cl) OVER (ORDER BY v) AS rl,
+             SUM(cr) OVER (ORDER BY v) AS rr FROM m),
+t AS (SELECT SUM(cl) AS nl, SUM(cr) AS nr FROM m)
+SELECT ROUND(MAX(ABS(rl / (nl * 1.0) - rr / (nr * 1.0))), 6) AS ks_stat,
+       MAX(nl) AS n_left, MAX(nr) AS n_right
+FROM c, t
+"""
+
+
+def _q_pseudonymize(spark, sf_dir):
+    """text.pseudonymize — salted SHA-2 identifier tokens over orders
+    customer keys; DuckDB replicates with sha256(salt || value)."""
+    from getl_spark.functions import text
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return text.pseudonymize(
+        orders.select("o_orderkey", "o_custkey"), ["o_custkey"], salt="pepper-42"
+    )
+
+
+PSEUDONYMIZE_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_custkey IS NULL THEN NULL
+            ELSE sha256('pepper-42' || CAST(o_custkey AS VARCHAR)) END
+         AS o_custkey
+FROM orders
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -3447,6 +3500,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "sessionize_events": _q_sessionize,
         "rolling_window": _q_rolling_window,
+        "ks_drift": _q_ks_drift,
+        "pseudonymize_ids": _q_pseudonymize,
     }
 
 
@@ -3512,6 +3567,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
         "sessionize_events": SESSIONIZE_ORACLE,
         "rolling_window": ROLLING_ORACLE,
+        "ks_drift": KS_DRIFT_ORACLE,
+        "pseudonymize_ids": PSEUDONYMIZE_ORACLE,
     }
 
 

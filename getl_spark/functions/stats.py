@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def profile(df: DataFrame, columns: Optional[List[str]] = None) -> DataFrame:
@@ -194,5 +194,93 @@ def table_diff(
                 for k in keys
             ],
             status.alias("status"),
+        )
+    )
+
+
+def ks_drift(
+    left: DataFrame,
+    right: DataFrame,
+    column: str,
+    bins: Optional[int] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the same
+    numeric column in two table versions (yesterday's load vs today's,
+    reference vs candidate pipeline): one row
+    ``(ks_stat, n_left, n_right)`` where ``ks_stat`` = max |F_L - F_R|
+    over the empirical CDFs. The distribution-drift gate for pipeline
+    monitoring - alert when ks_stat exceeds a threshold.
+
+    Plan: each side aggregates to per-value counts first (shuffle
+    bytes proportional to DISTINCT values, not rows), the running CDFs
+    need one ordered pass over those distinct values, and the totals
+    attach as a broadcast 1-row aggregate. The ordered pass is a
+    single-partition window over the DISTINCT values - fine up to a
+    few million distinct; for continuous high-cardinality columns set
+    ``bins`` to quantize into equal-width buckets first (the KS stat
+    then lower-bounds the exact one, resolution 1/bins - the standard
+    binned-ECDF tradeoff), which caps the ordered pass at ``bins``
+    rows. Tie-safe: the CDF is evaluated after all rows of each
+    distinct value.
+    """
+    if round_to < 0:
+        raise ValueError("ks_drift: round_to must be >= 0")
+    if bins is not None and bins < 2:
+        raise ValueError("ks_drift: bins must be >= 2")
+    lv = left.where(F.col(column).isNotNull()).select(
+        F.col(column).cast("double").alias("v")
+    )
+    rv = right.where(F.col(column).isNotNull()).select(
+        F.col(column).cast("double").alias("v")
+    )
+    if bins is not None:
+        both = lv.unionByName(rv)
+        bounds = both.agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi")
+        )
+        width = (F.col("hi") - F.col("lo")) / F.lit(bins)
+        lv = lv.crossJoin(F.broadcast(bounds)).select(
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / width), F.lit(bins - 1)
+            ).alias("v")
+        )
+        rv = rv.crossJoin(F.broadcast(bounds)).select(
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / width), F.lit(bins - 1)
+            ).alias("v")
+        )
+    l_counts = lv.groupBy("v").agg(F.count("*").alias("cl")).withColumn(
+        "cr", F.lit(0).cast("bigint")
+    )
+    r_counts = rv.groupBy("v").agg(F.count("*").alias("cr")).withColumn(
+        "cl", F.lit(0).cast("bigint")
+    )
+    merged = (
+        l_counts.select("v", "cl", "cr")
+        .unionByName(r_counts.select("v", "cl", "cr"))
+        .groupBy("v")
+        .agg(F.sum("cl").alias("cl"), F.sum("cr").alias("cr"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = merged.select(
+        F.sum("cl").over(w).alias("rl"), F.sum("cr").over(w).alias("rr")
+    )
+    totals = merged.agg(
+        F.sum("cl").alias("nl"), F.sum("cr").alias("nr")
+    )
+    return (
+        cdf.crossJoin(F.broadcast(totals))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("rl") / F.col("nl") - F.col("rr") / F.col("nr")
+                    )
+                ),
+                round_to,
+            ).alias("ks_stat"),
+            F.max("nl").alias("n_left"),
+            F.max("nr").alias("n_right"),
         )
     )

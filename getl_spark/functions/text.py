@@ -813,3 +813,40 @@ def script_id(
             F.lit(name),
         ).otherwise(result)
     return df.withColumn(new_col, result)
+
+
+def pseudonymize(
+    df: "DataFrame",
+    columns: "List[str]",
+    salt: str,
+    num_bits: int = 256,
+    keep_original: bool = False,
+) -> "DataFrame":
+    """Irreversibly pseudonymize identifier columns: each named column
+    is replaced by (or, with ``keep_original``, joined by) the hex
+    SHA-2 of ``salt || value`` — the standard keyed-hash approach that
+    keeps JOINABILITY (equal inputs map to equal tokens across tables
+    hashed with the same salt) while removing the raw identifier from
+    the corpus. NULLs stay NULL. Pure JVM ``sha2`` expressions — scan
+    speed, no shuffle.
+
+    This is pseudonymization, not anonymization: with the salt (keep
+    it in a secret store, never in the lift definition repo) and a
+    candidate identifier, membership is checkable by recomputation.
+    """
+    if num_bits not in (224, 256, 384, 512):
+        raise ValueError("pseudonymize: num_bits must be 224|256|384|512")
+    if not salt:
+        raise ValueError("pseudonymize: empty salt defeats the purpose")
+    out = df
+    for col in columns:
+        hashed = F.when(
+            F.col(col).isNull(), F.lit(None).cast("string")
+        ).otherwise(
+            F.sha2(F.concat(F.lit(salt), F.col(col).cast("string")), num_bits)
+        )
+        if keep_original:
+            out = out.withColumn(f"{col}_pseudo", hashed)
+        else:
+            out = out.withColumn(col, hashed)
+    return out

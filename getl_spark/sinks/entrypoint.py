@@ -95,6 +95,12 @@ def _file_sink(conf: BlockConfig, fmt: str) -> DataFrame:
     partition_by = conf.get("PartitionBy.Columns", None)
     if partition_by:
         writer = writer.partitionBy(partition_by)
+    max_records = conf.get("MaxRecordsPerFile", None)
+    if max_records is not None:
+        # shard-size control for training dataloaders: each task splits
+        # its output at N rows, so shard size is bounded WITHOUT a
+        # count() action or an extra repartition shuffle
+        writer = writer.option("maxRecordsPerFile", int(max_records))
     for key, value in (conf.get("Options", {}) or {}).items():
         writer = writer.option(key, value)
     if conf.exists("Bucketing"):

@@ -289,3 +289,30 @@ def test_optimize_string_zorder_fallback_range_clusters(spark, tmp_path):
     whole = ord("z") - ord("a")
     for lo, hi in ranges:
         assert (ord(hi[0]) - ord(lo[0])) < whole * 0.6
+
+
+def test_max_records_per_file_bounds_shards(spark, tmp_path):
+    """MaxRecordsPerFile splits task output into bounded shards without
+    a count() or repartition — the training-dataloader shard knob."""
+    import glob
+
+    path = str(tmp_path / "shards")
+    spark.range(1000).coalesce(1).createOrReplaceTempView("shard_input")
+    lift(
+        spark,
+        f"""
+LiftJob:
+  L:
+    Type: custom::sql
+    Properties: {{Statement: "SELECT * FROM shard_input"}}
+  W:
+    Type: write::batch_parquet
+    Input: L
+    Properties:
+      Path: {path}
+      MaxRecordsPerFile: 250
+""",
+    )
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == 4  # 1000 rows / 250 per shard from ONE task
+    assert spark.read.parquet(path).count() == 1000

@@ -1,0 +1,88 @@
+"""Distribution drift (stats.ks_drift) and PII pseudonymization
+(text.pseudonymize)."""
+
+from __future__ import annotations
+
+# --------------------------------------------------------------- ks_drift
+def test_ks_drift_identical_and_disjoint(spark):
+    from getl_spark.functions import stats as S
+
+    a = spark.range(0, 1000).selectExpr("CAST(id % 100 AS DOUBLE) AS x")
+    same = S.ks_drift(a, a, "x").first()
+    assert same.ks_stat == 0.0 and same.n_left == 1000 and same.n_right == 1000
+    # fully disjoint supports -> KS = 1
+    b = spark.range(0, 500).selectExpr("CAST(id % 100 + 1000 AS DOUBLE) AS x")
+    assert S.ks_drift(a, b, "x").first().ks_stat == 1.0
+
+
+def test_ks_drift_matches_scipy_formula(spark):
+    """Differential vs a straightforward numpy two-sample KS on the
+    collected values (small data, exact ECDF semantics)."""
+    import numpy as np
+
+    from getl_spark.functions import stats as S
+
+    rng = np.random.RandomState(3)
+    xs = rng.randn(400).round(2)
+    ys = (rng.randn(300) * 1.3 + 0.4).round(2)
+    l = spark.createDataFrame([(float(v),) for v in xs], "x DOUBLE")
+    r = spark.createDataFrame([(float(v),) for v in ys], "x DOUBLE")
+    got = S.ks_drift(l, r, "x").first()
+
+    grid = np.unique(np.concatenate([xs, ys]))
+    fl = np.searchsorted(np.sort(xs), grid, side="right") / len(xs)
+    fr = np.searchsorted(np.sort(ys), grid, side="right") / len(ys)
+    expect = round(float(np.max(np.abs(fl - fr))), 6)
+    assert got.ks_stat == expect
+    assert (got.n_left, got.n_right) == (400, 300)
+
+
+def test_ks_drift_binned_bounds_exact(spark):
+    import numpy as np
+
+    from getl_spark.functions import stats as S
+
+    rng = np.random.RandomState(4)
+    l = spark.createDataFrame([(float(v),) for v in rng.randn(500)], "x DOUBLE")
+    r = spark.createDataFrame(
+        [(float(v),) for v in rng.randn(500) + 0.8], "x DOUBLE"
+    )
+    exact = S.ks_drift(l, r, "x").first().ks_stat
+    binned = S.ks_drift(l, r, "x", bins=64).first().ks_stat
+    assert 0 < binned <= exact  # binning can only lose resolution
+    assert exact - binned < 0.1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins"):
+        S.ks_drift(l, r, "x", bins=1)
+
+
+def test_pseudonymize_joinable_and_null_safe(spark):
+    from getl_spark.functions import text as T
+
+    a = spark.createDataFrame(
+        [(1, "u1"), (2, "u2"), (3, None)], "id BIGINT, user STRING"
+    )
+    b = spark.createDataFrame([(10, "u2")], "id BIGINT, user STRING")
+    pa = T.pseudonymize(a, ["user"], salt="s3cret")
+    pb = T.pseudonymize(b, ["user"], salt="s3cret")
+    rows = {r.id: r.user for r in pa.collect()}
+    assert rows[3] is None
+    assert all(v is None or len(v) == 64 for v in rows.values())
+    assert "u1" not in rows.values() and "u2" not in rows.values()
+    # joinability: same salt -> same token
+    assert pa.join(pb, "user").count() == 1
+    # different salt -> different token space
+    pc = T.pseudonymize(b, ["user"], salt="other")
+    assert pa.join(pc, "user").count() == 0
+    # keep_original adds a column instead of replacing
+    kept = T.pseudonymize(a, ["user"], salt="x", keep_original=True)
+    assert "user_pseudo" in kept.columns and "user" in kept.columns
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="salt"):
+        T.pseudonymize(a, ["user"], salt="")
+    with _pytest.raises(ValueError, match="num_bits"):
+        T.pseudonymize(a, ["user"], salt="x", num_bits=100)
