@@ -203,6 +203,22 @@ class ManagedTable:
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
+        if ts_col not in updates.columns:
+            raise ValueError(
+                f"scd2_merge: ts_col '{ts_col}' not in batch columns "
+                f"{updates.columns}"
+            )
+        missing = [k for k in keys if k not in updates.columns]
+        if missing:
+            raise ValueError(
+                f"scd2_merge: key columns {missing} not in batch columns "
+                f"{updates.columns}"
+            )
+        reserved = {valid_from_col, valid_to_col, current_col} & set(updates.columns)
+        if reserved:
+            raise ValueError(
+                f"scd2_merge: batch carries reserved SCD2 columns {sorted(reserved)}"
+            )
         business = [c for c in updates.columns if c != ts_col]
         if compare_cols is None:
             compare_cols = [c for c in business if c not in keys]

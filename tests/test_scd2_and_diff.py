@@ -202,3 +202,91 @@ def test_batch_binary_column_pruning_skips_content(spark, tmp_path):
         .toString()
     )
     assert "content" not in plan
+
+
+def test_scd2_invariants_over_random_waves(spark, tmp_path):
+    """SCD2 structural invariants after a random sequence of waves:
+    exactly one current row per live key, version intervals are
+    non-overlapping and chain (valid_to of one = valid_from of the
+    next), history rows are closed, and the current row reflects the
+    latest changed value."""
+    import random
+
+    rng = random.Random(42)
+    path = str(tmp_path / "dim")
+    table = ManagedTable(spark, path)
+    latest = {}
+    for wave_i in range(4):
+        t = datetime.datetime(2024, 1 + wave_i, 1)
+        rows = []
+        for k in range(12):
+            if rng.random() < 0.6:
+                v = rng.choice(["a", "b", "c"])
+                rows.append((k, v, t))
+                if latest.get(k, (None,))[0] != v:
+                    latest[k] = (v, t)
+        if not rows:
+            continue
+        table.scd2_merge(_wave(spark, rows), keys=["k"], ts_col="ts")
+    data = table.read().collect()
+    by_key = {}
+    for r in data:
+        by_key.setdefault(r.k, []).append(r)
+    for k, versions in by_key.items():
+        currents = [r for r in versions if r.is_current]
+        assert len(currents) == 1, f"key {k}: {len(currents)} current rows"
+        assert currents[0].valid_to is None
+        # current row reflects the last CHANGE (not merely last send)
+        assert (currents[0].v, currents[0].valid_from) == latest[k]
+        closed = sorted(
+            (r for r in versions if not r.is_current), key=lambda r: r.valid_from
+        )
+        for r in closed:
+            assert r.valid_to is not None and r.valid_from < r.valid_to
+        # intervals chain: each closed row ends where the next begins
+        chain = closed + currents
+        for a, b in zip(chain, chain[1:]):
+            assert a.valid_to == b.valid_from
+
+
+def test_scd2_validates_inputs(spark, tmp_path):
+    table = ManagedTable(spark, str(tmp_path / "d"))
+    df = _wave(spark, [(1, "a", T1)])
+    with pytest.raises(ValueError, match="ts_col"):
+        table.scd2_merge(df, keys=["k"], ts_col="nope")
+    with pytest.raises(ValueError, match="key columns"):
+        table.scd2_merge(df, keys=["missing"], ts_col="ts")
+    with pytest.raises(ValueError, match="reserved"):
+        table.scd2_merge(
+            df.withColumn("is_current", df.k > 0), keys=["k"], ts_col="ts"
+        )
+
+
+def test_substring_spans_structural_invariants(spark):
+    """Spans are within token bounds, non-overlapping per doc, ordered,
+    and each span is at least min_tokens long."""
+    rows = []
+    words = ["w%d" % i for i in range(30)]
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    for d in range(8):
+        body = " ".join(words[d : d + 12])
+        if d % 2 == 0:
+            body = f"{body} {shared}"
+        if d % 3 == 0:
+            body = f"{shared} {body}"
+        rows.append((d, body))
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    from getl_spark.functions import dedup as D
+
+    L = 5
+    spans = {}
+    for r in D.substring_spans(df, min_tokens=L).collect():
+        spans.setdefault(r.id, []).append((r.start, r.end))
+    lengths = {r[0]: len(r[1].split()) for r in rows}
+    for doc, ss in spans.items():
+        ss.sort()
+        for s, e in ss:
+            assert 0 <= s < e <= lengths[doc]
+            assert e - s >= L
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert e1 < s2  # merged islands never touch or overlap
