@@ -3250,6 +3250,36 @@ FROM orders
 """
 
 
+def _q_flatten(spark, sf_dir):
+    """transform flatten — nested structs (as a JSON-lake load would
+    produce) back to relational columns; the oracle selects the same
+    leaves directly, proving the flattened projection is lossless."""
+    blocks = _load_blocks(sf_dir, ["orders"])
+    blocks["Nest"] = {
+        "Type": "custom::sql",
+        "Properties": {
+            "Statement": (
+                "SELECT o_orderkey, named_struct('status', o_orderstatus, "
+                "'money', named_struct('total', o_totalprice)) AS meta "
+                "FROM orders"
+            )
+        },
+    }
+    blocks["Result"] = {
+        "Type": "transform::generic",
+        "Input": "Nest",
+        "Properties": {"Functions": [{"flatten": {}}]},
+    }
+    return _run_lift(spark, blocks)
+
+
+FLATTEN_ORACLE = """
+SELECT o_orderkey, o_orderstatus AS meta_status,
+       o_totalprice AS meta_money_total
+FROM orders
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -3502,6 +3532,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window": _q_rolling_window,
         "ks_drift": _q_ks_drift,
         "pseudonymize_ids": _q_pseudonymize,
+        "flatten_structs": _q_flatten,
     }
 
 
@@ -3569,6 +3600,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "rolling_window": ROLLING_ORACLE,
         "ks_drift": KS_DRIFT_ORACLE,
         "pseudonymize_ids": PSEUDONYMIZE_ORACLE,
+        "flatten_structs": FLATTEN_ORACLE,
     }
 
 

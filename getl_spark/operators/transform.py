@@ -268,3 +268,46 @@ def melt(
         var_name,
         value_name,
     )
+
+
+def flatten(
+    dataframe: DataFrame,
+    separator: str = "_",
+    max_depth: int = 10,
+) -> DataFrame:
+    """Recursively flatten every struct column into top-level columns
+    named ``parent<sep>child`` — the JSON/XML-lake normalization step
+    that turns nested ingest output into a relational frame (arrays are
+    left intact; pair with ``explode`` to unroll them). Pure projection:
+    zero shuffle, and column pruning still reaches the scan because
+    each output column maps to one nested field reference.
+
+    Name collisions after flattening (a struct field ``a.b`` next to a
+    plain column ``a_b``) raise rather than silently shadowing.
+    """
+    from pyspark.sql.types import StructType
+
+    cols: List = []
+    names: set = set()
+
+    def emit(flat_name: str, expr) -> None:
+        if flat_name in names:
+            raise ValueError(f"flatten: name collision on '{flat_name}'")
+        names.add(flat_name)
+        cols.append(expr.alias(flat_name))
+
+    def walk(schema: "StructType", dotted_parts: List[str], flat_prefix: str, depth: int) -> None:
+        for sub in schema.fields:
+            dotted = dotted_parts + [sub.name]
+            flat = flat_prefix + sub.name
+            if isinstance(sub.dataType, StructType) and depth < max_depth:
+                walk(sub.dataType, dotted, flat + separator, depth + 1)
+            else:
+                emit(flat, F.col(".".join(f"`{p}`" for p in dotted)))
+
+    for f in dataframe.schema.fields:
+        if isinstance(f.dataType, StructType):
+            walk(f.dataType, [f.name], f"{f.name}{separator}", 1)
+        else:
+            emit(f.name, F.col(f"`{f.name}`"))
+    return dataframe.select(*cols)

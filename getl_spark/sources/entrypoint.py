@@ -235,6 +235,28 @@ def stream_json(conf: BlockConfig) -> DataFrame:
     )
 
 
+def stream_parquet(conf: BlockConfig) -> DataFrame:
+    """Streamed parquet source — incremental-batch over a directory
+    that lands parquet files (the common bronze-layer shape). Schema
+    mandatory like ``stream_json``; ``MaxFilesPerTrigger`` bounds each
+    micro-batch. Properties: ``Path``, ``SchemaPath`` | ``JsonSchema``
+    | ``PySparkSchema``, ``MaxFilesPerTrigger``."""
+    schema = _resolve_schema(conf, path_key="SchemaPath")
+    if schema is None:
+        raise ValueError(
+            "stream_parquet requires SchemaPath/JsonSchema/PySparkSchema"
+        )
+    options = _reader_options(conf)
+    max_files = conf.get("MaxFilesPerTrigger", None)
+    if max_files is not None:
+        options["maxFilesPerTrigger"] = int(max_files)
+    return (
+        conf.spark.readStream.schema(schema)
+        .options(**options)
+        .parquet(conf.get("Path"))
+    )
+
+
 # -------------------------------------------------------------- internals
 def _delta_or_parquet() -> str:
     from getl_spark.common.tables import DEFAULT_FORMAT

@@ -597,3 +597,97 @@ def test_stream_json_max_files_per_trigger(spark, tmp_path):
         .awaitTermination()
     )
     assert len(batches) == 3 and all(n == 1 for _, n in batches)
+
+
+def test_flatten_nested_structs(spark):
+    """transform flatten: nested structs become parent_child columns;
+    arrays stay; collisions raise."""
+    import yaml as _yaml
+
+    from getl_spark import lift
+    from getl_spark.operators.transform import flatten
+
+    df = spark.sql(
+        """SELECT 1 AS id,
+                  named_struct('city', 'ume', 'geo',
+                               named_struct('lat', 63.8, 'lon', 20.3)) AS addr,
+                  array(1, 2) AS tags"""
+    )
+    flat = flatten(df)
+    assert flat.columns == ["id", "addr_city", "addr_geo_lat", "addr_geo_lon", "tags"]
+    row = flat.first()
+    assert row.addr_city == "ume" and float(row.addr_geo_lat) == 63.8 and row.tags == [1, 2]
+
+    # collision: struct a.b vs existing a_b column
+    clash = spark.sql("SELECT named_struct('b', 1) AS a, 2 AS a_b")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collision"):
+        flatten(clash)
+
+    # YAML path through transform::generic
+    df.createOrReplaceTempView("nested_src")
+    log = lift(
+        spark,
+        """
+LiftJob:
+  L:
+    Type: custom::sql
+    Properties: {Statement: "SELECT * FROM nested_src"}
+  Flat:
+    Type: transform::generic
+    Input: L
+    Properties:
+      Functions:
+        - flatten: {}
+""",
+    )
+    assert log.get("Flat").columns == flat.columns
+
+
+def test_flatten_pushes_field_extraction_to_scan(spark, tmp_path):
+    """Flattening then selecting ONE leaf must read only that nested
+    field (schema pruning), not the whole struct."""
+    path = str(tmp_path / "nested")
+    spark.sql(
+        """SELECT id, named_struct('a', id * 2, 'b', repeat('x', 100)) AS s
+           FROM range(100)"""
+    ).write.parquet(path)
+    from getl_spark.operators.transform import flatten
+
+    df = flatten(spark.read.parquet(path)).select("s_a")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan and "s_b" not in plan.split("ReadSchema")[1][:200]
+    assert df.count() == 100
+
+
+def test_stream_parquet_source(spark, tmp_path):
+    """load::stream_parquet drains a parquet directory incrementally."""
+    import yaml as _yaml
+
+    from getl_spark import lift
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.range(50).selectExpr("id AS k").coalesce(1).write.parquet(src)
+    blocks = {
+        "S": {
+            "Type": "load::stream_parquet",
+            "Properties": {
+                "Path": src,
+                "JsonSchema": {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+                    ],
+                },
+            },
+        },
+        "W": {
+            "Type": "write::stream_delta",
+            "Input": "S",
+            "Properties": {"Path": out, "OutputMode": "append"},
+        },
+    }
+    lift(spark, _yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+    assert spark.read.parquet(out).count() == 50
