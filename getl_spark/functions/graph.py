@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _signature(edges: DataFrame) -> tuple:
@@ -200,17 +200,36 @@ def dedup_by_component(
     src: str = "id_a",
     dst: str = "id_b",
     keep: str = "min",
+    quality_col: "Optional[str]" = None,
 ) -> DataFrame:
     """Keep one canonical row per near-duplicate cluster.
 
     Composes ``cluster_components`` with a semi-join back onto the
-    corpus: the survivor of each cluster is its minimum id (``keep
-    ='min'``, deterministic). Rows in no pair survive untouched. The
-    corpus-side join is on id — broadcastable when the pair set is
-    small relative to the corpus, one shuffle otherwise.
+    corpus. Winner per cluster: the minimum id (``keep='min'``,
+    deterministic) — or, with ``quality_col``, the row with the MAX
+    value of that corpus column (id as tiebreak), so dedup keeps the
+    BEST duplicate (longest / highest quality score / newest crawl)
+    instead of an arbitrary-by-id one. Rows in no pair survive
+    untouched. The corpus-side joins are on id — broadcastable when
+    the pair set is small relative to the corpus, one shuffle
+    otherwise; the quality path adds one per-cluster max window over
+    only the CLUSTERED rows, never the whole corpus.
     """
     if keep != "min":
         raise ValueError("only keep='min' is supported (deterministic winner)")
     comp = cluster_components(pairs, src=src, dst=dst, node_col=id_col)
-    losers = comp.where(F.col(id_col) != F.col("component")).select(id_col)
+    if quality_col is None:
+        losers = comp.where(F.col(id_col) != F.col("component")).select(id_col)
+        return df.join(losers, id_col, "left_anti")
+    clustered = comp.join(
+        df.select(F.col(id_col), F.col(quality_col).alias("__q")), id_col
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__q").desc_nulls_last(), F.col(id_col).asc()
+    )
+    losers = (
+        clustered.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") != 1)
+        .select(id_col)
+    )
     return df.join(losers, id_col, "left_anti")

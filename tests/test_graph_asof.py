@@ -102,6 +102,26 @@ def test_dedup_by_component_keeps_cluster_min(spark):
     assert kept == {0, 1, 2}
 
 
+def test_dedup_by_component_quality_winner(spark):
+    """quality_col keeps the BEST duplicate per cluster (max quality,
+    id tiebreak) instead of the min id; nulls lose to any score."""
+    df = spark.createDataFrame(
+        [(0, 0.2), (1, 0.9), (3, 0.9), (4, None), (5, 0.5), (9, 0.1)],
+        "doc_id BIGINT, quality DOUBLE",
+    )
+    # clusters: {0,1,3} and {4,5}; 9 unpaired
+    pairs = spark.createDataFrame([(0, 1), (1, 3), (4, 5)], ["id_a", "id_b"])
+    kept = {
+        r.doc_id
+        for r in graph.dedup_by_component(
+            df, pairs, quality_col="quality"
+        ).collect()
+    }
+    # cluster 1: 1 and 3 tie at 0.9 -> lower id 1 wins; cluster 2: null
+    # loses to 0.5 -> 5 wins; 9 untouched
+    assert kept == {1, 5, 9}
+
+
 def test_asof_backward_basic(spark):
     left = spark.createDataFrame(
         [(1, 10, "l1"), (1, 25, "l2"), (1, 5, "l0"), (2, 40, "l3")],
