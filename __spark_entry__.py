@@ -3280,6 +3280,39 @@ FROM orders
 """
 
 
+def _q_topk_between(spark, sf_dir):
+    """similarity.topk_between — cross-table retrieval: every 25th
+    embedding as the query set against the remaining corpus, exact
+    broadcast brute force; ranked on the 6-dp-rounded cosine in both
+    engines so ordering is FP-stable."""
+    from getl_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id % 25 = 0")
+    corpus = emb.where("vec_id % 25 != 0")
+    return similarity.topk_between(queries, corpus, k=5)
+
+
+TOPK_BETWEEN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings
+      WHERE vec_id % 25 <> 0),
+scored AS (
+  SELECT query_id, nbr_id,
+         ROUND(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                                      CAST(cv AS DOUBLE[])), 6) AS cosine
+  FROM q CROSS JOIN c),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored)
+SELECT query_id, nbr_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -3533,6 +3566,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": _q_ks_drift,
         "pseudonymize_ids": _q_pseudonymize,
         "flatten_structs": _q_flatten,
+        "topk_between_tables": _q_topk_between,
     }
 
 
@@ -3601,6 +3635,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "ks_drift": KS_DRIFT_ORACLE,
         "pseudonymize_ids": PSEUDONYMIZE_ORACLE,
         "flatten_structs": FLATTEN_ORACLE,
+        "topk_between_tables": TOPK_BETWEEN_ORACLE,
     }
 
 

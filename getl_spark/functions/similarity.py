@@ -73,9 +73,13 @@ def topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k. ``queries`` is broadcast; ties break on
-    neighbor id ascending for full determinism. Self-matches excluded.
+    neighbor id ascending for full determinism. Self-matches excluded
+    by id when ``exclude_self`` (right for queries drawn from the
+    corpus; set False for cross-table retrieval where query and corpus
+    id spaces are unrelated).
     """
     c = with_norm(
         corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vec"))
@@ -85,7 +89,7 @@ def topk_bruteforce(
     ).withColumnRenamed("vec", "qvec").withColumnRenamed("norm", "qnorm")
     scored = (
         c.crossJoin(F.broadcast(q))
-        .where(F.col("nbr_id") != F.col("query_id"))
+        .where(F.lit(not exclude_self) | (F.col("nbr_id") != F.col("query_id")))
         .select(
             "query_id",
             "nbr_id",
@@ -114,6 +118,7 @@ def topk_lsh(
     seed: int = 42,
     multiprobe: bool = True,
     dim: Optional[int] = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
 
@@ -152,7 +157,7 @@ def topk_lsh(
     q = q.withColumn("bucket", F.explode(F.array(*probes)))
     scored = (
         c.join(F.broadcast(q), "bucket")
-        .where(F.col("nbr_id") != F.col("query_id"))
+        .where(F.lit(not exclude_self) | (F.col("nbr_id") != F.col("query_id")))
         .select(
             "query_id",
             "nbr_id",
@@ -223,6 +228,7 @@ def topk_ivf(
     seed: int = 42,
     train_limit: int = 10000,
     kmeans_iters: int = 10,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) indexing.
 
@@ -258,7 +264,9 @@ def topk_ivf(
         corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vec"))
     ).withColumnRenamed("vec", "cvec").withColumnRenamed("norm", "cnorm")
     c = c.withColumn("cell", cell_col(F.col("cvec"))).localCheckpoint()
-    return _probe_and_rerank(c, queries, cent_n, nprobe, k, id_col, vec_col)
+    return _probe_and_rerank(
+        c, queries, cent_n, nprobe, k, id_col, vec_col, exclude_self
+    )
 
 
 def _probe_and_rerank(
@@ -269,6 +277,7 @@ def _probe_and_rerank(
     k: int,
     id_col: str,
     vec_col: str,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF query half: probe each query's ``nprobe`` nearest cells of
     ``assigned`` (columns ``nbr_id, cvec, cnorm, cell``), rerank
@@ -299,7 +308,7 @@ def _probe_and_rerank(
     )
     scored = (
         assigned.join(F.broadcast(q), "cell")
-        .where(F.col("nbr_id") != F.col("query_id"))
+        .where(F.lit(not exclude_self) | (F.col("nbr_id") != F.col("query_id")))
         .select(
             "query_id",
             "nbr_id",
@@ -328,6 +337,7 @@ def build_ivf_index(
     seed: int = 42,
     train_limit: int = 10000,
     kmeans_iters: int = 10,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Persist an IVF index: train the coarse quantizer, assign every
     corpus vector to its cell, and write ``{path}/centroids`` (cell →
@@ -381,6 +391,7 @@ def topk_ivf_indexed(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Query a persisted IVF index (``build_ivf_index``): no training,
     no assignment — read the centroids (nlist rows, driver-bounded),
@@ -394,7 +405,9 @@ def topk_ivf_indexed(
     )
     cent_n = np.array([r.centroid for r in cent_rows], dtype="float64")
     assigned = spark.read.parquet(f"{index_path}/vectors")
-    return _probe_and_rerank(assigned, queries, cent_n, nprobe, k, id_col, vec_col)
+    return _probe_and_rerank(
+        assigned, queries, cent_n, nprobe, k, id_col, vec_col, exclude_self
+    )
 
 
 # --------------------------------------------------- YAML-callable forms
@@ -431,3 +444,48 @@ def topk(
             df.sparkSession, queries, index_path, k, nprobe, id_col, vec_col
         )
     return topk_bruteforce(df, queries, k, id_col, vec_col)
+
+
+def topk_between(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id_col: str = "vec_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "bruteforce",
+    planes: int = 8,
+    seed: int = 42,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Cross-table embedding retrieval: for every row of ``queries``,
+    the top-k cosine neighbors in ``corpus`` — the eval-queries-vs-
+    training-corpus shape (decontamination scoring, retrieval eval,
+    semantic search against an indexed collection). Unlike ``topk``,
+    the two id spaces are unrelated, so NO self-exclusion is applied —
+    an identical id on both sides is still a valid match.
+
+    Multi-input YAML form inside ``transform::generic``:
+    ``Input: [Queries, Corpus]``. Methods as ``topk``: exact broadcast
+    brute force, hyperplane LSH, or IVF.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    c = corpus.select(
+        F.col(corpus_id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    if method == "lsh":
+        return topk_lsh(
+            c, q, k, "vec_id", "embedding", planes=planes, seed=seed,
+            exclude_self=False,
+        )
+    if method == "ivf":
+        return topk_ivf(
+            c, q, k, "vec_id", "embedding", nlist=nlist, nprobe=nprobe,
+            seed=seed, exclude_self=False,
+        )
+    if method != "bruteforce":
+        raise ValueError(f"topk_between: unknown method '{method}'")
+    return topk_bruteforce(c, q, k, "vec_id", "embedding", exclude_self=False)

@@ -52,6 +52,7 @@ def generic(conf: BlockConfig) -> DataFrame:
             "text.decontaminate",
             "dedup.fuzzy_join",
             "stats.table_diff",
+            "similarity.topk_between",
         ):
             # multi-input operators consume [left, right] from Input
             dataframe = func(*_two_inputs(conf), **params)
