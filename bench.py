@@ -50,6 +50,13 @@ BENCH_QUERIES = [
     "similarity_topk_bruteforce",
     "text_analysis",
     "multimodal_pipeline",
+    # round-6 operators
+    "substring_dedup",
+    "sessionize_events",
+    "rolling_window",
+    "table_diff",
+    "scd2_merge",
+    "topk_between_tables",
 ]
 
 RUNS = 3
