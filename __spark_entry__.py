@@ -3313,6 +3313,46 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _q_psi(spark, sf_dir):
+    """stats.psi — population stability index between early- and
+    late-shipped lineitem price distributions (10 equal-width bins)."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return stats.psi(
+        li.where("l_shipdate < TIMESTAMP '1997-06-01'"),
+        li.where("l_shipdate >= TIMESTAMP '1997-06-01'"),
+        "l_extendedprice",
+        bins=10,
+    )
+
+
+PSI_ORACLE = """
+WITH lv AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1997-06-01'
+              AND l_extendedprice IS NOT NULL),
+rv AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+         AND l_extendedprice IS NOT NULL),
+b AS (SELECT MIN(v) AS lo, MAX(v) AS hi
+      FROM (SELECT v FROM lv UNION ALL SELECT v FROM rv)),
+lb AS (SELECT LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INT), 9) AS bk,
+              COUNT(*) AS cl
+       FROM lv, b GROUP BY 1),
+rb AS (SELECT LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INT), 9) AS bk,
+              COUNT(*) AS cr
+       FROM rv, b GROUP BY 1),
+m AS (SELECT COALESCE(cl, 0) AS cl, COALESCE(cr, 0) AS cr
+      FROM lb FULL OUTER JOIN rb USING (bk)),
+t AS (SELECT SUM(cl) AS nl, SUM(cr) AS nr FROM m)
+SELECT ROUND(SUM(((cl / (nl * 1.0) + 1e-6) - (cr / (nr * 1.0) + 1e-6))
+             * LN((cl / (nl * 1.0) + 1e-6) / (cr / (nr * 1.0) + 1e-6))), 6)
+         AS psi,
+       MAX(nl) AS n_left, MAX(nr) AS n_right
+FROM m, t
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -3567,6 +3607,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymize_ids": _q_pseudonymize,
         "flatten_structs": _q_flatten,
         "topk_between_tables": _q_topk_between,
+        "psi_drift": _q_psi,
     }
 
 
@@ -3636,6 +3677,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "pseudonymize_ids": PSEUDONYMIZE_ORACLE,
         "flatten_structs": FLATTEN_ORACLE,
         "topk_between_tables": TOPK_BETWEEN_ORACLE,
+        "psi_drift": PSI_ORACLE,
     }
 
 

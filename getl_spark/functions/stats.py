@@ -284,3 +284,78 @@ def ks_drift(
             F.max("nr").alias("n_right"),
         )
     )
+
+
+def psi(
+    left: DataFrame,
+    right: DataFrame,
+    column: str,
+    bins: int = 10,
+    epsilon: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between the same numeric column in
+    two table versions — the industry-standard drift score alongside
+    ``ks_drift``: equal-width bins over the combined range, then
+    ``Σ (p_L − p_R)·ln(p_L/p_R)`` with ``epsilon``-smoothed bin shares
+    (empty bins would make the log blow up). Rule of thumb: <0.1
+    stable, 0.1–0.25 moderate shift, >0.25 investigate.
+
+    One row ``(psi, n_left, n_right)``. Plan: a 1-row bounds broadcast,
+    per-side keyed bin counts (shuffle ∝ bins), one ≤bins-row reduce —
+    strictly cheaper than ``ks_drift`` and insensitive to distinct-value
+    cardinality, at the cost of binning resolution.
+    """
+    if bins < 2:
+        raise ValueError("psi: bins must be >= 2")
+    lv = left.where(F.col(column).isNotNull()).select(
+        F.col(column).cast("double").alias("v")
+    )
+    rv = right.where(F.col(column).isNotNull()).select(
+        F.col(column).cast("double").alias("v")
+    )
+    bounds = lv.unionByName(rv).agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(bins)
+    bucket = F.least(
+        F.floor((F.col("v") - F.col("lo")) / width).cast("int"), F.lit(bins - 1)
+    )
+    lb = (
+        lv.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("b"))
+        .agg(F.count("*").alias("cl"))
+    )
+    rb = (
+        rv.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("b"))
+        .agg(F.count("*").alias("cr"))
+    )
+    merged = (
+        lb.join(rb, "b", "full_outer")
+        .select(
+            F.coalesce("cl", F.lit(0)).alias("cl"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    totals = merged.agg(F.sum("cl").alias("nl"), F.sum("cr").alias("nr"))
+    term = (
+        merged.crossJoin(F.broadcast(totals))
+        .select(
+            (
+                (F.col("cl") / F.col("nl") + F.lit(epsilon))
+                - (F.col("cr") / F.col("nr") + F.lit(epsilon))
+            ).alias("diff"),
+            F.log(
+                (F.col("cl") / F.col("nl") + F.lit(epsilon))
+                / (F.col("cr") / F.col("nr") + F.lit(epsilon))
+            ).alias("lr"),
+            F.col("nl"),
+            F.col("nr"),
+        )
+    )
+    return term.agg(
+        F.round(F.sum(F.col("diff") * F.col("lr")), round_to).alias("psi"),
+        F.max("nl").alias("n_left"),
+        F.max("nr").alias("n_right"),
+    )

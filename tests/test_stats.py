@@ -86,3 +86,53 @@ def test_pseudonymize_joinable_and_null_safe(spark):
         T.pseudonymize(a, ["user"], salt="")
     with _pytest.raises(ValueError, match="num_bits"):
         T.pseudonymize(a, ["user"], salt="x", num_bits=100)
+
+
+def test_psi_identical_zero_and_shift_detected(spark):
+    import numpy as np
+
+    from getl_spark.functions import stats as S
+
+    a = spark.range(0, 2000).selectExpr("CAST(id % 97 AS DOUBLE) AS x")
+    assert S.psi(a, a, "x").first().psi == 0.0
+
+    rng = np.random.RandomState(9)
+    l = spark.createDataFrame([(float(v),) for v in rng.randn(2000)], "x DOUBLE")
+    r_same = spark.createDataFrame([(float(v),) for v in rng.randn(2000)], "x DOUBLE")
+    r_shift = spark.createDataFrame(
+        [(float(v),) for v in rng.randn(2000) + 1.5], "x DOUBLE"
+    )
+    stable = S.psi(l, r_same, "x").first().psi
+    shifted = S.psi(l, r_shift, "x").first().psi
+    assert stable < 0.1 < shifted  # rule-of-thumb bands hold
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins"):
+        S.psi(l, r_same, "x", bins=1)
+
+
+def test_psi_matches_numpy_reference(spark):
+    import numpy as np
+
+    from getl_spark.functions import stats as S
+
+    rng = np.random.RandomState(11)
+    xs = rng.randn(500)
+    ys = rng.randn(400) * 1.2 + 0.3
+    l = spark.createDataFrame([(float(v),) for v in xs], "x DOUBLE")
+    r = spark.createDataFrame([(float(v),) for v in ys], "x DOUBLE")
+    got = S.psi(l, r, "x", bins=10).first()
+
+    both = np.concatenate([xs, ys])
+    lo, hi = both.min(), both.max()
+    w = (hi - lo) / 10
+    bl = np.minimum(((xs - lo) // w).astype(int), 9)
+    br = np.minimum(((ys - lo) // w).astype(int), 9)
+    eps = 1e-6
+    expect = 0.0
+    for b in range(10):
+        pl = (bl == b).sum() / len(xs) + eps
+        pr = (br == b).sum() / len(ys) + eps
+        expect += (pl - pr) * np.log(pl / pr)
+    assert abs(got.psi - round(float(expect), 6)) <= 1e-6
+    assert (got.n_left, got.n_right) == (500, 400)
