@@ -290,3 +290,18 @@ def test_substring_spans_structural_invariants(spark):
             assert e - s >= L
         for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
             assert e1 < s2  # merged islands never touch or overlap
+
+
+def test_scd2_rerun_same_wave_is_noop(spark, tmp_path):
+    """Retrying a wave (same data, same effective time) must change
+    nothing — the at-least-once delivery contract for SCD2 ingest."""
+    path = str(tmp_path / "dim")
+    table = ManagedTable(spark, path)
+    w1 = _wave(spark, [(1, "a", T1), (2, "b", T1)])
+    w2 = _wave(spark, [(1, "a2", T2), (3, "c", T2)])
+    table.scd2_merge(w1, keys=["k"], ts_col="ts")
+    table.scd2_merge(w2, keys=["k"], ts_col="ts")
+    before = sorted(tuple(r) for r in table.read().collect())
+    table.scd2_merge(w2, keys=["k"], ts_col="ts")  # retry
+    after = sorted(tuple(r) for r in table.read().collect())
+    assert after == before
