@@ -326,6 +326,17 @@ def stream_dedup(conf: BlockConfig) -> DataFrame:
     )
 
 
+def checkpoint(conf: BlockConfig) -> DataFrame:
+    """Materialization barrier: truncate lineage with
+    ``localCheckpoint`` so downstream blocks plan against a computed
+    stub instead of the full upstream graph. The tool for iterative /
+    deeply-chained pipelines whose logical plans otherwise grow without
+    bound (the engine's own dedup operators use the same pattern
+    internally). Properties: ``Eager`` (default true — compute now;
+    false registers a lazy checkpoint)."""
+    return conf.input_df().localCheckpoint(eager=bool(conf.get("Eager", True)))
+
+
 def with_columns(conf: BlockConfig) -> DataFrame:
     """Add computed columns from SQL expressions:
     ``Columns: [{name: x2, expr: "x * 2"}, ...]`` — stays fully inside

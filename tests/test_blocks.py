@@ -691,3 +691,29 @@ def test_stream_parquet_source(spark, tmp_path):
     }
     lift(spark, _yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
     assert spark.read.parquet(out).count() == 50
+
+
+def test_checkpoint_block_truncates_lineage(spark, sample_dir):
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  Load:
+    Type: load::batch_parquet
+    Properties: {{Path: {sample_dir}/parquet}}
+  Cut:
+    Type: transform::checkpoint
+    Input: Load
+  After:
+    Type: transform::generic
+    Input: Cut
+    Properties:
+      Functions:
+        - where: {{predicate: [empid, '>', 9]}}
+""",
+    )
+    assert log.get("After").count() == 2
+    # the checkpointed plan no longer contains the parquet scan — it
+    # reads the materialized RDD stub
+    plan = log.get("Cut")._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan and "ExistingRDD" in plan
