@@ -222,13 +222,12 @@ class ManagedTable:
         business = [c for c in updates.columns if c != ts_col]
         if compare_cols is None:
             compare_cols = [c for c in business if c not in keys]
-        # latest row per key within the batch
-        w = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
-        batch = (
-            updates.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        # latest row per key within the batch — the shared latest-wins
+        # compaction primitive (same semantics as write::stream_upsert's
+        # OrderBy merge)
+        from getl_spark.functions.dedup import latest_by_key
+
+        batch = latest_by_key(updates, list(keys), ts_col)
         fresh = batch.select(
             *[F.col(c) for c in business],
             F.col(ts_col).cast("timestamp").alias(valid_from_col),
@@ -241,10 +240,14 @@ class ManagedTable:
         target = self.read()
         history = target.where(~F.col(current_col))
         current = target.where(F.col(current_col))
+        # match detection via a literal marker, NOT __u_ts nullability:
+        # the join is eqNullSafe (NULL keys legal) and a batch row can
+        # legitimately carry a NULL effective time
         probe = batch.select(
             *[F.col(k).alias(f"__u_{k}") for k in keys],
             *[F.col(c).alias(f"__u_{c}") for c in compare_cols],
             F.col(ts_col).cast("timestamp").alias("__u_ts"),
+            F.lit(True).alias("__u_m"),
         )
         cond = None
         for k in keys:
@@ -254,7 +257,7 @@ class ManagedTable:
         for c in compare_cols:
             same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
         joined = current.join(probe, cond, "left")
-        matched = F.col("__u_ts").isNotNull()
+        matched = F.col("__u_m").isNotNull()
         # changed current rows close at the update's effective time;
         # unmatched or unchanged current rows pass through untouched
         closed_or_kept = joined.select(
@@ -270,6 +273,7 @@ class ManagedTable:
         cur_probe = current.select(
             *[F.col(k).alias(f"__c_{k}") for k in keys],
             *[F.col(c).alias(f"__c_{c}") for c in compare_cols],
+            F.lit(True).alias("__c_m"),
         )
         ccond = None
         for k in keys:
@@ -280,7 +284,7 @@ class ManagedTable:
             csame = csame & F.col(c).eqNullSafe(F.col(f"__c_{c}"))
         opened = (
             fresh.join(cur_probe, ccond, "left")
-            .where(F.col(f"__c_{keys[0]}").isNull() | ~csame)
+            .where(F.col("__c_m").isNull() | ~csame)
             .select(*fresh.columns)
         )
         result = history.select(*target.columns).unionByName(

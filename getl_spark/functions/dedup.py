@@ -1020,10 +1020,15 @@ def substring_spans(
     grams = F.when(n_grams > F.lit(0), grams_all).otherwise(
         F.slice(grams_all, 1, 0)
     )
+    # localCheckpoint: occ feeds BOTH the first-occurrence aggregation
+    # and the dup-occurrence join below — without it the tokenize +
+    # L-gram hash + explode of every token position (the expensive
+    # stage) runs twice
     occ = (
         _parallelize(df)
         .select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
         .select("id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        .localCheckpoint()
     )
     firsts = occ.groupBy("gram").agg(
         F.count("*").alias("n"),

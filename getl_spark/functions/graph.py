@@ -221,9 +221,15 @@ def dedup_by_component(
     if quality_col is None:
         losers = comp.where(F.col(id_col) != F.col("component")).select(id_col)
         return df.join(losers, id_col, "left_anti")
-    clustered = comp.join(
-        df.select(F.col(id_col), F.col(quality_col).alias("__q")), id_col
+    # one quality value per id (max) BEFORE ranking: a corpus with
+    # several rows per id would otherwise rank the same id twice and
+    # the rn!=1 copy would anti-join away the winner itself
+    quality = (
+        df.select(F.col(id_col), F.col(quality_col).alias("__q"))
+        .groupBy(id_col)
+        .agg(F.max("__q").alias("__q"))
     )
+    clustered = comp.join(quality, id_col)
     w = Window.partitionBy("component").orderBy(
         F.col("__q").desc_nulls_last(), F.col(id_col).asc()
     )

@@ -38,11 +38,14 @@ def sessionize(
     """
     if gap_seconds <= 0:
         raise ValueError("sessionize: gap_seconds must be > 0")
-    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col))
     # microsecond precision: unix_timestamp() truncates to whole
     # seconds, which silently merges sessions split by a gap that
-    # crosses a second boundary by less than 1 s
+    # crosses a second boundary by less than 1 s. The window orders by
+    # the SAME expression the gap uses — ordering by the raw column
+    # would sort string timestamps lexicographically and hand lag() a
+    # non-chronological neighbor
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*key_cols).orderBy(ts_us)
     prev = F.lag(ts_us).over(w)
     new_session = (
         prev.isNull() | ((ts_us - prev) > F.lit(int(gap_seconds) * 1_000_000))

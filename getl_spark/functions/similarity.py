@@ -337,7 +337,6 @@ def build_ivf_index(
     seed: int = 42,
     train_limit: int = 10000,
     kmeans_iters: int = 10,
-    exclude_self: bool = True,
 ) -> DataFrame:
     """Persist an IVF index: train the coarse quantizer, assign every
     corpus vector to its cell, and write ``{path}/centroids`` (cell →

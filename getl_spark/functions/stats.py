@@ -163,20 +163,25 @@ def table_diff(
         compare_cols = [
             c for c in left.columns if c not in keys and c in right.columns
         ]
+    # presence is detected via literal marker columns, NOT key
+    # nullability — the join is eqNullSafe, so NULL keys are legal and
+    # a NULL-keyed match must still read as present on both sides
     lhs = left.select(
         *[F.col(k).alias(f"__lk_{k}") for k in keys],
         *[F.col(c).alias(f"__l_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_l"),
     )
     rhs = right.select(
         *[F.col(k).alias(f"__rk_{k}") for k in keys],
         *[F.col(c).alias(f"__r_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_r"),
     )
     cond = None
     for k in keys:
         eq = F.col(f"__lk_{k}").eqNullSafe(F.col(f"__rk_{k}"))
         cond = eq if cond is None else cond & eq
-    in_left = F.col(f"__lk_{keys[0]}").isNotNull()
-    in_right = F.col(f"__rk_{keys[0]}").isNotNull()
+    in_left = F.col("__in_l").isNotNull()
+    in_right = F.col("__in_r").isNotNull()
     same = F.lit(True)
     for c in compare_cols:
         same = same & F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
@@ -269,13 +274,14 @@ def ks_drift(
     totals = merged.agg(
         F.sum("cl").alias("nl"), F.sum("cr").alias("nr")
     )
-    return (
+    out = (
         cdf.crossJoin(F.broadcast(totals))
         .agg(
             F.round(
                 F.max(
                     F.abs(
-                        F.col("rl") / F.col("nl") - F.col("rr") / F.col("nr")
+                        F.try_divide(F.col("rl"), F.col("nl"))
+                        - F.try_divide(F.col("rr"), F.col("nr"))
                     )
                 ),
                 round_to,
@@ -283,6 +289,18 @@ def ks_drift(
             F.max("nl").alias("n_left"),
             F.max("nr").alias("n_right"),
         )
+    )
+    # fail LOUD if a side has no non-null values: the NULL that a 0/0
+    # division would produce makes `ks_stat > threshold` silently False
+    # — the exact situation a drift monitor exists to catch
+    guard = F.assert_true(
+        (F.col("n_left") > 0) & (F.col("n_right") > 0),
+        F.lit("ks_drift: an input side has no non-null values"),
+    )
+    return out.select(
+        F.when(guard.isNull(), F.col("ks_stat")).alias("ks_stat"),
+        "n_left",
+        "n_right",
     )
 
 
@@ -339,23 +357,30 @@ def psi(
         )
     )
     totals = merged.agg(F.sum("cl").alias("nl"), F.sum("cr").alias("nr"))
+    pl = F.try_divide(F.col("cl"), F.col("nl")) + F.lit(epsilon)
+    pr = F.try_divide(F.col("cr"), F.col("nr")) + F.lit(epsilon)
     term = (
         merged.crossJoin(F.broadcast(totals))
         .select(
-            (
-                (F.col("cl") / F.col("nl") + F.lit(epsilon))
-                - (F.col("cr") / F.col("nr") + F.lit(epsilon))
-            ).alias("diff"),
-            F.log(
-                (F.col("cl") / F.col("nl") + F.lit(epsilon))
-                / (F.col("cr") / F.col("nr") + F.lit(epsilon))
-            ).alias("lr"),
+            (pl - pr).alias("diff"),
+            F.log(pl / pr).alias("lr"),
             F.col("nl"),
             F.col("nr"),
         )
     )
-    return term.agg(
+    out = term.agg(
         F.round(F.sum(F.col("diff") * F.col("lr")), round_to).alias("psi"),
         F.max("nl").alias("n_left"),
         F.max("nr").alias("n_right"),
+    )
+    # same fail-loud contract as ks_drift: an empty side must raise,
+    # not return a NULL a threshold check silently ignores
+    guard = F.assert_true(
+        (F.col("n_left") > 0) & (F.col("n_right") > 0),
+        F.lit("psi: an input side has no non-null values"),
+    )
+    return out.select(
+        F.when(guard.isNull(), F.col("psi")).alias("psi"),
+        "n_left",
+        "n_right",
     )

@@ -290,18 +290,12 @@ def stream_upsert(conf: BlockConfig) -> DataFrame:
         if batch_df.isEmpty():
             return
         if keys and order_by:
-            # Deterministic latest-wins: rank within each key by the
-            # ordering column (desc) and keep the top row — a batch
-            # holding several versions of a key merges the newest.
-            from pyspark.sql import functions as F
-            from pyspark.sql.window import Window
+            # Deterministic latest-wins: a batch holding several
+            # versions of a key merges the newest — the shared
+            # changelog-compaction primitive
+            from getl_spark.functions.dedup import latest_by_key
 
-            w = Window.partitionBy(*keys).orderBy(F.col(order_by).desc())
-            batch_df = (
-                batch_df.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .drop("__rn")
-            )
+            batch_df = latest_by_key(batch_df, list(keys), order_by)
         elif keys:
             batch_df = batch_df.dropDuplicates(list(keys))
         ManagedTable(batch_df.sparkSession, path).upsert_all(

@@ -305,3 +305,48 @@ def test_scd2_rerun_same_wave_is_noop(spark, tmp_path):
     table.scd2_merge(w2, keys=["k"], ts_col="ts")  # retry
     after = sorted(tuple(r) for r in table.read().collect())
     assert after == before
+
+
+def test_table_diff_null_keys_classified_correctly(spark):
+    """NULL keys are legal under the eqNullSafe join: a NULL-keyed row
+    on both sides is matched (not 'removed'+'added'), and a NULL-keyed
+    right-only row is 'added'."""
+    left = spark.createDataFrame([(None, "a")], "k BIGINT, v STRING")
+    right = spark.createDataFrame([(None, "a")], "k BIGINT, v STRING")
+    assert [
+        (r.k, r.status) for r in stats.table_diff(left, right, ["k"]).collect()
+    ] == [(None, "unchanged")]
+    right2 = spark.createDataFrame([(None, "b")], "k BIGINT, v STRING")
+    assert stats.table_diff(left, right2, ["k"]).first().status == "changed"
+    empty = spark.createDataFrame([], "k BIGINT, v STRING")
+    assert stats.table_diff(empty, right2, ["k"]).first().status == "added"
+    assert stats.table_diff(left, empty, ["k"]).first().status == "removed"
+
+
+def test_scd2_null_key_rerun_no_duplicate_current(spark, tmp_path):
+    """A NULL-keyed dimension row re-sent unchanged must stay a single
+    current version (match detection is marker-based, not
+    key-nullability-based)."""
+    table = ManagedTable(spark, str(tmp_path / "dim"))
+    w = _wave(spark, [(None, "a", T1), (1, "b", T1)])
+    table.scd2_merge(w, keys=["k"], ts_col="ts")
+    table.scd2_merge(
+        _wave(spark, [(None, "a", T2), (1, "b", T2)]), keys=["k"], ts_col="ts"
+    )
+    rows = table.read().collect()
+    assert len(rows) == 2 and all(r.is_current for r in rows)
+    assert {r.k for r in rows} == {None, 1}
+
+
+def test_dedup_by_component_quality_with_duplicate_corpus_rows(spark):
+    """A corpus carrying several rows per id (exactly what a dedup
+    pipeline sees) must not anti-join away the winning id."""
+    from getl_spark.functions import graph
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (1, 0.9), (2, 0.1)], "doc_id BIGINT, quality DOUBLE"
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    kept = graph.dedup_by_component(df, pairs, quality_col="quality").collect()
+    assert {r.doc_id for r in kept} == {1}
+    assert len(kept) == 2  # both rows of the winning id survive

@@ -113,3 +113,21 @@ def test_sessions_yaml_path(spark, events, tmp_path):
     }
     log = lift(spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
     assert log.get("S").where("session_id = 2").count() == 2
+
+
+def test_sessionize_string_timestamps_sort_chronologically(spark):
+    """String timestamp columns in a non-lexicographic format must
+    still sessionize in CHRONOLOGICAL order (the window orders by the
+    parsed micros, not the raw string)."""
+    rows = [
+        (1, 1, "2024-6-12 10:00:00"),   # june, single-digit month
+        (2, 1, "2024-10-01 09:00:00"),  # october — lexicographically BEFORE
+        (3, 1, "2024-6-12 10:10:00"),
+    ]
+    df = spark.createDataFrame(rows, "event_id BIGINT, user_id BIGINT, ts STRING")
+    out = {
+        r.event_id: r.session_id
+        for r in sessions.sessionize(df, ["user_id"], "ts", gap_seconds=1800).collect()
+    }
+    # chronological: (1,3) one session in June, (2) its own in October
+    assert out == {1: 1, 3: 1, 2: 2}

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 # --------------------------------------------------------------- ks_drift
 def test_ks_drift_identical_and_disjoint(spark):
     from getl_spark.functions import stats as S
@@ -136,3 +138,19 @@ def test_psi_matches_numpy_reference(spark):
         expect += (pl - pr) * np.log(pl / pr)
     assert abs(got.psi - round(float(expect), 6)) <= 1e-6
     assert (got.n_left, got.n_right) == (500, 400)
+
+
+def test_ks_and_psi_fail_loud_on_empty_side(spark):
+    """An empty input side must raise, not return a NULL that a
+    `stat > threshold` alert silently ignores."""
+    from pyspark.errors import SparkRuntimeException
+
+    from getl_spark.functions import stats as S
+
+    full = spark.range(0, 100).selectExpr("CAST(id AS DOUBLE) AS x")
+    empty = spark.createDataFrame([], "x DOUBLE")
+    for fn in (S.ks_drift, S.psi):
+        with pytest.raises(SparkRuntimeException, match="non-null"):
+            fn(full, empty, "x").collect()
+        with pytest.raises(SparkRuntimeException, match="non-null"):
+            fn(empty, full, "x").collect()
