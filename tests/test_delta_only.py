@@ -1,6 +1,16 @@
 """Delta-spark-only behavior: these tests run where delta-spark is
 installed (production profile) and skip in the parquet-fallback
-container, making the Delta contract explicit and executable."""
+container, making the Delta contract explicit and executable.
+
+The gate is VERIFIED unresolvable in this container, not assumed: no
+delta-spark wheel is installed and no compatible jar exists — the only
+delta jars on disk (reference testing-jars, delta-core_2.12 2.1.0 /
+1.2.1) target Spark 3.3 on Scala 2.12 and fail to classload on this
+Spark 4.x / Scala 2.13 runtime (probed:
+``java.util.ServiceConfigurationError: ...DeltaDataSource`` via
+``NoClassDefFoundError: scala/Serializable``). On a real cluster with
+delta-spark installed these tests execute and the parquet fallback
+paths in ``common/tables.py`` go dormant."""
 
 import pytest
 
