@@ -3353,6 +3353,130 @@ FROM m, t
 """
 
 
+def _q_interval_join(spark, sf_dir):
+    """interval.join — bucketized range join (never a nested-loop):
+    lineitem prices as points against price bands built from every
+    100th order; DuckDB runs the plain inequality join."""
+    from getl_spark.functions import interval
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    points = li.select(
+        "l_orderkey", "l_linenumber", F.col("l_extendedprice").alias("p")
+    )
+    bands = orders.where("o_orderkey % 100 = 0").select(
+        F.col("o_orderkey").alias("iv_id"),
+        F.col("o_totalprice").alias("lo"),
+        (F.col("o_totalprice") + 2000.0).alias("hi"),
+    )
+    return interval.join(
+        points, bands, "p", "lo", "hi", bucket_width=1000
+    ).select("l_orderkey", "l_linenumber", "iv_id")
+
+
+INTERVAL_JOIN_ORACLE = """
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey AS iv_id
+FROM lineitem l
+JOIN (SELECT o_orderkey, o_totalprice AS lo, o_totalprice + 2000.0 AS hi
+      FROM orders WHERE o_orderkey % 100 = 0) o
+  ON l.l_extendedprice >= o.lo AND l.l_extendedprice <= o.hi
+"""
+
+
+def _q_search_coverage(spark, sf_dir):
+    """search.coverage — per-query corpus coverage (hit count + mean
+    BM25 score), the retrieval-mix balancing view."""
+    from getl_spark.functions import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return search.coverage(docs, BM25_QUERIES)
+
+
+SEARCH_COVERAGE_ORACLE = f"""
+WITH q(query_id, query) AS (VALUES {_BM25_VALUES}),
+qt AS (
+  SELECT DISTINCT query_id, unnest(list_filter(
+    string_split_regex(lower(query), '\\s+'), x -> x != '')) AS token
+  FROM q),
+tok AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT token, COUNT(*) AS doc_freq FROM tf
+  WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+    ROUND(SUM(
+      ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+      * tf * (1.2 + 1)
+      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+    ), 6) AS score
+  FROM tf
+  JOIN qt USING (token)
+  JOIN dfreq USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY 1, 2)
+SELECT query_id, COUNT(*) AS n_docs, ROUND(AVG(score), 6) AS mean_score
+FROM scored WHERE score > 0 GROUP BY query_id
+"""
+
+
+def _q_per_key_cap(spark, sf_dir):
+    """sample.per_key_cap on a FIXED frame (assignment is xxhash-order
+    — inexpressible in DuckDB; golden pinned): at most 5 rows per key,
+    summarized per key for a compact value-hash."""
+    from getl_spark.functions import sample
+
+    base = spark.range(0, 280).select(
+        F.col("id").alias("doc_id"), F.pmod(F.col("id"), F.lit(7)).alias("k")
+    )
+    capped = sample.per_key_cap(base, "k", 5, ["doc_id"], seed=3)
+    return capped.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+PER_KEY_CAP_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(672 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(509 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(654 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(512 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(923 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(1145 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(5 AS BIGINT), CAST(849 AS BIGINT))
+) AS t(k, n, id_sum)
+"""
+
+
+def _q_zorder_key(spark, sf_dir):
+    """layout.zorder_key — Morton bit-interleave clustering key on a
+    FIXED two-dimension grid (sf-independent; the min/max scaling and
+    bit arithmetic are deterministic, so the golden pins the exact
+    interleave)."""
+    from getl_spark.functions import layout
+
+    grid = spark.range(0, 64).select(
+        F.col("id").alias("row_id"),
+        F.pmod(F.col("id"), F.lit(8)).cast("double").alias("x"),
+        (F.col("id") / F.lit(8)).cast("int").cast("double").alias("y"),
+    )
+    keyed = layout.zorder_key(grid, ["x", "y"], bits=3)
+    return keyed.select("row_id", "zorder_key")
+
+
+# a perfect 8x8 Morton-curve permutation of 0..63 — the pin validates
+# the exact bit interleave
+ZORDER_KEY_ORACLE = """
+SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT)), (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (CAST(2 AS BIGINT), CAST(4 AS BIGINT)), (CAST(3 AS BIGINT), CAST(5 AS BIGINT)), (CAST(4 AS BIGINT), CAST(16 AS BIGINT)), (CAST(5 AS BIGINT), CAST(17 AS BIGINT)), (CAST(6 AS BIGINT), CAST(20 AS BIGINT)), (CAST(7 AS BIGINT), CAST(21 AS BIGINT)), (CAST(8 AS BIGINT), CAST(2 AS BIGINT)), (CAST(9 AS BIGINT), CAST(3 AS BIGINT)), (CAST(10 AS BIGINT), CAST(6 AS BIGINT)), (CAST(11 AS BIGINT), CAST(7 AS BIGINT)), (CAST(12 AS BIGINT), CAST(18 AS BIGINT)), (CAST(13 AS BIGINT), CAST(19 AS BIGINT)), (CAST(14 AS BIGINT), CAST(22 AS BIGINT)), (CAST(15 AS BIGINT), CAST(23 AS BIGINT)), (CAST(16 AS BIGINT), CAST(8 AS BIGINT)), (CAST(17 AS BIGINT), CAST(9 AS BIGINT)), (CAST(18 AS BIGINT), CAST(12 AS BIGINT)), (CAST(19 AS BIGINT), CAST(13 AS BIGINT)), (CAST(20 AS BIGINT), CAST(24 AS BIGINT)), (CAST(21 AS BIGINT), CAST(25 AS BIGINT)), (CAST(22 AS BIGINT), CAST(28 AS BIGINT)), (CAST(23 AS BIGINT), CAST(29 AS BIGINT)), (CAST(24 AS BIGINT), CAST(10 AS BIGINT)), (CAST(25 AS BIGINT), CAST(11 AS BIGINT)), (CAST(26 AS BIGINT), CAST(14 AS BIGINT)), (CAST(27 AS BIGINT), CAST(15 AS BIGINT)), (CAST(28 AS BIGINT), CAST(26 AS BIGINT)), (CAST(29 AS BIGINT), CAST(27 AS BIGINT)), (CAST(30 AS BIGINT), CAST(30 AS BIGINT)), (CAST(31 AS BIGINT), CAST(31 AS BIGINT)), (CAST(32 AS BIGINT), CAST(32 AS BIGINT)), (CAST(33 AS BIGINT), CAST(33 AS BIGINT)), (CAST(34 AS BIGINT), CAST(36 AS BIGINT)), (CAST(35 AS BIGINT), CAST(37 AS BIGINT)), (CAST(36 AS BIGINT), CAST(48 AS BIGINT)), (CAST(37 AS BIGINT), CAST(49 AS BIGINT)), (CAST(38 AS BIGINT), CAST(52 AS BIGINT)), (CAST(39 AS BIGINT), CAST(53 AS BIGINT)), (CAST(40 AS BIGINT), CAST(34 AS BIGINT)), (CAST(41 AS BIGINT), CAST(35 AS BIGINT)), (CAST(42 AS BIGINT), CAST(38 AS BIGINT)), (CAST(43 AS BIGINT), CAST(39 AS BIGINT)), (CAST(44 AS BIGINT), CAST(50 AS BIGINT)), (CAST(45 AS BIGINT), CAST(51 AS BIGINT)), (CAST(46 AS BIGINT), CAST(54 AS BIGINT)), (CAST(47 AS BIGINT), CAST(55 AS BIGINT)), (CAST(48 AS BIGINT), CAST(40 AS BIGINT)), (CAST(49 AS BIGINT), CAST(41 AS BIGINT)), (CAST(50 AS BIGINT), CAST(44 AS BIGINT)), (CAST(51 AS BIGINT), CAST(45 AS BIGINT)), (CAST(52 AS BIGINT), CAST(56 AS BIGINT)), (CAST(53 AS BIGINT), CAST(57 AS BIGINT)), (CAST(54 AS BIGINT), CAST(60 AS BIGINT)), (CAST(55 AS BIGINT), CAST(61 AS BIGINT)), (CAST(56 AS BIGINT), CAST(42 AS BIGINT)), (CAST(57 AS BIGINT), CAST(43 AS BIGINT)), (CAST(58 AS BIGINT), CAST(46 AS BIGINT)), (CAST(59 AS BIGINT), CAST(47 AS BIGINT)), (CAST(60 AS BIGINT), CAST(58 AS BIGINT)), (CAST(61 AS BIGINT), CAST(59 AS BIGINT)), (CAST(62 AS BIGINT), CAST(62 AS BIGINT)), (CAST(63 AS BIGINT), CAST(63 AS BIGINT))) AS t(row_id, zorder_key)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -3608,6 +3732,10 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_structs": _q_flatten,
         "topk_between_tables": _q_topk_between,
         "psi_drift": _q_psi,
+        "interval_join_bands": _q_interval_join,
+        "search_coverage": _q_search_coverage,
+        "sample_per_key_cap": _q_per_key_cap,
+        "layout_zorder_key": _q_zorder_key,
     }
 
 
@@ -3678,6 +3806,10 @@ def _base_demoted_oracles() -> dict[str, str]:
         "flatten_structs": FLATTEN_ORACLE,
         "topk_between_tables": TOPK_BETWEEN_ORACLE,
         "psi_drift": PSI_ORACLE,
+        "interval_join_bands": INTERVAL_JOIN_ORACLE,
+        "search_coverage": SEARCH_COVERAGE_ORACLE,
+        "sample_per_key_cap": PER_KEY_CAP_ORACLE,
+        "layout_zorder_key": ZORDER_KEY_ORACLE,
     }
 
 
