@@ -3477,6 +3477,40 @@ SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)
 """
 
 
+def _q_sketch_estimates(spark, sf_dir):
+    """HLL + Theta estimates on FIXED inputs (hash-based, no RNG, so
+    they pin exactly): HLL distinct estimate of 40k values at lgk=12
+    and the Theta intersection cardinality of two overlapping ranges.
+    KLL is deliberately absent — its compaction depends on partial-
+    sketch merge order, so quantile estimates vary across partitioning
+    (accuracy-vs-exact stays pytest-tested for all three families)."""
+    from getl_spark.functions import sketch
+
+    vals = spark.range(0, 50000).select(
+        F.pmod(F.col("id") * 7919, F.lit(40000)).alias("v")
+    )
+    hll = sketch.distinct_estimate(vals, "v").select(
+        F.col("distinct_estimate").alias("hll_est")
+    )
+    a = sketch.theta_sketch(
+        spark.range(0, 3000).select(F.col("id").alias("u")), "u"
+    )
+    b = sketch.theta_sketch(
+        spark.range(2000, 6000).select(F.col("id").alias("u")), "u"
+    )
+    inter = sketch.theta_estimate(a, b, "intersection").select(
+        F.col("distinct_estimate").alias("theta_inter")
+    )
+    return hll.crossJoin(inter)
+
+
+SKETCH_ESTIMATES_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(41165 AS BIGINT), CAST(1000 AS BIGINT))
+) AS t(hll_est, theta_inter)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -3736,6 +3770,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_coverage": _q_search_coverage,
         "sample_per_key_cap": _q_per_key_cap,
         "layout_zorder_key": _q_zorder_key,
+        "sketch_estimates": _q_sketch_estimates,
     }
 
 
@@ -3810,6 +3845,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "search_coverage": SEARCH_COVERAGE_ORACLE,
         "sample_per_key_cap": PER_KEY_CAP_ORACLE,
         "layout_zorder_key": ZORDER_KEY_ORACLE,
+        "sketch_estimates": SKETCH_ESTIMATES_ORACLE,
     }
 
 
