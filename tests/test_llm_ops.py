@@ -892,3 +892,53 @@ def test_shingle_ops_survive_short_docs(spark):
     assert pairs == {(3, 4)}
     # minhash path too (signatures for short docs are skipped, not fatal)
     assert dedup.minhash_lsh(mixed, threshold=0.3).count() >= 0
+
+
+def test_substring_spans_differential_vs_python_reference(spark):
+    """Randomized small-vocab corpora (forcing heavy gram collisions)
+    against a direct python implementation of the same contract:
+    global-first-occurrence wins, all other occurrences of any
+    duplicated L-gram merge into islands."""
+    import random
+
+    rng = random.Random(99)
+    L = 3
+    for trial in range(3):
+        docs = []
+        for d in range(12):
+            n = rng.randint(0, 14)
+            docs.append((d, " ".join(rng.choice("abcde") for _ in range(n))))
+
+        # python reference
+        occs = {}  # gram -> [(doc, pos)]
+        toks = {d: (t.split() if t else [""]) for d, t in docs}
+        for d, t in docs:
+            words = t.split() if t else []
+            for i in range(max(len(words) - L + 1, 0)):
+                occs.setdefault(tuple(words[i : i + L]), []).append((d, i))
+        expected = {}
+        for gram, hits in occs.items():
+            if len(hits) < 2:
+                continue
+            first = min(hits)
+            for d, i in hits:
+                if (d, i) != first:
+                    expected.setdefault(d, set()).update(range(i, i + L))
+        exp_spans = set()
+        for d, positions in expected.items():
+            run = sorted(positions)
+            start = prev = run[0]
+            for p in run[1:]:
+                if p == prev + 1:
+                    prev = p
+                    continue
+                exp_spans.add((d, start, prev + 1))
+                start = prev = p
+            exp_spans.add((d, start, prev + 1))
+
+        df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+        got = {
+            (r.id, r.start, r.end)
+            for r in dedup.substring_spans(df, min_tokens=L).collect()
+        }
+        assert got == exp_spans, f"trial {trial}: {got ^ exp_spans}"
