@@ -3511,6 +3511,66 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_canonicalize_url(spark, sf_dir):
+    """text.canonicalize_url — crawl URLs synthesized from documents
+    (deterministic per doc_id band: tracking params, default ports,
+    mixed-case hosts, fragments, trailing slashes); DuckDB replicates
+    the identical RE2-safe regexp chain."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = F.pmod(F.col("doc_id"), F.lit(5))
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTP://Site.com:80/doc/"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("/?utm_source=x&id=3#frag")))
+        .when(v == 1, F.concat(F.lit("https://Example.COM:443/p/"),
+                               F.col("doc_id").cast("string"), F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://a.com/x?gclid=1&keep="),
+                               F.col("doc_id").cast("string"),
+                               F.lit("&utm_medium=m")))
+        .when(v == 3, F.concat(F.lit("http://d.com:8080/a?x="),
+                               F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("  https://c.com/Case/"),
+                            F.col("doc_id").cast("string"), F.lit("  ")))
+    )
+    return text.canonicalize_url(docs.select("doc_id", url.alias("url"))).select(
+        "doc_id", "url_canonical"
+    )
+
+
+def _canonicalize_url_oracle() -> str:
+    from getl_spark.functions.text import TRACKING_PARAMS
+
+    tracking = "|".join(TRACKING_PARAMS)
+    return f"""
+WITH urls AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'HTTP://Site.com:80/doc/' || doc_id || '/?utm_source=x&id=3#frag'
+      WHEN 1 THEN 'https://Example.COM:443/p/' || doc_id || '/'
+      WHEN 2 THEN 'https://a.com/x?gclid=1&keep=' || doc_id || '&utm_medium=m'
+      WHEN 3 THEN 'http://d.com:8080/a?x=' || doc_id
+      ELSE '  https://c.com/Case/' || doc_id || '  ' END AS raw
+  FROM documents),
+steps AS (
+  SELECT doc_id,
+    regexp_replace(trim(raw), '#.*$', '') AS s1,
+    lower(regexp_extract(s1, '^([^/?]*//[^/?]*)', 1))
+      || regexp_replace(s1, '^[^/?]*//[^/?]*', '') AS s2,
+    regexp_replace(s2, '^(http://[^/:?]+):80([/?]|$)', '\\1\\2') AS s3,
+    regexp_replace(s3, '^(https://[^/:?]+):443([/?]|$)', '\\1\\2') AS s4,
+    regexp_replace(s4, '([?&])(?:{tracking})=[^&#]*', '\\1', 'g') AS s5,
+    regexp_replace(s5, '\\?&+', '?') AS s6,
+    regexp_replace(s6, '&&+', '&', 'g') AS s7,
+    regexp_replace(s7, '[?&]+$', '') AS s8,
+    regexp_replace(s8, '^([a-z]+://[^/?]+(/[^?]*[^/?]))/(\\?|$)', '\\1\\3') AS s9,
+    regexp_replace(s9, '^([a-z]+://[^/?]+)/(\\?|$)', '\\1\\2') AS url_canonical
+  FROM urls)
+SELECT doc_id, url_canonical FROM steps
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -3771,6 +3831,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_key_cap": _q_per_key_cap,
         "layout_zorder_key": _q_zorder_key,
         "sketch_estimates": _q_sketch_estimates,
+        "canonicalize_url": _q_canonicalize_url,
     }
 
 
@@ -3846,6 +3907,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sample_per_key_cap": PER_KEY_CAP_ORACLE,
         "layout_zorder_key": ZORDER_KEY_ORACLE,
         "sketch_estimates": SKETCH_ESTIMATES_ORACLE,
+        "canonicalize_url": _canonicalize_url_oracle(),
     }
 
 

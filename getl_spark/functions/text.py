@@ -850,3 +850,54 @@ def pseudonymize(
         else:
             out = out.withColumn(col, hashed)
     return out
+
+
+# Tracking query parameters stripped by canonicalize_url (public,
+# widely-documented analytics/click identifiers).
+TRACKING_PARAMS = (
+    "utm_[a-z]+", "fbclid", "gclid", "gclsrc", "dclid", "msclkid",
+    "mc_cid", "mc_eid", "igshid", "yclid", "_hsenc", "_hsmi",
+)
+
+
+def canonicalize_url(
+    df: "DataFrame",
+    url_col: str = "url",
+    new_col: str = "url_canonical",
+) -> "DataFrame":
+    """URL canonicalization — the pre-dedup normalization step for web
+    corpora: the same page crawled as
+    ``HTTP://Site.com:80/a/?utm_source=x#frag`` and
+    ``http://site.com/a`` must produce one canonical form, or URL-level
+    dedup silently keeps both copies. Applied transformations, in
+    order: trim; drop the fragment; lowercase scheme+authority (path
+    and query keep their case — they are case-sensitive); strip
+    default ports (``:80`` http, ``:443`` https); remove tracking
+    parameters (``TRACKING_PARAMS``); repair separators (``?&`` →
+    ``?``, collapse ``&&``, drop trailing ``?``/``&``); strip one
+    trailing slash from a non-root path. Pure RE2-safe JVM regexp
+    chain — scan speed, no shuffle, and replicable in any engine.
+    """
+    u = F.trim(F.col(url_col))
+    # drop fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # lowercase scheme://authority (up to first '/', '?' after scheme)
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([^/?]*//[^/?]*)", 1)),
+        F.regexp_replace(u, r"^[^/?]*//[^/?]*", ""),
+    )
+    # default ports
+    u = F.regexp_replace(u, r"^(http://[^/:?]+):80([/?]|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?]+):443([/?]|$)", r"$1$2")
+    # tracking params in ONE alternation pass (value may be empty;
+    # param may sit after ? or &)
+    tracking = "|".join(TRACKING_PARAMS)
+    u = F.regexp_replace(u, rf"([?&])(?:{tracking})=[^&#]*", r"$1")
+    # repair separators: "?&..." -> "?...", "&&" -> "&", trailing ?/&
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    # one trailing slash off a non-root path
+    u = F.regexp_replace(u, r"^([a-z]+://[^/?]+(?:/[^?]*[^/?]))/(\?|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^([a-z]+://[^/?]+)/(\?|$)", r"$1$2")
+    return df.withColumn(new_col, u)

@@ -942,3 +942,28 @@ def test_substring_spans_differential_vs_python_reference(spark):
             for r in dedup.substring_spans(df, min_tokens=L).collect()
         }
         assert got == exp_spans, f"trial {trial}: {got ^ exp_spans}"
+
+
+def test_canonicalize_url_collapses_crawl_variants(spark):
+    """Tracking params, fragments, default ports, case, and trailing
+    slashes collapse to one canonical form; real distinctions (port
+    8080, case-sensitive paths, non-tracking params) survive."""
+    cases = [
+        (0, "HTTP://Site.com:80/a/?utm_source=x&id=3#frag"),
+        (1, "http://site.com/a?id=3"),
+        (2, "https://Example.COM:443/"),
+        (3, "https://example.com"),
+        (4, "https://a.com/path/?utm_campaign=s&fbclid=abc"),
+        (5, "https://a.com/path"),
+        (6, "https://b.com/x?gclid=1&keep=2&utm_medium=m"),
+        (7, "  https://c.com/Case/Sensitive/Path  "),
+        (8, "http://d.com:8080/a?x=1"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id BIGINT, url STRING")
+    out = {r.doc_id: r.url_canonical for r in text.canonicalize_url(df).collect()}
+    assert out[0] == out[1] == "http://site.com/a?id=3"
+    assert out[2] == out[3] == "https://example.com"
+    assert out[4] == out[5] == "https://a.com/path"
+    assert out[6] == "https://b.com/x?keep=2"
+    assert out[7] == "https://c.com/Case/Sensitive/Path"
+    assert out[8] == "http://d.com:8080/a?x=1"  # non-default port kept
