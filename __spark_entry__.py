@@ -2269,8 +2269,10 @@ _BM25_VALUES = ", ".join(
     f"({i}, '{q}')" for i, q in enumerate(BM25_QUERIES)
 )
 
-SEARCH_BM25_ORACLE = f"""
-WITH q(query_id, query) AS (VALUES {_BM25_VALUES}),
+# Shared BM25 scoring pipeline (tokenize -> tf/dl/stats -> idf -> sum)
+# used by BOTH the top-k and the coverage oracles — one copy of the
+# formula, so a scoring change cannot silently leave a stale replica.
+_BM25_SCORING_CTES = f"""WITH q(query_id, query) AS (VALUES {_BM25_VALUES}),
 qt AS (
   SELECT DISTINCT query_id, unnest(list_filter(
     string_split_regex(lower(query), '\\s+'), x -> x != '')) AS token
@@ -2297,7 +2299,10 @@ scored AS (
   JOIN dfreq USING (token)
   JOIN dl USING (doc_id)
   CROSS JOIN stats
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+SEARCH_BM25_ORACLE = f"""
+{_BM25_SCORING_CTES}
 SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
@@ -3393,34 +3398,7 @@ def _q_search_coverage(spark, sf_dir):
 
 
 SEARCH_COVERAGE_ORACLE = f"""
-WITH q(query_id, query) AS (VALUES {_BM25_VALUES}),
-qt AS (
-  SELECT DISTINCT query_id, unnest(list_filter(
-    string_split_regex(lower(query), '\\s+'), x -> x != '')) AS token
-  FROM q),
-tok AS (
-  SELECT doc_id, unnest(list_filter(
-    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS token
-  FROM documents),
-tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
-stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-dfreq AS (
-  SELECT token, COUNT(*) AS doc_freq FROM tf
-  WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1),
-scored AS (
-  SELECT qt.query_id, tf.doc_id,
-    ROUND(SUM(
-      ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
-      * tf * (1.2 + 1)
-      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
-    ), 6) AS score
-  FROM tf
-  JOIN qt USING (token)
-  JOIN dfreq USING (token)
-  JOIN dl USING (doc_id)
-  CROSS JOIN stats
-  GROUP BY 1, 2)
+{_BM25_SCORING_CTES}
 SELECT query_id, COUNT(*) AS n_docs, ROUND(AVG(score), 6) AS mean_score
 FROM scored WHERE score > 0 GROUP BY query_id
 """
@@ -3556,16 +3534,21 @@ WITH urls AS (
 steps AS (
   SELECT doc_id,
     regexp_replace(trim(raw), '#.*$', '') AS s1,
-    lower(regexp_extract(s1, '^([^/?]*//[^/?]*)', 1))
-      || regexp_replace(s1, '^[^/?]*//[^/?]*', '') AS s2,
-    regexp_replace(s2, '^(http://[^/:?]+):80([/?]|$)', '\\1\\2') AS s3,
-    regexp_replace(s3, '^(https://[^/:?]+):443([/?]|$)', '\\1\\2') AS s4,
+    CASE WHEN regexp_matches(s1, '^[^:/?]+://')
+      THEN lower(regexp_extract(s1, '^([^:/?]+)://', 1)) || '://'
+           || regexp_extract(s1, '^[^:/?]+://([^/?@]*@)', 1)
+           || lower(regexp_extract(s1, '^[^:/?]+://(?:[^/?@]*@)?([^/?]*)', 1))
+           || regexp_replace(s1, '^[^:/?]+://[^/?]*', '')
+      ELSE s1 END AS s2,
+    regexp_replace(s2, '^(http://(?:[^/?@]*@)?[^/:?]+):80([/?]|$)', '\\1\\2') AS s3,
+    regexp_replace(s3, '^(https://(?:[^/?@]*@)?[^/:?]+):443([/?]|$)', '\\1\\2') AS s4,
     regexp_replace(s4, '([?&])(?:{tracking})=[^&#]*', '\\1', 'g') AS s5,
-    regexp_replace(s5, '\\?&+', '?') AS s6,
+    regexp_replace(s5, '^([^?]*\\?)&+', '\\1') AS s6,
     regexp_replace(s6, '&&+', '&', 'g') AS s7,
-    regexp_replace(s7, '[?&]+$', '') AS s8,
-    regexp_replace(s8, '^([a-z]+://[^/?]+(/[^?]*[^/?]))/(\\?|$)', '\\1\\3') AS s9,
-    regexp_replace(s9, '^([a-z]+://[^/?]+)/(\\?|$)', '\\1\\2') AS url_canonical
+    regexp_replace(s7, '&+$', '') AS s8,
+    regexp_replace(s8, '^([^?]*)\\?$', '\\1') AS s9,
+    regexp_replace(s9, '^([a-z]+://[^/?]+(/[^?]*[^/?]))/(\\?|$)', '\\1\\3') AS s10,
+    regexp_replace(s10, '^([a-z]+://[^/?]+)/(\\?|$)', '\\1\\2') AS url_canonical
   FROM urls)
 SELECT doc_id, url_canonical FROM steps
 """

@@ -881,22 +881,35 @@ def canonicalize_url(
     u = F.trim(F.col(url_col))
     # drop fragment
     u = F.regexp_replace(u, r"#.*$", "")
-    # lowercase scheme://authority (up to first '/', '?' after scheme)
-    u = F.concat(
-        F.lower(F.regexp_extract(u, r"^([^/?]*//[^/?]*)", 1)),
-        F.regexp_replace(u, r"^[^/?]*//[^/?]*", ""),
+    # lowercase scheme and host ONLY — userinfo, path, and query are
+    # case-sensitive per RFC 3986
+    has_scheme = u.rlike(r"^[^:/?]+://")
+    scheme = F.lower(F.regexp_extract(u, r"^([^:/?]+)://", 1))
+    userinfo = F.regexp_extract(u, r"^[^:/?]+://([^/?@]*@)", 1)
+    hostport = F.regexp_extract(u, r"^[^:/?]+://(?:[^/?@]*@)?([^/?]*)", 1)
+    rest = F.regexp_replace(u, r"^[^:/?]+://[^/?]*", "")
+    u = F.when(
+        has_scheme,
+        F.concat(scheme, F.lit("://"), userinfo, F.lower(hostport), rest),
+    ).otherwise(u)
+    # default ports (userinfo-tolerant)
+    u = F.regexp_replace(
+        u, r"^(http://(?:[^/?@]*@)?[^/:?]+):80([/?]|$)", r"$1$2"
     )
-    # default ports
-    u = F.regexp_replace(u, r"^(http://[^/:?]+):80([/?]|$)", r"$1$2")
-    u = F.regexp_replace(u, r"^(https://[^/:?]+):443([/?]|$)", r"$1$2")
+    u = F.regexp_replace(
+        u, r"^(https://(?:[^/?@]*@)?[^/:?]+):443([/?]|$)", r"$1$2"
+    )
     # tracking params in ONE alternation pass (value may be empty;
     # param may sit after ? or &)
     tracking = "|".join(TRACKING_PARAMS)
     u = F.regexp_replace(u, rf"([?&])(?:{tracking})=[^&#]*", r"$1")
-    # repair separators: "?&..." -> "?...", "&&" -> "&", trailing ?/&
-    u = F.regexp_replace(u, r"\?&+", "?")
-    u = F.regexp_replace(u, r"&&+", "&")
-    u = F.regexp_replace(u, r"[?&]+$", "")
+    # repair separators — ANCHORED to the real query start (the first
+    # '?'), never inside a value: a literal '?' in a param value must
+    # not swallow the following '&'
+    u = F.regexp_replace(u, r"^([^?]*\?)&+", r"$1")  # '?&&p' at query start
+    u = F.regexp_replace(u, r"&&+", "&")              # removed middle params
+    u = F.regexp_replace(u, r"&+$", "")               # removed last param(s)
+    u = F.regexp_replace(u, r"^([^?]*)\?$", r"$1")   # empty query left over
     # one trailing slash off a non-root path
     u = F.regexp_replace(u, r"^([a-z]+://[^/?]+(?:/[^?]*[^/?]))/(\?|$)", r"$1$2")
     u = F.regexp_replace(u, r"^([a-z]+://[^/?]+)/(\?|$)", r"$1$2")

@@ -911,7 +911,6 @@ def test_substring_spans_differential_vs_python_reference(spark):
 
         # python reference
         occs = {}  # gram -> [(doc, pos)]
-        toks = {d: (t.split() if t else [""]) for d, t in docs}
         for d, t in docs:
             words = t.split() if t else []
             for i in range(max(len(words) - L + 1, 0)):
@@ -967,3 +966,24 @@ def test_canonicalize_url_collapses_crawl_variants(spark):
     assert out[6] == "https://b.com/x?keep=2"
     assert out[7] == "https://c.com/Case/Sensitive/Path"
     assert out[8] == "http://d.com:8080/a?x=1"  # non-default port kept
+
+
+def test_canonicalize_url_preserves_literal_separators_and_userinfo(spark):
+    """Regression pins from review: a literal '?' inside a value must
+    not swallow the following '&'; userinfo keeps its case while the
+    default port still strips; a trailing literal '?' in a value
+    survives; non-URLs pass through untouched."""
+    cases = [
+        (10, "https://a.com/x?a=?&b=2"),
+        (11, "https://Alice@X.com:443/p"),
+        (12, "http://u@H.com:80/q?utm_id=1"),
+        (13, "https://e.com/s?q=what?"),
+        (14, "not-a-url plain text"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id BIGINT, url STRING")
+    out = {r.doc_id: r.url_canonical for r in text.canonicalize_url(df).collect()}
+    assert out[10] == "https://a.com/x?a=?&b=2"
+    assert out[11] == "https://Alice@x.com/p"
+    assert out[12] == "http://u@h.com/q"
+    assert out[13] == "https://e.com/s?q=what?"
+    assert out[14] == "not-a-url plain text"

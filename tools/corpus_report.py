@@ -35,7 +35,7 @@ def main() -> None:
     for r in stats.profile(docs).orderBy("column").collect():
         lines.append(f"| {r.column} | {r.n_rows} | {r.n_null} | {r.n_distinct} |")
 
-    lines += ["", "## Source mix (chars contributed)", "", "| source | docs | share | suggested salt |", "|---|---|---|---|"]
+    lines += ["", "## Source mix (docs contributed)", "", "| source | docs | doc share | suggested salt |", "|---|---|---|---|"]
     for r in skew.top_keys(docs, ["source"], k=10).collect():
         lines.append(f"| {r.source} | {r.n} | {r.share} | {r.suggested_salt} |")
 
