@@ -184,12 +184,19 @@ def remove_common_lines(
     max_df: int = 10,
     new_col: Optional[str] = None,
     min_len: int = 1,
+    group_col: Optional[str] = None,
 ) -> DataFrame:
     """Boilerplate removal: drop every line that occurs in more than
     ``max_df`` documents (nav bars, cookie banners, license footers —
     the RefinedWeb/CCNet-style cleanup). Lines shorter than ``min_len``
     characters are kept unconditionally (blank separators aren't
     boilerplate evidence).
+
+    ``group_col`` (e.g. the host from ``url_host``) scopes the
+    document-frequency count WITHIN each group — boilerplate is mostly
+    site-specific, so a per-host count catches a small site's nav bar
+    (which a global threshold misses) while a sentence that happens to
+    be popular across the whole web is no longer over-removed.
 
     Distributed shape: explode to (doc, pos, line), count distinct-doc
     frequency per line (one shuffle on the line — partial-aggregated,
@@ -205,16 +212,17 @@ def remove_common_lines(
         F.col(text_col).alias("__orig"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
     )
+    freq_keys = ["__line"] if group_col is None else [group_col, "__line"]
     frequent = (
         lines.where(F.length("__line") >= min_len)
-        .groupBy("__line")
+        .groupBy(*freq_keys)
         .agg(F.count_distinct(F.col(id_col)).alias("__df"))
         .where(F.col("__df") > max_df)
-        .select("__line")
+        .select(*freq_keys)
     )
     kept = lines.join(
         frequent.withColumn("__drop", F.lit(True)),
-        "__line",
+        freq_keys,
         "left",
     ).where(F.col("__drop").isNull() | (F.length("__line") < min_len))
     rebuilt = (

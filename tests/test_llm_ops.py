@@ -987,3 +987,36 @@ def test_canonicalize_url_preserves_literal_separators_and_userinfo(spark):
     assert out[12] == "http://u@h.com/q"
     assert out[13] == "https://e.com/s?q=what?"
     assert out[14] == "not-a-url plain text"
+
+
+def test_remove_common_lines_per_group_scoping(spark):
+    """group_col scopes boilerplate counting per host: a small site's
+    nav line (3 of its 3 docs) is removed even though globally rare,
+    while a line spread thinly ACROSS hosts survives a per-host
+    threshold it would fail globally."""
+    site_nav = "home | about | contact"
+    spread = "popular sentence everywhere"
+    rows = []
+    for i in range(3):  # tiny.com: nav boilerplate in every doc
+        rows.append((i, "tiny.com", f"{site_nav}\ncontent {i}"))
+    for i in range(6):  # one spread-line doc on each of 6 hosts
+        rows.append((10 + i, f"h{i}.com", f"{spread}\nbody {i}"))
+    df = spark.createDataFrame(rows, "doc_id BIGINT, host STRING, text STRING")
+
+    grouped = {
+        r.doc_id: r.text
+        for r in text.remove_common_lines(
+            df, max_df=2, group_col="host"
+        ).collect()
+    }
+    # per-host: nav (df=3 within tiny.com) removed; spread (df=1 per host) kept
+    assert all(site_nav not in grouped[i] for i in range(3))
+    assert all(spread in grouped[10 + i] for i in range(6))
+
+    global_ = {
+        r.doc_id: r.text
+        for r in text.remove_common_lines(df, max_df=2).collect()
+    }
+    # global: both exceed df=2 -> both removed (the over-removal
+    # group_col exists to avoid)
+    assert all(spread not in global_[10 + i] for i in range(6))
