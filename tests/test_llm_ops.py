@@ -1020,3 +1020,32 @@ def test_remove_common_lines_per_group_scoping(spark):
     # global: both exceed df=2 -> both removed (the over-removal
     # group_col exists to avoid)
     assert all(spread not in global_[10 + i] for i in range(6))
+
+
+def test_canonicalize_url_idempotent(spark):
+    """Canonicalization must be a projection onto its own image:
+    canonicalize(canonicalize(u)) == canonicalize(u) for messy inputs
+    — otherwise dedup results depend on how many times the pipeline
+    ran."""
+    import random
+
+    rng = random.Random(5)
+    hosts = ["A.com", "b.org:80", "C.net:443", "d.io:8080", "User@E.com:80"]
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    paths = ["", "/", "/p/q/", "/Case/Path", "/x"]
+    params = ["", "?utm_source=a", "?id=1&utm_b=2", "?a=?&b=2", "?gclid=9",
+              "?x=1&y=2", "?utm_a=1&utm_b=2&utm_c=3"]
+    frags = ["", "#f", "#frag?x=1"]
+    rows = []
+    for i in range(60):
+        u = (f"{rng.choice(schemes)}://{rng.choice(hosts)}"
+             f"{rng.choice(paths)}{rng.choice(params)}{rng.choice(frags)}")
+        rows.append((i, u))
+    df = spark.createDataFrame(rows, "doc_id BIGINT, url STRING")
+    once = text.canonicalize_url(df).select(
+        "doc_id", F.col("url_canonical").alias("url")
+    )
+    twice = text.canonicalize_url(once).select("doc_id", "url_canonical")
+    joined = once.join(twice, "doc_id")
+    diffs = joined.where(F.col("url") != F.col("url_canonical")).collect()
+    assert diffs == [], [(r.url, r.url_canonical) for r in diffs]
