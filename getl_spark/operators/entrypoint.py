@@ -52,6 +52,8 @@ def generic(conf: BlockConfig) -> DataFrame:
             "text.decontaminate",
             "dedup.fuzzy_join",
             "stats.table_diff",
+            "stats.ks_drift",
+            "stats.psi",
             "similarity.topk_between",
         ):
             # multi-input operators consume [left, right] from Input
@@ -324,6 +326,30 @@ def stream_dedup(conf: BlockConfig) -> DataFrame:
         time_col=conf.get("TimeColumn", None),
         watermark=conf.get("Watermark", None),
     )
+
+
+def expect_rows(conf: BlockConfig) -> DataFrame:
+    """Row-count guard: fail the lift when a block's output falls
+    outside declared bounds — the empty-feed / exploded-join circuit
+    breaker that row-level ``transform::validate`` expectations cannot
+    express. Properties: ``Min`` (default 1 — "this feed must not be
+    empty"), ``Max`` (optional — "this join must not explode").
+
+    Cost: ONE count() action at this point in the pipeline. Use it at
+    trust boundaries (after a load, after a risky join), not after
+    every block.
+    """
+    df = conf.input_df()
+    lo = int(conf.get("Min", 1))
+    hi = conf.get("Max", None)
+    n = df.count()
+    if n < lo or (hi is not None and n > int(hi)):
+        bound = f">= {lo}" if hi is None else f"in [{lo}, {hi}]"
+        raise ValueError(
+            f"expect_rows: block '{conf.section_name}' produced {n} rows, "
+            f"expected {bound}"
+        )
+    return df
 
 
 def checkpoint(conf: BlockConfig) -> DataFrame:

@@ -717,3 +717,26 @@ LiftJob:
     # reads the materialized RDD stub
     plan = log.get("Cut")._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in plan and "ExistingRDD" in plan
+
+
+def test_expect_rows_guard(spark, sample_dir):
+    def run(props):
+        return lift(
+            spark,
+            f"""
+LiftJob:
+  Load:
+    Type: load::batch_parquet
+    Properties: {{Path: {sample_dir}/parquet}}
+  Guard:
+    Type: transform::expect_rows
+    Input: Load
+    Properties: {props}
+""",
+        )
+
+    assert run("{Min: 1, Max: 10}").get("Guard").count() == 3
+    with pytest.raises(ValueError, match="expected >= 5"):
+        run("{Min: 5}")
+    with pytest.raises(ValueError, match="expected in \\[1, 2\\]"):
+        run("{Min: 1, Max: 2}")
