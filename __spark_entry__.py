@@ -3554,6 +3554,98 @@ SELECT doc_id, url_canonical FROM steps
 """
 
 
+def _q_weighted_mix(spark, sf_dir):
+    """sample.weighted_mix on FIXED source frames (xxhash keep
+    decisions — golden pinned): per-source kept counts + id checksum."""
+    from getl_spark.functions import sample
+
+    web = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    books = spark.range(1000, 1200).select(F.col("id").alias("doc_id"))
+    code = spark.range(2000, 2100).select(F.col("id").alias("doc_id"))
+    mixed = sample.weighted_mix(
+        {"web": web, "books": books, "code": code},
+        {"web": 0.2, "books": 1.0, "code": 0.5},
+        ["doc_id"],
+        seed=13,
+    )
+    return mixed.groupBy("source_name").agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+WEIGHTED_MIX_ORACLE = """
+SELECT * FROM (VALUES
+  ('web',   CAST(77 AS BIGINT), CAST(13990 AS BIGINT)),
+  ('books', CAST(200 AS BIGINT), CAST(219900 AS BIGINT)),
+  ('code',  CAST(41 AS BIGINT), CAST(84128 AS BIGINT))
+) AS t(source_name, n, id_sum)
+"""
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """text.pack_sequences on a FIXED length distribution (packing is
+    deterministic FFD per hash bucket — golden pinned as per-pack
+    aggregates: pack count, fill totals, oversize flags)."""
+    from getl_spark.functions import text
+
+    docs = spark.range(0, 120).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(300)) + 1).alias("n_tok"),
+    )
+    packed = text.pack_sequences(
+        docs, token_col="n_tok", max_tokens=512, buckets=4
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("fill"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+    )
+
+
+PACK_SEQUENCES_ORACLE = """
+SELECT * FROM (VALUES
+  ('b0-p0', CAST(3 AS BIGINT), CAST(502 AS BIGINT), 0),
+  ('b0-p1', CAST(3 AS BIGINT), CAST(507 AS BIGINT), 0),
+  ('b0-p10', CAST(5 AS BIGINT), CAST(489 AS BIGINT), 0),
+  ('b0-p11', CAST(3 AS BIGINT), CAST(189 AS BIGINT), 0),
+  ('b0-p2', CAST(2 AS BIGINT), CAST(505 AS BIGINT), 0),
+  ('b0-p3', CAST(2 AS BIGINT), CAST(505 AS BIGINT), 0),
+  ('b0-p4', CAST(3 AS BIGINT), CAST(507 AS BIGINT), 0),
+  ('b0-p5', CAST(2 AS BIGINT), CAST(510 AS BIGINT), 0),
+  ('b0-p6', CAST(2 AS BIGINT), CAST(509 AS BIGINT), 0),
+  ('b0-p7', CAST(2 AS BIGINT), CAST(497 AS BIGINT), 0),
+  ('b0-p8', CAST(3 AS BIGINT), CAST(504 AS BIGINT), 0),
+  ('b0-p9', CAST(4 AS BIGINT), CAST(498 AS BIGINT), 0),
+  ('b1-p0', CAST(2 AS BIGINT), CAST(505 AS BIGINT), 0),
+  ('b1-p1', CAST(2 AS BIGINT), CAST(506 AS BIGINT), 0),
+  ('b1-p2', CAST(2 AS BIGINT), CAST(509 AS BIGINT), 0),
+  ('b1-p3', CAST(4 AS BIGINT), CAST(504 AS BIGINT), 0),
+  ('b1-p4', CAST(3 AS BIGINT), CAST(510 AS BIGINT), 0),
+  ('b1-p5', CAST(4 AS BIGINT), CAST(512 AS BIGINT), 0),
+  ('b1-p6', CAST(6 AS BIGINT), CAST(463 AS BIGINT), 0),
+  ('b2-p0', CAST(2 AS BIGINT), CAST(506 AS BIGINT), 0),
+  ('b2-p1', CAST(2 AS BIGINT), CAST(510 AS BIGINT), 0),
+  ('b2-p2', CAST(3 AS BIGINT), CAST(511 AS BIGINT), 0),
+  ('b2-p3', CAST(4 AS BIGINT), CAST(511 AS BIGINT), 0),
+  ('b2-p4', CAST(4 AS BIGINT), CAST(501 AS BIGINT), 0),
+  ('b2-p5', CAST(4 AS BIGINT), CAST(495 AS BIGINT), 0),
+  ('b2-p6', CAST(7 AS BIGINT), CAST(494 AS BIGINT), 0),
+  ('b2-p7', CAST(3 AS BIGINT), CAST(104 AS BIGINT), 0),
+  ('b3-p0', CAST(2 AS BIGINT), CAST(512 AS BIGINT), 0),
+  ('b3-p1', CAST(3 AS BIGINT), CAST(511 AS BIGINT), 0),
+  ('b3-p10', CAST(2 AS BIGINT), CAST(94 AS BIGINT), 0),
+  ('b3-p2', CAST(4 AS BIGINT), CAST(512 AS BIGINT), 0),
+  ('b3-p3', CAST(3 AS BIGINT), CAST(511 AS BIGINT), 0),
+  ('b3-p4', CAST(2 AS BIGINT), CAST(496 AS BIGINT), 0),
+  ('b3-p5', CAST(3 AS BIGINT), CAST(506 AS BIGINT), 0),
+  ('b3-p6', CAST(3 AS BIGINT), CAST(504 AS BIGINT), 0),
+  ('b3-p7', CAST(3 AS BIGINT), CAST(504 AS BIGINT), 0),
+  ('b3-p8', CAST(4 AS BIGINT), CAST(496 AS BIGINT), 0),
+  ('b3-p9', CAST(5 AS BIGINT), CAST(491 AS BIGINT), 0)
+) AS t(pack_id, n_docs, fill, has_oversize)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -3815,6 +3907,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder_key": _q_zorder_key,
         "sketch_estimates": _q_sketch_estimates,
         "canonicalize_url": _q_canonicalize_url,
+        "sample_weighted_mix": _q_weighted_mix,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -3891,6 +3985,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "layout_zorder_key": ZORDER_KEY_ORACLE,
         "sketch_estimates": SKETCH_ESTIMATES_ORACLE,
         "canonicalize_url": _canonicalize_url_oracle(),
+        "sample_weighted_mix": WEIGHTED_MIX_ORACLE,
+        "pack_sequences": PACK_SEQUENCES_ORACLE,
     }
 
 
