@@ -3646,6 +3646,38 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    """multimodal.resize over document bytes: the Arrow mapInPandas
+    plumbing (schema, meta-struct rebuild, null passthrough, output
+    size ∝ target) with the deterministic stub codec — the DuckDB
+    oracle reproduces the truncate-or-cycle resample byte-for-byte."""
+    from getl_spark.functions import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        "doc_id % 10 = 0"
+    )
+    media = multimodal.to_media(docs, "text")
+    out = multimodal.resize(media, width=8, height=4)
+    return out.select(
+        "doc_id",
+        "content",
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+    )
+
+
+# substr operates on characters; documents text is pure ASCII (asserted
+# below by octet_length == length), so char slicing == byte slicing
+MULTIMODAL_RESIZE_ORACLE = """
+SELECT doc_id,
+  encode(substr(repeat(text, CAST(ceil(32.0 / length(text)) AS INT)), 1, 32))
+    AS content,
+  8 AS w, 4 AS h
+FROM documents
+WHERE doc_id % 10 = 0 AND octet_length(encode(text)) = length(text)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -3909,6 +3941,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize_url": _q_canonicalize_url,
         "sample_weighted_mix": _q_weighted_mix,
         "pack_sequences": _q_pack_sequences,
+        "multimodal_resize": _q_multimodal_resize,
     }
 
 
@@ -3987,6 +4020,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "canonicalize_url": _canonicalize_url_oracle(),
         "sample_weighted_mix": WEIGHTED_MIX_ORACLE,
         "pack_sequences": PACK_SEQUENCES_ORACLE,
+        "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
     }
 
 
