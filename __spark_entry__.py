@@ -3678,6 +3678,152 @@ WHERE doc_id % 10 = 0 AND octet_length(encode(text)) = length(text)
 """
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    """text.unigram_logprob — corpus-trained unigram LM score per
+    document (model-free perplexity-style quality filter). Fully
+    SQL-expressible: the DuckDB oracle rebuilds the same normalized
+    words, >= min_count vocabulary, smoothed distribution, and mean
+    log-probability."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.unigram_logprob(docs, "doc_id", "text", min_count=2)
+    return out.select(
+        "doc_id", "n_tokens", F.round("logprob", 6).alias("logprob")
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = """
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+), vocab AS (
+  SELECT w, COUNT(*) AS c FROM words GROUP BY w HAVING COUNT(*) >= 2
+), totals AS (
+  SELECT SUM(c) AS t, COUNT(*) AS v FROM vocab
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(ln((COALESCE(c, 0) + 0.5) / (t + 0.5 * (v + 1)))), 6)
+         AS logprob
+FROM words LEFT JOIN vocab USING (w) CROSS JOIN totals
+GROUP BY doc_id
+"""
+
+
+def _q_temperature_mix(spark, sf_dir):
+    """sample.temperature_mix on a FIXED skewed frame (selection is
+    xxhash-order — inexpressible in DuckDB; golden pinned): alpha=0.5
+    pulls kept sizes to ∝ n^0.5 with the smallest stratum kept whole,
+    summarized per stratum for a compact value-hash."""
+    from getl_spark.functions import sample
+
+    base = spark.range(0, 1200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 800, "web")
+        .when(F.col("id") < 1100, "books")
+        .otherwise("code")
+        .alias("src"),
+    )
+    out = sample.temperature_mix(base, "src", 0.5, ["doc_id"], seed=7)
+    return out.groupBy("src").agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+TEMPERATURE_MIX_ORACLE = """
+SELECT * FROM (VALUES
+  ('books', CAST(166 AS BIGINT), CAST(157767 AS BIGINT)),
+  ('code', CAST(100 AS BIGINT), CAST(114950 AS BIGINT)),
+  ('web', CAST(274 AS BIGINT), CAST(111938 AS BIGINT))
+) AS t(src, n, id_sum)
+"""
+
+
+def _q_pca_project(spark, sf_dir):
+    """embedding.fit_pca + pca_project on a FIXED deterministic
+    anisotropic cloud (eigendecomposition is not SQL-expressible;
+    golden pinned at 6 decimals). One partition so the partial-Gram
+    accumulation order — and thus the last float bit — is fixed."""
+    from getl_spark.functions import embedding as E
+
+    rows = []
+    for i in range(40):
+        t = (i - 20) / 7.0
+        u = ((i * 13) % 9 - 4) / 11.0
+        rows.append(
+            (
+                i,
+                [
+                    t + u,
+                    2.0 * t - u,
+                    -t + 0.5 * u + 0.25 * t * t,
+                    u * u - t,
+                    0.5 * t + 2.0 * u,
+                ],
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(1)
+    model = E.fit_pca(df, "embedding", k=2)
+    proj = E.pca_project(df, model, "embedding")
+    return proj.select(
+        "vec_id",
+        F.round(F.col("pca_vec")[0], 6).alias("p0"),
+        F.round(F.col("pca_vec")[1], 6).alias("p1"),
+    )
+
+
+PCA_PROJECT_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(-7.985911 AS DOUBLE), CAST(-0.051947 AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(-7.545722 AS DOUBLE), CAST(0.626683 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(-7.207086 AS DOUBLE), CAST(1.285059 AS DOUBLE)),
+  (CAST(3 AS BIGINT), CAST(-6.619152 AS DOUBLE), CAST(0.2174 AS DOUBLE)),
+  (CAST(4 AS BIGINT), CAST(-6.264053 AS DOUBLE), CAST(0.894749 AS DOUBLE)),
+  (CAST(5 AS BIGINT), CAST(-5.714548 AS DOUBLE), CAST(-0.168808 AS DOUBLE)),
+  (CAST(6 AS BIGINT), CAST(-5.342987 AS DOUBLE), CAST(0.527514 AS DOUBLE)),
+  (CAST(7 AS BIGINT), CAST(-4.831912 AS DOUBLE), CAST(-0.531939 AS DOUBLE)),
+  (CAST(8 AS BIGINT), CAST(-4.443888 AS DOUBLE), CAST(0.183356 AS DOUBLE)),
+  (CAST(9 AS BIGINT), CAST(-3.971242 AS DOUBLE), CAST(-0.871995 AS DOUBLE)),
+  (CAST(10 AS BIGINT), CAST(-3.566756 AS DOUBLE), CAST(-0.137727 AS DOUBLE)),
+  (CAST(11 AS BIGINT), CAST(-3.263822 AS DOUBLE), CAST(0.576288 AS DOUBLE)),
+  (CAST(12 AS BIGINT), CAST(-2.71159 AS DOUBLE), CAST(-0.435733 AS DOUBLE)),
+  (CAST(13 AS BIGINT), CAST(-2.392194 AS DOUBLE), CAST(0.297254 AS DOUBLE)),
+  (CAST(14 AS BIGINT), CAST(-1.878391 AS DOUBLE), CAST(-0.710664 AS DOUBLE)),
+  (CAST(15 AS BIGINT), CAST(-1.542533 AS DOUBLE), CAST(0.041296 AS DOUBLE)),
+  (CAST(16 AS BIGINT), CAST(-1.06716 AS DOUBLE), CAST(-0.962519 AS DOUBLE)),
+  (CAST(17 AS BIGINT), CAST(-0.714839 AS DOUBLE), CAST(-0.191585 AS DOUBLE)),
+  (CAST(18 AS BIGINT), CAST(-0.277895 AS DOUBLE), CAST(-1.191298 AS DOUBLE)),
+  (CAST(19 AS BIGINT), CAST(0.090889 AS DOUBLE), CAST(-0.401391 AS DOUBLE)),
+  (CAST(20 AS BIGINT), CAST(0.35812 AS DOUBLE), CAST(0.368261 AS DOUBLE)),
+  (CAST(21 AS BIGINT), CAST(0.874649 AS DOUBLE), CAST(-0.588121 AS DOUBLE)),
+  (CAST(22 AS BIGINT), CAST(1.158343 AS DOUBLE), CAST(0.200504 AS DOUBLE)),
+  (CAST(23 AS BIGINT), CAST(1.636443 AS DOUBLE), CAST(-0.751776 AS DOUBLE)),
+  (CAST(24 AS BIGINT), CAST(1.936599 AS DOUBLE), CAST(0.055823 AS DOUBLE)),
+  (CAST(25 AS BIGINT), CAST(2.37627 AS DOUBLE), CAST(-0.892354 AS DOUBLE)),
+  (CAST(26 AS BIGINT), CAST(2.692888 AS DOUBLE), CAST(-0.065782 AS DOUBLE)),
+  (CAST(27 AS BIGINT), CAST(3.09413 AS DOUBLE), CAST(-1.009856 AS DOUBLE)),
+  (CAST(28 AS BIGINT), CAST(3.427211 AS DOUBLE), CAST(-0.164311 AS DOUBLE)),
+  (CAST(29 AS BIGINT), CAST(3.658739 AS DOUBLE), CAST(0.66098 AS DOUBLE)),
+  (CAST(30 AS BIGINT), CAST(4.139566 AS DOUBLE), CAST(-0.239765 AS DOUBLE)),
+  (CAST(31 AS BIGINT), CAST(4.387558 AS DOUBLE), CAST(0.6045 AS DOUBLE)),
+  (CAST(32 AS BIGINT), CAST(4.829955 AS DOUBLE), CAST(-0.292142 AS DOUBLE)),
+  (CAST(33 AS BIGINT), CAST(5.094409 AS DOUBLE), CAST(0.571095 AS DOUBLE)),
+  (CAST(34 AS BIGINT), CAST(5.498377 AS DOUBLE), CAST(-0.321444 AS DOUBLE)),
+  (CAST(35 AS BIGINT), CAST(5.779293 AS DOUBLE), CAST(0.560767 AS DOUBLE)),
+  (CAST(36 AS BIGINT), CAST(6.144832 AS DOUBLE), CAST(-0.327669 AS DOUBLE)),
+  (CAST(37 AS BIGINT), CAST(6.442211 AS DOUBLE), CAST(0.573514 AS DOUBLE)),
+  (CAST(38 AS BIGINT), CAST(6.638037 AS DOUBLE), CAST(1.454443 AS DOUBLE)),
+  (CAST(39 AS BIGINT), CAST(7.083161 AS DOUBLE), CAST(0.609337 AS DOUBLE))
+) AS t(vec_id, p0, p1)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -3942,6 +4088,9 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_mix": _q_weighted_mix,
         "pack_sequences": _q_pack_sequences,
         "multimodal_resize": _q_multimodal_resize,
+        "text_unigram_logprob": _q_unigram_logprob,
+        "sample_temperature_mix": _q_temperature_mix,
+        "embedding_pca_project": _q_pca_project,
     }
 
 
@@ -4021,6 +4170,9 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sample_weighted_mix": WEIGHTED_MIX_ORACLE,
         "pack_sequences": PACK_SEQUENCES_ORACLE,
         "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
+        "text_unigram_logprob": UNIGRAM_LOGPROB_ORACLE,
+        "sample_temperature_mix": TEMPERATURE_MIX_ORACLE,
+        "embedding_pca_project": PCA_PROJECT_ORACLE,
     }
 
 

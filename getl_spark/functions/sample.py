@@ -94,6 +94,68 @@ def weighted_mix(
     return out
 
 
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float,
+    id_cols: Sequence[str],
+    seed: int = 0,
+    scale: float = 1.0,
+    frac_col: Optional[str] = None,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing: downsample each stratum
+    (language/source/domain) so kept sizes are proportional to
+    ``n_g ** alpha`` — the standard rebalancing step for multilingual /
+    multi-source training corpora (alpha=1 keeps the natural
+    distribution, alpha=0 equalizes all strata, alpha≈0.3-0.7 the
+    usual compromise). Per-stratum keep fractions are
+    ``f_g = scale * (n_g / n_min) ** (alpha - 1)`` — the smallest
+    stratum keeps ``scale`` of its rows and every larger stratum is
+    downsampled toward the ``n_g ** alpha`` target distribution
+    (kept sizes ∝ n_g^alpha exactly). Downsample-only by design:
+    no stratum is ever upsampled/duplicated — repetition is the dedup
+    pipeline's enemy — so the cost of rebalancing is paid by the big
+    strata, the way mT5/XLM-R-style corpus recipes do it.
+
+    Plan shape (scale-safe at 100 TB): ONE partial-agg shuffle for the
+    per-stratum counts (reduce side is #strata rows, dimension-sized),
+    a 1-row max folded in by window, then a **broadcast** equi-join of
+    the k-row fraction table back onto the corpus and the same
+    content-hash Bernoulli filter ``stratified`` uses — deterministic
+    under retries, no driver action, corpus never reshuffled.
+
+    ``frac_col`` (optional) also emits the applied fraction per row —
+    handy for loss reweighting (1/f importance weights).
+    """
+    if alpha < 0.0 or alpha > 1.0:
+        raise ValueError(f"temperature_mix: alpha must be in [0, 1], got {alpha}")
+    if not 0.0 < scale <= 1.0:
+        raise ValueError(f"temperature_mix: scale must be in (0, 1], got {scale}")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    w = Window.partitionBy()
+    fracs = counts.select(
+        F.col(strata_col),
+        F.least(
+            F.lit(1.0),
+            F.lit(scale)
+            * F.pow(
+                F.col("__n") / F.min("__n").over(w), F.lit(float(alpha) - 1.0)
+            ),
+        ).alias("__frac"),
+    )
+    u = _unit_hash(id_cols, seed)
+    # null-safe equi-join so a NULL stratum samples like any other
+    # (a plain `on=col` join would silently drop NULL-stratum rows)
+    fr = fracs.withColumnRenamed(strata_col, "__stratum")
+    out = df.join(
+        F.broadcast(fr), F.col(strata_col).eqNullSafe(F.col("__stratum")), "left"
+    ).where(u < F.coalesce(F.col("__frac"), F.lit(0.0)))
+    out = out.drop("__stratum")
+    if frac_col:
+        return out.withColumn(frac_col, F.col("__frac")).drop("__frac")
+    return out.drop("__frac")
+
+
 def split(
     df: DataFrame,
     fractions: Dict[str, float],

@@ -922,3 +922,77 @@ def canonicalize_url(
     u = F.regexp_replace(u, r"^([a-z]+://[^/?]+(?:/[^?]*[^/?]))/(\?|$)", r"$1$2")
     u = F.regexp_replace(u, r"^([a-z]+://[^/?]+)/(\?|$)", r"$1$2")
     return df.withColumn(new_col, u)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    smoothing: float = 0.5,
+    new_col: str = "logprob",
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document: the
+    mean natural-log probability of the document's words under the
+    corpus's own unigram distribution. A model-free stand-in for the
+    KenLM-style perplexity filters used in web-corpus curation
+    (CCNet-style): boilerplate/gibberish scores far below, and
+    lorem-ipsum-ish repetitive text far above, the corpus median —
+    both tails are cut candidates.
+
+    Words are the shared normalized form (lowercase alnum). The
+    vocabulary is every word with corpus frequency >= ``min_count``
+    (a deterministic threshold, unlike a top-K rank cut); rarer words
+    fall back to an additive-``smoothing`` floor, so the score is
+    total-order comparable across documents:
+
+        p(w) = (c_w + smoothing) / (T + smoothing * (V + 1))
+
+    with T total in-vocab tokens and V vocabulary size; every
+    out-of-vocab token shares one unseen-word bucket.
+
+    Plan shape at 100 TB: one corpus scan explodes words (row
+    generator, no shuffle), ONE keyed partial-agg shuffle builds word
+    counts (map-side combine does the heavy lifting: reduce-side rows
+    = vocabulary size), the 1-row (T, V) totals are a broadcast, the
+    vocab table joins back to the exploded words — broadcast when the
+    vocabulary is dimension-sized, AQE picks SMJ beyond that — and one
+    final partial-agg shuffle on ``id_col`` averages per document.
+    Entirely JVM expressions; fully SQL-expressible (exact DuckDB
+    oracle, no pinned golden).
+
+    Returns ``(id_col, n_tokens, logprob)``. Documents with no words
+    after normalization are dropped (no tokens → no distribution).
+    """
+    if min_count < 1:
+        raise ValueError(f"unigram_logprob: min_count must be >= 1, got {min_count}")
+    if smoothing <= 0.0:
+        raise ValueError(f"unigram_logprob: smoothing must be > 0, got {smoothing}")
+    words = (
+        df.select(F.col(id_col), F.explode(F.split(_norm_words_expr(text_col), " ")).alias("__w"))
+        .where(F.col("__w") != "")
+    )
+    words = words.localCheckpoint(eager=False)
+    vocab = (
+        words.groupBy("__w")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= min_count)
+    )
+    totals = vocab.agg(
+        F.sum("__c").alias("__t"), F.count("*").alias("__v")
+    )
+    scored = (
+        words.crossJoin(F.broadcast(totals))
+        .join(vocab, "__w", "left")
+        .select(
+            F.col(id_col),
+            (
+                F.log(F.coalesce(F.col("__c"), F.lit(0)) + F.lit(float(smoothing)))
+                - F.log(F.col("__t") + F.lit(float(smoothing)) * (F.col("__v") + F.lit(1)))
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.avg("__lp").alias(new_col),
+    )

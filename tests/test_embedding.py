@@ -185,3 +185,93 @@ def test_hash_embed_empty_and_null_docs_become_zero_vectors(spark):
     for d in (1, 2, 3):
         assert all(x == 0.0 for x in vecs[d])
     assert any(x != 0.0 for x in vecs[0])
+
+
+def _toy_vectors(spark, n=300, d=12, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # anisotropic cloud: variance concentrated in a few directions
+    basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    scales = np.array([5.0, 3.0, 2.0] + [0.3] * (d - 3))
+    X = rng.normal(size=(n, d)) * scales @ basis.T + rng.normal(size=d)
+    return X, spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_fit_pca_matches_numpy_reference(spark):
+    import numpy as np
+
+    from getl_spark.functions import embedding as E
+
+    X, df = _toy_vectors(spark)
+    model = E.fit_pca(df.repartition(7), "embedding", k=4)
+    mean = X.mean(axis=0)
+    cov = np.cov(X.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    W = evecs[:, order].T
+    top = np.abs(W).argmax(axis=1)
+    s = np.sign(W[np.arange(4), top])
+    s[s == 0] = 1
+    W = W * s[:, None]
+    assert np.allclose(np.array(model.mean), mean, atol=1e-9)
+    assert np.allclose(np.array(model.components), W, atol=1e-7)
+    # variance ratios descending, dominated by the 3 planted directions
+    evr = model.explained_variance_ratio
+    assert all(a >= b for a, b in zip(evr, evr[1:]))
+    assert sum(evr[:3]) > 0.9
+
+
+def test_fit_pca_partition_invariant(spark):
+    import numpy as np
+
+    from getl_spark.functions import embedding as E
+
+    _, df = _toy_vectors(spark, n=200, seed=1)
+    m1 = E.fit_pca(df.coalesce(1), "embedding", k=3)
+    m2 = E.fit_pca(df.repartition(13), "embedding", k=3)
+    assert np.allclose(np.array(m1.components), np.array(m2.components), atol=1e-9)
+    assert np.allclose(np.array(m1.mean), np.array(m2.mean), atol=1e-12)
+
+
+def test_pca_project_matches_numpy_and_handles_null(spark):
+    import numpy as np
+
+    from getl_spark.functions import embedding as E
+
+    X, df = _toy_vectors(spark, n=150, seed=2)
+    model = E.fit_pca(df, "embedding", k=3)
+    with_null = df.unionByName(
+        spark.createDataFrame([(9999, None)], df.schema)
+    )
+    proj = E.pca_project(with_null, model, "embedding")
+    rows = {r.vec_id: r.pca_vec for r in proj.collect()}
+    assert rows[9999] is None
+    ref = (X - np.array(model.mean)) @ np.array(model.components).T
+    got = np.stack([rows[i] for i in range(len(X))])
+    assert np.allclose(got, ref, atol=1e-8)
+
+
+def test_pca_project_is_pure_projection_no_shuffle(spark):
+    from getl_spark.functions import embedding as E
+
+    _, df = _toy_vectors(spark, n=50, seed=3)
+    model = E.fit_pca(df, "embedding", k=2)
+    plan = E.pca_project(df, model, "embedding")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scan-side expression only
+
+
+def test_fit_pca_validation(spark):
+    from getl_spark.functions import embedding as E
+
+    _, df = _toy_vectors(spark, n=20, d=5, seed=4)
+    with pytest.raises(ValueError):
+        E.fit_pca(df, "embedding", k=6)  # k > d
+    import pyspark.sql.functions as SF
+
+    empty = df.where(SF.lit(False))
+    with pytest.raises(ValueError):
+        E.fit_pca(empty, "embedding", k=2)

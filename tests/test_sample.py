@@ -178,3 +178,75 @@ def test_stratified_no_shuffle(docs):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_temperature_mix_alpha_one_is_identity(docs):
+    out = sample.temperature_mix(docs, "src", 1.0, ["doc_id"], seed=3)
+    assert out.count() == docs.count()
+
+
+def test_temperature_mix_rebalances_toward_alpha_power(spark):
+    # skewed strata: 2000 / 500 / 125 rows
+    df = spark.range(0, 2625).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 2000, "big")
+        .when(F.col("id") < 2500, "mid")
+        .otherwise("small")
+        .alias("src"),
+    )
+    out = sample.temperature_mix(df, "src", 0.5, ["doc_id"], seed=1)
+    got = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    # targets: n_g^0.5 * 125^0.5 -> big 500, mid 250, small 125
+    assert got["small"] == 125  # smallest stratum kept whole
+    assert abs(got["mid"] - 250) < 40
+    assert abs(got["big"] - 500) < 60
+    # alpha=0 equalizes to ~125 each
+    eq = sample.temperature_mix(df, "src", 0.0, ["doc_id"], seed=1)
+    got0 = {r["src"]: r["count"] for r in eq.groupBy("src").count().collect()}
+    assert got0["small"] == 125
+    assert abs(got0["big"] - 125) < 40
+    assert abs(got0["mid"] - 125) < 40
+
+
+def test_temperature_mix_deterministic_subset_and_frac_col(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 800, "a").otherwise("b").alias("src"),
+    )
+    one = sample.temperature_mix(df, "src", 0.3, ["doc_id"], seed=5, frac_col="f")
+    two = sample.temperature_mix(df, "src", 0.3, ["doc_id"], seed=5, frac_col="f")
+    rows_one = sorted((r.doc_id, round(r.f, 9)) for r in one.collect())
+    rows_two = sorted((r.doc_id, round(r.f, 9)) for r in two.collect())
+    assert rows_one == rows_two
+    # kept set is a subset of the input, fractions in (0, 1]
+    assert all(0.0 < f <= 1.0 for _, f in rows_one)
+    # smallest stratum's fraction is exactly scale (=1.0 default → kept whole)
+    b_rows = [f for (i, f) in rows_one if i >= 800]
+    assert all(f == 1.0 for f in b_rows) and len(b_rows) == 200
+
+
+def test_temperature_mix_null_stratum_and_validation(spark):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 300, "a").otherwise(None).alias("src"),
+    )
+    out = sample.temperature_mix(df, "src", 0.0, ["doc_id"], seed=2)
+    got = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    # NULL stratum participates like any other (smallest → kept whole)
+    assert got.get(None) == 100
+    with pytest.raises(ValueError):
+        sample.temperature_mix(df, "src", 1.5, ["doc_id"])
+    with pytest.raises(ValueError):
+        sample.temperature_mix(df, "src", 0.5, ["doc_id"], scale=0.0)
+
+
+def test_temperature_mix_scale_halves_everything(spark):
+    df = spark.range(0, 1200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "big").otherwise("small").alias("src"),
+    )
+    out = sample.temperature_mix(df, "src", 0.5, ["doc_id"], seed=4, scale=0.5)
+    got = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    # small: 200 * 0.5 = 100; big: 200^0.5*1000^0.5*0.5 ≈ 224
+    assert abs(got["small"] - 100) < 30
+    assert abs(got["big"] - 224) < 50

@@ -362,3 +362,72 @@ def test_script_id_detects_writing_systems(spark):
         0: "latin", 1: "cyrillic", 2: "cjk", 3: "hebrew",
         4: "arabic", 5: "und", 6: "greek",
     }
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Tiny corpus with a hand-derived distribution: vocabulary =
+    words with count >= 2; p(w) = (c+0.5)/(T + 0.5*(V+1))."""
+    import math
+
+    from getl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the dog sat"),
+            (3, "the zyx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.unigram_logprob(df, min_count=2).collect()}
+    # counts: the=3, sat=2 (vocab); cat/dog/zyx=1 (OOV). T=5, V=2
+    denom = 5 + 0.5 * 3
+    lp = lambda c: math.log((c + 0.5) / denom)
+    exp1 = (lp(3) + lp(0) + lp(2)) / 3
+    exp3 = (lp(3) + lp(0)) / 2
+    assert out[1].n_tokens == 3
+    assert abs(out[1].logprob - exp1) < 1e-9
+    assert abs(out[3].logprob - exp3) < 1e-9
+    # doc 2 has the same shape as doc 1 (dog vs cat, both OOV)
+    assert abs(out[2].logprob - out[1].logprob) < 1e-12
+
+
+def test_unigram_logprob_separates_gibberish_from_common_text(spark):
+    from getl_spark.functions import text as T
+
+    common = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    gibberish = [(100 + i, f"qwx{i}zk jvb{i}qp xxqj{i}") for i in range(3)]
+    df = spark.createDataFrame(common + gibberish, "doc_id long, text string")
+    out = T.unigram_logprob(df)
+    rows = {r.doc_id: r.logprob for r in out.collect()}
+    worst_common = min(rows[i] for i in range(20))
+    best_gib = max(rows[100 + i] for i in range(3))
+    assert best_gib < worst_common  # gibberish scores strictly below
+
+
+def test_unigram_logprob_normalization_and_empty_docs(spark):
+    from getl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "The CAT, the cat!"),  # normalizes to 'the cat the cat'
+            (2, "the cat the cat"),
+            (3, "   "),  # no words → dropped
+            (4, None),  # null → dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.unigram_logprob(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_tokens == out[2].n_tokens == 4
+    assert abs(out[1].logprob - out[2].logprob) < 1e-12
+
+
+def test_unigram_logprob_validation(spark):
+    from getl_spark.functions import text as T
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        T.unigram_logprob(df, min_count=0)
+    with pytest.raises(ValueError):
+        T.unigram_logprob(df, smoothing=0.0)
