@@ -3824,6 +3824,49 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_semantic_pairs(spark, sf_dir):
+    """dedup.semantic_pairs (SemDeDup-style cell-bounded near-dup
+    pairs) on a deterministic axis-clustered frame both engines can
+    generate from the same integer arithmetic: cluster c = i mod 6
+    points near axis c, so the exact qualifying pair set is every
+    intra-cluster pair — and with nassign=2 the cell-bounded candidate
+    generation provably reaches all of them here, making the exact
+    DuckDB all-pairs cosine a true oracle (same construction as the
+    brute-force ``dedup_embedding_cosine`` row, but exercising the
+    k-means cell path)."""
+    from getl_spark.functions import dedup
+
+    rows = [
+        (
+            i,
+            [
+                (10.0 if j == i % 6 else 0.0) + ((i * 7 + j * 3) % 5 - 2) / 10.0
+                for j in range(8)
+            ],
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return dedup.semantic_pairs(
+        df, "vec_id", "embedding", threshold=0.9, nlist=6, nassign=2, seed=11
+    ).select("id_a", "id_b", "cosine")
+
+
+SEMANTIC_PAIRS_ORACLE = """
+WITH vecs AS (
+  SELECT i AS vec_id,
+         list_transform(range(0, 8), j ->
+           (CASE WHEN j = i % 6 THEN 10.0 ELSE 0.0 END)
+           + ((i * 7 + j * 3) % 5 - 2) / 10.0) AS v
+  FROM range(0, 60) t(i)
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -4091,6 +4134,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": _q_unigram_logprob,
         "sample_temperature_mix": _q_temperature_mix,
         "embedding_pca_project": _q_pca_project,
+        "dedup_semantic_pairs": _q_semantic_pairs,
     }
 
 
@@ -4173,6 +4217,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "text_unigram_logprob": UNIGRAM_LOGPROB_ORACLE,
         "sample_temperature_mix": TEMPERATURE_MIX_ORACLE,
         "embedding_pca_project": PCA_PROJECT_ORACLE,
+        "dedup_semantic_pairs": SEMANTIC_PAIRS_ORACLE,
     }
 
 

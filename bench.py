@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "table_diff",
     "scd2_merge",
     "topk_between_tables",
+    "text_unigram_logprob",
 ]
 
 RUNS = 3

@@ -935,6 +935,102 @@ def embedding_cosine_pairs(
     ).where(F.col("cosine") >= threshold)
 
 
+def semantic_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    nlist: int = 64,
+    nassign: int = 1,
+    seed: int = 42,
+    train_limit: int = 10000,
+    kmeans_iters: int = 10,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: cluster the corpus with
+    a k-means coarse quantizer (the same bounded-driver trainer the IVF
+    index uses), then verify exact cosine ONLY within clusters —
+    ``(id_a, id_b, cosine)`` with cosine ≥ ``threshold``. Feed the
+    pairs to ``graph.cluster_components`` / ``dedup_by_component`` to
+    pick survivors, exactly like the other dedup families.
+
+    Versus ``embedding_cosine_pairs`` (hyperplane LSH): candidate
+    volume is Σ_cells |cell|²/2 instead of b·n²/2^r — *data-adaptive*
+    (clusters follow corpus density, so a corpus of many distinct
+    topics shards naturally), and the centroids are reusable corpus
+    structure (the IVF quantizer), but a near-dup pair straddling a
+    cell boundary is missed. ``nassign > 1`` assigns each vector to
+    its ``nassign`` nearest cells — a straddling pair then meets in
+    one of them; recall rises with candidate volume ×~nassign. Rule of
+    thumb: nassign=1 for epsilon-dedup of crawl corpora (near-dups are
+    near-identical, boundary straddle is rare), nassign=2 when the
+    threshold dips toward 0.8.
+
+    100 TB shape: training collects ≤ ``train_limit`` vectors
+    (bounded driver state); assignment is one JVM expression pass
+    (scan speed, no shuffle); candidates are ONE equi-self-join on the
+    cell key with Σ|cell|² pair volume — size ``nlist`` so the
+    expected cell (n/nlist) keeps |cell|² within the shuffle budget;
+    the exact-cosine verify touches candidates only. No all-pairs path
+    exists at any setting.
+    """
+    from getl_spark.functions.similarity import (
+        _train_centroids,
+        centroid_cells_expr,
+        cosine_expr,
+        with_norm,
+    )
+
+    if nassign < 1:
+        raise ValueError(f"semantic_pairs: nassign must be >= 1, got {nassign}")
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(
+            f"semantic_pairs: threshold must be in [-1, 1], got {threshold}"
+        )
+    nonnull = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).where(
+        F.col("vec").isNotNull()
+    )
+    cent_n = _train_centroids(
+        nonnull, "id", "vec", nlist, seed, train_limit, kmeans_iters
+    )
+    vecs = with_norm(nonnull).localCheckpoint()
+    assigned = vecs.select(
+        "id",
+        F.explode(centroid_cells_expr(cent_n, F.col("vec"), nassign)).alias("cell"),
+    )
+    candidates = (
+        assigned.alias("a")
+        .join(assigned.alias("b"), "cell")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = candidates.join(
+        vecs.select(
+            F.col("id").alias("id_a"),
+            F.col("vec").alias("a_vec"),
+            F.col("norm").alias("a_norm"),
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col("id").alias("id_b"),
+            F.col("vec").alias("b_vec"),
+            F.col("norm").alias("b_norm"),
+        ),
+        "id_b",
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round(
+            cosine_expr(
+                F.col("a_vec"), F.col("b_vec"), F.col("a_norm"), F.col("b_norm")
+            ),
+            6,
+        ).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
+
+
 # -------------------------------------------------------- log compaction
 def latest_by_key(
     df: DataFrame,

@@ -177,6 +177,24 @@ def topk_lsh(
     )
 
 
+def centroid_cells_expr(cent_n, vec: Column, nassign: int = 1) -> Column:
+    """Array of the ``nassign`` nearest centroid cells (by dot product)
+    for ``vec`` — argmax via array_sort so the expression stays linear
+    in ``nlist`` (a when/otherwise fold doubles the tree per centroid
+    and blows the JVM heap at codegen). Shared by IVF assignment
+    (``nassign=1``) and multi-assignment candidate generation
+    (``dedup.semantic_pairs``)."""
+    structs = [
+        F.struct(
+            dot_expr(vec, F.array(*[F.lit(float(x)) for x in cent])).alias("dot"),
+            F.lit(idx).alias("cell"),
+        )
+        for idx, cent in enumerate(cent_n)
+    ]
+    top = F.slice(F.reverse(F.array_sort(F.array(*structs))), 1, nassign)
+    return F.transform(top, lambda s: s["cell"])
+
+
 def _train_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -248,17 +266,7 @@ def topk_ivf(
     )
 
     def cell_col(vec: Column) -> Column:
-        """argmax over centroid dots via array_sort — linear expression
-        size (a when/otherwise fold would double the tree per centroid
-        and blow the JVM heap at codegen)."""
-        structs = [
-            F.struct(
-                dot_expr(vec, F.array(*[F.lit(float(x)) for x in cent])).alias("dot"),
-                F.lit(idx).alias("cell"),
-            )
-            for idx, cent in enumerate(cent_n)
-        ]
-        return F.reverse(F.array_sort(F.array(*structs)))[0]["cell"]
+        return centroid_cells_expr(cent_n, vec)[0]
 
     c = with_norm(
         corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vec"))
@@ -356,22 +364,13 @@ def build_ivf_index(
         "cell INT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
-    structs = [
-        F.struct(
-            dot_expr(F.col("cvec"), F.array(*[F.lit(float(x)) for x in cent])).alias(
-                "dot"
-            ),
-            F.lit(idx).alias("cell"),
-        )
-        for idx, cent in enumerate(cent_n)
-    ]
     assigned = (
         with_norm(
             corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vec"))
         )
         .withColumnRenamed("vec", "cvec")
         .withColumnRenamed("norm", "cnorm")
-        .withColumn("cell", F.reverse(F.array_sort(F.array(*structs)))[0]["cell"])
+        .withColumn("cell", centroid_cells_expr(cent_n, F.col("cvec"))[0])
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
     return (

@@ -1049,3 +1049,98 @@ def test_canonicalize_url_idempotent(spark):
     joined = once.join(twice, "doc_id")
     diffs = joined.where(F.col("url") != F.col("url_canonical")).collect()
     assert diffs == [], [(r.url, r.url_canonical) for r in diffs]
+
+
+def _clustered_vecs(spark, n_clusters=6, per=12, d=16, seed=5):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d)) * 3
+    rows = []
+    i = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + rng.normal(size=d) * 0.05
+            rows.append((i, c, [float(x) for x in v]))
+            i += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, planted long, embedding array<double>"
+    )
+
+
+def test_semantic_pairs_recall_vs_bruteforce_on_clustered(spark):
+    """Cell-bounded verification: nassign=1 finds most exact pairs
+    (k-means can split a planted cluster across two cells — the
+    documented boundary-straddle loss), nassign=2 recovers ALL of
+    them on this data (the straddling halves meet in one of the two
+    assigned cells). Precision is always 1.0 — every emitted pair is
+    verified with the exact cosine."""
+    df = _clustered_vecs(spark)
+    exact = dedup.embedding_cosine_pairs(
+        df, "vec_id", "embedding", threshold=0.98, brute_force=True
+    )
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert len(e) > 50
+    sem1 = dedup.semantic_pairs(
+        df, "vec_id", "embedding", threshold=0.98, nlist=6, seed=1, kmeans_iters=15
+    )
+    s1 = {(r.id_a, r.id_b) for r in sem1.collect()}
+    assert s1 <= e  # no false positives, ever
+    assert len(s1) / len(e) >= 0.85
+    sem2 = dedup.semantic_pairs(
+        df,
+        "vec_id",
+        "embedding",
+        threshold=0.98,
+        nlist=6,
+        nassign=2,
+        seed=1,
+        kmeans_iters=15,
+    )
+    s2 = {(r.id_a, r.id_b) for r in sem2.collect()}
+    assert s2 == e
+
+
+def test_semantic_pairs_candidates_are_cell_bounded(spark):
+    """No all-pairs path: with nlist cells the executed plan joins on
+    the cell key (equi-join), never cross-joins the corpus."""
+    df = _clustered_vecs(spark)
+    plan = (
+        dedup.semantic_pairs(df, "vec_id", "embedding", nlist=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_pairs_nassign_superset_and_validation(spark):
+    df = _clustered_vecs(spark, n_clusters=3, per=8)
+    one = {
+        (r.id_a, r.id_b)
+        for r in dedup.semantic_pairs(
+            df, "vec_id", "embedding", threshold=0.9, nlist=3, nassign=1, seed=2
+        ).collect()
+    }
+    two = {
+        (r.id_a, r.id_b)
+        for r in dedup.semantic_pairs(
+            df, "vec_id", "embedding", threshold=0.9, nlist=3, nassign=2, seed=2
+        ).collect()
+    }
+    assert one <= two  # multi-assignment only adds candidates
+    with pytest.raises(ValueError):
+        dedup.semantic_pairs(df, nassign=0)
+    with pytest.raises(ValueError):
+        dedup.semantic_pairs(df, threshold=1.5)
+
+
+def test_semantic_pairs_null_vectors_skipped(spark):
+    df = _clustered_vecs(spark, n_clusters=2, per=5)
+    with_null = df.unionByName(
+        spark.createDataFrame([(999, 0, None)], df.schema)
+    )
+    out = dedup.semantic_pairs(with_null, "vec_id", "embedding", nlist=2, seed=3)
+    ids = {r.id_a for r in out.collect()} | {r.id_b for r in out.collect()}
+    assert 999 not in ids
