@@ -3867,6 +3867,33 @@ WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.9
 """
 
 
+def _q_stored_index(spark, sf_dir):
+    """dedup.build_minhash_index + against_stored_index driven
+    end-to-end: index the even-doc_id half of ``documents``, dedup the
+    odd half against the PERSISTED index (exact phase — the near
+    phase's signature-estimate verify is hash-family-dependent and
+    covered by pytest). The DuckDB oracle replicates the fingerprint
+    anti-join directly."""
+    from getl_spark.functions import dedup
+
+    tmp = "/tmp/getl_spark_q/minhash_index"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dedup.build_minhash_index(docs.where("doc_id % 2 = 0"), tmp)
+    out = dedup.against_stored_index(docs.where("doc_id % 2 = 1"), tmp)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+STORED_INDEX_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id % 2 = 1
+  AND md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) NOT IN (
+    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    FROM documents WHERE doc_id % 2 = 0
+  )
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -4135,6 +4162,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature_mix": _q_temperature_mix,
         "embedding_pca_project": _q_pca_project,
         "dedup_semantic_pairs": _q_semantic_pairs,
+        "dedup_stored_index": _q_stored_index,
     }
 
 
@@ -4218,6 +4246,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sample_temperature_mix": TEMPERATURE_MIX_ORACLE,
         "embedding_pca_project": PCA_PROJECT_ORACLE,
         "dedup_semantic_pairs": SEMANTIC_PAIRS_ORACLE,
+        "dedup_stored_index": STORED_INDEX_ORACLE,
     }
 
 

@@ -1144,3 +1144,110 @@ def test_semantic_pairs_null_vectors_skipped(spark):
     out = dedup.semantic_pairs(with_null, "vec_id", "embedding", nlist=2, seed=3)
     ids = {r.id_a for r in out.collect()} | {r.id_b for r in out.collect()}
     assert 999 not in ids
+
+
+@pytest.fixture()
+def minhash_index(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [
+            (i, f"the quick brown fox jumps over dog number {i} in the field " * 3)
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_index")
+    occ = dedup.build_minhash_index(corpus, path, n=3, num_hashes=64, bands=16)
+    return corpus, path, occ
+
+
+def test_stored_index_exact_and_near_phases(spark, minhash_index):
+    _, path, occ = minhash_index
+    assert occ.count() == 16  # one occupancy row per band
+    inc = spark.createDataFrame(
+        [
+            # exact duplicate of corpus doc 7
+            (100, "the quick brown fox jumps over dog number 7 in the field " * 3),
+            # near duplicate of corpus doc 12 (appended tail)
+            (
+                101,
+                ("the quick brown fox jumps over dog number 12 in the field " * 3)
+                + "with an extra tail of words",
+            ),
+            (102, "completely different content about shuffle partitions and footers"),
+            (103, "another novel document on broadcast joins and adaptive execution"),
+        ],
+        "doc_id long, text string",
+    )
+    exact_only = {r.doc_id for r in dedup.against_stored_index(inc, path).collect()}
+    assert exact_only == {101, 102, 103}
+    near = {
+        r.doc_id
+        for r in dedup.against_stored_index(inc, path, near_threshold=0.7).collect()
+    }
+    assert near == {102, 103}
+
+
+def test_stored_index_params_come_from_meta(spark, tmp_path, minhash_index):
+    """An increment is sketched with the index's own parameters: build
+    with a non-default family, query still works and matches the
+    in-memory against_index result on the same data."""
+    corpus, _, _ = minhash_index
+    path = str(tmp_path / "mh_index_5_32_8")
+    dedup.build_minhash_index(corpus, path, n=5, num_hashes=32, bands=8)
+    inc = spark.createDataFrame(
+        [
+            (200, "the quick brown fox jumps over dog number 3 in the field " * 3),
+            (201, "an unrelated novel document about z-ordering parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    stored = {
+        r.doc_id
+        for r in dedup.against_stored_index(inc, path, near_threshold=0.8).collect()
+    }
+    in_memory = {
+        r.doc_id
+        for r in dedup.against_index(
+            inc, corpus, near_threshold=0.8, n=5, method="minhash",
+            num_hashes=32, bands=8,
+        ).collect()
+    }
+    assert stored == in_memory == {201}
+
+
+def test_stored_index_signature_estimate_tracks_jaccard(spark, minhash_index):
+    """The near-verify statistic: signature agreement between a doc
+    and itself is 1.0; between unrelated docs ~0. Checked through the
+    persisted tables."""
+    corpus, path, _ = minhash_index
+    from pyspark.sql import functions as SF
+
+    sigs = spark.read.parquet(f"{path}/signatures")
+    a = sigs.where("id = 1").select(SF.col("sig").alias("sig_a"))
+    b = sigs.where("id = 30").select(SF.col("sig").alias("sig_b"))
+    agree = (
+        a.crossJoin(b)
+        .select(
+            (
+                SF.size(
+                    SF.filter(
+                        SF.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                )
+                / SF.lit(64.0)
+            ).alias("est")
+        )
+        .first()
+        .est
+    )
+    # docs 1 and 30 share the template but differ in the number token;
+    # true 3-gram Jaccard is high but well below 1 — the estimate must
+    # land strictly between the unrelated (0) and identical (1) poles
+    assert 0.05 < agree < 1.0
+
+
+def test_build_minhash_index_validation(spark, minhash_index):
+    corpus, _, _ = minhash_index
+    with pytest.raises(ValueError):
+        dedup.build_minhash_index(corpus, "/tmp/unused_mh", num_hashes=64, bands=24)
