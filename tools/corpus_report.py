@@ -71,6 +71,22 @@ def main() -> None:
         f"- docs containing a corpus-repeated ≥8-token passage: **{docs_with_spans}**",
     ]
 
+    lp = text.unigram_logprob(docs)
+    lps = lp.agg(
+        *[
+            F.round(F.expr("percentile(logprob, array(0.01, 0.1, 0.5, 0.9))")[i], 3).alias(p)
+            for i, p in enumerate(("p01", "p10", "p50", "p90"))
+        ]
+    ).first()
+    lines += [
+        "",
+        "## Unigram-LM quality (mean log-prob under the corpus's own model)",
+        "",
+        f"- p01 / p10 / p50 / p90: {lps.p01} / {lps.p10} / {lps.p50} / {lps.p90}",
+        "- docs far below p01 are gibberish/boilerplate cut candidates; far",
+        "  above p50+2·(p90−p50), repetitive-text candidates",
+    ]
+
     lines += ["", "## Length distribution (chars)", "", "| bucket | lo | hi | docs |", "|---|---|---|---|"]
     for r in stats.histogram(docs, "n_chars", bins=8).collect():
         lines.append(f"| {r.bucket} | {r.lo} | {r.hi} | {r.n} |")
