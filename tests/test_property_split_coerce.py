@@ -71,3 +71,38 @@ def test_coerce_epoch_units_agree(spark, micros):
     for r in got:
         assert r.s % 1_000_000 == 0 and r.ms % 1_000 == 0
         assert r.ms - r.s < 1_000_000 and r.us - r.ms < 1_000
+
+
+# temperature_mix nesting: for a FIXED seed the kept set is a pure
+# threshold test u < f_g, and f_g is monotone in both alpha (exponent
+# alpha-1 rises toward 0) and scale — so raising either can only ADD
+# rows, never swap them. The property is exact, not statistical.
+@settings(**_SETTINGS)
+@given(
+    alphas=st.tuples(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+    sizes=st.lists(st.integers(min_value=5, max_value=120), min_size=2, max_size=4),
+)
+def test_temperature_mix_nests_in_alpha_and_scale(spark, alphas, seed, sizes):
+    from pyspark.sql import functions as F
+
+    lo, hi = sorted(alphas)
+    bounds = [0] + [sum(sizes[: i + 1]) for i in range(len(sizes))]
+    expr = None
+    for g, (a, b) in enumerate(zip(bounds, bounds[1:])):
+        cond = (F.col("id") >= a) & (F.col("id") < b)
+        expr = F.when(cond, f"s{g}") if expr is None else expr.when(cond, f"s{g}")
+    df = spark.range(bounds[-1]).select(F.col("id"), expr.alias("src"))
+
+    def kept(alpha, scale=1.0):
+        out = S.temperature_mix(df, "src", alpha, ["id"], seed=seed, scale=scale)
+        return {r.id for r in out.collect()}
+
+    low, high = kept(lo), kept(hi)
+    assert low <= high  # alpha nesting
+    assert kept(hi, scale=0.5) <= high  # scale nesting
+    # alpha=1, scale=1 keeps everything
+    assert len(kept(1.0)) == bounds[-1]
