@@ -3894,6 +3894,87 @@ WHERE doc_id % 2 = 1
 """
 
 
+def _q_pq_encode(spark, sf_dir):
+    """embedding.train_pq + pq_encode on a FIXED deterministic frame
+    (kmeans codebooks are not SQL-expressible; golden pinned). The
+    whole path is partition-invariant — ordered bounded training
+    sample, seeded numpy k-means, per-row argmin — so the codes pin
+    exactly."""
+    from getl_spark.functions import embedding as E
+
+    rows = [
+        (
+            i,
+            [((i * 7 + j * 13) % 19 - 9) / 9.0 + (1.5 if j % 4 == i % 4 else 0.0) for j in range(8)],
+        )
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = E.train_pq(df, m=4, k=8, seed=5, kmeans_iters=8)
+    codes = E.pq_encode(df, model)
+    return codes.select(
+        "vec_id",
+        F.col("pq_code")[0].cast("int").alias("c0"),
+        F.col("pq_code")[1].cast("int").alias("c1"),
+        F.col("pq_code")[2].cast("int").alias("c2"),
+        F.col("pq_code")[3].cast("int").alias("c3"),
+    )
+
+
+PQ_ENCODE_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 0, 2, 3, 0),
+  (CAST(1 AS BIGINT), 2, 5, 6, 1),
+  (CAST(2 AS BIGINT), 5, 7, 0, 4),
+  (CAST(3 AS BIGINT), 2, 7, 4, 2),
+  (CAST(4 AS BIGINT), 6, 5, 5, 1),
+  (CAST(5 AS BIGINT), 0, 1, 2, 3),
+  (CAST(6 AS BIGINT), 2, 3, 5, 4),
+  (CAST(7 AS BIGINT), 5, 6, 0, 6),
+  (CAST(8 AS BIGINT), 1, 2, 3, 0),
+  (CAST(9 AS BIGINT), 2, 5, 6, 1),
+  (CAST(10 AS BIGINT), 5, 7, 0, 4),
+  (CAST(11 AS BIGINT), 4, 7, 4, 2),
+  (CAST(12 AS BIGINT), 6, 5, 5, 1),
+  (CAST(13 AS BIGINT), 0, 1, 2, 3),
+  (CAST(14 AS BIGINT), 2, 3, 4, 7),
+  (CAST(15 AS BIGINT), 5, 6, 2, 6),
+  (CAST(16 AS BIGINT), 1, 1, 3, 0),
+  (CAST(17 AS BIGINT), 3, 5, 6, 1),
+  (CAST(18 AS BIGINT), 5, 7, 0, 4),
+  (CAST(19 AS BIGINT), 4, 1, 4, 2),
+  (CAST(20 AS BIGINT), 6, 5, 5, 1),
+  (CAST(21 AS BIGINT), 0, 1, 2, 3),
+  (CAST(22 AS BIGINT), 2, 3, 4, 7),
+  (CAST(23 AS BIGINT), 7, 6, 2, 6),
+  (CAST(24 AS BIGINT), 1, 1, 3, 3),
+  (CAST(25 AS BIGINT), 3, 2, 1, 1),
+  (CAST(26 AS BIGINT), 5, 4, 0, 4),
+  (CAST(27 AS BIGINT), 6, 1, 7, 2),
+  (CAST(28 AS BIGINT), 6, 5, 5, 1),
+  (CAST(29 AS BIGINT), 0, 1, 2, 3),
+  (CAST(30 AS BIGINT), 4, 3, 4, 7),
+  (CAST(31 AS BIGINT), 7, 6, 2, 6),
+  (CAST(32 AS BIGINT), 1, 1, 3, 3),
+  (CAST(33 AS BIGINT), 3, 2, 1, 0),
+  (CAST(34 AS BIGINT), 5, 4, 2, 4),
+  (CAST(35 AS BIGINT), 6, 0, 7, 2),
+  (CAST(36 AS BIGINT), 0, 5, 5, 1),
+  (CAST(37 AS BIGINT), 0, 1, 2, 3),
+  (CAST(38 AS BIGINT), 4, 3, 4, 7),
+  (CAST(39 AS BIGINT), 7, 6, 2, 6),
+  (CAST(40 AS BIGINT), 1, 1, 3, 3),
+  (CAST(41 AS BIGINT), 3, 2, 1, 0),
+  (CAST(42 AS BIGINT), 7, 4, 2, 4),
+  (CAST(43 AS BIGINT), 6, 0, 7, 5),
+  (CAST(44 AS BIGINT), 0, 2, 3, 1),
+  (CAST(45 AS BIGINT), 0, 5, 2, 3),
+  (CAST(46 AS BIGINT), 6, 3, 7, 7),
+  (CAST(47 AS BIGINT), 7, 6, 2, 6)
+) AS t(vec_id, c0, c1, c2, c3)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -4163,6 +4244,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_project": _q_pca_project,
         "dedup_semantic_pairs": _q_semantic_pairs,
         "dedup_stored_index": _q_stored_index,
+        "embedding_pq_encode": _q_pq_encode,
     }
 
 
@@ -4247,6 +4329,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "embedding_pca_project": PCA_PROJECT_ORACLE,
         "dedup_semantic_pairs": SEMANTIC_PAIRS_ORACLE,
         "dedup_stored_index": STORED_INDEX_ORACLE,
+        "embedding_pq_encode": PQ_ENCODE_ORACLE,
     }
 
 

@@ -333,3 +333,160 @@ def pca_project(
         new_col,
         F.when(F.col(vec_col).isNotNull(), F.array(*dots)),
     )
+
+
+class PQModel:
+    """Driver-side result of ``train_pq``: ``codebooks`` is an
+    (m, k, d/m) nested list — per-subspace centroid tables. Bounded:
+    m·k·(d/m) = k·d doubles regardless of corpus size."""
+
+    def __init__(self, codebooks):
+        self.codebooks = codebooks
+
+    @property
+    def m(self) -> int:
+        return len(self.codebooks)
+
+    @property
+    def k(self) -> int:
+        return len(self.codebooks[0])
+
+    @property
+    def dim(self) -> int:
+        return self.m * len(self.codebooks[0][0])
+
+
+def train_pq(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    train_limit: int = 10000,
+    kmeans_iters: int = 10,
+) -> PQModel:
+    """Train a product quantizer: split vectors into ``m`` subvectors
+    and k-means each subspace independently (Jégou et al.'s PQ). A
+    vector then stores as ``m`` code bytes instead of d floats —
+    codes at the defaults are 8 B/vector vs 256 B float32 (32×), which
+    is what makes a billion-vector ANN index fit in cluster memory.
+
+    Training is the bounded-driver shape every quantizer here uses:
+    the first ``train_limit`` vectors by id (deterministic), seeded
+    numpy k-means per subspace, k·d doubles of model state. Raises on
+    d % m != 0, k > 256 (codes are stored as bytes), or an empty/
+    too-small training sample.
+    """
+    import numpy as np
+
+    if k > 256:
+        raise ValueError(f"train_pq: k ({k}) > 256 — codes are single bytes")
+    train = np.array(
+        df.where(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(train_limit)
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype="float64",
+    )
+    if train.ndim != 2 or not len(train):
+        raise ValueError("train_pq: no non-null vectors to train on")
+    d = train.shape[1]
+    if d % m:
+        raise ValueError(f"train_pq: dim ({d}) not divisible by m ({m})")
+    if len(train) < k:
+        raise ValueError(
+            f"train_pq: need >= k ({k}) training vectors, got {len(train)}"
+        )
+    ds = d // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        sub = train[:, j * ds : (j + 1) * ds]
+        cents = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(kmeans_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents.tolist())
+    return PQModel(books)
+
+
+def _pq_batches(model: "PQModel"):
+    """numpy codebook tensor (m, k, ds) for executor-side closures."""
+    import numpy as np
+
+    return np.array(model.codebooks, dtype="float64")
+
+
+def pq_encode(
+    df: DataFrame,
+    model: PQModel,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to PQ codes (``array<tinyint>`` length m, stored
+    0..k-1): per Arrow batch, one numpy distance matrix per subspace —
+    vectorized argmin, no per-row Python. NULL vectors encode to NULL.
+    Shuffle/broadcast bytes for downstream consumers drop d·4/m-fold
+    (e.g. 64-dim float32 → 8 B codes = 32×)."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    books = _pq_batches(model)
+    m, k, ds = books.shape
+
+    def _encode(vecs):
+        import numpy as np
+
+        out = []
+        mask = vecs.notna()
+        codes = None
+        if mask.any():
+            x = np.stack(vecs[mask].to_numpy()).astype("float64")
+            parts = []
+            for j in range(m):
+                sub = x[:, j * ds : (j + 1) * ds]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                parts.append(d2.argmin(axis=1).astype("int8"))
+            codes = np.stack(parts, axis=1)
+        it = iter(codes.tolist() if codes is not None else [])
+        for ok in mask:
+            out.append(next(it) if ok else None)
+        return pd.Series(out)
+
+    # explicit signature (module uses `from __future__ import annotations`)
+    return df.withColumn(
+        code_col, pandas_udf(_encode, "array<tinyint>")(F.col(vec_col))
+    )
+
+
+def pq_decode(
+    df: DataFrame,
+    model: PQModel,
+    code_col: str = "pq_code",
+    new_col: str = "embedding",
+) -> DataFrame:
+    """Reconstruct approximate vectors from PQ codes (centroid lookup
+    per subspace) — pure JVM: the codebooks fold in as array literals,
+    ``element_at`` per subspace, one concat. Error is the per-subspace
+    quantization residual; grows as k shrinks."""
+    books = model.codebooks
+    pieces = []
+    for j, book in enumerate(books):
+        book_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cent]) for cent in book]
+        )
+        pieces.append(
+            F.element_at(book_lit, F.col(code_col)[j].cast("int") + F.lit(1))
+        )
+    return df.withColumn(
+        new_col,
+        F.when(F.col(code_col).isNotNull(), F.concat(*pieces)),
+    )

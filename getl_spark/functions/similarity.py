@@ -487,3 +487,148 @@ def topk_between(
     if method != "bruteforce":
         raise ValueError(f"topk_between: unknown method '{method}'")
     return topk_bruteforce(c, q, k, "vec_id", "embedding", exclude_self=False)
+
+
+def topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    model,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    exclude_self: bool = True,
+    rerank: Optional[DataFrame] = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Approximate dot-product top-k over PQ codes with asymmetric
+    distance computation (ADC): each query precomputes an (m, k_codes)
+    lookup table of subvector dots against the codebooks, then scoring
+    a corpus vector is m table lookups instead of d multiplies — and
+    the corpus side travels as m-byte codes instead of d floats. At
+    the defaults (m=8) that is a 32× byte cut and ~8× flop cut per
+    (query, vector) pair versus brute force; on unit vectors the ADC
+    dot approximates cosine with the PQ reconstruction error.
+
+    ``corpus`` needs ``(id_col, code_col)`` (encode once with
+    ``embedding.pq_encode``, persist the codes); queries bring raw
+    vectors. The query set and its LUT tensor are broadcast via the
+    Arrow UDF closure (bounded query sets, the ``topk_bruteforce``
+    contract); per Arrow batch the scoring is one numpy gather+sum per
+    query. Returns ``(query_id, nbr_id, score, rank)``.
+
+    ADC scores carry the PQ reconstruction error (~k^(-1/subdim)), so
+    raw ADC ranking blurs neighbors whose true similarity gap is below
+    that error — the standard remedy is built in: pass the raw-vector
+    table as ``rerank`` and the ADC pass becomes a shortlist of
+    ``rerank_factor × k`` candidates per query (codes do the heavy
+    scan; only shortlisted ids touch float vectors), re-scored with
+    exact cosine. This is the published PQ search shape: compressed
+    scan + exact re-rank, corpus bytes ~m per vector either way.
+
+    Calibration (measured on this repo's worst case — UNstructured
+    random 64-dim unit vectors, where neighbor gaps are smallest):
+    m=8,k=32,rerank_factor=4 recalls only ~0.6, but m=16,k=64,rf=8
+    recalls 1.0 and m=32,k=16,rf=4 recalls ~0.93. Real embedding
+    corpora are manifold-shaped (PQ's favorable case); still, when in
+    doubt raise m before k — code bytes grow linearly in m while
+    subspace quantization error falls fast with shrinking subdim.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from getl_spark.functions.embedding import _pq_batches
+
+    books = _pq_batches(model)
+    m, kc, ds = books.shape
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .where(F.col("qv").isNotNull())
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("topk_pq: empty query set")
+    q_ids = [r.qid for r in q_rows]
+    q_mat = np.array([r.qv for r in q_rows], dtype="float64")
+    if q_mat.shape[1] != m * ds:
+        raise ValueError(
+            f"topk_pq: query dim {q_mat.shape[1]} != codebook dim {m * ds}"
+        )
+    # LUT[q, j, c] = dot(q_sub_j, centroid_c_of_subspace_j)
+    lut = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_rows), m, ds), books)
+
+    out_schema = "qi int, nbr_id long, score double"
+
+    def score_batches(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["code"].to_numpy()).astype("int64")  # (n, m)
+            n = codes.shape[0]
+            # scores[q, n] = sum_j LUT[q, j, codes[n, j]]
+            scores = np.zeros((len(q_ids), n))
+            for j in range(m):
+                scores += lut[:, j, :][:, codes[:, j]]
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "qi": np.repeat(np.arange(len(q_ids), dtype="int32"), n),
+                    "nbr_id": np.tile(ids, len(q_ids)),
+                    "score": scores.reshape(-1),
+                }
+            )
+
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(code_col).alias("code")
+        )
+        .where(F.col("code").isNotNull())
+        .mapInPandas(score_batches, out_schema)
+    )
+    qmap = corpus.sparkSession.createDataFrame(
+        [(i, qid) for i, qid in enumerate(q_ids)], "qi int, query_id long"
+    )
+    scored = scored.join(F.broadcast(qmap), "qi").drop("qi")
+    if exclude_self:
+        scored = scored.where(F.col("nbr_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    shortlist = k * rerank_factor if rerank is not None else k
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= shortlist)
+    )
+    if rerank is None:
+        return top.select(
+            "query_id", "nbr_id", F.round("score", 6).alias("score"), "rank"
+        )
+    c = with_norm(
+        rerank.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cvec"))
+        .where(F.col("cvec").isNotNull()),
+        "cvec",
+    ).withColumnRenamed("norm", "cnorm")
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .where(F.col("qvec").isNotNull()),
+        "qvec",
+    ).withColumnRenamed("norm", "qnorm")
+    rescored = (
+        top.select("query_id", "nbr_id")
+        .join(c, "nbr_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(
+                cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "score", "rank")
+    )

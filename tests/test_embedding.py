@@ -275,3 +275,109 @@ def test_fit_pca_validation(spark):
     empty = df.where(SF.lit(False))
     with pytest.raises(ValueError):
         E.fit_pca(empty, "embedding", k=2)
+
+
+def _pq_corpus(spark, noise=0.8, per=20, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(5, 16)) * 3
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per):
+            rows.append((vid, [float(x) for x in c + rng.normal(size=16) * noise]))
+            vid += 1
+    return embedding.l2_normalize(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+
+
+def test_pq_roundtrip_error_shrinks_with_k(spark):
+    df = _pq_corpus(spark)
+
+    def rel_err(k):
+        model = embedding.train_pq(df, m=8, k=k, seed=1)
+        rec = embedding.pq_decode(
+            embedding.pq_encode(df, model), model, new_col="recon"
+        )
+        return rec.selectExpr(
+            "avg(sqrt(aggregate(zip_with(embedding, recon, (a,b)->(a-b)*(a-b)),"
+            " 0D, (s,x)->s+x))) AS e"
+        ).first()[0]
+
+    e4, e32 = rel_err(4), rel_err(32)
+    assert e32 < e4  # more centroids, less residual
+    assert e32 < 0.1  # unit vectors: residual well under 10% of norm
+
+
+def test_pq_codes_shape_null_and_determinism(spark):
+    df = _pq_corpus(spark, per=8)
+    model = embedding.train_pq(df, m=8, k=16, seed=2)
+    with_null = df.unionByName(
+        spark.createDataFrame([(999, None)], df.schema)
+    )
+    codes = {r.vec_id: r.pq_code for r in embedding.pq_encode(with_null, model).collect()}
+    assert codes[999] is None
+    assert all(len(c) == 8 and all(0 <= b < 16 for b in c) for i, c in codes.items() if i != 999)
+    again = {r.vec_id: r.pq_code for r in embedding.pq_encode(with_null, model).collect()}
+    assert codes == again
+    decoded = {
+        r.vec_id: r.recon
+        for r in embedding.pq_decode(
+            embedding.pq_encode(with_null, model), model, new_col="recon"
+        ).collect()
+    }
+    assert decoded[999] is None and len(decoded[0]) == 16
+
+
+def test_topk_pq_rerank_matches_bruteforce(spark):
+    from getl_spark.functions import similarity
+
+    df = _pq_corpus(spark)
+    model = embedding.train_pq(df, m=8, k=16, seed=1)
+    codes = embedding.pq_encode(df, model)
+    q = df.where("vec_id in (0, 20, 40)")
+    brute = {(r.query_id, r.nbr_id): r.cosine for r in similarity.topk_bruteforce(df, q, k=5).collect()}
+    reranked = {
+        (r.query_id, r.nbr_id): r.score
+        for r in similarity.topk_pq(codes, q, model, k=5, rerank=df).collect()
+    }
+    hits = set(brute) & set(reranked)
+    assert len(hits) / len(brute) >= 0.9
+    # re-ranked scores ARE exact cosines
+    assert all(abs(brute[p] - reranked[p]) < 1e-9 for p in hits)
+
+
+def test_topk_pq_adc_shortlist_recall(spark):
+    """Raw ADC at 4x shortlist contains (nearly) all true top-k — the
+    property the rerank path relies on."""
+    from getl_spark.functions import similarity
+
+    df = _pq_corpus(spark)
+    model = embedding.train_pq(df, m=8, k=16, seed=1)
+    codes = embedding.pq_encode(df, model)
+    q = df.where("vec_id in (0, 20, 40)")
+    brute = {(r.query_id, r.nbr_id) for r in similarity.topk_bruteforce(df, q, k=5).collect()}
+    shortlist = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.topk_pq(codes, q, model, k=20).collect()
+    }
+    assert len(brute & shortlist) / len(brute) >= 0.9
+
+
+def test_pq_validation(spark):
+    from getl_spark.functions import similarity
+
+    df = _pq_corpus(spark, per=8)
+    with pytest.raises(ValueError):
+        embedding.train_pq(df, m=5, k=8)  # 16 % 5 != 0
+    with pytest.raises(ValueError):
+        embedding.train_pq(df, m=8, k=300)  # codes are bytes
+    with pytest.raises(ValueError):
+        embedding.train_pq(df.where("vec_id < 4"), m=8, k=16)  # < k samples
+    model = embedding.train_pq(df, m=8, k=8, seed=1)
+    codes = embedding.pq_encode(df, model)
+    bad_q = spark.createDataFrame([(1, [0.0] * 8)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        similarity.topk_pq(codes, bad_q, model)  # dim mismatch
+    with pytest.raises(ValueError):
+        similarity.topk_pq(codes, df.where("vec_id < 0"), model)  # empty queries
