@@ -3975,6 +3975,56 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_ivf_pq_topk(spark, sf_dir):
+    """similarity.build_ivf_pq_index + topk_ivf_pq, full pipeline on
+    the same deterministic axis-clustered frame as
+    ``dedup_semantic_pairs``: full probe (nprobe=nlist) + exact-cosine
+    rerank makes the persisted-quantized path exactly equal to the
+    brute-force cosine ranking, so the DuckDB all-pairs top-k is a
+    true oracle of the entire index build + query machinery."""
+    from getl_spark.functions import similarity
+
+    rows = [
+        (
+            i,
+            [
+                (10.0 if j == i % 6 else 0.0) + ((i * 7 + j * 3) % 5 - 2) / 10.0
+                for j in range(8)
+            ],
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = "/tmp/getl_spark_q/ivfpq_oracle"
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.build_ivf_pq_index(df, path, nlist=6, m=4, k=8, seed=11)
+    queries = df.where("vec_id < 6")
+    return similarity.topk_ivf_pq(
+        spark, queries, path, k=5, nprobe=6, rerank=df, rerank_factor=6
+    ).select("query_id", "nbr_id", F.col("score").alias("cosine"), "rank")
+
+
+IVF_PQ_TOPK_ORACLE = """
+WITH vecs AS (
+  SELECT i AS vec_id,
+         list_transform(range(0, 8), j ->
+           (CASE WHEN j = i % 6 THEN 10.0 ELSE 0.0 END)
+           + ((i * 7 + j * 3) % 5 - 2) / 10.0) AS v
+  FROM range(0, 60) t(i)
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+         ROUND(list_cosine_similarity(q.v, e.v), 6) AS cosine
+  FROM vecs e, vecs q WHERE q.vec_id < 6 AND e.vec_id != q.vec_id
+)
+SELECT query_id, nbr_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -4245,6 +4295,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_pairs": _q_semantic_pairs,
         "dedup_stored_index": _q_stored_index,
         "embedding_pq_encode": _q_pq_encode,
+        "similarity_ivf_pq": _q_ivf_pq_topk,
     }
 
 
@@ -4330,6 +4381,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_semantic_pairs": SEMANTIC_PAIRS_ORACLE,
         "dedup_stored_index": STORED_INDEX_ORACLE,
         "embedding_pq_encode": PQ_ENCODE_ORACLE,
+        "similarity_ivf_pq": IVF_PQ_TOPK_ORACLE,
     }
 
 

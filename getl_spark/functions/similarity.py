@@ -210,13 +210,16 @@ def _train_centroids(
     import numpy as np
 
     train = np.array(
-        corpus.orderBy(id_col)
+        corpus.where(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
         .limit(train_limit)
         .select(vec_col)
         .toPandas()[vec_col]
         .tolist(),
         dtype="float64",
     )
+    if train.ndim != 2 or not len(train):
+        raise ValueError("k-means training: no non-null vectors to train on")
     rng = np.random.RandomState(seed)
     centroids = train[rng.choice(len(train), size=min(nlist, len(train)), replace=False)]
     # normalized k-means (cosine): assign by max dot with normalized centroids
@@ -596,6 +599,256 @@ def topk_pq(
     top = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= shortlist)
+    )
+    if rerank is None:
+        return top.select(
+            "query_id", "nbr_id", F.round("score", 6).alias("score"), "rank"
+        )
+    c = with_norm(
+        rerank.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cvec"))
+        .where(F.col("cvec").isNotNull()),
+        "cvec",
+    ).withColumnRenamed("norm", "cnorm")
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .where(F.col("qvec").isNotNull()),
+        "qvec",
+    ).withColumnRenamed("norm", "qnorm")
+    rescored = (
+        top.select("query_id", "nbr_id")
+        .join(c, "nbr_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(
+                cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "score", "rank")
+    )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    train_limit: int = 10000,
+    kmeans_iters: int = 10,
+) -> DataFrame:
+    """Persist an IVF-PQ index — the billion-vector ANN layout: a
+    k-means coarse quantizer shards the corpus into ``nlist`` cells
+    and a product quantizer encodes each vector's RESIDUAL from its
+    cell centroid into ``m`` code bytes (residuals are tighter than
+    raw vectors, so the same code budget quantizes finer — the classic
+    IVF-PQ design). Writes ``{path}/centroids`` (cell → centroid),
+    ``{path}/codebooks`` (subspace, code → centroid piece), and
+    ``{path}/codes`` (id, cell, m-byte code — partitioned by cell).
+    Index bytes ≈ m + 1 per vector; a 10⁹-vector corpus indexes into
+    ~10 GB, probe-pruned at query time.
+
+    Training is bounded-driver twice over (IVF centroids, then
+    per-subspace residual k-means on the same ordered sample); both
+    assignments run distributed (JVM cell expression, Arrow residual
+    encode). Returns per-cell occupancy (the health check).
+    """
+    import numpy as np
+
+    from getl_spark.functions.embedding import PQModel, _pq_batches, train_pq
+
+    cent_n = _train_centroids(
+        corpus, id_col, vec_col, nlist, seed, train_limit, kmeans_iters
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent_n)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    # residual-train the PQ on the same bounded sample, assigned in numpy
+    train = np.array(
+        corpus.where(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(train_limit)
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype="float64",
+    )
+    assign = (train @ cent_n.T).argmax(axis=1)
+    residuals = train - cent_n[assign]
+    res_df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(residuals)],
+        f"{id_col} long, {vec_col} array<double>",
+    )
+    pq = train_pq(
+        res_df, id_col, vec_col, m=m, k=k, seed=seed,
+        train_limit=train_limit, kmeans_iters=kmeans_iters,
+    )
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in cent])
+            for j, book in enumerate(pq.codebooks)
+            for c, cent in enumerate(book)
+        ],
+        "subspace INT, code INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+    # distributed: assign cell (JVM), residual-encode (Arrow)
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    books = _pq_batches(pq)
+    cents = cent_n.copy()
+    mm, kk, ds = books.shape
+
+    def _encode_residual(vecs, cells):
+        out = []
+        mask = vecs.notna()
+        codes = None
+        if mask.any():
+            x = np.stack(vecs[mask].to_numpy()).astype("float64")
+            x = x - cents[cells[mask].to_numpy().astype("int64")]
+            parts = []
+            for j in range(mm):
+                sub = x[:, j * ds : (j + 1) * ds]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                parts.append(d2.argmin(axis=1).astype("int8"))
+            codes = np.stack(parts, axis=1)
+        it = iter(codes.tolist() if codes is not None else [])
+        for ok in mask:
+            out.append(next(it) if ok else None)
+        return pd.Series(out)
+
+    assigned = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .where(F.col("v").isNotNull())
+        .withColumn("cell", centroid_cells_expr(cent_n, F.col("v"))[0])
+        .withColumn(
+            "code",
+            pandas_udf(_encode_residual, "array<tinyint>")(F.col("v"), F.col("cell")),
+        )
+        .select("id", "cell", "code")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    return (
+        spark.read.parquet(f"{path}/codes")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+def topk_ivf_pq(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    rerank: Optional[DataFrame] = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Query a persisted ``build_ivf_pq_index``: probe each query's
+    ``nprobe`` nearest cells (partition pruning reads only those
+    cells' code files), ADC-score the residual codes — score =
+    q·centroid(cell) + Σⱼ LUT[j, codeⱼ] with the query-residual LUTs
+    broadcast in the Arrow closure — and take top-k per query.
+    Optional exact-cosine ``rerank`` of a ``rerank_factor×k``
+    shortlist against a raw-vector table, exactly like ``topk_pq``.
+    Per-query scan cost: (nprobe/nlist)·corpus codes at m bytes each —
+    the two prunings multiply.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = spark.read.parquet(f"{index_path}/centroids").orderBy("cell").collect()
+    cent_n = np.array([r.centroid for r in cent_rows], dtype="float64")
+    book_rows = (
+        spark.read.parquet(f"{index_path}/codebooks").orderBy("subspace", "code").collect()
+    )
+    mm = max(r.subspace for r in book_rows) + 1
+    kk = max(r.code for r in book_rows) + 1
+    books = np.array(
+        [[next(r.centroid for r in book_rows if r.subspace == j and r.code == c) for c in range(kk)] for j in range(mm)],
+        dtype="float64",
+    )
+    ds = books.shape[2]
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .where(F.col("qv").isNotNull())
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("topk_ivf_pq: empty query set")
+    q_ids = [r.qid for r in q_rows]
+    q_mat = np.array([r.qv for r in q_rows], dtype="float64")
+    if q_mat.shape[1] != mm * ds:
+        raise ValueError(
+            f"topk_ivf_pq: query dim {q_mat.shape[1]} != codebook dim {mm * ds}"
+        )
+    # per-query probed cells + per-(query, cell) bias q·centroid
+    cell_dots = q_mat @ cent_n.T  # (Q, nlist)
+    probes = np.argsort(-cell_dots, axis=1)[:, :nprobe]  # (Q, nprobe)
+    lut = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_ids), mm, ds), books)
+    probe_sets = [set(int(c) for c in row) for row in probes]
+
+    out_schema = "qi int, nbr_id long, score double"
+
+    def score_batches(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["code"].to_numpy()).astype("int64")
+            cells = pdf["cell"].to_numpy().astype("int64")
+            ids = pdf["id"].to_numpy()
+            frames = []
+            for qi in range(len(q_ids)):
+                mask = np.isin(cells, list(probe_sets[qi]))
+                if not mask.any():
+                    continue
+                c, cl, idm = codes[mask], cells[mask], ids[mask]
+                s = cell_dots[qi][cl].astype("float64")
+                for j in range(mm):
+                    s = s + lut[qi, j, :][c[:, j]]
+                frames.append(
+                    pd.DataFrame({"qi": qi, "nbr_id": idm, "score": s})
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cells_wanted = sorted({c for s in probe_sets for c in s})
+    codes_df = spark.read.parquet(f"{index_path}/codes").where(
+        F.col("cell").isin(cells_wanted)  # partition pruning
+    )
+    scored = codes_df.mapInPandas(score_batches, out_schema)
+    qmap = spark.createDataFrame(
+        [(i, qid) for i, qid in enumerate(q_ids)], "qi int, query_id long"
+    )
+    scored = scored.join(F.broadcast(qmap), "qi").drop("qi")
+    if exclude_self:
+        scored = scored.where(F.col("nbr_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    shortlist = k * rerank_factor if rerank is not None else k
+    top = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= shortlist
     )
     if rerank is None:
         return top.select(

@@ -1,4 +1,8 @@
+"""Similarity-search tests: cross-table retrieval, IVF-PQ index."""
 
+import pytest
+
+from getl_spark.functions import similarity
 
 def test_topk_between_cross_table_no_self_exclusion(spark):
     """Cross-table retrieval: overlapping id spaces are unrelated, so
@@ -70,3 +74,101 @@ def test_topk_between_lsh_and_ivf_paths(spark):
     }
     assert len(lsh & exact) / len(exact) >= 0.8
     assert ivf == exact  # nprobe == nlist probes everything -> exact
+
+
+@pytest.fixture(scope="module")
+def ivfpq_setup(spark, tmp_path_factory):
+    import numpy as np
+
+    from getl_spark.functions import embedding as E
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(6, 16)) * 3
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(25):
+            rows.append((vid, [float(x) for x in c + rng.normal(size=16) * 0.8]))
+            vid += 1
+    df = E.l2_normalize(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ).cache()
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    occ = similarity.build_ivf_pq_index(df, path, nlist=6, m=8, k=16, seed=2)
+    return df, path, occ
+
+
+def test_ivf_pq_occupancy_covers_corpus(spark, ivfpq_setup):
+    df, path, occ = ivfpq_setup
+    assert sum(r.n_vectors for r in occ.collect()) == df.count()
+    # null vectors are skipped, not crashed on
+    import pyspark.sql.functions as SF
+
+    with_null = df.unionByName(spark.createDataFrame([(999, None)], df.schema))
+    occ2 = similarity.build_ivf_pq_index(
+        with_null, path + "_null", nlist=4, m=8, k=8, seed=1
+    )
+    assert sum(r.n_vectors for r in occ2.collect()) == df.count()
+
+
+def test_ivf_pq_full_probe_rerank_equals_bruteforce(spark, ivfpq_setup):
+    """nprobe=nlist probes every cell; with exact rerank the result is
+    identical to brute force — the oracle identity the partial-probe
+    path degrades gracefully from."""
+    df, path, _ = ivfpq_setup
+    q = df.where("vec_id in (0, 25, 50)")
+    brute = {
+        (r.query_id, r.nbr_id, r.cosine)
+        for r in similarity.topk_bruteforce(df, q, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.nbr_id, r.score)
+        for r in similarity.topk_ivf_pq(
+            spark, q, path, k=5, nprobe=6, rerank=df
+        ).collect()
+    }
+    assert full == brute
+
+
+def test_ivf_pq_partial_probe_recall(spark, ivfpq_setup):
+    df, path, _ = ivfpq_setup
+    q = df.where("vec_id in (0, 25, 50)")
+    brute = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.topk_bruteforce(df, q, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.topk_ivf_pq(
+            spark, q, path, k=5, nprobe=3, rerank=df
+        ).collect()
+    }
+    assert len(brute & got) / len(brute) >= 0.85
+
+
+def test_ivf_pq_probe_prunes_partitions(spark, ivfpq_setup):
+    df, path, _ = ivfpq_setup
+    q = df.where("vec_id = 0")
+    plan = (
+        similarity.topk_ivf_pq(spark, q, path, k=3, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the codes scan carries a partition filter on cell — only probed
+    # cells' files are read
+    assert "PartitionFilters: [cell" in plan.replace("#", " ").replace(
+        "cell 0", "cell"
+    ) or "cell IN" in plan
+
+
+def test_ivf_pq_validation(spark, ivfpq_setup):
+    _, path, _ = ivfpq_setup
+    empty_q = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        similarity.topk_ivf_pq(spark, empty_q, path)
+    bad_q = spark.createDataFrame(
+        [(1, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        similarity.topk_ivf_pq(spark, bad_q, path)
