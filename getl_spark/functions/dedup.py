@@ -989,6 +989,13 @@ def semantic_pairs(
     nonnull = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).where(
         F.col("vec").isNotNull()
     )
+    if nonnull.first() is None:
+        # empty corpus yields zero pairs, like every other pair
+        # generator here — not a training failure
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
     cent_n = _train_centroids(
         nonnull, "id", "vec", nlist, seed, train_limit, kmeans_iters
     )

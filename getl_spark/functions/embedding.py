@@ -280,6 +280,8 @@ def fit_pca(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
     if not len(partials):
         raise ValueError("fit_pca: no non-null vectors")
     n = int(partials["n"].sum())
+    if len({len(x) for x in partials["s"]}) > 1:
+        raise ValueError("fit_pca: mixed embedding dimensions across partitions")
     s = np.sum(np.stack(partials["s"].to_numpy()), axis=0)
     d = s.shape[0]
     if k > d:
@@ -315,10 +317,21 @@ def pca_project(
     bytes by d/k (e.g. 768→64 ≈ 12×), which at 100 TB is the
     difference between a broadcastable and a shuffled index. NULL
     vectors project to NULL."""
+    d = len(model.mean)
     mean_lit = F.array(*[F.lit(float(m)) for m in model.mean])
-    centered = F.zip_with(
-        F.col(vec_col).cast("array<double>"), mean_lit, lambda x, m: x - m
+    # zip_with NULL-pads on length mismatch, which would silently
+    # produce all-NULL projections — fail loud executor-side instead
+    checked = F.when(
+        F.size(F.col(vec_col)) == F.lit(d), F.col(vec_col).cast("array<double>")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pca_project: model dim {d} != vector dim "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast("array<double>")
     )
+    centered = F.zip_with(checked, mean_lit, lambda x, m: x - m)
     dots = []
     for comp in model.components:
         comp_lit = F.array(*[F.lit(float(c)) for c in comp])
@@ -365,6 +378,7 @@ def train_pq(
     seed: int = 42,
     train_limit: int = 10000,
     kmeans_iters: int = 10,
+    sample=None,
 ) -> PQModel:
     """Train a product quantizer: split vectors into ``m`` subvectors
     and k-means each subspace independently (Jégou et al.'s PQ). A
@@ -377,20 +391,33 @@ def train_pq(
     numpy k-means per subspace, k·d doubles of model state. Raises on
     d % m != 0, k > 256 (codes are stored as bytes), or an empty/
     too-small training sample.
+
+    ``sample`` (advanced): a precollected (n, d) numpy array to train
+    on instead of collecting from ``df`` — lets composite builders
+    (``build_ivf_pq_index``) reuse one bounded sample for both
+    quantizers instead of re-scanning the corpus.
     """
     import numpy as np
 
-    if k > 256:
-        raise ValueError(f"train_pq: k ({k}) > 256 — codes are single bytes")
-    train = np.array(
-        df.where(F.col(vec_col).isNotNull())
-        .orderBy(id_col)
-        .limit(train_limit)
-        .select(vec_col)
-        .toPandas()[vec_col]
-        .tolist(),
-        dtype="float64",
-    )
+    if k > 128:
+        raise ValueError(
+            f"train_pq: k ({k}) > 128 — codes are stored as SIGNED single "
+            "bytes (array<tinyint>), so 128+ would wrap negative and "
+            "silently corrupt ADC scoring; raise m instead (error falls "
+            "faster with subspace count than with centroids per subspace)"
+        )
+    if sample is not None:
+        train = np.asarray(sample, dtype="float64")
+    else:
+        train = np.array(
+            df.where(F.col(vec_col).isNotNull())
+            .orderBy(id_col)
+            .limit(train_limit)
+            .select(vec_col)
+            .toPandas()[vec_col]
+            .tolist(),
+            dtype="float64",
+        )
     if train.ndim != 2 or not len(train):
         raise ValueError("train_pq: no non-null vectors to train on")
     d = train.shape[1]

@@ -195,18 +195,13 @@ def centroid_cells_expr(cent_n, vec: Column, nassign: int = 1) -> Column:
     return F.transform(top, lambda s: s["cell"])
 
 
-def _train_centroids(
-    corpus: DataFrame,
-    id_col: str,
-    vec_col: str,
-    nlist: int,
-    seed: int,
-    train_limit: int,
-    kmeans_iters: int,
+def _collect_train_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, train_limit: int
 ):
-    """Driver-side normalized k-means on a bounded, deterministic
-    sample (first ``train_limit`` ids). Returns the row-normalized
-    centroid matrix (numpy, nlist × dim)."""
+    """The bounded, deterministic training sample every quantizer here
+    trains on: first ``train_limit`` non-null vectors by id, one
+    ordered-limit collect. Shared so composite builders (IVF-PQ) pay
+    for it once."""
     import numpy as np
 
     train = np.array(
@@ -220,6 +215,29 @@ def _train_centroids(
     )
     if train.ndim != 2 or not len(train):
         raise ValueError("k-means training: no non-null vectors to train on")
+    return train
+
+
+def _train_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    seed: int,
+    train_limit: int,
+    kmeans_iters: int,
+    sample=None,
+):
+    """Driver-side normalized k-means on a bounded, deterministic
+    sample (first ``train_limit`` ids, or a precollected ``sample``).
+    Returns the row-normalized centroid matrix (numpy, nlist × dim)."""
+    import numpy as np
+
+    train = (
+        np.asarray(sample, dtype="float64")
+        if sample is not None
+        else _collect_train_sample(corpus, id_col, vec_col, train_limit)
+    )
     rng = np.random.RandomState(seed)
     centroids = train[rng.choice(len(train), size=min(nlist, len(train)), replace=False)]
     # normalized k-means (cosine): assign by max dot with normalized centroids
@@ -560,7 +578,8 @@ def topk_pq(
     # LUT[q, j, c] = dot(q_sub_j, centroid_c_of_subspace_j)
     lut = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_rows), m, ds), books)
 
-    out_schema = "qi int, nbr_id long, score double"
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"qi int, nbr_id {id_type}, score double"
 
     def score_batches(batches):
         for pdf in batches:
@@ -587,7 +606,8 @@ def topk_pq(
         .mapInPandas(score_batches, out_schema)
     )
     qmap = corpus.sparkSession.createDataFrame(
-        [(i, qid) for i, qid in enumerate(q_ids)], "qi int, query_id long"
+        [(i, qid) for i, qid in enumerate(q_ids)],
+        f"qi int, query_id {id_type}",
     )
     scored = scored.join(F.broadcast(qmap), "qi").drop("qi")
     if exclude_self:
@@ -669,8 +689,10 @@ def build_ivf_pq_index(
 
     from getl_spark.functions.embedding import PQModel, _pq_batches, train_pq
 
+    train = _collect_train_sample(corpus, id_col, vec_col, train_limit)
     cent_n = _train_centroids(
-        corpus, id_col, vec_col, nlist, seed, train_limit, kmeans_iters
+        corpus, id_col, vec_col, nlist, seed, train_limit, kmeans_iters,
+        sample=train,
     )
     spark = corpus.sparkSession
     spark.createDataFrame(
@@ -678,25 +700,14 @@ def build_ivf_pq_index(
         "cell INT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
-    # residual-train the PQ on the same bounded sample, assigned in numpy
-    train = np.array(
-        corpus.where(F.col(vec_col).isNotNull())
-        .orderBy(id_col)
-        .limit(train_limit)
-        .select(vec_col)
-        .toPandas()[vec_col]
-        .tolist(),
-        dtype="float64",
-    )
+    # residual-train the PQ on the SAME bounded sample (one collect
+    # total), assigned in numpy — residuals never round-trip Spark
     assign = (train @ cent_n.T).argmax(axis=1)
     residuals = train - cent_n[assign]
-    res_df = spark.createDataFrame(
-        [(i, [float(x) for x in r]) for i, r in enumerate(residuals)],
-        f"{id_col} long, {vec_col} array<double>",
-    )
     pq = train_pq(
-        res_df, id_col, vec_col, m=m, k=k, seed=seed,
+        corpus, id_col, vec_col, m=m, k=k, seed=seed,
         train_limit=train_limit, kmeans_iters=kmeans_iters,
+        sample=residuals,
     )
     spark.createDataFrame(
         [
@@ -785,9 +796,10 @@ def topk_ivf_pq(
     )
     mm = max(r.subspace for r in book_rows) + 1
     kk = max(r.code for r in book_rows) + 1
-    books = np.array(
-        [[next(r.centroid for r in book_rows if r.subspace == j and r.code == c) for c in range(kk)] for j in range(mm)],
-        dtype="float64",
+    # rows arrive fully ordered (subspace, code) and complete — one
+    # reshape, not a quadratic scan
+    books = np.array([r.centroid for r in book_rows], dtype="float64").reshape(
+        mm, kk, -1
     )
     ds = books.shape[2]
 
@@ -810,7 +822,8 @@ def topk_ivf_pq(
     lut = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_ids), mm, ds), books)
     probe_sets = [set(int(c) for c in row) for row in probes]
 
-    out_schema = "qi int, nbr_id long, score double"
+    id_type = queries.schema[id_col].dataType.simpleString()
+    out_schema = f"qi int, nbr_id {id_type}, score double"
 
     def score_batches(batches):
         for pdf in batches:
@@ -838,7 +851,8 @@ def topk_ivf_pq(
     )
     scored = codes_df.mapInPandas(score_batches, out_schema)
     qmap = spark.createDataFrame(
-        [(i, qid) for i, qid in enumerate(q_ids)], "qi int, query_id long"
+        [(i, qid) for i, qid in enumerate(q_ids)],
+        f"qi int, query_id {id_type}",
     )
     scored = scored.join(F.broadcast(qmap), "qi").drop("qi")
     if exclude_self:

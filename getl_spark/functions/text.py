@@ -978,8 +978,13 @@ def unigram_logprob(
         .agg(F.count("*").alias("__c"))
         .where(F.col("__c") >= min_count)
     )
+    # COALESCE: an empty vocabulary (no word reaches min_count) must
+    # degrade to the smoothing-only distribution (every token OOV,
+    # logprob 0), not to NULL scores that silently fail downstream
+    # gates
     totals = vocab.agg(
-        F.sum("__c").alias("__t"), F.count("*").alias("__v")
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("__t"),
+        F.count("*").alias("__v"),
     )
     scored = (
         words.crossJoin(F.broadcast(totals))

@@ -381,3 +381,31 @@ def test_pq_validation(spark):
         similarity.topk_pq(codes, bad_q, model)  # dim mismatch
     with pytest.raises(ValueError):
         similarity.topk_pq(codes, df.where("vec_id < 0"), model)  # empty queries
+
+
+def test_train_pq_rejects_signed_byte_overflow(spark):
+    """Codes are SIGNED bytes — k in (128, 256] would wrap negative and
+    silently corrupt ADC scoring, so it must be rejected up front."""
+    df = _pq_corpus(spark, per=40)
+    with pytest.raises(ValueError, match="SIGNED"):
+        embedding.train_pq(df, m=8, k=129)
+    # k=128 is the legal maximum
+    model = embedding.train_pq(df, m=8, k=128, seed=1)
+    codes = embedding.pq_encode(df, model)
+    assert all(
+        0 <= b < 128 for r in codes.limit(5).collect() for b in r.pq_code
+    )
+
+
+def test_pca_project_rejects_dim_mismatch(spark):
+    from getl_spark.functions import embedding as E
+
+    _, df = _toy_vectors(spark, n=30, d=12, seed=6)
+    model = E.fit_pca(df, "embedding", k=2)
+    bad = spark.createDataFrame(
+        [(1, [0.0] * 5)], "vec_id long, embedding array<double>"
+    )
+    import py4j.protocol
+
+    with pytest.raises(Exception, match="pca_project: model dim"):
+        E.pca_project(bad, model, "embedding").collect()

@@ -1251,3 +1251,14 @@ def test_build_minhash_index_validation(spark, minhash_index):
     corpus, _, _ = minhash_index
     with pytest.raises(ValueError):
         dedup.build_minhash_index(corpus, "/tmp/unused_mh", num_hashes=64, bands=24)
+
+
+def test_semantic_pairs_empty_corpus_yields_empty_pairs(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = dedup.semantic_pairs(empty, "vec_id", "embedding")
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    assert dedup.semantic_pairs(all_null, "vec_id", "embedding").count() == 0

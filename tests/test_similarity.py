@@ -172,3 +172,26 @@ def test_ivf_pq_validation(spark, ivfpq_setup):
     )
     with pytest.raises(ValueError):
         similarity.topk_ivf_pq(spark, bad_q, path)
+
+
+def test_topk_pq_string_ids(spark):
+    """Id columns pass through type-generically, like every sibling
+    topk_* function."""
+    import numpy as np
+
+    from getl_spark.functions import embedding as E
+
+    rng = np.random.default_rng(21)
+    rows = [
+        (f"doc-{i}", [float(x) for x in rng.normal(size=16)]) for i in range(40)
+    ]
+    df = E.l2_normalize(
+        spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    )
+    model = E.train_pq(df, m=8, k=8, seed=2, id_col="vec_id")
+    codes = E.pq_encode(df, model)
+    q = df.where("vec_id in ('doc-0', 'doc-1')")
+    out = similarity.topk_pq(codes, q, model, k=3, rerank=df)
+    rows = out.collect()
+    assert len(rows) == 6
+    assert all(isinstance(r.nbr_id, str) and r.nbr_id.startswith("doc-") for r in rows)

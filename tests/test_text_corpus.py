@@ -431,3 +431,17 @@ def test_unigram_logprob_validation(spark):
         T.unigram_logprob(df, min_count=0)
     with pytest.raises(ValueError):
         T.unigram_logprob(df, smoothing=0.0)
+
+
+def test_unigram_logprob_empty_vocab_degrades_to_zero_not_null(spark):
+    """No word repeats min_count times → smoothing-only distribution:
+    every token is the OOV bucket with p=1, logprob exactly 0 — NULL
+    scores would silently fail downstream quality gates."""
+    from getl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "charlie delta")], "doc_id long, text string"
+    )
+    out = T.unigram_logprob(df, min_count=5).collect()
+    assert len(out) == 2
+    assert all(r.logprob == 0.0 for r in out)
