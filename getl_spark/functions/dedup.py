@@ -1176,6 +1176,34 @@ def against_stored_index(
     return survivors.join(near_ids, id_col, "anti").drop("fingerprint")
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    nlist: int = 64,
+    nassign: int = 1,
+    seed: int = 42,
+    train_limit: int = 10000,
+    kmeans_iters: int = 10,
+    quality_col: Optional[str] = None,
+) -> DataFrame:
+    """One-call SemDeDup: ``semantic_pairs`` → connected components →
+    one survivor per semantic cluster (min id, or the best row by
+    ``quality_col``). The composition every dedup family here offers;
+    see ``semantic_pairs`` for the scale shape and recall knobs.
+    YAML-callable inside ``transform::generic``."""
+    from getl_spark.functions.graph import dedup_by_component
+
+    pairs = semantic_pairs(
+        df, id_col, vec_col, threshold, nlist, nassign, seed,
+        train_limit, kmeans_iters,
+    )
+    return dedup_by_component(
+        df, pairs, id_col=id_col, quality_col=quality_col
+    )
+
+
 # -------------------------------------------------------- log compaction
 def latest_by_key(
     df: DataFrame,

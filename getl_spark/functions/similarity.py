@@ -448,7 +448,10 @@ def topk(
     cell and is exactly equal to brute force (useful for oracle
     verification of the IVF machinery). ``method='ivf_index'`` queries
     a persisted ``build_ivf_index`` at ``index_path`` instead of
-    training/assigning in-session."""
+    training/assigning in-session; ``method='ivf_pq'`` queries a
+    persisted ``build_ivf_pq_index`` (probe-pruned residual-code ADC,
+    exact-cosine rerank against the input — the compressed-index
+    path)."""
     queries = df.where(F.col(id_col).isin(list(query_ids)))
     if method == "lsh":
         return topk_lsh(df, queries, k, id_col, vec_col, planes=planes, seed=seed)
@@ -461,6 +464,24 @@ def topk(
             raise ValueError("topk: method='ivf_index' needs index_path")
         return topk_ivf_indexed(
             df.sparkSession, queries, index_path, k, nprobe, id_col, vec_col
+        )
+    if method == "ivf_pq":
+        if not index_path:
+            raise ValueError("topk: method='ivf_pq' needs index_path")
+        return topk_ivf_pq(
+            df.sparkSession,
+            queries,
+            index_path,
+            k,
+            nprobe,
+            id_col,
+            vec_col,
+            rerank=df,
+        ).withColumnRenamed("score", "cosine")
+    if method != "bruteforce":
+        raise ValueError(
+            f"topk: unknown method '{method}' "
+            "(bruteforce|lsh|ivf|ivf_index|ivf_pq)"
         )
     return topk_bruteforce(df, queries, k, id_col, vec_col)
 

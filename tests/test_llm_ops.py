@@ -1262,3 +1262,24 @@ def test_semantic_pairs_empty_corpus_yields_empty_pairs(spark):
         [(1, None), (2, None)], "vec_id long, embedding array<double>"
     )
     assert dedup.semantic_pairs(all_null, "vec_id", "embedding").count() == 0
+
+
+def test_semantic_dedup_one_survivor_per_cluster(spark):
+    df = _clustered_vecs(spark, n_clusters=4, per=6)
+    out = dedup.semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.98, nlist=4, nassign=2, seed=1
+    )
+    # each planted cluster of 6 near-identical vectors collapses to 1
+    got = out.groupBy("planted").count().collect()
+    assert {r["count"] for r in got} == {1}
+    # min-id winner by default
+    assert {r.vec_id for r in out.collect()} == {0, 6, 12, 18}
+    # quality winner: keep the max vec_id instead via a quality column
+    from pyspark.sql import functions as SF
+
+    scored = df.withColumn("q", SF.col("vec_id").cast("double"))
+    best = dedup.semantic_dedup(
+        scored, "vec_id", "embedding", threshold=0.98, nlist=4, nassign=2,
+        seed=1, quality_col="q",
+    )
+    assert {r.vec_id for r in best.collect()} == {5, 11, 17, 23}
