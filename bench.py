@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "scd2_merge",
     "topk_between_tables",
     "text_unigram_logprob",
+    "dedup_stored_index",
 ]
 
 RUNS = 3
