@@ -4025,6 +4025,88 @@ WHERE rank <= 5
 """
 
 
+def _q_stream_dedup_ingest(spark, sf_dir):
+    """write::stream_dedup_ingest driven end-to-end: bootstrap an
+    empty MinHash index, drain two waves of ``documents`` (wave 2
+    re-carries every wave-1 doc), and return the deduplicated corpus.
+    Exact phase only, so the survivor set — min doc_id per fingerprint
+    within a wave, fingerprints never seen in an earlier wave — is
+    replicated precisely by the DuckDB oracle."""
+    import yaml
+
+    from getl_spark import lift
+    from getl_spark.functions import dedup
+
+    tmp = "/tmp/getl_spark_q/stream_dedup_ingest"
+    shutil.rmtree(tmp, ignore_errors=True)
+    src, corpus, index, ckpt = (
+        f"{tmp}/src", f"{tmp}/corpus", f"{tmp}/index", f"{tmp}/ckpt"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dedup.build_minhash_index(
+        spark.createDataFrame([], "doc_id long, text string, lang string"),
+        index,
+    )
+
+    def drain():
+        definition = {
+            "LiftJob": {
+                "Read": {
+                    "Type": "load::stream_json",
+                    "Properties": {
+                        "Path": src,
+                        "JsonSchema": {
+                            "type": "struct",
+                            "fields": [
+                                {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+                                {"name": "text", "type": "string", "nullable": True, "metadata": {}},
+                                {"name": "lang", "type": "string", "nullable": True, "metadata": {}},
+                            ],
+                        },
+                    },
+                },
+                "Sink": {
+                    "Type": "write::stream_dedup_ingest",
+                    "Input": "Read",
+                    "Properties": {
+                        "Path": corpus,
+                        "IndexPath": index,
+                        "Checkpoint": ckpt,
+                    },
+                },
+            }
+        }
+        lift(spark, yaml.safe_dump(definition, sort_keys=False))
+
+    docs.where("doc_id % 3 = 0").select("doc_id", "text", "lang").coalesce(
+        2
+    ).write.mode("overwrite").json(src)
+    drain()
+    docs.where("doc_id % 3 < 2").select("doc_id", "text", "lang").coalesce(
+        2
+    ).write.mode("append").json(src)
+    drain()
+    return spark.read.parquet(corpus).select("doc_id", "lang")
+
+
+STREAM_DEDUP_INGEST_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f
+  FROM documents
+),
+w1 AS (SELECT f, MIN(doc_id) AS doc_id FROM fp WHERE doc_id % 3 = 0 GROUP BY f),
+w2 AS (
+  SELECT f, MIN(doc_id) AS doc_id FROM fp
+  WHERE doc_id % 3 < 2 AND f NOT IN (SELECT f FROM w1)
+  GROUP BY f
+)
+SELECT d.doc_id, d.lang
+FROM fp d JOIN (SELECT doc_id FROM w1 UNION ALL SELECT doc_id FROM w2) s
+  USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -4296,6 +4378,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stored_index": _q_stored_index,
         "embedding_pq_encode": _q_pq_encode,
         "similarity_ivf_pq": _q_ivf_pq_topk,
+        "stream_dedup_ingest": _q_stream_dedup_ingest,
     }
 
 
@@ -4382,6 +4465,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_stored_index": STORED_INDEX_ORACLE,
         "embedding_pq_encode": PQ_ENCODE_ORACLE,
         "similarity_ivf_pq": IVF_PQ_TOPK_ORACLE,
+        "stream_dedup_ingest": STREAM_DEDUP_INGEST_ORACLE,
     }
 
 

@@ -1072,8 +1072,10 @@ def build_minhash_index(
     from getl_spark.functions.text import fingerprint as fp
 
     spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
     spark.createDataFrame(
-        [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
+        [(n, num_hashes, bands, id_type)],
+        "n int, num_hashes int, bands int, id_type string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     fp(df, text_col, "fingerprint").select(
         F.col(id_col).alias("id"), "fingerprint"
@@ -1086,8 +1088,9 @@ def build_minhash_index(
     _band_keys(
         spark.read.parquet(f"{path}/signatures"), bands, num_hashes // bands
     ).write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    meta = spark.read.parquet(f"{path}/meta").first()
     return (
-        spark.read.parquet(f"{path}/bands")
+        _read_bands(spark, path, meta)
         .groupBy("band", "key")
         .agg(F.count("*").alias("bucket"))
         .groupBy("band")
@@ -1096,6 +1099,17 @@ def build_minhash_index(
             F.max("bucket").alias("max_bucket"),
         )
         .orderBy("band")
+    )
+
+
+def _read_bands(spark, index_path: str, meta):
+    """Band table with an explicit schema: a bootstrap index built from
+    an EMPTY corpus writes no band files at all (partitioned writes of
+    zero rows emit nothing), so schema inference would fail on the
+    very first increment of a from-scratch feed."""
+    id_type = getattr(meta, "id_type", None) or "bigint"
+    return spark.read.schema(f"id {id_type}, key bigint, band int").parquet(
+        f"{index_path}/bands"
     )
 
 
@@ -1147,7 +1161,7 @@ def against_stored_index(
     banded_new = _band_keys(
         new_sigs, meta.bands, meta.num_hashes // meta.bands
     ).withColumnRenamed("id", "id_a")
-    banded_idx = spark.read.parquet(f"{index_path}/bands").withColumnRenamed(
+    banded_idx = _read_bands(spark, index_path, meta).withColumnRenamed(
         "id", "id_b"
     )
     candidates = (
@@ -1202,6 +1216,39 @@ def semantic_dedup(
     return dedup_by_component(
         df, pairs, id_col=id_col, quality_col=quality_col
     )
+
+
+def index_append(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Grow a persisted ``build_minhash_index`` with new documents:
+    append their fingerprints, signatures, and band keys, sketched
+    with the index's OWN meta parameters (an appended increment can
+    never drift to a different hash family). The write side of the
+    daily-ingest loop: ``against_stored_index`` filters an increment,
+    ``index_append`` folds the survivors in, so tomorrow's increment
+    dedups against today's. Appends are corpus-increment-sized jobs;
+    the existing index tables are never rewritten."""
+    spark = df.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    from getl_spark.functions.text import fingerprint as fp
+
+    fp(df, text_col, "fingerprint").select(
+        F.col(id_col).alias("id"), "fingerprint"
+    ).write.mode("append").parquet(f"{index_path}/fingerprints")
+    sh = _shingles(df, id_col, text_col, meta.n).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    ).localCheckpoint()
+    sigs = minhash_signatures(
+        df, id_col, text_col, meta.n, meta.num_hashes, shingles=sh
+    ).localCheckpoint()
+    sigs.write.mode("append").parquet(f"{index_path}/signatures")
+    _band_keys(sigs, meta.bands, meta.num_hashes // meta.bands).write.mode(
+        "append"
+    ).partitionBy("band").parquet(f"{index_path}/bands")
 
 
 # -------------------------------------------------------- log compaction

@@ -311,3 +311,63 @@ def stream_upsert(conf: BlockConfig) -> DataFrame:
         .awaitTermination()
     )
     return df
+
+
+def stream_dedup_ingest(conf: BlockConfig) -> DataFrame:
+    """Continuous deduplicated corpus ingestion: each micro-batch is
+    (1) exact-deduped within itself on the text fingerprint, (2)
+    filtered against a persisted MinHash index
+    (``dedup.build_minhash_index`` — exact fingerprint anti-join plus,
+    with ``NearThreshold``, banded-LSH near-dup filtering), (3) the
+    survivors appended to the output corpus AND folded into the index
+    (``dedup.index_append``) — so every later batch, today or next
+    month, dedups against everything already ingested. The streaming
+    form of the daily-ingest loop, with the corpus never rescanned.
+
+    Properties: ``Path`` (corpus output, parquet append), ``IndexPath``
+    (an existing ``build_minhash_index`` — bootstrap one from the
+    initial corpus, or from an empty frame for a from-scratch feed),
+    ``IdColumn``/``TextColumn`` (default doc_id/text),
+    ``NearThreshold`` (optional — enables the near phase),
+    ``Checkpoint`` (default ``<Path>__checkpoint``). Runs with
+    ``availableNow`` (incremental batch).
+
+    Scale shape: per batch, increment-sized sketch work + two keyed
+    joins against the index tables + appends; state lives in the
+    checkpoint and the index, both bounded by corpus size, not stream
+    history.
+    """
+    from getl_spark.functions import dedup
+    from getl_spark.functions.text import fingerprint as fp
+
+    df = conf.input_df()
+    out = conf.get("Path")
+    index_path = conf.get("IndexPath")
+    id_col = conf.get("IdColumn", "doc_id")
+    text_col = conf.get("TextColumn", "text")
+    near = conf.get("NearThreshold", None)
+    checkpoint = conf.get("Checkpoint", f"{out.rstrip('/')}__checkpoint")
+
+    def ingest_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = dedup.exact(
+            fp(batch_df, text_col, "__fp"), ["__fp"], order_by=id_col
+        ).drop("__fp")
+        survivors = dedup.against_stored_index(
+            batch, index_path, id_col, text_col, near_threshold=near
+        ).localCheckpoint()
+        if survivors.isEmpty():
+            return
+        survivors.write.mode("append").parquet(out)
+        dedup.index_append(survivors, index_path, id_col, text_col)
+
+    (
+        df.writeStream.trigger(availableNow=True)
+        .outputMode(conf.get("OutputMode", "append"))
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(ingest_batch)
+        .start()
+        .awaitTermination()
+    )
+    return df

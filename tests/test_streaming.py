@@ -525,3 +525,94 @@ def test_stream_upsert_default_checkpoint_outside_table(spark, tmp_path):
     run()
     rows = spark.read.parquet(target).collect()
     assert [(r.k, r.v) for r in rows] == [(1, "b")]
+
+
+def test_stream_dedup_ingest_grows_index_across_drains(spark, tmp_path):
+    """write::stream_dedup_ingest: wave 1 bootstraps the corpus
+    (intra-batch exact dup collapsed), wave 2 is filtered against
+    everything wave 1 ingested — exact dups AND near dups — and the
+    survivors fold into the index so a wave-3 replay of them is
+    empty."""
+    import json as _json
+    import yaml as _yaml
+
+    from getl_spark import lift
+    from getl_spark.functions import dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "mh_index")
+
+    # bootstrap an empty index (from-scratch feed)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    dedup.build_minhash_index(empty, index, n=3, num_hashes=64, bands=16)
+
+    base = "the quick brown fox jumps over dog number {0} in the field " * 3
+
+    def run():
+        blocks = {
+            "S": {
+                "Type": "load::stream_json",
+                "Properties": {
+                    "Path": str(src),
+                    "JsonSchema": {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+                            {"name": "text", "type": "string", "nullable": True, "metadata": {}},
+                        ],
+                    },
+                },
+            },
+            "W": {
+                "Type": "write::stream_dedup_ingest",
+                "Input": "S",
+                "Properties": {
+                    "Path": corpus,
+                    "IndexPath": index,
+                    "NearThreshold": 0.7,
+                    "Checkpoint": str(tmp_path / "ckpt"),
+                },
+            },
+        }
+        lift(spark, _yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+
+    # wave 1: docs 0, 1, and an intra-batch exact dup of doc 0
+    (src / "w1.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in [
+                {"doc_id": 0, "text": base.format(0)},
+                {"doc_id": 1, "text": base.format(1)},
+                {"doc_id": 2, "text": base.format(0)},  # exact dup of 0
+            ]
+        )
+    )
+    run()
+    ids = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert ids == [0, 1]
+
+    # wave 2: new doc, exact dup of ingested 1, near dup of ingested 0
+    (src / "w2.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in [
+                {"doc_id": 10, "text": "a completely novel document about parquet footers"},
+                {"doc_id": 11, "text": base.format(1)},  # exact dup of 1
+                {"doc_id": 12, "text": base.format(0) + "extra tail"},  # near dup of 0
+            ]
+        )
+    )
+    run()
+    ids = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert ids == [0, 1, 10]
+    # index grew with the survivor: replaying doc 10's text is filtered
+    (src / "w3.json").write_text(
+        _json.dumps({"doc_id": 20, "text": "a completely novel document about parquet footers"})
+    )
+    run()
+    ids = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert ids == [0, 1, 10]
+    # fingerprint table tracks the corpus exactly
+    assert spark.read.parquet(f"{index}/fingerprints").count() == 3
