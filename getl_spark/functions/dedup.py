@@ -1088,9 +1088,10 @@ def build_minhash_index(
     _band_keys(
         spark.read.parquet(f"{path}/signatures"), bands, num_hashes // bands
     ).write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
-    meta = spark.read.parquet(f"{path}/meta").first()
+    from types import SimpleNamespace
+
     return (
-        _read_bands(spark, path, meta)
+        _read_bands(spark, path, SimpleNamespace(id_type=id_type))
         .groupBy("band", "key")
         .agg(F.count("*").alias("bucket"))
         .groupBy("band")
@@ -1103,14 +1104,21 @@ def build_minhash_index(
 
 
 def _read_bands(spark, index_path: str, meta):
-    """Band table with an explicit schema: a bootstrap index built from
-    an EMPTY corpus writes no band files at all (partitioned writes of
-    zero rows emit nothing), so schema inference would fail on the
-    very first increment of a from-scratch feed."""
-    id_type = getattr(meta, "id_type", None) or "bigint"
-    return spark.read.schema(f"id {id_type}, key bigint, band int").parquet(
-        f"{index_path}/bands"
-    )
+    """Band table read that tolerates a bootstrap-empty index: a
+    partitioned write of zero rows emits no files, so inference fails
+    on the very first increment of a from-scratch feed — fall back to
+    the schema recorded in meta. Inference runs first so legacy
+    indexes whose meta predates ``id_type`` keep working with any id
+    column type."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{index_path}/bands")
+    except AnalysisException:
+        id_type = getattr(meta, "id_type", None) or "bigint"
+        return spark.read.schema(f"id {id_type}, key bigint, band int").parquet(
+            f"{index_path}/bands"
+        )
 
 
 def against_stored_index(
@@ -1119,6 +1127,7 @@ def against_stored_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     near_threshold: Optional[float] = None,
+    keep_sketches: bool = False,
 ) -> DataFrame:
     """Dedup an increment against a persisted ``build_minhash_index``
     WITHOUT the original corpus: keep new documents that are neither
@@ -1138,7 +1147,10 @@ def against_stored_index(
     variant when both text sides are at hand.)
 
     Scale shape: increment-sized sketch work + two keyed joins against
-    index tables; nothing rescans the corpus.
+    index tables; nothing rescans the corpus. ``keep_sketches=True``
+    retains the computed ``fingerprint`` (and, when the near phase ran,
+    ``__sig``) columns on the survivors so ``index_append`` can fold
+    them in without re-sketching.
     """
     spark = new_df.sparkSession
     meta = spark.read.parquet(f"{index_path}/meta").first()
@@ -1151,7 +1163,7 @@ def against_stored_index(
         "anti",
     )
     if near_threshold is None:
-        return survivors.drop("fingerprint")
+        return survivors if keep_sketches else survivors.drop("fingerprint")
     sh = _shingles(survivors, id_col, text_col, meta.n).select(
         "id", F.xxhash64("shingle").alias("shingle")
     ).localCheckpoint()
@@ -1187,7 +1199,14 @@ def against_stored_index(
         .select(F.col("id_a").alias(id_col))
         .distinct()
     )
-    return survivors.join(near_ids, id_col, "anti").drop("fingerprint")
+    out = survivors.join(near_ids, id_col, "anti")
+    if not keep_sketches:
+        return out.drop("fingerprint")
+    return out.join(
+        new_sigs.select(F.col("id").alias(id_col), F.col("sig").alias("__sig")),
+        id_col,
+        "left",
+    )
 
 
 def semantic_dedup(
@@ -1223,32 +1242,54 @@ def index_append(
     index_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprint_col: Optional[str] = None,
+    sig_col: Optional[str] = None,
 ) -> None:
     """Grow a persisted ``build_minhash_index`` with new documents:
-    append their fingerprints, signatures, and band keys, sketched
-    with the index's OWN meta parameters (an appended increment can
-    never drift to a different hash family). The write side of the
-    daily-ingest loop: ``against_stored_index`` filters an increment,
-    ``index_append`` folds the survivors in, so tomorrow's increment
-    dedups against today's. Appends are corpus-increment-sized jobs;
-    the existing index tables are never rewritten."""
+    append their signatures, band keys, and — LAST — fingerprints,
+    sketched with the index's OWN meta parameters (an appended
+    increment can never drift to a different hash family). The write
+    side of the daily-ingest loop: ``against_stored_index`` filters an
+    increment, ``index_append`` folds the survivors in, so tomorrow's
+    increment dedups against today's.
+
+    Write order is a crash-safety contract: the fingerprint append is
+    the commit marker. A replayed batch whose fingerprints landed is
+    filtered out by the exact phase and never re-appended; a crash
+    before the fingerprint append leaves at worst duplicate
+    signature/band rows, which are harmless (candidate pairs are
+    distinct'd) and get their fingerprints on the replay.
+
+    ``fingerprint_col`` / ``sig_col`` (optional): reuse sketches a
+    caller already computed (``against_stored_index(keep_sketches=
+    True)``) instead of recomputing — the sketch passes are the
+    dominant per-batch cost in the streaming loop."""
     spark = df.sparkSession
     meta = spark.read.parquet(f"{index_path}/meta").first()
     from getl_spark.functions.text import fingerprint as fp
 
-    fp(df, text_col, "fingerprint").select(
-        F.col(id_col).alias("id"), "fingerprint"
-    ).write.mode("append").parquet(f"{index_path}/fingerprints")
-    sh = _shingles(df, id_col, text_col, meta.n).select(
-        "id", F.xxhash64("shingle").alias("shingle")
-    ).localCheckpoint()
-    sigs = minhash_signatures(
-        df, id_col, text_col, meta.n, meta.num_hashes, shingles=sh
-    ).localCheckpoint()
+    if sig_col is not None:
+        sigs = df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+    else:
+        sh = _shingles(df, id_col, text_col, meta.n).select(
+            "id", F.xxhash64("shingle").alias("shingle")
+        ).localCheckpoint()
+        sigs = minhash_signatures(
+            df, id_col, text_col, meta.n, meta.num_hashes, shingles=sh
+        )
+    sigs = sigs.localCheckpoint()
     sigs.write.mode("append").parquet(f"{index_path}/signatures")
     _band_keys(sigs, meta.bands, meta.num_hashes // meta.bands).write.mode(
         "append"
     ).partitionBy("band").parquet(f"{index_path}/bands")
+    fps = (
+        df.select(F.col(id_col).alias("id"), F.col(fingerprint_col).alias("fingerprint"))
+        if fingerprint_col is not None
+        else fp(df, text_col, "fingerprint").select(
+            F.col(id_col).alias("id"), "fingerprint"
+        )
+    )
+    fps.write.mode("append").parquet(f"{index_path}/fingerprints")
 
 
 # -------------------------------------------------------- log compaction

@@ -336,8 +336,16 @@ def stream_dedup_ingest(conf: BlockConfig) -> DataFrame:
     joins against the index tables + appends; state lives in the
     checkpoint and the index, both bounded by corpus size, not stream
     history.
+
+    Crash safety: the corpus write is idempotent (each micro-batch
+    overwrites its own ``batch=<id>`` subdirectory), and the index
+    append commits fingerprints LAST — so a batch replayed after a
+    crash either re-filters to nothing (fingerprints landed) or
+    recomputes the same survivor set deterministically and overwrites
+    its own directory. No replay path duplicates corpus rows.
     """
     from getl_spark.functions import dedup
+    from getl_spark.functions.graph import dedup_by_component
     from getl_spark.functions.text import fingerprint as fp
 
     df = conf.input_df()
@@ -348,19 +356,33 @@ def stream_dedup_ingest(conf: BlockConfig) -> DataFrame:
     near = conf.get("NearThreshold", None)
     checkpoint = conf.get("Checkpoint", f"{out.rstrip('/')}__checkpoint")
 
-    def ingest_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         batch = dedup.exact(
             fp(batch_df, text_col, "__fp"), ["__fp"], order_by=id_col
         ).drop("__fp")
+        if near is not None:
+            # near-dups CO-ARRIVING in one batch never meet the index —
+            # collapse them here (pairs → clusters → min-id winner)
+            pairs = dedup.minhash_lsh(
+                batch, id_col=id_col, text_col=text_col, threshold=near
+            )
+            batch = dedup_by_component(batch, pairs, id_col=id_col)
         survivors = dedup.against_stored_index(
-            batch, index_path, id_col, text_col, near_threshold=near
+            batch, index_path, id_col, text_col, near_threshold=near,
+            keep_sketches=True,
         ).localCheckpoint()
         if survivors.isEmpty():
             return
-        survivors.write.mode("append").parquet(out)
-        dedup.index_append(survivors, index_path, id_col, text_col)
+        sig_col = "__sig" if "__sig" in survivors.columns else None
+        survivors.drop("fingerprint", "__sig").write.mode("overwrite").parquet(
+            f"{out.rstrip('/')}/batch={batch_id}"
+        )
+        dedup.index_append(
+            survivors, index_path, id_col, text_col,
+            fingerprint_col="fingerprint", sig_col=sig_col,
+        )
 
     (
         df.writeStream.trigger(availableNow=True)

@@ -616,3 +616,132 @@ def test_stream_dedup_ingest_grows_index_across_drains(spark, tmp_path):
     assert ids == [0, 1, 10]
     # fingerprint table tracks the corpus exactly
     assert spark.read.parquet(f"{index}/fingerprints").count() == 3
+
+
+def test_stream_dedup_ingest_intra_batch_near_dups_collapse(spark, tmp_path):
+    """Two near-duplicates CO-ARRIVING in one micro-batch meet each
+    other (not just the index): only the min-id one is ingested."""
+    import json as _json
+    import yaml as _yaml
+
+    from getl_spark import lift
+    from getl_spark.functions import dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "idx")
+    dedup.build_minhash_index(
+        spark.createDataFrame([], "doc_id long, text string"), index
+    )
+    base = "the quick brown fox jumps over the lazy dog near the river " * 3
+    (src / "w1.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": base},
+                {"doc_id": 2, "text": base + "with a small extra tail"},  # near dup of 1
+                {"doc_id": 3, "text": "an unrelated doc about parquet row groups"},
+            ]
+        )
+    )
+    lift(
+        spark,
+        _yaml.safe_dump(
+            {
+                "LiftJob": {
+                    "S": {
+                        "Type": "load::stream_json",
+                        "Properties": {
+                            "Path": str(src),
+                            "JsonSchema": {
+                                "type": "struct",
+                                "fields": [
+                                    {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+                                    {"name": "text", "type": "string", "nullable": True, "metadata": {}},
+                                ],
+                            },
+                        },
+                    },
+                    "W": {
+                        "Type": "write::stream_dedup_ingest",
+                        "Input": "S",
+                        "Properties": {
+                            "Path": corpus,
+                            "IndexPath": index,
+                            "NearThreshold": 0.5,
+                            "Checkpoint": str(tmp_path / "ckpt"),
+                        },
+                    },
+                }
+            },
+            sort_keys=False,
+        ),
+    )
+    ids = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert ids == [1, 3]
+
+
+def test_stream_dedup_ingest_replay_is_idempotent(spark, tmp_path):
+    """A replayed batch (fresh checkpoint, same source files — the
+    crash-recovery shape) re-filters against the already-committed
+    fingerprints and does NOT duplicate corpus rows."""
+    import json as _json
+    import yaml as _yaml
+
+    from getl_spark import lift
+    from getl_spark.functions import dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "idx")
+    dedup.build_minhash_index(
+        spark.createDataFrame([], "doc_id long, text string"), index
+    )
+    (src / "w1.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": i, "text": f"wholly distinct document number {i}"})
+            for i in range(4)
+        )
+    )
+
+    def run(ckpt):
+        lift(
+            spark,
+            _yaml.safe_dump(
+                {
+                    "LiftJob": {
+                        "S": {
+                            "Type": "load::stream_json",
+                            "Properties": {
+                                "Path": str(src),
+                                "JsonSchema": {
+                                    "type": "struct",
+                                    "fields": [
+                                        {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+                                        {"name": "text", "type": "string", "nullable": True, "metadata": {}},
+                                    ],
+                                },
+                            },
+                        },
+                        "W": {
+                            "Type": "write::stream_dedup_ingest",
+                            "Input": "S",
+                            "Properties": {
+                                "Path": corpus,
+                                "IndexPath": index,
+                                "Checkpoint": str(tmp_path / ckpt),
+                            },
+                        },
+                    }
+                },
+                sort_keys=False,
+            ),
+        )
+
+    run("ckpt1")
+    assert spark.read.parquet(corpus).count() == 4
+    run("ckpt2")  # full replay of the same files
+    assert spark.read.parquet(corpus).count() == 4
+    assert spark.read.parquet(f"{index}/fingerprints").count() == 4
