@@ -4107,6 +4107,55 @@ FROM fp d JOIN (SELECT doc_id FROM w1 UNION ALL SELECT doc_id FROM w2) s
 """
 
 
+def _q_funnel(spark, sf_dir):
+    """sessions.funnel — ordered conversion funnel (view → click →
+    purchase within 24 h) over ``events``. The DuckDB oracle is the
+    textbook chained sequential-min SQL; the engine computes the same
+    semantics in one shuffle + a JVM array fold."""
+    from getl_spark.functions import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.funnel(
+        ev, ["view", "click", "purchase"], within_seconds=86400
+    )
+
+
+FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL
+),
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view'
+       GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2, ANY_VALUE(s1.t1) AS t1
+       FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s1.t1
+         AND epoch_us(e.ts) - epoch_us(s1.t1) <= 86400000000
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+       FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+         AND epoch_us(e.ts) - epoch_us(s2.t1) <= 86400000000
+       GROUP BY e.user_id),
+counts AS (
+  SELECT 1 AS step_index, 'view' AS step,
+         (SELECT COUNT(*) FROM s1) AS users
+  UNION ALL
+  SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+)
+SELECT step_index, step, users,
+  CASE WHEN FIRST_VALUE(users) OVER w > 0
+       THEN ROUND(users / CAST(FIRST_VALUE(users) OVER w AS DOUBLE), 6) END
+    AS pct_of_first,
+  CASE WHEN LAG(users) OVER w > 0
+       THEN ROUND(users / CAST(LAG(users) OVER w AS DOUBLE), 6) END
+    AS pct_of_prev
+FROM counts WINDOW w AS (ORDER BY step_index)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -4379,6 +4428,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_encode": _q_pq_encode,
         "similarity_ivf_pq": _q_ivf_pq_topk,
         "stream_dedup_ingest": _q_stream_dedup_ingest,
+        "funnel_conversion": _q_funnel,
     }
 
 
@@ -4466,6 +4516,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "embedding_pq_encode": PQ_ENCODE_ORACLE,
         "similarity_ivf_pq": IVF_PQ_TOPK_ORACLE,
         "stream_dedup_ingest": STREAM_DEDUP_INGEST_ORACLE,
+        "funnel_conversion": FUNNEL_ORACLE,
     }
 
 

@@ -91,3 +91,127 @@ def rolling(
             expr = F.round(expr, 6)
         out = out.withColumn(f"roll_{agg}", expr)
     return out
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: Optional[float] = None,
+) -> DataFrame:
+    """Ordered conversion funnel: how many users performed ``steps``
+    in sequence — each step's event at-or-after the previous step's
+    chosen event (the standard sequential-min semantics: the earliest
+    qualifying event is chosen at every stage, which maximizes later
+    conversion and is exactly what the equivalent SQL of chained
+    ``MIN(ts) >= prev`` computes). ``within_seconds`` additionally
+    requires every later step to land within that horizon of the
+    step-1 event.
+
+    Returns one row per step: ``(step_index, step, users,
+    pct_of_first, pct_of_prev)``.
+
+    Scale shape (100 TB of events): the event scan filters to the
+    step types (pushed to the scan), ONE shuffle groups each user's
+    step events into a sorted array (partial-agg collect, per-user
+    state bounded by that user's step-event count), and the stage
+    progression is a pure JVM ``aggregate`` fold over the array — no
+    window over raw events, no self-joins (the k-step self-join
+    formulation shuffles k times and explodes on power users), no
+    UDFs. The final summary is a 1-row aggregate.
+
+    Equal timestamps: an event of step k at exactly the chosen time
+    of step k-1 counts (>=); ties in the sorted array order earlier
+    funnel steps first so the fold matches the SQL semantics.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel: need at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel: steps must be distinct, got {steps}")
+    n = len(steps)
+    idx_expr = None
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == F.lit(s)
+        idx_expr = F.when(cond, F.lit(i)) if idx_expr is None else idx_expr.when(cond, F.lit(i))
+    events = (
+        df.where(F.col(type_col).isin(steps) & F.col(time_col).isNotNull())
+        .select(
+            F.col(user_col).alias("user"),
+            F.struct(
+                F.unix_micros(F.col(time_col).cast("timestamp")).alias("t"),
+                idx_expr.alias("idx"),
+            ).alias("e"),
+        )
+    )
+    per_user = events.groupBy("user").agg(
+        F.array_sort(F.collect_list("e")).alias("evs")
+    )
+    neg_inf = F.lit(float(-(2 ** 62)))
+    zero = F.struct(
+        F.lit(0).alias("stage"),
+        neg_inf.alias("t_prev"),
+        neg_inf.alias("t_first"),
+    )
+    horizon = (
+        F.lit(float(within_seconds) * 1e6)
+        if within_seconds is not None
+        else F.lit(float(2 ** 62))
+    )
+
+    def step_fold(acc, e):
+        t = e["t"].cast("double")
+        advance = (
+            (acc["stage"] < F.lit(n))
+            & (e["idx"] == acc["stage"])
+            & (t >= acc["t_prev"])
+            & (
+                (acc["stage"] == 0)
+                | (t - acc["t_first"] <= horizon)
+            )
+        )
+        return F.when(
+            advance,
+            F.struct(
+                (acc["stage"] + 1).alias("stage"),
+                t.alias("t_prev"),
+                F.when(acc["stage"] == 0, t)
+                .otherwise(acc["t_first"])
+                .alias("t_first"),
+            ),
+        ).otherwise(acc)
+
+    reached = per_user.select(
+        F.aggregate(F.col("evs"), zero, step_fold)["stage"].alias("reached")
+    )
+    counts = reached.agg(
+        *[
+            F.sum((F.col("reached") >= k).cast("long")).alias(f"s{k}")
+            for k in range(1, n + 1)
+        ]
+    )
+    stacked = counts.selectExpr(
+        "stack({}, {}) AS (step_index, users)".format(
+            n, ", ".join(f"{k}, s{k}" for k in range(1, n + 1))
+        )
+    )
+    step_map = F.array(*[F.lit(s) for s in steps])
+    whole = Window.orderBy("step_index").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    first = F.max(F.when(F.col("step_index") == 1, F.col("users"))).over(whole)
+    prev = F.lag("users").over(Window.orderBy("step_index"))
+    return (
+        stacked.withColumn("step", F.element_at(step_map, F.col("step_index")))
+        .withColumn(
+            "pct_of_first",
+            F.when(first > 0, F.round(F.col("users") / first, 6)).otherwise(F.lit(None)),
+        )
+        .withColumn(
+            "pct_of_prev",
+            F.when(prev > 0, F.round(F.col("users") / prev, 6)).otherwise(F.lit(None)),
+        )
+        .select("step_index", "step", "users", "pct_of_first", "pct_of_prev")
+    )

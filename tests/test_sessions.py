@@ -131,3 +131,68 @@ def test_sessionize_string_timestamps_sort_chronologically(spark):
     }
     # chronological: (1,3) one session in June, (2) its own in October
     assert out == {1: 1, 3: 1, 2: 2}
+
+
+def test_funnel_hand_computed_with_horizon(spark):
+    """Hand-built event log: u1 converts fully, u2 stalls at click,
+    u3's purchase precedes its click (order violated), u4's click is
+    outside the horizon."""
+    from getl_spark.functions import sessions
+
+    rows = [
+        # u1: view 0s -> click 10s -> purchase 20s
+        (1, "2024-01-01T00:00:00", "view"),
+        (1, "2024-01-01T00:00:10", "click"),
+        (1, "2024-01-01T00:00:20", "purchase"),
+        # u2: view -> click, never purchases
+        (2, "2024-01-01T00:00:00", "view"),
+        (2, "2024-01-01T00:00:05", "click"),
+        # u3: purchase BEFORE click -> stalls at view... then re-click ok but no purchase after
+        (3, "2024-01-01T00:00:00", "view"),
+        (3, "2024-01-01T00:00:05", "purchase"),
+        (3, "2024-01-01T00:00:10", "click"),
+        # u4: click lands beyond the 60s horizon
+        (4, "2024-01-01T00:00:00", "view"),
+        (4, "2024-01-01T00:02:00", "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_type string")
+    out = {
+        r.step: (r.users, r.pct_of_first, r.pct_of_prev)
+        for r in sessions.funnel(
+            df, ["view", "click", "purchase"], within_seconds=60
+        ).collect()
+    }
+    assert out["view"] == (4, 1.0, None)
+    assert out["click"] == (3, 0.75, 0.75)  # u4 outside horizon
+    assert out["purchase"] == (1, 0.25, round(1 / 3, 6))
+
+
+def test_funnel_equal_timestamps_and_order(spark):
+    """An event of the next step at EXACTLY the previous step's time
+    counts (>= semantics), matching the sequential-min SQL."""
+    from getl_spark.functions import sessions
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01T00:00:00", "view"),
+            (1, "2024-01-01T00:00:00", "click"),  # same instant
+            (2, "2024-01-01T00:00:10", "click"),  # click only — no view
+        ],
+        "user_id long, ts string, event_type string",
+    )
+    out = {r.step: r.users for r in sessions.funnel(df, ["view", "click"]).collect()}
+    assert out == {"view": 1, "click": 1}
+
+
+def test_funnel_validation(spark):
+    from getl_spark.functions import sessions
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01T00:00:00", "view")], "user_id long, ts string, event_type string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sessions.funnel(df, ["view"])
+    with _pytest.raises(ValueError):
+        sessions.funnel(df, ["view", "view"])
