@@ -4156,6 +4156,40 @@ FROM counts WINDOW w AS (ORDER BY step_index)
 """
 
 
+def _q_retention(spark, sf_dir):
+    """sessions.retention — weekly cohort retention matrix over
+    ``events``; DuckDB oracle is the direct first-event-cohort
+    replica."""
+    from getl_spark.functions import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.retention(ev, period="week", max_periods=8)
+
+
+RETENTION_ORACLE = """
+WITH e AS (
+  SELECT user_id AS u, date_trunc('week', ts) AS p FROM events
+  WHERE ts IS NOT NULL
+),
+f AS (SELECT u, MIN(p) AS cp FROM e GROUP BY u),
+act AS (
+  SELECT DISTINCT CAST(f.cp AS DATE) AS cohort,
+         CAST(datediff('day', CAST(f.cp AS DATE), CAST(e.p AS DATE)) / 7
+              AS INTEGER) AS period_offset,
+         e.u
+  FROM e JOIN f USING (u)
+),
+counts AS (
+  SELECT cohort, period_offset, COUNT(*) AS users FROM act
+  WHERE period_offset <= 8 GROUP BY cohort, period_offset
+)
+SELECT c.cohort, c.period_offset, c.users,
+       ROUND(c.users / CAST(b.users AS DOUBLE), 6) AS pct
+FROM counts c JOIN counts b
+  ON c.cohort = b.cohort AND b.period_offset = 0
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -4429,6 +4463,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_pq": _q_ivf_pq_topk,
         "stream_dedup_ingest": _q_stream_dedup_ingest,
         "funnel_conversion": _q_funnel,
+        "retention_cohorts": _q_retention,
     }
 
 
@@ -4517,6 +4552,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "similarity_ivf_pq": IVF_PQ_TOPK_ORACLE,
         "stream_dedup_ingest": STREAM_DEDUP_INGEST_ORACLE,
         "funnel_conversion": FUNNEL_ORACLE,
+        "retention_cohorts": RETENTION_ORACLE,
     }
 
 

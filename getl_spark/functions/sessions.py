@@ -215,3 +215,69 @@ def funnel(
         )
         .select("step_index", "step", "users", "pct_of_first", "pct_of_prev")
     )
+
+
+def retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    period: str = "week",
+    max_periods: int = 12,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event; each later period they are active again counts
+    toward that cohort's retention. Returns
+    ``(cohort, period_offset, users, pct)`` — ``pct`` is the share of
+    the cohort active at that offset (offset 0 is 1.0 by definition).
+
+    ``period``: ``day`` | ``week`` | ``month``. Offsets beyond
+    ``max_periods`` are dropped (they are usually noise and keep the
+    output matrix bounded).
+
+    Scale shape: ONE keyed shuffle computes each user's first event
+    (partial-agg min), one join keys the event stream back to its
+    cohort (broadcastable while the user dimension fits, AQE's call
+    beyond), and one distinct+count aggregation builds the matrix —
+    output rows are #cohorts × max_periods, dimension-sized. All JVM
+    expressions; exactly replicable in SQL (DuckDB oracle).
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"retention: period must be day|week|month, got {period}")
+    if max_periods < 1:
+        raise ValueError("retention: max_periods must be >= 1")
+    ts = F.col(time_col).cast("timestamp")
+    events = df.where(ts.isNotNull()).select(
+        F.col(user_col).alias("user"), F.date_trunc(period, ts).alias("p")
+    )
+    firsts = events.groupBy("user").agg(F.min("p").alias("cohort_p"))
+    joined = events.join(firsts, "user")
+    if period == "month":
+        offset = F.months_between(F.col("p"), F.col("cohort_p")).cast("int")
+    elif period == "week":
+        offset = (F.datediff(F.col("p"), F.col("cohort_p")) / 7).cast("int")
+    else:
+        offset = F.datediff(F.col("p"), F.col("cohort_p"))
+    active = (
+        joined.select(
+            F.to_date("cohort_p").alias("cohort"),
+            offset.alias("period_offset"),
+            "user",
+        )
+        .where(F.col("period_offset") <= max_periods)
+        .distinct()
+    )
+    counts = active.groupBy("cohort", "period_offset").agg(
+        F.count("*").alias("users")
+    )
+    base = counts.where(F.col("period_offset") == 0).select(
+        "cohort", F.col("users").alias("__cohort_size")
+    )
+    return (
+        counts.join(base, "cohort")
+        .select(
+            "cohort",
+            "period_offset",
+            "users",
+            F.round(F.col("users") / F.col("__cohort_size"), 6).alias("pct"),
+        )
+    )

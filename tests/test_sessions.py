@@ -196,3 +196,58 @@ def test_funnel_validation(spark):
         sessions.funnel(df, ["view"])
     with _pytest.raises(ValueError):
         sessions.funnel(df, ["view", "view"])
+
+
+def test_retention_hand_computed_cohorts(spark):
+    """Two weekly cohorts with known churn: cohort A (u1, u2) — u1
+    active weeks 0,1,2; u2 weeks 0,2. Cohort B (u3) — weeks 0,1."""
+    from getl_spark.functions import sessions
+
+    rows = [
+        (1, "2024-01-01T10:00:00"), (1, "2024-01-08T10:00:00"), (1, "2024-01-15T10:00:00"),
+        (2, "2024-01-03T10:00:00"), (2, "2024-01-17T10:00:00"),
+        (3, "2024-01-10T10:00:00"), (3, "2024-01-16T10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string")
+    got = {
+        (str(r.cohort), r.period_offset): (r.users, r.pct)
+        for r in sessions.retention(df, period="week").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 1.0),
+        ("2024-01-01", 1): (1, 0.5),
+        ("2024-01-01", 2): (2, 1.0),
+        ("2024-01-08", 0): (1, 1.0),
+        ("2024-01-08", 1): (1, 1.0),
+    }
+
+
+def test_retention_max_periods_cap_and_validation(spark):
+    from getl_spark.functions import sessions
+
+    rows = [(1, "2024-01-01T00:00:00"), (1, "2024-06-01T00:00:00")]
+    df = spark.createDataFrame(rows, "user_id long, ts string")
+    out = sessions.retention(df, period="week", max_periods=3).collect()
+    assert {r.period_offset for r in out} == {0}  # June event beyond cap
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sessions.retention(df, period="fortnight")
+    with _pytest.raises(ValueError):
+        sessions.retention(df, max_periods=0)
+
+
+def test_retention_monthly_offsets(spark):
+    from getl_spark.functions import sessions
+
+    rows = [
+        (1, "2024-01-05T00:00:00"),
+        (1, "2024-03-20T00:00:00"),  # offset 2 months
+        (2, "2024-02-10T00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string")
+    got = {
+        (str(r.cohort), r.period_offset): r.users
+        for r in sessions.retention(df, period="month").collect()
+    }
+    assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1, ("2024-02-01", 0): 1}
