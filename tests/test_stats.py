@@ -154,3 +154,51 @@ def test_ks_and_psi_fail_loud_on_empty_side(spark):
             fn(full, empty, "x").collect()
         with pytest.raises(SparkRuntimeException, match="non-null"):
             fn(empty, full, "x").collect()
+
+
+def test_ab_compare_matches_scipy_free_reference(spark):
+    """Planted effect: treatment shifted by +2 on unit-variance noise —
+    z and p must match the numpy/math Welch reference."""
+    import math
+
+    import numpy as np
+
+    from getl_spark.functions import stats as S
+
+    rng = np.random.default_rng(11)
+    ctl = rng.normal(10.0, 1.0, 400)
+    trt = rng.normal(12.0, 1.5, 500)
+    rows = [("control", float(v)) for v in ctl] + [("treatment", float(v)) for v in trt]
+    df = spark.createDataFrame(rows, "grp string, metric double")
+    row = S.ab_compare(df, "grp", "metric", "control", "treatment").first()
+    assert row.n_control == 400 and row.n_treatment == 500
+    se = math.sqrt(ctl.var(ddof=1) / 400 + trt.var(ddof=1) / 500)
+    z = (trt.mean() - ctl.mean()) / se
+    assert abs(row.z - round(z, 6)) < 1e-5
+    assert abs(row.p_value - round(math.erfc(abs(z) / math.sqrt(2)), 6)) < 1e-5
+    assert row.p_value < 1e-6  # the planted effect is overwhelming
+
+
+def test_ab_compare_null_effect_and_filtering(spark):
+    from getl_spark.functions import stats as S
+
+    rows = (
+        [("a", float(i % 7)) for i in range(300)]
+        + [("b", float((i + 3) % 7)) for i in range(300)]
+        + [("c", 999.0)] * 50          # other groups ignored
+        + [("a", None)]                # nulls ignored
+    )
+    df = spark.createDataFrame(rows, "grp string, metric double")
+    row = S.ab_compare(df, "grp", "metric", "a", "b").first()
+    assert row.n_control == 300 and row.n_treatment == 300
+    assert row.p_value > 0.5  # same distribution → no significance
+
+
+def test_ab_compare_empty_arm_fails_loud(spark):
+    import pytest as _pytest
+
+    from getl_spark.functions import stats as S
+
+    df = spark.createDataFrame([("a", 1.0)], "grp string, metric double")
+    with _pytest.raises(Exception, match="ab_compare"):
+        S.ab_compare(df, "grp", "metric", "a", "missing").collect()
