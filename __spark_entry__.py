@@ -4114,7 +4114,10 @@ def _q_funnel(spark, sf_dir):
     semantics in one shuffle + a JVM array fold."""
     from getl_spark.functions import sessions
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_expr, _ = _events_ts_exprs(sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr(ts_expr)
+    )
     return sessions.funnel(
         ev, ["view", "click", "purchase"], within_seconds=86400
     )
@@ -4162,7 +4165,10 @@ def _q_retention(spark, sf_dir):
     replica."""
     from getl_spark.functions import sessions
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_expr, _ = _events_ts_exprs(sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr(ts_expr)
+    )
     return sessions.retention(ev, period="week", max_periods=8)
 
 

@@ -186,9 +186,13 @@ def funnel(
     reached = per_user.select(
         F.aggregate(F.col("evs"), zero, step_fold)["stage"].alias("reached")
     )
+    # COALESCE: zero qualifying events must read as users=0 (the SQL
+    # COUNT(*) semantics), not a NULL row
     counts = reached.agg(
         *[
-            F.sum((F.col("reached") >= k).cast("long")).alias(f"s{k}")
+            F.coalesce(
+                F.sum((F.col("reached") >= k).cast("long")), F.lit(0)
+            ).alias(f"s{k}")
             for k in range(1, n + 1)
         ]
     )

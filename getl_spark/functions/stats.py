@@ -424,15 +424,28 @@ def ab_compare(
         F.avg(tv).alias("mean_treatment"),
         F.var_samp(tv).alias("var_t"),
     )
+    se_defined = F.sqrt(
+        F.col("var_t") / F.col("n_treatment") + F.col("var_c") / F.col("n_control")
+    )
     guard = F.assert_true(
-        (F.col("n_control") > 0) & (F.col("n_treatment") > 0),
-        F.lit("ab_compare: an arm has no non-null values"),
+        (F.col("n_control") > 0)
+        & (F.col("n_treatment") > 0)
+        & se_defined.isNotNull()
+        & (se_defined > 0),
+        F.lit(
+            "ab_compare: an arm is empty, has a single row (undefined "
+            "variance), or both arms have zero variance — a constant "
+            "metric is a pipeline bug, not a result"
+        ),
     )
     diff = F.col("mean_treatment") - F.col("mean_control")
     stderr = F.sqrt(
         F.col("var_t") / F.col("n_treatment") + F.col("var_c") / F.col("n_control")
     )
-    z = diff / stderr
+    # divisions gated so ANSI divide-by-zero can't preempt the guard's
+    # message (column evaluation order within a projection is
+    # unspecified)
+    z = F.when(stderr > 0, diff / stderr)
     # two-sided normal p-value erfc(|z|/sqrt 2) via the
     # Abramowitz-Stegun 7.1.26 erf approximation (|error| < 1.5e-7 —
     # well inside the 6-decimal rounding): no JVM erfc expression
@@ -454,7 +467,10 @@ def ab_compare(
         F.round("mean_control", 6).alias("mean_control"),
         F.round("mean_treatment", 6).alias("mean_treatment"),
         F.round(diff, 6).alias("diff"),
-        F.round(diff / F.col("mean_control"), 6).alias("rel_diff"),
+        F.round(
+            F.when(F.col("mean_control") != 0, diff / F.col("mean_control")),
+            6,
+        ).alias("rel_diff"),
         F.round(stderr, 6).alias("stderr"),
         F.round(z, 6).alias("z"),
         F.round(p, 6).alias("p_value"),

@@ -251,3 +251,13 @@ def test_retention_monthly_offsets(spark):
         for r in sessions.retention(df, period="month").collect()
     }
     assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1, ("2024-02-01", 0): 1}
+
+
+def test_funnel_no_qualifying_events_counts_zero(spark):
+    from getl_spark.functions import sessions
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01T00:00:00", "other")], "user_id long, ts string, event_type string"
+    )
+    out = sessions.funnel(df, ["view", "click"]).collect()
+    assert [r.users for r in out] == [0, 0]  # zero, never NULL

@@ -202,3 +202,14 @@ def test_ab_compare_empty_arm_fails_loud(spark):
     df = spark.createDataFrame([("a", 1.0)], "grp string, metric double")
     with _pytest.raises(Exception, match="ab_compare"):
         S.ab_compare(df, "grp", "metric", "a", "missing").collect()
+
+
+def test_ab_compare_constant_metric_fails_loud(spark):
+    import pytest as _pytest
+
+    from getl_spark.functions import stats as S
+
+    rows = [("a", 1.0)] * 50 + [("b", 1.0)] * 50
+    df = spark.createDataFrame(rows, "grp string, metric double")
+    with _pytest.raises(Exception, match="ab_compare"):
+        S.ab_compare(df, "grp", "metric", "a", "b").collect()
