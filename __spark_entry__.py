@@ -290,6 +290,188 @@ WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
   AND c_nationkey < 5
 """
 
+# TPC-H shapes q2/q4/q7/q8/q9/q11/q13/q15/q17/q20/q21/q22 adapted to the
+# testdata schema (no partsupp table; no commit/receipt dates, phone, or
+# comment columns — see TESTDATA.md), preserving each query's structural
+# challenge: correlated MIN (q2), EXISTS against an outer column (q4),
+# two-nation self-join on nation (q7), conditional share-of-total (q8),
+# multi-way star join (q9), HAVING against a scalar subquery (q11),
+# left-join count distribution (q13), CTE + scalar-subquery MAX (q15),
+# correlated AVG threshold (q17), IN over a grouped HAVING subquery
+# (q20), EXISTS + NOT EXISTS within the same order (q21), and
+# anti-EXISTS with a global-average threshold (q22). Averages are
+# expressed as exact DECIMAL SUM / COUNT so the threshold double is
+# bit-identical in Spark and DuckDB.
+Q2_SQL = """
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey
+FROM part, supplier, lineitem, nation, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND p_size = 15 AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                   FROM supplier s2, lineitem l2, nation n2, region r2
+                   WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+                     AND s2.s_nationkey = n2.n_nationkey
+                     AND n2.n_regionkey = r2.r_regionkey
+                     AND r2.r_name = 'EUROPE')
+"""
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+  ROUND(CAST(SUM(volume) AS DOUBLE), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_15' AND n2.n_name = 'NATION_19')
+      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_15'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+Q8_SQL = """
+SELECT o_year,
+  ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+"""
+
+Q9_SQL = """
+SELECT nation, o_year, ROUND(CAST(SUM(amount) AS DOUBLE), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+"""
+
+Q11_SQL = """
+SELECT l_partkey AS ps_partkey,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) >
+  (SELECT CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) * 0.006
+   FROM lineitem l2)
+"""
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+"""
+
+Q17_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2)
+  AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity <
+    (SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+            / COUNT(*)
+     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'large%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 200
+)
+"""
+
+Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_13'
+GROUP BY s_name
+"""
+
+Q22_SQL = """
+SELECT CAST(c_nationkey AS INT) AS cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS totacctbal
+FROM customer
+WHERE c_acctbal >
+    (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+     FROM customer c2 WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
 
 # -------------------------------------------- engine block-level queries
 def _q_where_dsl(spark, sf_dir):
@@ -4522,6 +4704,31 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel,
         "retention_cohorts": _q_retention,
         "ab_compare": _q_ab_compare,
+        # TPC-H shapes adapted to the testdata schema (appended so the
+        # rotation ring indices of earlier entries stay stable)
+        "q2_min_acctbal_supplier": _engine_sql(
+            Q2_SQL, ["part", "supplier", "lineitem", "nation", "region"]
+        ),
+        "q4_priority_exists": _engine_sql(Q4_SQL, ["orders", "lineitem"]),
+        "q7_volume_shipping": _engine_sql(
+            Q7_SQL, ["supplier", "lineitem", "orders", "customer", "nation"]
+        ),
+        "q8_market_share": _engine_sql(
+            Q8_SQL,
+            ["part", "supplier", "lineitem", "orders", "customer", "nation", "region"],
+        ),
+        "q9_profit_by_nation": _engine_sql(
+            Q9_SQL, ["part", "supplier", "lineitem", "orders", "nation"]
+        ),
+        "q11_important_parts": _engine_sql(Q11_SQL, ["lineitem"]),
+        "q13_order_distribution": _engine_sql(Q13_SQL, ["customer", "orders"]),
+        "q15_top_supplier": _engine_sql(Q15_SQL, ["supplier", "lineitem"]),
+        "q17_small_quantity_revenue": _engine_sql(Q17_SQL, ["lineitem", "part"]),
+        "q20_bulk_suppliers": _engine_sql(Q20_SQL, ["supplier", "lineitem", "part"]),
+        "q21_sole_returner": _engine_sql(
+            Q21_SQL, ["supplier", "lineitem", "orders", "nation"]
+        ),
+        "q22_idle_rich_customers": _engine_sql(Q22_SQL, ["customer", "orders"]),
     }
 
 
@@ -4612,6 +4819,18 @@ def _base_demoted_oracles() -> dict[str, str]:
         "funnel_conversion": FUNNEL_ORACLE,
         "retention_cohorts": RETENTION_ORACLE,
         "ab_compare": AB_COMPARE_ORACLE,
+        "q2_min_acctbal_supplier": Q2_SQL,
+        "q4_priority_exists": Q4_SQL,
+        "q7_volume_shipping": Q7_SQL,
+        "q8_market_share": Q8_SQL,
+        "q9_profit_by_nation": Q9_SQL,
+        "q11_important_parts": Q11_SQL,
+        "q13_order_distribution": Q13_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q17_small_quantity_revenue": Q17_SQL,
+        "q20_bulk_suppliers": Q20_SQL,
+        "q21_sole_returner": Q21_SQL,
+        "q22_idle_rich_customers": Q22_SQL,
     }
 
 

@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "topk_between_tables",
     "text_unigram_logprob",
     "dedup_stored_index",
+    # TPC-H shapes adapted to the testdata schema: correlated-AVG
+    # threshold (q17) and EXISTS + NOT EXISTS within one order (q21) —
+    # the two rewrites most likely to regress into nested loops
+    "q17_small_quantity_revenue",
+    "q21_sole_returner",
 ]
 
 RUNS = 3
