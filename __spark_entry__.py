@@ -2661,6 +2661,44 @@ FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
 """
 
 
+def _q_pagerank(spark, sf_dir):
+    """Authority scores over a supply link graph: supplier→part edges
+    from lineitem, with back-edges for even part keys only — so the
+    graph mixes linked and dangling nodes and both PageRank code paths
+    (contribution flow + dangling-mass redistribution) are value-checked.
+    Oracle: the unrolled-CTE SQL from ``graph.pagerank_oracle_sql`` on
+    the identical edge set."""
+    from getl_spark.functions import graph
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    rev = li.where(F.col("l_partkey") % 2 == 0).select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return graph.pagerank(fwd.union(rev), n_iter=8)
+
+
+PAGERANK_EDGES_SQL = """
+SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+       'p' || CAST(l_partkey AS VARCHAR) AS dst
+FROM lineitem
+UNION ALL
+SELECT 'p' || CAST(l_partkey AS VARCHAR),
+       's' || CAST(l_suppkey AS VARCHAR)
+FROM lineitem WHERE l_partkey % 2 = 0
+"""
+
+
+def _pagerank_oracle() -> str:
+    from getl_spark.functions.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(PAGERANK_EDGES_SQL, n_iter=8)
+
+
 def _q_asof_events(spark, sf_dir):
     """As-of enrichment: each click event joined to the user's most
     recent purchase at-or-before it. Timestamps compared at microsecond
@@ -4729,6 +4767,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             Q21_SQL, ["supplier", "lineitem", "orders", "nation"]
         ),
         "q22_idle_rich_customers": _engine_sql(Q22_SQL, ["customer", "orders"]),
+        "graph_pagerank": _q_pagerank,
     }
 
 
@@ -4831,6 +4870,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "q20_bulk_suppliers": Q20_SQL,
         "q21_sole_returner": Q21_SQL,
         "q22_idle_rich_customers": Q22_SQL,
+        "graph_pagerank": _pagerank_oracle(),
     }
 
 

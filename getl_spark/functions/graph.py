@@ -193,6 +193,154 @@ def cluster_components(
     return comp.select(node_col, out_col)
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    nodes: Optional[DataFrame] = None,
+    node_col: str = "node",
+    out_col: str = "rank",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Standard PageRank over a directed edge list — authority scores
+    for crawl-level curation (weight a host/document by who links to
+    it, not just by its own content quality).
+
+    Exact semantics (so an independent engine can replicate the values):
+    parallel edges are collapsed (``DISTINCT src, dst``); the node set
+    is ``distinct(src) ∪ distinct(dst)`` plus ``nodes`` when given;
+    every rank starts at 1/N; each of the ``n_iter`` synchronous
+    iterations computes::
+
+        rank'(v) = (1-d)/N + d * (Σ_{(u,v)∈E} rank(u)/outdeg(u)
+                                  + dangling_mass/N)
+
+    where ``dangling_mass`` is the summed rank of nodes with no
+    out-edges (their mass is redistributed uniformly, keeping
+    Σ rank = 1 every iteration). Fixed iteration count, not a
+    convergence test — deterministic output shape for oracle checks;
+    10 iterations is within ~1e-3 of the fixpoint for damping 0.85 on
+    typical link graphs. The result is rounded to ``round_to`` decimals
+    (well above double summation-order noise, so two engines agree
+    bit-for-bit on the rounded value; pass ``None`` to skip).
+
+    100 TB shape: ``outdeg`` is computed once (one shuffle on src);
+    each iteration is one join of edges to ranks on src plus one
+    partial-agg shuffle on dst — both key-partitioned, no driver
+    state; the dangling mass is a 1-row aggregate broadcast via
+    crossJoin; ranks are ``localCheckpoint``ed per iteration so the
+    iterative plan's lineage stays flat (same discipline as
+    ``cluster_components``). High in-degree hubs are safe (the dst
+    aggregation combines map-side); high out-degree spam pages cost
+    one fan-out row per edge — identical to every published
+    MapReduce/Pregel formulation.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    node_set = e.select("u").union(e.select("v"))
+    if nodes is not None:
+        node_set = node_set.union(
+            nodes.select(F.col(node_col).alias("u"))
+        )
+    node_set = node_set.distinct().select(F.col("u").alias("node")).localCheckpoint()
+    n = node_set.count()
+    if n == 0:
+        return node_set.select(
+            F.col("node").alias(node_col), F.lit(0.0).alias(out_col)
+        )
+    outdeg = e.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint()
+    ranks = node_set.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["u"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contribs = (
+            e.join(ranks, e["u"] == ranks["node"])
+            .join(outdeg, "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
+        )
+        ranks = (
+            node_set.join(contribs, node_set["node"] == contribs["v"], "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks.select(F.col("node").alias(node_col), F.col("rank").alias(out_col))
+    if round_to is not None:
+        out = out.withColumn(out_col, F.round(F.col(out_col), round_to))
+    return out
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    round_to: int = 6,
+) -> str:
+    """Unrolled-CTE ANSI SQL replicating ``pagerank`` exactly, for
+    engines without iteration (the DuckDB oracle harness). ``edges_sql``
+    must yield columns ``(src, dst)``; each PageRank iteration becomes
+    one CTE pair (dangling mass + next rank vector). Every rank CTE is
+    referenced twice by the next level (contribution join + dangling
+    scan), so each is declared ``AS MATERIALIZED`` — without the hint
+    DuckDB inlines CTEs and evaluation cost doubles per iteration
+    (2^n_iter re-expansions of the whole chain)."""
+    d = damping
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        f" ({edges_sql}) raw_e"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL),",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),",
+        "outdeg AS MATERIALIZED"
+        " (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),",
+        "r0 AS MATERIALIZED"
+        " (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),",
+    ]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm"
+            f" FROM r{p} r"
+            f" LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED"
+            f" (SELECT nd.node, {(1.0 - d)!r} / (SELECT n FROM nn)"
+            f" + {d!r} * (COALESCE(c.s, 0.0) + (SELECT dm FROM d{k}) /"
+            f" (SELECT n FROM nn)) AS rank FROM nodes nd LEFT JOIN ("
+            f"SELECT e.dst AS node, SUM(r.rank / o.deg) AS s FROM edges e"
+            f" JOIN r{p} r ON e.src = r.node JOIN outdeg o ON e.src = o.src"
+            f" GROUP BY e.dst) c ON nd.node = c.node),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(
+        f"SELECT node, ROUND(rank, {round_to}) AS rank FROM r{n_iter}"
+    )
+    return "\n".join(parts)
+
+
 def dedup_by_component(
     df: DataFrame,
     pairs: DataFrame,

@@ -303,3 +303,99 @@ def test_components_string_ids(spark):
         ("docA", "docA"), ("docB", "docA"), ("docC", "docA"),
         ("x", "x"), ("y", "x"),
     }
+
+
+# ------------------------------------------------------------- pagerank
+def _numpy_pagerank(edges, damping=0.85, n_iter=10):
+    """Independent dense reference with the exact documented semantics:
+    distinct edges, dangling mass redistributed uniformly."""
+    import numpy as np
+
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.full(n, (1.0 - damping) / n)
+        dangling = sum(r[idx[x]] for x in nodes if x not in outdeg)
+        nxt += damping * dangling / n
+        for u, v in edges:
+            nxt[idx[v]] += damping * r[idx[u]] / outdeg[u]
+        r = nxt
+    return {node: round(float(r[idx[node]]), 6) for node in nodes}
+
+
+def test_pagerank_matches_dense_reference(spark):
+    """Random directed graph with dangling nodes and parallel edges vs
+    an independent numpy power iteration."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(40)) for _ in range(150)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in graph.pagerank(df).collect()}
+    want = _numpy_pagerank(edges)
+    assert got == want
+
+
+def test_pagerank_mass_conserved_and_authority_ordering(spark):
+    """Σrank = 1 (dangling mass recycled, not leaked) and a node every
+    other node links to outranks the rest."""
+    edges = [(i, 0) for i in range(1, 10)] + [(0, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = graph.pagerank(df).collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    ranks = {r["node"]: r["rank"] for r in rows}
+    # 0 collects 9 in-links; 1 receives 0's ENTIRE out-flow — those two
+    # dominate, and every other node sits at the shared teleport floor
+    floor = ranks[2]
+    assert sorted(ranks.values())[-2:] == sorted([ranks[0], ranks[1]])
+    assert all(ranks[i] == floor for i in range(2, 10))
+    assert ranks[0] > floor and ranks[1] > floor
+
+
+def test_pagerank_isolated_nodes_get_teleport_floor(spark):
+    """Nodes passed via `nodes` with no edges at all still score: they
+    hold teleport + dangling share (they ARE dangling)."""
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    nodes = spark.createDataFrame([(1,), (2,), (99,)], ["node"])
+    ranks = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edges, nodes=nodes).collect()
+    }
+    assert set(ranks) == {1, 2, 99}
+    assert ranks[99] > 0
+    # 1 and 99 have identical in-flows (teleport + dangling share only),
+    # so they tie; 2 additionally receives all of 1's out-flow
+    assert ranks[2] > ranks[1] == ranks[99]
+
+
+def test_pagerank_oracle_sql_matches_spark(spark):
+    """The unrolled-CTE oracle generator replicates the DataFrame
+    implementation value-for-value in DuckDB."""
+    import duckdb
+
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 7}") for i in range(7)] + [
+        ("n0", "hub"), ("n3", "hub"), ("n5", "hub"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r["node"], r["rank"]) for r in graph.pagerank(df, n_iter=5).collect()}
+    values = ", ".join(f"('{u}', '{v}')" for u, v in edges)
+    sql = graph.pagerank_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)", n_iter=5
+    )
+    want = set(duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_pagerank_validates_params(spark):
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="damping"):
+        graph.pagerank(df, damping=1.0)
+    with pytest.raises(ValueError, match="n_iter"):
+        graph.pagerank(df, n_iter=0)
