@@ -410,6 +410,24 @@ def top_ngram_frac(
     return base.drop(tmp).join(fracs, id_col, "left").na.fill({out: 0.0})
 
 
+def _exploded_ngrams(
+    frame: DataFrame, col: str, keep: List[str], n: int
+) -> DataFrame:
+    """One row per word n-gram of ``col`` (normalized), carrying the
+    ``keep`` columns — the shared exploded form for contamination
+    checks."""
+    tmp = "__dnorm"
+    with_norm = frame.withColumn(tmp, _norm_words_expr(col))
+    return (
+        with_norm.where(F.length(tmp) > 0)
+        .select(
+            *keep,
+            F.explode(F.expr(_ngram_array_expr(tmp, n))).alias("__ngram"),
+        )
+        .where(F.col("__ngram") != "")
+    )
+
+
 def decontaminate(
     df: DataFrame,
     eval_df: DataFrame,
@@ -436,21 +454,8 @@ def decontaminate(
     from pyspark.sql.functions import broadcast
 
     ecol = eval_text_col or text_col
-    tmp = "__dnorm"
-
-    def _grams(frame: DataFrame, col: str, keep: List[str]) -> DataFrame:
-        with_norm = frame.withColumn(tmp, _norm_words_expr(col))
-        return (
-            with_norm.where(F.length(tmp) > 0)
-            .select(
-                *keep,
-                F.explode(F.expr(_ngram_array_expr(tmp, n))).alias("__ngram"),
-            )
-            .where(F.col("__ngram") != "")
-        )
-
-    eval_grams = _grams(eval_df, ecol, []).select("__ngram").distinct()
-    doc_grams = _grams(df, text_col, [id_col])
+    eval_grams = _exploded_ngrams(eval_df, ecol, [], n).select("__ngram").distinct()
+    doc_grams = _exploded_ngrams(df, text_col, [id_col], n)
     hits = (
         doc_grams.join(broadcast(eval_grams), "__ngram", "left_semi")
         .select(id_col)
@@ -459,6 +464,114 @@ def decontaminate(
     flagged = df.join(
         broadcast(hits.withColumn(new_col, F.lit(True))), id_col, "left"
     ).withColumn(new_col, F.coalesce(F.col(new_col), F.lit(False)))
+    if remove:
+        return flagged.where(~F.col(new_col)).drop(new_col)
+    return flagged
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: Optional[str] = None,
+    n: int = 8,
+    new_col: str = "contaminated",
+    remove: bool = False,
+    fp_rate: float = 1e-4,
+    num_bits: Optional[int] = None,
+    num_hashes: Optional[int] = None,
+) -> DataFrame:
+    """``decontaminate``'s scale path: the eval n-gram set is folded
+    into a Bloom filter and the membership test runs map-side — the
+    broadcast payload is ``num_bits/8`` bytes regardless of n-gram
+    string length (a 10⁷-gram eval set at fp_rate 1e-4 is ~24 MB of
+    bits vs gigabytes of distinct 8-gram strings), and the corpus side
+    never explodes, joins, or shuffles: one Arrow ``pandas_udf`` tests
+    each document's grams against the shared bit array.
+
+    Guarantees: NO false negatives — every document the exact
+    ``decontaminate`` flags is flagged here too (both sides hash the
+    identical normalized grams with the same JVM ``xxhash64`` family).
+    False positives (clean docs flagged) occur at ~``fp_rate`` per
+    distinct gram; with g grams per document the per-document FP rate
+    is ≤ g·fp_rate. Use the exact variant when the eval set broadcasts
+    comfortably; this one when it doesn't.
+
+    Sizing (standard Bloom formulas, overridable): bits =
+    ⌈-m·ln p / ln²2⌉, hashes = round(bits/m · ln 2) capped at 16. The
+    bit array is built from the eval side's distinct hash positions —
+    the only driver materialization, bounded by min(k·m, num_bits)
+    longs — and broadcast once.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 < fp_rate < 1.0:
+        raise ValueError(f"fp_rate must be in (0, 1), got {fp_rate}")
+    ecol = eval_text_col or text_col
+    eval_grams = (
+        _exploded_ngrams(eval_df, ecol, [], n).select("__ngram").distinct()
+    )
+    m = eval_grams.count()
+    if m == 0:
+        flagged = df.withColumn(new_col, F.lit(False))
+        return flagged.where(~F.col(new_col)).drop(new_col) if remove else flagged
+    if num_bits is None:
+        num_bits = max(64, int(math.ceil(-m * math.log(fp_rate) / math.log(2) ** 2)))
+    if num_hashes is None:
+        num_hashes = min(16, max(1, round(num_bits / m * math.log(2))))
+    k, bits_n = num_hashes, num_bits
+
+    def _positions(gram_col):
+        return [
+            F.pmod(F.xxhash64(F.lit(i), gram_col), F.lit(bits_n))
+            for i in range(k)
+        ]
+
+    pos_pdf = (
+        eval_grams.select(
+            F.explode(F.array(*_positions(F.col("__ngram")))).alias("p")
+        )
+        .distinct()
+        .toPandas()
+    )
+    bits = np.zeros((bits_n + 7) // 8, dtype=np.uint8)
+    p = pos_pdf["p"].to_numpy(dtype=np.int64)
+    np.bitwise_or.at(bits, p >> 3, (1 << (p & 7).astype(np.uint8)))
+    bc = df.sparkSession.sparkContext.broadcast(bits)
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _any_gram_hits_fn(pos_lists):
+        b = bc.value
+        out = np.zeros(len(pos_lists), dtype=bool)
+        for i, doc in enumerate(pos_lists):
+            if doc is None or len(doc) == 0:
+                continue
+            a = np.asarray([np.asarray(g, dtype=np.int64) for g in doc])
+            idx, msk = a >> 3, (1 << (a & 7)).astype(np.uint8)
+            out[i] = bool(((b[idx] & msk) == msk).all(axis=1).any())
+        return pd.Series(out)
+
+    _any_gram_hits = pandas_udf(_any_gram_hits_fn, "boolean")
+
+    tmp = "__bnorm"
+    norm = _norm_words_expr(text_col)
+    grams = F.when(
+        F.length(F.col(tmp)) > 0,
+        F.filter(
+            F.expr(_ngram_array_expr(tmp, n)), lambda g: g != F.lit("")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_positions = F.transform(grams, lambda g: F.array(*_positions(g)))
+    flagged = (
+        df.withColumn(tmp, norm)
+        .withColumn(new_col, _any_gram_hits(doc_positions))
+        .drop(tmp)
+    )
     if remove:
         return flagged.where(~F.col(new_col)).drop(new_col)
     return flagged

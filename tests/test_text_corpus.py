@@ -445,3 +445,89 @@ def test_unigram_logprob_empty_vocab_degrades_to_zero_not_null(spark):
     out = T.unigram_logprob(df, min_count=5).collect()
     assert len(out) == 2
     assert all(r.logprob == 0.0 for r in out)
+
+
+# ------------------------------------------------- bloom decontamination
+def test_bloom_decontaminate_matches_exact_on_real_corpus(spark):
+    """Differential vs the exact broadcast-join path on a generated
+    corpus with planted contamination: identical flags (the bloom is
+    sized so expected false positives over the corpus ≪ 1, and false
+    negatives are impossible by construction)."""
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(300)]
+    corpus_rows = [
+        (i, " ".join(rng.choice(words) for _ in range(40))) for i in range(120)
+    ]
+    eval_rows = [(1000 + j, corpus_rows[j * 7][1][:80]) for j in range(8)]
+    docs = spark.createDataFrame(corpus_rows, "doc_id BIGINT, text STRING")
+    evals = spark.createDataFrame(eval_rows, "eval_id BIGINT, text STRING")
+    exact = {
+        r.doc_id: r.contaminated
+        for r in text.decontaminate(docs, evals, n=8).collect()
+    }
+    bloom = {
+        r.doc_id: r.contaminated
+        for r in text.bloom_decontaminate(docs, evals, n=8, fp_rate=1e-6).collect()
+    }
+    assert any(exact.values())  # the plants actually contaminate
+    assert bloom == exact
+
+
+def test_bloom_decontaminate_no_false_negatives_at_loose_fp(spark, corpus):
+    """Even with an absurdly loose fp_rate, every truly contaminated
+    doc stays flagged — bloom filters cannot produce false negatives."""
+    evals = spark.createDataFrame(
+        [("Q: the quick brown fox jumps over the lazy dog?",)], "text STRING"
+    )
+    out = {
+        r.doc_id: r.contaminated
+        for r in text.bloom_decontaminate(corpus, evals, fp_rate=0.5).collect()
+    }
+    assert out[1] is True
+
+
+def test_bloom_decontaminate_empty_eval_flags_nothing(spark, corpus):
+    empty = spark.createDataFrame([], "text STRING")
+    out = text.bloom_decontaminate(corpus, empty)
+    assert [r.contaminated for r in out.collect()] == [False, False, False]
+    assert text.bloom_decontaminate(corpus, empty, remove=True).count() == 3
+
+
+def test_bloom_decontaminate_null_and_empty_docs_pass(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id BIGINT, text STRING",
+    )
+    evals = spark.createDataFrame(
+        [("quick brown fox jumps over the lazy dog",)], "text STRING"
+    )
+    out = {
+        r.doc_id: r.contaminated
+        for r in text.bloom_decontaminate(docs, evals).collect()
+    }
+    assert out == {1: False, 2: False, 3: True}
+
+
+def test_bloom_decontaminate_param_validation_and_overrides(spark, corpus):
+    evals = spark.createDataFrame([("short doc",)], "text STRING")
+    with pytest.raises(ValueError, match="fp_rate"):
+        text.bloom_decontaminate(corpus, evals, fp_rate=0.0)
+    out = {
+        r.doc_id: r.contaminated
+        for r in text.bloom_decontaminate(
+            corpus, evals, num_bits=4096, num_hashes=4
+        ).collect()
+    }
+    assert out[3] is True  # short eval → whole-doc gram still matches
+
+
+def test_bloom_decontaminate_plan_has_no_join_or_shuffle(spark, corpus):
+    """The corpus side is pure map work: no join, no exchange — the
+    whole point of the bloom path at 100 TB."""
+    evals = spark.createDataFrame([("short doc",)], "text STRING")
+    out = text.bloom_decontaminate(corpus, evals)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
