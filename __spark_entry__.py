@@ -2661,6 +2661,41 @@ FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
 """
 
 
+def _q_event_transitions(spark, sf_dir):
+    """sessions.transitions — first-order Markov matrix over each
+    user's event sequence with entry/exit tokens; event_id tiebreak
+    makes the pair sequence a total order, so the DuckDB LAG/LEAD
+    oracle is value-exact."""
+    from getl_spark.functions import sessions
+
+    ts_expr, _ = _events_ts_exprs(sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", F.expr(ts_expr).alias("ts")
+    )
+    return sessions.transitions(
+        ev, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+
+
+TRANSITIONS_ORACLE = """
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+seq AS (
+  SELECT user_id, event_type AS cur,
+         LAG(event_type) OVER w AS prev,
+         LEAD(event_type) OVER w AS nxt
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+edges AS (
+  SELECT COALESCE(prev, '__start__') AS src, cur AS dst FROM seq
+  UNION ALL
+  SELECT cur, '__end__' FROM seq WHERE nxt IS NULL),
+counts AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+           FROM edges GROUP BY src, dst)
+SELECT src, dst, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6) AS p
+FROM counts
+"""
+
+
 def _q_pagerank(spark, sf_dir):
     """Authority scores over a supply link graph: supplier→part edges
     from lineitem, with back-edges for even part keys only — so the
@@ -4768,6 +4803,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q22_idle_rich_customers": _engine_sql(Q22_SQL, ["customer", "orders"]),
         "graph_pagerank": _q_pagerank,
+        "event_transitions": _q_event_transitions,
     }
 
 
@@ -4871,6 +4907,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "q21_sole_returner": Q21_SQL,
         "q22_idle_rich_customers": Q22_SQL,
         "graph_pagerank": _pagerank_oracle(),
+        "event_transitions": TRANSITIONS_ORACLE,
     }
 
 

@@ -285,3 +285,72 @@ def retention(
             F.round(F.col("users") / F.col("__cohort_size"), 6).alias("pct"),
         )
     )
+
+
+def transitions(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    event_col: str = "event_type",
+    tiebreak_cols: Sequence[str] = (),
+    include_endpoints: bool = True,
+    start_token: str = "__start__",
+    end_token: str = "__end__",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: ``(src, dst, n, p)`` where ``n`` counts consecutive
+    event pairs across all keys and ``p`` is the row-stochastic
+    probability ``n / Σ n(src, ·)`` (rounded to 6 decimals). The
+    standard path-mining readout next to ``funnel`` (which tests ONE
+    hypothesized order) — transitions SHOW the orders that actually
+    occur, surface loops, and feed next-step prediction.
+
+    ``include_endpoints`` adds ``(start_token → first event)`` and
+    ``(last event → end_token)`` pairs so entry and exit distributions
+    are part of the matrix (p over the start token = landing
+    distribution).
+
+    Pass ``tiebreak_cols`` (e.g. an event id) whenever two events of
+    one key can share a timestamp — the pair sequence is then a total
+    order and the result deterministic; without it, tied neighbors
+    may order either way (as in any SQL ``LAG`` over a non-unique
+    sort).
+
+    Scale shape: one hash shuffle on the keys + one window pass for
+    ``lag``/``lead``, then a keyed partial-agg count on (src, dst) —
+    the pair space is |event types|², dimension-sized, so the final
+    probability window is trivial. No collect, no UDFs.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    ev = F.col(event_col)
+    pairs = df.select(
+        F.lag(ev).over(w).alias("__prev"),
+        ev.alias("__cur"),
+        F.lead(ev).over(w).alias("__next"),
+    )
+    if include_endpoints:
+        inner = pairs.select(
+            F.coalesce(F.col("__prev"), F.lit(start_token)).alias(src_col),
+            F.col("__cur").alias(dst_col),
+        )
+        exits = pairs.where(F.col("__next").isNull()).select(
+            F.col("__cur").alias(src_col), F.lit(end_token).alias(dst_col)
+        )
+        edges = inner.unionByName(exits)
+    else:
+        edges = pairs.where(F.col("__prev").isNotNull()).select(
+            F.col("__prev").alias(src_col), F.col("__cur").alias(dst_col)
+        )
+    counts = edges.groupBy(src_col, dst_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_total = Window.partitionBy(src_col)
+    return counts.select(
+        src_col,
+        dst_col,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(row_total), 6).alias("p"),
+    )

@@ -261,3 +261,79 @@ def test_funnel_no_qualifying_events_counts_zero(spark):
     )
     out = sessions.funnel(df, ["view", "click"]).collect()
     assert [r.users for r in out] == [0, 0]  # zero, never NULL
+
+
+# ----------------------------------------------------------- transitions
+def test_transitions_hand_computed_matrix(spark):
+    """Two users, known sequences → exact pair counts and
+    row-stochastic probabilities including entry/exit tokens."""
+    from getl_spark.functions import sessions
+
+    rows = [
+        (1, 1, 10, "view"), (2, 1, 20, "cart"), (3, 1, 30, "view"),
+        (4, 2, 10, "view"), (5, 2, 20, "buy"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING"
+    )
+    out = {
+        (r.src, r.dst): (r.n, r.p)
+        for r in sessions.transitions(
+            ev, ["user_id"], "ts", tiebreak_cols=["event_id"]
+        ).collect()
+    }
+    assert out == {
+        ("__start__", "view"): (2, 1.0),
+        ("view", "cart"): (1, 0.333333),
+        ("view", "buy"): (1, 0.333333),
+        ("view", "__end__"): (1, 0.333333),
+        ("cart", "view"): (1, 1.0),
+        ("buy", "__end__"): (1, 1.0),
+    }
+
+
+def test_transitions_no_endpoints_and_probability_rows_sum_to_one(spark):
+    from getl_spark.functions import sessions
+
+    rows = [
+        (i, u, i, t)
+        for i, (u, t) in enumerate(
+            [(1, "a"), (1, "b"), (1, "a"), (1, "b"), (2, "a"), (2, "a")]
+        )
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING"
+    )
+    out = sessions.transitions(
+        ev, ["user_id"], "ts", tiebreak_cols=["event_id"],
+        include_endpoints=False,
+    ).collect()
+    got = {(r.src, r.dst): r.n for r in out}
+    assert got == {("a", "b"): 2, ("b", "a"): 1, ("a", "a"): 1}
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for r in out:
+        sums[r.src] += r.p
+    assert all(abs(s - 1.0) < 1e-6 for s in sums.values())
+
+
+def test_transitions_tiebreak_determinism(spark):
+    """Tied timestamps with an id tiebreak produce identical output
+    across repeated runs."""
+    from getl_spark.functions import sessions
+
+    rows = [(i, 1, 100, f"e{i % 3}") for i in range(30)]
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING"
+    )
+    runs = [
+        sorted(
+            (r.src, r.dst, r.n, r.p)
+            for r in sessions.transitions(
+                ev, ["user_id"], "ts", tiebreak_cols=["event_id"]
+            ).collect()
+        )
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
