@@ -1,0 +1,177 @@
+"""Model-based document quality filtering — the fasttext-style
+classifier step of CCNet/LLaMA-style curation pipelines: train a
+linear classifier on hashed n-gram features from a small labeled set
+(e.g. "looks like Wikipedia/books" vs "random crawl"), then score the
+whole corpus and keep the high-scoring tail.
+
+Heuristic quality signals (``text.quality_signals``, ``gopher_filter``)
+catch mechanical junk; a learned classifier catches fluent-but-worthless
+text those rules pass. This module keeps both phases Spark-shaped:
+
+* **train** — features via ``embedding.hash_embed`` (deterministic,
+  vocabulary-free signed hashing; no tokenizer/vocab to ship), fitted
+  with ``pyspark.ml`` LogisticRegression (distributed L-BFGS — the
+  labeled set never collects to the driver). The returned model is a
+  plain JSON-serializable dict (weights + the exact feature-hash
+  params), so scoring has zero dependency on MLlib persistence.
+* **score** — the corpus pass is pure JVM: the weight vector rides a
+  1-row broadcast (the same stats-broadcast pattern as ``stats.*``),
+  the dot product is ``zip_with`` + ``aggregate``, and the sigmoid is
+  an expression — no Python in the hot path, no shuffle beyond
+  ``hash_embed``'s two keyed partial-aggs.
+
+The model dict pins ``dim``/``seed``/``normalize`` and ``score``
+always re-derives features with them, so corpus vectors can never be
+hashed with a different family than the classifier was trained on
+(same contract as the MinHash index meta).
+
+No DuckDB oracle: L-BFGS training is not SQL-expressible; correctness
+is pytest-held (separable-corpus accuracy, determinism, JSON
+round-trip, hand-checked sigmoid on pinned weights).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from getl_spark.functions.embedding import hash_embed
+
+MODEL_KEYS = ("weights", "intercept", "dim", "seed", "normalize")
+
+
+def train_classifier(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    seed: int = 0,
+    normalize: bool = True,
+    max_iter: int = 100,
+    reg_param: float = 0.0,
+    elastic_net_param: float = 0.0,
+) -> dict:
+    """Fit a binary quality classifier; ``label_col`` holds 1.0 for
+    high-quality examples, 0.0 for junk. Returns the model as a plain
+    dict ``{weights, intercept, dim, seed, normalize}`` — persist it
+    with ``json.dumps``; nothing else to ship.
+
+    ``dim`` trades collision noise for weight-vector size: 4096 is
+    plenty for the ~10⁴-example labeled sets these filters are trained
+    on (fasttext itself hashes into 2M buckets for much larger
+    vocabularies — raise ``dim`` if the labeled set grows). Labeled
+    sets are small by definition; the distributed fit simply means no
+    driver materialization is needed at ANY labeled-set size.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    feats = hash_embed(
+        df, id_col=id_col, text_col=text_col, dim=dim,
+        new_col="__feat", seed=seed, normalize=normalize,
+    )
+    labels = df.select(
+        F.col(id_col),
+        F.col(label_col).cast("double").alias("__label"),
+    )
+    train = (
+        feats.join(labels, id_col)
+        .select(
+            array_to_vector(F.col("__feat").cast("array<double>")).alias(
+                "features"
+            ),
+            F.col("__label").alias("label"),
+        )
+    )
+    lr = LogisticRegression(
+        maxIter=max_iter,
+        regParam=reg_param,
+        elasticNetParam=elastic_net_param,
+        standardization=False,
+        family="binomial",
+    )
+    fitted = lr.fit(train)
+    return {
+        "weights": [float(w) for w in fitted.coefficients],
+        "intercept": float(fitted.intercept),
+        "dim": dim,
+        "seed": seed,
+        "normalize": normalize,
+    }
+
+
+def score(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    new_col: str = "quality_score",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """``(id_col, new_col)`` with ``new_col`` = σ(w·x + b) in [0, 1] —
+    the probability the document is high-quality under ``model``.
+    Features are re-derived with the model's pinned hash params, so a
+    corpus can never be scored against a mismatched hash family.
+
+    Corpus-pass shape: ``hash_embed``'s two keyed partial-agg shuffles,
+    then the weight vector joins as a ONE-ROW broadcast and the dot
+    product + sigmoid run as JVM array expressions — no Python UDF, no
+    literal-array plan bloat at large ``dim``, no extra shuffle.
+    """
+    missing = [k for k in MODEL_KEYS if k not in model]
+    if missing:
+        raise ValueError(f"score: model dict is missing {missing}")
+    if len(model["weights"]) != model["dim"]:
+        raise ValueError(
+            f"score: model has {len(model['weights'])} weights but dim="
+            f"{model['dim']} — corrupted or truncated model"
+        )
+    feats = hash_embed(
+        df, id_col=id_col, text_col=text_col, dim=model["dim"],
+        new_col="__feat", seed=model["seed"], normalize=model["normalize"],
+    )
+    spark = df.sparkSession
+    wrow = spark.createDataFrame(
+        [([float(w) for w in model["weights"]],)], "__w array<double>"
+    )
+    z = F.aggregate(
+        F.zip_with(
+            F.col("__feat").cast("array<double>"),
+            F.col("__w"),
+            lambda a, b: a * b,
+        ),
+        F.lit(float(model["intercept"])),
+        lambda acc, x: acc + x,
+    )
+    out = (
+        feats.crossJoin(F.broadcast(wrow))
+        .select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(new_col),
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn(new_col, F.round(F.col(new_col), round_to))
+    return out
+
+
+def filter_by_score(
+    df: DataFrame,
+    model: dict,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_score: bool = False,
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Corpus rows whose classifier score is ≥ ``threshold`` — the
+    one-call curation filter. The score frame joins back on id (one
+    keyed shuffle, broadcastable when the survivor set is small);
+    ``keep_score=True`` carries the score column through for
+    temperature-mixing downstream (``sample.weighted_mix``)."""
+    scored = score(df, model, id_col=id_col, text_col=text_col, new_col=score_col)
+    keep = scored.where(F.col(score_col) >= F.lit(float(threshold)))
+    joined = df.join(keep, id_col, "inner")
+    return joined if keep_score else joined.drop(score_col)

@@ -1,0 +1,127 @@
+"""quality.train_classifier / score / filter_by_score — the learned
+quality-filter phase. No SQL oracle exists for L-BFGS training, so
+correctness is held by: separable-corpus accuracy, training
+determinism, JSON round-trip, a hand-computed sigmoid on pinned
+weights, and plan-shape (no Python UDF in the scoring pass)."""
+
+from __future__ import annotations
+
+import json
+import math
+import random
+
+import pytest
+
+from getl_spark.functions import quality
+
+
+def _labeled_corpus(spark, n_per_class=60, seed=3):
+    rng = random.Random(seed)
+    good_vocab = [f"good{i}" for i in range(40)]
+    bad_vocab = [f"junk{i}" for i in range(40)]
+    rows = []
+    for i in range(n_per_class):
+        rows.append((i, " ".join(rng.choice(good_vocab) for _ in range(30)), 1.0))
+        rows.append(
+            (1000 + i, " ".join(rng.choice(bad_vocab) for _ in range(30)), 0.0)
+        )
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING, label DOUBLE")
+
+
+def test_classifier_separates_held_out_docs(spark):
+    corpus = _labeled_corpus(spark)
+    model = quality.train_classifier(corpus, dim=512)
+    held_out = spark.createDataFrame(
+        [
+            (1, "good1 good7 good12 good3 good22 good9"),
+            (2, "junk4 junk18 junk2 junk30 junk11 junk5"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    scores = {r.doc_id: r.quality_score for r in quality.score(held_out, model).collect()}
+    assert scores[1] > 0.9
+    assert scores[2] < 0.1
+
+
+def test_training_is_deterministic(spark):
+    corpus = _labeled_corpus(spark, n_per_class=30)
+    m1 = quality.train_classifier(corpus, dim=256, max_iter=25)
+    m2 = quality.train_classifier(corpus, dim=256, max_iter=25)
+    assert m1["intercept"] == pytest.approx(m2["intercept"], abs=1e-9)
+    assert m1["weights"] == pytest.approx(m2["weights"], abs=1e-9)
+
+
+def test_model_json_round_trip_scores_identically(spark):
+    corpus = _labeled_corpus(spark, n_per_class=20)
+    model = quality.train_classifier(corpus, dim=128, max_iter=20)
+    revived = json.loads(json.dumps(model))
+    docs = corpus.select("doc_id", "text").limit(10)
+    a = sorted(map(tuple, quality.score(docs, model).collect()))
+    b = sorted(map(tuple, quality.score(docs, revived).collect()))
+    assert a == b
+
+
+def test_score_matches_hand_computed_sigmoid(spark):
+    """Pinned 2-dim model, known token hashing: score must equal
+    σ(w·x + b) computed by hand from hash_embed's own features."""
+    from getl_spark.functions.embedding import hash_embed
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, None)], "doc_id BIGINT, text STRING"
+    )
+    feats = {
+        r["doc_id"]: r["__feat"]
+        for r in hash_embed(
+            docs, dim=4, new_col="__feat", normalize=False
+        ).collect()
+    }
+    model = {
+        "weights": [0.5, -1.0, 2.0, 0.25],
+        "intercept": -0.1,
+        "dim": 4,
+        "seed": 0,
+        "normalize": False,
+    }
+    got = {r.doc_id: r.quality_score for r in quality.score(docs, model).collect()}
+    for doc_id in (1, 2):
+        z = sum(w * x for w, x in zip(model["weights"], feats[doc_id])) - 0.1
+        assert got[doc_id] == pytest.approx(1.0 / (1.0 + math.exp(-z)), abs=1e-6)
+    # empty doc = zero vector → sigma(intercept)
+    assert got[2] == pytest.approx(1.0 / (1.0 + math.exp(0.1)), abs=1e-6)
+
+
+def test_score_plan_is_jvm_only(spark):
+    """The corpus scoring pass must not contain a Python UDF node —
+    the whole point of the zip_with/aggregate formulation."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id BIGINT, text STRING")
+    model = {
+        "weights": [0.0] * 8, "intercept": 0.0,
+        "dim": 8, "seed": 0, "normalize": True,
+    }
+    plan = quality.score(docs, model)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filter_by_score_thresholds_and_keeps_score(spark):
+    corpus = _labeled_corpus(spark, n_per_class=30)
+    model = quality.train_classifier(corpus, dim=256, max_iter=25)
+    docs = corpus.select("doc_id", "text")
+    kept = quality.filter_by_score(docs, model, threshold=0.5, keep_score=True)
+    assert "quality_score" in kept.columns
+    rows = kept.collect()
+    assert 0 < len(rows) < 60  # junk dropped, good retained (30 per class)
+    assert all(r.quality_score >= 0.5 for r in rows)
+    good_kept = sum(1 for r in rows if r.doc_id < 1000)
+    assert good_kept >= 28  # nearly all 30 good docs survive
+
+
+def test_score_validates_model_dict(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError, match="missing"):
+        quality.score(docs, {"weights": [0.0], "dim": 1})
+    with pytest.raises(ValueError, match="weights"):
+        quality.score(
+            docs,
+            {"weights": [0.0] * 3, "intercept": 0.0, "dim": 8,
+             "seed": 0, "normalize": True},
+        )
