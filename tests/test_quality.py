@@ -125,3 +125,35 @@ def test_score_validates_model_dict(spark):
             {"weights": [0.0] * 3, "intercept": 0.0, "dim": 8,
              "seed": 0, "normalize": True},
         )
+
+
+def test_quality_score_via_yaml_param_injected_model(spark):
+    """quality.score as a transform::generic function with the model
+    dict injected through ${params} — the documented YAML surface."""
+    from getl_spark import lift
+
+    corpus = _labeled_corpus(spark, n_per_class=20)
+    model = quality.train_classifier(corpus, dim=128, max_iter=20)
+    corpus.select("doc_id", "text").createOrReplaceTempView("qdocs")
+    log = lift(
+        spark,
+        """
+LiftJob:
+  Docs:
+    Type: custom::sql
+    Properties: {Statement: "SELECT * FROM qdocs"}
+  Scored:
+    Type: transform::generic
+    Input: Docs
+    Properties:
+      Functions:
+        - quality.filter_by_score:
+            model: ${model}
+            threshold: 0.5
+            keep_score: true
+""",
+        {"model": model},
+    )
+    rows = log.get("Scored").collect()
+    assert 0 < len(rows) < 40
+    assert all(r.quality_score >= 0.5 for r in rows)
