@@ -11,8 +11,8 @@ from getl_spark.functions import quality, text
 
 def resolve(params):
     docs = params["dataframes"]["LoadDocs"]
-    props = params.get("props", {})
-    threshold = float(props.get("threshold", 0.5))
+    # CustomProps are flattened into params top-level by python_codeblock
+    threshold = float(params.get("threshold", 0.5))
 
     sig = text.quality(docs)
     labeled = sig.select(

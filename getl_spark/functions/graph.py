@@ -250,7 +250,9 @@ def pagerank(
     node_set = e.select("u").union(e.select("v"))
     if nodes is not None:
         node_set = node_set.union(
-            nodes.select(F.col(node_col).alias("u"))
+            nodes.select(F.col(node_col).alias("u")).where(
+                F.col("u").isNotNull()
+            )
         )
     node_set = node_set.distinct().select(F.col("u").alias("node")).localCheckpoint()
     n = node_set.count()

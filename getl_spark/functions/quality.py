@@ -171,6 +171,12 @@ def filter_by_score(
     keyed shuffle, broadcastable when the survivor set is small);
     ``keep_score=True`` carries the score column through for
     temperature-mixing downstream (``sample.weighted_mix``)."""
+    if score_col in df.columns:
+        raise ValueError(
+            f"filter_by_score: input already has a '{score_col}' column — "
+            "the join-back would make it ambiguous (or drop both copies); "
+            "pass a different score_col or drop/rename the existing column"
+        )
     scored = score(df, model, id_col=id_col, text_col=text_col, new_col=score_col)
     keep = scored.where(F.col(score_col) >= F.lit(float(threshold)))
     joined = df.join(keep, id_col, "inner")

@@ -310,7 +310,13 @@ def transitions(
     ``include_endpoints`` adds ``(start_token → first event)`` and
     ``(last event → end_token)`` pairs so entry and exit distributions
     are part of the matrix (p over the start token = landing
-    distribution).
+    distribution). The sentinels share the event namespace: if the
+    corpus can legitimately contain events named ``__start__`` /
+    ``__end__`` (scraped or event-bus data), pass distinct
+    ``start_token``/``end_token`` values — a collision silently merges
+    real transitions into the synthetic entry/exit rows (detectable
+    post-hoc: the start token appearing as ``dst``, or the end token
+    as ``src``, can only come from real events).
 
     Pass ``tiebreak_cols`` (e.g. an event id) whenever two events of
     one key can share a timestamp — the pair sequence is then a total

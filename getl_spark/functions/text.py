@@ -500,9 +500,12 @@ def bloom_decontaminate(
 
     Sizing (standard Bloom formulas, overridable): bits =
     ⌈-m·ln p / ln²2⌉, hashes = round(bits/m · ln 2) capped at 16. The
-    bit array is built from the eval side's distinct hash positions —
-    the only driver materialization, bounded by min(k·m, num_bits)
-    longs — and broadcast once.
+    bit array is built DISTRIBUTED: each eval partition ORs its grams'
+    positions into a local bitmap (vectorized numpy) and the bitmaps
+    tree-reduce — the driver only ever holds O(num_bits/8) bytes, never
+    the position stream, and no dedup shuffle is needed (OR is
+    idempotent). The distinct eval-gram frame is persisted across its
+    two actions (count for sizing, then the bitmap pass).
     """
     import math
 
@@ -514,33 +517,49 @@ def bloom_decontaminate(
     ecol = eval_text_col or text_col
     eval_grams = (
         _exploded_ngrams(eval_df, ecol, [], n).select("__ngram").distinct()
-    )
-    m = eval_grams.count()
-    if m == 0:
-        flagged = df.withColumn(new_col, F.lit(False))
-        return flagged.where(~F.col(new_col)).drop(new_col) if remove else flagged
-    if num_bits is None:
-        num_bits = max(64, int(math.ceil(-m * math.log(fp_rate) / math.log(2) ** 2)))
-    if num_hashes is None:
-        num_hashes = min(16, max(1, round(num_bits / m * math.log(2))))
-    k, bits_n = num_hashes, num_bits
+    ).persist()
+    try:
+        m = eval_grams.count()
+        if m == 0:
+            flagged = df.withColumn(new_col, F.lit(False))
+            return (
+                flagged.where(~F.col(new_col)).drop(new_col)
+                if remove
+                else flagged
+            )
+        if num_bits is None:
+            num_bits = max(
+                64, int(math.ceil(-m * math.log(fp_rate) / math.log(2) ** 2))
+            )
+        if num_hashes is None:
+            num_hashes = min(16, max(1, round(num_bits / m * math.log(2))))
+        k, bits_n = num_hashes, num_bits
+        nbytes = (bits_n + 7) // 8
 
-    def _positions(gram_col):
-        return [
-            F.pmod(F.xxhash64(F.lit(i), gram_col), F.lit(bits_n))
-            for i in range(k)
-        ]
+        def _positions(gram_col):
+            return [
+                F.pmod(F.xxhash64(F.lit(i), gram_col), F.lit(bits_n))
+                for i in range(k)
+            ]
 
-    pos_pdf = (
-        eval_grams.select(
-            F.explode(F.array(*_positions(F.col("__ngram")))).alias("p")
+        def _partition_bitmap(rows):
+            arr = np.fromiter(
+                (p for row in rows for p in row[0]), dtype=np.int64
+            )
+            b = np.zeros(nbytes, dtype=np.uint8)
+            if arr.size:
+                np.bitwise_or.at(b, arr >> 3, (1 << (arr & 7)).astype(np.uint8))
+            yield b
+
+        bits = (
+            eval_grams.select(
+                F.array(*_positions(F.col("__ngram"))).alias("ps")
+            )
+            .rdd.mapPartitions(_partition_bitmap)
+            .treeReduce(np.bitwise_or, depth=2)
         )
-        .distinct()
-        .toPandas()
-    )
-    bits = np.zeros((bits_n + 7) // 8, dtype=np.uint8)
-    p = pos_pdf["p"].to_numpy(dtype=np.int64)
-    np.bitwise_or.at(bits, p >> 3, (1 << (p & 7).astype(np.uint8)))
+    finally:
+        eval_grams.unpersist()
     bc = df.sparkSession.sparkContext.broadcast(bits)
 
     from pyspark.sql.functions import pandas_udf

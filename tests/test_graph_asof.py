@@ -399,3 +399,13 @@ def test_pagerank_validates_params(spark):
         graph.pagerank(df, damping=1.0)
     with pytest.raises(ValueError, match="n_iter"):
         graph.pagerank(df, n_iter=0)
+
+
+def test_pagerank_null_nodes_are_ignored(spark):
+    """A NULL in the optional nodes frame must not inflate N or emit a
+    null-keyed rank row (edge-side nulls are already dropped)."""
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    nodes = spark.createDataFrame([(1,), (2,), (None,)], "node BIGINT")
+    rows = graph.pagerank(edges, nodes=nodes).collect()
+    assert {r["node"] for r in rows} == {1, 2}
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-4

@@ -157,3 +157,15 @@ LiftJob:
     rows = log.get("Scored").collect()
     assert 0 < len(rows) < 40
     assert all(r.quality_score >= 0.5 for r in rows)
+
+
+def test_filter_by_score_rejects_score_column_collision(spark):
+    docs = spark.createDataFrame(
+        [(1, "x", 0.9)], "doc_id BIGINT, text STRING, quality_score DOUBLE"
+    )
+    model = {
+        "weights": [0.0] * 8, "intercept": 0.0,
+        "dim": 8, "seed": 0, "normalize": True,
+    }
+    with pytest.raises(ValueError, match="quality_score"):
+        quality.filter_by_score(docs, model)
