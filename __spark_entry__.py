@@ -2661,6 +2661,29 @@ FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
 """
 
 
+def _q_range_search(spark, sf_dir):
+    """similarity.range_search — ALL corpus neighbors within cosine ≥
+    0.2 of 8 query vectors (exact broadcast path; the banded-LSH scale
+    path is recall-tested in pytest). Oracle: DuckDB
+    list_cosine_similarity with the same post-round filter."""
+    from getl_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.range_search(
+        emb.where("vec_id < 8"), emb, threshold=0.2
+    )
+
+
+RANGE_SEARCH_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8)
+SELECT q.query_id, e.vec_id AS nbr_id,
+       ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings e, q
+WHERE ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) >= 0.2
+"""
+
+
 def _q_event_transitions(spark, sf_dir):
     """sessions.transitions — first-order Markov matrix over each
     user's event sequence with entry/exit tokens; event_id tiebreak
@@ -4804,6 +4827,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_rich_customers": _engine_sql(Q22_SQL, ["customer", "orders"]),
         "graph_pagerank": _q_pagerank,
         "event_transitions": _q_event_transitions,
+        "similarity_range_search": _q_range_search,
     }
 
 
@@ -4908,6 +4932,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "q22_idle_rich_customers": Q22_SQL,
         "graph_pagerank": _pagerank_oracle(),
         "event_transitions": TRANSITIONS_ORACLE,
+        "similarity_range_search": RANGE_SEARCH_ORACLE,
     }
 
 

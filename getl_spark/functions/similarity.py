@@ -531,6 +531,85 @@ def topk_between(
     return topk_bruteforce(c, q, k, "vec_id", "embedding", exclude_self=False)
 
 
+def range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    query_id_col: str = "vec_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "bruteforce",
+    bands: int = 8,
+    planes_per_band: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ALL corpus neighbors within cosine ≥ ``threshold`` of each
+    query — the radius-query complement to ``topk_between`` (fixed k
+    misses dense neighborhoods and pads sparse ones; a radius returns
+    exactly what qualifies). The "find every near-copy of these seed
+    documents" shape: leaked eval items, known-bad content, dedup
+    against a blocklist of embeddings.
+
+    Output ``(query_id, nbr_id, cosine)`` — no rank column; the result
+    set size is data-dependent by design. No self-exclusion (the id
+    spaces are unrelated, as in ``topk_between``).
+
+    ``method='bruteforce'`` broadcasts the QUERY side and scans the
+    corpus once — exact, and the right default while queries are
+    blocklist/eval-sized. ``method='lsh'`` is the scale path when the
+    query side outgrows broadcast: banded random-hyperplane keys on
+    both sides (same family as ``dedup.embedding_cosine_pairs``), ONE
+    equi-join on (band, key), exact cosine verify — recall follows the
+    banded-LSH curve 1-(1-cosᵖ θ)ᵇ, so size bands/planes to the
+    threshold (more bands → recall, more planes/band → precision of
+    candidates).
+    """
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(
+            f"range_search: threshold must be in [-1, 1], got {threshold}"
+        )
+    c = with_norm(
+        corpus.select(
+            F.col(corpus_id_col).alias("nbr_id"), F.col(vec_col).alias("vec")
+        ).where(F.col(vec_col).isNotNull())
+    ).withColumnRenamed("vec", "cvec").withColumnRenamed("norm", "cnorm")
+    q = with_norm(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("vec")
+        ).where(F.col(vec_col).isNotNull())
+    ).withColumnRenamed("vec", "qvec").withColumnRenamed("norm", "qnorm")
+    cos = F.round(
+        cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")),
+        6,
+    )
+    if method == "bruteforce":
+        scored = c.crossJoin(F.broadcast(q)).select(
+            "query_id", "nbr_id", cos.alias("cosine")
+        )
+    elif method == "lsh":
+        from getl_spark.functions.dedup import _hyperplane_band_keys
+
+        dim = embedding_dim(corpus, vec_col)
+        keys_udf = _hyperplane_band_keys(bands, planes_per_band, dim, seed)
+        ck = c.select(
+            "*", F.posexplode(keys_udf(F.col("cvec"))).alias("band", "key")
+        )
+        qk = q.select(
+            "*", F.posexplode(keys_udf(F.col("qvec"))).alias("band", "key")
+        )
+        # cosine computed before the distinct: it is deterministic per
+        # pair, so deduping the scored 3-column rows equals pair-dedup
+        # without shuffling the vectors themselves
+        scored = (
+            ck.join(qk, ["band", "key"])
+            .select("query_id", "nbr_id", cos.alias("cosine"))
+            .distinct()
+        )
+    else:
+        raise ValueError(f"range_search: unknown method '{method}'")
+    return scored.where(F.col("cosine") >= F.lit(float(threshold)))
+
+
 def topk_pq(
     corpus: DataFrame,
     queries: DataFrame,

@@ -195,3 +195,80 @@ def test_topk_pq_string_ids(spark):
     rows = out.collect()
     assert len(rows) == 6
     assert all(isinstance(r.nbr_id, str) and r.nbr_id.startswith("doc-") for r in rows)
+
+
+# ----------------------------------------------------------- range search
+def _clustered_vectors(spark, n_clusters=5, per_cluster=30, dim=16, seed=5):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for c in range(n_clusters):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        for i in range(per_cluster):
+            vec = [x + rng.gauss(0, 0.15) for x in center]
+            rows.append((c * 1000 + i, vec))
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+
+def test_range_search_matches_numpy_reference(spark):
+    """Exact path vs a dense numpy cosine computation on the identical
+    rounded-then-filter semantics."""
+    import numpy as np
+
+    df = _clustered_vectors(spark, n_clusters=3, per_cluster=10)
+    queries = df.where("vec_id IN (0, 1000, 2000)")
+    got = {
+        (r.query_id, r.nbr_id): r.cosine
+        for r in similarity.range_search(queries, df, threshold=0.9).collect()
+    }
+    rows = df.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    want = {}
+    for qid in (0, 1000, 2000):
+        qv = vecs[qid]
+        for nid, nv in vecs.items():
+            c = round(float(qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv))), 6)
+            if c >= 0.9:
+                want[(qid, nid)] = c
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
+
+
+def test_range_search_lsh_recall_on_clusters(spark):
+    """The banded-LSH scale path recovers ≥80% of the exact in-radius
+    pairs on clustered data (banded-LSH recall contract) and never
+    emits a pair below the threshold (exact verify)."""
+    df = _clustered_vectors(spark)
+    queries = df.where("vec_id % 1000 = 0")  # one query per cluster
+    exact = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.range_search(queries, df, threshold=0.9).collect()
+    }
+    lsh_rows = similarity.range_search(
+        queries, df, threshold=0.9, method="lsh", bands=12, planes_per_band=6
+    ).collect()
+    lsh = {(r.query_id, r.nbr_id) for r in lsh_rows}
+    assert lsh <= exact  # no false inclusions — exact verify
+    assert len(lsh & exact) / len(exact) >= 0.8
+    assert all(r.cosine >= 0.9 for r in lsh_rows)
+
+
+def test_range_search_validates_inputs(spark):
+    df = _clustered_vectors(spark, n_clusters=1, per_cluster=3)
+    with pytest.raises(ValueError, match="threshold"):
+        similarity.range_search(df, df, threshold=1.5)
+    with pytest.raises(ValueError, match="method"):
+        similarity.range_search(df, df, method="annoy")
+
+
+def test_range_search_null_vectors_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    out = similarity.range_search(
+        df.where("vec_id = 1"), df, threshold=0.5
+    ).collect()
+    assert {(r.query_id, r.nbr_id) for r in out} == {(1, 1), (1, 3)}
