@@ -203,13 +203,18 @@ def pagerank(
     node_col: str = "node",
     out_col: str = "rank",
     round_to: Optional[int] = 6,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Standard PageRank over a directed edge list — authority scores
     for crawl-level curation (weight a host/document by who links to
     it, not just by its own content quality).
 
     Exact semantics (so an independent engine can replicate the values):
-    parallel edges are collapsed (``DISTINCT src, dst``); the node set
+    parallel edges are collapsed (``DISTINCT src, dst``; with
+    ``weight_col``, duplicates SUM their weights and each out-edge
+    carries rank ∝ weight/out-weight — link counts between hosts are
+    the canonical weights; non-positive/null weights are dropped);
+    the node set
     is ``distinct(src) ∪ distinct(dst)`` plus ``nodes`` when given;
     every rank starts at 1/N; each of the ``n_iter`` synchronous
     iterations computes::
@@ -241,12 +246,30 @@ def pagerank(
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .distinct()
-        .localCheckpoint()
-    )
+    if weight_col is None:
+        e = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+            .localCheckpoint()
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("u"),
+                F.col(dst).alias("v"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .where(
+                F.col("u").isNotNull()
+                & F.col("v").isNotNull()
+                & (F.col("w") > 0)
+            )
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint()
+        )
     node_set = e.select("u").union(e.select("v"))
     if nodes is not None:
         node_set = node_set.union(
@@ -260,7 +283,7 @@ def pagerank(
         return node_set.select(
             F.col("node").alias(node_col), F.lit(0.0).alias(out_col)
         )
-    outdeg = e.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint()
+    outdeg = e.groupBy("u").agg(F.sum("w").alias("deg")).localCheckpoint()
     ranks = node_set.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
         dangling = (
@@ -271,7 +294,9 @@ def pagerank(
             e.join(ranks, e["u"] == ranks["node"])
             .join(outdeg, "u")
             .groupBy("v")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
+            .agg(
+                F.sum(F.col("rank") * F.col("w") / F.col("deg")).alias("s")
+            )
         )
         ranks = (
             node_set.join(contribs, node_set["node"] == contribs["v"], "left")
@@ -297,25 +322,48 @@ def pagerank_oracle_sql(
     damping: float = 0.85,
     n_iter: int = 10,
     round_to: int = 6,
+    weighted: bool = False,
 ) -> str:
     """Unrolled-CTE ANSI SQL replicating ``pagerank`` exactly, for
     engines without iteration (the DuckDB oracle harness). ``edges_sql``
-    must yield columns ``(src, dst)``; each PageRank iteration becomes
-    one CTE pair (dangling mass + next rank vector). Every rank CTE is
-    referenced twice by the next level (contribution join + dangling
-    scan), so each is declared ``AS MATERIALIZED`` — without the hint
-    DuckDB inlines CTEs and evaluation cost doubles per iteration
-    (2^n_iter re-expansions of the whole chain)."""
+    must yield columns ``(src, dst)`` — plus ``w`` when ``weighted``
+    (duplicates summed, non-positive dropped, mirroring the DataFrame
+    path). Each PageRank iteration becomes one CTE pair (dangling mass
+    + next rank vector). Every rank CTE is referenced twice by the
+    next level (contribution join + dangling scan), so each is
+    declared ``AS MATERIALIZED`` — without the hint DuckDB inlines
+    CTEs and evaluation cost doubles per iteration (2^n_iter
+    re-expansions of the whole chain)."""
     d = damping
+    if weighted:
+        edges_cte = (
+            f"WITH edges AS MATERIALIZED (SELECT src, dst,"
+            f" SUM(CAST(w AS DOUBLE)) AS w FROM ({edges_sql}) raw_e"
+            " WHERE src IS NOT NULL AND dst IS NOT NULL AND w > 0"
+            " GROUP BY src, dst),"
+        )
+        deg_cte = (
+            "outdeg AS MATERIALIZED"
+            " (SELECT src, SUM(w) AS deg FROM edges GROUP BY src),"
+        )
+        contrib = "SUM(r.rank * e.w / o.deg)"
+    else:
+        edges_cte = (
+            f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+            f" ({edges_sql}) raw_e"
+            " WHERE src IS NOT NULL AND dst IS NOT NULL),"
+        )
+        deg_cte = (
+            "outdeg AS MATERIALIZED"
+            " (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),"
+        )
+        contrib = "SUM(r.rank / o.deg)"
     parts = [
-        f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
-        f" ({edges_sql}) raw_e"
-        " WHERE src IS NOT NULL AND dst IS NOT NULL),",
+        edges_cte,
         "nodes AS MATERIALIZED"
         " (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
         "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),",
-        "outdeg AS MATERIALIZED"
-        " (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),",
+        deg_cte,
         "r0 AS MATERIALIZED"
         " (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),",
     ]
@@ -331,7 +379,7 @@ def pagerank_oracle_sql(
             f" (SELECT nd.node, {(1.0 - d)!r} / (SELECT n FROM nn)"
             f" + {d!r} * (COALESCE(c.s, 0.0) + (SELECT dm FROM d{k}) /"
             f" (SELECT n FROM nn)) AS rank FROM nodes nd LEFT JOIN ("
-            f"SELECT e.dst AS node, SUM(r.rank / o.deg) AS s FROM edges e"
+            f"SELECT e.dst AS node, {contrib} AS s FROM edges e"
             f" JOIN r{p} r ON e.src = r.node JOIN outdeg o ON e.src = o.src"
             f" GROUP BY e.dst) c ON nd.node = c.node),"
         )
