@@ -387,7 +387,8 @@ SELECT l_partkey AS ps_partkey,
 FROM lineitem
 GROUP BY l_partkey
 HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) >
-  (SELECT CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) * 0.006
+  (SELECT CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) * 1.2
+          / COUNT(DISTINCT l2.l_partkey)
    FROM lineitem l2)
 """
 
