@@ -2662,6 +2662,50 @@ FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
 """
 
 
+def _q_mutual_info(spark, sf_dir):
+    """stats.mutual_info — lang↔source association over documents with
+    NMI; the stratum-confounding diagnostic. Oracle mirrors the exact
+    double arithmetic (counts cast to double before any product)."""
+    from getl_spark.functions import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stats.mutual_info(docs, "lang", "source", normalize=True)
+
+
+MUTUAL_INFO_ORACLE = """
+WITH joint AS (
+  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2),
+ca AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM joint GROUP BY a),
+cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM joint GROUP BY b),
+nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM joint),
+mi AS (
+  SELECT COALESCE(SUM(
+           (CAST(j.c AS DOUBLE) / CAST(nn.n AS DOUBLE))
+           * LN((CAST(j.c AS DOUBLE) * CAST(nn.n AS DOUBLE))
+                / (CAST(ca.ca AS DOUBLE) * CAST(cb.cb AS DOUBLE)))
+         ), 0.0) AS mi_raw,
+         MAX(nn.n) AS n
+  FROM joint j
+  JOIN ca ON j.a = ca.a JOIN cb ON j.b = cb.b CROSS JOIN nn),
+ha AS (SELECT COALESCE(SUM(
+         -(CAST(ca AS DOUBLE) / CAST(nn.n AS DOUBLE))
+         * LN(CAST(ca AS DOUBLE) / CAST(nn.n AS DOUBLE))), 0.0) AS ha
+       FROM ca CROSS JOIN nn),
+hb AS (SELECT COALESCE(SUM(
+         -(CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE))
+         * LN(CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE))), 0.0) AS hb
+       FROM cb CROSS JOIN nn)
+SELECT ROUND(mi_raw, 6) AS mi,
+       ROUND(CASE WHEN ha > 0 AND hb > 0
+                  THEN mi_raw / SQRT(ha * hb) ELSE 0.0 END, 6) AS nmi,
+       n
+FROM mi CROSS JOIN ha CROSS JOIN hb
+"""
+
+
 def _q_range_search(spark, sf_dir):
     """similarity.range_search — ALL corpus neighbors within cosine ≥
     0.2 of 8 query vectors (exact broadcast path; the banded-LSH scale
@@ -4829,6 +4873,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _q_pagerank,
         "event_transitions": _q_event_transitions,
         "similarity_range_search": _q_range_search,
+        "stats_mutual_info": _q_mutual_info,
     }
 
 
@@ -4934,6 +4979,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle(),
         "event_transitions": TRANSITIONS_ORACLE,
         "similarity_range_search": RANGE_SEARCH_ORACLE,
+        "stats_mutual_info": MUTUAL_INFO_ORACLE,
     }
 
 

@@ -475,3 +475,88 @@ def ab_compare(
         F.round(z, 6).alias("z"),
         F.round(p, 6).alias("p_value"),
     )
+
+
+def mutual_info(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    normalize: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual information between two categorical columns, in nats:
+    one row ``(mi, n)`` — or ``(mi, nmi, n)`` with ``normalize`` (NMI
+    = MI / √(H_a·H_b) ∈ [0, 1]). The mixture-diagnostics readout: how
+    much does knowing ``source`` tell you about ``lang`` (confounded
+    corpus strata), or a feature about a label. Rows where either
+    column is null are dropped (MI over the observed joint).
+
+    Shape at 100 TB: ONE keyed partial-agg shuffle to joint counts
+    (reduce side = |A|×|B| cells, dimension-sized), marginals are two
+    tiny re-aggregations of the cell frame, totals ride a 1-row
+    broadcast, and the MI sum is a 1-row reduce — the corpus is
+    scanned once, nothing row-scale ever shuffles again. Deterministic
+    to ``round_to`` decimals (exact integer counts; the float work is
+    one log-sum whose summation-order noise sits ~1e-14 below the
+    rounding).
+    """
+    if round_to < 0:
+        raise ValueError("mutual_info: round_to must be >= 0")
+    joint = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = joint.groupBy("a").agg(F.sum("c").alias("ca"))
+    cb = joint.groupBy("b").agg(F.sum("c").alias("cb"))
+    totals = joint.agg(F.sum("c").alias("n"))
+    cells = (
+        joint.join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(totals))
+    )
+    # counts go through DOUBLE before any product: c·n and ca·cb are
+    # count-squared magnitudes that overflow int64 on 10¹⁰-row inputs
+    cd, nd = F.col("c").cast("double"), F.col("n").cast("double")
+    cad, cbd = F.col("ca").cast("double"), F.col("cb").cast("double")
+    p = cd / nd
+    term = p * F.log((cd * nd) / (cad * cbd))
+    if not normalize:
+        return cells.agg(
+            F.round(F.coalesce(F.sum(term), F.lit(0.0)), round_to).alias("mi"),
+            F.first("n").alias("n"),
+        )
+    # entropies from the marginals of the SAME cell frame (so empty
+    # input degrades consistently); NMI of a constant column is 0/0 →
+    # reported as 0.0
+    pa = F.col("ca").cast("double") / F.col("n").cast("double")
+    pb = F.col("cb").cast("double") / F.col("n").cast("double")
+    ha_term = -pa * F.log(pa)
+    hb_term = -pb * F.log(pb)
+    ha = (
+        ca.crossJoin(F.broadcast(totals))
+        .agg(F.coalesce(F.sum(ha_term), F.lit(0.0)).alias("ha"))
+    )
+    hb = (
+        cb.crossJoin(F.broadcast(totals))
+        .agg(F.coalesce(F.sum(hb_term), F.lit(0.0)).alias("hb"))
+    )
+    mi_row = cells.agg(
+        F.coalesce(F.sum(term), F.lit(0.0)).alias("mi_raw"),
+        F.first("n").alias("n"),
+    )
+    return (
+        mi_row.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.round("mi_raw", round_to).alias("mi"),
+            F.round(
+                F.when(
+                    (F.col("ha") > 0) & (F.col("hb") > 0),
+                    F.col("mi_raw") / F.sqrt(F.col("ha") * F.col("hb")),
+                ).otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("nmi"),
+            F.col("n"),
+        )
+    )

@@ -213,3 +213,69 @@ def test_ab_compare_constant_metric_fails_loud(spark):
     df = spark.createDataFrame(rows, "grp string, metric double")
     with _pytest.raises(Exception, match="ab_compare"):
         S.ab_compare(df, "grp", "metric", "a", "b").collect()
+
+
+# ---------------------------------------------------------- mutual info
+def test_mutual_info_hand_computed_2x2(spark):
+    """Perfect dependence on a 2x2: MI = ln 2 nats, NMI = 1."""
+    import math
+
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [("x", "p"), ("x", "p"), ("y", "q"), ("y", "q")], ["a", "b"]
+    )
+    row = stats.mutual_info(df, "a", "b", normalize=True).collect()[0]
+    assert row["mi"] == pytest.approx(math.log(2), abs=1e-6)
+    assert row["nmi"] == pytest.approx(1.0, abs=1e-6)
+    assert row["n"] == 4
+
+
+def test_mutual_info_independent_is_zero_and_nulls_dropped(spark):
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"),
+         (None, "p"), ("x", None)],
+        ["a", "b"],
+    )
+    row = stats.mutual_info(df, "a", "b").collect()[0]
+    assert row["mi"] == 0.0
+    assert row["n"] == 4  # null-bearing rows excluded
+
+
+def test_mutual_info_matches_sklearn_style_reference(spark):
+    """Random joint distribution vs a direct numpy computation."""
+    import math
+    import random
+    from collections import Counter
+
+    from getl_spark.functions import stats
+
+    rng = random.Random(9)
+    rows = [
+        (rng.choice("abcd"), rng.choice("pqr" if rng.random() < 0.7 else "pq"))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = stats.mutual_info(df, "a", "b", normalize=True).collect()[0]
+    n = len(rows)
+    joint, ma, mb = Counter(rows), Counter(r[0] for r in rows), Counter(
+        r[1] for r in rows
+    )
+    mi = sum(
+        (c / n) * math.log(c * n / (ma[a] * mb[b]))
+        for (a, b), c in joint.items()
+    )
+    ha = -sum((c / n) * math.log(c / n) for c in ma.values())
+    hb = -sum((c / n) * math.log(c / n) for c in mb.values())
+    assert got["mi"] == pytest.approx(mi, abs=1e-6)
+    assert got["nmi"] == pytest.approx(mi / math.sqrt(ha * hb), abs=1e-6)
+
+
+def test_mutual_info_constant_column_nmi_zero(spark):
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame([("x", "p"), ("x", "q")], ["a", "b"])
+    row = stats.mutual_info(df, "a", "b", normalize=True).collect()[0]
+    assert row["mi"] == 0.0 and row["nmi"] == 0.0
