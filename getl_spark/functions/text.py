@@ -551,10 +551,15 @@ def bloom_decontaminate(
                 np.bitwise_or.at(b, arr >> 3, (1 << (arr & 7)).astype(np.uint8))
             yield b
 
+        # coalesce before the bitmap pass: every task allocates (and
+        # the reduce ships) a full nbytes array, so the cost is
+        # tasks × num_bits/8 — bounded to 16 regardless of how many
+        # shuffle partitions the distinct() produced
         bits = (
             eval_grams.select(
                 F.array(*_positions(F.col("__ngram"))).alias("ps")
             )
+            .coalesce(16)
             .rdd.mapPartitions(_partition_bitmap)
             .treeReduce(np.bitwise_or, depth=2)
         )

@@ -449,8 +449,6 @@ def test_pagerank_weighted_matches_dense_reference(spark):
         r = nxt
     want = {nd: round(float(r[idx[nd]]), 6) for nd in nodes}
     assert got == want
-    # the heavy 0→1 edge (4/5 of 0's out-weight) must outrank 0→2's share
-    assert got[1] > got[2] or True  # structural sanity only
 
 
 def test_pagerank_weighted_oracle_sql_matches_spark(spark):
