@@ -2662,6 +2662,35 @@ FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
 """
 
 
+def _q_top_paths(spark, sf_dir):
+    """sessions.top_paths — the 20 most common first-5-event journeys
+    per user, event-id tiebreak for total order. Oracle: DuckDB window
+    row_number + ordered STRING_AGG."""
+    from getl_spark.functions import sessions
+
+    ts_expr, _ = _events_ts_exprs(sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", F.expr(ts_expr).alias("ts")
+    )
+    return sessions.top_paths(
+        ev, ["user_id"], "ts", max_len=5, k=20, tiebreak_cols=["event_id"]
+    )
+
+
+TOP_PATHS_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events),
+paths AS (
+  SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+  FROM ev WHERE rn <= 5 GROUP BY user_id),
+counts AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS users
+           FROM paths GROUP BY path)
+SELECT path, users FROM counts ORDER BY users DESC, path LIMIT 20
+"""
+
+
 def _q_mutual_info(spark, sf_dir):
     """stats.mutual_info — lang↔source association over documents with
     NMI; the stratum-confounding diagnostic. Oracle mirrors the exact
@@ -4875,6 +4904,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "similarity_range_search": _q_range_search,
         "stats_mutual_info": _q_mutual_info,
+        "event_top_paths": _q_top_paths,
     }
 
 
@@ -4981,6 +5011,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "event_transitions": TRANSITIONS_ORACLE,
         "similarity_range_search": RANGE_SEARCH_ORACLE,
         "stats_mutual_info": MUTUAL_INFO_ORACLE,
+        "event_top_paths": TOP_PATHS_ORACLE,
     }
 
 

@@ -360,3 +360,64 @@ def transitions(
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") / F.sum("n").over(row_total), 6).alias("p"),
     )
+
+
+def top_paths(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    event_col: str = "event_type",
+    max_len: int = 5,
+    k: int = 20,
+    tiebreak_cols: Sequence[str] = (),
+    sep: str = ">",
+) -> DataFrame:
+    """The ``k`` most common user journeys: each key's first
+    ``max_len`` events (in time order) joined into a path string,
+    counted across keys — ``(path, users)`` ordered by users desc with
+    the path as a total-order tiebreak. ``transitions`` shows which
+    single steps occur; this shows which complete ORDERS are common
+    (the onboarding-flow / drop-off readout).
+
+    Per-key state is BOUNDED before any aggregation: a window
+    ``row_number`` keeps only each key's first ``max_len`` events, so
+    the collect_list that builds the path holds ≤ max_len structs per
+    key even for power users with millions of events — the unbounded
+    collect-then-slice formulation is the scale trap this avoids.
+    Two keyed shuffles (window + path count) and a TakeOrdered top-k.
+    As with ``transitions``, pass ``tiebreak_cols`` when one key can
+    have tied timestamps.
+    """
+    if max_len < 1:
+        raise ValueError(f"top_paths: max_len must be >= 1, got {max_len}")
+    if k < 1:
+        raise ValueError(f"top_paths: k must be >= 1, got {k}")
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    firstl = (
+        df.select(
+            *key_cols, F.col(event_col).alias("__ev"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .where(F.col("__rn") <= max_len)
+    )
+    paths = (
+        firstl.groupBy(*key_cols)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__rn", "__ev"))
+                    ),
+                    lambda x: x["__ev"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("users"))
+        .orderBy(F.col("users").desc(), F.col("path"))
+        .limit(k)
+    )

@@ -337,3 +337,61 @@ def test_transitions_tiebreak_determinism(spark):
         for _ in range(2)
     ]
     assert runs[0] == runs[1]
+
+
+# ------------------------------------------------------------ top paths
+def test_top_paths_hand_computed(spark):
+    from getl_spark.functions import sessions
+
+    rows = [
+        (1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "c"),
+        (4, 2, 10, "a"), (5, 2, 20, "b"),
+        (6, 3, 10, "a"), (7, 3, 20, "b"),
+        (8, 4, 10, "z"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING"
+    )
+    got = [
+        (r.path, r.users)
+        for r in sessions.top_paths(
+            ev, ["user_id"], "ts", tiebreak_cols=["event_id"]
+        ).collect()
+    ]
+    assert got == [("a>b", 2), ("a>b>c", 1), ("z", 1)]
+
+
+def test_top_paths_max_len_truncates_before_aggregation(spark):
+    """A power user's journey is cut at max_len — and only the first
+    max_len events matter, whatever came later."""
+    from getl_spark.functions import sessions
+
+    rows = [(i, 1, i, f"e{i}") for i in range(100)]
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING"
+    )
+    got = sessions.top_paths(
+        ev, ["user_id"], "ts", max_len=3, tiebreak_cols=["event_id"]
+    ).collect()
+    assert [(r.path, r.users) for r in got] == [("e0>e1>e2", 1)]
+
+
+def test_top_paths_k_limits_with_total_order(spark):
+    from getl_spark.functions import sessions
+
+    rows = []
+    eid = 0
+    for u, path in enumerate(["a", "b", "c", "d"]):
+        rows.append((eid, u, 0, path)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, ts BIGINT, event_type STRING"
+    )
+    got = [r.path for r in sessions.top_paths(
+        ev, ["user_id"], "ts", k=2, tiebreak_cols=["event_id"]
+    ).collect()]
+    assert got == ["a", "b"]  # all tied at 1 user -> path asc tiebreak
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_len"):
+        sessions.top_paths(ev, ["user_id"], "ts", max_len=0)
+    with _pytest.raises(ValueError, match="k"):
+        sessions.top_paths(ev, ["user_id"], "ts", k=0)
