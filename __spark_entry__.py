@@ -4658,7 +4658,7 @@ def _round_number() -> int:
 # promoted into the driver-checked 50 (displacing the DONOR slots —
 # redundant pure-custom::sql variants whose engine path q1/q3/q6 always
 # cover), so every demoted query gets a driver-audited CORRECTNESS row
-# every ceil(len(pool)/SLOTS) rounds (~23 at the current 90-entry pool)
+# every ceil(len(pool)/SLOTS) rounds
 # instead of living forever behind pytest-only checks; new entries are
 # additionally hand-verified against the sf0.01 harness before joining. The schedule is a round-keyed ring slice —
 # deterministic within a round, advancing across rounds.
