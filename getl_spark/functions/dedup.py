@@ -1237,6 +1237,53 @@ def semantic_dedup(
     )
 
 
+def near_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    method: str = "minhash",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_df: Optional[int] = None,
+    quality_col: Optional[str] = None,
+) -> DataFrame:
+    """One-call text near-dedup: candidate pairs → connected
+    components → one survivor per near-duplicate cluster (min id, or
+    the best row by ``quality_col`` — longest/highest-quality/newest).
+    The text-corpus symmetric of ``semantic_dedup``; YAML-callable
+    inside ``transform::generic``.
+
+    ``method='minhash'`` (default) generates pairs with banded MinHash
+    LSH — the 100 TB path (see ``minhash_lsh`` for the recall curve
+    and knobs). ``method='exact'`` uses the exact inverted-index
+    Jaccard (``ngram_jaccard`` + ``max_df``) — ground truth at
+    moderate scale, cost grows with duplicate density squared. Both
+    verify candidates at exact Jaccard ≥ ``threshold`` before any row
+    is dropped, so the only recall loss is candidate generation.
+    """
+    if method == "minhash":
+        pairs = minhash_lsh(
+            df, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
+        )
+    elif method == "exact":
+        pairs = ngram_jaccard(
+            df, id_col=id_col, text_col=text_col, n=n,
+            threshold=threshold, max_df=max_df,
+        )
+    else:
+        raise ValueError(
+            f"near_dedup: unknown method '{method}' (minhash | exact)"
+        )
+    from getl_spark.functions.graph import dedup_by_component
+
+    return dedup_by_component(
+        df, pairs, id_col=id_col, quality_col=quality_col
+    )
+
+
 def index_append(
     df: DataFrame,
     index_path: str,

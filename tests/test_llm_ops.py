@@ -1283,3 +1283,45 @@ def test_semantic_dedup_one_survivor_per_cluster(spark):
         seed=1, quality_col="q",
     )
     assert {r.vec_id for r in best.collect()} == {5, 11, 17, 23}
+
+
+def test_near_dedup_one_call_collapses_planted_dups(spark):
+    """dedup.near_dedup keeps one survivor per planted near-dup
+    cluster under both candidate methods, and the exact method equals
+    the composition it wraps."""
+    import random
+
+    from getl_spark.functions import dedup as D
+
+    rng = random.Random(21)
+    words = [f"w{i}" for i in range(120)]
+    base = [" ".join(rng.choice(words) for _ in range(60)) for _ in range(20)]
+    rows = []
+    for i, text in enumerate(base):
+        rows.append((i * 10, text))
+        if i < 5:  # five near-dup copies with a one-word tweak
+            toks = text.split()
+            toks[7] = "tweaked"
+            rows.append((i * 10 + 1, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    for method in ("exact", "minhash"):
+        out = D.near_dedup(
+            docs, threshold=0.5, method=method
+        )
+        kept = {r.doc_id for r in out.collect()}
+        assert len(kept) == 20, method  # one per cluster
+        assert all(d % 10 == 0 for d in kept), method  # min-id winner
+    # quality_col flips the winner to the higher-quality copy
+    scored = docs.withColumn(
+        "q", (F.col("doc_id") % 10 == 1).cast("double")
+    )
+    kept_q = {
+        r.doc_id
+        for r in D.near_dedup(
+            scored, threshold=0.5, method="exact", quality_col="q"
+        ).collect()
+    }
+    assert sum(1 for d in kept_q if d % 10 == 1) == 5
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="method"):
+        D.near_dedup(docs, method="fuzzy")
