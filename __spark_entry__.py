@@ -2411,20 +2411,20 @@ def _q_stats_profile(spark, sf_dir):
 
 STATS_PROFILE_ORACLE = """
 SELECT 'c_custkey' AS "column", COUNT(*) AS n_rows,
-       SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        COUNT(DISTINCT CAST(c_custkey AS VARCHAR)) AS n_distinct
 FROM customer
 UNION ALL
 SELECT 'c_name', COUNT(*),
-       SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT c_name) FROM customer
 UNION ALL
 SELECT 'c_nationkey', COUNT(*),
-       SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT CAST(c_nationkey AS VARCHAR)) FROM customer
 UNION ALL
 SELECT 'c_mktsegment', COUNT(*),
-       SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT c_mktsegment) FROM customer
 """
 
@@ -3344,16 +3344,20 @@ def _q_batch_binary(spark, sf_dir):
         }
     }
     df = _run_lift(spark, blocks, result="L")
+    # project a sha256 hex digest of the payload instead of the raw
+    # BLOB: binary result columns are driver-unsafe (bytes vs bytearray
+    # repr divergence across harnesses) — the digest pins the exact
+    # bytes while keeping the result VARCHAR-only
     return df.select(
         F.element_at(F.split("path", "/"), -1).alias("filename"),
         F.col("length").alias("size"),
-        "content",
+        F.lower(F.sha2("content", 256)).alias("content_sha"),
     )
 
 
 BINARY_ORACLE = """
 SELECT regexp_extract(filename, '[^/]+$') AS filename,
-       size, content
+       size, lower(sha256(CAST(content AS VARCHAR))) AS content_sha
 FROM read_blob('/tmp/getl_spark_q/binary/files/*.txt')
 """
 
@@ -3519,7 +3523,8 @@ flagged AS (
       THEN 1 ELSE 0 END AS nf
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us))
 SELECT event_id, user_id,
-       SUM(nf) OVER (PARTITION BY user_id ORDER BY us) AS session_id
+       CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY us) AS BIGINT)
+         AS session_id
 FROM flagged
 """
 
@@ -3582,7 +3587,7 @@ c AS (SELECT SUM(cl) OVER (ORDER BY v) AS rl,
              SUM(cr) OVER (ORDER BY v) AS rr FROM m),
 t AS (SELECT SUM(cl) AS nl, SUM(cr) AS nr FROM m)
 SELECT ROUND(MAX(ABS(rl / (nl * 1.0) - rr / (nr * 1.0))), 6) AS ks_stat,
-       MAX(nl) AS n_left, MAX(nr) AS n_right
+       CAST(MAX(nl) AS BIGINT) AS n_left, CAST(MAX(nr) AS BIGINT) AS n_right
 FROM c, t
 """
 
@@ -3705,7 +3710,7 @@ t AS (SELECT SUM(cl) AS nl, SUM(cr) AS nr FROM m)
 SELECT ROUND(SUM(((cl / (nl * 1.0) + 1e-6) - (cr / (nr * 1.0) + 1e-6))
              * LN((cl / (nl * 1.0) + 1e-6) / (cr / (nr * 1.0) + 1e-6))), 6)
          AS psi,
-       MAX(nl) AS n_left, MAX(nr) AS n_right
+       CAST(MAX(nl) AS BIGINT) AS n_left, CAST(MAX(nr) AS BIGINT) AS n_right
 FROM m, t
 """
 
@@ -4010,9 +4015,11 @@ def _q_multimodal_resize(spark, sf_dir):
     )
     media = multimodal.to_media(docs, "text")
     out = multimodal.resize(media, width=8, height=4)
+    # sha256 digest instead of the raw BLOB (driver-unsafe type) — the
+    # digest still pins the resample byte-for-byte
     return out.select(
         "doc_id",
-        "content",
+        F.lower(F.sha2("content", 256)).alias("content_sha"),
         F.col("meta.width").alias("w"),
         F.col("meta.height").alias("h"),
     )
@@ -4022,9 +4029,10 @@ def _q_multimodal_resize(spark, sf_dir):
 # below by octet_length == length), so char slicing == byte slicing
 MULTIMODAL_RESIZE_ORACLE = """
 SELECT doc_id,
-  encode(substr(repeat(text, CAST(ceil(32.0 / length(text)) AS INT)), 1, 32))
-    AS content,
-  8 AS w, 4 AS h
+  lower(sha256(
+    substr(repeat(text, CAST(ceil(32.0 / length(text)) AS INT)), 1, 32)
+  )) AS content_sha,
+  CAST(8 AS INT) AS w, CAST(4 AS INT) AS h
 FROM documents
 WHERE doc_id % 10 = 0 AND octet_length(encode(text)) = length(text)
 """
@@ -4662,12 +4670,16 @@ def _round_number() -> int:
 # instead of living forever behind pytest-only checks; new entries are
 # additionally hand-verified against the sf0.01 harness before joining. The schedule is a round-keyed ring slice —
 # deterministic within a round, advancing across rounds.
-ROTATION_SLOTS = 4
+ROTATION_SLOTS = 8
 ROTATION_DONORS = (
+    "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
     "sql_window_top_order",
     "sql_rollup_counts",
     "q18_large_orders",
+    "drop_duplicates_block",
+    "string_ops",
 )
 
 

@@ -17,7 +17,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry  # noqa: E402
-from tools.check_oracle import value_hash  # noqa: E402
+from tools.check_oracle import assert_safe_types, value_hash  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -44,9 +44,13 @@ def test_demoted_query_matches_oracle(spark, duck, name):
     spark_rows = [tuple(r) for r in df.collect()]
     spark_cols = df.columns
 
-    res = duck.execute(entry.demoted_oracle_sql()[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    rel = duck.sql(entry.demoted_oracle_sql()[name])
+    duck_cols = list(rel.columns)
+    # fail locally on any result type the driver's hash may normalize
+    # differently (HUGEINT/DECIMAL/BLOB...) — the round-6 stats_profile
+    # red was exactly this class slipping past a str()-based compare
+    assert_safe_types(name, duck_cols, rel.types)
+    duck_rows = rel.fetchall()
 
     assert len(spark_rows) == len(duck_rows)
     assert sorted(spark_cols) == sorted(duck_cols)

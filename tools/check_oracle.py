@@ -33,7 +33,41 @@ def normalize(value):
         return value.isoformat()
     if isinstance(value, datetime.date):
         return value.isoformat()
+    if isinstance(value, (list, tuple)):
+        return "[" + ",".join(normalize(v) for v in value) + "]"
     return str(value)
+
+
+# DuckDB result-column types the driver's hash is known to normalize the
+# same way this replica does.  Everything else (HUGEINT from an uncast
+# SUM, DECIMAL from an unrounded money aggregate, ...) hash-matches
+# locally through str() but diverges in the driver — fail LOUDLY here.
+# Scalars below are the entry-file determinism contract
+# (__spark_entry__.py:18-21) plus the pass-through parquet types
+# (INTEGER/FLOAT columns exist in the testdata tables).
+_SAFE_SCALARS = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN",
+}
+
+
+def _type_ok(type_str: str) -> bool:
+    t = type_str.strip().upper()
+    if t.endswith("[]"):  # array of a safe scalar is safe
+        return _type_ok(t[:-2])
+    return t in _SAFE_SCALARS
+
+
+def assert_safe_types(name, columns, types):
+    bad = [
+        f"{c}:{t}" for c, t in zip(columns, types) if not _type_ok(str(t))
+    ]
+    if bad:
+        raise TypeError(
+            f"oracle '{name}' returns driver-unsafe column type(s) "
+            f"{bad}; CAST them (entry-file rule: integer sums to BIGINT, "
+            f"money aggregates to ROUNDed DOUBLE)"
+        )
 
 
 def value_hash(rows, columns):
@@ -82,9 +116,10 @@ def main() -> int:
             print(f"rows  {name}: {len(spark_rows)} rows (no oracle) [{elapsed:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            duck_cols = list(rel.columns)
+            assert_safe_types(name, duck_cols, rel.types)
+            duck_rows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL  {name}: oracle error: {exc}")
             failures.append(name)
