@@ -300,7 +300,10 @@ def pagerank(
         )
         ranks = (
             node_set.join(contribs, node_set["node"] == contribs["v"], "left")
-            .crossJoin(dangling)
+            # explicit broadcast of the 1-row dangling-mass aggregate:
+            # AQE would usually pick BroadcastNestedLoop anyway, but the
+            # hint makes the plan shape certain (never a CartesianProduct)
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (

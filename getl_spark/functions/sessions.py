@@ -100,6 +100,7 @@ def funnel(
     time_col: str = "ts",
     type_col: str = "event_type",
     within_seconds: Optional[float] = None,
+    max_events_per_user: int = 100_000,
 ) -> DataFrame:
     """Ordered conversion funnel: how many users performed ``steps``
     in sequence — each step's event at-or-after the previous step's
@@ -125,12 +126,27 @@ def funnel(
     Equal timestamps: an event of step k at exactly the chosen time
     of step k-1 counts (>=); ties in the sorted array order earlier
     funnel steps first so the fold matches the SQL semantics.
+
+    ``max_events_per_user`` caps the per-user array with the same
+    row_number-before-collect trick as ``top_paths``: one bot user with
+    10⁸ step events can skew one task's memory, so only each user's
+    first ``max_events_per_user`` step events (time order, funnel-step
+    tiebreak — the same order the fold consumes) enter the array. The
+    sequential-min fold takes the EARLIEST qualifying event at every
+    stage, so for any user under the cap the result is identical; a
+    capped user loses only progressions that start beyond their first
+    100k step events.
     """
     steps = list(steps)
     if len(steps) < 2:
         raise ValueError("funnel: need at least 2 steps")
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel: steps must be distinct, got {steps}")
+    if max_events_per_user < 1:
+        raise ValueError(
+            f"funnel: max_events_per_user must be >= 1, got "
+            f"{max_events_per_user}"
+        )
     n = len(steps)
     idx_expr = None
     for i, s in enumerate(steps):
@@ -146,8 +162,17 @@ def funnel(
             ).alias("e"),
         )
     )
-    per_user = events.groupBy("user").agg(
-        F.array_sort(F.collect_list("e")).alias("evs")
+    # bound per-user state BEFORE the collect: keep only each user's
+    # first max_events_per_user step events in the same (t, idx) order
+    # the fold consumes, so under-cap users are bit-identical
+    capw = Window.partitionBy("user").orderBy(
+        F.col("e.t").asc(), F.col("e.idx").asc()
+    )
+    per_user = (
+        events.withColumn("__rn", F.row_number().over(capw))
+        .where(F.col("__rn") <= max_events_per_user)
+        .groupBy("user")
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
     )
     neg_inf = F.lit(float(-(2 ** 62)))
     zero = F.struct(

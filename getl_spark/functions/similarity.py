@@ -52,6 +52,31 @@ def embedding_dim(df: DataFrame, vec_col: str) -> int:
     return len(row[0])
 
 
+def _bounded_query_rows(qdf: DataFrame, op: str, max_queries: int) -> list:
+    """Collect a query frame to the driver with a HARD row bound.
+
+    The ADC backends build per-query lookup tensors driver-side — the
+    design contract is an eval/blocklist-sized query set, but nothing
+    used to enforce it: a corpus-sized query table would OOM the driver
+    silently. ``limit(max+1)`` caps what can ever reach the driver
+    (one extra row is the overflow sentinel), so the failure mode is a
+    raised contract error, never an OOM.
+    """
+    if max_queries < 1:
+        raise ValueError(f"{op}: max_queries must be >= 1, got {max_queries}")
+    rows = qdf.limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"{op}: query set exceeds max_queries={max_queries}. The "
+            f"query-side lookup tables are driver-built by design "
+            f"(eval/blocklist-sized query sets); for corpus-scale query "
+            f"sets use the distributed backends in topk_between "
+            f"(bruteforce/lsh/ivf), or raise max_queries explicitly if "
+            f"the driver has headroom."
+        )
+    return rows
+
+
 def with_norm(df: DataFrame, vec_col: str = "vec") -> DataFrame:
     """Adds a precomputed L2 norm and casts to double once — norms are
     reused across every pair the row participates in. Also widens
@@ -542,6 +567,7 @@ def range_search(
     bands: int = 8,
     planes_per_band: int = 8,
     seed: int = 42,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """ALL corpus neighbors within cosine ≥ ``threshold`` of each
     query — the radius-query complement to ``topk_between`` (fixed k
@@ -583,6 +609,17 @@ def range_search(
         6,
     )
     if method == "bruteforce":
+        # the broadcast is JVM-side (no driver collect), but an
+        # oversized query frame still multiplies every corpus
+        # partition's work by |Q| — probe the bound first and point
+        # at the lsh backend, mirroring _bounded_query_rows
+        if queries.limit(max_queries + 1).count() > max_queries:
+            raise ValueError(
+                f"range_search: query set exceeds max_queries="
+                f"{max_queries} for the exact broadcast path; use "
+                f"method='lsh' (banded candidates + exact verify) for "
+                f"corpus-scale query sets, or raise max_queries."
+            )
         scored = c.crossJoin(F.broadcast(q)).select(
             "query_id", "nbr_id", cos.alias("cosine")
         )
@@ -621,6 +658,7 @@ def topk_pq(
     exclude_self: bool = True,
     rerank: Optional[DataFrame] = None,
     rerank_factor: int = 4,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Approximate dot-product top-k over PQ codes with asymmetric
     distance computation (ADC): each query precomputes an (m, k_codes)
@@ -662,10 +700,11 @@ def topk_pq(
 
     books = _pq_batches(model)
     m, kc, ds = books.shape
-    q_rows = (
+    q_rows = _bounded_query_rows(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-        .where(F.col("qv").isNotNull())
-        .collect()
+        .where(F.col("qv").isNotNull()),
+        "topk_pq",
+        max_queries,
     )
     if not q_rows:
         raise ValueError("topk_pq: empty query set")
@@ -875,6 +914,7 @@ def topk_ivf_pq(
     exclude_self: bool = True,
     rerank: Optional[DataFrame] = None,
     rerank_factor: int = 4,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Query a persisted ``build_ivf_pq_index``: probe each query's
     ``nprobe`` nearest cells (partition pruning reads only those
@@ -903,10 +943,11 @@ def topk_ivf_pq(
     )
     ds = books.shape[2]
 
-    q_rows = (
+    q_rows = _bounded_query_rows(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-        .where(F.col("qv").isNotNull())
-        .collect()
+        .where(F.col("qv").isNotNull()),
+        "topk_ivf_pq",
+        max_queries,
     )
     if not q_rows:
         raise ValueError("topk_ivf_pq: empty query set")

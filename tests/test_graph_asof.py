@@ -342,6 +342,33 @@ def test_pagerank_matches_dense_reference(spark):
     assert got == want
 
 
+def test_pagerank_plan_has_no_cartesian_product(spark, monkeypatch):
+    """The per-iteration dangling-mass join is an explicitly broadcast
+    1-row aggregate: the physical plan across iterations must never
+    degrade to CartesianProduct (a shuffle-both-sides product would be
+    the scale killer at 10⁹ nodes). localCheckpoint is stubbed to
+    identity so every iteration's join survives into one inspectable
+    lineage."""
+    import random
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(20), rng.randrange(25)) for _ in range(60)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    # patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is an
+    # abstract base in Spark 4; subclass methods would shadow a base patch)
+    monkeypatch.setattr(
+        type(df), "localCheckpoint", lambda self, *a, **k: self
+    )
+    plan = (
+        graph.pagerank(df, n_iter=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row dangling join
+
+
 def test_pagerank_mass_conserved_and_authority_ordering(spark):
     """Σrank = 1 (dangling mass recycled, not leaked) and a node every
     other node links to outranks the rest."""

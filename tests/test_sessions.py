@@ -184,6 +184,39 @@ def test_funnel_equal_timestamps_and_order(spark):
     assert out == {"view": 1, "click": 1}
 
 
+def test_funnel_per_user_cap_bounds_hot_user(spark):
+    """A planted bot user with thousands of step events: the
+    row_number cap keeps only its first max_events_per_user events, so
+    (a) a progression inside the cap still converts, (b) a progression
+    that only exists beyond the cap is dropped for that user alone, and
+    (c) every under-cap user is bit-identical with or without a cap."""
+    from getl_spark.functions import sessions
+
+    base = "2024-01-01T00:"
+    rows = []
+    # bot user 1: 2000 views, then the click arrives as event #2001
+    for i in range(2000):
+        rows.append((1, f"{base}{i // 60:02d}:{i % 60:02d}", "view"))
+    rows.append((1, "2024-01-01T01:00:00", "click"))
+    # normal user 2 converts inside anyone's cap
+    rows += [(2, f"{base}00:00", "view"), (2, f"{base}00:05", "click")]
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_type string")
+
+    uncapped = {
+        r.step: r.users for r in sessions.funnel(df, ["view", "click"]).collect()
+    }
+    assert uncapped == {"view": 2, "click": 2}
+    capped = {
+        r.step: r.users
+        for r in sessions.funnel(
+            df, ["view", "click"], max_events_per_user=100
+        ).collect()
+    }
+    # the bot's click lives beyond its first 100 events — only its
+    # progression is lost; user 2 is untouched
+    assert capped == {"view": 2, "click": 1}
+
+
 def test_funnel_validation(spark):
     from getl_spark.functions import sessions
 
@@ -196,6 +229,8 @@ def test_funnel_validation(spark):
         sessions.funnel(df, ["view"])
     with _pytest.raises(ValueError):
         sessions.funnel(df, ["view", "view"])
+    with _pytest.raises(ValueError):
+        sessions.funnel(df, ["view", "click"], max_events_per_user=0)
 
 
 def test_retention_hand_computed_cohorts(spark):

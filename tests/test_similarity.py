@@ -197,6 +197,37 @@ def test_topk_pq_string_ids(spark):
     assert all(isinstance(r.nbr_id, str) and r.nbr_id.startswith("doc-") for r in rows)
 
 
+def test_ann_query_side_collect_is_bounded(spark, ivfpq_setup):
+    """The driver-built ADC lookup tables carry an eval-sized query-set
+    contract; the max_queries guard turns an oversized query table into
+    a contract error instead of a silent driver OOM — and the probe
+    itself never pulls more than max_queries+1 rows."""
+    import pytest
+
+    from getl_spark.functions import embedding as E
+
+    df, path, _ = ivfpq_setup
+    model = E.train_pq(df, m=8, k=8, seed=3)
+    codes = E.pq_encode(df, model)
+    with pytest.raises(ValueError, match="max_queries=5"):
+        similarity.topk_pq(codes, df, model, k=3, max_queries=5)
+    with pytest.raises(ValueError, match="topk_between"):
+        similarity.topk_ivf_pq(spark, df, path, k=3, max_queries=5)
+    # a compliant query set passes through the same bound unchanged
+    q = df.limit(4)
+    assert similarity.topk_pq(codes, q, model, k=2, max_queries=5).count() > 0
+
+
+def test_range_search_bruteforce_query_bound(spark):
+    """The exact broadcast path refuses corpus-scale query frames and
+    points at the lsh backend."""
+    import pytest
+
+    vecs = _clustered_vectors(spark)
+    with pytest.raises(ValueError, match="method='lsh'"):
+        similarity.range_search(vecs, vecs, threshold=0.9, max_queries=10)
+
+
 # ----------------------------------------------------------- range search
 def _clustered_vectors(spark, n_clusters=5, per_cluster=30, dim=16, seed=5):
     import random
