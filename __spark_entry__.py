@@ -4227,6 +4227,151 @@ WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.9
 """
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """dedup.semantic_dedup (SemDeDup pairs → components → min-id
+    survivor) on the same deterministic axis-clustered frame as
+    ``dedup_semantic_pairs``; at nassign=2 candidate recall is total
+    there, so the DuckDB exact all-pairs graph + recursive-CTE
+    components is a true oracle for the full composition."""
+    from getl_spark.functions import dedup
+
+    rows = [
+        (
+            i,
+            [
+                (10.0 if j == i % 6 else 0.0) + ((i * 7 + j * 3) % 5 - 2) / 10.0
+                for j in range(8)
+            ],
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return dedup.semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.9, nlist=6, nassign=2, seed=11
+    ).select("vec_id")
+
+
+SEMANTIC_DEDUP_ORACLE = """
+WITH RECURSIVE vecs AS (
+  SELECT i AS vec_id,
+         list_transform(range(0, 8), j ->
+           (CASE WHEN j = i % 6 THEN 10.0 ELSE 0.0 END)
+           + ((i * 7 + j * 3) % 5 - 2) / 10.0) AS v
+  FROM range(0, 60) t(i)
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+),
+comp AS (SELECT n, MIN(m) AS root FROM reach GROUP BY n)
+SELECT v.vec_id
+FROM vecs v LEFT JOIN comp c ON c.n = v.vec_id
+WHERE COALESCE(c.root, v.vec_id) = v.vec_id
+"""
+
+
+def _q_near_dedup(spark, sf_dir):
+    """dedup.near_dedup with the exact inverted-index backend over
+    ``documents`` — candidate pairs (same 3-gram Jaccard construction
+    as the green ``dedup_ngram_jaccard`` row) → connected components →
+    min-id survivor, end to end in one call. The oracle rebuilds the
+    identical pair set and resolves components with a recursive CTE."""
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.near_dedup(docs, method="exact", n=3, threshold=0.12)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+NEAR_DEDUP_ORACLE = f"""
+WITH RECURSIVE pairs AS ({NGRAM_JACCARD_ORACLE}),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+),
+comp AS (SELECT n, MIN(m) AS root FROM reach GROUP BY n)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+WHERE COALESCE(c.root, d.doc_id) = d.doc_id
+"""
+
+
+# pinned linear model for the quality_score_pinned oracle: training
+# (distributed L-BFGS) is not SQL-expressible, but scoring IS — the
+# oracle recomputes normalize→dot→sigmoid in SQL from the hash_embed
+# feature vectors golden-pinned by HASH_EMBED_ORACLE (same six docs,
+# same dim=8/seed=0 family; counts are small exact integers, so the
+# double arithmetic is bit-identical across engines)
+QUALITY_PINNED_MODEL = {
+    "weights": [0.5, -0.25, 0.125, 1.0, -1.0, 0.75, -0.5, 0.25],
+    "intercept": -0.1,
+    "dim": 8,
+    "seed": 0,
+    "normalize": True,
+}
+
+
+def _q_quality_score(spark, sf_dir):
+    """quality.score on PINNED weights over the six fixed hash_embed
+    docs: the whole corpus-pass scoring path (feature re-derivation,
+    1-row weight broadcast, zip_with dot, sigmoid) against a DuckDB
+    replica of the same arithmetic."""
+    from getl_spark.functions import quality
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "jumps over the lazy dog"),
+            (2, "the the the"),
+            (3, ""),
+            (4, None),
+            (5, "pack my box with five dozen jugs"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    return quality.score(docs, QUALITY_PINNED_MODEL)
+
+
+QUALITY_SCORE_ORACLE = """
+WITH feats AS (
+  SELECT * FROM (VALUES
+    (CAST(0 AS BIGINT), CAST([1, 0, 0, 0, 0, 1, 0, 0] AS DOUBLE[])),
+    (CAST(1 AS BIGINT), CAST([0, 0, 0, 1, 1, 1, 0, 0] AS DOUBLE[])),
+    (CAST(2 AS BIGINT), CAST([0, 0, 0, 0, 0, 3, 0, 0] AS DOUBLE[])),
+    (CAST(3 AS BIGINT), CAST([0, 0, 0, 0, 0, 0, 0, 0] AS DOUBLE[])),
+    (CAST(4 AS BIGINT), CAST([0, 0, 0, 0, 0, 0, 0, 0] AS DOUBLE[])),
+    (CAST(5 AS BIGINT), CAST([-2, 0, 0, -1, -1, 1, -1, 1] AS DOUBLE[]))
+  ) AS t(doc_id, v)
+),
+w AS (SELECT CAST([0.5, -0.25, 0.125, 1.0, -1.0, 0.75, -0.5, 0.25]
+              AS DOUBLE[]) AS wv),
+n AS (
+  SELECT doc_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM feats
+),
+z AS (
+  SELECT doc_id,
+         -0.1 + list_sum(list_transform(range(1, 9), i ->
+             (CASE WHEN nrm > 0 THEN v[i] / nrm ELSE v[i] END) * wv[i]))
+           AS zz
+  FROM n, w
+)
+SELECT doc_id, ROUND(1.0 / (1.0 + exp(-zz)), 6) AS quality_score FROM z
+"""
+
+
 def _q_stored_index(spark, sf_dir):
     """dedup.build_minhash_index + against_stored_index driven
     end-to-end: index the even-doc_id half of ``documents``, dedup the
@@ -4917,6 +5062,9 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_range_search": _q_range_search,
         "stats_mutual_info": _q_mutual_info,
         "event_top_paths": _q_top_paths,
+        "dedup_semantic_full": _q_semantic_dedup,
+        "near_dedup_exact": _q_near_dedup,
+        "quality_score_pinned": _q_quality_score,
     }
 
 
@@ -5024,6 +5172,9 @@ def _base_demoted_oracles() -> dict[str, str]:
         "similarity_range_search": RANGE_SEARCH_ORACLE,
         "stats_mutual_info": MUTUAL_INFO_ORACLE,
         "event_top_paths": TOP_PATHS_ORACLE,
+        "dedup_semantic_full": SEMANTIC_DEDUP_ORACLE,
+        "near_dedup_exact": NEAR_DEDUP_ORACLE,
+        "quality_score_pinned": QUALITY_SCORE_ORACLE,
     }
 
 
