@@ -219,15 +219,16 @@ def ks_drift(
 
     Plan: each side aggregates to per-value counts first (shuffle
     bytes proportional to DISTINCT values, not rows), the running CDFs
-    need one ordered pass over those distinct values, and the totals
-    attach as a broadcast 1-row aggregate. The ordered pass is a
-    single-partition window over the DISTINCT values - fine up to a
-    few million distinct; for continuous high-cardinality columns set
-    ``bins`` to quantize into equal-width buckets first (the KS stat
-    then lower-bounds the exact one, resolution 1/bins - the standard
-    binned-ECDF tradeoff), which caps the ordered pass at ``bins``
-    rows. Tie-safe: the CDF is evaluated after all rows of each
-    distinct value.
+    are a DISTRIBUTED prefix sum — range-partition the distinct values
+    so partition boundaries respect the global order, cumsum within
+    each slice, add each slice's broadcast running offset — so no
+    stage ever funnels the value set through one partition, and the
+    totals attach as a broadcast 1-row aggregate. ``bins`` still
+    quantizes continuous high-cardinality columns into equal-width
+    buckets first (the KS stat then lower-bounds the exact one,
+    resolution 1/bins — the standard binned-ECDF tradeoff) when even
+    the distinct-value shuffle is worth capping. Tie-safe: the CDF is
+    evaluated after all rows of each distinct value.
     """
     if round_to < 0:
         raise ValueError("ks_drift: round_to must be >= 0")
@@ -267,9 +268,44 @@ def ks_drift(
         .groupBy("v")
         .agg(F.sum("cl").alias("cl"), F.sum("cr").alias("cr"))
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cdf = merged.select(
-        F.sum("cl").over(w).alias("rl"), F.sum("cr").over(w).alias("rr")
+    # distributed prefix sum over the distinct values — the naive
+    # Window.orderBy("v") funnels every distinct value through ONE
+    # partition (WindowExec warns, and at 10⁹ distincts it's the
+    # bottleneck). Standard two-pass shape instead: range-partition by
+    # v so partition boundaries respect the global order, cumsum
+    # WITHIN each range slice, then add each slice's running offset
+    # (a partition-count-sized table, broadcast). Final rl/rr values
+    # are boundary-invariant, so the result is identical to the
+    # single-partition plan.
+    ranged = merged.repartitionByRange(F.col("v")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    win_local = Window.partitionBy("pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = ranged.select(
+        "pid",
+        "v",
+        F.sum("cl").over(win_local).alias("ll"),
+        F.sum("cr").over(win_local).alias("lr"),
+    )
+    # per-slice totals → exclusive running offsets; #slices rows only,
+    # so the ordered pass over THEM is trivially small
+    win_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.sum("cl").alias("tl"), F.sum("cr").alias("tr"))
+        .select(
+            "pid",
+            (F.sum("tl").over(win_off) - F.col("tl")).alias("ol"),
+            (F.sum("tr").over(win_off) - F.col("tr")).alias("or_"),
+        )
+    )
+    cdf = local.join(F.broadcast(offsets), "pid").select(
+        (F.col("ll") + F.col("ol")).alias("rl"),
+        (F.col("lr") + F.col("or_")).alias("rr"),
     )
     totals = merged.agg(
         F.sum("cl").alias("nl"), F.sum("cr").alias("nr")
