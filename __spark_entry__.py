@@ -4372,6 +4372,97 @@ SELECT doc_id, ROUND(1.0 / (1.0 + exp(-zz)), 6) AS quality_score FROM z
 """
 
 
+def _q_c4_clean(spark, sf_dir):
+    """text.c4_clean (C4 line+document rules) over ``documents`` with
+    sentence boundaries lifted to line breaks first (the corpus text
+    is single-line; both engines apply the identical rewrite). The
+    oracle replays every rule — terminal punctuation, min words per
+    line, the javascript word rule, lorem-ipsum/brace doc drops,
+    3-sentence minimum — and pins the cleaned text via md5."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.regexp_replace("text", r"(scan|join|window) ", "$1.\n")
+    )
+    out = text.c4_clean(docs, min_words_per_line=4)
+    return out.select(
+        "doc_id",
+        F.col("c4_keep").alias("keep"),
+        F.md5(F.col("c4_text")).alias("clean_md5"),
+    )
+
+
+C4_CLEAN_ORACLE = r"""
+WITH src AS (
+  SELECT doc_id,
+         regexp_replace(text, '(scan|join|window) ', '\1.' || chr(10), 'g')
+           AS text
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, text,
+    list_filter(
+      list_transform(string_split(COALESCE(text, ''), chr(10)),
+                     l -> trim(l)),
+      l -> regexp_matches(l, '[.!?"]$')
+           AND len(list_filter(regexp_split_to_array(l, '\s+'),
+                               w -> w != '')) >= 4
+           AND NOT regexp_matches(lower(l), '\bjavascript\b')
+    ) AS lines
+  FROM src
+),
+c AS (
+  SELECT doc_id, text,
+         COALESCE(array_to_string(lines, chr(10)), '') AS cleaned
+  FROM kept
+)
+SELECT doc_id,
+  (text IS NOT NULL
+   AND length(cleaned) - length(regexp_replace(cleaned, '[.!?]', '', 'g')) >= 3
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(lower(text), '{')) AS keep,
+  md5(cleaned) AS clean_md5
+FROM c
+"""
+
+
+def _q_token_budget_mix(spark, sf_dir):
+    """sample.token_budget_mix — per-source token budgets over
+    ``documents`` in doc_id take order (SQL-expressible; the default
+    hash order is the production path, pytest-held): one source gets a
+    budget that bites mid-corpus, one is zeroed out, the rest pass
+    through as unlisted."""
+    from getl_spark.functions import sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sample.token_budget_mix(
+        docs, "source", {"src0": 700, "src1": 0, "src2": 10_000_000},
+        ["doc_id"], order_col="doc_id",
+    )
+    return out.select("doc_id", "source")
+
+
+TOKEN_BUDGET_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, source,
+    CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              w -> w != '')) END AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+  FROM t
+),
+b AS (SELECT * FROM (VALUES ('src0', 700), ('src1', 0),
+                            ('src2', 10000000)) AS v(src, budget))
+SELECT doc_id, source
+FROM c LEFT JOIN b ON c.source = b.src
+WHERE budget IS NULL OR cum <= budget
+"""
+
+
 def _q_stored_index(spark, sf_dir):
     """dedup.build_minhash_index + against_stored_index driven
     end-to-end: index the even-doc_id half of ``documents``, dedup the
@@ -5065,6 +5156,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_full": _q_semantic_dedup,
         "near_dedup_exact": _q_near_dedup,
         "quality_score_pinned": _q_quality_score,
+        "text_c4_clean": _q_c4_clean,
+        "sample_token_budget": _q_token_budget_mix,
     }
 
 
@@ -5175,6 +5268,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_semantic_full": SEMANTIC_DEDUP_ORACLE,
         "near_dedup_exact": NEAR_DEDUP_ORACLE,
         "quality_score_pinned": QUALITY_SCORE_ORACLE,
+        "text_c4_clean": C4_CLEAN_ORACLE,
+        "sample_token_budget": TOKEN_BUDGET_ORACLE,
     }
 
 

@@ -237,3 +237,74 @@ def stratified(
         else frac_expr.otherwise(F.lit(float(default_fraction)))
     )
     return df.where(u < frac_expr)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    budgets: Dict,
+    id_cols: Sequence[str],
+    token_col: Optional[str] = None,
+    text_col: str = "text",
+    seed: int = 0,
+    order_col: Optional[str] = None,
+    default_keep: bool = True,
+) -> DataFrame:
+    """Cap each source at a TOKEN budget — the mixture spec LLM data
+    recipes are actually written in ("≤ 50B tokens of web, ≤ 10B of
+    forums, all of books"), where fraction-based mixes (``stratified``,
+    ``temperature_mix``) need corpus statistics to translate. For
+    every source in ``budgets``, documents are taken in deterministic
+    order until the RUNNING token total would exceed the budget (each
+    doc is kept iff the cumulative count INCLUDING it fits, so budgets
+    are never overshot; a doc larger than the whole budget never
+    enters). Sources not in ``budgets`` pass through untouched when
+    ``default_keep`` (the "all of books" clause), else drop.
+
+    Token counts come from ``token_col`` when given, else whitespace
+    tokens of ``text_col``. Selection order is the content hash of
+    ``id_cols`` (+``seed``) — a deterministic uniform shuffle, so the
+    kept prefix is an unbiased sample of the source; pass ``order_col``
+    to take a curated order instead (quality-descending, newest-first).
+    Ties break on ``id_cols``, so the kept set is unique.
+
+    Scale shape: ONE shuffle keyed on the source, a per-source ordered
+    cumulative sum (window), and a broadcast of the #sources-row
+    budget table. Per-source ordering means a giant source sorts
+    within its partitions like any keyed window; budgets tables are
+    dimension-sized by construction.
+    """
+    for s, b in budgets.items():
+        if int(b) < 0:
+            raise ValueError(
+                f"token_budget_mix: budget for {s!r} is {b}; must be >= 0"
+            )
+    if token_col is not None:
+        n_tok = F.col(token_col).cast("bigint")
+    else:
+        t = F.coalesce(F.col(text_col), F.lit(""))
+        n_tok = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+            F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != ""))
+        ).cast("bigint")
+    ordkey = (
+        F.col(order_col).asc()
+        if order_col is not None
+        else _unit_hash(id_cols, seed).asc()
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        ordkey, *[F.col(c).asc() for c in id_cols]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark = df.sparkSession
+    btab = spark.createDataFrame(
+        [(s, int(b)) for s, b in budgets.items()],
+        f"__src string, __budget bigint",
+    )
+    tagged = df.withColumn("__cum", F.sum(n_tok).over(w)).join(
+        F.broadcast(btab),
+        F.col(source_col).eqNullSafe(F.col("__src")),
+        "left",
+    )
+    keep = F.when(
+        F.col("__budget").isNotNull(), F.col("__cum") <= F.col("__budget")
+    ).otherwise(F.lit(bool(default_keep)))
+    return tagged.where(keep).drop("__cum", "__src", "__budget")

@@ -10,7 +10,9 @@ YAML-callable as ``text.<name>`` inside ``transform::generic``.
 
 from __future__ import annotations
 
-from typing import List, Optional
+import re
+
+from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -689,6 +691,75 @@ def gopher_filter(
     )
     if remove:
         return out.where(F.col(new_col)).drop(new_col)
+    return out
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    doc_drop_markers: Sequence[str] = ("lorem ipsum", "{"),
+    line_drop_words: Sequence[str] = ("javascript",),
+    cleaned_col: str = "c4_text",
+    keep_col: str = "c4_keep",
+    remove: bool = False,
+) -> DataFrame:
+    """C4-style heuristic cleaning (Raffel et al. 2020, §2.2 — the
+    rule set behind the C4 corpus), line level then document level:
+
+    * keep only lines that end in a terminal punctuation mark
+      (``. ! ? "``), have ≥ ``min_words_per_line`` words, and contain
+      none of ``line_drop_words`` (word-boundary, case-insensitive);
+    * rebuild the document from the surviving lines (``cleaned_col``);
+    * keep the document (``keep_col``) only if the cleaned text holds
+      ≥ ``min_sentences`` terminal-punctuation sentences and the
+      ORIGINAL text contains none of ``doc_drop_markers``
+      (case-insensitive substring — C4 drops any page with
+      "lorem ipsum" or a curly brace).
+
+    Complements ``gopher_filter`` (statistical signals) with C4's
+    structural line rules. Pure JVM array expressions over the split
+    lines — scan speed, no shuffle, no UDF; the three-sentence span
+    dedup that C4 also applies is ``dedup.substring_spans``.
+    ``remove=True`` drops failing rows and the flag column, keeping
+    the cleaned text.
+    """
+    if min_words_per_line < 1:
+        raise ValueError(
+            f"c4_clean: min_words_per_line must be >= 1, got "
+            f"{min_words_per_line}"
+        )
+    if min_sentences < 1:
+        raise ValueError(
+            f"c4_clean: min_sentences must be >= 1, got {min_sentences}"
+        )
+    text = F.col(text_col)
+    lines = F.transform(
+        F.split(F.coalesce(text, F.lit("")), "\n"), lambda l: F.trim(l)
+    )
+
+    def line_ok(l):
+        words = F.filter(F.split(l, r"\s+"), lambda w: w != "")
+        ok = l.rlike(r'[.!?"]$') & (F.size(words) >= min_words_per_line)
+        for w in line_drop_words:
+            # word-boundary, case-insensitive: the C4 "javascript" rule
+            ok = ok & ~F.lower(l).rlike(r"\b" + re.escape(w.lower()) + r"\b")
+        return ok
+
+    cleaned = F.array_join(F.filter(lines, line_ok), "\n")
+    # sentences ≈ terminal-punctuation runs; count via length delta
+    n_sentences = F.length(cleaned) - F.length(
+        F.regexp_replace(cleaned, r"[.!?]", "")
+    )
+    keep = text.isNotNull() & (n_sentences >= min_sentences)
+    for m in doc_drop_markers:
+        keep = keep & ~F.contains(F.lower(text), F.lit(m.lower()))
+    out = df.withColumn(cleaned_col, cleaned).withColumn(
+        keep_col, F.coalesce(keep, F.lit(False))
+    )
+    if remove:
+        return out.where(F.col(keep_col)).drop(keep_col)
     return out
 
 

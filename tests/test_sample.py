@@ -250,3 +250,64 @@ def test_temperature_mix_scale_halves_everything(spark):
     # small: 200 * 0.5 = 100; big: 200^0.5*1000^0.5*0.5 ≈ 224
     assert abs(got["small"] - 100) < 30
     assert abs(got["big"] - 224) < 50
+
+
+# ----------------------------------------------------- token_budget_mix
+def test_token_budget_mix_exact_boundary_and_default(spark):
+    """Budgets are never overshot (cumulative INCLUDING the doc must
+    fit), order_col gives a curated take order, zero budgets empty a
+    source, and unlisted sources follow default_keep."""
+    from getl_spark.functions import sample
+
+    rows = [
+        ("web", 1, "a b c"),        # 3 tokens
+        ("web", 2, "d e f g"),      # 4 tokens
+        ("web", 3, "h i"),          # 2 tokens
+        ("forum", 4, "x y z"),
+        ("books", 5, "p q r s t"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = sample.token_budget_mix(
+        df, "source", {"web": 7, "forum": 0}, ["doc_id"], order_col="doc_id"
+    )
+    got = sorted(r.doc_id for r in out.collect())
+    # web: docs 1 (cum 3) + 2 (cum 7) fit; doc 3 (cum 9) does not;
+    # forum: budget 0 -> nothing; books: unlisted -> kept
+    assert got == [1, 2, 5]
+    # default_keep=False drops unlisted sources instead
+    out2 = sample.token_budget_mix(
+        df, "source", {"web": 7}, ["doc_id"], order_col="doc_id",
+        default_keep=False,
+    )
+    assert sorted(r.doc_id for r in out2.collect()) == [1, 2]
+    # a doc bigger than the whole budget never enters
+    out3 = sample.token_budget_mix(
+        df, "source", {"web": 2, "forum": 99, "books": 99}, ["doc_id"],
+        order_col="doc_id",
+    )
+    assert sorted(r.doc_id for r in out3.collect()) == [4, 5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample.token_budget_mix(df, "source", {"web": -1}, ["doc_id"])
+
+
+def test_token_budget_mix_hash_order_deterministic(spark):
+    """Default hash order is stable across runs and repartitioning,
+    and the kept set is budget-consistent (re-running on the kept set
+    keeps everything)."""
+    from getl_spark.functions import sample
+
+    rows = [("s", i, "w " * (i % 7 + 1)) for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    a = sorted(r.doc_id for r in
+               sample.token_budget_mix(df, "source", {"s": 120}, ["doc_id"]).collect())
+    b = sorted(r.doc_id for r in
+               sample.token_budget_mix(df.repartition(7), "source", {"s": 120},
+                                       ["doc_id"]).collect())
+    assert a == b and 0 < len(a) < 100
+    kept = sample.token_budget_mix(df, "source", {"s": 120}, ["doc_id"])
+    again = sorted(r.doc_id for r in
+                   sample.token_budget_mix(kept, "source", {"s": 120},
+                                           ["doc_id"]).collect())
+    assert again == a

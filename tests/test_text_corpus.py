@@ -531,3 +531,56 @@ def test_bloom_decontaminate_plan_has_no_join_or_shuffle(spark, corpus):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------- c4_clean
+def test_c4_clean_line_and_doc_rules(spark):
+    """Each C4 rule on a hand-built doc: terminal punctuation, short
+    lines, the javascript word rule, lorem-ipsum and curly-brace doc
+    drops, and the three-sentence minimum."""
+    docs = spark.createDataFrame(
+        [
+            # 3 good sentences + a short line + an unterminated line +
+            # a javascript line -> kept, cleaned to the 3 sentences
+            (0, "one two three four five six.\nshort line.\n"
+                "this line has no terminal punctuation at all\n"
+                "enable javascript to view this page now please.\n"
+                "seven eight nine ten eleven twelve!\n"
+                "thirteen fourteen fifteen sixteen seventeen?"),
+            # only 2 sentences survive -> dropped
+            (1, "one two three four five six.\nseven eight nine ten eleven."),
+            # lorem ipsum marker -> dropped regardless of lines
+            (2, "Lorem Ipsum dolor sit amet consectetur adipiscing elit.\n"
+                "one two three four five six.\nseven eight nine ten eleven.\n"
+                "twelve thirteen fourteen fifteen sixteen."),
+            # curly brace -> dropped
+            (3, "function foo() is code. one two three four five six.\n"
+                "seven eight nine ten { eleven twelve.\n"
+                "thirteen fourteen fifteen sixteen seventeen."),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.c4_clean(docs).collect()}
+    assert out[0].c4_keep is True
+    assert out[0].c4_text.count("\n") == 2  # exactly the 3 good lines
+    assert "javascript" not in out[0].c4_text
+    assert "short" not in out[0].c4_text
+    assert out[1].c4_keep is False
+    assert out[2].c4_keep is False
+    assert out[3].c4_keep is False
+    assert out[4].c4_keep is False and out[4].c4_text == ""
+    # remove=True keeps cleaned text, drops flag and failing rows
+    kept = text.c4_clean(docs, remove=True)
+    assert [r.doc_id for r in kept.collect()] == [0]
+    assert "c4_keep" not in kept.columns
+    with pytest.raises(ValueError):
+        text.c4_clean(docs, min_words_per_line=0)
+    with pytest.raises(ValueError):
+        text.c4_clean(docs, min_sentences=0)
+
+
+def test_c4_clean_no_shuffle(spark):
+    docs = spark.createDataFrame([(1, "a b c d e.")], "doc_id long, text string")
+    plan = text.c4_clean(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
