@@ -4463,6 +4463,50 @@ WHERE budget IS NULL OR cum <= budget
 """
 
 
+def _q_kmeans_assign(spark, sf_dir):
+    """embedding.kmeans_assign with PINNED axis centroids over the
+    deterministic axis-clustered frame: with centroids = the six unit
+    axes, the nearest cell is literally argmax of the first six vector
+    components — fully SQL-expressible, no tie anywhere by
+    construction (the planted axis component is 10 ± 0.2, all others
+    ≤ 0.2). Covers the JVM literal-fold assignment path end to end;
+    the k-means FIT is pytest-held (not SQL-expressible)."""
+    from getl_spark.functions import embedding
+
+    rows = [
+        (
+            i,
+            [
+                (10.0 if j == i % 6 else 0.0) + ((i * 7 + j * 3) % 5 - 2) / 10.0
+                for j in range(8)
+            ],
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = {
+        "centroids": [
+            [1.0 if j == c else 0.0 for j in range(8)] for c in range(6)
+        ]
+    }
+    return embedding.kmeans_assign(df, model)  # (vec_id, embedding, cell)
+
+
+KMEANS_ASSIGN_ORACLE = """
+WITH vecs AS (
+  SELECT i AS vec_id,
+         list_transform(range(0, 8), j ->
+           (CASE WHEN j = i % 6 THEN 10.0 ELSE 0.0 END)
+           + ((i * 7 + j * 3) % 5 - 2) / 10.0) AS embedding
+  FROM range(0, 60) t(i)
+)
+SELECT vec_id, embedding,
+       CAST(list_position(embedding[1:6], list_max(embedding[1:6])) - 1
+            AS INT) AS cell
+FROM vecs
+"""
+
+
 def _q_stored_index(spark, sf_dir):
     """dedup.build_minhash_index + against_stored_index driven
     end-to-end: index the even-doc_id half of ``documents``, dedup the
@@ -5158,6 +5202,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_pinned": _q_quality_score,
         "text_c4_clean": _q_c4_clean,
         "sample_token_budget": _q_token_budget_mix,
+        "embedding_kmeans_assign": _q_kmeans_assign,
     }
 
 
@@ -5270,6 +5315,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "quality_score_pinned": QUALITY_SCORE_ORACLE,
         "text_c4_clean": C4_CLEAN_ORACLE,
         "sample_token_budget": TOKEN_BUDGET_ORACLE,
+        "embedding_kmeans_assign": KMEANS_ASSIGN_ORACLE,
     }
 
 

@@ -517,3 +517,71 @@ def pq_decode(
         new_col,
         F.when(F.col(code_col).isNotNull(), F.concat(*pieces)),
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    id_col: str = "vec_id",
+    seed: int = 42,
+    train_limit: int = 10_000,
+    iters: int = 10,
+) -> dict:
+    """Public handle on the normalized (cosine) k-means every ANN /
+    SemDeDup operator here already trains internally: fit ``k``
+    centroids on a bounded, deterministic sample (first
+    ``train_limit`` non-null vectors by ``id_col`` — same contract as
+    ``similarity.build_ivf_index``) and return a plain
+    JSON-serializable model dict. Use for topic bucketing, clustered
+    sharding, cluster-balanced sampling — anywhere the corpus needs a
+    cheap semantic partition that is NOT tied to an ANN index.
+
+    Driver state is k·dim doubles; the corpus never leaves the
+    cluster. Deterministic: seeded init, ordered sample, fixed
+    iteration count.
+    """
+    if k < 1:
+        raise ValueError(f"kmeans_fit: k must be >= 1, got {k}")
+    from getl_spark.functions.similarity import _train_centroids
+
+    cent = _train_centroids(df, id_col, vec_col, k, seed, train_limit, iters)
+    return {
+        "centroids": [[float(x) for x in row] for row in cent],
+        "k": int(len(cent)),
+        "dim": int(cent.shape[1]),
+        "metric": "cosine",
+        "seed": int(seed),
+    }
+
+
+def kmeans_assign(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    nassign: int = 1,
+) -> DataFrame:
+    """Assign every vector to its nearest ``kmeans_fit`` centroid(s)
+    by cosine — scan-speed JVM expressions (the centroid matrix folds
+    into the plan as literals; no UDF, no shuffle, no driver action).
+    ``nassign=1`` adds an int ``cell_col``; ``nassign>1`` adds an
+    array of the n nearest cells (the multi-assignment trick
+    ``dedup.semantic_pairs`` uses to recover boundary straddlers).
+    Null vectors get a null cell.
+    """
+    import numpy as np
+
+    if "centroids" not in model or not model["centroids"]:
+        raise ValueError("kmeans_assign: model has no centroids")
+    if nassign < 1:
+        raise ValueError(f"kmeans_assign: nassign must be >= 1, got {nassign}")
+    cent = np.asarray(model["centroids"], dtype="float64")
+    from getl_spark.functions.similarity import centroid_cells_expr
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cells = centroid_cells_expr(cent, vec, nassign)
+    col = cells[0] if nassign == 1 else cells
+    return df.withColumn(
+        cell_col, F.when(F.col(vec_col).isNotNull(), col)
+    )

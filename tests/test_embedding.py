@@ -409,3 +409,74 @@ def test_pca_project_rejects_dim_mismatch(spark):
 
     with pytest.raises(Exception, match="pca_project: model dim"):
         E.pca_project(bad, model, "embedding").collect()
+
+
+# ------------------------------------------------------------- kmeans
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    """Six axis-aligned clusters: the fitted centroids must point at
+    the axes (one cluster per centroid at k=6) and assignment must
+    equal the planted cluster id mapping, matching a numpy argmax."""
+    import numpy as np
+
+    rows = [
+        (
+            i,
+            [
+                (10.0 if j == i % 6 else 0.0) + ((i * 7 + j * 3) % 5 - 2) / 10.0
+                for j in range(8)
+            ],
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # seed chosen so the seeded init recovers the planted optimum
+    model = embedding.kmeans_fit(df, k=6, seed=0)
+    assert model["k"] == 6 and model["dim"] == 8 and model["metric"] == "cosine"
+    # JSON round-trip: the model is a plain dict
+    import json
+
+    model = json.loads(json.dumps(model))
+    out = {r.vec_id: r.cell for r in embedding.kmeans_assign(df, model).collect()}
+    cent = np.array(model["centroids"])
+    # each centroid points at exactly one axis; assignment groups by i%6
+    by_axis = {}
+    for i, v in rows:
+        exp_cell = int(np.argmax(cent @ (np.array(v) / np.linalg.norm(v))))
+        assert out[i] == exp_cell
+        by_axis.setdefault(i % 6, set()).add(out[i])
+    assert all(len(cells) == 1 for cells in by_axis.values())
+    assert len({next(iter(c)) for c in by_axis.values()}) == 6
+
+
+def test_kmeans_assign_nassign_nulls_and_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    model = {"centroids": [[1.0, 0.0], [0.0, 1.0]], "k": 2, "dim": 2}
+    out = {r.vec_id: r.cell for r in
+           embedding.kmeans_assign(df, model, nassign=2).collect()}
+    assert out[1] == [0, 1] and out[2] == [1, 0]
+    assert out[3] is None
+    with pytest.raises(ValueError):
+        embedding.kmeans_assign(df, {"centroids": []})
+    with pytest.raises(ValueError):
+        embedding.kmeans_assign(df, model, nassign=0)
+    with pytest.raises(ValueError):
+        embedding.kmeans_fit(df, k=0)
+
+
+def test_kmeans_assign_no_shuffle_no_udf(spark):
+    """Assignment is pure scan-side JVM work."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    model = {"centroids": [[1.0, 0.0], [0.0, 1.0]]}
+    plan = (
+        embedding.kmeans_assign(df, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
