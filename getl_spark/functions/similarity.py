@@ -796,6 +796,57 @@ def topk_pq(
     )
 
 
+def _ivf_pq_assign(
+    corpus: DataFrame, cent_n, books, id_col: str, vec_col: str
+) -> DataFrame:
+    """The IVF-PQ encode stage shared by ``build_ivf_pq_index`` and
+    ``ivf_pq_append``: JVM cell assignment (centroid literals fold
+    into the plan), Arrow residual encoding against the given
+    codebooks. Returns ``(id, cell, code)``."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(cent_n, dtype="float64")
+    books = np.asarray(books, dtype="float64")
+    mm, kk, ds = books.shape
+
+    def _encode_residual(vecs, cells):
+        out = []
+        mask = vecs.notna()
+        codes = None
+        if mask.any():
+            x = np.stack(vecs[mask].to_numpy()).astype("float64")
+            x = x - cents[cells[mask].to_numpy().astype("int64")]
+            parts = []
+            for j in range(mm):
+                sub = x[:, j * ds : (j + 1) * ds]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                parts.append(d2.argmin(axis=1).astype("int8"))
+            codes = np.stack(parts, axis=1)
+        it = iter(codes.tolist() if codes is not None else [])
+        for ok in mask:
+            out.append(next(it) if ok else None)
+        return pd.Series(out)
+
+    return (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .withColumn("cell", centroid_cells_expr(cents, F.col("v"))[0])
+        .withColumn(
+            "code",
+            pandas_udf(_encode_residual, "array<tinyint>")(
+                F.col("v"), F.col("cell")
+            ),
+        )
+        .select("id", "cell", "code")
+    )
+
+
 def build_ivf_pq_index(
     corpus: DataFrame,
     path: str,
@@ -858,47 +909,88 @@ def build_ivf_pq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
 
     # distributed: assign cell (JVM), residual-encode (Arrow)
-    import pandas as pd
-
-    from pyspark.sql.functions import pandas_udf
-
-    books = _pq_batches(pq)
-    cents = cent_n.copy()
-    mm, kk, ds = books.shape
-
-    def _encode_residual(vecs, cells):
-        out = []
-        mask = vecs.notna()
-        codes = None
-        if mask.any():
-            x = np.stack(vecs[mask].to_numpy()).astype("float64")
-            x = x - cents[cells[mask].to_numpy().astype("int64")]
-            parts = []
-            for j in range(mm):
-                sub = x[:, j * ds : (j + 1) * ds]
-                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                parts.append(d2.argmin(axis=1).astype("int8"))
-            codes = np.stack(parts, axis=1)
-        it = iter(codes.tolist() if codes is not None else [])
-        for ok in mask:
-            out.append(next(it) if ok else None)
-        return pd.Series(out)
-
-    assigned = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-        .where(F.col("v").isNotNull())
-        .withColumn("cell", centroid_cells_expr(cent_n, F.col("v"))[0])
-        .withColumn(
-            "code",
-            pandas_udf(_encode_residual, "array<tinyint>")(F.col("v"), F.col("cell")),
-        )
-        .select("id", "cell", "code")
-    )
+    assigned = _ivf_pq_assign(corpus, cent_n, _pq_batches(pq), id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     return (
         spark.read.parquet(f"{path}/codes")
         .groupBy("cell")
         .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+def _read_ivf_pq_model(spark, index_path: str):
+    """Load a persisted IVF-PQ quantizer pair: (normalized centroid
+    matrix, (m, k, subdim) codebook tensor). Bounded driver state —
+    nlist·dim + m·k·subdim doubles."""
+    import numpy as np
+
+    cent_rows = (
+        spark.read.parquet(f"{index_path}/centroids").orderBy("cell").collect()
+    )
+    cent_n = np.array([r.centroid for r in cent_rows], dtype="float64")
+    book_rows = (
+        spark.read.parquet(f"{index_path}/codebooks")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    mm = max(r.subspace for r in book_rows) + 1
+    kk = max(r.code for r in book_rows) + 1
+    books = np.array([r.centroid for r in book_rows], dtype="float64").reshape(
+        mm, kk, -1
+    )
+    return cent_n, books
+
+
+def ivf_pq_append(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skip_existing: bool = True,
+) -> DataFrame:
+    """Grow a persisted ``build_ivf_pq_index`` with new vectors — the
+    vector-side daily-ingest loop, symmetric with
+    ``dedup.index_append``: encode the increment with the index's OWN
+    quantizers (an append can never drift to different centroids or
+    codebooks than the corpus was built with) and append the
+    ``(id, cell, code)`` rows to the partitioned code table. No
+    retraining, no rescan of the indexed corpus — the increment's cost
+    is increment-sized.
+
+    ``skip_existing`` anti-joins the increment against the indexed
+    ids first, which makes a crashed-and-retried append idempotent
+    (already-appended ids are skipped on the retry) and tolerates
+    overlapping feeds. Returns the appended per-cell occupancy, so
+    the caller can watch cells drift hot as the corpus grows (the
+    signal to re-train with a larger ``nlist``).
+    """
+    import numpy as np
+
+    spark = new_vectors.sparkSession
+    cent_n, books = _read_ivf_pq_model(spark, index_path)
+    mm, kk, ds = books.shape
+    dim = embedding_dim(new_vectors, vec_col)
+    if dim != mm * ds:
+        raise ValueError(
+            f"ivf_pq_append: vector dim {dim} != index dim {mm * ds}"
+        )
+    inc = new_vectors.where(F.col(vec_col).isNotNull())
+    if skip_existing:
+        existing = spark.read.parquet(f"{index_path}/codes").select(
+            F.col("id").alias(id_col)
+        )
+        inc = inc.join(existing, id_col, "left_anti")
+    # pin the encoded increment BEFORE the write: the plan is lazy, and
+    # a post-write recompute would re-run the skip_existing anti-join
+    # against the now-grown code table and see every row as existing
+    assigned = _ivf_pq_assign(inc, cent_n, books, id_col, vec_col).localCheckpoint()
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        f"{index_path}/codes"
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count("*").alias("n_appended"))
         .orderBy("cell")
     )
 
@@ -929,19 +1021,8 @@ def topk_ivf_pq(
     import numpy as np
     import pandas as pd
 
-    cent_rows = spark.read.parquet(f"{index_path}/centroids").orderBy("cell").collect()
-    cent_n = np.array([r.centroid for r in cent_rows], dtype="float64")
-    book_rows = (
-        spark.read.parquet(f"{index_path}/codebooks").orderBy("subspace", "code").collect()
-    )
-    mm = max(r.subspace for r in book_rows) + 1
-    kk = max(r.code for r in book_rows) + 1
-    # rows arrive fully ordered (subspace, code) and complete — one
-    # reshape, not a quadratic scan
-    books = np.array([r.centroid for r in book_rows], dtype="float64").reshape(
-        mm, kk, -1
-    )
-    ds = books.shape[2]
+    cent_n, books = _read_ivf_pq_model(spark, index_path)
+    mm, kk, ds = books.shape
 
     q_rows = _bounded_query_rows(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))

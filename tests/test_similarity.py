@@ -303,3 +303,68 @@ def test_range_search_null_vectors_dropped(spark):
         df.where("vec_id = 1"), df, threshold=0.5
     ).collect()
     assert {(r.query_id, r.nbr_id) for r in out} == {(1, 1), (1, 3)}
+
+
+# ----------------------------------------------------------- ivf_pq_append
+def test_ivf_pq_append_grows_index_and_is_idempotent(spark, tmp_path):
+    """Build on the first half, append the second: full-probe + exact
+    rerank over the grown index equals brute force over the union —
+    the appended codes live in the same cell layout the index was
+    built with. Re-appending the same batch is a no-op
+    (skip_existing), so a crashed-and-retried ingest cannot duplicate
+    rows."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from getl_spark.functions import embedding as E
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(5, 16)) * 3
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(24):
+            rows.append((vid, [float(x) for x in c + rng.normal(size=16) * 0.7]))
+            vid += 1
+    full = E.l2_normalize(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ).cache()
+    first = full.where("vec_id < 60")
+    second = full.where("vec_id >= 60")
+    path = str(tmp_path / "index")
+    similarity.build_ivf_pq_index(first, path, nlist=5, m=8, k=16, seed=2)
+    occ = similarity.ivf_pq_append(second, path)
+    assert occ.agg(F.sum("n_appended")).first()[0] == second.count()
+
+    q = full.where("vec_id in (0, 30, 70, 110)")
+    got = sorted(
+        (r.query_id, r.nbr_id)
+        for r in similarity.topk_ivf_pq(
+            # appended vectors quantize against codebooks trained on the
+            # FIRST half only (the append tradeoff), so give the exact
+            # rerank a wider ADC shortlist to absorb the extra error
+            spark, q, path, k=3, nprobe=5, rerank=full, rerank_factor=12
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.nbr_id)
+        for r in similarity.topk_bruteforce(full, k=3, queries=q).collect()
+    )
+    assert got == want
+
+    # retry: the same batch appends zero rows, index row count stable
+    n_before = spark.read.parquet(f"{path}/codes").count()
+    occ2 = similarity.ivf_pq_append(second, path)
+    assert occ2.count() == 0
+    assert spark.read.parquet(f"{path}/codes").count() == n_before
+
+
+def test_ivf_pq_append_validates_dim(spark, tmp_path, ivfpq_setup):
+    import pytest
+
+    _, path, _ = ivfpq_setup
+    bad = spark.createDataFrame(
+        [(999, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ivf_pq_append(bad, path)
