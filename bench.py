@@ -64,6 +64,12 @@ BENCH_QUERIES = [
     # the two rewrites most likely to regress into nested loops
     "q17_small_quantity_revenue",
     "q21_sole_returner",
+    # round-7 operators (the real-table ones; the synthesized-frame
+    # oracle queries — semantic_dedup, kmeans_assign — are micro
+    # fixtures, not workloads)
+    "text_c4_clean",
+    "sample_token_budget",
+    "near_dedup_exact",
 ]
 
 RUNS = 3
