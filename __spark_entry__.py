@@ -4463,6 +4463,51 @@ WHERE budget IS NULL OR cum <= budget
 """
 
 
+def _q_asof_nearest(spark, sf_dir):
+    """asof.join direction='nearest' — each click matched to the
+    user's CLOSEST purchase in either direction (ties to backward).
+    DuckDB replica: per-click row_number over |Δt| with the purchase
+    timestamp as the backward-preferring tiebreak."""
+    from getl_spark.functions import asof
+
+    _, us_expr = _events_ts_exprs(sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "us", F.expr(us_expr)
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "us"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "us")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    return asof.join(
+        clicks, purchases, on="user_id", left_ts="us", right_ts="us",
+        direction="nearest", suffix="_p",
+    ).select("event_id", "user_id", "us", "us_p", "purchase_value")
+
+
+ASOF_NEAREST_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
+  FROM events
+),
+clicks AS (
+  SELECT event_id, user_id, us FROM ev WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, us, ROUND(MAX(value), 2) AS purchase_value
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, us
+)
+SELECT c.event_id, c.user_id, c.us, p.us AS us_p, p.purchase_value
+FROM clicks c LEFT JOIN purch p ON c.user_id = p.user_id
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY c.event_id ORDER BY ABS(c.us - p.us), p.us
+) = 1
+"""
+
+
 def _q_kmeans_assign(spark, sf_dir):
     """embedding.kmeans_assign with PINNED axis centroids over the
     deterministic axis-clustered frame: with centroids = the six unit
@@ -5203,6 +5248,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_clean": _q_c4_clean,
         "sample_token_budget": _q_token_budget_mix,
         "embedding_kmeans_assign": _q_kmeans_assign,
+        "asof_nearest": _q_asof_nearest,
     }
 
 
@@ -5316,6 +5362,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "text_c4_clean": C4_CLEAN_ORACLE,
         "sample_token_budget": TOKEN_BUDGET_ORACLE,
         "embedding_kmeans_assign": KMEANS_ASSIGN_ORACLE,
+        "asof_nearest": ASOF_NEAREST_ORACLE,
     }
 
 

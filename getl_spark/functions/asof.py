@@ -43,20 +43,28 @@ def join(
     """Left as-of join: every left row, plus the right row with the
     greatest ``right_ts`` <= ``left_ts`` for the same key(s)
     (``direction='backward'``; ``'forward'`` takes the smallest
-    ``right_ts`` >= ``left_ts``). Unmatched left rows keep NULLs —
-    left-outer semantics, like pandas ``merge_asof`` / DuckDB
+    ``right_ts`` >= ``left_ts``; ``'nearest'`` takes whichever of the
+    two is closer in time, ties to backward). Unmatched left rows keep
+    NULLs — left-outer semantics, like pandas ``merge_asof`` / DuckDB
     ``ASOF LEFT JOIN``.
 
     ``tolerance``: optional Column/literal; backward matches further
     than ``left_ts - tolerance`` (forward: beyond ``left_ts +
-    tolerance``) are nulled out. Same unit as the ts columns.
+    tolerance``; nearest: either bound) are nulled out. Same unit as
+    the ts columns.
+
+    ``'nearest'`` stays one shuffle: both directional scans share the
+    key exchange (two in-partition sorts over it), and the per-row
+    choice is a column expression on the two candidates.
 
     The matched right timestamp is always returned as ``right_ts +
     suffix``; right value columns keep their names unless they collide
     with a left column, in which case ``suffix`` is appended.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward', or 'nearest'"
+        )
     # join_on is the YAML-safe alias: a bare `on:` key parses as
     # boolean True under YAML 1.1
     on = on if on is not None else join_on
@@ -99,29 +107,53 @@ def join(
     unioned = l.unionByName(r)
 
     # Right rows sort before left rows at equal __t, making the match
-    # inclusive; 'forward' just scans time in reverse.
-    order = [F.col("__t").asc(), F.col("__is_left").asc()]
-    if direction == "forward":
-        order = [F.col("__t").desc(), F.col("__is_left").asc()]
-    w = (
+    # inclusive; 'forward' just scans time in reverse. Both windows
+    # share the key partitioning, so 'nearest' costs one shuffle with
+    # two in-partition sorts, never a second exchange.
+    w_back = (
         Window.partitionBy(*keys)
-        .orderBy(*order)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = unioned.withColumn("__m", F.last("__rv", ignorenulls=True).over(w)).where(
-        F.col("__is_left") == 1
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    if tolerance is not None:
+    def within(m, side):
         # native arithmetic: numeric ts take a numeric tolerance,
         # timestamp ts take an INTERVAL literal
-        if direction == "backward":
-            in_range = F.col("__m")[_MATCHED] >= F.col("__t") - tolerance
+        if tolerance is None:
+            return m
+        if side == "backward":
+            ok = m[_MATCHED] >= F.col("__t") - tolerance
         else:
-            in_range = F.col("__m")[_MATCHED] <= F.col("__t") + tolerance
-        matched = matched.withColumn(
-            "__m", F.when(in_range, F.col("__m")).otherwise(F.lit(None).cast(rv_type))
+            ok = m[_MATCHED] <= F.col("__t") + tolerance
+        return F.when(ok, m).otherwise(F.lit(None).cast(rv_type))
+
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
+        matched = unioned.withColumn(
+            "__m", F.last("__rv", ignorenulls=True).over(w)
+        ).where(F.col("__is_left") == 1)
+        matched = matched.withColumn("__m", within(F.col("__m"), direction))
+    else:  # nearest: closer of the two candidates, ties to backward
+        matched = (
+            unioned.withColumn("__mb", F.last("__rv", ignorenulls=True).over(w_back))
+            .withColumn("__mf", F.last("__rv", ignorenulls=True).over(w_fwd))
+            .where(F.col("__is_left") == 1)
         )
+        mb = within(F.col("__mb"), "backward")
+        mf = within(F.col("__mf"), "forward")
+        closer_fwd = (F.col("__t") - mb[_MATCHED]) > (mf[_MATCHED] - F.col("__t"))
+        matched = matched.withColumn(
+            "__m",
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(closer_fwd, mf)
+            .otherwise(mb),
+        ).drop("__mb", "__mf")
 
     out_cols = [F.col(c) for c in left_cols]
     out_cols.append(F.col("__m")[_MATCHED].alias(rts + suffix))

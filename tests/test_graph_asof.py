@@ -510,3 +510,95 @@ def test_pagerank_unweighted_equals_weight_one(spark):
     a = sorted(map(tuple, graph.pagerank(df).collect()))
     b = sorted(map(tuple, graph.pagerank(dfw, weight_col="w").collect()))
     assert a == b
+
+
+def test_asof_nearest_hand_cases(spark):
+    """nearest: closer-before, closer-after, exact tie (backward
+    wins), tolerance nulls both sides, unmatched key stays NULL."""
+    left = spark.createDataFrame(
+        [(1, 100), (1, 210), (1, 150), (2, 50)], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 200, "b")], ["k", "ts", "val"]
+    )
+    out = {
+        (r.k, r.ts): (r.ts_right, r.val)
+        for r in asof.join(
+            left, right, on="k", left_ts="ts", direction="nearest"
+        ).collect()
+    }
+    assert out[(1, 100)] == (90, "a")    # 10 back beats 100 fwd
+    assert out[(1, 210)] == (200, "b")   # 10 fwd beats 120 back
+    assert out[(1, 150)] == (200, "b")   # 50 fwd beats 60 back
+    assert out[(2, 50)] == (None, None)  # no right rows for key 2
+
+    # exact tie: right at 100 and 200, left at 150 -> backward wins
+    right2 = spark.createDataFrame(
+        [(1, 100, "lo"), (1, 200, "hi")], ["k", "ts", "val"]
+    )
+    tie = {
+        r.ts: r.val
+        for r in asof.join(
+            spark.createDataFrame([(1, 150)], ["k", "ts"]),
+            right2, on="k", left_ts="ts", direction="nearest",
+        ).collect()
+    }
+    assert tie[150] == "lo"
+
+    # tolerance: |delta| must fit on the chosen side
+    tol = {
+        (r.k, r.ts): r.val
+        for r in asof.join(
+            left, right, on="k", left_ts="ts", direction="nearest",
+            tolerance=F.lit(15),
+        ).collect()
+    }
+    assert tol[(1, 100)] == "a"     # 10 within 15
+    assert tol[(1, 210)] == "b"     # 10 within 15
+    assert tol[(1, 150)] is None    # 50 and 60 both outside 15
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """Differential vs pandas merge_asof(direction='nearest') on
+    tie-free random data (tie preference is implementation-defined in
+    pandas; ours is documented backward)."""
+    import pandas as pd
+
+    rng = random.Random(29)
+    # odd left ts, even right ts -> |delta| ties impossible
+    lrows = [(rng.randrange(3), rng.randrange(500) * 2 + 1) for _ in range(200)]
+    rset = {(rng.randrange(3), rng.randrange(500) * 2) for _ in range(150)}
+    rrows = [(k, t, rng.random()) for k, t in rset]
+    left = spark.createDataFrame(lrows, ["k", "ts"]).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    rpdf = pd.DataFrame(rrows, columns=["k", "ts", "val"]).sort_values("ts")
+    rdf = spark.createDataFrame(rpdf)
+    got = (
+        asof.join(left, rdf, on="k", left_ts="ts", direction="nearest")
+        .orderBy("rid")
+        .toPandas()
+    )
+    lpdf = got[["k", "ts", "rid"]].sort_values("ts")
+    expect = pd.merge_asof(
+        lpdf, rpdf, on="ts", by="k", direction="nearest"
+    ).sort_values("rid")
+    assert list(got.sort_values("rid")["val"].fillna(-1).round(9)) == list(
+        expect["val"].fillna(-1).round(9)
+    )
+
+
+def test_asof_nearest_single_shuffle(spark):
+    """Both directional scans must share one key exchange."""
+    left = spark.createDataFrame([(1, 100)], ["k", "ts"])
+    right = spark.createDataFrame([(1, 90, "a")], ["k", "ts", "val"])
+    plan = (
+        asof.join(left, right, on="k", left_ts="ts", direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re as _re
+
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) <= 2  # union-side partitioning only, never per-window
