@@ -4463,6 +4463,64 @@ WHERE budget IS NULL OR cum <= budget
 """
 
 
+def _q_gopher_filter(spark, sf_dir):
+    """text.gopher_filter over ``documents`` with thresholds sized so
+    every rule bites at this corpus shape. The oracle replays the
+    exact expressions: word-count window, the (chars - spaces)/words
+    mean word length, distinct-stopword hits, and the dup-line
+    fractions already oracled in ``text_repetition``."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.gopher_filter(
+        docs, min_words=30, max_words=80, min_avg_word_len=4.0,
+        max_avg_word_len=4.8, min_stopword_hits=1,
+    )
+    return out.select("doc_id", F.col("gopher_keep").alias("keep"))
+
+
+GOPHER_FILTER_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text, trim(text) AS t,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         len(words) AS n_words,
+         length(t) AS n_chars,
+         len(list_intersect(
+           list_transform(words, w -> lower(w)),
+           ['the','a','of','and','to','in','is','that','it','for']
+         )) AS stop_hits
+  FROM base
+),
+lines AS (
+  SELECT doc_id, trim(l) AS item FROM documents,
+         unnest(string_split(text, chr(10))) AS t(l)),
+lc AS (SELECT doc_id, item, count(*) AS c, length(item) AS len
+       FROM lines WHERE item != '' GROUP BY ALL),
+lagg AS (SELECT doc_id,
+  COALESCE(SUM(c) FILTER (WHERE c > 1), 0) / CAST(SUM(c) AS DOUBLE) AS lf,
+  CASE WHEN SUM(c * len) = 0 THEN 0.0 ELSE
+    COALESCE(SUM(c * len) FILTER (WHERE c > 1), 0)
+      / CAST(SUM(c * len) AS DOUBLE) END AS lcf
+  FROM lc GROUP BY doc_id)
+SELECT m.doc_id,
+  COALESCE(
+    m.text IS NOT NULL
+    AND m.n_words BETWEEN 30 AND 80
+    AND (m.n_chars - (m.n_words - 1)) / CAST(m.n_words AS DOUBLE)
+        BETWEEN 4.0 AND 4.8
+    AND m.stop_hits >= 1
+    AND COALESCE(l.lf, 0.0) <= 0.30
+    AND COALESCE(l.lcf, 0.0) <= 0.20,
+    FALSE) AS keep
+FROM m LEFT JOIN lagg l ON m.doc_id = l.doc_id
+"""
+
+
 def _q_asof_nearest(spark, sf_dir):
     """asof.join direction='nearest' — each click matched to the
     user's CLOSEST purchase in either direction (ties to backward).
@@ -5249,6 +5307,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": _q_token_budget_mix,
         "embedding_kmeans_assign": _q_kmeans_assign,
         "asof_nearest": _q_asof_nearest,
+        "text_gopher_filter": _q_gopher_filter,
     }
 
 
@@ -5363,6 +5422,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sample_token_budget": TOKEN_BUDGET_ORACLE,
         "embedding_kmeans_assign": KMEANS_ASSIGN_ORACLE,
         "asof_nearest": ASOF_NEAREST_ORACLE,
+        "text_gopher_filter": GOPHER_FILTER_ORACLE,
     }
 
 
