@@ -4768,6 +4768,50 @@ WHERE rank <= 5
 """
 
 
+def _q_ivf_pq_append(spark, sf_dir):
+    """similarity.ivf_pq_append driven end-to-end: build the index on
+    the even-id half of the axis-clustered frame, APPEND the odd half
+    (encoded with the stored quantizers), then query with full probe +
+    exact rerank — which must equal the brute-force cosine ranking
+    over the WHOLE frame. The second append of the same half must be
+    a no-op (skip_existing), asserted by the occupancy count before
+    the query. One DuckDB all-pairs top-k oracles the entire
+    build → append → query loop."""
+    from getl_spark.functions import similarity
+
+    rows = [
+        (
+            i,
+            [
+                (10.0 if j == i % 6 else 0.0) + ((i * 7 + j * 3) % 5 - 2) / 10.0
+                for j in range(8)
+            ],
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = "/tmp/getl_spark_q/ivfpq_append"
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.build_ivf_pq_index(
+        df.where("vec_id % 2 = 0"), path, nlist=6, m=4, k=8, seed=11
+    )
+    odd = df.where("vec_id % 2 = 1")
+    similarity.ivf_pq_append(odd, path)
+    retry = similarity.ivf_pq_append(odd, path)  # idempotent no-op
+    if retry.count() != 0:
+        raise AssertionError("ivf_pq_append retry appended rows")
+    queries = df.where("vec_id < 6")
+    return similarity.topk_ivf_pq(
+        spark, queries, path, k=5, nprobe=6, rerank=df, rerank_factor=12
+    ).select("query_id", "nbr_id", F.col("score").alias("cosine"), "rank")
+
+
+# identical ranking oracle to IVF_PQ_TOPK_ORACLE: the appended index
+# must answer exactly like the index built in one shot, because full
+# probe + exact rerank erases quantization from the final ranking
+IVF_PQ_APPEND_ORACLE = IVF_PQ_TOPK_ORACLE
+
+
 def _q_stream_dedup_ingest(spark, sf_dir):
     """write::stream_dedup_ingest driven end-to-end: bootstrap an
     empty MinHash index, drain two waves of ``documents`` (wave 2
@@ -5308,6 +5352,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans_assign": _q_kmeans_assign,
         "asof_nearest": _q_asof_nearest,
         "text_gopher_filter": _q_gopher_filter,
+        "similarity_ivf_pq_append": _q_ivf_pq_append,
     }
 
 
@@ -5423,6 +5468,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "embedding_kmeans_assign": KMEANS_ASSIGN_ORACLE,
         "asof_nearest": ASOF_NEAREST_ORACLE,
         "text_gopher_filter": GOPHER_FILTER_ORACLE,
+        "similarity_ivf_pq_append": IVF_PQ_APPEND_ORACLE,
     }
 
 
