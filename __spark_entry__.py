@@ -4074,6 +4074,50 @@ GROUP BY doc_id
 """
 
 
+def _q_logprob_buckets(spark, sf_dir):
+    """text.logprob_buckets — CCNet head/middle/tail perplexity tiers
+    over ``documents``: unigram-LM score + equal-population bucketing
+    by exact percentile thresholds (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the same parity the percentiles_exact row
+    already pins). Thresholds are broadcast 1-row aggregates, never a
+    global ntile window."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.logprob_buckets(docs, buckets=3, min_count=2)
+    return out.select(
+        "doc_id", "n_tokens", F.round("logprob", 6).alias("logprob"), "bucket"
+    )
+
+
+LOGPROB_BUCKETS_ORACLE = """
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+), vocab AS (
+  SELECT w, COUNT(*) AS c FROM words GROUP BY w HAVING COUNT(*) >= 2
+), totals AS (
+  SELECT SUM(c) AS t, COUNT(*) AS v FROM vocab
+), scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         AVG(ln((COALESCE(c, 0) + 0.5) / (t + 0.5 * (v + 1)))) AS lp
+  FROM words LEFT JOIN vocab USING (w) CROSS JOIN totals
+  GROUP BY doc_id
+), th AS (
+  SELECT quantile_cont(lp, 2.0 / 3.0) AS th0,
+         quantile_cont(lp, 1.0 / 3.0) AS th1
+  FROM scored
+)
+SELECT doc_id, n_tokens, ROUND(lp, 6) AS logprob,
+       CAST(lp < th0 AS INT) + CAST(lp < th1 AS INT) AS bucket
+FROM scored CROSS JOIN th
+"""
+
+
 def _q_temperature_mix(spark, sf_dir):
     """sample.temperature_mix on a FIXED skewed frame (selection is
     xxhash-order — inexpressible in DuckDB; golden pinned): alpha=0.5
@@ -5353,6 +5397,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": _q_asof_nearest,
         "text_gopher_filter": _q_gopher_filter,
         "similarity_ivf_pq_append": _q_ivf_pq_append,
+        "text_logprob_buckets": _q_logprob_buckets,
     }
 
 
@@ -5469,6 +5514,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "asof_nearest": ASOF_NEAREST_ORACLE,
         "text_gopher_filter": GOPHER_FILTER_ORACLE,
         "similarity_ivf_pq_append": IVF_PQ_APPEND_ORACLE,
+        "text_logprob_buckets": LOGPROB_BUCKETS_ORACLE,
     }
 
 

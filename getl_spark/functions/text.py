@@ -1209,3 +1209,55 @@ def unigram_logprob(
         F.count("*").alias("n_tokens"),
         F.avg("__lp").alias(new_col),
     )
+
+
+def logprob_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 3,
+    min_count: int = 2,
+    smoothing: float = 0.5,
+    new_col: str = "bucket",
+    score_col: str = "logprob",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus unigram LM (``unigram_logprob``) and split the corpus into
+    ``buckets`` equal-population quality tiers — bucket 0 is the
+    best-scoring (head) tier, the published CCNet recipe keeps head
+    (+ middle) and drops tail. Returns ``(id_col, n_tokens,
+    score_col, new_col)``.
+
+    Scale shape: thresholds come from ONE exact ``percentile``
+    aggregate (a 1-row broadcast, not a global ntile window — ntile
+    funnels the whole corpus through a single partition), so
+    bucketing adds one scan over the scored frame. Boundary docs
+    (score exactly at a threshold) go to the better bucket,
+    deterministically. Equal-population is as exact as score ties
+    allow — heavy ties at a boundary skew the counts, which is the
+    correct semantics for a threshold rule.
+    """
+    if buckets < 2:
+        raise ValueError(f"logprob_buckets: buckets must be >= 2, got {buckets}")
+    scored = unigram_logprob(
+        df, id_col=id_col, text_col=text_col, min_count=min_count,
+        smoothing=smoothing, new_col=score_col,
+    )
+    qs = [i / buckets for i in range(1, buckets)]
+    thresholds = scored.agg(
+        *[
+            F.expr(f"percentile({score_col}, {1 - q})").alias(f"__th{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    # bucket = number of thresholds STRICTLY above the score: the head
+    # tier is scores >= the highest threshold
+    expr = None
+    for i in range(len(qs)):
+        term = (F.col(score_col) < F.col(f"__th{i}")).cast("int")
+        expr = term if expr is None else expr + term
+    return (
+        scored.join(F.broadcast(thresholds))
+        .withColumn(new_col, expr)
+        .drop(*[f"__th{i}" for i in range(len(qs))])
+    )

@@ -584,3 +584,40 @@ def test_c4_clean_no_shuffle(spark):
     docs = spark.createDataFrame([(1, "a b c d e.")], "doc_id long, text string")
     plan = text.c4_clean(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------- logprob_buckets
+def test_logprob_buckets_tiers_and_validation(spark):
+    """Common-word docs land in the head tier (bucket 0), rare-word
+    gibberish in the tail; buckets are near-equal population on a
+    tie-free corpus."""
+    rows = (
+        [(i, "the cat sat on the mat near the door") for i in range(0, 6)]
+        + [(i, "the dog ran fast cat door mat") for i in range(6, 12)]
+        + [(i, f"zzq{i} xkcd{i} qwrt{i} vbnm{i}") for i in range(12, 18)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.bucket for r in text.logprob_buckets(df, buckets=3).collect()}
+    # gibberish docs (all OOV tokens) must all sit in the worst tier
+    assert all(out[i] == 2 for i in range(12, 18))
+    # the repeated common-word docs score best
+    assert all(out[i] == 0 for i in range(0, 6))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text.logprob_buckets(df, buckets=1)
+
+
+def test_logprob_buckets_equal_population(spark):
+    """On a corpus with distinct scores the tiers split the population
+    within one doc of equal thirds."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = dict(
+        (r.bucket, r.n)
+        for r in text.logprob_buckets(docs, buckets=3)
+        .groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    )
+    total = sum(counts.values())
+    assert set(counts) == {0, 1, 2}
+    for b in counts.values():
+        assert abs(b - total / 3) <= 2
