@@ -3745,6 +3745,41 @@ JOIN (SELECT o_orderkey, o_totalprice AS lo, o_totalprice + 2000.0 AS hi
 """
 
 
+def _q_interval_overlap(spark, sf_dir):
+    """interval.overlap_join — interval × interval intersection via
+    the canonical-bucket trick (each pair meets once, no distinct):
+    price bands from every 100th order against bands from every
+    100th+50 order. DuckDB runs the plain inequality join."""
+    from getl_spark.functions import interval
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    left = orders.where("o_orderkey % 100 = 0").select(
+        F.col("o_orderkey").alias("lid"),
+        F.col("o_totalprice").alias("lo"),
+        (F.col("o_totalprice") + 5000.0).alias("hi"),
+    )
+    right = orders.where("o_orderkey % 100 = 50").select(
+        F.col("o_orderkey").alias("rid"),
+        F.col("o_totalprice").alias("lo"),
+        (F.col("o_totalprice") + 3000.0).alias("hi"),
+    )
+    return interval.overlap_join(
+        left, right, "lo", "hi", bucket_width=2000
+    ).select("lid", "rid")
+
+
+INTERVAL_OVERLAP_ORACLE = """
+SELECT l.lid, r.rid
+FROM (SELECT o_orderkey AS lid, o_totalprice AS lo,
+             o_totalprice + 5000.0 AS hi
+      FROM orders WHERE o_orderkey % 100 = 0) l
+JOIN (SELECT o_orderkey AS rid, o_totalprice AS lo,
+             o_totalprice + 3000.0 AS hi
+      FROM orders WHERE o_orderkey % 100 = 50) r
+  ON l.lo <= r.hi AND r.lo <= l.hi
+"""
+
+
 def _q_search_coverage(spark, sf_dir):
     """search.coverage — per-query corpus coverage (hit count + mean
     BM25 score), the retrieval-mix balancing view."""
@@ -5398,6 +5433,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_filter": _q_gopher_filter,
         "similarity_ivf_pq_append": _q_ivf_pq_append,
         "text_logprob_buckets": _q_logprob_buckets,
+        "interval_overlap_join": _q_interval_overlap,
     }
 
 
@@ -5515,6 +5551,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "text_gopher_filter": GOPHER_FILTER_ORACLE,
         "similarity_ivf_pq_append": IVF_PQ_APPEND_ORACLE,
         "text_logprob_buckets": LOGPROB_BUCKETS_ORACLE,
+        "interval_overlap_join": INTERVAL_OVERLAP_ORACLE,
     }
 
 

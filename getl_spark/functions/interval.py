@@ -96,3 +96,82 @@ def join(
         name = c + suffix if c in point_cols else c
         out.append(F.col(f"__iv.{c}").alias(name))
     return joined.select(*out)
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_width: Union[int, float],
+    right_start: Optional[str] = None,
+    right_end: Optional[str] = None,
+    on: Optional[Union[str, Sequence[str]]] = None,
+    closed: str = "both",
+    suffix: str = "_right",
+    join_on: Optional[Union[str, Sequence[str]]] = None,
+) -> DataFrame:
+    """Interval × interval overlap join — every (left, right) pair
+    whose ranges intersect (log spans × maintenance windows, genomic
+    ranges, session × incident correlation). ``closed='both'`` counts
+    touching endpoints as overlap; ``'neither'`` requires
+    positive-measure overlap. Right-side columns default to the same
+    names as the left's.
+
+    Same binning strategy as ``join``, with the overlap twist: both
+    sides explode to covered buckets, so an overlapping pair would
+    meet in EVERY shared bucket — each pair is therefore emitted only
+    in its canonical bucket (the bucket of the later start), which
+    keeps exactly one copy with no distinct pass. Cost: width/bucket
+    explosion on both sides, then a hash equi-join — never a
+    BroadcastNestedLoopJoin.
+    """
+    if closed not in ("both", "neither"):
+        raise ValueError("overlap_join: closed must be 'both' or 'neither'")
+    if bucket_width <= 0:
+        raise ValueError("overlap_join: bucket_width must be positive")
+    on = on if on is not None else join_on
+    keys = [on] if isinstance(on, str) else list(on or [])
+    rs = right_start or start_col
+    re_ = right_end or end_col
+
+    bw = F.lit(bucket_width)
+
+    def exploded(df, s, e):
+        return df.where(F.col(s) <= F.col(e)).withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(F.floor(F.col(s) / bw), F.floor(F.col(e) / bw))
+            ),
+        )
+
+    l = exploded(left, start_col, end_col).alias("__l")
+    r = exploded(right, rs, re_).alias("__r")
+
+    cond = F.col("__l.__bucket") == F.col("__r.__bucket")
+    for k in keys:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+    # canonical bucket: the later interval start's bucket — the first
+    # bucket the pair shares, so the pair survives exactly once
+    canonical = F.col("__l.__bucket") == F.greatest(
+        F.floor(F.col(f"__l.{start_col}") / bw),
+        F.floor(F.col(f"__r.{rs}") / bw),
+    )
+    if closed == "both":
+        overlap = (F.col(f"__l.{start_col}") <= F.col(f"__r.{re_}")) & (
+            F.col(f"__r.{rs}") <= F.col(f"__l.{end_col}")
+        )
+    else:
+        overlap = (F.col(f"__l.{start_col}") < F.col(f"__r.{re_}")) & (
+            F.col(f"__r.{rs}") < F.col(f"__l.{end_col}")
+        )
+
+    joined = l.join(r, cond & canonical & overlap, "inner")
+    left_cols = list(left.columns)
+    out = [F.col(f"__l.{c}").alias(c) for c in left_cols]
+    for c in right.columns:
+        if c in keys:
+            continue
+        name = c + suffix if c in left_cols else c
+        out.append(F.col(f"__r.{c}").alias(name))
+    return joined.select(*out)

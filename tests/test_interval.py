@@ -129,3 +129,83 @@ def test_interval_join_malformed_intervals_dropped(spark):
         for r in interval.join(pdf, idf, "p", "s", "e", bucket_width=4).collect()
     }
     assert got == {(0, 1)}
+
+
+# ----------------------------------------------------------- overlap_join
+def test_overlap_join_matches_naive_inequality(spark):
+    """Differential vs the naive O(n*m) inequality join on random
+    intervals: identical pair sets, each pair exactly once."""
+    import random
+
+    rng = random.Random(5)
+    lrows = [
+        (i, s, s + rng.randrange(1, 40))
+        for i, s in ((i, rng.randrange(0, 300)) for i in range(80))
+    ]
+    rrows = [
+        (j, s, s + rng.randrange(1, 25))
+        for j, s in ((j, rng.randrange(0, 300)) for j in range(60))
+    ]
+    left = spark.createDataFrame(lrows, "lid long, s long, e long")
+    right = spark.createDataFrame(rrows, "rid long, s long, e long")
+    got = [
+        (r.lid, r.rid)
+        for r in interval.overlap_join(
+            left, right, "s", "e", bucket_width=16
+        ).collect()
+    ]
+    naive = {
+        (li, ri)
+        for li, ls, le in lrows
+        for ri, rs_, re_ in rrows
+        if ls <= re_ and rs_ <= le
+    }
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    assert set(got) == naive
+
+    # strict overlap drops touching endpoints
+    strict = {
+        (r.lid, r.rid)
+        for r in interval.overlap_join(
+            left, right, "s", "e", bucket_width=16, closed="neither"
+        ).collect()
+    }
+    naive_strict = {
+        (li, ri)
+        for li, ls, le in lrows
+        for ri, rs_, re_ in rrows
+        if ls < re_ and rs_ < le
+    }
+    assert strict == naive_strict
+
+
+def test_overlap_join_keys_suffix_and_validation(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [("a", 0, 10, "L0"), ("b", 0, 10, "L1")], "k string, s long, e long, tag string"
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 15, "R0"), ("b", 20, 30, "R1")], "k string, s long, e long, tag string"
+    )
+    out = interval.overlap_join(left, right, "s", "e", bucket_width=8, on="k").collect()
+    # only key 'a' overlaps; collision columns get the suffix
+    assert len(out) == 1
+    r = out[0]
+    assert r.k == "a" and r.tag == "L0" and r.tag_right == "R0"
+    assert r.s_right == 5 and r.e_right == 15
+    with pytest.raises(ValueError):
+        interval.overlap_join(left, right, "s", "e", bucket_width=0)
+    with pytest.raises(ValueError):
+        interval.overlap_join(left, right, "s", "e", bucket_width=8, closed="left")
+
+
+def test_overlap_join_plan_no_nested_loop(spark):
+    left = spark.createDataFrame([(1, 0, 10)], "lid long, s long, e long")
+    right = spark.createDataFrame([(2, 5, 15)], "rid long, s long, e long")
+    plan = (
+        interval.overlap_join(left, right, "s", "e", bucket_width=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
