@@ -3745,6 +3745,30 @@ JOIN (SELECT o_orderkey, o_totalprice AS lo, o_totalprice + 2000.0 AS hi
 """
 
 
+def _q_salted_join(spark, sf_dir):
+    """skew.salted_join — the hot-key join strategy must be
+    result-identical to the plain equi-join it replaces: customer ⋈
+    orders on custkey with the left side salted 8 ways. The DuckDB
+    oracle is simply the unsalted join."""
+    from getl_spark.functions import skew
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return skew.salted_join(orders, cust, ["o_custkey"], salt=8).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "c_mktsegment"
+    )
+
+
+SALTED_JOIN_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 def _q_interval_overlap(spark, sf_dir):
     """interval.overlap_join — interval × interval intersection via
     the canonical-bucket trick (each pair meets once, no distinct):
@@ -5434,6 +5458,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_pq_append": _q_ivf_pq_append,
         "text_logprob_buckets": _q_logprob_buckets,
         "interval_overlap_join": _q_interval_overlap,
+        "skew_salted_join": _q_salted_join,
     }
 
 
@@ -5552,6 +5577,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "similarity_ivf_pq_append": IVF_PQ_APPEND_ORACLE,
         "text_logprob_buckets": LOGPROB_BUCKETS_ORACLE,
         "interval_overlap_join": INTERVAL_OVERLAP_ORACLE,
+        "skew_salted_join": SALTED_JOIN_ORACLE,
     }
 
 
