@@ -18,3 +18,82 @@ def parallelize(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    keys,
+    order_cols,
+    value_col: str,
+    new_col: str,
+):
+    """Per-key running sum of ``value_col`` in ``order_cols`` order,
+    WITHOUT collapsing parallelism to the number of keys.
+
+    ``Window.partitionBy(keys)`` puts each key's entire history in one
+    task — correct for high-cardinality keys (users, documents), a
+    bottleneck when keys are FEW (sources in a mixture, a global
+    cumsum with zero keys). This is the standard two-pass distributed
+    prefix sum instead: range-partition on (keys..., order...) so
+    partition boundaries respect each key's order, cumsum within each
+    range slice, then add per-(key, slice) offsets — an offsets table
+    of at most #slices × #keys rows, broadcast back. Results are
+    boundary-invariant, so the output equals the single-window
+    formulation row for row.
+
+    Tie contract: rows equal on (keys..., order...) may be split
+    across slices, in which case they consume the prefix in slice
+    order — one of the valid tie orders a plain window could also
+    pick. Callers needing a deterministic row-level cumsum should
+    include a unique tiebreak in ``order_cols``, exactly as they
+    would with a window.
+    """
+    from pyspark.sql import Window, functions as F
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order_cols = (
+        [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    )
+    parts = [F.col(c) for c in keys + order_cols]
+    ranged = df.repartitionByRange(*parts).withColumn(
+        "__gps_pid", F.spark_partition_id()
+    )
+    win_local = (
+        Window.partitionBy("__gps_pid", *keys)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__gps_local", F.sum(value_col).over(win_local))
+    win_off = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__gps_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        ranged.groupBy("__gps_pid", *keys)
+        .agg(F.sum(value_col).alias("__gps_t"))
+        .select(
+            "__gps_pid",
+            *keys,
+            (F.sum("__gps_t").over(win_off) - F.col("__gps_t")).alias(
+                "__gps_off"
+            ),
+        )
+    )
+    # null-safe key equality: a NULL group key is a real group (the
+    # window formulation treats it as one partition); a name-list join
+    # would silently drop its rows here
+    l = local.alias("__gps_l")
+    o = offsets.alias("__gps_o")
+    cond = F.col("__gps_l.__gps_pid") == F.col("__gps_o.__gps_pid")
+    for k in keys:
+        cond = cond & F.col(f"__gps_l.{k}").eqNullSafe(F.col(f"__gps_o.{k}"))
+    return (
+        l.join(F.broadcast(o), cond)
+        .select(
+            *[F.col(f"__gps_l.{c}") for c in local.columns],
+            F.col("__gps_o.__gps_off"),
+        )
+        .withColumn(new_col, F.col("__gps_local") + F.col("__gps_off"))
+        .drop("__gps_pid", "__gps_local", "__gps_off")
+    )

@@ -268,11 +268,14 @@ def token_budget_mix(
     to take a curated order instead (quality-descending, newest-first).
     Ties break on ``id_cols``, so the kept set is unique.
 
-    Scale shape: ONE shuffle keyed on the source, a per-source ordered
-    cumulative sum (window), and a broadcast of the #sources-row
-    budget table. Per-source ordering means a giant source sorts
-    within its partitions like any keyed window; budgets tables are
-    dimension-sized by construction.
+    Scale shape: the per-source running total is a DISTRIBUTED prefix
+    sum (``common.scale.grouped_prefix_sum``): range-partition on
+    (source, order), cumsum within each slice, add broadcast
+    per-(source, slice) offsets. A plain ``Window.partitionBy(source)``
+    would collapse parallelism to the NUMBER OF SOURCES — a handful of
+    tasks for a 100 TB mixture; the prefix sum keeps every partition
+    busy regardless of how few sources there are. The budget table is
+    dimension-sized by construction and broadcasts.
     """
     for s, b in budgets.items():
         if int(b) < 0:
@@ -286,20 +289,21 @@ def token_budget_mix(
         n_tok = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
             F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != ""))
         ).cast("bigint")
-    ordkey = (
-        F.col(order_col).asc()
-        if order_col is not None
-        else _unit_hash(id_cols, seed).asc()
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    ord_expr = (
+        F.col(order_col) if order_col is not None else _unit_hash(id_cols, seed)
     )
-    w = Window.partitionBy(source_col).orderBy(
-        ordkey, *[F.col(c).asc() for c in id_cols]
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spark = df.sparkSession
     btab = spark.createDataFrame(
         [(s, int(b)) for s, b in budgets.items()],
-        f"__src string, __budget bigint",
+        "__src string, __budget bigint",
     )
-    tagged = df.withColumn("__cum", F.sum(n_tok).over(w)).join(
+    prepared = df.withColumn("__ord", ord_expr).withColumn("__n_tok", n_tok)
+    summed = grouped_prefix_sum(
+        prepared, [source_col], ["__ord"] + list(id_cols), "__n_tok", "__cum"
+    )
+    tagged = summed.drop("__ord", "__n_tok").join(
         F.broadcast(btab),
         F.col(source_col).eqNullSafe(F.col("__src")),
         "left",

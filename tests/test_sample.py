@@ -311,3 +311,56 @@ def test_token_budget_mix_hash_order_deterministic(spark):
                    sample.token_budget_mix(kept, "source", {"s": 120},
                                            ["doc_id"]).collect())
     assert again == a
+
+
+def test_grouped_prefix_sum_matches_window_and_keeps_null_groups(spark):
+    """The distributed prefix sum must equal Window.partitionBy(key)
+    row for row on a total order, including the NULL-key group (a
+    name-list join would silently drop it)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    rng = random.Random(17)
+    rows = [
+        (rng.choice(["a", "b", None]), i, rng.randrange(1, 9))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v long")
+    got = {
+        (r.k, r.i): r.cum
+        for r in grouped_prefix_sum(df, ["k"], ["i"], "v", "cum").collect()
+    }
+    w = (
+        Window.partitionBy("k").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.k, r.i): r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    assert len(got) == 500  # null-key rows survived
+
+
+def test_token_budget_mix_null_source_follows_default(spark):
+    from getl_spark.functions import sample
+
+    df = spark.createDataFrame(
+        [("web", 1, "a b"), (None, 2, "c d"), (None, 3, "e")],
+        "source string, doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in sample.token_budget_mix(
+            df, "source", {"web": 100}, ["doc_id"]
+        ).collect()
+    )
+    assert kept == [1, 2, 3]  # null source unlisted -> default keep
+    dropped = sample.token_budget_mix(
+        df, "source", {"web": 100}, ["doc_id"], default_keep=False
+    )
+    assert sorted(r.doc_id for r in dropped.collect()) == [1]
