@@ -42,11 +42,8 @@ def quota_filter(
     be nonnegative (a quota consumes; it cannot refund).
     """
     if not df.isStreaming:
-        w = (
-            Window.partitionBy(key_col)
-            .orderBy(F.col(order_col).asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
+        from getl_spark.common.scale import grouped_prefix_sum
+
         # a negative count would break prefix monotonicity and silently
         # change semantics — fail loudly. assert_true must live inside
         # the summed expression, or column pruning would elide it; it
@@ -57,10 +54,18 @@ def quota_filter(
             ).cast("long"),
             F.lit(0),
         )
+        # distributed prefix sum, not a key-partitioned window: quota
+        # keys (source/domain/license bucket) are typically FEW, and a
+        # keyed window would collapse parallelism to their count
+        summed = grouped_prefix_sum(
+            df.withColumn("__q_checked", checked),
+            [key_col],
+            [order_col],
+            "__q_checked",
+            _CUM,
+        )
         return (
-            df.withColumn(_CUM, F.sum(checked).over(w))
-            .where(F.col(_CUM) <= budget)
-            .drop(_CUM)
+            summed.where(F.col(_CUM) <= budget).drop(_CUM, "__q_checked")
         )
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
