@@ -3745,6 +3745,29 @@ JOIN (SELECT o_orderkey, o_totalprice AS lo, o_totalprice + 2000.0 AS hi
 """
 
 
+def _q_freq_sketch(spark, sf_dir):
+    """sketch.freq_sketch + freq_estimate — Count-Min frequency
+    estimates for every source value over ``documents``. At this
+    width (eps 1e-3 → ~2000 columns) versus 20 distinct values,
+    collisions are absent and the estimates equal the exact GROUP BY
+    counts, which the oracle computes directly; the seed is pinned so
+    the sketch is bit-deterministic either way."""
+    from getl_spark.functions import sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = sketch.freq_sketch(docs, "source")
+    items = sorted(
+        r.source for r in docs.select("source").distinct().collect()
+    )
+    return sketch.freq_estimate(sk, items)
+
+
+FREQ_SKETCH_ORACLE = """
+SELECT source AS item, COUNT(*) AS estimate
+FROM documents GROUP BY source
+"""
+
+
 def _q_salted_join(spark, sf_dir):
     """skew.salted_join — the hot-key join strategy must be
     result-identical to the plain equi-join it replaces: customer ⋈
@@ -5459,6 +5482,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_logprob_buckets": _q_logprob_buckets,
         "interval_overlap_join": _q_interval_overlap,
         "skew_salted_join": _q_salted_join,
+        "sketch_freq_counts": _q_freq_sketch,
     }
 
 
@@ -5578,6 +5602,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "text_logprob_buckets": LOGPROB_BUCKETS_ORACLE,
         "interval_overlap_join": INTERVAL_OVERLAP_ORACLE,
         "skew_salted_join": SALTED_JOIN_ORACLE,
+        "sketch_freq_counts": FREQ_SKETCH_ORACLE,
     }
 
 

@@ -232,3 +232,98 @@ def jaccard_matrix(
             ).alias("jaccard_est"),
         )
     )
+
+
+# ------------------------------------------------- count-min frequency
+def freq_sketch(
+    df: "DataFrame",
+    value_col: str,
+    group_cols=(),
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+    sketch_col: str = "cms_sketch",
+) -> "DataFrame":
+    """Count-Min frequency sketch per group (Spark's built-in
+    ``count_min_sketch`` aggregate): ``(group_cols..., sketch_col,
+    n_rows)``. Approximate item counts with one-sided error — an
+    estimate is ≥ the true count, and ≤ true + eps·N with probability
+    ``confidence``. The heavy-hitter / frequency primitive when an
+    exact groupBy on the VALUE would shuffle corpus-scale
+    cardinality: the sketch is ~(2/eps)·depth·8 bytes regardless of
+    how many distinct values stream through it, and sketches MERGE —
+    sketch each day/shard once, fold increments together, query
+    without rescanning (same lifecycle as the HLL/KLL/Theta
+    families). Map-side partial aggregation carries the row volume;
+    the reduce side moves one sketch per group.
+    """
+    if not 0 < eps < 1 or not 0 < confidence < 1:
+        raise ValueError("freq_sketch: eps and confidence must be in (0, 1)")
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    agg = [
+        F.expr(
+            f"count_min_sketch(`{value_col}`, CAST({eps!r} AS DOUBLE), "
+            f"CAST({confidence!r} AS DOUBLE), {int(seed)})"
+        ).alias(sketch_col),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    return df.groupBy(*group_cols).agg(*agg) if group_cols else df.agg(*agg)
+
+
+def freq_estimate(
+    sketches: "DataFrame",
+    items,
+    group_cols=(),
+    sketch_col: str = "cms_sketch",
+    item_col: str = "item",
+    estimate_col: str = "estimate",
+    max_groups: int = 10_000,
+) -> "DataFrame":
+    """Query ``freq_sketch`` output for the given items: one row per
+    (group, item) with the estimated count. Sketch rows for the same
+    group (per-day increments) are MERGED before querying, so a
+    grouped sketch table accumulated over time answers as one.
+
+    The sketch table is dimension-sized by construction (one row per
+    group/increment); it is collected to the driver under a hard
+    ``max_groups`` bound (the ANN ``max_queries`` contract) and
+    queried through the JVM CountMinSketch — per item, never per
+    corpus row.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    items = list(items)
+    if not items:
+        raise ValueError("freq_estimate: items must be non-empty")
+    rows = sketches.select(*group_cols, sketch_col).limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"freq_estimate: sketch table exceeds max_groups={max_groups}; "
+            f"a sketch table should be dimension-sized — aggregate "
+            f"increments with fewer groups or raise max_groups"
+        )
+    spark = sketches.sparkSession
+    jvm = spark.sparkContext._jvm
+    merged = {}
+    for r in rows:
+        key = tuple(r[c] for c in group_cols)
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytearray(r[sketch_col])
+        )
+        if key in merged:
+            merged[key].mergeInPlace(sk)
+        else:
+            merged[key] = sk
+    out = [
+        key + (item, int(sk.estimateCount(item)))
+        for key, sk in sorted(merged.items(), key=lambda kv: str(kv[0]))
+        for item in items
+    ]
+    schema_groups = "".join(
+        f"`{c}` {sketches.schema[c].dataType.simpleString()}, "
+        for c in group_cols
+    )
+    item_type = "string" if isinstance(items[0], str) else "bigint"
+    return spark.createDataFrame(
+        out,
+        f"{schema_groups}`{item_col}` {item_type}, `{estimate_col}` bigint",
+    )

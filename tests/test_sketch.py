@@ -230,3 +230,57 @@ def test_histogram_buckets_and_edges(spark):
 
     with _pytest.raises(ValueError, match="bins"):
         S.histogram(df, "v", bins=0)
+
+
+# --------------------------------------------------- count-min frequency
+def test_freq_sketch_exact_on_small_and_merges(spark):
+    """With sketch width >> distinct values the estimates are exact;
+    per-shard sketches merged must answer like one whole-corpus
+    sketch (the mergeable-bytes lifecycle)."""
+    from getl_spark.functions import sketch
+
+    rows = [(i % 3, f"w{i % 7}") for i in range(700)]
+    df = spark.createDataFrame(rows, "shard int, word string")
+    items = [f"w{i}" for i in range(7)]
+
+    whole = sketch.freq_sketch(df, "word")
+    est = {
+        r.item: r.estimate
+        for r in sketch.freq_estimate(whole, items).collect()
+    }
+    exact = {f"w{i}": sum(1 for _, w in rows if w == f"w{i}") for i in range(7)}
+    assert est == exact
+
+    # per-shard sketches, merged at query time, answer identically
+    sharded = sketch.freq_sketch(df, "word", group_cols="shard")
+    assert sharded.count() == 3
+    # erase the group key -> all three sketches merge into one answer
+    import pyspark.sql.functions as F
+
+    merged = sketch.freq_estimate(
+        sharded.withColumn("shard", F.lit(0)), items, group_cols="shard"
+    )
+    est2 = {r.item: r.estimate for r in merged.collect()}
+    assert est2 == exact
+
+
+def test_freq_estimate_grouped_and_bounds(spark):
+    import pytest
+
+    from getl_spark.functions import sketch
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "x"), ("b", "y")], "g string, v string"
+    )
+    sk = sketch.freq_sketch(df, "v", group_cols="g")
+    out = {
+        (r.g, r.item): r.estimate
+        for r in sketch.freq_estimate(sk, ["x", "y"], group_cols="g").collect()
+    }
+    assert out == {("a", "x"): 2, ("a", "y"): 0, ("b", "x"): 1, ("b", "y"): 1}
+    with pytest.raises(ValueError, match="max_groups"):
+        sketch.freq_estimate(sk, ["x"], group_cols="g", max_groups=1)
+    with pytest.raises(ValueError, match="non-empty"):
+        sketch.freq_estimate(sk, [], group_cols="g")
+    with pytest.raises(ValueError, match="eps"):
+        sketch.freq_sketch(df, "v", eps=0.0)
