@@ -139,7 +139,12 @@ def main() -> None:
                     "swings on untouched pure-SQL queries; r4->r5 flagged "
                     "six 50-80 ms deltas that were machine noise). Medians "
                     "+ raw runs included so cross-round deltas can be "
-                    "separated from variance"
+                    "separated from variance. r7 deliberate delta: "
+                    "quota_filter_batch and sample_token_budget pay ~0.2 s "
+                    "of extra stages for the distributed grouped prefix "
+                    "sum (a keyed window collapsed parallelism to the "
+                    "number of quota keys/sources at 100 TB; see "
+                    "docs/SCALE.md and common/scale.py)"
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
