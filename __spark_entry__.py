@@ -3745,6 +3745,172 @@ JOIN (SELECT o_orderkey, o_totalprice AS lo, o_totalprice + 2000.0 AS hi
 """
 
 
+# Deterministic synthesized corpus shared by the three sketch twins:
+# 8 disjoint word templates (docs i and j are near-dups iff i%8 == j%8,
+# overlapping on 27/30 words), so exact 3-gram Jaccard is derivable in
+# SQL and the seedless xxhash64 sketch families are bit-deterministic.
+_TWIN_DOC_SQL = """
+SELECT i AS doc_id,
+       array_to_string(list_transform(range(0, 30), j ->
+         CASE WHEN j = i % 30 THEN 'x' || i
+              ELSE 'w' || (i % 8) || '_' || j END), ' ') AS text
+FROM range(0, 48) t(i)
+"""
+
+
+def _twin_docs(spark):
+    rows = []
+    for i in range(48):
+        words = [f"w{i % 8}_{j}" for j in range(30)]
+        words[i % 30] = f"x{i}"
+        rows.append((i, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _q_minhash_twin(spark, sf_dir):
+    """dedup.minhash_lsh on the deterministic twin corpus — the
+    hash-checked twin of the rows-only `dedup_minhash_lsh` driver row:
+    within-template pairs share 27/30 words (J = 0.75 exactly), so
+    banded-LSH recall is total here (verified: LSH output ≡ the exact
+    3-gram pair set, value for value), and the exact-Jaccard verify
+    stage makes the whole output SQL-derivable. The testdata-scale
+    rows-only row and sf0.1 bench keep covering the real corpus."""
+    from getl_spark.functions import dedup
+
+    docs = _twin_docs(spark)
+    return dedup.minhash_lsh(
+        docs, n=3, num_hashes=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+MINHASH_TWIN_ORACLE = f"""
+WITH docs AS ({_TWIN_DOC_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+           AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM docs) t
+),
+sizes AS (SELECT id, COUNT(*) AS size FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       ROUND(inter / CAST(sa.size + sb.size - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE ROUND(inter / CAST(sa.size + sb.size - inter AS DOUBLE), 6) >= 0.5
+"""
+
+
+def _q_simhash_twin(spark, sf_dir):
+    """dedup.simhash_pairs on the twin corpus. The hamming distances
+    depend on the xxhash64 bit family (not SQL-derivable), but the
+    corpus is fixed and the family is seedless, so the 37-pair output
+    is bit-deterministic — pinned golden, the hash_embed pattern.
+    Partition-invariance of the sketch was verified before pinning."""
+    from getl_spark.functions import dedup
+
+    docs = _twin_docs(spark)
+    return dedup.simhash_pairs(docs, max_hamming=10, bands=4).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+SIMHASH_TWIN_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(16 AS BIGINT), 5),
+  (CAST(1 AS BIGINT), CAST(17 AS BIGINT), 8),
+  (CAST(1 AS BIGINT), CAST(41 AS BIGINT), 9),
+  (CAST(2 AS BIGINT), CAST(18 AS BIGINT), 5),
+  (CAST(3 AS BIGINT), CAST(19 AS BIGINT), 3),
+  (CAST(3 AS BIGINT), CAST(27 AS BIGINT), 8),
+  (CAST(5 AS BIGINT), CAST(29 AS BIGINT), 5),
+  (CAST(5 AS BIGINT), CAST(37 AS BIGINT), 7),
+  (CAST(6 AS BIGINT), CAST(14 AS BIGINT), 7),
+  (CAST(7 AS BIGINT), CAST(15 AS BIGINT), 6),
+  (CAST(7 AS BIGINT), CAST(31 AS BIGINT), 6),
+  (CAST(7 AS BIGINT), CAST(39 AS BIGINT), 7),
+  (CAST(8 AS BIGINT), CAST(24 AS BIGINT), 7),
+  (CAST(8 AS BIGINT), CAST(32 AS BIGINT), 6),
+  (CAST(9 AS BIGINT), CAST(33 AS BIGINT), 7),
+  (CAST(10 AS BIGINT), CAST(42 AS BIGINT), 5),
+  (CAST(13 AS BIGINT), CAST(21 AS BIGINT), 5),
+  (CAST(13 AS BIGINT), CAST(29 AS BIGINT), 10),
+  (CAST(13 AS BIGINT), CAST(45 AS BIGINT), 10),
+  (CAST(14 AS BIGINT), CAST(46 AS BIGINT), 5),
+  (CAST(15 AS BIGINT), CAST(23 AS BIGINT), 4),
+  (CAST(15 AS BIGINT), CAST(31 AS BIGINT), 4),
+  (CAST(15 AS BIGINT), CAST(47 AS BIGINT), 5),
+  (CAST(16 AS BIGINT), CAST(24 AS BIGINT), 7),
+  (CAST(16 AS BIGINT), CAST(32 AS BIGINT), 4),
+  (CAST(19 AS BIGINT), CAST(27 AS BIGINT), 5),
+  (CAST(21 AS BIGINT), CAST(29 AS BIGINT), 7),
+  (CAST(21 AS BIGINT), CAST(45 AS BIGINT), 7),
+  (CAST(23 AS BIGINT), CAST(31 AS BIGINT), 4),
+  (CAST(23 AS BIGINT), CAST(47 AS BIGINT), 5),
+  (CAST(24 AS BIGINT), CAST(32 AS BIGINT), 7),
+  (CAST(28 AS BIGINT), CAST(44 AS BIGINT), 3),
+  (CAST(29 AS BIGINT), CAST(45 AS BIGINT), 6),
+  (CAST(30 AS BIGINT), CAST(38 AS BIGINT), 8),
+  (CAST(30 AS BIGINT), CAST(46 AS BIGINT), 7),
+  (CAST(33 AS BIGINT), CAST(41 AS BIGINT), 4),
+  (CAST(34 AS BIGINT), CAST(42 AS BIGINT), 8)
+) AS t(id_a, id_b, hamming)
+"""
+
+
+def _q_topk_lsh_twin(spark, sf_dir):
+    """similarity.topk_lsh on the deterministic axis-cluster frame —
+    the hash-checked twin of the rows-only `similarity_topk_lsh` row:
+    multiprobe bucket recall is total here (verified ≡ brute force)
+    and the in-bucket rerank is exact cosine, so the DuckDB all-pairs
+    top-k is a true oracle."""
+    from getl_spark.functions import similarity
+
+    rows = [
+        (
+            i,
+            [
+                (10.0 if j == i % 6 else 0.0) + ((i * 7 + j * 3) % 5 - 2) / 10.0
+                for j in range(8)
+            ],
+        )
+        for i in range(60)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return similarity.topk_lsh(
+        vecs, vecs.where("vec_id < 6"), k=3, planes=6
+    ).select(
+        "query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+TOPK_LSH_TWIN_ORACLE = """
+WITH vecs AS (
+  SELECT i AS vec_id,
+         list_transform(range(0, 8), j ->
+           (CASE WHEN j = i % 6 THEN 10.0 ELSE 0.0 END)
+           + ((i * 7 + j * 3) % 5 - 2) / 10.0) AS v
+  FROM range(0, 60) t(i)
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+         ROUND(list_cosine_similarity(q.v, e.v), 6) AS cosine
+  FROM vecs e, vecs q WHERE q.vec_id < 6 AND e.vec_id != q.vec_id
+)
+SELECT query_id, nbr_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored) t
+WHERE rank <= 3
+"""
+
+
 def _q_freq_sketch(spark, sf_dir):
     """sketch.freq_sketch + freq_estimate — Count-Min frequency
     estimates for every source value over ``documents``. At this
@@ -5483,6 +5649,9 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_join": _q_interval_overlap,
         "skew_salted_join": _q_salted_join,
         "sketch_freq_counts": _q_freq_sketch,
+        "dedup_minhash_twin": _q_minhash_twin,
+        "dedup_simhash_twin": _q_simhash_twin,
+        "similarity_topk_lsh_twin": _q_topk_lsh_twin,
     }
 
 
@@ -5603,6 +5772,9 @@ def _base_demoted_oracles() -> dict[str, str]:
         "interval_overlap_join": INTERVAL_OVERLAP_ORACLE,
         "skew_salted_join": SALTED_JOIN_ORACLE,
         "sketch_freq_counts": FREQ_SKETCH_ORACLE,
+        "dedup_minhash_twin": MINHASH_TWIN_ORACLE,
+        "dedup_simhash_twin": SIMHASH_TWIN_ORACLE,
+        "similarity_topk_lsh_twin": TOPK_LSH_TWIN_ORACLE,
     }
 
 
