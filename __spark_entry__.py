@@ -3911,6 +3911,65 @@ WHERE rank <= 3
 """
 
 
+def _q_dedup_vec_index(spark, sf_dir):
+    """similarity.dedup_against_index — incremental vector dedup
+    against the persisted IVF-PQ index on the axis-cluster frame: the
+    increment carries exact copies of indexed vectors (score ≈ 1,
+    in-distribution so reconstruction error is tiny) and pure new-axis
+    vectors (score ≈ 0 against every indexed vector), so the
+    keep/drop decision is margin-robust to PQ error and the DuckDB
+    exact-cosine replica is a true oracle of the survivor set."""
+    from getl_spark.functions import similarity
+
+    rows = [
+        (
+            i,
+            [
+                (10.0 if j == i % 6 else 0.0) + ((i * 7 + j * 3) % 5 - 2) / 10.0
+                for j in range(8)
+            ],
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = "/tmp/getl_spark_q/vec_dedup_index"
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.build_ivf_pq_index(df, path, nlist=6, m=4, k=8, seed=11)
+    # increment: copies of vec 0..5 (ids 100..105, must drop) + two
+    # vectors on axes 6 and 7 (ids 200, 201 — no indexed vector has
+    # mass there, must survive)
+    inc_rows = [(100 + i, v) for i, v in [(r[0], r[1]) for r in rows[:6]]] + [
+        (200, [0.0] * 6 + [10.0, 0.0]),
+        (201, [0.0] * 7 + [10.0]),
+    ]
+    inc = spark.createDataFrame(inc_rows, "vec_id long, embedding array<double>")
+    out = similarity.dedup_against_index(inc, path, threshold=0.9, nprobe=6)
+    return out.select("vec_id")
+
+
+DEDUP_VEC_INDEX_ORACLE = """
+WITH corpus AS (
+  SELECT i AS vec_id,
+         list_transform(range(0, 8), j ->
+           (CASE WHEN j = i % 6 THEN 10.0 ELSE 0.0 END)
+           + ((i * 7 + j * 3) % 5 - 2) / 10.0) AS v
+  FROM range(0, 60) t(i)
+),
+inc AS (
+  SELECT 100 + vec_id AS vec_id, v FROM corpus WHERE vec_id < 6
+  UNION ALL
+  SELECT 200, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 10.0, 0.0]
+  UNION ALL
+  SELECT 201, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 10.0]
+)
+SELECT i.vec_id FROM inc i
+WHERE NOT EXISTS (
+  SELECT 1 FROM corpus c
+  WHERE list_cosine_similarity(i.v, c.v) >= 0.9
+)
+"""
+
+
 def _q_freq_sketch(spark, sf_dir):
     """sketch.freq_sketch + freq_estimate — Count-Min frequency
     estimates for every source value over ``documents``. At this
@@ -5652,6 +5711,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_twin": _q_minhash_twin,
         "dedup_simhash_twin": _q_simhash_twin,
         "similarity_topk_lsh_twin": _q_topk_lsh_twin,
+        "dedup_vector_index": _q_dedup_vec_index,
     }
 
 
@@ -5775,6 +5835,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_minhash_twin": MINHASH_TWIN_ORACLE,
         "dedup_simhash_twin": SIMHASH_TWIN_ORACLE,
         "similarity_topk_lsh_twin": TOPK_LSH_TWIN_ORACLE,
+        "dedup_vector_index": DEDUP_VEC_INDEX_ORACLE,
     }
 
 

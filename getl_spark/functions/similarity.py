@@ -1121,3 +1121,101 @@ def topk_ivf_pq(
         .where(F.col("rank") <= k)
         .select("query_id", "nbr_id", "score", "rank")
     )
+
+
+def dedup_against_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    threshold: float = 0.9,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop every new vector with a near-duplicate already in a
+    persisted ``build_ivf_pq_index`` — the vector-side analog of
+    ``dedup.against_stored_index``, and the dedup half of the
+    embedding daily-ingest loop (filter the increment here, then
+    ``ivf_pq_append`` the survivors). Returns the surviving rows of
+    ``new_vectors``.
+
+    Fully distributed — no driver-side query LUTs, so the increment
+    can be corpus-sized: each new vector probes its ``nprobe``
+    nearest cells with the stored centroids (JVM literal expression),
+    joins the cell-partitioned code table on the cell key, and scores
+    exact cosine against the RECONSTRUCTED indexed vector (centroid +
+    decoded residual, pure JVM array expressions). Candidates =
+    Σ_cell |increment_cell| × |index_cell| — the SemDeDup cell-join
+    shape against persisted state. The verify is sketch-level, like
+    the MinHash index's signature-agreement phase: cosine against the
+    reconstruction carries the PQ quantization error, so set
+    ``threshold`` with that margin in mind. Copies of vectors the
+    codebooks quantize WELL (in-distribution — the trained corpus's
+    own manifold) score ≈ 1 and are the contract; an increment far
+    off the training distribution reconstructs poorly (self-scores
+    can fall to ~0.5), which is the signal to re-train the index, not
+    to lower the threshold. An id already present in the index counts
+    as its own duplicate.
+    """
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(
+            f"dedup_against_index: threshold must be in [-1, 1], got "
+            f"{threshold}"
+        )
+    import numpy as np
+
+    spark = new_vectors.sparkSession
+    cent_n, books = _read_ivf_pq_model(spark, index_path)
+    nlist = len(cent_n)
+    nprobe = min(nprobe, nlist)
+    mm, kk, ds = books.shape
+    dim = embedding_dim(new_vectors, vec_col)
+    if dim != mm * ds:
+        raise ValueError(
+            f"dedup_against_index: vector dim {dim} != index dim {mm * ds}"
+        )
+
+    # codes side: reconstructed vector = centroid[cell] + decoded residual
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cent_n]
+    )
+    pieces = [
+        F.element_at(
+            F.array(*[F.array(*[F.lit(float(x)) for x in cent]) for cent in books[j]]),
+            F.col("code")[j].cast("int") + F.lit(1),
+        )
+        for j in range(mm)
+    ]
+    recon = F.zip_with(
+        F.element_at(cent_lit, F.col("cell").cast("int") + F.lit(1)),
+        F.concat(*pieces),
+        lambda a, b: a + b,
+    )
+    idx = (
+        spark.read.parquet(f"{index_path}/codes")
+        .where(F.col("code").isNotNull())
+        .withColumn("__rv", recon)
+        .select("cell", F.col("__rv"), norm_expr(F.col("__rv")).alias("__rn"))
+    )
+
+    q = with_norm(
+        new_vectors.select(
+            F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+        ).where(F.col("__qv").isNotNull()),
+        "__qv",
+    ).withColumnRenamed("norm", "__qn")
+    probed = q.select(
+        "__qid", "__qv", "__qn",
+        F.explode(
+            centroid_cells_expr(cent_n, F.col("__qv"), nassign=nprobe)
+        ).alias("cell"),
+    )
+    cos = cosine_expr(
+        F.col("__qv"), F.col("__rv"), F.col("__qn"), F.col("__rn")
+    )
+    dup_ids = (
+        probed.join(idx, "cell")
+        .where(cos >= F.lit(float(threshold)))
+        .select(F.col("__qid").alias(id_col))
+        .distinct()
+    )
+    return new_vectors.join(dup_ids, id_col, "left_anti")

@@ -368,3 +368,83 @@ def test_ivf_pq_append_validates_dim(spark, tmp_path, ivfpq_setup):
     )
     with pytest.raises(ValueError, match="dim"):
         similarity.ivf_pq_append(bad, path)
+
+
+# ---------------------------------------------------- dedup_against_index
+def test_dedup_against_index_planted(spark, tmp_path):
+    """Increment with exact copies of indexed vectors (must drop) and
+    genuinely new vectors (must survive); the decision margins are
+    huge relative to PQ reconstruction error, so the outcome is
+    exact. Surviving rows append cleanly (the ingest loop)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from getl_spark.functions import embedding as E
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(4, 16)) * 3
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(20):
+            rows.append((vid, [float(x) for x in c + rng.normal(size=16) * 0.5]))
+            vid += 1
+    corpus = E.l2_normalize(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ).cache()
+    path = str(tmp_path / "index")
+    similarity.build_ivf_pq_index(corpus, path, nlist=4, m=8, k=16, seed=5)
+
+    dup_rows = [(1000 + i, v) for i, v in
+                [(r[0], r[1]) for r in corpus.limit(10).collect()]]
+    new_rows = [
+        (2000 + i, [float(x) for x in rng.normal(size=16) * 2]) for i in range(8)
+    ]
+    inc = E.l2_normalize(
+        spark.createDataFrame(
+            [(i, v) for i, v in dup_rows] + new_rows,
+            "vec_id long, embedding array<double>",
+        )
+    )
+    kept = similarity.dedup_against_index(inc, path, threshold=0.9, nprobe=4)
+    kept_ids = sorted(r.vec_id for r in kept.collect())
+    assert all(i >= 2000 for i in kept_ids), f"a planted copy survived: {kept_ids}"
+    assert len(kept_ids) == 8  # random 16-dim vectors sit far below 0.9
+
+    # ingest loop: append the survivors, then a second wave carrying
+    # the SAME in-distribution copies is still fully dropped. (The
+    # appended random vectors are out-of-distribution for codebooks
+    # trained on the clustered corpus, so their reconstruction-level
+    # self-scores sit near 0.5-0.7 — the documented sketch-verify
+    # margin; in-distribution dups score ~1 and are the contract.)
+    similarity.ivf_pq_append(kept, path)
+    wave2 = E.l2_normalize(
+        spark.createDataFrame(
+            [(3000 + i, v) for i, v in [(r[0], r[1]) for r in corpus.limit(6).collect()]],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    assert similarity.dedup_against_index(wave2, path, threshold=0.9).count() == 0
+
+
+def test_dedup_against_index_validation_and_distributed_plan(spark, ivfpq_setup):
+    import pytest
+
+    _, path, _ = ivfpq_setup
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        similarity.dedup_against_index(bad, path)
+    ok = spark.createDataFrame(
+        [(1, [0.25] * 16)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        similarity.dedup_against_index(ok, path, threshold=2.0)
+    # the increment is never collected: no LocalTableScan of the query
+    # side, and the join is a hash join on the cell key
+    plan = (
+        similarity.dedup_against_index(ok, path)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
