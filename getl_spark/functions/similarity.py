@@ -797,7 +797,8 @@ def topk_pq(
 
 
 def _ivf_pq_assign(
-    corpus: DataFrame, cent_n, books, id_col: str, vec_col: str
+    corpus: DataFrame, cent_n, books, id_col: str, vec_col: str,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """The IVF-PQ encode stage shared by ``build_ivf_pq_index`` and
     ``ivf_pq_append``: JVM cell assignment (centroid literals fold
@@ -830,7 +831,7 @@ def _ivf_pq_assign(
             out.append(next(it) if ok else None)
         return pd.Series(out)
 
-    return (
+    assigned = (
         corpus.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
@@ -843,8 +844,8 @@ def _ivf_pq_assign(
                 F.col("v"), F.col("cell")
             ),
         )
-        .select("id", "cell", "code")
     )
+    return assigned if keep_vec else assigned.select("id", "cell", "code")
 
 
 def build_ivf_pq_index(
@@ -858,6 +859,7 @@ def build_ivf_pq_index(
     seed: int = 42,
     train_limit: int = 10000,
     kmeans_iters: int = 10,
+    store_raw: bool = False,
 ) -> DataFrame:
     """Persist an IVF-PQ index — the billion-vector ANN layout: a
     k-means coarse quantizer shards the corpus into ``nlist`` cells
@@ -869,6 +871,16 @@ def build_ivf_pq_index(
     ``{path}/codes`` (id, cell, m-byte code — partitioned by cell).
     Index bytes ≈ m + 1 per vector; a 10⁹-vector corpus indexes into
     ~10 GB, probe-pruned at query time.
+
+    ``store_raw`` additionally persists ``{path}/raw`` (id, cell, full
+    vector — cell-partitioned like the codes). Search never needs it;
+    INGEST DEDUP does: ``dedup_against_index`` verifies against
+    reconstructions whose error grows for vectors off the trained
+    manifold — and the vectors that survive a dedup are by definition
+    the off-manifold ones, so an index that keeps growing via
+    ``ivf_pq_append`` should pay the raw sidecar (4·dim bytes/vector)
+    for exact verify, exactly as the MinHash text index stores
+    signatures beside fingerprints.
 
     Training is bounded-driver twice over (IVF centroids, then
     per-subspace residual k-means on the same ordered sample); both
@@ -909,7 +921,15 @@ def build_ivf_pq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
 
     # distributed: assign cell (JVM), residual-encode (Arrow)
-    assigned = _ivf_pq_assign(corpus, cent_n, _pq_batches(pq), id_col, vec_col)
+    assigned = _ivf_pq_assign(
+        corpus, cent_n, _pq_batches(pq), id_col, vec_col, keep_vec=store_raw
+    )
+    if store_raw:
+        assigned = assigned.localCheckpoint()
+        assigned.select("id", "cell", "v").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(f"{path}/raw")
+        assigned = assigned.select("id", "cell", "code")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     return (
         spark.read.parquet(f"{path}/codes")
@@ -940,6 +960,17 @@ def _read_ivf_pq_model(spark, index_path: str):
         mm, kk, -1
     )
     return cent_n, books
+
+
+def _raw_sidecar(spark, index_path: str):
+    """The optional ``{path}/raw`` exact-vector table, or None when
+    the index was built without ``store_raw``."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{index_path}/raw")
+    except AnalysisException:
+        return None
 
 
 def ivf_pq_append(
@@ -984,7 +1015,20 @@ def ivf_pq_append(
     # pin the encoded increment BEFORE the write: the plan is lazy, and
     # a post-write recompute would re-run the skip_existing anti-join
     # against the now-grown code table and see every row as existing
-    assigned = _ivf_pq_assign(inc, cent_n, books, id_col, vec_col).localCheckpoint()
+    has_raw = _raw_sidecar(spark, index_path) is not None
+    assigned = _ivf_pq_assign(
+        inc, cent_n, books, id_col, vec_col, keep_vec=has_raw
+    ).localCheckpoint()
+    if has_raw:
+        # the sidecar grows with the codes so exact ingest verify
+        # stays complete; codes are written LAST (they drive
+        # skip_existing, so a crash between the two writes replays the
+        # batch — the raw rows it re-appends are duplicates by id,
+        # which dedup verify tolerates: same vector, same score)
+        assigned.select("id", "cell", "v").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(f"{index_path}/raw")
+        assigned = assigned.select("id", "cell", "code")
     assigned.write.mode("append").partitionBy("cell").parquet(
         f"{index_path}/codes"
     )
@@ -1130,6 +1174,7 @@ def dedup_against_index(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    verify: str = "auto",
 ) -> DataFrame:
     """Drop every new vector with a near-duplicate already in a
     persisted ``build_ivf_pq_index`` — the vector-side analog of
@@ -1141,25 +1186,38 @@ def dedup_against_index(
     Fully distributed — no driver-side query LUTs, so the increment
     can be corpus-sized: each new vector probes its ``nprobe``
     nearest cells with the stored centroids (JVM literal expression),
-    joins the cell-partitioned code table on the cell key, and scores
-    exact cosine against the RECONSTRUCTED indexed vector (centroid +
-    decoded residual, pure JVM array expressions). Candidates =
-    Σ_cell |increment_cell| × |index_cell| — the SemDeDup cell-join
-    shape against persisted state. The verify is sketch-level, like
-    the MinHash index's signature-agreement phase: cosine against the
-    reconstruction carries the PQ quantization error, so set
-    ``threshold`` with that margin in mind. Copies of vectors the
-    codebooks quantize WELL (in-distribution — the trained corpus's
-    own manifold) score ≈ 1 and are the contract; an increment far
-    off the training distribution reconstructs poorly (self-scores
-    can fall to ~0.5), which is the signal to re-train the index, not
-    to lower the threshold. An id already present in the index counts
-    as its own duplicate.
+    joins the cell-partitioned index table on the cell key, and
+    verifies exact cosine. Candidates = Σ_cell |increment_cell| ×
+    |index_cell| — the SemDeDup cell-join shape against persisted
+    state.
+
+    ``verify`` picks the index side of the cosine:
+
+    * ``'raw'`` — the exact stored vectors (requires the
+      ``store_raw=True`` sidecar). EXACT verify at any threshold,
+      regardless of how far the index has grown off its training
+      manifold. The right mode for a growing ingest-dedup index.
+    * ``'reconstruction'`` — centroid + decoded PQ residual (pure JVM
+      array expressions; no extra storage). Sketch-level, like the
+      MinHash index's signature-agreement phase: the cosine carries
+      the PQ quantization error, so copies of vectors the codebooks
+      quantize well score ≈ 1, while an increment far off the
+      training distribution reconstructs poorly (self-scores can fall
+      to ~0.5) — the signal to re-train or to store the raw sidecar.
+    * ``'auto'`` (default) — raw when the sidecar exists, else
+      reconstruction.
+
+    An id already present in the index counts as its own duplicate.
     """
     if not -1.0 <= threshold <= 1.0:
         raise ValueError(
             f"dedup_against_index: threshold must be in [-1, 1], got "
             f"{threshold}"
+        )
+    if verify not in ("auto", "raw", "reconstruction"):
+        raise ValueError(
+            f"dedup_against_index: verify must be auto|raw|reconstruction, "
+            f"got {verify!r}"
         )
     import numpy as np
 
@@ -1174,28 +1232,47 @@ def dedup_against_index(
             f"dedup_against_index: vector dim {dim} != index dim {mm * ds}"
         )
 
-    # codes side: reconstructed vector = centroid[cell] + decoded residual
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cent_n]
-    )
-    pieces = [
-        F.element_at(
-            F.array(*[F.array(*[F.lit(float(x)) for x in cent]) for cent in books[j]]),
-            F.col("code")[j].cast("int") + F.lit(1),
+    raw = _raw_sidecar(spark, index_path) if verify in ("auto", "raw") else None
+    if verify == "raw" and raw is None:
+        raise ValueError(
+            "dedup_against_index: verify='raw' needs the store_raw=True "
+            "sidecar ({path}/raw) — rebuild with store_raw or use "
+            "verify='reconstruction'"
         )
-        for j in range(mm)
-    ]
-    recon = F.zip_with(
-        F.element_at(cent_lit, F.col("cell").cast("int") + F.lit(1)),
-        F.concat(*pieces),
-        lambda a, b: a + b,
-    )
-    idx = (
-        spark.read.parquet(f"{index_path}/codes")
-        .where(F.col("code").isNotNull())
-        .withColumn("__rv", recon)
-        .select("cell", F.col("__rv"), norm_expr(F.col("__rv")).alias("__rn"))
-    )
+    if raw is not None:
+        # exact verify against the stored vectors
+        idx = raw.select(
+            "cell",
+            F.col("v").alias("__rv"),
+            norm_expr(F.col("v")).alias("__rn"),
+        )
+    else:
+        # reconstructed vector = centroid[cell] + decoded residual
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cent_n]
+        )
+        pieces = [
+            F.element_at(
+                F.array(
+                    *[F.array(*[F.lit(float(x)) for x in cent]) for cent in books[j]]
+                ),
+                F.col("code")[j].cast("int") + F.lit(1),
+            )
+            for j in range(mm)
+        ]
+        recon = F.zip_with(
+            F.element_at(cent_lit, F.col("cell").cast("int") + F.lit(1)),
+            F.concat(*pieces),
+            lambda a, b: a + b,
+        )
+        idx = (
+            spark.read.parquet(f"{index_path}/codes")
+            .where(F.col("code").isNotNull())
+            .withColumn("__rv", recon)
+            .select(
+                "cell", F.col("__rv"), norm_expr(F.col("__rv")).alias("__rn")
+            )
+        )
 
     q = with_norm(
         new_vectors.select(

@@ -393,3 +393,79 @@ def stream_dedup_ingest(conf: BlockConfig) -> DataFrame:
         .awaitTermination()
     )
     return df
+
+
+def stream_vector_ingest(conf: BlockConfig) -> DataFrame:
+    """Continuous deduplicated EMBEDDING ingestion — the vector-side
+    mirror of ``stream_dedup_ingest``: each micro-batch is (1)
+    collapsed within itself (exact id dups, then SemDeDup clustering
+    so co-arriving near-dups never meet the index), (2) filtered
+    against a persisted IVF-PQ index
+    (``similarity.dedup_against_index`` — probed-cell join vs
+    reconstructed codes, fully distributed), (3) the survivors
+    appended to the output vector table AND encoded into the index
+    (``similarity.ivf_pq_append``), so every later batch dedups
+    against everything already ingested without rescanning it.
+
+    Properties: ``Path`` (vector output, parquet append),
+    ``IndexPath`` (an existing ``build_ivf_pq_index`` — bootstrap from
+    the initial corpus, preferably with ``store_raw=True``: the
+    vectors that keep surviving dedup are by definition off the
+    trained manifold, where reconstruction-level verify is weakest,
+    and the raw sidecar makes the verify exact),
+    ``IdColumn``/``VectorColumn`` (default
+    vec_id/embedding), ``Threshold`` (cosine, default 0.9),
+    ``NProbe`` (default 4), ``WithinBatchNlist`` (SemDeDup cells for
+    the intra-batch pass, default 16), ``Checkpoint`` (default
+    ``<Path>__checkpoint``). Runs with ``availableNow``.
+
+    Crash safety: the vector write is idempotent (each micro-batch
+    overwrites its own ``batch=<id>`` subdirectory) and
+    ``ivf_pq_append``'s ``skip_existing`` anti-join makes the index
+    append idempotent by id — a replayed batch re-filters or re-skips,
+    never duplicates.
+    """
+    from getl_spark.functions import dedup, similarity
+
+    df = conf.input_df()
+    out = conf.get("Path")
+    index_path = conf.get("IndexPath")
+    id_col = conf.get("IdColumn", "vec_id")
+    vec_col = conf.get("VectorColumn", "embedding")
+    threshold = float(conf.get("Threshold", 0.9))
+    nprobe = int(conf.get("NProbe", 4))
+    nlist_batch = int(conf.get("WithinBatchNlist", 16))
+    checkpoint = conf.get("Checkpoint", f"{out.rstrip('/')}__checkpoint")
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.dropDuplicates([id_col])
+        # co-arriving near-dups never meet the index — collapse them
+        # with the in-memory SemDeDup composition (min-id winner)
+        batch = dedup.semantic_dedup(
+            batch, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            nlist=nlist_batch, nassign=2,
+        )
+        survivors = similarity.dedup_against_index(
+            batch, index_path, threshold=threshold, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col,
+        ).localCheckpoint()
+        if survivors.isEmpty():
+            return
+        survivors.write.mode("overwrite").parquet(
+            f"{out.rstrip('/')}/batch={batch_id}"
+        )
+        similarity.ivf_pq_append(
+            survivors, index_path, id_col=id_col, vec_col=vec_col
+        )
+
+    (
+        df.writeStream.trigger(availableNow=True)
+        .outputMode(conf.get("OutputMode", "append"))
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(ingest_batch)
+        .start()
+        .awaitTermination()
+    )
+    return df

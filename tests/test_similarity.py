@@ -448,3 +448,54 @@ def test_dedup_against_index_validation_and_distributed_plan(spark, ivfpq_setup)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_against_index_raw_verify_exact_for_off_manifold(spark, tmp_path):
+    """With the store_raw sidecar, verify is exact even for vectors
+    far off the trained manifold — the growing-ingest-index case
+    where reconstruction-level verify goes blind."""
+    import numpy as np
+
+    import pytest
+    from getl_spark.functions import embedding as E
+
+    rng = np.random.default_rng(53)
+    corpus = E.l2_normalize(
+        spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+    ).cache()
+    path = str(tmp_path / "raw_index")
+    similarity.build_ivf_pq_index(
+        corpus, path, nlist=4, m=8, k=16, seed=7, store_raw=True
+    )
+    # append an off-manifold vector, then a copy of it must be caught
+    # at threshold 0.95 by raw verify (reconstruction verify misses:
+    # OOD self-scores sit well below that)
+    odd = E.l2_normalize(
+        spark.createDataFrame(
+            [(100, [0.0] * 15 + [1.0])], "vec_id long, embedding array<double>"
+        )
+    )
+    similarity.ivf_pq_append(odd, path)
+    copy = spark.createDataFrame(
+        [(200, [0.0] * 15 + [1.0])], "vec_id long, embedding array<double>"
+    )
+    kept_raw = similarity.dedup_against_index(
+        copy, path, threshold=0.95, verify="raw"
+    )
+    assert kept_raw.count() == 0
+    kept_recon = similarity.dedup_against_index(
+        copy, path, threshold=0.95, verify="reconstruction"
+    )
+    assert kept_recon.count() == 1  # the documented blind spot
+    # auto resolves to raw here (sidecar present)
+    assert similarity.dedup_against_index(copy, path, threshold=0.95).count() == 0
+    with pytest.raises(ValueError, match="verify"):
+        similarity.dedup_against_index(copy, path, verify="nope")
+    # verify='raw' on an index without the sidecar refuses loudly
+    path2 = str(tmp_path / "no_raw")
+    similarity.build_ivf_pq_index(corpus, path2, nlist=4, m=8, k=16, seed=7)
+    with pytest.raises(ValueError, match="store_raw"):
+        similarity.dedup_against_index(copy, path2, verify="raw")

@@ -745,3 +745,129 @@ def test_stream_dedup_ingest_replay_is_idempotent(spark, tmp_path):
     run("ckpt2")  # full replay of the same files
     assert spark.read.parquet(corpus).count() == 4
     assert spark.read.parquet(f"{index}/fingerprints").count() == 4
+
+
+def test_stream_vector_ingest_two_wave_drain(spark, tmp_path):
+    """write::stream_vector_ingest: wave 1 bootstraps (intra-batch
+    near-dup collapsed to the min id), wave 2 is filtered against
+    everything wave 1 ingested and its survivors fold into the index —
+    so a wave-3 replay of wave 2 ingests nothing."""
+    import json as _json
+    import numpy as np
+    import yaml as _yaml
+
+    from getl_spark import lift
+    from getl_spark.functions import similarity
+    from getl_spark.functions import embedding as E
+
+    rng = np.random.default_rng(47)
+    centers = rng.normal(size=(4, 16)) * 3
+
+    def vec(c, noise=0.3):
+        v = centers[c] + rng.normal(size=16) * noise
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "vectors")
+    index = str(tmp_path / "ivfpq_index")
+
+    # bootstrap the index from an initial corpus around the 4 centers
+    boot = E.l2_normalize(
+        spark.createDataFrame(
+            [(i, vec(i % 4)) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    # store_raw: the growing part of an ingest index is off-manifold
+    # by definition, so exact verify needs the raw sidecar
+    similarity.build_ivf_pq_index(boot, index, nlist=4, m=8, k=16, seed=9, store_raw=True)
+
+    def run():
+        blocks = {
+            "S": {
+                "Type": "load::stream_json",
+                "Properties": {
+                    "Path": str(src),
+                    "JsonSchema": {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "vec_id", "type": "long", "nullable": True, "metadata": {}},
+                            {
+                                "name": "embedding",
+                                "type": {"type": "array", "elementType": "double", "containsNull": True},
+                                "nullable": True,
+                                "metadata": {},
+                            },
+                        ],
+                    },
+                },
+            },
+            "W": {
+                "Type": "write::stream_vector_ingest",
+                "Input": "S",
+                "Properties": {
+                    "Path": out,
+                    "IndexPath": index,
+                    "Threshold": 0.9,
+                    "NProbe": 4,
+                    "WithinBatchNlist": 4,
+                    "Checkpoint": str(tmp_path / "ckpt"),
+                },
+            },
+        }
+        lift(spark, _yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+
+    boot_rows = {r.vec_id: list(r.embedding) for r in boot.collect()}
+    # wave 1: an exact copy of indexed vec 0 (drop), an intra-batch
+    # near-dup pair far from the corpus (min id of the pair survives),
+    # and one genuinely new direction
+    far = [0.0] * 8 + [1.0] + [0.0] * 7
+    far2 = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(far)]
+    new_dir = [0.0] * 15 + [1.0]
+    (src / "w1.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in [
+                {"vec_id": 1000, "embedding": boot_rows[0]},
+                {"vec_id": 1001, "embedding": far},
+                {"vec_id": 1002, "embedding": far2},
+                {"vec_id": 1003, "embedding": new_dir},
+            ]
+        )
+    )
+    run()
+    ingested = spark.read.parquet(out)
+    assert sorted(r.vec_id for r in ingested.collect()) == [1001, 1003]
+
+    # wave 2: a near-copy of wave-1 survivor 1001 (drop — the index
+    # grew), plus one more new direction (survives)
+    new_dir2 = [0.0] * 14 + [1.0, 0.0]
+    (src / "w2.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in [
+                {"vec_id": 2000, "embedding": far2},
+                {"vec_id": 2001, "embedding": new_dir2},
+            ]
+        )
+    )
+    run()
+    assert sorted(r.vec_id for r in spark.read.parquet(out).collect()) == [
+        1001, 1003, 2001,
+    ]
+
+    # wave 3: replay wave 2's payload under new ids — all dropped
+    (src / "w3.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in [
+                {"vec_id": 3000, "embedding": far2},
+                {"vec_id": 3001, "embedding": new_dir2},
+            ]
+        )
+    )
+    run()
+    assert sorted(r.vec_id for r in spark.read.parquet(out).collect()) == [
+        1001, 1003, 2001,
+    ]
