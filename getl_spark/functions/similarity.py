@@ -1058,7 +1058,9 @@ def topk_ivf_pq(
     q·centroid(cell) + Σⱼ LUT[j, codeⱼ] with the query-residual LUTs
     broadcast in the Arrow closure — and take top-k per query.
     Optional exact-cosine ``rerank`` of a ``rerank_factor×k``
-    shortlist against a raw-vector table, exactly like ``topk_pq``.
+    shortlist against a raw-vector table, exactly like ``topk_pq`` —
+    pass ``rerank="index"`` to rerank against the index's own
+    ``store_raw=True`` sidecar (no external raw table needed).
     Per-query scan cost: (nprobe/nlist)·corpus codes at m bytes each —
     the two prunings multiply.
     """
@@ -1067,6 +1069,19 @@ def topk_ivf_pq(
 
     cent_n, books = _read_ivf_pq_model(spark, index_path)
     mm, kk, ds = books.shape
+    if isinstance(rerank, str):
+        if rerank != "index":
+            raise ValueError(
+                f"topk_ivf_pq: rerank must be a DataFrame or 'index', "
+                f"got {rerank!r}"
+            )
+        raw = _raw_sidecar(spark, index_path)
+        if raw is None:
+            raise ValueError(
+                "topk_ivf_pq: rerank='index' needs the store_raw=True "
+                "sidecar ({path}/raw)"
+            )
+        rerank = raw.select(F.col("id").alias(id_col), F.col("v").alias(vec_col))
 
     q_rows = _bounded_query_rows(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))

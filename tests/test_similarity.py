@@ -499,3 +499,45 @@ def test_dedup_against_index_raw_verify_exact_for_off_manifold(spark, tmp_path):
     similarity.build_ivf_pq_index(corpus, path2, nlist=4, m=8, k=16, seed=7)
     with pytest.raises(ValueError, match="store_raw"):
         similarity.dedup_against_index(copy, path2, verify="raw")
+
+
+def test_topk_ivf_pq_rerank_index_sidecar(spark, tmp_path):
+    """rerank='index' reranks against the store_raw sidecar — full
+    probe then equals brute force with no external raw table."""
+    import numpy as np
+
+    import pytest
+    from getl_spark.functions import embedding as E
+
+    rng = np.random.default_rng(61)
+    centers = rng.normal(size=(4, 16)) * 3
+    rows = [
+        (20 * ci + i, [float(x) for x in c + rng.normal(size=16) * 0.7])
+        for ci, c in enumerate(centers)
+        for i in range(20)
+    ]
+    df = E.l2_normalize(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ).cache()
+    path = str(tmp_path / "idx")
+    similarity.build_ivf_pq_index(
+        df, path, nlist=4, m=8, k=16, seed=3, store_raw=True
+    )
+    q = df.where("vec_id in (0, 25, 50)")
+    got = sorted(
+        (r.query_id, r.nbr_id, r.score)
+        for r in similarity.topk_ivf_pq(
+            spark, q, path, k=4, nprobe=4, rerank="index"
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.nbr_id, r.cosine)
+        for r in similarity.topk_bruteforce(df, q, k=4).collect()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="'index'"):
+        similarity.topk_ivf_pq(spark, q, path, rerank="raw")
+    path2 = str(tmp_path / "no_raw")
+    similarity.build_ivf_pq_index(df, path2, nlist=4, m=8, k=16, seed=3)
+    with pytest.raises(ValueError, match="store_raw"):
+        similarity.topk_ivf_pq(spark, q, path2, rerank="index")
