@@ -5163,6 +5163,81 @@ def _q_ivf_pq_append(spark, sf_dir):
 IVF_PQ_APPEND_ORACLE = IVF_PQ_TOPK_ORACLE
 
 
+def _q_stream_vector_ingest(spark, sf_dir):
+    """write::stream_vector_ingest driven end-to-end: bootstrap the
+    IVF-PQ index (with the raw sidecar) from the vec_id%3=2 slice of
+    ``embeddings``, drain two waves (wave 2 re-carries every wave-1
+    vector), return the ingested vector ids. Margin-robust: the
+    corpus's max cross-id cosine is ~0.51 (verified at both sf), far
+    under the 0.9 threshold, so the only drops are wave-2's exact
+    re-carries — survivors = vec_id %3 < 2 exactly, which the oracle
+    states directly."""
+    import yaml
+
+    from getl_spark import lift
+    from getl_spark.functions import similarity
+
+    tmp = "/tmp/getl_spark_q/stream_vec_ingest"
+    shutil.rmtree(tmp, ignore_errors=True)
+    src, out, index, ckpt = (
+        f"{tmp}/src", f"{tmp}/vectors", f"{tmp}/index", f"{tmp}/ckpt"
+    )
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    similarity.build_ivf_pq_index(
+        vecs.where("vec_id % 3 = 2"), index, nlist=8, m=8, k=16,
+        store_raw=True,
+    )
+
+    def drain():
+        definition = {
+            "LiftJob": {
+                "Read": {
+                    "Type": "load::stream_json",
+                    "Properties": {
+                        "Path": src,
+                        "JsonSchema": {
+                            "type": "struct",
+                            "fields": [
+                                {"name": "vec_id", "type": "long", "nullable": True, "metadata": {}},
+                                {
+                                    "name": "embedding",
+                                    "type": {"type": "array", "elementType": "double", "containsNull": True},
+                                    "nullable": True,
+                                    "metadata": {},
+                                },
+                            ],
+                        },
+                    },
+                },
+                "Sink": {
+                    "Type": "write::stream_vector_ingest",
+                    "Input": "Read",
+                    "Properties": {
+                        "Path": out,
+                        "IndexPath": index,
+                        "Threshold": 0.9,
+                        "WithinBatchNlist": 8,
+                        "Checkpoint": ckpt,
+                    },
+                },
+            }
+        }
+        lift(spark, yaml.safe_dump(definition, sort_keys=False))
+
+    vecs.where("vec_id % 3 = 0").coalesce(2).write.mode("overwrite").json(src)
+    drain()
+    vecs.where("vec_id % 3 < 2").coalesce(2).write.mode("append").json(src)
+    drain()
+    return spark.read.parquet(out).select("vec_id")
+
+
+STREAM_VECTOR_INGEST_ORACLE = """
+SELECT vec_id FROM embeddings WHERE vec_id % 3 < 2
+"""
+
+
 def _q_stream_dedup_ingest(spark, sf_dir):
     """write::stream_dedup_ingest driven end-to-end: bootstrap an
     empty MinHash index, drain two waves of ``documents`` (wave 2
@@ -5712,6 +5787,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_twin": _q_simhash_twin,
         "similarity_topk_lsh_twin": _q_topk_lsh_twin,
         "dedup_vector_index": _q_dedup_vec_index,
+        "stream_vector_ingest": _q_stream_vector_ingest,
     }
 
 
@@ -5836,6 +5912,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_simhash_twin": SIMHASH_TWIN_ORACLE,
         "similarity_topk_lsh_twin": TOPK_LSH_TWIN_ORACLE,
         "dedup_vector_index": DEDUP_VEC_INDEX_ORACLE,
+        "stream_vector_ingest": STREAM_VECTOR_INGEST_ORACLE,
     }
 
 
