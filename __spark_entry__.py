@@ -4814,6 +4814,35 @@ WHERE budget IS NULL OR cum <= budget
 """
 
 
+def _q_active_users(spark, sf_dir):
+    """sessions.active_users — DAU/WAU from per-day mergeable HLL
+    sketches over ``events``. At this cardinality (≤ hundreds of
+    users/day, lgk=14) the HLL estimates are exact, so the DuckDB
+    trailing COUNT(DISTINCT) is a true oracle; the pytest differential
+    confirms exactness independently per day."""
+    from getl_spark.functions import sessions
+
+    ts_expr, _ = _events_ts_exprs(sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.expr(ts_expr).alias("ts")
+    )
+    return sessions.active_users(ev, windows=(1, 7))
+
+
+ACTIVE_USERS_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM ev)
+SELECT days.d AS date,
+  (SELECT COUNT(DISTINCT e.user_id) FROM ev e WHERE e.d = days.d)
+    AS active_1d,
+  (SELECT COUNT(DISTINCT e.user_id) FROM ev e
+   WHERE e.d <= days.d AND e.d > days.d - 7) AS active_7d
+FROM days
+"""
+
+
 def _q_gopher_filter(spark, sf_dir):
     """text.gopher_filter over ``documents`` with thresholds sized so
     every rule bites at this corpus shape. The oracle replays the
@@ -5788,6 +5817,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_lsh_twin": _q_topk_lsh_twin,
         "dedup_vector_index": _q_dedup_vec_index,
         "stream_vector_ingest": _q_stream_vector_ingest,
+        "sessions_active_users": _q_active_users,
     }
 
 
@@ -5913,6 +5943,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "similarity_topk_lsh_twin": TOPK_LSH_TWIN_ORACLE,
         "dedup_vector_index": DEDUP_VEC_INDEX_ORACLE,
         "stream_vector_ingest": STREAM_VECTOR_INGEST_ORACLE,
+        "sessions_active_users": ACTIVE_USERS_ORACLE,
     }
 
 

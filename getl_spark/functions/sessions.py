@@ -446,3 +446,67 @@ def top_paths(
         .orderBy(F.col("users").desc(), F.col("path"))
         .limit(k)
     )
+
+
+def active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    windows: Sequence[int] = (1, 7, 30),
+    lgk: int = 14,
+) -> DataFrame:
+    """Rolling distinct-active counts — DAU/WAU/MAU — from per-day
+    mergeable HLL sketches: one event-log pass sketches each calendar
+    day (``hll_sketch_agg``, partial-aggregated map-side), then every
+    trailing window merges at most ``max(windows)`` day-sketches and
+    estimates. The sketch-once/merge-many lifecycle: a 100 TB event
+    log is read ONCE no matter how many window lengths are asked for,
+    and the per-day sketch table (dimension-sized — one row per day)
+    can be persisted and extended incrementally.
+
+    Returns one row per day present in the data:
+    ``(date, active_{w}d …)``, each the distinct-user estimate over
+    the trailing ``w`` days ending at (and including) that date.
+    Estimates are HLL-exact until cardinalities approach 2^lgk
+    territory; raise ``lgk`` for hundreds of millions of actives.
+    The day-level self-join is an inequality join on the DAY table —
+    bounded by days², i.e. dimension-sized, never touching events.
+    """
+    if not windows or any(int(w) < 1 for w in windows):
+        raise ValueError(
+            f"active_users: windows must be positive ints, got {windows}"
+        )
+    windows = sorted({int(w) for w in windows})
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("d"))
+        .agg(F.hll_sketch_agg(user_col, F.lit(int(lgk))).alias("sk"))
+    )
+    other = daily.select(
+        F.col("d").alias("d2"), F.col("sk").alias("sk2")
+    )
+    max_w = max(windows)
+    joined = daily.select("d").join(
+        other,
+        (F.col("d2") <= F.col("d"))
+        & (F.col("d2") > F.date_sub(F.col("d"), max_w)),
+    ).withColumn("delta", F.datediff(F.col("d"), F.col("d2")))
+    aggs = [
+        F.expr(f"hll_union_agg(sk2, true) FILTER (WHERE delta < {w})").alias(
+            f"__sk{w}"
+        )
+        for w in windows
+    ]
+    return (
+        joined.groupBy("d")
+        .agg(*aggs)
+        .select(
+            F.col("d").alias("date"),
+            *[
+                F.hll_sketch_estimate(f"__sk{w}")
+                .cast("bigint")
+                .alias(f"active_{w}d")
+                for w in windows
+            ],
+        )
+    )

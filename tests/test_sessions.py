@@ -7,6 +7,8 @@ import datetime
 import pytest
 import yaml
 
+from pyspark.sql import functions as F
+
 from getl_spark import lift
 from getl_spark.functions import sessions
 
@@ -430,3 +432,66 @@ def test_top_paths_k_limits_with_total_order(spark):
         sessions.top_paths(ev, ["user_id"], "ts", max_len=0)
     with _pytest.raises(ValueError, match="k"):
         sessions.top_paths(ev, ["user_id"], "ts", k=0)
+
+
+# --------------------------------------------------------- active_users
+def test_active_users_matches_exact_distinct(spark):
+    """Hand-built log over a week: DAU/3-day actives from merged HLL
+    day-sketches equal exact trailing COUNT(DISTINCT) at this
+    cardinality, day gaps included."""
+    from getl_spark.functions import sessions
+
+    rows = [
+        (1, "2024-01-01"), (2, "2024-01-01"),
+        (1, "2024-01-02"),
+        (3, "2024-01-04"), (1, "2024-01-04"), (1, "2024-01-04"),
+        (4, "2024-01-05"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        str(r.date): (r.active_1d, r.active_3d)
+        for r in sessions.active_users(df, windows=(1, 3)).collect()
+    }
+    assert out == {
+        "2024-01-01": (2, 2),
+        "2024-01-02": (1, 2),          # users {1,2} over Dec 31..Jan 2
+        "2024-01-04": (2, 2),          # {1,3} today; Jan 2-4 -> {1,3}
+        "2024-01-05": (1, 3),          # {4}; Jan 3-5 -> {1,3,4}
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sessions.active_users(df, windows=())
+    with _pytest.raises(ValueError):
+        sessions.active_users(df, windows=(0,))
+
+
+def test_active_users_events_table_vs_exact(spark):
+    """Differential on the driver events table: every window estimate
+    equals the exact trailing distinct count."""
+    import __spark_entry__ as entry
+    from getl_spark.functions import sessions
+
+    sf = "/root/testdata/sf0.001"
+    ts_expr, _ = entry._events_ts_exprs(sf)
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", F.expr(ts_expr).alias("ts")
+    )
+    got = {
+        str(r.date): (r.active_1d, r.active_7d)
+        for r in sessions.active_users(ev, windows=(1, 7)).collect()
+    }
+    days = [r.d for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()]
+    exact = {}
+    for d in days:
+        one = ev.where(F.to_date("ts") == F.lit(d)).select("user_id").distinct().count()
+        seven = (
+            ev.where(
+                (F.to_date("ts") <= F.lit(d))
+                & (F.to_date("ts") > F.date_sub(F.lit(d), 7))
+            ).select("user_id").distinct().count()
+        )
+        exact[str(d)] = (one, seven)
+    assert got == exact
