@@ -4814,6 +4814,37 @@ WHERE budget IS NULL OR cum <= budget
 """
 
 
+def _q_ece(spark, sf_dir):
+    """stats.ece — calibration summary over deterministic
+    pseudo-probabilities derived from ``documents`` (score and label
+    from integer arithmetic both engines replay exactly)."""
+    from getl_spark.functions import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        (F.pmod(F.col("n_chars"), F.lit(97)) / F.lit(96.0)).alias("score"),
+        (F.pmod(F.col("doc_id"), F.lit(7)) < 3).cast("int").alias("label"),
+    )
+    return stats.ece(docs, "score", "label", bins=10)
+
+
+ECE_ORACLE = """
+WITH scored AS (
+  SELECT (n_chars % 97) / 96.0 AS s,
+         CASE WHEN doc_id % 7 < 3 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+b AS (
+  SELECT LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bk,
+         COUNT(*) AS n_b, AVG(s) AS conf, AVG(y) AS acc
+  FROM scored GROUP BY 1
+)
+SELECT ROUND(SUM(n_b * ABS(acc - conf)) / SUM(n_b), 6) AS ece,
+       ROUND(MAX(ABS(acc - conf)), 6) AS max_gap,
+       CAST(SUM(n_b) AS BIGINT) AS n
+FROM b
+"""
+
+
 def _q_active_users(spark, sf_dir):
     """sessions.active_users — DAU/WAU from per-day mergeable HLL
     sketches over ``events``. At this cardinality (≤ hundreds of
@@ -5818,6 +5849,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_vector_index": _q_dedup_vec_index,
         "stream_vector_ingest": _q_stream_vector_ingest,
         "sessions_active_users": _q_active_users,
+        "stats_ece": _q_ece,
     }
 
 
@@ -5944,6 +5976,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_vector_index": DEDUP_VEC_INDEX_ORACLE,
         "stream_vector_ingest": STREAM_VECTOR_INGEST_ORACLE,
         "sessions_active_users": ACTIVE_USERS_ORACLE,
+        "stats_ece": ECE_ORACLE,
     }
 
 

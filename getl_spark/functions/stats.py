@@ -596,3 +596,62 @@ def mutual_info(
             F.col("n"),
         )
     )
+
+
+def ece(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Expected calibration error of a probabilistic classifier
+    (e.g. ``quality.score`` output vs held-out labels): scores are
+    binned into ``bins`` equal-width confidence buckets and
+    ECE = Σ_b (n_b/N)·|accuracy_b − confidence_b| — the standard
+    reliability-diagram summary. Returns one row
+    ``(ece, max_gap, n)`` where ``max_gap`` is the worst single
+    bucket's |accuracy − confidence| (the maximum calibration error).
+
+    A well-calibrated classifier has ECE near 0; a high ECE means the
+    scores cannot be thresholded at face value — recalibrate before
+    using them as corpus-keep probabilities. One partial-aggregated
+    shuffle whose reduce side is ``bins`` rows, then a 1-row fold —
+    scan-scale at any corpus size.
+
+    Scores must lie in [0, 1] (asserted loudly — a logit sneaking in
+    where a probability belongs is the classic silent bug); labels
+    are coerced with ``cast(double)`` so boolean/int/double all work.
+    """
+    if bins < 1:
+        raise ValueError(f"ece: bins must be >= 1, got {bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    guard = F.assert_true(
+        (s >= 0.0) & (s <= 1.0),
+        F.lit("ece: scores must be probabilities in [0, 1]"),
+    )
+    checked = s + F.coalesce(guard.cast("double"), F.lit(0.0))
+    bucket = F.least(
+        F.floor(checked * F.lit(int(bins))), F.lit(int(bins) - 1)
+    )
+    per_bucket = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(bucket.alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_b"),
+            F.avg(s).alias("conf"),
+            F.avg(y).alias("acc"),
+        )
+    )
+    return per_bucket.agg(
+        F.round(
+            F.sum(F.col("n_b") * F.abs(F.col("acc") - F.col("conf")))
+            / F.sum("n_b"),
+            round_to,
+        ).alias("ece"),
+        F.round(F.max(F.abs(F.col("acc") - F.col("conf"))), round_to).alias(
+            "max_gap"
+        ),
+        F.sum("n_b").cast("bigint").alias("n"),
+    )

@@ -279,3 +279,36 @@ def test_mutual_info_constant_column_nmi_zero(spark):
     df = spark.createDataFrame([("x", "p"), ("x", "q")], ["a", "b"])
     row = stats.mutual_info(df, "a", "b", normalize=True).collect()[0]
     assert row["mi"] == 0.0 and row["nmi"] == 0.0
+
+
+# ----------------------------------------------------------------- ece
+def test_ece_hand_computed_and_guards(spark):
+    """Two buckets hand-checked; perfect calibration gives 0; a logit
+    outside [0,1] fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from getl_spark.functions import stats
+
+    rows = [
+        # bucket 0 (scores < 0.5): conf 0.2, acc 0.0 -> gap 0.2, n 2
+        (0.1, 0), (0.3, 0),
+        # bucket 1: conf 0.8, acc 0.5 -> gap 0.3, n 2
+        (0.7, 1), (0.9, 0),
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = stats.ece(df, "score", "label", bins=2).first()
+    assert (r.ece, r.max_gap, r.n) == (0.25, 0.3, 4)
+
+    perfect = spark.createDataFrame(
+        [(0.0, 0), (1.0, 1), (1.0, 1)], "score double, label int"
+    )
+    assert stats.ece(perfect, "score", "label", bins=2).first().ece == 0.0
+
+    with pytest.raises(Exception, match="probabilities"):
+        stats.ece(
+            spark.createDataFrame([(1.7, 1)], "score double, label int"),
+            "score", "label",
+        ).collect()
+    with pytest.raises(ValueError):
+        stats.ece(df, "score", "label", bins=0)
