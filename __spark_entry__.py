@@ -4814,6 +4814,35 @@ WHERE budget IS NULL OR cum <= budget
 """
 
 
+def _q_dedup_by_url(spark, sf_dir):
+    """dedup.by_url — URL-level dedup over crawl URLs synthesized so
+    every ``doc_id % 10`` bucket is ONE page crawled under two
+    different spellings (tracking params + default port + case vs the
+    clean form): all spellings canonicalize together and the min
+    doc_id per page survives. DuckDB derives the canonical directly
+    from the same integer arithmetic."""
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    page = F.pmod(F.col("doc_id"), F.lit(10)).cast("string")
+    url = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+        F.concat(F.lit("HTTP://Site.com:80/p/"), page, F.lit("?utm_source=x")),
+    ).otherwise(F.concat(F.lit("http://site.com/p/"), page))
+    out = dedup.by_url(
+        docs.select("doc_id", url.alias("url")), canonical_col="canon"
+    )
+    return out.select("doc_id", "canon")
+
+
+DEDUP_BY_URL_ORACLE = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       'http://site.com/p/' || (doc_id % 10) AS canon
+FROM documents
+GROUP BY doc_id % 10
+"""
+
+
 def _q_ece(spark, sf_dir):
     """stats.ece — calibration summary over deterministic
     pseudo-probabilities derived from ``documents`` (score and label
@@ -5850,6 +5879,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_vector_ingest": _q_stream_vector_ingest,
         "sessions_active_users": _q_active_users,
         "stats_ece": _q_ece,
+        "dedup_by_url": _q_dedup_by_url,
     }
 
 
@@ -5977,6 +6007,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stream_vector_ingest": STREAM_VECTOR_INGEST_ORACLE,
         "sessions_active_users": ACTIVE_USERS_ORACLE,
         "stats_ece": ECE_ORACLE,
+        "dedup_by_url": DEDUP_BY_URL_ORACLE,
     }
 
 

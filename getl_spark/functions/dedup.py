@@ -1498,3 +1498,45 @@ def remove_substring_dups(
         F.concat_ws(" ", F.transform(kept, lambda s: s["w"]))
     )
     return joined.withColumn(new_col, out_text).drop("__spans")
+
+
+def by_url(
+    df: "DataFrame",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: "Optional[str]" = None,
+    canonical_col: "Optional[str]" = None,
+) -> "DataFrame":
+    """URL-level dedup — the FineWeb-style first pass before any text
+    dedup: canonicalize ``url_col`` (``text.canonicalize_url``'s full
+    chain — tracking params, default ports, case, fragments) and keep
+    ONE row per canonical URL: the min ``id_col``, or with
+    ``quality_col`` the best row (max quality, id tiebreak). Rows with
+    a NULL url pass through untouched (no URL is no dedup evidence).
+    ``canonical_col`` keeps the canonical form in the output.
+
+    One keyed window on the canonical URL — same shuffle budget as
+    ``drop_duplicates``, with the canonicalization a scan-speed regexp
+    chain. Catches the same-page-different-tracking-params crawls that
+    exact text dedup only finds after downloading both copies.
+    """
+    from pyspark.sql import Window
+    from getl_spark.functions.text import canonicalize_url
+
+    tmp = canonical_col or "__by_url_canon"
+    canon = canonicalize_url(df, url_col, tmp)
+    with_url = canon.where(F.col(url_col).isNotNull())
+    null_url = canon.where(F.col(url_col).isNull())
+    order = (
+        [F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()]
+        if quality_col is not None
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(tmp).orderBy(*order)
+    kept = (
+        with_url.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = kept.unionByName(null_url)
+    return out if canonical_col else out.drop(tmp)

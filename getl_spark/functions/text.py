@@ -1261,3 +1261,50 @@ def logprob_buckets(
         .withColumn(new_col, expr)
         .drop(*[f"__th{i}" for i in range(len(qs))])
     )
+
+
+def filter_hosts(
+    df: DataFrame,
+    hosts,
+    url_col: str = "url",
+    mode: str = "block",
+    keep_null: bool = True,
+) -> DataFrame:
+    """Host allow/block filtering — the domain-blocklist (or
+    curated-allowlist) step of web-corpus curation: the canonical host
+    of ``url_col`` (lowercased, ``www.`` stripped — same key as
+    ``url_host``) is tested against ``hosts``, given either as a
+    Python sequence (folds in as a broadcast literal array —
+    blocklists of up to ~100k hosts) or as a single-column DataFrame
+    (broadcast semi/anti JOIN — the million-host registry case).
+    ``mode='block'`` drops matching rows, ``'allow'`` keeps only them.
+    Rows whose URL has no parseable host follow ``keep_null``
+    (default: a missing host is not blocklist evidence).
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError(f"filter_hosts: mode must be block|allow, got {mode}")
+    tmp = "__fh_host"
+    out = url_host(df, url_col, tmp)
+    if isinstance(hosts, DataFrame):
+        hcol = hosts.columns[0]
+        hset = hosts.select(
+            F.regexp_replace(F.lower(F.col(hcol)), r"^www\.", "").alias(tmp)
+        ).distinct()
+        joined = out.join(
+            F.broadcast(hset), tmp, "left_semi" if mode == "allow" else "left_anti"
+        )
+        if mode == "allow" and keep_null:
+            nulls = out.where(F.col(tmp).isNull())
+            joined = joined.unionByName(nulls)
+        elif mode == "block" and not keep_null:
+            joined = joined.where(F.col(tmp).isNotNull())
+        return joined.drop(tmp)
+    hosts = [str(h).lower().removeprefix("www.") for h in hosts]
+    if not hosts:
+        raise ValueError("filter_hosts: hosts must be non-empty")
+    hit = F.col(tmp).isin(hosts)
+    if mode == "block":
+        cond = ~F.coalesce(hit, F.lit(not keep_null))
+    else:
+        cond = F.coalesce(hit, F.lit(bool(keep_null)))
+    return out.where(cond).drop(tmp)

@@ -1325,3 +1325,32 @@ def test_near_dedup_one_call_collapses_planted_dups(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="method"):
         D.near_dedup(docs, method="fuzzy")
+
+
+# --------------------------------------------------------- dedup.by_url
+def test_dedup_by_url_canonical_and_quality(spark):
+    """Tracking-param / port / case variants of one page collapse to
+    one row (min id, or best quality); null urls pass through."""
+    from getl_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://Site.com:80/a?utm_source=x", 0.2),
+            (2, "http://site.com/a", 0.9),
+            (3, "http://site.com/b", 0.5),
+            (4, None, 0.1),
+            (5, None, 0.8),
+        ],
+        "doc_id long, url string, q double",
+    )
+    kept = sorted(r.doc_id for r in dedup.by_url(df).collect())
+    assert kept == [1, 3, 4, 5]  # min id wins the site.com/a pair
+    best = sorted(
+        r.doc_id for r in dedup.by_url(df, quality_col="q").collect()
+    )
+    assert best == [2, 3, 4, 5]  # quality 0.9 beats 0.2
+    out = dedup.by_url(df, canonical_col="canon")
+    assert "canon" in out.columns
+    assert {r.canon for r in out.where("doc_id in (1,2)").collect()} == {
+        "http://site.com/a"
+    }

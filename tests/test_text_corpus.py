@@ -621,3 +621,41 @@ def test_logprob_buckets_equal_population(spark):
     assert set(counts) == {0, 1, 2}
     for b in counts.values():
         assert abs(b - total / 3) <= 2
+
+
+# ---------------------------------------------------------- filter_hosts
+def test_filter_hosts_list_and_dataframe(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://WWW.Bad.com/x"),
+            (2, "http://good.org/y"),
+            (3, "https://bad.com:443/z?utm_source=a"),
+            (4, None),
+            (5, "not a url"),
+        ],
+        "doc_id long, url string",
+    )
+    blocked = sorted(
+        r.doc_id for r in text.filter_hosts(df, ["bad.com"], mode="block").collect()
+    )
+    assert blocked == [2, 4, 5]  # both bad.com spellings out, null/unparseable kept
+    allowed = sorted(
+        r.doc_id
+        for r in text.filter_hosts(
+            df, ["bad.com"], mode="allow", keep_null=False
+        ).collect()
+    )
+    assert allowed == [1, 3]
+    # DataFrame-shaped host set: broadcast anti join path
+    hosts = spark.createDataFrame([("WWW.bad.com",)], "host string")
+    blocked2 = sorted(
+        r.doc_id for r in text.filter_hosts(df, hosts, mode="block").collect()
+    )
+    assert blocked2 == [2, 4, 5]
+    assert "url" in text.filter_hosts(df, ["bad.com"]).columns
+    with pytest.raises(ValueError):
+        text.filter_hosts(df, ["x"], mode="maybe")
+    with pytest.raises(ValueError):
+        text.filter_hosts(df, [])
