@@ -659,3 +659,32 @@ def test_filter_hosts_list_and_dataframe(spark):
         text.filter_hosts(df, ["x"], mode="maybe")
     with pytest.raises(ValueError):
         text.filter_hosts(df, [])
+
+
+def test_c4_clean_line_invariants_property(spark):
+    """Property: every surviving line ends in terminal punctuation,
+    meets the word minimum, and contains no blocked word — on randomly
+    assembled multi-line documents."""
+    import random
+
+    rng = random.Random(99)
+    vocab = ["alpha", "beta", "gamma", "javascript", "delta", "x"]
+    docs = []
+    for i in range(40):
+        lines = []
+        for _ in range(rng.randrange(1, 8)):
+            words = [rng.choice(vocab) for _ in range(rng.randrange(1, 9))]
+            line = " ".join(words) + rng.choice([".", "!", "?", "", " etc"])
+            lines.append(line)
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = text.c4_clean(df, min_words_per_line=3).collect()
+    import re as _re
+
+    for r in out:
+        for line in (r.c4_text or "").split("\n"):
+            if not line:
+                continue
+            assert _re.search(r'[.!?"]$', line), line
+            assert len(line.split()) >= 3, line
+            assert "javascript" not in line.lower(), line
