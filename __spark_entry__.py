@@ -4843,6 +4843,39 @@ GROUP BY doc_id % 10
 """
 
 
+def _q_filter_hosts(spark, sf_dir):
+    """text.filter_hosts — blocklist filtering over crawl URLs
+    synthesized per doc_id band (blocked host under two spellings,
+    allowed host, unparseable, null). The oracle replays the canonical
+    host extraction and the keep rule."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = F.pmod(F.col("doc_id"), F.lit(5))
+    url = (
+        F.when(v == 0, F.lit("https://WWW.Spam.com/a"))
+        .when(v == 1, F.lit("http://spam.com:80/b?x=1"))
+        .when(v == 2, F.concat(F.lit("https://ok.org/c/"),
+                               F.col("doc_id").cast("string")))
+        .when(v == 3, F.lit("not a url"))
+    )  # v == 4 -> NULL url
+    out = text.filter_hosts(
+        docs.select("doc_id", url.alias("url")), ["spam.com"], mode="block"
+    )
+    return out.select("doc_id", "url")
+
+
+FILTER_HOSTS_ORACLE = """
+SELECT doc_id,
+  CASE doc_id % 5
+    WHEN 2 THEN 'https://ok.org/c/' || doc_id
+    WHEN 3 THEN 'not a url'
+  END AS url
+FROM documents
+WHERE doc_id % 5 >= 2
+"""
+
+
 def _q_ece(spark, sf_dir):
     """stats.ece — calibration summary over deterministic
     pseudo-probabilities derived from ``documents`` (score and label
@@ -5880,6 +5913,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_active_users": _q_active_users,
         "stats_ece": _q_ece,
         "dedup_by_url": _q_dedup_by_url,
+        "text_filter_hosts": _q_filter_hosts,
     }
 
 
@@ -6008,6 +6042,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sessions_active_users": ACTIVE_USERS_ORACLE,
         "stats_ece": ECE_ORACLE,
         "dedup_by_url": DEDUP_BY_URL_ORACLE,
+        "text_filter_hosts": FILTER_HOSTS_ORACLE,
     }
 
 
