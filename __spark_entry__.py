@@ -4843,6 +4843,47 @@ GROUP BY doc_id % 10
 """
 
 
+def _q_js_divergence(spark, sf_dir):
+    """stats.js_divergence — categorical drift of the language mix
+    between the even- and odd-id halves of ``documents``. DuckDB
+    replays the per-value counts and the symmetric KL fold exactly
+    (same log-base-2 arithmetic, 0·log0 := 0)."""
+    from getl_spark.functions import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stats.js_divergence(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"), "lang"
+    )
+
+
+JS_DIVERGENCE_ORACLE = """
+WITH lv AS (SELECT lang AS v, COUNT(*) AS cl FROM documents
+            WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY lang),
+rv AS (SELECT lang AS v, COUNT(*) AS cr FROM documents
+       WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY lang),
+m AS (
+  SELECT v, SUM(cl) AS cl, SUM(cr) AS cr FROM (
+    SELECT v, cl, 0 AS cr FROM lv
+    UNION ALL SELECT v, 0, cr FROM rv) u
+  GROUP BY v),
+t AS (SELECT SUM(cl) AS nl, SUM(cr) AS nr FROM m),
+terms AS (
+  SELECT
+    (CASE WHEN cl > 0 THEN (cl / (nl * 1.0))
+            * LN((cl / (nl * 1.0)) / ((cl / (nl * 1.0) + cr / (nr * 1.0)) / 2))
+          ELSE 0 END
+     + CASE WHEN cr > 0 THEN (cr / (nr * 1.0))
+            * LN((cr / (nr * 1.0)) / ((cl / (nl * 1.0) + cr / (nr * 1.0)) / 2))
+          ELSE 0 END) / 2 / LN(2) AS term,
+    nl, nr
+  FROM m, t)
+SELECT ROUND(SUM(term), 6) AS js_div,
+       CAST(MAX(nl) AS BIGINT) AS n_left,
+       CAST(MAX(nr) AS BIGINT) AS n_right
+FROM terms
+"""
+
+
 def _q_filter_hosts(spark, sf_dir):
     """text.filter_hosts — blocklist filtering over crawl URLs
     synthesized per doc_id band (blocked host under two spellings,
@@ -5914,6 +5955,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ece": _q_ece,
         "dedup_by_url": _q_dedup_by_url,
         "text_filter_hosts": _q_filter_hosts,
+        "stats_js_divergence": _q_js_divergence,
     }
 
 
@@ -6043,6 +6085,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_ece": ECE_ORACLE,
         "dedup_by_url": DEDUP_BY_URL_ORACLE,
         "text_filter_hosts": FILTER_HOSTS_ORACLE,
+        "stats_js_divergence": JS_DIVERGENCE_ORACLE,
     }
 
 

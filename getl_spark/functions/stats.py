@@ -655,3 +655,71 @@ def ece(
         ),
         F.sum("n_b").cast("bigint").alias("n"),
     )
+
+
+def js_divergence(
+    left: DataFrame,
+    right: DataFrame,
+    column: str,
+    base: float = 2.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence between the CATEGORICAL distributions
+    of ``column`` in two table versions — the drift gate for discrete
+    columns (language mix, source mix, label balance) where KS/PSI's
+    numeric orderings/binnings don't apply. Symmetric, bounded in
+    [0, 1] with ``base=2`` (log base 2); 0 = identical mixes. Returns
+    one row ``(js_div, n_left, n_right)``.
+
+    Each side aggregates to per-value counts first (shuffle bytes ∝
+    distinct values, not rows — the ``ks_drift`` shape), the totals
+    ride a 1-row broadcast, and the divergence is a one-pass fold over
+    the merged value table. A value absent from one side contributes
+    its full mass to the other's KL term — no smoothing constants to
+    tune (JS is finite by construction, unlike raw KL).
+    """
+    if base <= 1.0:
+        raise ValueError(f"js_divergence: base must be > 1, got {base}")
+    lv = left.where(F.col(column).isNotNull()).groupBy(
+        F.col(column).alias("v")
+    ).agg(F.count("*").alias("cl")).withColumn("cr", F.lit(0).cast("bigint"))
+    rv = right.where(F.col(column).isNotNull()).groupBy(
+        F.col(column).alias("v")
+    ).agg(F.count("*").alias("cr")).withColumn("cl", F.lit(0).cast("bigint"))
+    merged = (
+        lv.select("v", "cl", "cr")
+        .unionByName(rv.select("v", "cl", "cr"))
+        .groupBy("v")
+        .agg(F.sum("cl").alias("cl"), F.sum("cr").alias("cr"))
+    )
+    totals = merged.agg(
+        F.sum("cl").alias("nl"), F.sum("cr").alias("nr")
+    )
+    # try_divide: an empty side must reach the loud assert below as a
+    # NULL, not die in ANSI division-by-zero first
+    p = F.try_divide(F.col("cl"), F.col("nl"))
+    q = F.try_divide(F.col("cr"), F.col("nr"))
+    m = (p + q) / F.lit(2.0)
+    ln_base = F.lit(float(__import__("math").log(base)))
+    # 0·log(0/x) := 0 — the when() guards keep absent-side terms finite
+    term = (
+        F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0) / ln_base
+    out = (
+        merged.crossJoin(F.broadcast(totals))
+        .agg(
+            F.round(F.sum(term), round_to).alias("js_div"),
+            F.max("nl").alias("n_left"),
+            F.max("nr").alias("n_right"),
+        )
+    )
+    guard = F.assert_true(
+        (F.col("n_left") > 0) & (F.col("n_right") > 0),
+        F.lit("js_divergence: an input side has no non-null values"),
+    )
+    return out.select(
+        F.when(guard.isNull(), F.col("js_div")).alias("js_div"),
+        F.col("n_left").cast("bigint").alias("n_left"),
+        F.col("n_right").cast("bigint").alias("n_right"),
+    )

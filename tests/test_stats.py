@@ -312,3 +312,42 @@ def test_ece_hand_computed_and_guards(spark):
         ).collect()
     with pytest.raises(ValueError):
         stats.ece(df, "score", "label", bins=0)
+
+
+def test_js_divergence_hand_cases(spark):
+    """Identical mixes give 0; disjoint supports give 1 (base 2);
+    a hand-computed asymmetric mix matches the closed form; an empty
+    side fails loudly."""
+    import math
+
+    import pytest
+
+    from getl_spark.functions import stats
+
+    a = spark.createDataFrame([("x",), ("x",), ("y",), ("y",)], "c string")
+    b = spark.createDataFrame([("x",), ("y",)], "c string")
+    r = stats.js_divergence(a, b, "c").first()
+    assert (r.js_div, r.n_left, r.n_right) == (0.0, 4, 2)
+
+    disjoint = stats.js_divergence(
+        a, spark.createDataFrame([("z",)], "c string"), "c"
+    ).first()
+    assert disjoint.js_div == 1.0
+
+    # left {x:3/4, y:1/4} vs right {x:1/4, y:3/4}
+    l = spark.createDataFrame([("x",)] * 3 + [("y",)], "c string")
+    rr = spark.createDataFrame([("x",)] + [("y",)] * 3, "c string")
+    got = stats.js_divergence(l, rr, "c").first().js_div
+    m = lambda p, q: (p + q) / 2
+    want = 0.5 * sum(
+        p * math.log2(p / m(p, q)) + q * math.log2(q / m(p, q))
+        for p, q in [(0.75, 0.25), (0.25, 0.75)]
+    )
+    assert abs(got - round(want, 6)) < 1e-9
+
+    with pytest.raises(Exception, match="no non-null"):
+        stats.js_divergence(
+            a, spark.createDataFrame([], "c string"), "c"
+        ).collect()
+    with pytest.raises(ValueError):
+        stats.js_divergence(a, b, "c", base=1.0)
