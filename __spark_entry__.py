@@ -4843,6 +4843,53 @@ GROUP BY doc_id % 10
 """
 
 
+def _q_kmeans_stats(spark, sf_dir):
+    """embedding.kmeans_stats with PINNED axis centroids over the
+    axis-cluster frame: assignment is argmax of the first six
+    components and the cosine to the assigned unit-axis centroid is
+    v[cell]/|v| — both fully SQL-derivable."""
+    from getl_spark.functions import embedding
+
+    rows = [
+        (
+            i,
+            [
+                (10.0 if j == i % 6 else 0.0) + ((i * 7 + j * 3) % 5 - 2) / 10.0
+                for j in range(8)
+            ],
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = {
+        "centroids": [
+            [1.0 if j == c else 0.0 for j in range(8)] for c in range(6)
+        ]
+    }
+    return embedding.kmeans_stats(df, model)
+
+
+KMEANS_STATS_ORACLE = """
+WITH vecs AS (
+  SELECT i AS vec_id,
+         list_transform(range(0, 8), j ->
+           (CASE WHEN j = i % 6 THEN 10.0 ELSE 0.0 END)
+           + ((i * 7 + j * 3) % 5 - 2) / 10.0) AS v
+  FROM range(0, 60) t(i)
+),
+a AS (
+  SELECT v,
+    CAST(list_position(v[1:6], list_max(v[1:6])) - 1 AS INT) AS cell,
+    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM vecs
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(AVG(v[cell + 1] / nrm), 6) AS mean_cosine,
+       ROUND(MIN(v[cell + 1] / nrm), 6) AS min_cosine
+FROM a GROUP BY cell ORDER BY cell
+"""
+
+
 def _q_js_divergence(spark, sf_dir):
     """stats.js_divergence — categorical drift of the language mix
     between the even- and odd-id halves of ``documents``. DuckDB
@@ -5956,6 +6003,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_by_url": _q_dedup_by_url,
         "text_filter_hosts": _q_filter_hosts,
         "stats_js_divergence": _q_js_divergence,
+        "embedding_kmeans_stats": _q_kmeans_stats,
     }
 
 
@@ -6086,6 +6134,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_by_url": DEDUP_BY_URL_ORACLE,
         "text_filter_hosts": FILTER_HOSTS_ORACLE,
         "stats_js_divergence": JS_DIVERGENCE_ORACLE,
+        "embedding_kmeans_stats": KMEANS_STATS_ORACLE,
     }
 
 

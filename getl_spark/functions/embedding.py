@@ -585,3 +585,57 @@ def kmeans_assign(
     return df.withColumn(
         cell_col, F.when(F.col(vec_col).isNotNull(), col)
     )
+
+
+def kmeans_stats(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Cluster-health summary for a ``kmeans_fit`` model: one row per
+    cell — ``(cell, n_vectors, mean_cosine, min_cosine)`` of the
+    vectors ASSIGNED to it against its centroid. The k-means analog of
+    IVF occupancy: a cell with few members or a low mean cosine is a
+    topic the centroids don't represent (raise k or re-fit); watch
+    ``min_cosine`` for the straddlers ``nassign=2`` would recover in
+    the dedup/ANN consumers.
+
+    Scan-speed JVM assignment + one keyed partial-agg shuffle whose
+    reduce side is k rows. Null vectors are skipped.
+    """
+    import numpy as np
+
+    from getl_spark.functions.similarity import (
+        centroid_cells_expr, cosine_expr, norm_expr,
+    )
+
+    if "centroids" not in model or not model["centroids"]:
+        raise ValueError("kmeans_stats: model has no centroids")
+    cent = np.asarray(model["centroids"], dtype="float64")
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cent]
+    )
+    assigned = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(vec.alias("__v"))
+        .withColumn("cell", centroid_cells_expr(cent, F.col("__v"))[0])
+        .withColumn(
+            "__c", F.element_at(cent_lit, F.col("cell").cast("int") + F.lit(1))
+        )
+    )
+    cos = cosine_expr(
+        F.col("__v"), F.col("__c"),
+        norm_expr(F.col("__v")), norm_expr(F.col("__c")),
+    )
+    return (
+        assigned.select("cell", cos.alias("__cos"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("__cos"), round_to).alias("mean_cosine"),
+            F.round(F.min("__cos"), round_to).alias("min_cosine"),
+        )
+        .orderBy("cell")
+    )

@@ -480,3 +480,32 @@ def test_kmeans_assign_no_shuffle_no_udf(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_kmeans_stats_health_summary(spark):
+    """Axis clusters against axis centroids: every cell is fully
+    occupied with near-1 mean cosine; a deliberately missing axis
+    leaves its cell absent; null vectors are skipped."""
+    import pytest
+
+    rows = [
+        (
+            i,
+            [
+                (10.0 if j == i % 4 else 0.0) + ((i * 7 + j * 3) % 5 - 2) / 10.0
+                for j in range(8)
+            ],
+        )
+        for i in range(40)
+    ] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = {
+        "centroids": [[1.0 if j == c else 0.0 for j in range(8)] for c in range(5)]
+    }
+    out = {r.cell: r for r in embedding.kmeans_stats(df, model).collect()}
+    assert set(out) == {0, 1, 2, 3}       # axis 4 centroid got nothing
+    assert sum(r.n_vectors for r in out.values()) == 40
+    for r in out.values():
+        assert r.mean_cosine > 0.99 and r.min_cosine > 0.99
+    with pytest.raises(ValueError):
+        embedding.kmeans_stats(df, {"centroids": []})
