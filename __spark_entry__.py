@@ -2353,6 +2353,24 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+def _q_bloom_decontaminate(spark, sf_dir):
+    """text.bloom_decontaminate — the map-side Bloom path on the SAME
+    corpus/eval split as ``text_decontaminate``: at 2^18 bits the
+    filter fires no false positive here (verified at both sf, and the
+    seedless hash family makes the outcome bit-deterministic), so the
+    exact n-gram-overlap SQL is a true oracle of the Bloom result."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    evals = docs.where((F.col("doc_id") % 97) == 0).select("text")
+    return text.bloom_decontaminate(
+        docs, evals, n=8, num_bits=1 << 18, num_hashes=5
+    ).select("doc_id", "contaminated")
+
+
+BLOOM_DECONTAMINATE_ORACLE = DECONTAMINATE_ORACLE
+
+
 def _q_text_chunks(spark, sf_dir):
     from getl_spark.functions import text
 
@@ -4843,6 +4861,40 @@ GROUP BY doc_id % 10
 """
 
 
+def _q_batch_text(spark, sf_dir):
+    """load::batch_text (WholeText + PathColumn) — a corpus slice
+    written one file per document and read back whole; the DuckDB
+    oracle reads the same directory with read_text."""
+    tmp = "/tmp/getl_spark_q/text_files"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(f"{tmp}/files")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for row in docs.where("doc_id % 10 = 3").select("doc_id", "text").collect():
+        with open(f"{tmp}/files/doc_{row.doc_id}.txt", "w") as fh:
+            fh.write(row.text)
+    blocks = {
+        "L": {
+            "Type": "load::batch_text",
+            "Properties": {
+                "Path": f"{tmp}/files",
+                "WholeText": True,
+                "PathColumn": "src",
+            },
+        }
+    }
+    df = _run_lift(spark, blocks, result="L")
+    return df.select(
+        F.element_at(F.split("src", "/"), -1).alias("filename"),
+        F.col("value").alias("content"),
+    )
+
+
+BATCH_TEXT_ORACLE = """
+SELECT regexp_extract(filename, '[^/]+$') AS filename, content
+FROM read_text('/tmp/getl_spark_q/text_files/files/*.txt')
+"""
+
+
 def _q_kmeans_stats(spark, sf_dir):
     """embedding.kmeans_stats with PINNED axis centroids over the
     axis-cluster frame: assignment is argmax of the first six
@@ -6004,6 +6056,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_filter_hosts": _q_filter_hosts,
         "stats_js_divergence": _q_js_divergence,
         "embedding_kmeans_stats": _q_kmeans_stats,
+        "load_text_roundtrip": _q_batch_text,
+        "text_bloom_decontaminate": _q_bloom_decontaminate,
     }
 
 
@@ -6135,6 +6189,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "text_filter_hosts": FILTER_HOSTS_ORACLE,
         "stats_js_divergence": JS_DIVERGENCE_ORACLE,
         "embedding_kmeans_stats": KMEANS_STATS_ORACLE,
+        "load_text_roundtrip": BATCH_TEXT_ORACLE,
+        "text_bloom_decontaminate": BLOOM_DECONTAMINATE_ORACLE,
     }
 
 
