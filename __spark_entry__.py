@@ -4861,6 +4861,49 @@ GROUP BY doc_id % 10
 """
 
 
+def _q_dedup_quality_winner(spark, sf_dir):
+    """graph.dedup_by_component with a QUALITY winner — the
+    keep-the-best-duplicate path: exact 3-gram Jaccard pairs over
+    ``documents`` (the green ``dedup_ngram_jaccard`` construction), a
+    deterministic quality score from integer arithmetic, and per
+    cluster the max-quality row survives (id tiebreak). The oracle
+    resolves components with the recursive CTE and replays the same
+    ranking."""
+    from getl_spark.functions import dedup, graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "q", F.pmod(F.col("doc_id") * 37, F.lit(101)) / F.lit(100.0)
+    )
+    pairs = dedup.ngram_jaccard(docs, n=3, threshold=0.12)
+    out = graph.dedup_by_component(docs, pairs, id_col="doc_id", quality_col="q")
+    return out.select("doc_id", F.round("q", 6).alias("q"))
+
+
+DEDUP_QUALITY_WINNER_ORACLE = f"""
+WITH RECURSIVE pairs AS ({NGRAM_JACCARD_ORACLE}),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+),
+comp AS (SELECT n, MIN(m) AS root FROM reach GROUP BY n),
+scored AS (
+  SELECT d.doc_id, (d.doc_id * 37 % 101) / 100.0 AS q,
+         COALESCE(c.root, d.doc_id) AS root
+  FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, q,
+         ROW_NUMBER() OVER (PARTITION BY root
+                            ORDER BY q DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, ROUND(q, 6) AS q FROM ranked WHERE rn = 1
+"""
+
+
 def _q_batch_text(spark, sf_dir):
     """load::batch_text (WholeText + PathColumn) — a corpus slice
     written one file per document and read back whole; the DuckDB
@@ -6058,6 +6101,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans_stats": _q_kmeans_stats,
         "load_text_roundtrip": _q_batch_text,
         "text_bloom_decontaminate": _q_bloom_decontaminate,
+        "dedup_quality_winner": _q_dedup_quality_winner,
     }
 
 
@@ -6191,6 +6235,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "embedding_kmeans_stats": KMEANS_STATS_ORACLE,
         "load_text_roundtrip": BATCH_TEXT_ORACLE,
         "text_bloom_decontaminate": BLOOM_DECONTAMINATE_ORACLE,
+        "dedup_quality_winner": DEDUP_QUALITY_WINNER_ORACLE,
     }
 
 
