@@ -1317,6 +1317,59 @@ SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'clic
 """
 
 
+def _q_stream_parquet_roundtrip(spark, sf_dir):
+    """load::stream_parquet → streamed sink (availableNow) → read the
+    materialized output — the bronze-layer parquet-landing drain,
+    mirroring the JSON roundtrip with the parquet-specific schema
+    contract and MaxFilesPerTrigger backpressure."""
+    import json as _json
+
+    import yaml as _yaml
+
+    from getl_spark import lift
+    from getl_spark.common.tables import ManagedTable
+
+    tmp = "/tmp/getl_spark_q/stream_pq_roundtrip"
+    shutil.rmtree(tmp, ignore_errors=True)
+    src, out = f"{tmp}/src", f"{tmp}/out"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "event_type", "value"
+    ).coalesce(4).write.mode("overwrite").parquet(src)
+    schema_json = (
+        '{"type":"struct","fields":['
+        '{"name":"event_id","type":"long","nullable":true,"metadata":{}},'
+        '{"name":"user_id","type":"long","nullable":true,"metadata":{}},'
+        '{"name":"event_type","type":"string","nullable":true,"metadata":{}},'
+        '{"name":"value","type":"double","nullable":true,"metadata":{}}]}'
+    )
+    definition = {
+        "LiftJob": {
+            "Read": {
+                "Type": "load::stream_parquet",
+                "Properties": {
+                    "Path": src,
+                    "JsonSchema": _json.loads(schema_json),
+                    "MaxFilesPerTrigger": 2,
+                },
+            },
+            "Sink": {
+                "Type": "write::stream_delta",
+                "Input": "Read",
+                "Properties": {"Path": out, "OutputMode": "append"},
+            },
+        }
+    }
+    lift(spark, _yaml.safe_dump(definition, sort_keys=False))
+    return ManagedTable(spark, out).read()
+
+
+STREAM_PARQUET_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_type = 'purchase'
+"""
+
+
 def _events_conv_block(sf_dir: str) -> dict:
     """Normalize events.ts to TIMESTAMP whatever layout the parquet
     was generated with (int64 nanos or TIMESTAMP(MICROS)) — the
@@ -6102,6 +6155,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_text_roundtrip": _q_batch_text,
         "text_bloom_decontaminate": _q_bloom_decontaminate,
         "dedup_quality_winner": _q_dedup_quality_winner,
+        "stream_parquet_roundtrip": _q_stream_parquet_roundtrip,
     }
 
 
@@ -6236,6 +6290,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "load_text_roundtrip": BATCH_TEXT_ORACLE,
         "text_bloom_decontaminate": BLOOM_DECONTAMINATE_ORACLE,
         "dedup_quality_winner": DEDUP_QUALITY_WINNER_ORACLE,
+        "stream_parquet_roundtrip": STREAM_PARQUET_ORACLE,
     }
 
 
