@@ -4914,6 +4914,55 @@ GROUP BY doc_id % 10
 """
 
 
+def _q_remove_common_lines(spark, sf_dir):
+    """text.remove_common_lines — RefinedWeb-style boilerplate
+    removal over documents rewritten into multi-line pages: every
+    %3==0 doc carries a shared cookie-banner line (df far above
+    max_df → removed everywhere) and each doc keeps its unique body
+    line. The oracle recomputes per-line document frequency and
+    rebuilds the text with the same order-preserving join."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    banner = "we use cookies to improve your experience"
+    page = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(F.lit(banner + "\n"), F.col("text")),
+    ).otherwise(F.col("text"))
+    out = text.remove_common_lines(
+        docs.select("doc_id", page.alias("text")), max_df=10
+    )
+    return out.select("doc_id", F.md5("text").alias("clean_md5"))
+
+
+REMOVE_COMMON_LINES_ORACLE = """
+WITH pages AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'we use cookies to improve your experience' || chr(10) || text
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, text, i AS pos, ls[i] AS line
+  FROM (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM pages) t,
+       unnest(range(1, len(ls) + 1)) AS r(i)
+),
+freq AS (
+  SELECT line FROM lines WHERE length(line) >= 1
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) > 10
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l
+  LEFT JOIN freq f ON l.line = f.line
+  WHERE f.line IS NULL OR length(l.line) < 1
+)
+SELECT doc_id,
+       md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+FROM kept GROUP BY doc_id
+"""
+
+
 def _q_dedup_quality_winner(spark, sf_dir):
     """graph.dedup_by_component with a QUALITY winner — the
     keep-the-best-duplicate path: exact 3-gram Jaccard pairs over
@@ -6156,6 +6205,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bloom_decontaminate": _q_bloom_decontaminate,
         "dedup_quality_winner": _q_dedup_quality_winner,
         "stream_parquet_roundtrip": _q_stream_parquet_roundtrip,
+        "text_remove_common_lines": _q_remove_common_lines,
     }
 
 
@@ -6291,6 +6341,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "text_bloom_decontaminate": BLOOM_DECONTAMINATE_ORACLE,
         "dedup_quality_winner": DEDUP_QUALITY_WINNER_ORACLE,
         "stream_parquet_roundtrip": STREAM_PARQUET_ORACLE,
+        "text_remove_common_lines": REMOVE_COMMON_LINES_ORACLE,
     }
 
 
