@@ -5,9 +5,11 @@ full engine (YAML lift definition → blocks → Catalyst) at sf0.001.
 ``queries()`` exposes the driver-checked surface — exactly 50 entries
 (the driver's check budget), covering every operator family from
 SURVEY.md §2 — as (spark, sf_dir) → DataFrame callables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for each (omitted only
-for sketch-based ops whose hash families SQL cannot replicate — those
-get rows-only checks). ``demoted_queries()``/``demoted_oracle_sql()``
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every one of them
+(the three sketch families whose hash bits SQL cannot replicate are
+driver-checked through deterministic twin corpora where banding recall
+is total — their real-corpus variants live in ``rows_only_queries()``,
+benched + pytest-covered). ``demoted_queries()``/``demoted_oracle_sql()``
 hold the queries consolidated out of the budget, value-hash checked in
 tests/test_demoted_oracle.py; a deterministic round-keyed rotation
 (``_rotation_promoted``) cycles ``ROTATION_SLOTS`` of them per round
@@ -5885,10 +5887,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _raw_queries().items()}
 
 
+def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The real-corpus sketch variants (minhash-LSH / simhash / LSH
+    top-k over the testdata documents/embeddings tables). Their hash
+    families are SQL-inexpressible and banding recall on a real corpus
+    is by design < 100%, so no DuckDB oracle exists — but each operator
+    is value-hash verified through its deterministic twin in
+    ``_base_queries()`` (``dedup_minhash_twin`` / ``dedup_simhash_twin``
+    / ``similarity_topk_lsh_twin``), and these variants stay benched at
+    sf0.1 (bench.py) and pytest-covered (tests/test_dedup.py,
+    tests/test_similarity.py) for real-corpus behavior."""
+    return {
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_simhash": _q_simhash,
+        "similarity_topk_lsh": _q_sim_topk_lsh,
+    }
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Every query on the surface — checked + demoted — independent of
-    the per-round rotation. Stable lookup for bench.py and tooling."""
-    combined = {**_base_queries(), **_base_demoted()}
+    """Every query on the surface — checked + demoted + rows-only —
+    independent of the per-round rotation. Stable lookup for bench.py
+    and tooling."""
+    combined = {**_base_queries(), **_base_demoted(), **rows_only_queries()}
     return {name: _wrap(fn) for name, fn in combined.items()}
 
 
@@ -5953,8 +5973,7 @@ def _rotation_promoted(rnd: int | None = None) -> list[str]:
 def _raw_queries(rnd: int | None = None) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """This round's checked set: the base 50 with the donor slots
     replaced in place by this round's promoted demoted-pool entries
-    (order preserved, so the no-oracle sketches stay last and every
-    oracle-bearing query stays inside the checked prefix)."""
+    (order preserved; every entry bears a full value-hash oracle)."""
     demoted = _base_demoted()
     promoted = iter(_rotation_promoted(rnd))
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -5977,10 +5996,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``add_column.date`` family as one, both drop_duplicates code paths
     as one variant-tagged union, and redundant pure-``custom::sql``
     variants are demoted to ``demoted_queries()`` (still oracle-checked
-    in pytest — see tests/test_demoted_oracle.py). The three
-    SQL-inexpressible sketches sit last so every oracle-bearing query
-    is inside the checked prefix. Guarded by
-    tests/test_entry_contract.py.
+    in pytest — see tests/test_demoted_oracle.py). Every entry bears a
+    full DuckDB value-hash oracle: the three sketch families are
+    checked through their deterministic twin corpora (tail entries),
+    with the rows-only real-corpus variants in ``rows_only_queries()``.
+    Guarded by tests/test_entry_contract.py.
     """
     return {
         # shared-SQL analytics through engine load + custom::sql blocks
@@ -6035,10 +6055,16 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_ivf": _q_sim_topk_ivf,
         "text_analysis": _q_text_analysis,
         "multimodal_pipeline": _q_multimodal_pipeline,
-        # SQL-inexpressible sketches last (rows-only checks)
-        "dedup_minhash_lsh": _q_minhash_lsh,
-        "dedup_simhash": _q_simhash,
-        "similarity_topk_lsh": _q_sim_topk_lsh,
+        # Deterministic hash-checked formulations of the three sketch
+        # families (minhash-LSH / simhash / LSH top-k). Banding recall
+        # is total on these corpora, so the output is fully
+        # SQL-derivable (or bit-deterministic golden) and the driver
+        # row is a real value-hash check. The rows-only real-corpus
+        # variants stay benched at sf0.1 and pytest-covered — see
+        # rows_only_queries().
+        "dedup_minhash_twin": _q_minhash_twin,
+        "dedup_simhash_twin": _q_simhash_twin,
+        "similarity_topk_lsh_twin": _q_topk_lsh_twin,
     }
 
 
@@ -6190,9 +6216,6 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_join": _q_interval_overlap,
         "skew_salted_join": _q_salted_join,
         "sketch_freq_counts": _q_freq_sketch,
-        "dedup_minhash_twin": _q_minhash_twin,
-        "dedup_simhash_twin": _q_simhash_twin,
-        "similarity_topk_lsh_twin": _q_topk_lsh_twin,
         "dedup_vector_index": _q_dedup_vec_index,
         "stream_vector_ingest": _q_stream_vector_ingest,
         "sessions_active_users": _q_active_users,
@@ -6326,9 +6349,6 @@ def _base_demoted_oracles() -> dict[str, str]:
         "interval_overlap_join": INTERVAL_OVERLAP_ORACLE,
         "skew_salted_join": SALTED_JOIN_ORACLE,
         "sketch_freq_counts": FREQ_SKETCH_ORACLE,
-        "dedup_minhash_twin": MINHASH_TWIN_ORACLE,
-        "dedup_simhash_twin": SIMHASH_TWIN_ORACLE,
-        "similarity_topk_lsh_twin": TOPK_LSH_TWIN_ORACLE,
         "dedup_vector_index": DEDUP_VEC_INDEX_ORACLE,
         "stream_vector_ingest": STREAM_VECTOR_INGEST_ORACLE,
         "sessions_active_users": ACTIVE_USERS_ORACLE,
@@ -6350,14 +6370,10 @@ def oracle_sql(rnd: int | None = None) -> dict[str, str]:
     rotated-out donors, plus the promoted entries' (demoted-pool)
     oracles — keyed identically to ``queries()``."""
     base, dem = _base_oracles(), _base_demoted_oracles()
-    out: dict[str, str] = {}
-    for name in _raw_queries(rnd):
-        if name in base:
-            out[name] = base[name]
-        elif name in dem:
-            out[name] = dem[name]
-        # else: no-oracle sketch — intentionally absent
-    return out
+    return {
+        name: base[name] if name in base else dem[name]
+        for name in _raw_queries(rnd)
+    }
 
 
 def _base_oracles() -> dict[str, str]:
@@ -6411,6 +6427,7 @@ def _base_oracles() -> dict[str, str]:
         "similarity_topk_ivf": SIM_TOPK_ORACLE,
         "text_analysis": _text_analysis_oracle(),
         "multimodal_pipeline": MULTIMODAL_PIPELINE_ORACLE,
-        # no oracle (hash-family sketches, SQL-inexpressible):
-        # dedup_minhash_lsh, dedup_simhash, similarity_topk_lsh
+        "dedup_minhash_twin": MINHASH_TWIN_ORACLE,
+        "dedup_simhash_twin": SIMHASH_TWIN_ORACLE,
+        "similarity_topk_lsh_twin": TOPK_LSH_TWIN_ORACLE,
     }

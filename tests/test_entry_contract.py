@@ -11,7 +11,10 @@ from __future__ import annotations
 
 import __spark_entry__ as entry
 
-NO_ORACLE = {"dedup_minhash_lsh", "dedup_simhash", "similarity_topk_lsh"}
+# The rows-only real-corpus sketch variants: outside the driver budget
+# (their hash families are SQL-inexpressible on a real corpus), verified
+# through deterministic twins inside the checked 50, benched at sf0.1.
+ROWS_ONLY = {"dedup_minhash_lsh", "dedup_simhash", "similarity_topk_lsh"}
 
 
 def test_query_count_within_driver_budget():
@@ -31,20 +34,22 @@ def test_every_oracle_bearing_query_inside_checked_prefix():
     assert not missing, f"oracle-bearing queries outside checked prefix: {missing}"
 
 
-def test_oracle_keys_subset_of_queries_and_no_oracle_documented():
+def test_every_checked_query_has_an_oracle():
+    """Since round 8 the checked 50 is fully oracle-bearing: the sketch
+    families are driver-checked through their deterministic twins, and
+    the rows-only real-corpus variants live in rows_only_queries()."""
     names = set(entry._raw_queries())
     oracles = set(entry.oracle_sql())
-    assert oracles <= names
-    # every registered query either has an oracle or is a documented sketch
-    assert names - oracles == NO_ORACLE
+    assert names == oracles
 
 
-def test_no_oracle_sketches_registered_last():
-    """Sketches sit at the tail so every oracle-bearing query keeps a
-    full value-hash row even if the budget ever shrinks."""
-    names = list(entry._raw_queries())
-    tail = set(names[-len(NO_ORACLE):])
-    assert tail == NO_ORACLE
+def test_rows_only_surface_disjoint_and_resolvable():
+    rows_only = entry.rows_only_queries()
+    assert set(rows_only) == ROWS_ONLY
+    assert not set(rows_only) & set(entry._raw_queries())
+    assert not set(rows_only) & set(entry.demoted_queries())
+    # bench.py resolves these through all_queries()
+    assert ROWS_ONLY <= set(entry.all_queries())
 
 
 def test_demoted_registry_consistent():
@@ -71,9 +76,7 @@ def test_rotation_invariants_hold_for_every_round():
         demoted = entry.demoted_queries(rnd)
         demoted_oracles = entry.demoted_oracle_sql(rnd)
         assert len(qs) == entry.DRIVER_CHECK_BUDGET
-        assert set(oracles) <= set(qs)
-        assert set(qs) - set(oracles) == NO_ORACLE
-        assert set(list(qs)[-len(NO_ORACLE):]) == NO_ORACLE
+        assert set(oracles) == set(qs)
         assert not set(demoted) & set(qs)
         assert set(demoted) == set(demoted_oracles)
         # checked + demoted together cover the whole surface, always
