@@ -5,6 +5,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def is_classic(df: DataFrame) -> bool:
+    """True when ``df`` is a classic (JVM-backed) DataFrame with an
+    ``.rdd`` / SparkContext surface; False under Spark Connect, whose
+    proxies live in ``pyspark.sql.connect`` and raise on ``.rdd``."""
+    return not type(df).__module__.startswith("pyspark.sql.connect")
+
+
 def parallelize(df: DataFrame) -> DataFrame:
     """Repartition compute-heavy inputs up to cluster parallelism.
 
@@ -13,7 +20,14 @@ def parallelize(df: DataFrame) -> DataFrame:
     Partition count must match compute cost, not input bytes — a
     few-MB shuffle buys full-cluster parallelism. No-op when the input
     is already wide (the 100 TB case, where file count ≫ cores).
+
+    Under Spark Connect there is no partition-count probe (``df.rdd``
+    does not exist) and no cheap DataFrame-API equivalent, so this is
+    a documented no-op there — Connect callers with narrow inputs
+    should pre-``repartition`` themselves.
     """
+    if not is_classic(df):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -55,8 +69,19 @@ def grouped_prefix_sum(
         [order_cols] if isinstance(order_cols, str) else list(order_cols)
     )
     parts = [F.col(c) for c in keys + order_cols]
-    ranged = df.repartitionByRange(*parts).withColumn(
-        "__gps_pid", F.spark_partition_id()
+    # localCheckpoint pins the range exchange + pid tagging before the
+    # plan branches into `local` and `offsets`. Both branches must
+    # observe IDENTICAL partition-id assignments; without the pin they
+    # are two separate evaluations of this subtree, and exchange reuse
+    # is not guaranteed (column pruning can give the two exchanges
+    # different child plans, and repartitionByRange samples its bounds
+    # per-execution) — divergent pids would make the offset join
+    # silently wrong. The materialization cost is one pass over data
+    # the operator already shuffles.
+    ranged = (
+        df.repartitionByRange(*parts)
+        .withColumn("__gps_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     win_local = (
         Window.partitionBy("__gps_pid", *keys)

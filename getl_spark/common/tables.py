@@ -376,8 +376,14 @@ class ManagedTable:
             fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
             total_bytes = fs.getContentSummary(jpath).getLength()
         except Exception:  # unreachable stats (e.g. Connect) — no-op size
+            from getl_spark.common.scale import is_classic
+
             df = df if df is not None else self.read()
-            return max(df.rdd.getNumPartitions(), 1) if df is not None else 1
+            if df is None or not is_classic(df):
+                # Connect: no rdd probe either — compact to one file
+                # only when we know nothing (the conservative floor)
+                return 1
+            return max(df.rdd.getNumPartitions(), 1)
         return max(1, -(-total_bytes // (target_file_bytes or self._TARGET_FILE_BYTES)))
 
     def vacuum(self, retain_hours: int = 168) -> None:

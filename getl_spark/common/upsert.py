@@ -64,7 +64,10 @@ def run_upsert_partitions(
         for page in _paged(rows, PAGE_SIZE):
             _with_retry(lambda: flush(page), max_tries=max_tries, sleep=sleep)
 
-    df.select(*columns).rdd.foreachPartition(run_partition)
+    # DataFrame-API foreachPartition (not .rdd.foreachPartition): same
+    # executor-side execution on classic Spark, and it keeps the op
+    # available under Spark Connect where .rdd does not exist
+    df.select(*columns).foreachPartition(run_partition)
 
 
 def postgres_upsert_statement(

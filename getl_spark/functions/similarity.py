@@ -1021,13 +1021,21 @@ def ivf_pq_append(
     ).localCheckpoint()
     if has_raw:
         # the sidecar grows with the codes so exact ingest verify
-        # stays complete; codes are written LAST (they drive
-        # skip_existing, so a crash between the two writes replays the
-        # batch — the raw rows it re-appends are duplicates by id,
-        # which dedup verify tolerates: same vector, same score)
-        assigned.select("id", "cell", "v").write.mode("append").partitionBy(
-            "cell"
-        ).parquet(f"{index_path}/raw")
+        # stays complete; codes are written LAST — they are the
+        # membership source of truth (skip_existing here, the raw
+        # semi-join in dedup_against_index), so a crash between the
+        # two writes leaves only orphan raw rows that nothing reads as
+        # members, and the replayed batch re-appends codes. The raw
+        # write anti-joins the sidecar's own ids so that replay does
+        # not duplicate the orphans it is reconciling (same id ⇒ same
+        # vector — skipping the rewrite is lossless).
+        raw_rows = assigned.select("id", "cell", "v")
+        if skip_existing:
+            raw_existing = spark.read.parquet(f"{index_path}/raw").select("id")
+            raw_rows = raw_rows.join(raw_existing, "id", "left_anti")
+        raw_rows.write.mode("append").partitionBy("cell").parquet(
+            f"{index_path}/raw"
+        )
         assigned = assigned.select("id", "cell", "code")
     assigned.write.mode("append").partitionBy("cell").parquet(
         f"{index_path}/codes"
@@ -1255,7 +1263,16 @@ def dedup_against_index(
             "verify='reconstruction'"
         )
     if raw is not None:
-        # exact verify against the stored vectors
+        # exact verify against the stored vectors. Membership is the
+        # CODES table, not the sidecar: ivf_pq_append writes raw before
+        # codes, so a crash between the two leaves orphan raw rows — if
+        # they counted as members, a replayed ingest batch would see
+        # its survivors "already present", filter them out, and the
+        # codes append would never complete (ids permanently invisible
+        # to topk_ivf_pq). Semi-joining raw onto codes ignores orphans,
+        # so the replay re-admits those rows and append reconciles.
+        members = spark.read.parquet(f"{index_path}/codes").select("id")
+        raw = raw.join(members, "id", "left_semi")
         idx = raw.select(
             "cell",
             F.col("v").alias("__rv"),

@@ -294,6 +294,18 @@ def freq_estimate(
     items = list(items)
     if not items:
         raise ValueError("freq_estimate: items must be non-empty")
+    # one homogeneous supported type only: a mixed or float item list
+    # would either mis-declare the output schema or hit the wrong
+    # JVM estimateCount overload via py4j dispatch — refuse loudly
+    if all(isinstance(i, str) for i in items):
+        item_type = "string"
+    elif all(isinstance(i, int) and not isinstance(i, bool) for i in items):
+        item_type = "bigint"
+    else:
+        raise TypeError(
+            "freq_estimate: items must be all-str or all-int (bool/float/"
+            f"mixed lists are not supported), got {sorted({type(i).__name__ for i in items})}"
+        )
     rows = sketches.select(*group_cols, sketch_col).limit(max_groups + 1).collect()
     if len(rows) > max_groups:
         raise ValueError(
@@ -322,7 +334,6 @@ def freq_estimate(
         f"`{c}` {sketches.schema[c].dataType.simpleString()}, "
         for c in group_cols
     )
-    item_type = "string" if isinstance(items[0], str) else "bigint"
     return spark.createDataFrame(
         out,
         f"{schema_groups}`{item_col}` {item_type}, `{estimate_col}` bigint",

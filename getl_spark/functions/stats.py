@@ -277,8 +277,14 @@ def ks_drift(
     # (a partition-count-sized table, broadcast). Final rl/rr values
     # are boundary-invariant, so the result is identical to the
     # single-partition plan.
-    ranged = merged.repartitionByRange(F.col("v")).withColumn(
-        "pid", F.spark_partition_id()
+    # localCheckpoint pins the exchange + pid tagging before the plan
+    # branches into `local` and `offsets` — both must see identical
+    # partition ids (see common/scale.py grouped_prefix_sum); the
+    # pinned frame is the post-agg counts table, so it is small
+    ranged = (
+        merged.repartitionByRange(F.col("v"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     win_local = Window.partitionBy("pid").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -619,9 +625,11 @@ def ece(
     shuffle whose reduce side is ``bins`` rows, then a 1-row fold —
     scan-scale at any corpus size.
 
-    Scores must lie in [0, 1] (asserted loudly — a logit sneaking in
+    Scores must lie in [0, 1] (asserted loudly on EVERY non-null
+    score, including rows whose label is null — a logit sneaking in
     where a probability belongs is the classic silent bug); labels
-    are coerced with ``cast(double)`` so boolean/int/double all work.
+    are coerced with ``cast(double)`` so boolean/int/double all work,
+    and null-label rows are excluded from the calibration aggregates.
     """
     if bins < 1:
         raise ValueError(f"ece: bins must be >= 1, got {bins}")
@@ -635,14 +643,21 @@ def ece(
     bucket = F.least(
         F.floor(checked * F.lit(int(bins))), F.lit(int(bins) - 1)
     )
+    # group on ALL non-null scores (the bucket key carries the range
+    # guard, so it fires even for rows whose label is null — filtering
+    # on label first would let an out-of-range score with a null label
+    # slip past the check) and exclude null-label rows from the
+    # aggregates instead: count(y)/avg ignore nulls, so the per-bucket
+    # numbers equal the filter-first formulation exactly
     per_bucket = (
-        df.where(s.isNotNull() & y.isNotNull())
+        df.where(s.isNotNull())
         .groupBy(bucket.alias("__b"))
         .agg(
-            F.count(F.lit(1)).alias("n_b"),
-            F.avg(s).alias("conf"),
+            F.count(y).alias("n_b"),
+            F.avg(F.when(y.isNotNull(), s)).alias("conf"),
             F.avg(y).alias("acc"),
         )
+        .where(F.col("n_b") > 0)
     )
     return per_bucket.agg(
         F.round(

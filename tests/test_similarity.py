@@ -501,6 +501,71 @@ def test_dedup_against_index_raw_verify_exact_for_off_manifold(spark, tmp_path):
         similarity.dedup_against_index(copy, path2, verify="raw")
 
 
+def test_ivf_pq_append_crash_between_raw_and_codes_reconciles(spark, tmp_path):
+    """Crash-consistency of the raw-then-codes write order: membership
+    is the CODES table. Simulate a job dying between ivf_pq_append's
+    two writes (raw rows landed, codes did not); the replayed batch
+    must NOT see its survivors as already-present (orphan raw rows are
+    not members), and the retried append must complete the codes
+    without duplicating the orphan raw rows."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from getl_spark.functions import embedding as E
+
+    rng = np.random.default_rng(71)
+    corpus = E.l2_normalize(
+        spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+    ).cache()
+    path = str(tmp_path / "crash_index")
+    similarity.build_ivf_pq_index(
+        corpus, path, nlist=4, m=8, k=16, seed=7, store_raw=True
+    )
+
+    batch = E.l2_normalize(
+        spark.createDataFrame(
+            [(100 + i, [float(x) for x in rng.normal(size=16)]) for i in range(5)],
+            "vec_id long, embedding array<double>",
+        )
+    ).localCheckpoint()
+
+    # simulate the torn append: raw rows written, codes write never ran
+    cent_n, books = similarity._read_ivf_pq_model(spark, path)
+    torn = similarity._ivf_pq_assign(
+        batch, cent_n, books, "vec_id", "embedding", keep_vec=True
+    ).localCheckpoint()
+    torn.select("id", "cell", "v").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/raw")
+    codes_before = spark.read.parquet(f"{path}/codes").count()
+
+    # replayed dedup: the orphan raw rows must not count as members —
+    # every batch row survives (they are random 16-dim vectors, far
+    # from the corpus under any threshold ≥ 0.9)
+    survivors = similarity.dedup_against_index(
+        batch, path, threshold=0.9, verify="raw"
+    )
+    assert survivors.count() == 5
+
+    # replayed append: codes complete, raw not duplicated
+    similarity.ivf_pq_append(survivors, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == codes_before + 5
+    raw = spark.read.parquet(f"{path}/raw")
+    dup_raw = (
+        raw.groupBy("id").agg(F.count("*").alias("n")).where("n > 1").count()
+    )
+    assert dup_raw == 0
+    # and the reconciled ids are now real members: replaying the same
+    # batch a third time drops everything (self-duplicates, cosine 1)
+    assert (
+        similarity.dedup_against_index(batch, path, threshold=0.9).count() == 0
+    )
+
+
 def test_topk_ivf_pq_rerank_index_sidecar(spark, tmp_path):
     """rerank='index' reranks against the store_raw sidecar — full
     probe then equals brute force with no external raw table."""

@@ -284,3 +284,16 @@ def test_freq_estimate_grouped_and_bounds(spark):
         sketch.freq_estimate(sk, [], group_cols="g")
     with pytest.raises(ValueError, match="eps"):
         sketch.freq_sketch(df, "v", eps=0.0)
+    # heterogeneous / unsupported item types refuse loudly instead of
+    # mis-declaring the output schema or hitting the wrong py4j
+    # estimateCount overload
+    for bad in (["x", 1], [1.5], [True], [1, 2.0]):
+        with pytest.raises(TypeError, match="all-str or all-int"):
+            sketch.freq_estimate(sk, bad, group_cols="g")
+    # an all-int item list against an int-sketched column works
+    idf = spark.createDataFrame([(1,), (1,), (7,)], "v bigint")
+    isk = sketch.freq_sketch(idf, "v")
+    got = {
+        r.item: r.estimate for r in sketch.freq_estimate(isk, [1, 7, 9]).collect()
+    }
+    assert got == {1: 2, 7: 1, 9: 0}

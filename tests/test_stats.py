@@ -310,6 +310,21 @@ def test_ece_hand_computed_and_guards(spark):
             spark.createDataFrame([(1.7, 1)], "score double, label int"),
             "score", "label",
         ).collect()
+    # the range guard fires even when the out-of-range score's label is
+    # null (such rows are excluded from the aggregates, not the check)
+    with pytest.raises(Exception, match="probabilities"):
+        stats.ece(
+            spark.createDataFrame(
+                [(1.7, None), (0.5, 1)], "score double, label int"
+            ),
+            "score", "label",
+        ).collect()
+    # null-label rows don't shift the calibration numbers
+    with_null = spark.createDataFrame(
+        rows + [(0.4, None), (0.8, None)], "score double, label int"
+    )
+    rn = stats.ece(with_null, "score", "label", bins=2).first()
+    assert (rn.ece, rn.max_gap, rn.n) == (0.25, 0.3, 4)
     with pytest.raises(ValueError):
         stats.ece(df, "score", "label", bins=0)
 
