@@ -748,16 +748,25 @@ def c4_clean(
         return ok
 
     cleaned = F.array_join(F.filter(lines, line_ok), "\n")
+    # Materialize the cleaned text FIRST and derive everything below
+    # from the column ATTRIBUTE, not the expression: re-using the
+    # expression would inline the whole split/filter/transform chain
+    # once per consumer in the final Project (three copies — up to 3×
+    # the per-row CPU of the operator on a full-corpus scan), and
+    # CollapseProject keeps the two projections separate only when the
+    # upper one references the attribute. Verified by plan dump
+    # (tests/test_text_corpus.py: exactly one array_join in the
+    # physical plan).
+    out = df.withColumn(cleaned_col, cleaned)
+    cleaned_attr = F.col(cleaned_col)
     # sentences ≈ terminal-punctuation runs; count via length delta
-    n_sentences = F.length(cleaned) - F.length(
-        F.regexp_replace(cleaned, r"[.!?]", "")
+    n_sentences = F.length(cleaned_attr) - F.length(
+        F.regexp_replace(cleaned_attr, r"[.!?]", "")
     )
     keep = text.isNotNull() & (n_sentences >= min_sentences)
     for m in doc_drop_markers:
         keep = keep & ~F.contains(F.lower(text), F.lit(m.lower()))
-    out = df.withColumn(cleaned_col, cleaned).withColumn(
-        keep_col, F.coalesce(keep, F.lit(False))
-    )
+    out = out.withColumn(keep_col, F.coalesce(keep, F.lit(False)))
     if remove:
         return out.where(F.col(keep_col)).drop(keep_col)
     return out

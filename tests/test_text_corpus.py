@@ -584,6 +584,12 @@ def test_c4_clean_no_shuffle(spark):
     docs = spark.createDataFrame([(1, "a b c d e.")], "doc_id long, text string")
     plan = text.c4_clean(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+    # the line-filter chain must be computed ONCE per row: deriving
+    # keep/n_sentences from the cleaned expression (not the column
+    # attribute) inlines three copies of the
+    # array_join(filter(transform(split(…)))) chain into the final
+    # Project — up to 3× per-row CPU on a full-corpus scan
+    assert plan.count("array_join") == 1
 
 
 # ------------------------------------------------------- logprob_buckets
