@@ -4498,6 +4498,59 @@ FROM scored CROSS JOIN th
 """
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    """text.ngram_logprob(n=2) — corpus-trained bigram LM with stupid
+    backoff (Brants et al. 2007) over ``documents``: per-token ln of
+    the bigram MLE when the bigram is attested (count ≥ 2), else
+    α=0.4-discounted smoothed unigram; first token scored by the
+    unigram. The sharper CCNet-style perplexity signal: separates
+    fluent text from scrambled bags of frequent words, which the
+    unigram LM scores identically."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.ngram_logprob(docs, n=2)
+    return out.select(
+        "doc_id", "n_tokens", F.round("logprob", 6).alias("logprob")
+    )
+
+
+BIGRAM_LOGPROB_ORACLE = """
+WITH words AS (
+  SELECT doc_id, w, prev FROM (
+    SELECT doc_id, unnest(ws) AS w,
+           unnest(list_prepend(CAST(NULL AS VARCHAR),
+                               list_slice(ws, 1, len(ws) - 1))) AS prev
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+               x -> x <> '') AS ws
+      FROM documents
+    )
+  ) WHERE w IS NOT NULL
+), vocab AS (
+  SELECT w, COUNT(*) AS c FROM words GROUP BY w HAVING COUNT(*) >= 2
+), totals AS (
+  SELECT COALESCE(SUM(c), 0) AS t, COUNT(*) AS v FROM vocab
+), bi AS (
+  SELECT prev, w, COUNT(*) AS cb FROM words WHERE prev IS NOT NULL
+  GROUP BY prev, w HAVING COUNT(*) >= 2
+), ctx AS (
+  SELECT prev, COUNT(*) AS cc FROM words WHERE prev IS NOT NULL GROUP BY prev
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(CASE
+         WHEN prev IS NULL THEN ln((COALESCE(c, 0) + 0.5) / (t + 0.5 * (v + 1)))
+         WHEN cb IS NOT NULL THEN ln(cb) - ln(cc)
+         ELSE ln(0.4) + ln((COALESCE(c, 0) + 0.5) / (t + 0.5 * (v + 1)))
+       END), 6) AS logprob
+FROM words LEFT JOIN vocab USING (w) LEFT JOIN bi USING (prev, w)
+LEFT JOIN ctx USING (prev) CROSS JOIN totals
+GROUP BY doc_id
+"""
+
+
 def _q_temperature_mix(spark, sf_dir):
     """sample.temperature_mix on a FIXED skewed frame (selection is
     xxhash-order — inexpressible in DuckDB; golden pinned): alpha=0.5
@@ -6229,6 +6282,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_quality_winner": _q_dedup_quality_winner,
         "stream_parquet_roundtrip": _q_stream_parquet_roundtrip,
         "text_remove_common_lines": _q_remove_common_lines,
+        "text_bigram_logprob": _q_bigram_logprob,
     }
 
 
@@ -6362,6 +6416,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_quality_winner": DEDUP_QUALITY_WINNER_ORACLE,
         "stream_parquet_roundtrip": STREAM_PARQUET_ORACLE,
         "text_remove_common_lines": REMOVE_COMMON_LINES_ORACLE,
+        "text_bigram_logprob": BIGRAM_LOGPROB_ORACLE,
     }
 
 

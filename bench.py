@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "text_c4_clean",
     "sample_token_budget",
     "near_dedup_exact",
+    # round-8 operators
+    "text_bigram_logprob",
 ]
 
 RUNS = 3

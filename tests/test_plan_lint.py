@@ -44,6 +44,7 @@ NESTED_LOOP_WHITELIST = {
     "stats_mutual_info": "1-row grand-total broadcast",
     "text_unigram_logprob": "1-row vocab-total broadcast",
     "text_logprob_buckets": "1-row vocab-total broadcast",
+    "text_bigram_logprob": "1-row vocab-total broadcast",
     "search_bm25": "1-row corpus stats (N, avgdl) broadcast",
     "search_coverage": "1-row corpus stats broadcast",
     "sketch_estimates": "1-row merged-sketch broadcast",

@@ -592,6 +592,57 @@ def test_c4_clean_no_shuffle(spark):
     assert plan.count("array_join") == 1
 
 
+# --------------------------------------------------------- ngram_logprob
+def test_ngram_logprob_bigram_signal_and_validation(spark):
+    """The bigram LM separates fluent word order from a scrambled bag
+    of the same words (identical unigram scores by construction);
+    hand-checkable micro case + parameter validation + n=1
+    delegation."""
+    import math
+
+    import pytest
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "cat the on sat mat the"),  # same words as 1, scrambled
+        (4, "zq zq"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.ngram_logprob(df).collect()}
+    assert set(out) == {1, 2, 3, 4}  # empty/null docs dropped
+    assert all(out[i].n_tokens == 6 for i in (1, 2, 3))
+    # fluent docs outscore the scrambled permutation of the same words
+    assert out[1].logprob > out[3].logprob
+    assert out[2].logprob > out[3].logprob
+    # unigram scores of docs 1 and 3 are identical (same multiset) —
+    # only the bigram model tells them apart
+    uni = {r.doc_id: r.logprob for r in text.unigram_logprob(df).collect()}
+    assert math.isclose(uni[1], uni[3], rel_tol=1e-12)
+
+    # hand-check doc 4 = "zq zq": corpus counts {the:6,cat:3,sat:3,
+    # on:3,mat:2,zq:2,rug:1 (cut)} -> T=19, V=6, denom 19+0.5*7=22.5;
+    # bigram "zq zq" count 1 < 2 -> backoff. tok1: ln(2.5/22.5);
+    # tok2: ln(0.4) + ln(2.5/22.5)
+    expect = (math.log(2.5 / 22.5) + math.log(0.4) + math.log(2.5 / 22.5)) / 2
+    assert math.isclose(out[4].logprob, expect, rel_tol=1e-9)
+
+    # n=1 delegates to the unigram model exactly
+    n1 = {r.doc_id: r.logprob for r in text.ngram_logprob(df, n=1).collect()}
+    assert n1 == uni
+
+    with pytest.raises(NotImplementedError, match="n=2"):
+        text.ngram_logprob(df, n=3)
+    with pytest.raises(ValueError, match="min_count"):
+        text.ngram_logprob(df, min_count=0)
+    with pytest.raises(ValueError, match="smoothing"):
+        text.ngram_logprob(df, smoothing=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        text.ngram_logprob(df, alpha=0.0)
+
+
 # ------------------------------------------------------- logprob_buckets
 def test_logprob_buckets_tiers_and_validation(spark):
     """Common-word docs land in the head tier (bucket 0), rare-word
