@@ -4551,6 +4551,196 @@ GROUP BY doc_id
 """
 
 
+def _q_readability(spark, sf_dir):
+    """text.readability — Flesch reading-ease + Flesch-Kincaid grade
+    over ``documents`` (vowel-group syllable heuristic, terminal-run
+    sentences); the classic audience-level curation signal, fully
+    deterministic so the scores value-hash against DuckDB."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.readability(docs).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch", "fk_grade"
+    )
+
+
+READABILITY_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(trim(regexp_replace(regexp_replace(
+           lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+           x -> x <> '') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS INT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(COALESCE(text, ''), '[.!?]+')), 1)
+           AS INT) AS n_sentences,
+         CAST(list_sum(list_transform(ws, w -> greatest(
+           len(regexp_extract_all(w, '[aeiouy]+'))
+           - (CASE WHEN regexp_matches(w, 'e$')
+                    AND NOT regexp_matches(w, 'le$') THEN 1 ELSE 0 END),
+           1))) AS INT) AS n_syllables
+  FROM base WHERE len(ws) > 0
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  ROUND(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+        - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4) AS flesch,
+  ROUND(0.39 * (n_words / CAST(n_sentences AS DOUBLE))
+        + 11.8 * (n_syllables / CAST(n_words AS DOUBLE)) - 15.59, 4) AS fk_grade
+FROM m
+"""
+
+
+def _q_pii_report(spark, sf_dir):
+    """text.pii_report — per-document email/URL/phone/IPv4 hit counts
+    + has_pii flag over ``documents``; the audit companion to the
+    scrub/pseudonymize redactors (patterns shared with scrub, regex-
+    dialect portable)."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.pii_report(docs).select(
+        "doc_id", "pii_emails", "pii_urls", "pii_phones", "pii_ips", "has_pii"
+    )
+
+
+PII_REPORT_ORACLE = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(COALESCE(text, ''),
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+')) AS INT) AS pii_emails,
+  CAST(len(regexp_extract_all(COALESCE(text, ''), 'https?://[^ ]+')) AS INT)
+    AS pii_urls,
+  CAST(len(regexp_extract_all(COALESCE(text, ''),
+    '[0-9][0-9 ()+.-]{7,}[0-9]')) AS INT) AS pii_phones,
+  CAST(len(regexp_extract_all(COALESCE(text, ''),
+    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS pii_ips,
+  (len(regexp_extract_all(COALESCE(text, ''),
+     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+'))
+   + len(regexp_extract_all(COALESCE(text, ''), 'https?://[^ ]+'))
+   + len(regexp_extract_all(COALESCE(text, ''), '[0-9][0-9 ()+.-]{7,}[0-9]'))
+   + len(regexp_extract_all(COALESCE(text, ''),
+       '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))) > 0 AS has_pii
+FROM documents
+"""
+
+
+def _q_dedup_lines(spark, sf_dir):
+    """text.dedup_lines — within-document exact line dedup keeping the
+    first occurrence in order (the in-doc half of boilerplate removal;
+    remove_common_lines is the cross-doc half). Deduped text compared
+    by md5 for a compact value hash."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.dedup_lines(docs).select(
+        "doc_id", F.md5("text_deduped").alias("deduped_md5"), "n_lines_removed"
+    )
+
+
+DEDUP_LINES_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents
+), d AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, (x, i) -> list_position(lines, x) = i) AS ded
+  FROM base
+)
+SELECT doc_id,
+       md5(list_aggregate(ded, 'string_agg', chr(10))) AS deduped_md5,
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE len(lines) - len(ded) END
+         AS INT) AS n_lines_removed
+FROM d
+"""
+
+
+def _q_chi2_drift(spark, sf_dir):
+    """stats.chi2_drift — Pearson chi-squared homogeneity statistic on
+    event_type between the even- and odd-user halves of ``events``;
+    the significance companion to the js_divergence effect size (same
+    per-value-counts + 1-row-totals plan shape)."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stats.chi2_drift(
+        ev.where("user_id % 2 = 0"), ev.where("user_id % 2 = 1"), "event_type"
+    )
+
+
+CHI2_DRIFT_ORACLE = """
+WITH lv AS (
+  SELECT event_type AS v, COUNT(*) AS cl FROM events
+  WHERE user_id % 2 = 0 AND event_type IS NOT NULL GROUP BY 1
+), rv AS (
+  SELECT event_type AS v, COUNT(*) AS cr FROM events
+  WHERE user_id % 2 = 1 AND event_type IS NOT NULL GROUP BY 1
+), m AS (
+  SELECT v, SUM(cl) AS cl, SUM(cr) AS cr FROM (
+    SELECT v, cl, CAST(0 AS BIGINT) AS cr FROM lv
+    UNION ALL SELECT v, CAST(0 AS BIGINT) AS cl, cr FROM rv
+  ) GROUP BY v
+), totals AS (SELECT SUM(cl) AS nl, SUM(cr) AS nr FROM m)
+SELECT ROUND(SUM(
+    (cl - nl * (cl + cr) / CAST(nl + nr AS DOUBLE)) ** 2
+      / (nl * (cl + cr) / CAST(nl + nr AS DOUBLE))
+  + (cr - nr * (cl + cr) / CAST(nl + nr AS DOUBLE)) ** 2
+      / (nr * (cl + cr) / CAST(nl + nr AS DOUBLE))
+), 6) AS chi2,
+CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+CAST(MAX(nl) AS BIGINT) AS n_left,
+CAST(MAX(nr) AS BIGINT) AS n_right
+FROM m CROSS JOIN totals
+"""
+
+
+def _q_bucketed_join(spark, sf_dir):
+    """layout.write_bucketed — orders and customer persisted co-bucketed
+    on custkey (8 buckets, one file each), then joined + aggregated
+    through the catalog tables. The join result is shuffle-free on
+    both sides when the sizes force a sort-merge join (plan asserted in
+    tests/test_layout.py — the write-once-join-many layout contract);
+    here the RESULT is what the oracle checks: per-segment order
+    counts and exact DECIMAL-summed totals."""
+    from getl_spark.functions import layout
+
+    tmp = "/tmp/getl_spark_q/bucketed_join"
+    shutil.rmtree(tmp, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    layout.write_bucketed(
+        orders, "getl_q_bucket_orders", 8, ["o_custkey"],
+        sort_cols=["o_custkey"], path=f"{tmp}/orders",
+    )
+    layout.write_bucketed(
+        cust, "getl_q_bucket_cust", 8, ["c_custkey"],
+        sort_cols=["c_custkey"], path=f"{tmp}/cust",
+    )
+    j = spark.table("getl_q_bucket_orders").join(
+        spark.table("getl_q_bucket_cust"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("total_price"),
+        )
+    )
+
+
+BUCKETED_JOIN_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def _q_temperature_mix(spark, sf_dir):
     """sample.temperature_mix on a FIXED skewed frame (selection is
     xxhash-order — inexpressible in DuckDB; golden pinned): alpha=0.5
@@ -6283,6 +6473,11 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_parquet_roundtrip": _q_stream_parquet_roundtrip,
         "text_remove_common_lines": _q_remove_common_lines,
         "text_bigram_logprob": _q_bigram_logprob,
+        "text_readability": _q_readability,
+        "text_pii_report": _q_pii_report,
+        "text_dedup_lines": _q_dedup_lines,
+        "stats_chi2_drift": _q_chi2_drift,
+        "layout_bucketed_join": _q_bucketed_join,
     }
 
 
@@ -6417,6 +6612,11 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stream_parquet_roundtrip": STREAM_PARQUET_ORACLE,
         "text_remove_common_lines": REMOVE_COMMON_LINES_ORACLE,
         "text_bigram_logprob": BIGRAM_LOGPROB_ORACLE,
+        "text_readability": READABILITY_ORACLE,
+        "text_pii_report": PII_REPORT_ORACLE,
+        "text_dedup_lines": DEDUP_LINES_ORACLE,
+        "stats_chi2_drift": CHI2_DRIFT_ORACLE,
+        "layout_bucketed_join": BUCKETED_JOIN_ORACLE,
     }
 
 

@@ -672,6 +672,69 @@ def ece(
     )
 
 
+def chi2_drift(
+    left: DataFrame,
+    right: DataFrame,
+    column: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson chi-squared homogeneity statistic between the
+    CATEGORICAL distributions of ``column`` in two table versions —
+    the classical significance companion to ``js_divergence``
+    (which measures effect size but carries no sample-size scaling):
+    with the null hypothesis "both sides draw from one distribution",
+    expected cell counts are ``n_side · c_v / n`` from the pooled
+    value counts, and
+
+        chi2 = Σ_side Σ_v (o_sv − e_sv)² / e_sv,   dof = k − 1
+
+    over the k distinct values. Returns one row
+    ``(chi2, dof, n_left, n_right)`` — compare chi2 against the
+    chi-squared quantile at ``dof`` for a significance gate (the
+    p-value itself needs the incomplete gamma function, which neither
+    Spark SQL nor DuckDB expresses — keeping the statistic exact and
+    the oracle total).
+
+    Same plan shape as ``js_divergence``: per-side value counts
+    (shuffle ∝ distinct values), a 1-row totals broadcast, one fold.
+    Every expected count is > 0 by construction (a value enters the
+    table only by occurring on some side).
+    """
+    lv = left.where(F.col(column).isNotNull()).groupBy(
+        F.col(column).alias("v")
+    ).agg(F.count("*").alias("cl")).withColumn("cr", F.lit(0).cast("bigint"))
+    rv = right.where(F.col(column).isNotNull()).groupBy(
+        F.col(column).alias("v")
+    ).agg(F.count("*").alias("cr")).withColumn("cl", F.lit(0).cast("bigint"))
+    merged = (
+        lv.select("v", "cl", "cr")
+        .unionByName(rv.select("v", "cl", "cr"))
+        .groupBy("v")
+        .agg(F.sum("cl").alias("cl"), F.sum("cr").alias("cr"))
+    )
+    totals = merged.agg(F.sum("cl").alias("nl"), F.sum("cr").alias("nr"))
+    n = (F.col("nl") + F.col("nr")).cast("double")
+    el = F.col("nl").cast("double") * (F.col("cl") + F.col("cr")) / n
+    er = F.col("nr").cast("double") * (F.col("cl") + F.col("cr")) / n
+    term = F.try_divide((F.col("cl") - el) * (F.col("cl") - el), el) + F.try_divide(
+        (F.col("cr") - er) * (F.col("cr") - er), er
+    )
+    out = merged.crossJoin(F.broadcast(totals)).agg(
+        F.round(F.sum(term), round_to).alias("chi2"),
+        (F.count("*") - F.lit(1)).cast("bigint").alias("dof"),
+        F.max("nl").cast("bigint").alias("n_left"),
+        F.max("nr").cast("bigint").alias("n_right"),
+    )
+    guard = F.assert_true(
+        (F.col("n_left") > 0) & (F.col("n_right") > 0),
+        F.lit("chi2_drift: an input side has no non-null values"),
+    )
+    return out.select(
+        F.when(guard.isNull(), F.col("chi2")).alias("chi2"),
+        "dof", "n_left", "n_right",
+    )
+
+
 def js_divergence(
     left: DataFrame,
     right: DataFrame,

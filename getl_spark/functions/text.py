@@ -135,6 +135,146 @@ def scrub(
     return df.withColumn(new_col, text)
 
 
+def pii_report(
+    df: DataFrame,
+    text_col: str = "text",
+    prefix: str = "pii_",
+) -> DataFrame:
+    """Per-document PII/noise hit counts — the AUDIT side of ``scrub``:
+    how many emails, URLs, phone-like digit runs, and IPv4 literals
+    each document carries, plus a ``has_pii`` flag. Run it before and
+    after ``scrub``/``pseudonymize`` to prove a release corpus is
+    clean, or aggregate it for a corpus-level exposure report.
+
+    The email/URL/phone patterns are exactly ``scrub``'s (what this
+    reports is what that redacts); all patterns are regex-dialect
+    portable (plain character classes, no lookaround) so the same
+    expressions run in Spark and DuckDB. Pure JVM ``regexp_count``
+    projections — scan speed, zero shuffle, zero UDF.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_emails = F.regexp_count(
+        text, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+")
+    )
+    n_urls = F.regexp_count(text, F.lit(r"https?://[^ ]+"))
+    n_phones = F.regexp_count(text, F.lit(r"[0-9][0-9 ()+.-]{7,}[0-9]"))
+    n_ips = F.regexp_count(
+        text, F.lit(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}")
+    )
+    out = (
+        df.withColumn(f"{prefix}emails", n_emails)
+        .withColumn(f"{prefix}urls", n_urls)
+        .withColumn(f"{prefix}phones", n_phones)
+        .withColumn(f"{prefix}ips", n_ips)
+    )
+    return out.withColumn(
+        "has_pii",
+        (
+            F.col(f"{prefix}emails")
+            + F.col(f"{prefix}urls")
+            + F.col(f"{prefix}phones")
+            + F.col(f"{prefix}ips")
+        )
+        > 0,
+    )
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document
+    (Flesch 1948; Kincaid et al. 1975) — the classic curation signal
+    for audience level: reference prose sits near 60-70 ease, legal or
+    machine-generated boilerplate far below, word-salad far above.
+
+    Sentences are terminal-punctuation runs (``[.!?]+``) of the RAW
+    text, floored at 1; words are the shared normalized lowercase-alnum
+    form; syllables use the standard vowel-group heuristic per word
+    (count of ``[aeiouy]+`` runs, minus one for a silent final ``e``
+    that is not ``-le``, floored at 1):
+
+        ease  = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+        grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+
+    Adds ``n_words``, ``n_sentences``, ``n_syllables``, ``flesch``,
+    ``fk_grade``; documents with no words after normalization are
+    DROPPED (no denominator). Pure JVM array/regexp expressions —
+    scan speed, zero shuffle, zero UDF; exactly replicable in DuckDB
+    (the heuristic is deterministic, so the scores value-hash match).
+    """
+    words = F.filter(
+        F.split(_norm_words_expr(text_col), " "), lambda w: w != ""
+    )
+    base = df.withColumn("__rd_ws", words).where(F.size("__rd_ws") > 0)
+    n_words = F.size("__rd_ws")
+    n_sentences = F.greatest(
+        F.regexp_count(F.coalesce(F.col(text_col), F.lit("")), F.lit(r"[.!?]+")),
+        F.lit(1),
+    )
+    syl = F.aggregate(
+        F.transform(
+            F.col("__rd_ws"),
+            lambda w: F.greatest(
+                F.regexp_count(w, F.lit(r"[aeiouy]+"))
+                - F.when(
+                    w.rlike("e$") & ~w.rlike("le$"), F.lit(1)
+                ).otherwise(F.lit(0)),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    wps = n_words.cast("double") / n_sentences.cast("double")
+    spw = F.col("n_syllables").cast("double") / n_words.cast("double")
+    return (
+        base.withColumn("n_words", n_words)
+        .withColumn("n_sentences", n_sentences)
+        .withColumn("n_syllables", syl)
+        .withColumn(
+            "flesch",
+            F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, round_to),
+        )
+        .withColumn(
+            "fk_grade",
+            F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), round_to),
+        )
+        .drop("__rd_ws")
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    new_col: str = "text_deduped",
+    removed_col: str = "n_lines_removed",
+) -> DataFrame:
+    """Remove EXACT duplicate lines within each document, keeping the
+    first occurrence in order — the within-document half of
+    boilerplate removal (navigation bars, repeated footers, pasted
+    headers); the cross-document half is ``remove_common_lines``.
+
+    ``array_distinct`` preserves first-occurrence order, so this is a
+    pure JVM projection: split on newline, distinct, rejoin — scan
+    speed, zero shuffle, zero UDF, null text passes through as null.
+    ``removed_col`` counts the dropped lines (a useful per-doc
+    boilerplate signal on its own).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    deduped = F.array_distinct(lines)
+    return df.withColumn(
+        new_col,
+        F.when(F.col(text_col).isNotNull(), F.array_join(deduped, "\n")),
+    ).withColumn(
+        removed_col,
+        F.when(
+            F.col(text_col).isNotNull(), F.size(lines) - F.size(deduped)
+        ).otherwise(F.lit(0)),
+    )
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -143,3 +143,53 @@ def test_optimize_fallback_uses_zorder(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == sorted(rows)
     frac_b = _file_bounding_fraction(path, "b", 0, n - 1)
     assert frac_b < 0.9  # clustered on the second dim too
+
+
+# -------------------------------------------------------- write_bucketed
+def test_write_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables co-bucketed on the join key plan a sort-merge join
+    with ZERO Exchange on either side — the pay-the-shuffle-once
+    layout contract — and each table writes exactly one file per
+    bucket (the task/bucket alignment, not tasks x buckets)."""
+    import glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from getl_spark.functions import layout
+
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a")
+    )
+    right = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("b")
+    )
+    layout.write_bucketed(
+        left, "t_bucket_l", 4, ["k"], sort_cols=["k"],
+        path=str(tmp_path / "l"),
+    )
+    layout.write_bucketed(
+        right, "t_bucket_r", 4, ["k"], sort_cols=["k"],
+        path=str(tmp_path / "r"),
+    )
+    assert len(glob.glob(str(tmp_path / "l" / "*.parquet"))) == 4
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_bucket_l").alias("l").join(
+            spark.table("t_bucket_r").alias("r"), "k"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join should skip the shuffle"
+        assert j.count() == 500
+        got = sorted(map(tuple, j.select("k", "a", "b").collect()))
+        want = sorted((k, k % 7, k % 3) for k in range(500))
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    with pytest.raises(ValueError, match="buckets"):
+        layout.write_bucketed(left, "t_bad", 0, ["k"])
+    with pytest.raises(ValueError, match="bucket_cols"):
+        layout.write_bucketed(left, "t_bad", 4, [])

@@ -41,6 +41,7 @@ NESTED_LOOP_WHITELIST = {
     "psi_drift": "1-row per-side totals broadcast",
     "stats_histogram": "1-row min/max bounds broadcast",
     "stats_js_divergence": "1-row per-side totals broadcast",
+    "stats_chi2_drift": "1-row per-side totals broadcast",
     "stats_mutual_info": "1-row grand-total broadcast",
     "text_unigram_logprob": "1-row vocab-total broadcast",
     "text_logprob_buckets": "1-row vocab-total broadcast",

@@ -366,3 +366,29 @@ def test_js_divergence_hand_cases(spark):
         ).collect()
     with pytest.raises(ValueError):
         stats.js_divergence(a, b, "c", base=1.0)
+
+
+def test_chi2_drift_hand_case_and_guard(spark):
+    """Hand-computed 2x3 homogeneity statistic; identical sides give
+    0; an empty side fails loudly."""
+    import math
+
+    import pytest
+
+    from getl_spark.functions import stats
+
+    left = spark.createDataFrame([("a",)] * 30 + [("b",)] * 10, "c string")
+    right = spark.createDataFrame(
+        [("a",)] * 20 + [("b",)] * 20 + [("c",)] * 10, "c string"
+    )
+    r = stats.chi2_drift(left, right, "c").first()
+    # pooled a=50 b=30 c=10, n=90, nl=40, nr=50:
+    # chi2 = sum over sides/values of (o-e)^2/e = 14.4 exactly
+    assert (r.chi2, r.dof, r.n_left, r.n_right) == (14.4, 2, 40, 50)
+
+    same = stats.chi2_drift(left, left, "c").first()
+    assert same.chi2 == 0.0 and same.dof == 1
+
+    empty = spark.createDataFrame([], "c string")
+    with pytest.raises(Exception, match="no non-null"):
+        stats.chi2_drift(left, empty, "c").collect()

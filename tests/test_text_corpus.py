@@ -745,3 +745,64 @@ def test_c4_clean_line_invariants_property(spark):
             assert _re.search(r'[.!?"]$', line), line
             assert len(line.split()) >= 3, line
             assert "javascript" not in line.lower(), line
+
+
+# ------------------------------------------------------------ readability
+def test_readability_hand_case_and_edges(spark):
+    """Hand-computed Flesch/FK on a 2-sentence doc; empty/null docs are
+    dropped; sentence floor of 1 for unpunctuated text."""
+    import math
+
+    rows = [
+        (1, "The cat sat. The dog ran away!"),
+        (2, "word " * 4),          # no terminal punctuation
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.readability(df).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    # words: the cat sat the dog ran away (7); sentences: 2 runs;
+    # syllables: all monosyllabic but "away" (a-ay -> 2) = 8
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (7, 2, 8)
+    wps, spw = 7 / 2, 8 / 7
+    assert math.isclose(r1.flesch, round(206.835 - 1.015 * wps - 84.6 * spw, 4))
+    assert math.isclose(r1.fk_grade, round(0.39 * wps + 11.8 * spw - 15.59, 4))
+    assert out[2].n_sentences == 1  # floored
+
+
+# ------------------------------------------------------------- pii_report
+def test_pii_report_counts_and_flag(spark):
+    rows = [
+        (1, "mail me at a.b@example.com or c@d.org, site https://x.io/a"),
+        (2, "call +1 (555) 123-4567 from 10.0.0.1 please"),
+        (3, "clean prose with no contact details at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.pii_report(df).collect()}
+    assert (out[1].pii_emails, out[1].pii_urls) == (2, 1)
+    assert out[2].pii_phones == 1 and out[2].pii_ips == 1
+    assert out[1].has_pii and out[2].has_pii
+    assert not out[3].has_pii and not out[4].has_pii
+    # audit matches the redactor: scrubbed text reports zero
+    # email/url/phone hits (the patterns are shared)
+    scrubbed = text.pii_report(text.scrub(df), text_col="text_scrubbed")
+    for r in scrubbed.collect():
+        assert r.pii_emails == 0 and r.pii_urls == 0 and r.pii_phones == 0
+
+
+# ------------------------------------------------------------ dedup_lines
+def test_dedup_lines_keeps_first_occurrence_in_order(spark):
+    rows = [
+        (1, "nav bar\nreal content A\nnav bar\nreal content B\nnav bar"),
+        (2, "a\nb\nc"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.dedup_lines(df).collect()}
+    assert out[1].text_deduped == "nav bar\nreal content A\nreal content B"
+    assert out[1].n_lines_removed == 2
+    assert out[2].text_deduped == "a\nb\nc" and out[2].n_lines_removed == 0
+    assert out[3].text_deduped is None and out[3].n_lines_removed == 0
