@@ -1773,6 +1773,62 @@ WHERE ROUND(inter / CAST(sa.size + sb.size - inter AS DOUBLE), 6) >= 0.12
 """
 
 
+def _q_containment(spark, sf_dir):
+    """dedup.containment_pairs — asymmetric n-gram containment over
+    ``documents`` plus a derived excerpt per document (its first 12
+    words, id-offset by 1,000,000): every excerpt is contained in its
+    source at containment 1.0 even though their Jaccard is tiny, the
+    quote/subset-dedup signal Jaccard cannot express. Exact inverted-
+    index formulation — fully SQL-derivable."""
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    excerpts = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 12)).alias(
+            "text"
+        ),
+    )
+    both = docs.unionByName(excerpts)
+    return dedup.containment_pairs(both, n=3, threshold=0.9).select(
+        "contained_id", "container_id", "containment"
+    )
+
+
+CONTAINMENT_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+  FROM documents
+),
+shingled AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+           AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM docs) t
+),
+sizes AS (SELECT id, COUNT(*) AS size FROM shingled GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT contained_id, container_id, containment FROM (
+  SELECT id_a AS contained_id, id_b AS container_id,
+         ROUND(inter / CAST(sa.size AS DOUBLE), 6) AS containment
+  FROM inter JOIN sizes sa ON sa.id = id_a
+  UNION ALL
+  SELECT id_b, id_a, ROUND(inter / CAST(sb.size AS DOUBLE), 6)
+  FROM inter JOIN sizes sb ON sb.id = id_b
+) WHERE containment >= 0.9
+"""
+
+
 def _q_fuzzy_join(spark, sf_dir):
     """Cross-table fuzzy (approximate-text) join: even-id documents
     matched against odd-id documents on exact 3-gram Jaccard."""
@@ -6478,6 +6534,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dedup_lines": _q_dedup_lines,
         "stats_chi2_drift": _q_chi2_drift,
         "layout_bucketed_join": _q_bucketed_join,
+        "dedup_containment": _q_containment,
     }
 
 
@@ -6617,6 +6674,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "text_dedup_lines": DEDUP_LINES_ORACLE,
         "stats_chi2_drift": CHI2_DRIFT_ORACLE,
         "layout_bucketed_join": BUCKETED_JOIN_ORACLE,
+        "dedup_containment": CONTAINMENT_ORACLE,
     }
 
 

@@ -112,6 +112,30 @@ def ngram_jaccard(
     two distinct shingles collide in 64 bits (P ≈ d²/2⁶⁵ — negligible
     against any corpus that fits in a datacenter).
     """
+    inter, sizes = _pair_intersections(df, id_col, text_col, n, max_df)
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _pair_intersections(df, id_col, text_col, n, max_df):
+    """Shared inverted-index candidate machinery for the exact
+    all-pairs set-overlap family (``ngram_jaccard``,
+    ``containment_pairs``): returns the undirected per-pair shingle
+    intersection counts (``id_a < id_b``) and per-doc set sizes. See
+    ``ngram_jaccard``'s docstring for the max_df cap and xxhash64
+    key-shrinking rationale."""
     # localCheckpoint (not cache): truncates lineage so the multi-way
     # reuse below plans against a materialized stub, and the blocks are
     # freed when the DataFrame is dereferenced — cache() persisted for
@@ -159,19 +183,58 @@ def ngram_jaccard(
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("inter"))
         )
-    return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("size", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("size", "size_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return inter, sizes
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Exact all-pairs word-n-gram CONTAINMENT ≥ threshold — the
+    asymmetric companion to ``ngram_jaccard``: containment(A in B) =
+    |A∩B| / |A|, so a short document quoted or excerpted inside a much
+    longer one scores near 1 even though their Jaccard is tiny (the
+    union is dominated by the container). The standard signal for
+    quote/subset dedup in training corpora (Broder 1997's containment,
+    the same family as the resemblance the Jaccard path computes).
+
+    Returns directed ``(contained_id, container_id, containment)``
+    rows — both directions of a pair can appear (mutual containment =
+    near-duplicate). Machinery (inverted-index candidates, ``max_df``
+    posting cap, xxhash64 key shrinking) is shared with
+    ``ngram_jaccard`` via ``_pair_intersections``: the undirected
+    intersection is computed ONCE per candidate pair and both directed
+    ratios derive from it, so the asymmetric output costs no second
+    self-join.
+    """
+    inter, sizes = _pair_intersections(df, id_col, text_col, n, max_df)
+    joined = inter.join(
+        sizes.withColumnRenamed("id", "id_a").withColumnRenamed("size", "size_a"),
+        "id_a",
+    ).join(
+        sizes.withColumnRenamed("id", "id_b").withColumnRenamed("size", "size_b"),
+        "id_b",
+    )
+    a_in_b = joined.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        F.round(F.col("inter") / F.col("size_a").cast("double"), 6).alias(
+            "containment"
+        ),
+    )
+    b_in_a = joined.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        F.round(F.col("inter") / F.col("size_b").cast("double"), 6).alias(
+            "containment"
+        ),
+    )
+    return a_in_b.unionByName(b_in_a).where(
+        F.col("containment") >= threshold
     )
 
 

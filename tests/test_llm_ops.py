@@ -1354,3 +1354,39 @@ def test_dedup_by_url_canonical_and_quality(spark):
     assert {r.canon for r in out.where("doc_id in (1,2)").collect()} == {
         "http://site.com/a"
     }
+
+
+# -------------------------------------------------------- containment_pairs
+def test_containment_pairs_quote_detection(spark):
+    """A 12-word quote inside a 30-word document scores containment
+    1.0 (quote in source) while the Jaccard path stays silent at any
+    useful threshold — the asymmetric signal. Mutual containment for
+    exact dups; max_df path yields identical results."""
+    from getl_spark.functions import dedup
+
+    words = [f"w{i}" for i in range(30)]
+    source = " ".join(words)
+    quote = " ".join(words[5:17])
+    other = " ".join(f"x{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, source), (2, quote), (3, other), (4, source)],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.contained_id, r.container_id): r.containment
+        for r in dedup.containment_pairs(df, n=3, threshold=0.9).collect()
+    }
+    assert out[(2, 1)] == 1.0 and out[(2, 4)] == 1.0
+    assert (1, 2) not in out  # the source is NOT contained in the quote
+    assert out[(1, 4)] == 1.0 and out[(4, 1)] == 1.0  # mutual = exact dup
+    assert not any(3 in k for k in out)
+
+    # jaccard is blind to the quote at the same threshold
+    jac = dedup.ngram_jaccard(df, n=3, threshold=0.9)
+    assert {(r.id_a, r.id_b) for r in jac.collect()} == {(1, 4)}
+
+    capped = {
+        (r.contained_id, r.container_id): r.containment
+        for r in dedup.containment_pairs(df, n=3, threshold=0.9, max_df=10).collect()
+    }
+    assert capped == out
