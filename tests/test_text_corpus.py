@@ -806,3 +806,31 @@ def test_dedup_lines_keeps_first_occurrence_in_order(spark):
     assert out[1].n_lines_removed == 2
     assert out[2].text_deduped == "a\nb\nc" and out[2].n_lines_removed == 0
     assert out[3].text_deduped is None and out[3].n_lines_removed == 0
+
+
+def test_readability_yaml_block(spark, tmp_path):
+    """New function ops resolve through the YAML transform::generic
+    chain with zero registration (module.function lookup)."""
+    from getl_spark import lift
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "The cat sat. The dog ran away!")], "doc_id long, text string"
+    ).write.parquet(p)
+    log = lift(
+        spark,
+        f"""
+LiftJob:
+  Docs:
+    Type: load::batch_parquet
+    Properties: {{Path: {p}}}
+  Scored:
+    Type: transform::generic
+    Input: Docs
+    Properties:
+      Functions:
+        - text.readability: {{}}
+""",
+    )
+    row = log.get("Scored").first()
+    assert row.n_words == 7 and row.n_sentences == 2
