@@ -45,12 +45,9 @@ def test_postgres_statement_shape(monkeypatch):
     def fake_foreach(run_partition):
         captured["fn"] = run_partition
 
-    class FakeRDD:
+    class FakeDF:
         def foreachPartition(self, fn):
             fake_foreach(fn)
-
-    class FakeDF:
-        rdd = FakeRDD()
 
         def select(self, *cols):
             captured["cols"] = cols
