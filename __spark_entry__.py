@@ -1829,6 +1829,62 @@ SELECT contained_id, container_id, containment FROM (
 """
 
 
+def _q_containment_join(spark, sf_dir):
+    """dedup.containment_join — cross-table asymmetric containment:
+    every document's first-12-words excerpt (the eval-doc stand-in)
+    matched against the full corpus; containment(excerpt in source)
+    is 1.0 while cross-table Jaccard is blind. The decontamination-
+    grade matching shape; exact inverted-index formulation."""
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    excerpts = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 12)).alias(
+            "text"
+        ),
+    )
+    return dedup.containment_join(excerpts, docs, n=3, threshold=0.9).select(
+        "id_a", "id_b", "containment"
+    )
+
+
+CONTAINMENT_JOIN_ORACLE = """
+WITH ev AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+           AS text
+  FROM documents
+),
+sh_a AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+           AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM ev) t
+),
+sh_b AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+           AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+        FROM documents) t
+),
+sizes_a AS (SELECT id, COUNT(*) AS size_a FROM sh_a GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM sh_a a JOIN sh_b b ON a.shingle = b.shingle
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, ROUND(inter / CAST(size_a AS DOUBLE), 6) AS containment
+FROM inter JOIN sizes_a sa ON sa.id = id_a
+WHERE ROUND(inter / CAST(size_a AS DOUBLE), 6) >= 0.9
+"""
+
+
 def _q_fuzzy_join(spark, sf_dir):
     """Cross-table fuzzy (approximate-text) join: even-id documents
     matched against odd-id documents on exact 3-gram Jaccard."""
@@ -4749,6 +4805,63 @@ FROM m CROSS JOIN totals
 """
 
 
+def _q_group_psi(spark, sf_dir):
+    """stats.group_psi — per-event-type PSI of ``value`` between the
+    even- and odd-user halves of ``events``: the which-source-drifted
+    monitoring table a global PSI averages away. Keyed partial aggs
+    only; per-group bins over each group's own combined range."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stats.group_psi(
+        ev.where("user_id % 2 = 0"), ev.where("user_id % 2 = 1"),
+        "value", "event_type",
+    )
+
+
+GROUP_PSI_ORACLE = """
+WITH lv AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+  WHERE user_id % 2 = 0 AND value IS NOT NULL AND event_type IS NOT NULL
+), rv AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+  WHERE user_id % 2 = 1 AND value IS NOT NULL AND event_type IS NOT NULL
+), bounds AS (
+  SELECT g, MIN(v) AS lo, MAX(v) AS hi
+  FROM (SELECT * FROM lv UNION ALL SELECT * FROM rv) GROUP BY g
+), lb AS (
+  SELECT lv.g,
+         COALESCE(LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INT), 9), 0)
+           AS b,
+         COUNT(*) AS cl
+  FROM lv JOIN bounds ON lv.g = bounds.g GROUP BY lv.g, b
+), rb AS (
+  SELECT rv.g,
+         COALESCE(LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INT), 9), 0)
+           AS b,
+         COUNT(*) AS cr
+  FROM rv JOIN bounds ON rv.g = bounds.g GROUP BY rv.g, b
+), merged AS (
+  SELECT COALESCE(lb.g, rb.g) AS g, COALESCE(cl, 0) AS cl,
+         COALESCE(cr, 0) AS cr
+  FROM lb FULL OUTER JOIN rb ON lb.g = rb.g AND lb.b = rb.b
+), totals AS (
+  SELECT g, SUM(cl) AS nl, SUM(cr) AS nr FROM merged GROUP BY g
+)
+SELECT m.g AS event_type,
+       CASE WHEN MAX(nl) > 0 AND MAX(nr) > 0 THEN
+         ROUND(SUM((cl / CAST(nl AS DOUBLE) + 1e-6
+                    - cr / CAST(nr AS DOUBLE) - 1e-6)
+               * ln((cl / CAST(nl AS DOUBLE) + 1e-6)
+                    / (cr / CAST(nr AS DOUBLE) + 1e-6))), 6)
+       END AS psi,
+       CAST(MAX(nl) AS BIGINT) AS n_left,
+       CAST(MAX(nr) AS BIGINT) AS n_right
+FROM merged m JOIN totals t ON m.g = t.g
+GROUP BY m.g
+"""
+
+
 def _q_bucketed_join(spark, sf_dir):
     """layout.write_bucketed — orders and customer persisted co-bucketed
     on custkey (8 buckets, one file each), then joined + aggregated
@@ -6535,6 +6648,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_chi2_drift": _q_chi2_drift,
         "layout_bucketed_join": _q_bucketed_join,
         "dedup_containment": _q_containment,
+        "dedup_containment_join": _q_containment_join,
+        "stats_group_psi": _q_group_psi,
     }
 
 
@@ -6675,6 +6790,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_chi2_drift": CHI2_DRIFT_ORACLE,
         "layout_bucketed_join": BUCKETED_JOIN_ORACLE,
         "dedup_containment": CONTAINMENT_ORACLE,
+        "dedup_containment_join": CONTAINMENT_JOIN_ORACLE,
+        "stats_group_psi": GROUP_PSI_ORACLE,
     }
 
 

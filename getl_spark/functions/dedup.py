@@ -666,6 +666,36 @@ def fuzzy_join(
                 "has no posting lists to cap) — drop max_df or use "
                 "method='exact'"
             )
+    inter, sizes_a, sizes_b = _cross_intersections(
+        left, right, id_col, text_col, right_id_col, right_text_col,
+        n, max_df, method, num_hashes, bands,
+    )
+    return (
+        inter.join(sizes_a.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sizes_b.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast(
+                    "double"
+                ),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _cross_intersections(
+    left, right, id_col, text_col, right_id_col, right_text_col,
+    n, max_df, method, num_hashes, bands,
+):
+    """Shared cross-table candidate machinery for ``fuzzy_join`` and
+    ``containment_join``: per-pair shingle intersection counts plus
+    per-side set sizes (exact or MinHash-banded candidates — see
+    ``fuzzy_join``'s docstring for the cost model)."""
     right_id_col = right_id_col or id_col
     right_text_col = right_text_col or text_col
     sh_a = (
@@ -736,19 +766,67 @@ def fuzzy_join(
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("inter"))
         )
+    return inter, sizes_a, sizes_b
+
+
+def containment_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    right_id_col: Optional[str] = None,
+    right_text_col: Optional[str] = None,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: Optional[int] = None,
+    method: str = "exact",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Cross-table asymmetric containment: all (left, right) pairs
+    where containment(left in right) = |A∩B| / |A| ≥ ``threshold`` —
+    LEFT is the contained side. The decontamination-grade matching
+    shape: "which training documents CONTAIN this eval/benchmark
+    document" needs containment of the eval doc, not Jaccard (a short
+    eval prompt pasted into a long page has near-zero Jaccard but
+    containment ≈ 1); also quote attribution, excerpt provenance, and
+    canonical-source matching.
+
+    Same candidate machinery as ``fuzzy_join`` (shared through
+    ``_cross_intersections``): exact inverted-index candidates (or
+    MinHash-banded with ``method='minhash'`` — note the LSH recall
+    curve is calibrated for *resemblance*, so for low-Jaccard
+    containment pairs prefer ``method='exact'`` with ``max_df``), then
+    the exact directed ratio. Returns ``(id_a, id_b, containment)``
+    with ``id_a`` from ``left``. YAML-callable with
+    ``Input: [Left, Right]``.
+    """
+    if method not in ("exact", "minhash"):
+        raise ValueError(
+            f"containment_join: unknown method '{method}' (exact|minhash)"
+        )
+    if method == "minhash":
+        if num_hashes % bands:
+            raise ValueError(
+                f"containment_join: num_hashes ({num_hashes}) must be "
+                f"divisible by bands ({bands})"
+            )
+        if max_df is not None:
+            raise ValueError(
+                "containment_join: max_df only applies to method='exact'"
+            )
+    inter, sizes_a, _ = _cross_intersections(
+        left, right, id_col, text_col, right_id_col, right_text_col,
+        n, max_df, method, num_hashes, bands,
+    )
     return (
         inter.join(sizes_a.withColumnRenamed("id", "id_a"), "id_a")
-        .join(sizes_b.withColumnRenamed("id", "id_b"), "id_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
-                6,
-            ),
+            "containment",
+            F.round(F.col("inter") / F.col("size_a").cast("double"), 6),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
     )
 
 

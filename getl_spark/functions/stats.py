@@ -248,12 +248,14 @@ def ks_drift(
         width = (F.col("hi") - F.col("lo")) / F.lit(bins)
         lv = lv.crossJoin(F.broadcast(bounds)).select(
             F.least(
-                F.floor((F.col("v") - F.col("lo")) / width), F.lit(bins - 1)
+                F.floor(F.try_divide(F.col("v") - F.col("lo"), width)),
+                F.lit(bins - 1),
             ).alias("v")
         )
         rv = rv.crossJoin(F.broadcast(bounds)).select(
             F.least(
-                F.floor((F.col("v") - F.col("lo")) / width), F.lit(bins - 1)
+                F.floor(F.try_divide(F.col("v") - F.col("lo"), width)),
+                F.lit(bins - 1),
             ).alias("v")
         )
     l_counts = lv.groupBy("v").agg(F.count("*").alias("cl")).withColumn(
@@ -378,8 +380,15 @@ def psi(
         F.min("v").alias("lo"), F.max("v").alias("hi")
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(bins)
-    bucket = F.least(
-        F.floor((F.col("v") - F.col("lo")) / width).cast("int"), F.lit(bins - 1)
+    # try_divide: an all-constant column has width 0, which under ANSI
+    # would raise DIVIDE_BY_ZERO; NULL buckets (constant column) all
+    # land in bin 0, scoring 0 when both sides hold the same value
+    bucket = F.coalesce(
+        F.least(
+            F.floor(F.try_divide(F.col("v") - F.col("lo"), width)).cast("int"),
+            F.lit(bins - 1),
+        ),
+        F.lit(0),
     )
     lb = (
         lv.crossJoin(F.broadcast(bounds))
@@ -423,6 +432,100 @@ def psi(
     )
     return out.select(
         F.when(guard.isNull(), F.col("psi")).alias("psi"),
+        "n_left",
+        "n_right",
+    )
+
+
+def group_psi(
+    left: DataFrame,
+    right: DataFrame,
+    column: str,
+    group_col: str,
+    bins: int = 10,
+    epsilon: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Population Stability Index in ONE pass — the
+    monitoring table for "which source/language/shard drifted":
+    ``psi`` computed independently per ``group_col`` value with each
+    group's own equal-width bins over its combined range. A global PSI
+    averages drift away (one exploding source hides inside a stable
+    corpus); per-group keeps the blast radius visible.
+
+    Returns one row per group: ``(group_col, psi, n_left, n_right)``.
+    Groups present on only ONE side get ``psi = NULL`` with their
+    counts visible (a new or vanished source IS drift — surface it,
+    don't average or crash the whole report); rows with a NULL group
+    or NULL value are excluded, like the global op excludes NULL
+    values.
+
+    Plan shape at 100 TB: keyed partial-agg bounds (reduce side =
+    #groups), per-side keyed (group, bin) counts (reduce side =
+    #groups·bins), per-group folds — no windows, no driver actions,
+    parallelism never collapses to the group count because every
+    shuffle is a partial agg.
+    """
+    if bins < 2:
+        raise ValueError("group_psi: bins must be >= 2")
+
+    def side(df_, cname):
+        return df_.where(
+            F.col(column).isNotNull() & F.col(group_col).isNotNull()
+        ).select(
+            F.col(group_col).alias("g"), F.col(column).cast("double").alias("v")
+        )
+
+    lv, rv = side(left, "cl"), side(right, "cr")
+    bounds = (
+        lv.unionByName(rv)
+        .groupBy("g")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(bins)
+    # degenerate single-value groups have width 0: try_divide yields
+    # NULL (ANSI-safe — a plain division raises DIVIDE_BY_ZERO), and
+    # the coalesce lands every row in bin 0, so such a group scores
+    # exactly 0 when both sides hold the same single value
+    bucket = F.least(
+        F.floor(F.try_divide(F.col("v") - F.col("lo"), width)).cast("int"),
+        F.lit(bins - 1),
+    )
+    safe_bucket = F.coalesce(bucket, F.lit(0))
+    lb = (
+        lv.join(bounds, "g")
+        .groupBy("g", safe_bucket.alias("b"))
+        .agg(F.count("*").alias("cl"))
+    )
+    rb = (
+        rv.join(bounds, "g")
+        .groupBy("g", safe_bucket.alias("b"))
+        .agg(F.count("*").alias("cr"))
+    )
+    merged = lb.join(rb, ["g", "b"], "full_outer").select(
+        "g",
+        F.coalesce("cl", F.lit(0)).alias("cl"),
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+    )
+    totals = merged.groupBy("g").agg(
+        F.sum("cl").alias("nl"), F.sum("cr").alias("nr")
+    )
+    pl = F.try_divide(F.col("cl"), F.col("nl")) + F.lit(epsilon)
+    pr = F.try_divide(F.col("cr"), F.col("nr")) + F.lit(epsilon)
+    out = (
+        merged.join(totals, "g")
+        .groupBy("g")
+        .agg(
+            F.round(F.sum((pl - pr) * F.log(pl / pr)), round_to).alias("psi"),
+            F.max("nl").cast("bigint").alias("n_left"),
+            F.max("nr").cast("bigint").alias("n_right"),
+        )
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        F.when(
+            (F.col("n_left") > 0) & (F.col("n_right") > 0), F.col("psi")
+        ).alias("psi"),
         "n_left",
         "n_right",
     )

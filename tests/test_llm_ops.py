@@ -1390,3 +1390,45 @@ def test_containment_pairs_quote_detection(spark):
         for r in dedup.containment_pairs(df, n=3, threshold=0.9, max_df=10).collect()
     }
     assert capped == out
+
+
+def test_containment_join_cross_table_eval_in_training(spark):
+    """The decontamination-grade shape: short eval docs pasted inside
+    long training pages match at containment ~1.0 where cross-table
+    Jaccard (fuzzy_join) is blind; direction is left-in-right only."""
+    from getl_spark.functions import dedup
+
+    words = [f"w{i}" for i in range(40)]
+    train = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(f"y{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, " ".join(words[10:22])), (200, "z1 z2 z3 z4 z5 z6")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_join(evals, train, threshold=0.9).collect()
+    }
+    assert out == {(100, 1): 1.0}
+    # fuzzy_join at any useful threshold misses the pasted eval doc
+    assert (
+        dedup.fuzzy_join(evals, train, threshold=0.5).count() == 0
+    )
+    # max_df path parity
+    capped = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_join(
+            evals, train, threshold=0.9, max_df=10
+        ).collect()
+    }
+    assert capped == out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        dedup.containment_join(evals, train, method="nope")
+    with _pytest.raises(ValueError, match="divisible"):
+        dedup.containment_join(evals, train, method="minhash", num_hashes=10, bands=4)
+    with _pytest.raises(ValueError, match="max_df"):
+        dedup.containment_join(evals, train, method="minhash", max_df=5)

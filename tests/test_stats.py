@@ -392,3 +392,41 @@ def test_chi2_drift_hand_case_and_guard(spark):
     empty = spark.createDataFrame([], "c string")
     with pytest.raises(Exception, match="no non-null"):
         stats.chi2_drift(left, empty, "c").collect()
+
+
+def test_group_psi_per_group_and_one_sided(spark):
+    """Planted drift in ONE group is visible per-group where the
+    global PSI averages it away; one-sided groups surface with NULL
+    psi; a degenerate single-value group scores 0."""
+    import numpy as np
+
+    from getl_spark.functions import stats as S
+
+    rng = np.random.RandomState(7)
+    stable = [("a", float(v)) for v in rng.randn(800)]
+    l = spark.createDataFrame(
+        stable
+        + [("b", float(v)) for v in rng.randn(500)]
+        + [("only_left", 1.0)] * 10
+        + [("const", 5.0)] * 20,
+        "g string, x double",
+    )
+    r = spark.createDataFrame(
+        [("a", float(v)) for v in rng.randn(800)]            # stable
+        + [("b", float(v)) for v in rng.randn(500) + 2.0]    # shifted
+        + [("const", 5.0)] * 15,
+        "g string, x double",
+    )
+    out = {row.g: row for row in S.group_psi(l, r, "x", "g").collect()}
+    assert out["a"].psi < 0.1 < out["b"].psi  # drift localized to b
+    assert out["const"].psi == 0.0
+    assert out["only_left"].psi is None
+    assert out["only_left"].n_left == 10 and out["only_left"].n_right == 0
+    # the global gate on the union under-reports b's drift
+    global_psi = S.psi(l.select("x"), r.select("x"), "x").first().psi
+    assert global_psi < out["b"].psi
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins"):
+        S.group_psi(l, r, "x", "g", bins=1)
