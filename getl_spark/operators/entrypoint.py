@@ -42,21 +42,16 @@ def generic(conf: BlockConfig) -> DataFrame:
     for func_meta in conf.get("Functions"):
         name, params = _function_meta(func_meta)
         func = _lookup(name)
-        if name in (
-            "join",
-            "union",
-            "union_by_name",
-            "skew.salted_join",
-            "interval.join",
-            "asof.join",
-            "text.decontaminate",
-            "dedup.fuzzy_join",
-            "stats.table_diff",
-            "stats.ks_drift",
-            "stats.psi",
-            "similarity.topk_between",
+        two_input_block = isinstance(conf.input, list) and len(conf.input) == 2
+        if name in ("join", "union", "union_by_name") or (
+            two_input_block and dataframe is None and _takes_two_frames(func)
         ):
-            # multi-input operators consume [left, right] from Input
+            # multi-input operators consume [left, right] from Input.
+            # Gated on the block SHAPE (a 2-list Input feeding the
+            # chain's first function): a two-frame op later in a chain,
+            # or one fed its second frame via ${param} raw-object
+            # injection under a single Input, keeps the normal
+            # single-frame call
             dataframe = func(*_two_inputs(conf), **params)
         else:
             if dataframe is None:
@@ -66,6 +61,43 @@ def generic(conf: BlockConfig) -> DataFrame:
                 )
             dataframe = func(dataframe, **params)
     return dataframe
+
+
+def _takes_two_frames(func: Callable) -> bool:
+    """True when the function's first TWO positional parameters are
+    both annotated ``DataFrame`` — the signature contract every
+    two-table operator in ``getl_spark.functions`` follows
+    (``stats.table_diff``, ``stats.group_psi``, ``dedup.fuzzy_join``,
+    ``text.decontaminate``, …). Signature-driven so a new two-frame
+    operator is YAML-callable with ``Input: [Left, Right]`` the day it
+    is written, with no registration list to forget."""
+    import inspect
+
+    try:
+        sig = inspect.signature(func)
+    except (TypeError, ValueError):
+        return False
+    positional = [
+        p
+        for p in sig.parameters.values()
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+    ]
+    if len(positional) < 2:
+        return False
+
+    def is_frame(p):
+        ann = p.annotation
+        name = ann if isinstance(ann, str) else getattr(ann, "__name__", "")
+        return name == "DataFrame"
+
+    # the second frame must be REQUIRED: ops with an optional second
+    # DataFrame (e.g. similarity.topk_bruteforce's queries=None) stay
+    # single-input blocks and take the extra frame as a keyword
+    return (
+        is_frame(positional[0])
+        and is_frame(positional[1])
+        and positional[1].default is inspect.Parameter.empty
+    )
 
 
 def _two_inputs(conf: BlockConfig) -> Tuple[DataFrame, DataFrame]:
