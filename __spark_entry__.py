@@ -5208,6 +5208,63 @@ SELECT doc_id, ROUND(1.0 / (1.0 + exp(-zz)), 6) AS quality_score FROM z
 """
 
 
+def _q_uncertainty_sample(spark, sf_dir):
+    """quality.uncertainty_sample on the pinned-weights model — the
+    active-learning labeling queue: rows within margin of the 0.5
+    decision boundary, most-uncertain first, capped (TakeOrdered). The
+    oracle replays score arithmetic + boundary filter + ordered cap."""
+    from getl_spark.functions import quality
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "jumps over the lazy dog"),
+            (2, "the the the"),
+            (3, ""),
+            (4, None),
+            (5, "pack my box with five dozen jugs"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = quality.uncertainty_sample(
+        docs, QUALITY_PINNED_MODEL, margin=0.3, max_rows=3
+    )
+    return out.select("doc_id", F.round("quality_score", 6).alias("quality_score"))
+
+
+UNCERTAINTY_SAMPLE_ORACLE = """
+WITH feats AS (
+  SELECT * FROM (VALUES
+    (CAST(0 AS BIGINT), CAST([1, 0, 0, 0, 0, 1, 0, 0] AS DOUBLE[])),
+    (CAST(1 AS BIGINT), CAST([0, 0, 0, 1, 1, 1, 0, 0] AS DOUBLE[])),
+    (CAST(2 AS BIGINT), CAST([0, 0, 0, 0, 0, 3, 0, 0] AS DOUBLE[])),
+    (CAST(3 AS BIGINT), CAST([0, 0, 0, 0, 0, 0, 0, 0] AS DOUBLE[])),
+    (CAST(4 AS BIGINT), CAST([0, 0, 0, 0, 0, 0, 0, 0] AS DOUBLE[])),
+    (CAST(5 AS BIGINT), CAST([-2, 0, 0, -1, -1, 1, -1, 1] AS DOUBLE[]))
+  ) AS t(doc_id, v)
+),
+w AS (SELECT CAST([0.5, -0.25, 0.125, 1.0, -1.0, 0.75, -0.5, 0.25]
+              AS DOUBLE[]) AS wv),
+n AS (
+  SELECT doc_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM feats
+),
+scored AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-(-0.1 + list_sum(list_transform(range(1, 9), i ->
+             (CASE WHEN nrm > 0 THEN v[i] / nrm ELSE v[i] END) * wv[i])))))
+           AS s
+  FROM n, w
+)
+SELECT doc_id, ROUND(s, 6) AS quality_score
+FROM scored
+WHERE ABS(s - 0.5) <= 0.3
+ORDER BY ABS(s - 0.5) ASC, doc_id ASC
+LIMIT 3
+"""
+
+
 def _q_c4_clean(spark, sf_dir):
     """text.c4_clean (C4 line+document rules) over ``documents`` with
     sentence boundaries lifted to line breaks first (the corpus text
@@ -6650,6 +6707,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_containment,
         "dedup_containment_join": _q_containment_join,
         "stats_group_psi": _q_group_psi,
+        "quality_uncertainty_sample": _q_uncertainty_sample,
     }
 
 
@@ -6792,6 +6850,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_containment": CONTAINMENT_ORACLE,
         "dedup_containment_join": CONTAINMENT_JOIN_ORACLE,
         "stats_group_psi": GROUP_PSI_ORACLE,
+        "quality_uncertainty_sample": UNCERTAINTY_SAMPLE_ORACLE,
     }
 
 

@@ -181,3 +181,48 @@ def filter_by_score(
     keep = scored.where(F.col(score_col) >= F.lit(float(threshold)))
     joined = df.join(keep, id_col, "inner")
     return joined if keep_score else joined.drop(score_col)
+
+
+def uncertainty_sample(
+    df: DataFrame,
+    model: dict,
+    margin: float = 0.15,
+    max_rows: int = 10000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """The active-learning labeling queue: rows whose classifier score
+    sits within ``margin`` of the 0.5 decision boundary, most-uncertain
+    first — the documents whose human label moves the model most, so a
+    labeling budget spent here beats random sampling (standard
+    uncertainty sampling; Lewis & Gale 1994). Re-train on the new
+    labels with ``train_classifier`` and repeat.
+
+    Output is ``df``'s rows + ``score_col``, ordered by ``|score −
+    0.5|`` ascending with the id as a deterministic tie-break, capped
+    at ``max_rows`` (a labeling queue is human-sized; the cap is a
+    TakeOrdered, never a global sort). Scoring is the JVM-only
+    broadcast-weights path of ``score`` — one corpus scan, one
+    boundary filter, one top-k.
+    """
+    if not 0.0 < margin <= 0.5:
+        raise ValueError(
+            f"uncertainty_sample: margin must be in (0, 0.5], got {margin}"
+        )
+    if max_rows < 1:
+        raise ValueError(
+            f"uncertainty_sample: max_rows must be >= 1, got {max_rows}"
+        )
+    if score_col in df.columns:
+        raise ValueError(
+            f"uncertainty_sample: input already has a '{score_col}' column"
+        )
+    scored = score(df, model, id_col=id_col, text_col=text_col, new_col=score_col)
+    near = scored.where(
+        F.abs(F.col(score_col) - F.lit(0.5)) <= F.lit(float(margin))
+    )
+    queue = near.orderBy(
+        F.abs(F.col(score_col) - F.lit(0.5)).asc(), F.col(id_col).asc()
+    ).limit(max_rows)
+    return df.join(queue.select(id_col, score_col), id_col, "inner")

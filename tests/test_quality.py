@@ -169,3 +169,48 @@ def test_filter_by_score_rejects_score_column_collision(spark):
     }
     with pytest.raises(ValueError, match="quality_score"):
         quality.filter_by_score(docs, model)
+
+
+def test_uncertainty_sample_orders_by_boundary_distance(spark):
+    """The labeling queue holds the rows nearest 0.5 first, honors the
+    margin and the cap, and validates its parameters."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from getl_spark.functions import quality
+
+    # train a separable model, then sample near the boundary
+    pos = [(i, "good clean prose with real words here") for i in range(10)]
+    neg = [(100 + i, "zzz qqq xxx") for i in range(10)]
+    labeled = spark.createDataFrame(
+        [(i, t, 1.0) for i, t in pos] + [(i, t, 0.0) for i, t in neg],
+        "doc_id long, text string, label double",
+    )
+    model = quality.train_classifier(labeled, dim=64, max_iter=30)
+
+    mixed = spark.createDataFrame(
+        [(1, "good clean prose with real words here")]     # confident pos
+        + [(2, "zzz qqq xxx")]                             # confident neg
+        + [(3, "good clean zzz qqq")]                      # mixed -> uncertain
+        + [(4, "prose words xxx qqq")],                    # mixed -> uncertain
+        "doc_id long, text string",
+    )
+    out = quality.uncertainty_sample(mixed, model, margin=0.49, max_rows=2)
+    rows = out.collect()
+    assert len(rows) == 2
+    scored = {
+        r.doc_id: r.quality_score
+        for r in quality.score(mixed, model).collect()
+    }
+    want = sorted(scored, key=lambda d: (abs(scored[d] - 0.5), d))[:2]
+    assert sorted(r.doc_id for r in rows) == sorted(want)
+
+    with pytest.raises(ValueError, match="margin"):
+        quality.uncertainty_sample(mixed, model, margin=0.0)
+    with pytest.raises(ValueError, match="max_rows"):
+        quality.uncertainty_sample(mixed, model, max_rows=0)
+    with pytest.raises(ValueError, match="column"):
+        quality.uncertainty_sample(
+            mixed.withColumn("quality_score", F.lit(1.0)), model
+        )
