@@ -51,6 +51,7 @@ NESTED_LOOP_WHITELIST = {
     "sketch_estimates": "1-row merged-sketch broadcast",
     "layout_zorder_key": "1-row min/max bounds broadcast",
     "quality_score_pinned": "1-row pinned-weights model broadcast",
+    "quality_uncertainty_sample": "1-row pinned-weights model broadcast",
     "skew_top_keys": "k-row TakeOrdered x 1-row total broadcast",
     # bounded non-equi self-joins: candidate count is k² / day², not
     # corpus²
