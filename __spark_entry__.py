@@ -2679,6 +2679,65 @@ WHERE rank <= 10
 """
 
 
+def _q_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval: BM25 keyword ranks over ``documents`` fused
+    with embedding cosine ranks over ``embeddings`` (aligned ids:
+    query i has the text form BM25_QUERIES[i] and the vector form
+    vec_id == i; doc_id ≡ vec_id) via reciprocal rank fusion — the
+    standard two-signal curation combiner. One keyed shuffle on
+    (query, doc); window partitions bounded by 2 systems x k=10."""
+    from getl_spark.functions import search, similarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = search.bm25_topk(docs, BM25_QUERIES, k=10)
+    ann = similarity.topk(emb, query_ids=[0, 1, 2], k=10).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("nbr_id").alias("doc_id"),
+        "rank",
+    )
+    return search.rrf_fuse(
+        [kw.select(F.col("query_id").cast("bigint").alias("query_id"), "doc_id", "rank"), ann],
+        k=60,
+        topk=10,
+    )
+
+
+SEARCH_RRF_ORACLE = f"""
+{_BM25_SCORING_CTES},
+kw AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+    FROM scored) t
+  WHERE rank <= 10),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+       FROM embeddings WHERE vec_id < 3),
+ann_scored AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(qv.qvec, e.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings e, qv WHERE e.vec_id != qv.query_id),
+ann AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
+    FROM ann_scored) t
+  WHERE rank <= 10),
+u AS (SELECT * FROM kw UNION ALL SELECT * FROM ann),
+fused AS (
+  SELECT query_id, doc_id,
+         ROUND(SUM(CAST(1.0 AS DOUBLE) / (60 + rank)), 6) AS rrf_score,
+         COUNT(*) AS n_systems
+  FROM u GROUP BY 1, 2)
+SELECT query_id, doc_id, rrf_score, n_systems, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused) t
+WHERE rank <= 10
+"""
+
+
 EMBEDDING_STATS_ORACLE = """
 WITH norms AS (
   SELECT len(embedding) AS dim,
@@ -6708,6 +6767,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment_join": _q_containment_join,
         "stats_group_psi": _q_group_psi,
         "quality_uncertainty_sample": _q_uncertainty_sample,
+        "search_rrf_hybrid": _q_rrf_hybrid,
     }
 
 
@@ -6851,6 +6911,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_containment_join": CONTAINMENT_JOIN_ORACLE,
         "stats_group_psi": GROUP_PSI_ORACLE,
         "quality_uncertainty_sample": UNCERTAINTY_SAMPLE_ORACLE,
+        "search_rrf_hybrid": SEARCH_RRF_ORACLE,
     }
 
 

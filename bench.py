@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "near_dedup_exact",
     # round-8 operators
     "text_bigram_logprob",
+    "search_rrf_hybrid",
 ]
 
 RUNS = 3

@@ -202,3 +202,59 @@ def coverage(
         F.count("*").alias("n_docs"),
         F.round(F.avg("score"), 6).alias("mean_score"),
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k: int = 60,
+    topk: int | None = None,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal rank fusion of several per-query rankings (Cormack,
+    Clarke & Buettcher, SIGIR 2009) — the standard combiner for hybrid
+    retrieval (BM25 keyword ranks + embedding ANN ranks), used to build
+    retrieval-curated training sets from more than one signal.
+
+    Each input carries ``(query_col, id_col, rank_col)`` with rank 1 =
+    best (the shape ``bm25_topk`` and ``similarity.topk`` both emit).
+    The fused score of a document is::
+
+        rrf(q, d) = sum over systems s that returned d for q of
+                    1 / (k + rank_s(q, d))
+
+    with the conventional ``k = 60`` damping constant. Scores are
+    rounded to 6 decimals BEFORE ranking so ties (broken by ascending
+    ``id_col``) are stable across summation orders. Output:
+    ``(query_col, id_col, rrf_score, n_systems, rank)`` where
+    ``n_systems`` counts how many input rankings returned the document.
+
+    Scale shape: the union is free (no exchange); the fuse is ONE
+    keyed shuffle on ``(query, doc)`` whose partial aggregation
+    completes map-side, and the ranking window partitions are bounded
+    by ``n_systems * per-system k`` rows per query — top-k inputs keep
+    them tiny no matter the corpus size.
+    """
+    if len(rankings) < 2:
+        raise ValueError(
+            "rrf_fuse needs at least two rankings to fuse; got "
+            f"{len(rankings)}"
+        )
+    slim = [r.select(query_col, id_col, rank_col) for r in rankings]
+    unioned = slim[0]
+    for r in slim[1:]:
+        unioned = unioned.unionByName(r)
+    fused = unioned.groupBy(query_col, id_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(k) + F.col(rank_col))), 6
+        ).alias("rrf_score"),
+        F.count("*").alias("n_systems"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    out = fused.withColumn("rank", F.row_number().over(w).cast("int"))
+    if topk is not None:
+        out = out.where(F.col("rank") <= topk)
+    return out

@@ -105,3 +105,63 @@ def test_bm25_yaml_callable(spark):
         "Result"
     )
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_rrf_fuse_hand_computation(spark):
+    # two systems, one query; doc 10 is ranked by both (1st and 3rd),
+    # doc 20 only by system A (2nd), doc 30 only by system B (1st)
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 20, 2)], ["query_id", "doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(0, 30, 1), (0, 10, 3)], ["query_id", "doc_id", "rank"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in search.rrf_fuse([a, b], k=60).collect()
+    }
+    assert rows[10]["rrf_score"] == pytest.approx(
+        round(1 / 61 + 1 / 63, 6)
+    )
+    assert rows[20]["rrf_score"] == pytest.approx(round(1 / 62, 6))
+    assert rows[30]["rrf_score"] == pytest.approx(round(1 / 61, 6))
+    assert rows[10]["n_systems"] == 2
+    assert rows[20]["n_systems"] == 1
+    # consensus doc 10 (both systems) outranks either single-system doc
+    assert rows[10]["rank"] == 1
+    ranks = sorted(r["rank"] for r in rows.values())
+    assert ranks == [1, 2, 3]
+
+
+def test_rrf_fuse_topk_and_tiebreak(spark):
+    # docs 1 and 2 get identical scores -> tie broken by ascending id
+    a = spark.createDataFrame(
+        [(0, 2, 1), (0, 1, 1)], ["query_id", "doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(0, 1, 5), (0, 2, 5), (0, 3, 9)], ["query_id", "doc_id", "rank"]
+    )
+    rows = sorted(
+        search.rrf_fuse([a, b], topk=2).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["doc_id"] for r in rows] == [1, 2]
+
+
+def test_rrf_fuse_per_query_isolation(spark):
+    a = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1)], ["query_id", "doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(0, 1, 2), (1, 3, 1)], ["query_id", "doc_id", "rank"]
+    )
+    rows = search.rrf_fuse([a, b]).collect()
+    q1 = {r["doc_id"]: r for r in rows if r["query_id"] == 1}
+    assert set(q1) == {2, 3}
+    # ranks restart per query
+    assert sorted(r["rank"] for r in q1.values()) == [1, 2]
+
+
+def test_rrf_fuse_requires_two_systems(spark):
+    a = spark.createDataFrame([(0, 1, 1)], ["query_id", "doc_id", "rank"])
+    with pytest.raises(ValueError):
+        search.rrf_fuse([a])
