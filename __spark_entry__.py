@@ -2170,6 +2170,46 @@ def _q_sim_topk_ivf(spark, sf_dir):
     )
 
 
+def _q_sim_topk_metrics(spark, sf_dir):
+    """Non-cosine exact retrieval: maximum-inner-product (dot) and
+    Euclidean (l2) top-5 over the embeddings table, one tagged result
+    set. Same broadcast-query brute-force shape as the cosine baseline;
+    ranking ascends for l2, descends for dot."""
+    from getl_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(4))
+    dot = similarity.topk(emb, query_ids=qids, k=5, metric="dot")
+    l2 = similarity.topk(emb, query_ids=qids, k=5, metric="l2")
+    return dot.select(F.lit("dot").alias("metric"), "*").unionByName(
+        l2.select(F.lit("l2").alias("metric"), "*")
+    )
+
+
+SIM_TOPK_METRICS_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 4),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS nbr_id,
+         ROUND(list_inner_product(q.qv, e.embedding::DOUBLE[]), 6) AS dot,
+         ROUND(list_distance(q.qv, e.embedding::DOUBLE[]), 6) AS l2
+  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+dot_r AS (
+  SELECT 'dot' AS metric, query_id, nbr_id, dot AS score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY dot DESC, nbr_id) AS INTEGER) AS rank
+  FROM pairs),
+l2_r AS (
+  SELECT 'l2' AS metric, query_id, nbr_id, l2 AS score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY l2 ASC, nbr_id) AS INTEGER) AS rank
+  FROM pairs)
+SELECT * FROM dot_r WHERE rank <= 5
+UNION ALL
+SELECT * FROM l2_r WHERE rank <= 5
+"""
+
+
 def _q_dedup_incremental(spark, sf_dir):
     """Incremental-corpus dedup: docs with even ids form the index,
     odd-id docs are the increment; survivors are odd docs whose exact
@@ -6768,6 +6808,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_group_psi": _q_group_psi,
         "quality_uncertainty_sample": _q_uncertainty_sample,
         "search_rrf_hybrid": _q_rrf_hybrid,
+        "similarity_topk_metrics": _q_sim_topk_metrics,
     }
 
 
@@ -6912,6 +6953,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_group_psi": GROUP_PSI_ORACLE,
         "quality_uncertainty_sample": UNCERTAINTY_SAMPLE_ORACLE,
         "search_rrf_hybrid": SEARCH_RRF_ORACLE,
+        "similarity_topk_metrics": SIM_TOPK_METRICS_ORACLE,
     }
 
 

@@ -39,6 +39,16 @@ def cosine_expr(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return dot_expr(a, b) / (norm_a * norm_b)
 
 
+def l2_expr(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
 def embedding_dim(df: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from a sampled row, with a readable
     error on an empty/all-null corpus (a bare ``.first()[0]`` would
@@ -99,37 +109,53 @@ def topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k. ``queries`` is broadcast; ties break on
-    neighbor id ascending for full determinism. Self-matches excluded
-    by id when ``exclude_self`` (right for queries drawn from the
-    corpus; set False for cross-table retrieval where query and corpus
-    id spaces are unrelated).
+    """Exact top-k under ``metric``: ``'cosine'`` (default, score
+    column ``cosine``, higher is closer), ``'dot'`` (maximum inner
+    product — the MIPS shape for non-normalized learned embeddings;
+    score column ``score``, higher is closer), or ``'l2'`` (Euclidean;
+    score column ``score``, LOWER is closer — ranking ascends).
+
+    ``queries`` is broadcast; ties break on neighbor id ascending for
+    full determinism. Self-matches excluded by id when
+    ``exclude_self`` (right for queries drawn from the corpus; set
+    False for cross-table retrieval where query and corpus id spaces
+    are unrelated).
     """
+    if metric not in ("cosine", "dot", "l2"):
+        raise ValueError(
+            f"topk_bruteforce: unknown metric '{metric}' (cosine|dot|l2)"
+        )
     c = with_norm(
         corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vec"))
     ).withColumnRenamed("vec", "cvec").withColumnRenamed("norm", "cnorm")
     q = with_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec"))
     ).withColumnRenamed("vec", "qvec").withColumnRenamed("norm", "qnorm")
+    if metric == "cosine":
+        score_col, score = "cosine", cosine_expr(
+            F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
+        )
+    elif metric == "dot":
+        score_col, score = "score", dot_expr(F.col("qvec"), F.col("cvec"))
+    else:
+        score_col, score = "score", l2_expr(F.col("qvec"), F.col("cvec"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.lit(not exclude_self) | (F.col("nbr_id") != F.col("query_id")))
         .select(
             "query_id",
             "nbr_id",
-            F.round(
-                cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")), 6
-            ).alias("cosine"),
+            F.round(score, 6).alias(score_col),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("nbr_id").asc()
-    )
+    order = F.col(score_col).asc() if metric == "l2" else F.col(score_col).desc()
+    w = Window.partitionBy("query_id").orderBy(order, F.col("nbr_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "cosine", "rank")
+        .select("query_id", "nbr_id", score_col, "rank")
     )
 
 
@@ -467,6 +493,7 @@ def topk(
     nlist: int = 16,
     nprobe: int = 4,
     index_path: str = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """``transform::generic`` entry: queries selected by id from the
     input itself. With ``nprobe == nlist`` the IVF path probes every
@@ -476,7 +503,15 @@ def topk(
     training/assigning in-session; ``method='ivf_pq'`` queries a
     persisted ``build_ivf_pq_index`` (probe-pruned residual-code ADC,
     exact-cosine rerank against the input — the compressed-index
-    path)."""
+    path). ``metric`` ('cosine'|'dot'|'l2') selects the distance for
+    the brute-force path; the banded/cell approximate paths are
+    cosine-geometry constructions and reject other metrics."""
+    if metric != "cosine" and method != "bruteforce":
+        raise ValueError(
+            f"topk: metric '{metric}' is only supported with "
+            "method='bruteforce' — the lsh/ivf cell constructions are "
+            "cosine-geometry (hyperplane signs / normalized centroids)"
+        )
     queries = df.where(F.col(id_col).isin(list(query_ids)))
     if method == "lsh":
         return topk_lsh(df, queries, k, id_col, vec_col, planes=planes, seed=seed)
@@ -508,7 +543,7 @@ def topk(
             f"topk: unknown method '{method}' "
             "(bruteforce|lsh|ivf|ivf_index|ivf_pq)"
         )
-    return topk_bruteforce(df, queries, k, id_col, vec_col)
+    return topk_bruteforce(df, queries, k, id_col, vec_col, metric=metric)
 
 
 def topk_between(
@@ -523,9 +558,10 @@ def topk_between(
     seed: int = 42,
     nlist: int = 16,
     nprobe: int = 4,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Cross-table embedding retrieval: for every row of ``queries``,
-    the top-k cosine neighbors in ``corpus`` — the eval-queries-vs-
+    the top-k neighbors in ``corpus`` — the eval-queries-vs-
     training-corpus shape (decontamination scoring, retrieval eval,
     semantic search against an indexed collection). Unlike ``topk``,
     the two id spaces are unrelated, so NO self-exclusion is applied —
@@ -533,8 +569,14 @@ def topk_between(
 
     Multi-input YAML form inside ``transform::generic``:
     ``Input: [Queries, Corpus]``. Methods as ``topk``: exact broadcast
-    brute force, hyperplane LSH, or IVF.
+    brute force, hyperplane LSH, or IVF. ``metric``
+    ('cosine'|'dot'|'l2') applies to the brute-force path only.
     """
+    if metric != "cosine" and method != "bruteforce":
+        raise ValueError(
+            f"topk_between: metric '{metric}' is only supported with "
+            "method='bruteforce'"
+        )
     q = queries.select(
         F.col(query_id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
@@ -553,7 +595,9 @@ def topk_between(
         )
     if method != "bruteforce":
         raise ValueError(f"topk_between: unknown method '{method}'")
-    return topk_bruteforce(c, q, k, "vec_id", "embedding", exclude_self=False)
+    return topk_bruteforce(
+        c, q, k, "vec_id", "embedding", exclude_self=False, metric=metric
+    )
 
 
 def range_search(

@@ -62,6 +62,7 @@ NESTED_LOOP_WHITELIST = {
     # side is the (small) query set or the oracleable exact pairs path;
     # the scale paths are the _lsh/_ivf/banded variants
     "similarity_topk_bruteforce": "broadcast query side (baseline)",
+    "similarity_topk_metrics": "broadcast query side (dot/l2 baseline)",
     "similarity_range_search": "broadcast query side (baseline)",
     "topk_between_tables": "broadcast query side (baseline)",
     "dedup_embedding_cosine": "exact-pairs verify (banded at scale)",

@@ -606,3 +606,62 @@ def test_topk_ivf_pq_rerank_index_sidecar(spark, tmp_path):
     similarity.build_ivf_pq_index(df, path2, nlist=4, m=8, k=16, seed=3)
     with pytest.raises(ValueError, match="store_raw"):
         similarity.topk_ivf_pq(spark, q, path2, rerank="index")
+
+
+def test_topk_metric_dot_and_l2_match_numpy(spark):
+    """metric='dot' (MIPS) and metric='l2' rankings equal the numpy
+    exact answer; cosine column naming unchanged for the default."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(40, 6).astype("float64")
+    # non-unit norms so dot, l2, and cosine genuinely disagree
+    vecs *= rng.uniform(0.2, 5.0, size=(40, 1))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    qids = [0, 3]
+    for metric in ("dot", "l2"):
+        out = similarity.topk(df, query_ids=qids, k=5, metric=metric)
+        assert out.columns == ["query_id", "nbr_id", "score", "rank"]
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.query_id, []).append((r.rank, r.nbr_id))
+        for q in qids:
+            if metric == "dot":
+                scores = vecs @ vecs[q]
+                ranked = sorted(
+                    (i for i in range(40) if i != q),
+                    key=lambda i: (-round(float(scores[i]), 6), i),
+                )[:5]
+            else:
+                d = np.sqrt(((vecs - vecs[q]) ** 2).sum(axis=1))
+                ranked = sorted(
+                    (i for i in range(40) if i != q),
+                    key=lambda i: (round(float(d[i]), 6), i),
+                )[:5]
+            assert [n for _, n in sorted(got[q])] == ranked, (metric, q)
+
+
+def test_topk_l2_self_and_validation(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(10, 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    # cross-table l2: query equals corpus row 2 -> distance 0 at rank 1
+    q = spark.createDataFrame(
+        [(2, [float(x) for x in vecs[2]])], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    top = similarity.topk_between(q, df, k=1, metric="l2").collect()[0]
+    assert (top.nbr_id, top.score) == (2, 0.0)
+    with pytest.raises(ValueError, match="metric"):
+        similarity.topk(df, query_ids=[0], method="lsh", metric="dot")
+    with pytest.raises(ValueError, match="metric"):
+        similarity.topk_between(q, df, method="ivf", metric="l2")
+    with pytest.raises(ValueError, match="unknown metric"):
+        similarity.topk(df, query_ids=[0], metric="manhattan")
