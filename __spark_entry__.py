@@ -5418,6 +5418,31 @@ FROM c
 """
 
 
+def _q_deterministic_shuffle(spark, sf_dir):
+    """sample.deterministic_shuffle — reproducible global training
+    order: md5(seed || doc_id) shuffle keys with the global 1-based
+    position computed on the distributed two-pass prefix sum (a bare
+    row_number window would funnel the corpus through one task)."""
+    from getl_spark.functions import sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample.deterministic_shuffle(docs, ["doc_id"], seed=42).select(
+        "doc_id", "shuffle_key", "shuffle_pos"
+    )
+
+
+DETERMINISTIC_SHUFFLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31), '42', CAST(doc_id AS VARCHAR))) AS shuffle_key
+  FROM documents)
+SELECT doc_id, shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+         AS shuffle_pos
+FROM keyed
+"""
+
+
 def _q_token_budget_mix(spark, sf_dir):
     """sample.token_budget_mix — per-source token budgets over
     ``documents`` in doc_id take order (SQL-expressible; the default
@@ -6809,6 +6834,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_uncertainty_sample": _q_uncertainty_sample,
         "search_rrf_hybrid": _q_rrf_hybrid,
         "similarity_topk_metrics": _q_sim_topk_metrics,
+        "sample_deterministic_shuffle": _q_deterministic_shuffle,
     }
 
 
@@ -6954,6 +6980,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "quality_uncertainty_sample": UNCERTAINTY_SAMPLE_ORACLE,
         "search_rrf_hybrid": SEARCH_RRF_ORACLE,
         "similarity_topk_metrics": SIM_TOPK_METRICS_ORACLE,
+        "sample_deterministic_shuffle": DETERMINISTIC_SHUFFLE_ORACLE,
     }
 
 

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     # round-8 operators
     "text_bigram_logprob",
     "search_rrf_hybrid",
+    "sample_deterministic_shuffle",
 ]
 
 RUNS = 3

@@ -312,3 +312,56 @@ def token_budget_mix(
         F.col("__budget").isNotNull(), F.col("__cum") <= F.col("__budget")
     ).otherwise(F.lit(bool(default_keep)))
     return tagged.where(keep).drop("__cum", "__src", "__budget")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    seed: int = 42,
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Reproducible global shuffle order for a training corpus.
+
+    Training pipelines need the corpus in a shuffled order that is (a)
+    decorrelated from ingestion order, (b) bit-identical across reruns
+    and cluster sizes, and (c) re-derivable for any single row (resume
+    from step N, locate example K). Randomness from the cluster RNG
+    fails (b) and (c); this uses a content hash instead — the shuffle
+    key is ``md5(seed || id_cols...)`` and the global 1-based position
+    ``pos_col`` is the rank of that key.
+
+    Changing ``seed`` produces an independent permutation; the same
+    seed always produces the same one.
+
+    Scale shape: the position is a prefix COUNT over hash order via
+    the distributed two-pass prefix sum (``common/scale.py``) — a
+    ``row_number`` over an unpartitioned window would funnel the whole
+    corpus through ONE task. The md5 key makes the ordering unique
+    (ties broken by the id columns themselves), so positions are a
+    permutation of 1..N. To materialize the corpus in shuffled order,
+    write sorted by ``pos_col`` or bucket on ``pos_col`` ranges.
+    """
+    if not id_cols:
+        raise ValueError("deterministic_shuffle: id_cols must be non-empty")
+    key = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.lit(str(seed)),
+            *[F.col(c).cast("string") for c in id_cols],
+        )
+    )
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    prepared = df.withColumn("__shuf_key", key).withColumn(
+        "__shuf_one", F.lit(1).cast("bigint")
+    )
+    summed = grouped_prefix_sum(
+        prepared,
+        [],
+        ["__shuf_key"] + list(id_cols),
+        "__shuf_one",
+        pos_col,
+    )
+    return summed.withColumnRenamed("__shuf_key", "shuffle_key").drop(
+        "__shuf_one"
+    )

@@ -364,3 +364,39 @@ def test_token_budget_mix_null_source_follows_default(spark):
         df, "source", {"web": 100}, ["doc_id"], default_keep=False
     )
     assert sorted(r.doc_id for r in dropped.collect()) == [1]
+
+
+def test_deterministic_shuffle_is_md5_rank_permutation(spark):
+    """Positions are a permutation of 1..N equal to the md5-key rank;
+    identical across reruns, independent across seeds."""
+    import hashlib
+
+    from getl_spark.functions import sample
+
+    df = spark.range(0, 200).selectExpr("id", "id % 5 as grp")
+    out = {r["id"]: (r["shuffle_key"], r["shuffle_pos"])
+           for r in sample.deterministic_shuffle(df, ["id"], seed=7).collect()}
+    assert sorted(p for _, p in out.values()) == list(range(1, 201))
+    keys = {i: hashlib.md5(f"7\x1f{i}".encode()).hexdigest() for i in range(200)}
+    expect_pos = {
+        i: r + 1
+        for r, i in enumerate(sorted(keys, key=lambda i: (keys[i], i)))
+    }
+    for i in range(200):
+        assert out[i] == (keys[i], expect_pos[i])
+    again = {r["id"]: r["shuffle_pos"]
+             for r in sample.deterministic_shuffle(df, ["id"], seed=7).collect()}
+    assert again == {i: p for i, (_, p) in out.items()}
+    other = {r["id"]: r["shuffle_pos"]
+             for r in sample.deterministic_shuffle(df, ["id"], seed=8).collect()}
+    assert other != again
+
+
+def test_deterministic_shuffle_validates(spark):
+    from getl_spark.functions import sample
+
+    df = spark.range(3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="id_cols"):
+        sample.deterministic_shuffle(df, [])
