@@ -5418,6 +5418,42 @@ FROM c
 """
 
 
+def _q_pass_at_k(spark, sf_dir):
+    """stats.pass_at_k — the unbiased n-samples-per-task eval
+    estimator, driven over a deterministic task/outcome derivation
+    from ``orders`` (task = custkey mod 40, success = fulfilled):
+    one keyed partial agg + a k-term JVM product per task."""
+    from getl_spark.functions import stats
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    runs = orders.select(
+        (F.col("o_custkey") % 40).alias("task"),
+        (F.col("o_orderstatus") == "F").alias("success"),
+    )
+    return stats.pass_at_k(runs, "task", "success", k=5)
+
+
+PASS_AT_K_ORACLE = """
+WITH agg AS (
+  SELECT o_custkey % 40 AS task,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM orders GROUP BY 1)
+SELECT task,
+       CAST(n AS BIGINT) AS n_samples,
+       n_correct,
+       CASE WHEN n < 5 THEN NULL
+            WHEN n_correct + 5 > n THEN CAST(1.0 AS DOUBLE)
+            ELSE ROUND(1 - list_aggregate(list_transform(
+                   generate_series(0, 4),
+                   j -> CAST(n - n_correct - j AS DOUBLE) / (n - j)),
+                 'product'), 6)
+       END AS pass_at_k
+FROM agg
+"""
+
+
 def _q_deterministic_shuffle(spark, sf_dir):
     """sample.deterministic_shuffle — reproducible global training
     order: md5(seed || doc_id) shuffle keys with the global 1-based
@@ -6835,6 +6871,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rrf_hybrid": _q_rrf_hybrid,
         "similarity_topk_metrics": _q_sim_topk_metrics,
         "sample_deterministic_shuffle": _q_deterministic_shuffle,
+        "stats_pass_at_k": _q_pass_at_k,
     }
 
 
@@ -6981,6 +7018,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "search_rrf_hybrid": SEARCH_RRF_ORACLE,
         "similarity_topk_metrics": SIM_TOPK_METRICS_ORACLE,
         "sample_deterministic_shuffle": DETERMINISTIC_SHUFFLE_ORACLE,
+        "stats_pass_at_k": PASS_AT_K_ORACLE,
     }
 
 

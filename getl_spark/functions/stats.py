@@ -904,3 +904,66 @@ def js_divergence(
         F.col("n_left").cast("bigint").alias("n_left"),
         F.col("n_right").cast("bigint").alias("n_right"),
     )
+
+
+def pass_at_k(
+    df: DataFrame,
+    task_col: str,
+    success_col: str,
+    k: int,
+    overall: bool = False,
+) -> DataFrame:
+    """Unbiased pass@k estimator over repeated samples per task
+    (Chen et al. 2021, "Evaluating LLMs Trained on Code" — the
+    standard eval aggregate for n-samples-per-problem benchmark runs).
+
+    Input: one row per (task, sample) with a boolean/0-1
+    ``success_col``. For a task with ``n`` samples and ``c``
+    successes::
+
+        pass@k = 1 - C(n-c, k) / C(n, k)
+               = 1 - prod_{j=0..k-1} (n-c-j) / (n-j)
+
+    computed in the product form (no factorial overflow, pure JVM
+    expressions). Contract: tasks with ``n < k`` emit NULL — the
+    estimator is undefined there; filter or resample rather than
+    trust a biased value. Per-task output:
+    ``(task_col, n_samples, n_correct, pass_at_k)``; with
+    ``overall=True`` a single row ``(n_tasks, avg_pass_at_k)``
+    averaging over the estimable tasks (the benchmark headline
+    number).
+
+    Scale shape: one keyed partial aggregation (count + sum complete
+    map-side); the product over ``k`` terms is a per-row
+    ``F.aggregate`` over a ``sequence`` literal — no shuffle beyond
+    the groupBy, no Python.
+    """
+    if k < 1:
+        raise ValueError(f"pass_at_k: k must be >= 1, got {k}")
+    per_task = df.groupBy(task_col).agg(
+        F.count("*").alias("n_samples"),
+        F.sum(F.col(success_col).cast("int")).cast("bigint").alias("n_correct"),
+    )
+    n, c = F.col("n_samples"), F.col("n_correct")
+    prod = F.aggregate(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.lit(1.0),
+        lambda acc, j: acc * (n - c - j).cast("double") / (n - j),
+    )
+    estimate = F.when(n < k, F.lit(None).cast("double")).otherwise(
+        F.round(
+            F.when(c + k > n, F.lit(1.0)).otherwise(F.lit(1.0) - prod), 6
+        )
+    )
+    per_task = per_task.select(
+        task_col,
+        n.cast("bigint").alias("n_samples"),
+        "n_correct",
+        estimate.alias("pass_at_k"),
+    )
+    if not overall:
+        return per_task
+    return per_task.where(F.col("pass_at_k").isNotNull()).agg(
+        F.count("*").cast("bigint").alias("n_tasks"),
+        F.round(F.avg("pass_at_k"), 6).alias("avg_pass_at_k"),
+    )

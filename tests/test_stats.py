@@ -430,3 +430,43 @@ def test_group_psi_per_group_and_one_sided(spark):
 
     with _pytest.raises(ValueError, match="bins"):
         S.group_psi(l, r, "x", "g", bins=1)
+
+
+def test_pass_at_k_matches_comb_formula(spark):
+    """Product form equals the C(n-c,k)/C(n,k) definition; n<k tasks
+    emit NULL; all-fail and all-pass edges behave."""
+    from math import comb
+
+    from getl_spark.functions import stats
+
+    cases = [(0, 10, 3), (1, 6, 6), (2, 6, 0), (3, 3, 2), (4, 5, 4)]
+    rows = [
+        (t, 1 if i < c else 0) for t, n, c in cases for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "task INT, ok INT")
+    out = {r["task"]: r for r in stats.pass_at_k(df, "task", "ok", 5).collect()}
+    for t, n, c in cases:
+        r = out[t]
+        assert (r["n_samples"], r["n_correct"]) == (n, c)
+        if n < 5:
+            assert r["pass_at_k"] is None
+        else:
+            want = round(1 - comb(n - c, 5) / comb(n, 5), 6) if n - c >= 5 else 1.0
+            assert r["pass_at_k"] == pytest.approx(want)
+    ov = stats.pass_at_k(df, "task", "ok", 5, overall=True).collect()[0]
+    est = [v for v in (out[t]["pass_at_k"] for t, _, _ in cases) if v is not None]
+    assert ov["n_tasks"] == len(est)
+    assert ov["avg_pass_at_k"] == pytest.approx(round(sum(est) / len(est), 6))
+
+
+def test_pass_at_k_boolean_success_and_validation(spark):
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [(0, True), (0, False), (0, True)], "task INT, ok BOOLEAN"
+    )
+    r = stats.pass_at_k(df, "task", "ok", 2).collect()[0]
+    # n=3, c=2: pass@2 = 1 - C(1,2)/C(3,2) = 1 (can't pick 2 failures)
+    assert r["pass_at_k"] == 1.0
+    with pytest.raises(ValueError, match="k must be"):
+        stats.pass_at_k(df, "task", "ok", 0)
