@@ -5418,6 +5418,37 @@ FROM c
 """
 
 
+def _q_char_entropy(spark, sf_dir):
+    """text.char_entropy — per-document Shannon entropy over the char
+    distribution (gibberish / encoding-damage gate), scan-fused JVM
+    higher-order exprs, zero shuffle."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.char_entropy(docs).select("doc_id", "char_entropy")
+
+
+CHAR_ENTROPY_ORACLE = """
+WITH cs AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(coalesce(text, ''))),
+                        i -> substr(text, i, 1)) AS chars
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN len(chars) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE ROUND(-list_aggregate(
+              list_transform(
+                list_distinct(chars),
+                c -> CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+                       / len(chars)
+                     * log2(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+                       / len(chars))),
+              'sum'), 4)
+       END AS char_entropy
+FROM cs
+"""
+
+
 def _q_pass_at_k(spark, sf_dir):
     """stats.pass_at_k — the unbiased n-samples-per-task eval
     estimator, driven over a deterministic task/outcome derivation
@@ -6872,6 +6903,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_metrics": _q_sim_topk_metrics,
         "sample_deterministic_shuffle": _q_deterministic_shuffle,
         "stats_pass_at_k": _q_pass_at_k,
+        "text_char_entropy": _q_char_entropy,
     }
 
 
@@ -7019,6 +7051,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "similarity_topk_metrics": SIM_TOPK_METRICS_ORACLE,
         "sample_deterministic_shuffle": DETERMINISTIC_SHUFFLE_ORACLE,
         "stats_pass_at_k": PASS_AT_K_ORACLE,
+        "text_char_entropy": CHAR_ENTROPY_ORACLE,
     }
 
 

@@ -1584,3 +1584,41 @@ def filter_hosts(
     else:
         cond = F.coalesce(hit, F.lit(bool(keep_null)))
     return out.where(cond).drop(tmp)
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "char_entropy",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) over the character
+    distribution — the cheap gibberish/encoding-damage signal: natural
+    prose sits near 4-4.5 bits, single-character spam near 0,
+    base64/hex blobs and random bytes push past 5.5.
+
+    Computed scan-fused with zero shuffle and zero UDFs: the distinct
+    characters of a document (≤ alphabet size, ~dozens for text) each
+    count their occurrences with a vectorized ``filter`` over the char
+    array, then fold −Σ p·log2 p. Per-row cost is O(distinct_chars ×
+    length) JVM work — bounded by the alphabet, not the corpus.
+    Null/empty documents emit entropy 0.0.
+    """
+    chars = F.split(F.coalesce(F.col(text_col), F.lit("")), "")
+    # Spark's split('', '') yields [""] on empty input — drop the
+    # empty sentinel so n=0 for empty docs
+    chars = F.filter(chars, lambda c: c != "")
+    n = F.size(chars)
+    probs = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double") / n,
+    )
+    ent = -F.aggregate(
+        probs,
+        F.lit(0.0),
+        lambda acc, p: acc + p * F.log2(p),
+    )
+    return df.withColumn(
+        out_col,
+        F.when(n == 0, F.lit(0.0)).otherwise(F.round(ent, round_to)),
+    )

@@ -834,3 +834,37 @@ LiftJob:
     )
     row = log.get("Scored").first()
     assert row.n_words == 7 and row.n_sentences == 2
+
+
+def test_char_entropy_matches_counter(spark):
+    """Scan-fused entropy equals the Counter formula; empty/null -> 0;
+    repetitive text scores below diverse text."""
+    import math
+    from collections import Counter
+
+    from getl_spark.functions import text
+
+    samples = ["aaaa", "abab", "The quick brown fox.", "", "aab", "zzzzzzy"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)] + [(99, None)],
+        "id INT, text STRING",
+    )
+    out = {r["id"]: r["char_entropy"] for r in text.char_entropy(df).collect()}
+
+    def ent(s):
+        c = Counter(s)
+        n = len(s)
+        return round(-sum(v / n * math.log2(v / n) for v in c.values()), 4) if n else 0.0
+
+    for i, s in enumerate(samples):
+        assert out[i] == pytest.approx(ent(s)), (i, s)
+    assert out[99] == 0.0
+    assert out[0] < out[1] < out[2]  # monotone with diversity
+
+
+def test_char_entropy_plan_is_shuffle_free(spark):
+    from getl_spark.functions import text
+
+    df = spark.createDataFrame([(1, "abc")], "id INT, text STRING")
+    plan = text.char_entropy(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
