@@ -5418,6 +5418,98 @@ FROM c
 """
 
 
+def _q_bt_ratings(spark, sf_dir):
+    """stats.bt_ratings — Bradley-Terry arena ranking over a
+    deterministic battle log derived from ``orders`` (5 synthetic
+    models, winner decided by an orderkey hash band with ties): one
+    keyed partial agg to the k²-bounded pair table, MM iterations
+    driver-side (the k-means pattern), anchor-normalized."""
+    from getl_spark.functions import stats
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    battles = (
+        orders.select(
+            F.concat(F.lit("m"), (k % 5).cast("string")).alias("model_a"),
+            F.concat(F.lit("m"), (F.expr("o_orderkey div 7") % 5).cast("string")).alias(
+                "model_b"
+            ),
+            (k % 97).alias("h"),
+        )
+        .where(F.col("model_a") != F.col("model_b"))
+        .select(
+            "model_a",
+            "model_b",
+            F.when(F.col("h") < 45, F.col("model_a"))
+            .when(F.col("h") < 90, F.col("model_b"))
+            .otherwise(F.lit("tie"))
+            .alias("winner"),
+        )
+    )
+    return stats.bt_ratings(battles, iters=20)
+
+
+BT_RATINGS_ORACLE = """
+WITH RECURSIVE
+battles AS (
+  SELECT 'm' || CAST(o_orderkey % 5 AS VARCHAR) AS ma,
+         'm' || CAST((o_orderkey // 7) % 5 AS VARCHAR) AS mb,
+         o_orderkey % 97 AS h
+  FROM orders
+  WHERE o_orderkey % 5 != (o_orderkey // 7) % 5),
+scored AS (
+  SELECT least(ma, mb) AS a, greatest(ma, mb) AS b,
+         CASE WHEN h < 45 THEN
+                (CASE WHEN ma = least(ma, mb) THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END)
+              WHEN h < 90 THEN
+                (CASE WHEN mb = least(ma, mb) THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END)
+              ELSE CAST(0.5 AS DOUBLE) END AS wa
+  FROM battles),
+pair_agg AS (
+  SELECT a, b, SUM(wa) AS win_a, SUM(CAST(1.0 AS DOUBLE) - wa) AS win_b,
+         COUNT(*) AS n
+  FROM scored GROUP BY a, b),
+midx AS (
+  SELECT m, CAST(ROW_NUMBER() OVER (ORDER BY m) - 1 AS INTEGER) AS i
+  FROM (SELECT a AS m FROM pair_agg UNION SELECT b FROM pair_agg)),
+stats_m AS (
+  SELECT i, SUM(w) AS w, SUM(n) AS g FROM (
+    SELECT a AS m, win_a AS w, n FROM pair_agg
+    UNION ALL SELECT b, win_b, n FROM pair_agg) u
+  JOIN midx USING (m) GROUP BY i),
+ipairs AS (
+  SELECT ai.i AS ia, bi.i AS ib, pair_agg.n AS n
+  FROM pair_agg
+  JOIN midx ai ON ai.m = pair_agg.a
+  JOIN midx bi ON bi.m = pair_agg.b),
+plist AS (SELECT list({'a': ia, 'b': ib, 'n': n} ORDER BY ia, ib) AS ps
+          FROM ipairs),
+wlist AS (SELECT list(w ORDER BY i) AS wt FROM stats_m),
+rec(it, ws) AS (
+  SELECT 0, (SELECT list_transform(wt, x -> CAST(1.0 AS DOUBLE)) FROM wlist)
+  UNION ALL
+  SELECT it + 1,
+         list_transform(generate_series(0, len(wt) - 1), i ->
+           CASE WHEN wt[i+1] = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+             CAST(wt[i+1] AS DOUBLE) / list_aggregate(
+               list_transform(list_filter(ps, p -> p.a = i OR p.b = i),
+                              p -> CAST(p.n AS DOUBLE) / (ws[p.a+1] + ws[p.b+1])),
+               'sum') END)
+  FROM rec, plist, wlist WHERE it < 20),
+final AS (SELECT ws FROM rec WHERE it = 20),
+anch AS (SELECT MIN(i) AS ai FROM stats_m WHERE w > 0)
+SELECT midx.m AS model,
+       CAST(stats_m.g AS BIGINT) AS n_games,
+       CAST(stats_m.w AS DOUBLE) AS n_wins,
+       CASE WHEN anch.ai IS NULL THEN CAST(0.0 AS DOUBLE)
+            ELSE ROUND(final.ws[midx.i + 1] / final.ws[anch.ai + 1], 6)
+       END AS rating
+FROM midx JOIN stats_m USING (i), final, anch
+"""
+
+
 def _q_char_entropy(spark, sf_dir):
     """text.char_entropy — per-document Shannon entropy over the char
     distribution (gibberish / encoding-damage gate), scan-fused JVM
@@ -6904,6 +6996,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic_shuffle": _q_deterministic_shuffle,
         "stats_pass_at_k": _q_pass_at_k,
         "text_char_entropy": _q_char_entropy,
+        "stats_bt_ratings": _q_bt_ratings,
     }
 
 
@@ -7052,6 +7145,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sample_deterministic_shuffle": DETERMINISTIC_SHUFFLE_ORACLE,
         "stats_pass_at_k": PASS_AT_K_ORACLE,
         "text_char_entropy": CHAR_ENTROPY_ORACLE,
+        "stats_bt_ratings": BT_RATINGS_ORACLE,
     }
 
 

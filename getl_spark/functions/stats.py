@@ -967,3 +967,118 @@ def pass_at_k(
         F.count("*").cast("bigint").alias("n_tasks"),
         F.round(F.avg("pass_at_k"), 6).alias("avg_pass_at_k"),
     )
+
+
+def bt_ratings(
+    df: DataFrame,
+    model_a_col: str = "model_a",
+    model_b_col: str = "model_b",
+    winner_col: str = "winner",
+    iters: int = 20,
+    max_models: int = 500,
+) -> DataFrame:
+    """Bradley-Terry strength ratings from pairwise preference battles
+    (arena-style model ranking) via the MM algorithm (Hunter 2004).
+
+    Input: one row per battle with two model names and ``winner_col``
+    equal to one of them or the literal ``'tie'`` (a tie credits each
+    side half a win — the standard arena convention); any other value,
+    or a self-battle, raises. Output per model:
+    ``(model, n_games, n_wins, rating)`` where ``rating`` is the MM
+    fixed-point iterate after ``iters`` rounds from uniform start,
+    normalized so the lexicographically-first model with positive wins
+    rates 1.0 (an exact division — anchor normalization avoids the
+    cross-engine float drift a geometric-mean scale would reintroduce).
+    Models with zero wins rate 0.0 (their MM fixed point). Ratings are
+    relative odds: rating(x)/rating(y) estimates P(x beats y)/P(y
+    beats x).
+
+    Scale shape: the corpus-sized work is ONE keyed partial
+    aggregation of battles into the canonical-pair win table (≤ k²
+    rows for k models); the iteration runs driver-side on that bounded
+    table — the k-means/centroid pattern — with a ``max_models`` limit
+    probe so an unbounded model column fails loudly, never OOMs. All
+    aggregation is exact (half-integer wins), and the driver iteration
+    accumulates in sorted-pair order so results are bit-reproducible.
+    """
+    if iters < 1:
+        raise ValueError(f"bt_ratings: iters must be >= 1, got {iters}")
+    ma, mb, wn = F.col(model_a_col), F.col(model_b_col), F.col(winner_col)
+    a, b = F.least(ma, mb), F.greatest(ma, mb)
+    valid = (ma != mb) & ((wn == ma) | (wn == mb) | (wn == F.lit("tie")))
+    wa = F.when(wn == a, F.lit(1.0)).when(wn == b, F.lit(0.0)).otherwise(
+        F.lit(0.5)
+    )
+    checked = F.when(valid, wa).otherwise(
+        F.assert_true(
+            F.lit(False),
+            F.lit(
+                "bt_ratings: winner must equal model_a, model_b, or "
+                "'tie', and self-battles are invalid"
+            ),
+        ).cast("double")
+    )
+    agg = (
+        df.select(a.alias("__a"), b.alias("__b"), checked.alias("__wa"))
+        .groupBy("__a", "__b")
+        .agg(
+            F.sum("__wa").alias("win_a"),
+            F.sum(F.lit(1.0) - F.col("__wa")).alias("win_b"),
+            F.count("*").alias("n"),
+        )
+    )
+    max_pairs = max_models * (max_models - 1) // 2
+    rows = agg.limit(max_pairs + 1).collect()
+    if len(rows) > max_pairs:
+        raise ValueError(
+            f"bt_ratings: more than {max_pairs} distinct model pairs "
+            f"(max_models={max_models}). The pair table is driver-"
+            "solved by design (panel-sized model sets); raise "
+            "max_models explicitly if the driver has headroom."
+        )
+    models = sorted({r["__a"] for r in rows} | {r["__b"] for r in rows})
+    if len(models) > max_models:
+        raise ValueError(
+            f"bt_ratings: {len(models)} distinct models exceeds "
+            f"max_models={max_models}"
+        )
+    idx = {m: i for i, m in enumerate(models)}
+    pairs = sorted(
+        (idx[r["__a"]], idx[r["__b"]], int(r["n"]), float(r["win_a"]),
+         float(r["win_b"]))
+        for r in rows
+    )
+    k = len(models)
+    wins = [0.0] * k
+    games = [0] * k
+    for ia, ib, n, win_a, win_b in pairs:
+        wins[ia] += win_a
+        wins[ib] += win_b
+        games[ia] += n
+        games[ib] += n
+    ws = [1.0] * k
+    for _ in range(iters):
+        nxt = []
+        for i in range(k):
+            if wins[i] == 0:
+                nxt.append(0.0)
+                continue
+            denom = 0.0
+            for ia, ib, n, _, _ in pairs:
+                if ia == i or ib == i:
+                    denom += float(n) / (ws[ia] + ws[ib])
+            nxt.append(wins[i] / denom)
+        ws = nxt
+    anchor = next((w for w in ws if w > 0), None)
+    out = [
+        (
+            models[i],
+            games[i],
+            wins[i],
+            round(ws[i] / anchor, 6) if anchor else 0.0,
+        )
+        for i in range(k)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "model STRING, n_games BIGINT, n_wins DOUBLE, rating DOUBLE"
+    )

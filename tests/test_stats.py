@@ -470,3 +470,53 @@ def test_pass_at_k_boolean_success_and_validation(spark):
     assert r["pass_at_k"] == 1.0
     with pytest.raises(ValueError, match="k must be"):
         stats.pass_at_k(df, "task", "ok", 0)
+
+
+def test_bt_ratings_orders_strengths_and_anchor(spark):
+    """Clear win-rate hierarchy recovers the ordering; anchor model
+    rates exactly 1.0; ties credit half wins; probabilities implied by
+    rating ratios track the observed win rates."""
+    from getl_spark.functions import stats
+
+    battles = (
+        [("m1", "m2", "m1")] * 8 + [("m1", "m2", "m2")] * 2
+        + [("m1", "m3", "m1")] * 7 + [("m3", "m1", "m3")] * 3
+        + [("m2", "m3", "m2")] * 5 + [("m2", "m3", "m3")] * 3
+        + [("m2", "m3", "tie")] * 2
+    )
+    df = spark.createDataFrame(
+        battles, "model_a STRING, model_b STRING, winner STRING"
+    )
+    rows = {r["model"]: r for r in stats.bt_ratings(df, iters=30).collect()}
+    assert rows["m1"]["rating"] == 1.0
+    assert rows["m1"]["rating"] > rows["m2"]["rating"] > rows["m3"]["rating"]
+    assert rows["m2"]["n_wins"] == 2 + 5 + 0.5 * 2  # tie half-credit
+    assert rows["m2"]["n_games"] == 20
+    # implied P(m1 beats m2) = r1/(r1+r2) should be near observed 0.8
+    r1, r2 = rows["m1"]["rating"], rows["m2"]["rating"]
+    assert abs(r1 / (r1 + r2) - 0.8) < 0.1
+
+
+def test_bt_ratings_zero_win_model_and_validation(spark):
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [("a", "b", "a")] * 4, "model_a STRING, model_b STRING, winner STRING"
+    )
+    rows = {r["model"]: r for r in stats.bt_ratings(df).collect()}
+    assert rows["b"]["rating"] == 0.0 and rows["a"]["rating"] == 1.0
+
+    bad = spark.createDataFrame(
+        [("a", "b", "c")], "model_a STRING, model_b STRING, winner STRING"
+    )
+    with pytest.raises(Exception, match="winner must equal"):
+        stats.bt_ratings(bad).collect()
+    selfb = spark.createDataFrame(
+        [("a", "a", "a")], "model_a STRING, model_b STRING, winner STRING"
+    )
+    with pytest.raises(Exception, match="self-battles"):
+        stats.bt_ratings(selfb).collect()
+    with pytest.raises(ValueError, match="iters"):
+        stats.bt_ratings(df, iters=0)
+    with pytest.raises(ValueError, match="max_models"):
+        stats.bt_ratings(df, max_models=1).collect()
