@@ -5418,6 +5418,65 @@ FROM c
 """
 
 
+def _q_bootstrap_ci(spark, sf_dir):
+    """stats.bootstrap_ci — deterministic Poisson-bootstrap CI for
+    the mean order value (integer cents keep replicate sums exact; the
+    md5 hash path makes the weights engine-replicable). The ×n_boot
+    explode aggregates map-side, so the exchange carries n_boot ×
+    #partitions partial rows."""
+    from getl_spark.functions import stats
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return stats.bootstrap_ci(
+        cents, "cents", ["o_orderkey"], n_boot=100, hash_fn="md5"
+    )
+
+
+_BOOT_CUM = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9999167588507119", "0.9999897508033253",
+)
+_BOOT_W_CASE = "CASE " + " ".join(
+    f"WHEN u < {c} THEN {k}" for k, c in enumerate(_BOOT_CUM)
+) + f" ELSE {len(_BOOT_CUM)} END"
+
+BOOTSTRAP_CI_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey AS id,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+reps AS (SELECT unnest(generate_series(0, 99)) AS bb),
+drawn AS (
+  SELECT bb, cents,
+         ('0x' || substr(md5(concat_ws(':', '42', CAST(bb AS VARCHAR),
+                                       CAST(id AS VARCHAR))), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM base, reps),
+weighted AS (SELECT bb, cents, {_BOOT_W_CASE} AS w FROM drawn),
+means AS (
+  SELECT bb, CAST(SUM(w * cents) AS DOUBLE) / SUM(w) AS m
+  FROM weighted GROUP BY bb HAVING SUM(w) > 0),
+sorted AS (SELECT list(m ORDER BY m) AS ml FROM means),
+agg AS (
+  SELECT CAST(COUNT(cents) AS BIGINT) AS n_rows,
+         ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(cents), 6) AS mean
+  FROM base)
+SELECT agg.n_rows,
+       CAST(len(ml) AS INTEGER) AS n_boot,
+       agg.mean,
+       ROUND(ml[CAST(FLOOR(0.025 * len(ml)) AS INTEGER) + 1], 6) AS ci_lo,
+       ROUND(ml[len(ml) - CAST(FLOOR(0.025 * len(ml)) AS INTEGER)], 6) AS ci_hi
+FROM agg, sorted
+"""
+
+
 def _q_bt_ratings(spark, sf_dir):
     """stats.bt_ratings — Bradley-Terry arena ranking over a
     deterministic battle log derived from ``orders`` (5 synthetic
@@ -6997,6 +7056,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_pass_at_k": _q_pass_at_k,
         "text_char_entropy": _q_char_entropy,
         "stats_bt_ratings": _q_bt_ratings,
+        "stats_bootstrap_ci": _q_bootstrap_ci,
     }
 
 
@@ -7146,6 +7206,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_pass_at_k": PASS_AT_K_ORACLE,
         "text_char_entropy": CHAR_ENTROPY_ORACLE,
         "stats_bt_ratings": BT_RATINGS_ORACLE,
+        "stats_bootstrap_ci": BOOTSTRAP_CI_ORACLE,
     }
 
 

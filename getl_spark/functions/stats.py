@@ -1082,3 +1082,122 @@ def bt_ratings(
     return df.sparkSession.createDataFrame(
         out, "model STRING, n_games BIGINT, n_wins DOUBLE, rating DOUBLE"
     )
+
+
+# Poisson(1) inverse-CDF thresholds: weight k for the first k with
+# u < _POISSON1_CUM[k], else len(_POISSON1_CUM). Exact double literals
+# shared with the SQL oracle so weights are engine-identical.
+_POISSON1_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_cols,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean of
+    ``value_col`` — error bars on eval metrics and data-quality
+    statistics without collecting the data (the standard resampling
+    scheme for distributed bootstrap: each row's multiplicity in
+    replicate ``b`` is Poisson(1), derived deterministically from a
+    hash of (seed, b, id), so the interval is reproducible across
+    retries and cluster sizes — no RNG state anywhere).
+
+    Output is ONE row: ``(n_rows, n_boot, mean, ci_lo, ci_hi)``. The
+    bounds are ORDER STATISTICS of the replicate means (index
+    ``floor(alpha/2 * m)`` from each end, m = non-empty replicates) —
+    deliberately not interpolated percentiles, so the bounds are
+    elements of the computed set and bit-stable across engines.
+
+    ``hash_fn='xxhash64'`` (default) is the fast JVM path;
+    ``'md5'`` costs more per row but is replicable outside Spark
+    (the DuckDB oracle uses it). Integer value columns keep the
+    replicate sums exact; double columns are deterministic within
+    Spark but may differ in the last float ulp across engines.
+
+    Scale shape: the ×``n_boot`` explode happens BEFORE the shuffle
+    but the per-replicate aggregation completes map-side, so the
+    exchange carries n_boot × #partitions partial rows, not n_boot ×
+    corpus; the final order-statistic step reduces n_boot values on
+    one row. Per-row cost is n_boot weight draws (one hash each) —
+    size n_boot to the metric set being bootstrapped, not to a full
+    corpus scan.
+    """
+    if not id_cols:
+        raise ValueError("bootstrap_ci: id_cols must be non-empty")
+    if not 0 < alpha < 1:
+        raise ValueError(f"bootstrap_ci: alpha must be in (0,1), got {alpha}")
+    if n_boot < 10:
+        raise ValueError(f"bootstrap_ci: n_boot must be >= 10, got {n_boot}")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"bootstrap_ci: unknown hash_fn '{hash_fn}' (xxhash64|md5)"
+        )
+    id_exprs = [F.col(c) for c in id_cols]
+    b = F.col("__bs_b")
+    if hash_fn == "xxhash64":
+        u = F.pmod(
+            F.xxhash64(*id_exprs, b, F.lit(seed)), F.lit(1_000_000)
+        ) / F.lit(1_000_000.0)
+    else:
+        u = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(seed)),
+                        b.cast("string"),
+                        *[e.cast("string") for e in id_exprs],
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint") / F.lit(4294967296.0)
+    w = F.lit(len(_POISSON1_CUM))
+    for k in range(len(_POISSON1_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CUM[k]), F.lit(k)).otherwise(w)
+    exploded = df.select(
+        F.col(value_col).alias("__bs_x"), *id_exprs
+    ).withColumn("__bs_b", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))))
+    means = (
+        exploded.select(b.alias("__bs_b"), w.alias("__bs_w"), "__bs_x")
+        .groupBy("__bs_b")
+        .agg(
+            (
+                F.sum(F.col("__bs_w") * F.col("__bs_x")).cast("double")
+                / F.sum("__bs_w")
+            ).alias("__bs_m")
+        )
+        .where(F.col("__bs_m").isNotNull())
+    )
+    base = df.agg(
+        F.count(value_col).cast("bigint").alias("n_rows"),
+        F.round(F.avg(value_col), 6).alias("mean"),
+    )
+    ms = means.agg(F.sort_array(F.collect_list("__bs_m")).alias("__bs_ms"))
+    m = F.size("__bs_ms")
+    k_lo = F.floor(F.lit(alpha / 2.0) * m).cast("int")
+    bounds = ms.select(
+        m.cast("int").alias("n_boot"),
+        F.round(F.element_at("__bs_ms", k_lo + 1), 6).alias("ci_lo"),
+        F.round(F.element_at("__bs_ms", m - k_lo), 6).alias("ci_hi"),
+    )
+    return base.crossJoin(F.broadcast(bounds)).select(
+        "n_rows", "n_boot", "mean", "ci_lo", "ci_hi"
+    )

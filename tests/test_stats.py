@@ -520,3 +520,40 @@ def test_bt_ratings_zero_win_model_and_validation(spark):
         stats.bt_ratings(df, iters=0)
     with pytest.raises(ValueError, match="max_models"):
         stats.bt_ratings(df, max_models=1).collect()
+
+
+def test_bootstrap_ci_brackets_and_determinism(spark):
+    """CI brackets the true mean with width near the CLT prediction;
+    identical across reruns; seeds move the bounds but not the mean;
+    md5 and xxhash64 paths agree statistically."""
+    from getl_spark.functions import stats
+
+    df = spark.range(0, 2000).selectExpr("id", "CAST(id % 100 AS BIGINT) AS v")
+    r = stats.bootstrap_ci(df, "v", ["id"], n_boot=100).collect()[0]
+    assert (r["n_rows"], r["n_boot"]) == (2000, 100)
+    assert r["mean"] == pytest.approx(49.5)
+    assert r["ci_lo"] < 49.5 < r["ci_hi"]
+    # CLT: se = std/sqrt(n) = 28.87/44.7 ~ 0.65 -> 95% width ~ 2.6
+    width = r["ci_hi"] - r["ci_lo"]
+    assert 1.0 < width < 5.0
+    r2 = stats.bootstrap_ci(df, "v", ["id"], n_boot=100).collect()[0]
+    assert tuple(r) == tuple(r2)
+    r3 = stats.bootstrap_ci(df, "v", ["id"], n_boot=100, seed=9).collect()[0]
+    assert (r3["ci_lo"], r3["ci_hi"]) != (r["ci_lo"], r["ci_hi"])
+    rm = stats.bootstrap_ci(df, "v", ["id"], n_boot=100, hash_fn="md5").collect()[0]
+    assert rm["ci_lo"] < 49.5 < rm["ci_hi"]
+    assert abs((rm["ci_hi"] - rm["ci_lo"]) - width) < 2.0
+
+
+def test_bootstrap_ci_validation(spark):
+    from getl_spark.functions import stats
+
+    df = spark.range(10).selectExpr("id", "id AS v")
+    with pytest.raises(ValueError, match="id_cols"):
+        stats.bootstrap_ci(df, "v", [])
+    with pytest.raises(ValueError, match="alpha"):
+        stats.bootstrap_ci(df, "v", ["id"], alpha=1.5)
+    with pytest.raises(ValueError, match="n_boot"):
+        stats.bootstrap_ci(df, "v", ["id"], n_boot=5)
+    with pytest.raises(ValueError, match="hash_fn"):
+        stats.bootstrap_ci(df, "v", ["id"], hash_fn="sha1")
