@@ -5418,6 +5418,32 @@ FROM c
 """
 
 
+def _q_trimmed_mean(spark, sf_dir):
+    """stats.trimmed_mean — exact 10%-trimmed mean of the order value:
+    global rank via the distributed prefix sum (never a one-task
+    row_number window), then one filtered aggregate."""
+    from getl_spark.functions import stats
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return stats.trimmed_mean(orders, "o_totalprice", ["o_orderkey"], trim=0.1)
+
+
+TRIMMED_MEAN_ORACLE = """
+WITH vals AS (
+  SELECT o_orderkey AS id, o_totalprice AS v
+  FROM orders WHERE o_totalprice IS NOT NULL),
+ranked AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM vals)
+SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(FLOOR(0.1 * MAX(n)) AS BIGINT) AS n_trimmed_each,
+       ROUND(AVG(v), 6) AS trimmed_mean
+FROM ranked
+WHERE rn > FLOOR(0.1 * n) AND rn <= n - FLOOR(0.1 * n)
+"""
+
+
 def _q_bootstrap_ci(spark, sf_dir):
     """stats.bootstrap_ci — deterministic Poisson-bootstrap CI for
     the mean order value (integer cents keep replicate sums exact; the
@@ -7057,6 +7083,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_char_entropy": _q_char_entropy,
         "stats_bt_ratings": _q_bt_ratings,
         "stats_bootstrap_ci": _q_bootstrap_ci,
+        "stats_trimmed_mean": _q_trimmed_mean,
     }
 
 
@@ -7207,6 +7234,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "text_char_entropy": CHAR_ENTROPY_ORACLE,
         "stats_bt_ratings": BT_RATINGS_ORACLE,
         "stats_bootstrap_ci": BOOTSTRAP_CI_ORACLE,
+        "stats_trimmed_mean": TRIMMED_MEAN_ORACLE,
     }
 
 

@@ -1201,3 +1201,75 @@ def bootstrap_ci(
     return base.crossJoin(F.broadcast(bounds)).select(
         "n_rows", "n_boot", "mean", "ci_lo", "ci_hi"
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    id_cols,
+    trim: float = 0.05,
+    winsorize: bool = False,
+) -> DataFrame:
+    """Exact trimmed (or winsorized) mean of ``value_col`` — the
+    robust location estimate for metric columns with heavy tails or
+    sensor junk, computed EXACTLY at any scale (no approximate
+    quantiles): ``k = floor(trim * n)`` rows are cut from each end of
+    the value order (ties broken by ``id_cols`` for a deterministic
+    cut). ``winsorize=True`` clamps the cut rows to the boundary
+    values instead of dropping them.
+
+    Output is one row: ``(n_rows, n_trimmed_each, trimmed_mean)``.
+
+    Scale shape: the global rank is the distributed two-pass prefix
+    sum over (value, id) order (``common/scale.py``) — no single-task
+    ``row_number`` window — followed by one filtered (or clamped)
+    aggregate; boundary values for winsorizing attach as a 1-row
+    broadcast. NULL values are excluded from both n and the mean,
+    matching ``avg`` semantics.
+    """
+    if not id_cols:
+        raise ValueError("trimmed_mean: id_cols must be non-empty")
+    if not 0 <= trim < 0.5:
+        raise ValueError(
+            f"trimmed_mean: trim must be in [0, 0.5), got {trim}"
+        )
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    vals = df.where(F.col(value_col).isNotNull()).withColumn(
+        "__tm_one", F.lit(1).cast("bigint")
+    )
+    ranked = grouped_prefix_sum(
+        vals, [], [value_col] + list(id_cols), "__tm_one", "__tm_rank"
+    )
+    counted = ranked.crossJoin(
+        F.broadcast(ranked.agg(F.count("*").cast("bigint").alias("__tm_n")))
+    ).withColumn(
+        "__tm_k", F.floor(F.lit(float(trim)) * F.col("__tm_n")).cast("bigint")
+    )
+    in_core = (F.col("__tm_rank") > F.col("__tm_k")) & (
+        F.col("__tm_rank") <= F.col("__tm_n") - F.col("__tm_k")
+    )
+    if winsorize:
+        core = counted.where(in_core)
+        bounds = core.agg(
+            F.min(value_col).alias("__tm_lo"), F.max(value_col).alias("__tm_hi")
+        )
+        clamped = counted.crossJoin(F.broadcast(bounds)).select(
+            F.least(
+                F.greatest(F.col(value_col), F.col("__tm_lo")), F.col("__tm_hi")
+            ).alias("__tm_v"),
+            "__tm_n",
+            "__tm_k",
+        )
+        agg = clamped.agg(
+            F.first("__tm_n").alias("n_rows"),
+            F.first("__tm_k").alias("n_trimmed_each"),
+            F.round(F.avg("__tm_v"), 6).alias("trimmed_mean"),
+        )
+    else:
+        agg = counted.where(in_core).agg(
+            F.first("__tm_n").alias("n_rows"),
+            F.first("__tm_k").alias("n_trimmed_each"),
+            F.round(F.avg(value_col), 6).alias("trimmed_mean"),
+        )
+    return agg

@@ -557,3 +557,45 @@ def test_bootstrap_ci_validation(spark):
         stats.bootstrap_ci(df, "v", ["id"], n_boot=5)
     with pytest.raises(ValueError, match="hash_fn"):
         stats.bootstrap_ci(df, "v", ["id"], hash_fn="sha1")
+
+
+def test_trimmed_mean_exact_and_winsorized(spark):
+    """Cut counts and means equal the sorted-list reference; outliers
+    are neutralized; winsorize clamps instead of dropping."""
+    from getl_spark.functions import stats
+
+    rows = (
+        [(i, float(i % 10)) for i in range(100)]
+        + [(1000, 1e6), (1001, 1e6), (2000, -1e6), (2001, -1e6)]
+    )
+    df = spark.createDataFrame(rows, "id BIGINT, v DOUBLE")
+    vals = sorted((v, i) for i, v in rows)
+    n, k = len(vals), int(0.05 * len(vals))
+    core = [v for v, _ in vals[k:n - k]]
+    r = stats.trimmed_mean(df, "v", ["id"], trim=0.05).collect()[0]
+    assert tuple(r) == (n, k, round(sum(core) / len(core), 6))
+    lo, hi = core[0], core[-1]
+    wv = [min(max(v, lo), hi) for v, _ in vals]
+    rw = stats.trimmed_mean(df, "v", ["id"], trim=0.05, winsorize=True).collect()[0]
+    assert tuple(rw) == (n, k, round(sum(wv) / len(wv), 6))
+    # plain mean is wrecked by the outliers; trimmed is not
+    assert abs(r["trimmed_mean"] - 4.5) < 0.01
+    # trim=0 degenerates to the plain mean
+    r0 = stats.trimmed_mean(df, "v", ["id"], trim=0.0).collect()[0]
+    assert r0["n_trimmed_each"] == 0
+    assert r0["trimmed_mean"] == round(sum(v for _, v in rows) / n, 6)
+
+
+def test_trimmed_mean_nulls_and_validation(spark):
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0), (4, 100.0)], "id BIGINT, v DOUBLE"
+    )
+    r = stats.trimmed_mean(df, "v", ["id"], trim=0.34).collect()[0]
+    # 3 non-null, k=1: keeps only the median value 3.0
+    assert tuple(r) == (3, 1, 3.0)
+    with pytest.raises(ValueError, match="trim"):
+        stats.trimmed_mean(df, "v", ["id"], trim=0.5)
+    with pytest.raises(ValueError, match="id_cols"):
+        stats.trimmed_mean(df, "v", [])
