@@ -5418,6 +5418,35 @@ FROM c
 """
 
 
+def _q_random_projection(spark, sf_dir):
+    """embedding.random_projection — fit-free JL projection of the
+    embeddings table to 8 dims (md5 sign path for cross-engine
+    replication); scan-fused, zero shuffle."""
+    from getl_spark.functions import embedding
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding.random_projection(
+        emb, out_dim=8, hash_fn="md5"
+    ).select("vec_id", "proj")
+
+
+RANDOM_PROJECTION_ORACLE = """
+SELECT vec_id,
+       CASE WHEN embedding IS NULL THEN NULL ELSE
+         list_transform(generate_series(0, 7), j ->
+           ROUND(list_aggregate(
+             list_transform(generate_series(1, len(embedding)), i ->
+               CAST(embedding[i] AS DOUBLE) *
+               (CASE WHEN ('0x' || substr(md5(concat_ws(':', '42',
+                      CAST(i - 1 AS VARCHAR), CAST(j AS VARCHAR))), 1, 1)
+                     )::INTEGER % 2 = 0
+                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+             'sum') / sqrt(8), 6))
+       END AS proj
+FROM embeddings
+"""
+
+
 def _q_trimmed_mean(spark, sf_dir):
     """stats.trimmed_mean — exact 10%-trimmed mean of the order value:
     global rank via the distributed prefix sum (never a one-task
@@ -7084,6 +7113,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_bt_ratings": _q_bt_ratings,
         "stats_bootstrap_ci": _q_bootstrap_ci,
         "stats_trimmed_mean": _q_trimmed_mean,
+        "embedding_random_projection": _q_random_projection,
     }
 
 
@@ -7235,6 +7265,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_bt_ratings": BT_RATINGS_ORACLE,
         "stats_bootstrap_ci": BOOTSTRAP_CI_ORACLE,
         "stats_trimmed_mean": TRIMMED_MEAN_ORACLE,
+        "embedding_random_projection": RANDOM_PROJECTION_ORACLE,
     }
 
 

@@ -639,3 +639,84 @@ def kmeans_stats(
         )
         .orderBy("cell")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 42,
+    out_col: str = "proj",
+    hash_fn: str = "xxhash64",
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss signed random projection: maps each
+    vector to ``out_dim`` dimensions with a deterministic ±1 sign
+    matrix derived from a hash of (seed, in-index, out-index), scaled
+    by 1/sqrt(out_dim) (Achlioptas 2003 — database-friendly random
+    projections). Distance structure is approximately preserved with
+    NO training pass or fitted model — the fit-free alternative to
+    ``fit_pca`` for shrinking shuffle bytes before banded dedup or
+    coarse clustering, and it composes with any downstream consumer
+    because the "model" is just (seed, out_dim).
+
+    Scan-fused JVM higher-order expressions: zero shuffle, zero UDF,
+    O(out_dim × in_dim) hash+multiply work per row.
+    ``hash_fn='xxhash64'`` is the fast path; ``'md5'`` is replicable
+    outside Spark (the DuckDB oracle) at higher per-row cost.
+    """
+    if out_dim < 1:
+        raise ValueError(
+            f"random_projection: out_dim must be >= 1, got {out_dim}"
+        )
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"random_projection: unknown hash_fn '{hash_fn}' (xxhash64|md5)"
+        )
+    vec = F.col(vec_col)
+    idxs = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    def sign(i, j):
+        if hash_fn == "xxhash64":
+            parity = F.pmod(F.xxhash64(F.lit(seed), i, j), F.lit(2))
+        else:
+            parity = F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit(str(seed)),
+                                i.cast("string"),
+                                j.cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("int"),
+                F.lit(2),
+            )
+        return F.when(parity == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.round(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    idxs,
+                    lambda x, i: x.cast("double") * sign(i, j),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(float(out_dim) ** 0.5),
+            round_to,
+        ),
+    )
+    return df.withColumn(
+        out_col, F.when(vec.isNull(), F.lit(None)).otherwise(proj)
+    )

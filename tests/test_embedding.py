@@ -509,3 +509,54 @@ def test_kmeans_stats_health_summary(spark):
         assert r.mean_cosine > 0.99 and r.min_cosine > 0.99
     with pytest.raises(ValueError):
         embedding.kmeans_stats(df, {"centroids": []})
+
+
+def test_random_projection_matches_reference_and_jl(spark):
+    """md5-path projection equals the hand-derived sign fold; xxhash64
+    path has the same shape/scale; null vectors stay null; distance
+    structure survives (loose JL check)."""
+    import hashlib
+
+    import numpy as np
+
+    from getl_spark.functions import embedding
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(30, 24)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows + [(99, None)], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    out = {
+        r["vec_id"]: r["proj"]
+        for r in embedding.random_projection(
+            df, out_dim=8, hash_fn="md5"
+        ).collect()
+    }
+    assert out[99] is None
+
+    def sign(i, j):
+        h = hashlib.md5(f"42:{i}:{j}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    vec0 = [float(np.float32(x)) for x in vecs[0]]
+    for j in range(8):
+        acc = 0.0
+        for i, x in enumerate(vec0):
+            acc += x * sign(i, j)
+        assert out[0][j] == pytest.approx(round(acc / 8**0.5, 6))
+
+    # loose JL sanity: projected pairwise distances correlate with the
+    # originals
+    P = np.array([out[i] for i in range(30)])
+    d_hi = np.linalg.norm(vecs[:, None] - vecs[None, :], axis=2)
+    d_lo = np.linalg.norm(P[:, None] - P[None, :], axis=2)
+    iu = np.triu_indices(30, 1)
+    assert np.corrcoef(d_hi[iu], d_lo[iu])[0, 1] > 0.4
+
+    fast = embedding.random_projection(df, out_dim=8).collect()
+    assert all(r["proj"] is None or len(r["proj"]) == 8 for r in fast)
+    with pytest.raises(ValueError, match="out_dim"):
+        embedding.random_projection(df, out_dim=0)
+    with pytest.raises(ValueError, match="hash_fn"):
+        embedding.random_projection(df, hash_fn="sha")
