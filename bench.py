@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "text_bigram_logprob",
     "search_rrf_hybrid",
     "sample_deterministic_shuffle",
+    "stats_bootstrap_ci",
+    "stats_trimmed_mean",
 ]
 
 RUNS = 3
