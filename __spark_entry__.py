@@ -5418,6 +5418,61 @@ FROM c
 """
 
 
+def _q_mann_whitney(spark, sf_dir):
+    """stats.mann_whitney — tie-corrected rank-sum test between the
+    quantity distributions of even- vs odd-keyed lineitem halves
+    (integer-valued column exercises the tie machinery for real): U
+    from per-value counts + the distributed prefix sum, never a
+    row-level global sort."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return stats.mann_whitney(
+        li.where("l_orderkey % 2 = 0"),
+        li.where("l_orderkey % 2 = 1"),
+        "l_quantity",
+    )
+
+
+MANN_WHITNEY_ORACLE = """
+WITH counts AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v,
+         CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         CAST(SUM(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nr
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT nl, nr,
+         SUM(nr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_r
+  FROM counts),
+agg AS (
+  SELECT CAST(SUM(nl) AS BIGINT) AS n_left,
+         CAST(SUM(nr) AS BIGINT) AS n_right,
+         CAST(SUM(nl * (cum_r - nr) + CAST(0.5 AS DOUBLE) * nl * nr)
+              AS DOUBLE) AS u_stat,
+         CAST(SUM(POWER(nl + nr, 3) - (nl + nr)) AS DOUBLE) AS ties
+  FROM cum),
+z AS (
+  SELECT n_left, n_right, u_stat,
+         CASE WHEN n_left * n_right / 12.0 *
+                   ((n_left + n_right + 1) - ties /
+                    (CAST(n_left + n_right AS DOUBLE) * (n_left + n_right - 1))) > 0
+              THEN (u_stat - n_left * n_right / 2.0) /
+                   sqrt(n_left * n_right / 12.0 *
+                        ((n_left + n_right + 1) - ties /
+                         (CAST(n_left + n_right AS DOUBLE) * (n_left + n_right - 1))))
+         END AS zv
+  FROM agg)
+SELECT n_left, n_right, ROUND(u_stat, 6) AS u_stat, ROUND(zv, 6) AS z,
+       ROUND((0.254829592 * t - 0.284496736 * POWER(t, 2)
+              + 1.421413741 * POWER(t, 3) - 1.453152027 * POWER(t, 4)
+              + 1.061405429 * POWER(t, 5)) * exp(-(x * x)), 6) AS p_value
+FROM (
+  SELECT *, abs(zv) / sqrt(2.0) AS x,
+         1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS t
+  FROM z)
+"""
+
+
 def _q_random_projection(spark, sf_dir):
     """embedding.random_projection — fit-free JL projection of the
     embeddings table to 8 dims (md5 sign path for cross-engine
@@ -7114,6 +7169,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_bootstrap_ci": _q_bootstrap_ci,
         "stats_trimmed_mean": _q_trimmed_mean,
         "embedding_random_projection": _q_random_projection,
+        "stats_mann_whitney": _q_mann_whitney,
     }
 
 
@@ -7266,6 +7322,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_bootstrap_ci": BOOTSTRAP_CI_ORACLE,
         "stats_trimmed_mean": TRIMMED_MEAN_ORACLE,
         "embedding_random_projection": RANDOM_PROJECTION_ORACLE,
+        "stats_mann_whitney": MANN_WHITNEY_ORACLE,
     }
 
 

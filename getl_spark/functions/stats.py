@@ -1273,3 +1273,99 @@ def trimmed_mean(
             F.round(F.avg(value_col), 6).alias("trimmed_mean"),
         )
     return agg
+
+
+def mann_whitney(
+    left: DataFrame,
+    right: DataFrame,
+    column: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U test (Wilcoxon rank-sum) on the same
+    numeric column of two tables — the NONPARAMETRIC complement to
+    ``ab_compare``'s mean z-test: sensitive to location shift without
+    assuming normality, robust to outliers that wreck a mean. Output is
+    one row ``(n_left, n_right, u_stat, z, p_value)`` where ``u_stat``
+    is U for the LEFT sample (ties counted half), ``z`` the
+    tie-corrected normal approximation and ``p_value`` two-sided
+    (Abramowitz-Stegun erf like ``ab_compare``; no continuity
+    correction — documented, and immaterial at the sample sizes the
+    normal approximation needs anyway).
+
+    Exact at any scale with no global sort of rows: each side
+    aggregates to per-value counts (shuffle ∝ distinct values), U
+    comes from the identity ``U = Σ_x n_L(x)·N_R(<x) + ½·n_L(x)·n_R(x)``
+    where the cumulative ``N_R(<x)`` is the DISTRIBUTED prefix sum over
+    value order, and the tie-correction term ``Σ(t³−t)`` folds in the
+    same pass. Totals attach as a 1-row broadcast.
+    """
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    lc = (
+        left.where(F.col(column).isNotNull())
+        .select(F.col(column).cast("double").alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("nl"))
+    )
+    rc = (
+        right.where(F.col(column).isNotNull())
+        .select(F.col(column).cast("double").alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("nr"))
+    )
+    merged = (
+        lc.join(rc, "v", "full")
+        .select(
+            "v",
+            F.coalesce("nl", F.lit(0)).alias("nl"),
+            F.coalesce("nr", F.lit(0)).alias("nr"),
+        )
+    )
+    cum = grouped_prefix_sum(merged, [], ["v"], "nr", "cum_r")
+    contrib = cum.select(
+        "nl",
+        "nr",
+        (
+            F.col("nl") * (F.col("cum_r") - F.col("nr"))
+            + F.lit(0.5) * F.col("nl") * F.col("nr")
+        ).alias("u_part"),
+        ((F.col("nl") + F.col("nr")) ** 3 - (F.col("nl") + F.col("nr"))).alias(
+            "tie_part"
+        ),
+    )
+    agg = contrib.agg(
+        F.sum("nl").cast("bigint").alias("n_left"),
+        F.sum("nr").cast("bigint").alias("n_right"),
+        F.sum("u_part").cast("double").alias("u_stat"),
+        F.sum("tie_part").cast("double").alias("ties"),
+    )
+    n1, n2 = F.col("n_left"), F.col("n_right")
+    n = n1 + n2
+    mu = n1 * n2 / F.lit(2.0)
+    # tie-corrected variance; NULL (not a crash, not infinity) when a
+    # side is empty or every value ties (variance 0). The tie-term
+    # division is gated BEFORE the var>0 guard — under ANSI mode a
+    # divide-by-zero raises before the guard can evaluate (column
+    # evaluation order within a projection is unspecified)
+    tie_term = F.when(
+        n > 1, F.col("ties") / (n * (n - 1))
+    ).otherwise(F.lit(0.0))
+    var = n1 * n2 / F.lit(12.0) * ((n + 1).cast("double") - tie_term)
+    z = F.when(var > 0, (F.col("u_stat") - mu) / F.sqrt(var))
+    x = F.abs(z) / F.lit(2.0) ** F.lit(0.5)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * tt
+        - F.lit(0.284496736) * tt ** F.lit(2)
+        + F.lit(1.421413741) * tt ** F.lit(3)
+        - F.lit(1.453152027) * tt ** F.lit(4)
+        + F.lit(1.061405429) * tt ** F.lit(5)
+    )
+    p = poly * F.exp(-(x * x))
+    return agg.select(
+        "n_left",
+        "n_right",
+        F.round("u_stat", round_to).alias("u_stat"),
+        F.round(z, round_to).alias("z"),
+        F.round(p, round_to).alias("p_value"),
+    )

@@ -599,3 +599,61 @@ def test_trimmed_mean_nulls_and_validation(spark):
         stats.trimmed_mean(df, "v", ["id"], trim=0.5)
     with pytest.raises(ValueError, match="id_cols"):
         stats.trimmed_mean(df, "v", [])
+
+
+def test_mann_whitney_matches_rank_reference(spark):
+    """U equals the pairwise-comparison definition (ties half); the
+    tie-corrected z matches the textbook formula; a real location
+    shift is detected, an identical split is not."""
+    import bisect
+    import random
+
+    from getl_spark.functions import stats
+
+    def ref_u(a, b):
+        bs = sorted(b)
+        u = 0.0
+        for x in a:
+            lt = bisect.bisect_left(bs, x)
+            eq = bisect.bisect_right(bs, x) - lt
+            u += lt + 0.5 * eq
+        return u
+
+    rnd = random.Random(5)
+    lv = [rnd.gauss(0, 1) for _ in range(300)]
+    rv = [rnd.gauss(0.4, 1) for _ in range(350)]
+    L = spark.createDataFrame([(v,) for v in lv], "x DOUBLE")
+    R = spark.createDataFrame([(v,) for v in rv], "x DOUBLE")
+    r = stats.mann_whitney(L, R, "x").collect()[0]
+    assert r["u_stat"] == pytest.approx(ref_u(lv, rv))
+    n1, n2 = len(lv), len(rv)
+    z = (r["u_stat"] - n1 * n2 / 2) / (n1 * n2 / 12 * (n1 + n2 + 1)) ** 0.5
+    assert r["z"] == pytest.approx(round(z, 6), abs=1e-5)
+    assert r["p_value"] < 0.01
+
+    # tie-heavy integers: hand-checkable var = 15, z = -3/sqrt(15)
+    la, rb = [1.0, 1.0, 2.0, 3.0], [1.0, 2.0, 2.0, 3.0, 3.0]
+    r2 = stats.mann_whitney(
+        spark.createDataFrame([(v,) for v in la], "x DOUBLE"),
+        spark.createDataFrame([(v,) for v in rb], "x DOUBLE"),
+        "x",
+    ).collect()[0]
+    assert r2["u_stat"] == ref_u(la, rb) == 7.0
+    assert r2["z"] == pytest.approx(round(-3 / 15**0.5, 6))
+
+    # no shift: same data both sides -> z == 0, p ~ 1
+    r3 = stats.mann_whitney(L, L, "x").collect()[0]
+    assert r3["z"] == 0.0 and r3["p_value"] > 0.99
+
+
+def test_mann_whitney_degenerate_sides(spark):
+    from getl_spark.functions import stats
+
+    L = spark.createDataFrame([(1.0,)], "x DOUBLE")
+    E = spark.createDataFrame([], "x DOUBLE")
+    r = stats.mann_whitney(L, E, "x").collect()[0]
+    assert r["n_right"] == 0 and r["z"] is None and r["p_value"] is None
+    # all values tie across both sides -> variance 0 -> NULL z
+    C = spark.createDataFrame([(2.0,), (2.0,)], "x DOUBLE")
+    r2 = stats.mann_whitney(C, C, "x").collect()[0]
+    assert r2["z"] is None
