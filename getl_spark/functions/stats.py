@@ -1146,6 +1146,12 @@ def bootstrap_ci(
         raise ValueError(
             f"bootstrap_ci: unknown hash_fn '{hash_fn}' (xxhash64|md5)"
         )
+    from getl_spark.common.scale import parallelize
+
+    # the ×n_boot hash work is compute-bound: a single-file input
+    # (one partition) would put every weight draw on one core —
+    # widen to cluster parallelism first (no-op on wide inputs)
+    df = parallelize(df)
     id_exprs = [F.col(c) for c in id_cols]
     b = F.col("__bs_b")
     if hash_fn == "xxhash64":
