@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "sample_deterministic_shuffle",
     "stats_bootstrap_ci",
     "stats_trimmed_mean",
+    "stats_mann_whitney",
 ]
 
 RUNS = 3
