@@ -5418,6 +5418,38 @@ FROM c
 """
 
 
+def _q_tfidf_keywords(spark, sf_dir):
+    """search.tfidf_keywords — top-3 characteristic terms per document
+    (cluster naming / corpus browsing): one corpus scan, vocab-keyed
+    co-located df join, per-doc top-k window."""
+    from getl_spark.functions import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return search.tfidf_keywords(docs, k=3)
+
+
+TFIDF_KEYWORDS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(text), '\\s+'), x -> x != '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM dl),
+dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         ROUND(CAST(tf AS DOUBLE) / dl.dl
+               * (ln((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token) CROSS JOIN n)
+SELECT doc_id, token, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+  FROM scored) t
+WHERE rank <= 3
+"""
+
+
 def _q_mann_whitney(spark, sf_dir):
     """stats.mann_whitney — tie-corrected rank-sum test between the
     quantity distributions of even- vs odd-keyed lineitem halves
@@ -7170,6 +7202,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_trimmed_mean": _q_trimmed_mean,
         "embedding_random_projection": _q_random_projection,
         "stats_mann_whitney": _q_mann_whitney,
+        "search_tfidf_keywords": _q_tfidf_keywords,
     }
 
 
@@ -7323,6 +7356,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_trimmed_mean": TRIMMED_MEAN_ORACLE,
         "embedding_random_projection": RANDOM_PROJECTION_ORACLE,
         "stats_mann_whitney": MANN_WHITNEY_ORACLE,
+        "search_tfidf_keywords": TFIDF_KEYWORDS_ORACLE,
     }
 
 

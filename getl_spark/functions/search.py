@@ -258,3 +258,65 @@ def rrf_fuse(
     if topk is not None:
         out = out.where(F.col("rank") <= topk)
     return out
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF —
+    the standard document-labeling / topic-surfacing pass over a
+    corpus (cluster naming, corpus browsing, weak topic features)::
+
+        tf(t, d)  = count(t in d) / len(d)
+        idf(t)    = ln((N + 1) / (df(t) + 1)) + 1     (smoothed)
+        score     = round(tf * idf, 6)
+
+    Ties break on token ascending. Output:
+    ``(id_col, token, score, rank)``.
+
+    Scale shape: one corpus scan builds (doc, term, tf, dl) with the
+    groupBy completed map-side (all terms of a doc share an input
+    row); document frequencies are a vocab-keyed partial aggregation
+    joined back ON TOKEN (both sides partitioned by token — co-located
+    keyed join, no broadcast needed however large the vocabulary);
+    the per-doc top-k window partitions on the high-cardinality doc id.
+    """
+    if k < 1:
+        raise ValueError(f"tfidf_keywords: k must be >= 1, got {k}")
+    index = build_index(df, id_col, text_col)
+    n_docs = index.select("id").distinct().agg(
+        F.count("*").alias("n_docs")
+    )
+    dfreq = index.groupBy("token").agg(
+        F.count("*").alias("doc_freq")
+    )
+    scored = (
+        index.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "token",
+            F.round(
+                (F.col("tf").cast("double") / F.col("dl"))
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("doc_freq") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "token", "score", "rank")
+    )

@@ -51,6 +51,7 @@ NESTED_LOOP_WHITELIST = {
     "search_bm25": "1-row corpus stats (N, avgdl) broadcast",
     "search_coverage": "1-row corpus stats broadcast",
     "search_rrf_hybrid": "1-row corpus stats broadcast (BM25 leg)",
+    "search_tfidf_keywords": "1-row corpus-size (N) broadcast",
     "sketch_estimates": "1-row merged-sketch broadcast",
     "layout_zorder_key": "1-row min/max bounds broadcast",
     "quality_score_pinned": "1-row pinned-weights model broadcast",

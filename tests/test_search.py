@@ -165,3 +165,38 @@ def test_rrf_fuse_requires_two_systems(spark):
     a = spark.createDataFrame([(0, 1, 1)], ["query_id", "doc_id", "rank"])
     with pytest.raises(ValueError):
         search.rrf_fuse([a])
+
+
+def test_tfidf_keywords_matches_reference(spark):
+    """Scores equal the smoothed tf-idf formula; rare terms outrank
+    common ones; ranks restart per doc; tie-break on token."""
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry date date date"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    got = {}
+    for r in search.tfidf_keywords(df, k=2).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["token"], r["score"]))
+    N, dfreq, toks = 3, Counter(), {}
+    for i, t in docs:
+        ws = t.split()
+        toks[i] = ws
+        for w in set(ws):
+            dfreq[w] += 1
+    for i, ws in toks.items():
+        c = Counter(ws)
+        scores = sorted(
+            (
+                (round(c[w] / len(ws) * (math.log((N + 1) / (dfreq[w] + 1)) + 1), 6), w)
+                for w in c
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        assert sorted(got[i]) == [(r + 1, w, s) for r, (s, w) in enumerate(scores[:2])]
+    with pytest.raises(ValueError, match="k must be"):
+        search.tfidf_keywords(df, k=0)
