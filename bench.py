@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "stats_bootstrap_ci",
     "stats_trimmed_mean",
     "stats_mann_whitney",
+    "search_tfidf_keywords",
 ]
 
 RUNS = 3
