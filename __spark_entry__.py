@@ -5450,6 +5450,49 @@ WHERE rank <= 3
 """
 
 
+def _q_auc(spark, sf_dir):
+    """stats.auc — ROC AUC of l_quantity as a "was returned?" scorer,
+    per linestatus (heavy integer ties exercise the half-credit tie
+    handling): per-distinct-score counts + the distributed prefix sum,
+    never a per-group rank window."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    labeled = li.select(
+        "l_linestatus",
+        F.col("l_quantity").cast("double").alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+    )
+    return stats.auc(labeled, "score", "label", group_by="l_linestatus")
+
+
+AUC_ORACLE = """
+WITH counts AS (
+  SELECT l_linestatus, CAST(l_quantity AS DOUBLE) AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+              AS BIGINT) AS nn
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT l_linestatus, np, nn,
+         SUM(nn) OVER (PARTITION BY l_linestatus
+                       ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM counts),
+agg AS (
+  SELECT l_linestatus,
+         CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(nn) AS BIGINT) AS n_neg,
+         CAST(SUM(np * (cum_n - nn) + CAST(0.5 AS DOUBLE) * np * nn)
+              AS DOUBLE) AS u
+  FROM cum GROUP BY 1)
+SELECT l_linestatus, n_pos, n_neg,
+       ROUND(CASE WHEN n_pos > 0 AND n_neg > 0
+                  THEN u / (n_pos * n_neg) END, 6) AS auc
+FROM agg
+"""
+
+
 def _q_mann_whitney(spark, sf_dir):
     """stats.mann_whitney — tie-corrected rank-sum test between the
     quantity distributions of even- vs odd-keyed lineitem halves
@@ -7203,6 +7246,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_random_projection": _q_random_projection,
         "stats_mann_whitney": _q_mann_whitney,
         "search_tfidf_keywords": _q_tfidf_keywords,
+        "stats_auc": _q_auc,
     }
 
 
@@ -7357,6 +7401,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "embedding_random_projection": RANDOM_PROJECTION_ORACLE,
         "stats_mann_whitney": MANN_WHITNEY_ORACLE,
         "search_tfidf_keywords": TFIDF_KEYWORDS_ORACLE,
+        "stats_auc": AUC_ORACLE,
     }
 
 

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "stats_trimmed_mean",
     "stats_mann_whitney",
     "search_tfidf_keywords",
+    "stats_auc",
 ]
 
 RUNS = 3

@@ -1375,3 +1375,87 @@ def mann_whitney(
         F.round(z, round_to).alias("z"),
         F.round(p, round_to).alias("p_value"),
     )
+
+
+def auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """ROC area under the curve of a binary scorer (e.g.
+    ``quality.score`` output vs held-out keep/drop labels), optionally
+    per group — the threshold-free companion to ``ece``: ECE asks "are
+    the probabilities honest?", AUC asks "does the ranking separate the
+    classes at all?". Returns one row per group
+    ``(group..., n_pos, n_neg, auc)`` with
+    AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), i.e. the
+    Mann-Whitney U statistic normalized by ``n_pos·n_neg`` — exactly
+    the probabilistic definition, ties counted half, identical to
+    trapezoidal integration of the ROC curve.
+
+    Exact at any scale with NO global sort of rows and no per-group
+    parallelism collapse: each group aggregates to per-distinct-score
+    (n_pos, n_neg) counts (shuffle ∝ distinct scores, not rows), the
+    cumulative negative count below each score is the DISTRIBUTED
+    prefix sum of ``common.scale.grouped_prefix_sum`` (a
+    ``Window.partitionBy(group)`` would funnel each group's whole score
+    distribution through one task — the few-group case is precisely
+    the classifier-eval case), and
+    U = Σ_s n⁺(s)·N⁻(<s) + ½·n⁺(s)·n⁻(s) folds in one partial agg.
+
+    Labels must be 0/1 (asserted loudly on every non-null label —
+    a multiclass column sneaking in would silently distort the
+    counts); rows with a null score or null label are excluded.
+    ``auc`` is NULL for a group missing either class.
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("bigint")
+    guard = F.assert_true(
+        y.isin(0, 1),
+        F.lit("stats.auc: label column must be binary 0/1"),
+    )
+    # the guard rides the label expression so it fires for every
+    # non-null label before any aggregation can drop the row
+    checked = y + F.coalesce(guard.cast("bigint"), F.lit(0))
+    counts = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(*keys, s.alias("__v"))
+        .agg(
+            F.sum(checked).cast("bigint").alias("__np"),
+            F.sum(F.lit(1) - checked).cast("bigint").alias("__nn"),
+        )
+    )
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    cum = grouped_prefix_sum(counts, keys, ["__v"], "__nn", "__cum_n")
+    contrib = cum.select(
+        *keys,
+        "__np",
+        "__nn",
+        (
+            F.col("__np") * (F.col("__cum_n") - F.col("__nn"))
+            + F.lit(0.5) * F.col("__np") * F.col("__nn")
+        ).alias("__u"),
+    )
+    agg = contrib.groupBy(*keys).agg(
+        F.sum("__np").cast("bigint").alias("n_pos"),
+        F.sum("__nn").cast("bigint").alias("n_neg"),
+        F.sum("__u").cast("double").alias("__u_tot"),
+    )
+    both = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return agg.select(
+        *keys,
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when(both, F.col("__u_tot") / (F.col("n_pos") * F.col("n_neg"))),
+            round_to,
+        ).alias("auc"),
+    )

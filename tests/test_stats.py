@@ -657,3 +657,71 @@ def test_mann_whitney_degenerate_sides(spark):
     C = spark.createDataFrame([(2.0,), (2.0,)], "x DOUBLE")
     r2 = stats.mann_whitney(C, C, "x").collect()[0]
     assert r2["z"] is None
+
+
+def test_auc_matches_pairwise_definition(spark):
+    """AUC equals the exhaustive P(s+ > s-) + 0.5*P(s+ = s-) over all
+    pos/neg pairs, with heavy ties and per-group splits."""
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(11)
+    rows = []
+    for g in ("a", "b"):
+        shift = 0.8 if g == "a" else 0.1
+        for _ in range(250):
+            y = rnd.random() < 0.4
+            # .round(1) forces many tied scores
+            s = round(rnd.gauss(shift if y else 0.0, 1.0), 1)
+            rows.append((g, s, 1 if y else 0))
+    df = spark.createDataFrame(rows, "g STRING, s DOUBLE, y INT")
+
+    def ref_auc(pairs):
+        pos = [s for s, y in pairs if y == 1]
+        neg = [s for s, y in pairs if y == 0]
+        u = sum(
+            1.0 if p > n else 0.5 if p == n else 0.0
+            for p in pos
+            for n in neg
+        )
+        return len(pos), len(neg), u / (len(pos) * len(neg))
+
+    got = {
+        r["g"]: r for r in stats.auc(df, "s", "y", group_by="g").collect()
+    }
+    for g in ("a", "b"):
+        np_, nn_, a_ = ref_auc([(s, y) for gg, s, y in rows if gg == g])
+        assert got[g]["n_pos"] == np_ and got[g]["n_neg"] == nn_
+        assert got[g]["auc"] == pytest.approx(a_, abs=1e-6)
+    # ungrouped: one row over the union
+    np_, nn_, a_ = ref_auc([(s, y) for _, s, y in rows])
+    r = stats.auc(df, "s", "y").collect()
+    assert len(r) == 1 and r[0]["auc"] == pytest.approx(a_, abs=1e-6)
+
+
+def test_auc_degenerate_and_guard(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from getl_spark.functions import stats
+
+    # single-class group -> NULL auc, counts still right
+    one = spark.createDataFrame(
+        [(0.9, 1), (0.2, 1), (None, 0), (0.5, None)], "s DOUBLE, y INT"
+    )
+    r = stats.auc(one, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 0, None)
+    # perfect separation -> 1.0; anti-separation -> 0.0
+    sep = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "s DOUBLE, y INT"
+    )
+    assert stats.auc(sep, "s", "y").collect()[0]["auc"] == 1.0
+    inv = spark.createDataFrame(
+        [(0.1, 1), (0.9, 0)], "s DOUBLE, y INT"
+    )
+    assert stats.auc(inv, "s", "y").collect()[0]["auc"] == 0.0
+    # non-binary label fails LOUDLY, even when scores look fine
+    bad = spark.createDataFrame([(0.5, 2)], "s DOUBLE, y INT")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        stats.auc(bad, "s", "y").collect()
