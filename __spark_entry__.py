@@ -5493,6 +5493,53 @@ FROM agg
 """
 
 
+def _q_average_precision(spark, sf_dir):
+    """stats.average_precision — step-interpolated PR-curve area of
+    the same "was returned?" scorer as stats_auc (the
+    imbalance-robust companion metric): per-distinct-score counts,
+    BOTH descending cumulatives in one multi-column distributed
+    prefix-sum pass, one partial agg."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    labeled = li.select(
+        "l_linestatus",
+        F.col("l_quantity").cast("double").alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+    )
+    return stats.average_precision(
+        labeled, "score", "label", group_by="l_linestatus"
+    )
+
+
+AVERAGE_PRECISION_ORACLE = """
+WITH counts AS (
+  SELECT l_linestatus, CAST(l_quantity AS DOUBLE) AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+              AS BIGINT) AS nn
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT l_linestatus, np, nn,
+         SUM(np) OVER (PARTITION BY l_linestatus
+                       ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS cp,
+         SUM(nn) OVER (PARTITION BY l_linestatus
+                       ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS cn
+  FROM counts),
+agg AS (
+  SELECT l_linestatus,
+         CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(nn) AS BIGINT) AS n_neg,
+         CAST(SUM(np * (CAST(cp AS DOUBLE) / (cp + cn))) AS DOUBLE) AS ap_sum
+  FROM cum GROUP BY 1)
+SELECT l_linestatus, n_pos, n_neg,
+       ROUND(CASE WHEN n_pos > 0 THEN ap_sum / n_pos END, 6)
+         AS average_precision
+FROM agg
+"""
+
+
 def _q_mann_whitney(spark, sf_dir):
     """stats.mann_whitney — tie-corrected rank-sum test between the
     quantity distributions of even- vs odd-keyed lineitem halves
@@ -7247,6 +7294,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mann_whitney": _q_mann_whitney,
         "search_tfidf_keywords": _q_tfidf_keywords,
         "stats_auc": _q_auc,
+        "stats_average_precision": _q_average_precision,
     }
 
 
@@ -7402,6 +7450,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_mann_whitney": MANN_WHITNEY_ORACLE,
         "search_tfidf_keywords": TFIDF_KEYWORDS_ORACLE,
         "stats_auc": AUC_ORACLE,
+        "stats_average_precision": AVERAGE_PRECISION_ORACLE,
     }
 
 

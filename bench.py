@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "stats_mann_whitney",
     "search_tfidf_keywords",
     "stats_auc",
+    "stats_average_precision",
 ]
 
 RUNS = 3

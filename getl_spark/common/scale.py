@@ -38,11 +38,14 @@ def grouped_prefix_sum(
     df: DataFrame,
     keys,
     order_cols,
-    value_col: str,
-    new_col: str,
+    value_col,
+    new_col,
 ):
     """Per-key running sum of ``value_col`` in ``order_cols`` order,
     WITHOUT collapsing parallelism to the number of keys.
+    ``value_col``/``new_col`` may be parallel lists to cumsum several
+    columns in ONE range exchange + offsets pass (e.g. the positive and
+    negative counts of a PR curve) instead of paying the shuffle twice.
 
     ``Window.partitionBy(keys)`` puts each key's entire history in one
     task — correct for high-cardinality keys (users, documents), a
@@ -68,6 +71,13 @@ def grouped_prefix_sum(
     order_cols = (
         [order_cols] if isinstance(order_cols, str) else list(order_cols)
     )
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    new_cols = [new_col] if isinstance(new_col, str) else list(new_col)
+    if len(value_cols) != len(new_cols):
+        raise ValueError(
+            "grouped_prefix_sum: value_col and new_col must pair up "
+            f"({len(value_cols)} vs {len(new_cols)})"
+        )
     parts = [F.col(c) for c in keys + order_cols]
     # localCheckpoint pins the range exchange + pid tagging before the
     # plan branches into `local` and `offsets`. Both branches must
@@ -88,7 +98,13 @@ def grouped_prefix_sum(
         .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn("__gps_local", F.sum(value_col).over(win_local))
+    local = ranged.select(
+        "*",
+        *[
+            F.sum(v).over(win_local).alias(f"__gps_local_{i}")
+            for i, v in enumerate(value_cols)
+        ],
+    )
     win_off = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__gps_pid").asc())
@@ -96,13 +112,22 @@ def grouped_prefix_sum(
     )
     offsets = (
         ranged.groupBy("__gps_pid", *keys)
-        .agg(F.sum(value_col).alias("__gps_t"))
+        .agg(
+            *[
+                F.sum(v).alias(f"__gps_t_{i}")
+                for i, v in enumerate(value_cols)
+            ]
+        )
         .select(
             "__gps_pid",
             *keys,
-            (F.sum("__gps_t").over(win_off) - F.col("__gps_t")).alias(
-                "__gps_off"
-            ),
+            *[
+                (
+                    F.sum(f"__gps_t_{i}").over(win_off)
+                    - F.col(f"__gps_t_{i}")
+                ).alias(f"__gps_off_{i}")
+                for i in range(len(value_cols))
+            ],
         )
     )
     # null-safe key equality: a NULL group key is a real group (the
@@ -113,12 +138,22 @@ def grouped_prefix_sum(
     cond = F.col("__gps_l.__gps_pid") == F.col("__gps_o.__gps_pid")
     for k in keys:
         cond = cond & F.col(f"__gps_l.{k}").eqNullSafe(F.col(f"__gps_o.{k}"))
-    return (
-        l.join(F.broadcast(o), cond)
-        .select(
-            *[F.col(f"__gps_l.{c}") for c in local.columns],
-            F.col("__gps_o.__gps_off"),
-        )
-        .withColumn(new_col, F.col("__gps_local") + F.col("__gps_off"))
-        .drop("__gps_pid", "__gps_local", "__gps_off")
+    joined = l.join(F.broadcast(o), cond).select(
+        *[F.col(f"__gps_l.{c}") for c in local.columns],
+        *[
+            F.col(f"__gps_o.__gps_off_{i}")
+            for i in range(len(value_cols))
+        ],
+    )
+    out = joined.select(
+        "*",
+        *[
+            (F.col(f"__gps_local_{i}") + F.col(f"__gps_off_{i}")).alias(nc)
+            for i, nc in enumerate(new_cols)
+        ],
+    )
+    return out.drop(
+        "__gps_pid",
+        *[f"__gps_local_{i}" for i in range(len(value_cols))],
+        *[f"__gps_off_{i}" for i in range(len(value_cols))],
     )

@@ -1459,3 +1459,86 @@ def auc(
             round_to,
         ).alias("auc"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation), optionally per group — the class-imbalance-robust
+    companion to ``auc``: with 0.1% positives a ranker can post
+    AUC ≈ 0.99 while burying every positive under thousands of false
+    alarms, and AP is the metric that says so. Returns one row per
+    group ``(group..., n_pos, n_neg, average_precision)`` with
+    AP = Σ_t (R_t − R_{t−1}) · P_t over thresholds at each distinct
+    score descending — the standard step-interpolated estimator
+    (scikit-learn's ``average_precision_score``): ties enter as one
+    threshold block, so permuting equal-scored rows cannot move the
+    number.
+
+    Exact at any scale with no global row sort and no per-group
+    parallelism collapse: per-distinct-score (n⁺, n⁻) counts (shuffle
+    ∝ distinct scores), then BOTH descending cumulative counts ride
+    one multi-column ``grouped_prefix_sum`` pass, and
+    AP = Σ_s n⁺(s)·precision(s) / P folds in one partial agg.
+
+    Labels must be 0/1 (loudly asserted on every non-null label, as in
+    ``auc``); rows with a null score or label are excluded.
+    ``average_precision`` is NULL for a group with no positives.
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("bigint")
+    guard = F.assert_true(
+        y.isin(0, 1),
+        F.lit("stats.average_precision: label column must be binary 0/1"),
+    )
+    checked = y + F.coalesce(guard.cast("bigint"), F.lit(0))
+    counts = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(*keys, s.alias("__v"))
+        .agg(
+            F.sum(checked).cast("bigint").alias("__np"),
+            F.sum(F.lit(1) - checked).cast("bigint").alias("__nn"),
+        )
+        # thresholds descend; the ascending prefix sum orders on -score
+        .withColumn("__negv", -F.col("__v"))
+    )
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    cum = grouped_prefix_sum(
+        counts, keys, ["__negv"], ["__np", "__nn"], ["__cp", "__cn"]
+    )
+    contrib = cum.select(
+        *keys,
+        "__np",
+        "__nn",
+        # n+(s) * precision(s); the 1/P recall factor is constant per
+        # group and divides out in the final aggregate
+        (
+            F.col("__np")
+            * (F.col("__cp") / (F.col("__cp") + F.col("__cn")))
+        ).alias("__ap_part"),
+    )
+    agg = contrib.groupBy(*keys).agg(
+        F.sum("__np").cast("bigint").alias("n_pos"),
+        F.sum("__nn").cast("bigint").alias("n_neg"),
+        F.sum("__ap_part").cast("double").alias("__ap_sum"),
+    )
+    return agg.select(
+        *keys,
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when(F.col("n_pos") > 0, F.col("__ap_sum") / F.col("n_pos")),
+            round_to,
+        ).alias("average_precision"),
+    )

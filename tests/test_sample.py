@@ -346,6 +346,44 @@ def test_grouped_prefix_sum_matches_window_and_keeps_null_groups(spark):
     assert len(got) == 500  # null-key rows survived
 
 
+def test_grouped_prefix_sum_multi_column_one_pass(spark):
+    """The list form cumsums several columns in ONE range exchange and
+    must equal per-column windows row for row (validation included)."""
+    import random
+
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    rng = random.Random(23)
+    rows = [
+        (rng.choice(["a", None]), i, rng.randrange(1, 9), rng.randrange(1, 5))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, x long, y long")
+    got = {
+        (r.k, r.i): (r.cx, r.cy)
+        for r in grouped_prefix_sum(
+            df, ["k"], ["i"], ["x", "y"], ["cx", "cy"]
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("k").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.k, r.i): (r.cx, r.cy)
+        for r in df.withColumn("cx", F.sum("x").over(w))
+        .withColumn("cy", F.sum("y").over(w))
+        .collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="pair up"):
+        grouped_prefix_sum(df, ["k"], ["i"], ["x", "y"], ["cx"])
+
+
 def test_token_budget_mix_null_source_follows_default(spark):
     from getl_spark.functions import sample
 

@@ -725,3 +725,81 @@ def test_auc_degenerate_and_guard(spark):
     bad = spark.createDataFrame([(0.5, 2)], "s DOUBLE, y INT")
     with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
         stats.auc(bad, "s", "y").collect()
+
+
+def test_average_precision_matches_step_definition(spark):
+    """AP equals the hand-rolled step-interpolated estimator over
+    distinct-score thresholds (sklearn's average_precision_score),
+    with heavy ties, class imbalance, and per-group splits."""
+    import random
+    from collections import defaultdict
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(7)
+    rows = []
+    for g in ("a", "b"):
+        shift = 0.9 if g == "a" else 0.2
+        for _ in range(300):
+            y = rnd.random() < 0.15
+            rows.append(
+                (g, round(rnd.gauss(shift if y else 0.0, 1.0), 1), 1 if y else 0)
+            )
+    df = spark.createDataFrame(rows, "g STRING, s DOUBLE, y INT")
+
+    def ref_ap(pairs):
+        by = defaultdict(lambda: [0, 0])
+        for s, y in pairs:
+            by[s][y] += 1
+        P = sum(v[1] for v in by.values())
+        cp = cn = 0
+        ap = 0.0
+        for s in sorted(by, reverse=True):
+            nn, np_ = by[s]
+            cp += np_
+            cn += nn
+            ap += np_ / P * (cp / (cp + cn))
+        return P, ap
+
+    got = {
+        r["g"]: r
+        for r in stats.average_precision(df, "s", "y", group_by="g").collect()
+    }
+    for g in ("a", "b"):
+        P, ap = ref_ap([(s, y) for gg, s, y in rows if gg == g])
+        assert got[g]["n_pos"] == P
+        assert got[g]["average_precision"] == pytest.approx(ap, abs=1e-6)
+    # ungrouped over the union
+    P, ap = ref_ap([(s, y) for _, s, y in rows])
+    r = stats.average_precision(df, "s", "y").collect()
+    assert len(r) == 1 and r[0]["average_precision"] == pytest.approx(ap, abs=1e-6)
+
+
+def test_average_precision_degenerate_and_guard(spark):
+    from getl_spark.functions import stats
+
+    # perfect ranking -> 1.0; positives-last -> AP = Σ_i i/(n_neg+i) / P
+    sep = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "s DOUBLE, y INT"
+    )
+    assert stats.average_precision(sep, "s", "y").collect()[0][
+        "average_precision"
+    ] == 1.0
+    inv = spark.createDataFrame(
+        [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)], "s DOUBLE, y INT"
+    )
+    # thresholds descending: positives arrive at ranks 3 and 4
+    want = (1 / 3 + 2 / 4) / 2
+    assert stats.average_precision(inv, "s", "y").collect()[0][
+        "average_precision"
+    ] == pytest.approx(want, abs=1e-6)
+    # no positives -> NULL; nulls excluded
+    neg = spark.createDataFrame(
+        [(0.5, 0), (None, 1), (0.3, None)], "s DOUBLE, y INT"
+    )
+    r = stats.average_precision(neg, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["average_precision"]) == (0, 1, None)
+    # non-binary label fails loudly
+    bad = spark.createDataFrame([(0.5, 3)], "s DOUBLE, y INT")
+    with pytest.raises(Exception):
+        stats.average_precision(bad, "s", "y").collect()
