@@ -5493,6 +5493,113 @@ FROM agg
 """
 
 
+def _q_rank_eval(spark, sf_dir):
+    """search.rank_eval — P@k / R@k / MRR / nDCG@k of a ranked list
+    against graded judgments. The fixture ranking is a deterministic
+    per-query arithmetic permutation of the corpus (so both engines
+    reproduce it bit-for-bit) and the judgments grade each doc by
+    capped term-occurrence count; the operator under test is the
+    metric computation: (query,doc)-keyed judgment join, per-query
+    bounded ideal ranking, trec_eval edge conventions."""
+    from getl_spark.functions import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["spark", "vector", "window"]
+    spine = docs.select(
+        "doc_id",
+        F.lower("text").alias("t"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("query_id"), F.lit(t).alias("term")
+                    )
+                    for i, t in enumerate(terms)
+                ]
+            )
+        ).alias("q"),
+    ).select("q.query_id", "q.term", "doc_id", "t")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        ((F.col("doc_id") * (F.col("query_id") + 7)) % 101).asc(),
+        F.col("doc_id").asc(),
+    )
+    results = (
+        spine.select(
+            "query_id", "doc_id", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= 10)
+    )
+    occ = (
+        (
+            F.length("t")
+            - F.length(F.replace(F.col("t"), F.col("term"), F.lit("")))
+        )
+        / F.length("term")
+    ).cast("int")
+    qrels = spine.select(
+        "query_id", "doc_id", F.least(occ, F.lit(3)).alias("rel")
+    ).where(F.col("rel") >= 1)
+    return search.rank_eval(results, qrels, k=10)
+
+
+RANK_EVAL_ORACLE = """
+WITH terms AS (
+  SELECT * FROM (VALUES (0, 'spark'), (1, 'vector'), (2, 'window'))
+       t(query_id, term)),
+spine AS (
+  SELECT query_id, term, doc_id, lower(text) AS t
+  FROM documents CROSS JOIN terms),
+results AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY (doc_id * (query_id + 7)) % 101, doc_id) AS INTEGER)
+           AS rank
+  FROM spine QUALIFY rank <= 10),
+qrels AS (
+  SELECT query_id, doc_id, rel FROM (
+    SELECT query_id, doc_id,
+           LEAST(CAST((length(t) - length(replace(t, term, '')))
+                      / length(term) AS INTEGER), 3) AS rel
+    FROM spine) x
+  WHERE rel >= 1),
+joined AS (
+  SELECT r.query_id, r.rank, COALESCE(q.rel, 0) AS rel
+  FROM results r LEFT JOIN qrels q USING (query_id, doc_id)),
+got AS (
+  SELECT query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+         SUM((POWER(2.0, rel) - 1) / log2(rank + 1)) AS dcg
+  FROM joined GROUP BY 1),
+ideal AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+         SUM(CASE WHEN rel > 0 AND i <= 10
+                  THEN (POWER(2.0, rel) - 1) / log2(i + 1) END) AS idcg
+  FROM (
+    SELECT query_id, rel,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY rel DESC, doc_id) AS i
+    FROM qrels) x
+  GROUP BY 1)
+SELECT COALESCE(g.query_id, i.query_id) AS query_id,
+       COALESCE(i.n_rel, 0) AS n_rel,
+       COALESCE(g.n_retrieved, 0) AS n_retrieved,
+       ROUND(CAST(COALESCE(g.hits, 0) AS DOUBLE) / 10, 6) AS precision_at_k,
+       ROUND(CASE WHEN i.n_rel > 0
+                  THEN CAST(COALESCE(g.hits, 0) AS DOUBLE) / i.n_rel END, 6)
+         AS recall_at_k,
+       ROUND(COALESCE(1.0 / g.first_rel, 0.0), 6) AS reciprocal_rank,
+       ROUND(CASE WHEN i.idcg > 0
+                  THEN COALESCE(g.dcg, 0.0) / i.idcg END, 6) AS ndcg_at_k
+FROM got g FULL OUTER JOIN ideal i ON g.query_id = i.query_id
+"""
+
+
 def _q_average_precision(spark, sf_dir):
     """stats.average_precision — step-interpolated PR-curve area of
     the same "was returned?" scorer as stats_auc (the
@@ -7295,6 +7402,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_tfidf_keywords": _q_tfidf_keywords,
         "stats_auc": _q_auc,
         "stats_average_precision": _q_average_precision,
+        "search_rank_eval": _q_rank_eval,
     }
 
 
@@ -7451,6 +7559,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "search_tfidf_keywords": TFIDF_KEYWORDS_ORACLE,
         "stats_auc": AUC_ORACLE,
         "stats_average_precision": AVERAGE_PRECISION_ORACLE,
+        "search_rank_eval": RANK_EVAL_ORACLE,
     }
 
 

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "search_tfidf_keywords",
     "stats_auc",
     "stats_average_precision",
+    "search_rank_eval",
 ]
 
 RUNS = 3

@@ -200,3 +200,109 @@ def test_tfidf_keywords_matches_reference(spark):
         assert sorted(got[i]) == [(r + 1, w, s) for r, (s, w) in enumerate(scores[:2])]
     with pytest.raises(ValueError, match="k must be"):
         search.tfidf_keywords(df, k=0)
+
+
+def test_rank_eval_hand_computed_metrics(spark):
+    """P@k / R@k / MRR / nDCG@k against a fully hand-computed case,
+    including an unjudged retrieved doc, a relevant-but-missed doc, a
+    query with no positive judgments, and one never retrieved."""
+    import math
+
+    from getl_spark.functions import search
+
+    results = spark.createDataFrame(
+        [  # query 0: d4 (unjudged), d1 (rel 3), d3 (rel 2)
+            (0, "d4", 1), (0, "d1", 2), (0, "d3", 3),
+            # query 1: retrieves docs but has no positive judgments
+            (1, "d1", 1), (1, "d2", 2),
+            # rank 4 rows must be ignored at k=3
+            (0, "d2", 4),
+        ],
+        "query_id INT, doc_id STRING, rank INT",
+    )
+    qrels = spark.createDataFrame(
+        [
+            (0, "d1", 3), (0, "d2", 1), (0, "d3", 2),
+            (1, "d9", 0),          # judged non-relevant only
+            (2, "d1", 2),          # query never retrieved
+            # duplicate judgment collapses to max
+            (0, "d1", 1),
+        ],
+        "query_id INT, doc_id STRING, rel INT",
+    )
+    rows = {
+        r["query_id"]: r
+        for r in search.rank_eval(results, qrels, k=3).collect()
+    }
+    q0 = rows[0]
+    assert (q0["n_rel"], q0["n_retrieved"]) == (3, 3)
+    assert q0["precision_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+    assert q0["recall_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+    assert q0["reciprocal_rank"] == pytest.approx(1 / 2, abs=1e-6)
+    dcg = (2**3 - 1) / math.log2(3) + (2**2 - 1) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) + (
+        2**1 - 1
+    ) / math.log2(4)
+    assert q0["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-6)
+    q1 = rows[1]
+    assert (q1["n_rel"], q1["n_retrieved"]) == (0, 2)
+    assert q1["precision_at_k"] == 0.0
+    assert q1["recall_at_k"] is None and q1["ndcg_at_k"] is None
+    assert q1["reciprocal_rank"] == 0.0
+    q2 = rows[2]
+    assert (q2["n_rel"], q2["n_retrieved"]) == (1, 0)
+    assert q2["precision_at_k"] == 0.0
+    assert q2["recall_at_k"] == 0.0
+    assert q2["reciprocal_rank"] == 0.0
+    assert q2["ndcg_at_k"] == 0.0  # idcg > 0, dcg 0
+
+
+def test_rank_eval_perfect_ranking_and_guard(spark):
+    from getl_spark.functions import search
+
+    results = spark.createDataFrame(
+        [(0, "a", 1), (0, "b", 2)], "query_id INT, doc_id STRING, rank INT"
+    )
+    qrels = spark.createDataFrame(
+        [(0, "a", 2), (0, "b", 1)], "query_id INT, doc_id STRING, rel INT"
+    )
+    r = search.rank_eval(results, qrels, k=2).collect()[0]
+    assert r["ndcg_at_k"] == 1.0
+    assert r["precision_at_k"] == 1.0 and r["recall_at_k"] == 1.0
+    assert r["reciprocal_rank"] == 1.0
+    bad = spark.createDataFrame(
+        [(0, "a", -1)], "query_id INT, doc_id STRING, rel INT"
+    )
+    with pytest.raises(Exception):
+        search.rank_eval(results, bad, k=2).collect()
+
+
+def test_rank_eval_judges_bm25(spark):
+    """End-to-end: rank bm25_topk against term-presence judgments —
+    every doc containing the single-term query is relevant, so BM25
+    (which only scores term matches) must post recall ≤ 1 with
+    precision consistent with its hit count."""
+    from pyspark.sql import functions as F
+
+    from getl_spark.functions import search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "spark spark spark tuning guide"),
+            (3, "duckdb runs on one node"),
+            (4, "the cluster schedules spark executors"),
+            (5, "pandas is single machine"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    results = search.bm25_topk(docs, ["spark"], k=3)
+    qrels = docs.select(
+        F.lit(0).alias("query_id"),
+        "doc_id",
+        F.when(F.col("text").contains("spark"), 1).otherwise(0).alias("rel"),
+    )
+    r = search.rank_eval(results, qrels, k=3).collect()[0]
+    assert r["n_rel"] == 3 and r["n_retrieved"] == 3
+    assert r["precision_at_k"] == 1.0 and r["recall_at_k"] == 1.0
+    assert r["reciprocal_rank"] == 1.0 and r["ndcg_at_k"] == 1.0
