@@ -5493,6 +5493,47 @@ FROM agg
 """
 
 
+def _q_spearman(spark, sf_dir):
+    """stats.spearman — tie-average rank correlation between quantity
+    and extended price per returnflag (quantity's integer values make
+    the mid-rank tie machinery carry real weight): per-distinct-value
+    counts + distributed prefix sums for the mid-ranks, value-keyed
+    joins back to rows, one moment aggregate."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return stats.spearman(
+        li, "l_quantity", "l_extendedprice", group_by="l_returnflag"
+    )
+
+
+SPEARMAN_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+ranked AS (
+  SELECT l_returnflag,
+         RANK() OVER (PARTITION BY l_returnflag ORDER BY x)
+           + (COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1) / 2.0 AS rx,
+         RANK() OVER (PARTITION BY l_returnflag ORDER BY y)
+           + (COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1) / 2.0 AS ry
+  FROM base),
+agg AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+  FROM ranked GROUP BY 1)
+SELECT l_returnflag, n,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 6) AS spearman
+FROM agg
+"""
+
+
 def _q_rank_eval(spark, sf_dir):
     """search.rank_eval — P@k / R@k / MRR / nDCG@k of a ranked list
     against graded judgments. The fixture ranking is a deterministic
@@ -7403,6 +7444,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_auc": _q_auc,
         "stats_average_precision": _q_average_precision,
         "search_rank_eval": _q_rank_eval,
+        "stats_spearman": _q_spearman,
     }
 
 
@@ -7560,6 +7602,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_auc": AUC_ORACLE,
         "stats_average_precision": AVERAGE_PRECISION_ORACLE,
         "search_rank_eval": RANK_EVAL_ORACLE,
+        "stats_spearman": SPEARMAN_ORACLE,
     }
 
 

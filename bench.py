@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "stats_auc",
     "stats_average_precision",
     "search_rank_eval",
+    "stats_spearman",
 ]
 
 RUNS = 3

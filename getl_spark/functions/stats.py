@@ -1542,3 +1542,100 @@ def average_precision(
             round_to,
         ).alias("average_precision"),
     )
+
+
+def spearman(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns,
+    optionally per group — the monotonic-association complement to the
+    Pearson matrix of ``correlations``: insensitive to outliers and to
+    any monotone transform of either column, which is what you want
+    when relating heavy-tailed pipeline signals (document length vs
+    quality score, perplexity vs dedup cluster size). Returns one row
+    per group ``(group..., n, spearman)`` using the exact average-rank
+    (mid-rank) tie convention, i.e. Pearson correlation of mid-ranks.
+
+    Exact at any scale with no global row sort: each column aggregates
+    to per-distinct-value counts (shuffle ∝ distinct values), the
+    cumulative count below each value is the DISTRIBUTED prefix sum,
+    mid-rank(v) = N(<v) + (n_v+1)/2 attaches back to rows by value
+    join, and the correlation of the two rank columns folds in one
+    partial agg. Rows with a NULL or NaN on either side are excluded.
+    ``spearman`` is NULL when n < 2 or either side is constant.
+    """
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    base = df.select(*keys, x.alias("__x"), y.alias("__y")).where(
+        x.isNotNull() & y.isNotNull() & ~F.isnan(x) & ~F.isnan(y)
+    )
+
+    def midranks(col: str, out: str) -> DataFrame:
+        counts = base.groupBy(*keys, F.col(col)).agg(
+            F.count("*").cast("bigint").alias("__n")
+        )
+        cum = grouped_prefix_sum(counts, keys, [col], "__n", "__cum")
+        return cum.select(
+            *keys,
+            col,
+            (
+                (F.col("__cum") - F.col("__n")).cast("double")
+                + (F.col("__n") + 1) / F.lit(2.0)
+            ).alias(out),
+        )
+
+    # rank tables are value-keyed (∝ distinct values); attaching them
+    # back to rows is a keyed shuffle join, null-safe on group keys.
+    # The rank side is renamed wholesale first — its lineage passes
+    # through the prefix sum's own self-join, so positional drops of
+    # same-named columns would be ambiguous.
+    def attach(rows: DataFrame, ranks: DataFrame, col: str, out: str):
+        rk = ranks.select(
+            *[F.col(k).alias(f"__rk_{k}") for k in keys],
+            F.col(col).alias("__rk_v"),
+            out,
+        )
+        cond = rows[col] == rk["__rk_v"]
+        for k in keys:
+            cond = cond & rows[k].eqNullSafe(rk[f"__rk_{k}"])
+        return rows.join(rk, cond).drop(
+            "__rk_v", *[f"__rk_{k}" for k in keys]
+        )
+
+    ranked = attach(
+        attach(base, midranks("__x", "__rx"), "__x", "__rx"),
+        midranks("__y", "__ry"),
+        "__y",
+        "__ry",
+    )
+    # Pearson of the rank columns from raw moments with an explicit
+    # zero-variance guard — F.corr divides by the stddev product and
+    # raises under ANSI mode when a side is constant, where this
+    # operator's contract is NULL
+    agg = ranked.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("__rx").alias("__sx"),
+        F.sum("__ry").alias("__sy"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("__sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("__syy"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return agg.select(
+        *keys, "n", F.round(rho, round_to).alias("spearman")
+    )

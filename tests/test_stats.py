@@ -803,3 +803,87 @@ def test_average_precision_degenerate_and_guard(spark):
     bad = spark.createDataFrame([(0.5, 3)], "s DOUBLE, y INT")
     with pytest.raises(Exception):
         stats.average_precision(bad, "s", "y").collect()
+
+
+def test_spearman_matches_midrank_definition(spark):
+    """Spearman equals Pearson of exhaustively computed mid-ranks,
+    per group, with heavy ties; invariant under a monotone transform
+    of either column."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(5)
+    rows = [
+        (g, float(rnd.randrange(0, 15)), round(rnd.gauss(0, 1), 1))
+        for g in ("a", "b")
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE, y DOUBLE")
+
+    def ref(pairs):
+        def midrank(vals):
+            c = Counter(vals)
+            below, run = {}, 0
+            for v in sorted(c):
+                below[v] = run
+                run += c[v]
+            return {v: below[v] + (c[v] + 1) / 2.0 for v in c}
+
+        xs = [p[0] for p in pairs]
+        ys = [p[1] for p in pairs]
+        mx, my = midrank(xs), midrank(ys)
+        rx = [mx[v] for v in xs]
+        ry = [my[v] for v in ys]
+        n = len(rx)
+        sx, sy = sum(rx) / n, sum(ry) / n
+        cov = sum((a - sx) * (b - sy) for a, b in zip(rx, ry))
+        vx = sum((a - sx) ** 2 for a in rx)
+        vy = sum((b - sy) ** 2 for b in ry)
+        return cov / (vx**0.5 * vy**0.5)
+
+    got = {
+        r["g"]: r for r in stats.spearman(df, "x", "y", group_by="g").collect()
+    }
+    for g in ("a", "b"):
+        want = ref([(x, y) for gg, x, y in rows if gg == g])
+        assert got[g]["n"] == 200
+        assert got[g]["spearman"] == pytest.approx(want, abs=1e-6)
+    # monotone transform of y cannot move a rank correlation
+    got2 = {
+        r["g"]: r["spearman"]
+        for r in stats.spearman(
+            df.withColumn("y", F.exp("y")), "x", "y", group_by="g"
+        ).collect()
+    }
+    for g in got2:
+        assert got2[g] == pytest.approx(got[g]["spearman"], abs=1e-6)
+
+
+def test_spearman_degenerate_and_perfect(spark):
+    from getl_spark.functions import stats
+
+    # constant side -> NULL (not an ANSI divide-by-zero crash)
+    one = spark.createDataFrame([(1.0, 2.0), (1.0, 3.0)], "x DOUBLE, y DOUBLE")
+    r = stats.spearman(one, "x", "y").collect()[0]
+    assert (r["n"], r["spearman"]) == (2, None)
+    # perfect monotone -> 1.0 even though the relation is nonlinear
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(10)], "x DOUBLE, y DOUBLE"
+    )
+    assert stats.spearman(mono, "x", "y").collect()[0]["spearman"] == 1.0
+    rev = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(10)], "x DOUBLE, y DOUBLE"
+    )
+    assert stats.spearman(rev, "x", "y").collect()[0]["spearman"] == -1.0
+    # null / NaN rows on either side are excluded
+    withnull = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, None), (None, 4.0),
+         (float("nan"), 5.0), (5.0, 6.0)],
+        "x DOUBLE, y DOUBLE",
+    )
+    r = stats.spearman(withnull, "x", "y").collect()[0]
+    assert r["n"] == 3 and r["spearman"] == 1.0
