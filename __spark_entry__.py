@@ -5493,6 +5493,26 @@ FROM agg
 """
 
 
+def _q_mad(spark, sf_dir):
+    """stats.mad — robust location/scale (median + median absolute
+    deviation) of the order value per order status: two rounds of the
+    distributed-prefix-sum exact median over per-distinct-value
+    counts, never a per-group value buffer."""
+    from getl_spark.functions import stats
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return stats.mad(orders, "o_totalprice", group_by="o_orderstatus")
+
+
+MAD_ORACLE = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(median(CAST(o_totalprice AS DOUBLE)), 6) AS median,
+       ROUND(mad(CAST(o_totalprice AS DOUBLE)), 6) AS mad
+FROM orders WHERE o_totalprice IS NOT NULL
+GROUP BY 1
+"""
+
+
 def _q_spearman(spark, sf_dir):
     """stats.spearman — tie-average rank correlation between quantity
     and extended price per returnflag (quantity's integer values make
@@ -7445,6 +7465,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_average_precision": _q_average_precision,
         "search_rank_eval": _q_rank_eval,
         "stats_spearman": _q_spearman,
+        "stats_mad": _q_mad,
     }
 
 
@@ -7603,6 +7624,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_average_precision": AVERAGE_PRECISION_ORACLE,
         "search_rank_eval": RANK_EVAL_ORACLE,
         "stats_spearman": SPEARMAN_ORACLE,
+        "stats_mad": MAD_ORACLE,
     }
 
 

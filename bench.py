@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "stats_average_precision",
     "search_rank_eval",
     "stats_spearman",
+    "stats_mad",
 ]
 
 RUNS = 3

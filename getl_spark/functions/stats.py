@@ -1639,3 +1639,110 @@ def spearman(
     return agg.select(
         *keys, "n", F.round(rho, round_to).alias("spearman")
     )
+
+
+def _grouped_exact_median(df: DataFrame, keys, value_col: str) -> DataFrame:
+    """Exact per-group median of ``value_col`` (mean-of-two-middles for
+    even counts) with memory bounded regardless of group size: values
+    reduce to per-distinct-value counts, the cumulative count rides the
+    distributed prefix sum, and the one (or two) distinct values whose
+    cumulative range covers the middle position(s) are picked by
+    filter + max — never ``F.percentile``, whose exact aggregate
+    buffers a per-group value map on a single task. Returns
+    ``(keys..., __med_n, __median)``.
+    """
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    counts = df.groupBy(*keys, F.col(value_col)).agg(
+        F.count("*").cast("bigint").alias("__n")
+    )
+    cum = grouped_prefix_sum(counts, keys, [value_col], "__n", "__cum")
+    totals = counts.groupBy(*keys).agg(F.sum("__n").alias("__tot"))
+    if keys:
+        t = totals.select(
+            *[F.col(k).alias(f"__md_{k}") for k in keys], "__tot"
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__md_{k}"))
+        joined = cum.join(t, cond).drop(*[f"__md_{k}" for k in keys])
+    else:
+        joined = cum.join(F.broadcast(totals))
+    lo = F.floor((F.col("__tot") + 1) / 2)
+    hi = F.floor(F.col("__tot") / 2) + 1
+    lo_in = (F.col("__cum") >= lo) & (F.col("__cum") - F.col("__n") < lo)
+    hi_in = (F.col("__cum") >= hi) & (F.col("__cum") - F.col("__n") < hi)
+    picked = joined.where(lo_in | hi_in).select(
+        *keys,
+        "__tot",
+        F.when(lo_in, F.col(value_col)).alias("__lo_v"),
+        F.when(hi_in, F.col(value_col)).alias("__hi_v"),
+    )
+    return picked.groupBy(*keys).agg(
+        F.max("__tot").alias("__med_n"),
+        ((F.max("__lo_v") + F.max("__hi_v")) / 2).alias("__median"),
+    )
+
+
+def mad(
+    df: DataFrame,
+    column: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Median and median absolute deviation of a numeric column,
+    optionally per group — the robust location/scale pair for drift
+    monitoring on heavy-tailed pipeline signals (document lengths,
+    token counts, latencies), where one crawl of 2 GB pages moves a
+    mean+stddev gate arbitrarily far but cannot budge the median/MAD
+    pair past its breakdown point. Returns one row per group
+    ``(group..., n, median, mad)`` with the raw (unscaled) MAD
+    ``median(|x − median(x)|)``; multiply by 1.4826 for the normal
+    consistency constant if you want a sigma estimate.
+
+    Exact at any scale: two rounds of the distributed-prefix-sum exact
+    median (values reduce to per-distinct-value counts first — shuffle
+    ∝ distinct values — so no per-group buffering anywhere, unlike
+    ``F.percentile``), with the group medians attached back to rows by
+    one keyed join in between. Even-count groups use the standard
+    mean-of-two-middles; NULL/NaN rows are excluded.
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    x = F.col(column).cast("double")
+    base = df.select(*keys, x.alias("__x")).where(
+        x.isNotNull() & ~F.isnan(x)
+    )
+    med = _grouped_exact_median(base, keys, "__x")
+    if keys:
+        m = med.select(
+            *[F.col(k).alias(f"__m_{k}") for k in keys],
+            "__med_n",
+            "__median",
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__m_{k}"))
+        withmed = base.join(m, cond).drop(*[f"__m_{k}" for k in keys])
+    else:
+        withmed = base.join(F.broadcast(med))
+    devs = withmed.select(
+        *keys,
+        F.col("__med_n").alias("__n_out"),
+        F.col("__median").alias("__med_out"),
+        F.abs(F.col("__x") - F.col("__median")).alias("__dev"),
+    )
+    # the group median and count ride along as extra (functionally
+    # dependent) group keys so the second median pass needs no re-join
+    dev_med = _grouped_exact_median(
+        devs, keys + ["__n_out", "__med_out"], "__dev"
+    )
+    return dev_med.select(
+        *keys,
+        F.col("__n_out").alias("n"),
+        F.round("__med_out", round_to).alias("median"),
+        F.round("__median", round_to).alias("mad"),
+    )

@@ -887,3 +887,49 @@ def test_spearman_degenerate_and_perfect(spark):
     )
     r = stats.spearman(withnull, "x", "y").collect()[0]
     assert r["n"] == 3 and r["spearman"] == 1.0
+
+
+def test_mad_matches_statistics_median(spark):
+    """Grouped median/MAD equal the stdlib reference on odd AND even
+    group sizes, keep the NULL group, and shrug off a catastrophic
+    outlier that would wreck mean/stddev."""
+    import random
+    import statistics
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(9)
+    rows = []
+    for g in ("a", "b", None):
+        for _ in range(151 if g == "a" else 200):
+            rows.append((g, round(rnd.gauss(5 if g == "a" else 0, 3), 1)))
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE")
+    got = {r["g"]: r for r in stats.mad(df, "x", group_by="g").collect()}
+    for g in ("a", "b", None):
+        vals = [x for gg, x in rows if gg == g]
+        med = statistics.median(vals)
+        m = statistics.median([abs(v - med) for v in vals])
+        assert got[g]["n"] == len(vals)
+        assert got[g]["median"] == pytest.approx(med, abs=1e-9)
+        assert got[g]["mad"] == pytest.approx(m, abs=1e-9)
+    base = [(float(i),) for i in range(1, 101)]
+    r0 = stats.mad(spark.createDataFrame(base, "x DOUBLE"), "x").collect()[0]
+    r1 = stats.mad(
+        spark.createDataFrame(base + [(1e12,)], "x DOUBLE"), "x"
+    ).collect()[0]
+    assert r0["median"] == 50.5  # even count interpolates
+    assert r1["median"] == 51.0 and r1["mad"] == pytest.approx(25.0)
+
+
+def test_mad_degenerate(spark):
+    from getl_spark.functions import stats
+
+    one = spark.createDataFrame([(7.0,)], "x DOUBLE")
+    r = stats.mad(one, "x").collect()[0]
+    assert (r["n"], r["median"], r["mad"]) == (1, 7.0, 0.0)
+    # nulls and NaNs excluded; all-tied values -> mad 0
+    t = spark.createDataFrame(
+        [(2.0,), (2.0,), (None,), (float("nan"),)], "x DOUBLE"
+    )
+    r = stats.mad(t, "x").collect()[0]
+    assert (r["n"], r["median"], r["mad"]) == (2, 2.0, 0.0)
