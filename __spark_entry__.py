@@ -5493,6 +5493,62 @@ FROM agg
 """
 
 
+def _q_cohens_kappa(spark, sf_dir):
+    """stats.cohens_kappa — chance-corrected agreement between the
+    returnflag and a deterministically corrupted copy of it (every
+    5th order misjudged), per linestatus: cell counts ∝ distinct
+    label pairs, marginal join for expected agreement."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    corrupted = F.when(
+        F.col("l_orderkey") % 5 == 0,
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("A"))
+        .when(F.col("l_orderkey") % 3 == 1, F.lit("N"))
+        .otherwise(F.lit("R")),
+    ).otherwise(F.col("l_returnflag"))
+    judged = li.where(F.col("l_returnflag").isNotNull()).select(
+        "l_linestatus",
+        F.col("l_returnflag").alias("judge_a"),
+        corrupted.alias("judge_b"),
+    )
+    return stats.cohens_kappa(
+        judged, "judge_a", "judge_b", group_by="l_linestatus"
+    )
+
+
+COHENS_KAPPA_ORACLE = """
+WITH pairs AS (
+  SELECT l_linestatus AS g, l_returnflag AS a,
+         CASE WHEN l_orderkey % 5 = 0 THEN
+           CASE WHEN l_orderkey % 3 = 0 THEN 'A'
+                WHEN l_orderkey % 3 = 1 THEN 'N' ELSE 'R' END
+         ELSE l_returnflag END AS b
+  FROM lineitem WHERE l_returnflag IS NOT NULL),
+cells AS (
+  SELECT g, a, b, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2, 3),
+tot AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+         SUM(CASE WHEN a = b THEN c ELSE 0 END) AS agree
+  FROM cells GROUP BY 1),
+am AS (SELECT g, a AS lbl, SUM(c) AS na FROM cells GROUP BY 1, 2),
+bm AS (SELECT g, b AS lbl, SUM(c) AS nb FROM cells GROUP BY 1, 2),
+pe AS (
+  SELECT am.g, SUM(na * nb) AS pen
+  FROM am JOIN bm ON am.g = bm.g AND am.lbl = bm.lbl GROUP BY 1)
+SELECT t.g AS l_linestatus, n,
+       ROUND(CAST(agree AS DOUBLE) / n, 6) AS observed_agreement,
+       ROUND(CAST(pen AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+         AS expected_agreement,
+       ROUND(CASE WHEN CAST(pen AS DOUBLE) / (CAST(n AS DOUBLE) * n) < 1
+                  THEN (CAST(agree AS DOUBLE) / n
+                        - CAST(pen AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+                       / (1 - CAST(pen AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+             END, 6) AS kappa
+FROM tot t JOIN pe ON t.g = pe.g
+"""
+
+
 def _q_mad(spark, sf_dir):
     """stats.mad — robust location/scale (median + median absolute
     deviation) of the order value per order status: two rounds of the
@@ -7466,6 +7522,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rank_eval": _q_rank_eval,
         "stats_spearman": _q_spearman,
         "stats_mad": _q_mad,
+        "stats_cohens_kappa": _q_cohens_kappa,
     }
 
 
@@ -7625,6 +7682,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "search_rank_eval": RANK_EVAL_ORACLE,
         "stats_spearman": SPEARMAN_ORACLE,
         "stats_mad": MAD_ORACLE,
+        "stats_cohens_kappa": COHENS_KAPPA_ORACLE,
     }
 
 

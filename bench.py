@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "search_rank_eval",
     "stats_spearman",
     "stats_mad",
+    "stats_cohens_kappa",
 ]
 
 RUNS = 3

@@ -1746,3 +1746,90 @@ def mad(
         F.round("__med_out", round_to).alias("median"),
         F.round("__median", round_to).alias("mad"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's kappa between two categorical label columns, optionally
+    per group — chance-corrected inter-annotator agreement, the
+    standard sanity gate before trusting labels from two human
+    annotators or two LLM judges (raw percent agreement flatters any
+    pair that both predict the majority class). Returns one row per
+    group ``(group..., n, observed_agreement, expected_agreement,
+    kappa)`` with κ = (p_o − p_e)/(1 − p_e); NULL when the raters are
+    both constant and identical (p_e = 1, κ undefined).
+
+    Distributed shape: rows reduce to per-(label_a, label_b) cell
+    counts — shuffle ∝ distinct label pairs, never rows — marginals
+    re-aggregate from the cells, and the expected-agreement sum joins
+    the two marginal tables per label. Rows where either side is NULL
+    are excluded (an abstaining judge is absence, not a verdict);
+    labels compare as strings.
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    a = F.col(rater_a).cast("string")
+    b = F.col(rater_b).cast("string")
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(*keys, a.alias("__a"), b.alias("__b"))
+        .agg(F.count("*").cast("bigint").alias("__c"))
+    )
+    totals = cells.groupBy(*keys).agg(
+        F.sum("__c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))).alias(
+            "__agree"
+        ),
+    )
+    a_marg = cells.groupBy(*keys, F.col("__a").alias("__lbl")).agg(
+        F.sum("__c").alias("__na")
+    )
+    b_marg = cells.groupBy(*keys, F.col("__b").alias("__lbl")).agg(
+        F.sum("__c").alias("__nb")
+    )
+    am = a_marg.select(
+        *[F.col(k).alias(f"__am_{k}") for k in keys], "__lbl", "__na"
+    )
+    bm = b_marg.select(
+        *[F.col(k).alias(f"__bm_{k}") for k in keys],
+        F.col("__lbl").alias("__lbl_b"),
+        "__nb",
+    )
+    cond = am["__lbl"] == bm["__lbl_b"]
+    for k in keys:
+        cond = cond & am[f"__am_{k}"].eqNullSafe(bm[f"__bm_{k}"])
+    # inner join: labels one rater never uses contribute 0 to p_e
+    pe_num = (
+        am.join(bm, cond)
+        .groupBy(*[F.col(f"__am_{k}").alias(k) for k in keys])
+        .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__pe_num"))
+    )
+    if keys:
+        p = pe_num.select(
+            *[F.col(k).alias(f"__pe_{k}") for k in keys], "__pe_num"
+        )
+        jcond = F.lit(True)
+        for k in keys:
+            jcond = jcond & F.col(k).eqNullSafe(F.col(f"__pe_{k}"))
+        joined = totals.join(p, jcond).drop(*[f"__pe_{k}" for k in keys])
+    else:
+        joined = totals.join(F.broadcast(pe_num))
+    n = F.col("n").cast("double")
+    po = F.coalesce(F.col("__agree"), F.lit(0)).cast("double") / n
+    pe = F.col("__pe_num").cast("double") / (n * n)
+    kappa = F.when(pe < 1, (po - pe) / (F.lit(1.0) - pe))
+    return joined.select(
+        *keys,
+        "n",
+        F.round(po, round_to).alias("observed_agreement"),
+        F.round(pe, round_to).alias("expected_agreement"),
+        F.round(kappa, round_to).alias("kappa"),
+    )

@@ -933,3 +933,66 @@ def test_mad_degenerate(spark):
     )
     r = stats.mad(t, "x").collect()[0]
     assert (r["n"], r["median"], r["mad"]) == (2, 2.0, 0.0)
+
+
+def test_cohens_kappa_matches_definition(spark):
+    """Kappa equals the exhaustive confusion-matrix computation per
+    group; a noisier judge gets a visibly lower kappa."""
+    import random
+    from collections import Counter
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(13)
+    rows = []
+    for g in ("x", "y"):
+        for _ in range(300):
+            truth = rnd.choice("ABC")
+            a = truth if rnd.random() < 0.8 else rnd.choice("ABC")
+            b = truth if rnd.random() < (0.7 if g == "x" else 0.3) else rnd.choice("ABC")
+            rows.append((g, a, b))
+    df = spark.createDataFrame(rows, "g STRING, a STRING, b STRING")
+
+    def ref(pairs):
+        n = len(pairs)
+        po = sum(1 for a, b in pairs if a == b) / n
+        ca = Counter(a for a, _ in pairs)
+        cb = Counter(b for _, b in pairs)
+        pe = sum(ca[c] * cb.get(c, 0) for c in ca) / n**2
+        return po, pe, (po - pe) / (1 - pe)
+
+    got = {
+        r["g"]: r
+        for r in stats.cohens_kappa(df, "a", "b", group_by="g").collect()
+    }
+    for g in ("x", "y"):
+        po, pe, k = ref([(a, b) for gg, a, b in rows if gg == g])
+        assert got[g]["observed_agreement"] == pytest.approx(po, abs=1e-6)
+        assert got[g]["expected_agreement"] == pytest.approx(pe, abs=1e-6)
+        assert got[g]["kappa"] == pytest.approx(k, abs=1e-6)
+    assert got["x"]["kappa"] > got["y"]["kappa"]
+
+
+def test_cohens_kappa_edges(spark):
+    from getl_spark.functions import stats
+
+    perfect = spark.createDataFrame(
+        [("A", "A"), ("B", "B"), ("A", "A")], "a STRING, b STRING"
+    )
+    assert stats.cohens_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
+    # both raters constant and identical: p_e = 1, kappa undefined
+    const = spark.createDataFrame([("A", "A"), ("A", "A")], "a STRING, b STRING")
+    r = stats.cohens_kappa(const, "a", "b").collect()[0]
+    assert r["kappa"] is None and r["observed_agreement"] == 1.0
+    # abstentions (nulls) excluded; disjoint label sets -> pe 0, po 0
+    nulls = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("A", None), (None, "B")],
+        "a STRING, b STRING",
+    )
+    r = stats.cohens_kappa(nulls, "a", "b").collect()[0]
+    assert r["n"] == 2
+    # worse-than-chance disagreement goes negative
+    anti = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("A", "B"), ("B", "A")], "a STRING, b STRING"
+    )
+    assert stats.cohens_kappa(anti, "a", "b").collect()[0]["kappa"] < 0
