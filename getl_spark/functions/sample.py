@@ -365,3 +365,54 @@ def deterministic_shuffle(
     return summed.withColumnRenamed("__shuf_key", "shuffle_key").drop(
         "__shuf_one"
     )
+
+
+def hard_negatives(
+    results: DataFrame,
+    positives: DataFrame,
+    n_per_query: int = 5,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Mine hard negatives for contrastive / retrieval training: the
+    highest-ranked candidates per query that are NOT known positives —
+    the documents a current retriever confuses with the answer, which
+    train a better one far faster than random negatives. ``results``
+    is any ranked candidate table this package produces
+    (``search.bm25_topk``, ``similarity.topk``, ``search.rrf_fuse``);
+    ``positives`` is the labeled (query, doc) relevance set. Output:
+    ``(query, doc, rank, neg_rank)`` with ``neg_rank`` 1..n re-numbered
+    over the surviving negatives in original rank order — ready to
+    join back to text/vectors as training triples.
+
+    Shape: one (query, doc)-keyed LEFT ANTI join removes positives,
+    then the re-rank window partitions BY QUERY — its partition size is
+    the per-query candidate count (the retrieval k), never corpus
+    size. Deterministic given deterministic input ranks (ties on rank
+    break by doc id).
+    """
+    if n_per_query < 1:
+        raise ValueError("hard_negatives: n_per_query must be >= 1")
+    r = results.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__d"),
+        F.col(rank_col).cast("int").alias("__rank"),
+    )
+    p = positives.select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__d")
+    ).distinct()
+    survivors = r.join(p, ["__q", "__d"], "left_anti")
+    w = Window.partitionBy("__q").orderBy(
+        F.col("__rank").asc(), F.col("__d").asc()
+    )
+    return (
+        survivors.withColumn("__neg", F.row_number().over(w))
+        .where(F.col("__neg") <= n_per_query)
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__d").alias(id_col),
+            F.col("__rank").alias(rank_col),
+            F.col("__neg").cast("int").alias("neg_rank"),
+        )
+    )

@@ -1651,11 +1651,20 @@ def _grouped_exact_median(df: DataFrame, keys, value_col: str) -> DataFrame:
     buffers a per-group value map on a single task. Returns
     ``(keys..., __med_n, __median)``.
     """
-    from getl_spark.common.scale import grouped_prefix_sum
-
     counts = df.groupBy(*keys, F.col(value_col)).agg(
         F.count("*").cast("bigint").alias("__n")
     )
+    return _median_from_counts(counts, keys, value_col)
+
+
+def _median_from_counts(
+    counts: DataFrame, keys, value_col: str
+) -> DataFrame:
+    """`_grouped_exact_median` core over a pre-aggregated
+    ``(keys..., value, __n)`` table — callers that already hold counts
+    (e.g. the MAD deviation pass) skip the row scan entirely."""
+    from getl_spark.common.scale import grouped_prefix_sum
+
     cum = grouped_prefix_sum(counts, keys, [value_col], "__n", "__cum")
     totals = counts.groupBy(*keys).agg(F.sum("__n").alias("__tot"))
     if keys:
@@ -1700,11 +1709,14 @@ def mad(
     ``median(|x − median(x)|)``; multiply by 1.4826 for the normal
     consistency constant if you want a sigma estimate.
 
-    Exact at any scale: two rounds of the distributed-prefix-sum exact
-    median (values reduce to per-distinct-value counts first — shuffle
-    ∝ distinct values — so no per-group buffering anywhere, unlike
-    ``F.percentile``), with the group medians attached back to rows by
-    one keyed join in between. Even-count groups use the standard
+    Exact at any scale, and the ROWS ARE SCANNED EXACTLY ONCE: values
+    reduce to per-distinct-value counts (shuffle ∝ distinct values —
+    no per-group buffering anywhere, unlike ``F.percentile``), the
+    median comes off the counts via the distributed-prefix-sum pick,
+    and the deviation pass is computed FROM THE SAME COUNTS TABLE —
+    ``|v − median|`` weighted by each value's count — so the second
+    median round touches only distinct-value-sized data, never the
+    rows again. Even-count groups use the standard
     mean-of-two-middles; NULL/NaN rows are excluded.
     """
     keys = (
@@ -1716,7 +1728,15 @@ def mad(
     base = df.select(*keys, x.alias("__x")).where(
         x.isNotNull() & ~F.isnan(x)
     )
-    med = _grouped_exact_median(base, keys, "__x")
+    # pin the counts reduction: it is referenced by the prefix sum,
+    # the totals, AND the deviation join — without the pin the full
+    # row scan + aggregate re-executes once per reference
+    counts = (
+        base.groupBy(*keys, F.col("__x"))
+        .agg(F.count("*").cast("bigint").alias("__n"))
+        .localCheckpoint()
+    )
+    med = _median_from_counts(counts, keys, "__x")
     if keys:
         m = med.select(
             *[F.col(k).alias(f"__m_{k}") for k in keys],
@@ -1726,19 +1746,24 @@ def mad(
         cond = F.lit(True)
         for k in keys:
             cond = cond & F.col(k).eqNullSafe(F.col(f"__m_{k}"))
-        withmed = base.join(m, cond).drop(*[f"__m_{k}" for k in keys])
+        withmed = counts.join(m, cond).drop(*[f"__m_{k}" for k in keys])
     else:
-        withmed = base.join(F.broadcast(med))
-    devs = withmed.select(
-        *keys,
-        F.col("__med_n").alias("__n_out"),
-        F.col("__median").alias("__med_out"),
-        F.abs(F.col("__x") - F.col("__median")).alias("__dev"),
+        withmed = counts.join(F.broadcast(med))
+    # distinct deviations can coincide (v and 2·median − v) — re-sum
+    dev_counts = (
+        withmed.groupBy(
+            *keys,
+            F.col("__med_n").alias("__n_out"),
+            F.col("__median").alias("__med_out"),
+            F.abs(F.col("__x") - F.col("__median")).alias("__dev"),
+        )
+        .agg(F.sum("__n").cast("bigint").alias("__n"))
+        .localCheckpoint()
     )
     # the group median and count ride along as extra (functionally
     # dependent) group keys so the second median pass needs no re-join
-    dev_med = _grouped_exact_median(
-        devs, keys + ["__n_out", "__med_out"], "__dev"
+    dev_med = _median_from_counts(
+        dev_counts, keys + ["__n_out", "__med_out"], "__dev"
     )
     return dev_med.select(
         *keys,

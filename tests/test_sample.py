@@ -438,3 +438,41 @@ def test_deterministic_shuffle_validates(spark):
 
     with _pytest.raises(ValueError, match="id_cols"):
         sample.deterministic_shuffle(df, [])
+
+
+def test_hard_negatives_skips_positives_and_renumbers(spark):
+    from getl_spark.functions import sample
+
+    results = spark.createDataFrame(
+        [
+            (0, "a", 1), (0, "b", 2), (0, "c", 3), (0, "d", 4),
+            (1, "a", 1), (1, "b", 2),
+        ],
+        "query_id INT, doc_id STRING, rank INT",
+    )
+    positives = spark.createDataFrame(
+        # duplicate judgment must not multiply rows
+        [(0, "a"), (0, "a"), (0, "c"), (1, "z")],
+        "query_id INT, doc_id STRING",
+    )
+    rows = sorted(
+        tuple(r)
+        for r in sample.hard_negatives(
+            results, positives, n_per_query=2
+        ).collect()
+    )
+    # query 0: a,c are positives -> negatives b (rank2->neg1), d (rank4->neg2)
+    # query 1: no retrieved positives -> a, b keep order
+    assert rows == [
+        (0, "b", 2, 1), (0, "d", 4, 2),
+        (1, "a", 1, 1), (1, "b", 2, 2),
+    ]
+    # n_per_query truncates
+    one = sample.hard_negatives(results, positives, n_per_query=1)
+    assert sorted(tuple(r) for r in one.collect()) == [
+        (0, "b", 2, 1), (1, "a", 1, 1)
+    ]
+    import pytest
+
+    with pytest.raises(ValueError, match="n_per_query"):
+        sample.hard_negatives(results, positives, n_per_query=0)
