@@ -5493,6 +5493,75 @@ FROM agg
 """
 
 
+def _q_hard_negatives(spark, sf_dir):
+    """sample.hard_negatives — mine the top non-relevant candidates
+    per query from a ranked list (contrastive-training triples): one
+    (query,doc)-keyed anti-join + a retrieval-k-bounded re-rank
+    window. Fixture ranking is the same deterministic arithmetic
+    permutation as search_rank_eval; positives are docs containing
+    the query term."""
+    from getl_spark.functions import sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["spark", "vector", "window"]
+    spine = docs.select(
+        "doc_id",
+        F.lower("text").alias("t"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("query_id"), F.lit(t).alias("term")
+                    )
+                    for i, t in enumerate(terms)
+                ]
+            )
+        ).alias("q"),
+    ).select("q.query_id", "q.term", "doc_id", "t")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        ((F.col("doc_id") * (F.col("query_id") + 7)) % 101).asc(),
+        F.col("doc_id").asc(),
+    )
+    results = spine.select(
+        "query_id", "doc_id", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= 20)
+    positives = spine.where(
+        F.instr(F.col("t"), F.col("term")) > 0
+    ).select("query_id", "doc_id")
+    return sample.hard_negatives(results, positives, n_per_query=5)
+
+
+HARD_NEGATIVES_ORACLE = """
+WITH terms AS (
+  SELECT * FROM (VALUES (0, 'spark'), (1, 'vector'), (2, 'window'))
+       t(query_id, term)),
+spine AS (
+  SELECT query_id, term, doc_id, lower(text) AS t
+  FROM documents CROSS JOIN terms),
+results AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY (doc_id * (query_id + 7)) % 101, doc_id) AS INTEGER)
+           AS rank
+  FROM spine QUALIFY rank <= 20),
+positives AS (
+  SELECT DISTINCT query_id, doc_id FROM spine WHERE contains(t, term)),
+survivors AS (
+  SELECT r.query_id, r.doc_id, r.rank
+  FROM results r ANTI JOIN positives p USING (query_id, doc_id))
+SELECT query_id, doc_id, rank,
+       CAST(neg_rank AS INTEGER) AS neg_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rank, doc_id) AS neg_rank
+  FROM survivors) x
+WHERE neg_rank <= 5
+"""
+
+
 def _q_cohens_kappa(spark, sf_dir):
     """stats.cohens_kappa — chance-corrected agreement between the
     returnflag and a deterministically corrupted copy of it (every
@@ -7523,6 +7592,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_spearman": _q_spearman,
         "stats_mad": _q_mad,
         "stats_cohens_kappa": _q_cohens_kappa,
+        "sample_hard_negatives": _q_hard_negatives,
     }
 
 
@@ -7683,6 +7753,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_spearman": SPEARMAN_ORACLE,
         "stats_mad": MAD_ORACLE,
         "stats_cohens_kappa": COHENS_KAPPA_ORACLE,
+        "sample_hard_negatives": HARD_NEGATIVES_ORACLE,
     }
 
 

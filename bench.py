@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "stats_spearman",
     "stats_mad",
     "stats_cohens_kappa",
+    "sample_hard_negatives",
 ]
 
 RUNS = 3
