@@ -5493,6 +5493,63 @@ FROM agg
 """
 
 
+def _q_cusum(spark, sf_dir):
+    """stats.cusum — Page's two-sided CUSUM over the event value
+    stream per event type (integer cents + explicit target keep every
+    accumulation exactly representable, so the cross-engine hash is
+    bit-stable): two distributed prefix-scan passes (multi-column SUM,
+    then MIN+MAX in one pass), never a per-group window or a
+    sequential loop."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).alias("cents"),
+    )
+    res = stats.cusum(
+        cents,
+        "cents",
+        ["ts", "event_id"],
+        group_by="event_type",
+        target=10000.0,
+        slack=500.0,
+        threshold=250000.0,
+    )
+    return res.select(
+        "event_type", "event_id", "cusum_up", "cusum_down",
+        "alarm_up", "alarm_down",
+    )
+
+
+CUSUM_ORACLE = """
+WITH base AS (
+  SELECT event_type, event_id, ts,
+         ROUND(CAST(value AS DOUBLE) * 100, 0) AS cents
+  FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+p AS (
+  SELECT event_type, event_id, ts,
+         SUM(cents - 10000.0 - 500.0) OVER w AS p_up,
+         SUM(-(cents - 10000.0) - 500.0) OVER w AS p_dn
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)),
+s AS (
+  SELECT event_type, event_id,
+         ROUND(p_up - LEAST(0, MIN(p_up) OVER w2), 6) AS cusum_up,
+         ROUND(p_dn - LEAST(0, MIN(p_dn) OVER w2), 6) AS cusum_down
+  FROM p
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING))
+SELECT event_type, event_id, cusum_up, cusum_down,
+       cusum_up > 250000.0 AS alarm_up,
+       cusum_down > 250000.0 AS alarm_down
+FROM s
+"""
+
+
 def _q_hard_negatives(spark, sf_dir):
     """sample.hard_negatives — mine the top non-relevant candidates
     per query from a ranked list (contrastive-training triples): one
@@ -7593,6 +7650,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mad": _q_mad,
         "stats_cohens_kappa": _q_cohens_kappa,
         "sample_hard_negatives": _q_hard_negatives,
+        "stats_cusum": _q_cusum,
     }
 
 
@@ -7754,6 +7812,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_mad": MAD_ORACLE,
         "stats_cohens_kappa": COHENS_KAPPA_ORACLE,
         "sample_hard_negatives": HARD_NEGATIVES_ORACLE,
+        "stats_cusum": CUSUM_ORACLE,
     }
 
 

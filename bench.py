@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "stats_mad",
     "stats_cohens_kappa",
     "sample_hard_negatives",
+    "stats_cusum",
 ]
 
 RUNS = 3

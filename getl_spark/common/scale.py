@@ -41,22 +41,39 @@ def grouped_prefix_sum(
     value_col,
     new_col,
 ):
-    """Per-key running sum of ``value_col`` in ``order_cols`` order,
-    WITHOUT collapsing parallelism to the number of keys.
-    ``value_col``/``new_col`` may be parallel lists to cumsum several
+    """``grouped_prefix_scan`` with the running aggregate fixed to
+    ``sum`` — see there for the contract. Kept as the named entry
+    point because a running sum is what nearly every caller means."""
+    return grouped_prefix_scan(df, keys, order_cols, value_col, new_col)
+
+
+def grouped_prefix_scan(
+    df: DataFrame,
+    keys,
+    order_cols,
+    value_col,
+    new_col,
+    fn="sum",
+):
+    """Per-key running aggregate (``sum`` / ``min`` / ``max``) of
+    ``value_col`` in ``order_cols`` order, WITHOUT collapsing
+    parallelism to the number of keys.
+    ``value_col``/``new_col`` may be parallel lists to scan several
     columns in ONE range exchange + offsets pass (e.g. the positive and
-    negative counts of a PR curve) instead of paying the shuffle twice.
+    negative counts of a PR curve); ``fn`` may then be a parallel list
+    too (e.g. a running min of one column and max of another for a
+    CUSUM), or a single name applied to all.
 
     ``Window.partitionBy(keys)`` puts each key's entire history in one
     task — correct for high-cardinality keys (users, documents), a
     bottleneck when keys are FEW (sources in a mixture, a global
     cumsum with zero keys). This is the standard two-pass distributed
-    prefix sum instead: range-partition on (keys..., order...) so
-    partition boundaries respect each key's order, cumsum within each
-    range slice, then add per-(key, slice) offsets — an offsets table
-    of at most #slices × #keys rows, broadcast back. Results are
-    boundary-invariant, so the output equals the single-window
-    formulation row for row.
+    prefix scan instead: range-partition on (keys..., order...) so
+    partition boundaries respect each key's order, scan within each
+    range slice, then fold in per-(key, slice) offsets — an offsets
+    table of at most #slices × #keys rows, broadcast back. All three
+    aggregates are associative, so results are boundary-invariant and
+    the output equals the single-window formulation row for row.
 
     Tie contract: rows equal on (keys..., order...) may be split
     across slices, in which case they consume the prefix in slice
@@ -75,9 +92,19 @@ def grouped_prefix_sum(
     new_cols = [new_col] if isinstance(new_col, str) else list(new_col)
     if len(value_cols) != len(new_cols):
         raise ValueError(
-            "grouped_prefix_sum: value_col and new_col must pair up "
+            "grouped_prefix_scan: value_col and new_col must pair up "
             f"({len(value_cols)} vs {len(new_cols)})"
         )
+    fns = [fn] * len(value_cols) if isinstance(fn, str) else list(fn)
+    if len(fns) != len(value_cols):
+        raise ValueError(
+            "grouped_prefix_scan: fn list must pair up with value_col "
+            f"({len(fns)} vs {len(value_cols)})"
+        )
+    aggs = {"sum": F.sum, "min": F.min, "max": F.max}
+    bad = [f for f in fns if f not in aggs]
+    if bad:
+        raise ValueError(f"grouped_prefix_scan: unsupported fn {bad}")
     parts = [F.col(c) for c in keys + order_cols]
     # localCheckpoint pins the range exchange + pid tagging before the
     # plan branches into `local` and `offsets`. Both branches must
@@ -101,32 +128,33 @@ def grouped_prefix_sum(
     local = ranged.select(
         "*",
         *[
-            F.sum(v).over(win_local).alias(f"__gps_local_{i}")
-            for i, v in enumerate(value_cols)
+            aggs[f](v).over(win_local).alias(f"__gps_local_{i}")
+            for i, (v, f) in enumerate(zip(value_cols, fns))
         ],
     )
+    # offset = the aggregate over all PRECEDING slices of the key
+    # (NULL for a key's first slice)
     win_off = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__gps_pid").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
         ranged.groupBy("__gps_pid", *keys)
         .agg(
             *[
-                F.sum(v).alias(f"__gps_t_{i}")
-                for i, v in enumerate(value_cols)
+                aggs[f](v).alias(f"__gps_t_{i}")
+                for i, (v, f) in enumerate(zip(value_cols, fns))
             ]
         )
         .select(
             "__gps_pid",
             *keys,
             *[
-                (
-                    F.sum(f"__gps_t_{i}").over(win_off)
-                    - F.col(f"__gps_t_{i}")
-                ).alias(f"__gps_off_{i}")
-                for i in range(len(value_cols))
+                aggs[f](f"__gps_t_{i}")
+                .over(win_off)
+                .alias(f"__gps_off_{i}")
+                for i, f in enumerate(fns)
             ],
         )
     )
@@ -145,11 +173,19 @@ def grouped_prefix_sum(
             for i in range(len(value_cols))
         ],
     )
+    def _combine(i: int, f: str):
+        loc, off = F.col(f"__gps_local_{i}"), F.col(f"__gps_off_{i}")
+        if f == "sum":
+            # NULL offset = first slice of the key
+            return loc + F.coalesce(off, F.lit(0))
+        # least/greatest skip NULLs, folding the first slice correctly
+        return F.least(loc, off) if f == "min" else F.greatest(loc, off)
+
     out = joined.select(
         "*",
         *[
-            (F.col(f"__gps_local_{i}") + F.col(f"__gps_off_{i}")).alias(nc)
-            for i, nc in enumerate(new_cols)
+            _combine(i, f).alias(nc)
+            for i, (nc, f) in enumerate(zip(new_cols, fns))
         ],
     )
     return out.drop(

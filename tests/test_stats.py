@@ -996,3 +996,101 @@ def test_cohens_kappa_edges(spark):
         [("A", "B"), ("B", "A"), ("A", "B"), ("B", "A")], "a STRING, b STRING"
     )
     assert stats.cohens_kappa(anti, "a", "b").collect()[0]["kappa"] < 0
+
+
+def test_cusum_equals_sequential_recurrence(spark):
+    """The two-prefix-scan closed form equals Page's sequential
+    max-recurrence row for row; alarms fire only on the drifting
+    stream, shortly after onset."""
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(2)
+    rows = []
+    for g, drift in (("drifty", 1.0), ("flat", 0.0)):
+        for i in range(400):
+            mu = drift if (g == "drifty" and i >= 200) else 0.0
+            rows.append((g, i, round(rnd.gauss(mu, 1.0), 2)))
+    df = spark.createDataFrame(rows, "g STRING, i INT, x DOUBLE")
+    got = stats.cusum(
+        df, "x", "i", group_by="g", target=0.0, slack=0.5, threshold=8.0
+    )
+    res = {(r["g"], r["i"]): r for r in got.collect()}
+
+    def ref(series, target, k):
+        su = sd = 0.0
+        out = []
+        for v in series:
+            su = max(0.0, su + v - target - k)
+            sd = max(0.0, sd - (v - target) - k)
+            out.append((su, sd))
+        return out
+
+    for g in ("drifty", "flat"):
+        series = [x for gg, i, x in sorted(rows) if gg == g]
+        for i, (su, sd) in enumerate(ref(series, 0.0, 0.5)):
+            assert res[(g, i)]["cusum_up"] == pytest.approx(su, abs=1e-6)
+            assert res[(g, i)]["cusum_down"] == pytest.approx(sd, abs=1e-6)
+    alarms = [(g, i) for (g, i), r in res.items() if r["alarm_up"]]
+    assert alarms and all(g == "drifty" and i >= 200 for g, i in alarms)
+    # downward drift triggers the mirror statistic
+    down = [(g, i) for (g, i), r in res.items() if r["alarm_down"]]
+    assert not down  # no downward shift anywhere in this fixture
+
+
+def test_cusum_default_target_is_group_mean_and_nulls(spark):
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 3.0), ("a", 2, None),
+         ("a", 3, float("nan")), ("a", 4, 2.0)],
+        "g STRING, i INT, x DOUBLE",
+    )
+    # mean of (1, 3, 2) = 2.0 -> steps (-1, +1, 0), no slack
+    out = {r["i"]: r for r in stats.cusum(df, "x", "i", group_by="g").collect()}
+    assert sorted(out) == [0, 1, 4]  # NULL/NaN rows excluded
+    assert out[0]["cusum_up"] == 0.0 and out[0]["cusum_down"] == 1.0
+    assert out[1]["cusum_up"] == 1.0 and out[1]["cusum_down"] == 0.0
+    assert out[4]["cusum_up"] == 1.0 and out[4]["cusum_down"] == 0.0
+    # no threshold -> no alarm columns
+    assert "alarm_up" not in stats.cusum(df, "x", "i").columns
+
+
+def test_grouped_prefix_scan_min_max_matches_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from getl_spark.common.scale import grouped_prefix_scan
+
+    rng = random.Random(31)
+    rows = [
+        (rng.choice(["a", "b", None]), i, rng.randrange(-50, 50))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v long").repartition(16)
+    w = (
+        Window.partitionBy("k").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.k, r.i): (r.cs, r.cmin, r.cmax)
+        for r in df.withColumn("cs", F.sum("v").over(w))
+        .withColumn("cmin", F.min("v").over(w))
+        .withColumn("cmax", F.max("v").over(w))
+        .collect()
+    }
+    got = {
+        (r.k, r.i): (r.cs, r.cmin, r.cmax)
+        for r in grouped_prefix_scan(
+            df, ["k"], ["i"], ["v", "v", "v"], ["cs", "cmin", "cmax"],
+            fn=["sum", "min", "max"],
+        ).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="unsupported fn"):
+        grouped_prefix_scan(df, ["k"], ["i"], "v", "c", fn="avg")
+    with pytest.raises(ValueError, match="pair up"):
+        grouped_prefix_scan(df, ["k"], ["i"], ["v", "v"], ["c", "d"], fn=["min"])
