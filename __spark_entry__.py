@@ -5493,6 +5493,35 @@ FROM agg
 """
 
 
+def _q_reliability_bins(spark, sf_dir):
+    """stats.reliability_bins — the per-bucket reliability diagram
+    behind stats_ece, over the same deterministic
+    pseudo-probability fixture (integer arithmetic both engines
+    replay exactly)."""
+    from getl_spark.functions import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        (F.pmod(F.col("n_chars"), F.lit(97)) / F.lit(96.0)).alias("score"),
+        (F.pmod(F.col("doc_id"), F.lit(7)) < 3).cast("int").alias("label"),
+    )
+    return stats.reliability_bins(docs, "score", "label", bins=10)
+
+
+RELIABILITY_BINS_ORACLE = """
+WITH scored AS (
+  SELECT (n_chars % 97) / 96.0 AS s,
+         CASE WHEN doc_id % 7 < 3 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+)
+SELECT CAST(LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS INTEGER) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(s), 6) AS confidence,
+       ROUND(AVG(y), 6) AS accuracy,
+       ROUND(AVG(s) - AVG(y), 6) AS gap
+FROM scored GROUP BY 1
+"""
+
+
 def _q_cusum(spark, sf_dir):
     """stats.cusum — Page's two-sided CUSUM over the event value
     stream per event type (integer cents + explicit target keep every
@@ -7651,6 +7680,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cohens_kappa": _q_cohens_kappa,
         "sample_hard_negatives": _q_hard_negatives,
         "stats_cusum": _q_cusum,
+        "stats_reliability_bins": _q_reliability_bins,
     }
 
 
@@ -7813,6 +7843,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_cohens_kappa": COHENS_KAPPA_ORACLE,
         "sample_hard_negatives": HARD_NEGATIVES_ORACLE,
         "stats_cusum": CUSUM_ORACLE,
+        "stats_reliability_bins": RELIABILITY_BINS_ORACLE,
     }
 
 

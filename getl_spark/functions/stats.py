@@ -1956,3 +1956,52 @@ def cusum(
             (F.col("cusum_down") > h).alias("alarm_down"),
         )
     return out
+
+
+def reliability_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """The reliability diagram behind ``ece``, as a table: one row per
+    non-empty equal-width confidence bucket ``(bin, n, confidence,
+    accuracy, gap)`` where ``confidence`` is the mean score,
+    ``accuracy`` the empirical positive rate, and ``gap`` their signed
+    difference (positive = overconfident). This is the artifact you
+    plot or alert on when ``ece`` says something is off — ece tells
+    you THAT the scorer lies, the bins tell you WHERE (usually the
+    high-confidence tail). Same contract as ``ece``: scores loudly
+    asserted into [0, 1] on every non-null score, null-label rows
+    excluded from the aggregates, one bins-row shuffle.
+    """
+    if bins < 1:
+        raise ValueError(f"reliability_bins: bins must be >= 1, got {bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    guard = F.assert_true(
+        (s >= 0.0) & (s <= 1.0),
+        F.lit("reliability_bins: scores must be probabilities in [0, 1]"),
+    )
+    checked = s + F.coalesce(guard.cast("double"), F.lit(0.0))
+    bucket = F.least(
+        F.floor(checked * F.lit(int(bins))), F.lit(int(bins) - 1)
+    )
+    per_bucket = (
+        df.where(s.isNotNull())
+        .groupBy(bucket.cast("int").alias("bin"))
+        .agg(
+            F.count(y).cast("bigint").alias("n"),
+            F.avg(F.when(y.isNotNull(), s)).alias("__conf"),
+            F.avg(y).alias("__acc"),
+        )
+        .where(F.col("n") > 0)
+    )
+    return per_bucket.select(
+        "bin",
+        "n",
+        F.round("__conf", round_to).alias("confidence"),
+        F.round("__acc", round_to).alias("accuracy"),
+        F.round(F.col("__conf") - F.col("__acc"), round_to).alias("gap"),
+    )

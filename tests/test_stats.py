@@ -1094,3 +1094,38 @@ def test_grouped_prefix_scan_min_max_matches_window(spark):
         grouped_prefix_scan(df, ["k"], ["i"], "v", "c", fn="avg")
     with pytest.raises(ValueError, match="pair up"):
         grouped_prefix_scan(df, ["k"], ["i"], ["v", "v"], ["c", "d"], fn=["min"])
+
+
+def test_reliability_bins_match_ece_decomposition(spark):
+    """The per-bin table reproduces ece when folded by hand; empty
+    bins are absent; the [0,1] guard fires on logits."""
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(21)
+    rows = []
+    for _ in range(2000):
+        s = rnd.random()
+        # overconfident scorer: true rate is s**1.5
+        rows.append((round(s, 3), 1 if rnd.random() < s**1.5 else 0))
+    df = spark.createDataFrame(rows, "s DOUBLE, y INT")
+    binsdf = {r["bin"]: r for r in stats.reliability_bins(df, "s", "y").collect()}
+    ece_row = stats.ece(df, "s", "y").collect()[0]
+    n_tot = sum(r["n"] for r in binsdf.values())
+    folded = sum(
+        r["n"] * abs(r["accuracy"] - r["confidence"]) for r in binsdf.values()
+    ) / n_tot
+    assert folded == pytest.approx(ece_row["ece"], abs=1e-5)
+    assert n_tot == ece_row["n"]
+    # an overconfident scorer shows positive gaps in the upper bins
+    assert binsdf[max(binsdf)]["gap"] > 0
+    # score exactly 1.0 lands in the last bin, not bin==bins
+    one = spark.createDataFrame([(1.0, 1), (0.0, 0)], "s DOUBLE, y INT")
+    b = {r["bin"] for r in stats.reliability_bins(one, "s", "y", bins=5).collect()}
+    assert b == {0, 4}
+    bad = spark.createDataFrame([(1.5, 1)], "s DOUBLE, y INT")
+    with pytest.raises(Exception):
+        stats.reliability_bins(bad, "s", "y").collect()
+    with pytest.raises(ValueError, match="bins"):
+        stats.reliability_bins(one, "s", "y", bins=0)
