@@ -5493,6 +5493,50 @@ FROM agg
 """
 
 
+def _q_preference_pairs(spark, sf_dir):
+    """sample.preference_pairs — DPO-style (chosen, rejected) mining
+    over scored per-prompt candidates (prompt = order, candidates =
+    its lineitems, score = extended price): two prompt-partitioned
+    windows bounded by candidates-per-prompt, one join, margin gate."""
+    from getl_spark.functions import sample
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return sample.preference_pairs(
+        li,
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        min_margin=0.0,
+        max_pairs_per_prompt=2,
+    )
+
+
+PREFERENCE_PAIRS_ORACLE = """
+WITH cand AS (
+  SELECT l_orderkey AS p, l_linenumber AS r,
+         CAST(l_extendedprice AS DOUBLE) AS s
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p ORDER BY s DESC, r) AS rk
+  FROM cand),
+best AS (SELECT p, r AS chosen, s AS chosen_score FROM ranked WHERE rk = 1),
+rest AS (SELECT p, r, s FROM ranked WHERE rk > 1),
+paired AS (
+  SELECT rest.p, chosen, rest.r AS rejected, chosen_score,
+         rest.s AS rejected_score
+  FROM rest JOIN best USING (p)
+  WHERE chosen_score - rest.s >= 0.0),
+numbered AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY p ORDER BY rejected_score ASC, rejected) AS pair_rank
+  FROM paired)
+SELECT p AS l_orderkey, chosen, rejected, chosen_score, rejected_score,
+       ROUND(chosen_score - rejected_score, 6) AS margin,
+       CAST(pair_rank AS INTEGER) AS pair_rank
+FROM numbered WHERE pair_rank <= 2
+"""
+
+
 def _q_reliability_bins(spark, sf_dir):
     """stats.reliability_bins — the per-bucket reliability diagram
     behind stats_ece, over the same deterministic
@@ -7681,6 +7725,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hard_negatives": _q_hard_negatives,
         "stats_cusum": _q_cusum,
         "stats_reliability_bins": _q_reliability_bins,
+        "sample_preference_pairs": _q_preference_pairs,
     }
 
 
@@ -7844,6 +7889,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sample_hard_negatives": HARD_NEGATIVES_ORACLE,
         "stats_cusum": CUSUM_ORACLE,
         "stats_reliability_bins": RELIABILITY_BINS_ORACLE,
+        "sample_preference_pairs": PREFERENCE_PAIRS_ORACLE,
     }
 
 

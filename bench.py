@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "stats_cohens_kappa",
     "sample_hard_negatives",
     "stats_cusum",
+    "sample_preference_pairs",
 ]
 
 RUNS = 3

@@ -416,3 +416,76 @@ def hard_negatives(
             F.col("__neg").cast("int").alias("neg_rank"),
         )
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str,
+    response_col: str,
+    score_col: str,
+    min_margin: float = 0.0,
+    max_pairs_per_prompt: int = 1,
+) -> DataFrame:
+    """Mine (chosen, rejected) preference pairs from scored response
+    candidates — the construction step for DPO/RLHF-style training
+    data when you hold N scored samples per prompt (reward-model
+    scores, judge grades, pass/fail signals). Per prompt, the
+    top-scoring response is ``chosen`` and the bottom-up-to-k
+    responses whose score trails it by at least ``min_margin`` become
+    ``rejected`` partners (worst first — the most informative
+    contrast), emitting ``(prompt, chosen, rejected, chosen_score,
+    rejected_score, margin, pair_rank)``. Prompts whose spread never
+    reaches the margin produce no rows — a silent-count log beats a
+    silently mislabeled pair.
+
+    Shape: two windows partitioned BY PROMPT (size = samples per
+    prompt, a generation-budget constant like 4-64, never corpus
+    scale), no other shuffle. Deterministic: score ties break by
+    response value ascending, so re-runs emit identical pairs.
+    NULL-scored candidates are excluded.
+    """
+    if max_pairs_per_prompt < 1:
+        raise ValueError(
+            "preference_pairs: max_pairs_per_prompt must be >= 1"
+        )
+    if min_margin < 0:
+        raise ValueError("preference_pairs: min_margin must be >= 0")
+    s = F.col(score_col).cast("double")
+    base = df.select(
+        F.col(prompt_col).alias("__p"),
+        F.col(response_col).alias("__r"),
+        s.alias("__s"),
+    ).where(s.isNotNull() & ~F.isnan(s))
+    w_best = Window.partitionBy("__p").orderBy(
+        F.col("__s").desc(), F.col("__r").asc()
+    )
+    ranked = base.withColumn("__rank", F.row_number().over(w_best))
+    best = ranked.where(F.col("__rank") == 1).select(
+        F.col("__p").alias("__bp"),
+        F.col("__r").alias("chosen"),
+        F.col("__s").alias("chosen_score"),
+    )
+    rest = ranked.where(F.col("__rank") > 1)
+    paired = rest.join(
+        best, rest["__p"] == best["__bp"]
+    ).where(
+        F.col("chosen_score") - F.col("__s") >= F.lit(float(min_margin))
+    )
+    w_worst = Window.partitionBy("__p").orderBy(
+        F.col("__s").asc(), F.col("__r").asc()
+    )
+    return (
+        paired.withColumn("__pair", F.row_number().over(w_worst))
+        .where(F.col("__pair") <= max_pairs_per_prompt)
+        .select(
+            F.col("__p").alias(prompt_col),
+            "chosen",
+            F.col("__r").alias("rejected"),
+            "chosen_score",
+            F.col("__s").alias("rejected_score"),
+            F.round(
+                F.col("chosen_score") - F.col("__s"), 6
+            ).alias("margin"),
+            F.col("__pair").cast("int").alias("pair_rank"),
+        )
+    )

@@ -476,3 +476,61 @@ def test_hard_negatives_skips_positives_and_renumbers(spark):
 
     with pytest.raises(ValueError, match="n_per_query"):
         sample.hard_negatives(results, positives, n_per_query=0)
+
+
+def test_preference_pairs_margin_and_order(spark):
+    from getl_spark.functions import sample
+
+    df = spark.createDataFrame(
+        [
+            # prompt A: clear spread
+            ("A", "r1", 0.9), ("A", "r2", 0.5), ("A", "r3", 0.1),
+            # prompt B: spread below margin -> no pairs at margin 0.5
+            ("B", "r1", 0.6), ("B", "r2", 0.4),
+            # prompt C: single candidate -> nothing to pair
+            ("C", "r1", 0.7),
+            # prompt D: null-scored candidate excluded
+            ("D", "r1", 0.8), ("D", "r2", None), ("D", "r3", 0.2),
+        ],
+        "prompt STRING, resp STRING, score DOUBLE",
+    )
+    rows = sorted(
+        tuple(r)
+        for r in sample.preference_pairs(
+            df, "prompt", "resp", "score", min_margin=0.5,
+            max_pairs_per_prompt=2,
+        ).collect()
+    )
+    # A: only r3 clears the 0.5 margin (r2 trails by 0.4); B under
+    # margin; C single; D pairs past its null candidate
+    assert rows == [
+        ("A", "r1", "r3", 0.9, 0.1, 0.8, 1),
+        ("D", "r1", "r3", 0.8, 0.2, 0.6, 1),
+    ]
+    # margin 0: every non-best candidate pairs, worst first
+    all_pairs = sorted(
+        tuple(r)
+        for r in sample.preference_pairs(
+            df, "prompt", "resp", "score", max_pairs_per_prompt=10
+        ).collect()
+    )
+    assert ("A", "r1", "r3", 0.9, 0.1, 0.8, 1) in all_pairs
+    assert ("A", "r1", "r2", 0.9, 0.5, 0.4, 2) in all_pairs
+    assert ("B", "r1", "r2", 0.6, 0.4, 0.2, 1) in all_pairs
+    assert not any(r[0] == "C" for r in all_pairs)
+    # determinism: tie on score breaks by response asc for chosen
+    tie = spark.createDataFrame(
+        [("T", "x", 1.0), ("T", "y", 1.0), ("T", "z", 0.0)],
+        "prompt STRING, resp STRING, score DOUBLE",
+    )
+    got = sample.preference_pairs(tie, "prompt", "resp", "score",
+                                  max_pairs_per_prompt=5).collect()
+    assert all(r["chosen"] == "x" for r in got)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_pairs"):
+        sample.preference_pairs(df, "prompt", "resp", "score",
+                                max_pairs_per_prompt=0)
+    with pytest.raises(ValueError, match="min_margin"):
+        sample.preference_pairs(df, "prompt", "resp", "score",
+                                min_margin=-1)
