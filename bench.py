@@ -160,7 +160,12 @@ def main() -> None:
             "of extra stages for the distributed grouped prefix "
             "sum (a keyed window collapsed parallelism to the "
             "number of quota keys/sources at 100 TB; see "
-            "docs/SCALE.md and common/scale.py)"
+            "docs/SCALE.md and common/scale.py). r8: the new "
+            "prefix-scan stats family (auc/ap/spearman/mad/cusum) "
+            "carries 1.5-3 s of fixed per-median/per-scan "
+            "scheduling overhead at sf0.1 by design — exactness "
+            "with bounded memory at any group size; see "
+            "docs/SCALE.md 'Eval aggregates'"
         ),
     }
     print(json.dumps(detail), file=sys.stderr)
