@@ -5493,6 +5493,116 @@ FROM agg
 """
 
 
+def _q_interval_merge(spark, sf_dir):
+    """interval.merge — overlapping-interval islands per event type
+    (interval = [ts, ts + value] seconds): an EXCLUSIVE distributed
+    prefix max marks island breaks, an inclusive prefix sum numbers
+    them — never a per-key sequential sweep."""
+    from getl_spark.functions import interval
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)).alias(
+            "s"
+        ),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+            + F.col("value").cast("double")
+        ).alias("e"),
+    )
+    return interval.merge(iv, "s", "e", group_by="event_type")
+
+
+INTERVAL_MERGE_ORACLE = """
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) / 1000000.0 AS s,
+         epoch_us(ts) / 1000000.0 + CAST(value AS DOUBLE) AS e
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+flagged AS (
+  SELECT event_type, s, e,
+         CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END
+           AS brk
+  FROM (
+    SELECT event_type, s, e,
+           MAX(e) OVER (PARTITION BY event_type ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_end
+    FROM iv) x),
+numbered AS (
+  SELECT event_type, s, e,
+         CAST(SUM(brk) OVER (PARTITION BY event_type ORDER BY s, e
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM flagged)
+SELECT event_type, island, MIN(s) AS start, MAX(e) AS "end",
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM numbered GROUP BY 1, 2
+"""
+
+
+def _q_interval_coverage(spark, sf_dir):
+    """interval.coverage — per-type availability summary on top of the
+    island merge (covered time, span, widest hole)."""
+    from getl_spark.functions import interval
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)).alias(
+            "s"
+        ),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+            + F.col("value").cast("double")
+        ).alias("e"),
+    )
+    return interval.coverage(iv, "s", "e", group_by="event_type")
+
+
+INTERVAL_COVERAGE_ORACLE = """
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) / 1000000.0 AS s,
+         epoch_us(ts) / 1000000.0 + CAST(value AS DOUBLE) AS e
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+flagged AS (
+  SELECT event_type, s, e,
+         CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END
+           AS brk
+  FROM (
+    SELECT event_type, s, e,
+           MAX(e) OVER (PARTITION BY event_type ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_end
+    FROM iv) x),
+numbered AS (
+  SELECT event_type, s, e,
+         CAST(SUM(brk) OVER (PARTITION BY event_type ORDER BY s, e
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM flagged),
+islands AS (
+  SELECT event_type, island, MIN(s) AS st, MAX(e) AS en,
+         CAST(COUNT(*) AS BIGINT) AS n_intervals
+  FROM numbered GROUP BY 1, 2),
+gapped AS (
+  SELECT event_type, island, st, en, n_intervals,
+         st - MAX(en) OVER (PARTITION BY event_type ORDER BY island
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS gap
+  FROM islands)
+SELECT event_type,
+       CAST(SUM(n_intervals) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       ROUND(SUM(en - st), 6) AS covered,
+       ROUND(MAX(en) - MIN(st), 6) AS span,
+       ROUND(MAX(gap), 6) AS largest_gap
+FROM gapped GROUP BY 1
+"""
+
+
 def _q_preference_pairs(spark, sf_dir):
     """sample.preference_pairs — DPO-style (chosen, rejected) mining
     over scored per-prompt candidates (prompt = order, candidates =
@@ -7726,6 +7836,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cusum": _q_cusum,
         "stats_reliability_bins": _q_reliability_bins,
         "sample_preference_pairs": _q_preference_pairs,
+        "interval_merge_islands": _q_interval_merge,
+        "interval_coverage": _q_interval_coverage,
     }
 
 
@@ -7890,6 +8002,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_cusum": CUSUM_ORACLE,
         "stats_reliability_bins": RELIABILITY_BINS_ORACLE,
         "sample_preference_pairs": PREFERENCE_PAIRS_ORACLE,
+        "interval_merge_islands": INTERVAL_MERGE_ORACLE,
+        "interval_coverage": INTERVAL_COVERAGE_ORACLE,
     }
 
 

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "sample_hard_negatives",
     "stats_cusum",
     "sample_preference_pairs",
+    "interval_merge_islands",
 ]
 
 RUNS = 3

@@ -54,6 +54,7 @@ def grouped_prefix_scan(
     value_col,
     new_col,
     fn="sum",
+    inclusive: bool = True,
 ):
     """Per-key running aggregate (``sum`` / ``min`` / ``max``) of
     ``value_col`` in ``order_cols`` order, WITHOUT collapsing
@@ -62,7 +63,12 @@ def grouped_prefix_scan(
     columns in ONE range exchange + offsets pass (e.g. the positive and
     negative counts of a PR curve); ``fn`` may then be a parallel list
     too (e.g. a running min of one column and max of another for a
-    CUSUM), or a single name applied to all.
+    CUSUM), or a single name applied to all. ``inclusive=False``
+    computes the EXCLUSIVE scan (aggregate over strictly-preceding
+    rows; NULL — or, for sum, NULL-as-identity via the same
+    coalesce — on each key's first row), which is what
+    interval-merging ("does this row overlap anything before it?")
+    needs.
 
     ``Window.partitionBy(keys)`` puts each key's entire history in one
     task — correct for high-cardinality keys (users, documents), a
@@ -123,7 +129,10 @@ def grouped_prefix_scan(
     win_local = (
         Window.partitionBy("__gps_pid", *keys)
         .orderBy(*[F.col(c).asc() for c in order_cols])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(
+            Window.unboundedPreceding,
+            Window.currentRow if inclusive else -1,
+        )
     )
     local = ranged.select(
         "*",
@@ -176,8 +185,15 @@ def grouped_prefix_scan(
     def _combine(i: int, f: str):
         loc, off = F.col(f"__gps_local_{i}"), F.col(f"__gps_off_{i}")
         if f == "sum":
-            # NULL offset = first slice of the key
-            return loc + F.coalesce(off, F.lit(0))
+            # NULL folds as the identity on either side, but a row
+            # with NOTHING aggregated (empty exclusive frame on the
+            # first slice, or all-NULL values so far) stays NULL —
+            # exactly the window formulation's sum-over-empty/null
+            return F.when(
+                loc.isNull() & off.isNull(), F.lit(None)
+            ).otherwise(
+                F.coalesce(loc, F.lit(0)) + F.coalesce(off, F.lit(0))
+            )
         # least/greatest skip NULLs, folding the first slice correctly
         return F.least(loc, off) if f == "min" else F.greatest(loc, off)
 

@@ -175,3 +175,122 @@ def overlap_join(
         name = c + suffix if c in left_cols else c
         out.append(F.col(f"__r.{c}").alias(name))
     return joined.select(*out)
+
+
+def merge(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_by=None,
+    min_gap: float = 0.0,
+) -> DataFrame:
+    """Merge overlapping (or near-touching) intervals into maximal
+    islands per key — availability windows from raw uptime pings, user
+    activity spans from event bursts, maintenance blackouts from
+    per-system tickets. Two intervals belong to one island when the
+    later one starts within ``min_gap`` of the running maximum end
+    (0 = touch/overlap merges, a positive gap also bridges small
+    holes). Output: one row per island ``(group..., island, start,
+    end, n_intervals)`` with ``island`` numbered 1..k in time order.
+
+    The textbook sequential sweep is a per-key scan — a
+    ``Window.partitionBy(key)`` would collapse a few-key workload
+    (one system, one global availability timeline) to #keys tasks.
+    Instead this is two distributed prefix scans: an EXCLUSIVE
+    running MAX of end (in start order) marks island breaks
+    (``start > prev_max_end + min_gap``), and an inclusive running
+    SUM of the break flags numbers the islands; a keyed aggregate
+    folds each island. Exact, boundary-invariant, no sequential pass.
+    Intervals with NULL endpoints are excluded; ``end < start`` rows
+    are rejected loudly.
+    """
+    from getl_spark.common.scale import grouped_prefix_scan
+
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    s = F.col(start_col).cast("double")
+    e = F.col(end_col).cast("double")
+    guard = F.assert_true(
+        e >= s, F.lit("interval.merge: end must be >= start")
+    )
+    base = df.where(s.isNotNull() & e.isNotNull()).select(
+        *keys,
+        s.alias("__s"),
+        (e + F.coalesce(guard.cast("double"), F.lit(0.0))).alias("__e"),
+    )
+    order = ["__s", "__e"]
+    prev = grouped_prefix_scan(
+        base, keys, order, "__e", "__prev_end", fn="max", inclusive=False
+    )
+    flagged = prev.select(
+        *keys,
+        "__s",
+        "__e",
+        F.when(
+            F.col("__prev_end").isNull()
+            | (F.col("__s") > F.col("__prev_end") + F.lit(float(min_gap))),
+            1,
+        )
+        .otherwise(0)
+        .alias("__brk"),
+    )
+    numbered = grouped_prefix_scan(
+        flagged, keys, order, "__brk", "__island"
+    )
+    return (
+        numbered.groupBy(*keys, F.col("__island").cast("bigint").alias("island"))
+        .agg(
+            F.min("__s").alias("start"),
+            F.max("__e").alias("end"),
+            F.count("*").cast("bigint").alias("n_intervals"),
+        )
+    )
+
+
+def coverage(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_by=None,
+    min_gap: float = 0.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Total length actually covered by a set of intervals per key
+    (double-counted overlaps collapsed) plus gap statistics — the
+    one-row availability/SLA summary on top of ``merge``. Output:
+    ``(group..., n_intervals, n_islands, covered, span, largest_gap)``
+    where ``span`` is last end − first start and ``largest_gap`` the
+    widest uncovered hole between islands (NULL when one island).
+    """
+    islands = merge(df, start_col, end_col, group_by, min_gap)
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    from getl_spark.common.scale import grouped_prefix_scan
+
+    prev_end = grouped_prefix_scan(
+        islands, keys, ["island"], "end", "__prev_end",
+        fn="max", inclusive=False,
+    )
+    with_gap = prev_end.select(
+        *keys,
+        "island",
+        "start",
+        "end",
+        "n_intervals",
+        (F.col("start") - F.col("__prev_end")).alias("__gap"),
+    )
+    return with_gap.groupBy(*keys).agg(
+        F.sum("n_intervals").cast("bigint").alias("n_intervals"),
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.round(F.sum(F.col("end") - F.col("start")), round_to).alias(
+            "covered"
+        ),
+        F.round(F.max("end") - F.min("start"), round_to).alias("span"),
+        F.round(F.max("__gap"), round_to).alias("largest_gap"),
+    )

@@ -209,3 +209,83 @@ def test_overlap_join_plan_no_nested_loop(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_islands_and_min_gap(spark):
+    """Island merging equals the sequential sweep: touch merges,
+    min_gap bridges holes, NULL keys form a real group, numbering is
+    1..k in time order."""
+    from getl_spark.functions import interval
+
+    rows = [
+        ("a", 0.0, 10.0), ("a", 5.0, 12.0), ("a", 12.0, 15.0),
+        ("a", 20.0, 25.0),
+        ("b", 1.0, 2.0), ("b", 4.0, 5.0),
+        (None, 0.0, 1.0), (None, 0.5, 2.0),
+        ("a", None, 3.0),  # null endpoint excluded
+    ]
+    df = spark.createDataFrame(rows, "k STRING, s DOUBLE, e DOUBLE")
+    m = sorted(
+        (tuple(r) for r in interval.merge(df, "s", "e", group_by="k").collect()),
+        key=lambda t: (t[0] or "", t[1]),
+    )
+    assert m == [
+        (None, 1, 0.0, 2.0, 2),
+        ("a", 1, 0.0, 15.0, 3), ("a", 2, 20.0, 25.0, 1),
+        ("b", 1, 1.0, 2.0, 1), ("b", 2, 4.0, 5.0, 1),
+    ]
+    m2 = interval.merge(
+        df.where("k = 'b'"), "s", "e", group_by="k", min_gap=2.0
+    ).collect()
+    assert len(m2) == 1 and (m2[0]["start"], m2[0]["end"]) == (1.0, 5.0)
+    # end < start fails loudly
+    bad = spark.createDataFrame([(2.0, 1.0)], "s DOUBLE, e DOUBLE")
+    with pytest.raises(Exception, match="end must be >= start"):
+        interval.merge(bad, "s", "e").collect()
+
+
+def test_merge_matches_sequential_sweep_randomized(spark):
+    import random
+
+    from getl_spark.functions import interval
+
+    rnd = random.Random(41)
+    rows = []
+    for k in ("x", "y"):
+        for _ in range(300):
+            s = rnd.uniform(0, 1000)
+            rows.append((k, round(s, 2), round(s + rnd.uniform(0, 30), 2)))
+    df = spark.createDataFrame(rows, "k STRING, s DOUBLE, e DOUBLE")
+
+    def sweep(iv):
+        out = []
+        for s, e in sorted(iv):
+            if out and s <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], e)
+            else:
+                out.append([s, e])
+        return [(i + 1, s, e) for i, (s, e) in enumerate(out)]
+
+    got = {}
+    for r in interval.merge(df, "s", "e", group_by="k").collect():
+        got.setdefault(r["k"], []).append((r["island"], r["start"], r["end"]))
+    for k in ("x", "y"):
+        want = sweep([(s, e) for kk, s, e in rows if kk == k])
+        assert sorted(got[k]) == want
+
+
+def test_coverage_summary(spark):
+    from getl_spark.functions import interval
+
+    rows = [
+        ("a", 0.0, 10.0), ("a", 5.0, 12.0), ("a", 12.0, 15.0),
+        ("a", 20.0, 25.0),
+        ("b", 1.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, s DOUBLE, e DOUBLE")
+    c = {r["k"]: r for r in interval.coverage(df, "s", "e", group_by="k").collect()}
+    a = c["a"]
+    assert (a["n_intervals"], a["n_islands"]) == (4, 2)
+    assert (a["covered"], a["span"], a["largest_gap"]) == (20.0, 25.0, 5.0)
+    b = c["b"]
+    assert (b["covered"], b["span"], b["largest_gap"]) == (1.0, 1.0, None)
