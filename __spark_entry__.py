@@ -5493,6 +5493,41 @@ FROM agg
 """
 
 
+def _q_quantiles(spark, sf_dir):
+    """stats.quantiles — exact type-7 quantiles of extended price per
+    returnflag at four probabilities: per-distinct-value counts + one
+    distributed prefix sum, bracketing values picked by filter —
+    bounded memory at any group size, unlike percentile's exact
+    aggregate."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return stats.quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.95],
+        group_by="l_returnflag",
+    )
+
+
+QUANTILES_ORACLE = """
+WITH vals AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+agg AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         quantile_cont(x, 0.25) AS q25, quantile_cont(x, 0.5) AS q50,
+         quantile_cont(x, 0.75) AS q75, quantile_cont(x, 0.95) AS q95
+  FROM vals GROUP BY 1)
+SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q, ROUND(q25, 6) AS quantile, n
+FROM agg
+UNION ALL
+SELECT l_returnflag, CAST(0.5 AS DOUBLE), ROUND(q50, 6), n FROM agg
+UNION ALL
+SELECT l_returnflag, CAST(0.75 AS DOUBLE), ROUND(q75, 6), n FROM agg
+UNION ALL
+SELECT l_returnflag, CAST(0.95 AS DOUBLE), ROUND(q95, 6), n FROM agg
+"""
+
+
 def _q_interval_merge(spark, sf_dir):
     """interval.merge — overlapping-interval islands per event type
     (interval = [ts, ts + value] seconds): an EXCLUSIVE distributed
@@ -7838,6 +7873,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_preference_pairs": _q_preference_pairs,
         "interval_merge_islands": _q_interval_merge,
         "interval_coverage": _q_interval_coverage,
+        "stats_quantiles": _q_quantiles,
     }
 
 
@@ -8004,6 +8040,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sample_preference_pairs": PREFERENCE_PAIRS_ORACLE,
         "interval_merge_islands": INTERVAL_MERGE_ORACLE,
         "interval_coverage": INTERVAL_COVERAGE_ORACLE,
+        "stats_quantiles": QUANTILES_ORACLE,
     }
 
 

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "stats_cusum",
     "sample_preference_pairs",
     "interval_merge_islands",
+    "stats_quantiles",
 ]
 
 RUNS = 3

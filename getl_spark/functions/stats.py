@@ -2005,3 +2005,95 @@ def reliability_bins(
         F.round("__acc", round_to).alias("accuracy"),
         F.round(F.col("__conf") - F.col("__acc"), round_to).alias("gap"),
     )
+
+
+def quantiles(
+    df: DataFrame,
+    column: str,
+    qs=(0.25, 0.5, 0.75),
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact per-group quantiles at arbitrary probabilities with the
+    standard linear interpolation (R type-7 — what NumPy, DuckDB's
+    ``quantile_cont`` and Spark's ``percentile`` all compute), but
+    WITHOUT ``percentile``'s exact-aggregate memory hazard: that
+    aggregate buffers a per-group value map in one task, so one
+    billion-row group kills an executor. Here values reduce to
+    per-distinct-value counts (shuffle ∝ distinct values), one
+    distributed prefix sum positions them, and for each q the two
+    distinct values bracketing position h = (n−1)·q are picked by
+    filter + max and interpolated. Returns long format
+    ``(group..., q, quantile, n)``, one row per requested q per
+    group. NULL/NaN rows are excluded.
+    """
+    qs = [float(q) for q in qs]
+    if not qs or any(q < 0 or q > 1 for q in qs):
+        raise ValueError(
+            f"quantiles: qs must be non-empty probabilities in [0, 1], got {qs}"
+        )
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    x = F.col(column).cast("double")
+    base = df.select(*keys, x.alias("__x")).where(
+        x.isNotNull() & ~F.isnan(x)
+    )
+    counts = (
+        base.groupBy(*keys, F.col("__x"))
+        .agg(F.count("*").cast("bigint").alias("__n"))
+        .localCheckpoint()
+    )
+    cum = grouped_prefix_sum(counts, keys, ["__x"], "__n", "__cum")
+    totals = counts.groupBy(*keys).agg(F.sum("__n").alias("__tot"))
+    if keys:
+        t = totals.select(
+            *[F.col(k).alias(f"__qt_{k}") for k in keys], "__tot"
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__qt_{k}"))
+        joined = cum.join(t, cond).drop(*[f"__qt_{k}" for k in keys])
+    else:
+        joined = cum.join(F.broadcast(totals))
+    picks = []
+    pred = F.lit(False)
+    for i, q in enumerate(qs):
+        h = (F.col("__tot") - 1) * F.lit(q)
+        plo = F.floor(h) + 1  # 1-based lower bracket
+        phi = F.least(plo + 1, F.col("__tot"))
+        lo_in = (F.col("__cum") >= plo) & (F.col("__cum") - F.col("__n") < plo)
+        hi_in = (F.col("__cum") >= phi) & (F.col("__cum") - F.col("__n") < phi)
+        pred = pred | lo_in | hi_in
+        picks.append(
+            (
+                F.max(F.when(lo_in, F.col("__x"))).alias(f"__lo_{i}"),
+                F.max(F.when(hi_in, F.col("__x"))).alias(f"__hi_{i}"),
+            )
+        )
+    agg = joined.where(pred).groupBy(*keys).agg(
+        F.max("__tot").alias("__tot"),
+        *[c for pair in picks for c in pair],
+    )
+    entries = []
+    for i, q in enumerate(qs):
+        h = (F.col("__tot") - 1) * F.lit(q)
+        frac = h - F.floor(h)
+        val = F.col(f"__lo_{i}") + frac * (
+            F.col(f"__hi_{i}") - F.col(f"__lo_{i}")
+        )
+        entries.append(
+            F.struct(
+                F.lit(q).alias("q"),
+                F.round(val, round_to).alias("quantile"),
+            )
+        )
+    return agg.select(
+        *keys,
+        F.col("__tot").cast("bigint").alias("n"),
+        F.explode(F.array(*entries)).alias("__e"),
+    ).select(*keys, "__e.q", "__e.quantile", "n")

@@ -1129,3 +1129,57 @@ def test_reliability_bins_match_ece_decomposition(spark):
         stats.reliability_bins(bad, "s", "y").collect()
     with pytest.raises(ValueError, match="bins"):
         stats.reliability_bins(one, "s", "y", bins=0)
+
+
+def test_quantiles_match_type7_reference(spark):
+    """Exact grouped quantiles equal the R type-7 (numpy/quantile_cont)
+    interpolation at every q, including the 0/1 extremes and odd/even
+    group sizes."""
+    import math
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(17)
+    rows = [
+        (g, round(rnd.gauss(0, 10), 1))
+        for g in ("a", "b")
+        for _ in range(501 if g == "a" else 400)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE")
+    qs = [0.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1.0]
+
+    def type7(vals, q):
+        s = sorted(vals)
+        h = (len(s) - 1) * q
+        lo = math.floor(h)
+        hi = min(lo + 1, len(s) - 1)
+        return s[lo] + (h - lo) * (s[hi] - s[lo])
+
+    got = {
+        (r["g"], r["q"]): r
+        for r in stats.quantiles(df, "x", qs, group_by="g").collect()
+    }
+    for g in ("a", "b"):
+        vals = [x for gg, x in rows if gg == g]
+        for q in qs:
+            assert got[(g, q)]["quantile"] == pytest.approx(
+                type7(vals, q), abs=1e-6
+            )
+            assert got[(g, q)]["n"] == len(vals)
+    # median agrees with stats.mad's median machinery
+    med = {r["g"]: r["median"] for r in stats.mad(df, "x", group_by="g").collect()}
+    for g in ("a", "b"):
+        assert got[(g, 0.5)]["quantile"] == pytest.approx(med[g], abs=1e-6)
+
+
+def test_quantiles_validation_and_edges(spark):
+    from getl_spark.functions import stats
+
+    one = spark.createDataFrame([(7.0,), (None,), (float("nan"),)], "x DOUBLE")
+    rows = stats.quantiles(one, "x", [0.0, 0.5, 1.0]).collect()
+    assert {r["quantile"] for r in rows} == {7.0} and all(r["n"] == 1 for r in rows)
+    with pytest.raises(ValueError, match="qs"):
+        stats.quantiles(one, "x", [])
+    with pytest.raises(ValueError, match="qs"):
+        stats.quantiles(one, "x", [-0.1])
