@@ -5493,6 +5493,40 @@ FROM agg
 """
 
 
+def _q_collocations(spark, sf_dir):
+    """text.collocations — PMI-ranked adjacent word pairs over the
+    documents corpus (phrase-vocabulary mining): pair/marginal counts
+    are vocabulary-keyed partial aggs, PMI attaches by token joins,
+    top-k is a TakeOrdered."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.collocations(docs, min_count=5, top_k=100)
+
+
+COLLOCATIONS_ORACLE = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents),
+pairs AS (
+  SELECT t[i] AS a, t[i + 1] AS b FROM (
+    SELECT t, unnest(range(1, len(t))) AS i
+    FROM toks WHERE len(t) >= 2) x),
+pc AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+la AS (SELECT a, COUNT(*) AS ca FROM pairs GROUP BY 1),
+rb AS (SELECT b, COUNT(*) AS cb FROM pairs GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS T FROM pairs)
+SELECT pc.a AS token_a, pc.b AS token_b, pair_count,
+       ROUND(ln(pair_count * T / (ca * cb)), 6) AS pmi
+FROM pc JOIN la USING (a) JOIN rb USING (b) CROSS JOIN tot
+ORDER BY pmi DESC, token_a, token_b
+LIMIT 100
+"""
+
+
 def _q_quantiles(spark, sf_dir):
     """stats.quantiles — exact type-7 quantiles of extended price per
     returnflag at four probabilities: per-distinct-value counts + one
@@ -7874,6 +7908,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_merge_islands": _q_interval_merge,
         "interval_coverage": _q_interval_coverage,
         "stats_quantiles": _q_quantiles,
+        "text_collocations": _q_collocations,
     }
 
 
@@ -8041,6 +8076,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "interval_merge_islands": INTERVAL_MERGE_ORACLE,
         "interval_coverage": INTERVAL_COVERAGE_ORACLE,
         "stats_quantiles": QUANTILES_ORACLE,
+        "text_collocations": COLLOCATIONS_ORACLE,
     }
 
 

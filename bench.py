@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "sample_preference_pairs",
     "interval_merge_islands",
     "stats_quantiles",
+    "text_collocations",
 ]
 
 RUNS = 3

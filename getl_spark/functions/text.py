@@ -1622,3 +1622,86 @@ def char_entropy(
         out_col,
         F.when(n == 0, F.lit(0.0)).otherwise(F.round(ent, round_to)),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus collocations: adjacent word pairs ranked by pointwise
+    mutual information — the "new york" / "machine learning" detector
+    that turns a raw corpus into a phrase vocabulary (tokenizer merge
+    candidates, query expansion, domain-shift inspection: a corpus
+    whose top collocations are all SEO boilerplate tells you something
+    quality scores miss). PMI = log(c(a,b)·T / (c(a)·c(b))) over
+    corpus totals, with the standard ``min_count`` support floor
+    (PMI's known failure mode is rare-pair noise — two hapaxes that
+    co-occur once get the maximum score). Output: top-k rows
+    ``(token_a, token_b, pair_count, pmi)`` by PMI descending
+    (deterministic tiebreak on the pair).
+
+    Shape: one scan explodes adjacent pairs (linear in tokens), pair
+    and unigram counts are keyed partial aggs (shuffle ∝ vocabulary,
+    not corpus), PMI attaches by two token-keyed joins, and the top-k
+    is a TakeOrdered — no per-document state, no driver loops.
+    Tokenization: lowercase, whitespace split, empties dropped
+    (matching ``search.build_index``).
+    """
+    if min_count < 1:
+        raise ValueError("collocations: min_count must be >= 1")
+    if top_k < 1:
+        raise ValueError("collocations: top_k must be >= 1")
+    toks = df.select(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("__t")
+    ).where(F.size("__t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("a"),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("b"),
+            )
+        ).alias("__p")
+    ).select(F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b"))
+    pair_counts = (
+        pairs.groupBy("__a", "__b")
+        .agg(F.count("*").cast("bigint").alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    # unigram counts as BIGRAM-POSITION marginals (left/right token
+    # occurrences over the same pair population), so the PMI
+    # normalization is a true probability ratio over T = total pairs
+    left = pairs.groupBy(F.col("__a").alias("__tok")).agg(
+        F.count("*").alias("__ca")
+    )
+    right = pairs.groupBy(F.col("__b").alias("__tok")).agg(
+        F.count("*").alias("__cb")
+    )
+    total = pairs.agg(F.count("*").cast("double").alias("__T"))
+    scored = (
+        pair_counts.join(
+            left.withColumnRenamed("__tok", "__a"), "__a"
+        )
+        .join(right.withColumnRenamed("__tok", "__b"), "__b")
+        .join(F.broadcast(total))
+        .select(
+            F.col("__a").alias("token_a"),
+            F.col("__b").alias("token_b"),
+            "pair_count",
+            F.round(
+                F.log(
+                    F.col("pair_count")
+                    * F.col("__T")
+                    / (F.col("__ca") * F.col("__cb"))
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("token_a").asc(), F.col("token_b").asc()
+    ).limit(top_k)

@@ -57,6 +57,7 @@ NESTED_LOOP_WHITELIST = {
     "quality_score_pinned": "1-row pinned-weights model broadcast",
     "quality_uncertainty_sample": "1-row pinned-weights model broadcast",
     "skew_top_keys": "k-row TakeOrdered x 1-row total broadcast",
+    "text_collocations": "1-row total-pairs (T) broadcast",
     # bounded non-equi self-joins: candidate count is k² / day², not
     # corpus²
     "sessions_active_users": "day x day windowed join (day²-bounded)",

@@ -868,3 +868,55 @@ def test_char_entropy_plan_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "abc")], "id INT, text STRING")
     plan = text.char_entropy(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_collocations_pmi_hand_check(spark):
+    """PMI ranking equals the exhaustive bigram computation; the
+    min_count floor removes hapax noise; tiebreak is deterministic."""
+    import math
+    from collections import Counter
+
+    from getl_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                "alpha beta " * 5
+                + "gamma delta " * 3
+                + "alpha delta noise%d x" % i,
+            )
+            for i in range(20)
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = text.collocations(docs, min_count=5, top_k=10).collect()
+
+    pairs = []
+    for i in range(20):
+        t = (
+            "alpha beta " * 5 + "gamma delta " * 3 + "alpha delta noise%d x" % i
+        ).lower().split()
+        pairs += list(zip(t, t[1:]))
+    pc = Counter(pairs)
+    la = Counter(a for a, _ in pairs)
+    rb = Counter(b for _, b in pairs)
+    T = len(pairs)
+    want = sorted(
+        (
+            (round(math.log(c * T / (la[a] * rb[b])), 6), a, b, c)
+            for (a, b), c in pc.items()
+            if c >= 5
+        ),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )
+    got = [(r["pmi"], r["token_a"], r["token_b"], r["pair_count"]) for r in rows]
+    assert got == want[: len(got)]
+    # hapax pairs (noise<i> x) never appear despite maximal PMI
+    assert not any(a.startswith("noise") for _, a, _, _ in got)
+    import pytest
+
+    with pytest.raises(ValueError, match="min_count"):
+        text.collocations(docs, min_count=0)
+    with pytest.raises(ValueError, match="top_k"):
+        text.collocations(docs, top_k=0)
