@@ -5493,6 +5493,37 @@ FROM agg
 """
 
 
+def _q_gini(spark, sf_dir):
+    """stats.gini — corpus-concentration coefficient of document
+    character mass per language (how skewed is the mix?): per-value
+    counts + one distributed prefix sum for the rank identity."""
+    from getl_spark.functions import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stats.gini(docs, "n_chars", group_by="lang")
+
+
+GINI_ORACLE = """
+WITH vals AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS x
+  FROM documents
+  WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+ranked AS (
+  SELECT lang, x,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY x) AS i
+  FROM vals),
+agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS total,
+         SUM(i * x) AS rank_sum
+  FROM ranked GROUP BY 1)
+SELECT lang, n, ROUND(total, 6) AS total,
+       ROUND(CASE WHEN total > 0 AND n >= 2
+                  THEN 2.0 * rank_sum / (n * total)
+                       - (n + 1.0) / n END, 6) AS gini
+FROM agg
+"""
+
+
 def _q_collocations(spark, sf_dir):
     """text.collocations — PMI-ranked adjacent word pairs over the
     documents corpus (phrase-vocabulary mining): pair/marginal counts
@@ -7909,6 +7940,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage": _q_interval_coverage,
         "stats_quantiles": _q_quantiles,
         "text_collocations": _q_collocations,
+        "stats_gini": _q_gini,
     }
 
 
@@ -8077,6 +8109,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "interval_coverage": INTERVAL_COVERAGE_ORACLE,
         "stats_quantiles": QUANTILES_ORACLE,
         "text_collocations": COLLOCATIONS_ORACLE,
+        "stats_gini": GINI_ORACLE,
     }
 
 

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "interval_merge_islands",
     "stats_quantiles",
     "text_collocations",
+    "stats_gini",
 ]
 
 RUNS = 3

@@ -1183,3 +1183,49 @@ def test_quantiles_validation_and_edges(spark):
         stats.quantiles(one, "x", [])
     with pytest.raises(ValueError, match="qs"):
         stats.quantiles(one, "x", [-0.1])
+
+
+def test_gini_matches_rank_identity(spark):
+    """Gini equals the exhaustive sorted-rank identity with heavy
+    ties; a Pareto-ish distribution scores above a uniform one."""
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(3)
+    rows = [("a", float(rnd.randrange(0, 50))) for _ in range(400)] + [
+        ("b", float(int(rnd.paretovariate(1.2) * 10))) for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE")
+
+    def ref(vals):
+        s = sorted(vals)
+        n, tot = len(s), sum(s)
+        return 2 * sum((i + 1) * v for i, v in enumerate(s)) / (n * tot) - (
+            n + 1
+        ) / n
+
+    got = {r["g"]: r for r in stats.gini(df, "x", group_by="g").collect()}
+    for g in ("a", "b"):
+        vals = [x for gg, x in rows if gg == g]
+        assert got[g]["gini"] == pytest.approx(ref(vals), abs=1e-6)
+        assert got[g]["n"] == 400
+    assert got["b"]["gini"] > got["a"]["gini"]
+
+
+def test_gini_edges_and_guard(spark):
+    from getl_spark.functions import stats
+
+    eq = spark.createDataFrame([(5.0,)] * 10, "x DOUBLE")
+    assert stats.gini(eq, "x").collect()[0]["gini"] == 0.0
+    onehot = spark.createDataFrame([(0.0,)] * 9 + [(10.0,)], "x DOUBLE")
+    assert stats.gini(onehot, "x").collect()[0]["gini"] == pytest.approx(0.9)
+    # zero total or a single row -> NULL
+    z = spark.createDataFrame([(0.0,), (0.0,)], "x DOUBLE")
+    assert stats.gini(z, "x").collect()[0]["gini"] is None
+    one = spark.createDataFrame([(3.0,)], "x DOUBLE")
+    assert stats.gini(one, "x").collect()[0]["gini"] is None
+    with pytest.raises(Exception, match="non-negative"):
+        stats.gini(
+            spark.createDataFrame([(-1.0,)], "x DOUBLE"), "x"
+        ).collect()
