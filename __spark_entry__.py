@@ -5493,6 +5493,72 @@ FROM agg
 """
 
 
+def _q_kfold(spark, sf_dir):
+    """sample.kfold over a FIXED 300-id frame (sf-independent):
+    per-fold row count and id checksum. The assignment is Spark
+    xxhash64-keyed — inexpressible in DuckDB — so the oracle pins the
+    golden aggregate (exactly the sample_split pattern); partition
+    properties and split-interval nesting are pytest-verified."""
+    from getl_spark.functions import sample
+
+    ids = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    out = sample.kfold(ids, 5, ["doc_id"], seed=7)
+    return out.groupBy("fold").agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+KFOLD_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(0 AS INTEGER), CAST(57 AS BIGINT), CAST(8402  AS BIGINT)),
+  (CAST(1 AS INTEGER), CAST(54 AS BIGINT), CAST(7649  AS BIGINT)),
+  (CAST(2 AS INTEGER), CAST(51 AS BIGINT), CAST(7648  AS BIGINT)),
+  (CAST(3 AS INTEGER), CAST(69 AS BIGINT), CAST(11280 AS BIGINT)),
+  (CAST(4 AS INTEGER), CAST(69 AS BIGINT), CAST(9871  AS BIGINT))
+) AS t(fold, n, id_sum)
+"""
+
+
+def _q_autocorrelation(spark, sf_dir):
+    """stats.autocorrelation — lag-1/lag-7 ACF of the event value
+    stream per event type: positions from the distributed prefix sum,
+    one lag-exploded self-join, per-group moment broadcast."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stats.autocorrelation(
+        ev, "value", ["ts", "event_id"], lags=[1, 7],
+        group_by="event_type",
+    )
+
+
+AUTOCORRELATION_ORACLE = """
+WITH base AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, AVG(x) AS mean,
+         SUM(x * x) - COUNT(*) * POWER(AVG(x), 2) AS ss
+  FROM base GROUP BY 1),
+lags AS (SELECT unnest([1, 7]) AS lag),
+paired AS (
+  SELECT a.event_type, l.lag, a.x AS xa, b.x AS xb
+  FROM base a CROSS JOIN lags l
+       JOIN base b ON a.event_type = b.event_type AND a.i + l.lag = b.i),
+agg AS (
+  SELECT p.event_type, p.lag, m.n, m.ss,
+         SUM((xa - m.mean) * (xb - m.mean)) AS cross_sum
+  FROM paired p JOIN m ON p.event_type = m.event_type
+  GROUP BY 1, 2, 3, 4)
+SELECT event_type, CAST(lag AS INTEGER) AS lag, n,
+       ROUND(CASE WHEN ss > 0 THEN cross_sum / ss END, 6) AS acf
+FROM agg
+"""
+
+
 def _q_gini(spark, sf_dir):
     """stats.gini — corpus-concentration coefficient of document
     character mass per language (how skewed is the mix?): per-value
@@ -7941,6 +8007,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_quantiles": _q_quantiles,
         "text_collocations": _q_collocations,
         "stats_gini": _q_gini,
+        "stats_autocorrelation": _q_autocorrelation,
+        "sample_kfold": _q_kfold,
     }
 
 
@@ -8110,6 +8178,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_quantiles": QUANTILES_ORACLE,
         "text_collocations": COLLOCATIONS_ORACLE,
         "stats_gini": GINI_ORACLE,
+        "stats_autocorrelation": AUTOCORRELATION_ORACLE,
+        "sample_kfold": KFOLD_ORACLE,
     }
 
 

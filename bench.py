@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "stats_quantiles",
     "text_collocations",
     "stats_gini",
+    "stats_autocorrelation",
 ]
 
 RUNS = 3

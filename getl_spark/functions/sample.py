@@ -489,3 +489,31 @@ def preference_pairs(
             F.col("__pair").cast("int").alias("pair_rank"),
         )
     )
+
+
+def kfold(
+    df: DataFrame,
+    k: int,
+    id_cols: Sequence[str],
+    seed: int = 0,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: tag each row with the fold
+    0..k-1 its content hash lands in — the cross-validation protocol
+    step for classifier training (``quality.train_classifier`` on
+    k−1 folds, ``score`` the held-out one) and for
+    variance-of-the-estimate checks on any corpus statistic. Same
+    guarantees as ``split``: a pure scan-side expression, no shuffle,
+    and every row's fold is stable across retries, clusters, and
+    added/removed neighbors — so fold i's held-out set is EXACTLY
+    reproducible months later from the ids alone. Folds are
+    equal-width hash intervals (sizes differ only by binomial noise);
+    rows with a NULL id hash deterministically like any other value.
+    """
+    if k < 2:
+        raise ValueError(f"kfold: k must be >= 2, got {k}")
+    u = _unit_hash(id_cols, seed)
+    return df.withColumn(
+        fold_col,
+        F.least(F.floor(u * k), F.lit(k - 1)).cast("int"),
+    )

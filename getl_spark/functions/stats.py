@@ -2172,3 +2172,110 @@ def gini(
         F.round("__total", round_to).alias("total"),
         F.round(g, round_to).alias("gini"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    value_col: str,
+    order_cols,
+    lags=(1,),
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation of an ordered metric stream at the given
+    lags, optionally per group — the seasonality/momentum diagnostic
+    that tells you whether a pipeline metric needs a weekly baseline
+    (ρ(7) high on daily numbers) or a CUSUM (slow positive drift shows
+    as a fat ρ(1)). Uses the standard biased estimator
+    ρ(k) = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² with the
+    full-series mean and variance (what statsmodels' ``acf``
+    computes). Returns ``(group..., lag, n, acf)``; ``acf`` is NULL
+    when the series is constant or shorter than lag+2.
+
+    Shape: row positions come from the distributed prefix sum (never
+    a per-group row_number window — one monitored metric would
+    serialize), the lagged pairing is ONE keyed self-join on
+    (group, position + lag) with the left side exploded per lag, and
+    mean/variance attach as per-group broadcast aggregates. Rows with
+    NULL/NaN values are excluded BEFORE positioning (gaps close up,
+    as in a plain ordered series); ``order_cols`` must be a total
+    order within each group.
+    """
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    lags = [int(l) for l in lags]
+    if not lags or any(l < 1 for l in lags):
+        raise ValueError(
+            f"autocorrelation: lags must be positive integers, got {lags}"
+        )
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    order_cols = (
+        [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    )
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull() & ~F.isnan(x)).select(
+        *keys, *order_cols, x.alias("__x"), F.lit(1).alias("__one")
+    )
+    pos = grouped_prefix_sum(
+        base, keys, order_cols, "__one", "__i"
+    ).localCheckpoint()
+    moments = pos.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.avg("__x").alias("__mean"),
+        (
+            F.sum(F.col("__x") * F.col("__x"))
+            - F.count("*") * F.pow(F.avg("__x"), 2)
+        ).alias("__ss"),
+    )
+    lag_arr = F.array(*[F.lit(l) for l in lags])
+    left = pos.select(
+        *[F.col(k).alias(f"__l_{k}") for k in keys],
+        F.col("__x").alias("__xa"),
+        F.explode(lag_arr).alias("lag"),
+        F.col("__i").alias("__ia"),
+    )
+    right = pos.select(
+        *[F.col(k).alias(f"__r_{k}") for k in keys],
+        F.col("__x").alias("__xb"),
+        F.col("__i").alias("__ib"),
+    )
+    cond = left["__ia"] + left["lag"] == right["__ib"]
+    for k in keys:
+        cond = cond & left[f"__l_{k}"].eqNullSafe(right[f"__r_{k}"])
+    paired = left.join(right, cond)
+    if keys:
+        m = moments.select(
+            *[F.col(k).alias(f"__m_{k}") for k in keys],
+            "__n",
+            "__mean",
+            "__ss",
+        )
+        mcond = F.lit(True)
+        for k in keys:
+            mcond = mcond & paired[f"__l_{k}"].eqNullSafe(m[f"__m_{k}"])
+        paired = paired.join(F.broadcast(m), mcond)
+    else:
+        paired = paired.join(F.broadcast(moments))
+    agg = paired.groupBy(
+        *[F.col(f"__l_{k}").alias(k) for k in keys], "lag"
+    ).agg(
+        F.max("__n").alias("__n"),
+        F.max("__ss").alias("__ss"),
+        F.sum(
+            (F.col("__xa") - F.col("__mean"))
+            * (F.col("__xb") - F.col("__mean"))
+        ).alias("__cross"),
+    )
+    return agg.select(
+        *keys,
+        F.col("lag").cast("int").alias("lag"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(
+            F.when(F.col("__ss") > 0, F.col("__cross") / F.col("__ss")),
+            round_to,
+        ).alias("acf"),
+    )

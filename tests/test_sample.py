@@ -534,3 +534,32 @@ def test_preference_pairs_margin_and_order(spark):
     with pytest.raises(ValueError, match="min_margin"):
         sample.preference_pairs(df, "prompt", "resp", "score",
                                 min_margin=-1)
+
+
+def test_kfold_partition_properties(spark):
+    """Folds partition the corpus (disjoint, exhaustive), sizes are
+    near-equal, assignment is stable across partitioning, and fold
+    boundaries NEST with split's intervals at the same seed."""
+    from getl_spark.functions import sample
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    out = sample.kfold(df, 5, ["doc_id"], seed=3)
+    counts = {r["fold"]: r["n"] for r in out.groupBy("fold").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {0, 1, 2, 3, 4}
+    assert sum(counts.values()) == 5000
+    assert all(850 < n < 1150 for n in counts.values())
+    again = {
+        r["doc_id"]: r["fold"]
+        for r in sample.kfold(df.repartition(17), 5, ["doc_id"], seed=3).collect()
+    }
+    first = {r["doc_id"]: r["fold"] for r in out.collect()}
+    assert first == again
+    # fold 0 at k=5 is exactly the first 20% hash interval = split 20%
+    s = sample.split(df, {"sub": 0.2}, ["doc_id"], seed=3)
+    assert {r["doc_id"] for r in s.collect()} == {
+        d for d, f in first.items() if f == 0
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        sample.kfold(df, 1, ["doc_id"])

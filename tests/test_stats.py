@@ -1229,3 +1229,65 @@ def test_gini_edges_and_guard(spark):
         stats.gini(
             spark.createDataFrame([(-1.0,)], "x DOUBLE"), "x"
         ).collect()
+
+
+def test_autocorrelation_matches_biased_estimator(spark):
+    """ACF equals the statsmodels-style biased estimator at every lag;
+    a 7-periodic series lights up rho(7), white noise does not."""
+    import math
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(8)
+    rows = []
+    for g, period in (("weekly", 7), ("noise", 0)):
+        for i in range(200):
+            v = (
+                math.sin(2 * math.pi * i / period) + rnd.gauss(0, 0.2)
+                if period
+                else rnd.gauss(0, 1)
+            )
+            rows.append((g, i, round(v, 3)))
+    df = spark.createDataFrame(rows, "g STRING, i INT, x DOUBLE")
+    got = {
+        (r["g"], r["lag"]): r
+        for r in stats.autocorrelation(
+            df, "x", "i", lags=[1, 7], group_by="g"
+        ).collect()
+    }
+
+    def ref(series, k):
+        n = len(series)
+        mean = sum(series) / n
+        ss = sum((v - mean) ** 2 for v in series)
+        return sum(
+            (series[t] - mean) * (series[t + k] - mean) for t in range(n - k)
+        ) / ss
+
+    for g in ("weekly", "noise"):
+        series = [x for gg, i, x in sorted(rows) if gg == g]
+        for k in (1, 7):
+            assert got[(g, k)]["acf"] == pytest.approx(
+                ref(series, k), abs=1e-6
+            )
+            assert got[(g, k)]["n"] == 200
+    assert got[("weekly", 7)]["acf"] > 0.7
+    assert abs(got[("noise", 7)]["acf"]) < 0.2
+
+
+def test_autocorrelation_edges(spark):
+    from getl_spark.functions import stats
+
+    # constant -> NULL; NULL/NaN rows close up the series
+    c = spark.createDataFrame([(i, 5.0) for i in range(10)], "i INT, x DOUBLE")
+    assert stats.autocorrelation(c, "x", "i").collect()[0]["acf"] is None
+    gap = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 2.0), (3, float("nan")), (4, 3.0), (5, 4.0)],
+        "i INT, x DOUBLE",
+    )
+    r = stats.autocorrelation(gap, "x", "i", lags=[1]).collect()[0]
+    # closed-up series 1,2,3,4: cross = .75-.25+.75 = 1.25, ss = 5
+    assert (r["n"], r["acf"]) == (4, 0.25)
+    with pytest.raises(ValueError, match="lags"):
+        stats.autocorrelation(c, "x", "i", lags=[0])
