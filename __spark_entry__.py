@@ -5493,6 +5493,34 @@ FROM agg
 """
 
 
+def _q_degree_stats(spark, sf_dir):
+    """graph.degree_stats — degree histogram of the order↔part
+    incidence graph (the cluster-explosion early warning for dedup
+    candidate graphs): canonicalized distinct pairs, per-node count,
+    count-of-counts — all keyed partial aggs."""
+    from getl_spark.functions import graph
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        F.col("l_orderkey").alias("id_a"),
+        (F.col("l_partkey") + F.lit(1000000)).alias("id_b"),
+    )
+    return graph.degree_stats(edges)
+
+
+DEGREE_STATS_ORACLE = """
+WITH und AS (
+  SELECT DISTINCT LEAST(l_orderkey, l_partkey + 1000000) AS u,
+                  GREATEST(l_orderkey, l_partkey + 1000000) AS v
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    AND l_orderkey != l_partkey + 1000000),
+nodes AS (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und),
+deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS degree FROM nodes GROUP BY 1)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1
+"""
+
+
 def _q_kfold(spark, sf_dir):
     """sample.kfold over a FIXED 300-id frame (sf-independent):
     per-fold row count and id checksum. The assignment is Spark
@@ -8009,6 +8037,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_gini": _q_gini,
         "stats_autocorrelation": _q_autocorrelation,
         "sample_kfold": _q_kfold,
+        "graph_degree_stats": _q_degree_stats,
     }
 
 
@@ -8180,6 +8209,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_gini": GINI_ORACLE,
         "stats_autocorrelation": AUTOCORRELATION_ORACLE,
         "sample_kfold": KFOLD_ORACLE,
+        "graph_degree_stats": DEGREE_STATS_ORACLE,
     }
 
 

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "text_collocations",
     "stats_gini",
     "stats_autocorrelation",
+    "graph_degree_stats",
 ]
 
 RUNS = 3

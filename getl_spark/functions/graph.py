@@ -440,3 +440,42 @@ def dedup_by_component(
         .select(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def degree_stats(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Degree distribution of an undirected pair graph — the early
+    warning for near-dup cluster explosion: a healthy dedup candidate
+    graph is near-degree-1 (pairs and small chains), while a template
+    page or boilerplate block shows up as a hub with thousands of
+    neighbors LONG before ``cluster_components`` materializes the
+    mega-component. Returns one row per observed degree
+    ``(degree, n_nodes)`` — plot it log-log, alert on the tail.
+
+    Semantics: degree = number of DISTINCT neighbors in either
+    direction; duplicate and reversed edge rows collapse, self-loops
+    are ignored. Shape: one distinct over canonicalized pairs, one
+    per-node count, one count-of-counts — all keyed partial aggs,
+    nothing driver-side.
+    """
+    a, b = F.col(src), F.col(dst)
+    undirected = (
+        edges.where(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(
+            F.least(a, b).alias("__u"), F.greatest(a, b).alias("__v")
+        )
+        .distinct()
+    )
+    nodes = undirected.select(F.col("__u").alias("__n")).unionAll(
+        undirected.select(F.col("__v").alias("__n"))
+    )
+    degrees = nodes.groupBy("__n").agg(
+        F.count("*").cast("bigint").alias("__deg")
+    )
+    return (
+        degrees.groupBy(F.col("__deg").alias("degree"))
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )

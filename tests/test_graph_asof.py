@@ -602,3 +602,24 @@ def test_asof_nearest_single_shuffle(spark):
         l for l in plan.splitlines() if "Exchange hashpartitioning" in l
     ]
     assert len(exchanges) <= 2  # union-side partitioning only, never per-window
+
+
+def test_degree_stats_hub_detection(spark):
+    """Degree histogram collapses duplicate/reversed edges and
+    self-loops; a boilerplate hub shows as the max-degree row."""
+    from getl_spark.functions import graph
+
+    edges = spark.createDataFrame(
+        [
+            # chain 1-2-3 (degrees 1,2,1)
+            (1, 2), (2, 3), (3, 2),      # reversed dup collapses
+            (2, 2),                       # self-loop ignored
+            # hub 100 connected to 5 leaves (degree 5; leaves degree 1)
+            *[(100, 200 + i) for i in range(5)],
+            *[(200 + i, 100) for i in range(3)],  # reversed dups
+        ],
+        "id_a INT, id_b INT",
+    )
+    got = {r["degree"]: r["n_nodes"] for r in graph.degree_stats(edges).collect()}
+    # degrees: node2=2, nodes 1,3 =1, hub=5, 5 leaves=1 -> {1:7, 2:1, 5:1}
+    assert got == {1: 7, 2: 1, 5: 1}
