@@ -563,3 +563,63 @@ def test_kfold_partition_properties(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         sample.kfold(df, 1, ["doc_id"])
+
+
+def test_grouped_prefix_scan_boundary_invariance_randomized(spark):
+    """The scan's contract is BOUNDARY INVARIANCE: for any input
+    partitioning and any slice placement the result equals the plain
+    window formulation. Randomized over partition counts, key
+    cardinalities, value signs, and all three aggregates, inclusive
+    and exclusive."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from getl_spark.common.scale import grouped_prefix_scan
+
+    rng = random.Random(67)
+    for trial in range(4):
+        n = rng.choice([3, 40, 257])
+        nkeys = rng.choice([1, 2, 5])
+        parts = rng.choice([1, 7, 32])
+        rows = [
+            (
+                rng.choice([f"k{j}" for j in range(nkeys)] + [None]),
+                i,
+                rng.randrange(-9, 9),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "k string, i long, v long").repartition(
+            parts
+        )
+        for inclusive in (True, False):
+            frame = (
+                Window.partitionBy("k")
+                .orderBy("i")
+                .rowsBetween(
+                    Window.unboundedPreceding,
+                    Window.currentRow if inclusive else -1,
+                )
+            )
+            want = {
+                (r.k, r.i): (r.cs, r.cmin, r.cmax)
+                for r in df.withColumn("cs", F.sum("v").over(frame))
+                .withColumn("cmin", F.min("v").over(frame))
+                .withColumn("cmax", F.max("v").over(frame))
+                .collect()
+            }
+            got = {
+                (r.k, r.i): (r.cs, r.cmin, r.cmax)
+                for r in grouped_prefix_scan(
+                    df,
+                    ["k"],
+                    ["i"],
+                    ["v", "v", "v"],
+                    ["cs", "cmin", "cmax"],
+                    fn=["sum", "min", "max"],
+                    inclusive=inclusive,
+                ).collect()
+            }
+            assert got == want, (trial, n, nkeys, parts, inclusive)
