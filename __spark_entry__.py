@@ -7639,6 +7639,144 @@ FROM e
 """
 
 
+def _q_ab_segments(spark, sf_dir):
+    """stats.ab_segments — per-segment Welch readout (arms from the
+    user-id parity, segmented by event type): one conditional keyed
+    aggregate, NULL-not-fatal degenerate cells, identical closed-form
+    erfc arithmetic in the DuckDB oracle."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "arm",
+        F.when(F.col("user_id") % 2 == 0, "control").otherwise("treatment"),
+    )
+    return stats.ab_segments(
+        ev, "arm", "value", "control", "treatment", "event_type"
+    )
+
+
+AB_SEGMENTS_ORACLE = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(COUNT(v_c) AS BIGINT) AS n_control, AVG(v_c) AS mean_c,
+         VAR_SAMP(v_c) AS var_c,
+         CAST(COUNT(v_t) AS BIGINT) AS n_treatment, AVG(v_t) AS mean_t,
+         VAR_SAMP(v_t) AS var_t
+  FROM (
+    SELECT event_type,
+           CASE WHEN user_id % 2 = 0 THEN value END AS v_c,
+           CASE WHEN user_id % 2 <> 0 THEN value END AS v_t
+    FROM events
+  )
+  GROUP BY 1
+),
+d AS (
+  SELECT *, mean_t - mean_c AS diff,
+         sqrt(var_t / n_treatment + var_c / n_control) AS se
+  FROM agg
+),
+z AS (
+  SELECT *,
+         CASE WHEN se > 0 THEN diff / se END AS zval,
+         CASE WHEN se > 0 THEN abs(diff / se) / sqrt(2) END AS x
+  FROM d
+),
+e AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM z)
+SELECT event_type, n_control, n_treatment,
+       ROUND(mean_c, 6) AS mean_control,
+       ROUND(mean_t, 6) AS mean_treatment,
+       ROUND(diff, 6) AS diff,
+       ROUND(CASE WHEN mean_c <> 0 THEN diff / mean_c END, 6) AS rel_diff,
+       ROUND(CASE WHEN se > 0 THEN se END, 6) AS stderr,
+       ROUND(zval, 6) AS z,
+       ROUND((0.254829592 * tt - 0.284496736 * tt * tt
+              + 1.421413741 * tt * tt * tt
+              - 1.453152027 * tt * tt * tt * tt
+              + 1.061405429 * tt * tt * tt * tt * tt) * exp(-(x * x)), 6)
+         AS p_value
+FROM e
+"""
+
+
+def _q_trend(spark, sf_dir):
+    """stats.trend — per-event-type least-squares slope of the daily
+    event count on the epoch-day index: two keyed partial aggs, exact
+    integer moments in doubles, closed-form fit shared with the
+    oracle."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stats.trend(ev, "ts", group_by="event_type")
+
+
+TREND_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS DOUBLE) AS x,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+         SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days,
+       ROUND(sy / n_days, 6) AS mean_per_day,
+       ROUND(CASE WHEN n_days * sxx - sx * sx > 0
+                  THEN (n_days * sxy - sx * sy) / (n_days * sxx - sx * sx)
+             END, 6) AS slope_per_day,
+       ROUND(CASE WHEN n_days * sxx - sx * sx > 0
+                   AND n_days * syy - sy * sy > 0
+                  THEN (n_days * sxy - sx * sy) * (n_days * sxy - sx * sy)
+                       / ((n_days * sxx - sx * sx)
+                          * (n_days * syy - sy * sy))
+             END, 6) AS r2
+FROM m
+"""
+
+
+def _q_cramers_v(spark, sf_dir):
+    """stats.cramers_v — lang x source association over documents:
+    observed-cells-only chi2 via the o²/(rowtot·coltot) identity, two
+    marginal broadcast joins, no dense r x c grid."""
+    from getl_spark.functions import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stats.cramers_v(docs, "lang", "source")
+
+
+CRAMERS_V_ORACLE = """
+WITH base AS (
+  SELECT lang AS a, source AS b FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY 1, 2
+),
+ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+agg AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT cells.a) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT cells.b) AS BIGINT) AS c,
+         SUM(CAST(o AS DOUBLE) * o / (CAST(rt AS DOUBLE) * ct)) AS q
+  FROM cells JOIN ra USING (a) JOIN cb USING (b)
+)
+SELECT n, r, c,
+       ROUND(GREATEST(CAST(n AS DOUBLE) * q - n, 0.0), 6) AS chi2,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       ROUND(CASE WHEN LEAST(r, c) > 1
+                  THEN sqrt(GREATEST(CAST(n AS DOUBLE) * q - n, 0.0)
+                            / (CAST(n AS DOUBLE) * (LEAST(r, c) - 1)))
+             END, 6) AS v
+FROM agg
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8038,6 +8176,9 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_autocorrelation": _q_autocorrelation,
         "sample_kfold": _q_kfold,
         "graph_degree_stats": _q_degree_stats,
+        "stats_ab_segments": _q_ab_segments,
+        "stats_trend": _q_trend,
+        "stats_cramers_v": _q_cramers_v,
     }
 
 
@@ -8210,6 +8351,9 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_autocorrelation": AUTOCORRELATION_ORACLE,
         "sample_kfold": KFOLD_ORACLE,
         "graph_degree_stats": DEGREE_STATS_ORACLE,
+        "stats_ab_segments": AB_SEGMENTS_ORACLE,
+        "stats_trend": TREND_ORACLE,
+        "stats_cramers_v": CRAMERS_V_ORACLE,
     }
 
 

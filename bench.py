@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "stats_gini",
     "stats_autocorrelation",
     "graph_degree_stats",
+    "stats_ab_segments",
+    "stats_trend",
+    "stats_cramers_v",
 ]
 
 RUNS = 3

@@ -531,6 +531,25 @@ def group_psi(
     )
 
 
+def _normal_two_sided_p(z):
+    """Two-sided normal p-value ``erfc(|z|/sqrt 2)`` as a column
+    expression, via the Abramowitz-Stegun 7.1.26 erf approximation
+    (|error| < 1.5e-7). The identical closed-form arithmetic runs in
+    DuckDB oracles so results match bit-for-bit at rounded precision.
+    NULL z propagates to NULL p.
+    """
+    x = F.abs(z) / F.lit(2.0) ** F.lit(0.5)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * tt
+        - F.lit(0.284496736) * tt ** F.lit(2)
+        + F.lit(1.421413741) * tt ** F.lit(3)
+        - F.lit(1.453152027) * tt ** F.lit(4)
+        + F.lit(1.061405429) * tt ** F.lit(5)
+    )
+    return poly * F.exp(-(x * x))
+
+
 def ab_compare(
     df: DataFrame,
     group_col: str,
@@ -596,16 +615,7 @@ def ab_compare(
     # well inside the 6-decimal rounding): no JVM erfc expression
     # exists, and the same closed-form arithmetic runs in DuckDB so
     # the oracle matches bit-for-bit at the rounded precision
-    x = F.abs(z) / F.lit(2.0) ** F.lit(0.5)
-    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
-    poly = (
-        F.lit(0.254829592) * tt
-        - F.lit(0.284496736) * tt ** F.lit(2)
-        + F.lit(1.421413741) * tt ** F.lit(3)
-        - F.lit(1.453152027) * tt ** F.lit(4)
-        + F.lit(1.061405429) * tt ** F.lit(5)
-    )
-    p = poly * F.exp(-(x * x))
+    p = _normal_two_sided_p(z)
     return both.select(
         F.when(guard.isNull(), F.col("n_control")).alias("n_control"),
         "n_treatment",
@@ -2278,4 +2288,204 @@ def autocorrelation(
             F.when(F.col("__ss") > 0, F.col("__cross") / F.col("__ss")),
             round_to,
         ).alias("acf"),
+    )
+
+
+def ab_segments(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    segment_by,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-segment Welch readout of a two-arm experiment — the
+    follow-up question after :func:`ab_compare` says "treatment wins
+    overall": *where* does it win, and is any segment (language,
+    source, device…) quietly hurt? One row per segment with the same
+    columns as ``ab_compare`` plus the segment keys.
+
+    Unlike ``ab_compare`` (one row, fail-loud on a degenerate arm),
+    a segment scan EXPECTS degenerate cells: a tiny segment with one
+    row in an arm, or an arm absent entirely, is data, not a pipeline
+    bug. Those rows are kept with NULL ``stderr``/``z``/``p_value``
+    (and their counts visible) instead of aborting the whole scan —
+    filter ``p_value IS NOT NULL`` for the testable subset.
+
+    One partial-aggregated pass (map-side combine; conditional
+    aggregates, so each arm never shuffles separately), then pure
+    column arithmetic — no joins, no windows, segment-count-many
+    output rows. At 100 TB this is scan + one keyed reduce.
+    """
+    keys = (
+        [segment_by] if isinstance(segment_by, str) else list(segment_by)
+    )
+    v = F.col(value_col).cast("double")
+    cv = F.when(F.col(group_col) == control, v)
+    tv = F.when(F.col(group_col) == treatment, v)
+    agg = df.groupBy(*keys).agg(
+        F.count(cv).cast("bigint").alias("n_control"),
+        F.avg(cv).alias("__mean_c"),
+        F.var_samp(cv).alias("__var_c"),
+        F.count(tv).cast("bigint").alias("n_treatment"),
+        F.avg(tv).alias("__mean_t"),
+        F.var_samp(tv).alias("__var_t"),
+    )
+    se = F.sqrt(
+        F.col("__var_t") / F.col("n_treatment")
+        + F.col("__var_c") / F.col("n_control")
+    )
+    diff = F.col("__mean_t") - F.col("__mean_c")
+    z = F.when(se.isNotNull() & (se > 0), diff / se)
+    return agg.select(
+        *keys,
+        "n_control",
+        "n_treatment",
+        F.round("__mean_c", round_to).alias("mean_control"),
+        F.round("__mean_t", round_to).alias("mean_treatment"),
+        F.round(diff, round_to).alias("diff"),
+        F.round(
+            F.when(F.col("__mean_c") != 0, diff / F.col("__mean_c")),
+            round_to,
+        ).alias("rel_diff"),
+        F.round(F.when(se > 0, se), round_to).alias("stderr"),
+        F.round(z, round_to).alias("z"),
+        F.round(_normal_two_sided_p(z), round_to).alias("p_value"),
+    )
+
+
+def trend(
+    df: DataFrame,
+    ts_col: str,
+    group_by=None,
+    value_col=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group least-squares trend of a daily metric — "which
+    sources are shrinking, and how fast?" for corpus-ingest
+    monitoring. The metric is rows/day (``value_col=None``) or
+    sum(value)/day; the fit regresses it on the epoch-day index.
+    Returns ``(group..., n_days, mean_per_day, slope_per_day, r2)``
+    — slope in metric-units per day, ``r2`` how line-like the drift
+    is (NULL when fewer than 2 distinct days or the metric is
+    constant; a near-1 ``r2`` with a negative slope is a steady
+    decline, not noise).
+
+    Two keyed partial aggregations (day rollup, then moment sums) —
+    no windows, no joins, so 100 TB costs one scan plus two
+    combiner-reduced shuffles on (group, day) and (group). The
+    closed-form moment arithmetic (slope = (n·Σxy − ΣxΣy)/(n·Σxx −
+    (Σx)²) etc.) is used instead of ``regr_slope``-family aggregates
+    so the oracle controls every operation: with a count metric all
+    six moments are exact integers in doubles (< 2^53), making the
+    fit reproducible bit-for-bit across engines and row orders.
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    metric = (
+        F.count("*").cast("double")
+        if value_col is None
+        else F.sum(F.col(value_col).cast("double"))
+    )
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*keys, day.alias("__day"))
+        .agg(metric.alias("__y"))
+    )
+    x = F.col("__day").cast("double")
+    y = F.col("__y")
+    m = daily.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = F.col("n_days").cast("double")
+    cov_n = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varx_n = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary_n = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = F.when(varx_n > 0, cov_n / varx_n)
+    r2 = F.when((varx_n > 0) & (vary_n > 0), cov_n * cov_n / (varx_n * vary_n))
+    return m.select(
+        *keys,
+        "n_days",
+        F.round(F.col("__sy") / n, round_to).alias("mean_per_day"),
+        F.round(slope, round_to).alias("slope_per_day"),
+        F.round(r2, round_to).alias("r2"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns (0 =
+    independent, 1 = one determines the other), optionally per group
+    — the question behind stratified sampling and leakage checks:
+    "is `source` just a proxy for `lang`?", "does the quality bucket
+    depend on the host?". Returns ``(group..., n, r, c, chi2, dof,
+    v)``; ``v`` is NULL when either column has < 2 levels. NULL
+    category rows are excluded (a NULL level is missingness, not a
+    category).
+
+    Zero-observed cells need no materialization: with expected
+    e = rowtot·coltot/n, the identity Σ(o−e)²/e = n·Σ_observed
+    o²/(rowtot·coltot) − n means only the observed contingency cells
+    (one groupBy) and the two marginal rollups are ever computed —
+    cells × 2 marginal broadcast joins, no r×c densification. At
+    100 TB: one scan, then all shuffles are ∝ distinct levels, not
+    rows.
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    base = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(*keys, F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    cells = base.groupBy(*keys, "__a", "__b").agg(
+        F.count("*").cast("bigint").alias("__o")
+    )
+    ra = cells.groupBy(*keys, "__a").agg(
+        F.sum("__o").cast("bigint").alias("__ra")
+    )
+    cb = cells.groupBy(*keys, "__b").agg(
+        F.sum("__o").cast("bigint").alias("__cb")
+    )
+    joined = cells.join(F.broadcast(ra), [*keys, "__a"]).join(
+        F.broadcast(cb), [*keys, "__b"]
+    )
+    agg = joined.groupBy(*keys).agg(
+        F.sum("__o").cast("bigint").alias("n"),
+        F.countDistinct("__a").cast("bigint").alias("r"),
+        F.countDistinct("__b").cast("bigint").alias("c"),
+        F.sum(
+            F.col("__o").cast("double")
+            * F.col("__o")
+            / (F.col("__ra").cast("double") * F.col("__cb"))
+        ).alias("__q"),
+    )
+    n = F.col("n").cast("double")
+    chi2 = F.greatest(n * F.col("__q") - n, F.lit(0.0))
+    mindim = F.least(F.col("r"), F.col("c")).cast("double") - 1
+    v = F.when(mindim > 0, F.sqrt(chi2 / (n * mindim)))
+    return agg.select(
+        *keys,
+        "n",
+        "r",
+        "c",
+        F.round(chi2, round_to).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        F.round(v, round_to).alias("v"),
     )

@@ -1291,3 +1291,200 @@ def test_autocorrelation_edges(spark):
     assert (r["n"], r["acf"]) == (4, 0.25)
     with pytest.raises(ValueError, match="lags"):
         stats.autocorrelation(c, "x", "i", lags=[0])
+
+
+# ------------------------------------------------------------ ab_segments
+def test_ab_segments_matches_numpy_welch(spark):
+    """Differential vs a numpy Welch z per segment."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for seg, (mu_c, mu_t) in {"en": (1.0, 1.3), "de": (2.0, 1.9)}.items():
+        for v in rng.normal(mu_c, 1.0, 80):
+            rows.append((seg, "control", round(float(v), 3)))
+        for v in rng.normal(mu_t, 1.2, 60):
+            rows.append((seg, "treatment", round(float(v), 3)))
+    from getl_spark.functions import stats as S
+
+    df = spark.createDataFrame(rows, "seg STRING, grp STRING, v DOUBLE")
+    got = {
+        r.seg: r
+        for r in S.ab_segments(
+            df, "grp", "v", "control", "treatment", "seg"
+        ).collect()
+    }
+    arr = np.array(rows, dtype=object)
+    for seg in ("en", "de"):
+        c = np.array([float(v) for s, g, v in rows if s == seg and g == "control"])
+        t = np.array([float(v) for s, g, v in rows if s == seg and g == "treatment"])
+        se = math.sqrt(t.var(ddof=1) / len(t) + c.var(ddof=1) / len(c))
+        z = (t.mean() - c.mean()) / se
+        row = got[seg]
+        assert row.n_control == len(c) and row.n_treatment == len(t)
+        assert abs(row.z - z) < 1e-4
+        assert abs(row.diff - (t.mean() - c.mean())) < 1e-5
+        p = math.erfc(abs(z) / math.sqrt(2))
+        assert abs(row.p_value - p) < 1e-5
+
+
+def test_ab_segments_degenerate_cells_are_null_not_fatal(spark):
+    from getl_spark.functions import stats as S
+
+    df = spark.createDataFrame(
+        [
+            ("big", "control", 1.0),
+            ("big", "control", 2.0),
+            ("big", "treatment", 3.0),
+            ("big", "treatment", 5.0),
+            ("tiny", "control", 1.0),   # single-row arm: var undefined
+            ("tiny", "treatment", 2.0),
+            ("onearm", "control", 4.0),  # treatment absent entirely
+            ("onearm", "control", 6.0),
+        ],
+        "seg STRING, grp STRING, v DOUBLE",
+    )
+    out = {
+        r.seg: r
+        for r in S.ab_segments(
+            df, "grp", "v", "control", "treatment", "seg"
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out["big"].p_value is not None
+    assert out["tiny"].z is None and out["tiny"].n_control == 1
+    assert out["onearm"].n_treatment == 0 and out["onearm"].p_value is None
+
+
+def test_ab_segments_single_segment_matches_ab_compare(spark):
+    import numpy as np
+
+    from getl_spark.functions import stats as S
+
+    rng = np.random.RandomState(5)
+    rows = [("all", "control", round(float(v), 2)) for v in rng.rand(50)] + [
+        ("all", "treatment", round(float(v) + 0.2, 2)) for v in rng.rand(40)
+    ]
+    df = spark.createDataFrame(rows, "seg STRING, grp STRING, v DOUBLE")
+    seg = S.ab_segments(df, "grp", "v", "control", "treatment", "seg").first()
+    ab = S.ab_compare(df, "grp", "v", "control", "treatment").first()
+    for f in ("n_control", "n_treatment", "mean_control", "mean_treatment",
+              "diff", "rel_diff", "stderr", "z", "p_value"):
+        assert getattr(seg, f) == getattr(ab, f), f
+
+
+# ------------------------------------------------------------------ trend
+def test_trend_matches_numpy_polyfit(spark):
+    import datetime
+
+    import numpy as np
+
+    from getl_spark.functions import stats as S
+
+    rng = np.random.RandomState(7)
+    rows = []
+    base = datetime.datetime(2024, 3, 1)
+    counts = {}
+    for d in range(30):
+        n = 100 + 3 * d + int(rng.randint(0, 10))  # rising with noise
+        counts[d] = n
+        for i in range(n):
+            rows.append((base + datetime.timedelta(days=d, seconds=i), "up"))
+    for d in range(10):
+        for i in range(50 - 4 * d):
+            rows.append((base + datetime.timedelta(days=d, seconds=i), "down"))
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, g STRING")
+    out = {r.g: r for r in S.trend(df, "ts", group_by="g").collect()}
+    xs = np.array(sorted(counts), dtype=float)
+    ys = np.array([counts[int(d)] for d in xs], dtype=float)
+    slope_ref = np.polyfit(xs, ys, 1)[0]
+    r = out["up"]
+    assert r.n_days == 30
+    assert abs(r.slope_per_day - slope_ref) < 1e-6
+    corr = np.corrcoef(xs, ys)[0, 1]
+    assert abs(r.r2 - corr * corr) < 1e-6
+    assert out["down"].slope_per_day == -4.0 and out["down"].r2 == 1.0
+
+
+def test_trend_sum_metric_and_degenerate_days(spark):
+    from getl_spark.functions import stats as S
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", "a", 2.0),
+            ("2024-01-02 10:00:00", "a", 6.0),
+            ("2024-01-03 10:00:00", "a", 10.0),
+            ("2024-01-01 00:00:00", "single", 5.0),
+            (None, "single", 9.0),  # null ts excluded
+        ],
+        "ts STRING, g STRING, v DOUBLE",
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "g", "v")
+    out = {r.g: r for r in S.trend(df, "ts", "g", value_col="v").collect()}
+    assert out["a"].slope_per_day == 4.0 and out["a"].r2 == 1.0
+    s = out["single"]
+    assert s.n_days == 1 and s.slope_per_day is None and s.r2 is None
+    assert s.mean_per_day == 5.0
+
+
+# -------------------------------------------------------------- cramers_v
+def test_cramers_v_matches_hand_chi2(spark):
+    """Differential vs an explicit dense-contingency chi2 in numpy."""
+    import numpy as np
+
+    from getl_spark.functions import stats as S
+
+    rng = np.random.RandomState(3)
+    langs = ["en", "de", "fr"]
+    hosts = ["a.com", "b.org", "c.net", "d.io"]
+    rows = []
+    for _ in range(2000):
+        li = int(rng.randint(0, 3))
+        # hosts skewed by lang -> real association
+        hi = int(min(3, max(0, li + rng.randint(-1, 2))))
+        rows.append((langs[li], hosts[hi]))
+    df = spark.createDataFrame(rows, "lang STRING, host STRING")
+    got = S.cramers_v(df, "lang", "host").first()
+    obs = np.zeros((3, 4))
+    for l, h in rows:
+        obs[langs.index(l), hosts.index(h)] += 1
+    obs = obs[obs.sum(axis=1) > 0][:, obs.sum(axis=0) > 0]
+    n = obs.sum()
+    e = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / n
+    chi2 = ((obs - e) ** 2 / e).sum()
+    r, c = obs.shape
+    assert got.n == 2000 and got.r == r and got.c == c
+    assert abs(got.chi2 - chi2) < 1e-6
+    assert got.dof == (r - 1) * (c - 1)
+    assert abs(got.v - np.sqrt(chi2 / (n * (min(r, c) - 1)))) < 5e-7
+
+
+def test_cramers_v_independent_determined_and_degenerate(spark):
+    from getl_spark.functions import stats as S
+
+    # perfectly determined: b == a  ->  v = 1
+    det = spark.createDataFrame(
+        [(x, x) for x in "aabbcc"], "a STRING, b STRING"
+    )
+    assert S.cramers_v(det, "a", "b").first().v == 1.0
+    # independent uniform 2x2 -> chi2 = 0, v = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(5)],
+        "a STRING, b STRING",
+    )
+    row = S.cramers_v(ind, "a", "b").first()
+    assert row.chi2 == 0.0 and row.v == 0.0
+    # single-level column -> v NULL, NULL categories excluded
+    deg = spark.createDataFrame(
+        [("k", "p"), ("k", "q"), (None, "p")], "a STRING, b STRING"
+    )
+    d = S.cramers_v(deg, "a", "b").first()
+    assert d.n == 2 and d.r == 1 and d.v is None and d.dof == 0
+    # grouped: per-group association
+    grp = spark.createDataFrame(
+        [("g1", x, x) for x in "aabb"] + [("g2", a, b) for a in "ab" for b in "pq"],
+        "g STRING, a STRING, b STRING",
+    )
+    out = {r.g: r for r in S.cramers_v(grp, "a", "b", group_by="g").collect()}
+    assert out["g1"].v == 1.0 and out["g2"].v == 0.0
