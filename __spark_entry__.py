@@ -7777,6 +7777,67 @@ FROM agg
 """
 
 
+def _phash_corpus() -> list:
+    """Deterministic SF-independent media corpus for the phash oracle:
+    6 families (base payload + two span-zeroed variants whose edits
+    stay inside 1-2 byte blocks) + 4 unrelated singletons."""
+    docs = []
+    nid = 0
+    for k in range(6):
+        n = 640 + 32 * k
+        base = bytes((i * (k + 3) + 7 * k) % 256 for i in range(n))
+        docs.append((nid, base))
+        nid += 1
+        for off in (5 * (n // 64), 40 * (n // 64)):
+            mod = bytearray(base)
+            for i in range(n // 64 + 3):
+                mod[off + i] = 0
+            docs.append((nid, bytes(mod)))
+            nid += 1
+    for k in range(4):
+        n = 700 + 13 * k
+        docs.append(
+            (nid, bytes((i * i + k * 101) % 251 for i in range(n)))
+        )
+        nid += 1
+    return docs
+
+
+def _q_phash_pairs(spark, sf_dir):
+    """multimodal.phash_pairs — perceptual-hash near-dup media pairs
+    over a fixed synthesized corpus. At max_hamming=3 with 4 bands the
+    pigeonhole recall is TOTAL, so the expected pairs are derivable
+    from reference phashes alone: the oracle pins the exhaustive
+    all-pairs hamming computed by an independent pure-Python pHash
+    (tests/test_llm_ops.py::_ref_phash), not the operator's output."""
+    from getl_spark.functions import multimodal as M
+
+    df = spark.createDataFrame(_phash_corpus(), "doc_id LONG, content BINARY")
+    return M.phash_pairs(df, max_hamming=3, bands=4)
+
+
+PHASH_PAIRS_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(0  AS BIGINT), CAST(1  AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(0  AS BIGINT), CAST(2  AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(1  AS BIGINT), CAST(2  AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(3  AS BIGINT), CAST(4  AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(3  AS BIGINT), CAST(5  AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(4  AS BIGINT), CAST(5  AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(6  AS BIGINT), CAST(7  AS BIGINT), CAST(0 AS INTEGER)),
+  (CAST(9  AS BIGINT), CAST(10 AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(9  AS BIGINT), CAST(11 AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(10 AS BIGINT), CAST(11 AS BIGINT), CAST(2 AS INTEGER)),
+  (CAST(12 AS BIGINT), CAST(13 AS BIGINT), CAST(1 AS INTEGER)),
+  (CAST(12 AS BIGINT), CAST(14 AS BIGINT), CAST(0 AS INTEGER)),
+  (CAST(13 AS BIGINT), CAST(14 AS BIGINT), CAST(1 AS INTEGER)),
+  (CAST(15 AS BIGINT), CAST(16 AS BIGINT), CAST(0 AS INTEGER)),
+  (CAST(15 AS BIGINT), CAST(17 AS BIGINT), CAST(3 AS INTEGER)),
+  (CAST(16 AS BIGINT), CAST(17 AS BIGINT), CAST(3 AS INTEGER))
+) AS t(id_a, id_b, hamming)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8179,6 +8240,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ab_segments": _q_ab_segments,
         "stats_trend": _q_trend,
         "stats_cramers_v": _q_cramers_v,
+        "multimodal_phash_pairs": _q_phash_pairs,
     }
 
 
@@ -8354,6 +8416,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_ab_segments": AB_SEGMENTS_ORACLE,
         "stats_trend": TREND_ORACLE,
         "stats_cramers_v": CRAMERS_V_ORACLE,
+        "multimodal_phash_pairs": PHASH_PAIRS_ORACLE,
     }
 
 

@@ -445,21 +445,48 @@ def simhash_pairs(
     giant identical-fingerprint clusters, which ``dedup.exact`` on the
     fingerprint (or ``text.fingerprint``) removes more cheaply first.
     """
-    width = 64 // bands
-    mask = (1 << width) - 1
     # fingerprints are one row per doc — materialize so the self-join
     # below doesn't duplicate (and re-optimize/re-run) the 64-wide
     # aggregation pipeline on both sides
-    sigs = simhash(df, id_col, text_col).localCheckpoint()
+    return hamming_pairs(
+        simhash(df, id_col, text_col).localCheckpoint(),
+        id_col="id",
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_chunk_df=max_chunk_df,
+    )
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_chunk_df: Optional[int] = None,
+) -> DataFrame:
+    """Pairs with hamming distance ≤ ``max_hamming`` between ANY
+    precomputed 64-bit signatures — the shared scale core under
+    :func:`simhash_pairs` (text fingerprints) and
+    ``multimodal.phash_pairs`` (image perceptual hashes). Input is one
+    row per item; callers that compute ``sigs`` through a non-trivial
+    pipeline should ``localCheckpoint()`` it first so the self-join
+    doesn't re-run the signature computation on both sides. Banding,
+    the ``max_chunk_df`` hot-bucket cap, and the recall contract are
+    exactly as documented on ``simhash_pairs``.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
     banded = sigs.select(
-        "id",
-        "simhash",
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("__sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * width)
+                        F.shiftright(F.col(sig_col), b * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
@@ -467,7 +494,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("bc"),
-    ).select("id", "simhash", "bc.band", "bc.chunk")
+    ).select("id", "__sig", "bc.band", "bc.chunk")
     if max_chunk_df is not None:
         cold = (
             banded.groupBy("band", "chunk")
@@ -481,7 +508,7 @@ def simhash_pairs(
     # near-duplicate-rich corpora is millions of rows. Explicitly
     # repartition on the join key to keep the collision work wide.
     banded = banded.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "band", "chunk"
+        sigs.sparkSession.sparkContext.defaultParallelism, "band", "chunk"
     )
     # hamming filter BEFORE the cross-band dedup: popcount per joined
     # row is cheap, while distinct over every band collision (which can
@@ -494,7 +521,7 @@ def simhash_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)

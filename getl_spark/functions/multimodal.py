@@ -196,3 +196,99 @@ def frame_sample(
     return parallelize(df.select(id_col, content_col)).mapInPandas(
         sample, out_schema
     )
+
+
+def phash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit perceptual hash per media row → ``(id, phash bigint)`` —
+    the image-side analogue of ``text.fingerprint``: near-identical
+    payloads land within a small hamming distance, so
+    :func:`phash_pairs` finds re-encoded/cropped duplicates without a
+    quadratic scan.
+
+    The real pipeline is decode → grayscale → 32×32 DCT → low-frequency
+    8×8 → median threshold. The codec step sits behind the same
+    ``GETL_SPARK_FAKE_DECODE`` seam as the rest of this module: the
+    deterministic stand-in treats the raw bytes as the decoded plane —
+    64 equal byte-blocks, block means, bit i = (mean_i > median). Block
+    means are *local* statistics, so a payload edit flips only the bits
+    of the blocks it touches — exactly the locality a real pHash has —
+    while the distributed shape (Arrow-batched map, no shuffle, bigint
+    signatures ready for the banded join) is the production path.
+    Empty/NULL payloads hash to 0.
+    """
+    if not FAKE_DECODE:
+        raise NotImplementedError(
+            "Real pHash requires an image decode + DCT (PIL/scipy); install "
+            "and replace the block-mean stand-in (seam: "
+            "getl_spark/functions/multimodal.py)."
+        )
+    out_schema = f"{id_col} bigint, phash bigint"
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(blob):
+            if blob is None:
+                return 0
+            b = bytes(blob)
+            if not b:
+                return 0
+            arr = np.frombuffer(b, dtype=np.uint8)
+            if arr.size < 64:
+                arr = np.resize(arr, 64)
+            bounds = (np.arange(65, dtype=np.int64) * arr.size) // 64
+            means = np.add.reduceat(arr.astype(np.float64), bounds[:-1]) / np.diff(
+                bounds
+            )
+            med = np.median(means)
+            bits = means > med  # strict: a constant payload hashes to 0
+            h = 0
+            for i, bit in enumerate(bits):
+                if bit:
+                    h |= 1 << (63 - i)
+            return h - (1 << 64) if h >= (1 << 63) else h  # signed bigint
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "phash": pdf[content_col].map(one)}
+            )
+
+    from getl_spark.common.scale import parallelize
+
+    return parallelize(df.select(id_col, content_col)).mapInPandas(
+        hash_batches, out_schema
+    )
+
+
+def phash_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int = 4,
+    max_chunk_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate media pairs: ``phash`` then the shared banded
+    hamming self-join (``dedup.hamming_pairs``) — ``(id_a, id_b,
+    hamming)`` with distance ≤ ``max_hamming``, no quadratic scan.
+    Default radius 8 (vs simhash's 3): perceptual hashes of re-encoded
+    images drift more bits than text shingle fingerprints. At 100 TB
+    set ``max_chunk_df`` exactly as documented on
+    ``dedup.simhash_pairs`` — flat-color/black frames are the media
+    equivalent of boilerplate text and flood a chunk bucket.
+    """
+    from getl_spark.functions.dedup import hamming_pairs
+
+    sigs = phash(df, content_col, id_col).localCheckpoint()
+    return hamming_pairs(
+        sigs,
+        id_col=id_col,
+        sig_col="phash",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_chunk_df=max_chunk_df,
+    )

@@ -1432,3 +1432,73 @@ def test_containment_join_cross_table_eval_in_training(spark):
         dedup.containment_join(evals, train, method="minhash", num_hashes=10, bands=4)
     with _pytest.raises(ValueError, match="max_df"):
         dedup.containment_join(evals, train, method="minhash", max_df=5)
+
+
+# ------------------------------------------------------------ phash
+def _ref_phash(b: bytes) -> int:
+    """Independent reference: plain-Python block means + median."""
+    if not b:
+        return 0
+    data = list(b)
+    while len(data) < 64:
+        data = (data * 2)[: max(64, len(data))]
+    n = len(data)
+    means = []
+    for i in range(64):
+        lo, hi = (i * n) // 64, ((i + 1) * n) // 64
+        block = data[lo:hi]
+        means.append(sum(block) / len(block))
+    med = sorted(means)
+    med = (
+        med[32] if False else (med[31] + med[32]) / 2
+    )  # numpy median of 64 values
+    h = 0
+    for i, m in enumerate(means):
+        if m > med:
+            h |= 1 << (63 - i)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_phash_matches_reference_and_locality(spark):
+    from getl_spark.functions import multimodal as M
+
+    payloads = {
+        1: bytes(range(256)) * 3,
+        2: b"\x00" * 500,                      # constant -> 0
+        3: (b"abc123" * 64)[:300],
+        4: b"",                                # empty -> 0
+        5: bytes(range(256)) * 3,              # identical to 1
+    }
+    # a near-dup of 1: flip a small contiguous span
+    mod = bytearray(payloads[1])
+    for i in range(20):
+        mod[400 + i] = 0   # zero out two blocks whose means sat above the median
+    payloads[6] = bytes(mod)
+    df = spark.createDataFrame(
+        [(k, v) for k, v in payloads.items()], "doc_id LONG, content BINARY"
+    )
+    got = {r.doc_id: r.phash for r in M.phash(df).collect()}
+    for k, v in payloads.items():
+        assert got[k] == _ref_phash(v), k
+    assert got[2] == 0 and got[4] == 0
+    assert got[1] == got[5]
+    # locality: the 20-byte edit flips few bits
+    ham = bin((got[1] ^ got[6]) & ((1 << 64) - 1)).count("1")
+    assert 0 < ham <= 8
+
+
+def test_phash_pairs_finds_near_dups_only(spark):
+    from getl_spark.functions import multimodal as M
+
+    fam_a = bytes(range(256)) * 4
+    edit = bytearray(fam_a)
+    for i in range(15):
+        edit[100 + i] = 0
+    unrelated = bytes((i * 37 + 11) % 256 for i in range(1024))
+    df = spark.createDataFrame(
+        [(1, fam_a), (2, bytes(edit)), (3, unrelated)],
+        "doc_id LONG, content BINARY",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in M.phash_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 8
+    assert all({a, b} == {1, 2} for a, b in pairs)
