@@ -7838,6 +7838,31 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_dedup_by_template(spark, sf_dir):
+    """dedup.by_template — slot-masked template dedup over documents
+    (lowest doc_id survives): one JVM regexp chain + one keyed
+    shuffle; the DuckDB oracle applies the identical RE2-safe masking
+    and MIN-survivor rule."""
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.by_template(docs)
+
+
+DEDUP_BY_TEMPLATE_ORACLE = r"""
+WITH keyed AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(lower(text), 'https?://[^\s]+', '<url>', 'g'),
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+', '<email>', 'g'),
+             '[0-9]+', '0', 'g'), '\s+', ' ', 'g')) AS k
+  FROM documents
+),
+surv AS (SELECT k, MIN(doc_id) AS doc_id FROM keyed GROUP BY 1)
+SELECT d.* FROM documents d JOIN surv USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8241,6 +8266,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_trend": _q_trend,
         "stats_cramers_v": _q_cramers_v,
         "multimodal_phash_pairs": _q_phash_pairs,
+        "dedup_by_template": _q_dedup_by_template,
     }
 
 
@@ -8417,6 +8443,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_trend": TREND_ORACLE,
         "stats_cramers_v": CRAMERS_V_ORACLE,
         "multimodal_phash_pairs": PHASH_PAIRS_ORACLE,
+        "dedup_by_template": DEDUP_BY_TEMPLATE_ORACLE,
     }
 
 

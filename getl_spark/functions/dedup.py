@@ -1708,3 +1708,23 @@ def by_url(
     )
     out = kept.unionByName(null_url)
     return out if canonical_col else out.drop(tmp)
+
+
+def by_template(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One survivor per masked template (lowest id wins —
+    deterministic): ``text.template_key`` then keyed exact dedup.
+    The cheap first pass of a layered dedup stack — run it before
+    MinHash/SimHash so templated boilerplate (order confirmations,
+    profile pages) never reaches candidate generation. One keyed
+    shuffle on the 128-bit key; survivors keep all original columns.
+    """
+    from getl_spark.functions.text import template_key
+
+    keyed = template_key(df, text_col, "__template_key")
+    return exact(keyed, ["__template_key"], order_by=id_col).drop(
+        "__template_key"
+    )

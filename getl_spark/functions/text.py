@@ -1705,3 +1705,29 @@ def collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("token_a").asc(), F.col("token_b").asc()
     ).limit(top_k)
+
+
+def template_key(
+    df: DataFrame,
+    text_col: str = "text",
+    new_col: str = "template_key",
+) -> DataFrame:
+    """Slot-masked template fingerprint: md5 of the text with its
+    variable slots neutralized — URLs → ``<url>``, e-mails →
+    ``<email>``, digit runs → ``0`` — then lowercased and
+    whitespace-collapsed. Templated boilerplate ("Order #8812 shipped
+    to …", per-user profile pages, listing permalinks) collapses to
+    one key while MinHash/SimHash would burn candidate pairs on it;
+    running :func:`~getl_spark.functions.dedup.by_template` BEFORE
+    fuzzy dedup removes the cheap mass first, exactly as
+    ``dedup.exact`` does for verbatim copies.
+
+    Pure JVM regexp chain — scan-speed, no shuffle, and every regex is
+    RE2-safe so the DuckDB oracle applies the identical masking.
+    """
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, r"https?://[^\s]+", "<url>")
+    t = F.regexp_replace(t, r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+", "<email>")
+    t = F.regexp_replace(t, r"[0-9]+", "0")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.withColumn(new_col, F.md5(t))

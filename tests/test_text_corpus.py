@@ -920,3 +920,40 @@ def test_collocations_pmi_hand_check(spark):
         text.collocations(docs, min_count=0)
     with pytest.raises(ValueError, match="top_k"):
         text.collocations(docs, top_k=0)
+
+
+# -------------------------------------------------------- template dedup
+def test_template_key_masks_slots(spark):
+    from getl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "Order #8812 shipped to bob@example.com on 2024-01-05"),
+            (2, "Order #41 shipped to alice@test.org on 2023-12-31"),
+            (3, "ORDER   #7  shipped to x@y.io\n on 1999-01-01"),
+            (4, "Totally different content, see https://a.example/x?id=77"),
+            (5, "Totally different content, see http://b.example/y?id=9001"),
+            (6, "unique document with no slots at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    keys = {r.doc_id: r.template_key for r in T.template_key(df).collect()}
+    assert keys[1] == keys[2] == keys[3]
+    assert keys[4] == keys[5]
+    assert len({keys[1], keys[4], keys[6]}) == 3
+
+
+def test_by_template_lowest_id_survives(spark):
+    from getl_spark.functions import dedup as D
+
+    df = spark.createDataFrame(
+        [
+            (9, "Invoice 99 for user 12"),
+            (2, "Invoice 1 for user 3"),
+            (5, "a distinct doc"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = D.by_template(df)
+    assert {r.doc_id for r in out.collect()} == {2, 5}
+    assert out.columns == ["doc_id", "text"]
