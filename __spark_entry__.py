@@ -7863,6 +7863,41 @@ SELECT d.* FROM documents d JOIN surv USING (doc_id)
 """
 
 
+def _q_hilbert_checksum(spark, sf_dir):
+    """layout.hilbert_key — bijectivity + mapping checksum on the full
+    32x32 grid (bits=5, where min/max scaling is the identity): count/
+    distinct/min/max/sum prove the key is a permutation of 0..1023,
+    and the key-weighted coordinate sums pin the SPECIFIC curve (any
+    other permutation shifts them). Expected values computed from the
+    classic public-domain xy2d reference, independent of this
+    implementation."""
+    from getl_spark.functions import layout
+
+    n = 32
+    grid = spark.range(n * n).selectExpr(
+        f"CAST(id % {n} AS INT) AS x", f"CAST(id DIV {n} AS INT) AS y"
+    )
+    keyed = layout.hilbert_key(grid, ["x", "y"], bits=5)
+    return keyed.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("hilbert_key").cast("bigint").alias("n_distinct"),
+        F.min("hilbert_key").cast("bigint").alias("key_min"),
+        F.max("hilbert_key").cast("bigint").alias("key_max"),
+        F.sum("hilbert_key").cast("bigint").alias("key_sum"),
+        F.sum(F.col("hilbert_key") * F.col("x")).cast("bigint").alias("key_x_sum"),
+        F.sum(F.col("hilbert_key") * F.col("y")).cast("bigint").alias("key_y_sum"),
+    )
+
+
+HILBERT_CHECKSUM_ORACLE = """
+SELECT CAST(1024 AS BIGINT) AS n, CAST(1024 AS BIGINT) AS n_distinct,
+       CAST(0 AS BIGINT) AS key_min, CAST(1023 AS BIGINT) AS key_max,
+       CAST(523776 AS BIGINT) AS key_sum,
+       CAST(10355488 AS BIGINT) AS key_x_sum,
+       CAST(8118528 AS BIGINT) AS key_y_sum
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8267,6 +8302,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cramers_v": _q_cramers_v,
         "multimodal_phash_pairs": _q_phash_pairs,
         "dedup_by_template": _q_dedup_by_template,
+        "layout_hilbert_checksum": _q_hilbert_checksum,
     }
 
 
@@ -8444,6 +8480,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_cramers_v": CRAMERS_V_ORACLE,
         "multimodal_phash_pairs": PHASH_PAIRS_ORACLE,
         "dedup_by_template": DEDUP_BY_TEMPLATE_ORACLE,
+        "layout_hilbert_checksum": HILBERT_CHECKSUM_ORACLE,
     }
 
 

@@ -49,6 +49,63 @@ def _bucket_expr(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
     )
 
 
+def _attach_buckets(
+    df: DataFrame, cols: Sequence[str], bits: int
+) -> tuple:
+    """Shared scaling front-end for the layout keys: validate column
+    types, compute per-column (min, max) in ONE aggregate, broadcast
+    it onto every row, and return ``(keyed_df, bucket_exprs)`` where
+    each bucket expr scales its column into [0, 2^bits) (NULLs →
+    bucket 0). The ``__min_i``/``__max_i`` stat columns are consumed
+    lazily by the bucket exprs; they are dropped again by
+    ``_drop_stats``."""
+    dtypes = dict(df.dtypes)
+    casted = {}
+    for c in cols:
+        t = dtypes.get(c)
+        if t is None:
+            raise ValueError(f"layout key: no column '{c}'")
+        if t.startswith("timestamp"):
+            casted[c] = F.unix_micros(F.col(c).cast("timestamp"))
+        elif t == "date":
+            casted[c] = F.datediff(F.col(c), F.lit("1970-01-01"))
+        elif t.startswith(_NUMERIC):
+            casted[c] = F.col(c)
+        else:
+            raise ValueError(
+                f"layout key: column '{c}' is {t}; numeric/date/timestamp "
+                "only (hash string columns to a numeric first if needed)"
+            )
+    stats = df.agg(
+        *[F.min(expr).alias(f"__min_{i}") for i, expr in enumerate(casted.values())],
+        *[F.max(expr).alias(f"__max_{i}") for i, expr in enumerate(casted.values())],
+    )
+    keyed = df.crossJoin(F.broadcast(stats))
+    buckets = []
+    for i, expr in enumerate(casted.values()):
+        # NULLs take the column MIN (not literal 0): on a column whose
+        # min is negative, 0 sits mid-range and would scatter nulls
+        # into the middle buckets, widening mid-range files' bounding
+        # boxes. Coalescing to the min lands them in bucket 0 —
+        # nulls-first, as documented.
+        buckets.append(
+            _bucket_expr(
+                F.coalesce(expr, F.col(f"__min_{i}"), F.lit(0)),
+                F.coalesce(F.col(f"__min_{i}"), F.lit(0)),
+                F.coalesce(F.col(f"__max_{i}"), F.lit(0)),
+                bits,
+            )
+        )
+    return keyed, buckets
+
+
+def _drop_stats(df: DataFrame, ndims: int) -> DataFrame:
+    return df.drop(
+        *[f"__min_{i}" for i in range(ndims)],
+        *[f"__max_{i}" for i in range(ndims)],
+    )
+
+
 def zorder_key(
     df: DataFrame,
     cols: Sequence[str],
@@ -75,44 +132,10 @@ def zorder_key(
             f"{len(cols)} cols x {bits} bits = {len(cols) * bits} key bits; "
             "must fit a signed 64-bit key (<= 63). Lower bits="
         )
-    dtypes = dict(df.dtypes)
-    casted = {}
-    for c in cols:
-        t = dtypes.get(c)
-        if t is None:
-            raise ValueError(f"zorder_key: no column '{c}'")
-        if t.startswith("timestamp"):
-            casted[c] = F.unix_micros(F.col(c).cast("timestamp"))
-        elif t == "date":
-            casted[c] = F.datediff(F.col(c), F.lit("1970-01-01"))
-        elif t.startswith(_NUMERIC):
-            casted[c] = F.col(c)
-        else:
-            raise ValueError(
-                f"zorder_key: column '{c}' is {t}; numeric/date/timestamp only "
-                "(hash string columns to a numeric first if needed)"
-            )
-
-    stats = df.agg(
-        *[F.min(expr).alias(f"__min_{i}") for i, expr in enumerate(casted.values())],
-        *[F.max(expr).alias(f"__max_{i}") for i, expr in enumerate(casted.values())],
-    )
-    keyed = df.crossJoin(F.broadcast(stats))
-
+    keyed, buckets = _attach_buckets(df, cols, bits)
     ndims = len(cols)
     key = F.lit(0).cast("bigint")
-    for i, expr in enumerate(casted.values()):
-        # NULLs take the column MIN (not literal 0): on a column whose
-        # min is negative, 0 sits mid-range and would scatter nulls
-        # into the middle buckets, widening mid-range files' bounding
-        # boxes. Coalescing to the min lands them in bucket 0 —
-        # nulls-first, as documented.
-        bucket = _bucket_expr(
-            F.coalesce(expr, F.col(f"__min_{i}"), F.lit(0)),
-            F.coalesce(F.col(f"__min_{i}"), F.lit(0)),
-            F.coalesce(F.col(f"__max_{i}"), F.lit(0)),
-            bits,
-        )
+    for i, bucket in enumerate(buckets):
         for b in range(bits):
             key = key.bitwiseOR(
                 F.shiftleft(
@@ -120,8 +143,94 @@ def zorder_key(
                     b * ndims + i,
                 )
             )
-    return keyed.withColumn(out_col, key).drop(
-        *[f"__min_{i}" for i in range(ndims)], *[f"__max_{i}" for i in range(ndims)]
+    return _drop_stats(keyed.withColumn(out_col, key), ndims)
+
+
+def hilbert_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 12,
+    out_col: str = "hilbert_key",
+) -> DataFrame:
+    """Append a 2-D Hilbert-curve clustering key over exactly two
+    columns — the strictly-better-locality alternative to
+    :func:`zorder_key` for two dimensions: consecutive Hilbert cells
+    are ALWAYS adjacent in space (the Z curve takes a long diagonal
+    jump every power-of-two boundary), so range-partitioned files get
+    tighter bounding boxes and parquet min/max skipping prunes more.
+    Morton stays the right tool for ≥3 columns (d-dimensional Hilbert
+    state tables cost more than the locality buys at file
+    granularity); this function rejects anything but 2 columns.
+
+    Same scaling contract as ``zorder_key`` (one broadcast 1-row
+    min/max aggregate, ``bits``-bit buckets, NULLs land in bucket 0).
+    The classic per-bit rotate-and-reflect walk (Wikipedia ``xy2d``,
+    public domain) is unrolled into ``bits`` stacked projections —
+    each iteration reads the previous one's ``__hx/__hy`` columns by
+    NAME, so the expression tree stays linear in ``bits`` (inlining
+    the recurrence would double it per step) and whole-stage codegen
+    fuses the stack into one scan-speed stage. No UDFs, no shuffle
+    beyond the stats aggregate.
+    """
+    cols = list(cols)
+    if len(cols) != 2:
+        raise ValueError(
+            f"hilbert_key takes exactly 2 columns, got {len(cols)} — "
+            "use zorder_key for other dimensionalities"
+        )
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError(f"hilbert_key: bits must be in [1, 31], got {bits}")
+    keyed, buckets = _attach_buckets(df, cols, bits)
+    keyed = keyed.withColumns(
+        {
+            "__hx": buckets[0],
+            "__hy": buckets[1],
+            "__hd": F.lit(0).cast("bigint"),
+        }
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        x, y = F.col("__hx"), F.col("__hy")
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        keyed = keyed.withColumns(
+            {
+                "__hd": F.col("__hd")
+                + F.lit(s).cast("bigint")
+                * F.lit(s)
+                * (rx * 3).bitwiseXOR(ry).cast("bigint"),
+                # reflect (rx==1) then swap axes, only in the ry==0 case
+                "__hx": F.when(
+                    ry == 0,
+                    F.when(rx == 1, F.lit(s - 1) - y).otherwise(y),
+                ).otherwise(x),
+                "__hy": F.when(
+                    ry == 0,
+                    F.when(rx == 1, F.lit(s - 1) - x).otherwise(x),
+                ).otherwise(y),
+            }
+        )
+    return _drop_stats(
+        keyed.withColumn(out_col, F.col("__hd")).drop("__hx", "__hy", "__hd"),
+        2,
+    )
+
+
+def cluster_by_hilbert(
+    df: DataFrame,
+    cols: List[str],
+    num_files: int,
+    bits: int = 12,
+) -> DataFrame:
+    """``cluster_by_zorder`` with the 2-D Hilbert key: range partitions
+    of the key, sorted within — tighter per-file bounding boxes on
+    both columns than the Z layout at the same write cost (one range
+    shuffle)."""
+    keyed = hilbert_key(df, cols, bits=bits)
+    return (
+        keyed.repartitionByRange(num_files, "hilbert_key")
+        .sortWithinPartitions("hilbert_key")
+        .drop("hilbert_key")
     )
 
 

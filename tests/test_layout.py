@@ -193,3 +193,102 @@ def test_write_bucketed_join_is_shuffle_free(spark, tmp_path):
         layout.write_bucketed(left, "t_bad", 0, ["k"])
     with pytest.raises(ValueError, match="bucket_cols"):
         layout.write_bucketed(left, "t_bad", 4, [])
+
+
+# ------------------------------------------------------------ hilbert
+def _ref_xy2d(order: int, x: int, y: int) -> int:
+    """Classic public-domain Hilbert xy2d reference."""
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_on_full_grid(spark):
+    from getl_spark.functions import layout as L
+
+    bits = 5
+    n = 1 << bits
+    df = spark.range(n * n).selectExpr(
+        f"CAST(id % {n} AS INT) AS x", f"CAST(id DIV {n} AS INT) AS y"
+    )
+    out = L.hilbert_key(df, ["x", "y"], bits=bits).collect()
+    # min/max scaling over the full [0, n-1] grid is the identity
+    for r in out:
+        assert r.hilbert_key == _ref_xy2d(n, r.x, r.y), (r.x, r.y)
+    keys = {r.hilbert_key for r in out}
+    assert keys == set(range(n * n))  # bijective on the grid
+
+
+def test_hilbert_adjacency_beats_zorder(spark):
+    """Consecutive Hilbert cells are always spatial neighbours; the Z
+    curve jumps. Check both the adjacency invariant and that hilbert's
+    average per-file bounding-box area is no worse than zorder's."""
+    from getl_spark.functions import layout as L
+
+    bits = 4
+    n = 1 << bits
+    df = spark.range(n * n).selectExpr(
+        f"CAST(id % {n} AS INT) AS x", f"CAST(id DIV {n} AS INT) AS y"
+    )
+    rows = sorted(
+        L.hilbert_key(df, ["x", "y"], bits=bits).collect(),
+        key=lambda r: r.hilbert_key,
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert abs(a.x - b.x) + abs(a.y - b.y) == 1  # unit steps only
+
+    def avg_box(key_rows, chunk=16):
+        tot = 0.0
+        chunks = [key_rows[i : i + chunk] for i in range(0, len(key_rows), chunk)]
+        for c in chunks:
+            xs = [r.x for r in c]
+            ys = [r.y for r in c]
+            tot += (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+        return tot / len(chunks)
+
+    zrows = sorted(
+        L.zorder_key(df, ["x", "y"], bits=bits).collect(),
+        key=lambda r: r.zorder_key,
+    )
+    assert avg_box(rows) <= avg_box(zrows)
+
+
+def test_hilbert_validation_and_null_scaling(spark):
+    import pytest as _pytest
+
+    from getl_spark.functions import layout as L
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (None, 30.0)], "a DOUBLE, b DOUBLE"
+    )
+    with _pytest.raises(ValueError, match="exactly 2"):
+        L.hilbert_key(df, ["a"])
+    with _pytest.raises(ValueError, match="bits"):
+        L.hilbert_key(df, ["a", "b"], bits=40)
+    out = L.hilbert_key(df, ["a", "b"], bits=4).collect()
+    assert all(r.hilbert_key is not None for r in out)
+    null_row = [r for r in out if r.a is None][0]
+    # NULL lands in bucket 0 on that axis: its key equals the key of
+    # the (min_a, same-b) corner cell
+    assert null_row.hilbert_key == _ref_xy2d(16, 0, 15)
+
+
+def test_cluster_by_hilbert_roundtrip(spark, tmp_path):
+    from getl_spark.functions import layout as L
+
+    df = spark.range(4096).selectExpr(
+        "CAST(id % 64 AS INT) AS x", "CAST(id DIV 64 AS INT) AS y"
+    )
+    out = L.cluster_by_hilbert(df, ["x", "y"], num_files=8, bits=6)
+    assert out.columns == ["x", "y"]
+    assert out.count() == 4096

@@ -53,6 +53,7 @@ NESTED_LOOP_WHITELIST = {
     "search_rrf_hybrid": "1-row corpus stats broadcast (BM25 leg)",
     "search_tfidf_keywords": "1-row corpus-size (N) broadcast",
     "sketch_estimates": "1-row merged-sketch broadcast",
+    "layout_hilbert_checksum": "1-row min/max bounds broadcast (layout scaling)",
     "layout_zorder_key": "1-row min/max bounds broadcast",
     "quality_score_pinned": "1-row pinned-weights model broadcast",
     "quality_uncertainty_sample": "1-row pinned-weights model broadcast",
