@@ -7898,6 +7898,68 @@ SELECT CAST(1024 AS BIGINT) AS n, CAST(1024 AS BIGINT) AS n_distinct,
 """
 
 
+def _q_embedding_drift(spark, sf_dir):
+    """embedding.drift — per-dimension standardized mean difference
+    between the label<5 and label>=5 embedding snapshots: two
+    posexplode scans into dims-keyed partial aggs (shuffle is 64 rows,
+    never vectors), broadcast join on dim."""
+    from getl_spark.functions import embedding
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding.drift(
+        emb.where(F.col("label") < 5), emb.where(F.col("label") >= 5)
+    )
+
+
+EMBEDDING_DRIFT_ORACLE = """
+WITH l AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE label < 5 AND embedding IS NOT NULL),
+r AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE label >= 5 AND embedding IS NOT NULL),
+la AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_left, AVG(v) AS ml,
+              VAR_SAMP(v) AS vl FROM l GROUP BY 1),
+ra AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_right, AVG(v) AS mr,
+              VAR_SAMP(v) AS vr FROM r GROUP BY 1)
+SELECT CAST(la.dim AS INTEGER) AS dim, n_left, n_right,
+       ROUND(ml, 6) AS mean_left, ROUND(mr, 6) AS mean_right,
+       ROUND(sqrt(vl), 6) AS std_left, ROUND(sqrt(vr), 6) AS std_right,
+       ROUND(CASE WHEN (vl + vr) / 2 > 0
+                  THEN (mr - ml) / sqrt((vl + vr) / 2) END, 6) AS smd
+FROM la JOIN ra ON la.dim = ra.dim
+"""
+
+
+def _q_platt_pinned(spark, sf_dir):
+    """quality.apply_calibration on PINNED Platt parameters over a
+    lineitem-derived score: the fit (iterated Newton on 1-row
+    aggregates) is pytest-held against an independent numpy reference;
+    the scoring path is per-row sigmoid arithmetic, bit-identical in
+    DuckDB."""
+    from getl_spark.functions import quality
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_discount") * 10 - 0.5).alias("s"),
+    )
+    return quality.apply_calibration(
+        li, {"a": 1.7, "b": -0.4}, "s", round_to=6
+    )
+
+
+PLATT_PINNED_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_discount * 10 - 0.5 AS s,
+       ROUND(1.0 / (1.0 + exp(-(1.7 * (l_discount * 10 - 0.5) - 0.4))), 6)
+         AS calibrated
+FROM lineitem
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8303,6 +8365,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash_pairs": _q_phash_pairs,
         "dedup_by_template": _q_dedup_by_template,
         "layout_hilbert_checksum": _q_hilbert_checksum,
+        "embedding_drift": _q_embedding_drift,
+        "quality_platt_pinned": _q_platt_pinned,
     }
 
 
@@ -8481,6 +8545,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "multimodal_phash_pairs": PHASH_PAIRS_ORACLE,
         "dedup_by_template": DEDUP_BY_TEMPLATE_ORACLE,
         "layout_hilbert_checksum": HILBERT_CHECKSUM_ORACLE,
+        "embedding_drift": EMBEDDING_DRIFT_ORACLE,
+        "quality_platt_pinned": PLATT_PINNED_ORACLE,
     }
 
 

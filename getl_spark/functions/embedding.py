@@ -720,3 +720,58 @@ def random_projection(
     return df.withColumn(
         out_col, F.when(vec.isNull(), F.lit(None)).otherwise(proj)
     )
+
+
+def drift(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension drift between two embedding snapshots — the
+    embedding-space analogue of ``stats.psi``: when the encoder, the
+    upstream corpus, or a preprocessing step shifts, individual
+    dimensions move first, and a monitoring job diffing yesterday's
+    batch against today's catches it before retrieval quality decays.
+    Returns one row per dimension: ``(dim, n_left, n_right, mean_left,
+    mean_right, std_left, std_right, smd)`` where ``smd`` is the
+    standardized mean difference (Cohen's d with pooled variance —
+    |smd| ≳ 0.1 on many dims means the space moved; NULL when the
+    pooled variance is 0). Sort by ``abs(smd)`` desc for the movers.
+
+    Scale shape: each side is one ``posexplode`` scan into a
+    dims-keyed partial aggregate — shuffle ∝ dimensions (64-4096
+    rows), never vectors — then a broadcast join on ``dim``. NULL
+    vectors are excluded; ragged dimensionalities show up as
+    mismatched ``n_left``/``n_right`` rather than an error (feed
+    through ``norm_stats`` first if that needs to fail loudly).
+    """
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.posexplode(vec_col).alias("dim", "__v"))
+            .groupBy("dim")
+            .agg(
+                F.count("*").cast("bigint").alias(f"n_{tag}"),
+                F.avg(F.col("__v").cast("double")).alias(f"__mean_{tag}"),
+                F.var_samp(F.col("__v").cast("double")).alias(f"__var_{tag}"),
+            )
+        )
+
+    joined = side(left, "left").join(F.broadcast(side(right, "right")), "dim")
+    pooled = (F.col("__var_left") + F.col("__var_right")) / 2
+    smd = F.when(
+        pooled > 0,
+        (F.col("__mean_right") - F.col("__mean_left")) / F.sqrt(pooled),
+    )
+    return joined.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_left",
+        "n_right",
+        F.round("__mean_left", round_to).alias("mean_left"),
+        F.round("__mean_right", round_to).alias("mean_right"),
+        F.round(F.sqrt("__var_left"), round_to).alias("std_left"),
+        F.round(F.sqrt("__var_right"), round_to).alias("std_right"),
+        F.round(smd, round_to).alias("smd"),
+    )

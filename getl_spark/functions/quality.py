@@ -226,3 +226,100 @@ def uncertainty_sample(
         F.abs(F.col(score_col) - F.lit(0.5)).asc(), F.col(id_col).asc()
     ).limit(max_rows)
     return df.join(queue.select(id_col, score_col), id_col, "inner")
+
+
+def platt_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    iters: int = 20,
+    smooth: bool = True,
+) -> dict:
+    """Fit Platt scaling — ``p = sigmoid(a * score + b)`` — so an
+    arbitrary ranking score (a heuristic quality signal, an external
+    classifier's margin, a reranker logit) becomes a calibrated
+    probability. The workflow this completes: ``stats.ece`` detects
+    miscalibration, ``platt_calibrate`` fixes it,
+    ``stats.reliability_bins`` verifies the fix. Returns a plain dict
+    ``{a, b, n, iters}`` for :func:`apply_calibration`.
+
+    Newton-Raphson on the 2-parameter logloss: every iteration is ONE
+    1-row aggregate over the (cached) scored frame — five sums build
+    the exact gradient and Hessian, the 2x2 solve happens driver-side
+    on constants. Driver state is two floats; the data never moves.
+    ``iters`` Newton steps on a convex 2-param objective is far past
+    convergence (quadratic once near the optimum — pytest asserts
+    grad-norm ~ 0 at exit). ``smooth`` applies Platt's original
+    t+ = (N+ + 1)/(N+ + 2), t- = 1/(N- + 2) target smoothing
+    (Platt 1999), which keeps a/b finite on perfectly separable
+    scores; labels must be 0/1 (loudly asserted, the ``stats.auc``
+    contract). Rows with NULL score or label are excluded.
+    """
+    import math
+
+    if iters < 1:
+        raise ValueError(f"platt_calibrate: iters must be >= 1, got {iters}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    guard = F.assert_true(
+        y.isin(0.0, 1.0),
+        F.lit("platt_calibrate: labels must be binary 0/1"),
+    )
+    base = (
+        df.where(s.isNotNull() & ~F.isnan(s) & y.isNotNull())
+        .select(
+            s.alias("__s"),
+            (y + F.coalesce(guard.cast("double"), F.lit(0.0))).alias("__y"),
+        )
+        .localCheckpoint()  # ~2*iters passes follow — pin, don't recompute
+    )
+    counts = base.agg(
+        F.count("*").alias("n"), F.sum("__y").alias("n_pos")
+    ).first()
+    n, n_pos = counts["n"], counts["n_pos"] or 0.0
+    if n == 0:
+        raise ValueError("platt_calibrate: no usable (score, label) rows")
+    n_neg = n - n_pos
+    if smooth:
+        t_pos = (n_pos + 1.0) / (n_pos + 2.0)
+        t_neg = 1.0 / (n_neg + 2.0)
+    else:
+        t_pos, t_neg = 1.0, 0.0
+    t = F.when(F.col("__y") > 0.5, F.lit(t_pos)).otherwise(F.lit(t_neg))
+    a, b = 0.0, math.log((n_pos + 1.0) / (n_neg + 1.0))
+    for _ in range(iters):
+        z = F.lit(a) * F.col("__s") + F.lit(b)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        w = p * (F.lit(1.0) - p)
+        g = base.agg(
+            F.sum((p - t) * F.col("__s")).alias("ga"),
+            F.sum(p - t).alias("gb"),
+            F.sum(w * F.col("__s") * F.col("__s")).alias("haa"),
+            F.sum(w * F.col("__s")).alias("hab"),
+            F.sum(w).alias("hbb"),
+        ).first()
+        det = g["haa"] * g["hbb"] - g["hab"] * g["hab"]
+        if det <= 1e-12:  # flat Hessian: constant scores — stop cleanly
+            break
+        a -= (g["hbb"] * g["ga"] - g["hab"] * g["gb"]) / det
+        b -= (g["haa"] * g["gb"] - g["hab"] * g["ga"]) / det
+    return {"a": a, "b": b, "n": int(n), "iters": iters}
+
+
+def apply_calibration(
+    df: DataFrame,
+    model: dict,
+    score_col: str,
+    new_col: str = "calibrated",
+    round_to: Optional[int] = None,
+) -> DataFrame:
+    """Score with a :func:`platt_calibrate` model — pure JVM sigmoid
+    expression, scan-speed, no shuffle; the two parameters travel as
+    literals. ``round_to`` pins output precision for oracle replay."""
+    z = F.lit(float(model["a"])) * F.col(score_col).cast("double") + F.lit(
+        float(model["b"])
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.withColumn(
+        new_col, p if round_to is None else F.round(p, round_to)
+    )

@@ -560,3 +560,53 @@ def test_random_projection_matches_reference_and_jl(spark):
         embedding.random_projection(df, out_dim=0)
     with pytest.raises(ValueError, match="hash_fn"):
         embedding.random_projection(df, hash_fn="sha")
+
+
+# --------------------------------------------------------------- drift
+def test_drift_matches_numpy_and_finds_shifted_dim(spark):
+    import numpy as np
+
+    from getl_spark.functions import embedding as E
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(200, 8).astype(np.float64)
+    shifted = rng.randn(150, 8).astype(np.float64)
+    shifted[:, 3] += 2.0  # dimension 3 drifts
+    l = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(base)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    r = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(shifted)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = {row.dim: row for row in E.drift(l, r).collect()}
+    assert len(out) == 8
+    for d in range(8):
+        ml, mr = base[:, d].mean(), shifted[:, d].mean()
+        vl = base[:, d].var(ddof=1)
+        vr = shifted[:, d].var(ddof=1)
+        row = out[d]
+        assert row.n_left == 200 and row.n_right == 150
+        assert abs(row.mean_left - ml) < 1e-6 and abs(row.mean_right - mr) < 1e-6
+        assert abs(row.smd - (mr - ml) / np.sqrt((vl + vr) / 2)) < 1e-5
+    movers = sorted(out.values(), key=lambda r: -abs(r.smd))
+    assert movers[0].dim == 3 and abs(movers[0].smd) > 1.5
+    assert all(abs(m.smd) < 0.5 for m in movers[1:])
+
+
+def test_drift_null_vectors_and_zero_variance(spark):
+    from getl_spark.functions import embedding as E
+
+    l = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [1.0, 7.0]), (3, None)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    r = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 4.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = {row.dim: row for row in E.drift(l, r).collect()}
+    assert out[0].n_left == 2  # null vector excluded
+    assert out[0].smd is None  # both sides constant on dim 0
+    assert out[1].smd is not None and out[1].smd < 0

@@ -214,3 +214,87 @@ def test_uncertainty_sample_orders_by_boundary_distance(spark):
         quality.uncertainty_sample(
             mixed.withColumn("quality_score", F.lit(1.0)), model
         )
+
+
+# ---------------------------------------------------------- platt scaling
+def _np_platt(scores, labels, iters=20, smooth=True):
+    """Independent numpy Newton reference of the same objective."""
+    import numpy as np
+
+    s = np.asarray(scores, dtype=float)
+    y = np.asarray(labels, dtype=float)
+    n_pos, n_neg = y.sum(), len(y) - y.sum()
+    if smooth:
+        t = np.where(y > 0.5, (n_pos + 1) / (n_pos + 2), 1.0 / (n_neg + 2))
+    else:
+        t = y
+    a, b = 0.0, np.log((n_pos + 1.0) / (n_neg + 1.0))
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(a * s + b)))
+        w = p * (1 - p)
+        ga, gb = ((p - t) * s).sum(), (p - t).sum()
+        haa, hab, hbb = (w * s * s).sum(), (w * s).sum(), w.sum()
+        det = haa * hbb - hab * hab
+        if det <= 1e-12:
+            break
+        a -= (hbb * ga - hab * gb) / det
+        b -= (haa * gb - hab * ga) / det
+    return a, b
+
+
+def test_platt_matches_numpy_reference(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    # miscalibrated scores: true p = sigmoid(2x - 1), reported score = x
+    x = rng.randn(600)
+    y = (rng.rand(600) < 1 / (1 + np.exp(-(2 * x - 1)))).astype(int)
+    from getl_spark.functions import quality as Q
+
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(x, y)], "s DOUBLE, y INT"
+    )
+    m = Q.platt_calibrate(df, "s", "y")
+    a_ref, b_ref = _np_platt(x, y)
+    assert abs(m["a"] - a_ref) < 1e-6 and abs(m["b"] - b_ref) < 1e-6
+    assert abs(m["a"] - 2.0) < 0.5 and abs(m["b"] - (-1.0)) < 0.5
+    # converged: one more Newton step barely moves
+    m2 = Q.platt_calibrate(df, "s", "y", iters=25)
+    assert abs(m["a"] - m2["a"]) < 1e-9
+
+
+def test_platt_improves_ece(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(8)
+    x = rng.rand(2000)  # "scores" already in [0,1] but miscalibrated
+    y = (rng.rand(2000) < np.clip(x * 0.3 + 0.1, 0, 1)).astype(int)
+    from getl_spark.functions import quality as Q, stats as S
+
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(x, y)], "s DOUBLE, y INT"
+    )
+    before = S.ece(df, "s", "y").first().ece
+    m = Q.platt_calibrate(df, "s", "y")
+    cal = Q.apply_calibration(df, m, "s")
+    after = S.ece(cal, "calibrated", "y").first().ece
+    assert after < before / 2  # calibration fixes what ece detected
+
+
+def test_platt_guards(spark):
+    import pytest as _pytest
+
+    from getl_spark.functions import quality as Q
+
+    bad = spark.createDataFrame([(0.5, 2)], "s DOUBLE, y INT")
+    with _pytest.raises(Exception, match="binary"):
+        Q.platt_calibrate(bad, "s", "y")
+    empty = spark.createDataFrame([], "s DOUBLE, y INT")
+    with _pytest.raises(ValueError, match="no usable"):
+        Q.platt_calibrate(empty, "s", "y")
+    # constant scores: flat Hessian exit, not a crash
+    const = spark.createDataFrame(
+        [(1.0, 0), (1.0, 1), (1.0, 1)], "s DOUBLE, y INT"
+    )
+    m = Q.platt_calibrate(const, "s", "y")
+    assert "a" in m and "b" in m
