@@ -7960,6 +7960,44 @@ FROM lineitem
 """
 
 
+def _q_bh_adjust(spark, sf_dir):
+    """stats.bh_adjust — BH FDR adjustment of a deterministic
+    pseudo-p column (Knuth-hash fraction of event_id, exact integer
+    arithmetic in both engines) per event type: distinct-p ranks and
+    the step-up reverse cummin both ride the distributed prefix scan;
+    the DuckDB oracle is the window-function replica."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "event_type",
+        (((F.col("event_id") * F.lit(2654435761)) % 1000000) / 1000000.0).alias("p"),
+    )
+    return stats.bh_adjust(ev, "p", q=0.05, group_by="event_type")
+
+
+BH_ADJUST_ORACLE = """
+WITH src AS (
+  SELECT event_id, event_type,
+         ((event_id * 2654435761) % 1000000) / 1000000.0 AS p
+  FROM events),
+d AS (SELECT event_type, p, CAST(COUNT(*) AS BIGINT) AS n
+      FROM src GROUP BY 1, 2),
+k AS (SELECT *, SUM(n) OVER (PARTITION BY event_type ORDER BY p) AS kk
+      FROM d),
+m AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS mm FROM d GROUP BY 1),
+r AS (SELECT k.event_type, p, CAST(m.mm AS DOUBLE) * p / kk AS raw
+      FROM k JOIN m USING (event_type)),
+a AS (SELECT event_type, p,
+             ROUND(LEAST(1.0, MIN(raw) OVER (PARTITION BY event_type
+                                             ORDER BY p DESC)), 6) AS p_adj
+      FROM r)
+SELECT s.event_id, s.event_type, s.p, a.p_adj,
+       a.p_adj <= 0.05 AS discovery
+FROM src s JOIN a ON s.event_type = a.event_type AND s.p = a.p
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8367,6 +8405,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_hilbert_checksum": _q_hilbert_checksum,
         "embedding_drift": _q_embedding_drift,
         "quality_platt_pinned": _q_platt_pinned,
+        "stats_bh_adjust": _q_bh_adjust,
     }
 
 
@@ -8547,6 +8586,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "layout_hilbert_checksum": HILBERT_CHECKSUM_ORACLE,
         "embedding_drift": EMBEDDING_DRIFT_ORACLE,
         "quality_platt_pinned": PLATT_PINNED_ORACLE,
+        "stats_bh_adjust": BH_ADJUST_ORACLE,
     }
 
 

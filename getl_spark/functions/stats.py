@@ -2489,3 +2489,81 @@ def cramers_v(
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
         F.round(v, round_to).alias("v"),
     )
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    q: float = 0.05,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment — the required follow-up once
+    :func:`ab_segments` (or any per-segment test) emits thousands of
+    p-values: at p < 0.05 a 10,000-segment scan hands you ~500 false
+    positives; BH caps the expected false-discovery RATE at ``q``
+    instead. Appends ``p_adj`` (the BH-adjusted p-value, monotone
+    step-up ``min(1, min_{j≥rank}(m·p_(j)/j))``) and ``discovery``
+    (``p_adj <= q``) to every input row; NULL p-values pass through
+    with NULL in both (excluded from ``m``). p-values outside [0, 1]
+    fail loudly — a z-score or logit sneaking into a p column is a
+    bug, not a result.
+
+    Scale shape: ranks come from per-distinct-p counts + one
+    distributed prefix sum, the step-up reverse cummin is a second
+    prefix scan (``fn='min'``) on the SAME distinct-p table in
+    descending order, and results rejoin on (group, p) — every
+    shuffle is ∝ distinct p-values, never a per-group window, so a
+    few-group/million-test scan keeps full parallelism (the
+    [[prefix-scan-family]] idiom).
+    """
+    from getl_spark.common.scale import grouped_prefix_scan, grouped_prefix_sum
+
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    p = F.col(p_col).cast("double")
+    guard = F.assert_true(
+        (p >= 0) & (p <= 1),
+        F.lit("bh_adjust: p-values must be in [0, 1]"),
+    )
+    base = df.where(p.isNotNull() & ~F.isnan(p)).select(
+        *keys,
+        (p + F.coalesce(guard.cast("double"), F.lit(0.0))).alias("__p"),
+    )
+    counts = base.groupBy(*keys, "__p").agg(
+        F.count("*").cast("bigint").alias("__n")
+    )
+    # inclusive cumsum of tied-block sizes = the LARGEST rank of each
+    # tied p (the index BH uses for ties)
+    ranked = grouped_prefix_sum(counts, keys, ["__p"], "__n", "__k")
+    m = counts.groupBy(*keys).agg(F.sum("__n").cast("bigint").alias("__m"))
+    if keys:
+        ranked = ranked.join(F.broadcast(m), keys)
+    else:
+        ranked = ranked.join(F.broadcast(m))
+    ranked = ranked.withColumn(
+        "__raw", F.col("__m").cast("double") * F.col("__p") / F.col("__k")
+    ).withColumn("__negp", -F.col("__p"))
+    # step-up: running min of raw from the largest p downward
+    adj = grouped_prefix_scan(
+        ranked, keys, ["__negp"], "__raw", "__adj", fn="min", inclusive=True
+    )
+    adj = adj.select(
+        *keys,
+        "__p",
+        F.round(F.least(F.lit(1.0), F.col("__adj")), round_to).alias("p_adj"),
+    )
+    joined = df.join(
+        adj,
+        [F.col(p_col).cast("double").eqNullSafe(F.col("__p"))]
+        + [df[k].eqNullSafe(adj[k]) for k in keys],
+        "left",
+    )
+    return joined.select(
+        *[df[c] for c in df.columns],
+        "p_adj",
+        (F.col("p_adj") <= F.lit(float(q))).alias("discovery"),
+    )

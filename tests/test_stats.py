@@ -1488,3 +1488,72 @@ def test_cramers_v_independent_determined_and_degenerate(spark):
     )
     out = {r.g: r for r in S.cramers_v(grp, "a", "b", group_by="g").collect()}
     assert out["g1"].v == 1.0 and out["g2"].v == 0.0
+
+
+# -------------------------------------------------------------- bh_adjust
+def _np_bh(ps):
+    """Independent reference: statsmodels-style BH adjusted p-values."""
+    import numpy as np
+
+    p = np.asarray(ps, dtype=float)
+    m = len(p)
+    order = np.argsort(p, kind="mergesort")
+    ranked = p[order] * m / (np.arange(m) + 1)
+    adj = np.minimum.accumulate(ranked[::-1])[::-1]
+    out = np.empty(m)
+    out[order] = np.minimum(adj, 1.0)
+    return out
+
+
+def test_bh_adjust_matches_reference(spark):
+    import numpy as np
+
+    from getl_spark.functions import stats as S
+
+    rng = np.random.RandomState(6)
+    # mix of true nulls (uniform) and signals (tiny p), with ties
+    ps = np.concatenate(
+        [rng.rand(300).round(3), rng.rand(20) * 1e-4, [0.5, 0.5, 0.5]]
+    )
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(ps)], "test_id LONG, p DOUBLE"
+    )
+    out = {r.test_id: r for r in S.bh_adjust(df, "p", q=0.05).collect()}
+    ref = _np_bh(ps)
+    assert len(out) == len(ps)
+    for i, v in enumerate(ps):
+        assert abs(out[i].p_adj - round(min(ref[i], 1.0), 6)) < 5e-7, i
+        assert out[i].discovery == (out[i].p_adj <= 0.05)
+    # all planted signals discovered, vast majority of nulls not
+    assert all(out[i].discovery for i in range(300, 320))
+    assert sum(out[i].discovery for i in range(300)) < 15
+
+
+def test_bh_adjust_grouped_nulls_and_guard(spark):
+    import pytest as _pytest
+
+    from getl_spark.functions import stats as S
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0.01),
+            ("a", 0.02),
+            ("a", 0.9),
+            ("b", 0.04),
+            ("b", None),
+        ],
+        "g STRING, p DOUBLE",
+    )
+    out = S.bh_adjust(df, "p", q=0.05, group_by="g").collect()
+    rows = {(r.g, r.p): r for r in out}
+    # group a: m=3 -> adj = min over step-up: 0.01*3/1=.03, .02*3/2=.03, .9
+    assert rows[("a", 0.01)].p_adj == 0.03 and rows[("a", 0.01)].discovery
+    assert rows[("a", 0.02)].p_adj == 0.03 and rows[("a", 0.02)].discovery
+    assert rows[("a", 0.9)].p_adj == 0.9 and not rows[("a", 0.9)].discovery
+    # group b independent: m=1
+    assert rows[("b", 0.04)].p_adj == 0.04 and rows[("b", 0.04)].discovery
+    nullrow = rows[("b", None)]
+    assert nullrow.p_adj is None and nullrow.discovery is None
+    bad = spark.createDataFrame([("x", 1.5)], "g STRING, p DOUBLE")
+    with _pytest.raises(Exception, match="0, 1"):
+        S.bh_adjust(bad, "p").collect()
