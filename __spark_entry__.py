@@ -7998,6 +7998,67 @@ FROM src s JOIN a ON s.event_type = a.event_type AND s.p = a.p
 """
 
 
+def _q_wilcoxon(spark, sf_dir):
+    """stats.wilcoxon — paired signed-rank test between the max
+    odd-linenumber and max even-linenumber quantity of each order
+    (integer-valued quantities exercise the midrank tie machinery and
+    the zero-discard convention for real): per-|d| counts + the
+    distributed prefix sum over |d| order, never a row-level global
+    sort; the zero-pair count attaches as a 1-row broadcast."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.when(F.col("l_linenumber") % 2 == 1, F.col("l_quantity"))
+        ).alias("odd_qty"),
+        F.max(
+            F.when(F.col("l_linenumber") % 2 == 0, F.col("l_quantity"))
+        ).alias("even_qty"),
+    )
+    return stats.wilcoxon(pairs, "odd_qty", "even_qty")
+
+
+WILCOXON_ORACLE = """
+WITH pairs AS (
+  SELECT CAST(MAX(CASE WHEN l_linenumber % 2 = 1 THEN l_quantity END)
+              AS DOUBLE) AS a,
+         CAST(MAX(CASE WHEN l_linenumber % 2 = 0 THEN l_quantity END)
+              AS DOUBLE) AS b
+  FROM lineitem GROUP BY l_orderkey),
+d AS (SELECT a - b AS d FROM pairs WHERE a IS NOT NULL AND b IS NOT NULL),
+nz AS (SELECT CAST(COUNT(*) FILTER (WHERE d = 0) AS BIGINT) AS n_zeros FROM d),
+counts AS (
+  SELECT ABS(d) AS ad, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(COUNT(*) FILTER (WHERE d > 0) AS BIGINT) AS npos
+  FROM d WHERE d <> 0 GROUP BY 1),
+cum AS (SELECT t, npos, SUM(t) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counts),
+agg AS (
+  SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(SUM(npos * ((cum - t) + (t + 1) / 2.0)), 0)
+              AS DOUBLE) AS w_plus,
+         CAST(COALESCE(SUM(POWER(t, 3) - t), 0) AS DOUBLE) AS ties
+  FROM cum),
+z AS (
+  SELECT n_pairs, n_zeros, w_plus,
+         CASE WHEN n_pairs * (n_pairs + 1.0) * (2 * n_pairs + 1.0) / 24.0
+                   - ties / 48.0 > 0
+              THEN (w_plus - n_pairs * (n_pairs + 1.0) / 4.0) /
+                   sqrt(n_pairs * (n_pairs + 1.0) * (2 * n_pairs + 1.0) / 24.0
+                        - ties / 48.0)
+         END AS zv
+  FROM agg, nz)
+SELECT n_pairs, n_zeros, ROUND(w_plus, 6) AS w_plus, ROUND(zv, 6) AS z,
+       ROUND((0.254829592 * tt - 0.284496736 * POWER(tt, 2)
+              + 1.421413741 * POWER(tt, 3) - 1.453152027 * POWER(tt, 4)
+              + 1.061405429 * POWER(tt, 5)) * exp(-(x * x)), 6) AS p_value
+FROM (SELECT *, abs(zv) / sqrt(2.0) AS x,
+             1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS tt
+      FROM z)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8406,6 +8467,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": _q_embedding_drift,
         "quality_platt_pinned": _q_platt_pinned,
         "stats_bh_adjust": _q_bh_adjust,
+        "stats_wilcoxon": _q_wilcoxon,
     }
 
 
@@ -8587,6 +8649,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "embedding_drift": EMBEDDING_DRIFT_ORACLE,
         "quality_platt_pinned": PLATT_PINNED_ORACLE,
         "stats_bh_adjust": BH_ADJUST_ORACLE,
+        "stats_wilcoxon": WILCOXON_ORACLE,
     }
 
 

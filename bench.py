@@ -109,6 +109,7 @@ DETAIL_QUERIES = [
     "dedup_by_template",
     "embedding_drift",
     "stats_bh_adjust",
+    "stats_wilcoxon",
 ]
 
 RUNS = 3

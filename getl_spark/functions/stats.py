@@ -1387,6 +1387,73 @@ def mann_whitney(
     )
 
 
+def wilcoxon(
+    df: DataFrame,
+    left_col: str,
+    right_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED columns of one table — the
+    paired complement to ``mann_whitney``: each row carries both
+    measurements of one unit (the same prompt scored by two models,
+    the same doc before/after a cleaning pass), so between-unit
+    variance cancels and only the within-pair differences are ranked.
+    Output is one row ``(n_pairs, n_zeros, w_plus, z, p_value)``:
+    ``w_plus`` the sum of |difference| midranks where left > right,
+    ``n_zeros`` the discarded exact-tie pairs (Wilcoxon's zero-discard
+    convention — documented, matches scipy's ``zero_method='wilcox'``),
+    ``z`` the tie-corrected normal approximation and ``p_value``
+    two-sided (no continuity correction, like ``mann_whitney``).
+
+    Exact at any scale with no global row sort: pairs reduce to
+    per-|d| counts (shuffle ∝ distinct |difference| values), the
+    midrank of each tie group comes from the DISTRIBUTED prefix sum
+    over |d| order, and the tie term ``Σ(t³−t)`` folds into the same
+    pass; the zero-pair count attaches as a 1-row broadcast.
+    """
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    d = (
+        df.select(
+            F.col(left_col).cast("double").alias("a"),
+            F.col(right_col).cast("double").alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .select((F.col("a") - F.col("b")).alias("d"))
+    )
+    counts = d.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("bigint").alias("npos"),
+    )
+    zeros = counts.where(F.col("ad") == 0).agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_zeros")
+    )
+    cum = grouped_prefix_sum(counts.where(F.col("ad") > 0), [], ["ad"], "t", "cum")
+    midrank = (F.col("cum") - F.col("t")) + (F.col("t") + F.lit(1)) / F.lit(2.0)
+    agg = cum.select(
+        "t",
+        (F.col("npos") * midrank).alias("w_part"),
+        (F.col("t") ** 3 - F.col("t")).alias("tie_part"),
+    ).agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("w_part"), F.lit(0.0)).cast("double").alias("w_plus"),
+        F.coalesce(F.sum("tie_part"), F.lit(0.0)).cast("double").alias("ties"),
+    )
+    n = F.col("n_pairs").cast("double")
+    mu = n * (n + 1) / F.lit(4.0)
+    var = n * (n + 1) * (2 * n + 1) / F.lit(24.0) - F.col("ties") / F.lit(48.0)
+    z = F.when(var > 0, (F.col("w_plus") - mu) / F.sqrt(var))
+    # zeros is a 1-row aggregate: the cross join is a broadcast of a
+    # single row onto the 1-row agg (whitelisted in the plan lint)
+    return agg.crossJoin(F.broadcast(zeros)).select(
+        "n_pairs",
+        "n_zeros",
+        F.round("w_plus", round_to).alias("w_plus"),
+        F.round(z, round_to).alias("z"),
+        F.round(_normal_two_sided_p(z), round_to).alias("p_value"),
+    )
+
+
 def auc(
     df: DataFrame,
     score_col: str,

@@ -659,6 +659,73 @@ def test_mann_whitney_degenerate_sides(spark):
     assert r2["z"] is None
 
 
+def _ref_wilcoxon(pairs):
+    """Plain-python signed-rank reference: sort-based midranks over
+    the non-zero |differences|, textbook tie-corrected variance."""
+    import bisect
+
+    ds = [a - b for a, b in pairs if a is not None and b is not None]
+    n_zeros = sum(1 for x in ds if x == 0)
+    ds = [x for x in ds if x != 0]
+    n = len(ds)
+    ads = sorted(abs(x) for x in ds)
+    def midrank(v):
+        lo = bisect.bisect_left(ads, v)
+        hi = bisect.bisect_right(ads, v)
+        return (lo + hi + 1) / 2.0
+    w_plus = sum(midrank(abs(x)) for x in ds if x > 0)
+    from collections import Counter
+    ties = sum(t**3 - t for t in Counter(ads).values())
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+    z = (w_plus - n * (n + 1) / 4.0) / var**0.5 if var > 0 else None
+    return n, n_zeros, w_plus, z
+
+
+def test_wilcoxon_matches_rank_reference(spark):
+    """w_plus and the tie-corrected z match a sort-based reference on
+    tie-heavy integer pairs with zeros and nulls; a real paired shift
+    is detected; a symmetric difference is not."""
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(11)
+    # integer-valued pairs: exact ties, zero pairs, and some nulls
+    pairs = [
+        (float(rnd.randint(0, 12)), float(rnd.randint(0, 10)))
+        for _ in range(400)
+    ]
+    pairs += [(3.0, 3.0)] * 7 + [(None, 1.0), (2.0, None), (None, None)]
+    df = spark.createDataFrame(pairs, "a DOUBLE, b DOUBLE")
+    r = stats.wilcoxon(df, "a", "b").collect()[0]
+    n, n_zeros, w_plus, z = _ref_wilcoxon(pairs)
+    assert (r["n_pairs"], r["n_zeros"]) == (n, n_zeros)
+    assert r["w_plus"] == pytest.approx(w_plus)
+    assert r["z"] == pytest.approx(round(z, 6), abs=1e-6)
+    assert r["p_value"] < 0.01  # +1 median shift on 400 pairs
+
+    # hand-checkable: d = [+1, +1, -2] -> |d| ranks {1:1.5, 2:3};
+    # w_plus = 3.0, ties = 2^3-2 = 6, var = 3*4*7/24 - 6/48 = 3.375
+    small = spark.createDataFrame(
+        [(2.0, 1.0), (5.0, 4.0), (1.0, 3.0)], "a DOUBLE, b DOUBLE"
+    )
+    r2 = stats.wilcoxon(small, "a", "b").collect()[0]
+    assert (r2["n_pairs"], r2["n_zeros"], r2["w_plus"]) == (3, 0, 3.0)
+    assert r2["z"] == pytest.approx(round((3.0 - 3.0) / 3.375**0.5, 6))
+
+    # no shift: identical columns -> every pair is a zero, NULL z
+    same = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0)], "a DOUBLE, b DOUBLE")
+    r3 = stats.wilcoxon(same, "a", "b").collect()[0]
+    assert (r3["n_pairs"], r3["n_zeros"]) == (0, 2)
+    assert r3["z"] is None and r3["p_value"] is None
+
+    # empty input -> zero counts, NULL test stats
+    empty = spark.createDataFrame([], "a DOUBLE, b DOUBLE")
+    r4 = stats.wilcoxon(empty, "a", "b").collect()[0]
+    assert (r4["n_pairs"], r4["n_zeros"]) == (0, 0)
+    assert r4["z"] is None
+
+
 def test_auc_matches_pairwise_definition(spark):
     """AUC equals the exhaustive P(s+ > s-) + 0.5*P(s+ = s-) over all
     pos/neg pairs, with heavy ties and per-group splits."""
