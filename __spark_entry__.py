@@ -8059,6 +8059,80 @@ FROM (SELECT *, abs(zv) / sqrt(2.0) AS x,
 """
 
 
+def _q_permutation_test(spark, sf_dir):
+    """stats.permutation_test — assumption-free A/B p-value between
+    even- and odd-keyed lineitem quantity (integer-valued metric keeps
+    every replicate sum exact in a double, so the tail comparison is
+    bit-identical across engines); md5 hash path so the deterministic
+    binomial relabeling replays in DuckDB; explode ×100 with map-side
+    per-replicate partial aggregation."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit("c"))
+        .otherwise(F.lit("t"))
+        .alias("arm"),
+    )
+    return stats.permutation_test(
+        li,
+        "arm",
+        "l_quantity",
+        ["l_orderkey", "l_linenumber"],
+        control="c",
+        treatment="t",
+        n_perm=100,
+        seed=42,
+        hash_fn="md5",
+    )
+
+
+PERMUTATION_TEST_ORACLE = """
+WITH rows_ AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE 1 END AS is_t,
+         l_orderkey, l_linenumber
+  FROM lineitem WHERE l_quantity IS NOT NULL),
+obs AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE is_t = 0) AS BIGINT) AS n_control,
+         CAST(COUNT(*) FILTER (WHERE is_t = 1) AS BIGINT) AS n_treatment,
+         SUM(x) FILTER (WHERE is_t = 1)
+           / COUNT(*) FILTER (WHERE is_t = 1)
+         - SUM(x) FILTER (WHERE is_t = 0)
+           / COUNT(*) FILTER (WHERE is_t = 0) AS obs_diff,
+         COUNT(*) FILTER (WHERE is_t = 1)
+           / CAST(COUNT(*) AS DOUBLE) AS frac_t
+  FROM rows_),
+reps AS (SELECT unnest(generate_series(0, 99)) AS bb),
+drawn AS (
+  SELECT bb,
+         ('0x' || substr(md5(concat_ws(':', '42', CAST(bb AS VARCHAR),
+              CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))),
+              1, 8))::BIGINT / 4294967296.0
+           < (SELECT frac_t FROM obs) AS t_arm,
+         x
+  FROM rows_, reps),
+diffs AS (
+  SELECT SUM(x) FILTER (WHERE t_arm) / COUNT(*) FILTER (WHERE t_arm)
+       - SUM(x) FILTER (WHERE NOT t_arm) / COUNT(*) FILTER (WHERE NOT t_arm)
+         AS diff_b
+  FROM drawn GROUP BY bb
+  HAVING COUNT(*) FILTER (WHERE t_arm) > 0
+     AND COUNT(*) FILTER (WHERE NOT t_arm) > 0),
+tail AS (
+  SELECT CAST(COUNT(*) AS INTEGER) AS n_perm,
+         CAST(COUNT(*) FILTER (
+           WHERE ABS(diff_b) >= ABS((SELECT obs_diff FROM obs))) AS BIGINT) AS ge
+  FROM diffs)
+SELECT obs.n_control, obs.n_treatment, tail.n_perm,
+       ROUND(obs.obs_diff, 6) AS obs_diff,
+       ROUND((1 + tail.ge) / CAST(1 + tail.n_perm AS DOUBLE), 6) AS p_value
+FROM obs, tail
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8468,6 +8542,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_platt_pinned": _q_platt_pinned,
         "stats_bh_adjust": _q_bh_adjust,
         "stats_wilcoxon": _q_wilcoxon,
+        "stats_permutation_test": _q_permutation_test,
     }
 
 
@@ -8650,6 +8725,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "quality_platt_pinned": PLATT_PINNED_ORACLE,
         "stats_bh_adjust": BH_ADJUST_ORACLE,
         "stats_wilcoxon": WILCOXON_ORACLE,
+        "stats_permutation_test": PERMUTATION_TEST_ORACLE,
     }
 
 

@@ -110,6 +110,7 @@ DETAIL_QUERIES = [
     "embedding_drift",
     "stats_bh_adjust",
     "stats_wilcoxon",
+    "stats_permutation_test",
 ]
 
 RUNS = 3

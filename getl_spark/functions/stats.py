@@ -1219,6 +1219,173 @@ def bootstrap_ci(
     )
 
 
+def permutation_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols,
+    control: str,
+    treatment: str,
+    n_perm: int = 200,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    round_to: int = 6,
+) -> DataFrame:
+    """Permutation (randomization) test for the mean difference
+    between two arms — the assumption-free companion to
+    ``ab_compare``'s normal z-test and ``mann_whitney``'s rank test:
+    the p-value is the fraction of random relabelings whose mean
+    difference is at least as extreme as the observed one, so it is
+    valid for skewed, heavy-tailed, or lumpy metrics where the normal
+    approximation is shaky and does not reduce the data to ranks.
+
+    Relabeling is the UNCONDITIONAL (binomial) variant: in replicate
+    ``b`` each row is independently assigned to the treatment
+    pseudo-arm with probability n_t/(n_t+n_c), from a deterministic
+    hash of (seed, b, id) — no RNG state, bit-reproducible across
+    retries and cluster sizes. Textbook permutation fixes the arm
+    sizes exactly; conditioning on sizes requires a per-replicate
+    global rank (n_perm extra shuffles), and for the sample sizes a
+    corpus A/B test has, the binomial and fixed-size null
+    distributions are indistinguishable — documented trade, same
+    family as the Poisson bootstrap. The p-value uses the standard
+    +1 correction: ``(1 + #{|diff_b| >= |obs|}) / (1 + m)`` over the
+    ``m`` replicates where both pseudo-arms are non-empty, so it is
+    never exactly 0.
+
+    Output is ONE row: ``(n_control, n_treatment, n_perm, obs_diff,
+    p_value)`` with ``obs_diff = mean(treatment) - mean(control)``
+    and ``n_perm`` the effective replicate count m.
+
+    ``hash_fn='xxhash64'`` is the fast JVM path; ``'md5'`` is
+    replicable outside Spark (the DuckDB oracle). Integer-valued
+    metric columns keep every replicate sum exact in a double, so the
+    tail comparison is bit-identical across engines; fractional
+    metrics are deterministic within Spark but the last-ulp boundary
+    replicate could differ across engines.
+
+    Scale shape: identical to ``bootstrap_ci`` — the ×n_perm explode
+    happens before the shuffle but per-replicate aggregation completes
+    map-side, so the exchange carries n_perm × #partitions partial
+    rows; the observed 1-row aggregate attaches as a broadcast on both
+    sides (arm fraction in, tail comparison out). Size ``n_perm`` to
+    the metric table being tested, not a full corpus scan.
+    """
+    if not id_cols:
+        raise ValueError("permutation_test: id_cols must be non-empty")
+    if n_perm < 10:
+        raise ValueError(
+            f"permutation_test: n_perm must be >= 10, got {n_perm}"
+        )
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"permutation_test: unknown hash_fn '{hash_fn}' (xxhash64|md5)"
+        )
+    from getl_spark.common.scale import parallelize
+
+    g = F.col(group_col)
+    rows = parallelize(
+        df.where(
+            g.isin([control, treatment]) & F.col(value_col).isNotNull()
+        ).select(
+            g.alias("__pt_g"),
+            F.col(value_col).cast("double").alias("__pt_x"),
+            *[F.col(c) for c in id_cols],
+        )
+    )
+    is_t = F.col("__pt_g") == treatment
+    obs = rows.agg(
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("bigint").alias("n_control"),
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("n_treatment"),
+        F.sum(F.when(~is_t, F.col("__pt_x"))).cast("double").alias("__pt_sc"),
+        F.sum(F.when(is_t, F.col("__pt_x"))).cast("double").alias("__pt_st"),
+    )
+    guard = F.assert_true(
+        (F.col("n_control") > 0) & (F.col("n_treatment") > 0),
+        F.lit("permutation_test: an arm is empty"),
+    )
+    # divisions gated behind the guard so ANSI divide-by-zero can't
+    # preempt the guard's message
+    obs = obs.select(
+        F.when(guard.isNull(), F.col("n_control")).alias("n_control"),
+        "n_treatment",
+        F.when(
+            (F.col("n_control") > 0) & (F.col("n_treatment") > 0),
+            F.col("__pt_st") / F.col("n_treatment")
+            - F.col("__pt_sc") / F.col("n_control"),
+        ).alias("obs_diff"),
+        (
+            F.col("n_treatment")
+            / (F.col("n_treatment") + F.col("n_control")).cast("double")
+        ).alias("__pt_frac"),
+    )
+    b = F.col("__pt_b")
+    id_exprs = [F.col(c) for c in id_cols]
+    if hash_fn == "xxhash64":
+        u = F.pmod(
+            F.xxhash64(*id_exprs, b, F.lit(seed)), F.lit(1_000_000)
+        ) / F.lit(1_000_000.0)
+    else:
+        u = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(seed)),
+                        b.cast("string"),
+                        *[e.cast("string") for e in id_exprs],
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint") / F.lit(4294967296.0)
+    exploded = (
+        rows.crossJoin(F.broadcast(obs.select("__pt_frac")))
+        .withColumn("__pt_b", F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))))
+        .select(
+            b.alias("__pt_b"),
+            (u < F.col("__pt_frac")).alias("__pt_t"),
+            "__pt_x",
+        )
+    )
+    reps = (
+        exploded.groupBy("__pt_b")
+        .agg(
+            F.sum(F.when(F.col("__pt_t"), 1).otherwise(0)).alias("nt"),
+            F.sum(F.when(~F.col("__pt_t"), 1).otherwise(0)).alias("nc"),
+            F.sum(F.when(F.col("__pt_t"), F.col("__pt_x"))).alias("st"),
+            F.sum(F.when(~F.col("__pt_t"), F.col("__pt_x"))).alias("sc"),
+        )
+        .select(
+            F.when(
+                (F.col("nt") > 0) & (F.col("nc") > 0),
+                F.col("st") / F.col("nt") - F.col("sc") / F.col("nc"),
+            ).alias("diff_b")
+        )
+        .where(F.col("diff_b").isNotNull())
+    )
+    tail = reps.crossJoin(F.broadcast(obs.select("obs_diff"))).agg(
+        F.count("*").cast("int").alias("n_perm"),
+        F.sum(
+            F.when(F.abs(F.col("diff_b")) >= F.abs(F.col("obs_diff")), 1).otherwise(0)
+        ).cast("bigint").alias("__pt_ge"),
+    )
+    return obs.crossJoin(F.broadcast(tail)).select(
+        "n_control",
+        "n_treatment",
+        "n_perm",
+        F.round("obs_diff", round_to).alias("obs_diff"),
+        F.round(
+            (F.lit(1) + F.col("__pt_ge"))
+            / (F.lit(1) + F.col("n_perm")).cast("double"),
+            round_to,
+        ).alias("p_value"),
+    )
+
+
 def trimmed_mean(
     df: DataFrame,
     value_col: str,

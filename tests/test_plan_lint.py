@@ -45,6 +45,8 @@ NESTED_LOOP_WHITELIST = {
     "stats_mutual_info": "1-row grand-total broadcast",
     "stats_bootstrap_ci": "1-row base-stats x 1-row bounds broadcast",
     "stats_wilcoxon": "1-row zero-pair count broadcast onto the 1-row agg",
+    "stats_permutation_test": "1-row observed-stats broadcast (arm "
+    "fraction in, tail comparison out)",
     "stats_trimmed_mean": "1-row total-count (and winsor bounds) broadcast",
     "text_unigram_logprob": "1-row vocab-total broadcast",
     "text_logprob_buckets": "1-row vocab-total broadcast",

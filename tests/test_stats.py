@@ -659,6 +659,79 @@ def test_mann_whitney_degenerate_sides(spark):
     assert r2["z"] is None
 
 
+def test_permutation_test_matches_md5_reference(spark):
+    """The md5 hash path replays exactly in plain python: replicate
+    relabelings, tail count, +1-corrected p, and the effective
+    replicate count all match; a planted shift is detected."""
+    import hashlib
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(3)
+    rows = [
+        (
+            i,
+            "t" if i % 2 == 0 else "c",
+            float(rnd.randint(0, 20) + (4 if i % 2 == 0 else 0)),
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, g STRING, x DOUBLE")
+    r = stats.permutation_test(
+        df, "g", "x", ["id"], control="c", treatment="t",
+        n_perm=50, seed=7, hash_fn="md5",
+    ).collect()[0]
+
+    n_t = sum(1 for _, g, _ in rows if g == "t")
+    n_c = len(rows) - n_t
+    obs = (
+        sum(x for _, g, x in rows if g == "t") / n_t
+        - sum(x for _, g, x in rows if g == "c") / n_c
+    )
+    frac = n_t / (n_t + n_c)
+
+    def u(b, i):
+        h = hashlib.md5(f"7:{b}:{i}".encode()).hexdigest()[:8]
+        return int(h, 16) / 4294967296.0
+
+    m = ge = 0
+    for b in range(50):
+        t_vals = [x for i, _, x in rows if u(b, i) < frac]
+        c_vals = [x for i, _, x in rows if not u(b, i) < frac]
+        if t_vals and c_vals:
+            m += 1
+            d = sum(t_vals) / len(t_vals) - sum(c_vals) / len(c_vals)
+            if abs(d) >= abs(obs):
+                ge += 1
+    assert (r["n_control"], r["n_treatment"]) == (n_c, n_t)
+    assert r["n_perm"] == m
+    assert r["obs_diff"] == pytest.approx(round(obs, 6))
+    assert r["p_value"] == pytest.approx(round((1 + ge) / (1 + m), 6))
+    assert r["p_value"] < 0.1  # +4 planted shift on 30v30
+
+    # no shift: identical value distribution in both arms -> large p
+    null_rows = [(i, "t" if i % 2 == 0 else "c", float(i // 2 % 10)) for i in range(80)]
+    r2 = stats.permutation_test(
+        spark.createDataFrame(null_rows, "id BIGINT, g STRING, x DOUBLE"),
+        "g", "x", ["id"], control="c", treatment="t", n_perm=50, seed=7,
+    ).collect()[0]
+    assert r2["p_value"] > 0.1
+
+    # guards: empty arm fails loud; bad params raise
+    only_t = spark.createDataFrame([(1, "t", 1.0)], "id BIGINT, g STRING, x DOUBLE")
+    with pytest.raises(Exception, match="arm is empty"):
+        stats.permutation_test(
+            only_t, "g", "x", ["id"], control="c", treatment="t"
+        ).collect()
+    with pytest.raises(ValueError, match="id_cols"):
+        stats.permutation_test(only_t, "g", "x", [], control="c", treatment="t")
+    with pytest.raises(ValueError, match="n_perm"):
+        stats.permutation_test(
+            only_t, "g", "x", ["id"], control="c", treatment="t", n_perm=5
+        )
+
+
 def _ref_wilcoxon(pairs):
     """Plain-python signed-rank reference: sort-based midranks over
     the non-zero |differences|, textbook tie-corrected variance."""
