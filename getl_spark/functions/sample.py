@@ -174,6 +174,12 @@ def split(
     (its assignment shifts when partitioning changes). Disjointness
     and exhaustiveness hold by construction: one hash, adjacent
     half-open intervals.
+
+    For a LEAKAGE-FREE grouped split (all documents of one site /
+    conversation / author on the same side — the standard guard
+    against train/test contamination), pass the GROUP key as
+    ``id_cols`` (e.g. ``["host"]``): every row of a group hashes
+    identically, so the whole group lands in one bucket.
     """
     if not fractions:
         raise ValueError("split: need at least one named fraction")
