@@ -8133,6 +8133,53 @@ FROM obs, tail
 """
 
 
+def _q_shingle_profile(spark, sf_dir):
+    """dedup.shingle_profile — document-frequency profile of the
+    ``documents`` corpus's word-trigram shingles: power-of-two df
+    buckets with candidate-pair mass and cumulative share, the
+    pre-join sizing diagnostic for every inverted-index dedup's
+    ``max_df``. Bucket index is the binary-length integer identity
+    (bit-identical across engines where floor(log2) can misround);
+    one shingle-keyed shuffle + prefix-scan cumulative share."""
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.shingle_profile(docs, id_col="doc_id", text_col="text", n=3)
+
+
+SHINGLE_PROFILE_ORACLE = """
+WITH shingled AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+           AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+        FROM documents) t),
+dfreq AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS dfreq
+  FROM shingled GROUP BY shingle),
+buckets AS (
+  SELECT CAST(LENGTH(bin(dfreq)) - 1 AS INTEGER) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(dfreq) AS BIGINT) AS posting_rows,
+         CAST(SUM(CAST(dfreq AS DOUBLE) * (dfreq - 1) / 2.0) AS DOUBLE)
+           AS pair_mass
+  FROM dfreq GROUP BY 1),
+cum AS (
+  SELECT *,
+         SUM(pair_mass) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+           AS cum_pairs,
+         SUM(pair_mass) OVER () AS total
+  FROM buckets)
+SELECT CAST((1::BIGINT << bucket) AS BIGINT) AS df_lo,
+       CAST((1::BIGINT << (bucket + 1)) - 1 AS BIGINT) AS df_hi,
+       n_shingles, posting_rows, pair_mass,
+       ROUND(CASE WHEN total > 0 THEN cum_pairs / total END, 6)
+         AS cum_pair_frac
+FROM cum
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8543,6 +8590,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_bh_adjust": _q_bh_adjust,
         "stats_wilcoxon": _q_wilcoxon,
         "stats_permutation_test": _q_permutation_test,
+        "dedup_shingle_profile": _q_shingle_profile,
     }
 
 
@@ -8726,6 +8774,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_bh_adjust": BH_ADJUST_ORACLE,
         "stats_wilcoxon": WILCOXON_ORACLE,
         "stats_permutation_test": PERMUTATION_TEST_ORACLE,
+        "dedup_shingle_profile": SHINGLE_PROFILE_ORACLE,
     }
 
 

@@ -111,6 +111,7 @@ DETAIL_QUERIES = [
     "stats_bh_adjust",
     "stats_wilcoxon",
     "stats_permutation_test",
+    "dedup_shingle_profile",
 ]
 
 RUNS = 3

@@ -238,6 +238,84 @@ def containment_pairs(
     )
 
 
+def shingle_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Document-frequency profile of the corpus's word-n-gram shingles
+    — the pre-join diagnostic for sizing ``max_df`` BEFORE running any
+    inverted-index self-join (``ngram_jaccard``, ``containment_pairs``,
+    ``fuzzy_join``): a shingle appearing in ``d`` documents generates
+    ``d·(d−1)/2`` candidate pairs, so a handful of boilerplate
+    shingles can dominate the entire join. One row per power-of-two
+    df bucket: ``(df_lo, df_hi, n_shingles, posting_rows, pair_mass,
+    cum_pair_frac)`` where ``pair_mass`` is the candidate pairs that
+    bucket's shingles would emit and ``cum_pair_frac`` the cumulative
+    share from the rarest buckets up — read it as "``max_df = df_hi``
+    keeps this fraction of the self-join's work". Run at a sampled SF
+    first; the df distribution's SHAPE (Zipf tail) is what transfers.
+
+    Bucket index is ``len(bin(df)) - 1`` — pure integer arithmetic,
+    bit-identical across engines (``floor(log2 d)`` can misround at
+    exact powers of two when log2 is computed as ln d / ln 2).
+
+    Scale shape: one shingle-keyed shuffle (the same exchange the
+    self-join would pay for candidate generation — this profiles at
+    strictly lower cost than the join it predicts, since postings
+    reduce to counts instead of joining), a ≤64-row bucket aggregate,
+    and the cumulative share on the distributed prefix scan with a
+    1-row total broadcast. ``pair_mass`` is an integer-valued double:
+    exact to 2^53 candidate pairs per bucket.
+    """
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    sh = _shingles(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(
+        F.count("*").cast("bigint").alias("dfreq")
+    )
+    buckets = dfreq.groupBy(
+        (F.length(F.bin("dfreq")) - 1).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum("dfreq").cast("bigint").alias("posting_rows"),
+        # dfreq cast to double BEFORE the product: a bigint d*(d-1)
+        # overflows at d ~ 3e9 documents, inside 100 TB range
+        F.sum(F.col("dfreq").cast("double") * (F.col("dfreq") - 1) / F.lit(2.0))
+        .cast("double")
+        .alias("pair_mass"),
+    )
+    cum = grouped_prefix_sum(buckets, [], ["bucket"], "pair_mass", "cum_pairs")
+    total = buckets.agg(
+        F.coalesce(F.sum("pair_mass"), F.lit(0.0)).alias("__sp_total")
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            # pyspark's shiftleft() only takes a literal bit count —
+            # the SQL form accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket)")
+            .cast("bigint")
+            .alias("df_lo"),
+            (F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1)") - 1)
+            .cast("bigint")
+            .alias("df_hi"),
+            "n_shingles",
+            "posting_rows",
+            "pair_mass",
+            F.round(
+                F.when(
+                    F.col("__sp_total") > 0,
+                    F.col("cum_pairs") / F.col("__sp_total"),
+                ),
+                6,
+            ).alias("cum_pair_frac"),
+        )
+        .orderBy("df_lo")
+    )
+
+
 # ------------------------------------------------------------- minhash
 def minhash_signatures(
     df: DataFrame,

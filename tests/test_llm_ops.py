@@ -1434,6 +1434,67 @@ def test_containment_join_cross_table_eval_in_training(spark):
         dedup.containment_join(evals, train, method="minhash", max_df=5)
 
 
+def test_shingle_profile_hand_computed_buckets(spark):
+    """Power-of-two df buckets, pair mass, and the cumulative share
+    match the hand computation; short docs contribute nothing."""
+    from getl_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c e"),
+            (3, "a b c f"),
+            (4, "x y z w"),
+            (5, "too short"),  # < n words: zero shingles
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.df_lo: r for r in dedup.shingle_profile(df, n=3).collect()}
+    # dfreq: "a b c" x3; "b c d","b c e","b c f","x y z","y z w" x1
+    assert set(rows) == {1, 2}
+    r1, r2 = rows[1], rows[2]
+    assert (r1.df_hi, r1.n_shingles, r1.posting_rows, r1.pair_mass) == (1, 5, 5, 0.0)
+    assert (r2.df_hi, r2.n_shingles, r2.posting_rows, r2.pair_mass) == (3, 1, 3, 3.0)
+    assert (r1.cum_pair_frac, r2.cum_pair_frac) == (0.0, 1.0)
+
+
+def test_shingle_profile_matches_python_reference(spark):
+    """Bucketed counts and pair mass match an independent dict-based
+    reference on a random corpus, and the pair mass totals the exact
+    candidate count of the uncapped inverted-index self-join."""
+    import random
+    from collections import Counter
+
+    from getl_spark.functions import dedup
+
+    rnd = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    corpus = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 40))))
+        for i in range(120)
+    ]
+    dfreq = Counter()
+    for _, text in corpus:
+        words = text.lower().split()
+        grams = {
+            " ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 0))
+        }
+        dfreq.update(grams)
+    ref = {}
+    for d in dfreq.values():
+        b = d.bit_length() - 1
+        ns, pr, pm = ref.get(b, (0, 0, 0.0))
+        ref[b] = (ns + 1, pr + d, pm + d * (d - 1) / 2.0)
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = dedup.shingle_profile(df, n=3).collect()
+    assert {(r.df_lo.bit_length() - 1): (r.n_shingles, r.posting_rows, r.pair_mass)
+            for r in got} == ref
+    # the profile's total pair mass IS the self-join's candidate count
+    n_pairs = sum(d * (d - 1) // 2 for d in dfreq.values())
+    assert sum(r.pair_mass for r in got) == n_pairs
+    assert got[-1].cum_pair_frac == 1.0
+
+
 # ------------------------------------------------------------ phash
 def _ref_phash(b: bytes) -> int:
     """Independent reference: plain-Python block means + median."""
