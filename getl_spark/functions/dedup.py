@@ -936,6 +936,73 @@ def containment_join(
 
 
 # ----------------------------------------------------- embedding cosine
+def minhash_params(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_hashes: int = 256,
+    noise_jaccard: float = 0.2,
+) -> dict:
+    """Choose ``(num_hashes, bands)`` for ``minhash_lsh`` from the
+    dedup threshold and a signature-size budget — the banding S-curve,
+    executable (companion to ``embedding_lsh_params`` and
+    ``shingle_profile`` in the pre-job sizing kit).
+
+    Model: a true pair at Jaccard ``threshold`` agrees on one MinHash
+    row with probability ``threshold``, matches a band of r rows with
+    ``threshold^r``, and is caught by at least one of b bands with
+    recall ``1-(1-threshold^r)^b`` (monotone in Jaccard, so this is
+    the worst case over everything above the threshold). A background
+    pair at ``noise_jaccard`` triggers a band with ``noise_jaccard^r``
+    — more rows per band cut false candidates exponentially but demand
+    more bands (linear signature cost) for the same recall. The helper
+    returns the LARGEST r whose minimal recall-meeting b fits
+    ``b*r <= max_hashes`` (sharpest S-curve the budget affords), i.e.
+    the fewest false candidates; raises if even r=1 cannot meet the
+    recall within the budget.
+
+    Returns ``{"num_hashes", "bands", "rows_per_band", "est_recall",
+    "noise_catch_rate"}`` — ``num_hashes = bands * rows_per_band``
+    exactly, satisfying ``minhash_lsh``'s divisibility contract, and
+    ``noise_catch_rate`` the probability a ``noise_jaccard`` pair
+    becomes a candidate at all.
+    """
+    import math
+
+    if not 0 < threshold < 1:
+        raise ValueError("minhash_params: threshold must be in (0, 1)")
+    if not 0 < target_recall < 1:
+        raise ValueError("minhash_params: target_recall must be in (0, 1)")
+    if not 0 <= noise_jaccard < threshold:
+        raise ValueError(
+            "minhash_params: noise_jaccard must be in [0, threshold)"
+        )
+    best = None
+    for r in range(1, max_hashes + 1):
+        p_band = threshold**r
+        if p_band < 1e-12:  # 1-p underflows to 1.0; larger r only worse
+            break
+        b = max(
+            1,
+            math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)),
+        )
+        if b * r <= max_hashes:
+            best = (r, b)  # r ascending: the last feasible r is largest
+    if best is None:
+        raise ValueError(
+            f"minhash_params: recall {target_recall} at threshold "
+            f"{threshold} needs more than {max_hashes} hashes even with "
+            "1-row bands; raise max_hashes or lower target_recall"
+        )
+    r, b = best
+    return {
+        "num_hashes": b * r,
+        "bands": b,
+        "rows_per_band": r,
+        "est_recall": round(1.0 - (1.0 - threshold**r) ** b, 4),
+        "noise_catch_rate": round(1.0 - (1.0 - noise_jaccard**r) ** b, 6),
+    }
+
+
 def embedding_lsh_params(
     n_docs: int,
     candidate_budget: int,

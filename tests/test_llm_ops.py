@@ -582,6 +582,36 @@ def test_simhash_max_chunk_df_no_op_when_above_bucket_sizes(near_dup_docs):
     assert capped == uncapped
 
 
+# ---------------------------------------------- MinHash banding sizing
+def test_minhash_params_meets_recall_within_budget():
+    p = dedup.minhash_params(0.5, target_recall=0.95, max_hashes=64)
+    assert p["num_hashes"] == p["bands"] * p["rows_per_band"] <= 64
+    assert p["est_recall"] >= 0.95
+    # closed form cross-check
+    r, b = p["rows_per_band"], p["bands"]
+    assert p["est_recall"] == round(1 - (1 - 0.5**r) ** b, 4)
+    assert p["noise_catch_rate"] == round(1 - (1 - 0.2**r) ** b, 6)
+    # a bigger budget buys a sharper S-curve: more rows per band,
+    # fewer noise catches — never the reverse
+    big = dedup.minhash_params(0.5, target_recall=0.95, max_hashes=512)
+    assert big["rows_per_band"] >= p["rows_per_band"]
+    assert big["noise_catch_rate"] <= p["noise_catch_rate"]
+
+
+def test_minhash_params_guards():
+    import pytest as _pytest
+
+    # 0.999 recall at threshold 0.05 needs b*1 > 8 even with 1-row bands
+    with _pytest.raises(ValueError, match="raise max_hashes"):
+        dedup.minhash_params(
+            0.05, target_recall=0.999, max_hashes=8, noise_jaccard=0.01
+        )
+    with _pytest.raises(ValueError, match="threshold"):
+        dedup.minhash_params(1.5)
+    with _pytest.raises(ValueError, match="noise_jaccard"):
+        dedup.minhash_params(0.5, noise_jaccard=0.6)
+
+
 # ---------------------------------------------- embedding LSH sizing
 def test_embedding_lsh_params_meets_budget_and_recall():
     p = dedup.embedding_lsh_params(10_000_000, candidate_budget=10**9)
