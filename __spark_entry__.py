@@ -8180,6 +8180,37 @@ FROM cum
 """
 
 
+def _q_file_profile(spark, sf_dir):
+    """layout.file_profile — per-input-file row counts (the
+    small-files compaction diagnostic) over three testdata tables.
+    The testdata tables are single parquet files with known basenames,
+    so the oracle pins name + COUNT(*); the multi-file differential
+    (uneven 5-file table vs DuckDB's parquet footer metadata) runs in
+    pytest (tests/test_layout.py). One map-side-combined aggregate
+    keyed by input_file_name per scan."""
+    import functools
+
+    from getl_spark.functions import layout
+
+    profs = [
+        layout.file_profile(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+        for t in ("lineitem", "orders", "documents")
+    ]
+    return functools.reduce(lambda a, b: a.unionByName(b), profs)
+
+
+FILE_PROFILE_ORACLE = """
+SELECT 'lineitem.parquet' AS file, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+UNION ALL
+SELECT 'orders.parquet' AS file, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'documents.parquet' AS file, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM documents
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8591,6 +8622,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_wilcoxon": _q_wilcoxon,
         "stats_permutation_test": _q_permutation_test,
         "dedup_shingle_profile": _q_shingle_profile,
+        "layout_file_profile": _q_file_profile,
     }
 
 
@@ -8775,6 +8807,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_wilcoxon": WILCOXON_ORACLE,
         "stats_permutation_test": PERMUTATION_TEST_ORACLE,
         "dedup_shingle_profile": SHINGLE_PROFILE_ORACLE,
+        "layout_file_profile": FILE_PROFILE_ORACLE,
     }
 
 

@@ -112,6 +112,7 @@ DETAIL_QUERIES = [
     "stats_wilcoxon",
     "stats_permutation_test",
     "dedup_shingle_profile",
+    "layout_file_profile",
 ]
 
 RUNS = 3

@@ -305,3 +305,51 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def file_profile(df: DataFrame) -> DataFrame:
+    """Per-input-file row counts of a file-backed scan — the
+    small-files diagnostic: at 100 TB the classic failure mode is a
+    table of millions of few-row files (per-file open/footer cost
+    dominates, the driver chokes on listing, and task scheduling
+    overhead swamps the read), and the fix (`TableStore.optimize` /
+    `write::batch_delta` ``Optimize``, ``MaxRecordsPerFile`` on
+    writes) needs this measurement first. Returns ``(file, n_rows)``
+    with ``file`` the basename.
+
+    Call it DIRECTLY on the loaded scan: ``input_file_name()`` is
+    only defined before any shuffle/join re-associates rows, and is
+    empty for non-file sources (JDBC, rate) — rows from such sources
+    surface under an empty-string file name rather than failing.
+
+    Scale shape: one map-side-combined aggregate keyed by file name —
+    output is file-count-sized (metadata plane), the scan itself is
+    the only data pass.
+    """
+    return df.groupBy(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file")
+    ).agg(F.count("*").cast("bigint").alias("n_rows"))
+
+
+def file_skew_report(df: DataFrame) -> DataFrame:
+    """One-row rollup of ``file_profile``: ``(n_files, total_rows,
+    min_rows, max_rows, avg_rows, skew_ratio)`` where ``skew_ratio =
+    max/avg`` — a ratio near 1 means uniform files; a large ratio (or
+    a huge ``n_files`` with a small ``avg_rows``) says compact before
+    querying. The aggregate runs on the file-count-sized profile, not
+    the data.
+    """
+    prof = file_profile(df)
+    return prof.agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.min("n_rows").cast("bigint").alias("min_rows"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+        F.round(F.avg("n_rows"), 6).alias("avg_rows"),
+        F.round(
+            F.when(
+                F.avg("n_rows") > 0, F.max("n_rows") / F.avg("n_rows")
+            ),
+            6,
+        ).alias("skew_ratio"),
+    )

@@ -292,3 +292,32 @@ def test_cluster_by_hilbert_roundtrip(spark, tmp_path):
     out = L.cluster_by_hilbert(df, ["x", "y"], num_files=8, bits=6)
     assert out.columns == ["x", "y"]
     assert out.count() == 4096
+
+
+def test_file_profile_matches_parquet_metadata(spark, tmp_path):
+    """Per-file counts agree with DuckDB's parquet footer metadata on
+    a deliberately fragmented table, and the skew report rolls them
+    up exactly."""
+    import duckdb
+
+    from getl_spark.functions import layout as L
+
+    path = str(tmp_path / "frag")
+    # 5 uneven files: repartitionByRange on a skewed key
+    spark.range(1000).selectExpr(
+        "id", "CAST(pow(id % 10, 2) AS INT) AS k"
+    ).repartitionByRange(5, "k").write.parquet(path)
+
+    prof = {r.file: r.n_rows for r in L.file_profile(spark.read.parquet(path)).collect()}
+    meta = {
+        fn.rsplit("/", 1)[-1]: n
+        for fn, n in duckdb.sql(
+            f"SELECT file_name, num_rows FROM parquet_file_metadata('{path}/*.parquet')"
+        ).fetchall()
+    }
+    assert prof == meta and sum(prof.values()) == 1000
+
+    r = L.file_skew_report(spark.read.parquet(path)).collect()[0]
+    assert r.n_files == len(meta) and r.total_rows == 1000
+    assert r.min_rows == min(meta.values()) and r.max_rows == max(meta.values())
+    assert r.skew_ratio == round(max(meta.values()) / (1000 / len(meta)), 6)
