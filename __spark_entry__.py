@@ -8211,6 +8211,51 @@ FROM documents
 """
 
 
+def _q_code_blocks(spark, sf_dir):
+    """text.code_blocks — fenced-code extraction over markdown
+    synthesized deterministically from real document text (one python
+    fence + one inline fence per doc, both engines build the identical
+    string): lazy dotall fence match + posexplode, scan-side, zero
+    shuffle. The hand-built fence-grammar edge cases (inline fences,
+    backticks inside code, unclosed fences) run in pytest."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    md = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("intro\n```python\n"),
+            F.substring("text", 1, 60),
+            F.lit("\n```\nprose ```"),
+            F.substring("text", 61, 20),
+            F.lit("``` tail"),
+        ).alias("text"),
+    )
+    return text.code_blocks(md, id_col="doc_id")
+
+
+CODE_BLOCKS_ORACLE = """
+WITH md AS (
+  SELECT doc_id AS id,
+         'intro' || chr(10) || '```python' || chr(10) || substr(text, 1, 60)
+         || chr(10) || '```' || chr(10) || 'prose ```'
+         || substr(text, 61, 20) || '``` tail' AS text
+  FROM documents),
+blocks AS (
+  SELECT id,
+         unnest(regexp_extract_all(text, '(?s)```(.*?)```', 1)) AS raw,
+         unnest(range(len(regexp_extract_all(text, '(?s)```(.*?)```', 1))))
+           AS block_idx
+  FROM md)
+SELECT id, CAST(block_idx AS INTEGER) AS block_idx,
+       CASE WHEN raw NOT LIKE '%' || chr(10) || '%' THEN raw
+            ELSE regexp_extract(raw, '^([^\n]*)', 1) END AS lang,
+       CASE WHEN raw NOT LIKE '%' || chr(10) || '%' THEN ''
+            ELSE regexp_replace(raw, '^[^\n]*\n', '') END AS code
+FROM blocks
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8623,6 +8668,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_permutation_test": _q_permutation_test,
         "dedup_shingle_profile": _q_shingle_profile,
         "layout_file_profile": _q_file_profile,
+        "text_code_blocks": _q_code_blocks,
     }
 
 
@@ -8808,6 +8854,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_permutation_test": PERMUTATION_TEST_ORACLE,
         "dedup_shingle_profile": SHINGLE_PROFILE_ORACLE,
         "layout_file_profile": FILE_PROFILE_ORACLE,
+        "text_code_blocks": CODE_BLOCKS_ORACLE,
     }
 
 

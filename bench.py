@@ -113,6 +113,7 @@ DETAIL_QUERIES = [
     "stats_permutation_test",
     "dedup_shingle_profile",
     "layout_file_profile",
+    "text_code_blocks",
 ]
 
 RUNS = 3

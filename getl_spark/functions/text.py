@@ -1731,3 +1731,49 @@ def template_key(
     t = F.regexp_replace(t, r"[0-9]+", "0")
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return df.withColumn(new_col, F.md5(t))
+
+
+def code_blocks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Extract triple-backtick fenced code blocks from markdown-ish
+    documents — the first step of a code-corpus pipeline (separate
+    code from prose, route each to its own quality/dedup stack).
+    One output row per fence: ``(id, block_idx, lang, code)`` with
+    ``lang`` the CommonMark info string (whatever follows the opening
+    fence on its line, '' when absent) and ``block_idx`` the 0-based
+    fence position within the document.
+
+    The fence body is matched lazily with dot-matches-newline
+    (``(?s)```(.*?)``` ``), so single backticks INSIDE code survive;
+    only three-backtick fences delimit (tilde fences and 4+-backtick
+    fences are out of scope — documented). A fence with no newline
+    (`````inline`````) is an info
+    string with empty code, per CommonMark. Unclosed trailing fences
+    are dropped (no pair).
+
+    Scale shape: scan-side regexp + ``posexplode`` — zero shuffle,
+    zero UDFs; output rows ∝ fences, not documents.
+    """
+    matches = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"(?s)```(.*?)```"), 1
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(matches).alias("block_idx", "raw"),
+    )
+    has_nl = F.col("raw").contains("\n")
+    lang = F.when(has_nl, F.regexp_extract("raw", r"^([^\n]*)", 1)).otherwise(
+        F.col("raw")
+    )
+    code = F.when(
+        has_nl, F.regexp_replace("raw", r"^[^\n]*\n", "")
+    ).otherwise(F.lit(""))
+    return ex.select(
+        "id",
+        "block_idx",
+        lang.alias("lang"),
+        code.alias("code"),
+    )

@@ -957,3 +957,27 @@ def test_by_template_lowest_id_survives(spark):
     out = D.by_template(df)
     assert {r.doc_id for r in out.collect()} == {2, 5}
     assert out.columns == ["doc_id", "text"]
+
+
+def test_code_blocks_extracts_fences(spark):
+    """Fences extract with CommonMark info strings; single backticks
+    inside code survive; inline fences are info-only; unclosed
+    trailing fences drop; prose-only docs emit nothing."""
+    from getl_spark.functions import text as T
+
+    md1 = (
+        "intro\n```python\na = `1`\nb = 2\n```\nmiddle\n"
+        "```\nplain\n```\ntail ```inline``` done\n```unclosed\nnope"
+    )
+    df = spark.createDataFrame(
+        [(1, md1), (2, "no code here at all")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r.id, r.block_idx, r.lang, r.code)
+        for r in T.code_blocks(df).collect()
+    )
+    assert rows == [
+        (1, 0, "python", "a = `1`\nb = 2\n"),
+        (1, 1, "", "plain\n"),
+        (1, 2, "inline", ""),
+    ]
