@@ -8256,6 +8256,47 @@ FROM blocks
 """
 
 
+def _q_proportion_ci(spark, sf_dir):
+    """stats.proportion_ci — Wilson 95% interval on the purchase rate
+    per user cohort (user_id % 10): one map-side-combined (n, s)
+    aggregate per cohort, closed-form score interval after — the
+    small-n-safe error bar the naive normal interval gets wrong at
+    extreme rates."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 10).alias("cohort"),
+        (F.col("event_type") == "purchase").alias("purchased"),
+    )
+    return stats.proportion_ci(ev, "purchased", ["cohort"])
+
+
+PROPORTION_CI_ORACLE = """
+WITH agg AS (
+  SELECT user_id % 10 AS cohort,
+         CAST(COUNT(CASE WHEN event_type IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM events GROUP BY 1),
+w AS (
+  SELECT cohort, n, s,
+         s / CAST(n AS DOUBLE) AS p,
+         1.959964 * 1.959964 AS z2,
+         1.959964 AS z
+  FROM agg)
+SELECT cohort, n, s AS successes,
+       ROUND(p, 6) AS rate,
+       ROUND((p + z2 / (2 * n)) / (1 + z2 / n)
+             - z * sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / (1 + z2 / n),
+             6) AS ci_lo,
+       ROUND((p + z2 / (2 * n)) / (1 + z2 / n)
+             + z * sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / (1 + z2 / n),
+             6) AS ci_hi
+FROM w
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8669,6 +8710,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_shingle_profile": _q_shingle_profile,
         "layout_file_profile": _q_file_profile,
         "text_code_blocks": _q_code_blocks,
+        "stats_proportion_ci": _q_proportion_ci,
     }
 
 
@@ -8855,6 +8897,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_shingle_profile": SHINGLE_PROFILE_ORACLE,
         "layout_file_profile": FILE_PROFILE_ORACLE,
         "text_code_blocks": CODE_BLOCKS_ORACLE,
+        "stats_proportion_ci": PROPORTION_CI_ORACLE,
     }
 
 

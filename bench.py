@@ -114,6 +114,7 @@ DETAIL_QUERIES = [
     "dedup_shingle_profile",
     "layout_file_profile",
     "text_code_blocks",
+    "stats_proportion_ci",
 ]
 
 RUNS = 3

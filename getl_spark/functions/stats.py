@@ -1386,6 +1386,62 @@ def permutation_test(
     )
 
 
+def proportion_ci(
+    df: DataFrame,
+    success_col: str,
+    group_by=None,
+    z: float = 1.959964,
+    round_to: int = 6,
+) -> DataFrame:
+    """Wilson score interval for a success/pass RATE per group — the
+    error bar every eval dashboard needs on a pass rate, correct at
+    small n and extreme rates where the naive ``p ± z·sqrt(p(1-p)/n)``
+    interval collapses or escapes [0,1] (Wilson never does either;
+    it is the score-test inversion, Brown-Cai-DasGupta's standard
+    recommendation). ``success_col`` is boolean or 0/1; NULLs are
+    excluded from n, matching ``avg`` semantics. ``z`` is the
+    two-sided normal critical value (default 1.959964 ≈ 95%) — passed
+    directly so no inverse normal CDF is needed and the closed form
+    replays exactly in any engine.
+
+    Output per group: ``(n, successes, rate, ci_lo, ci_hi)``.
+
+    Scale shape: ONE map-side-combined aggregate (n, successes) per
+    group; everything after is per-row closed-form arithmetic on the
+    group-count-sized result. Empty groups cannot appear (groupBy);
+    n=0 overall yields one row of zeros with NULL rate/bounds.
+    """
+    s = F.col(success_col).cast("double")
+    gb = [F.col(c) for c in (group_by or [])]
+    agg = df.groupBy(*gb).agg(
+        F.count(s).cast("bigint").alias("n"),
+        F.coalesce(F.sum(s), F.lit(0.0)).cast("double").alias("__pc_s"),
+    ) if gb else df.agg(
+        F.count(s).cast("bigint").alias("n"),
+        F.coalesce(F.sum(s), F.lit(0.0)).cast("double").alias("__pc_s"),
+    )
+    n = F.col("n").cast("double")
+    p = F.when(n > 0, F.col("__pc_s") / n)
+    z2 = F.lit(float(z) * float(z))
+    denom = 1 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        / denom
+    )
+    return agg.select(
+        *[c.alias(name) for c, name in zip(gb, group_by or [])],
+        "n",
+        F.col("__pc_s").cast("bigint").alias("successes"),
+        F.round(p, round_to).alias("rate"),
+        # n=0 (empty ungrouped input): double div yields NaN, not an
+        # ANSI error — gate to NULL explicitly
+        F.round(F.when(n > 0, center - half), round_to).alias("ci_lo"),
+        F.round(F.when(n > 0, center + half), round_to).alias("ci_hi"),
+    )
+
+
 def trimmed_mean(
     df: DataFrame,
     value_col: str,

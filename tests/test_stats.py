@@ -1697,3 +1697,41 @@ def test_bh_adjust_grouped_nulls_and_guard(spark):
     bad = spark.createDataFrame([("x", 1.5)], "g STRING, p DOUBLE")
     with _pytest.raises(Exception, match="0, 1"):
         S.bh_adjust(bad, "p").collect()
+
+
+def test_proportion_ci_wilson_closed_form(spark):
+    """Grouped Wilson bounds match the closed form, never escape
+    [0,1] at extreme small-n rates, and NULLs stay out of n."""
+    from getl_spark.functions import stats
+
+    def wilson(s, n, z=1.959964):
+        p = s / n
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z * ((p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5) / denom
+        return round(center - half, 6), round(center + half, 6)
+
+    rows = (
+        [("a", True)] * 30 + [("a", False)] * 70
+        + [("b", True)] * 3 + [("b", False)] * 0
+        + [("c", True)] * 0 + [("c", False)] * 5
+        + [("a", None)]
+    )
+    df = spark.createDataFrame(rows, "g STRING, ok BOOLEAN")
+    out = {r.g: r for r in stats.proportion_ci(df, "ok", ["g"]).collect()}
+    assert (out["a"].n, out["a"].successes, out["a"].rate) == (100, 30, 0.3)
+    assert (out["a"].ci_lo, out["a"].ci_hi) == wilson(30, 100)
+    # all-success and all-failure small groups: bounds stay in [0,1]
+    assert (out["b"].n, out["b"].rate) == (3, 1.0)
+    assert (out["b"].ci_lo, out["b"].ci_hi) == wilson(3, 3)
+    assert 0.0 <= out["b"].ci_lo < 1.0 and out["b"].ci_hi == 1.0
+    assert (out["c"].rate, out["c"].ci_lo) == (0.0, 0.0)
+    assert 0.0 < out["c"].ci_hi < 1.0
+
+    # ungrouped; empty input -> zeros with NULL rate/bounds
+    g = stats.proportion_ci(df, "ok").collect()[0]
+    assert (g.n, g.successes) == (108, 33)
+    e = stats.proportion_ci(
+        spark.createDataFrame([], "g STRING, ok BOOLEAN"), "ok"
+    ).collect()[0]
+    assert (e.n, e.successes, e.rate, e.ci_lo) == (0, 0, None, None)
