@@ -8297,6 +8297,74 @@ FROM w
 """
 
 
+def _q_tost(spark, sf_dir):
+    """stats.tost_equivalence — are odd- and even-keyed lineitem
+    quantity distributions provably equivalent within ±0.5 units?
+    Same single Welch pass as ab_compare, two one-sided normal tests;
+    the DuckDB oracle replays the A&S-polynomial Φ bit-for-bit at
+    rounded precision."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit("c"))
+        .otherwise(F.lit("t"))
+        .alias("arm"),
+        "l_quantity",
+    )
+    return stats.tost_equivalence(
+        li, "arm", "l_quantity", control="c", treatment="t", margin=0.5
+    )
+
+
+def _tost_phi_sql(zcol: str) -> str:
+    """One-sided Φ via the A&S 7.1.26 erf polynomial on |z| — the SQL
+    twin of stats._normal_cdf."""
+    x = f"(abs({zcol}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    pt = (
+        f"((0.254829592 * {t} - 0.284496736 * POWER({t}, 2)"
+        f" + 1.421413741 * POWER({t}, 3) - 1.453152027 * POWER({t}, 4)"
+        f" + 1.061405429 * POWER({t}, 5)) * exp(-({x} * {x})))"
+    )
+    return f"(CASE WHEN {zcol} >= 0 THEN 1 - {pt} / 2 ELSE {pt} / 2 END)"
+
+
+TOST_ORACLE = f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE l_orderkey % 2 = 0) AS BIGINT)
+           AS n_control,
+         CAST(COUNT(*) FILTER (WHERE l_orderkey % 2 <> 0) AS BIGINT)
+           AS n_treatment,
+         AVG(CAST(l_quantity AS DOUBLE))
+           FILTER (WHERE l_orderkey % 2 = 0) AS mc,
+         AVG(CAST(l_quantity AS DOUBLE))
+           FILTER (WHERE l_orderkey % 2 <> 0) AS mt,
+         VAR_SAMP(CAST(l_quantity AS DOUBLE))
+           FILTER (WHERE l_orderkey % 2 = 0) AS vc,
+         VAR_SAMP(CAST(l_quantity AS DOUBLE))
+           FILTER (WHERE l_orderkey % 2 <> 0) AS vt
+  FROM lineitem),
+z AS (
+  SELECT n_control, n_treatment,
+         mt - mc AS diff,
+         sqrt(vt / n_treatment + vc / n_control) AS se,
+         (mt - mc + 0.5) / sqrt(vt / n_treatment + vc / n_control) AS z_lo,
+         (mt - mc - 0.5) / sqrt(vt / n_treatment + vc / n_control) AS z_hi
+  FROM agg),
+p AS (
+  SELECT n_control, n_treatment, diff, se,
+         1 - {_tost_phi_sql("z_lo")} AS p_lower,
+         {_tost_phi_sql("z_hi")} AS p_upper
+  FROM z)
+SELECT n_control, n_treatment,
+       ROUND(diff, 6) AS diff, ROUND(se, 6) AS stderr,
+       ROUND(p_lower, 6) AS p_lower, ROUND(p_upper, 6) AS p_upper,
+       ROUND(GREATEST(p_lower, p_upper), 6) AS p_tost,
+       GREATEST(p_lower, p_upper) <= 0.05 AS equivalent
+FROM p
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8711,6 +8779,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_file_profile": _q_file_profile,
         "text_code_blocks": _q_code_blocks,
         "stats_proportion_ci": _q_proportion_ci,
+        "stats_tost": _q_tost,
     }
 
 
@@ -8898,6 +8967,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "layout_file_profile": FILE_PROFILE_ORACLE,
         "text_code_blocks": CODE_BLOCKS_ORACLE,
         "stats_proportion_ci": PROPORTION_CI_ORACLE,
+        "stats_tost": TOST_ORACLE,
     }
 
 

@@ -115,6 +115,7 @@ DETAIL_QUERIES = [
     "layout_file_profile",
     "text_code_blocks",
     "stats_proportion_ci",
+    "stats_tost",
 ]
 
 RUNS = 3

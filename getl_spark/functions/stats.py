@@ -632,6 +632,88 @@ def ab_compare(
     )
 
 
+def _normal_cdf(z):
+    """Φ(z) as a column expression via the same A&S erf polynomial as
+    ``_normal_two_sided_p`` (so it replays identically in DuckDB):
+    Φ(z) = 1 − p_two(z)/2 for z ≥ 0, p_two(z)/2 below. NULL z
+    propagates."""
+    p_two = _normal_two_sided_p(z)
+    return F.when(z >= 0, 1 - p_two / 2).otherwise(p_two / 2)
+
+
+def tost_equivalence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    margin: float,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """TOST equivalence test (two one-sided tests): the inverse of
+    ``ab_compare`` — instead of asking "is treatment different?", it
+    asks "is treatment provably WITHIN ±margin of control?", which is
+    the question a pipeline swap actually poses (cheaper model, faster
+    cleaning pass: show it is *not worse than margin*, absence of a
+    significant difference proves nothing). Equivalence holds at level
+    ``alpha`` when BOTH one-sided tests reject: ``p_lower`` tests
+    H0: diff ≤ −margin, ``p_upper`` tests H0: diff ≥ +margin, and
+    ``p_tost = max(p_lower, p_upper)``.
+
+    Same single partial-aggregated pass and Welch unpooled standard
+    error as ``ab_compare`` (large-sample normal; for tiny arms use a
+    t table offline), same fail-loud empty-arm / zero-variance guard.
+    Output is one row: ``(n_control, n_treatment, diff, stderr,
+    p_lower, p_upper, p_tost, equivalent)``.
+    """
+    if margin <= 0:
+        raise ValueError(f"tost_equivalence: margin must be > 0, got {margin}")
+    if not 0 < alpha < 1:
+        raise ValueError(
+            f"tost_equivalence: alpha must be in (0,1), got {alpha}"
+        )
+    v = F.col(value_col).cast("double")
+    cv = F.when(F.col(group_col) == control, v)
+    tv = F.when(F.col(group_col) == treatment, v)
+    both = df.agg(
+        F.count(cv).alias("n_control"),
+        F.avg(cv).alias("mean_control"),
+        F.var_samp(cv).alias("var_c"),
+        F.count(tv).alias("n_treatment"),
+        F.avg(tv).alias("mean_treatment"),
+        F.var_samp(tv).alias("var_t"),
+    )
+    se = F.sqrt(
+        F.col("var_t") / F.col("n_treatment") + F.col("var_c") / F.col("n_control")
+    )
+    guard = F.assert_true(
+        (F.col("n_control") > 0)
+        & (F.col("n_treatment") > 0)
+        & se.isNotNull()
+        & (se > 0),
+        F.lit(
+            "tost_equivalence: an arm is empty, has a single row "
+            "(undefined variance), or both arms have zero variance"
+        ),
+    )
+    diff = F.col("mean_treatment") - F.col("mean_control")
+    z_lo = F.when(se > 0, (diff + F.lit(float(margin))) / se)
+    z_hi = F.when(se > 0, (diff - F.lit(float(margin))) / se)
+    p_lower = 1 - _normal_cdf(z_lo)
+    p_upper = _normal_cdf(z_hi)
+    p_tost = F.greatest(p_lower, p_upper)
+    return both.select(
+        F.when(guard.isNull(), F.col("n_control")).alias("n_control"),
+        "n_treatment",
+        F.round(diff, 6).alias("diff"),
+        F.round(se, 6).alias("stderr"),
+        F.round(p_lower, 6).alias("p_lower"),
+        F.round(p_upper, 6).alias("p_upper"),
+        F.round(p_tost, 6).alias("p_tost"),
+        (p_tost <= F.lit(float(alpha))).alias("equivalent"),
+    )
+
+
 def mutual_info(
     df: DataFrame,
     col_a: str,

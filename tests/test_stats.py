@@ -1735,3 +1735,52 @@ def test_proportion_ci_wilson_closed_form(spark):
         spark.createDataFrame([], "g STRING, ok BOOLEAN"), "ok"
     ).collect()[0]
     assert (e.n, e.successes, e.rate, e.ci_lo) == (0, 0, None, None)
+
+
+def test_tost_equivalence_closed_form(spark):
+    """p_lower/p_upper match the Welch-z one-sided closed form
+    (math.erf reference); equivalence flips with the margin; guards
+    fail loud."""
+    import math
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(9)
+    rows = [("c", rnd.gauss(10.0, 2.0)) for _ in range(400)] + [
+        ("t", rnd.gauss(10.05, 2.0)) for _ in range(450)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE")
+
+    def ref(margin):
+        c = [x for g, x in rows if g == "c"]
+        t = [x for g, x in rows if g == "t"]
+        mc, mt = sum(c) / len(c), sum(t) / len(t)
+        vc = sum((x - mc) ** 2 for x in c) / (len(c) - 1)
+        vt = sum((x - mt) ** 2 for x in t) / (len(t) - 1)
+        se = (vt / len(t) + vc / len(c)) ** 0.5
+        phi = lambda z: 0.5 * (1 + math.erf(z / 2**0.5))
+        d = mt - mc
+        return 1 - phi((d + margin) / se), phi((d - margin) / se), d, se
+
+    # wide margin: provably equivalent
+    r = stats.tost_equivalence(df, "g", "x", "c", "t", margin=0.8).collect()[0]
+    p_lo, p_hi, d, se = ref(0.8)
+    assert r["diff"] == pytest.approx(round(d, 6))
+    assert r["stderr"] == pytest.approx(round(se, 6))
+    assert r["p_lower"] == pytest.approx(p_lo, abs=2e-6)
+    assert r["p_upper"] == pytest.approx(p_hi, abs=2e-6)
+    assert r["p_tost"] == max(r["p_lower"], r["p_upper"])
+    assert r["equivalent"] is True and r["p_tost"] < 0.05
+
+    # margin narrower than the noise: cannot prove equivalence
+    r2 = stats.tost_equivalence(df, "g", "x", "c", "t", margin=0.05).collect()[0]
+    assert r2["equivalent"] is False and r2["p_tost"] > 0.05
+
+    with pytest.raises(ValueError, match="margin"):
+        stats.tost_equivalence(df, "g", "x", "c", "t", margin=0)
+    with pytest.raises(Exception, match="arm is empty"):
+        stats.tost_equivalence(
+            spark.createDataFrame([("t", 1.0), ("t", 2.0)], "g STRING, x DOUBLE"),
+            "g", "x", "c", "t", margin=1.0,
+        ).collect()
