@@ -8365,6 +8365,60 @@ FROM p
 """
 
 
+def _q_kappa_matrix(spark, sf_dir):
+    """stats.kappa_matrix — pairwise judge-agreement matrix over a
+    3-judge panel synthesized deterministically from events (judge =
+    event_id mod 3, item = event_id div 3, label = event_type): one
+    item-keyed self-join to panel-sized pair rows, then the grouped
+    cohens_kappa cell/marginal aggregation keyed by the pair."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr("event_id DIV 3").alias("item"),
+        F.concat(F.lit("j"), (F.col("event_id") % 3).cast("string")).alias(
+            "judge"
+        ),
+        F.col("event_type").alias("label"),
+    )
+    return stats.kappa_matrix(ev, "item", "judge", "label")
+
+
+KAPPA_MATRIX_ORACLE = """
+WITH long_ AS (
+  SELECT event_id // 3 AS item,
+         'j' || CAST(event_id % 3 AS VARCHAR) AS judge,
+         event_type AS label
+  FROM events),
+pairs AS (
+  SELECT x.judge AS ja, y.judge AS jb, x.label AS a, y.label AS b
+  FROM long_ x JOIN long_ y ON x.item = y.item AND x.judge < y.judge
+  WHERE x.label IS NOT NULL AND y.label IS NOT NULL),
+cells AS (
+  SELECT ja, jb, a, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs GROUP BY 1, 2, 3, 4),
+tot AS (
+  SELECT ja, jb, CAST(SUM(c) AS BIGINT) AS n,
+         SUM(CASE WHEN a = b THEN c ELSE 0 END) AS agree
+  FROM cells GROUP BY 1, 2),
+am AS (SELECT ja, jb, a AS lbl, SUM(c) AS na FROM cells GROUP BY 1, 2, 3),
+bm AS (SELECT ja, jb, b AS lbl, SUM(c) AS nb FROM cells GROUP BY 1, 2, 3),
+pe AS (
+  SELECT am.ja, am.jb, SUM(na * nb) AS pen
+  FROM am JOIN bm ON am.ja = bm.ja AND am.jb = bm.jb AND am.lbl = bm.lbl
+  GROUP BY 1, 2)
+SELECT t.ja AS judge_a, t.jb AS judge_b, n,
+       ROUND(CAST(agree AS DOUBLE) / n, 6) AS observed_agreement,
+       ROUND(CAST(pen AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+         AS expected_agreement,
+       ROUND(CASE WHEN CAST(pen AS DOUBLE) / (CAST(n AS DOUBLE) * n) < 1
+                  THEN (CAST(agree AS DOUBLE) / n
+                        - CAST(pen AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+                       / (1 - CAST(pen AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+             END, 6) AS kappa
+FROM tot t JOIN pe ON t.ja = pe.ja AND t.jb = pe.jb
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8780,6 +8834,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_code_blocks": _q_code_blocks,
         "stats_proportion_ci": _q_proportion_ci,
         "stats_tost": _q_tost,
+        "stats_kappa_matrix": _q_kappa_matrix,
     }
 
 
@@ -8968,6 +9023,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "text_code_blocks": CODE_BLOCKS_ORACLE,
         "stats_proportion_ci": PROPORTION_CI_ORACLE,
         "stats_tost": TOST_ORACLE,
+        "stats_kappa_matrix": KAPPA_MATRIX_ORACLE,
     }
 
 

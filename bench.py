@@ -116,6 +116,7 @@ DETAIL_QUERIES = [
     "text_code_blocks",
     "stats_proportion_ci",
     "stats_tost",
+    "stats_kappa_matrix",
 ]
 
 RUNS = 3

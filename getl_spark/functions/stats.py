@@ -2242,6 +2242,65 @@ def cohens_kappa(
     )
 
 
+def kappa_matrix(
+    df: DataFrame,
+    item_col: str,
+    judge_col: str,
+    label_col: str,
+    max_judges: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Cohen's-kappa matrix over k judges in LONG format
+    ``(item, judge, label)`` — the multi-judge generalization of
+    ``cohens_kappa``: one row per unordered judge pair, the readout
+    that finds the ONE drifting LLM judge (or rogue annotator) in a
+    panel, which a single pooled agreement number hides. Expects one
+    label per (item, judge); an abstention is an absent row, and a
+    pair's kappa is computed over the items BOTH judges labeled.
+
+    Scale shape: one item-keyed self-join (k² pair rows per item for
+    the k judges who labeled it — panel-sized, not corpus-sized),
+    then exactly ``cohens_kappa``'s grouped cell/marginal aggregation
+    keyed by the pair. ``max_judges`` is a limit-probed guard: a
+    runaway judge column (user ids, timestamps) fails loudly before
+    the k² blow-up, the ``bt_ratings`` pattern.
+    """
+    probe = [
+        r[0]
+        for r in df.select(judge_col)
+        .where(F.col(judge_col).isNotNull())
+        .distinct()
+        .limit(max_judges + 1)
+        .collect()
+    ]
+    if len(probe) > max_judges:
+        raise ValueError(
+            f"kappa_matrix: more than max_judges={max_judges} distinct "
+            f"judges — a judge column this wide is usually a bug (and "
+            f"k² pairs would explode); raise max_judges deliberately"
+        )
+    side_a = df.select(
+        F.col(item_col).alias("__km_item"),
+        F.col(judge_col).cast("string").alias("judge_a"),
+        F.col(label_col).alias("label_a"),
+    )
+    side_b = df.select(
+        F.col(item_col).alias("__km_item"),
+        F.col(judge_col).cast("string").alias("judge_b"),
+        F.col(label_col).alias("label_b"),
+    )
+    paired = side_a.join(side_b, "__km_item").where(
+        F.col("judge_a") < F.col("judge_b")
+    )
+    return cohens_kappa(
+        paired,
+        "label_a",
+        "label_b",
+        group_by=["judge_a", "judge_b"],
+        round_to=round_to,
+    )
+
+
 def cusum(
     df: DataFrame,
     value_col: str,

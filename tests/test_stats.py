@@ -1784,3 +1784,46 @@ def test_tost_equivalence_closed_form(spark):
             spark.createDataFrame([("t", 1.0), ("t", 2.0)], "g STRING, x DOUBLE"),
             "g", "x", "c", "t", margin=1.0,
         ).collect()
+
+
+def test_kappa_matrix_finds_the_drifting_judge(spark):
+    """Three judges, two agree almost always, the third is noise: the
+    matrix isolates the bad pairs; per-pair values equal cohens_kappa
+    on the manually-paired frame; the judge-cardinality guard trips."""
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(21)
+    rows = []
+    for item in range(300):
+        truth = rnd.choice(["yes", "no"])
+        rows.append((item, "alpha", truth))
+        rows.append(
+            (item, "beta", truth if rnd.random() < 0.95 else
+             ("no" if truth == "yes" else "yes"))
+        )
+        rows.append((item, "gamma", rnd.choice(["yes", "no"])))
+    # beta abstains on some items: absent rows, pair computed on overlap
+    rows = [r for r in rows if not (r[1] == "beta" and r[0] % 50 == 0)]
+    df = spark.createDataFrame(rows, "item LONG, judge STRING, label STRING")
+    out = {(r.judge_a, r.judge_b): r for r in stats.kappa_matrix(
+        df, "item", "judge", "label").collect()}
+    assert set(out) == {("alpha", "beta"), ("alpha", "gamma"), ("beta", "gamma")}
+    ab = out[("alpha", "beta")]
+    assert ab.n == 294 and ab.kappa > 0.8           # 300 items - 6 abstentions
+    assert out[("alpha", "gamma")].kappa < 0.2      # noise judge exposed
+    assert out[("beta", "gamma")].kappa < 0.2
+
+    # per-pair value == cohens_kappa over the manually paired frame
+    a = {(i): l for i, j, l in rows if j == "alpha"}
+    b = {(i): l for i, j, l in rows if j == "beta"}
+    manual = spark.createDataFrame(
+        [(a[i], b[i]) for i in a if i in b], "la STRING, lb STRING"
+    )
+    ref = stats.cohens_kappa(manual, "la", "lb").collect()[0]
+    assert (ab.observed_agreement, ab.expected_agreement, ab.kappa) == (
+        ref.observed_agreement, ref.expected_agreement, ref.kappa)
+
+    with pytest.raises(ValueError, match="max_judges"):
+        stats.kappa_matrix(df, "item", "item", "label", max_judges=8)
