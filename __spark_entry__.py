@@ -8419,6 +8419,77 @@ FROM tot t JOIN pe ON t.ja = pe.ja AND t.jb = pe.jb
 """
 
 
+def _q_cuped(spark, sf_dir):
+    """stats.cuped — CUPED-adjusted quantity comparison between even-
+    and odd-keyed lineitem halves with extendedprice/1000 as the
+    covariate (strongly correlated with quantity, so the adjustment
+    does real work): every moment from ONE conditional-aggregate
+    pass, closed-form arithmetic after."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit("c"))
+        .otherwise(F.lit("t"))
+        .alias("arm"),
+        F.col("l_quantity").alias("y"),
+        (F.col("l_extendedprice") / 1000.0).alias("x"),
+    )
+    return stats.cuped(li, "arm", "y", "x", control="c", treatment="t")
+
+
+CUPED_ORACLE = """
+WITH src AS (
+  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'c' ELSE 't' END AS arm,
+         CAST(l_quantity AS DOUBLE) AS y,
+         CAST(l_extendedprice / 1000.0 AS DOUBLE) AS x
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+m AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE arm = 'c') AS BIGINT) AS n_control,
+         AVG(y) FILTER (WHERE arm = 'c') AS my_c,
+         VAR_SAMP(y) FILTER (WHERE arm = 'c') AS vy_c,
+         AVG(x) FILTER (WHERE arm = 'c') AS mx_c,
+         VAR_SAMP(x) FILTER (WHERE arm = 'c') AS vx_c,
+         COVAR_SAMP(x, y) FILTER (WHERE arm = 'c') AS cov_c,
+         CAST(COUNT(*) FILTER (WHERE arm = 't') AS BIGINT) AS n_treatment,
+         AVG(y) FILTER (WHERE arm = 't') AS my_t,
+         VAR_SAMP(y) FILTER (WHERE arm = 't') AS vy_t,
+         AVG(x) FILTER (WHERE arm = 't') AS mx_t,
+         VAR_SAMP(x) FILTER (WHERE arm = 't') AS vx_t,
+         COVAR_SAMP(x, y) FILTER (WHERE arm = 't') AS cov_t,
+         AVG(x) AS mx_all, VAR_SAMP(x) AS vx_all, COVAR_SAMP(x, y) AS cov_all
+  FROM src),
+c AS (
+  SELECT *,
+         cov_all / vx_all AS theta
+  FROM m),
+d AS (
+  SELECT *,
+         (my_t - theta * (mx_t - mx_all)) - (my_c - theta * (mx_c - mx_all))
+           AS diff,
+         vy_c - 2 * theta * cov_c + theta * theta * vx_c AS vadj_c,
+         vy_t - 2 * theta * cov_t + theta * theta * vx_t AS vadj_t
+  FROM c),
+e AS (
+  SELECT *, sqrt(vadj_t / n_treatment + vadj_c / n_control) AS se,
+         diff / sqrt(vadj_t / n_treatment + vadj_c / n_control) AS zv
+  FROM d)
+SELECT n_control, n_treatment,
+       ROUND(theta, 6) AS theta,
+       ROUND(diff, 6) AS diff,
+       ROUND(se, 6) AS stderr,
+       ROUND(zv, 6) AS z,
+       ROUND((0.254829592 * tt - 0.284496736 * POWER(tt, 2)
+              + 1.421413741 * POWER(tt, 3) - 1.453152027 * POWER(tt, 4)
+              + 1.061405429 * POWER(tt, 5)) * exp(-(xx * xx)), 6) AS p_value,
+       ROUND(1 - (vadj_c + vadj_t) / (vy_c + vy_t), 6) AS var_reduction
+FROM (
+  SELECT *, abs(zv) / sqrt(2.0) AS xx,
+         1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS tt
+  FROM e)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8835,6 +8906,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_proportion_ci": _q_proportion_ci,
         "stats_tost": _q_tost,
         "stats_kappa_matrix": _q_kappa_matrix,
+        "stats_cuped": _q_cuped,
     }
 
 
@@ -9024,6 +9096,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_proportion_ci": PROPORTION_CI_ORACLE,
         "stats_tost": TOST_ORACLE,
         "stats_kappa_matrix": KAPPA_MATRIX_ORACLE,
+        "stats_cuped": CUPED_ORACLE,
     }
 
 

@@ -117,6 +117,7 @@ DETAIL_QUERIES = [
     "stats_proportion_ci",
     "stats_tost",
     "stats_kappa_matrix",
+    "stats_cuped",
 ]
 
 RUNS = 3

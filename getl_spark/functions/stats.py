@@ -632,6 +632,104 @@ def ab_compare(
     )
 
 
+def cuped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    covariate_col: str,
+    control: str,
+    treatment: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """CUPED-adjusted A/B comparison (Controlled-experiment Using
+    Pre-Experiment Data, Deng et al. 2013): regress out a
+    pre-experiment covariate (last month's metric, a baseline score)
+    before testing, cutting metric variance by the covariate's
+    squared correlation — the standard experimentation-platform trick
+    that turns a 2-week test into a 3-day one at the same power.
+    ``ŷ = y − θ(x − x̄)`` with the pooled OLS slope
+    ``θ = cov(x,y)/var(x)``; the adjusted per-arm variance is
+    ``var(y) − 2θ·cov + θ²·var(x)`` and the z-test runs on the
+    adjusted difference with Welch SE.
+
+    Output is one row: ``(n_control, n_treatment, theta, diff,
+    stderr, z, p_value, var_reduction)`` — ``diff`` the adjusted
+    treatment−control difference, ``var_reduction`` the fraction of
+    summed per-arm variance the adjustment removed (≈ the covariate's
+    r²; near 0 means the covariate was useless). Rows with a NULL
+    metric OR covariate are excluded from everything (complete-case,
+    so θ and the arm moments see the same rows).
+
+    Scale shape: ONE partial-aggregated pass computes every moment —
+    per-arm (n, mean, var, cov) plus pooled var(x)/cov via
+    conditional aggregates — then closed-form arithmetic on the 1-row
+    result. Fails loud (``assert_true``) when an arm is empty, the
+    covariate is constant (θ undefined), or the adjusted SE is 0.
+    """
+    both_cols = (
+        F.col(value_col).isNotNull() & F.col(covariate_col).isNotNull()
+    )
+    y = F.when(both_cols, F.col(value_col).cast("double"))
+    x = F.when(both_cols, F.col(covariate_col).cast("double"))
+    is_c = F.col(group_col) == control
+    is_t = F.col(group_col) == treatment
+    yc, xc = F.when(is_c, y), F.when(is_c, x)
+    yt, xt = F.when(is_t, y), F.when(is_t, x)
+    y_all = F.when(is_c | is_t, y)
+    x_all = F.when(is_c | is_t, x)
+    agg = df.agg(
+        F.count(yc).cast("bigint").alias("n_control"),
+        F.avg(yc).alias("my_c"),
+        F.var_samp(yc).alias("vy_c"),
+        F.avg(xc).alias("mx_c"),
+        F.var_samp(xc).alias("vx_c"),
+        F.covar_samp(xc, yc).alias("cov_c"),
+        F.count(yt).cast("bigint").alias("n_treatment"),
+        F.avg(yt).alias("my_t"),
+        F.var_samp(yt).alias("vy_t"),
+        F.avg(xt).alias("mx_t"),
+        F.var_samp(xt).alias("vx_t"),
+        F.covar_samp(xt, yt).alias("cov_t"),
+        F.avg(x_all).alias("mx_all"),
+        F.var_samp(x_all).alias("vx_all"),
+        F.covar_samp(x_all, y_all).alias("cov_all"),
+    )
+    theta = F.when(F.col("vx_all") > 0, F.col("cov_all") / F.col("vx_all"))
+    adj_c = F.col("my_c") - theta * (F.col("mx_c") - F.col("mx_all"))
+    adj_t = F.col("my_t") - theta * (F.col("mx_t") - F.col("mx_all"))
+    vadj_c = F.col("vy_c") - 2 * theta * F.col("cov_c") + theta * theta * F.col("vx_c")
+    vadj_t = F.col("vy_t") - 2 * theta * F.col("cov_t") + theta * theta * F.col("vx_t")
+    se = F.sqrt(vadj_t / F.col("n_treatment") + vadj_c / F.col("n_control"))
+    guard = F.assert_true(
+        (F.col("n_control") > 1)
+        & (F.col("n_treatment") > 1)
+        & (F.col("vx_all") > 0)
+        & se.isNotNull()
+        & (se > 0),
+        F.lit(
+            "cuped: an arm has < 2 complete-case rows, the covariate "
+            "is constant (theta undefined), or the adjusted variance "
+            "is 0"
+        ),
+    )
+    diff = adj_t - adj_c
+    z = F.when(se > 0, diff / se)
+    vr = F.when(
+        (F.col("vy_c") + F.col("vy_t")) > 0,
+        1 - (vadj_c + vadj_t) / (F.col("vy_c") + F.col("vy_t")),
+    )
+    return agg.select(
+        F.when(guard.isNull(), F.col("n_control")).alias("n_control"),
+        "n_treatment",
+        F.round(theta, round_to).alias("theta"),
+        F.round(diff, round_to).alias("diff"),
+        F.round(se, round_to).alias("stderr"),
+        F.round(z, round_to).alias("z"),
+        F.round(_normal_two_sided_p(z), round_to).alias("p_value"),
+        F.round(vr, round_to).alias("var_reduction"),
+    )
+
+
 def _normal_cdf(z):
     """Φ(z) as a column expression via the same A&S erf polynomial as
     ``_normal_two_sided_p`` (so it replays identically in DuckDB):

@@ -1827,3 +1827,64 @@ def test_kappa_matrix_finds_the_drifting_judge(spark):
 
     with pytest.raises(ValueError, match="max_judges"):
         stats.kappa_matrix(df, "item", "item", "label", max_judges=8)
+
+
+def test_cuped_matches_closed_form_and_cuts_variance(spark):
+    """theta/diff/z match a plain-python reference; the adjustment
+    removes ~r^2 of the variance and tightens the SE vs ab_compare;
+    complete-case rows only; guards fail loud."""
+    import math
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(13)
+    rows = []
+    for i in range(800):
+        arm = "t" if i % 2 == 0 else "c"
+        x = rnd.gauss(50.0, 10.0)                       # pre-period metric
+        y = 2.0 * x + rnd.gauss(0.0, 5.0) + (1.0 if arm == "t" else 0.0)
+        rows.append((arm, y, x))
+    rows += [("c", None, 1.0), ("t", 5.0, None)]        # incomplete cases
+    df = spark.createDataFrame(rows, "g STRING, y DOUBLE, x DOUBLE")
+    r = stats.cuped(df, "g", "y", "x", control="c", treatment="t").collect()[0]
+
+    cc = [(yv, xv) for g, yv, xv in rows if g == "c" and None not in (yv, xv)]
+    tt = [(yv, xv) for g, yv, xv in rows if g == "t" and None not in (yv, xv)]
+    al = cc + tt
+
+    def moments(pairs):
+        n = len(pairs)
+        my = sum(p[0] for p in pairs) / n
+        mx = sum(p[1] for p in pairs) / n
+        vy = sum((p[0] - my) ** 2 for p in pairs) / (n - 1)
+        vx = sum((p[1] - mx) ** 2 for p in pairs) / (n - 1)
+        cov = sum((p[1] - mx) * (p[0] - my) for p in pairs) / (n - 1)
+        return n, my, mx, vy, vx, cov
+
+    nc, myc, mxc, vyc, vxc, covc = moments(cc)
+    nt, myt, mxt, vyt, vxt, covt = moments(tt)
+    _, _, mxa, _, vxa, cova = moments(al)
+    theta = cova / vxa
+    diff = (myt - theta * (mxt - mxa)) - (myc - theta * (mxc - mxa))
+    vac = vyc - 2 * theta * covc + theta * theta * vxc
+    vat = vyt - 2 * theta * covt + theta * theta * vxt
+    se = (vat / nt + vac / nc) ** 0.5
+
+    assert (r["n_control"], r["n_treatment"]) == (nc, nt)
+    assert r["theta"] == pytest.approx(round(theta, 6), abs=1e-6)
+    assert r["diff"] == pytest.approx(round(diff, 6), abs=1e-5)
+    assert r["stderr"] == pytest.approx(round(se, 6), abs=1e-5)
+    assert r["z"] == pytest.approx(diff / se, abs=1e-3)
+    # y = 2x + noise: the covariate explains ~r^2 = 1 - 25/(400+25)
+    assert r["var_reduction"] == pytest.approx(1 - (vac + vat) / (vyc + vyt), abs=1e-6)
+    assert r["var_reduction"] > 0.9
+    # the +1 planted effect is detectable after adjustment
+    assert r["p_value"] < 0.05
+
+    with pytest.raises(Exception, match="cuped"):
+        const = spark.createDataFrame(
+            [("c", 1.0, 3.0), ("c", 2.0, 3.0), ("t", 1.5, 3.0), ("t", 2.5, 3.0)],
+            "g STRING, y DOUBLE, x DOUBLE",
+        )
+        stats.cuped(const, "g", "y", "x", control="c", treatment="t").collect()
