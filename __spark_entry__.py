@@ -8490,6 +8490,60 @@ FROM (
 """
 
 
+def _q_classification_report(spark, sf_dir):
+    """stats.classification_report — per-class precision/recall/F1 of
+    a deterministic predictor over events (every 7th event predicted
+    'error', the rest copied from gold): rows reduce to confusion
+    cells, per-class totals re-aggregate the cell frame."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("gold"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("error"))
+        .otherwise(F.col("event_type"))
+        .alias("pred"),
+    )
+    return stats.classification_report(ev, "gold", "pred")
+
+
+CLASSIFICATION_REPORT_ORACLE = """
+WITH src AS (
+  SELECT event_type AS g,
+         CASE WHEN event_id % 7 = 0 THEN 'error' ELSE event_type END AS p
+  FROM events
+  WHERE event_type IS NOT NULL),
+cells AS (
+  SELECT g, p, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY 1, 2),
+gold AS (SELECT g AS label, CAST(SUM(c) AS BIGINT) AS n_gold
+         FROM cells GROUP BY 1),
+pred AS (SELECT p AS label, CAST(SUM(c) AS BIGINT) AS n_pred
+         FROM cells GROUP BY 1),
+tp AS (SELECT g AS label, c AS tp FROM cells WHERE g = p),
+joined AS (
+  SELECT COALESCE(gold.label, pred.label) AS label,
+         CAST(COALESCE(n_gold, 0) AS BIGINT) AS n_gold,
+         CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred
+  FROM gold FULL JOIN pred ON gold.label = pred.label),
+full_ AS (
+  SELECT j.label, j.n_gold, j.n_pred,
+         CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp
+  FROM joined j LEFT JOIN tp ON j.label = tp.label)
+SELECT label, n_gold, n_pred, tp,
+       ROUND(CASE WHEN n_pred > 0
+                  THEN CAST(tp AS DOUBLE) / n_pred END, 6) AS precision,
+       ROUND(CASE WHEN n_gold > 0
+                  THEN CAST(tp AS DOUBLE) / n_gold END, 6) AS recall,
+       ROUND(CASE WHEN n_pred > 0 AND n_gold > 0
+                   AND CAST(tp AS DOUBLE) / n_pred
+                       + CAST(tp AS DOUBLE) / n_gold > 0
+                  THEN 2 * (CAST(tp AS DOUBLE) / n_pred)
+                         * (CAST(tp AS DOUBLE) / n_gold)
+                       / (CAST(tp AS DOUBLE) / n_pred
+                          + CAST(tp AS DOUBLE) / n_gold) END, 6) AS f1
+FROM full_
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8907,6 +8961,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_tost": _q_tost,
         "stats_kappa_matrix": _q_kappa_matrix,
         "stats_cuped": _q_cuped,
+        "stats_classification_report": _q_classification_report,
     }
 
 
@@ -9097,6 +9152,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_tost": TOST_ORACLE,
         "stats_kappa_matrix": KAPPA_MATRIX_ORACLE,
         "stats_cuped": CUPED_ORACLE,
+        "stats_classification_report": CLASSIFICATION_REPORT_ORACLE,
     }
 
 

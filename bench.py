@@ -118,6 +118,7 @@ DETAIL_QUERIES = [
     "stats_tost",
     "stats_kappa_matrix",
     "stats_cuped",
+    "stats_classification_report",
 ]
 
 RUNS = 3

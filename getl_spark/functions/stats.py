@@ -2340,6 +2340,73 @@ def cohens_kappa(
     )
 
 
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-class precision/recall/F1 against gold labels — the basic
+    multi-class eval readout (the ranking metrics ``auc``/
+    ``average_precision`` need scores; this one needs only hard
+    predictions). One row per class seen on EITHER side:
+    ``(label, n_gold, n_pred, tp, precision, recall, f1)`` —
+    precision NULL when the class is never predicted, recall NULL
+    when it never occurs in gold, F1 NULL unless both exist and
+    ``p + r > 0``. Rows with a NULL gold or prediction are excluded
+    (abstentions are absence); labels compare as strings. Macro/micro
+    averages are one trivial aggregation of this output — left to the
+    caller so the oracle row set stays per-class.
+
+    Scale shape: rows reduce to per-(gold, pred) confusion cells —
+    shuffle ∝ distinct label pairs, never rows — and the per-class
+    totals are two tiny re-aggregations of the cell frame joined
+    full-outer on the class.
+    """
+    g = F.col(label_col).cast("string")
+    p = F.col(pred_col).cast("string")
+    cells = (
+        df.where(g.isNotNull() & p.isNotNull())
+        .groupBy(g.alias("__g"), p.alias("__p"))
+        .agg(F.count("*").cast("bigint").alias("__c"))
+    )
+    gold = cells.groupBy(F.col("__g").alias("label")).agg(
+        F.sum("__c").cast("bigint").alias("n_gold")
+    )
+    pred = cells.groupBy(F.col("__p").alias("label")).agg(
+        F.sum("__c").cast("bigint").alias("n_pred")
+    )
+    tp = (
+        cells.where(F.col("__g") == F.col("__p"))
+        .select(F.col("__g").alias("label"), F.col("__c").alias("tp"))
+    )
+    joined = (
+        gold.join(pred, "label", "full")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_gold", F.lit(0)).cast("bigint").alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+    rec = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold"))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    return joined.select(
+        "label",
+        "n_gold",
+        "n_pred",
+        "tp",
+        F.round(prec, round_to).alias("precision"),
+        F.round(rec, round_to).alias("recall"),
+        F.round(f1, round_to).alias("f1"),
+    )
+
+
 def kappa_matrix(
     df: DataFrame,
     item_col: str,

@@ -1888,3 +1888,48 @@ def test_cuped_matches_closed_form_and_cuts_variance(spark):
             "g STRING, y DOUBLE, x DOUBLE",
         )
         stats.cuped(const, "g", "y", "x", control="c", treatment="t").collect()
+
+
+def test_classification_report_matches_sklearn_style_reference(spark):
+    """Per-class precision/recall/F1 match a dict-based confusion
+    reference, incl. a never-predicted class (NULL precision), a
+    gold-absent hallucinated class (NULL recall), and NULL drops."""
+    from collections import Counter
+
+    from getl_spark.functions import stats
+
+    import random
+    rnd = random.Random(7)
+    labels = ["cat", "dog", "bird"]
+    rows = []
+    for _ in range(500):
+        g = rnd.choice(labels)
+        # 'bird' is never predicted; 'fish' is hallucinated sometimes
+        p = g if rnd.random() < 0.7 else rnd.choice(["cat", "dog", "fish"])
+        if p == "bird":
+            p = "cat"
+        rows.append((g, p))
+    rows += [(None, "cat"), ("dog", None)]
+    df = spark.createDataFrame(rows, "gold STRING, pred STRING")
+    out = {r.label: r for r in stats.classification_report(df, "gold", "pred").collect()}
+
+    clean = [(g, p) for g, p in rows if g is not None and p is not None]
+    n_gold = Counter(g for g, _ in clean)
+    n_pred = Counter(p for _, p in clean)
+    tp = Counter(g for g, p in clean if g == p)
+    assert set(out) == set(n_gold) | set(n_pred)
+    for lbl, r in out.items():
+        assert (r.n_gold, r.n_pred, r.tp) == (n_gold[lbl], n_pred[lbl], tp[lbl])
+        if n_pred[lbl]:
+            assert r.precision == round(tp[lbl] / n_pred[lbl], 6)
+        else:
+            assert r.precision is None          # 'bird': never predicted
+        if n_gold[lbl]:
+            assert r.recall == round(tp[lbl] / n_gold[lbl], 6)
+        else:
+            assert r.recall is None             # 'fish': hallucinated
+        if n_pred[lbl] and n_gold[lbl] and tp[lbl]:
+            pr, rc = tp[lbl] / n_pred[lbl], tp[lbl] / n_gold[lbl]
+            assert r.f1 == pytest.approx(round(2 * pr * rc / (pr + rc), 6))
+    assert out["bird"].precision is None and out["bird"].f1 is None
+    assert out["fish"].recall is None and out["fish"].tp == 0
