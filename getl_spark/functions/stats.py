@@ -632,6 +632,50 @@ def ab_compare(
     )
 
 
+def required_n(
+    delta: float,
+    sigma: float,
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+) -> int:
+    """Per-arm sample size for a two-sample mean test to detect a
+    difference of ``delta`` with the given significance and power —
+    the planning companion to ``ab_compare``/``cuped`` (size the test
+    BEFORE burning two weeks of traffic): ``n = 2σ²(z_α/2 + z_β)²/Δ²``
+    rounded up. ``z_alpha`` and ``z_power`` are normal critical
+    values passed directly (defaults 1.959964 / 0.841621 ≈ two-sided
+    5% / 80% power) so no inverse CDF is needed — same convention as
+    ``proportion_ci``. After a CUPED adjustment, pass the REDUCED σ
+    (multiply by ``sqrt(1 - var_reduction)``) — that is where the
+    "3-day test" comes from. Pure driver arithmetic, no data pass.
+    """
+    import math
+
+    if delta <= 0:
+        raise ValueError(f"required_n: delta must be > 0, got {delta}")
+    if sigma <= 0:
+        raise ValueError(f"required_n: sigma must be > 0, got {sigma}")
+    return math.ceil(2.0 * sigma * sigma * (z_alpha + z_power) ** 2 / (delta * delta))
+
+
+def mde(
+    n: int,
+    sigma: float,
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+) -> float:
+    """Minimum detectable effect for ``n`` rows per arm — the inverse
+    of ``required_n``: ``Δ = (z_α/2 + z_β)·σ·sqrt(2/n)``. Use it to
+    answer "we only have this much traffic; what difference could
+    this test even see?" before running it.
+    """
+    if n <= 0:
+        raise ValueError(f"mde: n must be > 0, got {n}")
+    if sigma <= 0:
+        raise ValueError(f"mde: sigma must be > 0, got {sigma}")
+    return (z_alpha + z_power) * sigma * (2.0 / n) ** 0.5
+
+
 def cuped(
     df: DataFrame,
     group_col: str,

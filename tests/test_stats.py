@@ -1933,3 +1933,39 @@ def test_classification_report_matches_sklearn_style_reference(spark):
             assert r.f1 == pytest.approx(round(2 * pr * rc / (pr + rc), 6))
     assert out["bird"].precision is None and out["bird"].f1 is None
     assert out["fish"].recall is None and out["fish"].tp == 0
+
+
+def test_required_n_and_mde_are_inverse_and_calibrated(spark):
+    """required_n/mde invert each other; the sized test actually
+    achieves ~80% power in a seeded simulation (the calibration that
+    matters); guards trip."""
+    import random
+
+    from getl_spark.functions import stats
+
+    n = stats.required_n(delta=0.5, sigma=2.0)
+    # textbook value: 2*4*(2.8016)^2/0.25 = 251.1 -> 252
+    assert n == 252
+    # inverse: the MDE at that n is (just) below the requested delta
+    assert stats.mde(n, 2.0) <= 0.5 < stats.mde(n - 5, 2.0)
+
+    # empirical power at the sized n: ~80% of seeded z-tests reject
+    rnd = random.Random(42)
+    rejected = 0
+    trials = 200
+    for _ in range(trials):
+        a = [rnd.gauss(0.0, 2.0) for _ in range(n)]
+        b = [rnd.gauss(0.5, 2.0) for _ in range(n)]
+        ma, mb = sum(a) / n, sum(b) / n
+        va = sum((x - ma) ** 2 for x in a) / (n - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (n - 1)
+        z = (mb - ma) / ((va / n + vb / n) ** 0.5)
+        if abs(z) > 1.959964:
+            rejected += 1
+    assert 0.7 < rejected / trials < 0.9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="delta"):
+        stats.required_n(0, 1.0)
+    with _pytest.raises(ValueError, match="sigma"):
+        stats.mde(10, 0)
