@@ -8544,6 +8544,50 @@ FROM full_
 """
 
 
+def _q_sentences(spark, sf_dir):
+    """text.sentences — sentence split over documents text with
+    punctuation synthesized deterministically (the corpus is
+    unpunctuated word soup; both engines build the identical string):
+    alternation-only RE2-safe pattern + posexplode, scan-side, zero
+    shuffle. Hand-built rule edges (ellipses, fragments,
+    punctuation-only) run in pytest."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(". "),
+            F.substring("text", 41, 40),
+            F.lit("! "),
+            F.substring("text", 81, 40),
+            F.lit("?"),
+        ).alias("text"),
+    )
+    return text.sentences(docs, id_col="doc_id")
+
+
+SENTENCES_ORACLE = """
+WITH md AS (
+  SELECT doc_id AS id,
+         substr(text, 1, 40) || '. ' || substr(text, 41, 40) || '! '
+         || substr(text, 81, 40) || '?' AS txt
+  FROM documents),
+parts AS (
+  SELECT id,
+         list_filter(
+           list_transform(
+             regexp_extract_all(txt, '[^.!?]+[.!?]+|[^.!?]+$'),
+             s -> trim(s)),
+           s -> s != '') AS sents
+  FROM md)
+SELECT id,
+       CAST(unnest(range(len(sents))) AS INTEGER) AS sent_idx,
+       unnest(sents) AS sentence
+FROM parts
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -8962,6 +9006,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_kappa_matrix": _q_kappa_matrix,
         "stats_cuped": _q_cuped,
         "stats_classification_report": _q_classification_report,
+        "text_sentences": _q_sentences,
     }
 
 
@@ -9153,6 +9198,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_kappa_matrix": KAPPA_MATRIX_ORACLE,
         "stats_cuped": CUPED_ORACLE,
         "stats_classification_report": CLASSIFICATION_REPORT_ORACLE,
+        "text_sentences": SENTENCES_ORACLE,
     }
 
 

@@ -119,6 +119,7 @@ DETAIL_QUERIES = [
     "stats_kappa_matrix",
     "stats_cuped",
     "stats_classification_report",
+    "text_sentences",
 ]
 
 RUNS = 3

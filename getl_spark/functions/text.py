@@ -1733,6 +1733,41 @@ def template_key(
     return df.withColumn(new_col, F.md5(t))
 
 
+def sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into sentences — one row per sentence:
+    ``(id, sent_idx, sentence)`` with contiguous 0-based indexes and
+    trimmed text. The rule is the pragmatic corpus-processing one: a
+    sentence is a maximal run up to (and including) a ``.!?`` cluster
+    (so ``yes...`` stays one sentence), plus any trailing unpunctuated
+    fragment; empty and punctuation-only documents emit no rows (both
+    alternatives require at least one non-punctuation character).
+    Abbreviation-aware splitting needs a language model —
+    out of scope by design; for quality gates and span-level dedup
+    this rule is the standard choice (it is C4's).
+
+    The pattern is alternation-only (``[^.!?]+[.!?]+|[^.!?]+$``) —
+    deliberately NO lookbehind, which RE2 (DuckDB, Go) lacks, so the
+    exact rule replays in the oracle and any sibling pipeline.
+
+    Scale shape: scan-side regexp + ``posexplode`` — zero shuffle,
+    zero UDFs; rows out ∝ sentences.
+    """
+    parts = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[^.!?]+[.!?]+|[^.!?]+$"), 0
+    )
+    trimmed = F.filter(
+        F.transform(parts, lambda s: F.trim(s)), lambda s: s != ""
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(trimmed).alias("sent_idx", "sentence"),
+    )
+
+
 def code_blocks(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -981,3 +981,29 @@ def test_code_blocks_extracts_fences(spark):
         (1, 1, "", "plain\n"),
         (1, 2, "inline", ""),
     ]
+
+
+def test_sentences_rule_and_indexing(spark):
+    """Maximal punctuation-cluster rule: ellipses stay whole, trailing
+    fragments kept, indexes contiguous after empty-drop, no-punct doc
+    is one sentence, empty doc emits nothing."""
+    from getl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "One two. Three four! Is five? yes... trailing frag"),
+            (2, "no punctuation at all"),
+            (3, ""),
+            (4, "..."),   # punctuation only: no sentence content
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted((r.id, r.sent_idx, r.sentence) for r in T.sentences(df).collect())
+    assert rows == [
+        (1, 0, "One two."),
+        (1, 1, "Three four!"),
+        (1, 2, "Is five?"),
+        (1, 3, "yes..."),
+        (1, 4, "trailing frag"),
+        (2, 0, "no punctuation at all"),
+    ]
