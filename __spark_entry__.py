@@ -8588,6 +8588,61 @@ FROM parts
 """
 
 
+def _q_srm(spark, sf_dir):
+    """stats.srm — sample-ratio-mismatch gate on a deterministic
+    50/50 assignment with a planted logging bug (arm b only gets 4 of
+    every 10 ids): one conditional-count aggregate, Wilson-Hilferty
+    chi-square tail on the shared polynomial Φ."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.when(F.col("event_id") % 10 < 5, F.lit("a"))
+        .when(F.col("event_id") % 10 < 9, F.lit("b"))
+        .alias("arm")
+    )
+    return stats.srm(ev, "arm", {"a": 0.5, "b": 0.5})
+
+
+SRM_ORACLE = """
+WITH src AS (
+  SELECT CASE WHEN event_id % 10 < 5 THEN 'a'
+              WHEN event_id % 10 < 9 THEN 'b' END AS arm
+  FROM events),
+c AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM src),
+s AS (
+  SELECT CAST(ca + cb AS DOUBLE) AS n,
+         POWER(ca - (ca + cb) * 0.5, 2) / ((ca + cb) * 0.5)
+         + POWER(cb - (ca + cb) * 0.5, 2) / ((ca + cb) * 0.5) AS chi2
+  FROM c),
+z AS (
+  SELECT n, chi2,
+         (POWER(chi2 / 1.0, 1.0 / 3.0) - (1.0 - 2.0 / 9.0))
+           / sqrt(2.0 / 9.0) AS wz
+  FROM s),
+p AS (
+  SELECT n, chi2,
+         1 - (CASE WHEN wz >= 0 THEN 1 - pt / 2 ELSE pt / 2 END) AS pv
+  FROM (
+    SELECT *,
+           (0.254829592 * tt - 0.284496736 * POWER(tt, 2)
+            + 1.421413741 * POWER(tt, 3) - 1.453152027 * POWER(tt, 4)
+            + 1.061405429 * POWER(tt, 5)) * exp(-(xx * xx)) AS pt
+    FROM (
+      SELECT *, abs(wz) / sqrt(2.0) AS xx,
+             1.0 / (1.0 + 0.3275911 * (abs(wz) / sqrt(2.0))) AS tt
+      FROM z)))
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(chi2, 6) AS chi2,
+       1 AS dof,
+       ROUND(pv, 6) AS p_value,
+       pv < 0.001 AS srm_detected
+FROM p
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -9007,6 +9062,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cuped": _q_cuped,
         "stats_classification_report": _q_classification_report,
         "text_sentences": _q_sentences,
+        "stats_srm": _q_srm,
     }
 
 
@@ -9199,6 +9255,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_cuped": CUPED_ORACLE,
         "stats_classification_report": CLASSIFICATION_REPORT_ORACLE,
         "text_sentences": SENTENCES_ORACLE,
+        "stats_srm": SRM_ORACLE,
     }
 
 

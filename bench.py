@@ -120,6 +120,7 @@ DETAIL_QUERIES = [
     "stats_cuped",
     "stats_classification_report",
     "text_sentences",
+    "stats_srm",
 ]
 
 RUNS = 3

@@ -632,6 +632,72 @@ def ab_compare(
     )
 
 
+def srm(
+    df: DataFrame,
+    group_col: str,
+    expected: dict,
+    alpha: float = 0.001,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sample Ratio Mismatch check — the first validity gate on ANY
+    experiment readout: a chi-square goodness-of-fit of the observed
+    arm sizes against the intended allocation (``expected`` maps arm →
+    ratio; ratios are normalized). A significant mismatch means the
+    assignment, logging, or filtering pipeline is dropping one arm's
+    rows non-randomly, and every downstream metric comparison is
+    invalid — which is why the conventional threshold is a paranoid
+    ``alpha = 0.001``, not 0.05 (Fabijan et al. 2019). Rows whose
+    group value is not an ``expected`` key are ignored (other
+    experiment arms, holdouts).
+
+    Output is one row: ``(n, chi2, dof, p_value, srm_detected)``.
+    The upper-tail p uses the Wilson-Hilferty cube-root normal
+    approximation (exact closed form, < 1e-3 absolute error for
+    dof ≥ 1 at the tail sizes that matter) on the shared A&S Φ — so
+    the DuckDB oracle replays it bit-for-bit at rounded precision.
+
+    Scale shape: ONE conditional-count aggregate (k arm counts finish
+    map-side); everything after is arithmetic on the 1-row result.
+    """
+    if not expected or len(expected) < 2:
+        raise ValueError("srm: expected needs at least two arms")
+    if any(v <= 0 for v in expected.values()):
+        raise ValueError("srm: expected ratios must be > 0")
+    if not 0 < alpha < 1:
+        raise ValueError(f"srm: alpha must be in (0,1), got {alpha}")
+    total_w = float(sum(expected.values()))
+    g = F.col(group_col).cast("string")
+    counts = df.agg(
+        *[
+            F.sum(F.when(g == str(arm), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__srm_{i}")
+            for i, arm in enumerate(expected)
+        ]
+    )
+    n = sum(F.col(f"__srm_{i}") for i in range(len(expected))).cast("double")
+    chi2 = None
+    for i, (arm, w) in enumerate(expected.items()):
+        exp_i = n * F.lit(float(w) / total_w)
+        term = (F.col(f"__srm_{i}") - exp_i) ** 2 / exp_i
+        chi2 = term if chi2 is None else chi2 + term
+    chi2 = F.when(n > 0, chi2)
+    k = float(len(expected) - 1)
+    # Wilson-Hilferty: (chi2/k)^(1/3) ~ Normal(1 - 2/(9k), 2/(9k))
+    wh_z = (
+        (chi2 / F.lit(k)) ** F.lit(1.0 / 3.0)
+        - F.lit(1.0 - 2.0 / (9.0 * k))
+    ) / F.lit((2.0 / (9.0 * k)) ** 0.5)
+    p = 1 - _normal_cdf(wh_z)
+    return counts.select(
+        n.cast("bigint").alias("n"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.lit(int(k)).alias("dof"),
+        F.round(p, round_to).alias("p_value"),
+        (p < F.lit(float(alpha))).alias("srm_detected"),
+    )
+
+
 def required_n(
     delta: float,
     sigma: float,

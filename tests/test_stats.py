@@ -1969,3 +1969,39 @@ def test_required_n_and_mde_are_inverse_and_calibrated(spark):
         stats.required_n(0, 1.0)
     with _pytest.raises(ValueError, match="sigma"):
         stats.mde(10, 0)
+
+
+def test_srm_detects_planted_mismatch(spark):
+    """chi2 matches the textbook statistic; a 50/50 split with a
+    planted 2% drop on one arm trips the 1e-3 gate at n=100k while a
+    clean split does not; non-expected arms ignored; guards."""
+    from getl_spark.functions import stats
+
+    # clean 50/50: 50_000 / 50_000 plus an ignored holdout arm
+    clean = spark.createDataFrame(
+        [("a", 50_000), ("b", 50_000), ("holdout", 7)], "g STRING, c LONG"
+    ).selectExpr("g", "explode(sequence(1, c)) AS i").select("g")
+    r = stats.srm(clean, "g", {"a": 0.5, "b": 0.5}).collect()[0]
+    assert (r.n, r.chi2, r.dof) == (100_000, 0.0, 1)
+    assert r.p_value > 0.9 and r.srm_detected is False
+
+    # one arm dropped ~2%: chi2 = sum (obs-exp)^2/exp with exp = n/2
+    skew = spark.createDataFrame(
+        [("a", 50_000), ("b", 48_500)], "g STRING, c LONG"
+    ).selectExpr("g", "explode(sequence(1, c)) AS i").select("g")
+    r2 = stats.srm(skew, "g", {"a": 0.5, "b": 0.5}).collect()[0]
+    n, oa, ob = 98_500, 50_000, 48_500
+    chi2 = (oa - n / 2) ** 2 / (n / 2) + (ob - n / 2) ** 2 / (n / 2)
+    assert r2.chi2 == pytest.approx(round(chi2, 6))
+    assert r2.srm_detected is True and r2.p_value < 1e-3
+
+    # uneven intended allocation honored
+    r3 = stats.srm(skew, "g", {"a": 500, "b": 485}).collect()[0]
+    assert r3.chi2 == pytest.approx(0.0, abs=1e-9)
+    assert r3.srm_detected is False
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="two arms"):
+        stats.srm(clean, "g", {"a": 1.0})
+    with _pytest.raises(ValueError, match="> 0"):
+        stats.srm(clean, "g", {"a": 1.0, "b": 0})
