@@ -8643,6 +8643,41 @@ FROM p
 """
 
 
+def _q_balanced_downsample(spark, sf_dir):
+    """sample.balanced_downsample — class-count equalization on a
+    FIXED skewed frame (600/300/100 labels over range(1000) —
+    sf-independent; xxhash winners golden-pinned): per-class rank on
+    the distributed prefix count, NOT a per-label window (a handful
+    of classes would collapse the stage to #classes tasks at scale);
+    min-class cap attaches as a 1-row broadcast."""
+    from getl_spark.functions import sample
+
+    base = spark.range(0, 1000).select(
+        "id",
+        F.when(F.col("id") % 10 <= 5, F.lit("a"))
+        .when(F.col("id") % 10 <= 8, F.lit("b"))
+        .otherwise(F.lit("c"))
+        .alias("label"),
+    )
+    out = sample.balanced_downsample(base, "label", ["id"], seed=7)
+    return (
+        out.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("id").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
+BALANCED_DOWNSAMPLE_ORACLE = """
+SELECT * FROM (VALUES
+  ('a', CAST(100 AS BIGINT), CAST(53842 AS BIGINT)),
+  ('b', CAST(100 AS BIGINT), CAST(51971 AS BIGINT)),
+  ('c', CAST(100 AS BIGINT), CAST(50400 AS BIGINT))
+) AS t(label, n, id_sum)
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -9063,6 +9098,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_classification_report": _q_classification_report,
         "text_sentences": _q_sentences,
         "stats_srm": _q_srm,
+        "sample_balanced_downsample": _q_balanced_downsample,
     }
 
 
@@ -9256,6 +9292,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_classification_report": CLASSIFICATION_REPORT_ORACLE,
         "text_sentences": SENTENCES_ORACLE,
         "stats_srm": SRM_ORACLE,
+        "sample_balanced_downsample": BALANCED_DOWNSAMPLE_ORACLE,
     }
 
 

@@ -121,6 +121,7 @@ DETAIL_QUERIES = [
     "stats_classification_report",
     "text_sentences",
     "stats_srm",
+    "sample_balanced_downsample",
 ]
 
 RUNS = 3

@@ -67,6 +67,59 @@ def per_key_cap(
     return df.withColumn(tag, F.row_number().over(w)).where(F.col(tag) <= k).drop(tag)
 
 
+def balanced_downsample(
+    df: DataFrame,
+    label_col: str,
+    id_cols: Sequence[str],
+    seed: int = 0,
+    label_cap: Optional[int] = None,
+) -> DataFrame:
+    """Equalize class counts — the standard prep before training a
+    classifier on skewed labels: every class is capped at the size of
+    the smallest (or at an explicit ``label_cap``), the kept rows
+    chosen by deterministic content-hash order so the sample is
+    reproducible across retries and clusters. NULL labels are dropped
+    (they are not a class).
+
+    NOT ``per_key_cap``: that one ranks with a per-key window, which
+    is right for many keys but collapses the stage to #classes tasks
+    when the key is a label column with a handful of values — a
+    scale-killer at 100 TB. Here the per-class rank is the
+    DISTRIBUTED prefix count over (label, hash) order
+    (``common/scale.py``), so parallelism is independent of the class
+    count; the min-class-size cap attaches as a 1-row broadcast.
+    """
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    lbl = F.col(label_col)
+    base = df.where(lbl.isNotNull()).withColumn(
+        "__bd_h", _unit_hash(id_cols, seed)
+    ).withColumn("__bd_one", F.lit(1))
+    ranked = grouped_prefix_sum(
+        base,
+        [label_col],
+        ["__bd_h"] + [str(c) for c in id_cols],
+        "__bd_one",
+        "__bd_rk",
+    )
+    if label_cap is not None:
+        if label_cap <= 0:
+            raise ValueError(
+                f"balanced_downsample: label_cap must be > 0, got {label_cap}"
+            )
+        kept = ranked.where(F.col("__bd_rk") <= label_cap)
+    else:
+        mn = (
+            base.groupBy(label_col)
+            .agg(F.count("*").alias("__bd_c"))
+            .agg(F.min("__bd_c").alias("__bd_min"))
+        )
+        kept = ranked.crossJoin(F.broadcast(mn)).where(
+            F.col("__bd_rk") <= F.col("__bd_min")
+        )
+    return kept.drop("__bd_h", "__bd_one", "__bd_rk", "__bd_min")
+
+
 def weighted_mix(
     sources: Dict[str, DataFrame],
     weights: Dict[str, float],

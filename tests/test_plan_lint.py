@@ -48,6 +48,7 @@ NESTED_LOOP_WHITELIST = {
     "stats_permutation_test": "1-row observed-stats broadcast (arm "
     "fraction in, tail comparison out)",
     "dedup_shingle_profile": "1-row total-pair-mass broadcast",
+    "sample_balanced_downsample": "1-row min-class-size broadcast",
     "stats_trimmed_mean": "1-row total-count (and winsor bounds) broadcast",
     "text_unigram_logprob": "1-row vocab-total broadcast",
     "text_logprob_buckets": "1-row vocab-total broadcast",

@@ -623,3 +623,43 @@ def test_grouped_prefix_scan_boundary_invariance_randomized(spark):
                 ).collect()
             }
             assert got == want, (trial, n, nkeys, parts, inclusive)
+
+
+def test_balanced_downsample_equalizes_classes(spark):
+    """Every class capped at the min class size (or explicit cap),
+    winners stable across reruns and equal to hash-order selection;
+    NULL labels dropped; prefix-scan path (no per-label window)."""
+    from getl_spark.functions import sample as S
+
+    rows = (
+        [(i, "big") for i in range(600)]
+        + [(1000 + i, "mid") for i in range(300)]
+        + [(2000 + i, "small") for i in range(100)]
+        + [(9999, None)]
+    )
+    df = spark.createDataFrame(rows, "id LONG, label STRING")
+    out = S.balanced_downsample(df, "label", ["id"], seed=3)
+    counts = {r.label: r.n for r in out.groupBy("label").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    assert counts == {"big": 100, "mid": 100, "small": 100}
+    # deterministic: identical winner id-sets on rerun
+    ids1 = sorted(r.id for r in out.collect())
+    ids2 = sorted(r.id for r in S.balanced_downsample(df, "label", ["id"], seed=3).collect())
+    assert ids1 == ids2
+    # matches explicit hash-order selection per class
+    from getl_spark.functions.sample import _unit_hash
+    hashed = df.where("label IS NOT NULL").withColumn("h", _unit_hash(["id"], 3)).collect()
+    for lbl in ("big", "mid", "small"):
+        want = sorted((r.h, r.id) for r in hashed if r.label == lbl)[:100]
+        got = sorted(r.id for r in out.where(f"label = '{lbl}'").collect())
+        assert got == sorted(i for _, i in want)
+
+    # explicit cap; smaller classes keep everything they have
+    capped = S.balanced_downsample(df, "label", ["id"], seed=3, label_cap=200)
+    got = {r.label: r.n for r in capped.groupBy("label").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    assert got == {"big": 200, "mid": 200, "small": 100}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="label_cap"):
+        S.balanced_downsample(df, "label", ["id"], label_cap=0)
