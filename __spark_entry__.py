@@ -8678,6 +8678,45 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_moments(spark, sf_dir):
+    """stats.moments — shape summary (skewness, excess kurtosis) of
+    lineitem quantity per return flag. Integer-valued metric keeps
+    the pass-1 mean bit-identical across engines, so the centered
+    pass-2 sums agree to summation-order noise; explicit closed form
+    instead of the built-ins because Spark and DuckDB apply different
+    bias corrections."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return stats.moments(li, "l_quantity", ["l_returnflag"])
+
+
+MOMENTS_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v
+  FROM lineitem WHERE l_quantity IS NOT NULL),
+mu AS (
+  SELECT g, AVG(v) AS mu, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1),
+cm AS (
+  SELECT base.g,
+         ANY_VALUE(n) AS n, ANY_VALUE(mu) AS mu,
+         SUM((v - mu) * (v - mu)) AS m2,
+         SUM((v - mu) * (v - mu) * (v - mu)) AS m3,
+         SUM((v - mu) * (v - mu) * (v - mu) * (v - mu)) AS m4
+  FROM base JOIN mu ON base.g = mu.g
+  GROUP BY base.g)
+SELECT g AS l_returnflag, n,
+       ROUND(mu, 6) AS mean,
+       ROUND(CASE WHEN n > 1 THEN m2 / (n - 1) END, 6) AS variance,
+       ROUND(CASE WHEN n > 1 AND m2 > 0
+                  THEN (m3 / n) / POWER(m2 / n, 1.5) END, 6) AS skewness,
+       ROUND(CASE WHEN n > 1 AND m2 > 0
+                  THEN (m4 / n) / POWER(m2 / n, 2) - 3 END, 6) AS kurtosis
+FROM cm
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -9099,6 +9138,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sentences": _q_sentences,
         "stats_srm": _q_srm,
         "sample_balanced_downsample": _q_balanced_downsample,
+        "stats_moments": _q_moments,
     }
 
 
@@ -9293,6 +9333,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "text_sentences": SENTENCES_ORACLE,
         "stats_srm": SRM_ORACLE,
         "sample_balanced_downsample": BALANCED_DOWNSAMPLE_ORACLE,
+        "stats_moments": MOMENTS_ORACLE,
     }
 
 

@@ -122,6 +122,7 @@ DETAIL_QUERIES = [
     "text_sentences",
     "stats_srm",
     "sample_balanced_downsample",
+    "stats_moments",
 ]
 
 RUNS = 3

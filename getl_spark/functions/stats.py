@@ -632,6 +632,70 @@ def ab_compare(
     )
 
 
+def moments(
+    df: DataFrame,
+    value_col: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Distribution-shape summary per group: ``(group..., n, mean,
+    variance, skewness, kurtosis)`` — the drift gate for SHAPE changes
+    (a quality-score column whose mean holds but whose tail fattens;
+    a length distribution going bimodal) that mean/variance monitors
+    miss. ``variance`` is the sample variance; ``skewness`` and
+    ``kurtosis`` are the population-moment forms ``m3/m2^1.5`` and
+    ``m4/m2² − 3`` (excess; normal ≈ 0) — conventions documented
+    because engines disagree on bias corrections, which is also why
+    this does NOT call the built-in ``skewness``/``kurtosis``
+    (Spark and DuckDB use different corrections; this closed form
+    replays identically in both).
+
+    Two passes by design: group means first (a group-count-sized
+    broadcast), then centered power sums — the one-pass raw-sums
+    identity (``Σx⁴`` etc.) cancels catastrophically for any column
+    whose mean is far from 0, and at 100 TB you cannot eyeball a
+    wrong kurtosis. NULL values are excluded; groups with n < 2 or
+    zero variance emit NULL shape columns.
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(*keys, v.alias("__mo_v"))
+    means = base.groupBy(*keys).agg(
+        F.avg("__mo_v").alias("__mo_mu"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    if keys:
+        joined = base.join(F.broadcast(means), keys)
+    else:
+        joined = base.crossJoin(F.broadcast(means))
+    d = F.col("__mo_v") - F.col("__mo_mu")
+    cm = joined.groupBy(*keys).agg(
+        F.first("n").alias("n"),
+        F.first("__mo_mu").alias("__mo_mu"),
+        F.sum(d * d).alias("__mo_m2"),
+        F.sum(d * d * d).alias("__mo_m3"),
+        F.sum(d * d * d * d).alias("__mo_m4"),
+    )
+    n = F.col("n").cast("double")
+    m2n = F.col("__mo_m2") / n
+    var = F.when(n > 1, F.col("__mo_m2") / (n - 1))
+    shape_ok = (n > 1) & (F.col("__mo_m2") > 0)
+    skew = F.when(shape_ok, (F.col("__mo_m3") / n) / m2n ** F.lit(1.5))
+    kurt = F.when(shape_ok, (F.col("__mo_m4") / n) / (m2n * m2n) - 3)
+    return cm.select(
+        *keys,
+        "n",
+        F.round("__mo_mu", round_to).alias("mean"),
+        F.round(var, round_to).alias("variance"),
+        F.round(skew, round_to).alias("skewness"),
+        F.round(kurt, round_to).alias("kurtosis"),
+    )
+
+
 def srm(
     df: DataFrame,
     group_col: str,

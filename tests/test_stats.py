@@ -2005,3 +2005,45 @@ def test_srm_detects_planted_mismatch(spark):
         stats.srm(clean, "g", {"a": 1.0})
     with _pytest.raises(ValueError, match="> 0"):
         stats.srm(clean, "g", {"a": 1.0, "b": 0})
+
+
+def test_moments_matches_reference_and_known_shapes(spark):
+    """Centered two-pass moments match a plain-python reference on a
+    skewed grouped fixture; symmetric data has ~0 skewness; uniform
+    has negative excess kurtosis; degenerate groups emit NULLs."""
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(31)
+    rows = [("exp", rnd.expovariate(0.1)) for _ in range(2000)]   # right-skew
+    rows += [("uni", rnd.uniform(0, 100)) for _ in range(2000)]   # platykurtic
+    rows += [("one", 7.0), ("const", 3.0), ("const", 3.0), ("g", None)]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE")
+    out = {r.g: r for r in stats.moments(df, "x", ["g"]).collect()}
+
+    def ref(vals):
+        n = len(vals)
+        mu = sum(vals) / n
+        m2 = sum((x - mu) ** 2 for x in vals)
+        m3 = sum((x - mu) ** 3 for x in vals)
+        m4 = sum((x - mu) ** 4 for x in vals)
+        return (mu, m2 / (n - 1), (m3 / n) / (m2 / n) ** 1.5,
+                (m4 / n) / (m2 / n) ** 2 - 3)
+
+    for g in ("exp", "uni"):
+        vals = [x for gg, x in rows if gg == g and x is not None]
+        mu, var, sk, ku = ref(vals)
+        r = out[g]
+        assert r.n == len(vals)
+        assert r.mean == pytest.approx(round(mu, 6), abs=1e-6)
+        assert r.variance == pytest.approx(round(var, 6), abs=1e-4)
+        assert r.skewness == pytest.approx(round(sk, 6), abs=1e-6)
+        assert r.kurtosis == pytest.approx(round(ku, 6), abs=1e-6)
+    assert out["exp"].skewness > 1.5            # exponential: skew ~ 2
+    assert abs(out["uni"].skewness) < 0.2       # symmetric
+    assert out["uni"].kurtosis < -1.0           # uniform: excess -1.2
+    # degenerate: single row and constant group -> NULL shapes
+    assert out["one"].variance is None and out["one"].skewness is None
+    assert out["const"].variance == 0.0 and out["const"].skewness is None
+    assert "g" not in out or out.get("g") is None or out["g"].n == 0
