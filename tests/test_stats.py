@@ -2047,3 +2047,32 @@ def test_moments_matches_reference_and_known_shapes(spark):
     assert out["one"].variance is None and out["one"].skewness is None
     assert out["const"].variance == 0.0 and out["const"].skewness is None
     assert "g" not in out or out.get("g") is None or out["g"].n == 0
+
+
+def test_round8_ops_partition_invariance(spark):
+    """wilcoxon, moments, and balanced_downsample return identical
+    results at 1, 7, and 32 input partitions — the property that makes
+    the local[32] answer the 1000-executor answer."""
+    import random
+
+    from getl_spark.functions import sample as S
+    from getl_spark.functions import stats
+
+    rnd = random.Random(41)
+    pairs = [
+        (i, float(rnd.randint(0, 9)), float(rnd.randint(0, 9)),
+         rnd.choice(["x", "y", "z"]))
+        for i in range(500)
+    ]
+    results = []
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(
+            pairs, "id LONG, a DOUBLE, b DOUBLE, g STRING"
+        ).repartition(parts)
+        w = tuple(stats.wilcoxon(df, "a", "b").collect()[0])
+        m = sorted(tuple(r) for r in stats.moments(df, "a", ["g"]).collect())
+        bd = sorted(
+            r.id for r in S.balanced_downsample(df, "g", ["id"], seed=5).collect()
+        )
+        results.append((w, m, bd))
+    assert results[0] == results[1] == results[2]
