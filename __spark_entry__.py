@@ -8717,6 +8717,54 @@ FROM cm
 """
 
 
+def _q_binary_metrics(spark, sf_dir):
+    """stats.binary_metrics — one-row confusion readout of a
+    deterministic binary predictor over events (gold = is-purchase,
+    pred = value above a fixed threshold): one conditional-count
+    aggregate, closed-form metrics incl. the ungameable MCC."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("event_type") == "purchase").alias("y"),
+        (F.col("value") > 50).alias("yhat"),
+    )
+    return stats.binary_metrics(ev, "y", "yhat")
+
+
+BINARY_METRICS_ORACLE = """
+WITH src AS (
+  SELECT (event_type = 'purchase') AS y, (value > 50) AS yhat
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+c AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE y AND yhat) AS BIGINT) AS tp,
+         CAST(COUNT(*) FILTER (WHERE NOT y AND yhat) AS BIGINT) AS fp,
+         CAST(COUNT(*) FILTER (WHERE y AND NOT yhat) AS BIGINT) AS fn,
+         CAST(COUNT(*) FILTER (WHERE NOT y AND NOT yhat) AS BIGINT) AS tn
+  FROM src),
+d AS (
+  SELECT *, CAST(tp + fp + fn + tn AS DOUBLE) AS n,
+         CASE WHEN tp + fp > 0
+              THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+         CASE WHEN tp + fn > 0
+              THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rec,
+         CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)
+           AS mden
+  FROM c)
+SELECT CAST(n AS BIGINT) AS n, tp, fp, fn, tn,
+       ROUND(CASE WHEN n > 0 THEN (tp + tn) / n END, 6) AS accuracy,
+       ROUND(prec, 6) AS precision,
+       ROUND(rec, 6) AS recall,
+       ROUND(CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+                   AND prec + rec > 0
+                  THEN 2 * prec * rec / (prec + rec) END, 6) AS f1,
+       ROUND(CASE WHEN mden > 0
+                  THEN (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                       / sqrt(mden) END, 6) AS mcc
+FROM d
+"""
+
+
 # ------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pricing summary through the full engine at sf0.001."""
@@ -9139,6 +9187,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_srm": _q_srm,
         "sample_balanced_downsample": _q_balanced_downsample,
         "stats_moments": _q_moments,
+        "stats_binary_metrics": _q_binary_metrics,
     }
 
 
@@ -9334,6 +9383,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_srm": SRM_ORACLE,
         "sample_balanced_downsample": BALANCED_DOWNSAMPLE_ORACLE,
         "stats_moments": MOMENTS_ORACLE,
+        "stats_binary_metrics": BINARY_METRICS_ORACLE,
     }
 
 

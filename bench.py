@@ -123,6 +123,7 @@ DETAIL_QUERIES = [
     "stats_srm",
     "sample_balanced_downsample",
     "stats_moments",
+    "stats_binary_metrics",
 ]
 
 RUNS = 3

@@ -2581,6 +2581,64 @@ def classification_report(
     )
 
 
+def binary_metrics(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row binary-classifier readout from hard predictions:
+    ``(n, tp, fp, fn, tn, accuracy, precision, recall, f1, mcc)`` —
+    the complement to ``classification_report`` (per-class,
+    multi-class) when the task is binary and you want the single
+    balanced scalar: MCC is the correlation of the confusion matrix
+    and, unlike accuracy or F1, cannot be gamed by predicting the
+    majority class (Chicco & Jurman 2020). Inputs are boolean or 0/1
+    columns; rows with a NULL on either side are excluded. Degenerate
+    denominators yield NULL for that metric (never-predicted-positive
+    → NULL precision; single-class gold or preds → NULL mcc).
+
+    Scale shape: ONE conditional-count aggregate (the four confusion
+    cells finish map-side), closed-form arithmetic on the 1-row
+    result. MCC's denominator is computed in doubles — the four
+    marginal products overflow a bigint at ~3e9 rows per cell.
+    """
+    l_ = F.col(label_col).cast("boolean")
+    p_ = F.col(pred_col).cast("boolean")
+    both = l_.isNotNull() & p_.isNotNull()
+    cells = df.agg(
+        F.sum(F.when(both & l_ & p_, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(both & ~l_ & p_, 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(both & l_ & ~p_, 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.sum(F.when(both & ~l_ & ~p_, 1).otherwise(0)).cast("bigint").alias("tn"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    n = tp + fp + fn + tn
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    mcc_den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    mcc = F.when(
+        mcc_den > 0, (tp * tn - fp * fn) / F.sqrt(mcc_den)
+    )
+    return cells.select(
+        n.cast("bigint").alias("n"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.when(n > 0, (tp + tn) / n), round_to).alias("accuracy"),
+        F.round(prec, round_to).alias("precision"),
+        F.round(rec, round_to).alias("recall"),
+        F.round(f1, round_to).alias("f1"),
+        F.round(mcc, round_to).alias("mcc"),
+    )
+
+
 def kappa_matrix(
     df: DataFrame,
     item_col: str,

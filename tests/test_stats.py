@@ -2076,3 +2076,44 @@ def test_round8_ops_partition_invariance(spark):
         )
         results.append((w, m, bd))
     assert results[0] == results[1] == results[2]
+
+
+def test_binary_metrics_closed_form_and_degeneracies(spark):
+    """Confusion cells and derived metrics match a hand count; MCC
+    punishes majority-class gaming where accuracy flatters; degenerate
+    denominators yield NULLs; NULL rows excluded."""
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(23)
+    rows = [(rnd.random() < 0.3, rnd.random() < 0.4) for _ in range(400)]
+    rows += [(None, True), (True, None)]
+    df = spark.createDataFrame(rows, "y BOOLEAN, yhat BOOLEAN")
+    r = stats.binary_metrics(df, "y", "yhat").collect()[0]
+    clean = [(a, b) for a, b in rows if a is not None and b is not None]
+    tp = sum(1 for a, b in clean if a and b)
+    fp = sum(1 for a, b in clean if not a and b)
+    fn = sum(1 for a, b in clean if a and not b)
+    tn = sum(1 for a, b in clean if not a and not b)
+    assert (r.n, r.tp, r.fp, r.fn, r.tn) == (len(clean), tp, fp, fn, tn)
+    assert r.accuracy == round((tp + tn) / len(clean), 6)
+    prec, rec = tp / (tp + fp), tp / (tp + fn)
+    assert r.precision == round(prec, 6) and r.recall == round(rec, 6)
+    assert r.f1 == round(2 * prec * rec / (prec + rec), 6)
+    mcc = (tp * tn - fp * fn) / (
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    ) ** 0.5
+    assert r.mcc == round(mcc, 6)
+
+    # majority-class gamer: 90% negatives, always predict negative
+    gamer = spark.createDataFrame(
+        [(i < 40, False) for i in range(400)], "y BOOLEAN, yhat BOOLEAN"
+    )
+    g = stats.binary_metrics(gamer, "y", "yhat").collect()[0]
+    assert g.accuracy == 0.9                    # flattering
+    assert g.precision is None and g.mcc is None  # exposed
+    # 0/1 integer columns accepted
+    ints = spark.createDataFrame([(1, 1), (0, 1), (1, 0), (0, 0)], "y INT, yhat INT")
+    r2 = stats.binary_metrics(ints, "y", "yhat").collect()[0]
+    assert (r2.tp, r2.fp, r2.fn, r2.tn) == (1, 1, 1, 1) and r2.mcc == 0.0
