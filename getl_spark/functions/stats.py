@@ -702,6 +702,7 @@ def srm(
     expected: dict,
     alpha: float = 0.001,
     round_to: int = 6,
+    experiment_col=None,
 ) -> DataFrame:
     """Sample Ratio Mismatch check — the first validity gate on ANY
     experiment readout: a chi-square goodness-of-fit of the observed
@@ -714,14 +715,19 @@ def srm(
     group value is not an ``expected`` key are ignored (other
     experiment arms, holdouts).
 
-    Output is one row: ``(n, chi2, dof, p_value, srm_detected)``.
+    Output is one row: ``(n, chi2, dof, p_value, srm_detected)`` —
+    or one row PER EXPERIMENT when ``experiment_col`` is given (the
+    batch health check over a platform's concurrent experiments:
+    same single scan, grouped instead of global; the shared
+    ``expected`` allocation applies to every experiment).
     The upper-tail p uses the Wilson-Hilferty cube-root normal
     approximation (exact closed form, < 1e-3 absolute error for
     dof ≥ 1 at the tail sizes that matter) on the shared A&S Φ — so
     the DuckDB oracle replays it bit-for-bit at rounded precision.
 
     Scale shape: ONE conditional-count aggregate (k arm counts finish
-    map-side); everything after is arithmetic on the 1-row result.
+    map-side, keyed by experiment when grouped); everything after is
+    arithmetic on the experiment-count-sized result.
     """
     if not expected or len(expected) < 2:
         raise ValueError("srm: expected needs at least two arms")
@@ -731,14 +737,20 @@ def srm(
         raise ValueError(f"srm: alpha must be in (0,1), got {alpha}")
     total_w = float(sum(expected.values()))
     g = F.col(group_col).cast("string")
-    counts = df.agg(
-        *[
-            F.sum(F.when(g == str(arm), 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"__srm_{i}")
-            for i, arm in enumerate(expected)
-        ]
+    cells = [
+        F.sum(F.when(g == str(arm), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"__srm_{i}")
+        for i, arm in enumerate(expected)
+    ]
+    keys = (
+        []
+        if experiment_col is None
+        else [experiment_col]
+        if isinstance(experiment_col, str)
+        else list(experiment_col)
     )
+    counts = df.groupBy(*keys).agg(*cells) if keys else df.agg(*cells)
     n = sum(F.col(f"__srm_{i}") for i in range(len(expected))).cast("double")
     chi2 = None
     for i, (arm, w) in enumerate(expected.items()):
@@ -754,6 +766,7 @@ def srm(
     ) / F.lit((2.0 / (9.0 * k)) ** 0.5)
     p = 1 - _normal_cdf(wh_z)
     return counts.select(
+        *keys,
         n.cast("bigint").alias("n"),
         F.round(chi2, round_to).alias("chi2"),
         F.lit(int(k)).alias("dof"),

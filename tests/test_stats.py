@@ -2117,3 +2117,26 @@ def test_binary_metrics_closed_form_and_degeneracies(spark):
     ints = spark.createDataFrame([(1, 1), (0, 1), (1, 0), (0, 0)], "y INT, yhat INT")
     r2 = stats.binary_metrics(ints, "y", "yhat").collect()[0]
     assert (r2.tp, r2.fp, r2.fn, r2.tn) == (1, 1, 1, 1) and r2.mcc == 0.0
+
+
+def test_srm_grouped_batch_health_check(spark):
+    """experiment_col runs the gate per experiment in one scan: a
+    healthy experiment and a broken one get independent verdicts that
+    equal their ungrouped runs."""
+    from getl_spark.functions import stats
+
+    rows = (
+        [("exp1", "a")] * 5000 + [("exp1", "b")] * 5000
+        + [("exp2", "a")] * 5000 + [("exp2", "b")] * 4300
+    )
+    df = spark.createDataFrame(rows, "exp STRING, g STRING")
+    out = {r.exp: r for r in stats.srm(
+        df, "g", {"a": 0.5, "b": 0.5}, experiment_col="exp").collect()}
+    assert out["exp1"].srm_detected is False
+    assert out["exp2"].srm_detected is True
+    for exp in ("exp1", "exp2"):
+        solo = stats.srm(
+            df.where(f"exp = '{exp}'"), "g", {"a": 0.5, "b": 0.5}
+        ).collect()[0]
+        assert (out[exp].n, out[exp].chi2, out[exp].p_value) == (
+            solo.n, solo.chi2, solo.p_value)
