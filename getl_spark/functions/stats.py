@@ -2598,6 +2598,7 @@ def binary_metrics(
     df: DataFrame,
     label_col: str,
     pred_col: str,
+    group_by=None,
     round_to: int = 6,
 ) -> DataFrame:
     """One-row binary-classifier readout from hard predictions:
@@ -2606,7 +2607,9 @@ def binary_metrics(
     multi-class) when the task is binary and you want the single
     balanced scalar: MCC is the correlation of the confusion matrix
     and, unlike accuracy or F1, cannot be gamed by predicting the
-    majority class (Chicco & Jurman 2020). Inputs are boolean or 0/1
+    majority class (Chicco & Jurman 2020). ``group_by`` emits one row
+    per segment (per-language classifier QA: a global MCC can hide a
+    segment where the model guesses). Inputs are boolean or 0/1
     columns; rows with a NULL on either side are excluded. Degenerate
     denominators yield NULL for that metric (never-predicted-positive
     → NULL precision; single-class gold or preds → NULL mcc).
@@ -2616,15 +2619,21 @@ def binary_metrics(
     result. MCC's denominator is computed in doubles — the four
     marginal products overflow a bigint at ~3e9 rows per cell.
     """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
     l_ = F.col(label_col).cast("boolean")
     p_ = F.col(pred_col).cast("boolean")
     both = l_.isNotNull() & p_.isNotNull()
-    cells = df.agg(
+    cell_exprs = (
         F.sum(F.when(both & l_ & p_, 1).otherwise(0)).cast("bigint").alias("tp"),
         F.sum(F.when(both & ~l_ & p_, 1).otherwise(0)).cast("bigint").alias("fp"),
         F.sum(F.when(both & l_ & ~p_, 1).otherwise(0)).cast("bigint").alias("fn"),
         F.sum(F.when(both & ~l_ & ~p_, 1).otherwise(0)).cast("bigint").alias("tn"),
     )
+    cells = df.groupBy(*keys).agg(*cell_exprs) if keys else df.agg(*cell_exprs)
     tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
     fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
     n = tp + fp + fn + tn
@@ -2639,6 +2648,7 @@ def binary_metrics(
         mcc_den > 0, (tp * tn - fp * fn) / F.sqrt(mcc_den)
     )
     return cells.select(
+        *keys,
         n.cast("bigint").alias("n"),
         "tp",
         "fp",

@@ -2140,3 +2140,25 @@ def test_srm_grouped_batch_health_check(spark):
         ).collect()[0]
         assert (out[exp].n, out[exp].chi2, out[exp].p_value) == (
             solo.n, solo.chi2, solo.p_value)
+
+
+def test_binary_metrics_grouped_equals_solo(spark):
+    """group_by emits per-segment rows equal to ungrouped runs on the
+    segment subsets — the per-language classifier QA readout."""
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(29)
+    rows = [
+        ("en" if i % 3 else "de", rnd.random() < 0.5, rnd.random() < 0.5)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "lang STRING, y BOOLEAN, yhat BOOLEAN")
+    grouped = {r.lang: r for r in stats.binary_metrics(
+        df, "y", "yhat", group_by=["lang"]).collect()}
+    assert set(grouped) == {"en", "de"}
+    for lang in ("en", "de"):
+        solo = stats.binary_metrics(
+            df.where(f"lang = '{lang}'"), "y", "yhat").collect()[0]
+        assert tuple(grouped[lang])[1:] == tuple(solo)
