@@ -8588,6 +8588,38 @@ FROM parts
 """
 
 
+def _q_corpus_dup_report(spark, sf_dir):
+    """dedup.corpus_dup_report — one-scan exact/template dup-rate
+    summary of the documents corpus (the first-look readout before
+    choosing a dedup strategy): scan-speed key expressions + ONE
+    multi-distinct aggregate. countDistinct(md5(x)) ≡
+    countDistinct(x), so the oracle distincts the raw normalized
+    strings."""
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.corpus_dup_report(docs, "text")
+
+
+CORPUS_DUP_REPORT_ORACLE = r"""
+WITH keyed AS (
+  SELECT regexp_replace(lower(text), '\s+', ' ', 'g') AS fp,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(lower(text), 'https?://[^\s]+', '<url>', 'g'),
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+', '<email>', 'g'),
+             '[0-9]+', '0', 'g'), '\s+', ' ', 'g')) AS tpl
+  FROM documents WHERE text IS NOT NULL)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_exact,
+       ROUND(1 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS exact_dup_rate,
+       CAST(COUNT(DISTINCT tpl) AS BIGINT) AS n_unique_template,
+       ROUND(1 - COUNT(DISTINCT tpl) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS template_dup_rate
+FROM keyed
+"""
+
+
 def _q_srm(spark, sf_dir):
     """stats.srm — sample-ratio-mismatch gate on a deterministic
     50/50 assignment with a planted logging bug (arm b only gets 4 of
@@ -9188,6 +9220,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_balanced_downsample": _q_balanced_downsample,
         "stats_moments": _q_moments,
         "stats_binary_metrics": _q_binary_metrics,
+        "dedup_corpus_report": _q_corpus_dup_report,
     }
 
 
@@ -9384,6 +9417,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sample_balanced_downsample": BALANCED_DOWNSAMPLE_ORACLE,
         "stats_moments": MOMENTS_ORACLE,
         "stats_binary_metrics": BINARY_METRICS_ORACLE,
+        "dedup_corpus_report": CORPUS_DUP_REPORT_ORACLE,
     }
 
 

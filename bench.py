@@ -124,6 +124,7 @@ DETAIL_QUERIES = [
     "sample_balanced_downsample",
     "stats_moments",
     "stats_binary_metrics",
+    "dedup_corpus_report",
 ]
 
 RUNS = 3

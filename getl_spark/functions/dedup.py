@@ -238,6 +238,77 @@ def containment_pairs(
     )
 
 
+def corpus_dup_report(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: Optional[str] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-scan "how dirty is this crawl" summary — the first-look
+    readout BEFORE choosing a dedup strategy: exact-duplicate rate
+    (normalized-text fingerprint), template-duplicate rate
+    (slot-masked ``text.template_key`` — catches "Order #8812
+    shipped" boilerplate exact dedup misses), and, with ``url_col``,
+    the canonical-URL duplicate rate (the FineWeb first pass). Each
+    rate is ``1 − distinct/total``: the fraction of rows that are
+    redundant copies under that signal, so the gap between the rates
+    tells you which pass pays (template ≫ exact → run
+    ``dedup.by_template`` first; URL ≈ exact → the crawl already
+    URL-dedups).
+
+    Output is ONE row: ``(n_docs, n_unique_exact, exact_dup_rate,
+    n_unique_template, template_dup_rate[, n_with_url, n_unique_url,
+    url_dup_rate])``.
+
+    Scale shape: one pass computing the key columns at scan speed
+    (md5 / regexp chains — the same expressions the dedup operators
+    use), then ONE aggregate with exact ``countDistinct`` per signal
+    (Spark plans multi-distinct as a single grouping-sets expansion —
+    rows × #signals through one exchange, still linear); the result
+    is 1 row. For a quick look at petabyte scale, sample first with
+    ``sample.hash_fraction`` — rates are ratio estimates and
+    transfer.
+    """
+    from getl_spark.functions import text as _text
+
+    d = _text.fingerprint(df, text_col, "__cd_fp")
+    d = _text.template_key(d, text_col, "__cd_tpl")
+    aggs = [
+        F.count(text_col).cast("bigint").alias("n_docs"),
+        F.countDistinct("__cd_fp").cast("bigint").alias("n_unique_exact"),
+        F.countDistinct("__cd_tpl").cast("bigint").alias("n_unique_template"),
+    ]
+    if url_col is not None:
+        d = _text.canonicalize_url(d, url_col, "__cd_url")
+        aggs += [
+            F.count("__cd_url").cast("bigint").alias("n_with_url"),
+            F.countDistinct("__cd_url").cast("bigint").alias("n_unique_url"),
+        ]
+    agg = d.where(F.col(text_col).isNotNull()).agg(*aggs)
+    n = F.col("n_docs").cast("double")
+    out = [
+        "n_docs",
+        "n_unique_exact",
+        F.round(
+            F.when(n > 0, 1 - F.col("n_unique_exact") / n), round_to
+        ).alias("exact_dup_rate"),
+        "n_unique_template",
+        F.round(
+            F.when(n > 0, 1 - F.col("n_unique_template") / n), round_to
+        ).alias("template_dup_rate"),
+    ]
+    if url_col is not None:
+        nu = F.col("n_with_url").cast("double")
+        out += [
+            "n_with_url",
+            "n_unique_url",
+            F.round(
+                F.when(nu > 0, 1 - F.col("n_unique_url") / nu), round_to
+            ).alias("url_dup_rate"),
+        ]
+    return agg.select(*out)
+
+
 def shingle_profile(
     df: DataFrame,
     id_col: str = "doc_id",

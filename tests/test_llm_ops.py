@@ -1593,3 +1593,38 @@ def test_phash_pairs_finds_near_dups_only(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in M.phash_pairs(df).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 8
     assert all({a, b} == {1, 2} for a, b in pairs)
+
+
+def test_corpus_dup_report_rates(spark):
+    """Exact / template / URL dup rates match hand counts on a corpus
+    with planted exact dups, templated boilerplate, and
+    query-string-only URL variants; NULL text excluded."""
+    from getl_spark.functions import dedup
+
+    rows = [
+        # 2 exact dups of doc 1 (whitespace/case variants)
+        (1, "Hello  World", "http://a.com/x?utm_source=1"),
+        (2, "hello world", "http://a.com/x"),
+        (3, "HELLO\tWORLD", "http://a.com/y"),
+        # templated: same slot-masked key, different numbers
+        (4, "Order #123 shipped", "http://b.com/1"),
+        (5, "Order #456 shipped", "http://b.com/2"),
+        # unique
+        (6, "something else entirely", None),
+        (7, None, "http://c.com"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, url STRING")
+    r = dedup.corpus_dup_report(df, "text", url_col="url").collect()[0]
+    # 6 non-null texts; exact keys: {helloworld x3, order123, order456, other}
+    assert (r.n_docs, r.n_unique_exact) == (6, 4)
+    assert r.exact_dup_rate == round(1 - 4 / 6, 6)
+    # template keys: order rows collapse -> {hello, order#0, other}
+    assert r.n_unique_template == 3
+    assert r.template_dup_rate == round(1 - 3 / 6, 6)
+    # urls among non-null-text rows: 5; canonical collapses utm variant
+    assert (r.n_with_url, r.n_unique_url) == (5, 4)
+    assert r.url_dup_rate == round(1 - 4 / 5, 6)
+
+    # text-only variant has no url columns
+    r2 = dedup.corpus_dup_report(df, "text").collect()[0]
+    assert "n_with_url" not in r2.asDict()
