@@ -5328,7 +5328,11 @@ def _q_uncertainty_sample(spark, sf_dir):
     out = quality.uncertainty_sample(
         docs, QUALITY_PINNED_MODEL, margin=0.3, max_rows=3
     )
-    return out.select("doc_id", F.round("quality_score", 6).alias("quality_score"))
+    return out.select(
+        "doc_id",
+        F.round("quality_score", 6).alias("quality_score"),
+        F.col("queue_rank").cast("int").alias("queue_rank"),
+    )
 
 
 UNCERTAINTY_SAMPLE_ORACLE = """
@@ -5356,7 +5360,9 @@ scored AS (
            AS s
   FROM n, w
 )
-SELECT doc_id, ROUND(s, 6) AS quality_score
+SELECT doc_id, ROUND(s, 6) AS quality_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY ABS(s - 0.5) ASC, doc_id ASC)
+            AS INTEGER) AS queue_rank
 FROM scored
 WHERE ABS(s - 0.5) <= 0.3
 ORDER BY ABS(s - 0.5) ASC, doc_id ASC
@@ -5568,22 +5574,29 @@ WITH base AS (
   FROM events
   WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
 m AS (
-  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, AVG(x) AS mean,
-         SUM(x * x) - COUNT(*) * POWER(AVG(x), 2) AS ss
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, AVG(x) AS mean
   FROM base GROUP BY 1),
+mss AS (
+  SELECT b.event_type, SUM(POWER(b.x - m.mean, 2)) AS ss
+  FROM base b JOIN m ON b.event_type = m.event_type GROUP BY 1),
 lags AS (SELECT unnest([1, 7]) AS lag),
+frame AS (
+  SELECT m.event_type, l.lag, m.n, m.mean, mss.ss
+  FROM m JOIN mss ON m.event_type = mss.event_type CROSS JOIN lags l),
 paired AS (
   SELECT a.event_type, l.lag, a.x AS xa, b.x AS xb
   FROM base a CROSS JOIN lags l
        JOIN base b ON a.event_type = b.event_type AND a.i + l.lag = b.i),
-agg AS (
-  SELECT p.event_type, p.lag, m.n, m.ss,
+cagg AS (
+  SELECT p.event_type, p.lag,
          SUM((xa - m.mean) * (xb - m.mean)) AS cross_sum
   FROM paired p JOIN m ON p.event_type = m.event_type
-  GROUP BY 1, 2, 3, 4)
-SELECT event_type, CAST(lag AS INTEGER) AS lag, n,
-       ROUND(CASE WHEN ss > 0 THEN cross_sum / ss END, 6) AS acf
-FROM agg
+  GROUP BY 1, 2)
+SELECT f.event_type, CAST(f.lag AS INTEGER) AS lag, f.n,
+       ROUND(CASE WHEN f.ss > 0 AND c.cross_sum IS NOT NULL
+                  THEN c.cross_sum / f.ss END, 6) AS acf
+FROM frame f LEFT JOIN cagg c
+  ON f.event_type = c.event_type AND f.lag = c.lag
 """
 
 

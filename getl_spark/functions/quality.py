@@ -199,10 +199,13 @@ def uncertainty_sample(
     uncertainty sampling; Lewis & Gale 1994). Re-train on the new
     labels with ``train_classifier`` and repeat.
 
-    Output is ``df``'s rows + ``score_col``, ordered by ``|score −
-    0.5|`` ascending with the id as a deterministic tie-break, capped
-    at ``max_rows`` (a labeling queue is human-sized; the cap is a
-    TakeOrdered, never a global sort). Scoring is the JVM-only
+    Output is ``df``'s rows + ``score_col`` + ``queue_rank`` (1 =
+    most uncertain; ``|score − 0.5|`` ascending with the id as a
+    deterministic tie-break), capped at ``max_rows`` (a labeling
+    queue is human-sized; the cap is a TakeOrdered, never a global
+    sort). Row order after the join back to ``df`` is NOT guaranteed
+    — sort on ``queue_rank`` to recover labeling priority, which is
+    why it is emitted as a column. Scoring is the JVM-only
     broadcast-weights path of ``score`` — one corpus scan, one
     boundary filter, one top-k.
     """
@@ -218,6 +221,8 @@ def uncertainty_sample(
         raise ValueError(
             f"uncertainty_sample: input already has a '{score_col}' column"
         )
+    from pyspark.sql import Window
+
     scored = score(df, model, id_col=id_col, text_col=text_col, new_col=score_col)
     near = scored.where(
         F.abs(F.col(score_col) - F.lit(0.5)) <= F.lit(float(margin))
@@ -225,7 +230,18 @@ def uncertainty_sample(
     queue = near.orderBy(
         F.abs(F.col(score_col) - F.lit(0.5)).asc(), F.col(id_col).asc()
     ).limit(max_rows)
-    return df.join(queue.select(id_col, score_col), id_col, "inner")
+    # the inner join back to df does NOT preserve the queue's sort, so
+    # the labeling priority must travel as data: queue_rank (1 = most
+    # uncertain). The unpartitioned window is safe here — it runs on
+    # the ALREADY-CAPPED queue (≤ max_rows, human labeling budget),
+    # never on the corpus.
+    w = Window.orderBy(
+        F.abs(F.col(score_col) - F.lit(0.5)).asc(), F.col(id_col).asc()
+    )
+    ranked = queue.select(id_col, score_col).withColumn(
+        "queue_rank", F.row_number().over(w)
+    )
+    return df.join(ranked, id_col, "inner")
 
 
 def platt_calibrate(

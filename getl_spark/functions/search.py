@@ -369,8 +369,14 @@ def rank_eval(
         F.col(rel_col) >= 0,
         F.lit("search.rank_eval: relevance grades must be >= 0"),
     )
+    # drop NULL grades BEFORE attaching the guard: assert_true throws
+    # when its condition is NULL (not just false), so a single NULL
+    # judgment row would abort the job instead of being skipped
+    # (guard-after-null-filter, same as gini / bh_adjust /
+    # interval.merge)
     judged = (
-        qrels.select(
+        qrels.where(F.col(rel_col).isNotNull())
+        .select(
             F.col(query_col).alias("__q"),
             F.col(id_col).alias("__d"),
             (
@@ -378,7 +384,6 @@ def rank_eval(
                 + F.coalesce(guard.cast("double"), F.lit(0.0))
             ).alias("__rel"),
         )
-        .where(F.col("__rel").isNotNull())
         .groupBy("__q", "__d")
         .agg(F.max("__rel").alias("__rel"))
     )

@@ -246,15 +246,29 @@ def ks_drift(
             F.min("v").alias("lo"), F.max("v").alias("hi")
         )
         width = (F.col("hi") - F.col("lo")) / F.lit(bins)
+        # width-0 (constant column) → try_divide is NULL; coalesce to
+        # bin 0 BEFORE the least() — least() skips NULLs, so a
+        # coalesce outside it would be dead code and degenerate rows
+        # would land in the TOP bin instead of the documented bin 0
         lv = lv.crossJoin(F.broadcast(bounds)).select(
             F.least(
-                F.floor(F.try_divide(F.col("v") - F.col("lo"), width)),
+                F.coalesce(
+                    F.floor(
+                        F.try_divide(F.col("v") - F.col("lo"), width)
+                    ),
+                    F.lit(0),
+                ),
                 F.lit(bins - 1),
             ).alias("v")
         )
         rv = rv.crossJoin(F.broadcast(bounds)).select(
             F.least(
-                F.floor(F.try_divide(F.col("v") - F.col("lo"), width)),
+                F.coalesce(
+                    F.floor(
+                        F.try_divide(F.col("v") - F.col("lo"), width)
+                    ),
+                    F.lit(0),
+                ),
                 F.lit(bins - 1),
             ).alias("v")
         )
@@ -381,14 +395,18 @@ def psi(
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(bins)
     # try_divide: an all-constant column has width 0, which under ANSI
-    # would raise DIVIDE_BY_ZERO; NULL buckets (constant column) all
-    # land in bin 0, scoring 0 when both sides hold the same value
-    bucket = F.coalesce(
-        F.least(
-            F.floor(F.try_divide(F.col("v") - F.col("lo"), width)).cast("int"),
-            F.lit(bins - 1),
+    # would raise DIVIDE_BY_ZERO; the coalesce runs BEFORE the least()
+    # (least skips NULLs — outside it the coalesce would be dead code)
+    # so width-0 rows genuinely land in bin 0, scoring 0 when both
+    # sides hold the same value
+    bucket = F.least(
+        F.coalesce(
+            F.floor(
+                F.try_divide(F.col("v") - F.col("lo"), width)
+            ).cast("int"),
+            F.lit(0),
         ),
-        F.lit(0),
+        F.lit(bins - 1),
     )
     lb = (
         lv.crossJoin(F.broadcast(bounds))
@@ -485,13 +503,18 @@ def group_psi(
     width = (F.col("hi") - F.col("lo")) / F.lit(bins)
     # degenerate single-value groups have width 0: try_divide yields
     # NULL (ANSI-safe — a plain division raises DIVIDE_BY_ZERO), and
-    # the coalesce lands every row in bin 0, so such a group scores
-    # exactly 0 when both sides hold the same single value
-    bucket = F.least(
-        F.floor(F.try_divide(F.col("v") - F.col("lo"), width)).cast("int"),
+    # the coalesce — INSIDE the least(), which skips NULLs — lands
+    # every such row in bin 0, so the group scores exactly 0 when
+    # both sides hold the same single value
+    safe_bucket = F.least(
+        F.coalesce(
+            F.floor(
+                F.try_divide(F.col("v") - F.col("lo"), width)
+            ).cast("int"),
+            F.lit(0),
+        ),
         F.lit(bins - 1),
     )
-    safe_bucket = F.coalesce(bucket, F.lit(0))
     lb = (
         lv.join(bounds, "g")
         .groupBy("g", safe_bucket.alias("b"))
@@ -1525,6 +1548,13 @@ def bootstrap_ci(
         )
     from getl_spark.common.scale import parallelize
 
+    # NULL metric rows must be excluded BEFORE the explode: a NULL x
+    # drops out of the replicate numerator sum(w*x) but its Poisson
+    # weight would still count in the denominator sum(w), biasing
+    # every replicate mean toward 0 while n_rows/mean use
+    # null-excluding count/avg — the CI would stop bracketing the
+    # reported mean (same convention as permutation_test).
+    df = df.where(F.col(value_col).isNotNull())
     # the ×n_boot hash work is compute-bound: a single-file input
     # (one partition) would put every weight draw on one core —
     # widen to cluster parallelism first (no-op on wide inputs)
@@ -3050,8 +3080,10 @@ def autocorrelation(
     as a fat ρ(1)). Uses the standard biased estimator
     ρ(k) = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² with the
     full-series mean and variance (what statsmodels' ``acf``
-    computes). Returns ``(group..., lag, n, acf)``; ``acf`` is NULL
-    when the series is constant or shorter than lag+2.
+    computes). Returns ``(group..., lag, n, acf)`` — one row per
+    (group, lag) even when the series is too short to pair; ``acf``
+    is NULL when the series is constant or has no lagged pair
+    (fewer than lag+1 rows).
 
     Shape: row positions come from the distributed prefix sum (never
     a per-group row_number window — one monitored metric would
@@ -3084,13 +3116,28 @@ def autocorrelation(
     pos = grouped_prefix_sum(
         base, keys, order_cols, "__one", "__i"
     ).localCheckpoint()
-    moments = pos.groupBy(*keys).agg(
+    means = pos.groupBy(*keys).agg(
         F.count("*").cast("bigint").alias("__n"),
         F.avg("__x").alias("__mean"),
-        (
-            F.sum(F.col("__x") * F.col("__x"))
-            - F.count("*") * F.pow(F.avg("__x"), 2)
-        ).alias("__ss"),
+    )
+    # second pass for __ss from CENTERED deviations — the one-pass
+    # sum(x²) − n·mean² identity cancels catastrophically on
+    # large-mean streams (the same reason moments() rejects it);
+    # pos is pinned, so this is one extra scan of a few-key frame
+    if keys:
+        mm = means.select(
+            *[F.col(k).alias(f"__mm_{k}") for k in keys], "__n", "__mean"
+        )
+        mcond0 = F.lit(True)
+        for k in keys:
+            mcond0 = mcond0 & pos[k].eqNullSafe(mm[f"__mm_{k}"])
+        centered = pos.join(F.broadcast(mm), mcond0)
+    else:
+        centered = pos.join(F.broadcast(means))
+    moments = centered.groupBy(*keys).agg(
+        F.max("__n").alias("__n"),
+        F.max("__mean").alias("__mean"),
+        F.sum(F.pow(F.col("__x") - F.col("__mean"), 2)).alias("__ss"),
     )
     lag_arr = F.array(*[F.lit(l) for l in lags])
     left = pos.select(
@@ -3110,33 +3157,45 @@ def autocorrelation(
     paired = left.join(right, cond)
     if keys:
         m = moments.select(
-            *[F.col(k).alias(f"__m_{k}") for k in keys],
-            "__n",
-            "__mean",
-            "__ss",
+            *[F.col(k).alias(f"__m_{k}") for k in keys], "__mean"
         )
         mcond = F.lit(True)
         for k in keys:
             mcond = mcond & paired[f"__l_{k}"].eqNullSafe(m[f"__m_{k}"])
         paired = paired.join(F.broadcast(m), mcond)
     else:
-        paired = paired.join(F.broadcast(moments))
-    agg = paired.groupBy(
+        paired = paired.join(F.broadcast(moments.select("__mean")))
+    cross = paired.groupBy(
         *[F.col(f"__l_{k}").alias(k) for k in keys], "lag"
     ).agg(
-        F.max("__n").alias("__n"),
-        F.max("__ss").alias("__ss"),
         F.sum(
             (F.col("__xa") - F.col("__mean"))
             * (F.col("__xb") - F.col("__mean"))
         ).alias("__cross"),
     )
-    return agg.select(
+    # build the FULL (group × lag) frame from moments, then left-join
+    # the pair sums — a (group, lag) whose series has no lagged pair
+    # (fewer than lag+1 rows) must still surface, with NULL acf,
+    # rather than silently vanish from the output
+    frame = moments.withColumn("lag", F.explode(lag_arr))
+    c = cross.select(
+        *[F.col(k).alias(f"__c_{k}") for k in keys],
+        F.col("lag").alias("__c_lag"),
+        "__cross",
+    )
+    jcond = frame["lag"] == c["__c_lag"]
+    for k in keys:
+        jcond = jcond & frame[k].eqNullSafe(c[f"__c_{k}"])
+    joined = frame.join(c, jcond, "left")
+    return joined.select(
         *keys,
         F.col("lag").cast("int").alias("lag"),
         F.col("__n").cast("bigint").alias("n"),
         F.round(
-            F.when(F.col("__ss") > 0, F.col("__cross") / F.col("__ss")),
+            F.when(
+                (F.col("__ss") > 0) & F.col("__cross").isNotNull(),
+                F.col("__cross") / F.col("__ss"),
+            ),
             round_to,
         ).alias("acf"),
     )

@@ -298,3 +298,39 @@ def test_platt_guards(spark):
     )
     m = Q.platt_calibrate(const, "s", "y")
     assert "a" in m and "b" in m
+
+
+def test_uncertainty_sample_queue_rank_recovers_priority(spark):
+    """queue_rank survives the join back to df: rank 1 is the row
+    nearest the 0.5 boundary, ranks are dense 1..n, and sorting on it
+    reproduces the (boundary distance, id) order."""
+    from getl_spark.functions import quality
+
+    pos = [(i, "good clean prose with real words here") for i in range(10)]
+    neg = [(100 + i, "zzz qqq xxx") for i in range(10)]
+    labeled = spark.createDataFrame(
+        [(i, t, 1.0) for i, t in pos] + [(i, t, 0.0) for i, t in neg],
+        "doc_id long, text string, label double",
+    )
+    model = quality.train_classifier(labeled, dim=64, max_iter=30)
+    mixed = spark.createDataFrame(
+        [
+            (1, "good clean prose with real words here"),
+            (2, "zzz qqq xxx"),
+            (3, "good clean zzz qqq"),
+            (4, "prose words xxx qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    out = quality.uncertainty_sample(mixed, model, margin=0.49, max_rows=3)
+    rows = sorted(out.collect(), key=lambda r: r.queue_rank)
+    assert [r.queue_rank for r in rows] == list(range(1, len(rows) + 1))
+    scored = {
+        r.doc_id: r.quality_score
+        for r in quality.score(mixed, model).collect()
+    }
+    want = sorted(
+        (d for d in scored if abs(scored[d] - 0.5) <= 0.49),
+        key=lambda d: (abs(scored[d] - 0.5), d),
+    )[:3]
+    assert [r.doc_id for r in rows] == want

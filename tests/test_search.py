@@ -306,3 +306,25 @@ def test_rank_eval_judges_bm25(spark):
     assert r["n_rel"] == 3 and r["n_retrieved"] == 3
     assert r["precision_at_k"] == 1.0 and r["recall_at_k"] == 1.0
     assert r["reciprocal_rank"] == 1.0 and r["ndcg_at_k"] == 1.0
+
+
+def test_rank_eval_null_rel_dropped(spark):
+    """A NULL relevance grade is an unjudged row, not a job abort:
+    the guard must attach AFTER the null filter (assert_true throws
+    on NULL conditions), and metrics equal those with the row
+    removed."""
+    from getl_spark.functions import search
+
+    results = spark.createDataFrame(
+        [(0, "a", 1), (0, "b", 2)], "query_id INT, doc_id STRING, rank INT"
+    )
+    qrels_null = spark.createDataFrame(
+        [(0, "a", 2), (0, "b", None), (0, "c", 1)],
+        "query_id INT, doc_id STRING, rel INT",
+    )
+    qrels_clean = spark.createDataFrame(
+        [(0, "a", 2), (0, "c", 1)], "query_id INT, doc_id STRING, rel INT"
+    )
+    got = search.rank_eval(results, qrels_null, k=2).collect()
+    want = search.rank_eval(results, qrels_clean, k=2).collect()
+    assert got == want

@@ -2162,3 +2162,68 @@ def test_binary_metrics_grouped_equals_solo(spark):
         solo = stats.binary_metrics(
             df.where(f"lang = '{lang}'"), "y", "yhat").collect()[0]
         assert tuple(grouped[lang])[1:] == tuple(solo)
+
+
+# ------------------------------------------- round-9 ADVICE regressions
+def test_bootstrap_ci_null_values_excluded(spark):
+    """NULL metric rows must not bias replicate means: with NULLs
+    present the result is IDENTICAL to running on the non-null subset
+    (same rows feed numerator and denominator), and the CI still
+    brackets the reported mean."""
+    from getl_spark.functions import stats
+
+    base = spark.range(0, 500).selectExpr(
+        "id", "CAST(id % 50 AS BIGINT) AS v"
+    )
+    # half the rows carry NULL metrics (e.g. a metric only defined on
+    # converted sessions)
+    with_nulls = spark.range(0, 1000).selectExpr(
+        "id", "CASE WHEN id < 500 THEN CAST(id % 50 AS BIGINT) END AS v"
+    )
+    r_clean = stats.bootstrap_ci(base, "v", ["id"], n_boot=60).collect()[0]
+    r_nulls = stats.bootstrap_ci(with_nulls, "v", ["id"], n_boot=60).collect()[0]
+    assert tuple(r_nulls) == tuple(r_clean)
+    assert r_nulls["ci_lo"] <= r_nulls["mean"] <= r_nulls["ci_hi"]
+
+
+def test_autocorrelation_short_series_surfaces_null_row(spark):
+    """A (group, lag) whose series has no lagged pair must emit a row
+    with NULL acf, not vanish; long groups are unaffected."""
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [("a", i, float(i % 3)) for i in range(20)]
+        + [("b", 0, 1.0), ("b", 1, 2.0)],
+        "g STRING, i INT, x DOUBLE",
+    )
+    rows = {
+        (r["g"], r["lag"]): r
+        for r in stats.autocorrelation(
+            df, "x", "i", lags=[1, 7], group_by="g"
+        ).collect()
+    }
+    # full frame: 2 groups x 2 lags
+    assert set(rows) == {("a", 1), ("a", 7), ("b", 1), ("b", 7)}
+    assert rows[("b", 7)]["acf"] is None and rows[("b", 7)]["n"] == 2
+    assert rows[("b", 1)]["acf"] is not None
+    assert rows[("a", 7)]["acf"] is not None
+
+
+def test_autocorrelation_large_mean_precision(spark):
+    """Centered __ss: a huge-mean stream keeps acf accurate where the
+    one-pass sum(x^2) - n*mean^2 form cancels catastrophically."""
+    from getl_spark.functions import stats
+
+    big = 1.0e9
+    vals = [big + float(v) for v in (1, 2, 3, 4, 5, 4, 3, 2, 1, 2)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i INT, x DOUBLE"
+    )
+    r = stats.autocorrelation(df, "x", "i", lags=[1]).collect()[0]
+    # numpy-free reference: biased estimator on the centered values
+    m = sum(vals) / len(vals)
+    ss = sum((v - m) ** 2 for v in vals)
+    cross = sum(
+        (vals[t] - m) * (vals[t + 1] - m) for t in range(len(vals) - 1)
+    )
+    assert r["acf"] == pytest.approx(cross / ss, abs=1e-6)
