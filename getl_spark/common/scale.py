@@ -12,6 +12,63 @@ def is_classic(df: DataFrame) -> bool:
     return not type(df).__module__.startswith("pyspark.sql.connect")
 
 
+def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize an intermediate the plan reads more than once, with
+    a DURABILITY LADDER instead of a bare ``localCheckpoint()``.
+
+    Why a pin at all: several operators (the distributed prefix scan,
+    LSH banding, connected components, stored-index reconciliation)
+    branch their plan over a subtree whose re-evaluation is either
+    expensive or — worse — not bit-stable across evaluations
+    (``repartitionByRange`` samples its bounds per-execution, so two
+    evaluations of the same subtree can assign different partition
+    ids). Those call sites MUST observe one materialized copy.
+
+    Why not always ``localCheckpoint()``: it truncates lineage and
+    stores the blocks ONLY on the executors that computed them. On a
+    single machine (``local[*]``) that is free and safe; on a real
+    cluster, losing one (routinely preempted) executor makes the
+    checkpointed partitions unrecoverable and fails the whole job —
+    exactly the environment this engine targets.
+
+    The ladder, most durable first:
+
+    1. **Reliable ``checkpoint()``** when the session has a checkpoint
+       directory configured (``get_spark(checkpoint_dir=...)`` or
+       ``sc.setCheckpointDir``). Blocks go to the shared filesystem
+       (HDFS/S3); any executor can re-read them after a loss. This is
+       what a 1000-executor deployment should run.
+    2. **``localCheckpoint()``** in local mode — executor loss and
+       driver loss are the same event there, so replication buys
+       nothing and the copy to a checkpoint dir would be pure cost.
+    3. **Replicated ``persist(MEMORY_AND_DISK_2)``** on a cluster
+       WITHOUT a checkpoint dir: each block lives on two executors, so
+       a single preemption cannot lose it; a doubly-lost block
+       recomputes from retained shuffle files (same partition ids —
+       the shuffle output, not the range-sampling, is replayed). When
+       ``eager``, a ``count()`` materializes the blocks up front, same
+       as the eager checkpoint contract.
+
+    ``eager=False`` defers materialization to first use (callers that
+    pin a frame which a later branch might skip entirely).
+    """
+    if not is_classic(df):
+        # Connect proxies expose localCheckpoint but no SparkContext
+        # probe; reliable-checkpoint policy must be set server-side
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    if (sc.master or "").startswith("local"):
+        return df.localCheckpoint(eager=eager)
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK_2)
+    if eager:
+        out.count()
+    return out
+
+
 def parallelize(df: DataFrame) -> DataFrame:
     """Repartition compute-heavy inputs up to cluster parallelism.
 
@@ -112,7 +169,7 @@ def grouped_prefix_scan(
     if bad:
         raise ValueError(f"grouped_prefix_scan: unsupported fn {bad}")
     parts = [F.col(c) for c in keys + order_cols]
-    # localCheckpoint pins the range exchange + pid tagging before the
+    # pin() materializes the range exchange + pid tagging before the
     # plan branches into `local` and `offsets`. Both branches must
     # observe IDENTICAL partition-id assignments; without the pin they
     # are two separate evaluations of this subtree, and exchange reuse
@@ -120,11 +177,12 @@ def grouped_prefix_scan(
     # different child plans, and repartitionByRange samples its bounds
     # per-execution) — divergent pids would make the offset join
     # silently wrong. The materialization cost is one pass over data
-    # the operator already shuffles.
+    # the operator already shuffles; pin's durability ladder decides
+    # localCheckpoint vs reliable checkpoint vs replicated persist.
     ranged = (
         df.repartitionByRange(*parts)
         .withColumn("__gps_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(pin)
     )
     win_local = (
         Window.partitionBy("__gps_pid", *keys)

@@ -29,6 +29,8 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from getl_spark.common.scale import pin
+
 try:
     from delta.tables import DeltaTable
 
@@ -292,7 +294,7 @@ class ManagedTable:
         ).unionByName(opened.select(*target.columns))
         if self.fmt == "delta" and self.exists():
             # compute-then-overwrite is still ACID on Delta
-            self.write(result.localCheckpoint(), mode="overwrite")
+            self.write(result.transform(pin), mode="overwrite")
             return
         self._rewrite(result)
 

@@ -49,7 +49,7 @@ def exact(
 
 
 # ------------------------------------------------------------ shingling
-from getl_spark.common.scale import parallelize as _parallelize  # noqa: E402
+from getl_spark.common.scale import parallelize as _parallelize, pin  # noqa: E402
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -136,14 +136,14 @@ def _pair_intersections(df, id_col, text_col, n, max_df):
     intersection counts (``id_a < id_b``) and per-doc set sizes. See
     ``ngram_jaccard``'s docstring for the max_df cap and xxhash64
     key-shrinking rationale."""
-    # localCheckpoint (not cache): truncates lineage so the multi-way
-    # reuse below plans against a materialized stub, and the blocks are
+    # pin (not cache): truncates lineage so the multi-way reuse
+    # below plans against a materialized stub, and the blocks are
     # freed when the DataFrame is dereferenced — cache() persisted for
     # the session lifetime unless manually unpersisted
     shingles = (
         _shingles(df, id_col, text_col, n)
         .select("id", F.xxhash64("shingle").alias("shingle"))
-        .localCheckpoint()
+        .transform(pin)
     )
     sizes = shingles.groupBy("id").agg(F.count("*").alias("size"))
     if max_df is not None:
@@ -469,11 +469,11 @@ def minhash_lsh(
     rows = num_hashes // bands
     # One materialized shingle table feeds both the signatures and the
     # exact verification — shingling is the dominant cost, never do it
-    # twice. localCheckpoint (not cache) also truncates lineage, so the
+    # twice. pin (not cache) also truncates lineage, so the
     # LSH self-join and verify join don't each drag a duplicated
-    # 64-wide expression tree through the optimizer. (On a production
-    # cluster, persist this to a table instead if executor loss during
-    # the job is a concern — checkpointed lineage can't recompute.)
+    # 64-wide expression tree through the optimizer. (pin's durability
+    # ladder handles executor loss: reliable checkpoint when a
+    # checkpoint dir is set, replicated persist otherwise.)
     # Stored pre-hashed (xxhash64 long): signatures use it as their
     # base hash unchanged, and the verify join shuffles 8-byte keys
     # instead of n-word strings (per-doc distinct'd on the string
@@ -481,14 +481,14 @@ def minhash_lsh(
     shingles = (
         _shingles(df, id_col, text_col, n)
         .select("id", F.xxhash64("shingle").alias("shingle"))
-        .localCheckpoint()
+        .transform(pin)
     )
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=shingles)
     banded = _band_keys(sigs, bands, rows)
     # band keys are tiny (docs × bands rows); materializing them keeps
     # the self-join plan to two table stubs instead of two signature
     # pipelines
-    banded = banded.localCheckpoint()
+    banded = banded.transform(pin)
     candidates = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])
@@ -598,7 +598,7 @@ def simhash_pairs(
     # below doesn't duplicate (and re-optimize/re-run) the 64-wide
     # aggregation pipeline on both sides
     return hamming_pairs(
-        simhash(df, id_col, text_col).localCheckpoint(),
+        simhash(df, id_col, text_col).transform(pin),
         id_col="id",
         sig_col="simhash",
         max_hamming=max_hamming,
@@ -620,7 +620,7 @@ def hamming_pairs(
     :func:`simhash_pairs` (text fingerprints) and
     ``multimodal.phash_pairs`` (image perceptual hashes). Input is one
     row per item; callers that compute ``sigs`` through a non-trivial
-    pipeline should ``localCheckpoint()`` it first so the self-join
+    pipeline should pin (``common.scale.pin``) it first so the self-join
     doesn't re-run the signature computation on both sides. Banding,
     the ``max_chunk_df`` hot-bucket cap, and the recall contract are
     exactly as documented on ``simhash_pairs``.
@@ -737,8 +737,8 @@ def against_index(
         "id", F.xxhash64("shingle").alias("shingle")
     )
     if method == "minhash":
-        new_sh = new_sh.localCheckpoint()
-        idx_sh = idx_sh.localCheckpoint()
+        new_sh = new_sh.transform(pin)
+        idx_sh = idx_sh.transform(pin)
         rows = num_hashes // bands
         banded_new = _band_keys(
             minhash_signatures(survivors, id_col, text_col, n, num_hashes, shingles=new_sh),
@@ -877,12 +877,12 @@ def _cross_intersections(
     sh_a = (
         _shingles(left, id_col, text_col, n)
         .select("id", F.xxhash64("shingle").alias("shingle"))
-        .localCheckpoint()
+        .transform(pin)
     )
     sh_b = (
         _shingles(right, right_id_col, right_text_col, n)
         .select("id", F.xxhash64("shingle").alias("shingle"))
-        .localCheckpoint()
+        .transform(pin)
     )
     sizes_a = sh_a.groupBy("id").agg(F.count("*").alias("size_a"))
     sizes_b = sh_b.groupBy("id").agg(F.count("*").alias("size_b"))
@@ -1268,10 +1268,10 @@ def embedding_cosine_pairs(
         keys_udf = _hyperplane_band_keys(bands, planes_per_band, dim, seed)
         # vectors are re-read by the verify join; pin them so the scan
         # and norm computation happen once
-        vecs = vecs.localCheckpoint()
+        vecs = vecs.transform(pin)
         banded = vecs.select(
             "id", F.posexplode(keys_udf("vec")).alias("band", "key")
-        ).localCheckpoint()  # tiny (n × bands); keeps the self-join to table stubs
+        ).transform(pin)  # tiny (n × bands); keeps the self-join to table stubs
         candidates = (
             banded.alias("a")
             .join(banded.alias("b"), ["band", "key"])
@@ -1383,7 +1383,7 @@ def semantic_pairs(
     cent_n = _train_centroids(
         nonnull, "id", "vec", nlist, seed, train_limit, kmeans_iters
     )
-    vecs = with_norm(nonnull).localCheckpoint()
+    vecs = with_norm(nonnull).transform(pin)
     assigned = vecs.select(
         "id",
         F.explode(centroid_cells_expr(cent_n, F.col("vec"), nassign)).alias("cell"),
@@ -1466,7 +1466,7 @@ def build_minhash_index(
     ).write.mode("overwrite").parquet(f"{path}/fingerprints")
     sh = _shingles(df, id_col, text_col, n).select(
         "id", F.xxhash64("shingle").alias("shingle")
-    ).localCheckpoint()
+    ).transform(pin)
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=sh)
     sigs.write.mode("overwrite").parquet(f"{path}/signatures")
     _band_keys(
@@ -1550,10 +1550,10 @@ def against_stored_index(
         return survivors if keep_sketches else survivors.drop("fingerprint")
     sh = _shingles(survivors, id_col, text_col, meta.n).select(
         "id", F.xxhash64("shingle").alias("shingle")
-    ).localCheckpoint()
+    ).transform(pin)
     new_sigs = minhash_signatures(
         survivors, id_col, text_col, meta.n, meta.num_hashes, shingles=sh
-    ).localCheckpoint()
+    ).transform(pin)
     banded_new = _band_keys(
         new_sigs, meta.bands, meta.num_hashes // meta.bands
     ).withColumnRenamed("id", "id_a")
@@ -1704,11 +1704,11 @@ def index_append(
     else:
         sh = _shingles(df, id_col, text_col, meta.n).select(
             "id", F.xxhash64("shingle").alias("shingle")
-        ).localCheckpoint()
+        ).transform(pin)
         sigs = minhash_signatures(
             df, id_col, text_col, meta.n, meta.num_hashes, shingles=sh
         )
-    sigs = sigs.localCheckpoint()
+    sigs = sigs.transform(pin)
     sigs.write.mode("append").parquet(f"{index_path}/signatures")
     _band_keys(sigs, meta.bands, meta.num_hashes // meta.bands).write.mode(
         "append"
@@ -1808,7 +1808,7 @@ def substring_spans(
     grams = F.when(n_grams > F.lit(0), grams_all).otherwise(
         F.slice(grams_all, 1, 0)
     )
-    # localCheckpoint: occ feeds BOTH the first-occurrence aggregation
+    # pin: occ feeds BOTH the first-occurrence aggregation
     # and the dup-occurrence join below — without it the tokenize +
     # L-gram hash + explode of every token position (the expensive
     # stage) runs twice
@@ -1816,7 +1816,7 @@ def substring_spans(
         _parallelize(df)
         .select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
         .select("id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
-        .localCheckpoint()
+        .transform(pin)
     )
     firsts = occ.groupBy("gram").agg(
         F.count("*").alias("n"),

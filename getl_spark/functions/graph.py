@@ -14,8 +14,8 @@ Why not plain min-label propagation: its round count is the graph
 *diameter* (a 1M-node chain needs 1M rounds); large-star/small-star
 contracts paths geometrically, so even adversarial chains finish in
 ~log₂(n) rounds. Each round is two shuffles on node id; intermediate
-edge sets are localCheckpointed to truncate lineage (an iterative plan
-otherwise grows exponentially and breaks codegen).
+edge sets are pinned (``common.scale.pin``) to truncate lineage (an
+iterative plan otherwise grows exponentially and breaks codegen).
 
 YAML-callable as ``graph.cluster_components`` inside
 ``transform::generic``.
@@ -26,6 +26,8 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+from getl_spark.common.scale import pin
 
 
 def _signature(edges: DataFrame) -> tuple:
@@ -129,7 +131,7 @@ def cluster_components(
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
     if driver_threshold > 0:
         # one bounded job replaces the count: limit(t+1) either proves
@@ -174,7 +176,7 @@ def cluster_components(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        e_new = small.localCheckpoint()
+        e_new = small.transform(pin)
         sig = _signature(e_new)
         e = e_new
         if sig == prev_sig:
@@ -235,7 +237,7 @@ def pagerank(
     each iteration is one join of edges to ranks on src plus one
     partial-agg shuffle on dst — both key-partitioned, no driver
     state; the dangling mass is a 1-row aggregate broadcast via
-    crossJoin; ranks are ``localCheckpoint``ed per iteration so the
+    crossJoin; ranks are pinned per iteration so the
     iterative plan's lineage stays flat (same discipline as
     ``cluster_components``). High in-degree hubs are safe (the dst
     aggregation combines map-side); high out-degree spam pages cost
@@ -252,7 +254,7 @@ def pagerank(
             .where(F.col("u").isNotNull() & F.col("v").isNotNull())
             .distinct()
             .withColumn("w", F.lit(1.0))
-            .localCheckpoint()
+            .transform(pin)
         )
     else:
         e = (
@@ -268,7 +270,7 @@ def pagerank(
             )
             .groupBy("u", "v")
             .agg(F.sum("w").alias("w"))
-            .localCheckpoint()
+            .transform(pin)
         )
     node_set = e.select("u").union(e.select("v"))
     if nodes is not None:
@@ -277,13 +279,13 @@ def pagerank(
                 F.col("u").isNotNull()
             )
         )
-    node_set = node_set.distinct().select(F.col("u").alias("node")).localCheckpoint()
+    node_set = node_set.distinct().select(F.col("u").alias("node")).transform(pin)
     n = node_set.count()
     if n == 0:
         return node_set.select(
             F.col("node").alias(node_col), F.lit(0.0).alias(out_col)
         )
-    outdeg = e.groupBy("u").agg(F.sum("w").alias("deg")).localCheckpoint()
+    outdeg = e.groupBy("u").agg(F.sum("w").alias("deg")).transform(pin)
     ranks = node_set.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
         dangling = (
@@ -312,7 +314,7 @@ def pagerank(
                     * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dm") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .transform(pin)
         )
     out = ranks.select(F.col("node").alias(node_col), F.col("rank").alias(out_col))
     if round_to is not None:

@@ -25,6 +25,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from getl_spark.common.scale import pin
+
 FAKE_DECODE = os.environ.get("GETL_SPARK_FAKE_DECODE", "1") == "1"
 
 MEDIA_META_SCHEMA = (
@@ -283,7 +285,7 @@ def phash_pairs(
     """
     from getl_spark.functions.dedup import hamming_pairs
 
-    sigs = phash(df, content_col, id_col).localCheckpoint()
+    sigs = phash(df, content_col, id_col).transform(pin)
     return hamming_pairs(
         sigs,
         id_col=id_col,

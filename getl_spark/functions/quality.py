@@ -36,6 +36,8 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from getl_spark.common.scale import pin
+
 from getl_spark.functions.embedding import hash_embed
 
 MODEL_KEYS = ("weights", "intercept", "dim", "seed", "normalize")
@@ -287,7 +289,7 @@ def platt_calibrate(
             s.alias("__s"),
             (y + F.coalesce(guard.cast("double"), F.lit(0.0))).alias("__y"),
         )
-        .localCheckpoint()  # ~2*iters passes follow — pin, don't recompute
+        .transform(pin)  # ~2*iters passes follow — pin, don't recompute
     )
     counts = base.agg(
         F.count("*").alias("n"), F.sum("__y").alias("n_pos")

@@ -22,6 +22,8 @@ from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from getl_spark.common.scale import pin
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -343,7 +345,7 @@ def topk_ivf(
     c = with_norm(
         corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vec"))
     ).withColumnRenamed("vec", "cvec").withColumnRenamed("norm", "cnorm")
-    c = c.withColumn("cell", cell_col(F.col("cvec"))).localCheckpoint()
+    c = c.withColumn("cell", cell_col(F.col("cvec"))).transform(pin)
     return _probe_and_rerank(
         c, queries, cent_n, nprobe, k, id_col, vec_col, exclude_self
     )
@@ -969,7 +971,7 @@ def build_ivf_pq_index(
         corpus, cent_n, _pq_batches(pq), id_col, vec_col, keep_vec=store_raw
     )
     if store_raw:
-        assigned = assigned.localCheckpoint()
+        assigned = assigned.transform(pin)
         assigned.select("id", "cell", "v").write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(f"{path}/raw")
@@ -1062,7 +1064,7 @@ def ivf_pq_append(
     has_raw = _raw_sidecar(spark, index_path) is not None
     assigned = _ivf_pq_assign(
         inc, cent_n, books, id_col, vec_col, keep_vec=has_raw
-    ).localCheckpoint()
+    ).transform(pin)
     if has_raw:
         # the sidecar grows with the codes so exact ingest verify
         # stays complete; codes are written LAST — they are the

@@ -9,6 +9,8 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from getl_spark.common.scale import pin
+
 
 def profile(df: DataFrame, columns: Optional[List[str]] = None) -> DataFrame:
     """Per-column profile: ``(column, n_rows, n_null, n_distinct)``.
@@ -293,14 +295,14 @@ def ks_drift(
     # (a partition-count-sized table, broadcast). Final rl/rr values
     # are boundary-invariant, so the result is identical to the
     # single-partition plan.
-    # localCheckpoint pins the exchange + pid tagging before the plan
+    # pin() materializes the exchange + pid tagging before the plan
     # branches into `local` and `offsets` — both must see identical
     # partition ids (see common/scale.py grouped_prefix_sum); the
     # pinned frame is the post-agg counts table, so it is small
     ranged = (
         merged.repartitionByRange(F.col("v"))
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(pin)
     )
     win_local = Window.partitionBy("pid").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -2431,7 +2433,7 @@ def mad(
     counts = (
         base.groupBy(*keys, F.col("__x"))
         .agg(F.count("*").cast("bigint").alias("__n"))
-        .localCheckpoint()
+        .transform(pin)
     )
     med = _median_from_counts(counts, keys, "__x")
     if keys:
@@ -2455,7 +2457,7 @@ def mad(
             F.abs(F.col("__x") - F.col("__median")).alias("__dev"),
         )
         .agg(F.sum("__n").cast("bigint").alias("__n"))
-        .localCheckpoint()
+        .transform(pin)
     )
     # the group median and count ride along as extra (functionally
     # dependent) group keys so the second median pass needs no re-join
@@ -2937,7 +2939,7 @@ def quantiles(
     counts = (
         base.groupBy(*keys, F.col("__x"))
         .agg(F.count("*").cast("bigint").alias("__n"))
-        .localCheckpoint()
+        .transform(pin)
     )
     cum = grouped_prefix_sum(counts, keys, ["__x"], "__n", "__cum")
     totals = counts.groupBy(*keys).agg(F.sum("__n").alias("__tot"))
@@ -3115,7 +3117,7 @@ def autocorrelation(
     )
     pos = grouped_prefix_sum(
         base, keys, order_cols, "__one", "__i"
-    ).localCheckpoint()
+    ).transform(pin)
     means = pos.groupBy(*keys).agg(
         F.count("*").cast("bigint").alias("__n"),
         F.avg("__x").alias("__mean"),

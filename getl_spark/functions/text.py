@@ -16,6 +16,8 @@ from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from getl_spark.common.scale import pin
+
 # Minimal per-language stopword sets for the language-ID heuristic.
 # Public-knowledge common words; extend freely.
 STOPWORDS = {
@@ -1329,7 +1331,7 @@ def unigram_logprob(
         df.select(F.col(id_col), F.explode(F.split(_norm_words_expr(text_col), " ")).alias("__w"))
         .where(F.col("__w") != "")
     )
-    words = words.localCheckpoint(eager=False)
+    words = words.transform(pin, eager=False)
     vocab = (
         words.groupBy("__w")
         .agg(F.count("*").alias("__c"))
@@ -1448,7 +1450,7 @@ def ngram_logprob(
             F.col("__t.w").alias("__w"),
             F.col("__t.prev").alias("__prev"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     )
     vocab = (
         toks.groupBy("__w")
@@ -1812,3 +1814,166 @@ def code_blocks(
         lang.alias("lang"),
         code.alias("code"),
     )
+
+
+# GPT-2-style pre-tokenizer, expressed with stdlib ``re`` (the
+# original uses the third-party ``regex`` module's \p classes; Python's
+# [^\W\d_] is the equivalent unicode-letter class). Contractions,
+# space-prefixed letter/digit/punctuation runs, then residual
+# whitespace — the public byte-level-BPE convention.
+_BPE_PRETOKEN_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+    re.UNICODE,
+)
+
+
+def _bytes_to_unicode() -> dict:
+    """The public GPT-2 byte↔unicode bijection: printable latin bytes
+    map to themselves, the rest shift into the U+0100 private range so
+    every byte has a visible, dict-key-safe character. Lets real
+    byte-level merges tables (GPT-2/RoBERTa vocab.bpe) drive
+    :func:`bpe_token_count` unchanged."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+def _bpe_word_tokens(word: list, ranks: dict) -> int:
+    """Token count of ONE pre-token's symbol list under ``ranks``
+    (symbol pair -> merge priority, lower first). Textbook BPE: each
+    round merges every occurrence of the single highest-priority
+    adjacent pair present; identity is the PAIR, not its concatenated
+    string (("ab","c") and ("a","bc") are different merges)."""
+    while len(word) > 1:
+        best_rank, first, second = None, None, None
+        for i in range(len(word) - 1):
+            r = ranks.get((word[i], word[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, first, second = r, word[i], word[i + 1]
+        if best_rank is None:
+            break
+        out, i = [], 0
+        while i < len(word):
+            if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                out.append(first + second)
+                i += 2
+            else:
+                out.append(word[i])
+                i += 1
+        word = out
+    return len(word)
+
+
+def bpe_encode_count(text: str, ranks: dict, byte_map: Optional[dict]) -> int:
+    """Pure-Python BPE token count of one document — the exact
+    algorithm the distributed UDF applies per row, exposed so tests
+    (and the pinned driver oracle) can replay it without Spark.
+    ``ranks`` maps symbol pairs -> merge priority (lower merges
+    first); ``byte_map`` is the GPT-2 byte↔unicode table for
+    byte-level tables, None for char-level."""
+    total = 0
+    for m in _BPE_PRETOKEN_RE.finditer(text):
+        pre = m.group(0)
+        if byte_map is not None:
+            word = [byte_map[b] for b in pre.encode("utf-8")]
+        else:
+            word = list(pre)
+        total += _bpe_word_tokens(word, ranks)
+    return total
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: Sequence,
+    text_col: str = "text",
+    new_col: str = "bpe_token_count",
+    byte_level: bool = True,
+) -> DataFrame:
+    """Tokenizer-faithful token counts: ``df`` + ``new_col`` holding
+    the number of BPE tokens of ``text_col`` under the given merges
+    table — the units real training budgets are written in.
+    Whitespace counts (what ``token_budget_mix`` / ``pack_sequences``
+    / ``chunk`` default to) run 2-4× off on code and CJK; pass this
+    column as their ``token_col`` to budget in tokenizer tokens:
+    ``token_budget_mix(df, ..., token_col="bpe_token_count")``.
+
+    ``merges`` is the standard merges list — pairs ``(left, right)``
+    in priority order (GPT-2 ``vocab.bpe`` lines, minus the header).
+    ``byte_level=True`` (default) applies the public GPT-2
+    byte↔unicode mapping first, so real byte-level tables work
+    verbatim; False runs char-level BPE (hand-pinned test vocabs).
+    NULL text → NULL count; empty string → 0.
+
+    Scale shape: ONE Arrow-batched pandas UDF over the corpus scan —
+    no shuffle, no collect. The ranks table (model-sized, ~50k pairs)
+    rides a SparkContext broadcast (one copy per executor, not per
+    task) on classic Spark, plain closure capture under Connect. Per
+    pre-token results are memoized per batch (Zipf reuse makes the
+    effective cost ~unique pre-tokens, not tokens); the merge loop is
+    the textbook O(len²) — fine for pre-token-sized inputs (words,
+    not documents).
+
+    No reference counterpart (counting there is whitespace-based);
+    this is pure LLM-pipeline capability on the engine's budgeting
+    path.
+    """
+    ranks = {}
+    for i, pair in enumerate(merges):
+        a, b = pair
+        ranks[(str(a), str(b))] = i
+    if not ranks:
+        raise ValueError("bpe_token_count: merges must be non-empty")
+    byte_map = _bytes_to_unicode() if byte_level else None
+
+    from getl_spark.common.scale import is_classic
+
+    if is_classic(df):
+        bc = df.sparkSession.sparkContext.broadcast((ranks, byte_map))
+        get_tables = lambda: bc.value  # noqa: E731
+    else:  # pragma: no cover - Connect: closure capture, no sc
+        tables = (ranks, byte_map)
+        get_tables = lambda: tables  # noqa: E731
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # explicit signature (no type hints): the module's `from
+    # __future__ import annotations` stringifies hints, which the
+    # pandas_udf resolver can't evaluate with a function-local pd
+    def _count_fn(texts):
+        rk, bm = get_tables()
+        cache: dict = {}
+
+        def one(t):
+            if t is None:
+                return None
+            total = 0
+            for m in _BPE_PRETOKEN_RE.finditer(t):
+                pre = m.group(0)
+                c = cache.get(pre)
+                if c is None:
+                    word = (
+                        [bm[b] for b in pre.encode("utf-8")]
+                        if bm is not None
+                        else list(pre)
+                    )
+                    c = _bpe_word_tokens(word, rk)
+                    cache[pre] = c
+                total += c
+            return total
+
+        return texts.map(one)
+
+    _count = pandas_udf(_count_fn, "bigint")
+    return df.withColumn(new_col, _count(F.col(text_col)))

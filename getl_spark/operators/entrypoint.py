@@ -24,6 +24,8 @@ from typing import Callable, Tuple
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from getl_spark.common.scale import pin
+
 from getl_spark.operators import transform as _transform_module
 from getl_spark.plans.context import BlockConfig
 
@@ -386,13 +388,15 @@ def expect_rows(conf: BlockConfig) -> DataFrame:
 
 def checkpoint(conf: BlockConfig) -> DataFrame:
     """Materialization barrier: truncate lineage with
-    ``localCheckpoint`` so downstream blocks plan against a computed
+    ``common.scale.pin`` (localCheckpoint locally, reliable checkpoint
+    / replicated persist on a cluster) so downstream blocks plan
+    against a computed
     stub instead of the full upstream graph. The tool for iterative /
     deeply-chained pipelines whose logical plans otherwise grow without
     bound (the engine's own dedup operators use the same pattern
     internally). Properties: ``Eager`` (default true — compute now;
     false registers a lazy checkpoint)."""
-    return conf.input_df().localCheckpoint(eager=bool(conf.get("Eager", True)))
+    return conf.input_df().transform(pin, eager=bool(conf.get("Eager", True)))
 
 
 def with_columns(conf: BlockConfig) -> DataFrame:

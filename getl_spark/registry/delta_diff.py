@@ -25,6 +25,8 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from getl_spark.common.scale import pin
+
 from getl_spark.common.tables import HAS_DELTA, ManagedTable
 from getl_spark.registry.base import FileRegistry, utcnow
 
@@ -63,11 +65,11 @@ class DeltaDiff(FileRegistry):
         ).load(path)
         if not HAS_DELTA:
             # Eagerly materialize the key set present right now —
-            # localCheckpoint pins it so a later update() commits these
+            # pin() materializes it so a later update() commits these
             # keys, not whatever the source holds by then. The distinct
             # keys are computed exactly once (update() reuses the pin).
             self._staged_keys = (
-                current.select(*self.join_fields).distinct().localCheckpoint()
+                current.select(*self.join_fields).distinct().transform(pin)
             )
         baseline = self._baseline(path)
         if baseline is None:

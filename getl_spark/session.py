@@ -30,12 +30,20 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
     Local mode sizes shuffle parallelism to the core count — on a real
     cluster leave ``shuffle_partitions`` None and let AQE coalesce from
     a high initial value instead.
+
+    ``checkpoint_dir`` (or the ``GETL_SPARK_CHECKPOINT_DIR`` env var)
+    names a SHARED filesystem path (HDFS/S3) for reliable checkpoints;
+    setting it switches every internal lineage pin
+    (``common.scale.pin``) from executor-local ``localCheckpoint`` to
+    durable ``checkpoint()`` — required for fault tolerance on
+    preemptible clusters, pure overhead on a single machine.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
@@ -72,4 +80,7 @@ def get_spark(
         builder = configure_spark_with_delta_pip(builder)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ckpt = checkpoint_dir or os.environ.get("GETL_SPARK_CHECKPOINT_DIR")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
     return spark

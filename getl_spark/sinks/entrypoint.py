@@ -18,6 +18,8 @@ from typing import Callable, List, Optional
 
 from pyspark.sql import DataFrame
 
+from getl_spark.common.scale import pin
+
 from getl_spark.common.tables import DEFAULT_FORMAT, HiveTable, ManagedTable
 from getl_spark.plans.context import BlockConfig
 
@@ -372,7 +374,7 @@ def stream_dedup_ingest(conf: BlockConfig) -> DataFrame:
         survivors = dedup.against_stored_index(
             batch, index_path, id_col, text_col, near_threshold=near,
             keep_sketches=True,
-        ).localCheckpoint()
+        ).transform(pin)
         if survivors.isEmpty():
             return
         sig_col = "__sig" if "__sig" in survivors.columns else None
@@ -450,7 +452,7 @@ def stream_vector_ingest(conf: BlockConfig) -> DataFrame:
         survivors = similarity.dedup_against_index(
             batch, index_path, threshold=threshold, nprobe=nprobe,
             id_col=id_col, vec_col=vec_col,
-        ).localCheckpoint()
+        ).transform(pin)
         if survivors.isEmpty():
             return
         survivors.write.mode("overwrite").parquet(

@@ -1,0 +1,131 @@
+"""Routing tests for the durability ladder in ``common.scale.pin``.
+
+The ladder itself (reliable checkpoint > localCheckpoint-on-local >
+replicated persist) can't be exercised against a real cluster here, so
+these tests verify the ROUTING decisions with instance/class patches
+plus a functional values-preserved check on the branch local mode
+actually runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from getl_spark.common.scale import pin
+
+
+def _cls(df):
+    # pyspark 4 routes calls through the CONCRETE class
+    # (pyspark.sql.classic.dataframe.DataFrame); patching the abstract
+    # pyspark.sql.DataFrame would never intercept
+    return type(df)
+
+
+def test_pin_local_mode_uses_localcheckpoint(spark, monkeypatch):
+    df = spark.range(10)
+    calls = []
+    real = _cls(df).localCheckpoint
+
+    def spy(self, eager=True):
+        calls.append(eager)
+        return real(self, eager=eager)
+
+    monkeypatch.setattr(_cls(df), "localCheckpoint", spy)
+    out = pin(df)
+    assert calls == [True]
+    assert sorted(r.id for r in out.collect()) == list(range(10))
+    # lineage truncated: the optimized plan is a materialized stub
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+
+    calls.clear()
+    pin(df, eager=False)
+    assert calls == [False]
+
+
+def test_pin_prefers_reliable_checkpoint_when_dir_set(spark, monkeypatch, tmp_path):
+    df = spark.range(5)
+    # pretend the session factory configured a shared checkpoint dir
+    monkeypatch.setattr(
+        spark.sparkContext, "getCheckpointDir", lambda: str(tmp_path)
+    )
+    calls = []
+    monkeypatch.setattr(
+        _cls(df),
+        "checkpoint",
+        lambda self, eager=True: calls.append(eager) or self,
+    )
+    out = pin(df)
+    assert calls == [True]
+    assert out.count() == 5
+
+
+def test_pin_cluster_without_dir_uses_replicated_persist(spark, monkeypatch):
+    from pyspark import SparkContext, StorageLevel
+
+    df = spark.range(7)
+    # pretend a non-local master (cluster) with no checkpoint dir —
+    # master is a plain instance attribute on SparkContext
+    monkeypatch.setattr(spark.sparkContext, "master", "yarn", raising=False)
+    assert spark.sparkContext.getCheckpointDir() is None
+    out = pin(df)
+    try:
+        assert out.storageLevel == StorageLevel.MEMORY_AND_DISK_2
+        assert out.count() == 7
+    finally:
+        out.unpersist()
+    assert isinstance(spark.sparkContext, SparkContext)
+
+
+def test_pin_session_factory_checkpoint_dir_env(monkeypatch, tmp_path):
+    """get_spark(checkpoint_dir=...) (or the env var) must register the
+    dir on the context so pin's first rung engages; on the shared
+    local session we only verify registration, not routing (local
+    pins stay local by design).
+
+    NOTE: intentionally does NOT call get_spark here — setting a
+    checkpoint dir on the shared session would flip every later pin in
+    the suite to reliable checkpoints. The factory wiring is a
+    two-line pass-through verified by inspection + the env default.
+    """
+    import inspect
+
+    from getl_spark import session as S
+
+    sig = inspect.signature(S.get_spark)
+    assert "checkpoint_dir" in sig.parameters
+    src = inspect.getsource(S.get_spark)
+    assert "GETL_SPARK_CHECKPOINT_DIR" in src
+    assert "setCheckpointDir" in src
+
+
+def test_grouped_prefix_scan_still_partition_invariant(spark):
+    """The prefix scan routed through pin keeps its invariance
+    contract (1 vs 32 partitions, grouped running sum)."""
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    rows = [("a", i, i % 5) for i in range(100)] + [
+        ("b", i, (i * 7) % 11) for i in range(57)
+    ]
+    base = spark.createDataFrame(rows, "g STRING, i INT, v INT")
+    outs = []
+    for parts in (1, 32):
+        out = grouped_prefix_sum(
+            base.repartition(parts), "g", "i", "v", "run"
+        )
+        outs.append(
+            sorted((r.g, r.i, r.run) for r in out.collect())
+        )
+    assert outs[0] == outs[1]
+    # spot-check against a python scan
+    import itertools
+
+    want = []
+    for g, grp in itertools.groupby(
+        sorted(rows), key=lambda t: t[0]
+    ):
+        acc = 0
+        for _, i, v in sorted(grp, key=lambda t: t[1]):
+            acc += v
+            want.append((g, i, acc))
+    assert outs[0] == sorted(want)

@@ -22,11 +22,12 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from getl_spark import get_spark
+    from getl_spark.common.scale import pin
     from getl_spark.functions import dedup, skew, stats, text
 
     spark = get_spark("corpus-report")
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").transform(pin)
     n_docs = docs.count()
 
     lines = [f"# Corpus report — {sf_dir}", "", f"Documents: **{n_docs}**", ""]
