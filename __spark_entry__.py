@@ -8601,6 +8601,58 @@ FROM parts
 """
 
 
+BPE_PINNED_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "r"), ("r", "e"), ("o", "n"),
+    ("e", "n"), ("a", "t"), ("e", "s"), ("o", "u"), ("l", "l"),
+    ("d", "e"), ("de", "f"), ("s", "e"), ("se", "l"), ("sel", "f"),
+]
+
+
+def _q_bpe_token_count(spark, sf_dir):
+    """text.bpe_token_count — tokenizer-faithful token counts (the
+    units training budgets are written in; whitespace counts run 2-4x
+    off on code/CJK) via one Arrow-batched pandas UDF over a broadcast
+    merges table. BPE is not SQL-expressible, so the oracle is a
+    golden-pinned VALUES table over this fixed SF-independent frame:
+    the expected counts were replayed at pin time with
+    ``text.bpe_encode_count`` — the pure-Python function the UDF
+    itself applies per pre-token (same pre-tokenizer, same byte map),
+    and independently cross-checked in pytest against a
+    sequential-merge-replay reference
+    (tests/test_text_corpus.py::test_bpe_token_count_differential_random)."""
+    from getl_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the thin other"),
+            (1, "running and jumping and singing"),
+            (2, "def f(self, x):\n    return self.x + x"),
+            (3, "\u4ef7\u683c\u662f 100 \u5143"),  # CJK: UTF-8 bytes, unmerged
+            (4, "it's the banker's ledger"),  # contraction pre-split
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    return text.bpe_token_count(docs, BPE_PINNED_MERGES).select(
+        "doc_id", "bpe_token_count"
+    )
+
+
+BPE_TOKEN_COUNT_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(8  AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(19 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(28 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(17 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(19 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(0  AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(NULL AS BIGINT))
+) AS t(doc_id, bpe_token_count)
+"""
+
+
 def _q_corpus_dup_report(spark, sf_dir):
     """dedup.corpus_dup_report — one-scan exact/template dup-rate
     summary of the documents corpus (the first-look readout before
@@ -8828,20 +8880,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _raw_queries().items()}
 
 
+def _q_bpe_corpus(spark, sf_dir):
+    """Corpus-throughput leg of ``text.bpe_token_count``: BPE-count
+    every document at this SF under the pinned merges table and reduce
+    to per-language token totals. Value semantics are driver-verified
+    by ``text_bpe_token_count``'s golden-pinned oracle (identical
+    algorithm, pre-tokenizer, and byte map); THIS query exists to
+    price the Arrow-batched UDF scan on real corpus text in bench.py,
+    which a 7-row pinned frame cannot do."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counted = text.bpe_token_count(docs, BPE_PINNED_MERGES)
+    return counted.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("bpe_token_count").alias("bpe_tokens"),
+    )
+
+
 def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The real-corpus sketch variants (minhash-LSH / simhash / LSH
-    top-k over the testdata documents/embeddings tables). Their hash
-    families are SQL-inexpressible and banding recall on a real corpus
-    is by design < 100%, so no DuckDB oracle exists — but each operator
-    is value-hash verified through its deterministic twin in
-    ``_base_queries()`` (``dedup_minhash_twin`` / ``dedup_simhash_twin``
-    / ``similarity_topk_lsh_twin``), and these variants stay benched at
-    sf0.1 (bench.py) and pytest-covered (tests/test_dedup.py,
-    tests/test_similarity.py) for real-corpus behavior."""
+    """Real-corpus variants whose value semantics are verified through
+    a deterministic sibling rather than a DuckDB oracle on this query
+    itself: the sketch family (minhash-LSH / simhash / LSH top-k —
+    SQL-inexpressible hash families, banding recall < 100% by design,
+    each value-hash verified via its twin in ``_base_queries()``:
+    ``dedup_minhash_twin`` / ``dedup_simhash_twin`` /
+    ``similarity_topk_lsh_twin``) and the BPE corpus-throughput leg
+    (verified via ``text_bpe_token_count``'s golden-pinned oracle).
+    All stay benched at sf0.1 (bench.py) and pytest-covered."""
     return {
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "similarity_topk_lsh": _q_sim_topk_lsh,
+        "text_bpe_corpus": _q_bpe_corpus,
     }
 
 
@@ -9234,6 +9305,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_moments": _q_moments,
         "stats_binary_metrics": _q_binary_metrics,
         "dedup_corpus_report": _q_corpus_dup_report,
+        "text_bpe_token_count": _q_bpe_token_count,
     }
 
 
@@ -9431,6 +9503,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_moments": MOMENTS_ORACLE,
         "stats_binary_metrics": BINARY_METRICS_ORACLE,
         "dedup_corpus_report": CORPUS_DUP_REPORT_ORACLE,
+        "text_bpe_token_count": BPE_TOKEN_COUNT_ORACLE,
     }
 
 

@@ -125,6 +125,9 @@ DETAIL_QUERIES = [
     "stats_moments",
     "stats_binary_metrics",
     "dedup_corpus_report",
+    # round-9 operators
+    "text_bpe_token_count",
+    "text_bpe_corpus",
 ]
 
 RUNS = 3
@@ -146,6 +149,45 @@ def main() -> None:
 
     spark = get_spark("getl-bench")
     spark.range(1000).count()  # warm the JVM
+
+    # Machine-speed calibration canary: r7->r8 showed a uniform 1.38x
+    # drift on bit-identical untouched queries (same code, same data,
+    # same config) — pure environment. These two fixed probes give
+    # every bench file an absolute machine-speed reference so a
+    # cross-round delta can be read canary-relative in one line:
+    #   cpu  — JVM-side arithmetic throughput (range + xxhash64 agg;
+    #          data-independent, codegen-bound)
+    #   scan — parquet scan+agg over the bench lineitem table (IO +
+    #          decode speed at this SF)
+    # min over 3 runs each, same steady-state convention as queries.
+    from pyspark.sql import functions as F
+
+    def _canary_cpu():
+        # bit_xor, not sum: ANSI mode makes a bigint sum of 5e8
+        # hashes overflow; xor keeps the full per-row hash work with
+        # an overflow-free fold
+        spark.range(500_000_000).select(
+            F.expr("bit_xor(xxhash64(id))")
+        ).collect()
+
+    def _canary_scan():
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            F.sum("l_extendedprice"), F.count("*")
+        ).collect()
+
+    canary = {}
+    for cname, cfn in (("cpu", _canary_cpu), ("scan", _canary_scan)):
+        ctimes = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            cfn()
+            ctimes.append(round(time.perf_counter() - t0, 3))
+        canary[cname] = min(ctimes)
+        print(f"# canary {cname}: {ctimes}", file=sys.stderr)
+    try:
+        canary["load1"] = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - platform without getloadavg
+        canary["load1"] = None
 
     # all_queries(): rotation-independent lookup — BENCH_QUERIES names
     # must resolve regardless of which entries are driver-checked vs
@@ -203,8 +245,13 @@ def main() -> None:
             "carries 1.5-3 s of fixed per-median/per-scan "
             "scheduling overhead at sf0.1 by design — exactness "
             "with bounded memory at any group size; see "
-            "docs/SCALE.md 'Eval aggregates'"
+            "docs/SCALE.md 'Eval aggregates'. Cross-round "
+            "comparisons should be read CANARY-RELATIVE: divide "
+            "each query delta by the cpu-canary ratio between the "
+            "two rounds before calling a regression (r8's uniform "
+            "1.38x drift was environment, not code)"
         ),
+        "canary": canary,
     }
     print(json.dumps(detail), file=sys.stderr)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -218,6 +265,7 @@ def main() -> None:
         "unit": "sec",
         "agg": "min",
         "queries": timings,
+        "canary": canary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(compact, separators=(",", ":"))

@@ -321,7 +321,11 @@ def token_budget_mix(
     ``default_keep`` (the "all of books" clause), else drop.
 
     Token counts come from ``token_col`` when given, else whitespace
-    tokens of ``text_col``. Selection order is the content hash of
+    tokens of ``text_col``. Budgets written in TOKENIZER tokens (the
+    usual case — whitespace counts run 2-4× off on code/CJK) should
+    precompute ``text.bpe_token_count`` and pass its column here:
+    ``token_budget_mix(bpe_counted, ..., token_col="bpe_token_count")``.
+    Selection order is the content hash of
     ``id_cols`` (+``seed``) — a deterministic uniform shuffle, so the
     kept prefix is an unbiased sample of the source; pass ``order_col``
     to take a curated order instead (quality-descending, newest-first).

@@ -13,8 +13,15 @@ import __spark_entry__ as entry
 
 # The rows-only real-corpus sketch variants: outside the driver budget
 # (their hash families are SQL-inexpressible on a real corpus), verified
-# through deterministic twins inside the checked 50, benched at sf0.1.
-ROWS_ONLY = {"dedup_minhash_lsh", "dedup_simhash", "similarity_topk_lsh"}
+# through deterministic twins inside the checked 50, benched at sf0.1;
+# text_bpe_corpus is the BPE throughput leg, value-verified via the
+# golden-pinned text_bpe_token_count oracle.
+ROWS_ONLY = {
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_lsh",
+    "text_bpe_corpus",
+}
 
 
 def test_query_count_within_driver_budget():

@@ -1007,3 +1007,148 @@ def test_sentences_rule_and_indexing(spark):
         (1, 4, "trailing frag"),
         (2, 0, "no punctuation at all"),
     ]
+
+
+# ------------------------------------------------------------ bpe counts
+def _bpe_sequential_reference(text, merges, byte_map):
+    """Independent replay: apply merges one at a time IN RANK ORDER,
+    exhaustively per rank (the HuggingFace-style formulation) — for a
+    rank-prioritized table this is equivalent to the min-pair loop the
+    operator uses, so any divergence flags a bug in either."""
+    import re as _re
+
+    from getl_spark.functions.text import _BPE_PRETOKEN_RE
+
+    total = 0
+    for m in _BPE_PRETOKEN_RE.finditer(text):
+        pre = m.group(0)
+        word = (
+            [byte_map[b] for b in pre.encode("utf-8")]
+            if byte_map
+            else list(pre)
+        )
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            word = out
+        total += len(word)
+    return total
+
+
+def test_bpe_token_count_pinned_vocab(spark):
+    """Char-level mini-vocab, hand-checkable: 'll'+'he'+'hell'+'hello'
+    chain; counts match the pure-python encoder AND the independent
+    sequential-replay reference."""
+    from getl_spark.functions import text as T
+
+    merges = [("l", "l"), ("h", "e"), ("he", "ll"), ("hell", "o")]
+    docs = [
+        (0, "hello hello"),   # 'hello' -> 1; ' hello' -> ' ' + 'hello' = 2
+        (1, "hell he"),        # 'hell' -> 1; ' he' -> ' ' + 'he' = 2
+        (2, "llama"),          # ll,a,m,a = 4
+        (3, ""),               # empty -> 0
+        (4, None),             # NULL -> NULL
+    ]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    out = {
+        r.doc_id: r.bpe_token_count
+        for r in T.bpe_token_count(
+            df, merges, byte_level=False
+        ).collect()
+    }
+    assert out[0] == 3 and out[1] == 3
+    assert out[2] == 4
+    assert out[3] == 0
+    assert out[4] is None
+    for i, t in docs[:4]:
+        want = T.bpe_encode_count(t, {(a, b): r for r, (a, b) in enumerate(merges)}, None)
+        assert out[i] == want == _bpe_sequential_reference(t, merges, None)
+
+
+def test_bpe_token_count_byte_level_and_utf8(spark):
+    """Byte-level mode: the GPT-2 byte map is a bijection over 256
+    bytes; multi-byte UTF-8 counts bytes (no merges -> one token per
+    byte per pretoken), and an ASCII merge table works verbatim."""
+    from getl_spark.functions import text as T
+
+    bm = T._bytes_to_unicode()
+    assert len(bm) == 256 and len(set(bm.values())) == 256
+
+    df = spark.createDataFrame(
+        [(0, "aa bb"), (1, "é")], "doc_id INT, text STRING"
+    )
+    # 'a'+'a' merge, byte level; é is 2 UTF-8 bytes, unmerged
+    out = {
+        r.doc_id: r.bpe_token_count
+        for r in T.bpe_token_count(df, [("a", "a")]).collect()
+    }
+    assert out[0] == 1 + 3  # 'aa' -> 1; ' bb' -> ' ','b','b'
+    assert out[1] == 2
+
+
+def test_bpe_token_count_differential_random(spark):
+    """Random small-vocab differential: Spark UDF vs the pure-python
+    encoder vs the sequential replay, over generated corpora."""
+    import random
+
+    from getl_spark.functions import text as T
+
+    rng = random.Random(7)
+    alphabet = "abcd"
+    # random-but-valid merge chain: products of earlier symbols
+    symbols = list(alphabet)
+    merges = []
+    for _ in range(12):
+        a, b = rng.choice(symbols), rng.choice(symbols)
+        if (a, b) in merges:
+            continue
+        merges.append((a, b))
+        symbols.append(a + b)
+    ranks = {p: i for i, p in enumerate(merges)}
+    docs = [
+        (i, " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(1, 8))
+        ))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    got = {
+        r.doc_id: r.bpe_token_count
+        for r in T.bpe_token_count(df, merges, byte_level=False).collect()
+    }
+    for i, t in docs:
+        assert got[i] == T.bpe_encode_count(t, ranks, None), (i, t)
+        assert got[i] == _bpe_sequential_reference(t, merges, None), (i, t)
+
+
+def test_bpe_token_count_feeds_token_budget_mix(spark):
+    """The documented hand-off: budget in BPE tokens via token_col."""
+    from getl_spark.functions import sample, text as T
+
+    df = spark.createDataFrame(
+        [(i, "web", "hello hello hello") for i in range(10)],
+        "doc_id INT, source STRING, text STRING",
+    )
+    counted = T.bpe_token_count(
+        df, [("l", "l"), ("h", "e"), ("he", "ll"), ("hell", "o")],
+        byte_level=False,
+    )
+    # each doc = 5 bpe tokens ('hello' + 2x ' hello'); budget 12 ->
+    # exactly 2 docs survive (10 fits, 15 would overshoot)
+    out = sample.token_budget_mix(
+        counted, "source", {"web": 12}, ["doc_id"],
+        token_col="bpe_token_count",
+    )
+    assert out.count() == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="merges"):
+        T.bpe_token_count(df, [], byte_level=False)
