@@ -8898,6 +8898,74 @@ def _q_bpe_corpus(spark, sf_dir):
     )
 
 
+def _q_corpus_curation_full(spark, sf_dir):
+    """End-to-end FineWeb-style curation recipe as ONE lazy plan:
+    synthesize crawl URLs (two surface variants per canonical page) →
+    ``canonicalize_url``+``by_url`` (URL-level dedup) → ``dedup.exact``
+    on text → ``near_dedup`` (MinHash-LSH pairs → components → one
+    survivor) → ``gopher_filter`` (statistical gate, remove) →
+    ``c4_clean`` (structural flags, kept as columns — synthetic corpus
+    text is line-less, so removal here would empty the tail and
+    under-measure downstream stages) → ``decontaminate`` against a
+    deterministic eval slice (remove) → ``token_budget_mix`` (cap five
+    sources in whitespace tokens) → per-source summary. Each stage is
+    individually driver/oracle-verified; THIS query exists to price
+    cross-operator plan growth (pins, AQE re-planning, checkpoint
+    barriers between stages) that per-stage benches never see —
+    bench row + docs/PLANS.md dump + docs/SCALE.md note."""
+    from getl_spark.functions import dedup, sample, text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # two crawl variants per canonical page, paired WITHIN a source
+    # (ids i and i+20 share source in the testdata): same canonical
+    # URL modulo case/port/tracking, so by_url halves the corpus
+    # without wiping any source (an even/odd pairing would — source
+    # is doc_id mod 20)
+    page = F.when(
+        F.col("doc_id") % 40 >= 20, F.col("doc_id") - 20
+    ).otherwise(F.col("doc_id")).cast("bigint")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://Crawl.Example.org:443/p/"),
+            page,
+            F.lit("?utm_source=feed"),
+        ),
+    ).otherwise(
+        F.concat(F.lit("https://crawl.example.org/p/"), page)
+    )
+    staged = docs.withColumn("url", url)
+    s1 = dedup.by_url(staged, url_col="url", id_col="doc_id")
+    s2 = dedup.exact(s1, ["text"], order_by="doc_id")
+    s3 = dedup.near_dedup(
+        s2, id_col="doc_id", text_col="text", threshold=0.5,
+        num_hashes=32, bands=8,
+    )
+    s4 = text.gopher_filter(
+        s3, min_words=20, min_stopword_hits=1, remove=True
+    )
+    # corpus text is single-line: lift sentence boundaries to line
+    # breaks so the C4 line rules have lines to judge (same rewrite as
+    # the text_c4_clean oracle query)
+    lifted = s4.withColumn(
+        "text", F.regexp_replace("text", r"(scan|join|window) ", "$1.\n")
+    )
+    s5 = text.c4_clean(lifted, min_words_per_line=3, min_sentences=1)
+    eval_df = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    s6 = text.decontaminate(s5, eval_df, n=8, remove=True)
+    budgets = {f"src{i}": 3000 for i in range(5)}
+    s7 = sample.token_budget_mix(
+        s6, "source", budgets, ["doc_id"]
+    )
+    return s7.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("ws_tokens"),
+        F.sum(F.col("c4_keep").cast("int")).alias("c4_pass"),
+    )
+
+
 def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Real-corpus variants whose value semantics are verified through
     a deterministic sibling rather than a DuckDB oracle on this query
@@ -8913,6 +8981,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "similarity_topk_lsh": _q_sim_topk_lsh,
         "text_bpe_corpus": _q_bpe_corpus,
+        "corpus_curation_full": _q_corpus_curation_full,
     }
 
 

@@ -128,6 +128,7 @@ DETAIL_QUERIES = [
     # round-9 operators
     "text_bpe_token_count",
     "text_bpe_corpus",
+    "corpus_curation_full",
 ]
 
 RUNS = 3

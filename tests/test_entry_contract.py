@@ -21,6 +21,7 @@ ROWS_ONLY = {
     "dedup_simhash",
     "similarity_topk_lsh",
     "text_bpe_corpus",
+    "corpus_curation_full",
 }
 
 
