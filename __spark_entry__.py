@@ -4594,6 +4594,45 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_pack_stats(spark, sf_dir):
+    """text.pack_stats — the packing-quality readout (utilization,
+    truncation cost, cross-doc-attention contamination, decile
+    histogram) over a fixed FFD packing with deliberate oversize docs.
+    Packing is deterministic FFD per hash bucket (not SQL-expressible),
+    so the one-row output is golden-pinned; the scalars were
+    hand-reconciled at pin time (e.g. truncated_tokens =
+    7*sum(120..131) - 112*12 = 9198) and the operator itself is
+    differentially tested in tests/test_text_corpus.py."""
+    from getl_spark.functions import text
+
+    docs = spark.range(0, 132).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 120, F.col("id") * 7 + 400)
+        .otherwise(F.pmod(F.col("id") * 37, F.lit(300)) + 1)
+        .alias("n_tok"),
+    )
+    packed = text.pack_sequences(
+        docs, token_col="n_tok", max_tokens=512, buckets=4
+    )
+    return text.pack_stats(packed, max_tokens=512)
+
+
+PACK_STATS_ORACLE = """
+SELECT CAST(132 AS BIGINT) AS n_docs, CAST(50 AS BIGINT) AS n_packs,
+       CAST(12 AS BIGINT) AS oversize_docs,
+       CAST(0.090909 AS DOUBLE) AS truncation_rate,
+       CAST(9198 AS BIGINT) AS truncated_tokens,
+       CAST(0.943125 AS DOUBLE) AS utilization,
+       CAST(38 AS BIGINT) AS multi_doc_packs,
+       CAST(120 AS BIGINT) AS crossdoc_docs,
+       CAST(0 AS BIGINT) AS util_h0, CAST(1 AS BIGINT) AS util_h1,
+       CAST(1 AS BIGINT) AS util_h2, CAST(1 AS BIGINT) AS util_h3,
+       CAST(0 AS BIGINT) AS util_h4, CAST(0 AS BIGINT) AS util_h5,
+       CAST(0 AS BIGINT) AS util_h6, CAST(0 AS BIGINT) AS util_h7,
+       CAST(0 AS BIGINT) AS util_h8, CAST(47 AS BIGINT) AS util_h9
+"""
+
+
 def _q_multimodal_resize(spark, sf_dir):
     """multimodal.resize over document bytes: the Arrow mapInPandas
     plumbing (schema, meta-struct rebuild, null passthrough, output
@@ -9375,6 +9414,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_binary_metrics": _q_binary_metrics,
         "dedup_corpus_report": _q_corpus_dup_report,
         "text_bpe_token_count": _q_bpe_token_count,
+        "text_pack_stats": _q_pack_stats,
     }
 
 
@@ -9573,6 +9613,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_binary_metrics": BINARY_METRICS_ORACLE,
         "dedup_corpus_report": CORPUS_DUP_REPORT_ORACLE,
         "text_bpe_token_count": BPE_TOKEN_COUNT_ORACLE,
+        "text_pack_stats": PACK_STATS_ORACLE,
     }
 
 

@@ -129,6 +129,7 @@ DETAIL_QUERIES = [
     "text_bpe_token_count",
     "text_bpe_corpus",
     "corpus_curation_full",
+    "text_pack_stats",
 ]
 
 RUNS = 3

@@ -1977,3 +1977,91 @@ def bpe_token_count(
 
     _count = pandas_udf(_count_fn, "bigint")
     return df.withColumn(new_col, _count(F.col(text_col)))
+
+
+def pack_stats(
+    packed: DataFrame,
+    max_tokens: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Packing-quality readout over :func:`pack_sequences` output —
+    the numbers a training team grades a packing run by, as ONE row:
+
+    * ``n_docs`` / ``n_packs`` / ``oversize_docs``;
+    * ``truncation_rate`` — fraction of docs exceeding ``max_tokens``
+      (the trainer will truncate these; packing marked them, didn't);
+    * ``truncated_tokens`` — total tokens lost IF oversize docs are
+      cut at ``max_tokens`` (the token cost of the truncation policy);
+    * ``utilization`` — Σ min(fill, max) / (n_packs · max): the
+      fraction of batch slots carrying real tokens (1 − padding
+      waste). Oversize singleton packs count as full (they are, after
+      truncation);
+    * ``multi_doc_packs`` / ``crossdoc_docs`` — packs holding ≥ 2
+      documents, and documents sharing a pack: without attention
+      masking every such doc attends into a neighbor, so this IS the
+      cross-doc-attention contamination count to weigh against the
+      utilization gain;
+    * ``util_h0`` … ``util_h9`` — pack-count histogram over
+      utilization deciles ([0, .1) … [.9, 1.0]; the top bucket
+      includes exactly-full), the shape view behind the single
+      ``utilization`` number — a fat h9 with a long h0-h3 tail says
+      "raise buckets or sort better", a uniform smear says the
+      length distribution fights the budget.
+
+    Scale shape: one keyed partial-agg shuffle on ``pack_id`` (bytes ∝
+    packs, not docs) then a 1-row reduce — the same two-level
+    aggregate every ``stats.*`` readout uses; no window, no UDF,
+    no driver state.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"pack_stats: max_tokens must be >= 1, got {max_tokens}")
+    m = F.lit(int(max_tokens))
+    per_pack = packed.groupBy("pack_id").agg(
+        F.count("*").cast("bigint").alias("__docs"),
+        F.sum("n_tokens").cast("bigint").alias("__fill"),
+        F.sum(F.col("oversize").cast("int")).cast("bigint").alias("__over"),
+    )
+    used = F.least(F.col("__fill"), m.cast("bigint"))
+    util = used.cast("double") / m
+    # decile index; exactly-full lands in the top bucket
+    dec = F.least(F.floor(util * 10).cast("int"), F.lit(9))
+    hist = [
+        F.sum(F.when(dec == i, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"util_h{i}")
+        for i in range(10)
+    ]
+    agg = per_pack.agg(
+        F.sum("__docs").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_packs"),
+        F.sum("__over").alias("oversize_docs"),
+        F.sum(
+            F.when(
+                F.col("__over") > 0, F.col("__fill") - m.cast("bigint")
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("truncated_tokens"),
+        F.sum(used).alias("__used_total"),
+        F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("multi_doc_packs"),
+        F.sum(F.when(F.col("__docs") >= 2, F.col("__docs")).otherwise(0))
+        .cast("bigint")
+        .alias("crossdoc_docs"),
+        *hist,
+    )
+    return agg.select(
+        "n_docs",
+        "n_packs",
+        "oversize_docs",
+        F.round(
+            F.col("oversize_docs").cast("double") / F.col("n_docs"), round_to
+        ).alias("truncation_rate"),
+        "truncated_tokens",
+        F.round(
+            F.col("__used_total").cast("double") / (F.col("n_packs") * m),
+            round_to,
+        ).alias("utilization"),
+        "multi_doc_packs",
+        "crossdoc_docs",
+        *[f"util_h{i}" for i in range(10)],
+    )

@@ -1152,3 +1152,57 @@ def test_bpe_token_count_feeds_token_budget_mix(spark):
 
     with _pytest.raises(ValueError, match="merges"):
         T.bpe_token_count(df, [], byte_level=False)
+
+
+def test_pack_stats_hand_computed(spark):
+    """pack_stats over a hand-built packed frame: every scalar and the
+    decile histogram check against pencil-and-paper values."""
+    from getl_spark.functions import text as T
+
+    # max=100. pack A: 2 docs fill 90 (util .9 -> h9); pack B: 1 doc
+    # fill 45 (util .45 -> h4); pack C: oversize single 130 (capped
+    # util 1.0 -> h9, truncated 30); pack D: 3 docs fill 100 (full).
+    rows = [
+        (1, 50, "A", 0, False),
+        (2, 40, "A", 1, False),
+        (3, 45, "B", 0, False),
+        (4, 130, "C", 0, True),
+        (5, 40, "D", 0, False),
+        (6, 35, "D", 1, False),
+        (7, 25, "D", 2, False),
+    ]
+    packed = spark.createDataFrame(
+        rows, "doc_id INT, n_tokens LONG, pack_id STRING, pack_pos INT, oversize BOOLEAN"
+    )
+    r = T.pack_stats(packed, max_tokens=100).collect()[0]
+    assert (r.n_docs, r.n_packs, r.oversize_docs) == (7, 4, 1)
+    assert r.truncated_tokens == 30
+    assert r.truncation_rate == pytest.approx(1 / 7, abs=1e-6)
+    # used = 90 + 45 + 100 + 100 = 335 over 4*100
+    assert r.utilization == pytest.approx(0.8375)
+    assert (r.multi_doc_packs, r.crossdoc_docs) == (2, 5)
+    hist = [r[f"util_h{i}"] for i in range(10)]
+    assert hist == [0, 0, 0, 0, 1, 0, 0, 0, 0, 3]
+
+    with pytest.raises(ValueError, match="max_tokens"):
+        T.pack_stats(packed, max_tokens=0)
+
+
+def test_pack_stats_composes_with_pack_sequences(spark):
+    """End-to-end: pack a fixed distribution, grade it — totals must
+    reconcile with the packing output itself."""
+    from getl_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(700)) + 1).alias("n_tok"),
+    )
+    packed = T.pack_sequences(docs, token_col="n_tok", max_tokens=512, buckets=4)
+    r = T.pack_stats(packed, max_tokens=512).collect()[0]
+    assert r.n_docs == 200
+    assert r.n_packs == packed.select("pack_id").distinct().count()
+    over = packed.where("oversize").count()
+    assert r.oversize_docs == over and over > 0
+    assert 0 < r.utilization <= 1.0
+    assert sum(r[f"util_h{i}"] for i in range(10)) == r.n_packs
