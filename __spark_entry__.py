@@ -7651,6 +7651,101 @@ def _q_ab_compare(spark, sf_dir):
     return stats.ab_compare(ev, "event_type", "value", "view", "click")
 
 
+def _q_host_mix(spark, sf_dir):
+    """text.host_mix — the per-domain corpus datasheet table (docs +
+    char-weight shares, top-k by docs with global shares): one
+    host-keyed partial agg + 1-row totals broadcast + TakeOrdered.
+    URLs synthesized from the source column (documents carry no url);
+    the oracle replays host extraction with a regexp equivalent to
+    parse_url(HOST) on these clean synthetic URLs."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://WWW."),
+            F.col("source"),
+            F.lit(".example.org/d/"),
+            F.col("doc_id"),
+        ),
+    )
+    return text.host_mix(docs, weight_col="n_chars", top_k=10)
+
+
+HOST_MIX_ORACLE = """
+WITH hosted AS (
+  SELECT regexp_replace(
+           lower(regexp_extract(
+             'https://WWW.' || source || '.example.org/d/' || doc_id,
+             '^[a-z]+://([^/]+)', 1)),
+           '^www\\.', '') AS host,
+         CAST(n_chars AS DOUBLE) AS w
+  FROM documents
+),
+per_host AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS docs, SUM(w) AS weight
+  FROM hosted GROUP BY 1
+),
+tot AS (SELECT SUM(docs) AS td, SUM(weight) AS tw FROM per_host)
+SELECT host, docs,
+       ROUND(docs / td, 6) AS doc_share,
+       weight,
+       ROUND(weight / tw, 6) AS weight_share
+FROM per_host, tot
+ORDER BY docs DESC, host ASC
+LIMIT 10
+"""
+
+
+def _q_msprt(spark, sf_dir):
+    """stats.msprt — always-valid sequential mean-difference test
+    (mixture SPRT, Johari et al. 2017) on view vs click event values,
+    tau pre-registered at 0.05: one conditional aggregate + the
+    closed-form mixture likelihood ratio; the oracle replays the
+    identical arithmetic in DuckDB."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stats.msprt(ev, "event_type", "value", "view", "click", tau=0.05)
+
+
+MSPRT_ORACLE = """
+WITH agg AS (
+  SELECT COUNT(v_c) AS n_control, AVG(v_c) AS mean_control,
+         VAR_SAMP(v_c) AS var_c,
+         COUNT(v_t) AS n_treatment, AVG(v_t) AS mean_treatment,
+         VAR_SAMP(v_t) AS var_t
+  FROM (
+    SELECT CASE WHEN event_type = 'view' THEN value END AS v_c,
+           CASE WHEN event_type = 'click' THEN value END AS v_t
+    FROM events
+  )
+),
+d AS (
+  SELECT *,
+         mean_treatment - mean_control AS diff,
+         var_c / n_control + var_t / n_treatment AS V,
+         CAST(0.0025 AS DOUBLE) AS t2
+  FROM agg
+),
+l AS (
+  SELECT *,
+         0.5 * ln(V / (V + t2)) + diff * diff * t2 / (2 * V * (V + t2))
+           AS log_lam
+  FROM d
+)
+SELECT CAST(n_control AS BIGINT) AS n_control,
+       CAST(n_treatment AS BIGINT) AS n_treatment,
+       ROUND(mean_control, 6) AS mean_control,
+       ROUND(mean_treatment, 6) AS mean_treatment,
+       ROUND(diff, 6) AS diff,
+       ROUND(sqrt(V), 6) AS stderr,
+       ROUND(log_lam, 6) AS log_lambda,
+       ROUND(exp(least(0.0, -log_lam)), 6) AS p_always
+FROM l
+"""
+
+
 AB_COMPARE_ORACLE = """
 WITH agg AS (
   SELECT COUNT(v_c) AS n_control, AVG(v_c) AS mean_control,
@@ -9415,6 +9510,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus_report": _q_corpus_dup_report,
         "text_bpe_token_count": _q_bpe_token_count,
         "text_pack_stats": _q_pack_stats,
+        "stats_msprt": _q_msprt,
+        "text_host_mix": _q_host_mix,
     }
 
 
@@ -9614,6 +9711,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_corpus_report": CORPUS_DUP_REPORT_ORACLE,
         "text_bpe_token_count": BPE_TOKEN_COUNT_ORACLE,
         "text_pack_stats": PACK_STATS_ORACLE,
+        "stats_msprt": MSPRT_ORACLE,
+        "text_host_mix": HOST_MIX_ORACLE,
     }
 
 

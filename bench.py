@@ -130,6 +130,8 @@ DETAIL_QUERIES = [
     "text_bpe_corpus",
     "corpus_curation_full",
     "text_pack_stats",
+    "stats_msprt",
+    "text_host_mix",
 ]
 
 RUNS = 3

@@ -3479,3 +3479,97 @@ def bh_adjust(
         "p_adj",
         (F.col("p_adj") <= F.lit(float(q))).alias("discovery"),
     )
+
+
+def msprt(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    tau: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT) for the mean
+    difference between two arms — the ALWAYS-VALID companion to
+    ``ab_compare``'s fixed-horizon z-test (Johari, Pekelis & Walsh,
+    "Always Valid Inference", 2017; the method behind
+    continuously-monitored A/B dashboards): the p-value it emits may
+    be checked after EVERY batch without inflating the false-positive
+    rate, so "peek daily, stop when significant" is statistically
+    sound — the exact workflow a fixed-horizon test forbids.
+
+    Under H0 the mean difference estimate is δ̂ ~ N(0, V) with
+    V = var_c/n_c + var_t/n_t (Welch); mixing H1 over δ ~ N(0, τ²)
+    gives the likelihood ratio in closed form::
+
+        Λ = sqrt(V / (V + τ²)) · exp(δ̂² τ² / (2 V (V + τ²)))
+
+    and ``p_always = min(1, 1/Λ)`` is a valid p-value at every sample
+    size simultaneously (Λ is a nonnegative martingale under H0; Ville's
+    inequality). ``tau`` is the PRE-REGISTERED mixture scale — pick it
+    near the effect size worth detecting (the test is valid for any
+    fixed choice, merely least powerful when τ is far from the true
+    effect); it must not be tuned on the observed data.
+
+    One partial-aggregated pass (per-arm n/mean/variance, map-side
+    combine, 1-row reduce), then driver-free closed-form arithmetic —
+    the ``ab_compare`` plan shape exactly, and fully SQL-expressible
+    (exact DuckDB oracle). Same fail-loud contract: empty arm,
+    single-row arm, or zero-variance-both-arms raises.
+
+    Returns one row: ``(n_control, n_treatment, mean_control,
+    mean_treatment, diff, stderr, log_lambda, p_always)``.
+    ``log_lambda`` (natural log) is emitted rather than Λ because Λ
+    overflows a double on decisive evidence; ``p_always`` =
+    ``exp(min(0, -log_lambda))``.
+    """
+    if tau <= 0:
+        raise ValueError(f"msprt: tau must be > 0, got {tau}")
+    v = F.col(value_col).cast("double")
+    cv = F.when(F.col(group_col) == control, v)
+    tv = F.when(F.col(group_col) == treatment, v)
+    both = df.agg(
+        F.count(cv).alias("n_control"),
+        F.avg(cv).alias("mean_control"),
+        F.var_samp(cv).alias("var_c"),
+        F.count(tv).alias("n_treatment"),
+        F.avg(tv).alias("mean_treatment"),
+        F.var_samp(tv).alias("var_t"),
+    )
+    V = (
+        F.col("var_c") / F.col("n_control")
+        + F.col("var_t") / F.col("n_treatment")
+    )
+    guard = F.assert_true(
+        (F.col("n_control") > 0)
+        & (F.col("n_treatment") > 0)
+        & V.isNotNull()
+        & (V > 0),
+        F.lit(
+            "msprt: an arm is empty, has a single row (undefined "
+            "variance), or both arms have zero variance - a constant "
+            "metric is a pipeline bug, not a result"
+        ),
+    )
+    t2 = F.lit(float(tau) * float(tau))
+    diff = F.col("mean_treatment") - F.col("mean_control")
+    # divisions gated behind V > 0 so ANSI divide-by-zero cannot
+    # preempt the guard message (projection evaluation order is
+    # unspecified)
+    log_lam = F.when(
+        V > 0,
+        F.lit(0.5) * F.log(V / (V + t2))
+        + (diff * diff) * t2 / (F.lit(2.0) * V * (V + t2)),
+    )
+    p_always = F.exp(F.least(F.lit(0.0), -log_lam))
+    return both.select(
+        F.when(guard.isNull(), F.col("n_control")).alias("n_control"),
+        "n_treatment",
+        F.round("mean_control", round_to).alias("mean_control"),
+        F.round("mean_treatment", round_to).alias("mean_treatment"),
+        F.round(diff, round_to).alias("diff"),
+        F.round(F.when(V > 0, F.sqrt(V)), round_to).alias("stderr"),
+        F.round(log_lam, round_to).alias("log_lambda"),
+        F.round(p_always, round_to).alias("p_always"),
+    )

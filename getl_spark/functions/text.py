@@ -2065,3 +2065,196 @@ def pack_stats(
         "crossdoc_docs",
         *[f"util_h{i}" for i in range(10)],
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 1000,
+    byte_level: bool = True,
+    max_word_types: int = 1_000_000,
+    min_pair_count: int = 2,
+) -> list:
+    """Learn a BPE merges table from the corpus — the training half of
+    the budgeting chain (``bpe_train`` → :func:`bpe_token_count` →
+    ``token_budget_mix``/``pack_sequences``). Returns the merges as a
+    plain list of ``(left, right)`` pairs in priority order —
+    JSON-serialize it; nothing else to ship, and
+    ``bpe_token_count(df, merges)`` consumes it directly.
+
+    How the work splits (the sentencepiece/HF convention): BPE
+    training needs only the WORD-TYPE frequency table, not the corpus
+    — so the distributed part is one pre-tokenize + count aggregation
+    (pandas-UDF pre-tokenizer identical to the counting side, shuffle
+    ∝ distinct pre-tokens, i.e. vocabulary-shaped, not corpus-shaped),
+    and the merge loop runs driver-side on that bounded table with the
+    standard incremental pair-index algorithm (each merge touches only
+    the words containing its pair). ``max_word_types`` is the loud
+    limit probe (the ``bt_ratings``/k-means bounded-driver-table
+    pattern): a corpus whose distinct pre-token count exceeds it fails
+    with guidance, never OOMs the driver. Merges stop early when no
+    pair reaches ``min_pair_count`` (merging hapax pairs memorizes the
+    corpus).
+
+    Determinism: pair ties break on the pair's symbols
+    (lexicographic), so the same corpus always yields the same table
+    regardless of partitioning.
+    """
+    if num_merges < 1:
+        raise ValueError(f"bpe_train: num_merges must be >= 1, got {num_merges}")
+    byte_map = _bytes_to_unicode() if byte_level else None
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _pretokens_fn(texts):
+        def one(t):
+            if t is None:
+                return []
+            return [m.group(0) for m in _BPE_PRETOKEN_RE.finditer(t)]
+
+        return texts.map(one)
+
+    _pretokens = pandas_udf(_pretokens_fn, "array<string>")
+    word_counts = (
+        df.select(F.explode(_pretokens(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count("*").alias("__c"))
+    )
+    rows = word_counts.limit(max_word_types + 1).collect()
+    if len(rows) > max_word_types:
+        raise ValueError(
+            f"bpe_train: more than {max_word_types} distinct pre-token "
+            "types (max_word_types). The word-frequency table is "
+            "driver-solved by design (vocabulary-sized); raise "
+            "max_word_types explicitly, or pre-normalize the corpus "
+            "(lowercase, NFC) to shrink the type count."
+        )
+    # sorted for reproducibility: the incremental updates below are
+    # order-sensitive only through tie-breaks, and we break ties on
+    # symbols — but a deterministic word order makes debugging replays
+    # bit-identical too
+    vocab = []
+    counts = []
+    for r in sorted(rows, key=lambda r: r["__w"]):
+        w = r["__w"]
+        word = (
+            [byte_map[b] for b in w.encode("utf-8")]
+            if byte_map is not None
+            else list(w)
+        )
+        if len(word) >= 2:
+            vocab.append(word)
+            counts.append(int(r["__c"]))
+
+    from collections import Counter, defaultdict
+
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for wi, word in enumerate(vocab):
+        c = counts[wi]
+        for i in range(len(word) - 1):
+            p = (word[i], word[i + 1])
+            pair_counts[p] += c
+            pair_words[p].add(wi)
+
+    merges: list = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        # max count, symbol-lexicographic tie-break
+        best = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        if pair_counts[best] < min_pair_count:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        for wi in list(pair_words[best]):
+            word, c = vocab[wi], counts[wi]
+            # remove this word's old pair contributions
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                pair_words[p].discard(wi)
+            # apply the merge
+            out, i = [], 0
+            while i < len(word):
+                if (
+                    i < len(word) - 1
+                    and word[i] == best[0]
+                    and word[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            vocab[wi] = out
+            # re-add the new pair contributions
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] += c
+                pair_words[p].add(wi)
+    return merges
+
+
+def host_mix(
+    df: DataFrame,
+    url_col: str = "url",
+    weight_col: Optional[str] = None,
+    top_k: int = 100,
+    strip_www: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-host corpus mixture report — the first table in every
+    web-corpus datasheet (FineWeb/C4 style): which domains dominate
+    the crawl, by document count and optionally by a weight column
+    (tokens, chars). Returns the ``top_k`` hosts by docs (host asc
+    tiebreak): ``(host, docs, doc_share[, weight, weight_share])``
+    with shares against the WHOLE corpus (so the printed rows reveal
+    how much tail the cut hides). Rows with no parseable host
+    aggregate under host NULL — a big NULL row is itself a data-health
+    finding. Feeds ``filter_hosts`` (blocklist the junk the report
+    surfaces) and ``transform::quota_filter`` (cap the dominators).
+
+    One host-keyed partial-agg shuffle (bytes ∝ distinct hosts, not
+    rows), a 1-row totals broadcast for the shares, and a TakeOrdered
+    top-k — never a global sort.
+    """
+    if top_k < 1:
+        raise ValueError(f"host_mix: top_k must be >= 1, got {top_k}")
+    tmp = "__hm_host"
+    hosted = url_host(df, url_col, tmp, strip_www=strip_www)
+    aggs = [F.count("*").cast("bigint").alias("docs")]
+    if weight_col is not None:
+        aggs.append(
+            F.sum(F.col(weight_col).cast("double")).alias("__w")
+        )
+    per_host = hosted.groupBy(F.col(tmp).alias("host")).agg(*aggs)
+    t_aggs = [F.sum("docs").alias("__td")]
+    if weight_col is not None:
+        t_aggs.append(F.sum("__w").alias("__tw"))
+    totals = per_host.agg(*t_aggs)
+    out = per_host.crossJoin(F.broadcast(totals))
+    cols = [
+        "host",
+        "docs",
+        F.round(
+            F.col("docs").cast("double") / F.col("__td"), round_to
+        ).alias("doc_share"),
+    ]
+    if weight_col is not None:
+        cols += [
+            F.col("__w").alias("weight"),
+            F.round(F.try_divide(F.col("__w"), F.col("__tw")), round_to).alias(
+                "weight_share"
+            ),
+        ]
+    return (
+        out.select(*cols)
+        .orderBy(F.col("docs").desc(), F.col("host").asc_nulls_last())
+        .limit(top_k)
+    )

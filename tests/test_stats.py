@@ -2227,3 +2227,115 @@ def test_autocorrelation_large_mean_precision(spark):
         (vals[t] - m) * (vals[t + 1] - m) for t in range(len(vals) - 1)
     )
     assert r["acf"] == pytest.approx(cross / ss, abs=1e-6)
+
+
+# ------------------------------------------------------------ msprt
+def test_msprt_matches_closed_form(spark):
+    """mSPRT log-lambda / always-valid p against a python replay of
+    the closed form on the same per-arm moments."""
+    import math
+    import random
+
+    from getl_spark.functions import stats
+
+    rng = random.Random(3)
+    rows = [("c", rng.gauss(10.0, 2.0)) for _ in range(400)] + [
+        ("t", rng.gauss(10.6, 2.0)) for _ in range(380)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE")
+    r = stats.msprt(df, "g", "x", "c", "t", tau=0.5).collect()[0]
+
+    c = [x for g, x in rows if g == "c"]
+    t = [x for g, x in rows if g == "t"]
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    V = var(c) / len(c) + var(t) / len(t)
+    diff = sum(t) / len(t) - sum(c) / len(c)
+    t2 = 0.25
+    log_lam = 0.5 * math.log(V / (V + t2)) + diff * diff * t2 / (
+        2 * V * (V + t2)
+    )
+    assert r["n_control"] == 400 and r["n_treatment"] == 380
+    assert r["log_lambda"] == pytest.approx(log_lam, abs=1e-5)
+    assert r["p_always"] == pytest.approx(
+        math.exp(min(0.0, -log_lam)), abs=1e-5
+    )
+    # a real effect at a well-chosen tau should be detected
+    assert r["p_always"] < 0.05
+
+
+def test_msprt_null_is_conservative_and_guards(spark):
+    """No effect -> p_always stays near 1 (and never above); guards
+    fire on empty arms and bad tau."""
+    from getl_spark.functions import stats
+
+    null = spark.createDataFrame(
+        [("c", float(i % 7)) for i in range(300)]
+        + [("t", float(i % 7)) for i in range(300)],
+        "g STRING, x DOUBLE",
+    )
+    r = stats.msprt(null, "g", "x", "c", "t", tau=0.5).collect()[0]
+    assert r["diff"] == 0.0
+    assert r["p_always"] == 1.0
+    assert r["log_lambda"] < 0  # sqrt(V/(V+tau^2)) < 1, no evidence
+
+    with pytest.raises(ValueError, match="tau"):
+        stats.msprt(null, "g", "x", "c", "t", tau=0.0)
+    solo = null.where("g = 'c'")
+    with pytest.raises(Exception, match="msprt"):
+        stats.msprt(solo, "g", "x", "c", "t").collect()
+
+
+def test_msprt_peeking_stays_valid(spark):
+    """The always-valid property, empirically: under H0, peeking at
+    every prefix and rejecting if ANY p_always < alpha must keep the
+    family-wise error at/below alpha. 25 null streams x 4 peeks at
+    alpha=0.1 -> expected false stops well under 2.5 (the martingale
+    bound is conservative); loose bound for stability. All prefix
+    moments come from ONE Spark pass (trial x peek conditional
+    aggregation); the closed form is replayed in python — its identity
+    with the operator is pinned by test_msprt_matches_closed_form."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    peeks = [150, 300, 450, 600]
+    rows = []
+    for trial in range(25):
+        rng = random.Random(100 + trial)
+        stream = [("c", rng.gauss(0, 1)) for _ in range(600)] + [
+            ("t", rng.gauss(0, 1)) for _ in range(600)
+        ]
+        rng.shuffle(stream)
+        rows += [(trial, i, g, x) for i, (g, x) in enumerate(stream)]
+    df = spark.createDataFrame(rows, "trial INT, pos INT, g STRING, x DOUBLE")
+    peeked = df.withColumn(
+        "peek", F.explode(F.array(*[F.lit(p) for p in peeks]))
+    ).where(F.col("pos") < 2 * F.col("peek"))
+    cv = F.when(F.col("g") == "c", F.col("x"))
+    tv = F.when(F.col("g") == "t", F.col("x"))
+    agg = (
+        peeked.groupBy("trial", "peek")
+        .agg(
+            F.count(cv).alias("nc"), F.avg(cv).alias("mc"),
+            F.var_samp(cv).alias("vc"),
+            F.count(tv).alias("nt"), F.avg(tv).alias("mt"),
+            F.var_samp(tv).alias("vt"),
+        )
+        .collect()
+    )
+    t2 = 0.3 * 0.3
+    stopped = set()
+    for r in agg:
+        V = r["vc"] / r["nc"] + r["vt"] / r["nt"]
+        diff = r["mt"] - r["mc"]
+        log_lam = 0.5 * math.log(V / (V + t2)) + diff * diff * t2 / (
+            2 * V * (V + t2)
+        )
+        if math.exp(min(0.0, -log_lam)) < 0.1:
+            stopped.add(r["trial"])
+    assert len(stopped) <= 4

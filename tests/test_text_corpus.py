@@ -1206,3 +1206,153 @@ def test_pack_stats_composes_with_pack_sequences(spark):
     assert r.oversize_docs == over and over > 0
     assert 0 < r.utilization <= 1.0
     assert sum(r[f"util_h{i}"] for i in range(10)) == r.n_packs
+
+
+def _bpe_train_naive(word_count_pairs, num_merges, min_pair_count=2):
+    """Independent reference: full pair recount every round (no
+    incremental index), same tie-break. O(merges x vocab) - test-sized
+    only."""
+    from collections import Counter
+
+    vocab = [(list(w), c) for w, c in word_count_pairs if len(w) >= 2]
+    merges = []
+    for _ in range(num_merges):
+        pc = Counter()
+        for word, c in vocab:
+            for i in range(len(word) - 1):
+                pc[(word[i], word[i + 1])] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[best] < min_pair_count:
+            break
+        merges.append(best)
+        nv = []
+        for word, c in vocab:
+            out, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == best[0] and word[i + 1] == best[1]:
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            nv.append((out, c))
+        vocab = nv
+    return merges
+
+
+def test_bpe_train_matches_naive_reference(spark):
+    """Incremental pair-index training == full-recount reference on a
+    random corpus (char-level for readability)."""
+    import random
+    from collections import Counter
+
+    from getl_spark.functions import text as T
+    from getl_spark.functions.text import _BPE_PRETOKEN_RE
+
+    rng = random.Random(11)
+    docs = [
+        (i, " ".join(
+            "".join(rng.choice("abcde") for _ in range(rng.randint(2, 9)))
+            for _ in range(rng.randint(2, 10))
+        ))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    got = T.bpe_train(df, num_merges=15, byte_level=False)
+    wc = Counter()
+    for _, t in docs:
+        for m in _BPE_PRETOKEN_RE.finditer(t):
+            wc[m.group(0)] += 1
+    want = _bpe_train_naive(sorted(wc.items()), 15)
+    assert got == want
+    assert len(got) == 15
+
+
+def test_bpe_train_first_merge_is_most_frequent_pair(spark):
+    from getl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(0, "aaab aaab aaab cd")], "doc_id INT, text STRING"
+    )
+    merges = T.bpe_train(df, num_merges=3, byte_level=False)
+    # 'aa' appears 2x per 'aaab' (adjacent positions) = 6; rest <= 3
+    assert merges[0] == ("a", "a")
+    # 'cd' pair appears once -> below min_pair_count, never merged
+    assert ("c", "d") not in merges
+
+
+def test_bpe_train_roundtrip_reduces_counts(spark):
+    """Trained merges fed to bpe_token_count reduce token counts vs an
+    unmergeable table, and the full chain stays consistent."""
+    from getl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3) for i in range(5)],
+        "doc_id INT, text STRING",
+    )
+    merges = T.bpe_train(df, num_merges=20)
+    assert merges  # learned something
+    trained = T.bpe_token_count(df, merges, new_col="n_trained")
+    baseline = T.bpe_token_count(df, [(" ", "")], new_col="n_base")
+    j = trained.join(baseline.select("doc_id", "n_base"), "doc_id")
+    rows = j.collect()
+    assert all(r.n_trained < r.n_base for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="num_merges"):
+        T.bpe_train(df, num_merges=0)
+    with _pytest.raises(ValueError, match="max_word_types"):
+        T.bpe_train(df, max_word_types=2)
+
+
+def test_host_mix_shares_and_null_bucket(spark):
+    """host_mix: counts, global shares, www-stripping, NULL-host
+    bucket, top_k cut keeps shares global."""
+    from getl_spark.functions import text as T
+
+    rows = [
+        (0, "https://www.a.com/x", 10),
+        (1, "https://a.com/y", 20),
+        (2, "http://B.com/z", 30),
+        (3, "not a url", 40),
+        (4, None, 50),
+        (5, "https://c.org/q", 60),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, url STRING, n INT")
+    out = T.host_mix(df, weight_col="n", top_k=10).collect()
+    by = {r.host: r for r in out}
+    assert by["a.com"].docs == 2 and by["a.com"].weight == 30.0
+    assert by["b.com"].docs == 1
+    assert by["a.com"].doc_share == pytest.approx(2 / 6, abs=1e-6)
+    assert by["a.com"].weight_share == pytest.approx(30 / 210, abs=1e-6)
+    # unparseable + NULL urls fold into the NULL bucket
+    assert by[None].docs == 2 and by[None].weight == 90.0
+
+    # top_k cut: shares still against the WHOLE corpus
+    top1 = T.host_mix(df, weight_col="n", top_k=1).collect()
+    assert len(top1) == 1
+    assert top1[0].host in ("a.com", None)  # docs=2 tie -> host asc, nulls last
+    assert top1[0].host == "a.com"
+    assert top1[0].doc_share == pytest.approx(2 / 6, abs=1e-6)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_k"):
+        T.host_mix(df, top_k=0)
+
+
+def test_host_mix_without_weight(spark):
+    from getl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(i, f"https://h{i % 3}.org/p") for i in range(9)],
+        "doc_id INT, url STRING",
+    )
+    out = T.host_mix(df)
+    assert out.columns == ["host", "docs", "doc_share"]
+    rows = out.collect()
+    assert all(r.docs == 3 for r in rows)
+    assert sum(r.doc_share for r in rows) == pytest.approx(1.0, abs=1e-5)
