@@ -7651,6 +7651,66 @@ def _q_ab_compare(spark, sf_dir):
     return stats.ab_compare(ev, "event_type", "value", "view", "click")
 
 
+def _q_recall_eval(spark, sf_dir):
+    """similarity.recall_eval — the ANN shippability readout
+    (recall@k of an approximate top-k vs brute-force truth, plus the
+    silent-empty-result count that averages hide) on fixed frames with
+    known partial overlap; the oracle replays the set-overlap
+    arithmetic in SQL."""
+    from getl_spark.functions import similarity
+
+    exact = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3),
+         (2, "d", 1), (2, "e", 2),
+         (3, "f", 1), (3, "g", 2), (3, "h", 3)],
+        "query_id INT, nbr_id STRING, rank INT",
+    )
+    approx = spark.createDataFrame(
+        [(1, "a", 1), (1, "x", 2), (1, "b", 3), (1, "c", 4),
+         (2, "e", 1), (2, "d", 2),
+         (9, "z", 1)],
+        "query_id INT, nbr_id STRING, rank INT",
+    )
+    return similarity.recall_eval(approx, exact, k=3)
+
+
+RECALL_EVAL_ORACLE = """
+WITH exact_t AS (
+  SELECT * FROM (VALUES
+    (1, 'a'), (1, 'b'), (1, 'c'), (2, 'd'), (2, 'e'),
+    (3, 'f'), (3, 'g'), (3, 'h')
+  ) AS t(q, n)
+),
+approx_t AS (
+  SELECT * FROM (VALUES
+    (1, 'a', 1), (1, 'x', 2), (1, 'b', 3), (1, 'c', 4),
+    (2, 'e', 1), (2, 'd', 2), (9, 'z', 1)
+  ) AS t(q, n, r)
+  WHERE r <= 3
+),
+truth AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS t FROM exact_t GROUP BY 1),
+hits AS (
+  SELECT e.q, CAST(COUNT(*) AS BIGINT) AS h
+  FROM exact_t e JOIN approx_t a ON e.q = a.q AND e.n = a.n
+  GROUP BY 1
+),
+per_q AS (
+  SELECT truth.q, truth.t, COALESCE(hits.h, 0) AS h,
+         COALESCE(hits.h, 0) * 1.0 / truth.t AS r
+  FROM truth LEFT JOIN hits ON truth.q = hits.q
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(3 AS INTEGER) AS k,
+       ROUND(AVG(r), 6) AS mean_recall,
+       ROUND(MIN(r), 6) AS min_recall,
+       ROUND(AVG(CASE WHEN h = t THEN 1.0 ELSE 0.0 END), 6)
+         AS perfect_frac,
+       CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS missing_queries
+FROM per_q
+"""
+
+
 def _q_host_mix(spark, sf_dir):
     """text.host_mix — the per-domain corpus datasheet table (docs +
     char-weight shares, top-k by docs with global shares): one
@@ -9100,6 +9160,23 @@ def _q_corpus_curation_full(spark, sf_dir):
     )
 
 
+def _q_recall_ivf_corpus(spark, sf_dir):
+    """Corpus-scale ANN quality measurement: recall@10 of IVF at a
+    deliberately tight probe budget (nlist=16, nprobe=2) against
+    brute-force truth on 32 real queries from the embeddings table —
+    the measure-don't-guess readout a probe-budget decision needs.
+    Value semantics of the readout are driver-verified by
+    ``similarity_recall_eval``'s SQL oracle; the IVF/brute legs by
+    their own driver rows."""
+    from getl_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(32)
+    exact = similarity.topk_bruteforce(emb, queries, k=10)
+    approx = similarity.topk_ivf(emb, queries, k=10, nlist=16, nprobe=2)
+    return similarity.recall_eval(approx, exact, k=10)
+
+
 def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Real-corpus variants whose value semantics are verified through
     a deterministic sibling rather than a DuckDB oracle on this query
@@ -9116,6 +9193,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_lsh": _q_sim_topk_lsh,
         "text_bpe_corpus": _q_bpe_corpus,
         "corpus_curation_full": _q_corpus_curation_full,
+        "similarity_recall_ivf": _q_recall_ivf_corpus,
     }
 
 
@@ -9512,6 +9590,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_stats": _q_pack_stats,
         "stats_msprt": _q_msprt,
         "text_host_mix": _q_host_mix,
+        "similarity_recall_eval": _q_recall_eval,
     }
 
 
@@ -9713,6 +9792,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "text_pack_stats": PACK_STATS_ORACLE,
         "stats_msprt": MSPRT_ORACLE,
         "text_host_mix": HOST_MIX_ORACLE,
+        "similarity_recall_eval": RECALL_EVAL_ORACLE,
     }
 
 

@@ -132,6 +132,8 @@ DETAIL_QUERIES = [
     "text_pack_stats",
     "stats_msprt",
     "text_host_mix",
+    "similarity_recall_eval",
+    "similarity_recall_ivf",
 ]
 
 RUNS = 3

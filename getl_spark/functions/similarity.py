@@ -1374,3 +1374,74 @@ def dedup_against_index(
         .distinct()
     )
     return new_vectors.join(dup_ids, id_col, "left_anti")
+
+
+def recall_eval(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    nbr_col: str = "nbr_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN quality readout: recall@k of an approximate top-k result
+    against the exact (brute-force) result ON THE SAME QUERIES — the
+    number that decides whether an IVF probe count / LSH band setting
+    is shippable, measured instead of guessed. Feed it any two frames
+    shaped like the ``topk_*`` outputs (``query_col``, ``nbr_col``,
+    optional rank — rows beyond rank ≤ k are ignored if a ``rank``
+    column is present).
+
+    One row: ``(n_queries, k, mean_recall, min_recall, perfect_frac,
+    missing_queries)``. Per-query recall = |approx ∩ exact| /
+    |exact-truth for that query| (≤ k — queries whose corpus has
+    fewer than k neighbors are not penalized for the shortfall).
+    ``missing_queries`` counts queries present in the exact frame with
+    NO approx rows at all (e.g. an LSH query whose bands matched
+    nothing) — they score recall 0 AND are surfaced separately,
+    because silent empty results are the failure mode that averages
+    hide. Queries only in ``approx`` (no truth rows) are ignored.
+
+    Shape: one (query, nbr) equi-join + a query-keyed count agg + a
+    1-row reduce — truth side is query-set-sized (n_queries × k), so
+    at corpus scale this costs what the ANN run already cost, nothing
+    more.
+    """
+    if k < 1:
+        raise ValueError(f"recall_eval: k must be >= 1, got {k}")
+
+    def _prep(df, name):
+        cols = [F.col(query_col).alias("__q"), F.col(nbr_col).alias("__n")]
+        out = df
+        if "rank" in df.columns:
+            out = out.where(F.col("rank") <= k)
+        return out.select(*cols).distinct()
+
+    a = _prep(approx, "approx")
+    e = _prep(exact, "exact")
+    truth = e.groupBy("__q").agg(F.count("*").cast("bigint").alias("__t"))
+    hits = (
+        e.join(a, ["__q", "__n"], "left_semi")
+        .groupBy("__q")
+        .agg(F.count("*").cast("bigint").alias("__h"))
+    )
+    per_q = truth.join(hits, "__q", "left").select(
+        "__q",
+        "__t",
+        F.coalesce("__h", F.lit(0)).alias("__h"),
+        (F.coalesce("__h", F.lit(0)).cast("double") / F.col("__t")).alias(
+            "__r"
+        ),
+    )
+    return per_q.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.lit(int(k)).alias("k"),
+        F.round(F.avg("__r"), round_to).alias("mean_recall"),
+        F.round(F.min("__r"), round_to).alias("min_recall"),
+        F.round(
+            F.avg((F.col("__h") == F.col("__t")).cast("double")), round_to
+        ).alias("perfect_frac"),
+        F.sum((F.col("__h") == 0).cast("int"))
+        .cast("bigint")
+        .alias("missing_queries"),
+    )

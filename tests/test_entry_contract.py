@@ -22,6 +22,7 @@ ROWS_ONLY = {
     "similarity_topk_lsh",
     "text_bpe_corpus",
     "corpus_curation_full",
+    "similarity_recall_ivf",
 }
 
 

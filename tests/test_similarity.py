@@ -665,3 +665,60 @@ def test_topk_l2_self_and_validation(spark):
         similarity.topk_between(q, df, method="ivf", metric="l2")
     with pytest.raises(ValueError, match="unknown metric"):
         similarity.topk(df, query_ids=[0], metric="manhattan")
+
+
+# ------------------------------------------------------------ recall_eval
+def test_recall_eval_hand_computed(spark):
+    """Hand-built approx/exact frames: overlap fractions, the
+    short-truth query, the missing query, the rank<=k cut, and the
+    approx-only query being ignored."""
+    from getl_spark.functions import similarity as S
+
+    exact = spark.createDataFrame(
+        # q1: truth {a,b,c}; q2: truth {d,e}; q3: truth {f,g,h}
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3),
+         (2, "d", 1), (2, "e", 2),
+         (3, "f", 1), (3, "g", 2), (3, "h", 3)],
+        "query_id INT, nbr_id STRING, rank INT",
+    )
+    approx = spark.createDataFrame(
+        # q1 finds 2/3; q2 finds both (short truth not penalized);
+        # q3 absent entirely -> missing; q9 has no truth -> ignored;
+        # q1 also has a rank-4 true hit that the k=3 cut must drop
+        [(1, "a", 1), (1, "x", 2), (1, "b", 3), (1, "c", 4),
+         (2, "e", 1), (2, "d", 2),
+         (9, "z", 1)],
+        "query_id INT, nbr_id STRING, rank INT",
+    )
+    r = S.recall_eval(approx, exact, k=3).collect()[0]
+    assert r["n_queries"] == 3 and r["k"] == 3
+    # recalls: q1 = 2/3, q2 = 1.0, q3 = 0.0
+    assert r["mean_recall"] == pytest.approx((2 / 3 + 1.0 + 0.0) / 3, abs=1e-6)
+    assert r["min_recall"] == 0.0
+    assert r["perfect_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert r["missing_queries"] == 1
+
+    with pytest.raises(ValueError, match="k must"):
+        S.recall_eval(approx, exact, k=0)
+
+
+def test_recall_eval_ivf_full_probe_is_perfect(spark):
+    """Identity check on real ops: IVF probing EVERY cell must score
+    recall 1.0 against brute force on the same embeddings."""
+    from getl_spark.functions import similarity as S
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(200)
+    )
+    queries = emb.limit(8)
+    exact = S.topk_bruteforce(emb, queries, k=5)
+    approx = S.topk_ivf(emb, queries, k=5, nlist=4, nprobe=4)
+    r = S.recall_eval(approx, exact, k=5).collect()[0]
+    assert r["mean_recall"] == 1.0 and r["missing_queries"] == 0
+
+    # and a deliberately starved probe count should measurably miss
+    starved = S.topk_ivf(emb, queries, k=5, nlist=8, nprobe=1)
+    r2 = S.recall_eval(starved, exact, k=5).collect()[0]
+    assert r2["mean_recall"] <= 1.0
+    assert r2["n_queries"] == 8
