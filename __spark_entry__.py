@@ -7651,6 +7651,50 @@ def _q_ab_compare(spark, sf_dir):
     return stats.ab_compare(ev, "event_type", "value", "view", "click")
 
 
+def _q_pair_recall_eval(spark, sf_dir):
+    """dedup.pair_recall_eval — banding-quality measurement (recall/
+    precision/F1 of an approximate duplicate-pair set vs exact truth,
+    pairs orientation-normalized) on fixed frames with a reversed
+    pair, a duplicate row, and a false positive; SQL replays the
+    normalized set overlap."""
+    from getl_spark.functions import dedup
+
+    exact = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], "id_a LONG, id_b LONG"
+    )
+    approx = spark.createDataFrame(
+        [(2, 1), (3, 4), (3, 4), (9, 10)], "id_a LONG, id_b LONG"
+    )
+    return dedup.pair_recall_eval(approx, exact)
+
+
+PAIR_RECALL_EVAL_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT least(a, b) AS pa, greatest(a, b) AS pb
+  FROM (VALUES (1, 2), (3, 4), (5, 6), (7, 8)) AS t(a, b)
+),
+a AS (
+  SELECT DISTINCT least(a, b) AS pa, greatest(a, b) AS pb
+  FROM (VALUES (2, 1), (3, 4), (3, 4), (9, 10)) AS t(a, b)
+),
+c AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_exact,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_approx,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM e WHERE EXISTS (SELECT 1 FROM a
+                               WHERE a.pa = e.pa AND a.pb = e.pb))
+           AS n_hit
+)
+SELECT n_exact, n_approx, n_hit,
+       ROUND(n_hit * 1.0 / n_exact, 6) AS recall,
+       ROUND(n_hit * 1.0 / n_approx, 6) AS precision,
+       ROUND(2.0 * (n_hit * 1.0 / n_exact) * (n_hit * 1.0 / n_approx)
+             / ((n_hit * 1.0 / n_exact) + (n_hit * 1.0 / n_approx)), 6)
+         AS f1
+FROM c
+"""
+
+
 def _q_recall_eval(spark, sf_dir):
     """similarity.recall_eval — the ANN shippability readout
     (recall@k of an approximate top-k vs brute-force truth, plus the
@@ -9591,6 +9635,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_msprt": _q_msprt,
         "text_host_mix": _q_host_mix,
         "similarity_recall_eval": _q_recall_eval,
+        "dedup_pair_recall_eval": _q_pair_recall_eval,
     }
 
 
@@ -9793,6 +9838,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_msprt": MSPRT_ORACLE,
         "text_host_mix": HOST_MIX_ORACLE,
         "similarity_recall_eval": RECALL_EVAL_ORACLE,
+        "dedup_pair_recall_eval": PAIR_RECALL_EVAL_ORACLE,
     }
 
 

@@ -134,6 +134,7 @@ DETAIL_QUERIES = [
     "text_host_mix",
     "similarity_recall_eval",
     "similarity_recall_ivf",
+    "dedup_pair_recall_eval",
 ]
 
 RUNS = 3

@@ -1944,3 +1944,69 @@ def by_template(
     return exact(keyed, ["__template_key"], order_by=id_col).drop(
         "__template_key"
     )
+
+
+def pair_recall_eval(
+    approx_pairs: "DataFrame",
+    exact_pairs: "DataFrame",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    round_to: int = 6,
+) -> "DataFrame":
+    """Measured banding quality for dedup: recall/precision/F1 of an
+    approximate duplicate-pair set (``minhash_lsh``, ``simhash_pairs``,
+    ``embedding_cosine_pairs`` with loosened settings) against exact
+    truth (``ngram_jaccard`` at the same threshold) on the same corpus
+    sample — the companion MEASUREMENT to the ``minhash_params``
+    S-curve ADVISOR: the advisor prices a setting before the run, this
+    verifies it after, on a slice small enough to afford exact truth.
+
+    Pairs are treated as unordered (each side is normalized to
+    (min, max) before comparing, so the two operators' ordering
+    conventions cannot manufacture disagreement); duplicates within
+    either input collapse. One row: ``(n_exact, n_approx, n_hit,
+    recall, precision, f1)`` — recall NULL when truth is empty,
+    precision NULL when the approx set is empty (0/0 is "nothing to
+    say", not 0).
+
+    Shape: two distinct-aggregations + one pair-keyed semi-join —
+    bytes ∝ pair counts, which the ``max_df``/band caps already bound.
+    """
+    def _norm(df):
+        a, b = F.col(id_a), F.col(id_b)
+        return df.select(
+            F.least(a, b).alias("__pa"), F.greatest(a, b).alias("__pb")
+        ).distinct()
+
+    e = _norm(exact_pairs)
+    ap = _norm(approx_pairs)
+    hit = e.join(ap, ["__pa", "__pb"], "left_semi")
+    counts = (
+        e.agg(F.count("*").cast("bigint").alias("n_exact"))
+        .crossJoin(
+            F.broadcast(
+                ap.agg(F.count("*").cast("bigint").alias("n_approx"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                hit.agg(F.count("*").cast("bigint").alias("n_hit"))
+            )
+        )
+    )
+    rec = F.try_divide(F.col("n_hit").cast("double"), F.col("n_exact"))
+    prec = F.try_divide(F.col("n_hit").cast("double"), F.col("n_approx"))
+    f1 = F.when(
+        rec.isNotNull() & prec.isNotNull() & ((rec + prec) > 0),
+        2 * rec * prec / (rec + prec),
+    ).otherwise(
+        F.when(rec.isNotNull() & prec.isNotNull(), F.lit(0.0))
+    )
+    return counts.select(
+        "n_exact",
+        "n_approx",
+        "n_hit",
+        F.round(rec, round_to).alias("recall"),
+        F.round(prec, round_to).alias("precision"),
+        F.round(f1, round_to).alias("f1"),
+    )

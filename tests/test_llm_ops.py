@@ -1628,3 +1628,48 @@ def test_corpus_dup_report_rates(spark):
     # text-only variant has no url columns
     r2 = dedup.corpus_dup_report(df, "text").collect()[0]
     assert "n_with_url" not in r2.asDict()
+
+
+# ------------------------------------------------------ pair_recall_eval
+def test_pair_recall_eval_hand_computed(spark):
+    """Orientation-normalized pair overlap: recall/precision/F1 on
+    hand frames, including reversed pairs, dup rows, and the 0/0 NULL
+    conventions."""
+    import pytest
+
+    from getl_spark.functions import dedup
+
+    exact = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], "id_a LONG, id_b LONG"
+    )
+    # (2,1) reversed = hit; (3,4) listed twice collapses; (9,10) fp
+    approx = spark.createDataFrame(
+        [(2, 1), (3, 4), (3, 4), (9, 10)], "id_a LONG, id_b LONG"
+    )
+    r = dedup.pair_recall_eval(approx, exact).collect()[0]
+    assert (r.n_exact, r.n_approx, r.n_hit) == (4, 3, 2)
+    assert r.recall == pytest.approx(0.5)
+    assert r.precision == pytest.approx(2 / 3, abs=1e-6)
+    p, q = 0.5, 2 / 3
+    assert r.f1 == pytest.approx(2 * p * q / (p + q), abs=1e-6)
+
+    empty = exact.limit(0)
+    r2 = dedup.pair_recall_eval(empty, exact).collect()[0]
+    assert r2.recall == 0.0 and r2.precision is None
+    r3 = dedup.pair_recall_eval(approx, empty).collect()[0]
+    assert r3.recall is None and r3.precision == 0.0
+
+
+def test_pair_recall_eval_measures_lsh_against_exact(spark, near_dup_docs):
+    """End-to-end: minhash_lsh pairs vs exact ngram_jaccard truth at
+    the same threshold — every surviving LSH pair is exact-verified,
+    so precision must be 1.0; recall is the banding loss being
+    measured."""
+    from getl_spark.functions import dedup
+
+    exact = dedup.ngram_jaccard(near_dup_docs, threshold=0.3)
+    approx = dedup.minhash_lsh(near_dup_docs, threshold=0.3)
+    r = dedup.pair_recall_eval(approx, exact).collect()[0]
+    assert r.n_exact > 0
+    assert r.precision == 1.0
+    assert 0.0 < r.recall <= 1.0
