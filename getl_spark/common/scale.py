@@ -44,10 +44,15 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     3. **Replicated ``persist(MEMORY_AND_DISK_2)``** on a cluster
        WITHOUT a checkpoint dir: each block lives on two executors, so
        a single preemption cannot lose it; a doubly-lost block
-       recomputes from retained shuffle files (same partition ids —
-       the shuffle output, not the range-sampling, is replayed). When
-       ``eager``, a ``count()`` materializes the blocks up front, same
-       as the eager checkpoint contract.
+       recomputes from retained shuffle files with the SAME partition
+       ids — and even if the map outputs are gone too, the resubmitted
+       stage reuses the RangePartitioner object already captured in
+       the shuffle dependency (its bounds were sampled once at plan
+       execution), so a recompute can never re-sample different range
+       bounds; only a fresh evaluation of the subtree could, which is
+       precisely what the pin prevents. When ``eager``, a ``count()``
+       materializes the blocks up front, same as the eager checkpoint
+       contract.
 
     ``eager=False`` defers materialization to first use (callers that
     pin a frame which a later branch might skip entirely).
