@@ -9424,6 +9424,75 @@ def demoted_queries(
     return out
 
 
+def _q_anova(spark, sf_dir):
+    """stats.anova — one-way k-arm mean test (does discount level
+    differ by return flag?): per-arm (n, mean, var) in one
+    partial-aggregated pass, centered between/within split on the
+    k-row table, Paulson cube-root F tail on the shared polynomial
+    Φ. l_discount's 0–0.1 scale keeps every SS magnitude inside
+    exact round-6 cross-engine comparison (cents-fixture rule)."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return stats.anova(li, "l_returnflag", "l_discount")
+
+
+ANOVA_ORACLE = """
+WITH arms AS (
+  SELECT l_returnflag AS arm,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         AVG(CAST(l_discount AS DOUBLE)) AS mg,
+         VAR_SAMP(CAST(l_discount AS DOUBLE)) AS vg
+  FROM lineitem
+  WHERE l_discount IS NOT NULL AND NOT isnan(CAST(l_discount AS DOUBLE))
+  GROUP BY l_returnflag),
+tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         SUM(ng * mg) / SUM(ng) AS grand,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM arms),
+ss AS (
+  SELECT t.n, t.k,
+         SUM(a.ng * POWER(a.mg - t.grand, 2)) AS ssb,
+         SUM((a.ng - 1) * COALESCE(a.vg, 0.0)) AS ssw
+  FROM arms a, tot t
+  GROUP BY t.n, t.k),
+f AS (
+  SELECT n, k, ssb, ssw,
+         CAST(k - 1 AS DOUBLE) AS d1,
+         CAST(n - k AS DOUBLE) AS d2,
+         (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) AS fs
+  FROM ss),
+z AS (
+  SELECT *,
+         ((1.0 - 2.0 / (9.0 * d2)) * POWER(fs, 1.0 / 3.0)
+          - (1.0 - 2.0 / (9.0 * d1)))
+         / sqrt(2.0 / (9.0 * d1)
+                + 2.0 / (9.0 * d2) * POWER(fs, 2.0 / 3.0)) AS wz
+  FROM f),
+p AS (
+  SELECT *, 1 - (CASE WHEN wz >= 0 THEN 1 - pt / 2 ELSE pt / 2 END) AS pv
+  FROM (
+    SELECT *,
+           (0.254829592 * tt - 0.284496736 * POWER(tt, 2)
+            + 1.421413741 * POWER(tt, 3) - 1.453152027 * POWER(tt, 4)
+            + 1.061405429 * POWER(tt, 5)) * exp(-(xx * xx)) AS pt
+    FROM (
+      SELECT *, abs(wz) / sqrt(2.0) AS xx,
+             1.0 / (1.0 + 0.3275911 * (abs(wz) / sqrt(2.0))) AS tt
+      FROM z)))
+SELECT n, k,
+       ROUND(ssb, 6) AS ss_between,
+       ROUND(ssw, 6) AS ss_within,
+       ROUND(fs, 6) AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CAST(n - k AS BIGINT) AS df2,
+       ROUND(ssb / (ssb + ssw), 6) AS eta_sq,
+       ROUND(pv, 6) AS p_value
+FROM p
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -9636,6 +9705,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_host_mix": _q_host_mix,
         "similarity_recall_eval": _q_recall_eval,
         "dedup_pair_recall_eval": _q_pair_recall_eval,
+        "stats_anova": _q_anova,
     }
 
 
@@ -9839,6 +9909,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "text_host_mix": HOST_MIX_ORACLE,
         "similarity_recall_eval": RECALL_EVAL_ORACLE,
         "dedup_pair_recall_eval": PAIR_RECALL_EVAL_ORACLE,
+        "stats_anova": ANOVA_ORACLE,
     }
 
 

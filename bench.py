@@ -135,6 +135,7 @@ DETAIL_QUERIES = [
     "similarity_recall_eval",
     "similarity_recall_ivf",
     "dedup_pair_recall_eval",
+    "stats_anova",
 ]
 
 RUNS = 3

@@ -3573,3 +3573,135 @@ def msprt(
         F.round(log_lam, round_to).alias("log_lambda"),
         F.round(p_always, round_to).alias("p_always"),
     )
+
+
+def anova(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-way ANOVA across ALL arms of ``group_col`` — the k-arm
+    generalization of ``ab_compare``: tests whether ANY arm mean
+    differs (H0: all equal) before pairwise readouts inflate false
+    positives. The standard experiment-platform sequence is
+    ``srm`` → ``anova`` → per-pair ``ab_compare``/``bh_adjust``.
+
+    Decomposition is the textbook between/within split computed
+    STABLY: per-arm (n, mean, var_samp) in one partial-aggregated
+    pass (map-side combine, k-row reduce), grand mean from the
+    n-weighted arm means, SS_between = Σ n_g·(mean_g − grand)²
+    (centered — never the sum-of-squares-minus-correction form the
+    ``moments`` docstring rejects), SS_within = Σ (n_g−1)·var_g
+    (Spark's var_samp is Welford-stable). F = (SSB/df1)/(SSW/df2),
+    ``eta_sq`` = SSB/(SSB+SSW) is the effect size.
+
+    The upper-tail p-value uses the Paulson (1942) cube-root normal
+    approximation of the F distribution — each chi-square is
+    Wilson-Hilferty-approximated and the ratio renormalized:
+    z = [(1−2/(9·df2))·F^⅓ − (1−2/(9·df1))] /
+    sqrt(2/(9·df1) + (2/(9·df2))·F^⅔), p = 1−Φ(z) on the shared
+    A&S polynomial Φ — exact closed form, so the DuckDB oracle
+    replays it bit-for-bit at rounded precision (absolute error
+    < 1e-3 for the df sizes any corpus-scale experiment has; for
+    tiny df2 use a proper F table offline).
+
+    ``group_by`` runs one ANOVA per segment (the batch health check
+    over concurrent experiments): same scan, keyed instead of
+    global; shuffle ∝ segments × arms, never rows. Fails loud when
+    a segment has < 2 arms, no residual df (n ≤ k), or zero
+    within-variance (a constant metric is a pipeline bug, not a
+    result). NULL/NaN metric rows are excluded BEFORE aggregation so
+    every statistic sees the same rows (the ``bootstrap_ci``
+    null-consistency convention).
+
+    Returns one row per segment: ``(group_by..., n, k, ss_between,
+    ss_within, f_stat, df1, df2, eta_sq, p_value)``.
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        *keys, F.col(group_col).alias("__arm"), v.alias("__x")
+    )
+    arms = base.groupBy(*keys, "__arm").agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.avg("__x").alias("__mean"),
+        F.var_samp("__x").alias("__var"),
+    )
+    totals = arms.groupBy(*keys).agg(
+        F.sum("__n").cast("bigint").alias("__tot"),
+        (F.sum(F.col("__n") * F.col("__mean")) / F.sum("__n")).alias(
+            "__grand"
+        ),
+    )
+    if keys:
+        t = totals.select(
+            *[F.col(c).alias(f"__av_{c}") for c in keys], "__tot", "__grand"
+        )
+        cond = F.lit(True)
+        for c in keys:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__av_{c}"))
+        joined = arms.join(t, cond).drop(*[f"__av_{c}" for c in keys])
+    else:
+        # 1-row totals broadcast (whitelisted BNLJ shape)
+        joined = arms.join(F.broadcast(totals))
+    agg = joined.groupBy(*keys).agg(
+        F.max("__tot").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(
+            F.col("__n") * (F.col("__mean") - F.col("__grand")) ** 2
+        ).alias("__ssb"),
+        F.sum((F.col("__n") - 1) * F.coalesce("__var", F.lit(0.0))).alias(
+            "__ssw"
+        ),
+    )
+    df1 = (F.col("k") - 1).cast("double")
+    df2 = (F.col("n") - F.col("k")).cast("double")
+    ok = (F.col("k") >= 2) & (df2 > 0) & (F.col("__ssw") > 0)
+    guard = F.assert_true(
+        ok,
+        F.lit(
+            "anova: a segment has fewer than 2 arms, no residual df "
+            "(n <= k), or zero within-group variance - a constant "
+            "metric is a pipeline bug, not a result"
+        ),
+    )
+    # every division gated behind the guard predicate (NULL divisors
+    # when ok is false) so ANSI divide-by-zero cannot preempt the
+    # guard message (projection evaluation order is unspecified)
+    sdf1 = F.when(ok, df1)
+    sdf2 = F.when(ok, df2)
+    fstat = F.when(ok, (F.col("__ssb") / sdf1) / (F.col("__ssw") / sdf2))
+    # Paulson (1942): F^(1/3) with both chi-squares Wilson-Hilferty
+    # normalized; upper tail on the shared A&S polynomial Phi
+    pz = (
+        (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * sdf2))
+        * fstat ** F.lit(1.0 / 3.0)
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * sdf1))
+    ) / F.sqrt(
+        F.lit(2.0) / (F.lit(9.0) * sdf1)
+        + F.lit(2.0) / (F.lit(9.0) * sdf2) * fstat ** F.lit(2.0 / 3.0)
+    )
+    p = 1 - _normal_cdf(pz)
+    return agg.select(
+        *keys,
+        F.when(guard.isNull(), F.col("n")).alias("n"),
+        "k",
+        F.round("__ssb", round_to).alias("ss_between"),
+        F.round("__ssw", round_to).alias("ss_within"),
+        F.round(fstat, round_to).alias("f_stat"),
+        df1.cast("bigint").alias("df1"),
+        df2.cast("bigint").alias("df2"),
+        F.round(
+            F.when(ok, F.col("__ssb") / (F.col("__ssb") + F.col("__ssw"))),
+            round_to,
+        ).alias(
+            "eta_sq"
+        ),
+        F.round(p, round_to).alias("p_value"),
+    )

@@ -52,6 +52,7 @@ NESTED_LOOP_WHITELIST = {
     "dedup_shingle_profile": "1-row total-pair-mass broadcast",
     "sample_balanced_downsample": "1-row min-class-size broadcast",
     "stats_trimmed_mean": "1-row total-count (and winsor bounds) broadcast",
+    "stats_anova": "1-row grand-mean/total broadcast onto the k-row arm table",
     "text_unigram_logprob": "1-row vocab-total broadcast",
     "text_logprob_buckets": "1-row vocab-total broadcast",
     "text_bigram_logprob": "1-row vocab-total broadcast",
