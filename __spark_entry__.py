@@ -9493,6 +9493,67 @@ FROM p
 """
 
 
+def _q_kaplan_meier(spark, sf_dir):
+    """stats.kaplan_meier — right-censoring-aware survival per event
+    type on a deterministic cohort derived from events (duration =
+    event_id % 30 + 1, ~70% event rate): distinct-duration count
+    reduction, risk sets off the inclusive prefix sum vs per-group
+    totals, running product as exp(prefix-sum of logs) with a
+    parallel depleted-risk-set zero flag — two range-partitioned
+    scans, never a per-cohort window."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.col("event_id") % 30 + 1).cast("double").alias("dur"),
+        (F.col("event_id") % 10 < 7).cast("int").alias("churned"),
+    )
+    return stats.kaplan_meier(
+        ev, "dur", "churned", group_by="event_type"
+    )
+
+
+KAPLAN_MEIER_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g,
+         CAST(event_id % 30 + 1 AS DOUBLE) AS t,
+         CASE WHEN event_id % 10 < 7 THEN 1 ELSE 0 END AS e
+  FROM events),
+counts AS (
+  SELECT g, t,
+         CAST(SUM(e) AS BIGINT) AS d,
+         CAST(SUM(1 - e) AS BIGINT) AS c
+  FROM base GROUP BY g, t),
+risk AS (
+  SELECT *,
+         SUM(d + c) OVER (PARTITION BY g)
+         - SUM(d + c) OVER (PARTITION BY g ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + (d + c) AS n_risk
+  FROM counts),
+ev AS (
+  SELECT g, t, d, c, n_risk,
+         CASE WHEN d < n_risk
+              THEN ln(1 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+              ELSE 0.0 END AS lx,
+         CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS zf
+  FROM risk WHERE d > 0),
+s AS (
+  SELECT g, t, d, c, n_risk,
+         SUM(lx) OVER (PARTITION BY g ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lxc,
+         SUM(zf) OVER (PARTITION BY g ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zc
+  FROM ev)
+SELECT g AS event_type, t,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       d AS n_events,
+       c AS n_censored,
+       ROUND(CASE WHEN zc > 0 THEN 0.0 ELSE exp(lxc) END, 6) AS survival
+FROM s
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -9706,6 +9767,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_recall_eval": _q_recall_eval,
         "dedup_pair_recall_eval": _q_pair_recall_eval,
         "stats_anova": _q_anova,
+        "stats_kaplan_meier": _q_kaplan_meier,
     }
 
 
@@ -9910,6 +9972,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "similarity_recall_eval": RECALL_EVAL_ORACLE,
         "dedup_pair_recall_eval": PAIR_RECALL_EVAL_ORACLE,
         "stats_anova": ANOVA_ORACLE,
+        "stats_kaplan_meier": KAPLAN_MEIER_ORACLE,
     }
 
 

@@ -136,6 +136,7 @@ DETAIL_QUERIES = [
     "similarity_recall_ivf",
     "dedup_pair_recall_eval",
     "stats_anova",
+    "stats_kaplan_meier",
 ]
 
 RUNS = 3

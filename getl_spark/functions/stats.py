@@ -3705,3 +3705,122 @@ def anova(
         ),
         F.round(p, round_to).alias("p_value"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival curve per group — the right-censoring-
+    aware estimate of S(t) = P(survival past t) that retention/churn
+    questions actually need: a user who has only been observed 10
+    days is NOT a churn-at-10 observation, and naively averaging
+    "lifetime so far" biases every retention readout downward.
+    ``event_col`` truthy means the terminal event happened at
+    ``duration_col``; falsy means observation stopped there
+    (censored — the row leaves the risk set without an event).
+
+    S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over distinct EVENT times tᵢ,
+    with dᵢ events at tᵢ and nᵢ the risk set (rows with duration
+    ≥ tᵢ). Output has one row per (group, event time) — the
+    standard KM support; censored-only times affect nᵢ but emit no
+    row.
+
+    Scale shape — the [[prefix-scan-family]] idiom twice, never a
+    per-group window: rows reduce to per-distinct-duration (d, c)
+    counts (shuffle ∝ distinct durations), risk sets come from the
+    inclusive prefix sum of d+c flipped against per-group totals
+    (nᵢ = N − cum + w), and the running product is
+    exp(prefix-sum of ln(1 − d/n)) over event rows, with a parallel
+    prefix-summed zero flag so a fully-depleted risk set (d = n)
+    pins S to exactly 0.0 from there on instead of exp(−inf). Both
+    scans range-partition on (group..., t) — a handful of cohorts
+    never collapses the stage. NULL/NaN durations and NULL event
+    flags are excluded before counting.
+
+    Returns ``(group_by..., t, n_risk, n_events, n_censored,
+    survival)`` ordered by nothing in particular (sort at the edge).
+    Fully SQL-expressible (exact DuckDB oracle: same log-sum window
+    arithmetic).
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    t = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("boolean")
+    base = df.where(t.isNotNull() & ~F.isnan(t) & e.isNotNull()).select(
+        *keys, t.alias("__t"), e.alias("__e")
+    )
+    counts = (
+        base.groupBy(*keys, "__t")
+        .agg(
+            F.sum(F.when(F.col("__e"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__d"),
+            F.sum(F.when(F.col("__e"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("__c"),
+        )
+        .withColumn("__w", F.col("__d") + F.col("__c"))
+        .transform(pin)
+    )
+    cum = grouped_prefix_sum(counts, keys, ["__t"], "__w", "__cum")
+    totals = counts.groupBy(*keys).agg(F.sum("__w").alias("__tot"))
+    if keys:
+        tt = totals.select(
+            *[F.col(k).alias(f"__km_{k}") for k in keys], "__tot"
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__km_{k}"))
+        joined = cum.join(tt, cond).drop(*[f"__km_{k}" for k in keys])
+    else:
+        # 1-row totals broadcast (whitelisted BNLJ shape)
+        joined = cum.join(F.broadcast(totals))
+    risk = joined.withColumn(
+        "__n_risk", F.col("__tot") - F.col("__cum") + F.col("__w")
+    )
+    ev = risk.where(F.col("__d") > 0).select(
+        *keys,
+        "__t",
+        "__d",
+        "__c",
+        "__n_risk",
+        # ln factor gated: a depleted risk set (d == n) contributes 0
+        # here and trips the parallel zero flag instead of ln(0)
+        F.when(
+            F.col("__d") < F.col("__n_risk"),
+            F.log(
+                F.lit(1.0)
+                - F.col("__d").cast("double") / F.col("__n_risk").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__lx"),
+        F.when(F.col("__d") >= F.col("__n_risk"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__zf"),
+    )
+    scanned = grouped_prefix_sum(
+        ev, keys, ["__t"], ["__lx", "__zf"], ["__lxc", "__zc"]
+    )
+    return scanned.select(
+        *keys,
+        F.col("__t").alias("t"),
+        F.col("__n_risk").cast("bigint").alias("n_risk"),
+        F.col("__d").alias("n_events"),
+        F.col("__c").alias("n_censored"),
+        F.round(
+            F.when(F.col("__zc") > 0, F.lit(0.0)).otherwise(
+                F.exp(F.col("__lxc"))
+            ),
+            round_to,
+        ).alias("survival"),
+    )

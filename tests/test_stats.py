@@ -2431,3 +2431,90 @@ def test_anova_matches_python_reference(spark):
     )
     with pytest.raises(Exception, match="anova"):
         stats.anova(const, "arm", "x").collect()
+
+
+def test_kaplan_meier_matches_python_reference(spark):
+    """Survival matches a plain-python product-limit reference on a
+    censored grouped fixture; the textbook 6-subject example comes
+    out exactly; censored-only times emit no row but shrink the risk
+    set; a depleted risk set pins S(t)=0; NULL rows excluded;
+    partition-invariant."""
+    import math
+    import random
+
+    from getl_spark.functions import stats
+
+    # textbook: durations 1,2e 2e 3c 4e 5c (e=event, c=censored)
+    rows = [
+        ("g", 2.0, 1), ("g", 2.0, 1), ("g", 3.0, 0),
+        ("g", 4.0, 1), ("g", 5.0, 0), ("g", 1.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, t DOUBLE, e INT")
+    out = {
+        r.t: r for r in stats.kaplan_meier(df, "t", "e").collect()
+    }
+    # t=1: n=6 d=1 -> 5/6; t=2: n=5 d=2 -> 5/6*3/5 = 0.5
+    # t=3 censored-only: no row; t=4: n=2 d=1 -> 0.25
+    assert set(out) == {1.0, 2.0, 4.0}
+    assert out[1.0].n_risk == 6 and out[1.0].survival == pytest.approx(5 / 6, abs=1e-6)
+    assert out[2.0].n_risk == 5 and out[2.0].survival == pytest.approx(0.5, abs=1e-6)
+    assert out[4.0].n_risk == 2 and out[4.0].survival == pytest.approx(0.25, abs=1e-6)
+    assert out[4.0].n_events == 1 and out[2.0].n_censored == 0
+
+    # random censored cohorts vs a python product-limit reference
+    rnd = random.Random(23)
+    big = []
+    for cohort in ("a", "b"):
+        for _ in range(500):
+            d = float(rnd.randint(1, 30))
+            big.append((cohort, d, 1 if rnd.random() < 0.7 else 0))
+    big += [("a", None, 1), ("b", 3.0, None), ("a", float("nan"), 0)]
+    bdf = spark.createDataFrame(big, "g STRING, t DOUBLE, e INT")
+    got = {
+        (r.g, r.t): r
+        for r in stats.kaplan_meier(bdf, "t", "e", group_by="g").collect()
+    }
+
+    def ref_km(pairs):
+        clean = [
+            (t, e) for t, e in pairs
+            if t is not None and not math.isnan(t) and e is not None
+        ]
+        times = sorted({t for t, e in clean if e})
+        s, out = 1.0, {}
+        for ti in times:
+            n = sum(1 for t, _ in clean if t >= ti)
+            d = sum(1 for t, e in clean if t == ti and e)
+            c = sum(1 for t, e in clean if t == ti and not e)
+            s *= 1 - d / n
+            out[ti] = (n, d, c, s)
+        return out
+
+    for cohort in ("a", "b"):
+        expect = ref_km([(t, e) for g, t, e in big if g == cohort])
+        mine = {t: r for (g, t), r in got.items() if g == cohort}
+        assert set(mine) == set(expect)
+        for ti, (n, d, c, s) in expect.items():
+            r = mine[ti]
+            assert (r.n_risk, r.n_events, r.n_censored) == (n, d, c)
+            assert r.survival == pytest.approx(s, abs=1e-6)
+
+    # depleted risk set: everyone events at the last time -> S = 0.0
+    dep = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("g", 2.0, 1)],
+        "g STRING, t DOUBLE, e INT",
+    )
+    dr = {r.t: r for r in stats.kaplan_meier(dep, "t", "e").collect()}
+    assert dr[2.0].survival == 0.0 and dr[1.0].survival == pytest.approx(2 / 3, abs=1e-6)
+
+    # partition-invariance of the two-scan pipeline
+    for parts in (1, 7, 32):
+        rep = {
+            (r.g, r.t): r.survival
+            for r in stats.kaplan_meier(
+                bdf.repartition(parts), "t", "e", group_by="g"
+            ).collect()
+        }
+        assert rep == {
+            (g, t): r.survival for (g, t), r in got.items()
+        }
