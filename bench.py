@@ -137,6 +137,7 @@ DETAIL_QUERIES = [
     "dedup_pair_recall_eval",
     "stats_anova",
     "stats_kaplan_meier",
+    "grouped_winsorize",
 ]
 
 RUNS = 3

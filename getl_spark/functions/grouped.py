@@ -42,3 +42,74 @@ def zscore(
         return pdf
 
     return df.groupBy(*group_by).applyInPandas(normalize, out_schema)
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_by=None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    new_col: str | None = None,
+    round_to: int = 6,
+):
+    """Per-group winsorization of ``value_col``: values below the
+    group's ``lower`` quantile (or above ``upper``) are clamped to
+    that quantile — the standard outlier guard before means,
+    regressions, or reward models see sensor junk and fat tails.
+    Unlike ``zscore`` above this is JVM-only, no pandas anywhere:
+    bounds come from the exact distinct-value-count quantile
+    machinery (``stats.quantiles`` — shuffle ∝ distinct values,
+    never a per-group buffer), pivot to one (lo, hi) row per group,
+    and clip is a keyed join back plus ``least(greatest(...))`` —
+    row-proportional, whole-stage-codegen friendly.
+
+    The clip boundary is the ROUNDED quantile (``round_to``), so the
+    output is cross-engine deterministic (exact DuckDB
+    ``quantile_cont`` oracle — same R type-7 interpolation). NULL and
+    NaN values pass through unclipped; every other column is
+    preserved. ``new_col`` defaults to ``{value_col}_winsorized``
+    (pass ``new_col=value_col`` to overwrite in place).
+    """
+    if not 0 <= lower < upper <= 1:
+        raise ValueError(
+            f"winsorize: need 0 <= lower < upper <= 1, got ({lower}, {upper})"
+        )
+    from pyspark.sql import functions as F
+
+    from getl_spark.functions import stats
+
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    out_col = new_col or f"{value_col}_winsorized"
+    q = stats.quantiles(
+        df, value_col, qs=(float(lower), float(upper)), group_by=keys or None,
+        round_to=round_to,
+    )
+    bounds = q.groupBy(*keys).agg(
+        F.max(F.when(F.col("q") == float(lower), F.col("quantile"))).alias(
+            "__wz_lo"
+        ),
+        F.max(F.when(F.col("q") == float(upper), F.col("quantile"))).alias(
+            "__wz_hi"
+        ),
+    )
+    if keys:
+        b = bounds.select(
+            *[F.col(k).alias(f"__wz_{k}") for k in keys], "__wz_lo", "__wz_hi"
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__wz_{k}"))
+        joined = df.join(b, cond, "left").drop(*[f"__wz_{k}" for k in keys])
+    else:
+        # 1-row bounds broadcast (whitelisted BNLJ shape)
+        joined = df.join(F.broadcast(bounds))
+    v = F.col(value_col).cast("double")
+    clipped = F.when(
+        v.isNull() | F.isnan(v), v
+    ).otherwise(F.least(F.greatest(v, F.col("__wz_lo")), F.col("__wz_hi")))
+    return joined.withColumn(out_col, clipped).drop("__wz_lo", "__wz_hi")

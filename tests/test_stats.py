@@ -2518,3 +2518,57 @@ def test_kaplan_meier_matches_python_reference(spark):
         assert rep == {
             (g, t): r.survival for (g, t), r in got.items()
         }
+
+
+def test_winsorize_matches_numpy_reference(spark):
+    """Clipped values match numpy type-7 percentiles per group;
+    passthrough columns intact; NULL/NaN pass through; all-null
+    group left unclipped; global (no group) variant; in-place
+    overwrite; bad bounds raise."""
+    import numpy as np
+    import pytest
+
+    from getl_spark.functions import grouped
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in ("a", "b"):
+        xs = rng.normal(100 if g == "a" else -50, 30, size=400)
+        rows += [(g, int(i), float(x)) for i, x in enumerate(xs)]
+    rows += [("a", 9001, None), ("b", 9002, float("nan"))]
+    rows += [("empty", 9003, None)]
+    df = spark.createDataFrame(rows, "g STRING, id LONG, x DOUBLE")
+    out = grouped.winsorize(df, "x", group_by="g", lower=0.05, upper=0.9)
+    got = {(r.g, r.id): r for r in out.collect()}
+    assert len(got) == len(rows)  # row-preserving
+
+    for g in ("a", "b"):
+        vals = np.array([x for gg, _, x in rows
+                         if gg == g and x is not None and not np.isnan(x)])
+        lo = round(float(np.percentile(vals, 5, method="linear")), 6)
+        hi = round(float(np.percentile(vals, 90, method="linear")), 6)
+        for gg, i, x in rows:
+            if gg != g or x is None or np.isnan(x):
+                continue
+            expect = min(max(x, lo), hi)
+            assert got[(g, i)].x_winsorized == pytest.approx(expect, abs=1e-9)
+            assert got[(g, i)].x == x  # original column untouched
+
+    # NULL / NaN / all-null-group passthrough
+    assert got[("a", 9001)].x_winsorized is None
+    assert np.isnan(got[("b", 9002)].x_winsorized)
+    assert got[("empty", 9003)].x_winsorized is None
+
+    # global variant clips against corpus-wide bounds
+    g_out = grouped.winsorize(df.where("x IS NOT NULL AND NOT isnan(x)"),
+                              "x", lower=0.0, upper=0.5)
+    vals = np.array([x for _, _, x in rows if x is not None and not np.isnan(x)])
+    med = round(float(np.percentile(vals, 50, method="linear")), 6)
+    assert max(r.x_winsorized for r in g_out.collect()) == pytest.approx(med, abs=1e-9)
+
+    # in-place overwrite keeps the schema
+    ip = grouped.winsorize(df, "x", group_by="g", new_col="x")
+    assert ip.columns == df.columns
+
+    with pytest.raises(ValueError, match="winsorize"):
+        grouped.winsorize(df, "x", lower=0.5, upper=0.5)
