@@ -138,6 +138,7 @@ DETAIL_QUERIES = [
     "stats_anova",
     "stats_kaplan_meier",
     "grouped_winsorize",
+    "stats_log_rank",
 ]
 
 RUNS = 3

@@ -3824,3 +3824,130 @@ def kaplan_meier(
             round_to,
         ).alias("survival"),
     )
+
+
+def log_rank(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    control: str,
+    treatment: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample log-rank test — "did the treatment change
+    time-to-churn?", answered the censoring-aware way: comparing the
+    two arms' ``kaplan_meier`` curves by eye is not a test, and
+    comparing mean observed lifetimes is biased by censoring. At
+    each distinct event time the observed treatment events d₁ᵢ are
+    set against the hypergeometric expectation E₁ᵢ = dᵢ·n₁ᵢ/nᵢ and
+    variance Vᵢ = dᵢ·(n₁ᵢ/nᵢ)·(1−n₁ᵢ/nᵢ)·(nᵢ−dᵢ)/(nᵢ−1);
+    chi² = (Σ(d₁ᵢ−E₁ᵢ))²/ΣVᵢ is χ²(1) under H0 (Mantel 1966), with
+    the upper tail on the same Wilson-Hilferty + A&S Φ closed form
+    ``srm`` uses — fully SQL-expressible (exact DuckDB oracle).
+
+    Scale shape: rows reduce to per-distinct-duration counts (d₁,
+    d, and per-arm at-risk decrements — shuffle ∝ distinct
+    durations), BOTH risk sets come out of ONE multi-column
+    distributed prefix scan flipped against totals, and the event-
+    time terms collapse in a 1-row reduce. Rows outside the two
+    arms are ignored (holdouts); NULL/NaN durations and NULL event
+    flags are excluded. Fails loud when either arm is empty or no
+    event time has both arms at risk (ΣV = 0 — there is nothing to
+    test).
+
+    Returns one row: ``(n_control, n_treatment, observed_treatment,
+    expected_treatment, chi2, p_value)``.
+    """
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    t = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("boolean")
+    g = F.col(group_col).cast("string")
+    base = df.where(
+        t.isNotNull()
+        & ~F.isnan(t)
+        & e.isNotNull()
+        & g.isin(str(control), str(treatment))
+    ).select(
+        t.alias("__t"),
+        e.alias("__e"),
+        (g == str(treatment)).alias("__is_t"),
+    )
+    counts = (
+        base.groupBy("__t")
+        .agg(
+            F.sum(F.when(F.col("__e") & F.col("__is_t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__d1"),
+            F.sum(F.when(F.col("__e"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__d"),
+            F.sum(F.when(F.col("__is_t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__w1"),
+            F.count("*").cast("bigint").alias("__w"),
+        )
+        .transform(pin)
+    )
+    cum = grouped_prefix_sum(
+        counts, [], ["__t"], ["__w", "__w1"], ["__cum", "__cum1"]
+    )
+    totals = counts.agg(
+        F.sum("__w").alias("__tot"),
+        F.sum("__w1").alias("__tot1"),
+    )
+    # 1-row totals broadcast (whitelisted BNLJ shape)
+    risk = cum.join(F.broadcast(totals)).select(
+        "__t",
+        "__d1",
+        "__d",
+        (F.col("__tot") - F.col("__cum") + F.col("__w")).alias("__n"),
+        (F.col("__tot1") - F.col("__cum1") + F.col("__w1")).alias("__n1"),
+        "__tot",
+        "__tot1",
+    )
+    ev = risk.where(F.col("__d") > 0)
+    p1 = F.col("__n1").cast("double") / F.col("__n").cast("double")
+    dd = F.col("__d").cast("double")
+    nn = F.col("__n").cast("double")
+    agg = ev.agg(
+        F.max(F.col("__tot") - F.col("__tot1")).cast("bigint").alias(
+            "n_control"
+        ),
+        F.max("__tot1").cast("bigint").alias("n_treatment"),
+        F.sum("__d1").cast("bigint").alias("observed_treatment"),
+        F.sum(dd * p1).alias("__e1"),
+        F.sum(
+            F.when(
+                F.col("__n") > 1,
+                dd * p1 * (1 - p1) * (nn - dd) / (nn - 1),
+            ).otherwise(F.lit(0.0))
+        ).alias("__v"),
+    )
+    guard = F.assert_true(
+        (F.col("n_control") > 0)
+        & (F.col("n_treatment") > 0)
+        & (F.col("__v") > 0),
+        F.lit(
+            "log_rank: an arm is empty or no event time has both arms "
+            "at risk (zero variance) - there is nothing to test"
+        ),
+    )
+    chi2 = F.when(
+        F.col("__v") > 0,
+        (F.col("observed_treatment") - F.col("__e1")) ** 2 / F.col("__v"),
+    )
+    # Wilson-Hilferty chi-square(1) upper tail on the shared A&S Phi
+    wh_z = (chi2 ** F.lit(1.0 / 3.0) - F.lit(1.0 - 2.0 / 9.0)) / F.lit(
+        (2.0 / 9.0) ** 0.5
+    )
+    p = 1 - _normal_cdf(wh_z)
+    return agg.select(
+        F.when(guard.isNull(), F.col("n_control")).alias("n_control"),
+        "n_treatment",
+        "observed_treatment",
+        F.round("__e1", round_to).alias("expected_treatment"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(p, round_to).alias("p_value"),
+    )

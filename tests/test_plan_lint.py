@@ -53,6 +53,7 @@ NESTED_LOOP_WHITELIST = {
     "sample_balanced_downsample": "1-row min-class-size broadcast",
     "stats_trimmed_mean": "1-row total-count (and winsor bounds) broadcast",
     "stats_anova": "1-row grand-mean/total broadcast onto the k-row arm table",
+    "stats_log_rank": "1-row per-arm totals broadcast onto the duration-counts table",
     "text_unigram_logprob": "1-row vocab-total broadcast",
     "text_logprob_buckets": "1-row vocab-total broadcast",
     "text_bigram_logprob": "1-row vocab-total broadcast",

@@ -2572,3 +2572,62 @@ def test_winsorize_matches_numpy_reference(spark):
 
     with pytest.raises(ValueError, match="winsorize"):
         grouped.winsorize(df, "x", lower=0.5, upper=0.5)
+
+
+def test_log_rank_matches_python_reference(spark):
+    """chi2/E1/V match a plain-python Mantel log-rank on a censored
+    two-arm fixture; identical arms give chi2 ~ 0; a strong hazard
+    shift is decisive; holdout arms ignored; guards fire."""
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(41)
+
+    def cohort(arm, scale, n):
+        out = []
+        for _ in range(n):
+            d = min(int(rnd.expovariate(1 / scale)) + 1, 60)
+            out.append((arm, float(d), 1 if rnd.random() < 0.8 else 0))
+        return out
+
+    rows = cohort("c", 10, 400) + cohort("t", 18, 400) + cohort("x", 5, 50)
+    df = spark.createDataFrame(rows, "g STRING, t DOUBLE, e INT")
+    r = stats.log_rank(df, "t", "e", "g", "c", "t").collect()[0]
+
+    # python reference over the two arms only
+    two = [(g, t, e) for g, t, e in rows if g in ("c", "t")]
+    times = sorted({t for _, t, e in two if e})
+    O1 = E1 = V = 0.0
+    for ti in times:
+        n = sum(1 for _, t, _ in two if t >= ti)
+        n1 = sum(1 for g, t, _ in two if g == "t" and t >= ti)
+        d = sum(1 for _, t, e in two if t == ti and e)
+        d1 = sum(1 for g, t, e in two if g == "t" and t == ti and e)
+        O1 += d1
+        E1 += d * n1 / n
+        if n > 1:
+            V += d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1)
+    chi2 = (O1 - E1) ** 2 / V
+    assert (r.n_control, r.n_treatment) == (400, 400)
+    assert r.observed_treatment == int(O1)
+    assert r.expected_treatment == pytest.approx(E1, rel=1e-9)
+    assert r.chi2 == pytest.approx(chi2, rel=1e-6)
+    assert r.p_value < 0.01  # scale 10 vs 18 at n=400/arm is decisive
+
+    # identical hazards: chi2 small, p large
+    same = cohort("c", 12, 300) + [
+        ("t", t, e) for _, t, e in cohort("c", 12, 300)
+    ]
+    r0 = stats.log_rank(
+        spark.createDataFrame(same, "g STRING, t DOUBLE, e INT"),
+        "t", "e", "g", "c", "t",
+    ).collect()[0]
+    assert r0.p_value > 0.05
+
+    # guards: empty arm
+    only_c = spark.createDataFrame(
+        [("c", 1.0, 1), ("c", 2.0, 1)], "g STRING, t DOUBLE, e INT"
+    )
+    with pytest.raises(Exception, match="log_rank"):
+        stats.log_rank(only_c, "t", "e", "g", "c", "t").collect()
