@@ -9229,7 +9229,10 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each value-hash verified via its twin in ``_base_queries()``:
     ``dedup_minhash_twin`` / ``dedup_simhash_twin`` /
     ``similarity_topk_lsh_twin``) and the BPE corpus-throughput leg
-    (verified via ``text_bpe_token_count``'s golden-pinned oracle).
+    (verified via ``text_bpe_token_count``'s golden-pinned oracle), and
+    the CDC corpus leg (gear-hash boundaries are SQL-inexpressible;
+    verified via ``dedup_cdc_pairs``'s pinned pure-Python-replay
+    oracle).
     All stay benched at sf0.1 (bench.py) and pytest-covered."""
     return {
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -9238,6 +9241,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_corpus": _q_bpe_corpus,
         "corpus_curation_full": _q_corpus_curation_full,
         "similarity_recall_ivf": _q_recall_ivf_corpus,
+        "dedup_cdc_corpus": _q_cdc_corpus,
     }
 
 
@@ -9680,6 +9684,80 @@ FROM p
 """
 
 
+def _cdc_fixture_docs():
+    """Deterministic md5-chain documents for the CDC pinned oracle:
+    docs 1/2/4 share a 4000-char passage at different offsets (the
+    insertion-shift case CDC exists for), 3 is unrelated, 5 is
+    short."""
+    import hashlib
+
+    def blob(tag, n):
+        out, i, tot = [], 0, 0
+        while tot < n:
+            h = hashlib.md5(f"{tag}:{i}".encode()).hexdigest()
+            out.append(h)
+            tot += len(h)
+            i += 1
+        return "".join(out)[:n]
+
+    passage = blob("shared", 4000)
+    return [
+        (1, passage + blob("a", 400)),
+        (2, blob("b", 600) + passage),
+        (3, blob("c", 4000)),
+        (4, passage),
+        (5, blob("e", 300)),
+    ]
+
+
+def _q_cdc_pairs(spark, sf_dir):
+    """dedup.cdc_pairs — content-defined-chunk shared-passage pairs on
+    the fixed md5-chain fixture (SF-independent): gear-hash CDC via
+    one Arrow mapInPandas pass, then the shared inverted-index
+    set-overlap core. Expected rows golden-pinned from the
+    pure-Python twin ``cdc_boundaries_py`` (boundaries replay
+    bit-identically; containment for the exact-prefix pair is < 1
+    only because the trailing chunk closes at EOF — reconciled by
+    hand at pin time)."""
+    from getl_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        _cdc_fixture_docs(), "doc_id LONG, text STRING"
+    )
+    return dedup.cdc_pairs(
+        df, min_shared=2, min_size=32, avg_size=128, max_size=512
+    )
+
+
+CDC_PAIRS_ORACLE = """
+SELECT CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b,
+       CAST(shared AS BIGINT) AS shared_chunks,
+       CAST(na AS BIGINT) AS n_chunks_a,
+       CAST(nb AS BIGINT) AS n_chunks_b,
+       CAST(cont AS DOUBLE) AS containment
+FROM (VALUES
+  (1, 2, 21, 26, 24, 0.875),
+  (1, 4, 22, 26, 23, 0.956522),
+  (2, 4, 22, 24, 23, 0.956522)
+) AS t(id_a, id_b, shared, na, nb, cont)
+"""
+
+
+def _q_cdc_corpus(spark, sf_dir):
+    """dedup.cdc_pairs over the real documents table (the workload
+    leg — benched; rows-only in the harness since CDC boundaries are
+    not SQL-expressible; the pinned-fixture twin above carries the
+    value check): hot-chunk capped at max_df=50."""
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.cdc_pairs(
+        docs, min_shared=1, max_df=50,
+        min_size=32, avg_size=128, max_size=1024,
+    )
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -9896,6 +9974,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_kaplan_meier": _q_kaplan_meier,
         "grouped_winsorize": _q_winsorize,
         "stats_log_rank": _q_log_rank,
+        "dedup_cdc_pairs": _q_cdc_pairs,
     }
 
 
@@ -10103,6 +10182,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_kaplan_meier": KAPLAN_MEIER_ORACLE,
         "grouped_winsorize": WINSORIZE_ORACLE,
         "stats_log_rank": LOG_RANK_ORACLE,
+        "dedup_cdc_pairs": CDC_PAIRS_ORACLE,
     }
 
 

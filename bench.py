@@ -139,6 +139,7 @@ DETAIL_QUERIES = [
     "stats_kaplan_meier",
     "grouped_winsorize",
     "stats_log_rank",
+    "dedup_cdc_corpus",
 ]
 
 RUNS = 3

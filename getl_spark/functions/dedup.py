@@ -145,6 +145,14 @@ def _pair_intersections(df, id_col, text_col, n, max_df):
         .select("id", F.xxhash64("shingle").alias("shingle"))
         .transform(pin)
     )
+    return _set_pair_intersections(shingles, max_df)
+
+
+def _set_pair_intersections(shingles, max_df):
+    """Inverted-index exact set-overlap core over a pinned
+    ``(id, shingle)`` token table (distinct per doc): per-pair
+    intersection counts (``id_a < id_b``) + per-doc set sizes.
+    Shared by the n-gram family above and ``cdc_pairs`` below."""
     sizes = shingles.groupBy("id").agg(F.count("*").alias("size"))
     if max_df is not None:
         rare = (
@@ -2009,4 +2017,242 @@ def pair_recall_eval(
         F.round(rec, round_to).alias("recall"),
         F.round(prec, round_to).alias("precision"),
         F.round(f1, round_to).alias("f1"),
+    )
+
+
+# ------------------------------------------------- content-defined chunks
+def _cdc_gear_table():
+    """Deterministic 256-entry gear table: ``md5(byte)`` first 8 bytes
+    as uint64 — no RNG anywhere, so chunk boundaries replay
+    bit-identically in the pure-Python oracle path and across
+    sessions/languages."""
+    import hashlib
+
+    return [
+        int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big")
+        for b in range(256)
+    ]
+
+
+def cdc_boundaries_py(
+    data: bytes, min_size: int, avg_size: int, max_size: int
+) -> List[int]:
+    """Pure-Python reference chunker (exclusive end offsets): the
+    oracle/replay twin of the vectorized path inside ``cdc_chunks`` —
+    byte-for-byte identical boundaries by construction (same gear
+    table, same mod-2⁶⁴ rolling hash, same min/max walk). Boundary
+    rule: after byte i the rolling gear hash h = (2·h + gear[bᵢ])
+    mod 2⁶⁴ marks an eligible cut when ``h & (avg_size−1) == 0``;
+    cuts closer than ``min_size`` to the previous cut are skipped and
+    a cut is forced at ``max_size``."""
+    gear = _cdc_gear_table()
+    mask = avg_size - 1
+    n = len(data)
+    cand = []
+    h = 0
+    for i, b in enumerate(data):
+        h = ((h << 1) + gear[b]) & 0xFFFFFFFFFFFFFFFF
+        if h & mask == 0:
+            cand.append(i + 1)
+    return _cdc_walk(cand, n, min_size, max_size)
+
+
+def _cdc_walk(cand, n, min_size, max_size):
+    """Shared boundary walk over eligible cut positions: skip cuts
+    under ``min_size`` from the previous one, force a cut whenever a
+    chunk would exceed ``max_size``, and close the final chunk at the
+    end of the document."""
+    bounds = []
+    prev = 0
+    for c in cand:
+        c = int(c)
+        while c - prev > max_size:
+            prev += max_size
+            bounds.append(prev)
+        if c - prev >= min_size:
+            bounds.append(c)
+            prev = c
+    while n - prev > max_size:
+        prev += max_size
+        bounds.append(prev)
+    if n > prev:
+        bounds.append(n)
+    return bounds
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 2048,
+) -> DataFrame:
+    """Content-defined chunking (rsync/LBFS gear-hash CDC) of
+    ``text_col`` into variable-size chunks whose boundaries depend
+    only on LOCAL byte content — the property fixed-stride or
+    word-n-gram shingling lacks: insert one sentence at the top of a
+    document and every fixed-offset window shifts, but gear-hash cut
+    points downstream of the edit land on the SAME bytes, so shared
+    passages keep identical chunk hashes. This is the storage-dedup
+    idiom (LBFS, Muthitacharoen 2001; FastCDC) applied to corpus
+    text: the cheap insertion-robust signal between exact hashing
+    and MinHash.
+
+    Rolling hash: h = (2·h + gear[b]) mod 2⁶⁴ — byte i's influence
+    leaves after 64 shifts, so the hash is a pure function of the
+    trailing 64 bytes and the Arrow-batched path can compute all
+    positions at once as 64 shifted vector adds (numpy uint64
+    wraparound IS the mod). Cut when ``h & (avg_size−1) == 0``
+    (``avg_size`` must be a power of two), subject to the
+    ``min_size`` skip / ``max_size`` force walk. The gear table is
+    md5-derived — no RNG, replayable anywhere
+    (``cdc_boundaries_py`` is the exact pure-Python twin used by the
+    oracles).
+
+    Returns ``(id_col, chunk_idx, chunk_hash, chunk_len)`` — one row
+    per chunk, ``chunk_hash`` = md5 hex of the chunk bytes. NULL and
+    empty texts emit no rows.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass, shuffle-free
+    and row-linear; output size ∝ input bytes / avg_size. Python is
+    justified here: the boundary rule is a sequential byte recurrence
+    with no JVM expression, and the vectorized form does the heavy
+    work in numpy, not the interpreter.
+    """
+    if not (0 < min_size <= avg_size <= max_size):
+        raise ValueError(
+            "cdc_chunks: need 0 < min_size <= avg_size <= max_size, got "
+            f"({min_size}, {avg_size}, {max_size})"
+        )
+    if avg_size & (avg_size - 1):
+        raise ValueError(
+            f"cdc_chunks: avg_size must be a power of two, got {avg_size}"
+        )
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, chunk_idx int, chunk_hash string, "
+        f"chunk_len int"
+    )
+    mask = avg_size - 1
+
+    def chunk_batches(batches):
+        import hashlib
+
+        import numpy as np
+
+        gear = np.array(_cdc_gear_table(), dtype=np.uint64)
+        old = np.seterr(over="ignore")  # uint64 wraparound IS the mod 2^64
+        try:
+            for pdf in batches:
+                ids, idxs, hashes, lens = [], [], [], []
+                for rid, txt in zip(pdf[id_col], pdf[text_col]):
+                    if txt is None:
+                        continue
+                    data = str(txt).encode("utf-8")
+                    n = len(data)
+                    if n == 0:
+                        continue
+                    g = gear[np.frombuffer(data, dtype=np.uint8)]
+                    h = np.zeros(n, dtype=np.uint64)
+                    for j in range(min(64, n)):
+                        h[j:] += g[: n - j] << np.uint64(j)
+                    cand = np.nonzero((h & np.uint64(mask)) == 0)[0] + 1
+                    prev = 0
+                    for ci, b in enumerate(
+                        _cdc_walk(cand, n, min_size, max_size)
+                    ):
+                        seg = data[prev:b]
+                        ids.append(rid)
+                        idxs.append(ci)
+                        hashes.append(hashlib.md5(seg).hexdigest())
+                        lens.append(len(seg))
+                        prev = b
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "chunk_idx": idxs,
+                        "chunk_hash": hashes,
+                        "chunk_len": lens,
+                    }
+                )
+        finally:
+            np.seterr(**old)
+
+    return _parallelize(df.select(id_col, text_col)).mapInPandas(
+        chunk_batches, out_schema
+    )
+
+
+def cdc_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 2,
+    threshold: float = 0.0,
+    max_df: Optional[int] = None,
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 2048,
+) -> DataFrame:
+    """Shared-content pairs via content-defined chunks: documents
+    sharing ≥ ``min_shared`` distinct chunk hashes, scored by chunk
+    containment = shared / min(|A|, |B|) — near 1 when one document
+    embeds the other (changelog re-posts, quoted articles,
+    boilerplate-wrapped mirrors) even after insertions that defeat
+    offset-based comparison. The CDC companion to
+    ``containment_pairs`` (word-n-gram) and ``substring_spans``
+    (fixed shingles): same inverted-index candidate machinery
+    (``max_df`` hot-chunk cap, xxhash64 key shrinking), different —
+    edit-robust — token definition.
+
+    Returns ``(id_a, id_b, shared_chunks, n_chunks_a, n_chunks_b,
+    containment)`` with ``id_a < id_b``.
+
+    Scale shape: one CDC scan pass, then the bounded inverted-index
+    self-join on chunk-hash keys — shuffle ∝ chunk rows; set
+    ``max_df`` so boilerplate chunks (site footers) don't quadratic
+    the candidate mass (``dedup.shingle_profile``'s pricing logic
+    applies unchanged: profile chunk document-frequency first).
+    """
+    chunks = (
+        cdc_chunks(df, id_col, text_col, min_size, avg_size, max_size)
+        .select(
+            F.col(id_col).alias("id"),
+            F.xxhash64("chunk_hash").alias("shingle"),
+        )
+        .distinct()
+        .transform(pin)
+    )
+    inter, sizes = _set_pair_intersections(chunks, max_df)
+    joined = inter.join(
+        sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+            "size", "n_chunks_a"
+        ),
+        "id_a",
+    ).join(
+        sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+            "size", "n_chunks_b"
+        ),
+        "id_b",
+    )
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("bigint").alias("shared_chunks"),
+            F.col("n_chunks_a").cast("bigint").alias("n_chunks_a"),
+            F.col("n_chunks_b").cast("bigint").alias("n_chunks_b"),
+            F.round(
+                F.col("inter")
+                / F.least("n_chunks_a", "n_chunks_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .where(
+            (F.col("shared_chunks") >= min_shared)
+            & (F.col("containment") >= threshold)
+        )
     )

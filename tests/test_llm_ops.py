@@ -1673,3 +1673,124 @@ def test_pair_recall_eval_measures_lsh_against_exact(spark, near_dup_docs):
     assert r.n_exact > 0
     assert r.precision == 1.0
     assert 0.0 < r.recall <= 1.0
+
+
+def test_cdc_chunks_matches_python_reference_and_is_edit_robust(spark):
+    """The vectorized gear-hash chunker equals the pure-Python twin
+    byte-for-byte on random data; boundaries are insertion-robust
+    (shared passage keeps identical chunk hashes after a prefix
+    edit); min/max walk honored; NULL/empty texts emit nothing;
+    guards fire."""
+    import hashlib
+    import random
+
+    import pytest
+
+    from getl_spark.functions import dedup
+
+    rnd = random.Random(97)
+    docs = []
+    for i in range(12):
+        n = rnd.randint(0, 3000)
+        docs.append((i, "".join(chr(rnd.randint(32, 126)) for _ in range(n))))
+    docs += [(100, None), (101, "")]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = dedup.cdc_chunks(df, min_size=32, avg_size=128, max_size=512)
+    rows = out.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(r)
+    assert 100 not in got and 101 not in got
+
+    for i, txt in docs:
+        if txt is None or txt == "":
+            continue
+        data = txt.encode("utf-8")
+        bounds = dedup.cdc_boundaries_py(data, 32, 128, 512)
+        mine = sorted(got.get(i, []), key=lambda r: r.chunk_idx)
+        assert [r.chunk_len for r in mine] == [
+            b - a for a, b in zip([0] + bounds, bounds)
+        ]
+        prev = 0
+        for r, b in zip(mine, bounds):
+            assert r.chunk_hash == hashlib.md5(data[prev:b]).hexdigest()
+            prev = b
+        # walk contract: every chunk within [1, max]; all but the
+        # last at least min (the tail and forced cuts may be shorter)
+        lens = [r.chunk_len for r in mine]
+        assert all(1 <= L <= 512 for L in lens)
+        assert sum(lens) == len(data)
+
+    # insertion robustness: shift a long doc by a prefix edit — the
+    # majority of chunk hashes survive (fixed-offset windows would
+    # all change)
+    base = "".join(chr(rnd.randint(32, 126)) for _ in range(8000))
+    pair = spark.createDataFrame(
+        [(1, base), (2, "INSERTED PREAMBLE >>> " + base)],
+        "doc_id LONG, text STRING",
+    )
+    ch = dedup.cdc_chunks(pair, min_size=32, avg_size=128, max_size=512)
+    sets = {
+        r[0]: set(r[1])
+        for r in ch.groupby("doc_id")
+        .agg(F.collect_set("chunk_hash"))
+        .collect()
+    }
+    shared = len(sets[1] & sets[2])
+    assert shared >= 0.7 * len(sets[1])
+
+    with pytest.raises(ValueError, match="power of two"):
+        dedup.cdc_chunks(df, avg_size=100)
+    with pytest.raises(ValueError, match="cdc_chunks"):
+        dedup.cdc_chunks(df, min_size=0)
+
+
+def test_cdc_pairs_finds_shared_passages(spark):
+    """Two docs sharing a long CDC-aligned passage pair up with
+    containment near the shared fraction; unrelated docs don't;
+    min_shared filters; the max_df capped path still counts the
+    exact intersection."""
+    import random
+
+    import pytest
+
+    from getl_spark.functions import dedup
+
+    rnd = random.Random(13)
+
+    def blob(n):
+        return "".join(chr(rnd.randint(32, 126)) for _ in range(n))
+
+    passage = blob(6000)
+    a = passage + blob(500)
+    b = blob(700) + passage
+    c = blob(6000)
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id LONG, text STRING"
+    )
+    out = dedup.cdc_pairs(
+        df, min_shared=2, min_size=32, avg_size=128, max_size=512
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r for r in out}
+    assert (1, 2) in pairs
+    assert all(k == (1, 2) for k in pairs)  # c unrelated
+    r = pairs[(1, 2)]
+    assert r.shared_chunks >= 2
+    assert 0 < r.containment <= 1
+    assert r.containment >= 0.6  # most of the shorter doc is shared
+
+    # max_df cap keeps the pair (chunk df here is ≤ 2) and exactness
+    capped = dedup.cdc_pairs(
+        df, min_shared=2, max_df=2, min_size=32, avg_size=128, max_size=512
+    ).collect()
+    rc = {(x.id_a, x.id_b): x for x in capped}[(1, 2)]
+    assert (rc.shared_chunks, rc.containment) == (
+        r.shared_chunks,
+        r.containment,
+    )
+
+    # threshold filter
+    hi = dedup.cdc_pairs(
+        df, threshold=1.01, min_size=32, avg_size=128, max_size=512
+    ).count()
+    assert hi == 0
