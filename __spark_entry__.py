@@ -9758,6 +9758,74 @@ def _q_cdc_corpus(spark, sf_dir):
     )
 
 
+def _q_benford(spark, sf_dir):
+    """stats.benford — first-significant-digit conformance of
+    lineitem prices per return flag: ONE conditional-count aggregate
+    (9 digit cells, map-side), digit extracted via the portable
+    correctly-rounded '%.15e' formatting (identical in JVM
+    format_string and DuckDB printf), Wilson-Hilferty chi-square(8)
+    tail on the shared polynomial Phi. The oracle embeds the
+    python-repr Benford share literals so no cross-engine log10 ulp
+    can bite."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return stats.benford(li, "l_extendedprice", group_by="l_returnflag")
+
+
+BENFORD_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+         substr(printf('%.15e', abs(CAST(l_extendedprice AS DOUBLE))), 1, 1) AS bd
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+    AND l_extendedprice <> 0),
+counts AS (
+  SELECT g,
+         CAST(SUM(CASE WHEN bd = '1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN bd = '2' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN bd = '3' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(SUM(CASE WHEN bd = '4' THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(SUM(CASE WHEN bd = '5' THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+         CAST(SUM(CASE WHEN bd = '6' THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+         CAST(SUM(CASE WHEN bd = '7' THEN 1 ELSE 0 END) AS BIGINT) AS c7,
+         CAST(SUM(CASE WHEN bd = '8' THEN 1 ELSE 0 END) AS BIGINT) AS c8,
+         CAST(SUM(CASE WHEN bd = '9' THEN 1 ELSE 0 END) AS BIGINT) AS c9
+  FROM base GROUP BY g),
+s AS (
+  SELECT g, CAST(c1 + c2 + c3 + c4 + c5 + c6 + c7 + c8 + c9 AS DOUBLE) AS n, * FROM counts),
+c AS (
+  SELECT g, n,
+         POWER(c1 - n * 0.3010299956639812, 2) / (n * 0.3010299956639812) + POWER(c2 - n * 0.17609125905568124, 2) / (n * 0.17609125905568124) + POWER(c3 - n * 0.12493873660829992, 2) / (n * 0.12493873660829992) + POWER(c4 - n * 0.09691001300805642, 2) / (n * 0.09691001300805642) + POWER(c5 - n * 0.07918124604762482, 2) / (n * 0.07918124604762482) + POWER(c6 - n * 0.06694678963061322, 2) / (n * 0.06694678963061322) + POWER(c7 - n * 0.05799194697768673, 2) / (n * 0.05799194697768673) + POWER(c8 - n * 0.05115252244738129, 2) / (n * 0.05115252244738129) + POWER(c9 - n * 0.04575749056067514, 2) / (n * 0.04575749056067514) AS chi2,
+         (abs(CAST(c1 AS DOUBLE) / n - 0.3010299956639812) + abs(CAST(c2 AS DOUBLE) / n - 0.17609125905568124) + abs(CAST(c3 AS DOUBLE) / n - 0.12493873660829992) + abs(CAST(c4 AS DOUBLE) / n - 0.09691001300805642) + abs(CAST(c5 AS DOUBLE) / n - 0.07918124604762482) + abs(CAST(c6 AS DOUBLE) / n - 0.06694678963061322) + abs(CAST(c7 AS DOUBLE) / n - 0.05799194697768673) + abs(CAST(c8 AS DOUBLE) / n - 0.05115252244738129) + abs(CAST(c9 AS DOUBLE) / n - 0.04575749056067514)) / 9.0 AS mad
+  FROM s),
+z AS (
+  SELECT *,
+         (POWER(chi2 / 8.0, 1.0 / 3.0) - (1.0 - 2.0 / 72.0))
+           / sqrt(2.0 / 72.0) AS wz
+  FROM c),
+p AS (
+  SELECT *, 1 - (CASE WHEN wz >= 0 THEN 1 - pt / 2 ELSE pt / 2 END) AS pv
+  FROM (
+    SELECT *,
+           (0.254829592 * tt - 0.284496736 * POWER(tt, 2)
+            + 1.421413741 * POWER(tt, 3) - 1.453152027 * POWER(tt, 4)
+            + 1.061405429 * POWER(tt, 5)) * exp(-(xx * xx)) AS pt
+    FROM (
+      SELECT *, abs(wz) / sqrt(2.0) AS xx,
+             1.0 / (1.0 + 0.3275911 * (abs(wz) / sqrt(2.0))) AS tt
+      FROM z)))
+SELECT g AS l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       ROUND(chi2, 6) AS chi2,
+       8 AS dof,
+       ROUND(pv, 6) AS p_value,
+       ROUND(mad, 6) AS mad
+FROM p
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -9975,6 +10043,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_winsorize": _q_winsorize,
         "stats_log_rank": _q_log_rank,
         "dedup_cdc_pairs": _q_cdc_pairs,
+        "stats_benford": _q_benford,
     }
 
 
@@ -10183,6 +10252,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "grouped_winsorize": WINSORIZE_ORACLE,
         "stats_log_rank": LOG_RANK_ORACLE,
         "dedup_cdc_pairs": CDC_PAIRS_ORACLE,
+        "stats_benford": BENFORD_ORACLE,
     }
 
 

@@ -140,6 +140,7 @@ DETAIL_QUERIES = [
     "grouped_winsorize",
     "stats_log_rank",
     "dedup_cdc_corpus",
+    "stats_benford",
 ]
 
 RUNS = 3

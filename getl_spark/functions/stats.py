@@ -3951,3 +3951,82 @@ def log_rank(
         F.round(chi2, round_to).alias("chi2"),
         F.round(p, round_to).alias("p_value"),
     )
+
+
+def benford(
+    df: DataFrame,
+    value_col: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Benford first-digit conformance — the classic fabricated-or-
+    truncated-numbers gate for metric columns that should span
+    magnitudes (transaction amounts, durations, counts): natural
+    multi-scale data has first significant digit d with probability
+    log₁₀(1+1/d) (30.1% ones … 4.6% nines); capped, defaulted, or
+    synthesized columns don't, and the deviation is a data-quality
+    signal BEFORE such a column feeds a model. (Not every column
+    should conform — narrow-range measurements won't; this is a
+    change/anomaly detector, not an absolute validity test.)
+
+    The first digit is extracted EXACTLY and portably via
+    ``format_string('%.15e', |x|)`` — IEEE correctly-rounded decimal
+    formatting, identical in the JVM and DuckDB's printf, so the
+    oracle replays bit-for-bit (a ``floor(log10)`` extraction can
+    mis-bin near powers of ten when two libms round differently; at
+    15 digits the round-up edge is ~5e-16 relative — unreachable).
+    Zero and NULL/NaN values are excluded.
+
+    Output per group: ``(group_by..., n, chi2, dof, p_value, mad)``
+    — Pearson χ²(8) with the Wilson-Hilferty tail on the shared A&S
+    Φ, and Nigrini's MAD (mean |observed−expected| share; < 0.006 is
+    conventionally "close conformance"). Scale shape: ONE
+    conditional-count aggregate (9 digit counts finish map-side,
+    keyed when grouped); everything after is arithmetic on the
+    group-count-sized result.
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    v = F.col(value_col).cast("double")
+    x = F.abs(v)
+    digit = F.substring(F.format_string("%.15e", x), 1, 1)
+    base = df.where(
+        v.isNotNull() & ~F.isnan(v) & (v != 0)
+    ).select(*keys, digit.alias("__bd"))
+    cells = [
+        F.sum(F.when(F.col("__bd") == str(d), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"__bf_{d}")
+        for d in range(1, 10)
+    ]
+    counts = base.groupBy(*keys).agg(*cells) if keys else base.agg(*cells)
+    n = sum(F.col(f"__bf_{d}") for d in range(1, 10)).cast("double")
+    import math
+
+    chi2 = None
+    mad = None
+    for d in range(1, 10):
+        p_d = math.log10(1 + 1 / d)
+        exp_d = n * F.lit(p_d)
+        term = (F.col(f"__bf_{d}") - exp_d) ** 2 / exp_d
+        dev = F.abs(F.col(f"__bf_{d}") / n - F.lit(p_d))
+        chi2 = term if chi2 is None else chi2 + term
+        mad = dev if mad is None else mad + dev
+    chi2 = F.when(n > 0, chi2)
+    mad = F.when(n > 0, mad / F.lit(9.0))
+    k = 8.0
+    wh_z = (
+        (chi2 / F.lit(k)) ** F.lit(1.0 / 3.0) - F.lit(1.0 - 2.0 / (9.0 * k))
+    ) / F.lit((2.0 / (9.0 * k)) ** 0.5)
+    p = 1 - _normal_cdf(wh_z)
+    return counts.select(
+        *keys,
+        n.cast("bigint").alias("n"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.lit(8).alias("dof"),
+        F.round(p, round_to).alias("p_value"),
+        F.round(mad, round_to).alias("mad"),
+    )

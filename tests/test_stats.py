@@ -2631,3 +2631,60 @@ def test_log_rank_matches_python_reference(spark):
     )
     with pytest.raises(Exception, match="log_rank"):
         stats.log_rank(only_c, "t", "e", "g", "c", "t").collect()
+
+
+def test_benford_conformance_gate(spark):
+    """chi2/MAD match a plain-python reference; log-uniform data
+    conforms (large p, small MAD); uniform data flagrantly does not;
+    digit extraction survives negatives/tiny/huge values and power-
+    of-ten boundaries; zeros/NULL/NaN excluded; grouped variant."""
+    import math
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(5)
+    # log-uniform over 6 decades -> Benford-conformant
+    good = [10 ** rnd.uniform(-2, 4) for _ in range(4000)]
+    # uniform on [1, 10) -> flat first digits, wildly non-conformant
+    bad = [rnd.uniform(1, 10) for _ in range(4000)]
+    rows = (
+        [("good", x) for x in good]
+        + [("bad", x) for x in bad]
+        + [("good", 0.0), ("good", None), ("bad", float("nan"))]
+    )
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE")
+    out = {r.g: r for r in stats.benford(df, "x", group_by="g").collect()}
+
+    def ref(vals):
+        counts = [0] * 10
+        for x in vals:
+            d = int(f"{abs(x):.15e}"[0])
+            counts[d] += 1
+        n = sum(counts[1:])
+        chi2 = mad = 0.0
+        for d in range(1, 10):
+            p = math.log10(1 + 1 / d)
+            chi2 += (counts[d] - n * p) ** 2 / (n * p)
+            mad += abs(counts[d] / n - p)
+        return n, chi2, mad / 9
+
+    for g, vals in (("good", good), ("bad", bad)):
+        n, chi2, mad = ref(vals)
+        r = out[g]
+        assert r.n == n
+        assert r.chi2 == pytest.approx(chi2, rel=1e-6)
+        assert r.mad == pytest.approx(mad, abs=1e-6)
+    assert out["good"].p_value > 0.01 and out["good"].mad < 0.006
+    assert out["bad"].p_value < 1e-6 and out["bad"].mad > 0.02
+
+    # extraction edges: negatives, powers of ten, tiny/huge
+    edge = spark.createDataFrame(
+        [(float(x),) for x in (-123.0, 1000.0, 1e-12, 9.994e2, 1e15, -0.002)],
+        "x DOUBLE",
+    )
+    r = stats.benford(edge, "x").collect()[0]
+    # digits: 1, 1, 1, 9, 1, 2 -> n=6
+    assert r.n == 6
+    n, chi2, mad = ref([-123.0, 1000.0, 1e-12, 9.994e2, 1e15, -0.002])
+    assert r.chi2 == pytest.approx(chi2, rel=1e-6)
