@@ -9826,6 +9826,43 @@ FROM p
 """
 
 
+def _q_cdc_stored_index(spark, sf_dir):
+    """dedup.build_cdc_index + cdc_against_stored_index driven
+    end-to-end on the fixed md5-chain fixture: index docs {1,3,5},
+    screen increment {2,4} (both share the 4000-char passage with
+    doc 1 at different offsets). Expected pairs golden-pinned from
+    the pure-Python twin ``cdc_boundaries_py`` — same chunk sets as
+    ``dedup_cdc_pairs``, re-read as (increment, index) directed
+    rows."""
+    from getl_spark.functions import dedup
+
+    tmp = "/tmp/getl_spark_q/cdc_index"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = _cdc_fixture_docs()
+    base = spark.createDataFrame(
+        [d for d in docs if d[0] in (1, 3, 5)], "doc_id LONG, text STRING"
+    )
+    inc = spark.createDataFrame(
+        [d for d in docs if d[0] in (2, 4)], "doc_id LONG, text STRING"
+    )
+    dedup.build_cdc_index(base, tmp, min_size=32, avg_size=128, max_size=512)
+    return dedup.cdc_against_stored_index(inc, tmp, min_shared=2)
+
+
+CDC_STORED_INDEX_ORACLE = """
+SELECT CAST(new_id AS BIGINT) AS new_id,
+       CAST(index_id AS BIGINT) AS index_id,
+       CAST(shared AS BIGINT) AS shared_chunks,
+       CAST(nn AS BIGINT) AS n_chunks_new,
+       CAST(ni AS BIGINT) AS n_chunks_index,
+       CAST(cont AS DOUBLE) AS containment
+FROM (VALUES
+  (2, 1, 21, 24, 26, 0.875),
+  (4, 1, 22, 23, 26, 0.956522)
+) AS t(new_id, index_id, shared, nn, ni, cont)
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10044,6 +10081,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_log_rank": _q_log_rank,
         "dedup_cdc_pairs": _q_cdc_pairs,
         "stats_benford": _q_benford,
+        "dedup_cdc_stored_index": _q_cdc_stored_index,
     }
 
 
@@ -10253,6 +10291,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_log_rank": LOG_RANK_ORACLE,
         "dedup_cdc_pairs": CDC_PAIRS_ORACLE,
         "stats_benford": BENFORD_ORACLE,
+        "dedup_cdc_stored_index": CDC_STORED_INDEX_ORACLE,
     }
 
 

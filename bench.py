@@ -141,6 +141,7 @@ DETAIL_QUERIES = [
     "stats_log_rank",
     "dedup_cdc_corpus",
     "stats_benford",
+    "dedup_cdc_stored_index",
 ]
 
 RUNS = 3

@@ -2256,3 +2256,190 @@ def cdc_pairs(
             & (F.col("containment") >= threshold)
         )
     )
+
+
+def build_cdc_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 2048,
+) -> DataFrame:
+    """Persist a content-defined-chunk index — the CDC symmetric of
+    ``build_minhash_index``: chunk the corpus once, then screen every
+    daily increment for shared passages with
+    ``cdc_against_stored_index`` without rescanning or re-chunking
+    the corpus. Where the MinHash index answers "is this NEAR-
+    DUPLICATE of something indexed?", the chunk index answers "does
+    this SHARE PASSAGES with something indexed?" — quoted articles,
+    changelog re-posts, boilerplate-wrapped mirrors — robust to
+    insertions by the CDC boundary property.
+
+    Writes ``{path}/meta`` (chunking parameters + id type, read back
+    at query/append time so an increment can never chunk with
+    different cut rules than the index), ``{path}/chunks``
+    (id, chunk_hash — distinct per doc), and — LAST —
+    ``{path}/sizes`` (id, n_chunks): queries inner-join sizes, so a
+    crash between the two writes leaves orphan chunk rows that are
+    invisible until the replay commits them (the
+    ``similarity``/``index_append`` write-order contract). Returns a
+    1-row occupancy summary ``(n_docs, n_chunks, max_chunk_df)`` —
+    a large ``max_chunk_df`` is the hot-boilerplate warning that
+    sizes the query-time ``max_df`` cap.
+
+    Index cost: one md5 + one id per chunk ≈ 40 B × bytes/avg_size —
+    ~16 GB per TB of text at the 256-byte default.
+    """
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    spark.createDataFrame(
+        [(min_size, avg_size, max_size, id_type)],
+        "min_size int, avg_size int, max_size int, id_type string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    chunks = (
+        cdc_chunks(df, id_col, text_col, min_size, avg_size, max_size)
+        .select(F.col(id_col).alias("id"), "chunk_hash")
+        .distinct()
+        .transform(pin)
+    )
+    chunks.write.mode("overwrite").parquet(f"{path}/chunks")
+    stored = spark.read.parquet(f"{path}/chunks")
+    stored.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_chunks")
+    ).write.mode("overwrite").parquet(f"{path}/sizes")
+    return (
+        stored.groupBy("chunk_hash")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.sum("df").cast("bigint").alias("n_chunks"),
+            F.max("df").cast("bigint").alias("max_chunk_df"),
+        )
+        .join(
+            F.broadcast(
+                spark.read.parquet(f"{path}/sizes").agg(
+                    F.count("*").cast("bigint").alias("n_docs")
+                )
+            )
+        )
+        .select("n_docs", "n_chunks", "max_chunk_df")
+    )
+
+
+def cdc_against_stored_index(
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 2,
+    threshold: float = 0.0,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Shared-passage screen of an increment against a persisted
+    ``build_cdc_index``: chunk the NEW docs with the index's OWN cut
+    parameters (meta-driven — an increment can never drift to
+    different boundaries than the index), join on chunk hash, score
+    chunk containment. Returns ``(new_id, index_id, shared_chunks,
+    n_chunks_new, n_chunks_index, containment)`` — filter and route
+    (drop, attribute, or quarantine) downstream; containment =
+    shared / min(|new|, |index|).
+
+    Scale shape: increment-sized chunking + ONE keyed join against
+    the chunk table — the corpus is never rescanned. Joined postings
+    are distinct'd on (new, index, hash) BEFORE counting, so replay-
+    duplicated index rows (the crash-window case ``build_cdc_index``
+    documents) can never inflate a shared count. ``max_df`` drops
+    chunk hashes whose INDEX document frequency exceeds the cap —
+    the hot-boilerplate guard; measured post-join on the
+    increment-sized subset, so the cap costs nothing extra.
+    """
+    spark = new_df.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    new_chunks = (
+        cdc_chunks(
+            new_df, id_col, text_col,
+            meta.min_size, meta.avg_size, meta.max_size,
+        )
+        .select(F.col(id_col).alias("new_id"), "chunk_hash")
+        .distinct()
+        .transform(pin)
+    )
+    n_new = new_chunks.groupBy("new_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks_new")
+    )
+    idx = spark.read.parquet(f"{index_path}/chunks").withColumnRenamed(
+        "id", "index_id"
+    )
+    sizes = spark.read.parquet(f"{index_path}/sizes").select(
+        F.col("id").alias("index_id"),
+        F.col("n_chunks").alias("n_chunks_index"),
+    )
+    joined = (
+        new_chunks.join(idx, "chunk_hash")
+        .select("new_id", "index_id", "chunk_hash")
+        .distinct()
+        .transform(pin)
+    )
+    if max_df is not None:
+        hot = (
+            joined.select("index_id", "chunk_hash")
+            .distinct()
+            .groupBy("chunk_hash")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("chunk_hash")
+        )
+        joined = joined.join(hot, "chunk_hash", "anti")
+    pairs = joined.groupBy("new_id", "index_id").agg(
+        F.count("*").cast("bigint").alias("shared_chunks")
+    )
+    return (
+        pairs.join(n_new, "new_id")
+        .join(sizes, "index_id")
+        .select(
+            "new_id",
+            "index_id",
+            "shared_chunks",
+            "n_chunks_new",
+            "n_chunks_index",
+            F.round(
+                F.col("shared_chunks")
+                / F.least("n_chunks_new", "n_chunks_index").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .where(
+            (F.col("shared_chunks") >= min_shared)
+            & (F.col("containment") >= threshold)
+        )
+    )
+
+
+def cdc_index_append(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Grow a persisted ``build_cdc_index`` with new documents,
+    chunked with the index's OWN meta parameters. Write order is the
+    crash-safety contract: chunks first, sizes LAST — the size row
+    is the membership commit marker (``cdc_against_stored_index``
+    inner-joins sizes, and its post-join distinct makes replayed
+    duplicate chunk rows harmless)."""
+    spark = df.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    chunks = (
+        cdc_chunks(
+            df, id_col, text_col,
+            meta.min_size, meta.avg_size, meta.max_size,
+        )
+        .select(F.col(id_col).alias("id"), "chunk_hash")
+        .distinct()
+        .transform(pin)
+    )
+    chunks.write.mode("append").parquet(f"{index_path}/chunks")
+    chunks.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_chunks")
+    ).write.mode("append").parquet(f"{index_path}/sizes")

@@ -1794,3 +1794,77 @@ def test_cdc_pairs_finds_shared_passages(spark):
         df, threshold=1.01, min_size=32, avg_size=128, max_size=512
     ).count()
     assert hi == 0
+
+
+def test_cdc_stored_index_roundtrip(spark, tmp_path):
+    """build -> against -> append daily-ingest loop: an increment
+    sharing a passage with an indexed doc pairs up; unrelated docs
+    don't; meta drives increment chunking; replayed duplicate chunk
+    rows can't inflate shared counts; max_df drops hot boilerplate;
+    append makes tomorrow's increment see today's survivors."""
+    import random
+
+    from getl_spark.functions import dedup
+
+    path = str(tmp_path / "cdc_index")
+    rnd = random.Random(67)
+
+    def blob(n):
+        return "".join(chr(rnd.randint(32, 126)) for _ in range(n))
+
+    passage = blob(5000)
+    boiler = blob(300)  # will be shared by EVERY indexed doc
+    corpus = [
+        (1, passage + blob(400) + boiler),
+        (2, blob(4000) + boiler),
+        (3, blob(4000) + boiler),
+    ]
+    summary = dedup.build_cdc_index(
+        spark.createDataFrame(corpus, "doc_id LONG, text STRING"),
+        path, min_size=32, avg_size=128, max_size=512,
+    ).collect()[0]
+    assert summary.n_docs == 3 and summary.n_chunks > 0
+    assert summary.max_chunk_df >= 2  # the boilerplate chunks
+
+    inc = spark.createDataFrame(
+        [(100, blob(600) + passage), (101, blob(5000))],
+        "doc_id LONG, text STRING",
+    )
+    hits = dedup.cdc_against_stored_index(
+        inc, path, min_shared=2, threshold=0.3
+    ).collect()
+    assert {(r.new_id, r.index_id) for r in hits} == {(100, 1)}
+    hit = hits[0]
+    assert hit.containment >= 0.5 and hit.shared_chunks >= 2
+
+    # replay-duplicate tolerance: append the SAME chunk rows again
+    # (simulating a replayed crash window) — shared counts unchanged
+    ch = spark.read.parquet(f"{path}/chunks")
+    ch.write.mode("append").parquet(f"{path}/chunks")
+    hits2 = {
+        (r.new_id, r.index_id): r.shared_chunks
+        for r in dedup.cdc_against_stored_index(
+            inc, path, min_shared=2, threshold=0.3
+        ).collect()
+    }
+    assert hits2 == {(100, 1): hit.shared_chunks}
+
+    # max_df=1 kills the boilerplate-only signal: doc 101 still no
+    # pair, doc 100's passage chunks (df=1) survive
+    capped = dedup.cdc_against_stored_index(
+        inc, path, min_shared=2, threshold=0.3, max_df=1
+    ).collect()
+    assert {(r.new_id, r.index_id) for r in capped} == {(100, 1)}
+
+    # append the surviving increment; a doc sharing ITS text now hits
+    dedup.cdc_index_append(
+        inc.where("doc_id = 101"), path
+    )
+    day2 = spark.createDataFrame(
+        [(200, blob(300) + passage)], "doc_id LONG, text STRING"
+    )
+    # passage lives in docs 1 (indexed day 0) and 100 (never appended)
+    d2 = dedup.cdc_against_stored_index(
+        day2, path, min_shared=2, threshold=0.3
+    ).collect()
+    assert {(r.new_id, r.index_id) for r in d2} == {(200, 1)}
