@@ -9863,6 +9863,81 @@ FROM (VALUES
 """
 
 
+def _q_capture_recapture(spark, sf_dir):
+    """stats.capture_recapture on two cheap duplicate-pair detectors
+    over documents — prefix-120 equality vs a chars-101..200 middle
+    window — Chapman-estimating the total near-dup pair population
+    neither detector fully sees. Pairs are emitted in BOTH
+    orientations (x != y) so ``unordered=True`` normalization is
+    doing real work."""
+    from getl_spark.functions import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def pairs(key_col):
+        keyed = docs.select(key_col.alias("__k"), "doc_id")
+        return (
+            keyed.alias("x")
+            .join(keyed.alias("y"), "__k")
+            .where(F.col("x.doc_id") != F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("ida"),
+                F.col("y.doc_id").alias("idb"),
+            )
+        )
+
+    return stats.capture_recapture(
+        pairs(F.substring("text", 1, 120)),
+        pairs(F.substring("text", 101, 100)),
+        ["ida", "idb"],
+        unordered=True,
+    )
+
+
+CAPTURE_RECAPTURE_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT least(x.doc_id, y.doc_id) AS ka,
+                  greatest(x.doc_id, y.doc_id) AS kb
+  FROM documents x JOIN documents y
+    ON substr(x.text, 1, 120) = substr(y.text, 1, 120)
+   AND x.doc_id <> y.doc_id
+), b AS (
+  SELECT DISTINCT least(x.doc_id, y.doc_id) AS ka,
+                  greatest(x.doc_id, y.doc_id) AS kb
+  FROM documents x JOIN documents y
+    ON substr(x.text, 101, 100) = substr(y.text, 101, 100)
+   AND x.doc_id <> y.doc_id
+), c AS (
+  SELECT (SELECT count(*) FROM a) AS n_a,
+         (SELECT count(*) FROM b) AS n_b,
+         (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b) t)
+           AS n_both
+), e AS (
+  SELECT *,
+         n_a + n_b - n_both AS n_union,
+         (n_a + 1.0) * (n_b + 1.0) / (n_both + 1.0) - 1 AS n_est,
+         sqrt((n_a + 1.0) * (n_b + 1.0) * (n_a - n_both) * (n_b - n_both)
+              / ((n_both + 1.0) * (n_both + 1.0) * (n_both + 2.0))) AS se
+  FROM c
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_union AS BIGINT) AS n_union,
+       round(n_est, 6) AS n_est,
+       round(se, 6) AS se,
+       round(greatest(CAST(n_union AS DOUBLE), n_est - 1.959964 * se), 6)
+         AS ci_lo,
+       round(n_est + 1.959964 * se, 6) AS ci_hi,
+       round(CASE WHEN n_est > 0 THEN n_a / n_est END, 6) AS coverage_a,
+       round(CASE WHEN n_est > 0 THEN n_b / n_est END, 6) AS coverage_b,
+       round(n_est - n_union, 6) AS miss_est
+FROM e
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10082,6 +10157,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_pairs": _q_cdc_pairs,
         "stats_benford": _q_benford,
         "dedup_cdc_stored_index": _q_cdc_stored_index,
+        "stats_capture_recapture": _q_capture_recapture,
     }
 
 
@@ -10292,6 +10368,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_cdc_pairs": CDC_PAIRS_ORACLE,
         "stats_benford": BENFORD_ORACLE,
         "dedup_cdc_stored_index": CDC_STORED_INDEX_ORACLE,
+        "stats_capture_recapture": CAPTURE_RECAPTURE_ORACLE,
     }
 
 

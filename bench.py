@@ -142,6 +142,7 @@ DETAIL_QUERIES = [
     "dedup_cdc_corpus",
     "stats_benford",
     "dedup_cdc_stored_index",
+    "stats_capture_recapture",
 ]
 
 RUNS = 3

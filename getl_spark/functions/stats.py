@@ -4030,3 +4030,113 @@ def benford(
         F.round(p, round_to).alias("p_value"),
         F.round(mad, round_to).alias("mad"),
     )
+
+
+def capture_recapture(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_cols=("id",),
+    unordered: bool = False,
+    z: float = 1.959964,
+    round_to: int = 6,
+) -> DataFrame:
+    """How much did my detector MISS? Chapman's capture-recapture
+    estimate of the total population size from two INDEPENDENT
+    detection passes — the recall readout that needs NO ground truth.
+    ``pair_recall_eval`` measures recall against exact truth on a
+    slice small enough to afford it; this estimates corpus-wide
+    totals from the overlap of two cheap detectors (MinHash-LSH vs
+    SimHash duplicate pairs, two PII scrubbers, two outage log
+    scanners): if pass A catches ``n_a``, pass B catches ``n_b``, and
+    they agree on ``n_both``, the Chapman estimator
+
+        N_hat = (n_a + 1) * (n_b + 1) / (n_both + 1) - 1
+
+    is the (nearly unbiased, Chapman 1951) population estimate, with
+    Seber's variance for the CI. Items are the distinct rows of
+    ``id_cols``; with ``unordered=True`` and exactly two id columns,
+    each row is normalized to (least, greatest) first so two pair
+    detectors' ordering conventions cannot manufacture disagreement.
+
+    The honesty clause: the estimator assumes the two detectors'
+    failures are INDEPENDENT. Real dedup detectors are positively
+    correlated (both miss the same hard rewrites), which biases
+    ``n_est`` LOW — read ``miss_est`` as "at LEAST this many more out
+    there", not an upper bound. The union count is a hard floor and
+    the CI is clamped to it.
+
+    One row: ``(n_a, n_b, n_both, n_union, n_est, se, ci_lo, ci_hi,
+    coverage_a, coverage_b, miss_est)`` — ``coverage_x`` is the
+    estimated detection rate of each pass (``n_x / n_est``, NULL when
+    the estimate is 0), ``miss_est = n_est - n_union`` the estimated
+    count neither pass found.
+
+    Scale shape: two distinct-reductions + one key-keyed semi-join +
+    three 1-row aggregates fused by broadcast (bytes ∝ distinct
+    detections, which the detectors' own caps bound); the estimator
+    itself is closed-form arithmetic on one row — replays exactly in
+    any engine, no inverse CDF anywhere.
+    """
+    ids = list(id_cols)
+
+    def _norm(df):
+        if unordered:
+            if len(ids) != 2:
+                raise ValueError(
+                    "unordered=True needs exactly two id columns, got "
+                    f"{ids}"
+                )
+            a, b = F.col(ids[0]), F.col(ids[1])
+            return df.select(
+                F.least(a, b).alias("__ka"), F.greatest(a, b).alias("__kb")
+            ).distinct()
+        return df.select(
+            *[F.col(c).alias(f"__k{i}") for i, c in enumerate(ids)]
+        ).distinct()
+
+    a = _norm(df_a)
+    b = _norm(df_b)
+    both = a.join(b, on=list(a.columns), how="left_semi")
+    counts = (
+        a.agg(F.count("*").cast("bigint").alias("n_a"))
+        .crossJoin(
+            F.broadcast(b.agg(F.count("*").cast("bigint").alias("n_b")))
+        )
+        .crossJoin(
+            F.broadcast(
+                both.agg(F.count("*").cast("bigint").alias("n_both"))
+            )
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    m = F.col("n_both").cast("double")
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    n_est = (na + 1) * (nb + 1) / (m + 1) - 1
+    var = (
+        (na + 1) * (nb + 1) * (na - m) * (nb - m)
+        / ((m + 1) * (m + 1) * (m + 2))
+    )
+    se = F.sqrt(var)
+    zz = F.lit(float(z))
+    return counts.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        n_union.alias("n_union"),
+        F.round(n_est, round_to).alias("n_est"),
+        F.round(se, round_to).alias("se"),
+        F.round(
+            F.greatest(n_union.cast("double"), n_est - zz * se), round_to
+        ).alias("ci_lo"),
+        F.round(n_est + zz * se, round_to).alias("ci_hi"),
+        F.round(F.when(n_est > 0, na / n_est), round_to).alias(
+            "coverage_a"
+        ),
+        F.round(F.when(n_est > 0, nb / n_est), round_to).alias(
+            "coverage_b"
+        ),
+        F.round(n_est - n_union.cast("double"), round_to).alias(
+            "miss_est"
+        ),
+    )

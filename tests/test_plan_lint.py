@@ -40,6 +40,7 @@ NESTED_LOOP_WHITELIST = {
     "ks_drift": "1-row totals broadcast (CDF normalization)",
     "text_host_mix": "1-row corpus-totals broadcast (global shares)",
     "dedup_pair_recall_eval": "1-row count-aggregate crossJoins (recall/precision numerators)",
+    "stats_capture_recapture": "1-row count-aggregate crossJoins (Chapman estimator terms)",
     "psi_drift": "1-row per-side totals broadcast",
     "stats_histogram": "1-row min/max bounds broadcast",
     "stats_js_divergence": "1-row per-side totals broadcast",

@@ -2688,3 +2688,61 @@ def test_benford_conformance_gate(spark):
     assert r.n == 6
     n, chi2, mad = ref([-123.0, 1000.0, 1e-12, 9.994e2, 1e15, -0.002])
     assert r.chi2 == pytest.approx(chi2, rel=1e-6)
+
+
+def test_capture_recapture_chapman(spark):
+    """Chapman estimator vs a pure-python reference on random draws;
+    hand case; unordered pair normalization; union floor on the CI;
+    empty-detector edges."""
+    import math
+    import random
+
+    from getl_spark.functions import stats
+
+    # hand case: n_a=4, n_b=3, m=2 -> N_hat = 5*4/3 - 1 = 17/3
+    a = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id LONG")
+    b = spark.createDataFrame([(i,) for i in (3, 4, 9)], "id LONG")
+    r = stats.capture_recapture(a, b, ["id"]).collect()[0]
+    n_hat = 5 * 4 / 3 - 1
+    var = 5 * 4 * (4 - 2) * (3 - 2) / (3 * 3 * 4)
+    assert (r.n_a, r.n_b, r.n_both, r.n_union) == (4, 3, 2, 5)
+    assert r.n_est == pytest.approx(n_hat, abs=1e-6)
+    assert r.se == pytest.approx(math.sqrt(var), abs=1e-6)
+    # union is a hard floor: N_hat=5.67 > 5 but N_hat - z*se < 5
+    assert r.ci_lo == 5.0
+    assert r.ci_hi == pytest.approx(n_hat + 1.959964 * math.sqrt(var), abs=1e-5)
+    assert r.coverage_a == pytest.approx(4 / n_hat, abs=1e-6)
+    assert r.miss_est == pytest.approx(n_hat - 5, abs=1e-6)
+
+    # random differential: detectors sample a latent population
+    rnd = random.Random(19)
+    pop = list(range(1000))
+    da = sorted(rnd.sample(pop, 400))
+    db = sorted(rnd.sample(pop, 300))
+    m = len(set(da) & set(db))
+    ref_est = (401 * 301) / (m + 1) - 1
+    r = stats.capture_recapture(
+        spark.createDataFrame([(i,) for i in da * 2], "id LONG"),  # dups collapse
+        spark.createDataFrame([(i,) for i in db], "id LONG"),
+        ["id"],
+    ).collect()[0]
+    assert (r.n_a, r.n_b, r.n_both) == (400, 300, m)
+    assert r.n_est == pytest.approx(ref_est, abs=1e-6)
+    # the estimate should bracket the true population loosely
+    assert r.ci_lo <= 1000 <= r.ci_hi + 150
+
+    # unordered pairs: reversed orientation still counts as agreement
+    pa = spark.createDataFrame([(1, 2), (3, 4)], "x LONG, y LONG")
+    pb = spark.createDataFrame([(2, 1), (5, 6)], "x LONG, y LONG")
+    r = stats.capture_recapture(pa, pb, ["x", "y"], unordered=True).collect()[0]
+    assert (r.n_a, r.n_b, r.n_both, r.n_union) == (2, 2, 1, 3)
+    with pytest.raises(ValueError):
+        stats.capture_recapture(pa, pb, ["x"], unordered=True)
+
+    # empty side: N_hat = (0+1)(n+1)/1 - 1 = n_b, coverage_a NULL at 0 est
+    empty = spark.createDataFrame([], "id LONG")
+    r = stats.capture_recapture(empty, b, ["id"]).collect()[0]
+    assert (r.n_a, r.n_b, r.n_both) == (0, 3, 0)
+    assert r.n_est == pytest.approx(3.0)
+    r = stats.capture_recapture(empty, empty, ["id"]).collect()[0]
+    assert r.n_est == 0.0 and r.coverage_a is None and r.miss_est == 0.0
