@@ -9938,6 +9938,36 @@ FROM e
 """
 
 
+def _q_ess_report(spark, sf_dir):
+    """sample.ess_report per language on documents weighted by
+    n_chars — the Kish effective-sample-size readout for a
+    char-weighted (token-weight proxy) training mix."""
+    from getl_spark.functions import sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample.ess_report(docs, "n_chars", ["lang"])
+
+
+ESS_REPORT_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(w), 6) AS sum_w,
+       round(CASE WHEN sum(w * w) > 0
+                  THEN sum(w) * sum(w) / sum(w * w) END, 6) AS ess,
+       round(CASE WHEN sum(w * w) > 0
+                  THEN sum(w) * sum(w) / sum(w * w) / count(*) END, 6)
+         AS ess_ratio,
+       round(CASE WHEN sum(w * w) > 0
+                  THEN count(*) / (sum(w) * sum(w) / sum(w * w)) END, 6)
+         AS deff,
+       round(CASE WHEN sum(w) > 0 THEN max(w) / sum(w) END, 6)
+         AS max_w_share
+FROM (SELECT lang, CAST(n_chars AS DOUBLE) AS w
+      FROM documents WHERE n_chars IS NOT NULL) t
+GROUP BY lang
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10158,6 +10188,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_benford": _q_benford,
         "dedup_cdc_stored_index": _q_cdc_stored_index,
         "stats_capture_recapture": _q_capture_recapture,
+        "sample_ess_report": _q_ess_report,
     }
 
 
@@ -10369,6 +10400,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_benford": BENFORD_ORACLE,
         "dedup_cdc_stored_index": CDC_STORED_INDEX_ORACLE,
         "stats_capture_recapture": CAPTURE_RECAPTURE_ORACLE,
+        "sample_ess_report": ESS_REPORT_ORACLE,
     }
 
 

@@ -143,6 +143,7 @@ DETAIL_QUERIES = [
     "stats_benford",
     "dedup_cdc_stored_index",
     "stats_capture_recapture",
+    "sample_ess_report",
 ]
 
 RUNS = 3

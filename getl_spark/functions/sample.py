@@ -580,3 +580,66 @@ def kfold(
         fold_col,
         F.least(F.floor(u * k), F.lit(k - 1)).cast("int"),
     )
+
+
+def ess_report(
+    df: DataFrame,
+    weight_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Did my weighting scheme quietly throw away most of my sample?
+    Kish effective sample size and design effect per group — the
+    standard diagnostic for any weighted mixture (``weighted_mix``
+    keep-rates, ``temperature_mix`` strata scales, importance weights,
+    loss weights): n weighted rows carry the statistical information
+    of only ``ess = (Σw)² / Σw²`` unweighted rows, and
+    ``deff = n / ess = 1 + cv²(w)`` says how many× more data the
+    weighting makes you need. A mix whose ``ess_ratio`` drifts down
+    across snapshots is concentrating its mass on few rows —
+    ``max_w_share`` (the single heaviest row's share of total weight)
+    names the failure when one document dominates a stratum.
+
+    Output per group: ``(group..., n, sum_w, ess, ess_ratio, deff,
+    max_w_share)``. NULL weights are excluded from every figure
+    (``avg`` semantics); NEGATIVE weights fail loudly (``assert_true``
+    — the Kish identity reads w ≥ 0; a negative weight is an upstream
+    bug, not a convention). All-zero-weight groups yield NULL
+    ess/ratios (0/0 is "nothing to say", not 0).
+
+    Scale shape: ONE map-side-combined aggregate per group — n, Σw,
+    Σw², max(w) all fold in the same pass — then closed-form
+    arithmetic on the group-count-sized result. Scan cost only, at
+    any corpus size.
+    """
+    w = F.col(weight_col).cast("double")
+    keys = [] if group_by is None else list(group_by)
+    guard = F.assert_true(
+        w >= 0, F.concat(F.lit("ess_report: negative weight "), w)
+    )
+    base = df.where(w.isNotNull()).select(
+        *keys,
+        (w + F.coalesce(guard.cast("double"), F.lit(0.0))).alias("__w"),
+    )
+    gb = base.groupBy(*keys) if keys else base.groupBy()
+    agg = gb.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("__w").alias("__sw"),
+        F.sum(F.col("__w") * F.col("__w")).alias("__sw2"),
+        F.max("__w").alias("__mw"),
+    )
+    ess = F.when(
+        F.col("__sw2") > 0, F.col("__sw") * F.col("__sw") / F.col("__sw2")
+    )
+    return agg.select(
+        *keys,
+        "n",
+        F.round("__sw", round_to).alias("sum_w"),
+        F.round(ess, round_to).alias("ess"),
+        F.round(ess / F.col("n"), round_to).alias("ess_ratio"),
+        F.round(F.col("n") / ess, round_to).alias("deff"),
+        F.round(
+            F.when(F.col("__sw") > 0, F.col("__mw") / F.col("__sw")),
+            round_to,
+        ).alias("max_w_share"),
+    )

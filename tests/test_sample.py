@@ -663,3 +663,46 @@ def test_balanced_downsample_equalizes_classes(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="label_cap"):
         S.balanced_downsample(df, "label", ["id"], label_cap=0)
+
+
+def test_ess_report_kish(spark):
+    """Kish ESS vs a python reference; equal weights -> deff=1;
+    NULL exclusion; all-zero NULL gate; negative weight fails loud."""
+    import random
+
+    rnd = random.Random(41)
+    rows = [(i, "a", rnd.uniform(0.1, 5.0)) for i in range(300)] + [
+        (i, "b", float(i % 7 == 0)) for i in range(300, 500)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, g STRING, w DOUBLE")
+    out = {r.g: r for r in sample.ess_report(df, "w", ["g"]).collect()}
+
+    wa = [w for _, g, w in rows if g == "a"]
+    ess = sum(wa) ** 2 / sum(x * x for x in wa)
+    assert out["a"].n == 300
+    assert out["a"].sum_w == pytest.approx(sum(wa), abs=1e-5)
+    assert out["a"].ess == pytest.approx(ess, abs=1e-4)
+    assert out["a"].deff == pytest.approx(300 / ess, abs=1e-6)
+    assert out["a"].max_w_share == pytest.approx(max(wa) / sum(wa), abs=1e-6)
+    # group b: 0/1 weights -> ess == number of weight-1 rows
+    ones = sum(1 for _, g, w in rows if g == "b" and w == 1.0)
+    assert out["b"].ess == pytest.approx(float(ones))
+    assert out["b"].ess_ratio == pytest.approx(ones / 200, abs=1e-6)
+
+    # equal weights: ess == n, deff == 1 exactly; NULLs excluded
+    eq = spark.createDataFrame(
+        [(1, 2.5), (2, 2.5), (3, None), (4, 2.5)], "id LONG, w DOUBLE"
+    )
+    r = sample.ess_report(eq, "w").collect()[0]
+    assert (r.n, r.ess, r.deff, r.ess_ratio) == (3, 3.0, 1.0, 1.0)
+
+    # all-zero weights: NULL ess family, zero sum
+    z = spark.createDataFrame([(1, 0.0), (2, 0.0)], "id LONG, w DOUBLE")
+    r = sample.ess_report(z, "w").collect()[0]
+    assert r.n == 2 and r.sum_w == 0.0
+    assert r.ess is None and r.deff is None and r.max_w_share is None
+
+    # negative weight fails loudly
+    neg = spark.createDataFrame([(1, 1.0), (2, -0.5)], "id LONG, w DOUBLE")
+    with pytest.raises(Exception, match="negative weight"):
+        sample.ess_report(neg, "w").collect()
