@@ -9968,6 +9968,60 @@ GROUP BY lang
 """
 
 
+def _q_seasonality(spark, sf_dir):
+    """stats.seasonality per event_type on the events stream —
+    hour-of-day profile with uniformity chi2/entropy/strength."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stats.seasonality(ev, "ts", "hour", ["event_type"])
+
+
+SEASONALITY_ORACLE = """
+WITH cells AS (
+  SELECT event_type AS g, hour(ts) AS cell, CAST(count(*) AS DOUBLE) AS cn
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), a AS (
+  SELECT g, sum(cn) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+         sum(cn * cn) AS c2s, sum(cn * ln(cn)) AS clnc, max(cn) AS pkn
+  FROM cells GROUP BY 1
+), pk AS (
+  SELECT cells.g, CAST(min(cell) AS INT) AS peak_cell
+  FROM cells JOIN a ON cells.g = a.g AND cells.cn = a.pkn GROUP BY 1
+), c AS (
+  SELECT a.*, pk.peak_cell, 24.0 * c2s / n - n AS chi2
+  FROM a JOIN pk ON a.g = pk.g
+), z AS (
+  SELECT *,
+         (POWER(chi2 / 23.0, 1.0 / 3.0) - (1.0 - 2.0 / 207.0))
+           / sqrt(2.0 / 207.0) AS wz
+  FROM c
+), p AS (
+  SELECT *, 1 - (CASE WHEN wz >= 0 THEN 1 - pt / 2 ELSE pt / 2 END) AS pv
+  FROM (
+    SELECT *,
+           (0.254829592 * tt - 0.284496736 * POWER(tt, 2)
+            + 1.421413741 * POWER(tt, 3) - 1.453152027 * POWER(tt, 4)
+            + 1.061405429 * POWER(tt, 5)) * exp(-(xx * xx)) AS pt
+    FROM (
+      SELECT *, abs(wz) / sqrt(2.0) AS xx,
+             1.0 / (1.0 + 0.3275911 * (abs(wz) / sqrt(2.0))) AS tt
+      FROM z))
+)
+SELECT g AS event_type,
+       CAST(n AS BIGINT) AS n,
+       n_cells,
+       peak_cell,
+       round(pkn / n, 6) AS peak_share,
+       round((ln(n) - clnc / n) / ln(24.0), 6) AS entropy_ratio,
+       round(chi2, 6) AS chi2,
+       23 AS dof,
+       round(pv, 6) AS p_value,
+       round(sqrt(chi2 / (n * 23.0)), 6) AS strength
+FROM p
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10189,6 +10243,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_stored_index": _q_cdc_stored_index,
         "stats_capture_recapture": _q_capture_recapture,
         "sample_ess_report": _q_ess_report,
+        "stats_seasonality": _q_seasonality,
     }
 
 
@@ -10401,6 +10456,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_cdc_stored_index": CDC_STORED_INDEX_ORACLE,
         "stats_capture_recapture": CAPTURE_RECAPTURE_ORACLE,
         "sample_ess_report": ESS_REPORT_ORACLE,
+        "stats_seasonality": SEASONALITY_ORACLE,
     }
 
 

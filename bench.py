@@ -144,6 +144,7 @@ DETAIL_QUERIES = [
     "dedup_cdc_stored_index",
     "stats_capture_recapture",
     "sample_ess_report",
+    "stats_seasonality",
 ]
 
 RUNS = 3

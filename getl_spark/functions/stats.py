@@ -4140,3 +4140,106 @@ def capture_recapture(
             "miss_est"
         ),
     )
+
+
+def seasonality(
+    df: DataFrame,
+    ts_col: str,
+    period: str = "hour",
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Is this activity stream seasonal — and how strongly? One row
+    per group profiling the hour-of-day (``period="hour"``, 24 cells)
+    or ISO day-of-week (``period="dow"``, 7 cells, 1=Monday) shape of
+    an event timestamp column: the standing monitor that catches a
+    scraper that suddenly runs only at night, a log pipeline that
+    drops weekends, or a traffic mix whose diurnal curve shifts after
+    a rollout — before any volume alarm fires.
+
+    Output per group: ``(group..., n, n_cells, peak_cell, peak_share,
+    entropy_ratio, chi2, dof, p_value, strength)``.
+
+    - ``entropy_ratio``: Shannon entropy of the cell distribution over
+      ln(k) — 1.0 is perfectly flat, 0.0 is single-cell; cells the
+      period defines but the data never hits count against it.
+    - ``chi2``/``p_value``: goodness-of-fit against the uniform
+      period via the count identity ``chi2 = k·Σc²/n − n`` (missing
+      cells are handled exactly — no per-cell expectation join), with
+      the Wilson-Hilferty chi²(k−1) tail on the shared polynomial Φ.
+      A LOW p says the stream is significantly non-uniform (almost
+      any real diurnal stream is, at volume — read ``strength`` for
+      size, p for existence).
+    - ``strength``: Cramér's-V-style normalized effect
+      ``sqrt(chi2 / (n·(k−1)))`` — 0 flat, →1 concentrated; the
+      cross-snapshot drift number, volume-independent.
+    - ``peak_cell``/``peak_share``: the busiest cell (ties break to
+      the smallest cell id — deterministic across engines).
+
+    Day-of-week is computed arithmetically from epoch time
+    (``(floor(epoch_us/86.4e9)+3) mod 7 + 1``, 1970-01-01 being a
+    Thursday) — portable across engines and independent of session
+    timezone/locale week conventions; timestamps are read as UTC
+    (TIMESTAMP_NTZ passes through unshifted). NULL timestamps are
+    excluded.
+
+    Scale shape: one keyed aggregate to ≤ k cells per group, one
+    aggregate over those cells — shuffle ∝ groups × k (k = 24 or 7),
+    scan cost otherwise; no windows, no per-group buffering.
+    """
+    import math
+
+    if period == "hour":
+        k, cell = 24, F.hour(F.col(ts_col).cast("timestamp"))
+    elif period == "dow":
+        k = 7
+        days = F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(86_400_000_000)
+        )
+        cell = F.pmod(days + 3, F.lit(7)) + 1
+    else:
+        raise ValueError(f"period must be 'hour' or 'dow', got {period!r}")
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    cells = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(*keys, cell.cast("int").alias("__cell"))
+        .groupBy(*keys, "__cell")
+        .agg(F.count("*").cast("double").alias("__cn"))
+    )
+    gb = cells.groupBy(*keys) if keys else cells.groupBy()
+    agg = gb.agg(
+        F.sum("__cn").alias("__n"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum(F.col("__cn") * F.col("__cn")).alias("__c2"),
+        F.sum(F.col("__cn") * F.log("__cn")).alias("__clnc"),
+        F.max(
+            F.struct(F.col("__cn").alias("cn"), (-F.col("__cell")).alias("negc"))
+        ).alias("__pk"),
+    )
+    n = F.col("__n")
+    chi2 = F.lit(float(k)) * F.col("__c2") / n - n
+    entropy = F.log(n) - F.col("__clnc") / n
+    dof = float(k - 1)
+    wh_z = (
+        (chi2 / F.lit(dof)) ** F.lit(1.0 / 3.0)
+        - F.lit(1.0 - 2.0 / (9.0 * dof))
+    ) / F.lit((2.0 / (9.0 * dof)) ** 0.5)
+    return agg.select(
+        *keys,
+        n.cast("bigint").alias("n"),
+        "n_cells",
+        (-F.col("__pk.negc")).cast("int").alias("peak_cell"),
+        F.round(F.col("__pk.cn") / n, round_to).alias("peak_share"),
+        F.round(entropy / F.lit(math.log(float(k))), round_to).alias(
+            "entropy_ratio"
+        ),
+        F.round(chi2, round_to).alias("chi2"),
+        F.lit(k - 1).alias("dof"),
+        F.round(1 - _normal_cdf(wh_z), round_to).alias("p_value"),
+        F.round(F.sqrt(chi2 / (n * F.lit(dof))), round_to).alias("strength"),
+    )

@@ -2746,3 +2746,58 @@ def test_capture_recapture_chapman(spark):
     assert r.n_est == pytest.approx(3.0)
     r = stats.capture_recapture(empty, empty, ["id"]).collect()[0]
     assert r.n_est == 0.0 and r.coverage_a is None and r.miss_est == 0.0
+
+
+def test_seasonality_profiles(spark):
+    """Uniform stream scores flat (high p, low strength); a
+    concentrated stream scores peaked; chi2/entropy match a python
+    reference incl. never-hit cells; dow arithmetic hits known
+    weekdays; deterministic peak tie-break; bad period raises."""
+    import datetime
+    import math as M
+
+    from getl_spark.functions import stats
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    # group "flat": one event every hour for 10 days -> uniform
+    flat = [
+        ("flat", base + datetime.timedelta(hours=h)) for h in range(240)
+    ]
+    # group "night": everything between 02:00 and 04:59
+    night = [
+        ("night", base + datetime.timedelta(days=d, hours=2 + (d % 3)))
+        for d in range(90)
+    ]
+    df = spark.createDataFrame(flat + night, "g STRING, ts TIMESTAMP")
+    out = {r.g: r for r in stats.seasonality(df, "ts", "hour", ["g"]).collect()}
+
+    f, nt = out["flat"], out["night"]
+    assert (f.n, f.n_cells) == (240, 24)
+    assert f.chi2 == 0.0 and f.strength == 0.0 and f.entropy_ratio == 1.0
+    assert f.p_value > 0.9
+    assert (nt.n, nt.n_cells) == (90, 3)
+    # python reference: 3 cells of 30, 21 empty cells
+    chi2_ref = 24 * (3 * 30 * 30) / 90 - 90
+    ent_ref = (M.log(90) - (3 * 30 * M.log(30)) / 90) / M.log(24)
+    assert nt.chi2 == pytest.approx(chi2_ref, abs=1e-6)
+    assert nt.entropy_ratio == pytest.approx(ent_ref, abs=1e-6)
+    assert nt.strength == pytest.approx(M.sqrt(chi2_ref / (90 * 23)), abs=1e-6)
+    assert nt.p_value < 1e-6
+    # 30 events in each of hours 2,3,4 -> tie breaks to smallest cell
+    assert nt.peak_cell == 2 and nt.peak_share == pytest.approx(30 / 90)
+
+    # dow: 2024-01-01 is a Monday -> cell 1; add two Sundays -> cell 7
+    dw = spark.createDataFrame(
+        [("x", base)] * 3
+        + [("x", base + datetime.timedelta(days=6))] * 2
+        + [("x", None)],
+        "g STRING, ts TIMESTAMP",
+    )
+    r = stats.seasonality(dw, "ts", "dow", ["g"]).collect()[0]
+    assert (r.n, r.n_cells, r.dof) == (5, 2, 6)
+    assert r.peak_cell == 1 and r.peak_share == pytest.approx(0.6)
+    chi2_ref = 7 * (9 + 4) / 5 - 5
+    assert r.chi2 == pytest.approx(chi2_ref, abs=1e-6)
+
+    with pytest.raises(ValueError, match="period"):
+        stats.seasonality(df, "ts", "weekly")
