@@ -10022,6 +10022,75 @@ FROM p
 """
 
 
+def _q_interval_gaps(spark, sf_dir):
+    """interval.gaps — the named coverage holes: each event covers
+    [ts, ts+600s); output every quiet stretch per event_type, the
+    backfill work-list form of interval.coverage."""
+    from getl_spark.functions import interval
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.where(F.col("ts").isNotNull()).select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(1000000.0)
+        ).alias("s"),
+    ).withColumn("e", F.col("s") + 600.0)
+    return interval.gaps(iv, "s", "e", group_by="event_type")
+
+
+INTERVAL_GAPS_ORACLE = """
+WITH iv AS (
+  SELECT event_type AS g,
+         epoch_us(ts) / 1000000.0 AS s,
+         epoch_us(ts) / 1000000.0 + 600.0 AS e
+  FROM events WHERE ts IS NOT NULL
+), o AS (
+  SELECT g, s, e,
+         max(e) OVER (PARTITION BY g ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM iv
+)
+SELECT g AS event_type,
+       round(prev_end, 6) AS start,
+       round(s, 6) AS "end",
+       round(s - prev_end, 6) AS duration
+FROM o WHERE prev_end IS NOT NULL AND prev_end < s
+"""
+
+
+def _q_robust_zscore(spark, sf_dir):
+    """grouped.robust_zscore — median/MAD outlier standardization of
+    event values per event_type (JVM-only: stats.mad counts reduction
+    + keyed join + one codegen expression)."""
+    from getl_spark.functions import grouped
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    return grouped.robust_zscore(ev, "value", ["event_type"])
+
+
+ROBUST_ZSCORE_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         round(median(CAST(value AS DOUBLE)), 6) AS med,
+         round(mad(CAST(value AS DOUBLE)), 6) AS md
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+  GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(CASE WHEN e.value IS NOT NULL
+                   AND NOT isnan(CAST(e.value AS DOUBLE))
+                   AND md > 0
+             THEN (CAST(e.value AS DOUBLE) - med) / (1.4826 * md) END, 6)
+         AS value_robust_z
+FROM events e LEFT JOIN m USING (event_type)
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10244,6 +10313,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_capture_recapture": _q_capture_recapture,
         "sample_ess_report": _q_ess_report,
         "stats_seasonality": _q_seasonality,
+        "interval_gaps": _q_interval_gaps,
+        "grouped_robust_zscore": _q_robust_zscore,
     }
 
 
@@ -10457,6 +10528,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_capture_recapture": CAPTURE_RECAPTURE_ORACLE,
         "sample_ess_report": ESS_REPORT_ORACLE,
         "stats_seasonality": SEASONALITY_ORACLE,
+        "interval_gaps": INTERVAL_GAPS_ORACLE,
+        "grouped_robust_zscore": ROBUST_ZSCORE_ORACLE,
     }
 
 

@@ -145,6 +145,8 @@ DETAIL_QUERIES = [
     "stats_capture_recapture",
     "sample_ess_report",
     "stats_seasonality",
+    "interval_gaps",
+    "grouped_robust_zscore",
 ]
 
 RUNS = 3

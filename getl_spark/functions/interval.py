@@ -294,3 +294,79 @@ def coverage(
         F.round(F.max("end") - F.min("start"), round_to).alias("span"),
         F.round(F.max("__gap"), round_to).alias("largest_gap"),
     )
+
+
+def gaps(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_by=None,
+    min_gap: float = 0.0,
+    horizon_start: float | None = None,
+    horizon_end: float | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """The complement of ``merge``: the HOLES in coverage, one row per
+    uncovered stretch per key — monitoring blackouts between uptime
+    pings, un-crawled date ranges in an ingest ledger, silence windows
+    in a session stream. ``coverage`` answers "how much is missing?"
+    in one row; this names every missing stretch so a backfill job
+    can iterate over the output directly.
+
+    Intervals are first consolidated into islands (``merge``
+    semantics, including ``min_gap`` bridging — a bridged hole is not
+    a gap); each pair of consecutive islands then emits
+    ``(group..., start, end, duration)`` for the open stretch between
+    them. With ``horizon_start``/``horizon_end`` set, the uncovered
+    stretch before the first island and/or after the last one is also
+    emitted — a feed whose coverage simply stops early is missing
+    data, even though no pair of islands brackets the hole. Horizon
+    bounds clip nothing: they only add the two edge gaps when the
+    data does not reach them. Gaps are ordered by ``start`` within a
+    group (derivable, not materialized — no extra numbering pass).
+
+    Scale shape: ``merge``'s two prefix scans + one more EXCLUSIVE
+    running-max scan over the ISLAND table (already ≤ islands rows,
+    not input rows) for the previous-end column; the trailing-edge
+    gap folds from a per-group 1-row aggregate. No windows over raw
+    rows, no per-group buffering.
+    """
+    from getl_spark.common.scale import grouped_prefix_scan
+
+    islands = merge(df, start_col, end_col, group_by, min_gap)
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    prev_end = grouped_prefix_scan(
+        islands, keys, ["island"], "end", "__prev_end",
+        fn="max", inclusive=False,
+    )
+    # internal gaps; with a horizon, the first island's NULL prev_end
+    # becomes the horizon edge
+    lead = (
+        F.col("__prev_end")
+        if horizon_start is None
+        else F.coalesce(F.col("__prev_end"), F.lit(float(horizon_start)))
+    )
+    internal = prev_end.select(
+        *keys,
+        lead.alias("__gs"),
+        F.col("start").alias("__ge"),
+    ).where(F.col("__gs").isNotNull() & (F.col("__gs") < F.col("__ge")))
+    out = internal
+    if horizon_end is not None:
+        trailing = (
+            islands.groupBy(*keys)
+            .agg(F.max("end").alias("__gs"))
+            .select(*keys, "__gs", F.lit(float(horizon_end)).alias("__ge"))
+            .where(F.col("__gs") < F.col("__ge"))
+        )
+        out = out.unionByName(trailing)
+    return out.select(
+        *keys,
+        F.round("__gs", round_to).alias("start"),
+        F.round("__ge", round_to).alias("end"),
+        F.round(F.col("__ge") - F.col("__gs"), round_to).alias("duration"),
+    )

@@ -289,3 +289,74 @@ def test_coverage_summary(spark):
     assert (a["covered"], a["span"], a["largest_gap"]) == (20.0, 25.0, 5.0)
     b = c["b"]
     assert (b["covered"], b["span"], b["largest_gap"]) == (1.0, 1.0, None)
+
+
+def test_gaps_named_holes(spark):
+    """gaps == complement of merge: internal holes, min_gap bridging,
+    horizon edge gaps, multi-group isolation, random differential vs
+    a python sweep."""
+    from getl_spark.functions import interval
+
+    rows = [
+        ("a", 0.0, 10.0), ("a", 5.0, 12.0), ("a", 12.0, 15.0),
+        ("a", 20.0, 25.0), ("a", 30.0, 31.0),
+        ("b", 1.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, s DOUBLE, e DOUBLE")
+    got = sorted(
+        (r.k, r.start, r.end, r.duration)
+        for r in interval.gaps(df, "s", "e", group_by="k").collect()
+    )
+    assert got == [("a", 15.0, 20.0, 5.0), ("a", 25.0, 30.0, 5.0)]
+
+    # min_gap=5 bridges both holes
+    assert interval.gaps(df, "s", "e", group_by="k", min_gap=5.0).count() == 0
+
+    # horizons add the leading and trailing stretches
+    got = sorted(
+        (r.k, r.start, r.end)
+        for r in interval.gaps(
+            df, "s", "e", group_by="k",
+            horizon_start=-5.0, horizon_end=40.0,
+        ).collect()
+    )
+    assert got == [
+        ("a", -5.0, 0.0), ("a", 15.0, 20.0), ("a", 25.0, 30.0),
+        ("a", 31.0, 40.0),
+        ("b", -5.0, 1.0), ("b", 2.0, 40.0),
+    ]
+    # a horizon the data already reaches adds nothing
+    assert (
+        interval.gaps(
+            df.where("k = 'a'"), "s", "e",
+            horizon_start=0.0, horizon_end=31.0,
+        ).count()
+        == 2
+    )
+
+    # random differential vs python sweep
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        ("g", float(s), float(s + rnd.randint(1, 8)))
+        for s in rnd.sample(range(200), 60)
+    ]
+    df = spark.createDataFrame(rows, "k STRING, s DOUBLE, e DOUBLE")
+
+    def sweep(iv):
+        iv = sorted(iv)
+        out, cur_s, cur_e = [], iv[0][0], iv[0][1]
+        for s, e in iv[1:]:
+            if s > cur_e:
+                out.append((cur_e, s))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        return out
+
+    want = sweep([(s, e) for _, s, e in rows])
+    got = sorted(
+        (r.start, r.end) for r in interval.gaps(df, "s", "e").collect()
+    )
+    assert got == want

@@ -2801,3 +2801,46 @@ def test_seasonality_profiles(spark):
 
     with pytest.raises(ValueError, match="period"):
         stats.seasonality(df, "ts", "weekly")
+
+
+def test_robust_zscore_grouped(spark):
+    """Median/MAD z vs numpy reference per group; outlier immunity vs
+    plain zscore; NULL/NaN passthrough; zero-MAD gate; ungrouped
+    broadcast path; in-place overwrite."""
+    import random
+    import statistics as st
+
+    from getl_spark.functions import grouped
+
+    rnd = random.Random(23)
+    rows = [("a", float(rnd.gauss(50, 5))) for _ in range(199)] + [
+        ("a", 100000.0),  # the 2 GB crawl page
+        ("b", 1.0), ("b", 1.0), ("b", 1.0),  # zero-MAD group
+    ]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = grouped.robust_zscore(df, "v", ["g"]).collect()
+
+    va = sorted(v for g, v in rows if g == "a")
+    med = st.median(va)
+    mad = st.median(sorted(abs(x - med) for x in va))
+    med, mad = round(med, 6), round(mad, 6)
+    for r in out:
+        if r.g == "b":
+            assert r.v_robust_z is None
+        else:
+            want = round((r.v - med) / (1.4826 * mad), 6)
+            assert r.v_robust_z == pytest.approx(want, abs=2e-6)
+    # the outlier itself scores huge, median/mad barely notice it
+    big = max(r.v_robust_z for r in out if r.g == "a")
+    assert big > 1000
+
+    # NULL / NaN score NULL, rows preserved
+    nn = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,), (float("nan"),)], "v DOUBLE"
+    )
+    got = grouped.robust_zscore(nn, "v", new_col="v").collect()
+    assert len(got) == 5
+    vals = [r.v for r in got]
+    assert sum(v is None or v != v for v in vals) == 2
+    # in-place overwrite: median 2, mad 1 -> z of 3.0 is 1/1.4826
+    assert round(1 / 1.4826, 6) in [round(v, 6) for v in vals if v is not None and v == v]
