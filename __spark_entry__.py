@@ -10091,6 +10091,88 @@ FROM events e LEFT JOIN m USING (event_type)
 """
 
 
+def _q_outlier_score(spark, sf_dir):
+    """embedding.fit_pca + outlier_score on the FIXED anisotropic
+    cloud from ``_q_pca_project`` plus one planted off-manifold junk
+    vector (id 99) — Mahalanobis-in-PCA-basis + residual score,
+    golden-pinned at 6 decimals (eigendecomposition is not
+    SQL-expressible; one partition fixes the Gram accumulation
+    order). The junk vector scores ~20x the cloud on BOTH scores."""
+    from getl_spark.functions import embedding as E
+
+    rows = []
+    for i in range(40):
+        t = (i - 20) / 7.0
+        u = ((i * 13) % 9 - 4) / 11.0
+        rows.append(
+            (
+                i,
+                [
+                    t + u,
+                    2.0 * t - u,
+                    -t + 0.5 * u + 0.25 * t * t,
+                    u * u - t,
+                    0.5 * t + 2.0 * u,
+                ],
+            )
+        )
+    rows.append((99, [0.05, -0.1, 4.0, 3.5, 0.02]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(1)
+    model = E.fit_pca(df, "embedding", k=2)
+    return E.outlier_score(df, model, resid_col="resid_score").select(
+        "vec_id", "outlier_score", "resid_score"
+    )
+
+
+OUTLIER_SCORE_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(3.575316 AS DOUBLE), CAST(8.323127 AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(3.513826 AS DOUBLE), CAST(2.319614 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(3.864624 AS DOUBLE), CAST(4.906575 AS DOUBLE)),
+  (CAST(3 AS BIGINT), CAST(2.316415 AS DOUBLE), CAST(1.542904 AS DOUBLE)),
+  (CAST(4 AS BIGINT), CAST(2.396518 AS DOUBLE), CAST(2.973179 AS DOUBLE)),
+  (CAST(5 AS BIGINT), CAST(1.633177 AS DOUBLE), CAST(1.592219 AS DOUBLE)),
+  (CAST(6 AS BIGINT), CAST(1.48187 AS DOUBLE), CAST(1.493424 AS DOUBLE)),
+  (CAST(7 AS BIGINT), CAST(1.338652 AS DOUBLE), CAST(2.494074 AS DOUBLE)),
+  (CAST(8 AS BIGINT), CAST(0.993926 AS DOUBLE), CAST(0.503084 AS DOUBLE)),
+  (CAST(9 AS BIGINT), CAST(1.321586 AS DOUBLE), CAST(4.278221 AS DOUBLE)),
+  (CAST(10 AS BIGINT), CAST(0.820139 AS DOUBLE), CAST(0.041169 AS DOUBLE)),
+  (CAST(11 AS BIGINT), CAST(0.523871 AS DOUBLE), CAST(5.7392 AS DOUBLE)),
+  (CAST(12 AS BIGINT), CAST(0.862166 AS DOUBLE), CAST(0.14993 AS DOUBLE)),
+  (CAST(13 AS BIGINT), CAST(0.371254 AS DOUBLE), CAST(3.767549 AS DOUBLE)),
+  (CAST(14 AS BIGINT), CAST(1.035871 AS DOUBLE), CAST(0.874853 AS DOUBLE)),
+  (CAST(15 AS BIGINT), CAST(0.395528 AS DOUBLE), CAST(2.188645 AS DOUBLE)),
+  (CAST(16 AS BIGINT), CAST(1.271325 AS DOUBLE), CAST(2.264664 AS DOUBLE)),
+  (CAST(17 AS BIGINT), CAST(0.525468 AS DOUBLE), CAST(1.060472 AS DOUBLE)),
+  (CAST(18 AS BIGINT), CAST(1.512802 AS DOUBLE), CAST(4.371327 AS DOUBLE)),
+  (CAST(19 AS BIGINT), CAST(0.704056 AS DOUBLE), CAST(0.444253 AS DOUBLE)),
+  (CAST(20 AS BIGINT), CAST(0.122359 AS DOUBLE), CAST(6.770649 AS DOUBLE)),
+  (CAST(21 AS BIGINT), CAST(0.88848 AS DOUBLE), CAST(0.404449 AS DOUBLE)),
+  (CAST(22 AS BIGINT), CAST(0.253078 AS DOUBLE), CAST(4.155805 AS DOUBLE)),
+  (CAST(23 AS BIGINT), CAST(1.050132 AS DOUBLE), CAST(1.008756 AS DOUBLE)),
+  (CAST(24 AS BIGINT), CAST(0.412166 AS DOUBLE), CAST(2.110627 AS DOUBLE)),
+  (CAST(25 AS BIGINT), CAST(1.174611 AS DOUBLE), CAST(2.328111 AS DOUBLE)),
+  (CAST(26 AS BIGINT), CAST(0.583927 AS DOUBLE), CAST(0.715309 AS DOUBLE)),
+  (CAST(27 AS BIGINT), CAST(1.261722 AS DOUBLE), CAST(4.436689 AS DOUBLE)),
+  (CAST(28 AS BIGINT), CAST(0.766872 AS DOUBLE), CAST(0.053285 AS DOUBLE)),
+  (CAST(29 AS BIGINT), CAST(0.749916 AS DOUBLE), CAST(5.215513 AS DOUBLE)),
+  (CAST(30 AS BIGINT), CAST(0.973718 AS DOUBLE), CAST(0.211226 AS DOUBLE)),
+  (CAST(31 AS BIGINT), CAST(1.108887 AS DOUBLE), CAST(2.732886 AS DOUBLE)),
+  (CAST(32 AS BIGINT), CAST(1.231387 AS DOUBLE), CAST(1.27904 AS DOUBLE)),
+  (CAST(33 AS BIGINT), CAST(1.575748 AS DOUBLE), CAST(1.234656 AS DOUBLE)),
+  (CAST(34 AS BIGINT), CAST(1.581008 AS DOUBLE), CAST(3.349874 AS DOUBLE)),
+  (CAST(35 AS BIGINT), CAST(2.190335 AS DOUBLE), CAST(0.823227 AS DOUBLE)),
+  (CAST(36 AS BIGINT), CAST(2.077913 AS DOUBLE), CAST(6.520113 AS DOUBLE)),
+  (CAST(37 AS BIGINT), CAST(3.006687 AS DOUBLE), CAST(1.604244 AS DOUBLE)),
+  (CAST(38 AS BIGINT), CAST(4.893176 AS DOUBLE), CAST(4.499944 AS DOUBLE)),
+  (CAST(39 AS BIGINT), CAST(4.09305 AS DOUBLE), CAST(3.686588 AS DOUBLE)),
+  (CAST(99 AS BIGINT), CAST(21.546441 AS DOUBLE), CAST(18.530526 AS DOUBLE))
+) AS t(vec_id, outlier_score, resid_score)
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10315,6 +10397,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_seasonality": _q_seasonality,
         "interval_gaps": _q_interval_gaps,
         "grouped_robust_zscore": _q_robust_zscore,
+        "embedding_outlier_score": _q_outlier_score,
     }
 
 
@@ -10530,6 +10613,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_seasonality": SEASONALITY_ORACLE,
         "interval_gaps": INTERVAL_GAPS_ORACLE,
         "grouped_robust_zscore": ROBUST_ZSCORE_ORACLE,
+        "embedding_outlier_score": OUTLIER_SCORE_ORACLE,
     }
 
 

@@ -147,6 +147,7 @@ DETAIL_QUERIES = [
     "stats_seasonality",
     "interval_gaps",
     "grouped_robust_zscore",
+    "embedding_outlier_score",
 ]
 
 RUNS = 3

@@ -212,10 +212,16 @@ class PCAModel:
     ``explained_variance_ratio`` (k,). Bounded: d² doubles regardless
     of corpus size."""
 
-    def __init__(self, mean, components, explained_variance_ratio):
+    def __init__(self, mean, components, explained_variance_ratio,
+                 variances=None, total_variance=None):
         self.mean = mean
         self.components = components
         self.explained_variance_ratio = explained_variance_ratio
+        # per-component eigenvalues and the full covariance trace —
+        # optional (older pickled fits lack them); outlier_score
+        # requires a model that carries both
+        self.variances = variances
+        self.total_variance = total_variance
 
     @property
     def k(self) -> int:
@@ -299,8 +305,12 @@ def fit_pca(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
     signs[signs == 0] = 1.0
     comps = comps * signs[:, None]
     total = float(np.clip(evals.sum(), 1e-300, None))
-    ratio = np.clip(evals[order], 0.0, None) / total
-    return PCAModel(mean.tolist(), comps.tolist(), ratio.tolist())
+    kept = np.clip(evals[order], 0.0, None)
+    ratio = kept / total
+    return PCAModel(
+        mean.tolist(), comps.tolist(), ratio.tolist(),
+        variances=kept.tolist(), total_variance=total,
+    )
 
 
 def pca_project(
@@ -775,3 +785,94 @@ def drift(
         F.round(F.sqrt("__var_right"), round_to).alias("std_right"),
         F.round(smd, round_to).alias("smd"),
     )
+
+
+def outlier_score(
+    df: DataFrame,
+    model: PCAModel,
+    vec_col: str = "embedding",
+    new_col: str = "outlier_score",
+    resid_col: str = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space outlier / contamination score against a fitted
+    ``PCAModel``: the Mahalanobis distance² in the top-k principal
+    basis, ``Σᵢ yᵢ²/λᵢ`` for the whitened projection y — the standard
+    "does this vector belong to this corpus?" gate that catches
+    mis-embedded rows (wrong model version, truncated inputs,
+    adversarial junk, another language's cluster) where a plain
+    L2-norm check sees nothing, because it prices deviation per
+    DIRECTION: a small step along a low-variance axis is more alien
+    than a big step along the corpus's dominant axis.
+
+    With ``resid_col`` set, also emits the RESIDUAL score: the
+    off-subspace mass ``(‖x−μ‖² − Σyᵢ²)`` over the average residual
+    eigenvalue ``(trace − Σλᵢ)/(d−k)`` — high residual with low
+    Mahalanobis means "novel direction the top-k basis cannot even
+    see", the part a reduced basis would otherwise silently project
+    away. Both scores are ~χ² distributed under the fit (dof k and
+    d−k), so thresholds come from chi2 quantiles of the same k every
+    fleet run.
+
+    Components with λ ≤ 0 (degenerate axes from a rank-deficient
+    corpus) are skipped rather than divided by; a model lacking
+    ``variances`` (an old fit) fails loudly. NULL vectors score NULL;
+    wrong-dimension vectors raise executor-side (the ``pca_project``
+    contract).
+
+    Scale shape: the mean/components/eigenvalues fold into the plan as
+    array literals exactly like ``pca_project`` — pure JVM
+    whole-stage-codegen expressions, zero Python in the hot path,
+    zero shuffle; scoring 100 TB costs one scan.
+    """
+    if model.variances is None or model.total_variance is None:
+        raise ValueError(
+            "outlier_score: model has no variances (re-fit with the "
+            "current fit_pca)"
+        )
+    d = len(model.mean)
+    k = len(model.components)
+    mean_lit = F.array(*[F.lit(float(m)) for m in model.mean])
+    checked = F.when(
+        F.size(F.col(vec_col)) == F.lit(d),
+        F.col(vec_col).cast("array<double>"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"outlier_score: model dim {d} != vector dim "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast("array<double>")
+    )
+    centered = F.zip_with(checked, mean_lit, lambda x, m: x - m)
+    maha = F.lit(0.0)
+    proj_sq = F.lit(0.0)
+    for comp, lam in zip(model.components, model.variances):
+        comp_lit = F.array(*[F.lit(float(c)) for c in comp])
+        y = F.aggregate(
+            F.zip_with(centered, comp_lit, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        proj_sq = proj_sq + y * y
+        if lam > 0:
+            maha = maha + y * y / F.lit(float(lam))
+    out = df.withColumn(
+        new_col,
+        F.round(F.when(F.col(vec_col).isNotNull(), maha), round_to),
+    )
+    if resid_col:
+        resid_lam = (model.total_variance - sum(model.variances)) / max(
+            d - k, 1
+        )
+        total_sq = F.aggregate(
+            centered, F.lit(0.0), lambda a, x: a + x * x
+        )
+        resid = F.greatest(total_sq - proj_sq, F.lit(0.0))
+        if resid_lam > 0:
+            resid = resid / F.lit(float(resid_lam))
+        out = out.withColumn(
+            resid_col,
+            F.round(F.when(F.col(vec_col).isNotNull(), resid), round_to),
+        )
+    return out

@@ -610,3 +610,66 @@ def test_drift_null_vectors_and_zero_variance(spark):
     assert out[0].n_left == 2  # null vector excluded
     assert out[0].smd is None  # both sides constant on dim 0
     assert out[1].smd is not None and out[1].smd < 0
+
+
+def test_outlier_score_mahalanobis(spark):
+    """Mahalanobis² in the PCA basis vs a numpy reference; planted
+    off-manifold outlier dominates; residual score catches the
+    direction a reduced basis projects away; NULL passthrough; old
+    models fail loud; zero JVM->Python in the plan."""
+    import numpy as np
+
+    from getl_spark.functions import embedding as E
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud in 6d: big variance on axes 0-2, tiny on 3-5
+    base = rng.normal(0, [5.0, 4.0, 3.0, 0.05, 0.04, 0.03], (400, 6))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    # outlier: modest step, but along a TINY-variance axis
+    rows.append((999, [0.0, 0.0, 0.0, 2.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    model = E.fit_pca(df, k=3)
+    out = {
+        r.vec_id: r
+        for r in E.outlier_score(
+            df, model, resid_col="resid_score"
+        ).collect()
+    }
+
+    # numpy reference on a few rows
+    mean = np.array(model.mean)
+    W = np.array(model.components)          # (3, 6)
+    lam = np.array(model.variances)
+    x = np.vstack([base, [[0.0, 0.0, 0.0, 2.0, 0.0, 0.0]]])
+    y = (x - mean) @ W.T
+    maha = (y * y / lam).sum(axis=1)
+    resid_lam = (model.total_variance - lam.sum()) / 3
+    resid = ((x - mean) ** 2).sum(axis=1) - (y * y).sum(axis=1)
+    resid = np.clip(resid, 0, None) / resid_lam
+    for i in (0, 1, 2, 50, 399):
+        assert out[i].outlier_score == pytest.approx(maha[i], rel=1e-4, abs=1e-4)
+        assert out[i].resid_score == pytest.approx(resid[i], rel=1e-4, abs=1e-4)
+
+    # the off-manifold outlier: tiny Mahalanobis in the top-3 basis
+    # (axes 0-2) but residual score far beyond every inlier
+    inlier_resid = max(out[i].resid_score for i in range(400))
+    assert out[999].resid_score > inlier_resid * 5
+    assert out[999].resid_score == pytest.approx(resid[-1], rel=1e-4)
+
+    # NULL vector scores NULL
+    nd = spark.createDataFrame(
+        [(1, None)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    r = E.outlier_score(nd, model, resid_col="rs").collect()[0]
+    assert r.outlier_score is None and r.rs is None
+
+    # model without variances (pre-upgrade pickle) fails loud
+    legacy = E.PCAModel(model.mean, model.components,
+                        model.explained_variance_ratio)
+    with pytest.raises(ValueError, match="variances"):
+        E.outlier_score(df, legacy)
+
+    # plan stays JVM-only: no BatchEvalPython / ArrowEvalPython
+    plan = E.outlier_score(df, model)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
