@@ -10173,6 +10173,140 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_levene(spark, sf_dir):
+    """stats.levene (Brown-Forsythe) — are discount spreads
+    homogeneous across return flags? The variance-assumption gate
+    that belongs before the pooled-variance anova on the same
+    columns."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return stats.levene(li, "l_returnflag", "l_discount")
+
+
+LEVENE_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS arm, CAST(l_discount AS DOUBLE) AS x
+  FROM lineitem
+  WHERE l_discount IS NOT NULL AND NOT isnan(CAST(l_discount AS DOUBLE))),
+ctr AS (
+  SELECT arm, ROUND(quantile_cont(x, 0.5), 6) AS med
+  FROM base GROUP BY arm),
+zb AS (
+  SELECT base.arm, abs(base.x - ctr.med) AS z
+  FROM base JOIN ctr ON base.arm = ctr.arm),
+arms AS (
+  SELECT arm,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         AVG(z) AS mg,
+         VAR_SAMP(z) AS vg
+  FROM zb GROUP BY arm),
+tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         SUM(ng * mg) / SUM(ng) AS grand,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM arms),
+ss AS (
+  SELECT t.n, t.k,
+         SUM(a.ng * POWER(a.mg - t.grand, 2)) AS ssb,
+         SUM((a.ng - 1) * COALESCE(a.vg, 0.0)) AS ssw
+  FROM arms a, tot t
+  GROUP BY t.n, t.k),
+f AS (
+  SELECT n, k, ssb, ssw,
+         CAST(k - 1 AS DOUBLE) AS d1,
+         CAST(n - k AS DOUBLE) AS d2,
+         (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) AS fs
+  FROM ss),
+z AS (
+  SELECT *,
+         ((1.0 - 2.0 / (9.0 * d2)) * POWER(fs, 1.0 / 3.0)
+          - (1.0 - 2.0 / (9.0 * d1)))
+         / sqrt(2.0 / (9.0 * d1)
+                + 2.0 / (9.0 * d2) * POWER(fs, 2.0 / 3.0)) AS wz
+  FROM f),
+p AS (
+  SELECT *, 1 - (CASE WHEN wz >= 0 THEN 1 - pt / 2 ELSE pt / 2 END) AS pv
+  FROM (
+    SELECT *,
+           (0.254829592 * tt - 0.284496736 * POWER(tt, 2)
+            + 1.421413741 * POWER(tt, 3) - 1.453152027 * POWER(tt, 4)
+            + 1.061405429 * POWER(tt, 5)) * exp(-(xx * xx)) AS pt
+    FROM (
+      SELECT *, abs(wz) / sqrt(2.0) AS xx,
+             1.0 / (1.0 + 0.3275911 * (abs(wz) / sqrt(2.0))) AS tt
+      FROM z)))
+SELECT n, k,
+       ROUND(ssb, 6) AS ss_between,
+       ROUND(ssw, 6) AS ss_within,
+       ROUND(fs, 6) AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CAST(n - k AS BIGINT) AS df2,
+       ROUND(ssb / (ssb + ssw), 6) AS eta_sq,
+       ROUND(pv, 6) AS p_value
+FROM p
+"""
+
+
+def _q_split_leakage(spark, sf_dir):
+    """sample.split_leakage — the dedup-unaware-split audit: prefix-120
+    near-dup pairs over documents vs a deterministic 80/20 doc_id
+    split; cross-split rows are eval answers sitting in train."""
+    from getl_spark.functions import sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    keyed = docs.select(F.substring("text", 1, 120).alias("__k"), "doc_id")
+    pairs = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), "__k")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+    )
+    asg = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 8, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return sample.split_leakage(pairs, asg)
+
+
+SPLIT_LEAKAGE_ORACLE = """
+WITH p AS (
+  SELECT DISTINCT least(x.doc_id, y.doc_id) AS pa,
+                  greatest(x.doc_id, y.doc_id) AS pb
+  FROM documents x JOIN documents y
+    ON substr(x.text, 1, 120) = substr(y.text, 1, 120)
+   AND x.doc_id < y.doc_id
+), asg AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'test' END AS s
+  FROM documents
+), tagged AS (
+  SELECT CASE WHEN a.s IS NULL AND b.s IS NULL THEN NULL
+              WHEN a.s IS NULL THEN b.s
+              WHEN b.s IS NULL THEN a.s
+              WHEN a.s <= b.s THEN a.s ELSE b.s END AS split_a,
+         CASE WHEN a.s IS NULL OR b.s IS NULL THEN NULL
+              WHEN a.s <= b.s THEN b.s ELSE a.s END AS split_b
+  FROM p
+  LEFT JOIN asg a ON p.pa = a.doc_id
+  LEFT JOIN asg b ON p.pb = b.doc_id
+), c AS (
+  SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM tagged GROUP BY 1, 2
+)
+SELECT split_a, split_b, n_pairs,
+       round(n_pairs / (SELECT CAST(sum(n_pairs) AS DOUBLE) FROM c), 6)
+         AS share
+FROM c
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10398,6 +10532,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_gaps": _q_interval_gaps,
         "grouped_robust_zscore": _q_robust_zscore,
         "embedding_outlier_score": _q_outlier_score,
+        "stats_levene": _q_levene,
+        "sample_split_leakage": _q_split_leakage,
     }
 
 
@@ -10614,6 +10750,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "interval_gaps": INTERVAL_GAPS_ORACLE,
         "grouped_robust_zscore": ROBUST_ZSCORE_ORACLE,
         "embedding_outlier_score": OUTLIER_SCORE_ORACLE,
+        "stats_levene": LEVENE_ORACLE,
+        "sample_split_leakage": SPLIT_LEAKAGE_ORACLE,
     }
 
 

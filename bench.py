@@ -148,6 +148,8 @@ DETAIL_QUERIES = [
     "interval_gaps",
     "grouped_robust_zscore",
     "embedding_outlier_score",
+    "stats_levene",
+    "sample_split_leakage",
 ]
 
 RUNS = 3

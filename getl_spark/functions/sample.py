@@ -643,3 +643,83 @@ def ess_report(
             round_to,
         ).alias("max_w_share"),
     )
+
+
+def split_leakage(
+    pairs: DataFrame,
+    assignments: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    round_to: int = 6,
+) -> DataFrame:
+    """Train/test contamination audit: given near-duplicate PAIRS
+    (from any dedup detector — ``minhash_lsh``, ``ngram_jaccard``,
+    ``embedding_cosine_pairs``) and a split ASSIGNMENT (``split``'s
+    output, or any (id, split) table), count pairs whose two sides
+    landed in different splits — each one is an eval answer sitting
+    in the training set. This is THE classic leak: dedup-unaware
+    random splits put one member of almost every dup cluster in
+    train and another in test, and reported eval numbers inflate.
+    Run it before trusting any benchmark built from the same crawl
+    as the training mix.
+
+    One row per unordered split combination: ``(split_a, split_b,
+    n_pairs, share)`` with ``split_a <= split_b`` (so (train, test)
+    and (test, train) collapse) and ``share`` of all distinct pairs.
+    Rows where ``split_a != split_b`` are the leaks; a NULL split
+    side means the pair member is MISSING from the assignment table
+    — surfaced, not dropped, because an unassigned id is its own
+    bug. Pair orientation is normalized and duplicates collapse
+    before counting.
+
+    Scale shape: one distinct-reduction of the pair set, two keyed
+    joins onto the (id, split) table, one ≤ (#splits+1)²-row
+    aggregate + a 1-row total broadcast for ``share``. Bytes ∝ the
+    pair count, which the detector's own caps bound.
+    """
+    a, b = F.col(id_a), F.col(id_b)
+    p = pairs.select(
+        F.least(a, b).alias("__pa"), F.greatest(a, b).alias("__pb")
+    ).distinct()
+    asg = assignments.select(
+        F.col(id_col).alias("__id"), F.col(split_col).alias("__s")
+    )
+    sa = asg.select(F.col("__id").alias("__pa"), F.col("__s").alias("__sa"))
+    sb = asg.select(F.col("__id").alias("__pb"), F.col("__s").alias("__sb"))
+    tagged = (
+        p.join(sa, "__pa", "left")
+        .join(sb, "__pb", "left")
+        .select(
+            F.least("__sa", "__sb").alias("__lo"),
+            F.greatest("__sa", "__sb").alias("__hi"),
+            # least/greatest skip NULLs: a one-sided NULL would
+            # collapse to (s, s) and masquerade as a safe same-split
+            # pair — keep the NULL visible on its own side instead
+            F.col("__sa").isNull().alias("__na"),
+            F.col("__sb").isNull().alias("__nb"),
+        )
+        .select(
+            F.when(F.col("__na") | F.col("__nb"),
+                   F.when(F.col("__na") & F.col("__nb"), F.lit(None))
+                   .otherwise(F.coalesce("__lo", "__hi")))
+            .otherwise(F.col("__lo"))
+            .alias("__ka"),
+            F.when(F.col("__na") | F.col("__nb"), F.lit(None))
+            .otherwise(F.col("__hi"))
+            .alias("__kb"),
+        )
+    )
+    counts = tagged.groupBy(
+        F.col("__ka").alias("split_a"), F.col("__kb").alias("split_b")
+    ).agg(F.count("*").cast("bigint").alias("n_pairs"))
+    total = counts.agg(
+        F.sum("n_pairs").cast("double").alias("__tot")
+    )
+    return counts.join(F.broadcast(total)).select(
+        "split_a",
+        "split_b",
+        "n_pairs",
+        F.round(F.col("n_pairs") / F.col("__tot"), round_to).alias("share"),
+    )

@@ -4243,3 +4243,84 @@ def seasonality(
         F.round(1 - _normal_cdf(wh_z), round_to).alias("p_value"),
         F.round(F.sqrt(chi2 / (n * F.lit(dof))), round_to).alias("strength"),
     )
+
+
+def levene(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_by=None,
+    center: str = "median",
+    round_to: int = 6,
+) -> DataFrame:
+    """Brown-Forsythe / Levene variance-homogeneity test across the
+    arms of ``group_col`` — the assumption gate that belongs NEXT TO
+    ``anova`` in the experiment sequence (``srm`` → ``levene`` →
+    ``anova``): ANOVA's pooled-variance F is only calibrated when arm
+    variances match, and a treatment that moves the SPREAD of a
+    metric without moving its mean (a latency fix that tightens the
+    tail, a ranking change that polarizes engagement) is itself a
+    real effect this test detects and a mean test misses.
+
+    The statistic is one-way ANOVA applied to the absolute
+    deviations ``z = |x − center(arm)|``: ``center="median"`` is
+    Brown-Forsythe (the robust default — calibrated under heavy
+    tails, the form scipy recommends); ``center="mean"`` is the
+    classic 1960 Levene. A small F/high p says spreads are
+    compatible; a low p flags heteroscedasticity (use Welch-style
+    pairwise ``ab_compare`` instead of pooled ANOVA, or report the
+    spread change as the finding).
+
+    Output matches ``anova``: one row per segment ``(group_by...,
+    n, k, ss_between, ss_within, f_stat, df1, df2, eta_sq,
+    p_value)`` — computed on the z values, Paulson F tail on the
+    shared polynomial Φ. Arm centers are ROUNDED (``round_to``)
+    before the deviation so the result replays exactly in the DuckDB
+    oracle. Inherits ``anova``'s fail-loud guards (< 2 arms, no
+    residual df, zero within-variance of z — identical spreads in
+    every arm at machine precision is a degenerate input, not a
+    result).
+
+    Scale shape: the median path reuses the distinct-value-counts
+    quantile machinery (shuffle ∝ distinct values per arm) + one
+    keyed join back; the mean path is one k-row aggregate + keyed
+    join; then ``anova``'s partial-aggregated k-row decomposition.
+    No per-arm buffering anywhere.
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        *keys, F.col(group_col).alias("__arm"), v.alias("__x")
+    )
+    arm_keys = keys + ["__arm"]
+    if center == "median":
+        med = quantiles(
+            base, "__x", qs=(0.5,), group_by=arm_keys, round_to=round_to
+        ).select(*arm_keys, F.col("quantile").alias("__ctr"))
+    elif center == "mean":
+        med = base.groupBy(*arm_keys).agg(
+            F.round(F.avg("__x"), round_to).alias("__ctr")
+        )
+    else:
+        raise ValueError(
+            f"levene: center must be 'median' or 'mean', got {center!r}"
+        )
+    c = med.select(
+        *[F.col(k).alias(f"__lv_{k}") for k in arm_keys], "__ctr"
+    )
+    cond = F.lit(True)
+    for k in arm_keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__lv_{k}"))
+    z = (
+        base.join(c, cond)
+        .select(
+            *keys,
+            "__arm",
+            F.abs(F.col("__x") - F.col("__ctr")).alias("__z"),
+        )
+    )
+    return anova(z, "__arm", "__z", group_by=keys or None, round_to=round_to)

@@ -52,8 +52,10 @@ NESTED_LOOP_WHITELIST = {
     "fraction in, tail comparison out)",
     "dedup_shingle_profile": "1-row total-pair-mass broadcast",
     "sample_balanced_downsample": "1-row min-class-size broadcast",
+    "sample_split_leakage": "1-row pair-total broadcast (share denominator)",
     "stats_trimmed_mean": "1-row total-count (and winsor bounds) broadcast",
     "stats_anova": "1-row grand-mean/total broadcast onto the k-row arm table",
+    "stats_levene": "1-row grand-mean/total broadcast (anova decomposition on the |deviation| values)",
     "stats_log_rank": "1-row per-arm totals broadcast onto the duration-counts table",
     "text_unigram_logprob": "1-row vocab-total broadcast",
     "text_logprob_buckets": "1-row vocab-total broadcast",

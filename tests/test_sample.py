@@ -706,3 +706,39 @@ def test_ess_report_kish(spark):
     neg = spark.createDataFrame([(1, 1.0), (2, -0.5)], "id LONG, w DOUBLE")
     with pytest.raises(Exception, match="negative weight"):
         sample.ess_report(neg, "w").collect()
+
+
+def test_split_leakage_audit(spark):
+    """Cross-split pairs surface as leaks; orientation/dup collapse;
+    unassigned ids bucket under NULL (one-sided keeps the known
+    split); shares sum to 1."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 2),   # train-train (safe)
+            (2, 1),   # reversed dup of the same pair
+            (3, 4),   # train-test LEAK
+            (4, 3),   # reversed dup of the leak
+            (5, 6),   # test-test (safe)
+            (7, 8),   # 8 unassigned
+            (9, 10),  # both unassigned
+        ],
+        "id_a LONG, id_b LONG",
+    )
+    asg = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "train"), (4, "test"),
+         (5, "test"), (6, "test"), (7, "train")],
+        "doc_id LONG, split STRING",
+    )
+    from getl_spark.functions import sample as S
+
+    out = {
+        (r.split_a, r.split_b): (r.n_pairs, r.share)
+        for r in S.split_leakage(pairs, asg).collect()
+    }
+    assert out[("train", "train")] == (1, 0.2)
+    assert out[("test", "train")] == (1, 0.2)   # the leak, ordered
+    assert out[("test", "test")] == (1, 0.2)
+    assert out[("train", None)] == (1, 0.2)     # one-sided unassigned
+    assert out[(None, None)] == (1, 0.2)
+    assert len(out) == 5
+    assert sum(s for _, s in out.values()) == pytest.approx(1.0)

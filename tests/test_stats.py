@@ -2844,3 +2844,50 @@ def test_robust_zscore_grouped(spark):
     assert sum(v is None or v != v for v in vals) == 2
     # in-place overwrite: median 2, mad 1 -> z of 3.0 is 1/1.4826
     assert round(1 / 1.4826, 6) in [round(v, 6) for v in vals if v is not None and v == v]
+
+
+def test_levene_brown_forsythe(spark):
+    """Brown-Forsythe W vs scipy-convention python reference;
+    equal-spread null vs a spread-shifted arm; mean-center variant;
+    center guard; anova-shape output."""
+    import random
+    import statistics as st
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(31)
+    rows = (
+        [("a", rnd.gauss(0, 1.0)) for _ in range(150)]
+        + [("b", rnd.gauss(5, 1.0)) for _ in range(140)]   # mean shift only
+        + [("c", rnd.gauss(0, 3.0)) for _ in range(130)]   # spread shift
+    )
+    df = spark.createDataFrame(rows, "arm STRING, x DOUBLE")
+
+    def ref_W(data, center):
+        zs, arms = [], sorted(set(a for a, _ in data))
+        for a in arms:
+            xs = [x for aa, x in data if aa == a]
+            c = round(st.median(xs) if center == "median" else st.mean(xs), 6)
+            zs.append([abs(x - c) for x in xs])
+        n = sum(len(z) for z in zs)
+        k = len(zs)
+        grand = sum(sum(z) for z in zs) / n
+        ssb = sum(len(z) * (st.mean(z) - grand) ** 2 for z in zs)
+        ssw = sum(sum((x - st.mean(z)) ** 2 for x in z) for z in zs)
+        return (ssb / (k - 1)) / (ssw / (n - k))
+
+    r = stats.levene(df, "arm", "x").collect()[0]
+    assert (r.n, r.k, r.df1, r.df2) == (420, 3, 2, 417)
+    assert r.f_stat == pytest.approx(ref_W(rows, "median"), rel=1e-5)
+    assert r.p_value < 1e-6  # arm c's spread is 3x
+
+    rm = stats.levene(df, "arm", "x", center="mean").collect()[0]
+    assert rm.f_stat == pytest.approx(ref_W(rows, "mean"), rel=1e-5)
+
+    # equal spreads (mean shifts only) -> homogeneous, p high
+    null_df = df.where("arm != 'c'")
+    rn = stats.levene(null_df, "arm", "x").collect()[0]
+    assert rn.k == 2 and rn.p_value > 0.05
+
+    with pytest.raises(ValueError, match="center"):
+        stats.levene(df, "arm", "x", center="mad")
