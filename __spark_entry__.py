@@ -10307,6 +10307,45 @@ FROM c
 """
 
 
+def _q_cronbach_alpha(spark, sf_dir):
+    """stats.cronbach_alpha — internal consistency of a complete
+    panel: the three return-flag 'detectors' each score 12 order
+    buckets by total quantity; alpha asks whether the three rankings
+    agree enough that their mean is signal. Cell scores are
+    integer-exact sums so both engines see identical doubles."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    panel = li.groupBy(
+        (F.col("l_orderkey") % 12).alias("item"),
+        F.col("l_returnflag").alias("rater"),
+    ).agg(F.sum("l_quantity").cast("double").alias("score"))
+    return stats.cronbach_alpha(panel, "item", "rater", "score")
+
+
+CRONBACH_ALPHA_ORACLE = """
+WITH panel AS (
+  SELECT l_orderkey % 12 AS item, l_returnflag AS rater,
+         CAST(SUM(l_quantity) AS DOUBLE) AS score
+  FROM lineitem GROUP BY 1, 2
+), tot AS (
+  SELECT item, SUM(score) AS t FROM panel GROUP BY item
+), vt AS (
+  SELECT VAR_SAMP(t) AS var_tot FROM tot
+), rv AS (
+  SELECT SUM(vr) AS sum_var FROM (
+    SELECT rater, VAR_SAMP(score) AS vr FROM panel GROUP BY rater)
+), kk AS (
+  SELECT CAST(COUNT(DISTINCT item) AS BIGINT) AS nn,
+         CAST(COUNT(DISTINCT rater) AS BIGINT) AS k
+  FROM panel)
+SELECT nn AS n_items, k AS k_raters,
+       ROUND(CAST(k AS DOUBLE) / (k - 1) * (1 - sum_var / var_tot), 6)
+         AS alpha
+FROM kk, vt, rv
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10534,6 +10573,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outlier_score": _q_outlier_score,
         "stats_levene": _q_levene,
         "sample_split_leakage": _q_split_leakage,
+        "stats_cronbach_alpha": _q_cronbach_alpha,
     }
 
 
@@ -10752,6 +10792,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "embedding_outlier_score": OUTLIER_SCORE_ORACLE,
         "stats_levene": LEVENE_ORACLE,
         "sample_split_leakage": SPLIT_LEAKAGE_ORACLE,
+        "stats_cronbach_alpha": CRONBACH_ALPHA_ORACLE,
     }
 
 

@@ -150,6 +150,7 @@ DETAIL_QUERIES = [
     "embedding_outlier_score",
     "stats_levene",
     "sample_split_leakage",
+    "stats_cronbach_alpha",
 ]
 
 RUNS = 3

@@ -4324,3 +4324,120 @@ def levene(
         )
     )
     return anova(z, "__arm", "__z", group_by=keys or None, round_to=round_to)
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    value_col: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cronbach's alpha over a long-format (item, rater, score) table
+    — internal-consistency reliability for CONTINUOUS judge scores,
+    the scored-eval counterpart to ``cohens_kappa``/``kappa_matrix``
+    (which need categorical labels): k LLM judges each scoring the
+    same n answers 1-10, k rubric dimensions scored per document, k
+    prompt paraphrases of one eval. alpha = k/(k−1)·(1 − Σvar_j /
+    var_total), where var_j is each rater's variance over items and
+    var_total the variance of per-item score SUMS; ≥0.9 excellent,
+    <0.7 means the panel disagrees enough that its mean score is
+    noise — raise that gate before trusting an LLM-judge leaderboard.
+
+    Requires a COMPLETE panel: every item scored exactly once by
+    every rater. Incomplete or duplicated cells fail loudly
+    (``assert_true`` — silently averaging over holes biases alpha
+    up; impute or drop items upstream, explicitly). Zero
+    total-variance panels (all items identical) yield NULL alpha.
+    Sample variance (n−1) throughout, matching every stats package.
+
+    One row per segment: ``(group_by..., n_items, k_raters, alpha)``.
+
+    Scale shape: one (item)-keyed aggregate for totals (shuffle ∝
+    items), one (rater)-keyed aggregate for per-rater variances
+    (shuffle ∝ raters), each folded to a 1-row variance, fused by
+    broadcast. Rows are scanned twice (two different keyings), never
+    buffered per group.
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        *keys,
+        F.col(item_col).alias("__it"),
+        F.col(rater_col).alias("__rt"),
+        v.alias("__v"),
+    )
+    # completeness: every (item) row count == global rater count and
+    # no (item, rater) duplicates
+    kcount = base.groupBy(*keys).agg(
+        F.count_distinct("__rt").cast("bigint").alias("__k"),
+        F.count_distinct("__it").cast("bigint").alias("__n"),
+        F.count("*").cast("bigint").alias("__cells"),
+    )
+    items = base.groupBy(*keys, "__it").agg(
+        F.sum("__v").alias("__tot"),
+        F.count("*").cast("bigint").alias("__cnt"),
+        F.count_distinct("__rt").cast("bigint").alias("__dr"),
+    )
+    item_stats = items.groupBy(*keys).agg(
+        F.var_samp("__tot").alias("__var_tot"),
+        F.max("__cnt").alias("__max_cnt"),
+        F.min("__cnt").alias("__min_cnt"),
+        F.min((F.col("__cnt") == F.col("__dr")).cast("int")).alias("__nodup"),
+    )
+    rater_stats = (
+        base.groupBy(*keys, "__rt")
+        .agg(F.var_samp("__v").alias("__var_r"))
+        .groupBy(*keys)
+        .agg(F.sum("__var_r").alias("__sum_var"))
+    )
+    if keys:
+        def _pfx(d, tag):
+            return d.select(
+                *[F.col(c).alias(f"__{tag}_{c}") for c in keys],
+                *[c for c in d.columns if c not in keys],
+            )
+
+        j = kcount
+        for other, tag in ((item_stats, "is"), (rater_stats, "rs")):
+            o = _pfx(other, tag)
+            cond = F.lit(True)
+            for c in keys:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__{tag}_{c}"))
+            j = j.join(o, cond).drop(*[f"__{tag}_{c}" for c in keys])
+    else:
+        j = kcount.join(F.broadcast(item_stats)).join(
+            F.broadcast(rater_stats)
+        )
+    complete = (
+        (F.col("__max_cnt") == F.col("__k"))
+        & (F.col("__min_cnt") == F.col("__k"))
+        & (F.col("__nodup") == 1)
+        & (F.col("__cells") == F.col("__n") * F.col("__k"))
+        & (F.col("__k") >= 2)
+        & (F.col("__n") >= 2)
+    )
+    guard = F.assert_true(
+        complete,
+        F.lit(
+            "cronbach_alpha: panel is incomplete or duplicated - every "
+            "item must be scored exactly once by every rater (k >= 2, "
+            "n >= 2); impute or drop items upstream, explicitly"
+        ),
+    )
+    kk = F.col("__k").cast("double")
+    alpha = F.when(
+        F.col("__var_tot") > 0,
+        kk / (kk - 1) * (1 - F.col("__sum_var") / F.col("__var_tot")),
+    )
+    return j.select(
+        *keys,
+        F.when(guard.isNull(), F.col("__n")).alias("n_items"),
+        F.col("__k").alias("k_raters"),
+        F.round(alpha, round_to).alias("alpha"),
+    )

@@ -2891,3 +2891,69 @@ def test_levene_brown_forsythe(spark):
 
     with pytest.raises(ValueError, match="center"):
         stats.levene(df, "arm", "x", center="mad")
+
+
+def test_cronbach_alpha_panel(spark):
+    """Alpha vs a python reference on a consistent and an inconsistent
+    judge panel; textbook identity vs pingouin convention; incomplete
+    and duplicated panels fail loud; zero-variance NULL gate."""
+    import random
+    import statistics as st
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(47)
+
+    def panel(noise):
+        rows = []
+        for i in range(40):
+            quality = rnd.uniform(1, 9)
+            for r in range(4):
+                rows.append(
+                    (f"i{i:02d}", f"r{r}", quality + rnd.gauss(0, noise))
+                )
+        return rows
+
+    def ref_alpha(rows):
+        raters = sorted({r for _, r, _ in rows})
+        items = sorted({i for i, _, _ in rows})
+        k = len(raters)
+        by = {(i, r): v for i, r, v in rows}
+        totals = [sum(by[(i, r)] for r in raters) for i in items]
+        var_tot = st.variance(totals)
+        sum_var = sum(
+            st.variance([by[(i, r)] for i in items]) for r in raters
+        )
+        return k / (k - 1) * (1 - sum_var / var_tot)
+
+    tight, loose = panel(0.3), panel(4.0)
+    for rows in (tight, loose):
+        df = spark.createDataFrame(rows, "item STRING, rater STRING, v DOUBLE")
+        r = stats.cronbach_alpha(df, "item", "rater", "v").collect()[0]
+        assert (r.n_items, r.k_raters) == (40, 4)
+        assert r.alpha == pytest.approx(ref_alpha(rows), abs=1e-5)
+    assert ref_alpha(tight) > 0.95 and ref_alpha(loose) < 0.8
+
+    # incomplete panel (missing one cell) fails loud
+    df = spark.createDataFrame(tight[:-1], "item STRING, rater STRING, v DOUBLE")
+    with pytest.raises(Exception, match="incomplete"):
+        stats.cronbach_alpha(df, "item", "rater", "v").collect()
+    # duplicated cell fails loud
+    df = spark.createDataFrame(
+        tight + [tight[0]], "item STRING, rater STRING, v DOUBLE"
+    )
+    with pytest.raises(Exception, match="incomplete"):
+        stats.cronbach_alpha(df, "item", "rater", "v").collect()
+
+    # constant scores -> zero total variance -> NULL alpha
+    const = [(f"i{i}", f"r{r}", 5.0) for i in range(3) for r in range(3)]
+    df = spark.createDataFrame(const, "item STRING, rater STRING, v DOUBLE")
+    assert stats.cronbach_alpha(df, "item", "rater", "v").collect()[0].alpha is None
+
+    # grouped: two independent panels in one call
+    both = [("tight", *t) for t in tight] + [("loose", *t) for t in loose]
+    df = spark.createDataFrame(both, "g STRING, item STRING, rater STRING, v DOUBLE")
+    out = {r.g: r.alpha for r in
+           stats.cronbach_alpha(df, "item", "rater", "v", group_by=["g"]).collect()}
+    assert out["tight"] == pytest.approx(ref_alpha(tight), abs=1e-5)
+    assert out["loose"] == pytest.approx(ref_alpha(loose), abs=1e-5)
