@@ -10346,6 +10346,76 @@ FROM kk, vt, rv
 """
 
 
+def _q_kendall_w(spark, sf_dir):
+    """stats.kendall_w — do the three return-flag 'judges' ORDER the
+    12 order buckets the same way? Same panel as the cronbach query
+    so alpha (covariance agreement) and W (rank agreement) can be
+    read side by side. Integer-exact cell sums keep midranks and the
+    Wilson-Hilferty tail bit-identical across engines."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    panel = li.groupBy(
+        (F.col("l_orderkey") % 12).alias("item"),
+        F.col("l_returnflag").alias("rater"),
+    ).agg(F.sum("l_quantity").cast("double").alias("score"))
+    return stats.kendall_w(panel, "item", "rater", "score")
+
+
+KENDALL_W_ORACLE = """
+WITH panel AS (
+  SELECT l_orderkey % 12 AS item, l_returnflag AS rater,
+         CAST(SUM(l_quantity) AS DOUBLE) AS score
+  FROM lineitem GROUP BY 1, 2
+), rk AS (
+  SELECT item, rater,
+         RANK() OVER (PARTITION BY rater ORDER BY score)
+           + (CAST(COUNT(*) OVER (PARTITION BY rater, score) AS DOUBLE)
+              - 1) / 2.0 AS mr
+  FROM panel
+), tt AS (
+  SELECT SUM(POWER(c, 3) - c) AS t FROM (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM panel GROUP BY rater, score)
+), kk AS (
+  SELECT CAST(COUNT(DISTINCT item) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT rater) AS BIGINT) AS k
+  FROM panel
+), ss AS (
+  SELECT SUM(POWER(ri - k * (n + 1) / 2.0, 2)) AS s FROM (
+    SELECT item, SUM(mr) AS ri FROM rk GROUP BY item), kk
+), wcalc AS (
+  SELECT n, k,
+         12.0 * s / (k * k * (POWER(n, 3) - n) - k * t) AS w
+  FROM kk, ss, tt
+), f AS (
+  SELECT n, k, w,
+         k * (n - 1) * w AS chi2,
+         CAST(n - 1 AS DOUBLE) AS dof
+  FROM wcalc
+), z AS (
+  SELECT *,
+         (POWER(chi2 / dof, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dof)))
+           / sqrt(2.0 / (9.0 * dof)) AS wz
+  FROM f
+), p AS (
+  SELECT *, 1 - (CASE WHEN wz >= 0 THEN 1 - pt / 2 ELSE pt / 2 END) AS pv
+  FROM (
+    SELECT *,
+           (0.254829592 * t5 - 0.284496736 * POWER(t5, 2)
+            + 1.421413741 * POWER(t5, 3) - 1.453152027 * POWER(t5, 4)
+            + 1.061405429 * POWER(t5, 5)) * exp(-(xx * xx)) AS pt
+    FROM (
+      SELECT *, abs(wz) / sqrt(2.0) AS xx,
+             1.0 / (1.0 + 0.3275911 * (abs(wz) / sqrt(2.0))) AS t5
+      FROM z))
+)
+SELECT n AS n_items, k AS k_raters,
+       ROUND(w, 6) AS w, ROUND(chi2, 6) AS chi2,
+       CAST(n - 1 AS BIGINT) AS df, ROUND(pv, 6) AS p_value
+FROM p
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10574,6 +10644,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_levene": _q_levene,
         "sample_split_leakage": _q_split_leakage,
         "stats_cronbach_alpha": _q_cronbach_alpha,
+        "stats_kendall_w": _q_kendall_w,
     }
 
 
@@ -10793,6 +10864,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_levene": LEVENE_ORACLE,
         "sample_split_leakage": SPLIT_LEAKAGE_ORACLE,
         "stats_cronbach_alpha": CRONBACH_ALPHA_ORACLE,
+        "stats_kendall_w": KENDALL_W_ORACLE,
     }
 
 

@@ -151,6 +151,7 @@ DETAIL_QUERIES = [
     "stats_levene",
     "sample_split_leakage",
     "stats_cronbach_alpha",
+    "stats_kendall_w",
 ]
 
 RUNS = 3

@@ -4441,3 +4441,186 @@ def cronbach_alpha(
         F.col("__k").alias("k_raters"),
         F.round(alpha, round_to).alias("alpha"),
     )
+
+
+def kendall_w(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    value_col: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W (tie-corrected) plus the
+    Friedman chi-squared test over a long-format (item, rater, score)
+    panel — the RANK-based judge-agreement gate: where
+    ``cronbach_alpha`` asks whether k continuous scores co-vary
+    (scale-sensitive: a judge that scores everything 2 points higher
+    still agrees), W asks whether the k raters ORDER the items the
+    same way, which is exactly the question behind a leaderboard.
+    W=1 is unanimous ordering, W=0 is no agreement; the Friedman test
+    (chi2 = k(n−1)W, df = n−1) rejects "raters rank at random".
+
+    Midranks use the average-rank tie convention within each rater,
+    and the denominator carries the standard tie correction
+    k²(n³−n) − k·ΣT with T = Σ(t³−t) over each rater's tied groups —
+    so heavily tied (e.g. integer 1-5) scales stay exact. All-tied
+    panels (zero denominator) yield NULL. Same COMPLETE-panel
+    contract as ``cronbach_alpha``: every item scored exactly once by
+    every rater, violations fail loudly (silently ranking over holes
+    shifts every rank after the hole).
+
+    One row per segment: ``(group_by..., n_items, k_raters, w, chi2,
+    df, p_value)``; the upper-tail p is Wilson-Hilferty on the shared
+    A&S Φ so a DuckDB oracle replays it bit-for-bit at rounded
+    precision.
+
+    Scale shape: scores reduce to per-(rater, value) counts (shuffle
+    ∝ distinct values per rater), midranks ride the DISTRIBUTED
+    prefix sum keyed by rater and attach back by value join, item
+    rank-sums are one item-keyed aggregate, and the group-level
+    fusion joins tables with one row per group. No per-rater
+    buffering, no global sort, no window over raw rows.
+    """
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        *keys,
+        F.col(item_col).alias("__it"),
+        F.col(rater_col).alias("__rt"),
+        v.alias("__v"),
+    )
+    kcount = base.groupBy(*keys).agg(
+        F.count_distinct("__rt").cast("bigint").alias("__k"),
+        F.count_distinct("__it").cast("bigint").alias("__n"),
+        F.count("*").cast("bigint").alias("__cells"),
+    )
+    cell_guard = base.groupBy(*keys, "__it").agg(
+        F.count("*").cast("bigint").alias("__cnt"),
+        F.count_distinct("__rt").cast("bigint").alias("__dr"),
+    )
+    item_guard = cell_guard.groupBy(*keys).agg(
+        F.max("__cnt").alias("__max_cnt"),
+        F.min("__cnt").alias("__min_cnt"),
+        F.min((F.col("__cnt") == F.col("__dr")).cast("int")).alias("__nodup"),
+    )
+    # per-(rater, value) tie counts: midranks AND the tie correction
+    # both derive from this one reduction
+    counts = base.groupBy(*keys, "__rt", "__v").agg(
+        F.count("*").cast("bigint").alias("__c")
+    )
+    ties = counts.groupBy(*keys).agg(
+        F.sum(
+            F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+        ).alias("__t")
+    )
+    cum = grouped_prefix_sum(counts, [*keys, "__rt"], ["__v"], "__c", "__cum")
+    ranks = cum.select(
+        *keys,
+        "__rt",
+        "__v",
+        (
+            (F.col("__cum") - F.col("__c")).cast("double")
+            + (F.col("__c") + 1) / F.lit(2.0)
+        ).alias("__rank"),
+    )
+    rk = ranks.select(
+        *[F.col(c).alias(f"__rk_{c}") for c in [*keys, "__rt", "__v"]],
+        "__rank",
+    )
+    cond = (base["__rt"] == rk["__rk___rt"]) & (base["__v"] == rk["__rk___v"])
+    for k in keys:
+        cond = cond & base[k].eqNullSafe(rk[f"__rk_{k}"])
+    ranked = base.join(rk, cond).drop(
+        *[f"__rk_{c}" for c in [*keys, "__rt", "__v"]]
+    )
+    rsums = ranked.groupBy(*keys, "__it").agg(
+        F.sum("__rank").alias("__ri")
+    )
+    if keys:
+        def _pfx(d, tag):
+            return d.select(
+                *[F.col(c).alias(f"__{tag}_{c}") for c in keys],
+                *[c for c in d.columns if c not in keys],
+            )
+
+        def _fuse(left, other, tag):
+            o = _pfx(other, tag)
+            c = F.lit(True)
+            for k in keys:
+                c = c & left[k].eqNullSafe(o[f"__{tag}_{k}"])
+            return left.join(o, c).drop(*[f"__{tag}_{k}" for k in keys])
+
+        rs = _fuse(rsums, kcount, "kc")
+        s_tab = rs.groupBy(*keys).agg(
+            F.sum(
+                (
+                    F.col("__ri")
+                    - F.col("__k").cast("double")
+                    * (F.col("__n").cast("double") + 1)
+                    / F.lit(2.0)
+                )
+                ** 2
+            ).alias("__s")
+        )
+        j = _fuse(_fuse(_fuse(kcount, s_tab, "s"), ties, "t"),
+                  item_guard, "ig")
+    else:
+        rs = rsums.join(F.broadcast(kcount))
+        s_tab = rs.agg(
+            F.sum(
+                (
+                    F.col("__ri")
+                    - F.col("__k").cast("double")
+                    * (F.col("__n").cast("double") + 1)
+                    / F.lit(2.0)
+                )
+                ** 2
+            ).alias("__s")
+        )
+        j = (
+            kcount.join(F.broadcast(s_tab))
+            .join(F.broadcast(ties))
+            .join(F.broadcast(item_guard))
+        )
+    complete = (
+        (F.col("__max_cnt") == F.col("__k"))
+        & (F.col("__min_cnt") == F.col("__k"))
+        & (F.col("__nodup") == 1)
+        & (F.col("__cells") == F.col("__n") * F.col("__k"))
+        & (F.col("__k") >= 2)
+        & (F.col("__n") >= 2)
+    )
+    guard = F.assert_true(
+        complete,
+        F.lit(
+            "kendall_w: panel is incomplete or duplicated - every item "
+            "must be scored exactly once by every rater (k >= 2, "
+            "n >= 2); impute or drop items upstream, explicitly"
+        ),
+    )
+    kk = F.col("__k").cast("double")
+    nn = F.col("__n").cast("double")
+    denom = kk * kk * (nn * nn * nn - nn) - kk * F.col("__t")
+    w = F.when(denom > 0, F.lit(12.0) * F.col("__s") / denom)
+    chi2 = kk * (nn - 1) * w
+    dof = nn - 1
+    wh_z = (
+        (chi2 / dof) ** F.lit(1.0 / 3.0) - (1 - 2.0 / (9.0 * dof))
+    ) / F.sqrt(2.0 / (9.0 * dof))
+    p = 1 - _normal_cdf(wh_z)
+    return j.select(
+        *keys,
+        F.when(guard.isNull(), F.col("__n")).alias("n_items"),
+        F.col("__k").alias("k_raters"),
+        F.round(w, round_to).alias("w"),
+        F.round(chi2, round_to).alias("chi2"),
+        (F.col("__n") - 1).cast("bigint").alias("df"),
+        F.round(p, round_to).alias("p_value"),
+    )

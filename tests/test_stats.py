@@ -2957,3 +2957,87 @@ def test_cronbach_alpha_panel(spark):
            stats.cronbach_alpha(df, "item", "rater", "v", group_by=["g"]).collect()}
     assert out["tight"] == pytest.approx(ref_alpha(tight), abs=1e-5)
     assert out["loose"] == pytest.approx(ref_alpha(loose), abs=1e-5)
+
+
+def test_kendall_w_concordance(spark):
+    """W vs a pure-python tie-corrected reference on concordant and
+    discordant judge panels; ties exercised via integer scales;
+    unanimous ordering hits W==1; all-tied panel yields NULL;
+    incomplete panel fails loud; grouped two-panel case."""
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(11)
+
+    def ref_w(rows):
+        raters = sorted({r for _, r, _ in rows})
+        items = sorted({i for i, _, _ in rows})
+        k, n = len(raters), len(items)
+        by = {(i, r): v for i, r, v in rows}
+        ssum = {i: 0.0 for i in items}
+        t_corr = 0.0
+        for r in raters:
+            vals = sorted(by[(i, r)] for i in items)
+            # midranks
+            for i in items:
+                v = by[(i, r)]
+                lo = sum(1 for x in vals if x < v)
+                t = sum(1 for x in vals if x == v)
+                ssum[i] += lo + (t + 1) / 2.0
+            seen = {}
+            for x in vals:
+                seen[x] = seen.get(x, 0) + 1
+            t_corr += sum(t**3 - t for t in seen.values())
+        rbar = k * (n + 1) / 2.0
+        s = sum((ssum[i] - rbar) ** 2 for i in items)
+        denom = k * k * (n**3 - n) - k * t_corr
+        return 12.0 * s / denom if denom > 0 else None
+
+    def panel(noise, n=25, k=4, scale=None):
+        rows = []
+        for i in range(n):
+            q = rnd.uniform(0, 10)
+            for r in range(k):
+                v = q + rnd.gauss(0, noise)
+                if scale:
+                    v = max(1, min(scale, round(v)))
+                rows.append((f"i{i:02d}", f"r{r}", float(v)))
+        return rows
+
+    tight, loose = panel(0.5), panel(15.0)
+    tied = panel(1.0, scale=5)  # integer 1-5 scale: heavy ties
+    for rows in (tight, loose, tied):
+        df = spark.createDataFrame(rows, "item STRING, rater STRING, v DOUBLE")
+        r = stats.kendall_w(df, "item", "rater", "v").collect()[0]
+        assert (r.n_items, r.k_raters, r.df) == (25, 4, 24)
+        assert r.w == pytest.approx(ref_w(rows), abs=1e-5)
+        assert r.chi2 == pytest.approx(4 * 24 * ref_w(rows), abs=1e-3)
+        assert 0.0 <= r.p_value <= 1.0
+    assert ref_w(tight) > 0.9 and ref_w(loose) < 0.5
+
+    # unanimous ordering -> W == 1, tiny p
+    unan = [(f"i{i}", f"r{r}", float(i)) for i in range(10) for r in range(3)]
+    df = spark.createDataFrame(unan, "item STRING, rater STRING, v DOUBLE")
+    r = stats.kendall_w(df, "item", "rater", "v").collect()[0]
+    assert r.w == 1.0 and r.p_value < 0.01
+
+    # every rater ties everything -> zero denominator -> NULL
+    const = [(f"i{i}", f"r{r}", 5.0) for i in range(4) for r in range(3)]
+    df = spark.createDataFrame(const, "item STRING, rater STRING, v DOUBLE")
+    r = stats.kendall_w(df, "item", "rater", "v").collect()[0]
+    assert r.w is None and r.p_value is None
+
+    # incomplete / duplicated panels fail loud
+    for bad in (tight[:-1], tight + [tight[0]]):
+        df = spark.createDataFrame(bad, "item STRING, rater STRING, v DOUBLE")
+        with pytest.raises(Exception, match="incomplete"):
+            stats.kendall_w(df, "item", "rater", "v").collect()
+
+    # grouped: two independent panels in one call
+    both = [("t", *r) for r in tight] + [("l", *r) for r in loose]
+    df = spark.createDataFrame(both, "g STRING, item STRING, rater STRING, v DOUBLE")
+    out = {r.g: r.w for r in
+           stats.kendall_w(df, "item", "rater", "v", group_by=["g"]).collect()}
+    assert out["t"] == pytest.approx(ref_w(tight), abs=1e-5)
+    assert out["l"] == pytest.approx(ref_w(loose), abs=1e-5)
