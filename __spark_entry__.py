@@ -10416,6 +10416,44 @@ FROM p
 """
 
 
+def _q_compaction_plan(spark, sf_dir):
+    """layout.compaction_plan — a synthetic 200-file listing derived
+    from lineitem bucket counts, binned toward 2500-row outputs: the
+    work-list between file_skew_report's 'compact' verdict and the
+    rewrite job. Deterministic name-ordered binning so both engines
+    derive identical groups."""
+    from getl_spark.functions import layout
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    prof = li.groupBy(
+        F.format_string(
+            "f%03d", (F.col("l_orderkey") % 200).cast("int")
+        ).alias("file")
+    ).agg(F.count("*").cast("long").alias("n_rows"))
+    return layout.compaction_plan(prof, target=2500)
+
+
+COMPACTION_PLAN_ORACLE = """
+WITH prof AS (
+  SELECT printf('f%03d', CAST(l_orderkey % 200 AS INT)) AS file,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+), small AS (
+  SELECT file, n_rows,
+         COALESCE(SUM(n_rows) OVER (
+           ORDER BY file
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM prof WHERE n_rows < 2500
+)
+SELECT file, n_rows,
+       CAST(FLOOR(cumb / 2500.0) AS BIGINT) AS compaction_group
+FROM small
+UNION ALL
+SELECT file, n_rows, CAST(NULL AS BIGINT) AS compaction_group
+FROM prof WHERE n_rows >= 2500
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10645,6 +10683,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split_leakage": _q_split_leakage,
         "stats_cronbach_alpha": _q_cronbach_alpha,
         "stats_kendall_w": _q_kendall_w,
+        "layout_compaction_plan": _q_compaction_plan,
     }
 
 
@@ -10865,6 +10904,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sample_split_leakage": SPLIT_LEAKAGE_ORACLE,
         "stats_cronbach_alpha": CRONBACH_ALPHA_ORACLE,
         "stats_kendall_w": KENDALL_W_ORACLE,
+        "layout_compaction_plan": COMPACTION_PLAN_ORACLE,
     }
 
 

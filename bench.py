@@ -152,6 +152,7 @@ DETAIL_QUERIES = [
     "sample_split_leakage",
     "stats_cronbach_alpha",
     "stats_kendall_w",
+    "layout_compaction_plan",
 ]
 
 RUNS = 3

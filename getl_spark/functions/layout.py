@@ -353,3 +353,82 @@ def file_skew_report(df: DataFrame) -> DataFrame:
             6,
         ).alias("skew_ratio"),
     )
+
+
+def compaction_plan(
+    profile: DataFrame,
+    target: int,
+    file_col: str = "file",
+    size_col: str = "n_rows",
+    group_by=None,
+    leave_if_at_least: int | None = None,
+) -> DataFrame:
+    """Turn a file profile (``file_profile`` output, or any
+    ``(file, size)`` listing — rows or bytes, pick one unit) into a
+    deterministic compaction work-list: which small files get
+    rewritten together into which output group. This is the step
+    between the diagnosis (``file_skew_report`` says "compact") and
+    the rewrite (`TableStore.optimize` / a grouped re-write job):
+    at 100 TB "compact everything" is itself a massive job, so the
+    plan must name exactly which files co-rewrite, let increments
+    re-derive THE SAME groups, and leave already-healthy files alone.
+
+    Files with ``size >= leave_if_at_least`` (default: ``target``)
+    are emitted with ``compaction_group`` NULL — already big enough,
+    rewriting them would be wasted IO. The rest are ordered by file
+    name (deterministic across retries and engines) and binned by the
+    running size: ``group = floor(exclusive_prefix_sum / target)``,
+    so each group's total lands within one file of ``target``. NULL
+    or negative sizes fail loudly — corrupt listings should stop a
+    rewrite job, not steer it.
+
+    One row per file: ``(group_by..., file, size, compaction_group)``.
+
+    Scale shape: runs on the file-count-sized METADATA table, not the
+    data; the prefix sum is the distributed scan from
+    ``common/scale.py`` keyed by ``group_by`` (usually the partition
+    column), so a million-file listing never funnels through one
+    task or a few-key window.
+    """
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    if target <= 0:
+        raise ValueError(f"compaction_plan: target must be > 0, got {target}")
+    thresh = int(target if leave_if_at_least is None else leave_if_at_least)
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    size = F.col(size_col).cast("bigint")
+    guard = F.assert_true(
+        size.isNotNull() & (size >= 0),
+        F.lit(
+            "compaction_plan: NULL or negative file size - corrupt "
+            "listing, refusing to plan a rewrite over it"
+        ),
+    )
+    base = profile.select(
+        *keys,
+        F.col(file_col).alias(file_col),
+        F.when(guard.isNull(), size).alias("__sz"),
+    )
+    small = base.where(F.col("__sz") < thresh)
+    big = base.where(F.col("__sz") >= thresh).select(
+        *keys,
+        file_col,
+        F.col("__sz").alias(size_col),
+        F.lit(None).cast("bigint").alias("compaction_group"),
+    )
+    cum = grouped_prefix_sum(small, keys, [file_col], "__sz", "__cum")
+    assigned = cum.select(
+        *keys,
+        file_col,
+        F.col("__sz").alias(size_col),
+        F.floor(
+            (F.col("__cum") - F.col("__sz")) / F.lit(float(target))
+        )
+        .cast("bigint")
+        .alias("compaction_group"),
+    )
+    return assigned.unionByName(big)

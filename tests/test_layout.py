@@ -321,3 +321,59 @@ def test_file_profile_matches_parquet_metadata(spark, tmp_path):
     assert r.n_files == len(meta) and r.total_rows == 1000
     assert r.min_rows == min(meta.values()) and r.max_rows == max(meta.values())
     assert r.skew_ratio == round(max(meta.values()) / (1000 / len(meta)), 6)
+
+
+def test_compaction_plan(spark):
+    """Greedy prefix binning vs a python reference; big files left
+    alone (NULL group); groups total within one file of target;
+    determinism across partitioning; corrupt sizes fail loud."""
+    import getl_spark.functions.layout as L
+
+    files = [(f"f{i:03d}", (i * 37) % 90 + 5) for i in range(60)]
+    big = [("g_big1", 500), ("g_big2", 812)]
+    df = spark.createDataFrame(files + big, "file STRING, n_rows LONG")
+
+    out = L.compaction_plan(df, target=200).collect()
+    got = {r.file: r.compaction_group for r in out}
+    assert got["g_big1"] is None and got["g_big2"] is None
+
+    # python reference: name order, exclusive prefix // target
+    ref, cum = {}, 0
+    for name, sz in sorted(files):
+        ref[name] = cum // 200
+        cum += sz
+    assert {f: g for f, g in got.items() if g is not None} == ref
+
+    # every group's total lands in [target - max_small, target + max_small)
+    from collections import defaultdict
+    tot = defaultdict(int)
+    for name, sz in files:
+        tot[ref[name]] += sz
+    max_small = max(sz for _, sz in files)
+    for g, t in tot.items():
+        if g != max(tot):  # last group may be a remainder
+            assert 200 - max_small <= t < 200 + max_small
+
+    # same plan at different parallelism
+    out7 = L.compaction_plan(df.repartition(7), target=200).collect()
+    assert {r.file: r.compaction_group for r in out7} == got
+
+    # grouped: independent binning per partition key
+    two = [("a", f, s) for f, s in files] + [("b", f, s) for f, s in files]
+    gdf = spark.createDataFrame(two, "pt STRING, file STRING, n_rows LONG")
+    gout = L.compaction_plan(gdf, target=200, group_by="pt").collect()
+    for r in gout:
+        assert r.compaction_group == ref[r.file]
+
+    # leave_if_at_least overrides target as the leave-alone bar
+    out2 = L.compaction_plan(df, target=200, leave_if_at_least=1000).collect()
+    assert all(r.compaction_group is not None for r in out2)
+
+    # corrupt listing fails loud
+    bad = spark.createDataFrame(
+        [("x", 5), ("y", None)], "file STRING, n_rows LONG"
+    )
+    with pytest.raises(Exception, match="corrupt"):
+        L.compaction_plan(bad, target=10).collect()
+    with pytest.raises(ValueError, match="target"):
+        L.compaction_plan(df, target=0)
