@@ -10454,6 +10454,53 @@ FROM prof WHERE n_rows >= 2500
 """
 
 
+def _q_krippendorff(spark, sf_dir):
+    """stats.krippendorff_alpha — nominal agreement of return flags
+    within each order, treating lineitems as raters: a NATURALLY
+    incomplete panel (orders have 1-7 lines; singletons carry no
+    evidence and are excluded per the canonical definition), which is
+    exactly the missing-data case cronbach/kendall must reject."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return stats.krippendorff_alpha(li, "l_orderkey", "l_returnflag")
+
+
+KRIPPENDORFF_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey AS u, l_returnflag AS v
+  FROM lineitem WHERE l_returnflag IS NOT NULL
+), m AS (
+  SELECT u, COUNT(*) AS mu FROM base GROUP BY u
+), kept AS (
+  SELECT b.u, b.v FROM base b JOIN m ON b.u = m.u WHERE m.mu >= 2
+), uc AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS c FROM kept GROUP BY u, v
+), unit AS (
+  SELECT u, CAST(SUM(c) AS BIGINT) AS mm,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS same
+  FROM uc GROUP BY u
+), g AS (
+  SELECT SUM(CAST(mm * (mm - 1) - same AS DOUBLE)
+             / CAST(mm - 1 AS DOUBLE)) AS dosum,
+         CAST(SUM(mm) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS units
+  FROM unit
+), mg AS (
+  SELECT SUM(CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE)) AS snc2
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS nc FROM uc GROUP BY v)
+)
+SELECT units AS n_items, n AS n_ratings,
+       ROUND(CASE WHEN n >= 2
+                   AND (CAST(n AS DOUBLE) * n - snc2) > 0
+             THEN 1 - (dosum / n)
+                  / ((CAST(n AS DOUBLE) * n - snc2)
+                     / (CAST(n AS DOUBLE) * (n - 1)))
+             END, 6) AS alpha
+FROM g, mg
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10684,6 +10731,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cronbach_alpha": _q_cronbach_alpha,
         "stats_kendall_w": _q_kendall_w,
         "layout_compaction_plan": _q_compaction_plan,
+        "stats_krippendorff_alpha": _q_krippendorff,
     }
 
 
@@ -10905,6 +10953,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_cronbach_alpha": CRONBACH_ALPHA_ORACLE,
         "stats_kendall_w": KENDALL_W_ORACLE,
         "layout_compaction_plan": COMPACTION_PLAN_ORACLE,
+        "stats_krippendorff_alpha": KRIPPENDORFF_ORACLE,
     }
 
 

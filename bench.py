@@ -153,6 +153,7 @@ DETAIL_QUERIES = [
     "stats_cronbach_alpha",
     "stats_kendall_w",
     "layout_compaction_plan",
+    "stats_krippendorff_alpha",
 ]
 
 RUNS = 3

@@ -4624,3 +4624,164 @@ def kendall_w(
         (F.col("__n") - 1).cast("bigint").alias("df"),
         F.round(p, round_to).alias("p_value"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    value_col: str,
+    metric: str = "nominal",
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha over a long-format (item, rating) table —
+    the annotation-QA reliability standard for the panels
+    ``cronbach_alpha``/``kendall_w`` must reject: MISSING ratings are
+    fine (crowdsourced labels where each item gets whichever 2-5
+    raters showed up, LLM-judge runs where some generations errored).
+    Rater identity is irrelevant to alpha (ratings per item are an
+    unordered multiset), so no rater column: pass one row per rating.
+    Items with fewer than 2 ratings carry no agreement evidence and
+    are excluded, per the canonical definition. alpha ≥ 0.8 is the
+    conventional "rely on it" bar, 0.667 the "tentative" floor;
+    0 means agreement is exactly what chance predicts.
+
+    ``metric="nominal"`` treats values as categories (δ² = 1 when
+    different) — label QA. ``metric="interval"`` uses δ² = (a−b)² —
+    scored QA. Both reduce the coincidence matrix algebraically so no
+    C×C value matrix is ever built: within-item disagreement folds to
+    per-item count/sum/sum-of-squares, expected disagreement to the
+    value marginals (nominal) or global centered moments (interval —
+    values are centered on the rounded group mean first, the
+    ``levene`` rounded-center trick, so the one-pass sums stay exact
+    cross-engine and cancellation-safe). For ordinal data, map values
+    to midranks upstream and use ``interval`` (the standard
+    approximation).
+
+    One row per segment: ``(group_by..., n_items, n_ratings, alpha)``;
+    alpha is NULL when expected disagreement is 0 (all ratings
+    identical) or fewer than 2 ratings survive.
+
+    Scale shape: one (item)-keyed reduction for per-item counts, one
+    keyed join to drop singleton items, then group-level 1-row
+    aggregates broadcast-fused — shuffle ∝ items + distinct values,
+    no per-item buffering, no pairwise blowup (the m² pair sums are
+    closed forms of the per-item sums).
+    """
+    if metric not in ("nominal", "interval"):
+        raise ValueError(
+            "krippendorff_alpha: metric must be 'nominal' or "
+            f"'interval' (map ordinal data to midranks upstream), "
+            f"got {metric!r}"
+        )
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    if metric == "interval":
+        v = F.col(value_col).cast("double")
+        base = df.where(v.isNotNull() & ~F.isnan(v)).select(
+            *keys, F.col(item_col).alias("__u"), v.alias("__v")
+        )
+    else:
+        v = F.col(value_col).cast("string")
+        base = df.where(v.isNotNull()).select(
+            *keys, F.col(item_col).alias("__u"), v.alias("__v")
+        )
+
+    ucount = base.groupBy(*keys, "__u").agg(
+        F.count("*").cast("bigint").alias("__m")
+    )
+    uc_r = ucount.where(F.col("__m") >= 2).select(
+        *[F.col(c).alias(f"__uk_{c}") for c in [*keys, "__u"]]
+    )
+    cond = base["__u"] == uc_r["__uk___u"]
+    for k in keys:
+        cond = cond & base[k].eqNullSafe(uc_r[f"__uk_{k}"])
+    kept = base.join(uc_r, cond).drop(
+        *[f"__uk_{c}" for c in [*keys, "__u"]]
+    )
+
+    def _fuse(left, other, tag):
+        if not keys:
+            return left.join(F.broadcast(other))
+        o = other.select(
+            *[F.col(c).alias(f"__{tag}_{c}") for c in keys],
+            *[c for c in other.columns if c not in keys],
+        )
+        c = F.lit(True)
+        for k in keys:
+            c = c & left[k].eqNullSafe(o[f"__{tag}_{k}"])
+        return left.join(o, c).drop(*[f"__{tag}_{k}" for k in keys])
+
+    if metric == "nominal":
+        uc = kept.groupBy(*keys, "__u", "__v").agg(
+            F.count("*").cast("bigint").alias("__c")
+        )
+        unit = uc.groupBy(*keys, "__u").agg(
+            F.sum("__c").alias("__m"),
+            F.sum(F.col("__c") * (F.col("__c") - 1)).alias("__same"),
+        )
+        gstats = unit.groupBy(*keys).agg(
+            F.sum(
+                (
+                    F.col("__m") * (F.col("__m") - 1) - F.col("__same")
+                ).cast("double")
+                / (F.col("__m") - 1).cast("double")
+            ).alias("__dosum"),
+            F.sum("__m").cast("bigint").alias("__n"),
+            F.count("*").cast("bigint").alias("__units"),
+        )
+        marg = (
+            uc.groupBy(*keys, "__v")
+            .agg(F.sum("__c").alias("__nc"))
+            .groupBy(*keys)
+            .agg(
+                # marginals squared in double: a hot value's nc²
+                # passes 2^63 long before n does
+                F.sum(
+                    F.col("__nc").cast("double")
+                    * F.col("__nc").cast("double")
+                ).alias("__snc2")
+            )
+        )
+        j = _fuse(gstats, marg, "mg")
+        n = F.col("__n").cast("double")
+        d_e = (n * n - F.col("__snc2").cast("double")) / (n * (n - 1))
+        d_o = F.col("__dosum") / n
+    else:
+        gmean = kept.groupBy(*keys).agg(
+            F.round(F.avg("__v"), 6).alias("__gm")
+        )
+        centered = _fuse(kept, gmean, "gm").select(
+            *keys, "__u", (F.col("__v") - F.col("__gm")).alias("__cv")
+        )
+        unit = centered.groupBy(*keys, "__u").agg(
+            F.count("*").cast("bigint").alias("__m"),
+            F.sum("__cv").alias("__sv"),
+            F.sum(F.col("__cv") * F.col("__cv")).alias("__sv2"),
+        )
+        mm = F.col("__m").cast("double")
+        j = unit.groupBy(*keys).agg(
+            F.sum(
+                (2 * mm * F.col("__sv2") - 2 * F.col("__sv") ** 2)
+                / (mm - 1)
+            ).alias("__dosum"),
+            F.sum("__m").cast("bigint").alias("__n"),
+            F.sum("__sv").alias("__gsv"),
+            F.sum("__sv2").alias("__gsv2"),
+            F.count("*").cast("bigint").alias("__units"),
+        )
+        n = F.col("__n").cast("double")
+        d_e = (2 * n * F.col("__gsv2") - 2 * F.col("__gsv") ** 2) / (
+            n * (n - 1)
+        )
+        d_o = F.col("__dosum") / n
+    alpha = F.when((F.col("__n") >= 2) & (d_e > 0), 1 - d_o / d_e)
+    return j.select(
+        *keys,
+        F.col("__units").alias("n_items"),
+        F.col("__n").alias("n_ratings"),
+        F.round(alpha, round_to).alias("alpha"),
+    )

@@ -3041,3 +3041,93 @@ def test_kendall_w_concordance(spark):
            stats.kendall_w(df, "item", "rater", "v", group_by=["g"]).collect()}
     assert out["t"] == pytest.approx(ref_w(tight), abs=1e-5)
     assert out["l"] == pytest.approx(ref_w(loose), abs=1e-5)
+
+
+def test_krippendorff_alpha(spark):
+    """Both metrics vs a pure-python coincidence-matrix reference on
+    panels WITH missing ratings; the canonical Krippendorff textbook
+    example; singleton items excluded; perfect/chance behavior;
+    all-identical NULL; grouped case; metric guard."""
+    import random
+
+    from getl_spark.functions import stats
+
+    def ref_alpha(pairs, interval):
+        # direct pairwise definition over the coincidence matrix
+        units = {}
+        for u, v in pairs:
+            units.setdefault(u, []).append(v)
+        units = {u: vs for u, vs in units.items() if len(vs) >= 2}
+        ratings = [v for vs in units.values() for v in vs]
+        n = len(ratings)
+        if n < 2:
+            return None
+
+        def d2(a, b):
+            return (a - b) ** 2 if interval else (0.0 if a == b else 1.0)
+
+        do = 0.0
+        for vs in units.values():
+            m = len(vs)
+            do += sum(
+                d2(a, b) for i, a in enumerate(vs)
+                for jx, b in enumerate(vs) if i != jx
+            ) / (m - 1)
+        do /= n
+        de = sum(
+            d2(a, b) for i, a in enumerate(ratings)
+            for jx, b in enumerate(ratings) if i != jx
+        ) / (n * (n - 1))
+        return None if de == 0 else 1 - do / de
+
+    # Krippendorff's canonical example (4 coders, missing cells):
+    # units 1..12, nominal values; unit 12 has a single rating
+    canon = {
+        1: "aaa", 2: "bbb", 3: "ccc", 4: "ccc", 5: "bbb", 6: "ccbc",
+        7: "ddd", 8: "ccc", 9: "bbb", 10: "ddd", 11: "aab", 12: "a",
+    }
+    pairs = [(u, c) for u, s in canon.items() for c in s]
+    df = spark.createDataFrame(pairs, "item LONG, v STRING")
+    r = stats.krippendorff_alpha(df, "item", "v").collect()[0]
+    # unit 12 (singleton) excluded: 11 items, 34 ratings
+    assert (r.n_items, r.n_ratings) == (11, 34)
+    assert r.alpha == pytest.approx(ref_alpha(pairs, False), abs=1e-5)
+    assert r.alpha > 0.7
+
+    rnd = random.Random(13)
+    # random sparse panels, both metrics
+    noisy = []
+    for u in range(60):
+        q = rnd.uniform(0, 10)
+        for _ in range(rnd.choice([1, 2, 3, 4])):
+            noisy.append((u, q + rnd.gauss(0, 2.0)))
+    df = spark.createDataFrame(noisy, "item LONG, v DOUBLE")
+    r = stats.krippendorff_alpha(df, "item", "v", metric="interval").collect()[0]
+    assert r.alpha == pytest.approx(ref_alpha(noisy, True), abs=1e-4)
+
+    nom = [(u, rnd.choice("abcd")) for u in range(50) for _ in range(3)]
+    df = spark.createDataFrame(nom, "item LONG, v STRING")
+    r = stats.krippendorff_alpha(df, "item", "v").collect()[0]
+    assert r.alpha == pytest.approx(ref_alpha(nom, False), abs=1e-5)
+    assert abs(r.alpha) < 0.25  # pure chance
+
+    # perfect agreement -> alpha == 1 (nominal)
+    perf = [(u, "x" if u % 2 else "y") for u in range(10) for _ in range(3)]
+    df = spark.createDataFrame(perf, "item LONG, v STRING")
+    assert stats.krippendorff_alpha(df, "item", "v").collect()[0].alpha == 1.0
+
+    # all ratings identical -> D_e == 0 -> NULL
+    same = [(u, "x") for u in range(5) for _ in range(2)]
+    df = spark.createDataFrame(same, "item LONG, v STRING")
+    assert stats.krippendorff_alpha(df, "item", "v").collect()[0].alpha is None
+
+    # grouped: independent panels per segment
+    both = [("c", *p) for p in pairs] + [("n", u, v) for u, v in nom]
+    df = spark.createDataFrame(both, "g STRING, item LONG, v STRING")
+    out = {r.g: r.alpha for r in
+           stats.krippendorff_alpha(df, "item", "v", group_by="g").collect()}
+    assert out["c"] == pytest.approx(ref_alpha(pairs, False), abs=1e-5)
+    assert out["n"] == pytest.approx(ref_alpha(nom, False), abs=1e-5)
+
+    with pytest.raises(ValueError, match="metric"):
+        stats.krippendorff_alpha(df, "item", "v", metric="ordinal")
