@@ -10501,6 +10501,70 @@ FROM g, mg
 """
 
 
+def _q_bot_score(spark, sf_dir):
+    """sessions.bot_score — per-user inter-arrival timing triage over
+    the raw event log: metronomic (cv≈0) or one-modal-gap keys flag
+    as scripted before any content look. All moments from exact
+    integer second-gap sums, so the hash is engine- and
+    partitioning-stable."""
+    from getl_spark.functions import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.bot_score(ev, "user_id", "ts")
+
+
+BOT_SCORE_ORACLE = """
+WITH base AS (
+  SELECT user_id AS k, epoch_us(ts) AS us FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), lagd AS (
+  SELECT k, us,
+         us - LAG(us) OVER (PARTITION BY k ORDER BY us) AS gus
+  FROM base
+), gs AS (
+  SELECT k, us,
+         CAST((gus - gus % 1000000) / 1000000 AS BIGINT) AS g
+  FROM lagd
+), agg AS (
+  SELECT k,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(g) AS BIGINT) AS ng,
+         CAST(SUM(g) AS BIGINT) AS s,
+         CAST(SUM(g * g) AS BIGINT) AS sq,
+         CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z,
+         CAST(MAX(us) - MIN(us) AS BIGINT) AS span
+  FROM gs GROUP BY k
+), modal AS (
+  SELECT k, MAX(c) AS m FROM (
+    SELECT k, g, CAST(COUNT(*) AS BIGINT) AS c
+    FROM gs WHERE g IS NOT NULL GROUP BY k, g)
+  GROUP BY k
+), fused AS (
+  SELECT a.*, m.m,
+         CAST(a.s AS DOUBLE) / a.ng AS meang,
+         CASE WHEN a.ng >= 2 THEN
+           (a.ng * CAST(a.sq AS DOUBLE)
+            - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE))
+           / (CAST(a.ng AS DOUBLE) * (a.ng - 1)) END AS varg
+  FROM agg a JOIN modal m ON a.k = m.k
+  WHERE a.n_events >= 5
+)
+SELECT k AS user_id, n_events,
+       ROUND(meang, 6) AS mean_gap_s,
+       ROUND(CASE WHEN meang > 0 THEN sqrt(varg) / meang END, 6)
+         AS cv_gap,
+       ROUND(CAST(m AS DOUBLE) / ng, 6) AS modal_gap_share,
+       ROUND(CAST(z AS DOUBLE) / ng, 6) AS zero_gap_share,
+       ROUND(CASE WHEN span > 0 THEN
+         CAST(n_events AS DOUBLE) / (CAST(span AS DOUBLE) / 3.6e9) END, 6)
+         AS events_per_hour,
+       (COALESCE(CASE WHEN meang > 0 THEN sqrt(varg) / meang END < 0.15,
+                 FALSE)
+        OR CAST(m AS DOUBLE) / ng > 0.5) AS bot_suspect
+FROM fused
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10732,6 +10796,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_kendall_w": _q_kendall_w,
         "layout_compaction_plan": _q_compaction_plan,
         "stats_krippendorff_alpha": _q_krippendorff,
+        "sessions_bot_score": _q_bot_score,
     }
 
 
@@ -10954,6 +11019,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_kendall_w": KENDALL_W_ORACLE,
         "layout_compaction_plan": COMPACTION_PLAN_ORACLE,
         "stats_krippendorff_alpha": KRIPPENDORFF_ORACLE,
+        "sessions_bot_score": BOT_SCORE_ORACLE,
     }
 
 

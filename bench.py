@@ -154,6 +154,7 @@ DETAIL_QUERIES = [
     "stats_kendall_w",
     "layout_compaction_plan",
     "stats_krippendorff_alpha",
+    "sessions_bot_score",
 ]
 
 RUNS = 3

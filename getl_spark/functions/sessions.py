@@ -510,3 +510,122 @@ def active_users(
             ],
         )
     )
+
+
+def bot_score(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_events: int = 5,
+    cv_threshold: float = 0.15,
+    modal_share_threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key scripted-traffic signals from inter-arrival timing —
+    the crawl/API-abuse triage that runs BEFORE any content look:
+    humans are bursty (gap coefficient-of-variation ≳ 1), schedulers
+    are metronomic (cv near 0), and bulk loaders repeat one gap over
+    and over (one modal gap carries most of the mass). Feeding bot
+    traffic into a training corpus poisons dedup statistics and
+    source mixes long before anyone reads a document, so this runs on
+    the raw event log.
+
+    Per key with at least ``min_events`` events (fewer is no
+    evidence): ``(key, n_events, mean_gap_s, cv_gap,
+    modal_gap_share, zero_gap_share, events_per_hour, bot_suspect)``
+    where gaps are second-floored inter-arrival times of the
+    timestamp-sorted stream, ``modal_gap_share`` is the share of the
+    single most common gap, ``zero_gap_share`` the share of
+    same-second arrivals, and ``bot_suspect`` is the conventional cut
+    ``cv_gap < cv_threshold OR modal_gap_share >
+    modal_share_threshold`` — a triage flag, not a verdict; route
+    suspects to ``stats.seasonality`` (diurnal shape) and content
+    checks. ``cv_gap`` is NULL with < 2 gaps or zero mean.
+
+    All moments are derived from EXACT integer sums (second-floored
+    gaps sum and square within int64 for any realistic stream because
+    the gap sum telescopes to the key's time span), so results are
+    bit-identical across engines and partitionings — no float
+    accumulation order anywhere. Variance uses the n·Σg²−(Σg)² form
+    on those exact integers, which is cancellation-free here (the
+    inputs are exact, unlike the float case ``moments`` rejects).
+
+    Scale shape: one per-key lag window (keys are many — the
+    sessionize shape; the hot key IS the suspect, and its sort is one
+    partition's work), one keyed aggregate for the moment sums, one
+    (key, gap)-keyed aggregate folded to the modal count, one keyed
+    join to fuse. Shuffle ∝ rows once, then ∝ keys.
+    """
+    if min_events < 2:
+        raise ValueError(
+            f"bot_score: min_events must be >= 2, got {min_events}"
+        )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(F.col(key_col).alias("__k"), us.alias("__us"))
+    w = Window.partitionBy("__k").orderBy("__us")
+    gap_us = F.col("__us") - F.lag("__us").over(w)
+    # exact integer seconds: subtract the remainder BEFORE dividing so
+    # the division is exact (a float floor can cross the integer
+    # boundary when the gap sits one microsecond under a whole second)
+    gaps = base.select(
+        "__k",
+        "__us",
+        (
+            (gap_us - F.pmod(gap_us, F.lit(1000000)))
+            / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("__g"),
+    )
+    agg = gaps.groupBy("__k").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count("__g").cast("bigint").alias("__ng"),
+        F.sum("__g").cast("bigint").alias("__s"),
+        F.sum(F.col("__g") * F.col("__g")).cast("bigint").alias("__sq"),
+        F.sum((F.col("__g") == 0).cast("bigint")).alias("__zero"),
+        (F.max("__us") - F.min("__us")).cast("bigint").alias("__span_us"),
+    )
+    modal = (
+        gaps.where(F.col("__g").isNotNull())
+        .groupBy("__k", "__g")
+        .agg(F.count("*").cast("bigint").alias("__c"))
+        .groupBy("__k")
+        .agg(F.max("__c").alias("__modal"))
+    )
+    j = agg.where(F.col("n_events") >= min_events).join(
+        modal.select(F.col("__k").alias("__mk"), "__modal"),
+        F.col("__k") == F.col("__mk"),
+    ).drop("__mk")
+    ng = F.col("__ng").cast("double")
+    mean = F.col("__s").cast("double") / ng
+    var = F.when(
+        F.col("__ng") >= 2,
+        (
+            ng * F.col("__sq").cast("double")
+            - F.col("__s").cast("double") * F.col("__s").cast("double")
+        )
+        / (ng * (ng - 1)),
+    )
+    cv = F.when(mean > 0, F.sqrt(var) / mean)
+    modal_share = F.col("__modal").cast("double") / ng
+    zero_share = F.col("__zero").cast("double") / ng
+    eph = F.when(
+        F.col("__span_us") > 0,
+        F.col("n_events").cast("double")
+        / (F.col("__span_us").cast("double") / F.lit(3.6e9)),
+    )
+    suspect = F.coalesce(cv < cv_threshold, F.lit(False)) | (
+        modal_share > modal_share_threshold
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        "n_events",
+        F.round(mean, round_to).alias("mean_gap_s"),
+        F.round(cv, round_to).alias("cv_gap"),
+        F.round(modal_share, round_to).alias("modal_gap_share"),
+        F.round(zero_share, round_to).alias("zero_gap_share"),
+        F.round(eph, round_to).alias("events_per_hour"),
+        suspect.alias("bot_suspect"),
+    )

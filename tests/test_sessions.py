@@ -495,3 +495,75 @@ def test_active_users_events_table_vs_exact(spark):
         )
         exact[str(d)] = (one, seven)
     assert got == exact
+
+
+def test_bot_score(spark):
+    """Exact python differential on a metronomic bot, a bursty human,
+    a same-second bulk loader, and a below-evidence key; flag logic;
+    partition-count invariance."""
+    import datetime as dt
+    import math
+    import random
+
+    from getl_spark.functions import sessions
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    # metronomic bot: exactly every 30 s
+    for i in range(50):
+        rows.append(("bot", t0 + dt.timedelta(seconds=30 * i)))
+    # bursty human: random gaps 1 s .. 2 h
+    rnd = random.Random(5)
+    t = t0
+    for _ in range(40):
+        t += dt.timedelta(seconds=rnd.uniform(1, 7200))
+        rows.append(("human", t))
+    # bulk loader: 30 events in the same second, then one an hour on
+    for i in range(30):
+        rows.append(("bulk", t0 + dt.timedelta(microseconds=i * 1000)))
+    rows.append(("bulk", t0 + dt.timedelta(hours=1)))
+    # below min_events
+    rows.extend([("sparse", t0), ("sparse", t0 + dt.timedelta(minutes=3))])
+
+    df = spark.createDataFrame(rows, "user STRING, ts TIMESTAMP")
+    out = {r.user: r for r in sessions.bot_score(df, "user", "ts").collect()}
+    assert "sparse" not in out and len(out) == 3
+
+    def ref(key):
+        ts = sorted(
+            int(t.timestamp() * 1_000_000)
+            for k, t in rows
+            if k == key
+        )
+        gaps = [(b - a) // 1_000_000 for a, b in zip(ts, ts[1:])]
+        n = len(gaps)
+        mean = sum(gaps) / n
+        var = (n * sum(g * g for g in gaps) - sum(gaps) ** 2) / (n * (n - 1))
+        cv = math.sqrt(var) / mean if mean > 0 else None
+        modal = max(gaps.count(g) for g in set(gaps)) / n
+        zero = sum(1 for g in gaps if g == 0) / n
+        eph = len(ts) / ((ts[-1] - ts[0]) / 3.6e9)
+        return mean, cv, modal, zero, eph
+
+    for key in ("bot", "human", "bulk"):
+        mean, cv, modal, zero, eph = ref(key)
+        r = out[key]
+        assert r.mean_gap_s == round(mean, 6)
+        assert r.cv_gap == (round(cv, 6) if cv is not None else None)
+        assert r.modal_gap_share == round(modal, 6)
+        assert r.zero_gap_share == round(zero, 6)
+        assert r.events_per_hour == pytest.approx(eph, abs=1e-5)
+
+    assert out["bot"].bot_suspect and out["bot"].cv_gap == 0.0
+    assert out["bulk"].bot_suspect and out["bulk"].zero_gap_share > 0.9
+    assert not out["human"].bot_suspect
+
+    # identical output at different parallelism (exact integer sums)
+    out7 = {
+        r.user: r
+        for r in sessions.bot_score(df.repartition(7), "user", "ts").collect()
+    }
+    assert out7 == out
+
+    with pytest.raises(ValueError, match="min_events"):
+        sessions.bot_score(df, "user", "ts", min_events=1)
