@@ -10565,6 +10565,46 @@ FROM fused
 """
 
 
+def _q_contamination_report(spark, sf_dir):
+    """text.contamination_report — the graded companion to the
+    text_decontaminate boolean on the SAME corpus/eval split: per-doc
+    share of distinct 8-grams that appear in the benchmark set, the
+    dial real decontamination policy thresholds on."""
+    from getl_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    evals = docs.where((F.col("doc_id") % 97) == 0).select("text")
+    return text.contamination_report(docs, evals, n=8)
+
+
+CONTAMINATION_REPORT_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 \\n]', ' ', 'g'), '[ \\n]+', ' ', 'g')) AS t
+  FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS words
+      FROM norm WHERE length(t) > 0),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS ngram
+  FROM w, unnest(range(1, greatest(len(words) - 7, 1) + 1)) AS r(i)
+  WHERE array_to_string(words[i:i+7], ' ') != ''),
+eval_grams AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 97 = 0),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM grams GROUP BY doc_id),
+taint AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tainted
+          FROM grams g JOIN eval_grams e USING (ngram) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       COALESCE(t.n_grams, 0) AS n_grams,
+       COALESCE(x.n_tainted, 0) AS n_tainted,
+       ROUND(CASE WHEN COALESCE(t.n_grams, 0) > 0 THEN
+         CAST(COALESCE(x.n_tainted, 0) AS DOUBLE) / t.n_grams END, 6)
+         AS taint_fraction
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN taint x ON d.doc_id = x.doc_id
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10797,6 +10837,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_compaction_plan": _q_compaction_plan,
         "stats_krippendorff_alpha": _q_krippendorff,
         "sessions_bot_score": _q_bot_score,
+        "text_contamination_report": _q_contamination_report,
     }
 
 
@@ -11020,6 +11061,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "layout_compaction_plan": COMPACTION_PLAN_ORACLE,
         "stats_krippendorff_alpha": KRIPPENDORFF_ORACLE,
         "sessions_bot_score": BOT_SCORE_ORACLE,
+        "text_contamination_report": CONTAMINATION_REPORT_ORACLE,
     }
 
 

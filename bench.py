@@ -155,6 +155,7 @@ DETAIL_QUERIES = [
     "layout_compaction_plan",
     "stats_krippendorff_alpha",
     "sessions_bot_score",
+    "text_contamination_report",
 ]
 
 RUNS = 3

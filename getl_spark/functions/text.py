@@ -2258,3 +2258,80 @@ def host_mix(
         .orderBy(F.col("docs").desc(), F.col("host").asc_nulls_last())
         .limit(top_k)
     )
+
+
+def contamination_report(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: Optional[str] = None,
+    n: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document contamination FRACTION against an eval corpus —
+    the graded companion to ``decontaminate``'s boolean: what share
+    of each training document's distinct normalized word ``n``-grams
+    also appear in the benchmark set. The boolean treats a document
+    quoting one benchmark sentence the same as a verbatim benchmark
+    dump; real decontamination policy wants the dial (drop ≥ 0.8
+    wholesale copies, strip-or-keep the 0.01 incidental quoters) and
+    the audit trail (how MUCH of the corpus is tainted, not just how
+    many rows).
+
+    One row per input document: ``(id_col, n_grams, n_tainted,
+    taint_fraction)`` — ``n_grams`` counts the document's DISTINCT
+    n-grams (the standard denominator: repeated boilerplate doesn't
+    dilute or inflate its own taint), documents too short to form a
+    single n-gram report ``n_grams = 0`` with NULL fraction. Same
+    normalization and n-gram construction as ``decontaminate``, so
+    ``taint_fraction > 0`` agrees exactly with its flag.
+
+    Scale shape: the eval side collapses to a distinct broadcast gram
+    set (use this variant when that broadcasts comfortably —
+    benchmarks, not terabytes); the corpus side explodes map-side,
+    dedups on one (id, gram)-keyed shuffle, and the tainted count is
+    a broadcast-semi-join + id-keyed aggregate. No corpus×eval join
+    ever materializes.
+    """
+    from pyspark.sql.functions import broadcast
+
+    ecol = eval_text_col or text_col
+    eval_grams = (
+        _exploded_ngrams(eval_df, ecol, [], n).select("__ngram").distinct()
+    )
+    doc_grams = (
+        _exploded_ngrams(df, text_col, [id_col], n)
+        .select(id_col, "__ngram")
+        .distinct()
+    )
+    totals = doc_grams.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    tainted = (
+        doc_grams.join(broadcast(eval_grams), "__ngram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_tainted"))
+    )
+    report = (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(tainted, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_tainted"), F.lit(0)).alias("n_tainted"),
+        )
+    )
+    return report.select(
+        id_col,
+        "n_grams",
+        "n_tainted",
+        F.round(
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_tainted").cast("double") / F.col("n_grams"),
+            ),
+            round_to,
+        ).alias("taint_fraction"),
+    )

@@ -1356,3 +1356,65 @@ def test_host_mix_without_weight(spark):
     rows = out.collect()
     assert all(r.docs == 3 for r in rows)
     assert sum(r.doc_share for r in rows) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_contamination_report(spark):
+    """Fraction graded per doc: a verbatim benchmark copy ~1.0, a
+    one-sentence quoter small, a clean doc 0; denominator is DISTINCT
+    grams; agrees exactly with decontaminate's boolean; too-short
+    docs NULL fraction."""
+    from getl_spark.functions import text
+
+    bench = "the quick brown fox jumps over the lazy dog tonight"
+    evals = spark.createDataFrame([(bench,)], "text STRING")
+
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, bench),                       # verbatim copy
+            (2, filler + " " + bench),        # quoter: partial taint
+            (3, filler),                      # clean
+            (4, "too short"),                 # < n words: 0 grams... (whole-doc gram)
+            (5, bench + " " + bench),         # repeated copy: distinct grams
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in text.contamination_report(docs, evals, n=8).collect()
+    }
+    assert out[1].taint_fraction == 1.0
+    assert 0 < out[2].taint_fraction < 0.2
+    assert out[3].taint_fraction == 0.0 and out[3].n_tainted == 0
+    # doc 4: shorter than n -> one whole-document gram, not in evals
+    assert out[4].n_grams == 1 and out[4].taint_fraction == 0.0
+    # doc 5: repetition doesn't change the distinct denominator much;
+    # every gram inside the doubled benchmark that also occurs in the
+    # single benchmark is tainted
+    assert out[5].n_tainted == out[1].n_grams
+    assert out[5].n_grams > out[1].n_grams  # seam grams are new
+
+    # agreement with the boolean
+    flags = {
+        r.doc_id: r.contaminated
+        for r in text.decontaminate(docs, evals, n=8)
+        .select("doc_id", "contaminated")
+        .collect()
+    }
+    for d, r in out.items():
+        assert flags[d] == ((r.taint_fraction or 0.0) > 0)
+
+    # python differential on the counts for the quoter
+    def grams(s, n=8):
+        import re as _re
+        t = _re.sub(r"[ \n]+", " ", _re.sub(r"[^a-z0-9 \n]", " ", s.lower())).strip()
+        w = t.split(" ")
+        if len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    eg = grams(bench)
+    for d, s in [(1, bench), (2, filler + " " + bench), (5, bench + " " + bench)]:
+        g = grams(s)
+        assert out[d].n_grams == len(g)
+        assert out[d].n_tainted == len(g & eg)
