@@ -10605,6 +10605,52 @@ LEFT JOIN taint x ON d.doc_id = x.doc_id
 """
 
 
+def _q_embedding_diversity(spark, sf_dir):
+    """embedding.diversity — per-label mean pairwise cosine (cluster
+    cohesion) over the embeddings table WITHOUT forming a pair: the
+    n² pair sum collapses to ‖Σu‖² − n via one elementwise vector sum
+    per label."""
+    from getl_spark.functions import embedding
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding.diversity(emb, "embedding", group_by="label")
+
+
+EMBEDDING_DIVERSITY_ORACLE = """
+WITH nrm AS (
+  SELECT label, embedding,
+         sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nr
+  FROM embeddings WHERE embedding IS NOT NULL
+), uu AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / nr) AS u
+  FROM nrm WHERE nr > 0
+), rowst AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         SUM(list_sum(list_transform(u, x -> x * x))) AS sq
+  FROM uu GROUP BY label
+), ds AS (
+  SELECT label, d, SUM(x) AS s FROM (
+    SELECT label, i AS d, u[i] AS x
+    FROM uu, unnest(range(1, len(u) + 1)) AS r(i))
+  GROUP BY label, d
+), ss AS (
+  SELECT label, SUM(s * s) AS ssum2 FROM ds GROUP BY label
+)
+SELECT r.label, r.n_vectors,
+       ROUND(CASE WHEN r.n_vectors >= 2 THEN
+         (s.ssum2 - r.sq)
+         / (CAST(r.n_vectors AS DOUBLE) * (r.n_vectors - 1)) END, 6)
+         AS mean_pairwise_cos,
+       ROUND(CASE WHEN r.n_vectors >= 2 THEN
+         1 - (s.ssum2 - r.sq)
+         / (CAST(r.n_vectors AS DOUBLE) * (r.n_vectors - 1)) END, 6)
+         AS diversity
+FROM rowst r JOIN ss s ON r.label = s.label
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10838,6 +10884,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_krippendorff_alpha": _q_krippendorff,
         "sessions_bot_score": _q_bot_score,
         "text_contamination_report": _q_contamination_report,
+        "embedding_diversity": _q_embedding_diversity,
     }
 
 
@@ -11062,6 +11109,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_krippendorff_alpha": KRIPPENDORFF_ORACLE,
         "sessions_bot_score": BOT_SCORE_ORACLE,
         "text_contamination_report": CONTAMINATION_REPORT_ORACLE,
+        "embedding_diversity": EMBEDDING_DIVERSITY_ORACLE,
     }
 
 

@@ -876,3 +876,115 @@ def outlier_score(
             F.round(F.when(F.col(vec_col).isNotNull(), resid), round_to),
         )
     return out
+
+
+def diversity(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_by=None,
+    normalize: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mean pairwise cosine similarity of a vector collection, per
+    group, WITHOUT ever forming a pair: the corpus-diversity /
+    cluster-cohesion monitor. A training mix whose mean pairwise
+    cosine creeps up is collapsing onto one mode (dedup upstream
+    failed, one source flooded the mix); per-cluster it is the
+    cohesion score that says which k-means cells are tight topics vs
+    junk drawers. ``diversity = 1 − mean_pairwise_cos`` is emitted
+    alongside so dashboards can threshold either direction.
+
+    The n² pair sum collapses algebraically: with unit vectors u_i,
+    Σ_{i≠j} u_i·u_j = ‖Σu‖² − n, so one elementwise vector sum and a
+    count give the exact all-pairs mean — the same trick the
+    moment-based stats use, applied to vectors. With
+    ``normalize=False`` vectors are used as-is and the result is the
+    mean pairwise DOT product (callers with pre-normalized or
+    magnitude-meaningful embeddings). Zero-norm vectors cannot define
+    a cosine and are excluded under ``normalize=True``; NULL vectors
+    are always excluded; ragged dimensions fail loudly (a mixed-model
+    table would silently skew every statistic).
+
+    One row per group: ``(group_by..., n_vectors, mean_pairwise_cos,
+    diversity)``; NULL stats when n < 2.
+
+    Scale shape: one posexplode + (group, dim)-keyed partial
+    aggregate (shuffle ∝ groups × dim after map-side combine — never
+    ∝ rows), one group-keyed row-stats aggregate, fused by a keyed
+    join. 100 TB of embeddings costs one scan; no pair join, no
+    driver collection.
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        *keys, F.col(vec_col).alias("__v")
+    )
+    if normalize:
+        nrm = _norm_expr("__v")
+        # try_divide: codegen may evaluate the projection alongside the
+        # nrm > 0 filter in one stage, so a bare ANSI division can see
+        # the zero-norm rows the filter is about to drop
+        base = base.where(nrm > 0).select(
+            *keys,
+            F.transform(
+                F.col("__v"),
+                lambda x: F.try_divide(x.cast("double"), nrm),
+            ).alias("__v"),
+        )
+    else:
+        base = base.select(
+            *keys,
+            F.transform(F.col("__v"), lambda x: x.cast("double")).alias(
+                "__v"
+            ),
+        )
+    dimsum = (
+        base.select(*keys, F.posexplode("__v").alias("__d", "__x"))
+        .groupBy(*keys, "__d")
+        .agg(F.sum("__x").alias("__s"))
+        .groupBy(*keys)
+        .agg(F.sum(F.col("__s") * F.col("__s")).alias("__ssum2"))
+    )
+    rowstats = base.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.sum(
+            F.aggregate(
+                F.transform(F.col("__v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("__sq"),
+        F.count_distinct(F.size("__v")).alias("__nd"),
+    )
+    if keys:
+        ds = dimsum.select(
+            *[F.col(c).alias(f"__ds_{c}") for c in keys], "__ssum2"
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & rowstats[k].eqNullSafe(ds[f"__ds_{k}"])
+        j = rowstats.join(ds, cond).drop(*[f"__ds_{k}" for k in keys])
+    else:
+        j = rowstats.join(F.broadcast(dimsum))
+    guard = F.assert_true(
+        F.col("__nd") <= 1,
+        F.lit(
+            "embedding.diversity: ragged vector dimensions in one "
+            "group - mixed embedding models cannot be averaged; "
+            "split by model upstream"
+        ),
+    )
+    n = F.col("n_vectors").cast("double")
+    mean_cos = F.when(
+        F.col("n_vectors") >= 2,
+        (F.col("__ssum2") - F.col("__sq")) / (n * (n - 1)),
+    )
+    return j.select(
+        *keys,
+        F.when(guard.isNull(), F.col("n_vectors")).alias("n_vectors"),
+        F.round(mean_cos, round_to).alias("mean_pairwise_cos"),
+        F.round(1 - mean_cos, round_to).alias("diversity"),
+    )

@@ -673,3 +673,65 @@ def test_outlier_score_mahalanobis(spark):
     # plan stays JVM-only: no BatchEvalPython / ArrowEvalPython
     plan = E.outlier_score(df, model)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_diversity_mean_pairwise_cos(spark):
+    """Closed form vs a brute-force numpy all-pairs mean; tight
+    cluster vs spread-out set; normalize=False dot semantics; zero/
+    NULL exclusion; n<2 NULL; ragged-dims loud-fail; grouped."""
+    import numpy as np
+
+    from getl_spark.functions import embedding as E
+
+    rng = np.random.default_rng(7)
+
+    def brute(vecs, normalize=True):
+        m = np.asarray(vecs, dtype=np.float64)
+        if normalize:
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        g = m @ m.T
+        n = len(m)
+        return (g.sum() - np.trace(g)) / (n * (n - 1))
+
+    tight = (rng.normal(0, 0.05, (40, 8)) + np.array([1.0] * 8)).tolist()
+    spread = rng.normal(0, 1.0, (40, 8)).tolist()
+
+    for vecs, lo, hi in ((tight, 0.95, 1.0), (spread, -0.2, 0.2)):
+        df = spark.createDataFrame(
+            [(v,) for v in vecs], "embedding ARRAY<DOUBLE>"
+        )
+        r = E.diversity(df).collect()[0]
+        assert r.n_vectors == 40
+        assert r.mean_pairwise_cos == pytest.approx(brute(vecs), abs=1e-6)
+        assert lo < r.mean_pairwise_cos < hi
+        assert r.diversity == pytest.approx(1 - r.mean_pairwise_cos, abs=1e-6)
+
+    # normalize=False: mean pairwise dot
+    df = spark.createDataFrame([(v,) for v in spread], "embedding ARRAY<DOUBLE>")
+    r = E.diversity(df, normalize=False).collect()[0]
+    assert r.mean_pairwise_cos == pytest.approx(brute(spread, False), abs=1e-6)
+
+    # zero vector excluded under normalize; NULL always excluded
+    withjunk = [([1.0, 0.0],), ([0.0, 1.0],), ([0.0, 0.0],), (None,)]
+    df = spark.createDataFrame(withjunk, "embedding ARRAY<DOUBLE>")
+    r = E.diversity(df).collect()[0]
+    assert r.n_vectors == 2 and r.mean_pairwise_cos == 0.0
+
+    # n < 2 -> NULL stats
+    df = spark.createDataFrame([([1.0, 2.0],)], "embedding ARRAY<DOUBLE>")
+    r = E.diversity(df).collect()[0]
+    assert r.mean_pairwise_cos is None and r.n_vectors == 1
+
+    # ragged dims fail loud
+    df = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0, 2.0, 3.0],)], "embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(Exception, match="ragged"):
+        E.diversity(df).collect()
+
+    # grouped: per-cluster cohesion
+    rows = [("t", v) for v in tight] + [("s", v) for v in spread]
+    df = spark.createDataFrame(rows, "g STRING, embedding ARRAY<DOUBLE>")
+    out = {r.g: r.mean_pairwise_cos for r in E.diversity(df, group_by="g").collect()}
+    assert out["t"] == pytest.approx(brute(tight), abs=1e-6)
+    assert out["s"] == pytest.approx(brute(spread), abs=1e-6)

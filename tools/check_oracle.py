@@ -98,6 +98,23 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only:
+        # explicitly named queries resolve from the demoted pool too —
+        # a name in neither registry is a loud error, not a silent
+        # (vacuously green) no-op
+        demoted = entry_mod.demoted_queries()
+        demoted_oracles = entry_mod.demoted_oracle_sql()
+        for name in only:
+            if name in queries:
+                continue
+            if name in demoted:
+                queries[name] = demoted[name]
+                if name in demoted_oracles:
+                    oracles[name] = demoted_oracles[name]
+            else:
+                print(f"UNKNOWN query {name!r}: not in queries() or "
+                      "demoted_queries()")
+                return 2
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
