@@ -156,6 +156,7 @@ DETAIL_QUERIES = [
     "stats_krippendorff_alpha",
     "sessions_bot_score",
     "text_contamination_report",
+    "embedding_diversity",
 ]
 
 RUNS = 3
