@@ -10651,6 +10651,56 @@ FROM rowst r JOIN ss s ON r.label = s.label
 """
 
 
+def _q_theil_sen(spark, sf_dir):
+    """stats.theil_sen — robust daily-volume trend per event type
+    (median of pairwise slopes over the day-grain rollup): the
+    shrinking-source detector a single outage day cannot drag the way
+    it drags OLS ``trend``."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    return stats.theil_sen(daily, "day", "cnt", group_by="event_type")
+
+
+THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type AS g,
+         (b.cnt - a.cnt) / (b.day - a.day) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), smed AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         quantile_cont(slope, 0.5) AS slope
+  FROM pairs GROUP BY g
+), resid AS (
+  SELECT d.event_type AS g, s.n_pairs, s.slope,
+         d.cnt - s.slope * d.day AS r
+  FROM daily d JOIN smed s ON d.event_type = s.g
+), imed AS (
+  SELECT g, n_pairs, slope, quantile_cont(r, 0.5) AS icept
+  FROM resid GROUP BY 1, 2, 3
+), cnts AS (
+  SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM daily GROUP BY 1
+)
+SELECT c.g AS event_type, c.n_points,
+       COALESCE(i.n_pairs, 0) AS n_pairs,
+       ROUND(i.slope, 6) AS slope,
+       ROUND(i.icept, 6) AS intercept
+FROM cnts c LEFT JOIN imed i ON c.g = i.g
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10885,6 +10935,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_bot_score": _q_bot_score,
         "text_contamination_report": _q_contamination_report,
         "embedding_diversity": _q_embedding_diversity,
+        "stats_theil_sen": _q_theil_sen,
     }
 
 
@@ -11110,6 +11161,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sessions_bot_score": BOT_SCORE_ORACLE,
         "text_contamination_report": CONTAMINATION_REPORT_ORACLE,
         "embedding_diversity": EMBEDDING_DIVERSITY_ORACLE,
+        "stats_theil_sen": THEIL_SEN_ORACLE,
     }
 
 

@@ -157,6 +157,7 @@ DETAIL_QUERIES = [
     "sessions_bot_score",
     "text_contamination_report",
     "embedding_diversity",
+    "stats_theil_sen",
 ]
 
 RUNS = 3

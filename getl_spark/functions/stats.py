@@ -4785,3 +4785,133 @@ def krippendorff_alpha(
         F.col("__n").alias("n_ratings"),
         F.round(alpha, round_to).alias("alpha"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_by=None,
+    max_points: int = 2000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Theil-Sen robust trend per group — the median of all pairwise
+    slopes, with intercept = median(y − slope·x). Where ``trend``'s
+    least-squares slope is dragged by a single spiked day (one crawler
+    outage, one backfill dump), Theil-Sen tolerates up to ~29% wild
+    points before the slope moves: the estimator of record for "is
+    this source actually shrinking?" on dirty ingest series.
+
+    Intended for AGGREGATED series (daily metric rollups, weekly
+    quality scores): the pair set is O(n²) per group, so a
+    ``max_points`` driver probe fails loudly before any group with
+    more points than that builds its pair table — roll raw rows up to
+    the day/hour grain first (which is what the estimator means
+    anyway). Pairs with equal x are skipped per the standard
+    definition (vertical slopes carry no trend information); the pair
+    median and the residual median are EXACT (mean-of-two-middles)
+    via the distinct-value-count machinery, so no per-group buffering
+    even at the pair grain.
+
+    One row per group: ``(group_by..., n_points, n_pairs, slope,
+    intercept)`` — slope NULL when fewer than 2 distinct x values.
+
+    Scale shape: one group-keyed self-join bounded by the probe
+    (≤ max_points²/2 pair rows per group, immediately reduced to
+    distinct-slope counts), two prefix-scan exact medians, one keyed
+    join back for residuals. Groups stream independently — a
+    thousand sources' trends cost a thousand bounded pair tables, not
+    one global sort.
+    """
+    if max_points < 2:
+        raise ValueError(
+            f"theil_sen: max_points must be >= 2, got {max_points}"
+        )
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(
+        x.isNotNull() & y.isNotNull() & ~F.isnan(x) & ~F.isnan(y)
+    ).select(*keys, x.alias("__x"), y.alias("__y"))
+    # driver probe BEFORE the pair join: a group past max_points would
+    # build its n² pair table long before any plan-side guard could
+    # fire (the bt_ratings limit-probe pattern)
+    big = (
+        base.groupBy(*keys)
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") > max_points)
+        .limit(1)
+        .collect()
+    )
+    if big:
+        raise ValueError(
+            f"theil_sen: a group has {big[0]['__n']} points "
+            f"(max_points={max_points}). The pair set is O(n²) by "
+            "definition - aggregate the series to a coarser grain "
+            "first, or raise max_points explicitly."
+        )
+    a = base.select(
+        *[F.col(c).alias(f"__a_{c}") for c in [*keys, "__x", "__y"]]
+    )
+    b = base.select(
+        *[F.col(c).alias(f"__b_{c}") for c in [*keys, "__x", "__y"]]
+    )
+    cond = F.col("__a___x") < F.col("__b___x")
+    for k in keys:
+        cond = cond & F.col(f"__a_{k}").eqNullSafe(F.col(f"__b_{k}"))
+    pairs = a.join(b, cond).select(
+        *[F.col(f"__a_{k}").alias(k) for k in keys],
+        (
+            (F.col("__b___y") - F.col("__a___y"))
+            / (F.col("__b___x") - F.col("__a___x"))
+        ).alias("__slope"),
+    )
+    slope_med = _grouped_exact_median(pairs, keys, "__slope")
+    sm = slope_med.select(
+        *[F.col(k).alias(f"__sm_{k}") for k in keys],
+        F.col("__med_n").alias("__n_pairs"),
+        F.col("__median").alias("__slope"),
+    )
+    if keys:
+        jc = F.lit(True)
+        for k in keys:
+            jc = jc & base[k].eqNullSafe(sm[f"__sm_{k}"])
+        resid = base.join(sm, jc).drop(*[f"__sm_{k}" for k in keys])
+    else:
+        resid = base.join(F.broadcast(sm))
+    resid = resid.select(
+        *keys,
+        "__n_pairs",
+        "__slope",
+        (F.col("__y") - F.col("__slope") * F.col("__x")).alias("__r"),
+    )
+    icept = _grouped_exact_median(resid, [*keys, "__n_pairs", "__slope"], "__r")
+    counts = base.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_points")
+    )
+    ic = icept.select(
+        *[F.col(k).alias(f"__ic_{k}") for k in keys],
+        "__n_pairs",
+        "__slope",
+        F.col("__median").alias("__icept"),
+    )
+    if keys:
+        jc = F.lit(True)
+        for k in keys:
+            jc = jc & counts[k].eqNullSafe(ic[f"__ic_{k}"])
+        out = counts.join(ic, jc, "left").drop(
+            *[f"__ic_{k}" for k in keys]
+        )
+    else:
+        out = counts.join(F.broadcast(ic), how="left")
+    return out.select(
+        *keys,
+        "n_points",
+        F.coalesce(F.col("__n_pairs"), F.lit(0)).alias("n_pairs"),
+        F.round(F.col("__slope"), round_to).alias("slope"),
+        F.round(F.col("__icept"), round_to).alias("intercept"),
+    )

@@ -3131,3 +3131,75 @@ def test_krippendorff_alpha(spark):
 
     with pytest.raises(ValueError, match="metric"):
         stats.krippendorff_alpha(df, "item", "v", metric="ordinal")
+
+
+def test_theil_sen(spark):
+    """Median-of-pairwise-slopes vs a pure-python reference; outlier
+    immunity vs OLS trend; equal-x pairs skipped; vertical-only group
+    NULL; max_points probe; grouped."""
+    import random
+
+    from getl_spark.functions import stats
+
+    def ref(pts):
+        slopes = sorted(
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1:]
+            if x2 != x1
+        ) or None
+        if slopes is None:
+            return None, None, 0
+
+        def med(v):
+            n = len(v)
+            m = n // 2
+            return v[m] if n % 2 else (v[m - 1] + v[m]) / 2.0
+
+        s = med(slopes)
+        resid = sorted(y - s * x for x, y in pts)
+        return s, med(resid), len(slopes)
+
+    rnd = random.Random(3)
+    clean = [(float(i), 2.5 * i + 10 + rnd.gauss(0, 0.5)) for i in range(30)]
+    # same series with two wild outliers
+    dirty = list(clean)
+    dirty[5] = (5.0, 500.0)
+    dirty[20] = (20.0, -300.0)
+
+    for pts in (clean, dirty):
+        df = spark.createDataFrame(pts, "x DOUBLE, y DOUBLE")
+        r = stats.theil_sen(df, "x", "y").collect()[0]
+        s, ic, npairs = ref(pts)
+        assert r.n_points == 30 and r.n_pairs == npairs
+        assert r.slope == pytest.approx(s, abs=1e-6)
+        assert r.intercept == pytest.approx(ic, abs=1e-6)
+    # robust: outliers barely move the slope (OLS would swing wildly)
+    assert abs(ref(dirty)[0] - ref(clean)[0]) < 0.2
+
+    # equal-x pairs skipped: duplicated x values
+    dup = [(1.0, 1.0), (1.0, 9.0), (2.0, 2.0), (3.0, 3.0)]
+    df = spark.createDataFrame(dup, "x DOUBLE, y DOUBLE")
+    r = stats.theil_sen(df, "x", "y").collect()[0]
+    s, ic, npairs = ref(dup)
+    assert r.n_pairs == npairs == 5
+    assert r.slope == pytest.approx(s, abs=1e-9)
+
+    # all-vertical group -> NULL slope, 0 pairs
+    vert = [(1.0, 1.0), (1.0, 2.0), (1.0, 3.0)]
+    df = spark.createDataFrame(vert, "x DOUBLE, y DOUBLE")
+    r = stats.theil_sen(df, "x", "y").collect()[0]
+    assert r.slope is None and r.n_pairs == 0 and r.n_points == 3
+
+    # grouped: clean and dirty side by side
+    both = [("c", *p) for p in clean] + [("d", *p) for p in dirty]
+    df = spark.createDataFrame(both, "g STRING, x DOUBLE, y DOUBLE")
+    out = {r.g: r for r in stats.theil_sen(df, "x", "y", group_by="g").collect()}
+    assert out["c"].slope == pytest.approx(ref(clean)[0], abs=1e-6)
+    assert out["d"].slope == pytest.approx(ref(dirty)[0], abs=1e-6)
+
+    # probe fails loud before the pair join
+    with pytest.raises(ValueError, match="max_points"):
+        stats.theil_sen(df, "x", "y", max_points=10)
+    with pytest.raises(ValueError, match="max_points"):
+        stats.theil_sen(df, "x", "y", max_points=1)
