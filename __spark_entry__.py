@@ -10701,6 +10701,68 @@ FROM cnts c LEFT JOIN imed i ON c.g = i.g
 """
 
 
+def _q_matryoshka_recall(spark, sf_dir):
+    """embedding.truncate + similarity.recall_eval — the MRL
+    dimension-cut evaluation: recall@10 of brute-force retrieval on
+    the FIRST 32 of 64 dimensions vs full-dimension truth. Every
+    halving halves ANN memory/shuffle/scan cost; this query is the
+    measurement that says whether the cut is shippable."""
+    from getl_spark.functions import embedding, similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 16)
+    exact = similarity.topk_bruteforce(emb, qs, k=10)
+    cheap = similarity.topk_bruteforce(
+        embedding.truncate(emb, 32), embedding.truncate(qs, 32), k=10
+    )
+    return similarity.recall_eval(cheap, exact, k=10)
+
+
+MATRYOSHKA_RECALL_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 16
+), c AS (
+  SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings
+), ex AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, c.nid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                      c.nid) AS rk
+    FROM q, c WHERE c.nid != q.qid) t WHERE rk <= 10
+), ap AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, c.nid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY ROUND(list_cosine_similarity(q.v[1:32],
+                                                   c.v[1:32]), 6) DESC,
+                      c.nid) AS rk
+    FROM q, c WHERE c.nid != q.qid) t WHERE rk <= 10
+), truth AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS t FROM ex GROUP BY 1
+), hits AS (
+  SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS h
+  FROM ex e JOIN ap a ON e.qid = a.qid AND e.nid = a.nid GROUP BY 1
+), per_q AS (
+  -- missing = zero-HIT queries (recall_eval's implemented contract)
+  SELECT truth.qid, truth.t, COALESCE(hits.h, 0) AS h,
+         COALESCE(hits.h, 0) * 1.0 / truth.t AS r,
+         CASE WHEN COALESCE(hits.h, 0) = 0 THEN 1 ELSE 0 END AS miss
+  FROM truth
+  LEFT JOIN hits ON truth.qid = hits.qid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(10 AS INTEGER) AS k,
+       ROUND(AVG(r), 6) AS mean_recall,
+       ROUND(MIN(r), 6) AS min_recall,
+       ROUND(AVG(CASE WHEN h = t THEN 1.0 ELSE 0.0 END), 6)
+         AS perfect_frac,
+       CAST(SUM(miss) AS BIGINT) AS missing_queries
+FROM per_q
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10936,6 +10998,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination_report": _q_contamination_report,
         "embedding_diversity": _q_embedding_diversity,
         "stats_theil_sen": _q_theil_sen,
+        "similarity_matryoshka_recall": _q_matryoshka_recall,
     }
 
 
@@ -11162,6 +11225,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "text_contamination_report": CONTAMINATION_REPORT_ORACLE,
         "embedding_diversity": EMBEDDING_DIVERSITY_ORACLE,
         "stats_theil_sen": THEIL_SEN_ORACLE,
+        "similarity_matryoshka_recall": MATRYOSHKA_RECALL_ORACLE,
     }
 
 

@@ -158,6 +158,7 @@ DETAIL_QUERIES = [
     "text_contamination_report",
     "embedding_diversity",
     "stats_theil_sen",
+    "similarity_matryoshka_recall",
 ]
 
 RUNS = 3

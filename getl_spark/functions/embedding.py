@@ -988,3 +988,65 @@ def diversity(
         F.round(mean_cos, round_to).alias("mean_pairwise_cos"),
         F.round(1 - mean_cos, round_to).alias("diversity"),
     )
+
+
+def truncate(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    new_col: Optional[str] = None,
+    renormalize: bool = False,
+) -> DataFrame:
+    """Keep the first ``dims`` components of a vector column — the
+    Matryoshka/MRL evaluation primitive: embeddings trained with
+    nested objectives keep most retrieval quality at half (or an
+    eighth of) the dimensions, and every halving halves ANN memory,
+    shuffle bytes, and scan cost. Truncate, re-run ``similarity.
+    topk_*``, and let ``similarity.recall_eval`` say whether the
+    cheap dimensions are shippable — measured, not guessed.
+
+    Vectors shorter than ``dims`` fail loudly (silent short slices
+    would quietly compare different subspaces); NULL vectors pass
+    through NULL. ``renormalize=True`` rescales the kept prefix to
+    unit norm (what a cosine index wants); default keeps raw values
+    (``topk_bruteforce`` computes cosine from the vectors it is
+    given, so plain truncation is already correct there).
+
+    Pure scan-side ``slice`` expression — no shuffle, no UDF.
+    """
+    if dims < 1:
+        raise ValueError(f"truncate: dims must be >= 1, got {dims}")
+    out = new_col or vec_col
+    guard = F.assert_true(
+        F.size(F.col(vec_col)) >= dims,
+        F.lit(
+            f"embedding.truncate: vector shorter than dims={dims} - "
+            "a silent short slice would compare different subspaces"
+        ),
+    )
+    sliced = F.when(
+        F.col(vec_col).isNull(), F.lit(None).cast("array<double>")
+    ).otherwise(
+        F.when(
+            guard.isNull(),
+            F.slice(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                1,
+                dims,
+            ),
+        )
+    )
+    res = df.withColumn(out, sliced)
+    if renormalize:
+        nrm = _norm_expr(out)
+        res = res.withColumn(
+            out,
+            F.when(
+                F.col(out).isNull() | (nrm == 0), F.col(out)
+            ).otherwise(
+                F.transform(
+                    F.col(out), lambda x: F.try_divide(x, nrm)
+                )
+            ),
+        )
+    return res

@@ -735,3 +735,47 @@ def test_diversity_mean_pairwise_cos(spark):
     out = {r.g: r.mean_pairwise_cos for r in E.diversity(df, group_by="g").collect()}
     assert out["t"] == pytest.approx(brute(tight), abs=1e-6)
     assert out["s"] == pytest.approx(brute(spread), abs=1e-6)
+
+
+def test_truncate_matryoshka(spark):
+    """Prefix slice semantics, renormalize, NULL passthrough, short
+    vector loud-fail; truncated-dims retrieval keeps high recall on a
+    structured corpus (the MRL evaluation loop end-to-end)."""
+    import numpy as np
+
+    from getl_spark.functions import embedding as E
+    from getl_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0, 100.0]), (2, None)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = {r.vec_id: r.embedding for r in E.truncate(df, 2).collect()}
+    assert out[1] == [3.0, 4.0] and out[2] is None
+
+    rn = {r.vec_id: r.embedding
+          for r in E.truncate(df, 2, renormalize=True).collect()}
+    assert rn[1] == pytest.approx([0.6, 0.8]) and rn[2] is None
+
+    short = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(Exception, match="shorter"):
+        E.truncate(short, 3).collect()
+    with pytest.raises(ValueError, match="dims"):
+        E.truncate(short, 0)
+
+    # end-to-end: front-loaded vectors keep recall after halving dims
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, (80, 16))
+    base[:, 8:] *= 0.05  # matryoshka-ish: tail dims carry little
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    qs = emb.where(F.col("vec_id") < 10)
+    exact = similarity.topk_bruteforce(emb, qs, k=5)
+    cheap = similarity.topk_bruteforce(
+        E.truncate(emb, 8), E.truncate(qs, 8), k=5
+    )
+    r = similarity.recall_eval(cheap, exact, k=5).collect()[0]
+    assert r.n_queries == 10 and r.missing_queries == 0
+    assert r.mean_recall > 0.8

@@ -82,6 +82,7 @@ NESTED_LOOP_WHITELIST = {
     # side is the (small) query set or the oracleable exact pairs path;
     # the scale paths are the _lsh/_ivf/banded variants
     "similarity_topk_bruteforce": "broadcast query side (baseline)",
+    "similarity_matryoshka_recall": "broadcast query side on both brute-force legs (MRL dimension-cut eval)",
     "similarity_recall_ivf": "broadcast 32-query side (brute-force truth leg of the recall measurement)",
     "similarity_topk_metrics": "broadcast query side (dot/l2 baseline)",
     "similarity_range_search": "broadcast query side (baseline)",
