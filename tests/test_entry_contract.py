@@ -23,6 +23,7 @@ ROWS_ONLY = {
     "text_bpe_corpus",
     "corpus_curation_full",
     "similarity_recall_ivf",
+    "dedup_cdc_corpus",
 }
 
 
