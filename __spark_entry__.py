@@ -10763,6 +10763,40 @@ FROM per_q
 """
 
 
+def _q_k_core(spark, sf_dir):
+    """graph.k_core — dense-cluster (spam-farm) detection by degree
+    peeling on a fixed SF-independent graph: a 6-clique with a
+    pendant, a 5-leaf star, a 4-chain, and a pentagon. k=2 keeps the
+    clique (core degree 5 — the pendant peels and stops counting) and
+    the pentagon (degree 2); star and chain peel away entirely. The
+    iteration is not SQL-expressible, so the oracle pins the
+    hand-derived core (the golden-VALUES convention for iterative
+    ops); the distributed loop is identity-tested against the driver
+    peel in tests/test_graph_asof.py."""
+    from getl_spark.functions import graph
+
+    clique = [(a, b) for a in range(1, 7) for b in range(a + 1, 7)]
+    edges = (
+        clique
+        + [(1, 7)]
+        + [(10, i) for i in range(11, 16)]
+        + [(20, 21), (21, 22), (22, 23)]
+        + [(30, 31), (31, 32), (32, 33), (33, 34), (34, 30)]
+    )
+    df = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    return graph.k_core(df, 2)
+
+
+K_CORE_ORACLE = """
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(core_degree AS BIGINT) AS core_degree
+FROM (VALUES
+  (1, 5), (2, 5), (3, 5), (4, 5), (5, 5), (6, 5),
+  (30, 2), (31, 2), (32, 2), (33, 2), (34, 2)
+) AS t(node, core_degree)
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -10999,6 +11033,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_diversity": _q_embedding_diversity,
         "stats_theil_sen": _q_theil_sen,
         "similarity_matryoshka_recall": _q_matryoshka_recall,
+        "graph_k_core": _q_k_core,
     }
 
 
@@ -11226,6 +11261,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "embedding_diversity": EMBEDDING_DIVERSITY_ORACLE,
         "stats_theil_sen": THEIL_SEN_ORACLE,
         "similarity_matryoshka_recall": MATRYOSHKA_RECALL_ORACLE,
+        "graph_k_core": K_CORE_ORACLE,
     }
 
 

@@ -159,6 +159,7 @@ DETAIL_QUERIES = [
     "embedding_diversity",
     "stats_theil_sen",
     "similarity_matryoshka_recall",
+    "graph_k_core",
 ]
 
 RUNS = 3

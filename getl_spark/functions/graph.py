@@ -481,3 +481,111 @@ def degree_stats(
         degrees.groupBy(F.col("__deg").alias("degree"))
         .agg(F.count("*").cast("bigint").alias("n_nodes"))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+    max_iter: int = 100,
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
+    """The k-core of an undirected graph: iteratively peel every node
+    with degree < k until the rest sustain each other. On near-dup /
+    link graphs this is the DENSE-CLUSTER detector the pairwise ops
+    can't give: a spam farm or template mill shows up as a subgraph
+    where everything connects to everything (survives a high k), while
+    organic near-dup pairs and hub-and-spoke boilerplate (star
+    centers!) peel away — `degree_stats` says "something is
+    exploding", k-core says WHICH nodes form the self-sustaining
+    clump. Returns ``(node_col, core_degree)`` for surviving nodes
+    only, with the degree measured INSIDE the core (a clique member's
+    spokes to peeled leaves don't count) — empty output means no
+    k-core exists.
+
+    Edge sets at or under ``driver_threshold`` (candidate-pair lists
+    are typically ≪ corpus) peel on the driver in one bounded collect
+    — exact, loop-free, immune to the slow-peel adversary. Larger
+    sets run the distributed loop: per round, one symmetric-view
+    degree aggregate and two anti-joins dropping sub-k nodes' edges
+    (each round pinned — the cluster_components lineage rule). Round
+    count is bounded by peel depth, not diameter; ``max_iter`` guards
+    the adversarial long-chain case LOUDLY (a silent partial peel
+    would overstate the core), and the error says what to raise.
+
+    Direction and duplicate edges are normalized away; self-loops are
+    dropped (a self-edge is not evidence of a cluster).
+    """
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .transform(pin)
+    )
+    if driver_threshold > 0:
+        sample = e.limit(driver_threshold + 1).collect()
+        if len(sample) <= driver_threshold:
+            from collections import defaultdict
+
+            adj: dict = defaultdict(set)
+            for row in sample:
+                adj[row["u"]].add(row["v"])
+                adj[row["v"]].add(row["u"])
+            queue = [n for n, nb in adj.items() if len(nb) < k]
+            while queue:
+                n = queue.pop()
+                if n not in adj:
+                    continue
+                for m in adj.pop(n):
+                    nb = adj.get(m)
+                    if nb is not None:
+                        nb.discard(n)
+                        if len(nb) < k:
+                            queue.append(m)
+            rows = [(n, len(nb)) for n, nb in adj.items()]
+            from pyspark.sql.types import (
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            schema = StructType(
+                [
+                    StructField(node_col, e.schema["u"].dataType, True),
+                    StructField("core_degree", LongType(), True),
+                ]
+            )
+            return e.sparkSession.createDataFrame(rows, schema)
+    for _ in range(max_iter):
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("__d"))
+        bad = deg.where(F.col("__d") < k).select("u").transform(pin)
+        if not bad.limit(1).collect():
+            return deg.select(
+                F.col("u").alias(node_col),
+                F.col("__d").alias("core_degree"),
+            )
+        e = (
+            e.join(bad, "u", "left_anti")
+            .join(bad.select(F.col("u").alias("v")), "v", "left_anti")
+            # the USING-column join moves "v" first; the union above is
+            # POSITIONAL, so restore (u, v) order explicitly
+            .select("u", "v")
+            .transform(pin)
+        )
+    raise RuntimeError(
+        f"k_core: did not stabilize within max_iter={max_iter} rounds "
+        "(each round peels at least one node, so this is a very deep "
+        "peel, e.g. a long chain); raise max_iter, or lower "
+        "driver_threshold=0 only if the edge set truly cannot collect"
+    )

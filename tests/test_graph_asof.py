@@ -623,3 +623,49 @@ def test_degree_stats_hub_detection(spark):
     got = {r["degree"]: r["n_nodes"] for r in graph.degree_stats(edges).collect()}
     # degrees: node2=2, nodes 1,3 =1, hub=5, 5 leaves=1 -> {1:7, 2:1, 5:1}
     assert got == {1: 7, 2: 1, 5: 1}
+
+
+def test_k_core_peeling(spark):
+    """Hand-built graph with known cores: 6-clique (+1 pendant), star,
+    chain, pentagon. k=2 keeps clique+pentagon, k=3 only the clique,
+    k=6 nothing; pendant peels and the clique's core degrees exclude
+    it; distributed loop == driver peel; long-chain max_iter loud-fail
+    on the distributed path; self-loops/duplicates normalized."""
+    from getl_spark.functions import graph
+
+    clique = [(a, b) for a in range(1, 7) for b in range(a + 1, 7)]
+    pendant = [(1, 7)]
+    star = [(10, i) for i in range(11, 16)]
+    chain = [(20, 21), (21, 22), (22, 23)]
+    pentagon = [(30, 31), (31, 32), (32, 33), (33, 34), (34, 30)]
+    junk = [(1, 1), (2, 1), (1, 2)]  # self-loop + dup + reversed dup
+    edges = clique + pendant + star + chain + pentagon + junk
+    df = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+
+    got2 = {r.node: r.core_degree for r in graph.k_core(df, 2).collect()}
+    expect2 = {n: 5 for n in range(1, 7)} | {n: 2 for n in range(30, 35)}
+    assert got2 == expect2  # pendant/star/chain gone; clique deg excludes 7
+
+    got3 = {r.node: r.core_degree for r in graph.k_core(df, 3).collect()}
+    assert got3 == {n: 5 for n in range(1, 7)}
+
+    assert graph.k_core(df, 6).collect() == []
+
+    # distributed loop (driver_threshold=0) must agree exactly
+    for kk in (2, 3, 6):
+        d = {r.node: r.core_degree
+             for r in graph.k_core(df, kk, driver_threshold=0).collect()}
+        e = {r.node: r.core_degree
+             for r in graph.k_core(df, kk).collect()}
+        assert d == e
+
+    # adversarial slow peel fails LOUD on the distributed path
+    long_chain = [(i, i + 1) for i in range(60)]
+    cdf = spark.createDataFrame(long_chain, "id_a LONG, id_b LONG")
+    with pytest.raises(RuntimeError, match="max_iter"):
+        graph.k_core(cdf, 2, driver_threshold=0, max_iter=3)
+    # ...while the driver peel handles it instantly (empty 2-core)
+    assert graph.k_core(cdf, 2).collect() == []
+
+    with pytest.raises(ValueError, match="k must"):
+        graph.k_core(df, 0)
