@@ -160,6 +160,7 @@ DETAIL_QUERIES = [
     "stats_theil_sen",
     "similarity_matryoshka_recall",
     "graph_k_core",
+    "stats_gains_table",
 ]
 
 RUNS = 3

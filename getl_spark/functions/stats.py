@@ -4915,3 +4915,127 @@ def theil_sen(
         F.round(F.col("__slope"), round_to).alias("slope"),
         F.round(F.col("__icept"), round_to).alias("intercept"),
     )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Decile gains/lift table of a binary scorer — the
+    threshold-PICKING readout that ``auc`` (threshold-free ranking
+    quality) and ``reliability_bins`` (probability honesty) don't
+    give: "if we keep only the top 20% by quality score, what share
+    of the good documents do we capture, and at what precision?"
+    Rows are ranked score-DESCENDING and cut into ``n_buckets``
+    equal-population buckets; bucket 0 is the model's most-confident
+    slice.
+
+    Tie contract: rows reduce to per-distinct-score blocks and a tied
+    block is assigned WHOLE to the bucket where it begins — equal
+    scores share a fate (splitting a tie across buckets would make
+    the table depend on row order). With heavy ties (integer scores)
+    buckets are therefore approximately, not exactly, equal-sized —
+    ``n_rows`` says exactly how approximate.
+
+    One row per (group, bucket): ``(group_by..., bucket, n_rows,
+    n_pos, cum_rows, cum_pos, capture_rate, cum_precision, lift)``
+    where ``capture_rate = cum_pos / total_pos`` (the gains curve),
+    ``cum_precision = cum_pos / cum_rows``, and ``lift =
+    cum_precision / base_rate``. Labels must be 0/1 (loud assert);
+    NULL score/label rows are excluded; lift/capture are NULL for a
+    group with no positives.
+
+    Scale shape: the auc shape plus one bucket rollup — rows reduce
+    to per-distinct-score (n, pos) counts (shuffle ∝ distinct
+    scores), cumulatives ride the DISTRIBUTED multi-column prefix sum
+    (no per-group window funnel), totals are a per-group 1-row
+    broadcast, and the final aggregate is ≤ n_buckets rows per group.
+    """
+    if n_buckets < 2:
+        raise ValueError(
+            f"gains_table: n_buckets must be >= 2, got {n_buckets}"
+        )
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("bigint")
+    guard = F.assert_true(
+        y.isin(0, 1),
+        F.lit("stats.gains_table: label column must be binary 0/1"),
+    )
+    checked = y + F.coalesce(guard.cast("bigint"), F.lit(0))
+    counts = (
+        df.where(s.isNotNull() & y.isNotNull() & ~F.isnan(s))
+        .groupBy(*keys, (-s).alias("__negs"))
+        .agg(
+            F.count("*").cast("bigint").alias("__n"),
+            F.sum(checked).cast("bigint").alias("__np"),
+        )
+    )
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    cum = grouped_prefix_sum(
+        counts, keys, ["__negs"], ["__n", "__np"], ["__cn", "__cp"]
+    )
+    totals = counts.groupBy(*keys).agg(
+        F.sum("__n").cast("bigint").alias("__tn"),
+        F.sum("__np").cast("bigint").alias("__tp"),
+    )
+    if keys:
+        t = totals.select(
+            *[F.col(c).alias(f"__t_{c}") for c in keys], "__tn", "__tp"
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & cum[k].eqNullSafe(t[f"__t_{k}"])
+        j = cum.join(t, cond).drop(*[f"__t_{k}" for k in keys])
+    else:
+        j = cum.join(F.broadcast(totals))
+    # a tied block belongs to the bucket where it BEGINS
+    bucket = F.floor(
+        (F.col("__cn") - F.col("__n")).cast("double")
+        * n_buckets
+        / F.col("__tn")
+    ).cast("int")
+    per_bucket = j.select(
+        *keys,
+        bucket.alias("bucket"),
+        "__n",
+        "__np",
+        "__cn",
+        "__cp",
+        "__tn",
+        "__tp",
+    ).groupBy(*keys, "bucket").agg(
+        F.sum("__n").cast("bigint").alias("n_rows"),
+        F.sum("__np").cast("bigint").alias("n_pos"),
+        F.max("__cn").cast("bigint").alias("cum_rows"),
+        F.max("__cp").cast("bigint").alias("cum_pos"),
+        F.max("__tn").alias("__tn"),
+        F.max("__tp").alias("__tp"),
+    )
+    tp = F.col("__tp").cast("double")
+    base = tp / F.col("__tn").cast("double")
+    prec = F.col("cum_pos").cast("double") / F.col("cum_rows")
+    return per_bucket.select(
+        *keys,
+        "bucket",
+        "n_rows",
+        "n_pos",
+        "cum_rows",
+        "cum_pos",
+        F.round(
+            F.when(F.col("__tp") > 0, F.col("cum_pos") / tp), round_to
+        ).alias("capture_rate"),
+        F.round(prec, round_to).alias("cum_precision"),
+        F.round(F.when(F.col("__tp") > 0, prec / base), round_to).alias(
+            "lift"
+        ),
+    )

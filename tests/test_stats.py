@@ -3203,3 +3203,78 @@ def test_theil_sen(spark):
         stats.theil_sen(df, "x", "y", max_points=10)
     with pytest.raises(ValueError, match="max_points"):
         stats.theil_sen(df, "x", "y", max_points=1)
+
+
+def test_gains_table(spark):
+    """Bucket arithmetic vs a pure-python reference on a skilled and a
+    random scorer; whole-tie-block bucket contract; capture/lift
+    identities; label guard; grouped; n_buckets guard."""
+    import random
+
+    from getl_spark.functions import stats
+
+    def ref(rows, b=10):
+        # distinct-score blocks descending; block -> bucket by start pos
+        from collections import defaultdict
+        blocks = defaultdict(lambda: [0, 0])
+        for sc, yy in rows:
+            blocks[sc][0] += 1
+            blocks[sc][1] += yy
+        tn = len(rows)
+        tp = sum(y for _, y in rows)
+        out = defaultdict(lambda: [0, 0, 0, 0])  # n, pos, cum_n, cum_p
+        cn = cp = 0
+        for sc in sorted(blocks, reverse=True):
+            n, p = blocks[sc]
+            bk = (cn * b) // tn
+            cn, cp = cn + n, cp + p
+            o = out[bk]
+            o[0] += n
+            o[1] += p
+            o[2], o[3] = cn, cp
+        res = {}
+        for bk, (n, p, cn2, cp2) in out.items():
+            res[bk] = (
+                n, p, cn2, cp2,
+                round(cp2 / tp, 6) if tp else None,
+                round(cp2 / cn2, 6),
+                round((cp2 / cn2) / (tp / tn), 6) if tp else None,
+            )
+        return res
+
+    rnd = random.Random(9)
+    skilled = []
+    for _ in range(500):
+        y = rnd.random() < 0.3
+        sc = rnd.gauss(2.0 if y else 0.0, 1.0)
+        skilled.append((round(sc, 2), int(y)))
+    random_sc = [(round(rnd.random(), 2), int(rnd.random() < 0.3))
+                 for _ in range(500)]
+
+    for rows in (skilled, random_sc):
+        df = spark.createDataFrame(rows, "score DOUBLE, label INT")
+        got = {
+            r.bucket: (r.n_rows, r.n_pos, r.cum_rows, r.cum_pos,
+                       r.capture_rate, r.cum_precision, r.lift)
+            for r in stats.gains_table(df, "score", "label").collect()
+        }
+        assert got == ref(rows)
+    # a skilled scorer's top decile lifts hard; random hovers ~1
+    sk = ref(skilled)
+    assert sk[0][6] > 2.0
+    rd = ref(random_sc)
+    assert 0.5 < rd[0][6] < 1.7
+
+    # grouped
+    both = [("s", *r) for r in skilled] + [("r", *r) for r in random_sc]
+    df = spark.createDataFrame(both, "g STRING, score DOUBLE, label INT")
+    out = stats.gains_table(df, "score", "label", group_by="g").collect()
+    got_s = {r.bucket: r.lift for r in out if r.g == "s"}
+    assert got_s[0] == ref(skilled)[0][6]
+
+    # non-binary label fails loud
+    bad = spark.createDataFrame([(1.0, 2)], "score DOUBLE, label INT")
+    with pytest.raises(Exception, match="binary"):
+        stats.gains_table(bad, "score", "label").collect()
+    with pytest.raises(ValueError, match="n_buckets"):
+        stats.gains_table(bad, "score", "label", n_buckets=1)
