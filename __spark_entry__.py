@@ -10854,6 +10854,71 @@ FROM bk GROUP BY bucket
 """
 
 
+def _q_drift_report(spark, sf_dir):
+    """stats.drift_report — whole-table drift in one scan per side:
+    PSI of every listed column between the even- and odd-user halves
+    of events. ``value`` is stable by construction; ``user_id`` is
+    maximally drifted (disjoint parities) — the report shows both at
+    once, which is the point."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stats.drift_report(
+        ev.where("user_id % 2 = 0"),
+        ev.where("user_id % 2 = 1"),
+        ["value", "user_id"],
+    )
+
+
+DRIFT_REPORT_ORACLE = """
+WITH lv AS (
+  SELECT 'value' AS g, CAST(value AS DOUBLE) AS v FROM events
+  WHERE user_id % 2 = 0 AND value IS NOT NULL
+  UNION ALL
+  SELECT 'user_id' AS g, CAST(user_id AS DOUBLE) AS v FROM events
+  WHERE user_id % 2 = 0 AND user_id IS NOT NULL
+), rv AS (
+  SELECT 'value' AS g, CAST(value AS DOUBLE) AS v FROM events
+  WHERE user_id % 2 = 1 AND value IS NOT NULL
+  UNION ALL
+  SELECT 'user_id' AS g, CAST(user_id AS DOUBLE) AS v FROM events
+  WHERE user_id % 2 = 1 AND user_id IS NOT NULL
+), bounds AS (
+  SELECT g, MIN(v) AS lo, MAX(v) AS hi
+  FROM (SELECT * FROM lv UNION ALL SELECT * FROM rv) GROUP BY g
+), lb AS (
+  SELECT lv.g,
+         COALESCE(LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INT), 9), 0)
+           AS b,
+         COUNT(*) AS cl
+  FROM lv JOIN bounds ON lv.g = bounds.g GROUP BY lv.g, b
+), rb AS (
+  SELECT rv.g,
+         COALESCE(LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INT), 9), 0)
+           AS b,
+         COUNT(*) AS cr
+  FROM rv JOIN bounds ON rv.g = bounds.g GROUP BY rv.g, b
+), merged AS (
+  SELECT COALESCE(lb.g, rb.g) AS g, COALESCE(cl, 0) AS cl,
+         COALESCE(cr, 0) AS cr
+  FROM lb FULL OUTER JOIN rb ON lb.g = rb.g AND lb.b = rb.b
+), totals AS (
+  SELECT g, SUM(cl) AS nl, SUM(cr) AS nr FROM merged GROUP BY g
+)
+SELECT m.g AS "column",
+       CASE WHEN MAX(nl) > 0 AND MAX(nr) > 0 THEN
+         ROUND(SUM((cl / CAST(nl AS DOUBLE) + 1e-6
+                    - cr / CAST(nr AS DOUBLE) - 1e-6)
+               * ln((cl / CAST(nl AS DOUBLE) + 1e-6)
+                    / (cr / CAST(nr AS DOUBLE) + 1e-6))), 6)
+       END AS psi,
+       CAST(MAX(nl) AS BIGINT) AS n_left,
+       CAST(MAX(nr) AS BIGINT) AS n_right
+FROM merged m JOIN totals t ON m.g = t.g
+GROUP BY m.g
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -11092,6 +11157,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_matryoshka_recall": _q_matryoshka_recall,
         "graph_k_core": _q_k_core,
         "stats_gains_table": _q_gains_table,
+        "stats_drift_report": _q_drift_report,
     }
 
 
@@ -11321,6 +11387,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "similarity_matryoshka_recall": MATRYOSHKA_RECALL_ORACLE,
         "graph_k_core": K_CORE_ORACLE,
         "stats_gains_table": GAINS_TABLE_ORACLE,
+        "stats_drift_report": DRIFT_REPORT_ORACLE,
     }
 
 

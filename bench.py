@@ -161,6 +161,7 @@ DETAIL_QUERIES = [
     "similarity_matryoshka_recall",
     "graph_k_core",
     "stats_gains_table",
+    "stats_drift_report",
 ]
 
 RUNS = 3

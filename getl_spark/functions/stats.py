@@ -5039,3 +5039,90 @@ def gains_table(
             "lift"
         ),
     )
+
+
+def drift_report(
+    left: DataFrame,
+    right: DataFrame,
+    columns,
+    bins: int = 10,
+    epsilon: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Every numeric column's PSI between two snapshots in ONE scan
+    per side — the standing whole-table drift monitor. Calling ``psi``
+    per column re-reads the table n_columns times; here each side
+    melts map-side into (column, value) rows (an explode over a
+    literal struct array — no shuffle, no UDF) and the per-column
+    PSIs compute as ``group_psi`` grouped by column name, so the
+    whole report costs two scans regardless of how many columns it
+    covers. Run it on every snapshot pair; read it top-down — PSI
+    ≥ 0.2 is the conventional "investigate" bar.
+
+    ``columns`` must all be numeric/boolean (checked against the
+    schema of BOTH sides, loudly — a string column silently casting
+    to NULL would report fake stability). Output one row per column:
+    ``(column, psi, n_left, n_right)``; a column all-NULL on one side
+    gets NULL psi with its counts visible, like ``group_psi``'s
+    one-sided groups.
+
+    Scale shape: melt is scan-side row growth ×n_columns BEFORE the
+    keyed partial aggs, and everything after reduces to
+    #columns × bins cells — the group_psi contract with columns as
+    groups.
+    """
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    if not cols:
+        raise ValueError("drift_report: need at least one column")
+    _NUMERIC = (
+        "int", "bigint", "smallint", "tinyint", "double", "float",
+        "boolean", "date", "timestamp", "timestamp_ntz",
+    )
+    for side_name, df_ in (("left", left), ("right", right)):
+        types = dict(df_.dtypes)
+        for c in cols:
+            if c not in types:
+                raise ValueError(
+                    f"drift_report: column {c!r} missing on {side_name}"
+                )
+            base_t = types[c].split("(")[0]
+            if base_t not in _NUMERIC and not base_t.startswith("decimal"):
+                raise ValueError(
+                    f"drift_report: column {c!r} is {types[c]} on "
+                    f"{side_name} - only numeric/boolean/temporal "
+                    "columns can bin; cast or encode it explicitly"
+                )
+
+    def melt(df_):
+        kv = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    # temporal types bin on their epoch micros; the
+                    # double cast below is then uniform
+                    (
+                        F.unix_micros(F.col(c).cast("timestamp"))
+                        if dict(df_.dtypes)[c].startswith("timestamp")
+                        or dict(df_.dtypes)[c] == "date"
+                        else F.col(c).cast("double")
+                    )
+                    .cast("double")
+                    .alias("value"),
+                )
+                for c in cols
+            ]
+        )
+        return df_.select(F.explode(kv).alias("__kv")).select(
+            F.col("__kv.column").alias("column"),
+            F.col("__kv.value").alias("value"),
+        )
+
+    return group_psi(
+        melt(left),
+        melt(right),
+        "value",
+        "column",
+        bins=bins,
+        epsilon=epsilon,
+        round_to=round_to,
+    )

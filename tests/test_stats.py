@@ -3278,3 +3278,45 @@ def test_gains_table(spark):
         stats.gains_table(bad, "score", "label").collect()
     with pytest.raises(ValueError, match="n_buckets"):
         stats.gains_table(bad, "score", "label", n_buckets=1)
+
+
+def test_drift_report(spark):
+    """Multi-column melt agrees exactly with per-column psi; the
+    shifted column flags and the stable one doesn't; type guard;
+    missing-column guard; one-sided NULL semantics."""
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(21)
+    a_rows = [(rnd.gauss(0, 1), rnd.uniform(0, 10), "x") for _ in range(800)]
+    # col1 shifted hard on the right side; col2 stable
+    b_rows = [(rnd.gauss(3, 1), rnd.uniform(0, 10), "x") for _ in range(800)]
+    a = spark.createDataFrame(a_rows, "m1 DOUBLE, m2 DOUBLE, s STRING")
+    b = spark.createDataFrame(b_rows, "m1 DOUBLE, m2 DOUBLE, s STRING")
+
+    rep = {r.column: r for r in
+           stats.drift_report(a, b, ["m1", "m2"]).collect()}
+    assert set(rep) == {"m1", "m2"}
+    assert rep["m1"].psi > 0.5 and rep["m2"].psi < 0.1
+    assert rep["m1"].n_left == 800 and rep["m1"].n_right == 800
+
+    # identical to the single-column op, column by column
+    for c in ("m1", "m2"):
+        single = stats.psi(a.select(c), b.select(c), c).collect()[0]
+        assert rep[c].psi == single.psi
+
+    # string column refused loudly; absent column refused
+    with pytest.raises(ValueError, match="cast or encode"):
+        stats.drift_report(a, b, ["m1", "s"])
+    with pytest.raises(ValueError, match="missing"):
+        stats.drift_report(a, b, ["nope"])
+
+    # a column all-NULL on one side: NULL psi, counts visible
+    from pyspark.sql import functions as F
+
+    a2 = a.withColumn("m3", F.lit(None).cast("double"))
+    b2 = b.withColumn("m3", F.lit(1.0))
+    r3 = {r.column: r for r in
+          stats.drift_report(a2, b2, ["m1", "m3"]).collect()}
+    assert r3["m3"].psi is None and r3["m3"].n_right == 800
