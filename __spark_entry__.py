@@ -10919,6 +10919,52 @@ GROUP BY m.g
 """
 
 
+def _q_label_noise(spark, sf_dir):
+    """quality.label_noise — confident-learning mislabel review queue:
+    price-in-cents as the scorer for the high-quantity label; rows
+    whose price is on the wrong side of the OTHER class's mean are
+    the disagreement tail a labeling audit reads first. Cent-integer
+    scores keep the threshold comparisons engine-stable."""
+    from getl_spark.functions import quality
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        "l_orderkey % 5 = 0"
+    )
+    base = li.where(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") >= 25).cast("int").alias("label"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("score"),
+    )
+    return (
+        quality.label_noise(base, "label", "score")
+        .where(F.col("noise_suspect"))
+        .select("l_orderkey", "l_linenumber", "label", "suggested_label")
+    )
+
+
+LABEL_NOISE_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS label,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS score
+  FROM lineitem
+  WHERE l_orderkey % 5 = 0
+    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+), t AS (
+  SELECT AVG(CASE WHEN label = 0 THEN CAST(score AS DOUBLE) END) AS t0,
+         AVG(CASE WHEN label = 1 THEN CAST(score AS DOUBLE) END) AS t1
+  FROM base
+)
+SELECT l_orderkey, l_linenumber, label,
+       CAST(1 - label AS BIGINT) AS suggested_label
+FROM base, t
+WHERE (label = 0 AND score >= t1) OR (label = 1 AND score <= t0)
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -11158,6 +11204,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_k_core": _q_k_core,
         "stats_gains_table": _q_gains_table,
         "stats_drift_report": _q_drift_report,
+        "quality_label_noise": _q_label_noise,
     }
 
 
@@ -11388,6 +11435,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "graph_k_core": K_CORE_ORACLE,
         "stats_gains_table": GAINS_TABLE_ORACLE,
         "stats_drift_report": DRIFT_REPORT_ORACLE,
+        "quality_label_noise": LABEL_NOISE_ORACLE,
     }
 
 

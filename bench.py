@@ -162,6 +162,7 @@ DETAIL_QUERIES = [
     "graph_k_core",
     "stats_gains_table",
     "stats_drift_report",
+    "quality_label_noise",
 ]
 
 RUNS = 3

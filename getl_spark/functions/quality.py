@@ -341,3 +341,83 @@ def apply_calibration(
     return df.withColumn(
         new_col, p if round_to is None else F.round(p, round_to)
     )
+
+
+def label_noise(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Confident-learning-style mislabel flagging: a row is a noise
+    suspect when the scorer is MORE confident about the opposite
+    class than that class's own average — ``label = 0`` but
+    ``score ≥ t₁`` (the mean score of rows labeled 1), or
+    ``label = 1`` but ``score ≤ t₀``. The class-conditional
+    thresholds (Northcutt's confident-learning cut, the simple-mean
+    variant) make the gate self-calibrating: a harsh scorer and a
+    generous scorer both flag the disagreement tail, not a fixed
+    score band. Run it on labeled quality/safety data BEFORE
+    training the filter — a few percent of flipped labels costs more
+    downstream than any modeling choice.
+
+    Appends two columns: ``noise_suspect`` (boolean; NULL-score or
+    NULL-label rows are never suspects) and ``suggested_label``
+    (the opposite class for suspects, NULL otherwise — a review
+    queue, not an auto-correction). Labels must be 0/1, asserted
+    loudly. With ``group_by`` (e.g. language), thresholds compute
+    per segment — a multilingual pool's per-language score scales
+    stop cross-contaminating the gate.
+
+    Scale shape: ONE conditional-mean aggregate to a
+    group-count-sized threshold table, broadcast (or key-joined)
+    back, flags are codegen expressions — one scan plus a tiny join,
+    no per-row Python.
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("bigint")
+    guard = F.assert_true(
+        y.isin(0, 1),
+        F.lit("quality.label_noise: label column must be binary 0/1"),
+    )
+    checked = y + F.coalesce(guard.cast("bigint"), F.lit(0))
+    valid = s.isNotNull() & ~F.isnan(s) & y.isNotNull()
+    thresholds = (
+        df.where(valid)
+        .groupBy(*keys)
+        .agg(
+            F.avg(F.when(checked == 0, s)).alias("__t0"),
+            F.avg(F.when(checked == 1, s)).alias("__t1"),
+        )
+    )
+    if keys:
+        t = thresholds.select(
+            *[F.col(c).alias(f"__th_{c}") for c in keys], "__t0", "__t1"
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & df[k].eqNullSafe(t[f"__th_{k}"])
+        j = df.join(t, cond, "left").drop(*[f"__th_{k}" for k in keys])
+    else:
+        j = df.join(F.broadcast(thresholds), how="left")
+    suspect = F.when(
+        valid & (checked == 0) & F.col("__t1").isNotNull(),
+        s >= F.col("__t1"),
+    ).when(
+        valid & (checked == 1) & F.col("__t0").isNotNull(),
+        s <= F.col("__t0"),
+    ).otherwise(F.lit(False))
+    suggested = F.when(
+        suspect, F.lit(1) - y
+    ).cast("bigint")
+    return j.select(
+        *df.columns,
+        suspect.alias("noise_suspect"),
+        suggested.alias("suggested_label"),
+    )

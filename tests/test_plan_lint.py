@@ -60,6 +60,7 @@ NESTED_LOOP_WHITELIST = {
     "stats_kendall_w": "1-row S/tie/guard aggregates broadcast-fused (ungrouped panel)",
     "stats_krippendorff_alpha": "1-row observed/expected disagreement aggregates broadcast-fused (ungrouped panel)",
     "stats_gains_table": "1-row per-group totals broadcast onto the distinct-score blocks (ungrouped scorer)",
+    "quality_label_noise": "1-row class-threshold table broadcast back onto the scan (ungrouped pool)",
     "stats_log_rank": "1-row per-arm totals broadcast onto the duration-counts table",
     "text_unigram_logprob": "1-row vocab-total broadcast",
     "text_logprob_buckets": "1-row vocab-total broadcast",

@@ -334,3 +334,64 @@ def test_uncertainty_sample_queue_rank_recovers_priority(spark):
         key=lambda d: (abs(scored[d] - 0.5), d),
     )[:3]
     assert [r.doc_id for r in rows] == want
+
+
+def test_label_noise(spark):
+    """Planted flips are flagged, clean confident rows are not;
+    thresholds replay in python; NULL rows never suspects; per-group
+    thresholds; binary guard."""
+    import random
+
+    from getl_spark.functions import quality
+
+    rnd = random.Random(17)
+    rows = []
+    # clean: label matches a well-separated score
+    for i in range(300):
+        y = i % 2
+        sc = rnd.uniform(0.7, 1.0) if y else rnd.uniform(0.0, 0.3)
+        rows.append((i, y, round(sc, 4)))
+    # planted flips: confident score, opposite label
+    flips = [(1000, 0, 0.95), (1001, 1, 0.02), (1002, 0, 0.99)]
+    rows += flips
+    df = spark.createDataFrame(rows, "id LONG, label INT, score DOUBLE")
+
+    out = {r.id: r for r in
+           quality.label_noise(df, "label", "score").collect()}
+    # python threshold replay
+    t1 = sum(s for _, y, s in rows if y == 1) / sum(1 for _, y, s in rows if y == 1)
+    t0 = sum(s for _, y, s in rows if y == 0) / sum(1 for _, y, s in rows if y == 0)
+    for i, y, s in rows:
+        expect = (y == 0 and s >= t1) or (y == 1 and s <= t0)
+        assert out[i].noise_suspect == expect, (i, y, s)
+        assert out[i].suggested_label == ((1 - y) if expect else None)
+    assert all(out[i].noise_suspect for i, _, _ in flips)
+    clean_flagged = sum(
+        1 for i, y, s in rows[:300] if out[i].noise_suspect
+    )
+    assert clean_flagged == 0  # well-separated clean pool
+
+    # NULL score/label rows are never suspects
+    withnull = spark.createDataFrame(
+        [(1, 0, 0.99), (2, None, 0.99), (3, 0, None), (4, 1, 0.9)],
+        "id LONG, label INT, score DOUBLE",
+    )
+    o = {r.id: r for r in
+         quality.label_noise(withnull, "label", "score").collect()}
+    assert o[2].noise_suspect is False and o[3].noise_suspect is False
+
+    # per-group thresholds: a harsh-scorer segment self-calibrates
+    g = [("a", 0, 0.2), ("a", 0, 0.25), ("a", 1, 0.8), ("a", 1, 0.85),
+         ("a", 0, 0.83),                      # flip within a's scale
+         ("b", 0, 0.01), ("b", 0, 0.02), ("b", 1, 0.10), ("b", 1, 0.12),
+         ("b", 0, 0.11)]                      # flip within b's scale
+    gdf = spark.createDataFrame(g, "g STRING, label INT, score DOUBLE")
+    gout = quality.label_noise(gdf, "label", "score", group_by="g").collect()
+    flagged = {(r.g, r.score) for r in gout if r.noise_suspect}
+    assert ("a", 0.83) in flagged and ("b", 0.11) in flagged
+
+    with pytest.raises(Exception, match="binary"):
+        quality.label_noise(
+            spark.createDataFrame([(2, 0.5)], "label INT, score DOUBLE"),
+            "label", "score",
+        ).collect()
