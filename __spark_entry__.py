@@ -10965,6 +10965,34 @@ WHERE (label = 0 AND score >= t1) OR (label = 1 AND score <= t0)
 """
 
 
+def _q_schema_diff(spark, sf_dir):
+    """schema.diff — the CI pre-flight for schema-drift incidents:
+    events vs a drifted delivery (narrowed event_id, float value, a
+    new ingest column, props dropped). Pure metadata — no scan — so
+    the oracle is the golden pinned report (the fixed-frame
+    convention for driver-free ops)."""
+    from getl_spark.functions import schema
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    drifted = (
+        ev.withColumn("event_id", F.col("event_id").cast("int"))
+        .withColumn("value", F.col("value").cast("float"))
+        .withColumn("ingest_batch", F.lit("b1"))
+        .drop("props")
+    )
+    return schema.diff(ev, drifted)
+
+
+SCHEMA_DIFF_ORACLE = """
+SELECT * FROM (VALUES
+  ('event_id', 'bigint', 'int', 'type_changed'),
+  ('ingest_batch', CAST(NULL AS VARCHAR), 'string', 'added'),
+  ('props', 'string', CAST(NULL AS VARCHAR), 'removed'),
+  ('value', 'double', 'float', 'type_changed')
+) AS t("column", left_type, right_type, change)
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -11205,6 +11233,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_gains_table": _q_gains_table,
         "stats_drift_report": _q_drift_report,
         "quality_label_noise": _q_label_noise,
+        "schema_diff_report": _q_schema_diff,
     }
 
 
@@ -11436,6 +11465,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_gains_table": GAINS_TABLE_ORACLE,
         "stats_drift_report": DRIFT_REPORT_ORACLE,
         "quality_label_noise": LABEL_NOISE_ORACLE,
+        "schema_diff_report": SCHEMA_DIFF_ORACLE,
     }
 
 

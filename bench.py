@@ -163,6 +163,7 @@ DETAIL_QUERIES = [
     "stats_gains_table",
     "stats_drift_report",
     "quality_label_noise",
+    "schema_diff_report",
 ]
 
 RUNS = 3

@@ -93,3 +93,84 @@ def _to_timestamp_expr(col: str, current: str, ts_unit: str):
     raise ValueError(
         f"schema.coerce: cannot coerce '{col}' ({current}) to a timestamp"
     )
+
+
+def diff(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Schema drift report between two frames (yesterday's snapshot vs
+    today's drop, source vs target, branch vs main): one row per
+    column path that differs — ``(column, left_type, right_type,
+    change)`` with ``change`` ∈ ``added`` (right only), ``removed``
+    (left only), ``type_changed``, plus nullability-only changes as
+    ``nullability``. Nested structs flatten to dotted paths
+    (``props.device.os``) so a field buried three levels deep can't
+    hide; arrays/maps recurse through their element/value types.
+    Empty output = schemas agree.
+
+    This is the pre-flight for every schema-drift incident the
+    ``CoerceTypes`` guard then fixes: run it in CI against the prior
+    registry snapshot and a source that silently went int32 → int64
+    or dropped a field fails the pipeline REVIEW, not the 3 a.m. run.
+
+    Pure metadata: compares the two driver-side schema trees; the
+    returned single-partition DataFrame exists so the report can join
+    pipelines, land in monitoring tables, and be oracle-checked like
+    any other query. No scan, no shuffle, no data read at all.
+    """
+    from pyspark.sql import types as T
+
+    def flatten(dtype, prefix, out):
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                path = f"{prefix}.{f.name}" if prefix else f.name
+                flatten(f.dataType, path, out)
+                # leaf entry records the field's own type string
+                if not isinstance(
+                    f.dataType, (T.StructType,)
+                ):
+                    out[path] = (f.dataType.simpleString(), f.nullable)
+                else:
+                    out.setdefault(path, ("struct", f.nullable))
+        elif isinstance(dtype, T.ArrayType):
+            out[f"{prefix}[]"] = (
+                dtype.elementType.simpleString()
+                if not isinstance(dtype.elementType, T.StructType)
+                else "struct",
+                dtype.containsNull,
+            )
+            flatten(dtype.elementType, f"{prefix}[]", out)
+        elif isinstance(dtype, T.MapType):
+            out[f"{prefix}{{}}"] = (
+                dtype.valueType.simpleString()
+                if not isinstance(dtype.valueType, T.StructType)
+                else "struct",
+                dtype.valueContainsNull,
+            )
+            flatten(dtype.valueType, f"{prefix}{{}}", out)
+
+    l_map: dict = {}
+    r_map: dict = {}
+    flatten(left.schema, "", l_map)
+    flatten(right.schema, "", r_map)
+    rows = []
+    for path in sorted(set(l_map) | set(r_map)):
+        lt = l_map.get(path)
+        rt = r_map.get(path)
+        if lt is None:
+            rows.append((path, None, rt[0], "added"))
+        elif rt is None:
+            rows.append((path, lt[0], None, "removed"))
+        elif lt[0] != rt[0]:
+            rows.append((path, lt[0], rt[0], "type_changed"))
+        elif lt[1] != rt[1]:
+            rows.append((path, lt[0], rt[0], "nullability"))
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("column", StringType(), False),
+            StructField("left_type", StringType(), True),
+            StructField("right_type", StringType(), True),
+            StructField("change", StringType(), False),
+        ]
+    )
+    return left.sparkSession.createDataFrame(rows, schema)

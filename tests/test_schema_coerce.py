@@ -166,3 +166,59 @@ def test_coerce_types_on_stream_load(spark, tmp_path):
     r = out.first()
     assert r.k == 7 and r.price == 12.5
     assert r.d == datetime.datetime(2024, 3, 15, 0, 0)
+
+
+def test_schema_diff(spark):
+    """Added/removed/type_changed/nullability rows; nested struct
+    dotted paths; array/map recursion; identical schemas empty."""
+    from pyspark.sql import types as T
+
+    from getl_spark.functions import schema as S
+
+    left = spark.createDataFrame(
+        [],
+        T.StructType([
+            T.StructField("a", T.IntegerType(), True),
+            T.StructField("gone", T.StringType(), True),
+            T.StructField("props", T.StructType([
+                T.StructField("os", T.StringType(), True),
+                T.StructField("v", T.IntegerType(), True),
+            ]), True),
+            T.StructField("tags", T.ArrayType(T.StringType()), True),
+            T.StructField("nn", T.LongType(), False),
+        ]),
+    )
+    right = spark.createDataFrame(
+        [],
+        T.StructType([
+            T.StructField("a", T.LongType(), True),          # widened
+            T.StructField("fresh", T.DoubleType(), True),    # added
+            T.StructField("props", T.StructType([
+                T.StructField("os", T.StringType(), True),
+                T.StructField("v", T.StringType(), True),    # nested change
+            ]), True),
+            T.StructField("tags", T.ArrayType(T.LongType()), True),  # elem change
+            T.StructField("nn", T.LongType(), True),         # nullability
+        ]),
+    )
+    rows = {r.column: r for r in S.diff(left, right).collect()}
+    assert rows["a"].change == "type_changed" and rows["a"].left_type == "int"
+    assert rows["gone"].change == "removed"
+    assert rows["fresh"].change == "added" and rows["fresh"].right_type == "double"
+    assert rows["props.v"].change == "type_changed"
+    assert "props.os" not in rows
+    assert rows["tags[]"].change == "type_changed"
+    assert rows["nn"].change == "nullability"
+
+    # identical schemas -> empty report
+    assert S.diff(left, left).collect() == []
+
+    # map value type change
+    ml = spark.createDataFrame(
+        [], T.StructType([T.StructField(
+            "m", T.MapType(T.StringType(), T.IntegerType()), True)]))
+    mr = spark.createDataFrame(
+        [], T.StructType([T.StructField(
+            "m", T.MapType(T.StringType(), T.DoubleType()), True)]))
+    rows = {r.column: r for r in S.diff(ml, mr).collect()}
+    assert rows["m{}"].change == "type_changed"
