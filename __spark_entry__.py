@@ -10993,6 +10993,111 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_stream_drift_monitor(spark, sf_dir):
+    """write::stream_drift_monitor driven end-to-end: reference =
+    orders prices; wave 1 replays an in-distribution slice (psi≈0),
+    wave 2 replays the same keys at 3× price (psi large, mass clipped
+    into the frozen top bin). One file per wave → one micro-batch per
+    drain → deterministic batch ids."""
+    tmp = "/tmp/getl_spark_q/stream_drift"
+    shutil.rmtree(tmp, ignore_errors=True)
+    src, report, ckpt = f"{tmp}/src", f"{tmp}/report", f"{tmp}/ckpt"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def drain():
+        definition = {
+            "LiftJob": {
+                "Read": {
+                    "Type": "load::stream_json",
+                    "Properties": {
+                        "Path": src,
+                        "JsonSchema": {
+                            "type": "struct",
+                            "fields": [
+                                {"name": "o_totalprice", "type": "double",
+                                 "nullable": True, "metadata": {}},
+                            ],
+                        },
+                    },
+                },
+                "Mon": {
+                    "Type": "write::stream_drift_monitor",
+                    "Input": "Read",
+                    "Properties": {
+                        "Path": report,
+                        "Reference": f"{sf_dir}/orders.parquet",
+                        "Columns": ["o_totalprice"],
+                        "Checkpoint": ckpt,
+                    },
+                },
+            }
+        }
+        from getl_spark import lift
+
+        lift(spark, yaml.safe_dump(definition, sort_keys=False))
+
+    slice_ = orders.where("o_orderkey % 3 = 0").select("o_totalprice")
+    slice_.coalesce(1).write.mode("overwrite").json(src)
+    drain()
+    slice_.select(
+        (F.col("o_totalprice") * 3).alias("o_totalprice")
+    ).coalesce(1).write.mode("append").json(src)
+    drain()
+    from getl_spark.common.tables import ManagedTable
+
+    return ManagedTable(spark, report).read()
+
+
+STREAM_DRIFT_MONITOR_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS hi
+  FROM orders
+), waves AS (
+  SELECT 0 AS batch_id, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 1 AS batch_id, CAST(o_totalprice AS DOUBLE) * 3 AS v
+  FROM orders WHERE o_orderkey % 3 = 0
+), refb AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - lo)
+           / ((hi - lo) / 10)) AS INT), 0), 9) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM orders, bounds WHERE o_totalprice IS NOT NULL
+  GROUP BY 1
+), refs AS (
+  SELECT b, c / SUM(c) OVER () AS p FROM refb
+), wb AS (
+  SELECT batch_id,
+         LEAST(GREATEST(CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INT),
+               0), 9) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM waves, bounds WHERE v IS NOT NULL
+  GROUP BY 1, 2
+), allbins AS (
+  SELECT w.batch_id AS batch_id, gb.b,
+         COALESCE(wb.c, 0) AS c
+  FROM (SELECT DISTINCT batch_id FROM waves) w
+  CROSS JOIN (SELECT UNNEST(range(0, 10)) AS b) gb
+  LEFT JOIN wb ON wb.batch_id = w.batch_id AND wb.b = gb.b
+), ws AS (
+  SELECT batch_id, b,
+         c / SUM(c) OVER (PARTITION BY batch_id) AS q
+  FROM allbins
+), joined AS (
+  SELECT ws.batch_id, ws.q, COALESCE(refs.p, 0) AS p
+  FROM ws LEFT JOIN refs ON ws.b = refs.b
+)
+SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       'o_totalprice' AS "column",
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 3 = 0) AS batch_rows,
+       ROUND(SUM((q + 1e-6 - p - 1e-6)
+                 * ln((q + 1e-6) / (p + 1e-6))), 6) AS psi
+FROM joined GROUP BY batch_id
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -11234,6 +11339,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_drift_report": _q_drift_report,
         "quality_label_noise": _q_label_noise,
         "schema_diff_report": _q_schema_diff,
+        "stream_drift_monitor_drain": _q_stream_drift_monitor,
     }
 
 
@@ -11466,6 +11572,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_drift_report": DRIFT_REPORT_ORACLE,
         "quality_label_noise": LABEL_NOISE_ORACLE,
         "schema_diff_report": SCHEMA_DIFF_ORACLE,
+        "stream_drift_monitor_drain": STREAM_DRIFT_MONITOR_ORACLE,
     }
 
 

@@ -164,6 +164,7 @@ DETAIL_QUERIES = [
     "stats_drift_report",
     "quality_label_noise",
     "schema_diff_report",
+    "stream_drift_monitor_drain",
 ]
 
 RUNS = 3

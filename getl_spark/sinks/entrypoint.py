@@ -471,3 +471,120 @@ def stream_vector_ingest(conf: BlockConfig) -> DataFrame:
         .awaitTermination()
     )
     return df
+
+
+def stream_drift_monitor(conf: BlockConfig) -> DataFrame:
+    """Per-micro-batch drift monitoring: every batch's numeric columns
+    are binned against a FROZEN reference histogram and the per-column
+    PSI rows append to a managed report table — the streaming form of
+    ``stats.drift_report``, shaped for a feed you cannot re-scan. A
+    batch whose ``psi`` jumps is a schema-or-upstream incident caught
+    while the batch is still quarantinable, not after it trained.
+
+    Properties: ``Path`` (report table, append), ``Reference``
+    (parquet path of the reference snapshot), ``Columns`` (numeric
+    column list), ``Bins`` (default 10), ``Checkpoint`` (default
+    ``<Path>__checkpoint``). Output rows: ``(batch_id, column,
+    batch_rows, psi)``.
+
+    Monitoring semantics differ from the batch op deliberately: bins
+    are FROZEN on the reference's own min/max (computed once, before
+    the stream starts) rather than re-derived per batch — a monitor
+    must measure the batch against a fixed yardstick or a drifting
+    batch would drag the bins along and hide itself; values outside
+    the reference range clip into the edge bins, which is exactly
+    where out-of-range drift should land. Same ε-smoothed PSI
+    arithmetic as ``stats.psi``.
+
+    Scale shape: the reference is scanned ONCE at resolve time and
+    reduced to #columns × bins driver-held shares (tiny); each
+    micro-batch pays one conditional-count aggregate over its own
+    rows (map-side, #columns × bins cells) — the stream never
+    re-reads the reference and holds no growing state outside the
+    checkpoint.
+    """
+    from pyspark.sql import functions as F
+
+    df = conf.input_df()
+    out = conf.get("Path")
+    ref_path = conf.get("Reference")
+    cols = conf.get("Columns")
+    bins = int(conf.get("Bins", 10))
+    checkpoint = conf.get("Checkpoint", f"{out.rstrip('/')}__checkpoint")
+    if not cols:
+        raise ValueError("stream_drift_monitor: Columns is mandatory")
+    if bins < 2:
+        raise ValueError("stream_drift_monitor: Bins must be >= 2")
+    spark = conf.spark
+    ref = spark.read.parquet(ref_path)
+
+    # ONE reference pass: per-column bounds + frozen bin shares
+    bounds_row = ref.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+
+    def bin_expr(c, lo, hi):
+        v = F.col(c).cast("double")
+        if hi <= lo:  # constant reference column: everything bins to 0
+            return F.when(v.isNotNull() & ~F.isnan(v), F.lit(0))
+        width = (hi - lo) / bins
+        raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+        clipped = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+        return F.when(v.isNotNull() & ~F.isnan(v), clipped)
+
+    def counts(frame):
+        aggs = []
+        for i, c in enumerate(cols):
+            b = bin_expr(c, bounds_row[f"__lo_{i}"], bounds_row[f"__hi_{i}"])
+            for k in range(bins):
+                aggs.append(
+                    F.sum((b == k).cast("bigint")).alias(f"__c_{i}_{k}")
+                )
+        return frame.agg(*aggs).collect()[0]
+
+    ref_counts = counts(ref)
+    ref_shares = {}
+    for i, c in enumerate(cols):
+        tot = sum(ref_counts[f"__c_{i}_{k}"] or 0 for k in range(bins))
+        ref_shares[c] = [
+            ((ref_counts[f"__c_{i}_{k}"] or 0) / tot if tot else None)
+            for k in range(bins)
+        ]
+
+    import math
+
+    eps = 1e-6
+    report_table = ManagedTable(spark, out)
+
+    def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        row = counts(batch_df)
+        out_rows = []
+        n_batch = batch_df.count()
+        for i, c in enumerate(cols):
+            tot = sum(row[f"__c_{i}_{k}"] or 0 for k in range(bins))
+            if not tot or ref_shares[c][0] is None:
+                out_rows.append((int(batch_id), c, int(tot), None))
+                continue
+            psi = 0.0
+            for k in range(bins):
+                p = ref_shares[c][k] + eps
+                q = (row[f"__c_{i}_{k}"] or 0) / tot + eps
+                psi += (q - p) * math.log(q / p)
+            out_rows.append((int(batch_id), c, int(tot), round(psi, 6)))
+        report = spark.createDataFrame(
+            out_rows, "batch_id LONG, column STRING, batch_rows LONG, psi DOUBLE"
+        )
+        report_table.write(report, "append")
+
+    (
+        df.writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(monitor_batch)
+        .start()
+        .awaitTermination()
+    )
+    return df

@@ -871,3 +871,96 @@ def test_stream_vector_ingest_two_wave_drain(spark, tmp_path):
     assert sorted(r.vec_id for r in spark.read.parquet(out).collect()) == [
         1001, 1003, 2001,
     ]
+
+
+def test_stream_drift_monitor(spark, tmp_path):
+    """write::stream_drift_monitor: wave 1 is in-distribution (psi
+    small), wave 2 is shifted (psi large); bins are FROZEN on the
+    reference so the shift cannot hide; psi replays exactly in
+    python; out-of-range values clip into edge bins."""
+    import json as _json
+    import math
+    import random
+
+    import yaml as _yaml
+
+    from getl_spark import lift
+    from getl_spark.common.tables import ManagedTable
+
+    rnd = random.Random(31)
+    src = tmp_path / "in"
+    src.mkdir()
+    refp = str(tmp_path / "ref")
+    report = str(tmp_path / "report")
+
+    ref_vals = [round(rnd.uniform(0.0, 10.0), 3) for _ in range(2000)]
+    spark.createDataFrame(
+        [(v,) for v in ref_vals], "metric DOUBLE"
+    ).write.parquet(refp)
+
+    def run():
+        blocks = {
+            "S": {
+                "Type": "load::stream_json",
+                "Properties": {
+                    "Path": str(src),
+                    "JsonSchema": {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "metric", "type": "double",
+                             "nullable": True, "metadata": {}},
+                        ],
+                    },
+                },
+            },
+            "Mon": {
+                "Type": "write::stream_drift_monitor",
+                "Input": "S",
+                "Properties": {
+                    "Path": report,
+                    "Reference": refp,
+                    "Columns": ["metric"],
+                },
+            },
+        }
+        lift(spark, _yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+
+    def write_wave(name, vals):
+        with open(src / name, "w") as f:
+            for v in vals:
+                f.write(_json.dumps({"metric": v}) + "\n")
+
+    w1 = [round(rnd.uniform(0.0, 10.0), 3) for _ in range(800)]
+    write_wave("w1.json", w1)
+    run()
+    # wave 2: shifted AND partially out of the reference range
+    w2 = [round(rnd.uniform(8.0, 15.0), 3) for _ in range(800)]
+    write_wave("w2.json", w2)
+    run()
+
+    rows = ManagedTable(spark, report).read().orderBy("batch_id").collect()
+    assert [r.batch_rows for r in rows] == [800, 800]
+    assert rows[0].column == "metric" and rows[1].column == "metric"
+    psi1, psi2 = rows[0].psi, rows[1].psi
+    assert psi1 < 0.05 and psi2 > 1.0
+
+    # exact python replay with frozen reference bins (edge-clipped)
+    lo, hi = min(ref_vals), max(ref_vals)
+    width = (hi - lo) / 10
+
+    def shares(vals):
+        c = [0] * 10
+        for v in vals:
+            c[min(max(int((v - lo) // width), 0), 9)] += 1
+        return [x / len(vals) for x in c]
+
+    rs = shares(ref_vals)
+    for got, wave in ((psi1, w1), (psi2, w2)):
+        bs = shares(wave)
+        exp = sum(
+            (q + 1e-6 - p - 1e-6) * math.log((q + 1e-6) / (p + 1e-6))
+            for p, q in zip(rs, bs)
+        )
+        assert got == round(exp, 6)
+    # the clip check: wave-2 mass beyond hi landed in bin 9
+    assert shares(w2)[9] > 0.4
