@@ -11098,6 +11098,70 @@ FROM joined GROUP BY batch_id
 """
 
 
+def _q_ab_report(spark, sf_dir):
+    """stats.ab_report — the multi-metric experiment readout in one
+    melt-scan (view vs click arms over events; metrics: value and
+    user_id), per-metric Welch arithmetic identical to ab_compare's
+    including the shared erfc polynomial."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stats.ab_report(
+        ev, "event_type", ["value", "user_id"], "view", "click"
+    )
+
+
+AB_REPORT_ORACLE = """
+WITH melted AS (
+  SELECT event_type AS arm, 'value' AS metric, CAST(value AS DOUBLE) AS v
+  FROM events WHERE event_type IN ('view', 'click')
+  UNION ALL
+  SELECT event_type AS arm, 'user_id' AS metric, CAST(user_id AS DOUBLE)
+  FROM events WHERE event_type IN ('view', 'click')
+), agg AS (
+  SELECT metric,
+         CAST(COUNT(CASE WHEN arm = 'view' THEN v END) AS BIGINT)
+           AS n_control,
+         AVG(CASE WHEN arm = 'view' THEN v END) AS mean_control,
+         VAR_SAMP(CASE WHEN arm = 'view' THEN v END) AS var_c,
+         CAST(COUNT(CASE WHEN arm = 'click' THEN v END) AS BIGINT)
+           AS n_treatment,
+         AVG(CASE WHEN arm = 'click' THEN v END) AS mean_treatment,
+         VAR_SAMP(CASE WHEN arm = 'click' THEN v END) AS var_t
+  FROM melted GROUP BY metric
+), d AS (
+  SELECT *,
+         mean_treatment - mean_control AS diff,
+         sqrt(var_t / n_treatment + var_c / n_control) AS stderr,
+         (n_control >= 2 AND n_treatment >= 2
+          AND var_c IS NOT NULL AND var_t IS NOT NULL
+          AND sqrt(var_t / n_treatment + var_c / n_control) > 0) AS ok
+  FROM agg
+), z AS (
+  SELECT *,
+         CASE WHEN ok THEN diff / stderr END AS zval,
+         CASE WHEN ok THEN abs(diff / stderr) / sqrt(2) END AS x
+  FROM d
+), e AS (
+  SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM z
+)
+SELECT metric, n_control, n_treatment,
+       ROUND(mean_control, 6) AS mean_control,
+       ROUND(mean_treatment, 6) AS mean_treatment,
+       ROUND(CASE WHEN ok THEN diff END, 6) AS diff,
+       ROUND(CASE WHEN ok AND mean_control != 0
+             THEN diff / mean_control END, 6) AS rel_diff,
+       ROUND(CASE WHEN ok THEN stderr END, 6) AS stderr,
+       ROUND(zval, 6) AS z,
+       ROUND((0.254829592 * tt - 0.284496736 * tt * tt
+              + 1.421413741 * tt * tt * tt
+              - 1.453152027 * tt * tt * tt * tt
+              + 1.061405429 * tt * tt * tt * tt * tt) * exp(-(x * x)), 6)
+         AS p_value
+FROM e
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -11340,6 +11404,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_label_noise": _q_label_noise,
         "schema_diff_report": _q_schema_diff,
         "stream_drift_monitor_drain": _q_stream_drift_monitor,
+        "stats_ab_report": _q_ab_report,
     }
 
 
@@ -11573,6 +11638,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "quality_label_noise": LABEL_NOISE_ORACLE,
         "schema_diff_report": SCHEMA_DIFF_ORACLE,
         "stream_drift_monitor_drain": STREAM_DRIFT_MONITOR_ORACLE,
+        "stats_ab_report": AB_REPORT_ORACLE,
     }
 
 

@@ -165,6 +165,7 @@ DETAIL_QUERIES = [
     "quality_label_noise",
     "schema_diff_report",
     "stream_drift_monitor_drain",
+    "stats_ab_report",
 ]
 
 RUNS = 3

@@ -5126,3 +5126,111 @@ def drift_report(
         epsilon=epsilon,
         round_to=round_to,
     )
+
+
+def ab_report(
+    df: DataFrame,
+    group_col: str,
+    metric_cols,
+    control: str,
+    treatment: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Every metric's A/B readout in ONE scan — the experiment
+    counterpart to ``drift_report``: a real experiment reads dozens
+    of metrics (success rate, latency, tokens, cost, retention
+    proxies), and calling ``ab_compare`` per metric re-scans the
+    table dozens of times. Metrics melt map-side into (metric, value)
+    rows and the Welch readout aggregates per metric name, so the
+    report costs one pass however wide it is. Feed the ``p_value``
+    column straight into ``bh_adjust`` — a 20-metric readout WILL
+    produce false winners at α = 0.05 without FDR control.
+
+    Per-metric semantics differ from ``ab_compare`` in one deliberate
+    way: a degenerate metric (an empty arm, zero variance) yields
+    NULL stats instead of failing the whole report — the
+    ``ab_segments`` NULL-not-fatal convention, because one broken
+    metric must not hide the other nineteen. Columns must be numeric
+    (loud check, like ``drift_report`` — a string metric silently
+    casting to NULL would read as "no effect").
+
+    One row per metric: ``(metric, n_control, n_treatment,
+    mean_control, mean_treatment, diff, rel_diff, stderr, z,
+    p_value)``.
+
+    Scale shape: melt is scan-side row growth ×n_metrics before ONE
+    keyed partial aggregate (reduce side = n_metrics rows); the
+    Welch arithmetic is closed-form column math on that tiny table.
+    """
+    cols = [metric_cols] if isinstance(metric_cols, str) else list(metric_cols)
+    if not cols:
+        raise ValueError("ab_report: need at least one metric column")
+    types = dict(df.dtypes)
+    _NUMERIC = (
+        "int", "bigint", "smallint", "tinyint", "double", "float",
+        "boolean",
+    )
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"ab_report: metric column {c!r} missing")
+        base_t = types[c].split("(")[0]
+        if base_t not in _NUMERIC and not base_t.startswith("decimal"):
+            raise ValueError(
+                f"ab_report: metric column {c!r} is {types[c]} - only "
+                "numeric/boolean metrics; encode it explicitly"
+            )
+    g = F.col(group_col)
+    kv = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("metric"),
+                F.col(c).cast("double").alias("value"),
+            )
+            for c in cols
+        ]
+    )
+    melted = (
+        df.where(g.isin(control, treatment))
+        .select(g.alias("__arm"), F.explode(kv).alias("__kv"))
+        .select("__arm", F.col("__kv.metric").alias("metric"),
+                F.col("__kv.value").alias("__v"))
+    )
+    cv = F.when(F.col("__arm") == control, F.col("__v"))
+    tv = F.when(F.col("__arm") == treatment, F.col("__v"))
+    agg = melted.groupBy("metric").agg(
+        F.count(cv).cast("bigint").alias("n_control"),
+        F.avg(cv).alias("mean_control"),
+        F.var_samp(cv).alias("__var_c"),
+        F.count(tv).cast("bigint").alias("n_treatment"),
+        F.avg(tv).alias("mean_treatment"),
+        F.var_samp(tv).alias("__var_t"),
+    )
+    diff = F.col("mean_treatment") - F.col("mean_control")
+    se = F.sqrt(
+        F.col("__var_t") / F.col("n_treatment")
+        + F.col("__var_c") / F.col("n_control")
+    )
+    ok = (
+        (F.col("n_control") >= 2)
+        & (F.col("n_treatment") >= 2)
+        & F.col("__var_c").isNotNull()
+        & F.col("__var_t").isNotNull()
+        & (se > 0)
+    )
+    z = F.when(ok, diff / se)
+    return agg.select(
+        "metric",
+        "n_control",
+        "n_treatment",
+        F.round("mean_control", round_to).alias("mean_control"),
+        F.round("mean_treatment", round_to).alias("mean_treatment"),
+        F.round(F.when(ok, diff), round_to).alias("diff"),
+        F.round(
+            F.when(ok & (F.col("mean_control") != 0),
+                   diff / F.col("mean_control")),
+            round_to,
+        ).alias("rel_diff"),
+        F.round(F.when(ok, se), round_to).alias("stderr"),
+        F.round(z, round_to).alias("z"),
+        F.round(_normal_two_sided_p(z), round_to).alias("p_value"),
+    )

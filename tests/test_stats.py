@@ -3320,3 +3320,51 @@ def test_drift_report(spark):
     r3 = {r.column: r for r in
           stats.drift_report(a2, b2, ["m1", "m3"]).collect()}
     assert r3["m3"].psi is None and r3["m3"].n_right == 800
+
+
+def test_ab_report(spark):
+    """Per-metric rows agree exactly with ab_compare on healthy
+    metrics; a degenerate metric is NULL-not-fatal; other arms
+    excluded; type/missing guards."""
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(41)
+    rows = []
+    for i in range(400):
+        arm = ["control", "treatment", "holdout"][i % 3]
+        lifted = 1.0 if arm == "treatment" else 0.0
+        rows.append((
+            arm,
+            rnd.gauss(10 + lifted, 2.0),        # moved metric
+            rnd.gauss(5, 1.0),                  # flat metric
+            7.0,                                # constant -> degenerate
+        ))
+    df = spark.createDataFrame(rows, "arm STRING, m_lift DOUBLE, m_flat DOUBLE, m_const DOUBLE")
+
+    rep = {r.metric: r for r in
+           stats.ab_report(df, "arm", ["m_lift", "m_flat", "m_const"],
+                           "control", "treatment").collect()}
+    assert set(rep) == {"m_lift", "m_flat", "m_const"}
+
+    # healthy metrics: identical to the single-metric op
+    for m in ("m_lift", "m_flat"):
+        single = stats.ab_compare(df, "arm", m, "control", "treatment").collect()[0]
+        got = rep[m]
+        assert (got.n_control, got.n_treatment) == (single.n_control, single.n_treatment)
+        for f in ("diff", "stderr", "z", "p_value"):
+            assert getattr(got, f) == getattr(single, f), (m, f)
+    assert rep["m_lift"].p_value < 0.01 and rep["m_flat"].p_value > 0.05
+    # holdout arm never counted
+    assert rep["m_lift"].n_control == sum(1 for r in rows if r[0] == "control")
+
+    # constant metric: NULL stats, counts visible, report survives
+    assert rep["m_const"].z is None and rep["m_const"].n_control > 0
+
+    with pytest.raises(ValueError, match="missing"):
+        stats.ab_report(df, "arm", ["nope"], "control", "treatment")
+    with pytest.raises(ValueError, match="numeric"):
+        stats.ab_report(
+            df.withColumn("s", df.arm), "arm", ["s"], "control", "treatment"
+        )
