@@ -844,6 +844,89 @@ def mde(
     return (z_alpha + z_power) * sigma * (2.0 / n) ** 0.5
 
 
+def required_n_prop(
+    p_control: float,
+    mde_abs: float,
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+) -> int:
+    """Per-arm sample size for a two-PROPORTION test (pass rates,
+    conversion, safety-violation rates — the metrics most LLM evals
+    actually ship): detect an absolute lift of ``mde_abs`` over a
+    control rate ``p_control`` at the given significance and power.
+    Uses the standard unpooled/pooled hybrid
+    ``n = (z_α/2·√(2·p̄·q̄) + z_β·√(p₁q₁ + p₂q₂))² / Δ²`` with
+    p̄ = (p₁+p₂)/2 — Fleiss' formula, what every power calculator
+    implements. The binomial σ is a FUNCTION of the rate, which is
+    why ``required_n`` (you supply σ) asks the wrong question for
+    rates: σ changes with the very effect being sized. Pure driver
+    arithmetic, no data pass.
+    """
+    import math
+
+    p1 = float(p_control)
+    p2 = p1 + float(mde_abs)
+    if not 0 < p1 < 1:
+        raise ValueError(
+            f"required_n_prop: p_control must be in (0,1), got {p_control}"
+        )
+    if mde_abs == 0 or not 0 < p2 < 1:
+        raise ValueError(
+            "required_n_prop: p_control + mde_abs must land in (0,1) "
+            f"and mde_abs != 0, got {p2}"
+        )
+    pbar = (p1 + p2) / 2.0
+    num = (
+        z_alpha * math.sqrt(2.0 * pbar * (1 - pbar))
+        + z_power * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+    ) ** 2
+    return math.ceil(num / (mde_abs * mde_abs))
+
+
+def mde_prop(
+    n: int,
+    p_control: float,
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+    tol: float = 1e-9,
+) -> float:
+    """Minimum detectable ABSOLUTE lift for a two-proportion test with
+    ``n`` rows per arm at control rate ``p_control`` — the inverse of
+    ``required_n_prop``, solved by bisection because the binomial σ
+    moves with the effect (no closed form). Answers "with this many
+    eval samples per arm, what pass-rate improvement could we even
+    see?" BEFORE paying for the eval run. Monotone in Δ, so the
+    bisection is exact to ``tol``; driver arithmetic only.
+    """
+    if n <= 0:
+        raise ValueError(f"mde_prop: n must be > 0, got {n}")
+    if not 0 < p_control < 1:
+        raise ValueError(
+            f"mde_prop: p_control must be in (0,1), got {p_control}"
+        )
+    lo, hi = 0.0, 1.0 - p_control - 1e-12
+    if hi <= 0:
+        raise ValueError("mde_prop: no room above p_control")
+
+    def needed(delta):
+        return required_n_prop(p_control, delta, z_alpha, z_power)
+
+    # required n is decreasing in delta; find the smallest delta whose
+    # required n fits in the budget
+    if needed(hi) > n:
+        raise ValueError(
+            f"mde_prop: even the maximum lift {hi:.4f} needs more than "
+            f"n={n} per arm"
+        )
+    while hi - lo > tol:
+        mid = (lo + hi) / 2.0
+        if mid <= 0 or needed(mid) > n:
+            lo = mid
+        else:
+            hi = mid
+    return hi
+
+
 def cuped(
     df: DataFrame,
     group_col: str,

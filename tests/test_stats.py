@@ -3368,3 +3368,35 @@ def test_ab_report(spark):
         stats.ab_report(
             df.withColumn("s", df.arm), "arm", ["s"], "control", "treatment"
         )
+
+
+def test_proportion_sizing():
+    """Fleiss formula vs hand-known values; inverse relationship with
+    mde_prop; monotonicity; guards. No Spark needed."""
+    from getl_spark.functions import stats
+
+    # classic calculator check: 10% -> 12% at 5%/80% needs ~3800/arm
+    n = stats.required_n_prop(0.10, 0.02)
+    assert 3700 <= n <= 3900
+
+    # bigger lift, smaller n; symmetric-ish down-lift sizes similarly
+    assert stats.required_n_prop(0.10, 0.05) < n
+    assert abs(stats.required_n_prop(0.12, -0.02) - n) < 120
+
+    # inverse: the mde at exactly n rows needs <= n; slightly less
+    # lift needs more than n
+    d = stats.mde_prop(n, 0.10)
+    assert stats.required_n_prop(0.10, d) <= n
+    assert stats.required_n_prop(0.10, d * 0.98) > n
+    assert d == pytest.approx(0.02, abs=2e-3)
+
+    # high-rate metrics are cheaper to move detectably near the edge
+    assert stats.required_n_prop(0.9, 0.02) < stats.required_n_prop(0.5, 0.02)
+
+    for bad in ((0.0, 0.1), (1.0, 0.1), (0.95, 0.1), (0.5, 0.0)):
+        with pytest.raises(ValueError):
+            stats.required_n_prop(*bad)
+    with pytest.raises(ValueError):
+        stats.mde_prop(0, 0.5)
+    with pytest.raises(ValueError, match="more than"):
+        stats.mde_prop(3, 0.5)
