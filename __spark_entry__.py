@@ -11162,6 +11162,41 @@ FROM e
 """
 
 
+def _q_resample(spark, sf_dir):
+    """sessions.resample — daily event counts per type on a COMPLETE
+    grid (explicit zero rows for dead days): the feeder that keeps
+    trend/seasonality/autocorrelation from reading a missing day as
+    merely sparse."""
+    from getl_spark.functions import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.resample(
+        ev, "ts", 86400, {"event_id": "count"}, group_by="event_type"
+    )
+
+
+RESAMPLE_ORACLE = """
+WITH base AS (
+  SELECT event_type AS k,
+         CAST((epoch_us(ts) - epoch_us(ts) % 86400000000)
+              / 86400000000 AS BIGINT) AS b,
+         event_id
+  FROM events WHERE ts IS NOT NULL
+), binned AS (
+  SELECT k, b, CAST(COUNT(event_id) AS BIGINT) AS event_id_count
+  FROM base GROUP BY 1, 2
+), span AS (
+  SELECT k, MIN(b) AS lo, MAX(b) AS hi FROM base GROUP BY 1
+), grid AS (
+  SELECT k, UNNEST(range(lo, hi + 1)) AS b FROM span
+)
+SELECT g.k AS event_type,
+       CAST(g.b * 86400 AS BIGINT) AS bucket_start_s,
+       COALESCE(bn.event_id_count, 0) AS event_id_count
+FROM grid g LEFT JOIN binned bn ON g.k = bn.k AND g.b = bn.b
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -11405,6 +11440,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_diff_report": _q_schema_diff,
         "stream_drift_monitor_drain": _q_stream_drift_monitor,
         "stats_ab_report": _q_ab_report,
+        "sessions_resample": _q_resample,
     }
 
 
@@ -11639,6 +11675,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "schema_diff_report": SCHEMA_DIFF_ORACLE,
         "stream_drift_monitor_drain": STREAM_DRIFT_MONITOR_ORACLE,
         "stats_ab_report": AB_REPORT_ORACLE,
+        "sessions_resample": RESAMPLE_ORACLE,
     }
 
 

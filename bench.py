@@ -166,6 +166,7 @@ DETAIL_QUERIES = [
     "schema_diff_report",
     "stream_drift_monitor_drain",
     "stats_ab_report",
+    "sessions_resample",
 ]
 
 RUNS = 3

@@ -629,3 +629,127 @@ def bot_score(
         F.round(eph, round_to).alias("events_per_hour"),
         suspect.alias("bot_suspect"),
     )
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    step_s: int,
+    aggs: dict,
+    group_by=None,
+    fill: str = "zero",
+    max_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Regularize an irregular event stream onto a fixed time grid —
+    per key, one row per ``step_s``-second bucket from that key's
+    first to last event, with EXPLICIT rows for empty buckets. The
+    time-series ops downstream (``stats.trend``, ``theil_sen``,
+    ``seasonality``, ``autocorrelation``, ``cusum``) all assume a
+    complete grid: feeding them raw event buckets silently treats a
+    dead day as a missing day, and a source that stopped ingesting
+    looks merely sparse instead of broken.
+
+    ``aggs`` maps column → one of sum/avg/min/max/count (count
+    ignores the column's NULLs, like SQL). ``fill`` decides what an
+    empty bucket reports: ``"zero"`` (right for counts/sums — nothing
+    happened), ``"null"`` (right for avg/min/max — nothing was
+    MEASURED), or ``"ffill"`` (last observed value carries forward —
+    gauge/level semantics). Output: ``(group_by..., bucket_start_s,
+    <col>_<agg>...)`` with ``bucket_start_s`` in epoch seconds
+    (integer — engine/timezone-proof).
+
+    Scale shape: one keyed (group, bucket) partial aggregate (shuffle
+    ∝ occupied buckets), grid rows generated per key by ``sequence``
+    + ``explode`` (grid-sized, not row-sized), one keyed join back.
+    A ``max_buckets`` driver probe fails loudly before any key
+    explodes a multi-gigarow grid (a 1-second step over a year is
+    31M rows PER KEY — pick the grain to fit the question). The
+    ffill window orders each key's GRID (bounded by max_buckets),
+    never raw rows.
+    """
+    _ALLOWED = ("sum", "avg", "min", "max", "count")
+    if not aggs:
+        raise ValueError("resample: aggs must name at least one column")
+    for c, fn in aggs.items():
+        if fn not in _ALLOWED:
+            raise ValueError(
+                f"resample: unsupported agg {fn!r} for {c!r} "
+                f"(allowed: {_ALLOWED})"
+            )
+    if fill not in ("zero", "null", "ffill"):
+        raise ValueError(
+            f"resample: fill must be zero|null|ffill, got {fill!r}"
+        )
+    if step_s <= 0:
+        raise ValueError(f"resample: step_s must be > 0, got {step_s}")
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    step_us = int(step_s) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = ((us - F.pmod(us, F.lit(step_us))) / F.lit(step_us)).cast(
+        "bigint"
+    )
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        *keys, bucket.alias("__b"), *aggs.keys()
+    )
+    agg_exprs = [
+        (
+            F.count(c).cast("bigint")
+            if fn == "count"
+            else getattr(F, fn)(F.col(c).cast("double"))
+        ).alias(f"{c}_{fn}")
+        for c, fn in aggs.items()
+    ]
+    binned = base.groupBy(*keys, "__b").agg(*agg_exprs)
+    span = base.groupBy(*keys).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    too_big = (
+        span.where(F.col("__hi") - F.col("__lo") + 1 > max_buckets)
+        .limit(1)
+        .collect()
+    )
+    if too_big:
+        r = too_big[0]
+        raise ValueError(
+            f"resample: a key's grid spans {r['__hi'] - r['__lo'] + 1} "
+            f"buckets (max_buckets={max_buckets}) - coarsen step_s or "
+            "raise max_buckets explicitly"
+        )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"))
+        ).alias("__b"),
+    )
+    b_r = binned.select(
+        *[F.col(c).alias(f"__bn_{c}") for c in [*keys, "__b"]],
+        *[f"{c}_{fn}" for c, fn in aggs.items()],
+    )
+    cond = grid["__b"] == b_r["__bn___b"]
+    for k in keys:
+        cond = cond & grid[k].eqNullSafe(b_r[f"__bn_{k}"])
+    joined = grid.join(b_r, cond, "left").drop(
+        *[f"__bn_{c}" for c in [*keys, "__b"]]
+    )
+    out_cols = []
+    for c, fn in aggs.items():
+        col = F.col(f"{c}_{fn}")
+        if fill == "zero":
+            col = F.coalesce(col, F.lit(0))
+        elif fill == "ffill":
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy("__b")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            col = F.last(col, ignorenulls=True).over(w)
+        out_cols.append(col.alias(f"{c}_{fn}"))
+    return joined.select(
+        *keys,
+        (F.col("__b") * step_s).cast("bigint").alias("bucket_start_s"),
+        *out_cols,
+    )

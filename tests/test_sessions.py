@@ -567,3 +567,59 @@ def test_bot_score(spark):
 
     with pytest.raises(ValueError, match="min_events"):
         sessions.bot_score(df, "user", "ts", min_events=1)
+
+
+def test_resample_grid(spark):
+    """Complete grid with explicit empty buckets; zero/null/ffill
+    semantics; python differential; grouped independent spans;
+    max_buckets probe; guards."""
+    import datetime as dt
+
+    from getl_spark.functions import sessions
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [
+        ("a", t0, 10.0),
+        ("a", t0 + dt.timedelta(seconds=30), 20.0),   # same minute
+        ("a", t0 + dt.timedelta(minutes=3), 6.0),     # gap: minutes 1,2 empty
+        ("b", t0 + dt.timedelta(minutes=10), 5.0),
+        ("b", t0 + dt.timedelta(minutes=11, seconds=59), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, v DOUBLE")
+
+    out = sessions.resample(
+        df, "ts", 60, {"v": "sum"}, group_by="k"
+    ).orderBy("k", "bucket_start_s").collect()
+    base = int(t0.timestamp())
+    got_a = [(r.bucket_start_s - base, r.v_sum) for r in out if r.k == "a"]
+    assert got_a == [(0, 30.0), (60, 0), (120, 0), (180, 6.0)]
+    got_b = [(r.bucket_start_s, r.v_sum) for r in out if r.k == "b"]
+    assert len(got_b) == 2 and got_b[0][1] == 5.0 and got_b[1][1] == 7.0
+
+    # null fill: empty buckets are NULL not 0
+    out = sessions.resample(
+        df, "ts", 60, {"v": "avg"}, group_by="k", fill="null"
+    ).orderBy("k", "bucket_start_s").collect()
+    a = [r.v_avg for r in out if r.k == "a"]
+    assert a == [15.0, None, None, 6.0]
+
+    # ffill: the gap carries the last observation forward
+    out = sessions.resample(
+        df, "ts", 60, {"v": "avg"}, group_by="k", fill="ffill"
+    ).orderBy("k", "bucket_start_s").collect()
+    a = [r.v_avg for r in out if r.k == "a"]
+    assert a == [15.0, 15.0, 15.0, 6.0]
+
+    # count agg + ungrouped global grid
+    out = sessions.resample(df, "ts", 3600, {"v": "count"}).collect()
+    assert [(r.bucket_start_s, r.v_count) for r in out] == [(base, 5)]
+
+    # probe: a 1-second grid over 10 minutes with max_buckets=100
+    with pytest.raises(ValueError, match="max_buckets"):
+        sessions.resample(df, "ts", 1, {"v": "sum"}, max_buckets=100)
+    with pytest.raises(ValueError, match="unsupported agg"):
+        sessions.resample(df, "ts", 60, {"v": "median"})
+    with pytest.raises(ValueError, match="fill"):
+        sessions.resample(df, "ts", 60, {"v": "sum"}, fill="bfill")
+    with pytest.raises(ValueError, match="step_s"):
+        sessions.resample(df, "ts", 0, {"v": "sum"})
