@@ -3400,3 +3400,51 @@ def test_proportion_sizing():
         stats.mde_prop(0, 0.5)
     with pytest.raises(ValueError, match="more than"):
         stats.mde_prop(3, 0.5)
+
+
+def test_round9_ops_partition_invariance(spark):
+    """cronbach_alpha, kendall_w, krippendorff_alpha, gains_table,
+    theil_sen, and ab_report return identical results at 1, 7, and 32
+    input partitions — the property that makes the local[32] answer
+    the 1000-executor answer."""
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(53)
+    panel = []
+    for i in range(30):
+        q = rnd.uniform(0, 10)
+        for r in range(3):
+            panel.append((f"i{i:02d}", f"r{r}", round(q + rnd.gauss(0, 1), 3)))
+    scored = [
+        (round(rnd.gauss(2.0 if rnd.random() < 0.3 else 0.0, 1.0), 2),
+         int(rnd.random() < 0.5),
+         rnd.choice(["c", "t"]))
+        for _ in range(400)
+    ]
+    series = [(float(i % 40), 2.0 * (i % 40) + rnd.gauss(0, 1)) for i in range(80)]
+
+    results = []
+    for parts in (1, 7, 32):
+        pdf = spark.createDataFrame(
+            panel, "item STRING, rater STRING, v DOUBLE"
+        ).repartition(parts)
+        sdf = spark.createDataFrame(
+            scored, "score DOUBLE, label INT, arm STRING"
+        ).repartition(parts)
+        tdf = spark.createDataFrame(series, "x DOUBLE, y DOUBLE").repartition(parts)
+        out = (
+            tuple(stats.cronbach_alpha(pdf, "item", "rater", "v").collect()[0]),
+            tuple(stats.kendall_w(pdf, "item", "rater", "v").collect()[0]),
+            tuple(stats.krippendorff_alpha(pdf, "item", "v",
+                                           metric="interval").collect()[0]),
+            sorted(tuple(r) for r in
+                   stats.gains_table(sdf, "score", "label").collect()),
+            tuple(stats.theil_sen(tdf, "x", "y").collect()[0]),
+            sorted(tuple(r) for r in
+                   stats.ab_report(sdf, "arm", ["score", "label"],
+                                   "c", "t").collect()),
+        )
+        results.append(out)
+    assert results[0] == results[1] == results[2]
