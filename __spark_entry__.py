@@ -11197,6 +11197,44 @@ FROM grid g LEFT JOIN binned bn ON g.k = bn.k AND g.b = bn.b
 """
 
 
+def _q_validate_unique(spark, sf_dir):
+    """transform::validate with a SET expectation: orders with a
+    planted duplicate slice (every %13 key appears twice), drop-action
+    uniqueness on o_orderkey — every row of a duplicated key drops
+    (no silent survivor; keep-one is drop_duplicates' job), plus a
+    row expectation composing in the same block."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dup = orders.where("o_orderkey % 13 = 0")
+    orders.unionByName(dup).createOrReplaceTempView("validate_unique_in")
+    blocks = {
+        "In": {
+            "Type": "custom::sql",
+            "Properties": {"Statement": "SELECT * FROM validate_unique_in"},
+        },
+        "Result": {
+            "Type": "transform::validate",
+            "Input": "In",
+            "Properties": {
+                "Expectations": [
+                    {"name": "pk", "unique": ["o_orderkey"], "action": "drop"},
+                    {"name": "price_pos", "expr": "o_totalprice > 0"},
+                ]
+            },
+        },
+    }
+    from getl_spark import lift
+
+    return lift(
+        spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False)
+    ).get("Result")
+
+
+VALIDATE_UNIQUE_ORACLE = """
+SELECT * FROM orders
+WHERE o_orderkey % 13 != 0 AND COALESCE(o_totalprice > 0, FALSE)
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -11441,6 +11479,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_drift_monitor_drain": _q_stream_drift_monitor,
         "stats_ab_report": _q_ab_report,
         "sessions_resample": _q_resample,
+        "validate_unique_key": _q_validate_unique,
     }
 
 
@@ -11676,6 +11715,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stream_drift_monitor_drain": STREAM_DRIFT_MONITOR_ORACLE,
         "stats_ab_report": AB_REPORT_ORACLE,
         "sessions_resample": RESAMPLE_ORACLE,
+        "validate_unique_key": VALIDATE_UNIQUE_ORACLE,
     }
 
 

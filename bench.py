@@ -167,6 +167,7 @@ DETAIL_QUERIES = [
     "stream_drift_monitor_drain",
     "stats_ab_report",
     "sessions_resample",
+    "validate_unique_key",
 ]
 
 RUNS = 3

@@ -422,17 +422,23 @@ def validate(conf: BlockConfig):
           - {name: qty_positive, expr: "l_quantity > 0", action: drop}
           - {name: key_not_null, expr: "l_orderkey IS NOT NULL", action: fail}
           - {name: price_sane, expr: "l_extendedprice < 1e7", action: tag}
+          - {name: pk_unique, unique: [l_orderkey, l_linenumber], action: fail}
         Quarantine: true          # also emit the violating rows
         TagColumn: __violations   # array<string> column for tag/quarantine
 
-    Semantics (SQL three-valued logic: a NULL predicate is a
-    violation):
+    Row expectations (``expr``) follow SQL three-valued logic: a NULL
+    predicate is a violation. SET expectations (``unique: [cols]``)
+    make uniqueness first-class: EVERY row of a key that occurs more
+    than once violates — including the "first" one, because when a
+    primary key duplicates there is no principled survivor (keep-one
+    semantics is ``drop_duplicates``, an explicit choice, not a
+    validation). NULL key components compare null-safe, so an
+    all-NULL key duplicating is caught too.
 
     * ``fail`` — ANY violating row aborts the lift with
       ``ValidationError`` carrying per-expectation counts. All fail
-      expectations are counted in ONE aggregate job (map-side partial
-      agg, k-row reduce) before anything downstream runs — an explicit
-      fail-fast gate, the only extra pass this block takes.
+      expectations — expr and unique together — are counted in ONE
+      aggregate job before anything downstream runs.
     * ``drop`` (default) — violating rows are removed from the valid
       output.
     * ``tag`` — rows are kept; the expectation's name is appended to
@@ -441,8 +447,10 @@ def validate(conf: BlockConfig):
     With ``Quarantine: true`` the block is multi-output (declare
     ``Output: [valid, violations]``): ``violations`` holds every row
     failing any drop/tag expectation, with ``TagColumn`` listing which.
-    Everything except the fail gate is a pure column expression — no
-    shuffle, no UDF, filters still push toward the scan.
+    ``expr`` drops stay pure pushdown-friendly filters; each
+    ``unique`` expectation adds one keyed count aggregate plus one
+    keyed join of the (usually tiny) duplicated-key set back onto the
+    scan — shuffle ∝ distinct keys, no window over raw rows.
     """
     from getl_spark.common.errors import ValidationError
 
@@ -457,16 +465,45 @@ def validate(conf: BlockConfig):
                 f"validate: expectation '{s.get('name')}' has unknown "
                 f"action '{s['action']}' (fail|drop|tag)"
             )
+        if ("expr" in s) == ("unique" in s):
+            raise ValueError(
+                f"validate: expectation '{s.get('name')}' must have "
+                "exactly one of 'expr' or 'unique'"
+            )
 
-    def holds(s) -> "F.Column":
+    uniques = [s for s in specs if "unique" in s]
+    marked = df
+    for s in uniques:
+        cols = list(s["unique"])
+        flag = f"__viol_{s['name']}"
+        dup = (
+            df.groupBy(*cols)
+            .agg(F.count("*").alias("__c"))
+            .where(F.col("__c") > 1)
+            .select(
+                *[F.col(c).alias(f"__uk_{c}") for c in cols],
+                F.lit(True).alias(flag),
+            )
+        )
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & marked[c].eqNullSafe(dup[f"__uk_{c}"])
+        marked = marked.join(dup, cond, "left").drop(
+            *[f"__uk_{c}" for c in cols]
+        )
+    markers = [f"__viol_{s['name']}" for s in uniques]
+
+    def violates(s) -> "F.Column":
+        if "unique" in s:
+            return F.coalesce(F.col(f"__viol_{s['name']}"), F.lit(False))
         # NULL -> violation, per three-valued logic
-        return F.coalesce(F.expr(s["expr"]), F.lit(False))
+        return ~F.coalesce(F.expr(s["expr"]), F.lit(False))
 
     fails = [s for s in specs if s["action"] == "fail"]
     if fails:
-        counts_row = df.agg(
+        counts_row = marked.agg(
             *[
-                F.sum(F.when(~holds(s), 1).otherwise(0)).alias(s["name"])
+                F.sum(F.when(violates(s), 1).otherwise(0)).alias(s["name"])
                 for s in fails
             ]
         ).first()
@@ -480,27 +517,37 @@ def validate(conf: BlockConfig):
 
     drops = [s for s in specs if s["action"] == "drop"]
     tags = [s for s in specs if s["action"] == "tag"]
-    valid = df
+    valid = marked
     for s in drops:
-        # raw predicate, not coalesce(expr, false): WHERE already
-        # excludes NULL results, and the bare comparison pushes down to
-        # the parquet scan (PushedFilters) while a coalesce() wrapper
-        # blocks pushdown entirely
-        valid = valid.where(F.expr(s["expr"]))
+        if "unique" in s:
+            valid = valid.where(~violates(s))
+        else:
+            # raw predicate, not coalesce(expr, false): WHERE already
+            # excludes NULL results, and the bare comparison pushes down to
+            # the parquet scan (PushedFilters) while a coalesce() wrapper
+            # blocks pushdown entirely
+            valid = valid.where(F.expr(s["expr"]))
     if tags:
         valid = valid.withColumn(
             tag_col,
             F.array_compact(
-                F.array(*[F.when(~holds(s), F.lit(s["name"])) for s in tags])
+                F.array(*[F.when(violates(s), F.lit(s["name"])) for s in tags])
             ),
         )
+    valid = valid.drop(*markers)
     if not quarantine:
         return valid
     flagged = drops + tags
-    violations = df.withColumn(
-        tag_col,
-        F.array_compact(
-            F.array(*[F.when(~holds(s), F.lit(s["name"])) for s in flagged])
-        ),
-    ).where(F.size(F.col(tag_col)) > 0)
+    violations = (
+        marked.withColumn(
+            tag_col,
+            F.array_compact(
+                F.array(
+                    *[F.when(violates(s), F.lit(s["name"])) for s in flagged]
+                )
+            ),
+        )
+        .where(F.size(F.col(tag_col)) > 0)
+        .drop(*markers)
+    )
     return {"valid": valid, "violations": violations}

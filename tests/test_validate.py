@@ -144,3 +144,88 @@ def test_validate_is_pure_filter_no_shuffle(spark, quality_df):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_unique_expectation_fail(spark):
+    """A duplicated primary key aborts the lift with the VIOLATING ROW
+    count (all rows of the dup key); a clean key passes; null-safe key
+    comparison catches duplicated all-NULL keys."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c"), (2, "d"), (3, "e")],
+        "k BIGINT, v STRING",
+    )
+    with pytest.raises(ValidationError) as err:
+        _run(spark, df, {
+            "Expectations": [
+                {"name": "pk", "unique": ["k"], "action": "fail"},
+            ],
+        })
+    assert err.value.counts == {"pk": 3}
+
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING")
+    out = _run(spark, clean, {
+        "Expectations": [{"name": "pk", "unique": ["k"], "action": "fail"}],
+    })
+    assert out.count() == 2 and out.columns == ["k", "v"]
+
+    nulls = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (7, "c")], "k BIGINT, v STRING"
+    )
+    with pytest.raises(ValidationError) as err:
+        _run(spark, nulls, {
+            "Expectations": [{"name": "pk", "unique": ["k"], "action": "fail"}],
+        })
+    assert err.value.counts == {"pk": 2}
+
+
+def test_unique_expectation_drop_tag_quarantine(spark):
+    """drop removes EVERY row of a duplicated key (no silent survivor);
+    tag marks them; quarantine routes them with the expectation name;
+    composite keys; expr+unique compose; spec shape guard."""
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 2, 30.0), (2, 1, -1.0)],
+        "a BIGINT, b BIGINT, qty DOUBLE",
+    )
+    out = _run(spark, df, {
+        "Expectations": [
+            {"name": "pk", "unique": ["a", "b"], "action": "drop"},
+            {"name": "pos", "expr": "qty > 0", "action": "drop"},
+        ],
+    })
+    rows = {(r.a, r.b) for r in out.collect()}
+    assert rows == {(1, 1)}  # dup (1,2) rows all dropped; (2,1) neg dropped
+
+    df.createOrReplaceTempView("validate_input")
+    blocks = {
+        "In": {
+            "Type": "custom::sql",
+            "Properties": {"Statement": "SELECT * FROM validate_input"},
+        },
+        "Result": {
+            "Type": "transform::validate",
+            "Input": "In",
+            "Properties": {
+                "Output": ["valid", "violations"],
+                "Expectations": [
+                    {"name": "pk", "unique": ["a", "b"], "action": "tag"},
+                ],
+                "Quarantine": True,
+                "TagColumn": "why",
+            },
+        },
+    }
+    log = lift(spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+    valid, viol = log.get("Result.valid"), log.get("Result.violations")
+    assert valid.count() == 4  # tag keeps rows
+    tagged = {(r.a, r.b): r.why for r in valid.collect()}
+    assert tagged[(1, 2)] == ["pk"] and tagged[(1, 1)] == []
+    v = viol.collect()
+    assert {(r.a, r.b) for r in v} == {(1, 2)} and len(v) == 2
+    assert all(r.why == ["pk"] for r in v)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        _run(spark, df, {
+            "Expectations": [
+                {"name": "bad", "unique": ["a"], "expr": "a > 0"},
+            ],
+        })
