@@ -11235,6 +11235,65 @@ WHERE o_orderkey % 13 != 0 AND COALESCE(o_totalprice > 0, FALSE)
 """
 
 
+def _q_validate_fk(spark, sf_dir):
+    """transform::validate with a referential-integrity expectation:
+    every %11 order gets an orphaned custkey; the fk drop removes
+    exactly those rows via one distinct reduction of the customer
+    keys + one keyed join."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    mixed = orders.where("o_orderkey % 11 != 0").unionByName(
+        orders.where("o_orderkey % 11 = 0").withColumn(
+            "o_custkey", F.col("o_custkey") + 10_000_000
+        )
+    )
+    mixed.createOrReplaceTempView("validate_fk_in")
+    cust.createOrReplaceTempView("ValidateCust")
+    blocks = {
+        "In": {
+            "Type": "custom::sql",
+            "Properties": {"Statement": "SELECT * FROM validate_fk_in"},
+        },
+        "Result": {
+            "Type": "transform::validate",
+            "Input": "In",
+            "Properties": {
+                "Expectations": [
+                    {
+                        "name": "fk_cust",
+                        "foreign_key": {
+                            "columns": ["o_custkey"],
+                            "ref": "ValidateCust",
+                            "ref_columns": ["c_custkey"],
+                        },
+                        "action": "drop",
+                    },
+                ]
+            },
+        },
+    }
+    from getl_spark import lift
+
+    return lift(
+        spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False)
+    ).get("Result")
+
+
+VALIDATE_FK_ORACLE = """
+WITH mixed AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 11 != 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey + 10000000, o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT m.* FROM mixed m
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = m.o_custkey)
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -11480,6 +11539,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ab_report": _q_ab_report,
         "sessions_resample": _q_resample,
         "validate_unique_key": _q_validate_unique,
+        "validate_foreign_key": _q_validate_fk,
     }
 
 
@@ -11716,6 +11776,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_ab_report": AB_REPORT_ORACLE,
         "sessions_resample": RESAMPLE_ORACLE,
         "validate_unique_key": VALIDATE_UNIQUE_ORACLE,
+        "validate_foreign_key": VALIDATE_FK_ORACLE,
     }
 
 

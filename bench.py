@@ -168,6 +168,7 @@ DETAIL_QUERIES = [
     "stats_ab_report",
     "sessions_resample",
     "validate_unique_key",
+    "validate_foreign_key",
 ]
 
 RUNS = 3

@@ -423,6 +423,7 @@ def validate(conf: BlockConfig):
           - {name: key_not_null, expr: "l_orderkey IS NOT NULL", action: fail}
           - {name: price_sane, expr: "l_extendedprice < 1e7", action: tag}
           - {name: pk_unique, unique: [l_orderkey, l_linenumber], action: fail}
+          - {name: fk_cust, foreign_key: {columns: [o_custkey], ref: Customers, ref_columns: [c_custkey]}, action: fail}
         Quarantine: true          # also emit the violating rows
         TagColumn: __violations   # array<string> column for tag/quarantine
 
@@ -451,6 +452,15 @@ def validate(conf: BlockConfig):
     ``unique`` expectation adds one keyed count aggregate plus one
     keyed join of the (usually tiny) duplicated-key set back onto the
     scan — shuffle ∝ distinct keys, no window over raw rows.
+
+    ``foreign_key`` expectations check referential integrity against
+    ANY earlier block by its temp-view name (every block result
+    registers one): a row violates when its key tuple has no match in
+    the reference's distinct keys — one distinct reduction of the
+    (dimension-sized, usually broadcastable) reference plus one keyed
+    left join. NULL fk components never match and therefore violate —
+    rows legitimately allowed to carry no reference should be filtered
+    or modeled explicitly, not silently passed.
     """
     from getl_spark.common.errors import ValidationError
 
@@ -465,14 +475,50 @@ def validate(conf: BlockConfig):
                 f"validate: expectation '{s.get('name')}' has unknown "
                 f"action '{s['action']}' (fail|drop|tag)"
             )
-        if ("expr" in s) == ("unique" in s):
+        kinds = sum(k in s for k in ("expr", "unique", "foreign_key"))
+        if kinds != 1:
             raise ValueError(
                 f"validate: expectation '{s.get('name')}' must have "
-                "exactly one of 'expr' or 'unique'"
+                "exactly one of 'expr', 'unique', or 'foreign_key'"
             )
 
     uniques = [s for s in specs if "unique" in s]
+    fks = [s for s in specs if "foreign_key" in s]
     marked = df
+    for s in fks:
+        fk = s["foreign_key"]
+        cols = list(fk["columns"])
+        ref_name = fk["ref"]
+        ref_cols = list(fk.get("ref_columns", cols))
+        if len(ref_cols) != len(cols):
+            raise ValueError(
+                f"validate: expectation '{s['name']}' columns and "
+                "ref_columns must pair up"
+            )
+        flag = f"__viol_{s['name']}"
+        # any earlier block is referenceable by its temp-view name; the
+        # reference side reduces to its DISTINCT keys (dimension-sized)
+        ref = (
+            conf.spark.table(ref_name)
+            .select(
+                *[
+                    F.col(rc).alias(f"__fk_{c}")
+                    for c, rc in zip(cols, ref_cols)
+                ]
+            )
+            .distinct()
+            .withColumn(flag, F.lit(False))
+        )
+        cond = F.lit(True)
+        for c in cols:
+            # plain equality: a NULL fk component never matches, so
+            # NULL keys violate — declare them nullable upstream or
+            # filter first (an FK with NULLs is a modeling decision,
+            # not a default)
+            cond = cond & (marked[c] == ref[f"__fk_{c}"])
+        marked = marked.join(ref, cond, "left").drop(
+            *[f"__fk_{c}" for c in cols]
+        )
     for s in uniques:
         cols = list(s["unique"])
         flag = f"__viol_{s['name']}"
@@ -491,11 +537,14 @@ def validate(conf: BlockConfig):
         marked = marked.join(dup, cond, "left").drop(
             *[f"__uk_{c}" for c in cols]
         )
-    markers = [f"__viol_{s['name']}" for s in uniques]
+    markers = [f"__viol_{s['name']}" for s in uniques + fks]
 
     def violates(s) -> "F.Column":
         if "unique" in s:
             return F.coalesce(F.col(f"__viol_{s['name']}"), F.lit(False))
+        if "foreign_key" in s:
+            # the ref join left the flag NULL on orphans, False on hits
+            return F.col(f"__viol_{s['name']}").isNull()
         # NULL -> violation, per three-valued logic
         return ~F.coalesce(F.expr(s["expr"]), F.lit(False))
 
@@ -519,7 +568,7 @@ def validate(conf: BlockConfig):
     tags = [s for s in specs if s["action"] == "tag"]
     valid = marked
     for s in drops:
-        if "unique" in s:
+        if "unique" in s or "foreign_key" in s:
             valid = valid.where(~violates(s))
         else:
             # raw predicate, not coalesce(expr, false): WHERE already

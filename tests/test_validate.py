@@ -229,3 +229,69 @@ def test_unique_expectation_drop_tag_quarantine(spark):
                 {"name": "bad", "unique": ["a"], "expr": "a > 0"},
             ],
         })
+
+
+def test_foreign_key_expectation(spark):
+    """Orphan keys fail with counts / drop / quarantine; NULL fk
+    violates by contract; duplicated reference keys don't duplicate
+    rows; ref_columns mapping; composes with expr."""
+    cust = spark.createDataFrame(
+        [(1, "acme"), (2, "bolt"), (2, "bolt-dup")], "c_id BIGINT, name STRING"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 2, 6.0), (12, 9, 7.0), (13, None, 8.0)],
+        "o_id BIGINT, cust BIGINT, amt DOUBLE",
+    )
+
+    def run(props, outputs=None):
+        cust.createOrReplaceTempView("Customers")
+        orders.createOrReplaceTempView("validate_input")
+        blocks = {
+            "In": {
+                "Type": "custom::sql",
+                "Properties": {"Statement": "SELECT * FROM validate_input"},
+            },
+            "Result": {
+                "Type": "transform::validate",
+                "Input": "In",
+                "Properties": props,
+            },
+        }
+        log = lift(spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+        if outputs:
+            return {o: log.get(f"Result.{o}") for o in outputs}
+        return log.get("Result")
+
+    fk = {"columns": ["cust"], "ref": "Customers", "ref_columns": ["c_id"]}
+
+    with pytest.raises(ValidationError) as err:
+        run({"Expectations": [
+            {"name": "fk", "foreign_key": fk, "action": "fail"},
+        ]})
+    assert err.value.counts == {"fk": 2}  # orphan 9 + NULL
+
+    out = run({"Expectations": [
+        {"name": "fk", "foreign_key": fk, "action": "drop"},
+        {"name": "amt_pos", "expr": "amt > 0"},
+    ]})
+    rows = sorted(r.o_id for r in out.collect())
+    assert rows == [10, 11]  # dup ref key didn't duplicate row 11
+    assert out.columns == ["o_id", "cust", "amt"]
+
+    outs = run({
+        "Output": ["valid", "violations"],
+        "Quarantine": True,
+        "Expectations": [
+            {"name": "fk", "foreign_key": fk, "action": "tag"},
+        ],
+    }, outputs=["valid", "violations"])
+    viol = outs["violations"].collect()
+    assert sorted(r.o_id for r in viol) == [12, 13]
+    assert all(r["__violations"] == ["fk"] for r in viol)
+
+    with pytest.raises(ValueError, match="pair up"):
+        run({"Expectations": [
+            {"name": "fk", "action": "drop",
+             "foreign_key": {"columns": ["cust"], "ref": "Customers",
+                             "ref_columns": ["c_id", "name"]}},
+        ]})
