@@ -11294,6 +11294,75 @@ WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = m.o_custkey)
 """
 
 
+def _q_kruskal_wallis(spark, sf_dir):
+    """stats.kruskal_wallis — k-arm nonparametric omnibus on a
+    heavily-tied column (discount by return flag: 11 distinct values,
+    so the tie correction does real work); global midranks on the
+    prefix scan, WH tail on the shared Φ."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return stats.kruskal_wallis(li, "l_returnflag", "l_discount")
+
+
+KRUSKAL_WALLIS_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g, CAST(l_discount AS DOUBLE) AS v
+  FROM lineitem
+  WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+), vc AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY v
+), cum AS (
+  SELECT v, n,
+         SUM(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c
+  FROM vc
+), ranks AS (
+  SELECT v, CAST(c - n AS DOUBLE) + (n + 1) / 2.0 AS r FROM cum
+), tt AS (
+  SELECT SUM(POWER(CAST(n AS DOUBLE), 3) - n) AS t,
+         CAST(SUM(n) AS BIGINT) AS nn
+  FROM vc
+), gv AS (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY g, v
+), arm AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS ng, SUM(c * r) AS rsum
+  FROM gv JOIN ranks USING (v) GROUP BY g
+), agg AS (
+  SELECT nn, t, CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(POWER(rsum - CAST(ng AS DOUBLE) * (nn + 1) / 2, 2)
+             / CAST(ng AS DOUBLE)) AS s
+  FROM arm, tt GROUP BY nn, t
+), f AS (
+  SELECT nn, k,
+         CASE WHEN k >= 2
+               AND (1 - t / (CAST(nn AS DOUBLE) * nn * nn - nn)) > 0
+         THEN (12.0 / (CAST(nn AS DOUBLE) * (nn + 1)) * s)
+              / (1 - t / (CAST(nn AS DOUBLE) * nn * nn - nn)) END AS h,
+         CAST(k - 1 AS DOUBLE) AS dof
+  FROM agg
+), z AS (
+  SELECT *,
+         (POWER(h / dof, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dof)))
+           / sqrt(2.0 / (9.0 * dof)) AS wz
+  FROM f
+), p AS (
+  SELECT *, 1 - (CASE WHEN wz >= 0 THEN 1 - pt / 2 ELSE pt / 2 END) AS pv
+  FROM (
+    SELECT *,
+           (0.254829592 * t5 - 0.284496736 * POWER(t5, 2)
+            + 1.421413741 * POWER(t5, 3) - 1.453152027 * POWER(t5, 4)
+            + 1.061405429 * POWER(t5, 5)) * exp(-(xx * xx)) AS pt
+    FROM (
+      SELECT *, abs(wz) / sqrt(2.0) AS xx,
+             1.0 / (1.0 + 0.3275911 * (abs(wz) / sqrt(2.0))) AS t5
+      FROM z))
+)
+SELECT nn AS n, k, ROUND(h, 6) AS h,
+       CAST(k - 1 AS BIGINT) AS df, ROUND(pv, 6) AS p_value
+FROM p
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -11540,6 +11609,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_resample": _q_resample,
         "validate_unique_key": _q_validate_unique,
         "validate_foreign_key": _q_validate_fk,
+        "stats_kruskal_wallis": _q_kruskal_wallis,
     }
 
 
@@ -11777,6 +11847,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sessions_resample": RESAMPLE_ORACLE,
         "validate_unique_key": VALIDATE_UNIQUE_ORACLE,
         "validate_foreign_key": VALIDATE_FK_ORACLE,
+        "stats_kruskal_wallis": KRUSKAL_WALLIS_ORACLE,
     }
 
 

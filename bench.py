@@ -169,6 +169,7 @@ DETAIL_QUERIES = [
     "sessions_resample",
     "validate_unique_key",
     "validate_foreign_key",
+    "stats_kruskal_wallis",
 ]
 
 RUNS = 3

@@ -5317,3 +5317,94 @@ def ab_report(
         F.round(z, round_to).alias("z"),
         F.round(_normal_two_sided_p(z), round_to).alias("p_value"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kruskal-Wallis H test — the k-arm nonparametric omnibus:
+    ``anova`` for data whose means are not trustworthy (heavy-tailed
+    latency, bounded scores with ceiling effects, ordinal 1-5
+    ratings) and ``mann_whitney`` generalized past two arms. Rejects
+    "all k sources/models/arms draw from the same distribution"
+    using only ranks, so a single wild outlier moves H by at most its
+    rank step. Tie-corrected: H /= 1 − Σ(t³−t)/(N³−N).
+
+    One row: ``(n, k, h, df, p_value)`` — df = k−1, the upper tail is
+    Wilson-Hilferty on the shared A&S Φ (so a DuckDB oracle replays it
+    bit-for-bit at rounded precision). NULL h when every value is
+    tied (zero rank variance) or k < 2.
+
+    Scale shape: the mann_whitney reduction generalized — values
+    reduce to per-(value) and per-(arm, value) counts (shuffle ∝
+    distinct values), GLOBAL midranks ride the distributed prefix
+    sum, per-arm rank sums are one keyed aggregate over the counts
+    table, and the H arithmetic folds on the k-row arm table with a
+    1-row total broadcast. No global sort, no per-arm window, rows
+    scanned once.
+    """
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        v.isNotNull() & ~F.isnan(v) & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), v.alias("__v"))
+    # per-value counts across ALL arms -> global midranks
+    vc = base.groupBy("__v").agg(F.count("*").cast("bigint").alias("__n"))
+    cum = grouped_prefix_sum(vc, [], ["__v"], "__n", "__cum")
+    ranks = cum.select(
+        "__v",
+        (
+            (F.col("__cum") - F.col("__n")).cast("double")
+            + (F.col("__n") + 1) / F.lit(2.0)
+        ).alias("__rank"),
+    )
+    ties = vc.agg(
+        F.sum(
+            F.col("__n").cast("double") ** 3 - F.col("__n").cast("double")
+        ).alias("__t"),
+        F.sum("__n").cast("bigint").alias("__N"),
+    )
+    # per-(arm, value) counts attach the value's global midrank
+    gv = base.groupBy("__g", "__v").agg(
+        F.count("*").cast("bigint").alias("__c")
+    )
+    rk = ranks.select(F.col("__v").alias("__rv"), "__rank")
+    arm = (
+        gv.join(rk, gv["__v"] == rk["__rv"])
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").cast("bigint").alias("__ng"),
+            F.sum(F.col("__c") * F.col("__rank")).alias("__rsum"),
+        )
+    )
+    fused = arm.join(F.broadcast(ties))
+    n = F.col("__N").cast("double")
+    per_arm = (
+        F.col("__rsum") - F.col("__ng").cast("double") * (n + 1) / 2
+    ) ** 2 / F.col("__ng").cast("double")
+    agg = fused.groupBy("__N", "__t").agg(
+        F.sum(per_arm).alias("__s"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    n = F.col("__N").cast("double")
+    h_raw = F.lit(12.0) / (n * (n + 1)) * F.col("__s")
+    tie_corr = 1 - F.col("__t") / (n * n * n - n)
+    h = F.when(
+        (F.col("k") >= 2) & (tie_corr > 0), h_raw / tie_corr
+    )
+    dof = (F.col("k") - 1).cast("double")
+    wh_z = (
+        (h / dof) ** F.lit(1.0 / 3.0) - (1 - 2.0 / (9.0 * dof))
+    ) / F.sqrt(2.0 / (9.0 * dof))
+    p = 1 - _normal_cdf(wh_z)
+    return agg.select(
+        F.col("__N").alias("n"),
+        "k",
+        F.round(h, round_to).alias("h"),
+        (F.col("k") - 1).alias("df"),
+        F.round(p, round_to).alias("p_value"),
+    )

@@ -61,6 +61,7 @@ NESTED_LOOP_WHITELIST = {
     "stats_krippendorff_alpha": "1-row observed/expected disagreement aggregates broadcast-fused (ungrouped panel)",
     "stats_gains_table": "1-row per-group totals broadcast onto the distinct-score blocks (ungrouped scorer)",
     "quality_label_noise": "1-row class-threshold table broadcast back onto the scan (ungrouped pool)",
+    "stats_kruskal_wallis": "1-row tie/total broadcast onto the k-row arm table",
     "stats_log_rank": "1-row per-arm totals broadcast onto the duration-counts table",
     "text_unigram_logprob": "1-row vocab-total broadcast",
     "text_logprob_buckets": "1-row vocab-total broadcast",

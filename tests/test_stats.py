@@ -3448,3 +3448,73 @@ def test_round9_ops_partition_invariance(spark):
         )
         results.append(out)
     assert results[0] == results[1] == results[2]
+
+
+def test_kruskal_wallis(spark):
+    """Tie-corrected H vs a pure-python reference on shifted and
+    identical arms; integer-scale heavy ties; all-tied NULL; 2-arm
+    consistency with mann_whitney's verdict; partition invariance."""
+    import random
+
+    from getl_spark.functions import stats
+
+    def ref_h(rows):
+        vals = sorted(v for _, v in rows)
+        n = len(vals)
+        # midranks
+        rank = {}
+        i = 0
+        while i < len(vals):
+            j = i
+            while j < len(vals) and vals[j] == vals[i]:
+                j += 1
+            for _ in range(i, j):
+                rank.setdefault(vals[i], (i + j + 1) / 2.0)
+            i = j
+        arms = {}
+        for g, v in rows:
+            arms.setdefault(g, []).append(rank[v])
+        s = sum(
+            (sum(rs) - len(rs) * (n + 1) / 2.0) ** 2 / len(rs)
+            for rs in arms.values()
+        )
+        h = 12.0 / (n * (n + 1)) * s
+        from collections import Counter
+        t = sum(c**3 - c for c in Counter(vals).values())
+        corr = 1 - t / (n**3 - n)
+        return h / corr if corr > 0 else None
+
+    rnd = random.Random(61)
+    shifted = [(g, rnd.gauss(m, 1.0))
+               for g, m in (("a", 0.0), ("b", 0.8), ("c", 1.6))
+               for _ in range(120)]
+    null_case = [(g, float(rnd.randint(1, 5)))
+                 for g in "abc" for _ in range(120)]
+
+    for rows, sig in ((shifted, True), (null_case, False)):
+        df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+        r = stats.kruskal_wallis(df, "g", "v").collect()[0]
+        assert (r.n, r.k, r.df) == (360, 3, 2)
+        assert r.h == pytest.approx(ref_h(rows), abs=1e-6)
+        assert (r.p_value < 0.01) == sig
+
+    # all values tied -> zero rank variance -> NULL
+    const = [(g, 5.0) for g in "ab" for _ in range(10)]
+    df = spark.createDataFrame(const, "g STRING, v DOUBLE")
+    r = stats.kruskal_wallis(df, "g", "v").collect()[0]
+    assert r.h is None and r.p_value is None
+
+    # 2-arm: verdict agrees with mann_whitney on the same data
+    two = [(g, v) for g, v in shifted if g in ("a", "c")]
+    df = spark.createDataFrame(two, "g STRING, v DOUBLE")
+    kw = stats.kruskal_wallis(df, "g", "v").collect()[0]
+    mw = stats.mann_whitney(
+        df.where("g = 'a'"), df.where("g = 'c'"), "v"
+    ).collect()[0]
+    assert (kw.p_value < 0.01) == (mw.p_value < 0.01) == True  # noqa: E712
+
+    # partition invariance
+    df = spark.createDataFrame(shifted, "g STRING, v DOUBLE")
+    outs = {p: tuple(stats.kruskal_wallis(df.repartition(p), "g", "v").collect()[0])
+            for p in (1, 7, 32)}
+    assert outs[1] == outs[7] == outs[32]
