@@ -170,6 +170,7 @@ DETAIL_QUERIES = [
     "validate_unique_key",
     "validate_foreign_key",
     "stats_kruskal_wallis",
+    "stats_dunn_test",
 ]
 
 RUNS = 3

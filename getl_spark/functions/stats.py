@@ -5408,3 +5408,112 @@ def kruskal_wallis(
         (F.col("k") - 1).alias("df"),
         F.round(p, round_to).alias("p_value"),
     )
+
+
+def dunn_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Dunn's post-hoc test — the "WHICH arms differ?" that follows a
+    significant ``kruskal_wallis``: pairwise z statistics on mean
+    ranks, tie-corrected (Dunn 1964), with Benjamini-Hochberg
+    adjusted p-values across the k(k−1)/2 comparisons built in
+    (running the pairs at raw α is exactly the multiple-comparison
+    trap the omnibus was supposed to prevent). Arms are compared on
+    the GLOBAL midranks — re-ranking each pair separately (pairwise
+    ``mann_whitney``) answers a subtly different question and loses
+    the omnibus's tie structure.
+
+    One row per unordered pair, ``arm_a < arm_b`` lexicographically:
+    ``(arm_a, arm_b, n_a, n_b, mean_rank_a, mean_rank_b, z, p_value,
+    p_adjusted)``. z is NULL when the tie-corrected variance is 0
+    (all values tied).
+
+    Scale shape: identical reduction to ``kruskal_wallis`` (global
+    midranks on the distributed prefix sum, per-arm rank sums) down
+    to a k-row arm table; the pair table is k²-bounded (arms are a
+    handful by definition — this is the bounded-model-table pattern,
+    built by a self-join of the k-row table, not a window), and the
+    BH adjustment runs on the pair-count-sized frame.
+    """
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        v.isNotNull() & ~F.isnan(v) & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), v.alias("__v"))
+    vc = base.groupBy("__v").agg(F.count("*").cast("bigint").alias("__n"))
+    cum = grouped_prefix_sum(vc, [], ["__v"], "__n", "__cum")
+    ranks = cum.select(
+        "__v",
+        (
+            (F.col("__cum") - F.col("__n")).cast("double")
+            + (F.col("__n") + 1) / F.lit(2.0)
+        ).alias("__rank"),
+    )
+    ties = vc.agg(
+        F.sum(
+            F.col("__n").cast("double") ** 3 - F.col("__n").cast("double")
+        ).alias("__t"),
+        F.sum("__n").cast("bigint").alias("__N"),
+    )
+    gv = base.groupBy("__g", "__v").agg(
+        F.count("*").cast("bigint").alias("__c")
+    )
+    rk = ranks.select(F.col("__v").alias("__rv"), "__rank")
+    arm = (
+        gv.join(rk, gv["__v"] == rk["__rv"])
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").cast("bigint").alias("__ng"),
+            (F.sum(F.col("__c") * F.col("__rank")) / F.sum("__c")).alias(
+                "__mr"
+            ),
+        )
+    )
+    a = arm.select(
+        F.col("__g").alias("arm_a"),
+        F.col("__ng").alias("n_a"),
+        F.col("__mr").alias("__mr_a"),
+    )
+    b = arm.select(
+        F.col("__g").alias("arm_b"),
+        F.col("__ng").alias("n_b"),
+        F.col("__mr").alias("__mr_b"),
+    )
+    pairs = a.join(b, F.col("arm_a") < F.col("arm_b")).join(
+        F.broadcast(ties)
+    )
+    n = F.col("__N").cast("double")
+    var_term = n * (n + 1) / 12 - F.col("__t") / (12 * (n - 1))
+    se = F.sqrt(
+        var_term
+        * (1 / F.col("n_a").cast("double") + 1 / F.col("n_b").cast("double"))
+    )
+    z = F.when(var_term > 0, (F.col("__mr_a") - F.col("__mr_b")) / se)
+    p = _normal_two_sided_p(z)
+    scored = pairs.select(
+        "arm_a",
+        "arm_b",
+        "n_a",
+        "n_b",
+        F.round("__mr_a", round_to).alias("mean_rank_a"),
+        F.round("__mr_b", round_to).alias("mean_rank_b"),
+        F.round(z, round_to).alias("z"),
+        F.round(p, round_to).alias("p_value"),
+        p.alias("__p_raw"),
+    )
+    adj = bh_adjust(scored, "__p_raw", round_to=round_to)
+    return adj.select(
+        "arm_a",
+        "arm_b",
+        "n_a",
+        "n_b",
+        "mean_rank_a",
+        "mean_rank_b",
+        "z",
+        "p_value",
+        F.col("p_adj").alias("p_adjusted"),
+    )

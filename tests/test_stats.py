@@ -3518,3 +3518,65 @@ def test_kruskal_wallis(spark):
     outs = {p: tuple(stats.kruskal_wallis(df.repartition(p), "g", "v").collect()[0])
             for p in (1, 7, 32)}
     assert outs[1] == outs[7] == outs[32]
+
+
+def test_dunn_test(spark):
+    """Pairwise z on global midranks vs a pure-python reference;
+    separated arm flags against both others, identical arms don't;
+    BH monotonicity; all-tied NULL; pair orientation."""
+    import math
+    import random
+
+    from getl_spark.functions import stats
+
+    def ref(rows):
+        vals = sorted(v for _, v in rows)
+        n = len(vals)
+        rank, i = {}, 0
+        while i < n:
+            j = i
+            while j < n and vals[j] == vals[i]:
+                j += 1
+            rank[vals[i]] = (i + j + 1) / 2.0
+            i = j
+        from collections import Counter, defaultdict
+        t = sum(c**3 - c for c in Counter(vals).values())
+        arms = defaultdict(list)
+        for g, v in rows:
+            arms[g].append(rank[v])
+        var = n * (n + 1) / 12.0 - t / (12.0 * (n - 1))
+        out = {}
+        names = sorted(arms)
+        for x in range(len(names)):
+            for y in range(x + 1, len(names)):
+                ga, gb = names[x], names[y]
+                ra = sum(arms[ga]) / len(arms[ga])
+                rb = sum(arms[gb]) / len(arms[gb])
+                se = math.sqrt(var * (1 / len(arms[ga]) + 1 / len(arms[gb])))
+                out[(ga, gb)] = (ra - rb) / se
+        return out
+
+    rnd = random.Random(71)
+    rows = (
+        [("a", rnd.gauss(0, 1)) for _ in range(150)]
+        + [("b", rnd.gauss(0.05, 1)) for _ in range(150)]   # ~ same as a
+        + [("c", rnd.gauss(1.5, 1)) for _ in range(150)]    # separated
+    )
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    got = {(r.arm_a, r.arm_b): r for r in
+           stats.dunn_test(df, "g", "v").collect()}
+    exp = ref(rows)
+    assert set(got) == set(exp)
+    for pair, r in got.items():
+        assert r.z == pytest.approx(exp[pair], abs=1e-5)
+        assert r.p_adjusted >= r.p_value - 1e-9  # BH never shrinks p
+    assert got[("a", "c")].p_adjusted < 0.01
+    assert got[("b", "c")].p_adjusted < 0.01
+    assert got[("a", "b")].p_adjusted > 0.1
+    assert got[("a", "c")].n_a == 150 and got[("a", "c")].n_b == 150
+
+    # all tied -> NULL z
+    const = [(g, 1.0) for g in "ab" for _ in range(5)]
+    df = spark.createDataFrame(const, "g STRING, v DOUBLE")
+    r = stats.dunn_test(df, "g", "v").collect()[0]
+    assert r.z is None and r.p_value is None
