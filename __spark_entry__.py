@@ -11441,6 +11441,39 @@ FROM praw pr JOIN adj a ON pr.p = a.p
 """
 
 
+def _q_expect_schema(spark, sf_dir):
+    """transform::expect_schema — the blocking schema gate on a
+    projected region load: the declared contract matches, rows flow
+    through untouched (drift paths are loud-fail pytest-covered; the
+    driver row proves the pass path returns the input verbatim)."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
+    region.createOrReplaceTempView("expect_schema_in")
+    declared = region.schema.jsonValue()
+    blocks = {
+        "In": {
+            "Type": "custom::sql",
+            "Properties": {"Statement": "SELECT * FROM expect_schema_in"},
+        },
+        "Result": {
+            "Type": "transform::expect_schema",
+            "Input": "In",
+            "Properties": {"Schema": declared},
+        },
+    }
+    from getl_spark import lift
+
+    return lift(
+        spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False)
+    ).get("Result")
+
+
+EXPECT_SCHEMA_ORACLE = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -11689,6 +11722,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_foreign_key": _q_validate_fk,
         "stats_kruskal_wallis": _q_kruskal_wallis,
         "stats_dunn_test": _q_dunn_test,
+        "expect_schema_gate": _q_expect_schema,
     }
 
 
@@ -11928,6 +11962,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "validate_foreign_key": VALIDATE_FK_ORACLE,
         "stats_kruskal_wallis": KRUSKAL_WALLIS_ORACLE,
         "stats_dunn_test": DUNN_TEST_ORACLE,
+        "expect_schema_gate": EXPECT_SCHEMA_ORACLE,
     }
 
 

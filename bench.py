@@ -171,6 +171,7 @@ DETAIL_QUERIES = [
     "validate_foreign_key",
     "stats_kruskal_wallis",
     "stats_dunn_test",
+    "expect_schema_gate",
 ]
 
 RUNS = 3

@@ -386,6 +386,55 @@ def expect_rows(conf: BlockConfig) -> DataFrame:
     return df
 
 
+def expect_schema(conf: BlockConfig) -> DataFrame:
+    """Schema gate: fail the lift when the input's schema differs from
+    a DECLARED one — the blocking form of ``schema.diff``'s advisory
+    report (diff tells CI what changed; this stops the 3 a.m. run
+    before a silently-widened int or a dropped nested field flows
+    into managed tables). Properties: ``Schema`` (Spark's portable
+    JSON schema format, same as load blocks' ``JsonSchema``),
+    ``AllowExtra`` (default false — when true, columns ADDED relative
+    to the declaration pass; removals and type changes always fail),
+    ``IgnoreNullability`` (default true — parquet round-trips flip
+    nullability flags routinely; set false for strict contracts).
+
+    Pure driver-side metadata comparison (no scan, no action); the
+    error message carries the full drift row list so the fix is a
+    read, not an investigation. Pair with load-block ``CoerceTypes``
+    for drifts that should be healed instead of fatal.
+    """
+    from getl_spark.common.errors import ValidationError
+    from getl_spark.common.utils import json_to_spark_schema
+    from getl_spark.functions.schema import diff as schema_diff
+
+    df = conf.input_df()
+    declared = json_to_spark_schema(conf.get("Schema"))
+    allow_extra = bool(conf.get("AllowExtra", False))
+    ignore_null = bool(conf.get("IgnoreNullability", True))
+    expected = df.sparkSession.createDataFrame([], declared)
+    drift = schema_diff(expected, df).collect()
+    problems = [
+        r
+        for r in drift
+        if not (
+            (allow_extra and r["change"] == "added")
+            or (ignore_null and r["change"] == "nullability")
+        )
+    ]
+    if problems:
+        detail = "; ".join(
+            f"{r['column']}: {r['change']}"
+            f" ({r['left_type']} -> {r['right_type']})"
+            for r in problems
+        )
+        raise ValidationError(
+            f"expect_schema: block '{conf.section_name}' input drifted "
+            f"from the declared schema: {detail}",
+            counts={r["column"]: r["change"] for r in problems},
+        )
+    return df
+
+
 def checkpoint(conf: BlockConfig) -> DataFrame:
     """Materialization barrier: truncate lineage with
     ``common.scale.pin`` (localCheckpoint locally, reliable checkpoint

@@ -295,3 +295,66 @@ def test_foreign_key_expectation(spark):
              "foreign_key": {"columns": ["cust"], "ref": "Customers",
                              "ref_columns": ["c_id", "name"]}},
         ]})
+
+
+def test_expect_schema_gate(spark):
+    """Matching schema passes; type change / removal fail with the
+    drift detail; AllowExtra admits additions only; nullability
+    ignored by default, strict on demand."""
+    declared = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "qty", "type": "double", "nullable": True, "metadata": {}},
+        ],
+    }
+
+    def run(df, props):
+        df.createOrReplaceTempView("validate_input")
+        blocks = {
+            "In": {
+                "Type": "custom::sql",
+                "Properties": {"Statement": "SELECT * FROM validate_input"},
+            },
+            "Result": {
+                "Type": "transform::expect_schema",
+                "Input": "In",
+                "Properties": {"Schema": declared, **props},
+            },
+        }
+        return lift(
+            spark, yaml.safe_dump({"LiftJob": blocks}, sort_keys=False)
+        ).get("Result")
+
+    good = spark.createDataFrame([(1, 2.0)], "id BIGINT, qty DOUBLE")
+    assert run(good, {}).count() == 1
+
+    # widened int -> fails with the drift named
+    drifted = spark.createDataFrame([(1, 2.0)], "id INT, qty DOUBLE")
+    with pytest.raises(ValidationError, match="type_changed"):
+        run(drifted, {})
+
+    # dropped column fails even with AllowExtra
+    narrow = spark.createDataFrame([(1,)], "id BIGINT")
+    with pytest.raises(ValidationError) as err:
+        run(narrow, {"AllowExtra": True})
+    assert err.value.counts == {"qty": "removed"}
+
+    # extra column: fails by default, passes with AllowExtra
+    wide = spark.createDataFrame([(1, 2.0, "x")], "id BIGINT, qty DOUBLE, s STRING")
+    with pytest.raises(ValidationError, match="added"):
+        run(wide, {})
+    assert run(wide, {"AllowExtra": True}).count() == 1
+
+    # nullability: ignored by default, strict on demand
+    from pyspark.sql import types as T
+    nn = spark.createDataFrame(
+        [(1, 2.0)],
+        T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("qty", T.DoubleType(), True),
+        ]),
+    )
+    assert run(nn, {}).count() == 1
+    with pytest.raises(ValidationError, match="nullability"):
+        run(nn, {"IgnoreNullability": False})
