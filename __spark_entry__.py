@@ -11474,6 +11474,51 @@ SELECT r_regionkey, r_name FROM region
 """
 
 
+def _q_knn_label(spark, sf_dir):
+    """similarity.knn_label — weak labels for the unlabeled tail of
+    the embeddings table by 5-NN majority vote over the labeled seed
+    slice; deterministic min-label tie-break so both engines elect
+    the same winner."""
+    from getl_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = emb.where("vec_id < 400")
+    queries = emb.where("vec_id >= 400").drop("label")
+    return similarity.knn_label(seeds, queries, k=5)
+
+
+KNN_LABEL_ORACLE = """
+WITH seeds AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS VARCHAR) AS lab
+  FROM embeddings WHERE vec_id < 400 AND label IS NOT NULL
+), q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id >= 400
+), nb AS (
+  SELECT qid, lab FROM (
+    SELECT q.qid, s.lab,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY ROUND(list_cosine_similarity(q.v, s.v), 6) DESC,
+                      s.vec_id) AS rk
+    FROM q, seeds s) t
+  WHERE rk <= 5
+), votes AS (
+  SELECT qid, lab, CAST(COUNT(*) AS BIGINT) AS c FROM nb GROUP BY 1, 2
+), tot AS (
+  SELECT qid, CAST(SUM(c) AS BIGINT) AS n FROM votes GROUP BY 1
+), mx AS (
+  SELECT qid, MAX(c) AS m FROM votes GROUP BY 1
+), win AS (
+  SELECT v.qid, MIN(v.lab) AS knn_label, CAST(MAX(v.c) AS BIGINT) AS votes
+  FROM votes v JOIN mx ON v.qid = mx.qid AND v.c = mx.m
+  GROUP BY v.qid
+)
+SELECT w.qid AS vec_id, w.knn_label, w.votes, t.n AS n_neighbors,
+       ROUND(CAST(w.votes AS DOUBLE) / t.n, 6) AS vote_share
+FROM win w JOIN tot t ON w.qid = t.qid
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -11723,6 +11768,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_kruskal_wallis": _q_kruskal_wallis,
         "stats_dunn_test": _q_dunn_test,
         "expect_schema_gate": _q_expect_schema,
+        "similarity_knn_label": _q_knn_label,
     }
 
 
@@ -11963,6 +12009,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_kruskal_wallis": KRUSKAL_WALLIS_ORACLE,
         "stats_dunn_test": DUNN_TEST_ORACLE,
         "expect_schema_gate": EXPECT_SCHEMA_ORACLE,
+        "similarity_knn_label": KNN_LABEL_ORACLE,
     }
 
 

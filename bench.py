@@ -172,6 +172,7 @@ DETAIL_QUERIES = [
     "stats_kruskal_wallis",
     "stats_dunn_test",
     "expect_schema_gate",
+    "similarity_knn_label",
 ]
 
 RUNS = 3

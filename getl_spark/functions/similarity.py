@@ -1445,3 +1445,93 @@ def recall_eval(
         .cast("bigint")
         .alias("missing_queries"),
     )
+
+
+def knn_label(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "bruteforce",
+    **retrieval_kwargs,
+) -> DataFrame:
+    """Weak labeling by k-NN majority vote: every unlabeled vector
+    takes the most common label among its k nearest LABELED neighbors
+    — the cheapest way to stretch an expensive seed set (human labels,
+    LLM-judged quality grades) across a whole corpus, and the standard
+    "is this cluster's label coherent?" probe before training on it.
+    Treat the output as CANDIDATE labels with a confidence gate, not
+    ground truth: ``vote_share`` (winning votes / k-neighbors found)
+    is the filter — ≥ 0.8 votes is a usable weak label, ~0.5 is a
+    coin flip sitting on a decision boundary.
+
+    One row per unlabeled vector: ``(id_col, knn_label, votes,
+    n_neighbors, vote_share)`` — ties break to the lexicographically
+    smallest label (deterministic across engines); vectors whose
+    retrieval returned nothing (possible under ``method='lsh'`` —
+    empty bands) are absent, which is a surfaced retrieval problem,
+    not a labeling one (``recall_eval`` measures it).
+
+    Scale shape: the retrieval leg is ``topk_between`` (broadcast
+    brute force, or the LSH/IVF scale paths via ``method``), then ONE
+    (query, label)-keyed count aggregate and a query-keyed max — the
+    vote never materializes more than queries × k rows. Labels join
+    onto neighbors by the corpus id (keyed join, labeled side is the
+    seed set — usually broadcastable).
+    """
+    if k < 1:
+        raise ValueError(f"knn_label: k must be >= 1, got {k}")
+    # NULL-label seeds are excluded BEFORE retrieval: they cannot vote,
+    # so letting them occupy neighbor slots would silently dilute every
+    # vote they appear in
+    seeds = labeled.where(F.col(label_col).isNotNull())
+    nbrs = topk_between(
+        unlabeled,
+        seeds,
+        k=k,
+        query_id_col=id_col,
+        corpus_id_col=id_col,
+        vec_col=vec_col,
+        method=method,
+        **retrieval_kwargs,
+    ).select("query_id", "nbr_id")
+    lab = seeds.select(
+        F.col(id_col).alias("__lid"),
+        F.col(label_col).cast("string").alias("__lab"),
+    )
+    votes = (
+        nbrs.join(lab, nbrs["nbr_id"] == lab["__lid"])
+        .groupBy("query_id", "__lab")
+        .agg(F.count("*").cast("bigint").alias("__votes"))
+    )
+    totals = votes.groupBy("query_id").agg(
+        F.sum("__votes").cast("bigint").alias("n_neighbors"),
+    )
+    # deterministic argmax: the max vote count, then the
+    # lexicographically smallest label among the tied winners
+    top_votes = votes.groupBy("query_id").agg(
+        F.max("__votes").alias("__maxv")
+    )
+    winner = (
+        votes.join(top_votes, "query_id")
+        .where(F.col("__votes") == F.col("__maxv"))
+        .groupBy("query_id")
+        .agg(
+            F.min("__lab").alias("knn_label"),
+            F.max("__votes").cast("bigint").alias("votes"),
+        )
+    )
+    out = winner.join(
+        totals.select("query_id", "n_neighbors"), "query_id"
+    )
+    return out.select(
+        F.col("query_id").alias(id_col),
+        "knn_label",
+        "votes",
+        "n_neighbors",
+        F.round(
+            F.col("votes").cast("double") / F.col("n_neighbors"), 6
+        ).alias("vote_share"),
+    )

@@ -87,6 +87,7 @@ NESTED_LOOP_WHITELIST = {
     # the scale paths are the _lsh/_ivf/banded variants
     "similarity_topk_bruteforce": "broadcast query side (baseline)",
     "similarity_matryoshka_recall": "broadcast query side on both brute-force legs (MRL dimension-cut eval)",
+    "similarity_knn_label": "broadcast query side on the brute-force retrieval leg (seed set is bounded)",
     "similarity_recall_ivf": "broadcast 32-query side (brute-force truth leg of the recall measurement)",
     "similarity_topk_metrics": "broadcast query side (dot/l2 baseline)",
     "similarity_range_search": "broadcast query side (baseline)",

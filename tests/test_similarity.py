@@ -722,3 +722,65 @@ def test_recall_eval_ivf_full_probe_is_perfect(spark):
     r2 = S.recall_eval(starved, exact, k=5).collect()[0]
     assert r2["mean_recall"] <= 1.0
     assert r2["n_queries"] == 8
+
+
+def test_knn_label_majority_vote(spark):
+    """Cluster structure labels correctly with high vote_share;
+    boundary points get ~coin-flip shares; tie breaks to the smaller
+    label; NULL-label seeds excluded; numpy brute-force differential."""
+    import numpy as np
+
+    from getl_spark.functions import similarity
+
+    rng = np.random.default_rng(19)
+    a = rng.normal(0, 0.3, (30, 8)) + np.r_[[3.0] + [0.0] * 7]
+    b = rng.normal(0, 0.3, (30, 8)) - np.r_[[3.0] + [0.0] * 7]
+    labeled_rows = (
+        [(i, v.tolist(), "alpha") for i, v in enumerate(a)]
+        + [(100 + i, v.tolist(), "beta") for i, v in enumerate(b)]
+        + [(999, [0.0] * 8, None)]  # NULL label: excluded from voting
+    )
+    labeled = spark.createDataFrame(
+        labeled_rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING"
+    )
+    qa = rng.normal(0, 0.3, (5, 8)) + np.r_[[3.0] + [0.0] * 7]
+    qb = rng.normal(0, 0.3, (5, 8)) - np.r_[[3.0] + [0.0] * 7]
+    queries = spark.createDataFrame(
+        [(200 + i, v.tolist()) for i, v in enumerate(np.vstack([qa, qb]))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = {r.vec_id: r for r in
+           similarity.knn_label(labeled, queries, k=5).collect()}
+    assert len(out) == 10
+    for i in range(5):
+        r = out[200 + i]
+        assert r.knn_label == "alpha" and r.vote_share == 1.0
+        assert r.n_neighbors == 5 and r.votes == 5
+    for i in range(5, 10):
+        assert out[200 + i].knn_label == "beta"
+
+    # numpy differential on the vote itself (cosine top-5)
+    mat = np.array([v for _, v, L in labeled_rows if L is not None], dtype=float)
+    labs = [L for _, v, L in labeled_rows if L is not None]
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for i, q in enumerate(np.vstack([qa, qb])):
+        qn = q / np.linalg.norm(q)
+        top = np.argsort(-(mat_n @ qn))[:5]
+        from collections import Counter
+        want = Counter(labs[j] for j in top).most_common()
+        best = sorted([w for w in want if w[1] == want[0][1]])[0][0]
+        assert out[200 + i].knn_label == best
+
+    # exact tie breaks to the smaller label: 2 alpha + 2 beta seeds
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0], "zeta"), (2, [0.9, 0.1], "zeta"),
+         (3, [0.0, 1.0], "eta"), (4, [0.1, 0.9], "eta")],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING",
+    )
+    q = spark.createDataFrame([(9, [0.6, 0.6])],
+                              "vec_id LONG, embedding ARRAY<DOUBLE>")
+    r = similarity.knn_label(tiny, q, k=4).collect()[0]
+    assert r.knn_label == "eta" and r.votes == 2 and r.vote_share == 0.5
+
+    with pytest.raises(ValueError, match="k must"):
+        similarity.knn_label(tiny, q, k=0)
