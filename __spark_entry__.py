@@ -11519,6 +11519,67 @@ FROM win w JOIN tot t ON w.qid = t.qid
 """
 
 
+def _q_odds_ratio(spark, sf_dir):
+    """stats.odds_ratio — incident-rate 2×2 readout (high-value-order
+    rate, click vs view arms): one four-cell conditional aggregate +
+    closed-form Wald CIs on the log scale, integer cells so both
+    engines see identical arithmetic."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flagged = ev.select(
+        "event_type", (F.col("value") > 100).cast("int").alias("bad")
+    )
+    return stats.odds_ratio(flagged, "event_type", "bad", "view", "click")
+
+
+ODDS_RATIO_ORACLE = """
+WITH cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = 'click' AND value > 100
+             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN event_type = 'click' AND NOT value > 100
+             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN event_type = 'view' AND value > 100
+             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN event_type = 'view' AND NOT value > 100
+             THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM events
+  WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+), f AS (
+  SELECT *,
+         (a > 0 AND b > 0 AND c > 0 AND d > 0) AS ok,
+         CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+         CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd
+  FROM cells
+), g AS (
+  SELECT *,
+         CASE WHEN ok THEN (ad * dd) / (bd * cd) END AS orr,
+         sqrt(1 / ad + 1 / bd + 1 / cd + 1 / dd) AS se_or,
+         CASE WHEN ok THEN (ad / (ad + bd)) / (cd / (cd + dd)) END AS rr,
+         sqrt(1 / ad - 1 / (ad + bd) + 1 / cd - 1 / (cd + dd)) AS se_rr
+  FROM f
+)
+SELECT c + d AS n_control, a + b AS n_treatment,
+       c AS events_control, a AS events_treatment,
+       ROUND(CASE WHEN cd + dd > 0 THEN cd / (cd + dd) END, 6)
+         AS rate_control,
+       ROUND(CASE WHEN ad + bd > 0 THEN ad / (ad + bd) END, 6)
+         AS rate_treatment,
+       ROUND(orr, 6) AS odds_ratio,
+       ROUND(CASE WHEN ok THEN exp(ln(orr) - 1.959964 * se_or) END, 6)
+         AS or_ci_lo,
+       ROUND(CASE WHEN ok THEN exp(ln(orr) + 1.959964 * se_or) END, 6)
+         AS or_ci_hi,
+       ROUND(rr, 6) AS relative_risk,
+       ROUND(CASE WHEN ok THEN exp(ln(rr) - 1.959964 * se_rr) END, 6)
+         AS rr_ci_lo,
+       ROUND(CASE WHEN ok THEN exp(ln(rr) + 1.959964 * se_rr) END, 6)
+         AS rr_ci_hi
+FROM g
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -11769,6 +11830,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_dunn_test": _q_dunn_test,
         "expect_schema_gate": _q_expect_schema,
         "similarity_knn_label": _q_knn_label,
+        "stats_odds_ratio": _q_odds_ratio,
     }
 
 
@@ -12010,6 +12072,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_dunn_test": DUNN_TEST_ORACLE,
         "expect_schema_gate": EXPECT_SCHEMA_ORACLE,
         "similarity_knn_label": KNN_LABEL_ORACLE,
+        "stats_odds_ratio": ODDS_RATIO_ORACLE,
     }
 
 

@@ -173,6 +173,7 @@ DETAIL_QUERIES = [
     "stats_dunn_test",
     "expect_schema_gate",
     "similarity_knn_label",
+    "stats_odds_ratio",
 ]
 
 RUNS = 3

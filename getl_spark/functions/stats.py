@@ -5517,3 +5517,85 @@ def dunn_test(
         "p_value",
         F.col("p_adj").alias("p_adjusted"),
     )
+
+
+def odds_ratio(
+    df: DataFrame,
+    group_col: str,
+    outcome_col: str,
+    control: str,
+    treatment: str,
+    z: float = 1.959964,
+    round_to: int = 6,
+) -> DataFrame:
+    """2×2 odds ratio and relative risk with Wald confidence
+    intervals — the incident-rate readout (safety violations, crash
+    rates, refusal rates) where ``ab_compare``'s mean difference is
+    the wrong UNIT: "treatment violates 1.8× as often [1.2, 2.7]"
+    is what a safety review reads, not "+0.003 absolute". The
+    outcome must be binary 0/1 (loud assert); rows outside the two
+    named arms or with NULL outcome are excluded.
+
+    One row: ``(n_control, n_treatment, events_control,
+    events_treatment, rate_control, rate_treatment, odds_ratio,
+    or_ci_lo, or_ci_hi, relative_risk, rr_ci_lo, rr_ci_hi)``. CIs are
+    Wald on the log scale (log OR ± z·√(1/a+1/b+1/c+1/d)); any empty
+    2×2 cell yields NULL estimates rather than a silently "corrected"
+    number — with a zero cell the honest statement is "unbounded /
+    needs an exact method", and a +0.5 fudge hides exactly the rare
+    catastrophic outcome this readout exists to surface.
+
+    Scale shape: ONE conditional-count aggregate (four cells,
+    map-side combine) + closed-form arithmetic on the 1-row result —
+    scan cost only, fully SQL-expressible.
+    """
+    g = F.col(group_col)
+    y = F.col(outcome_col).cast("bigint")
+    guard = F.assert_true(
+        y.isin(0, 1),
+        F.lit("stats.odds_ratio: outcome column must be binary 0/1"),
+    )
+    checked = y + F.coalesce(guard.cast("bigint"), F.lit(0))
+    base = df.where(g.isin(control, treatment) & y.isNotNull())
+    agg = base.agg(
+        F.sum(F.when(g == treatment, checked)).cast("bigint").alias("__a"),
+        F.sum(F.when(g == treatment, 1 - checked))
+        .cast("bigint")
+        .alias("__b"),
+        F.sum(F.when(g == control, checked)).cast("bigint").alias("__c"),
+        F.sum(F.when(g == control, 1 - checked)).cast("bigint").alias("__d"),
+    )
+    a, b = F.col("__a").cast("double"), F.col("__b").cast("double")
+    c, d = F.col("__c").cast("double"), F.col("__d").cast("double")
+    ok = (a > 0) & (b > 0) & (c > 0) & (d > 0)
+    orr = F.when(ok, (a * d) / (b * c))
+    se_or = F.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    rr = F.when(ok, (a / (a + b)) / (c / (c + d)))
+    se_rr = F.sqrt(1 / a - 1 / (a + b) + 1 / c - 1 / (c + d))
+    zl = F.lit(float(z))
+    return agg.select(
+        (F.col("__c") + F.col("__d")).alias("n_control"),
+        (F.col("__a") + F.col("__b")).alias("n_treatment"),
+        F.col("__c").alias("events_control"),
+        F.col("__a").alias("events_treatment"),
+        F.round(
+            F.when(c + d > 0, c / (c + d)), round_to
+        ).alias("rate_control"),
+        F.round(
+            F.when(a + b > 0, a / (a + b)), round_to
+        ).alias("rate_treatment"),
+        F.round(orr, round_to).alias("odds_ratio"),
+        F.round(F.when(ok, F.exp(F.log(orr) - zl * se_or)), round_to).alias(
+            "or_ci_lo"
+        ),
+        F.round(F.when(ok, F.exp(F.log(orr) + zl * se_or)), round_to).alias(
+            "or_ci_hi"
+        ),
+        F.round(rr, round_to).alias("relative_risk"),
+        F.round(F.when(ok, F.exp(F.log(rr) - zl * se_rr)), round_to).alias(
+            "rr_ci_lo"
+        ),
+        F.round(F.when(ok, F.exp(F.log(rr) + zl * se_rr)), round_to).alias(
+            "rr_ci_hi"
+        ),
+    )

@@ -3580,3 +3580,54 @@ def test_dunn_test(spark):
     df = spark.createDataFrame(const, "g STRING, v DOUBLE")
     r = stats.dunn_test(df, "g", "v").collect()[0]
     assert r.z is None and r.p_value is None
+
+
+def test_odds_ratio(spark):
+    """Cells and closed forms vs a python reference; CI brackets the
+    known effect; zero cell yields NULL not a fudged number; third
+    arm / NULL outcome excluded; binary guard."""
+    import math
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(77)
+    rows = []
+    for _ in range(3000):
+        arm = rnd.choice(["control", "treatment", "holdout"])
+        p = {"control": 0.04, "treatment": 0.08, "holdout": 0.5}[arm]
+        rows.append((arm, int(rnd.random() < p)))
+    rows.append(("control", None))
+    df = spark.createDataFrame(rows, "arm STRING, bad INT")
+
+    r = stats.odds_ratio(df, "arm", "bad", "control", "treatment").collect()[0]
+    a = sum(1 for g, y in rows if g == "treatment" and y == 1)
+    b = sum(1 for g, y in rows if g == "treatment" and y == 0)
+    c = sum(1 for g, y in rows if g == "control" and y == 1)
+    d = sum(1 for g, y in rows if g == "control" and y == 0)
+    assert (r.events_treatment, r.events_control) == (a, c)
+    assert (r.n_treatment, r.n_control) == (a + b, c + d)
+    orr = a * d / (b * c)
+    assert r.odds_ratio == round(orr, 6)
+    se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    assert r.or_ci_lo == round(math.exp(math.log(orr) - 1.959964 * se), 6)
+    assert r.or_ci_hi == round(math.exp(math.log(orr) + 1.959964 * se), 6)
+    rr = (a / (a + b)) / (c / (c + d))
+    assert r.relative_risk == round(rr, 6)
+    # the CI brackets the true 2x effect and excludes 1
+    assert r.or_ci_lo > 1.0 and r.or_ci_lo < 2.0 < r.or_ci_hi
+
+    # zero cell -> NULL estimates, counts still visible
+    clean = spark.createDataFrame(
+        [("control", 0)] * 50 + [("treatment", 1)] * 5 + [("treatment", 0)] * 45,
+        "arm STRING, bad INT",
+    )
+    r = stats.odds_ratio(clean, "arm", "bad", "control", "treatment").collect()[0]
+    assert r.odds_ratio is None and r.events_control == 0
+    assert r.n_control == 50 and r.rate_treatment == 0.1
+
+    with pytest.raises(Exception, match="binary"):
+        stats.odds_ratio(
+            spark.createDataFrame([("control", 2)], "arm STRING, bad INT"),
+            "arm", "bad", "control", "treatment",
+        ).collect()
