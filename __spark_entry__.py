@@ -7706,12 +7706,16 @@ def _q_recall_eval(spark, sf_dir):
     exact = spark.createDataFrame(
         [(1, "a", 1), (1, "b", 2), (1, "c", 3),
          (2, "d", 1), (2, "e", 2),
-         (3, "f", 1), (3, "g", 2), (3, "h", 3)],
+         (3, "f", 1), (3, "g", 2), (3, "h", 3),
+         (4, "p", 1), (4, "q", 2)],
         "query_id INT, nbr_id STRING, rank INT",
     )
     approx = spark.createDataFrame(
+        # q3 absent entirely -> missing; q4 present but ALL WRONG ->
+        # recall 0 yet NOT missing (ranking failure, not empty retrieval)
         [(1, "a", 1), (1, "x", 2), (1, "b", 3), (1, "c", 4),
          (2, "e", 1), (2, "d", 2),
+         (4, "u", 1), (4, "v", 2),
          (9, "z", 1)],
         "query_id INT, nbr_id STRING, rank INT",
     )
@@ -7722,13 +7726,13 @@ RECALL_EVAL_ORACLE = """
 WITH exact_t AS (
   SELECT * FROM (VALUES
     (1, 'a'), (1, 'b'), (1, 'c'), (2, 'd'), (2, 'e'),
-    (3, 'f'), (3, 'g'), (3, 'h')
+    (3, 'f'), (3, 'g'), (3, 'h'), (4, 'p'), (4, 'q')
   ) AS t(q, n)
 ),
 approx_t AS (
   SELECT * FROM (VALUES
     (1, 'a', 1), (1, 'x', 2), (1, 'b', 3), (1, 'c', 4),
-    (2, 'e', 1), (2, 'd', 2), (9, 'z', 1)
+    (2, 'e', 1), (2, 'd', 2), (4, 'u', 1), (4, 'v', 2), (9, 'z', 1)
   ) AS t(q, n, r)
   WHERE r <= 3
 ),
@@ -7740,7 +7744,9 @@ hits AS (
 ),
 per_q AS (
   SELECT truth.q, truth.t, COALESCE(hits.h, 0) AS h,
-         COALESCE(hits.h, 0) * 1.0 / truth.t AS r
+         COALESCE(hits.h, 0) * 1.0 / truth.t AS r,
+         CASE WHEN truth.q IN (SELECT DISTINCT q FROM approx_t)
+              THEN 0 ELSE 1 END AS miss
   FROM truth LEFT JOIN hits ON truth.q = hits.q
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
@@ -7749,8 +7755,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
        ROUND(MIN(r), 6) AS min_recall,
        ROUND(AVG(CASE WHEN h = t THEN 1.0 ELSE 0.0 END), 6)
          AS perfect_frac,
-       CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS missing_queries
+       CAST(SUM(miss) AS BIGINT) AS missing_queries
 FROM per_q
 """
 

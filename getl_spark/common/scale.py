@@ -41,21 +41,33 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     2. **``localCheckpoint()``** in local mode — executor loss and
        driver loss are the same event there, so replication buys
        nothing and the copy to a checkpoint dir would be pure cost.
-    3. **Replicated ``persist(MEMORY_AND_DISK_2)``** on a cluster
-       WITHOUT a checkpoint dir: each block lives on two executors, so
-       a single preemption cannot lose it; a doubly-lost block
-       recomputes from retained shuffle files with the SAME partition
-       ids — and even if the map outputs are gone too, the resubmitted
-       stage reuses the RangePartitioner object already captured in
-       the shuffle dependency (its bounds were sampled once at plan
-       execution), so a recompute can never re-sample different range
-       bounds; only a fresh evaluation of the subtree could, which is
-       precisely what the pin prevents. When ``eager``, a ``count()``
-       materializes the blocks up front, same as the eager checkpoint
-       contract.
+    3. **Replicated ``localCheckpoint(storageLevel=MEMORY_AND_DISK_2)``**
+       on a cluster WITHOUT a checkpoint dir: each block lives on two
+       executors, so a single preemption cannot lose it (losing BOTH
+       replicas fails the job, the price of skipping rung 1 — which is
+       why deployments should set a checkpoint dir). An earlier
+       revision used ``persist(MEMORY_AND_DISK_2)`` here to keep
+       lineage as a double-loss fallback; that was doubly wrong at
+       scale: persisted plans stay registered in the cache manager for
+       the session lifetime unless every caller unpersists, and —
+       worse — persist does NOT truncate the analyzed plan, so
+       iterative algorithms (components, pagerank, k-core) nest each
+       round's plan inside the next and the analyzer walks an
+       exponentially-growing tree (observed: driver OOM analyzing
+       round ~6 of connected components on a 30-edge input).
+       Checkpoint-style truncation is not optional for pins.
 
     ``eager=False`` defers materialization to first use (callers that
     pin a frame which a later branch might skip entirely).
+
+    Lifetime: reliable checkpoint files belong to the checkpoint dir
+    (cleaned per Spark's own policy); localCheckpoint blocks — both
+    rungs 2 and 3 — are freed by the ContextCleaner once the frame is
+    dereferenced, so loops that rebind per round release superseded
+    rounds automatically. Iterative callers should still call
+    :func:`unpin` on superseded frames: it is the explicit release
+    point (and frees eagerly if a future rung ever registers with the
+    cache manager again).
     """
     if not is_classic(df):
         # Connect proxies expose localCheckpoint but no SparkContext
@@ -68,10 +80,33 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
         return df.localCheckpoint(eager=eager)
     from pyspark import StorageLevel
 
-    out = df.persist(StorageLevel.MEMORY_AND_DISK_2)
-    if eager:
-        out.count()
-    return out
+    return df.localCheckpoint(
+        eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK_2
+    )
+
+
+def unpin(df: DataFrame) -> None:
+    """Release a frame previously returned by :func:`pin`, for callers
+    that supersede pins in a loop.
+
+    With the current ladder every rung truncates lineage checkpoint-
+    style, so block lifetime is handled by Spark (checkpoint-dir
+    policy / ContextCleaner on dereference) and ``unpersist`` finds no
+    cache-manager entry — a harmless no-op. unpin exists as the
+    explicit release point regardless: it documents where a pin's
+    lifetime ends, and it frees eagerly if a rung that registers with
+    the cache manager (persist-style) is ever reintroduced. Safe to
+    call on never-pinned frames; non-blocking.
+
+    Call it only after the successor pin has materialized (pin is
+    eager by default).
+    """
+    if not is_classic(df):
+        return
+    try:
+        df.unpersist()
+    except Exception:  # pragma: no cover - defensive: never fail a loop
+        pass
 
 
 def parallelize(df: DataFrame) -> DataFrame:

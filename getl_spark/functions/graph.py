@@ -27,7 +27,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from getl_spark.common.scale import pin
+from getl_spark.common.scale import pin, unpin
 
 
 def _signature(edges: DataFrame) -> tuple:
@@ -178,6 +178,10 @@ def cluster_components(
         )
         e_new = small.transform(pin)
         sig = _signature(e_new)
+        # e_new is materialized (eager pin) — release the superseded
+        # round so the persist rung does not accumulate per-iteration
+        # replicated blocks for the session lifetime
+        unpin(e)
         e = e_new
         if sig == prev_sig:
             break
@@ -300,7 +304,7 @@ def pagerank(
                 F.sum(F.col("rank") * F.col("w") / F.col("deg")).alias("s")
             )
         )
-        ranks = (
+        new_ranks = (
             node_set.join(contribs, node_set["node"] == contribs["v"], "left")
             # explicit broadcast of the 1-row dangling-mass aggregate:
             # AQE would usually pick BroadcastNestedLoop anyway, but the
@@ -316,6 +320,11 @@ def pagerank(
             )
             .transform(pin)
         )
+        # release the superseded round's pin (no-op on the unpinned
+        # initial ranks frame); node_set/outdeg stay pinned — every
+        # iteration rejoins them
+        unpin(ranks)
+        ranks = new_ranks
     out = ranks.select(F.col("node").alias(node_col), F.col("rank").alias(out_col))
     if round_to is not None:
         out = out.withColumn(out_col, F.round(F.col(out_col), round_to))
@@ -571,11 +580,14 @@ def k_core(
         deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("__d"))
         bad = deg.where(F.col("__d") < k).select("u").transform(pin)
         if not bad.limit(1).collect():
+            # the returned frame derives from e (kept pinned); bad is
+            # dead weight — release it before handing the plan back
+            unpin(bad)
             return deg.select(
                 F.col("u").alias(node_col),
                 F.col("__d").alias("core_degree"),
             )
-        e = (
+        e_new = (
             e.join(bad, "u", "left_anti")
             .join(bad.select(F.col("u").alias("v")), "v", "left_anti")
             # the USING-column join moves "v" first; the union above is
@@ -583,6 +595,10 @@ def k_core(
             .select("u", "v")
             .transform(pin)
         )
+        # e_new materialized — release the peeled round's pins
+        unpin(bad)
+        unpin(e)
+        e = e_new
     raise RuntimeError(
         f"k_core: did not stabilize within max_iter={max_iter} rounds "
         "(each round peels at least one node, so this is a very deep "

@@ -1400,7 +1400,11 @@ def recall_eval(
     NO approx rows at all (e.g. an LSH query whose bands matched
     nothing) — they score recall 0 AND are surfaced separately,
     because silent empty results are the failure mode that averages
-    hide. Queries only in ``approx`` (no truth rows) are ignored.
+    hide. A query whose approx rows exist but are all WRONG also
+    scores recall 0 yet is NOT missing — that is a ranking failure,
+    not an empty-retrieval one, and the two need different fixes
+    (more probes/bands vs a better metric). Queries only in ``approx``
+    (no truth rows) are ignored.
 
     Shape: one (query, nbr) equi-join + a query-keyed count agg + a
     1-row reduce — truth side is query-set-sized (n_queries × k), so
@@ -1425,13 +1429,22 @@ def recall_eval(
         .groupBy("__q")
         .agg(F.count("*").cast("bigint").alias("__h"))
     )
-    per_q = truth.join(hits, "__q", "left").select(
-        "__q",
-        "__t",
-        F.coalesce("__h", F.lit(0)).alias("__h"),
-        (F.coalesce("__h", F.lit(0)).cast("double") / F.col("__t")).alias(
-            "__r"
-        ),
+    # "missing" = the approx frame has NO rows for the query (presence
+    # probed on query id, not on hit count — zero CORRECT rows with
+    # wrong rows present is a ranking failure, not a missing query)
+    present = a.select("__q").distinct().withColumn("__p", F.lit(1))
+    per_q = (
+        truth.join(hits, "__q", "left")
+        .join(present, "__q", "left")
+        .select(
+            "__q",
+            "__t",
+            F.coalesce("__h", F.lit(0)).alias("__h"),
+            (F.coalesce("__h", F.lit(0)).cast("double") / F.col("__t")).alias(
+                "__r"
+            ),
+            F.col("__p").isNull().cast("int").alias("__miss"),
+        )
     )
     return per_q.agg(
         F.count("*").cast("bigint").alias("n_queries"),
@@ -1441,9 +1454,7 @@ def recall_eval(
         F.round(
             F.avg((F.col("__h") == F.col("__t")).cast("double")), round_to
         ).alias("perfect_frac"),
-        F.sum((F.col("__h") == 0).cast("int"))
-        .cast("bigint")
-        .alias("missing_queries"),
+        F.sum("__miss").cast("bigint").alias("missing_queries"),
     )
 
 

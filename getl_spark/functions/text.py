@@ -1820,10 +1820,14 @@ def code_blocks(
 # original uses the third-party ``regex`` module's \p classes; Python's
 # [^\W\d_] is the equivalent unicode-letter class). Contractions,
 # space-prefixed letter/digit/punctuation runs, then residual
-# whitespace — the public byte-level-BPE convention.
+# whitespace — the public byte-level-BPE convention. The punctuation
+# branch must spell out ``_`` explicitly: GPT-2's class is
+# [^\s\p{L}\p{N}] which INCLUDES underscore, but Python's \w contains
+# '_', so a bare [^\s\w] would silently drop it from every pre-token
+# (``snake_case`` would lose its underscores and undercount).
 _BPE_PRETOKEN_RE = re.compile(
     r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+",
     re.UNICODE,
 )
 

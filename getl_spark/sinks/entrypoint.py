@@ -485,7 +485,10 @@ def stream_drift_monitor(conf: BlockConfig) -> DataFrame:
     (parquet path of the reference snapshot), ``Columns`` (numeric
     column list), ``Bins`` (default 10), ``Checkpoint`` (default
     ``<Path>__checkpoint``). Output rows: ``(batch_id, column,
-    batch_rows, psi)``.
+    batch_rows, psi)`` — ``batch_rows`` is the batch's TOTAL row
+    count (same value on every column row of a batch); the PSI
+    denominator is the column's non-NULL count, which can be smaller
+    (``psi`` is NULL when a column is entirely NULL in the batch).
 
     Monitoring semantics differ from the batch op deliberately: bins
     are FROZEN on the reference's own min/max (computed once, before
@@ -533,7 +536,7 @@ def stream_drift_monitor(conf: BlockConfig) -> DataFrame:
         clipped = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
         return F.when(v.isNotNull() & ~F.isnan(v), clipped)
 
-    def counts(frame):
+    def counts(frame, with_total=False):
         aggs = []
         for i, c in enumerate(cols):
             b = bin_expr(c, bounds_row[f"__lo_{i}"], bounds_row[f"__hi_{i}"])
@@ -541,6 +544,8 @@ def stream_drift_monitor(conf: BlockConfig) -> DataFrame:
                 aggs.append(
                     F.sum((b == k).cast("bigint")).alias(f"__c_{i}_{k}")
                 )
+        if with_total:
+            aggs.append(F.count(F.lit(1)).alias("__n_rows"))
         return frame.agg(*aggs).collect()[0]
 
     ref_counts = counts(ref)
@@ -560,20 +565,24 @@ def stream_drift_monitor(conf: BlockConfig) -> DataFrame:
     def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        row = counts(batch_df)
+        # ONE aggregate pays for both the bin cells and the row count
+        # (no separate count() scan of the batch)
+        row = counts(batch_df, with_total=True)
+        n_batch = row["__n_rows"]
         out_rows = []
-        n_batch = batch_df.count()
         for i, c in enumerate(cols):
+            # PSI denominator: the column's non-NULL count (batch_rows
+            # reports the full batch size regardless)
             tot = sum(row[f"__c_{i}_{k}"] or 0 for k in range(bins))
             if not tot or ref_shares[c][0] is None:
-                out_rows.append((int(batch_id), c, int(tot), None))
+                out_rows.append((int(batch_id), c, int(n_batch), None))
                 continue
             psi = 0.0
             for k in range(bins):
                 p = ref_shares[c][k] + eps
                 q = (row[f"__c_{i}_{k}"] or 0) / tot + eps
                 psi += (q - p) * math.log(q / p)
-            out_rows.append((int(batch_id), c, int(tot), round(psi, 6)))
+            out_rows.append((int(batch_id), c, int(n_batch), round(psi, 6)))
         report = spark.createDataFrame(
             out_rows, "batch_id LONG, column STRING, batch_rows LONG, psi DOUBLE"
         )

@@ -60,7 +60,9 @@ def test_pin_prefers_reliable_checkpoint_when_dir_set(spark, monkeypatch, tmp_pa
     assert out.count() == 5
 
 
-def test_pin_cluster_without_dir_uses_replicated_persist(spark, monkeypatch):
+def test_pin_cluster_without_dir_uses_replicated_localcheckpoint(
+    spark, monkeypatch
+):
     from pyspark import SparkContext, StorageLevel
 
     df = spark.range(7)
@@ -68,16 +70,78 @@ def test_pin_cluster_without_dir_uses_replicated_persist(spark, monkeypatch):
     # master is a plain instance attribute on SparkContext
     monkeypatch.setattr(spark.sparkContext, "master", "yarn", raising=False)
     assert spark.sparkContext.getCheckpointDir() is None
+    calls = []
+    real = _cls(df).localCheckpoint
+
+    def spy(self, eager=True, storageLevel=None):
+        calls.append((eager, storageLevel))
+        return real(self, eager=eager, storageLevel=storageLevel)
+
+    monkeypatch.setattr(_cls(df), "localCheckpoint", spy)
     out = pin(df)
-    try:
-        assert out.storageLevel == StorageLevel.MEMORY_AND_DISK_2
-        assert out.count() == 7
-    finally:
-        out.unpersist()
+    assert calls == [(True, StorageLevel.MEMORY_AND_DISK_2)]
+    assert out.count() == 7
+    # lineage MUST be truncated on this rung too: a persist-style pin
+    # keeps the full analyzed plan, and iterative callers then nest
+    # plans exponentially (observed driver OOM) — see pin's docstring
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
     assert isinstance(spark.sparkContext, SparkContext)
 
 
-def test_pin_session_factory_checkpoint_dir_env(monkeypatch, tmp_path):
+def test_unpin_is_safe_on_every_rung(spark, monkeypatch):
+    """unpin() is the explicit release point for superseded loop pins:
+    a no-op on the localCheckpoint rungs (ContextCleaner frees blocks
+    on dereference), never an error on never-pinned frames, and the
+    frame stays readable after release (blocks exist until
+    dereference)."""
+    from getl_spark.common.scale import unpin
+
+    lc = pin(spark.range(4))
+    unpin(lc)
+    assert lc.count() == 4
+    unpin(lc)  # double release: no-op
+    unpin(spark.range(3))  # never pinned: no-op
+
+    # cluster rung (replicated localCheckpoint): same contract
+    monkeypatch.setattr(spark.sparkContext, "master", "yarn", raising=False)
+    out = pin(spark.range(9))
+    unpin(out)
+    assert out.count() == 9
+
+
+def test_iterative_loops_survive_cluster_rung(spark, monkeypatch):
+    """Regression for the replicated-persist rung this test killed:
+    persist does not truncate lineage, so connected components nested
+    each round's plan inside the next and the analyzer OOMed the
+    driver on a 30-edge chain. The cluster rung must checkpoint-style
+    truncate — these loops must complete on the 'yarn' routing with
+    correct results."""
+    from getl_spark.functions import graph
+
+    monkeypatch.setattr(spark.sparkContext, "master", "yarn", raising=False)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(100, 101), (101, 102)],
+        "src BIGINT, dst BIGINT",
+    )
+    comp = {
+        r.doc_id: r.component
+        for r in graph.cluster_components(
+            edges, src="src", dst="dst", driver_threshold=0
+        ).collect()
+    }
+    assert all(comp[i] == 0 for i in range(31))
+    assert comp[100] == comp[101] == comp[102] == 100
+
+    ranks = graph.pagerank(edges, n_iter=4).collect()
+    # ranks are rounded to 6 decimals by default: tolerance ∝ node count
+    assert abs(sum(r.rank for r in ranks) - 1.0) < 5e-5
+
+    core = graph.k_core(
+        edges, k=2, src="src", dst="dst", driver_threshold=0
+    ).collect()
+    # a chain + a path have no 2-core
+    assert core == []
     """get_spark(checkpoint_dir=...) (or the env var) must register the
     dir on the context so pin's first rung engages; on the shared
     local session we only verify registration, not routing (local

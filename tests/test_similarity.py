@@ -702,6 +702,27 @@ def test_recall_eval_hand_computed(spark):
         S.recall_eval(approx, exact, k=0)
 
 
+def test_recall_eval_all_wrong_is_not_missing(spark):
+    """A query whose approx rows exist but are all WRONG scores recall
+    0 without counting as missing — 'missing' means NO approx rows at
+    all (empty retrieval), not zero correct ones (ranking failure)."""
+    from getl_spark.functions import similarity as S
+
+    exact = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)],
+        "query_id INT, nbr_id STRING, rank INT",
+    )
+    approx = spark.createDataFrame(
+        # q1 right; q2 present-but-wrong; q3 absent
+        [(1, "a", 1), (2, "x", 1)],
+        "query_id INT, nbr_id STRING, rank INT",
+    )
+    r = S.recall_eval(approx, exact, k=1).collect()[0]
+    assert r["n_queries"] == 3
+    assert r["mean_recall"] == pytest.approx(1 / 3, abs=1e-6)
+    assert r["missing_queries"] == 1  # only q3: q2's wrong rows count as present
+
+
 def test_recall_eval_ivf_full_probe_is_perfect(spark):
     """Identity check on real ops: IVF probing EVERY cell must score
     recall 1.0 against brute force on the same embeddings."""

@@ -964,3 +964,23 @@ def test_stream_drift_monitor(spark, tmp_path):
         assert got == round(exp, 6)
     # the clip check: wave-2 mass beyond hi landed in bin 9
     assert shares(w2)[9] > 0.4
+
+    # wave 3 carries NULLs: batch_rows is the TOTAL batch row count,
+    # while the PSI denominator is the non-NULL count (documented
+    # contract; the monitor pays ONE aggregate for both, no extra scan)
+    w3 = [round(rnd.uniform(0.0, 10.0), 3) for _ in range(300)]
+    write_wave("w3.json", w3 + [None] * 200)
+    run()
+    r3 = (
+        ManagedTable(spark, report)
+        .read()
+        .where("batch_id = 2")
+        .collect()[0]
+    )
+    assert r3.batch_rows == 500
+    bs3 = shares(w3)  # non-NULL values only drive the shares
+    exp3 = sum(
+        (q + 1e-6 - p - 1e-6) * math.log((q + 1e-6) / (p + 1e-6))
+        for p, q in zip(rs, bs3)
+    )
+    assert r3.psi == round(exp3, 6)

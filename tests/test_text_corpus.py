@@ -1092,6 +1092,44 @@ def test_bpe_token_count_byte_level_and_utf8(spark):
     assert out[1] == 2
 
 
+def test_bpe_pretokenizer_keeps_underscores(spark):
+    """Regression: Python's \\w contains '_' (GPT-2's \\p classes do
+    not), so a bare [^\\s\\w] punctuation branch silently DROPPED
+    underscores from every pre-token — 'snake_case_name' lost both
+    '_'s and bpe_token_count undercounted on exactly the code corpora
+    the docstring advertises. Pins the pre-token split against the
+    public GPT-2 convention (underscore is punctuation: it splits
+    letter runs and fuses with adjacent punctuation) and byte-exact
+    counts under an empty merge table."""
+    from getl_spark.functions import text as T
+
+    def pretokens(s):
+        return [m.group(0) for m in T._BPE_PRETOKEN_RE.finditer(s)]
+
+    # the ADVICE repro: underscores must survive as their own pre-tokens
+    assert pretokens("snake_case_name") == ["snake", "_", "case", "_", "name"]
+    # code text: '_' fuses into adjacent punctuation runs like GPT-2's
+    # [^\s\p{L}\p{N}]+ class does
+    assert pretokens("self._x = __init__") == [
+        "self", "._", "x", " =", " __", "init", "__",
+    ]
+    # concatenation of pre-tokens must reproduce the input (nothing dropped)
+    for s in ("snake_case_name", "a __b__ c", "_ _ __", "x_1_y"):
+        assert "".join(pretokens(s)) == s, s
+
+    # byte-level count with a never-firing merge table == UTF-8 byte
+    # length (15 for snake_case_name; the buggy regex returned 13)
+    df = spark.createDataFrame(
+        [(0, "snake_case_name"), (1, "__main__")], "doc_id INT, text STRING"
+    )
+    out = {
+        r.doc_id: r.bpe_token_count
+        for r in T.bpe_token_count(df, [("q", "q")]).collect()
+    }
+    assert out[0] == 15
+    assert out[1] == 8
+
+
 def test_bpe_token_count_differential_random(spark):
     """Random small-vocab differential: Spark UDF vs the pure-python
     encoder vs the sequential replay, over generated corpora."""
