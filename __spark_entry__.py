@@ -7219,6 +7219,82 @@ WHERE doc_id % 2 = 1
 """
 
 
+def _q_stored_index_build(spark, sf_dir):
+    """BUILD leg of the stored-index bench, split out so a regression
+    in the per-increment QUERY leg can't hide inside the build-
+    dominated composite total (``dedup_stored_index`` in the checked
+    set times both; every daily increment pays only the query).
+    Rebuilds the index from the even-doc_id half each run; returns the
+    persisted band table. Value semantics carried by
+    ``dedup_stored_index``'s DuckDB oracle — this row is throughput
+    measurement only."""
+    from getl_spark.functions import dedup
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tmp = f"/tmp/getl_spark_q/minhash_index_bench_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.build_minhash_index(docs.where("doc_id % 2 = 0"), tmp)
+
+
+def _q_stored_index_query(spark, sf_dir):
+    """QUERY leg of the stored-index bench: dedup the odd-doc_id
+    increment against the index ``dedup_stored_index_build`` persisted
+    (self-building only when the path is absent, e.g. a fresh driver
+    run) — the cost every daily increment actually pays. Bench order
+    runs the build leg first, so steady-state runs here never
+    rebuild."""
+    from getl_spark.functions import dedup
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tmp = f"/tmp/getl_spark_q/minhash_index_bench_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if not os.path.exists(tmp):
+        dedup.build_minhash_index(docs.where("doc_id % 2 = 0"), tmp)
+    out = dedup.against_stored_index(docs.where("doc_id % 2 = 1"), tmp)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def _q_cdc_stored_index_build(spark, sf_dir):
+    """BUILD leg of the CDC stored-index bench (same split rationale
+    as ``dedup_stored_index_build``): chunk + persist the index docs
+    each run. Value semantics carried by ``dedup_cdc_stored_index``'s
+    pinned oracle."""
+    from getl_spark.functions import dedup
+
+    tmp = "/tmp/getl_spark_q/cdc_index_bench"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = _cdc_fixture_docs()
+    base = spark.createDataFrame(
+        [d for d in docs if d[0] in (1, 3, 5)], "doc_id LONG, text STRING"
+    )
+    return dedup.build_cdc_index(
+        base, tmp, min_size=32, avg_size=128, max_size=512
+    )
+
+
+def _q_cdc_stored_index_query(spark, sf_dir):
+    """QUERY leg of the CDC stored-index bench: screen the {2,4}
+    increment against the persisted chunk index (self-building only
+    when absent) — the per-increment cost."""
+    from getl_spark.functions import dedup
+
+    tmp = "/tmp/getl_spark_q/cdc_index_bench"
+    docs = _cdc_fixture_docs()
+    if not os.path.exists(tmp):
+        base = spark.createDataFrame(
+            [d for d in docs if d[0] in (1, 3, 5)],
+            "doc_id LONG, text STRING",
+        )
+        dedup.build_cdc_index(
+            base, tmp, min_size=32, avg_size=128, max_size=512
+        )
+    inc = spark.createDataFrame(
+        [d for d in docs if d[0] in (2, 4)], "doc_id LONG, text STRING"
+    )
+    return dedup.cdc_against_stored_index(inc, tmp, min_shared=2)
+
+
 def _q_pq_encode(spark, sf_dir):
     """embedding.train_pq + pq_encode on a FIXED deterministic frame
     (kmeans codebooks are not SQL-expressible; golden pinned). The
@@ -9237,7 +9313,11 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (verified via ``text_bpe_token_count``'s golden-pinned oracle), and
     the CDC corpus leg (gear-hash boundaries are SQL-inexpressible;
     verified via ``dedup_cdc_pairs``'s pinned pure-Python-replay
-    oracle).
+    oracle), plus the stored-index BUILD/QUERY bench splits (value
+    semantics carried by ``dedup_stored_index`` /
+    ``dedup_cdc_stored_index``'s oracles; these rows exist so a
+    regression in the per-increment query leg can't hide inside the
+    build-dominated composite).
     All stay benched at sf0.1 (bench.py) and pytest-covered."""
     return {
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -9247,6 +9327,10 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_full": _q_corpus_curation_full,
         "similarity_recall_ivf": _q_recall_ivf_corpus,
         "dedup_cdc_corpus": _q_cdc_corpus,
+        "dedup_stored_index_build": _q_stored_index_build,
+        "dedup_stored_index_query": _q_stored_index_query,
+        "dedup_cdc_stored_index_build": _q_cdc_stored_index_build,
+        "dedup_cdc_stored_index_query": _q_cdc_stored_index_query,
     }
 
 
@@ -9292,7 +9376,11 @@ def _round_number() -> int:
 # promoted into the driver-checked 50 (displacing the DONOR slots —
 # redundant pure-custom::sql variants whose engine path q1/q3/q6 always
 # cover), so every demoted query gets a driver-audited CORRECTNESS row
-# every ceil(len(pool)/SLOTS) rounds
+# every ceil(len(pool)/SLOTS) rounds — at the current pool size
+# (~227 entries / 8 slots) that is a ~29-ROUND cycle: a given demoted
+# entry's most recent driver row can be up to 29 rounds old, and the
+# per-round value gate for the whole pool is the pytest DuckDB oracle
+# sweep (tests/test_demoted_oracle.py), not the driver file —
 # instead of living forever behind pytest-only checks; new entries are
 # additionally hand-verified against the sf0.01 harness before joining. The schedule is a round-keyed ring slice —
 # deterministic within a round, advancing across rounds.
@@ -10924,6 +11012,113 @@ GROUP BY m.g
 """
 
 
+def _q_drift_report_categorical(spark, sf_dir):
+    """stats.drift_report with ``columns_categorical`` — the columns a
+    training corpus drifts on FIRST (language/source mix) monitored
+    alongside a numeric column in one report: even- vs odd-doc_id
+    halves of documents; lang/source compare as top-3-by-reference-
+    frequency shares + __other__, n_chars as the usual binned PSI.
+    The oracle replays the top-K cut (count desc, value asc — the
+    deterministic tie-break) and the ε-smoothed share arithmetic."""
+    from getl_spark.functions import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stats.drift_report(
+        docs.where("doc_id % 2 = 0"),
+        docs.where("doc_id % 2 = 1"),
+        columns=["n_chars"],
+        columns_categorical=["lang", "source"],
+        top_k=3,
+    )
+
+
+DRIFT_REPORT_CATEGORICAL_ORACLE = """
+WITH ld AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+rd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+-- numeric leg: n_chars, identical to the numeric drift oracle
+lv AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM ld WHERE n_chars IS NOT NULL),
+rv AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM rd WHERE n_chars IS NOT NULL),
+nbounds AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi
+  FROM (SELECT v FROM lv UNION ALL SELECT v FROM rv)
+), nlb AS (
+  SELECT COALESCE(LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INT), 9), 0)
+           AS b, COUNT(*) AS cl
+  FROM lv, nbounds GROUP BY 1
+), nrb AS (
+  SELECT COALESCE(LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INT), 9), 0)
+           AS b, COUNT(*) AS cr
+  FROM rv, nbounds GROUP BY 1
+), nmerged AS (
+  SELECT COALESCE(cl, 0) AS cl, COALESCE(cr, 0) AS cr
+  FROM nlb FULL OUTER JOIN nrb ON nlb.b = nrb.b
+), ntot AS (SELECT SUM(cl) AS nl, SUM(cr) AS nr FROM nmerged),
+nrow AS (
+  SELECT 'n_chars' AS "column",
+         CASE WHEN MAX(nl) > 0 AND MAX(nr) > 0 THEN
+           ROUND(SUM((cl / CAST(nl AS DOUBLE) + 1e-6
+                      - cr / CAST(nr AS DOUBLE) - 1e-6)
+                 * ln((cl / CAST(nl AS DOUBLE) + 1e-6)
+                      / (cr / CAST(nr AS DOUBLE) + 1e-6))), 6)
+         END AS psi,
+         CAST(MAX(nl) AS BIGINT) AS n_left,
+         CAST(MAX(nr) AS BIGINT) AS n_right
+  FROM nmerged, ntot
+),
+-- categorical leg: reference top-3 (count desc, value asc) + __other__
+lcat AS (
+  SELECT 'lang' AS col, lang AS v FROM ld WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT 'source' AS col, source AS v FROM ld WHERE source IS NOT NULL
+), rcat AS (
+  SELECT 'lang' AS col, lang AS v FROM rd WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT 'source' AS col, source AS v FROM rd WHERE source IS NOT NULL
+), lcounts AS (
+  SELECT col, v, COUNT(*) AS cl FROM lcat GROUP BY 1, 2
+), topk AS (
+  SELECT col, v FROM lcounts
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY col ORDER BY cl DESC, v ASC) <= 3
+), lmapped AS (
+  SELECT lcounts.col,
+         CASE WHEN topk.v IS NOT NULL THEN lcounts.v
+              ELSE '__other__' END AS b,
+         SUM(cl) AS cl
+  FROM lcounts LEFT JOIN topk
+    ON lcounts.col = topk.col AND lcounts.v = topk.v
+  GROUP BY 1, 2
+), rmapped AS (
+  SELECT rcat.col,
+         CASE WHEN topk.v IS NOT NULL THEN rcat.v
+              ELSE '__other__' END AS b,
+         COUNT(*) AS cr
+  FROM rcat LEFT JOIN topk
+    ON rcat.col = topk.col AND rcat.v = topk.v
+  GROUP BY 1, 2
+), cmerged AS (
+  SELECT COALESCE(lmapped.col, rmapped.col) AS col,
+         COALESCE(cl, 0) AS cl, COALESCE(cr, 0) AS cr
+  FROM lmapped FULL OUTER JOIN rmapped
+    ON lmapped.col = rmapped.col AND lmapped.b = rmapped.b
+), ctot AS (
+  SELECT col, SUM(cl) AS nl, SUM(cr) AS nr FROM cmerged GROUP BY 1
+), crows AS (
+  SELECT m.col AS "column",
+         CASE WHEN MAX(nl) > 0 AND MAX(nr) > 0 THEN
+           ROUND(SUM((cl / CAST(nl AS DOUBLE) + 1e-6
+                      - cr / CAST(nr AS DOUBLE) - 1e-6)
+                 * ln((cl / CAST(nl AS DOUBLE) + 1e-6)
+                      / (cr / CAST(nr AS DOUBLE) + 1e-6))), 6)
+         END AS psi,
+         CAST(MAX(nl) AS BIGINT) AS n_left,
+         CAST(MAX(nr) AS BIGINT) AS n_right
+  FROM cmerged m JOIN ctot t ON m.col = t.col
+  GROUP BY m.col
+)
+SELECT * FROM nrow UNION ALL SELECT * FROM crows
+"""
+
+
 def _q_label_noise(spark, sf_dir):
     """quality.label_noise — confident-learning mislabel review queue:
     price-in-cents as the scorer for the high-quantity label; rows
@@ -11836,6 +12031,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expect_schema_gate": _q_expect_schema,
         "similarity_knn_label": _q_knn_label,
         "stats_odds_ratio": _q_odds_ratio,
+        "stats_drift_report_categorical": _q_drift_report_categorical,
     }
 
 
@@ -12078,6 +12274,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "expect_schema_gate": EXPECT_SCHEMA_ORACLE,
         "similarity_knn_label": KNN_LABEL_ORACLE,
         "stats_odds_ratio": ODDS_RATIO_ORACLE,
+        "stats_drift_report_categorical": DRIFT_REPORT_CATEGORICAL_ORACLE,
     }
 
 

@@ -174,6 +174,17 @@ DETAIL_QUERIES = [
     "expect_schema_gate",
     "similarity_knn_label",
     "stats_odds_ratio",
+    # round-10 operators
+    "stats_drift_report_categorical",
+    # stored-index build/query split: the composite rows above
+    # (dedup_stored_index, dedup_cdc_stored_index) time build+query
+    # together; these isolate the per-increment query leg so its
+    # regressions are visible. Build legs MUST run before their query
+    # legs (the query leg reuses the persisted index).
+    "dedup_stored_index_build",
+    "dedup_stored_index_query",
+    "dedup_cdc_stored_index_build",
+    "dedup_cdc_stored_index_query",
 ]
 
 RUNS = 3

@@ -5127,36 +5127,82 @@ def gains_table(
 def drift_report(
     left: DataFrame,
     right: DataFrame,
-    columns,
+    columns=None,
     bins: int = 10,
     epsilon: float = 1e-6,
     round_to: int = 6,
+    columns_categorical=None,
+    top_k: int = 20,
 ) -> DataFrame:
-    """Every numeric column's PSI between two snapshots in ONE scan
-    per side — the standing whole-table drift monitor. Calling ``psi``
-    per column re-reads the table n_columns times; here each side
-    melts map-side into (column, value) rows (an explode over a
-    literal struct array — no shuffle, no UDF) and the per-column
-    PSIs compute as ``group_psi`` grouped by column name, so the
-    whole report costs two scans regardless of how many columns it
-    covers. Run it on every snapshot pair; read it top-down — PSI
-    ≥ 0.2 is the conventional "investigate" bar.
+    """Every watched column's PSI between two snapshots — the standing
+    whole-table drift monitor. Calling ``psi`` per column re-reads the
+    table n_columns times; here each side melts map-side into
+    (column, value) rows (an explode over a literal struct array — no
+    shuffle, no UDF) and the per-column PSIs compute as ``group_psi``
+    grouped by column name, so the report costs one melt scan per
+    side per column KIND regardless of how many columns it covers.
+    Run it on every snapshot pair; read it top-down — PSI ≥ 0.2 is
+    the conventional "investigate" bar.
 
-    ``columns`` must all be numeric/boolean (checked against the
-    schema of BOTH sides, loudly — a string column silently casting
-    to NULL would report fake stability). Output one row per column:
-    ``(column, psi, n_left, n_right)``; a column all-NULL on one side
-    gets NULL psi with its counts visible, like ``group_psi``'s
-    one-sided groups.
+    ``columns`` must all be numeric/boolean/temporal (checked against
+    the schema of BOTH sides, loudly — a string column silently
+    casting to NULL would report fake stability). ``columns_categorical``
+    takes the columns a training corpus drifts on FIRST — language,
+    source, license, host — any type, compared as strings: the
+    "bins" are the reference (left) side's ``top_k`` most frequent
+    categories (ties broken by value, deterministic) plus one
+    ``__other__`` bucket that absorbs the tail and any category new
+    on the right — a brand-new source/language lands mass in a bucket
+    the reference holds almost none of, which is exactly a PSI spike.
+    The PSI arithmetic is ``group_psi``'s unchanged (ε-smoothed
+    shares over the capped category set).
+
+    Output one row per column (both kinds, same schema):
+    ``(column, psi, n_left, n_right)``; NULL values are excluded from
+    counts, and a column all-NULL on one side gets NULL psi with its
+    counts visible, like ``group_psi``'s one-sided groups. A column
+    may appear in only one of the two lists (loud check — one name
+    reporting two rows would be ambiguous).
 
     Scale shape: melt is scan-side row growth ×n_columns BEFORE the
-    keyed partial aggs, and everything after reduces to
-    #columns × bins cells — the group_psi contract with columns as
-    groups.
+    keyed partial aggs; numeric reduces to #columns × bins cells.
+    Categorical: one (column, value) partial agg on the reference
+    side (shuffle ∝ Σ distinct categories, pinned — it feeds both the
+    top-K cut and the reference shares), a salted two-phase top-K on
+    that AGGREGATED table (never a single-task sort of a
+    10M-distinct host column), then the broadcast-joined top-K set
+    maps both sides into ≤ ``top_k``+1 buckets per column — the
+    right-side shuffle is ∝ Σ capped categories, not distinct ones.
     """
-    cols = [columns] if isinstance(columns, str) else list(columns)
-    if not cols:
+    cols = (
+        []
+        if columns is None
+        else [columns] if isinstance(columns, str) else list(columns)
+    )
+    cat_cols = (
+        []
+        if columns_categorical is None
+        else [columns_categorical]
+        if isinstance(columns_categorical, str)
+        else list(columns_categorical)
+    )
+    if not cols and not cat_cols:
         raise ValueError("drift_report: need at least one column")
+    overlap = set(cols) & set(cat_cols)
+    if overlap:
+        raise ValueError(
+            "drift_report: columns cannot be both numeric and "
+            f"categorical: {sorted(overlap)}"
+        )
+    if top_k < 1:
+        raise ValueError(f"drift_report: top_k must be >= 1, got {top_k}")
+    for side_name, df_ in (("left", left), ("right", right)):
+        types = dict(df_.dtypes)
+        for c in cat_cols:
+            if c not in types:
+                raise ValueError(
+                    f"drift_report: column {c!r} missing on {side_name}"
+                )
     _NUMERIC = (
         "int", "bigint", "smallint", "tinyint", "double", "float",
         "boolean", "date", "timestamp", "timestamp_ntz",
@@ -5173,7 +5219,8 @@ def drift_report(
                 raise ValueError(
                     f"drift_report: column {c!r} is {types[c]} on "
                     f"{side_name} - only numeric/boolean/temporal "
-                    "columns can bin; cast or encode it explicitly"
+                    "columns can bin; pass it in columns_categorical "
+                    "for top-K frequency-share PSI instead"
                 )
 
     def melt(df_):
@@ -5200,14 +5247,149 @@ def drift_report(
             F.col("__kv.value").alias("value"),
         )
 
-    return group_psi(
-        melt(left),
-        melt(right),
-        "value",
+    reports = []
+    if cols:
+        reports.append(
+            group_psi(
+                melt(left),
+                melt(right),
+                "value",
+                "column",
+                bins=bins,
+                epsilon=epsilon,
+                round_to=round_to,
+            )
+        )
+    if cat_cols:
+        reports.append(
+            _categorical_drift(
+                left, right, cat_cols, top_k, epsilon, round_to
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _categorical_drift(
+    left: DataFrame,
+    right: DataFrame,
+    cat_cols,
+    top_k: int,
+    epsilon: float,
+    round_to: int,
+) -> DataFrame:
+    """The categorical leg of :func:`drift_report`: per column, the
+    reference (left) side's ``top_k`` most frequent categories (ties
+    broken by value) become the bins, everything else — including
+    categories that exist only on the right — folds into
+    ``__other__``; then ``group_psi``'s ε-smoothed share arithmetic
+    runs over the capped set. A literal category named ``__other__``
+    would merge with the tail bucket (documented collision; rename
+    upstream if it matters).
+
+    Scale notes: the reference (column, value) counts are pinned —
+    they feed both the top-K cut and the reference shares, and must
+    not re-scan the snapshot. The top-K runs as a salted two-phase
+    row_number over that AGGREGATED table, so no single task ever
+    sorts a whole high-cardinality column (a 10M-distinct host column
+    splits across 64 salt buckets before the final ≤ 64·top_k-row
+    cut). The kept set (≤ #cols × top_k rows) broadcasts into both
+    mapping joins, so the right side shuffles ∝ capped categories.
+    """
+    from pyspark.sql import Window
+
+    from getl_spark.common.scale import pin
+
+    def melt_cat(df_):
+        kv = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast("string").alias("value"),
+                )
+                for c in cat_cols
+            ]
+        )
+        return (
+            df_.select(F.explode(kv).alias("__kv"))
+            .select(
+                F.col("__kv.column").alias("column"),
+                F.col("__kv.value").alias("value"),
+            )
+            .where(F.col("value").isNotNull())
+        )
+
+    lc = (
+        melt_cat(left)
+        .groupBy("column", "value")
+        .agg(F.count("*").alias("cl"))
+        .transform(pin)
+    )
+    order = [F.col("cl").desc(), F.col("value").asc()]
+    survivors = (
+        lc.withColumn("__salt", F.pmod(F.xxhash64("value"), F.lit(64)))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("column", "__salt").orderBy(*order)
+            ),
+        )
+        .where(F.col("__rk") <= top_k)
+    )
+    topk = (
+        survivors.withColumn(
+            "__rk",
+            F.row_number().over(Window.partitionBy("column").orderBy(*order)),
+        )
+        .where(F.col("__rk") <= top_k)
+        .select("column", "value", F.lit(1).alias("__keep"))
+    )
+    bucket = F.when(
+        F.col("__keep").isNotNull(), F.col("value")
+    ).otherwise(F.lit("__other__"))
+    lmapped = (
+        lc.join(F.broadcast(topk), ["column", "value"], "left")
+        .select("column", bucket.alias("b"), "cl")
+        .groupBy("column", "b")
+        .agg(F.sum("cl").alias("cl"))
+    )
+    rmapped = (
+        melt_cat(right)
+        .join(F.broadcast(topk), ["column", "value"], "left")
+        .select("column", bucket.alias("b"))
+        .groupBy("column", "b")
+        .agg(F.count("*").alias("cr"))
+    )
+    merged = lmapped.join(rmapped, ["column", "b"], "full_outer").select(
         "column",
-        bins=bins,
-        epsilon=epsilon,
-        round_to=round_to,
+        F.coalesce("cl", F.lit(0)).alias("cl"),
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+    )
+    totals = merged.groupBy("column").agg(
+        F.sum("cl").alias("nl"), F.sum("cr").alias("nr")
+    )
+    pl = F.try_divide(F.col("cl"), F.col("nl")) + F.lit(epsilon)
+    pr = F.try_divide(F.col("cr"), F.col("nr")) + F.lit(epsilon)
+    out = (
+        merged.join(totals, "column")
+        .groupBy("column")
+        .agg(
+            F.round(F.sum((pl - pr) * F.log(pl / pr)), round_to).alias(
+                "psi"
+            ),
+            F.max("nl").cast("bigint").alias("n_left"),
+            F.max("nr").cast("bigint").alias("n_right"),
+        )
+    )
+    return out.select(
+        "column",
+        F.when(
+            (F.col("n_left") > 0) & (F.col("n_right") > 0), F.col("psi")
+        ).alias("psi"),
+        "n_left",
+        "n_right",
     )
 
 
@@ -5545,6 +5727,13 @@ def odds_ratio(
     needs an exact method", and a +0.5 fudge hides exactly the rare
     catastrophic outcome this readout exists to surface.
 
+    An empty ARM (zero rows under ``control`` or ``treatment`` after
+    the filter) fails LOUD like ``ab_compare``: it almost always means
+    a misspelled arm name or a broken upstream filter, and a safety
+    readout that answers a typo with an all-NULL row is the unsafe
+    behavior. Zero CELLS within non-empty arms keep the documented
+    NULL-estimate contract, with the four real counts visible.
+
     Scale shape: ONE conditional-count aggregate (four cells,
     map-side combine) + closed-form arithmetic on the 1-row result —
     scan cost only, fully SQL-expressible.
@@ -5557,16 +5746,32 @@ def odds_ratio(
     )
     checked = y + F.coalesce(guard.cast("bigint"), F.lit(0))
     base = df.where(g.isin(control, treatment) & y.isNotNull())
+    # cells coalesce to 0 so an empty arm shows REAL counts (sum over
+    # zero rows is NULL) and the empty-arm guard below can fire
     agg = base.agg(
-        F.sum(F.when(g == treatment, checked)).cast("bigint").alias("__a"),
-        F.sum(F.when(g == treatment, 1 - checked))
+        F.coalesce(F.sum(F.when(g == treatment, checked)), F.lit(0))
+        .cast("bigint")
+        .alias("__a"),
+        F.coalesce(F.sum(F.when(g == treatment, 1 - checked)), F.lit(0))
         .cast("bigint")
         .alias("__b"),
-        F.sum(F.when(g == control, checked)).cast("bigint").alias("__c"),
-        F.sum(F.when(g == control, 1 - checked)).cast("bigint").alias("__d"),
+        F.coalesce(F.sum(F.when(g == control, checked)), F.lit(0))
+        .cast("bigint")
+        .alias("__c"),
+        F.coalesce(F.sum(F.when(g == control, 1 - checked)), F.lit(0))
+        .cast("bigint")
+        .alias("__d"),
     )
     a, b = F.col("__a").cast("double"), F.col("__b").cast("double")
     c, d = F.col("__c").cast("double"), F.col("__d").cast("double")
+    arm_guard = F.assert_true(
+        (a + b > 0) & (c + d > 0),
+        F.lit(
+            "stats.odds_ratio: an arm is empty — check the control/"
+            "treatment names against the group column (a misspelled "
+            "arm must not produce a silent all-NULL readout)"
+        ),
+    )
     ok = (a > 0) & (b > 0) & (c > 0) & (d > 0)
     orr = F.when(ok, (a * d) / (b * c))
     se_or = F.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
@@ -5574,7 +5779,9 @@ def odds_ratio(
     se_rr = F.sqrt(1 / a - 1 / (a + b) + 1 / c - 1 / (c + d))
     zl = F.lit(float(z))
     return agg.select(
-        (F.col("__c") + F.col("__d")).alias("n_control"),
+        F.when(arm_guard.isNull(), F.col("__c") + F.col("__d")).alias(
+            "n_control"
+        ),
         (F.col("__a") + F.col("__b")).alias("n_treatment"),
         F.col("__c").alias("events_control"),
         F.col("__a").alias("events_treatment"),

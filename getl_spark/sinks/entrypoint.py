@@ -483,12 +483,25 @@ def stream_drift_monitor(conf: BlockConfig) -> DataFrame:
 
     Properties: ``Path`` (report table, append), ``Reference``
     (parquet path of the reference snapshot), ``Columns`` (numeric
-    column list), ``Bins`` (default 10), ``Checkpoint`` (default
-    ``<Path>__checkpoint``). Output rows: ``(batch_id, column,
-    batch_rows, psi)`` — ``batch_rows`` is the batch's TOTAL row
-    count (same value on every column row of a batch); the PSI
-    denominator is the column's non-NULL count, which can be smaller
-    (``psi`` is NULL when a column is entirely NULL in the batch).
+    column list), ``ColumnsCategorical`` (categorical column list —
+    language/source/host mix, the columns a training feed drifts on
+    first), ``TopK`` (default 10 — reference categories kept per
+    categorical column, rest folds into ``__other__``), ``Bins``
+    (default 10), ``Checkpoint`` (default ``<Path>__checkpoint``).
+    At least one of ``Columns`` / ``ColumnsCategorical`` is
+    mandatory. Output rows: ``(batch_id, column, batch_rows, psi)``
+    — ``batch_rows`` is the batch's TOTAL row count (same value on
+    every column row of a batch); the PSI denominator is the
+    column's non-NULL count, which can be smaller (``psi`` is NULL
+    when a column is entirely NULL in the batch).
+
+    Categorical semantics mirror ``stats.drift_report``'s
+    ``columns_categorical`` with the monitor's frozen-yardstick rule:
+    the category set is the REFERENCE's top-K by frequency (ties by
+    value — deterministic), frozen before the stream starts; batch
+    categories outside that set — including brand-new ones — land in
+    ``__other__``, which is exactly where new-source/new-language
+    drift should spike. Same ε-smoothed share PSI as the numeric leg.
 
     Monitoring semantics differ from the batch op deliberately: bins
     are FROZEN on the reference's own min/max (computed once, before
@@ -511,21 +524,61 @@ def stream_drift_monitor(conf: BlockConfig) -> DataFrame:
     df = conf.input_df()
     out = conf.get("Path")
     ref_path = conf.get("Reference")
-    cols = conf.get("Columns")
+    cols = conf.get("Columns", []) or []
+    cat_cols = conf.get("ColumnsCategorical", []) or []
+    top_k = int(conf.get("TopK", 10))
     bins = int(conf.get("Bins", 10))
     checkpoint = conf.get("Checkpoint", f"{out.rstrip('/')}__checkpoint")
-    if not cols:
-        raise ValueError("stream_drift_monitor: Columns is mandatory")
+    if not cols and not cat_cols:
+        raise ValueError(
+            "stream_drift_monitor: need Columns or ColumnsCategorical"
+        )
+    overlap = set(cols) & set(cat_cols)
+    if overlap:
+        raise ValueError(
+            "stream_drift_monitor: columns cannot be both numeric and "
+            f"categorical: {sorted(overlap)}"
+        )
     if bins < 2:
         raise ValueError("stream_drift_monitor: Bins must be >= 2")
+    if top_k < 1:
+        raise ValueError("stream_drift_monitor: TopK must be >= 1")
     spark = conf.spark
     ref = spark.read.parquet(ref_path)
 
+    # frozen category sets first: per categorical column, the
+    # reference's top-K (count desc, value asc — deterministic ties)
+    # via TakeOrdered — a k-bounded collect per column, never a sort
+    # of the reference
+    kept: dict = {}
+    for c in cat_cols:
+        kept[c] = [
+            r["__v"]
+            for r in (
+                ref.where(F.col(c).isNotNull())
+                .groupBy(F.col(c).cast("string").alias("__v"))
+                .agg(F.count("*").alias("__n"))
+                .orderBy(F.col("__n").desc(), F.col("__v").asc())
+                .limit(top_k)
+                .collect()
+            )
+        ]
+
     # ONE reference pass: per-column bounds + frozen bin shares
-    bounds_row = ref.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"__lo_{i}") for i, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"__hi_{i}") for i, c in enumerate(cols)],
-    ).collect()[0]
+    bounds_row = (
+        ref.agg(
+            *[
+                F.min(F.col(c).cast("double")).alias(f"__lo_{i}")
+                for i, c in enumerate(cols)
+            ],
+            *[
+                F.max(F.col(c).cast("double")).alias(f"__hi_{i}")
+                for i, c in enumerate(cols)
+            ],
+        ).collect()[0]
+        if cols
+        else None
+    )
 
     def bin_expr(c, lo, hi):
         v = F.col(c).cast("double")
@@ -537,6 +590,8 @@ def stream_drift_monitor(conf: BlockConfig) -> DataFrame:
         return F.when(v.isNotNull() & ~F.isnan(v), clipped)
 
     def counts(frame, with_total=False):
+        # numeric bin cells + categorical kept-category cells +
+        # per-categorical non-NULL totals, ONE aggregate
         aggs = []
         for i, c in enumerate(cols):
             b = bin_expr(c, bounds_row[f"__lo_{i}"], bounds_row[f"__hi_{i}"])
@@ -544,9 +599,29 @@ def stream_drift_monitor(conf: BlockConfig) -> DataFrame:
                 aggs.append(
                     F.sum((b == k).cast("bigint")).alias(f"__c_{i}_{k}")
                 )
+        for i, c in enumerate(cat_cols):
+            v = F.col(c).cast("string")
+            for k, cat in enumerate(kept[c]):
+                aggs.append(
+                    F.sum((v == F.lit(cat)).cast("bigint")).alias(
+                        f"__cc_{i}_{k}"
+                    )
+                )
+            aggs.append(
+                F.sum(v.isNotNull().cast("bigint")).alias(f"__ct_{i}")
+            )
         if with_total:
             aggs.append(F.count(F.lit(1)).alias("__n_rows"))
         return frame.agg(*aggs).collect()[0]
+
+    def cat_shares(row, i, c):
+        """Kept-category shares + the __other__ remainder from one
+        counts() row; None when the column had no non-NULL values."""
+        tot = row[f"__ct_{i}"] or 0
+        if not tot:
+            return None
+        ks = [(row[f"__cc_{i}_{k}"] or 0) for k in range(len(kept[c]))]
+        return [x / tot for x in ks] + [(tot - sum(ks)) / tot]
 
     ref_counts = counts(ref)
     ref_shares = {}
@@ -556,6 +631,9 @@ def stream_drift_monitor(conf: BlockConfig) -> DataFrame:
             ((ref_counts[f"__c_{i}_{k}"] or 0) / tot if tot else None)
             for k in range(bins)
         ]
+    ref_cat_shares = {
+        c: cat_shares(ref_counts, i, c) for i, c in enumerate(cat_cols)
+    }
 
     import math
 
@@ -581,6 +659,16 @@ def stream_drift_monitor(conf: BlockConfig) -> DataFrame:
             for k in range(bins):
                 p = ref_shares[c][k] + eps
                 q = (row[f"__c_{i}_{k}"] or 0) / tot + eps
+                psi += (q - p) * math.log(q / p)
+            out_rows.append((int(batch_id), c, int(n_batch), round(psi, 6)))
+        for i, c in enumerate(cat_cols):
+            bshares = cat_shares(row, i, c)
+            if bshares is None or ref_cat_shares[c] is None:
+                out_rows.append((int(batch_id), c, int(n_batch), None))
+                continue
+            psi = 0.0
+            for p0, q0 in zip(ref_cat_shares[c], bshares):
+                p, q = p0 + eps, q0 + eps
                 psi += (q - p) * math.log(q / p)
             out_rows.append((int(batch_id), c, int(n_batch), round(psi, 6)))
         report = spark.createDataFrame(

@@ -24,6 +24,13 @@ ROWS_ONLY = {
     "corpus_curation_full",
     "similarity_recall_ivf",
     "dedup_cdc_corpus",
+    # stored-index bench split: build vs per-increment query medians
+    # (value semantics carried by dedup_stored_index /
+    # dedup_cdc_stored_index's oracles in the checked/demoted sets)
+    "dedup_stored_index_build",
+    "dedup_stored_index_query",
+    "dedup_cdc_stored_index_build",
+    "dedup_cdc_stored_index_query",
 }
 
 

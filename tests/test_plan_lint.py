@@ -78,6 +78,10 @@ NESTED_LOOP_WHITELIST = {
     "quality_uncertainty_sample": "1-row pinned-weights model broadcast",
     "skew_top_keys": "k-row TakeOrdered x 1-row total broadcast",
     "text_collocations": "1-row total-pairs (T) broadcast",
+    "dedup_cdc_stored_index_build": "1-row corpus chunk-stats aggregate "
+    "(n_chunks/max_df) broadcast onto the returned index frame — the "
+    "composite query returns the screen result instead, hiding this "
+    "bounded join from its lint row",
     # bounded non-equi self-joins: candidate count is k² / day², not
     # corpus²
     "sessions_active_users": "day x day windowed join (day²-bounded)",

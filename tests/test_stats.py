@@ -3306,8 +3306,9 @@ def test_drift_report(spark):
         single = stats.psi(a.select(c), b.select(c), c).collect()[0]
         assert rep[c].psi == single.psi
 
-    # string column refused loudly; absent column refused
-    with pytest.raises(ValueError, match="cast or encode"):
+    # string column refused loudly (pointed at columns_categorical);
+    # absent column refused
+    with pytest.raises(ValueError, match="columns_categorical"):
         stats.drift_report(a, b, ["m1", "s"])
     with pytest.raises(ValueError, match="missing"):
         stats.drift_report(a, b, ["nope"])
@@ -3320,6 +3321,110 @@ def test_drift_report(spark):
     r3 = {r.column: r for r in
           stats.drift_report(a2, b2, ["m1", "m3"]).collect()}
     assert r3["m3"].psi is None and r3["m3"].n_right == 800
+
+
+def test_drift_report_categorical(spark):
+    """Categorical columns: top-K by reference frequency + __other__,
+    exact python replay of the ε-smoothed share PSI; a new-on-right
+    category lands in __other__ and spikes; tie-break determinism;
+    NULL exclusion; mixed numeric+categorical union; guards."""
+    import math
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(9)
+    langs_ref = ["en"] * 500 + ["de"] * 200 + ["fr"] * 100 + [
+        "sv", "fi", "da", "nb"
+    ] * 10  # tail beyond top_k=3
+    langs_new = ["en"] * 300 + ["de"] * 150 + ["zh"] * 350  # zh is NEW
+    rnd.shuffle(langs_ref)
+    rnd.shuffle(langs_new)
+    a = spark.createDataFrame(
+        [(l, float(i)) for i, l in enumerate(langs_ref)],
+        "lang STRING, m DOUBLE",
+    )
+    b = spark.createDataFrame(
+        [(l, float(i)) for i, l in enumerate(langs_new)],
+        "lang STRING, m DOUBLE",
+    )
+    rep = {
+        r.column: r
+        for r in stats.drift_report(
+            a, b, columns_categorical=["lang"], top_k=3
+        ).collect()
+    }
+    r = rep["lang"]
+    assert r.n_left == len(langs_ref) and r.n_right == len(langs_new)
+
+    # exact python replay: top-3 reference categories (count desc,
+    # value asc) = en, de, fr; everything else -> __other__
+    def shares(vals, keep):
+        from collections import Counter
+
+        c = Counter("__other__" if v not in keep else v for v in vals)
+        n = sum(c.values())
+        return {k: v / n for k, v in c.items()}
+
+    keep = {"en", "de", "fr"}
+    sl, sr = shares(langs_ref, keep), shares(langs_new, keep)
+    cats = set(sl) | set(sr)
+    eps = 1e-6
+    want = sum(
+        (sl.get(k, 0.0) + eps - sr.get(k, 0.0) - eps)
+        * math.log((sl.get(k, 0.0) + eps) / (sr.get(k, 0.0) + eps))
+        for k in cats
+    )
+    assert r.psi == round(want, 6)
+    assert r.psi > 0.2  # the zh influx must flag
+
+    # stable corpus: near-zero PSI
+    rep2 = stats.drift_report(
+        a, a, columns_categorical=["lang"], top_k=3
+    ).collect()[0]
+    assert rep2.psi == 0.0
+
+    # tie-break determinism: sv/fi/da/nb all tie at 10 — top_k=2 must
+    # keep the lexicographically smallest ties deterministically
+    tied = spark.createDataFrame(
+        [(l,) for l in ["sv", "fi", "da", "nb"] * 10], "lang STRING"
+    )
+    t1 = stats.drift_report(
+        tied, tied, columns_categorical="lang", top_k=2
+    ).collect()[0]
+    assert t1.psi == 0.0 and t1.n_left == 40
+
+    # NULLs excluded from counts
+    from pyspark.sql import functions as F
+
+    a3 = a.withColumn(
+        "lang", F.when(F.col("m") < 100, None).otherwise(F.col("lang"))
+    )
+    r3 = stats.drift_report(
+        a3, b, columns_categorical=["lang"]
+    ).collect()[0]
+    assert r3.n_left == len(langs_ref) - 100
+
+    # mixed numeric + categorical in one report
+    both = {
+        r.column: r
+        for r in stats.drift_report(
+            a, b, columns=["m"], columns_categorical=["lang"]
+        ).collect()
+    }
+    assert set(both) == {"m", "lang"}
+    only_num = stats.drift_report(a, b, ["m"]).collect()[0]
+    assert both["m"].psi == only_num.psi
+
+    # guards: overlap, no columns at all, bad top_k, missing column
+    with pytest.raises(ValueError, match="both numeric and"):
+        stats.drift_report(a, b, ["m"], columns_categorical=["m"])
+    with pytest.raises(ValueError, match="at least one column"):
+        stats.drift_report(a, b)
+    with pytest.raises(ValueError, match="top_k"):
+        stats.drift_report(a, b, columns_categorical=["lang"], top_k=0)
+    with pytest.raises(ValueError, match="missing"):
+        stats.drift_report(a, b, columns_categorical=["nope"])
 
 
 def test_ab_report(spark):
@@ -3629,5 +3734,17 @@ def test_odds_ratio(spark):
     with pytest.raises(Exception, match="binary"):
         stats.odds_ratio(
             spark.createDataFrame([("control", 2)], "arm STRING, bad INT"),
+            "arm", "bad", "control", "treatment",
+        ).collect()
+
+    # empty ARM fails LOUD (ab_compare's contract): a misspelled arm
+    # name must not come back as a silent all-NULL row
+    with pytest.raises(Exception, match="arm is empty"):
+        stats.odds_ratio(
+            clean, "arm", "bad", "control", "treatmnet"  # typo'd arm
+        ).collect()
+    with pytest.raises(Exception, match="arm is empty"):
+        stats.odds_ratio(
+            spark.createDataFrame([], "arm STRING, bad INT"),
             "arm", "bad", "control", "treatment",
         ).collect()

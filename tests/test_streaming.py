@@ -984,3 +984,101 @@ def test_stream_drift_monitor(spark, tmp_path):
         for p, q in zip(rs, bs3)
     )
     assert r3.psi == round(exp3, 6)
+
+
+def test_stream_drift_monitor_categorical(spark, tmp_path):
+    """ColumnsCategorical: the category set freezes on the REFERENCE's
+    top-K (ties by value); an in-distribution wave scores ~0, a wave
+    dominated by a language the reference never saw lands its mass in
+    __other__ and spikes; psi replays exactly in python; numeric and
+    categorical columns coexist in one monitor."""
+    import json as _json
+    import math
+
+    import yaml as _yaml
+
+    from getl_spark import lift
+    from getl_spark.common.tables import ManagedTable
+
+    src = tmp_path / "in"
+    src.mkdir()
+    refp = str(tmp_path / "ref")
+    report = str(tmp_path / "report")
+
+    ref_langs = ["en"] * 600 + ["de"] * 250 + ["fr"] * 100 + ["sv"] * 50
+    spark.createDataFrame(
+        [(l, float(i % 7)) for i, l in enumerate(ref_langs)],
+        "lang STRING, m DOUBLE",
+    ).write.parquet(refp)
+
+    def run():
+        blocks = {
+            "S": {
+                "Type": "load::stream_json",
+                "Properties": {
+                    "Path": str(src),
+                    "JsonSchema": {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "lang", "type": "string",
+                             "nullable": True, "metadata": {}},
+                            {"name": "m", "type": "double",
+                             "nullable": True, "metadata": {}},
+                        ],
+                    },
+                },
+            },
+            "Mon": {
+                "Type": "write::stream_drift_monitor",
+                "Input": "S",
+                "Properties": {
+                    "Path": report,
+                    "Reference": refp,
+                    "Columns": ["m"],
+                    "ColumnsCategorical": ["lang"],
+                    "TopK": 3,  # sv falls into __other__ even in ref
+                },
+            },
+        }
+        lift(spark, _yaml.safe_dump({"LiftJob": blocks}, sort_keys=False))
+
+    def write_wave(name, langs):
+        with open(src / name, "w") as f:
+            for i, l in enumerate(langs):
+                f.write(_json.dumps({"lang": l, "m": float(i % 7)}) + "\n")
+
+    w1 = ["en"] * 300 + ["de"] * 125 + ["fr"] * 50 + ["sv"] * 25
+    write_wave("w1.json", w1)
+    run()
+    w2 = ["zh"] * 400 + ["en"] * 100  # zh is NEW -> __other__
+    write_wave("w2.json", w2)
+    run()
+
+    rows = {
+        (r.batch_id, r.column): r
+        for r in ManagedTable(spark, report).read().collect()
+    }
+    assert set(rows) == {
+        (0, "m"), (0, "lang"), (1, "m"), (1, "lang"),
+    }
+    assert rows[(0, "lang")].batch_rows == 500
+    assert rows[(1, "lang")].batch_rows == 500
+
+    # exact python replay: kept = ref top-3 (en, de, fr), bucket 4 =
+    # __other__
+    def shares(langs, keep):
+        ks = [langs.count(k) / len(langs) for k in keep]
+        return ks + [1.0 - sum(ks)]
+
+    keep = ["en", "de", "fr"]
+    rs = shares(ref_langs, keep)
+    for bid, wave in ((0, w1), (1, w2)):
+        bs = shares(wave, keep)
+        exp = sum(
+            (q + 1e-6 - p - 1e-6) * math.log((q + 1e-6) / (p + 1e-6))
+            for p, q in zip(rs, bs)
+        )
+        assert rows[(bid, "lang")].psi == round(exp, 6), bid
+    assert rows[(0, "lang")].psi < 0.01 and rows[(1, "lang")].psi > 1.0
+    # the numeric column is identically distributed in both waves
+    assert rows[(0, "m")].psi < 0.01 and rows[(1, "m")].psi < 0.2
