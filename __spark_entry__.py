@@ -9331,6 +9331,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stored_index_query": _q_stored_index_query,
         "dedup_cdc_stored_index_build": _q_cdc_stored_index_build,
         "dedup_cdc_stored_index_query": _q_cdc_stored_index_query,
+        "similarity_knn_label_ivf": _q_knn_label_ivf,
     }
 
 
@@ -11119,6 +11120,63 @@ SELECT * FROM nrow UNION ALL SELECT * FROM crows
 """
 
 
+def _q_merge_minhash_index(spark, sf_dir):
+    """dedup.merge_minhash_index driven end-to-end: two per-period
+    indexes (doc_id % 4 == 0 and % 4 == 2 — together the even half)
+    merge without re-sketching, then the odd-doc increment screens
+    against the MERGED index (exact phase). The oracle replays the
+    fingerprint anti-join against the union of both periods — which
+    is exactly what the merged fingerprint table must hold (the
+    merge ≡ build-from-union table identity is pytest-held in
+    tests/test_llm_ops.py::test_merge_minhash_index_identity)."""
+    from getl_spark.functions import dedup
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tmp = f"/tmp/getl_spark_q/mh_merge_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dedup.build_minhash_index(docs.where("doc_id % 4 = 0"), f"{tmp}/a")
+    dedup.build_minhash_index(docs.where("doc_id % 4 = 2"), f"{tmp}/b")
+    dedup.merge_minhash_index(spark, f"{tmp}/a", f"{tmp}/b", f"{tmp}/m")
+    out = dedup.against_stored_index(docs.where("doc_id % 2 = 1"), f"{tmp}/m")
+    return out.select("doc_id", "lang", "n_chars")
+
+
+MERGE_MINHASH_INDEX_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id % 2 = 1
+  AND md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) NOT IN (
+    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    FROM documents WHERE doc_id % 2 = 0
+  )
+"""
+
+
+def _q_merge_ivf_index(spark, sf_dir):
+    """similarity.merge_ivf_index driven end-to-end: two per-period
+    IVF indexes (vec_id % 3 != 0 / == 0) merge without retraining
+    (larger side's centroids kept, smaller side's vectors re-assigned
+    in one scan), then the merged index answers top-5 under FULL
+    probes — where results depend only on the merged vector set, so
+    the brute-force cosine SQL is an exact oracle."""
+    from getl_spark.functions import similarity
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tmp = f"/tmp/getl_spark_q/ivf_merge_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.build_ivf_index(emb.where("vec_id % 3 != 0"), f"{tmp}/a", nlist=8)
+    similarity.build_ivf_index(emb.where("vec_id % 3 = 0"), f"{tmp}/b", nlist=4)
+    similarity.merge_ivf_index(spark, f"{tmp}/a", f"{tmp}/b", f"{tmp}/m")
+    queries = emb.where("vec_id < 8")
+    return similarity.topk_ivf_indexed(
+        spark, queries, f"{tmp}/m", k=5, nprobe=8
+    )
+
+
+MERGE_IVF_INDEX_ORACLE = SIM_TOPK_ORACLE
+
+
 def _q_label_noise(spark, sf_dir):
     """quality.label_noise — confident-learning mislabel review queue:
     price-in-cents as the scorer for the high-quantity label; rows
@@ -11687,6 +11745,24 @@ def _q_knn_label(spark, sf_dir):
     return similarity.knn_label(seeds, queries, k=5)
 
 
+def _q_knn_label_ivf(spark, sf_dir):
+    """similarity.knn_label on the IVF scale path — prices the
+    weak-labeling loop's 100 TB shape (cell-pruned retrieval instead
+    of the broadcast brute force the oracle leg uses). Rows-only:
+    partial-probe retrieval is approximate by design; the vote
+    arithmetic on top of retrieval is value-verified by
+    ``similarity_knn_label``'s DuckDB oracle, and the retrieval leg's
+    recall is the measured quantity (``recall_eval``), not a hash."""
+    from getl_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = emb.where("vec_id < 400")
+    queries = emb.where("vec_id >= 400").drop("label")
+    return similarity.knn_label(
+        seeds, queries, k=5, method="ivf", nlist=16, nprobe=4
+    )
+
+
 KNN_LABEL_ORACLE = """
 WITH seeds AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS VARCHAR) AS lab
@@ -12032,6 +12108,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_knn_label": _q_knn_label,
         "stats_odds_ratio": _q_odds_ratio,
         "stats_drift_report_categorical": _q_drift_report_categorical,
+        "dedup_merge_minhash_index": _q_merge_minhash_index,
+        "similarity_merge_ivf_index": _q_merge_ivf_index,
     }
 
 
@@ -12275,6 +12353,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "similarity_knn_label": KNN_LABEL_ORACLE,
         "stats_odds_ratio": ODDS_RATIO_ORACLE,
         "stats_drift_report_categorical": DRIFT_REPORT_CATEGORICAL_ORACLE,
+        "dedup_merge_minhash_index": MERGE_MINHASH_INDEX_ORACLE,
+        "similarity_merge_ivf_index": MERGE_IVF_INDEX_ORACLE,
     }
 
 

@@ -176,6 +176,9 @@ DETAIL_QUERIES = [
     "stats_odds_ratio",
     # round-10 operators
     "stats_drift_report_categorical",
+    "dedup_merge_minhash_index",
+    "similarity_merge_ivf_index",
+    "similarity_knn_label_ivf",
     # stored-index build/query split: the composite rows above
     # (dedup_stored_index, dedup_cdc_stored_index) time build+query
     # together; these isolate the per-increment query leg so its

@@ -24,6 +24,7 @@ compose with ``exact``-style winner selection downstream.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -1729,6 +1730,102 @@ def index_append(
         )
     )
     fps.write.mode("append").parquet(f"{index_path}/fingerprints")
+
+
+def merge_minhash_index(
+    spark,
+    path_a: str,
+    path_b: str,
+    out_path: str,
+) -> DataFrame:
+    """Merge two persisted ``build_minhash_index`` snapshots WITHOUT
+    re-sketching — the rolling-corpus consolidation step next to
+    ``index_append``/``write::stream_dedup_ingest``: per-period
+    ingest leaves one index per period, and consolidating them
+    previously meant re-reading every document through a fresh build.
+
+    MinHash band/fingerprint/signature tables are pure unions: the
+    hash family is fully determined by the meta parameters
+    (``n``/``num_hashes``/``bands`` — checked EQUAL between the two
+    indexes, loud ValueError otherwise; mixing families would silently
+    produce non-comparable sketches, the exact failure mode the
+    meta-driven query path exists to prevent). Identity contract
+    (pytest-held): ``against_stored_index`` results on merge(A, B)
+    equal results on an index built from the distinct union of the
+    two corpora — every table row is identical by construction.
+
+    Full-row duplicates (the same document indexed in both periods)
+    collapse to one row; the same id with DIFFERENT content keeps both
+    rows — both contents were seen, and the exact/near phases treat
+    the index as "content ever ingested".
+
+    Scale shape: three table unions with row-level dedup (one keyed
+    shuffle each, index-sized — never corpus-sized) + the partitioned
+    band write; no text is read, no hashes recomputed. Returns the
+    band-occupancy summary, same as ``build_minhash_index``.
+    """
+    norm = lambda p: os.path.normpath(p)  # noqa: E731
+    if norm(out_path) in (norm(path_a), norm(path_b)):
+        raise ValueError(
+            "merge_minhash_index: out_path must differ from both inputs "
+            "(overwriting an index while lazily reading it loses data)"
+        )
+    meta_a = spark.read.parquet(f"{path_a}/meta").first()
+    meta_b = spark.read.parquet(f"{path_b}/meta").first()
+    # getattr default tolerates legacy metas that predate id_type
+    for field in ("n", "num_hashes", "bands", "id_type"):
+        va = getattr(meta_a, field, None)
+        vb = getattr(meta_b, field, None)
+        if va != vb:
+            raise ValueError(
+                f"merge_minhash_index: meta mismatch on {field!r} "
+                f"({va} vs {vb}) — indexes sketched with different "
+                "families cannot merge; rebuild one side"
+            )
+    spark.createDataFrame(
+        [(
+            meta_a.n,
+            meta_a.num_hashes,
+            meta_a.bands,
+            getattr(meta_a, "id_type", None) or "bigint",
+        )],
+        "n int, num_hashes int, bands int, id_type string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/meta")
+
+    def both(sub):
+        return spark.read.parquet(f"{path_a}/{sub}").unionByName(
+            spark.read.parquet(f"{path_b}/{sub}")
+        )
+
+    both("fingerprints").dropDuplicates(["id", "fingerprint"]).write.mode(
+        "overwrite"
+    ).parquet(f"{out_path}/fingerprints")
+    both("signatures").dropDuplicates(["id", "sig"]).write.mode(
+        "overwrite"
+    ).parquet(f"{out_path}/signatures")
+    bands_u = _read_bands(spark, path_a, meta_a).unionByName(
+        _read_bands(spark, path_b, meta_b)
+    )
+    bands_u.dropDuplicates(["id", "key", "band"]).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(f"{out_path}/bands")
+    from types import SimpleNamespace
+
+    return (
+        _read_bands(
+            spark,
+            out_path,
+            SimpleNamespace(id_type=getattr(meta_a, "id_type", None)),
+        )
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("bucket"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.max("bucket").alias("max_bucket"),
+        )
+        .orderBy("band")
+    )
 
 
 # -------------------------------------------------------- log compaction

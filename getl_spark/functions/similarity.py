@@ -18,6 +18,7 @@ avoids Python round-trips entirely.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -479,6 +480,89 @@ def topk_ivf_indexed(
     assigned = spark.read.parquet(f"{index_path}/vectors")
     return _probe_and_rerank(
         assigned, queries, cent_n, nprobe, k, id_col, vec_col, exclude_self
+    )
+
+
+def merge_ivf_index(
+    spark,
+    path_a: str,
+    path_b: str,
+    out_path: str,
+) -> DataFrame:
+    """Merge two persisted ``build_ivf_index`` snapshots WITHOUT
+    retraining — the rolling-corpus consolidation step: periodic
+    ingest produces one index per period (``build_ivf_index`` /
+    ``write::stream_vector_ingest``), and merging them previously
+    meant re-reading every raw vector through a fresh build.
+
+    IVF cells are union-mergeable: the coarse quantizer is just a
+    partitioning aid (recall depends on it, correctness under full
+    probes does not), so the LARGER index's centroids are kept
+    verbatim and only the SMALLER side's vectors re-assign to those
+    centroids — one scan of the smaller vectors table, zero k-means
+    iterations, the larger side's files copy through unchanged.
+    Identity contract (pytest-held): querying merge(A, B) with
+    ``nprobe == nlist`` equals querying an index built from A ∪ B
+    under full probes — full probes scan every cell, so results
+    depend only on the merged vector SET, which is identical by
+    construction. Under partial probes the merged index's recall is
+    that of the kept quantizer (measure with ``recall_eval`` after a
+    merge, exactly as after a build).
+
+    Duplicate ids (a vector present in both periods) keep one row.
+    Dimension mismatch and merging onto an input path fail loud.
+
+    Scale shape: two footer-count probes + one nlist-row centroid
+    collect (driver-bounded, same as every IVF query) + one scan of
+    the smaller vectors table for re-assignment + the partitioned
+    write. Nothing touches raw embeddings.
+    """
+    import numpy as np
+
+    norm = lambda p: os.path.normpath(p)  # noqa: E731
+    if norm(out_path) in (norm(path_a), norm(path_b)):
+        raise ValueError(
+            "merge_ivf_index: out_path must differ from both inputs "
+            "(overwriting an index while lazily reading it loses data)"
+        )
+    n_a = spark.read.parquet(f"{path_a}/vectors").count()
+    n_b = spark.read.parquet(f"{path_b}/vectors").count()
+    big, small = (path_a, path_b) if n_a >= n_b else (path_b, path_a)
+    cent_rows = (
+        spark.read.parquet(f"{big}/centroids").orderBy("cell").collect()
+    )
+    cent_n = np.array([r.centroid for r in cent_rows], dtype="float64")
+    other_dim = spark.read.parquet(f"{small}/centroids").first()
+    if other_dim is not None and len(other_dim.centroid) != cent_n.shape[1]:
+        raise ValueError(
+            "merge_ivf_index: dimension mismatch — "
+            f"{cent_n.shape[1]} vs {len(other_dim.centroid)}"
+        )
+    spark.createDataFrame(
+        [(r.cell, [float(x) for x in r.centroid]) for r in cent_rows],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/centroids")
+
+    cols = ["nbr_id", "cvec", "cnorm", "cell"]
+    big_vecs = spark.read.parquet(f"{big}/vectors").select(*cols)
+    small_re = (
+        spark.read.parquet(f"{small}/vectors")
+        .drop("cell")
+        .withColumn("cell", centroid_cells_expr(cent_n, F.col("cvec"))[0])
+        .select(*cols)
+    )
+    (
+        big_vecs.unionByName(small_re)
+        .dropDuplicates(["nbr_id"])
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{out_path}/vectors")
+    )
+    return (
+        spark.read.parquet(f"{out_path}/vectors")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cell")
     )
 
 

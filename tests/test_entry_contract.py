@@ -31,6 +31,10 @@ ROWS_ONLY = {
     "dedup_stored_index_query",
     "dedup_cdc_stored_index_build",
     "dedup_cdc_stored_index_query",
+    # the weak-labeling loop's IVF scale path: partial-probe retrieval
+    # is approximate by design; the vote arithmetic is value-verified
+    # by similarity_knn_label's oracle
+    "similarity_knn_label_ivf",
 }
 
 

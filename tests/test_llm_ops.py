@@ -727,6 +727,128 @@ def test_ivf_index_build_query_matches_fresh(spark, tmp_path):
     assert all(r["count"] == 5 for r in per_q)
 
 
+def test_merge_ivf_index_identity_under_full_probes(spark, tmp_path):
+    """merge(A, B) queried with nprobe == nlist must equal an index
+    built fresh from A ∪ B under full probes (full probes scan every
+    cell, so only the merged vector SET matters — and brute force over
+    the union is the common truth). The larger side's centroids are
+    kept; occupancy totals must cover every distinct vector."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = emb.where("vec_id % 3 != 0")   # larger
+    b = emb.where("vec_id % 3 = 0")    # smaller
+    pa, pb = str(tmp_path / "ivf_a"), str(tmp_path / "ivf_b")
+    pm = str(tmp_path / "ivf_merged")
+    similarity.build_ivf_index(a, pa, nlist=8)
+    similarity.build_ivf_index(b, pb, nlist=4)
+    occ = similarity.merge_ivf_index(spark, pa, pb, pm)
+    counts = {r.cell: r.n_vectors for r in occ.collect()}
+    assert sum(counts.values()) == emb.count()
+    # larger side's quantizer kept verbatim
+    kept = sorted(
+        tuple(r.centroid)
+        for r in spark.read.parquet(f"{pa}/centroids").collect()
+    )
+    merged_cents = sorted(
+        tuple(r.centroid)
+        for r in spark.read.parquet(f"{pm}/centroids").collect()
+    )
+    assert kept == merged_cents and len(kept) == 8
+
+    queries = emb.where("vec_id < 6")
+    got = similarity.topk_ivf_indexed(spark, queries, pm, k=5, nprobe=8)
+    pf = str(tmp_path / "ivf_fresh")
+    similarity.build_ivf_index(emb, pf, nlist=8)
+    fresh = similarity.topk_ivf_indexed(spark, queries, pf, k=5, nprobe=8)
+    brute = similarity.topk_bruteforce(emb, queries, k=5)
+    as_set = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.rank, r.nbr_id) for r in df.collect()
+    )
+    assert as_set(got) == as_set(fresh) == as_set(brute)
+
+    # duplicate ids across the periods collapse to one row
+    pb2 = str(tmp_path / "ivf_b2")
+    similarity.build_ivf_index(emb.where("vec_id % 3 = 0"), pb2, nlist=4)
+    pm2 = str(tmp_path / "ivf_m2")
+    similarity.merge_ivf_index(spark, pm, pb2, pm2)  # b's ids already in pm
+    assert (
+        spark.read.parquet(f"{pm2}/vectors").count() == emb.count()
+    )
+
+    # guards: overwriting an input; dimension mismatch
+    with pytest.raises(ValueError, match="out_path"):
+        similarity.merge_ivf_index(spark, pa, pb, pa)
+    short = emb.select(
+        "vec_id", F.slice("embedding", 1, 4).alias("embedding")
+    )
+    ps = str(tmp_path / "ivf_short")
+    similarity.build_ivf_index(short, ps, nlist=4)
+    with pytest.raises(ValueError, match="dimension"):
+        similarity.merge_ivf_index(spark, pa, ps, str(tmp_path / "x"))
+
+
+def test_merge_minhash_index_identity(spark, tmp_path):
+    """merge(A, B) must carry table-for-table the same index an
+    in-one-shot build over the distinct union produces (the hash
+    family is meta-determined, so sketches are bitwise reproducible),
+    and answer against_stored_index identically — overlapping docs
+    collapse, different-family merges fail loud."""
+    mk = lambda i: (  # noqa: E731
+        i, f"the quick brown fox jumps over dog number {i} in the field " * 3
+    )
+    corpus_a = spark.createDataFrame(
+        [mk(i) for i in range(0, 25)], "doc_id long, text string"
+    )
+    corpus_b = spark.createDataFrame(
+        [mk(i) for i in range(20, 40)], "doc_id long, text string"
+    )
+    pa, pb = str(tmp_path / "mh_a"), str(tmp_path / "mh_b")
+    pm, pf = str(tmp_path / "mh_merged"), str(tmp_path / "mh_fresh")
+    dedup.build_minhash_index(corpus_a, pa, n=3, num_hashes=32, bands=8)
+    dedup.build_minhash_index(corpus_b, pb, n=3, num_hashes=32, bands=8)
+    occ = dedup.merge_minhash_index(spark, pa, pb, pm)
+    assert occ.count() == 8
+    dedup.build_minhash_index(
+        corpus_a.unionByName(corpus_b).distinct(), pf,
+        n=3, num_hashes=32, bands=8,
+    )
+    for sub, key in (
+        ("fingerprints", lambda r: (r.id, r.fingerprint)),
+        ("signatures", lambda r: (r.id, tuple(r.sig))),
+        ("bands", lambda r: (r.id, r.key, r.band)),
+    ):
+        got = sorted(
+            key(r) for r in spark.read.parquet(f"{pm}/{sub}").collect()
+        )
+        want = sorted(
+            key(r) for r in spark.read.parquet(f"{pf}/{sub}").collect()
+        )
+        assert got == want, sub
+
+    inc = spark.createDataFrame(
+        [
+            mk(7),    # exact dup of A-side content
+            mk(33),   # exact dup of B-side content
+            (900, "a novel document about adaptive query execution"),
+        ],
+        "doc_id long, text string",
+    )
+    survivors = lambda p: {  # noqa: E731
+        r.doc_id
+        for r in dedup.against_stored_index(
+            inc, p, near_threshold=0.7
+        ).collect()
+    }
+    assert survivors(pm) == survivors(pf) == {900}
+
+    # guards: family mismatch; overwriting an input
+    pz = str(tmp_path / "mh_other_family")
+    dedup.build_minhash_index(corpus_b, pz, n=3, num_hashes=64, bands=16)
+    with pytest.raises(ValueError, match="meta mismatch"):
+        dedup.merge_minhash_index(spark, pa, pz, str(tmp_path / "y"))
+    with pytest.raises(ValueError, match="out_path"):
+        dedup.merge_minhash_index(spark, pa, pb, pb)
+
+
 def test_fuzzy_join_minhash_method_recall_and_precision(spark, docs):
     """fuzzy_join(method='minhash') must be a subset of the exact join
     (verification makes precision exact) with high recall at a
