@@ -10839,10 +10839,12 @@ WITH q AS (
   SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS h
   FROM ex e JOIN ap a ON e.qid = a.qid AND e.nid = a.nid GROUP BY 1
 ), per_q AS (
-  -- missing = zero-HIT queries (recall_eval's implemented contract)
+  -- missing = queries with NO approx ROWS (presence, not hit count —
+  -- all-wrong retrieval is a ranking failure, not an empty one)
   SELECT truth.qid, truth.t, COALESCE(hits.h, 0) AS h,
          COALESCE(hits.h, 0) * 1.0 / truth.t AS r,
-         CASE WHEN COALESCE(hits.h, 0) = 0 THEN 1 ELSE 0 END AS miss
+         CASE WHEN truth.qid IN (SELECT DISTINCT qid FROM ap)
+              THEN 0 ELSE 1 END AS miss
   FROM truth
   LEFT JOIN hits ON truth.qid = hits.qid
 )
@@ -11010,6 +11012,59 @@ SELECT m.g AS "column",
        CAST(MAX(nr) AS BIGINT) AS n_right
 FROM merged m JOIN totals t ON m.g = t.g
 GROUP BY m.g
+"""
+
+
+def _q_mcnemar(spark, sf_dir):
+    """stats.mcnemar — paired binary comparison of two quality gates
+    judging the SAME documents (length gate vs alpha-ratio gate):
+    only the discordant cells carry evidence; the oracle replays the
+    four conditional counts, the Edwards-corrected chi2, and the
+    chi2_1 tail through the shared erfc polynomial."""
+    from getl_spark.functions import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gated = docs.select(
+        (F.col("n_chars") >= 800).cast("int").alias("gate_a"),
+        (
+            F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+            * 10 >= F.length("text") * 7
+        ).cast("int").alias("gate_b"),
+    )
+    return stats.mcnemar(gated, "gate_a", "gate_b")
+
+
+MCNEMAR_ORACLE = """
+WITH gated AS (
+  SELECT CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END AS a,
+         CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10
+                   >= length(text) * 7 THEN 1 ELSE 0 END AS b
+  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+), cells AS (
+  SELECT CAST(SUM(a * b) AS BIGINT) AS both_pass,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS both_fail,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS only_a,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS only_b
+  FROM gated
+), s AS (
+  SELECT *,
+         CASE WHEN only_a + only_b > 0 THEN
+           POWER(GREATEST(ABS(CAST(only_a AS DOUBLE) - only_b) - 1.0, 0.0), 2)
+             / (only_a + only_b)
+         END AS chi2
+  FROM cells
+), z AS (
+  SELECT *, sqrt(chi2) / sqrt(2) AS x FROM s
+), e AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM z)
+SELECT both_pass + both_fail + only_a + only_b AS n_pairs,
+       both_pass, both_fail, only_a, only_b,
+       ROUND(chi2, 6) AS chi2,
+       ROUND((0.254829592 * tt - 0.284496736 * tt * tt
+              + 1.421413741 * tt * tt * tt
+              - 1.453152027 * tt * tt * tt * tt
+              + 1.061405429 * tt * tt * tt * tt * tt) * exp(-(x * x)), 6)
+         AS p_value
+FROM e
 """
 
 
@@ -12110,6 +12165,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_drift_report_categorical": _q_drift_report_categorical,
         "dedup_merge_minhash_index": _q_merge_minhash_index,
         "similarity_merge_ivf_index": _q_merge_ivf_index,
+        "stats_mcnemar": _q_mcnemar,
     }
 
 
@@ -12355,6 +12411,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_drift_report_categorical": DRIFT_REPORT_CATEGORICAL_ORACLE,
         "dedup_merge_minhash_index": MERGE_MINHASH_INDEX_ORACLE,
         "similarity_merge_ivf_index": MERGE_IVF_INDEX_ORACLE,
+        "stats_mcnemar": MCNEMAR_ORACLE,
     }
 
 

@@ -179,6 +179,7 @@ DETAIL_QUERIES = [
     "dedup_merge_minhash_index",
     "similarity_merge_ivf_index",
     "similarity_knn_label_ivf",
+    "stats_mcnemar",
     # stored-index build/query split: the composite rows above
     # (dedup_stored_index, dedup_cdc_stored_index) time build+query
     # together; these isolate the per-increment query leg so its

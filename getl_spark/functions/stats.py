@@ -5701,6 +5701,84 @@ def dunn_test(
     )
 
 
+def mcnemar(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    correction: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — the model-vs-model
+    eval readout ``ab_compare``/``odds_ratio`` cannot give: when two
+    models answer the SAME prompts (or two filter versions judge the
+    same documents), the pass rates are correlated through item
+    difficulty, and treating the columns as independent arms throws
+    away exactly the pairing that makes the comparison sharp. Only the
+    DISCORDANT pairs carry evidence: ``only_a`` (A passed, B failed)
+    vs ``only_b`` — items both models pass or both fail say nothing
+    about which is better.
+
+    ``a_col``/``b_col`` must be binary 0/1 (loud assert, the
+    ``odds_ratio`` contract); rows with a NULL on either side are
+    excluded (an item one model never answered is not a pair).
+
+    One row: ``(n_pairs, both_pass, both_fail, only_a, only_b, chi2,
+    p_value)``. ``chi2 = (|only_a − only_b| − 1)² / (only_a +
+    only_b)`` with the default Edwards continuity correction
+    (``correction=False`` drops the −1; with the correction, a
+    |difference| below 1 clamps to 0 rather than going negative); the
+    two-sided p-value is the χ²₁ tail, computed as
+    ``erfc(√(chi2/2))`` through the shared Abramowitz-Stegun
+    polynomial so the DuckDB oracle matches bit-for-bit at rounded
+    precision. Zero discordant pairs → NULL chi2/p with the four
+    counts visible (the models never disagreed; there is no test to
+    run, and that is a result worth seeing, not an error).
+
+    Scale shape: ONE conditional-count aggregate (four cells,
+    map-side combine) + closed-form arithmetic on the 1-row result —
+    scan cost only, fully SQL-expressible.
+    """
+    a = F.col(a_col).cast("bigint")
+    b = F.col(b_col).cast("bigint")
+    guard = F.assert_true(
+        a.isin(0, 1) & b.isin(0, 1),
+        F.lit("stats.mcnemar: outcome columns must be binary 0/1"),
+    )
+    ac = a + F.coalesce(guard.cast("bigint"), F.lit(0))
+    base = df.where(a.isNotNull() & b.isNotNull())
+    agg = base.agg(
+        F.coalesce(F.sum(ac * b), F.lit(0)).cast("bigint").alias("both_pass"),
+        F.coalesce(F.sum((1 - ac) * (1 - b)), F.lit(0))
+        .cast("bigint")
+        .alias("both_fail"),
+        F.coalesce(F.sum(ac * (1 - b)), F.lit(0))
+        .cast("bigint")
+        .alias("only_a"),
+        F.coalesce(F.sum((1 - ac) * b), F.lit(0))
+        .cast("bigint")
+        .alias("only_b"),
+    )
+    oa, ob = F.col("only_a").cast("double"), F.col("only_b").cast("double")
+    disc = oa + ob
+    num = (
+        F.greatest(F.abs(oa - ob) - F.lit(1.0), F.lit(0.0))
+        if correction
+        else F.abs(oa - ob)
+    )
+    chi2 = F.when(disc > 0, num * num / disc)
+    p = _normal_two_sided_p(F.sqrt(chi2))
+    return agg.select(
+        (F.col("both_pass") + F.col("both_fail") + F.col("only_a")
+         + F.col("only_b")).alias("n_pairs"),
+        "both_pass",
+        "both_fail",
+        "only_a",
+        "only_b",
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(p, round_to).alias("p_value"),
+    )
+
+
 def odds_ratio(
     df: DataFrame,
     group_col: str,

@@ -3687,6 +3687,62 @@ def test_dunn_test(spark):
     assert r.z is None and r.p_value is None
 
 
+def test_mcnemar(spark):
+    """Cells vs a python count; chi2/p vs the closed form (p is the
+    chi2_1 tail = erfc(sqrt(chi2/2)), A-S polynomial within 1.5e-7 of
+    math.erfc); correction toggles; NULL pairs excluded; zero
+    discordants -> NULL stats with counts; binary guard; a planted
+    one-sided improvement flags."""
+    import math
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(13)
+    rows = []
+    for _ in range(2000):
+        hard = rnd.random() < 0.3          # pairing: shared difficulty
+        pa = 0.2 if hard else 0.85
+        pb = 0.2 if hard else 0.75         # model A better on easy items
+        rows.append((int(rnd.random() < pa), int(rnd.random() < pb)))
+    rows += [(None, 1), (1, None)]         # unpaired items excluded
+    df = spark.createDataFrame(rows, "a INT, b INT")
+    r = stats.mcnemar(df, "a", "b").collect()[0]
+
+    paired = [(x, y) for x, y in rows if x is not None and y is not None]
+    n11 = sum(1 for x, y in paired if x == 1 and y == 1)
+    n00 = sum(1 for x, y in paired if x == 0 and y == 0)
+    n10 = sum(1 for x, y in paired if x == 1 and y == 0)
+    n01 = sum(1 for x, y in paired if x == 0 and y == 1)
+    assert (r.both_pass, r.both_fail, r.only_a, r.only_b) == (n11, n00, n10, n01)
+    assert r.n_pairs == len(paired)
+    chi2 = (abs(n10 - n01) - 1) ** 2 / (n10 + n01)
+    assert r.chi2 == round(chi2, 6)
+    assert abs(r.p_value - math.erfc(math.sqrt(chi2 / 2))) < 2e-6
+    assert r.p_value < 0.05  # the planted A>B difference flags
+
+    r2 = stats.mcnemar(df, "a", "b", correction=False).collect()[0]
+    assert r2.chi2 == round((n10 - n01) ** 2 / (n10 + n01), 6)
+
+    # models that never disagree: NULL stats, visible counts
+    agree = spark.createDataFrame(
+        [(1, 1)] * 30 + [(0, 0)] * 20, "a INT, b INT"
+    )
+    r3 = stats.mcnemar(agree, "a", "b").collect()[0]
+    assert r3.chi2 is None and r3.p_value is None
+    assert r3.both_pass == 30 and r3.both_fail == 20 and r3.n_pairs == 50
+
+    # correction clamps at zero when |only_a - only_b| < 1
+    tie = spark.createDataFrame([(1, 0), (0, 1)], "a INT, b INT")
+    r4 = stats.mcnemar(tie, "a", "b").collect()[0]
+    assert r4.chi2 == 0.0 and r4.p_value == 1.0
+
+    with pytest.raises(Exception, match="binary"):
+        stats.mcnemar(
+            spark.createDataFrame([(2, 0)], "a INT, b INT"), "a", "b"
+        ).collect()
+
+
 def test_odds_ratio(spark):
     """Cells and closed forms vs a python reference; CI brackets the
     known effect; zero cell yields NULL not a fudged number; third
