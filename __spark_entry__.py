@@ -11068,6 +11068,175 @@ FROM e
 """
 
 
+def _q_cochran_q(spark, sf_dir):
+    """stats.cochran_q — k-gate omnibus over the SAME documents (the
+    mcnemar pair generalized to three quality gates: length,
+    alpha-ratio, contains-' the '); long format built by a 3-way
+    union. The oracle replays the per-item/per-model totals, the Q
+    identity, and the Wilson-Hilferty chi2(k-1) tail."""
+    from getl_spark.functions import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    gates = {
+        "g_len": (F.col("n_chars") >= 800).cast("int"),
+        "g_alpha": (
+            F.length(F.regexp_replace("text", r"[^A-Za-z]", "")) * 10
+            >= F.length("text") * 7
+        ).cast("int"),
+        "g_the": F.lower(F.col("text")).contains(" the ").cast("int"),
+    }
+    long = None
+    for name, expr in gates.items():
+        leg = docs.select(
+            F.col("doc_id").alias("item"),
+            F.lit(name).alias("model"),
+            expr.alias("pass"),
+        )
+        long = leg if long is None else long.unionByName(leg)
+    return stats.cochran_q(long, "item", "model", "pass")
+
+
+COCHRAN_Q_ORACLE = """
+WITH long AS (
+  SELECT doc_id AS item, 'g_len' AS model,
+         CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END AS pass
+  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 'g_alpha',
+         CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10
+                   >= length(text) * 7 THEN 1 ELSE 0 END
+  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 'g_the',
+         CASE WHEN position(' the ' IN lower(text)) > 0 THEN 1 ELSE 0 END
+  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+), items AS (
+  SELECT item, CAST(SUM(pass) AS DOUBLE) AS r FROM long GROUP BY 1
+), istats AS (
+  SELECT SUM(r) AS nN, SUM(r * r) AS r2,
+         CAST(COUNT(*) AS BIGINT) AS n FROM items
+), mstats AS (
+  SELECT SUM(c * c) AS c2, CAST(COUNT(*) AS BIGINT) AS k
+  FROM (SELECT model, CAST(SUM(pass) AS DOUBLE) AS c FROM long GROUP BY 1)
+), s AS (
+  SELECT n, k,
+         CASE WHEN k * nN - r2 > 0 THEN
+           k * (k - 1) * (c2 - nN * nN / k) / (k * nN - r2)
+         END AS q,
+         CAST(k - 1 AS DOUBLE) AS dof
+  FROM istats, mstats
+), z AS (
+  SELECT *,
+         (POWER(q / dof, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dof)))
+           / sqrt(2.0 / (9.0 * dof)) AS wz
+  FROM s
+), p AS (
+  SELECT *, 1 - (CASE WHEN wz >= 0 THEN 1 - pt / 2 ELSE pt / 2 END) AS pv
+  FROM (
+    SELECT *,
+           (0.254829592 * t5 - 0.284496736 * POWER(t5, 2)
+            + 1.421413741 * POWER(t5, 3) - 1.453152027 * POWER(t5, 4)
+            + 1.061405429 * POWER(t5, 5)) * exp(-(xx * xx)) AS pt
+    FROM (
+      SELECT *, abs(wz) / sqrt(2.0) AS xx,
+             1.0 / (1.0 + 0.3275911 * (abs(wz) / sqrt(2.0))) AS t5
+      FROM z))
+)
+SELECT n AS n_items, k AS k_models, ROUND(q, 6) AS q,
+       CAST(k - 1 AS BIGINT) AS df, ROUND(pv, 6) AS p_value
+FROM p
+"""
+
+
+def _q_mcnemar_pairs(spark, sf_dir):
+    """stats.mcnemar_pairs — the post-hoc after ``stats_cochran_q``:
+    WHICH gate pairs disagree, BH-adjusted across the 3 pairs. Same
+    three document gates; the oracle replays the pairwise discordant
+    cells, the Edwards chi2, the erfc tail, and the step-up BH min."""
+    from getl_spark.functions import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    gates = {
+        "g_len": (F.col("n_chars") >= 800).cast("int"),
+        "g_alpha": (
+            F.length(F.regexp_replace("text", r"[^A-Za-z]", "")) * 10
+            >= F.length("text") * 7
+        ).cast("int"),
+        "g_the": F.lower(F.col("text")).contains(" the ").cast("int"),
+    }
+    long = None
+    for name, expr in gates.items():
+        leg = docs.select(
+            F.col("doc_id").alias("item"),
+            F.lit(name).alias("model"),
+            expr.alias("pass"),
+        )
+        long = leg if long is None else long.unionByName(leg)
+    return stats.mcnemar_pairs(long, "item", "model", "pass")
+
+
+MCNEMAR_PAIRS_ORACLE = """
+WITH wide AS (
+  SELECT CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END AS g_len,
+         CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10
+                   >= length(text) * 7 THEN 1 ELSE 0 END AS g_alpha,
+         CASE WHEN position(' the ' IN lower(text)) > 0 THEN 1 ELSE 0 END
+           AS g_the
+  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+), cells AS (
+  SELECT 'g_alpha' AS model_a, 'g_len' AS model_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(g_alpha * (1 - g_len)) AS BIGINT) AS only_a,
+         CAST(SUM((1 - g_alpha) * g_len) AS BIGINT) AS only_b
+  FROM wide
+  UNION ALL
+  SELECT 'g_alpha', 'g_the', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(g_alpha * (1 - g_the)) AS BIGINT),
+         CAST(SUM((1 - g_alpha) * g_the) AS BIGINT)
+  FROM wide
+  UNION ALL
+  SELECT 'g_len', 'g_the', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(g_len * (1 - g_the)) AS BIGINT),
+         CAST(SUM((1 - g_len) * g_the) AS BIGINT)
+  FROM wide
+), s AS (
+  SELECT *,
+         CASE WHEN only_a + only_b > 0 THEN
+           POWER(GREATEST(ABS(CAST(only_a AS DOUBLE) - only_b) - 1.0, 0.0), 2)
+             / (only_a + only_b)
+         END AS chi2
+  FROM cells
+), e AS (
+  SELECT *,
+         (0.254829592 * t5 - 0.284496736 * POWER(t5, 2)
+          + 1.421413741 * POWER(t5, 3) - 1.453152027 * POWER(t5, 4)
+          + 1.061405429 * POWER(t5, 5)) * exp(-(xx * xx)) AS p
+  FROM (
+    SELECT *, sqrt(chi2) / sqrt(2.0) AS xx,
+           1.0 / (1.0 + 0.3275911 * (sqrt(chi2) / sqrt(2.0))) AS t5
+    FROM s)
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY p, model_a, model_b) AS rn,
+         CAST(COUNT(p) OVER () AS DOUBLE) AS m
+  FROM e
+), adj AS (
+  SELECT *,
+         LEAST(1.0, MIN(m * p / rn) OVER (
+           ORDER BY rn DESC ROWS UNBOUNDED PRECEDING)) AS padj
+  FROM ranked
+)
+SELECT model_a, model_b, n_pairs, only_a, only_b,
+       ROUND(chi2, 6) AS chi2, ROUND(p, 6) AS p_value,
+       ROUND(padj, 6) AS p_adjusted
+FROM adj
+"""
+
+
 def _q_drift_report_categorical(spark, sf_dir):
     """stats.drift_report with ``columns_categorical`` — the columns a
     training corpus drifts on FIRST (language/source mix) monitored
@@ -12166,6 +12335,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_merge_minhash_index": _q_merge_minhash_index,
         "similarity_merge_ivf_index": _q_merge_ivf_index,
         "stats_mcnemar": _q_mcnemar,
+        "stats_cochran_q": _q_cochran_q,
+        "stats_mcnemar_pairs": _q_mcnemar_pairs,
     }
 
 
@@ -12412,6 +12583,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_merge_minhash_index": MERGE_MINHASH_INDEX_ORACLE,
         "similarity_merge_ivf_index": MERGE_IVF_INDEX_ORACLE,
         "stats_mcnemar": MCNEMAR_ORACLE,
+        "stats_cochran_q": COCHRAN_Q_ORACLE,
+        "stats_mcnemar_pairs": MCNEMAR_PAIRS_ORACLE,
     }
 
 

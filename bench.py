@@ -180,6 +180,8 @@ DETAIL_QUERIES = [
     "similarity_merge_ivf_index",
     "similarity_knn_label_ivf",
     "stats_mcnemar",
+    "stats_cochran_q",
+    "stats_mcnemar_pairs",
     # stored-index build/query split: the composite rows above
     # (dedup_stored_index, dedup_cdc_stored_index) time build+query
     # together; these isolate the per-increment query leg so its

@@ -5701,6 +5701,228 @@ def dunn_test(
     )
 
 
+def cochran_q(
+    df: DataFrame,
+    item_col: str,
+    model_col: str,
+    outcome_col: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cochran's Q — the k-model omnibus over PAIRED binary outcomes
+    (k models/filter versions judged on the SAME items), generalizing
+    :func:`mcnemar` exactly as ``kruskal_wallis`` generalizes
+    ``mann_whitney``: "do these k pass-rate columns differ at all?"
+    before any pairwise reading. Long-format input: one row per
+    (item, model) with a binary 0/1 outcome (loud assert). The panel
+    must be COMPLETE — every item judged exactly once by every model
+    (the ``kendall_w`` contract, loud ValueError otherwise): an item
+    one model skipped is not a matched block, and silently dropping it
+    would bias toward the models that answered.
+
+    ``Q = k(k−1)·(ΣC_j² − N²/k) / (k·ΣR_i − ΣR_i²)`` with C_j the
+    per-model success totals, R_i the per-item totals, N = ΣR_i —
+    algebraically the variance of the column totals over the
+    within-item discordance; items every model passes or fails
+    contribute zero to both sides (no need to drop them). Zero
+    denominator (no item with a mixed verdict) → NULL Q/p with counts
+    visible, the ``mcnemar`` zero-discordant convention. Under H0,
+    Q ~ χ²(k−1): the tail is Wilson-Hilferty with a COLUMN dof
+    (k comes from the data) on the shared polynomial Φ. Follow a
+    significant Q with :func:`mcnemar_pairs`.
+
+    One row per group: ``(group..., n_items, k_models, q, df,
+    p_value)``.
+
+    Scale shape: two keyed partial aggregates (per-item totals — the
+    big one, shuffle ∝ items; per-model totals — k rows) folded to
+    per-group 1-row stats and joined (broadcast when ungrouped); no
+    windows, no pivot, no k×k anything.
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    y = F.col(outcome_col).cast("bigint")
+    guard_bin = F.assert_true(
+        y.isin(0, 1),
+        F.lit("stats.cochran_q: outcome column must be binary 0/1"),
+    )
+    checked = y + F.coalesce(guard_bin.cast("bigint"), F.lit(0))
+    base = df.where(
+        F.col(item_col).isNotNull()
+        & F.col(model_col).isNotNull()
+        & y.isNotNull()
+    ).select(
+        *keys,
+        F.col(item_col).alias("__it"),
+        F.col(model_col).alias("__md"),
+        checked.alias("__y"),
+    )
+    items = base.groupBy(*keys, "__it").agg(
+        F.sum("__y").cast("double").alias("__r"),
+        F.count("*").alias("__cnt"),
+        F.count_distinct("__md").alias("__ndm"),
+    )
+    istats = items.groupBy(*keys).agg(
+        F.sum("__r").alias("__totN"),
+        F.sum(F.col("__r") * F.col("__r")).alias("__R2"),
+        F.count("*").cast("bigint").alias("__n"),
+        F.min("__cnt").alias("__min_cnt"),
+        F.max("__cnt").alias("__max_cnt"),
+        F.min((F.col("__cnt") == F.col("__ndm")).cast("int")).alias("__nodup"),
+        F.sum("__cnt").alias("__cells"),
+    )
+    mstats = (
+        base.groupBy(*keys, "__md")
+        .agg(F.sum("__y").cast("double").alias("__c"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.col("__c") * F.col("__c")).alias("__C2"),
+            F.count("*").cast("bigint").alias("__k"),
+        )
+    )
+    if keys:
+        m = mstats.select(
+            *[F.col(c).alias(f"__m_{c}") for c in keys], "__C2", "__k"
+        )
+        cond = F.lit(True)
+        for c in keys:
+            cond = cond & istats[c].eqNullSafe(m[f"__m_{c}"])
+        j = istats.join(m, cond).drop(*[f"__m_{c}" for c in keys])
+    else:
+        j = istats.join(F.broadcast(mstats))
+    kk = F.col("__k").cast("double")
+    complete = (
+        (F.col("__min_cnt") == F.col("__k"))
+        & (F.col("__max_cnt") == F.col("__k"))
+        & (F.col("__nodup") == 1)
+        & (F.col("__cells") == F.col("__n") * F.col("__k"))
+        & (F.col("__k") >= 2)
+        & (F.col("__n") >= 1)
+    )
+    guard = F.assert_true(
+        complete,
+        F.lit(
+            "stats.cochran_q: panel is incomplete or duplicated - every "
+            "item must be judged exactly once by every model (k >= 2); "
+            "impute or drop items upstream, explicitly"
+        ),
+    )
+    denom = kk * F.col("__totN") - F.col("__R2")
+    q = F.when(
+        denom > 0,
+        kk * (kk - 1) * (F.col("__C2") - F.col("__totN") * F.col("__totN") / kk)
+        / denom,
+    )
+    dof = kk - 1
+    wh_z = (
+        (q / dof) ** F.lit(1.0 / 3.0) - (1 - 2.0 / (9.0 * dof))
+    ) / F.sqrt(2.0 / (9.0 * dof))
+    p = 1 - _normal_cdf(wh_z)
+    return j.select(
+        *keys,
+        F.when(guard.isNull(), F.col("__n")).alias("n_items"),
+        F.col("__k").alias("k_models"),
+        F.round(q, round_to).alias("q"),
+        (F.col("__k") - 1).cast("bigint").alias("df"),
+        F.round(p, round_to).alias("p_value"),
+    )
+
+
+def mcnemar_pairs(
+    df: DataFrame,
+    item_col: str,
+    model_col: str,
+    outcome_col: str,
+    correction: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise McNemar post-hoc after a significant :func:`cochran_q`
+    — WHICH model pairs actually differ, with Benjamini-Hochberg
+    adjustment across the k(k−1)/2 pair flood (the ``dunn_test``
+    convention). Long-format input like ``cochran_q``; pairs are
+    emitted once with ``model_a < model_b`` (deterministic).
+
+    One row per pair: ``(model_a, model_b, n_pairs, only_a, only_b,
+    chi2, p_value, p_adjusted)`` — ``only_a`` counts items model_a
+    passed and model_b failed; a pair that never disagrees gets NULL
+    chi2/p (excluded from the BH ``m``), matching :func:`mcnemar`.
+
+    Scale shape: one item-keyed self-join (k rows join k rows per
+    item — k² × items candidate rows, model count is small by
+    construction) into ONE (pair)-keyed count aggregate; BH runs on
+    the k(k−1)/2-row result.
+    """
+    y = F.col(outcome_col).cast("bigint")
+    guard_bin = F.assert_true(
+        y.isin(0, 1),
+        F.lit("stats.mcnemar_pairs: outcome column must be binary 0/1"),
+    )
+    checked = y + F.coalesce(guard_bin.cast("bigint"), F.lit(0))
+    base = df.where(
+        F.col(item_col).isNotNull()
+        & F.col(model_col).isNotNull()
+        & y.isNotNull()
+    ).select(
+        F.col(item_col).alias("__it"),
+        F.col(model_col).alias("__md"),
+        checked.alias("__y"),
+    )
+    a = base.select(
+        F.col("__it"), F.col("__md").alias("model_a"), F.col("__y").alias("__ya")
+    )
+    b = base.select(
+        F.col("__it").alias("__itb"),
+        F.col("__md").alias("model_b"),
+        F.col("__y").alias("__yb"),
+    )
+    pairs = (
+        a.join(b, (a["__it"] == b["__itb"]) & (a["model_a"] < b["model_b"]))
+        .groupBy("model_a", "model_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("__ya") * (1 - F.col("__yb")))
+            .cast("bigint")
+            .alias("only_a"),
+            F.sum((1 - F.col("__ya")) * F.col("__yb"))
+            .cast("bigint")
+            .alias("only_b"),
+        )
+    )
+    oa, ob = F.col("only_a").cast("double"), F.col("only_b").cast("double")
+    disc = oa + ob
+    num = (
+        F.greatest(F.abs(oa - ob) - F.lit(1.0), F.lit(0.0))
+        if correction
+        else F.abs(oa - ob)
+    )
+    chi2 = F.when(disc > 0, num * num / disc)
+    p = _normal_two_sided_p(F.sqrt(chi2))
+    scored = pairs.select(
+        "model_a",
+        "model_b",
+        "n_pairs",
+        "only_a",
+        "only_b",
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(p, round_to).alias("p_value"),
+        p.alias("__p_raw"),
+    )
+    adj = bh_adjust(scored, "__p_raw", round_to=round_to)
+    return adj.select(
+        "model_a",
+        "model_b",
+        "n_pairs",
+        "only_a",
+        "only_b",
+        "chi2",
+        "p_value",
+        F.col("p_adj").alias("p_adjusted"),
+    )
+
+
 def mcnemar(
     df: DataFrame,
     a_col: str,

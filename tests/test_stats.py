@@ -3687,6 +3687,130 @@ def test_dunn_test(spark):
     assert r.z is None and r.p_value is None
 
 
+def test_cochran_q_and_mcnemar_pairs(spark):
+    """Q vs a python replay; k=2 identity with uncorrected McNemar;
+    neutral all-agree items; zero-discordance NULL; completeness and
+    binary guards; pairwise rows match stats.mcnemar per pair with BH
+    adjustment across the pair flood."""
+    import math
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(5)
+    models = {"m_a": 0.85, "m_b": 0.75, "m_c": 0.74}
+    rows = []
+    for item in range(600):
+        hard = rnd.random() < 0.3
+        for m, p in models.items():
+            pp = 0.15 if hard else p
+            rows.append((item, m, int(rnd.random() < pp)))
+    df = spark.createDataFrame(rows, "item INT, model STRING, pass INT")
+
+    r = stats.cochran_q(df, "item", "model", "pass").collect()[0]
+    assert r.n_items == 600 and r.k_models == 3 and r.df == 2
+
+    # python replay
+    from collections import defaultdict
+
+    R, C = defaultdict(int), defaultdict(int)
+    for it, m, y in rows:
+        R[it] += y
+        C[m] += y
+    k, N = 3, sum(R.values())
+    num = k * (k - 1) * (sum(c * c for c in C.values()) - N * N / k)
+    den = k * N - sum(v * v for v in R.values())
+    want_q = num / den
+    assert r.q == round(want_q, 6)
+    assert r.p_value < 0.05  # m_a is genuinely better
+
+    # k=2 identity: Q == uncorrected McNemar chi2
+    two = df.where("model != 'm_c'")
+    rq = stats.cochran_q(two, "item", "model", "pass").collect()[0]
+    wide = {}
+    for it, m, y in rows:
+        if m != "m_c":
+            wide.setdefault(it, {})[m] = y
+    pairs_df = spark.createDataFrame(
+        [(v["m_a"], v["m_b"]) for v in wide.values()], "a INT, b INT"
+    )
+    rm = stats.mcnemar(pairs_df, "a", "b", correction=False).collect()[0]
+    assert rq.q == rm.chi2
+
+    # items every model passes/fails are neutral: Q unchanged
+    extra = [(9000 + i, m, 1) for i in range(40) for m in models] + [
+        (9500 + i, m, 0) for i in range(40) for m in models
+    ]
+    r2 = stats.cochran_q(
+        spark.createDataFrame(rows + extra, "item INT, model STRING, pass INT"),
+        "item", "model", "pass",
+    ).collect()[0]
+    assert r2.q == r.q and r2.n_items == 680
+
+    # no mixed-verdict item anywhere: NULL stats, counts visible
+    allsame = spark.createDataFrame(
+        [(i, m, i % 2) for i in range(10) for m in ("x", "y")],
+        "item INT, model STRING, pass INT",
+    )
+    r3 = stats.cochran_q(allsame, "item", "model", "pass").collect()[0]
+    assert r3.q is None and r3.p_value is None and r3.n_items == 10
+
+    # guards: incomplete panel; binary
+    with pytest.raises(Exception, match="incomplete"):
+        stats.cochran_q(
+            df.where("NOT (item = 0 AND model = 'm_a')"),
+            "item", "model", "pass",
+        ).collect()
+    with pytest.raises(Exception, match="binary"):
+        stats.cochran_q(
+            spark.createDataFrame(
+                [(0, "x", 2), (0, "y", 1)], "item INT, model STRING, pass INT"
+            ),
+            "item", "model", "pass",
+        ).collect()
+
+    # pairwise post-hoc: each row matches stats.mcnemar on the pivot
+    pr = {
+        (row.model_a, row.model_b): row
+        for row in stats.mcnemar_pairs(df, "item", "model", "pass").collect()
+    }
+    assert set(pr) == {("m_a", "m_b"), ("m_a", "m_c"), ("m_b", "m_c")}
+    wide3 = {}
+    for it, m, y in rows:
+        wide3.setdefault(it, {})[m] = y
+    for ma, mb in pr:
+        pivot = spark.createDataFrame(
+            [(v[ma], v[mb]) for v in wide3.values()], "a INT, b INT"
+        )
+        single = stats.mcnemar(pivot, "a", "b").collect()[0]
+        got = pr[(ma, mb)]
+        assert (got.only_a, got.only_b) == (single.only_a, single.only_b)
+        assert got.chi2 == single.chi2 and got.p_value == single.p_value
+        assert got.n_pairs == 600
+    # BH: adjusted never below raw, and m_a-vs-m_b stays a discovery
+    assert all(
+        row.p_adjusted is None or row.p_adjusted >= row.p_value
+        for row in pr.values()
+    )
+    assert pr[("m_a", "m_b")].p_adjusted < 0.05
+
+    # grouped cochran_q: per-group rows equal per-slice ungrouped runs
+    from pyspark.sql import functions as F
+
+    gdf = df.withColumn("g", (F.col("item") % 2).cast("int"))
+    grows = {
+        row.g: row
+        for row in stats.cochran_q(
+            gdf, "item", "model", "pass", group_by="g"
+        ).collect()
+    }
+    for gv in (0, 1):
+        solo = stats.cochran_q(
+            gdf.where(F.col("g") == gv), "item", "model", "pass"
+        ).collect()[0]
+        assert grows[gv].q == solo.q and grows[gv].n_items == solo.n_items
+
+
 def test_mcnemar(spark):
     """Cells vs a python count; chi2/p vs the closed form (p is the
     chi2_1 tail = erfc(sqrt(chi2/2)), A-S polynomial within 1.5e-7 of
