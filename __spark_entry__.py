@@ -11015,6 +11015,66 @@ GROUP BY m.g
 """
 
 
+def _q_procrustes_align(spark, sf_dir):
+    """embedding.procrustes_fit + procrustes_apply — the embedding
+    model-migration operator, driven on a self-inverting fixture: OLD
+    vectors are a quarter-offset integer formula (exactly
+    representable, never on a 6-dp rounding boundary), NEW = (OLD @
+    Q0)·0.6 + shift with Q0 a deterministic orthogonal matrix (QR of
+    a fixed integer matrix). The optimal similarity transform inverts
+    the construction EXACTLY (rmse ~1e-12), so the aligned output
+    must equal the OLD formula — which the DuckDB oracle computes
+    directly from the same arithmetic, no SVD replication needed.
+    The fit machinery itself (partial anchors, noise, rectangular
+    maps, partition invariance) is pytest-held in
+    tests/test_embedding.py."""
+    import numpy as np
+
+    from getl_spark.functions import embedding as E
+
+    d, n = 6, 24
+    old_rows = [
+        [((i * 3 + j * 5) % 11) - 5 + 0.25 for j in range(d)]
+        for i in range(n)
+    ]
+    m0 = np.array(
+        [[((i * 5 + j * 7) % 13) - 6 + 1.0 / (j + 2) for j in range(d)]
+         for i in range(d)]
+    )
+    q0 = np.linalg.qr(m0)[0]
+    shift = np.array([((j * 11) % 7) - 3 + 0.5 for j in range(d)])
+    new_rows = (np.array(old_rows) @ q0) * 0.6 + shift
+    old = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(old_rows)],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(new_rows)],
+        "vec_id long, embedding array<double>",
+    )
+    model = E.procrustes_fit(old, new)
+    aligned = E.procrustes_apply(new, model, "embedding")
+    return aligned.select(
+        "vec_id",
+        *[
+            F.round(F.col("aligned")[j], 6).alias(f"a{j}")
+            for j in range(d)
+        ],
+    )
+
+
+PROCRUSTES_ALIGN_ORACLE = """
+SELECT CAST(i AS BIGINT) AS vec_id,
+       CAST((i * 3 + 0) % 11 - 5 + 0.25 AS DOUBLE) AS a0,
+       CAST((i * 3 + 5) % 11 - 5 + 0.25 AS DOUBLE) AS a1,
+       CAST((i * 3 + 10) % 11 - 5 + 0.25 AS DOUBLE) AS a2,
+       CAST((i * 3 + 15) % 11 - 5 + 0.25 AS DOUBLE) AS a3,
+       CAST((i * 3 + 20) % 11 - 5 + 0.25 AS DOUBLE) AS a4,
+       CAST((i * 3 + 25) % 11 - 5 + 0.25 AS DOUBLE) AS a5
+FROM range(0, 24) t(i)
+"""
+
+
 def _q_mcnemar(spark, sf_dir):
     """stats.mcnemar — paired binary comparison of two quality gates
     judging the SAME documents (length gate vs alpha-ratio gate):
@@ -12337,6 +12397,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mcnemar": _q_mcnemar,
         "stats_cochran_q": _q_cochran_q,
         "stats_mcnemar_pairs": _q_mcnemar_pairs,
+        "embedding_procrustes_align": _q_procrustes_align,
     }
 
 
@@ -12585,6 +12646,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_mcnemar": MCNEMAR_ORACLE,
         "stats_cochran_q": COCHRAN_Q_ORACLE,
         "stats_mcnemar_pairs": MCNEMAR_PAIRS_ORACLE,
+        "embedding_procrustes_align": PROCRUSTES_ALIGN_ORACLE,
     }
 
 

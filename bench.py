@@ -182,6 +182,7 @@ DETAIL_QUERIES = [
     "stats_mcnemar",
     "stats_cochran_q",
     "stats_mcnemar_pairs",
+    "embedding_procrustes_align",
     # stored-index build/query split: the composite rows above
     # (dedup_stored_index, dedup_cdc_stored_index) time build+query
     # together; these isolate the per-increment query leg so its

@@ -358,6 +358,187 @@ def pca_project(
     )
 
 
+class ProcrustesModel:
+    """Driver-side result of ``procrustes_fit``: the similarity
+    transform aligning a NEW embedding space onto an OLD one —
+    ``aligned = (x − mean_src) @ rotation · scale + mean_dst``.
+    ``rotation`` is (d_src, d_dst) with orthonormal columns; ``rmse``
+    is the per-anchor alignment residual (closed form from the fit —
+    no extra pass). Bounded: d² doubles regardless of corpus size."""
+
+    def __init__(self, mean_src, mean_dst, rotation, scale, n_anchors, rmse):
+        self.mean_src = mean_src
+        self.mean_dst = mean_dst
+        self.rotation = rotation
+        self.scale = scale
+        self.n_anchors = n_anchors
+        self.rmse = rmse
+
+
+def procrustes_fit(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_scale: bool = True,
+) -> ProcrustesModel:
+    """Orthogonal-Procrustes alignment of a re-embedded corpus onto
+    the previous embedding space — the model-migration operator: when
+    the embedding model is upgraded, every stored vector, persisted
+    IVF/PQ index, and cached neighbor list lives in the OLD space, and
+    re-embedding 100 TB of documents is the cost you schedule, not the
+    one you pay on day one. Embedding spaces of successive model
+    versions are near-isometric up to rotation/scale, so fitting the
+    optimal similarity transform on the ANCHOR set (ids present in
+    both snapshots — rows the new model already re-embedded) lets
+    ``procrustes_apply`` bring the new vectors into the old space and
+    query the existing index while the backfill runs. Measure the fit
+    before trusting it: ``model.rmse`` against typical vector norms,
+    and ``similarity.recall_eval`` of aligned-query retrieval vs
+    brute force in the new space.
+
+    Exact semantics: anchors join on ``id_col`` (NULL vectors on
+    either side excluded); with means centered (translation), the
+    cross-covariance ``M = Σ (x−μ_src)(y−μ_dst)ᵀ`` is SVD'd and
+    ``rotation = U Vᵀ`` — the Frobenius-optimal orthogonal map (unique
+    when M is full-rank; no sign convention needed, U/V sign flips
+    cancel in the product). ``with_scale`` adds the optimal isotropic
+    scale ``trace(S)/Σ‖x−μ_src‖²`` (the umeyama form) — successive
+    model versions often shrink/grow norms. Rectangular maps
+    (d_src ≠ d_dst) are supported: the columns stay orthonormal.
+
+    Scale shape (the ``fit_pca`` template): one keyed join of the two
+    snapshots, ONE Arrow ``mapInPandas`` pass reducing each partition
+    to (count, sums, cross-Gram) partials — driver materialization is
+    partitions × d², never anchors — and a d×d SVD on the driver
+    (microseconds at embedding sizes). The rmse comes from the same
+    partials' norm sums (closed form), no second pass.
+    """
+    import numpy as np
+    import pandas as pd
+
+    o = old_df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__dst"),
+    )
+    n_ = new_df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__src"),
+    )
+    anchors = n_.join(o, "__id").select("__src", "__dst")
+
+    def _partials(batches):
+        n = 0
+        ssum = dsum = m = sq_s = sq_d = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["__src"].to_numpy())
+            y = np.stack(pdf["__dst"].to_numpy())
+            n += x.shape[0]
+            ssum = x.sum(axis=0) if ssum is None else ssum + x.sum(axis=0)
+            dsum = y.sum(axis=0) if dsum is None else dsum + y.sum(axis=0)
+            mm = x.T @ y
+            m = mm if m is None else m + mm
+            sq_s = (x * x).sum() if sq_s is None else sq_s + (x * x).sum()
+            sq_d = (y * y).sum() if sq_d is None else sq_d + (y * y).sum()
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "ssum": [ssum.tolist()],
+                    "dsum": [dsum.tolist()],
+                    "m": [m.reshape(-1).tolist()],
+                    "sq_s": [float(sq_s)],
+                    "sq_d": [float(sq_d)],
+                }
+            )
+
+    parts = anchors.mapInPandas(
+        _partials,
+        "n long, ssum array<double>, dsum array<double>, "
+        "m array<double>, sq_s double, sq_d double",
+    ).toPandas()
+    if not len(parts):
+        raise ValueError("procrustes_fit: no anchor rows (join on id empty)")
+    n = int(parts["n"].sum())
+    if n < 2:
+        raise ValueError(f"procrustes_fit: need >= 2 anchors, got {n}")
+    ssum = np.sum(np.stack(parts["ssum"].to_numpy()), axis=0)
+    dsum = np.sum(np.stack(parts["dsum"].to_numpy()), axis=0)
+    ds, dd = ssum.shape[0], dsum.shape[0]
+    if any(len(mm) != ds * dd for mm in parts["m"]):
+        raise ValueError("procrustes_fit: mixed embedding dimensions")
+    m = np.sum(
+        np.stack([np.asarray(x) for x in parts["m"]]), axis=0
+    ).reshape(ds, dd)
+    sq_s = float(parts["sq_s"].sum())
+    sq_d = float(parts["sq_d"].sum())
+    mu_s, mu_d = ssum / n, dsum / n
+    # centered cross-covariance and centered norm sums
+    mc = m - np.outer(mu_s, mu_d) * n
+    xs = sq_s - n * float(mu_s @ mu_s)
+    yd = sq_d - n * float(mu_d @ mu_d)
+    if xs <= 0:
+        raise ValueError(
+            "procrustes_fit: source anchors are a single point - no "
+            "rotation is identifiable"
+        )
+    u, sv, vt = np.linalg.svd(mc, full_matrices=False)
+    rot = u @ vt
+    scale = float(sv.sum() / xs) if with_scale else 1.0
+    # min ||s(X-mu)R - (Y-mu)||^2 = yd + s^2 xs - 2 s trace(S)
+    sse = max(yd + scale * scale * xs - 2.0 * scale * float(sv.sum()), 0.0)
+    rmse = float(np.sqrt(sse / n))
+    return ProcrustesModel(
+        mu_s.tolist(), mu_d.tolist(), rot.tolist(), scale, n, rmse
+    )
+
+
+def procrustes_apply(
+    df: DataFrame,
+    model: ProcrustesModel,
+    vec_col: str = "embedding",
+    new_col: str = "aligned",
+) -> DataFrame:
+    """Apply a fitted ``ProcrustesModel``:
+    ``(x − mean_src) @ rotation · scale + mean_dst`` as pure JVM
+    expressions (the ``pca_project`` shape — literals folded into
+    whole-stage codegen, zero Python in the hot path, zero shuffle),
+    so the whole new snapshot aligns at scan speed. NULL vectors pass
+    through NULL; a dimension mismatch fails loud executor-side."""
+    d_src = len(model.mean_src)
+    mean_s = F.array(*[F.lit(float(x)) for x in model.mean_src])
+    checked = F.when(
+        F.size(F.col(vec_col)) == F.lit(d_src),
+        F.col(vec_col).cast("array<double>"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"procrustes_apply: model dim {d_src} != vector dim "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast("array<double>")
+    )
+    centered = F.zip_with(checked, mean_s, lambda x, m: x - m)
+    rot = model.rotation  # (d_src, d_dst)
+    d_dst = len(model.mean_dst)
+    outs = []
+    for j in range(d_dst):
+        col_lit = F.array(*[F.lit(float(rot[i][j])) for i in range(d_src)])
+        dot = F.aggregate(
+            F.zip_with(centered, col_lit, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        outs.append(
+            dot * F.lit(float(model.scale)) + F.lit(float(model.mean_dst[j]))
+        )
+    return df.withColumn(
+        new_col, F.when(F.col(vec_col).isNotNull(), F.array(*outs))
+    )
+
+
 class PQModel:
     """Driver-side result of ``train_pq``: ``codebooks`` is an
     (m, k, d/m) nested list — per-subspace centroid tables. Bounded:

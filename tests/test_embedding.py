@@ -397,6 +397,110 @@ def test_train_pq_rejects_signed_byte_overflow(spark):
     )
 
 
+def test_procrustes_recovers_planted_transform(spark):
+    """Plant new = (old @ Q0)·a + b with a known orthogonal Q0: the
+    fit must invert it (rotation ≈ Q0ᵀ, scale ≈ 1/a) and the applied
+    alignment must land back on the old vectors with rmse ≈ 0."""
+    import numpy as np
+
+    from getl_spark.functions import embedding as E
+
+    X, old = _toy_vectors(spark, n=220, d=10, seed=7)
+    rng = np.random.default_rng(11)
+    q0 = np.linalg.qr(rng.normal(size=(10, 10)))[0]
+    a, b = 0.6, rng.normal(size=10)
+    Y = (X @ q0) * a + b
+    new = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(Y)],
+        "vec_id long, embedding array<double>",
+    )
+    m = E.procrustes_fit(old, new)
+    assert m.n_anchors == 220
+    assert m.rmse < 1e-9
+    assert abs(m.scale - 1 / a) < 1e-9
+    assert np.allclose(np.array(m.rotation), q0.T, atol=1e-8)
+    # columns orthonormal
+    R = np.array(m.rotation)
+    assert np.allclose(R.T @ R, np.eye(10), atol=1e-9)
+
+    aligned = E.procrustes_apply(new, m, "embedding")
+    got = {r.vec_id: r.aligned for r in aligned.collect()}
+    assert np.allclose(
+        np.stack([got[i] for i in range(len(X))]), X, atol=1e-8
+    )
+
+    # apply is scan-side: no exchange in the plan
+    plan = (
+        E.procrustes_apply(new, m, "embedding")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+    # NULL passthrough + dim-mismatch loud
+    with_null = new.unionByName(
+        spark.createDataFrame([(9999, None)], new.schema)
+    )
+    rows = {r.vec_id: r.aligned for r in E.procrustes_apply(with_null, m).collect()}
+    assert rows[9999] is None
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="model dim"):
+        E.procrustes_apply(bad, m).collect()
+
+
+def test_procrustes_partial_anchors_noise_and_rectangular(spark):
+    """Real migration shape: only SOME ids overlap (the join defines
+    the anchors), the new space carries noise (rmse > 0 but the
+    recovered rotation still beats identity), and a rectangular map
+    (d_src > d_dst) keeps orthonormal COLUMNS. Partition invariance
+    like fit_pca."""
+    import numpy as np
+
+    from getl_spark.functions import embedding as E
+
+    X, old = _toy_vectors(spark, n=300, d=8, seed=21)
+    rng = np.random.default_rng(22)
+    q0 = np.linalg.qr(rng.normal(size=(8, 8)))[0]
+    Y = X @ q0 + rng.normal(size=X.shape) * 0.01
+    new = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(Y)],
+        "vec_id long, embedding array<double>",
+    )
+    # anchors = even ids only; odd ids exist only in new
+    m = E.procrustes_fit(old.where("vec_id % 2 = 0"), new, with_scale=False)
+    assert m.n_anchors == 150 and m.scale == 1.0
+    assert 0 < m.rmse < 0.1
+    assert np.allclose(np.array(m.rotation), q0.T, atol=0.05)
+
+    # partition invariance
+    m2 = E.procrustes_fit(
+        old.where("vec_id % 2 = 0").repartition(13), new.repartition(7),
+        with_scale=False,
+    )
+    assert np.allclose(np.array(m.rotation), np.array(m2.rotation), atol=1e-7)
+
+    # rectangular: old space is the first 4 PCA-ish dims
+    old4 = spark.createDataFrame(
+        [(i, [float(v) for v in row[:4]]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    mr = E.procrustes_fit(old4, new)
+    R = np.array(mr.rotation)
+    assert R.shape == (8, 4)
+    assert np.allclose(R.T @ R, np.eye(4), atol=1e-8)
+    out = E.procrustes_apply(new.limit(5), mr).collect()
+    assert all(len(r.aligned) == 4 for r in out)
+
+    # guards: empty anchor join; single point
+    with pytest.raises(ValueError, match="anchor"):
+        E.procrustes_fit(old.where("vec_id < 0"), new)
+    with pytest.raises(ValueError, match="2 anchors"):
+        E.procrustes_fit(old.where("vec_id = 0"), new)
+
+
 def test_pca_project_rejects_dim_mismatch(spark):
     from getl_spark.functions import embedding as E
 
