@@ -11075,6 +11075,34 @@ FROM range(0, 24) t(i)
 """
 
 
+def _q_kcenter(spark, sf_dir):
+    """sample.kcenter — greedy k-center coreset selection on a fixed
+    hand-derivable 1-D frame (iterative ops pin golden VALUES, the
+    k_core convention): seed = smallest id, then farthest-min-distance
+    with a (dist desc, id asc) tie-break; every step of the expected
+    sequence is checkable by hand on the number line. The distributed
+    mechanics (python-replay differential, cosine metric, duplicate
+    early-stop, guards) are pytest-held in tests/test_sample.py."""
+    from getl_spark.functions import sample
+
+    pos = [0, 1, 2, 4, 8, 16, 32, 64, 100, 101]
+    df = spark.createDataFrame(
+        [(i, [float(p)]) for i, p in enumerate(pos)],
+        "vec_id long, embedding array<double>",
+    )
+    return sample.kcenter(df, k=5)
+
+
+KCENTER_ORACLE = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(ord AS INTEGER) AS selection_order,
+       CAST(d AS DOUBLE) AS dist_at_selection
+FROM (VALUES
+  (0, 0, NULL), (9, 1, 101.0), (7, 2, 37.0), (6, 3, 32.0), (5, 4, 16.0)
+) AS t(vec_id, ord, d)
+"""
+
+
 def _q_mcnemar(spark, sf_dir):
     """stats.mcnemar — paired binary comparison of two quality gates
     judging the SAME documents (length gate vs alpha-ratio gate):
@@ -12398,6 +12426,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cochran_q": _q_cochran_q,
         "stats_mcnemar_pairs": _q_mcnemar_pairs,
         "embedding_procrustes_align": _q_procrustes_align,
+        "sample_kcenter": _q_kcenter,
     }
 
 
@@ -12647,6 +12676,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_cochran_q": COCHRAN_Q_ORACLE,
         "stats_mcnemar_pairs": MCNEMAR_PAIRS_ORACLE,
         "embedding_procrustes_align": PROCRUSTES_ALIGN_ORACLE,
+        "sample_kcenter": KCENTER_ORACLE,
     }
 
 

@@ -183,6 +183,7 @@ DETAIL_QUERIES = [
     "stats_cochran_q",
     "stats_mcnemar_pairs",
     "embedding_procrustes_align",
+    "sample_kcenter",
     # stored-index build/query split: the composite rows above
     # (dedup_stored_index, dedup_cdc_stored_index) time build+query
     # together; these isolate the per-increment query leg so its

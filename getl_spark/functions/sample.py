@@ -723,3 +723,133 @@ def split_leakage(
         "n_pairs",
         F.round(F.col("n_pairs") / F.col("__tot"), round_to).alias("share"),
     )
+
+
+def kcenter(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2",
+    max_k: int = 1024,
+) -> DataFrame:
+    """Greedy k-center coreset selection over an embedding column —
+    the diverse-subset picker for label budgets and eval sets: each
+    step adds the point FARTHEST (min-distance) from everything chosen
+    so far, so k points cover the corpus with the smallest max
+    distance any one-pass sampler can approach (the classical 2-approx
+    of the NP-hard k-center optimum). ``hash_fraction`` answers "a
+    representative sample"; kcenter answers "the corners of the
+    distribution" — where labeling money and eval items are worth the
+    most. Output: the k selected rows as
+    ``(id_col, selection_order, dist_at_selection)`` —
+    ``dist_at_selection`` is each point's min-distance to the
+    previously chosen set at the moment it was picked (a decreasing
+    sequence; the LAST value is a coverage-radius bound for the whole
+    corpus, the "how far is the farthest unlabeled point" readout).
+
+    Deterministic end to end: the seed is the smallest id, every
+    argmax breaks ties (distance desc, id asc), and distances are
+    plain float64 arithmetic — same selection on any cluster at any
+    parallelism. ``metric``: ``'l2'`` (euclidean) or ``'cosine'``
+    (1 − cosine similarity; zero-norm vectors rejected loudly).
+
+    Scale shape — READ THIS before large k: greedy k-center is
+    inherently sequential, so this costs exactly k passes over the
+    corpus (one distance-update + TakeOrdered argmax per step). The
+    running min-distance column makes each pass O(d) per row
+    regardless of step (not O(k·d)): ``mind`` folds via
+    ``least(mind, dist-to-newest-center)`` and the frame re-pins
+    every step (superseded pins released via ``unpin``), keeping
+    lineage flat. k is capped by ``max_k`` (loud) — at corpus scale
+    pre-reduce with ``hash_fraction`` or per-cell sampling first,
+    then kcenter the reduced pool.
+    """
+    if k < 1:
+        raise ValueError(f"kcenter: k must be >= 1, got {k}")
+    if k > max_k:
+        raise ValueError(
+            f"kcenter: k={k} exceeds max_k={max_k} - each center costs "
+            "a full corpus pass; pre-reduce the pool (hash_fraction / "
+            "per-cell sampling) or raise max_k explicitly"
+        )
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"kcenter: unknown metric {metric!r}")
+    from getl_spark.common.scale import pin, unpin
+
+    base = (
+        df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+    )
+    if metric == "cosine":
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("__v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        guard = F.assert_true(
+            nrm > 0, F.lit("kcenter: zero-norm vector under metric='cosine'")
+        )
+        base = base.select(
+            "__id",
+            F.when(
+                guard.isNull(),
+                F.transform(F.col("__v"), lambda x: x / nrm),
+            ).alias("__v"),
+        )
+    base = base.transform(pin)
+
+    def dist_to(center_vec):
+        c = F.array(*[F.lit(float(x)) for x in center_vec])
+        if metric == "l2":
+            return F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("__v"), c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            )
+        # normalized vectors: 1 - dot
+        return F.lit(1.0) - F.aggregate(
+            F.zip_with(F.col("__v"), c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    seed = base.orderBy(F.asc("__id")).limit(1).collect()
+    if not seed:
+        raise ValueError("kcenter: no non-null vectors to select from")
+    chosen = [(seed[0]["__id"], None)]
+    center = seed[0]["__v"]
+    state = base.select(
+        "__id", "__v", dist_to(center).alias("__mind")
+    ).transform(pin)
+    unpin(base)
+    for _ in range(1, k):
+        nxt = (
+            state.orderBy(F.desc("__mind"), F.asc("__id")).limit(1).collect()
+        )
+        row = nxt[0]
+        if row["__mind"] <= 0:
+            break  # every remaining point coincides with a center
+        chosen.append((row["__id"], float(row["__mind"])))
+        new_state = state.select(
+            "__id",
+            "__v",
+            F.least(F.col("__mind"), dist_to(row["__v"])).alias("__mind"),
+        ).transform(pin)
+        unpin(state)
+        state = new_state
+    unpin(state)
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    out = spark.createDataFrame(
+        [(cid, i, d) for i, (cid, d) in enumerate(chosen)],
+        f"{id_col} {id_type}, selection_order int, dist_at_selection double",
+    )
+    return out

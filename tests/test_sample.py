@@ -742,3 +742,108 @@ def test_split_leakage_audit(spark):
     assert out[(None, None)] == (1, 0.2)
     assert len(out) == 5
     assert sum(s for _, s in out.values()) == pytest.approx(1.0)
+
+
+# ------------------------------------------------------------ kcenter
+def test_kcenter_hand_derivable_line(spark):
+    """1-D points where every greedy step is hand-checkable: seed is
+    the smallest id, then farthest-min-distance with (dist desc, id
+    asc) tie-break; dist_at_selection decreases and the last value
+    bounds the coverage radius."""
+    pos = [0, 1, 2, 4, 8, 16, 32, 64, 100, 101]
+    df = spark.createDataFrame(
+        [(i, [float(p)]) for i, p in enumerate(pos)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = sample.kcenter(df, k=5).orderBy("selection_order").collect()
+    assert [(r.vec_id, r.dist_at_selection) for r in rows] == [
+        (0, None), (9, 101.0), (7, 37.0), (6, 32.0), (5, 16.0),
+    ]
+    ds = [r.dist_at_selection for r in rows[1:]]
+    assert ds == sorted(ds, reverse=True)
+
+
+def test_kcenter_differential_python_replay(spark):
+    """Random 3-D pool: the distributed selection equals an exact
+    pure-python greedy replay, selected set is k distinct ids, and
+    duplicate points stop the selection early (mind == 0)."""
+    import math
+    import random
+
+    rnd = random.Random(3)
+    pts = [
+        (i, [rnd.uniform(-1, 1) for _ in range(3)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    got = [
+        (r.vec_id, r.dist_at_selection)
+        for r in sample.kcenter(df, k=8).orderBy("selection_order").collect()
+    ]
+
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    vec = dict(pts)
+    chosen = [0]
+    mind = {i: d(v, vec[0]) for i, v in pts}
+    want = [(0, None)]
+    for _ in range(7):
+        nxt = max(mind.items(), key=lambda kv: (kv[1], -kv[0]))
+        want.append((nxt[0], nxt[1]))
+        chosen.append(nxt[0])
+        for i, v in pts:
+            mind[i] = min(mind[i], d(v, vec[nxt[0]]))
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gi, gd), (wi, wd) in zip(got[1:], want[1:]):
+        assert abs(gd - wd) < 1e-9
+
+    # duplicates exhaust diversity: only distinct points get selected
+    dup = spark.createDataFrame(
+        [(0, [0.0]), (1, [0.0]), (2, [5.0]), (3, [5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    short = sample.kcenter(dup, k=4).collect()
+    assert sorted(r.vec_id for r in short) == [0, 2]
+
+
+def test_kcenter_cosine_and_guards(spark):
+    """Cosine metric selects by angle not magnitude; zero-norm vector
+    fails loud under cosine; k/max_k/empty guards."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [10.0, 0.1]),          # same direction as 0, big norm
+            (2, [0.0, 1.0]),           # orthogonal
+            (3, [-1.0, 0.0]),          # opposite
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = (
+        sample.kcenter(df, k=3, metric="cosine")
+        .orderBy("selection_order")
+        .collect()
+    )
+    # seed 0; farthest by angle is the opposite vector, then orthogonal
+    assert [r.vec_id for r in rows] == [0, 3, 2]
+    assert abs(rows[1].dist_at_selection - 2.0) < 1e-9
+    assert abs(rows[2].dist_at_selection - 1.0) < 1e-9
+
+    with pytest.raises(Exception, match="zero-norm"):
+        sample.kcenter(
+            spark.createDataFrame(
+                [(0, [0.0, 0.0]), (1, [1.0, 0.0])],
+                "vec_id long, embedding array<double>",
+            ),
+            k=2,
+            metric="cosine",
+        )
+    with pytest.raises(ValueError, match="max_k"):
+        sample.kcenter(df, k=2000)
+    with pytest.raises(ValueError, match="k must"):
+        sample.kcenter(df, k=0)
+    with pytest.raises(ValueError, match="no non-null"):
+        sample.kcenter(df.where("vec_id < 0"), k=2)
+    with pytest.raises(ValueError, match="unknown metric"):
+        sample.kcenter(df, k=2, metric="manhattan")
