@@ -62,6 +62,8 @@ NESTED_LOOP_WHITELIST = {
     "stats_gains_table": "1-row per-group totals broadcast onto the distinct-score blocks (ungrouped scorer)",
     "quality_label_noise": "1-row class-threshold table broadcast back onto the scan (ungrouped pool)",
     "stats_kruskal_wallis": "1-row tie/total broadcast onto the k-row arm table",
+    "stats_cochran_q": "1-row per-item-stats x 1-row per-model-stats "
+    "broadcast fuse (ungrouped panel)",
     "stats_dunn_test": "k-row arm-table self-join (bounded pair table) + 1-row tie/total broadcast",
     "stats_log_rank": "1-row per-arm totals broadcast onto the duration-counts table",
     "text_unigram_logprob": "1-row vocab-total broadcast",
