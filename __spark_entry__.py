@@ -11668,6 +11668,116 @@ FROM joined GROUP BY batch_id
 """
 
 
+def _q_stream_drift_monitor_categorical(spark, sf_dir):
+    """write::stream_drift_monitor with ``ColumnsCategorical`` driven
+    end-to-end: reference = documents' lang mix (top-3 categories
+    frozen at resolve + __other__); wave 1 replays an in-distribution
+    slice (psi ≈ 0), wave 2 rewrites most langs to a language the
+    reference never saw — its mass lands in the frozen __other__
+    bucket and PSI spikes. One file per wave → deterministic batch
+    ids; the oracle replays the frozen top-K cut (count desc, value
+    asc) and the ε-share PSI per wave."""
+    tmp = "/tmp/getl_spark_q/stream_drift_cat"
+    shutil.rmtree(tmp, ignore_errors=True)
+    src, report, ckpt = f"{tmp}/src", f"{tmp}/report", f"{tmp}/ckpt"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def drain():
+        definition = {
+            "LiftJob": {
+                "Read": {
+                    "Type": "load::stream_json",
+                    "Properties": {
+                        "Path": src,
+                        "JsonSchema": {
+                            "type": "struct",
+                            "fields": [
+                                {"name": "lang", "type": "string",
+                                 "nullable": True, "metadata": {}},
+                            ],
+                        },
+                    },
+                },
+                "Mon": {
+                    "Type": "write::stream_drift_monitor",
+                    "Input": "Read",
+                    "Properties": {
+                        "Path": report,
+                        "Reference": f"{sf_dir}/documents.parquet",
+                        "ColumnsCategorical": ["lang"],
+                        "TopK": 3,
+                        "Checkpoint": ckpt,
+                    },
+                },
+            }
+        }
+        from getl_spark import lift
+
+        lift(spark, yaml.safe_dump(definition, sort_keys=False))
+
+    slice_ = docs.where("doc_id % 3 = 0").select("lang")
+    slice_.coalesce(1).write.mode("overwrite").json(src)
+    drain()
+    slice_.select(
+        F.when(F.col("lang") == "en", F.lit("xx")).otherwise(
+            F.col("lang")
+        ).alias("lang")
+    ).coalesce(1).write.mode("append").json(src)
+    drain()
+    from getl_spark.common.tables import ManagedTable
+
+    return ManagedTable(spark, report).read()
+
+
+STREAM_DRIFT_MONITOR_CAT_ORACLE = """
+WITH refc AS (
+  SELECT lang AS v, CAST(COUNT(*) AS DOUBLE) AS c FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1
+), topk AS (
+  SELECT v FROM refc
+  QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, v ASC) <= 3
+), waves AS (
+  SELECT 0 AS batch_id, lang AS v FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 1, CASE WHEN lang = 'en' THEN 'xx' ELSE lang END
+  FROM documents WHERE doc_id % 3 = 0
+), refs AS (
+  -- frozen reference shares over kept categories + __other__
+  SELECT CASE WHEN topk.v IS NOT NULL THEN refc.v
+              ELSE '__other__' END AS b, SUM(c) AS c
+  FROM refc LEFT JOIN topk ON refc.v = topk.v GROUP BY 1
+), refsh AS (
+  SELECT b, c / SUM(c) OVER () AS p FROM refs
+), wb AS (
+  SELECT batch_id,
+         CASE WHEN topk.v IS NOT NULL THEN waves.v
+              ELSE '__other__' END AS b,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM waves LEFT JOIN topk ON waves.v = topk.v
+  WHERE waves.v IS NOT NULL
+  GROUP BY 1, 2
+), grid AS (
+  -- every (batch, reference bucket): the monitor iterates the FROZEN
+  -- kept set (+ __other__), so buckets a wave never hits count as 0
+  SELECT w.batch_id, r.b, COALESCE(wb.c, 0) AS c
+  FROM (SELECT DISTINCT batch_id FROM waves) w
+  CROSS JOIN (SELECT DISTINCT b FROM refsh) r
+  LEFT JOIN wb ON wb.batch_id = w.batch_id AND wb.b = r.b
+), ws AS (
+  SELECT batch_id, b, c / SUM(c) OVER (PARTITION BY batch_id) AS q
+  FROM grid
+)
+SELECT CAST(ws.batch_id AS BIGINT) AS batch_id,
+       'lang' AS "column",
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE doc_id % 3 = 0) AS batch_rows,
+       ROUND(SUM((ws.q + 1e-6 - refsh.p - 1e-6)
+                 * ln((ws.q + 1e-6) / (refsh.p + 1e-6))), 6) AS psi
+FROM ws JOIN refsh ON ws.b = refsh.b
+GROUP BY ws.batch_id
+"""
+
+
 def _q_ab_report(spark, sf_dir):
     """stats.ab_report — the multi-metric experiment readout in one
     melt-scan (view vs click arms over events; metrics: value and
@@ -12427,6 +12537,9 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mcnemar_pairs": _q_mcnemar_pairs,
         "embedding_procrustes_align": _q_procrustes_align,
         "sample_kcenter": _q_kcenter,
+        "stream_drift_monitor_categorical_drain": (
+            _q_stream_drift_monitor_categorical
+        ),
     }
 
 
@@ -12677,6 +12790,9 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_mcnemar_pairs": MCNEMAR_PAIRS_ORACLE,
         "embedding_procrustes_align": PROCRUSTES_ALIGN_ORACLE,
         "sample_kcenter": KCENTER_ORACLE,
+        "stream_drift_monitor_categorical_drain": (
+            STREAM_DRIFT_MONITOR_CAT_ORACLE
+        ),
     }
 
 

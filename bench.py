@@ -184,6 +184,7 @@ DETAIL_QUERIES = [
     "stats_mcnemar_pairs",
     "embedding_procrustes_align",
     "sample_kcenter",
+    "stream_drift_monitor_categorical_drain",
     # stored-index build/query split: the composite rows above
     # (dedup_stored_index, dedup_cdc_stored_index) time build+query
     # together; these isolate the per-increment query leg so its
