@@ -509,8 +509,10 @@ def merge_ivf_index(
     that of the kept quantizer (measure with ``recall_eval`` after a
     merge, exactly as after a build).
 
-    Duplicate ids (a vector present in both periods) keep one row.
-    Dimension mismatch and merging onto an input path fail loud.
+    Duplicate ids (a vector present in both periods) keep the LARGER
+    side's row — deterministic, and the larger side is the one whose
+    quantizer the merged index answers with. Dimension mismatch and
+    merging onto an input path fail loud.
 
     Scale shape: two footer-count probes + one nlist-row centroid
     collect (driver-bounded, same as every IVF query) + one scan of
@@ -545,15 +547,18 @@ def merge_ivf_index(
 
     cols = ["nbr_id", "cvec", "cnorm", "cell"]
     big_vecs = spark.read.parquet(f"{big}/vectors").select(*cols)
+    # id collisions resolve to the LARGER side deterministically (an
+    # arbitrary dropDuplicates pick would make merged indexes
+    # run-dependent when a vector was re-embedded between periods)
     small_re = (
         spark.read.parquet(f"{small}/vectors")
+        .join(big_vecs.select("nbr_id"), "nbr_id", "left_anti")
         .drop("cell")
         .withColumn("cell", centroid_cells_expr(cent_n, F.col("cvec"))[0])
         .select(*cols)
     )
     (
         big_vecs.unionByName(small_re)
-        .dropDuplicates(["nbr_id"])
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{out_path}/vectors")

@@ -774,6 +774,24 @@ def test_merge_ivf_index_identity_under_full_probes(spark, tmp_path):
         spark.read.parquet(f"{pm2}/vectors").count() == emb.count()
     )
 
+    # a CONFLICTING duplicate id (re-embedded between periods) must
+    # resolve to the larger side deterministically
+    conf_b = spark.createDataFrame(
+        [(1, [9.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    pcb = str(tmp_path / "ivf_conflict")
+    similarity.build_ivf_index(conf_b, pcb, nlist=1)
+    pmc = str(tmp_path / "ivf_m_conflict")
+    similarity.merge_ivf_index(spark, pa, pcb, pmc)
+    kept_vec = (
+        spark.read.parquet(f"{pmc}/vectors").where("nbr_id = 1").collect()
+    )
+    want = (
+        spark.read.parquet(f"{pa}/vectors").where("nbr_id = 1").collect()
+    )
+    assert len(kept_vec) == 1
+    assert list(kept_vec[0].cvec) == list(want[0].cvec)  # larger side wins
+
     # guards: overwriting an input; dimension mismatch
     with pytest.raises(ValueError, match="out_path"):
         similarity.merge_ivf_index(spark, pa, pb, pa)
