@@ -315,7 +315,14 @@ def main() -> None:
             "comparisons should be read CANARY-RELATIVE: divide "
             "each query delta by the cpu-canary ratio between the "
             "two rounds before calling a regression (r8's uniform "
-            "1.38x drift was environment, not code)"
+            "1.38x drift was environment, not code). r10: the "
+            "dedup_stored_index/dedup_cdc_stored_index composites "
+            "are split into *_build / *_query rows so the "
+            "per-increment query leg is visible; the *_merge_* rows "
+            "are END-TO-END by design (build A + build B + merge + "
+            "query) — consolidation is once-per-period, not "
+            "per-increment, so the composite total is the number a "
+            "capacity plan needs"
         ),
         "canary": canary,
     }
