@@ -11677,7 +11677,9 @@ def _q_stream_drift_monitor_categorical(spark, sf_dir):
     bucket and PSI spikes. One file per wave → deterministic batch
     ids; the oracle replays the frozen top-K cut (count desc, value
     asc) and the ε-share PSI per wave."""
-    tmp = "/tmp/getl_spark_q/stream_drift_cat"
+    # sf-tagged scratch: concurrent harnesses at different SFs
+    # (pytest sf0.001 vs check_oracle sf0.01) must not share a path
+    tmp = f"/tmp/getl_spark_q/stream_drift_cat_{os.path.basename(sf_dir.rstrip('/'))}"
     shutil.rmtree(tmp, ignore_errors=True)
     src, report, ckpt = f"{tmp}/src", f"{tmp}/report", f"{tmp}/ckpt"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
