@@ -806,6 +806,26 @@ def test_kcenter_differential_python_replay(spark):
     assert sorted(r.vec_id for r in short) == [0, 2]
 
 
+def test_kcenter_partition_invariant(spark):
+    """The docstring promises the same selection on any cluster at any
+    parallelism: 1 vs 32 input partitions must select identical ids in
+    identical order with identical distances."""
+    import random
+
+    rnd = random.Random(17)
+    pts = [(i, [rnd.uniform(-5, 5) for _ in range(4)]) for i in range(120)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    runs = []
+    for parts in (1, 32):
+        rows = (
+            sample.kcenter(df.repartition(parts), k=6)
+            .orderBy("selection_order")
+            .collect()
+        )
+        runs.append([(r.vec_id, r.dist_at_selection) for r in rows])
+    assert runs[0] == runs[1]
+
+
 def test_kcenter_cosine_and_guards(spark):
     """Cosine metric selects by angle not magnitude; zero-norm vector
     fails loud under cosine; k/max_k/empty guards."""

@@ -3323,6 +3323,31 @@ def test_drift_report(spark):
     assert r3["m3"].psi is None and r3["m3"].n_right == 800
 
 
+def test_drift_report_categorical_partition_invariant(spark):
+    """Categorical PSI (incl. the salted two-phase top-K cut) must be
+    identical at any input parallelism — the top-K is decided on
+    GLOBAL counts with a total (count desc, value asc) order, so no
+    partitioning can change which categories are kept."""
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(31)
+    cats = [f"c{i:02d}" for i in range(30)]
+    rows_a = [(rnd.choice(cats[: 5 + i % 25]),) for i in range(4000)]
+    rows_b = [(rnd.choice(cats),) for _ in range(3000)]
+    a = spark.createDataFrame(rows_a, "lang STRING")
+    b = spark.createDataFrame(rows_b, "lang STRING")
+    outs = []
+    for pa, pb in ((1, 1), (32, 7)):
+        r = stats.drift_report(
+            a.repartition(pa), b.repartition(pb),
+            columns_categorical=["lang"], top_k=8,
+        ).collect()[0]
+        outs.append((r.psi, r.n_left, r.n_right))
+    assert outs[0] == outs[1]
+
+
 def test_drift_report_categorical(spark):
     """Categorical columns: top-K by reference frequency + __other__,
     exact python replay of the ε-smoothed share PSI; a new-on-right
