@@ -11075,6 +11075,62 @@ FROM range(0, 24) t(i)
 """
 
 
+def _q_extract_links(spark, sf_dir):
+    """text.extract_links — the crawl-graph edge generator, on a fixed
+    frame covering the boundary cases (trailing-punctuation strip,
+    inner punctuation kept, userinfo/port/www removal, multi-link
+    ordering, NULL/linkless docs). Host comes from a REGEXP by design
+    so the oracle replays the identical expressions verbatim."""
+    from getl_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "see https://example.org/a. and "
+                "http://www.Foo.COM:8080/b?q=1,2 end"),
+            (1, "paren (https://x.y.z/p_(1)) and "
+                "<https://u:p@host.net/q;v=2>"),
+            (2, "no links here"),
+            (3, None),
+            (4, "bare https://single.io"),
+        ],
+        "doc_id long, text string",
+    )
+    return text.extract_links(docs)
+
+
+EXTRACT_LINKS_ORACLE = """
+WITH docs AS (
+  SELECT * FROM (VALUES
+    (CAST(0 AS BIGINT),
+     'see https://example.org/a. and http://www.Foo.COM:8080/b?q=1,2 end'),
+    (CAST(1 AS BIGINT),
+     'paren (https://x.y.z/p_(1)) and <https://u:p@host.net/q;v=2>'),
+    (CAST(2 AS BIGINT), 'no links here'),
+    (CAST(3 AS BIGINT), NULL),
+    (CAST(4 AS BIGINT), 'bare https://single.io')
+  ) AS t(doc_id, txt)
+), m AS (
+  SELECT doc_id,
+         regexp_extract_all(txt, 'https?://[^\\s"''<>\\)\\]]+') AS u
+  FROM docs WHERE txt IS NOT NULL
+), ex AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS link_idx,
+         regexp_replace(u[i], '[.,;:!?]+$', '') AS url
+  FROM m, unnest(range(1, len(u) + 1)) AS r(i)
+), hosted AS (
+  SELECT doc_id, link_idx, url,
+         regexp_replace(
+           lower(regexp_extract(url,
+             '^https?://(?:[^/@\\s]*@)?([^/:?#]+)', 1)),
+           '^www\\.', '') AS h
+  FROM ex
+)
+SELECT doc_id, link_idx, url,
+       CASE WHEN h <> '' THEN h END AS host
+FROM hosted
+"""
+
+
 def _q_kcenter(spark, sf_dir):
     """sample.kcenter — greedy k-center coreset selection on a fixed
     hand-derivable 1-D frame (iterative ops pin golden VALUES, the
@@ -12542,6 +12598,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_drift_monitor_categorical_drain": (
             _q_stream_drift_monitor_categorical
         ),
+        "text_extract_links": _q_extract_links,
     }
 
 
@@ -12795,6 +12852,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stream_drift_monitor_categorical_drain": (
             STREAM_DRIFT_MONITOR_CAT_ORACLE
         ),
+        "text_extract_links": EXTRACT_LINKS_ORACLE,
     }
 
 

@@ -185,6 +185,7 @@ DETAIL_QUERIES = [
     "embedding_procrustes_align",
     "sample_kcenter",
     "stream_drift_monitor_categorical_drain",
+    "text_extract_links",
     # stored-index build/query split: the composite rows above
     # (dedup_stored_index, dedup_cdc_stored_index) time build+query
     # together; these isolate the per-increment query leg so its

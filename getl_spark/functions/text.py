@@ -1227,6 +1227,56 @@ TRACKING_PARAMS = (
 )
 
 
+def extract_links(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_host: bool = True,
+) -> DataFrame:
+    """Outgoing-link extraction from document text — the edge
+    generator for the crawl-side graph operators: feed the (doc, host)
+    rows into ``graph.pagerank``/``degree_stats`` for authority
+    scores and hub detection, into ``text.host_mix`` for the
+    per-domain datasheet, or into ``dedup.by_url`` after
+    ``canonicalize_url``. One row per extracted URL:
+    ``(id_col, link_idx, url, host?)`` with ``link_idx`` the 0-based
+    in-document position.
+
+    Exact semantics (replicable cross-engine — host comes from a
+    REGEXP, not ``parse_url``, so an oracle replays it verbatim):
+    URLs are maximal ``https?://`` runs of non-whitespace,
+    non-quote/angle/paren-close characters; trailing prose
+    punctuation (``.,;:!?``) is stripped — "see https://x.org/a."
+    ends at ``a`` — while inner punctuation survives. ``host`` is
+    the lowercased authority minus any userinfo and port, with a
+    leading ``www.`` dropped. NULL/linkless documents emit no rows
+    (inner explode).
+
+    Scale shape: scan-side ``regexp_extract_all`` + ``posexplode`` —
+    zero shuffle, zero UDFs; output rows ∝ links, not documents.
+    """
+    matches = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"""https?://[^\s"'<>\)\]]+"""), 0
+    )
+    ex = df.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(matches).alias("link_idx", "__raw"),
+    )
+    url = F.regexp_replace(F.col("__raw"), r"[.,;:!?]+$", "")
+    out = ex.select(id_col, "link_idx", url.alias("url"))
+    if not with_host:
+        return out
+    host = F.lower(
+        F.regexp_extract(
+            F.col("url"), r"^https?://(?:[^/@\s]*@)?([^/:?#]+)", 1
+        )
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    return out.withColumn(
+        "host", F.when(host != "", host)
+    )
+
+
 def canonicalize_url(
     df: "DataFrame",
     url_col: str = "url",

@@ -1456,3 +1456,42 @@ def test_contamination_report(spark):
         g = grams(s)
         assert out[d].n_grams == len(g)
         assert out[d].n_tainted == len(g & eg)
+
+
+# ------------------------------------------------------------ extract_links
+def test_extract_links_hand_cases(spark):
+    """URL boundaries, trailing-punctuation strip, inner punctuation
+    kept, host minus userinfo/port/www, multi-link ordering, NULL and
+    linkless docs emit nothing."""
+    from getl_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "see https://example.org/a. and http://www.Foo.COM:8080/b?q=1,2 end"),
+            (1, "paren (https://x.y.z/p_(1)) and <https://u:p@host.net/q;v=2>"),
+            (2, "no links here"),
+            (3, None),
+            (4, "bare https://single.io"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.link_idx, r.url, r.host)
+        for r in T.extract_links(docs).collect()
+    )
+    assert rows == [
+        (0, 0, "https://example.org/a", "example.org"),
+        (0, 1, "http://www.Foo.COM:8080/b?q=1,2", "foo.com"),
+        (1, 0, "https://x.y.z/p_(1", "x.y.z"),
+        (1, 1, "https://u:p@host.net/q;v=2", "host.net"),
+        (4, 0, "https://single.io", "single.io"),
+    ]
+    # with_host=False drops the column
+    cols = T.extract_links(docs, with_host=False).columns
+    assert cols == ["doc_id", "link_idx", "url"]
+
+    # plan is scan-side: no exchange
+    plan = (
+        T.extract_links(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
