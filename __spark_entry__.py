@@ -11159,6 +11159,76 @@ FROM (VALUES
 """
 
 
+def _q_welch_anova(spark, sf_dir):
+    """stats.welch_anova — the heteroscedastic k-arm omnibus on the
+    return-flag arms over extended price (arms of visibly different
+    sizes; Welch weights by n/s² instead of pooling). Oracle replays
+    the weighted arithmetic, the fractional df2, and the Paulson F
+    tail."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return stats.welch_anova(li, "l_returnflag", "l_extendedprice")
+
+
+WELCH_ANOVA_ORACLE = """
+WITH arms AS (
+  SELECT l_returnflag AS arm,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         AVG(CAST(l_extendedprice AS DOUBLE)) AS mg,
+         VAR_SAMP(CAST(l_extendedprice AS DOUBLE)) AS vg
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+  GROUP BY l_returnflag),
+w AS (
+  SELECT *, ng / vg AS wg FROM arms),
+tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(wg) AS wsum,
+         SUM(wg * mg) / SUM(wg) AS mw
+  FROM w),
+agg AS (
+  SELECT t.n, t.k,
+         SUM(a.wg * POWER(a.mg - t.mw, 2)) AS aa,
+         SUM(POWER(1 - a.wg / t.wsum, 2) / (a.ng - 1)) AS lam
+  FROM w a, tot t
+  GROUP BY t.n, t.k),
+f AS (
+  SELECT n, k,
+         CAST(k - 1 AS DOUBLE) AS d1,
+         (k * k - 1) / (3.0 * lam) AS d2,
+         (aa / CAST(k - 1 AS DOUBLE))
+           / (1 + 2.0 * (k - 2) / CAST(k * k - 1 AS DOUBLE) * lam) AS fs
+  FROM agg),
+z AS (
+  SELECT *,
+         ((1.0 - 2.0 / (9.0 * d2)) * POWER(fs, 1.0 / 3.0)
+          - (1.0 - 2.0 / (9.0 * d1)))
+         / sqrt(2.0 / (9.0 * d1)
+                + 2.0 / (9.0 * d2) * POWER(fs, 2.0 / 3.0)) AS wz
+  FROM f),
+p AS (
+  SELECT *, 1 - (CASE WHEN wz >= 0 THEN 1 - pt / 2 ELSE pt / 2 END) AS pv
+  FROM (
+    SELECT *,
+           (0.254829592 * tt - 0.284496736 * POWER(tt, 2)
+            + 1.421413741 * POWER(tt, 3) - 1.453152027 * POWER(tt, 4)
+            + 1.061405429 * POWER(tt, 5)) * exp(-(xx * xx)) AS pt
+    FROM (
+      SELECT *, abs(wz) / sqrt(2.0) AS xx,
+             1.0 / (1.0 + 0.3275911 * (abs(wz) / sqrt(2.0))) AS tt
+      FROM z)))
+SELECT n, k,
+       ROUND(fs, 6) AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df1,
+       ROUND(d2, 6) AS df2,
+       ROUND(pv, 6) AS p_value
+FROM p
+"""
+
+
 def _q_mcnemar(spark, sf_dir):
     """stats.mcnemar — paired binary comparison of two quality gates
     judging the SAME documents (length gate vs alpha-ratio gate):
@@ -12599,6 +12669,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _q_stream_drift_monitor_categorical
         ),
         "text_extract_links": _q_extract_links,
+        "stats_welch_anova": _q_welch_anova,
     }
 
 
@@ -12853,6 +12924,7 @@ def _base_demoted_oracles() -> dict[str, str]:
             STREAM_DRIFT_MONITOR_CAT_ORACLE
         ),
         "text_extract_links": EXTRACT_LINKS_ORACLE,
+        "stats_welch_anova": WELCH_ANOVA_ORACLE,
     }
 
 

@@ -186,6 +186,7 @@ DETAIL_QUERIES = [
     "sample_kcenter",
     "stream_drift_monitor_categorical_drain",
     "text_extract_links",
+    "stats_welch_anova",
     # stored-index build/query split: the composite rows above
     # (dedup_stored_index, dedup_cdc_stored_index) time build+query
     # together; these isolate the per-increment query leg so its

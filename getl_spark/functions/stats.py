@@ -3790,6 +3790,131 @@ def anova(
     )
 
 
+def welch_anova(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA — the k-arm omnibus for
+    arms with UNEQUAL variances and sizes, which is the normal state
+    of corpus metrics (a 2%-traffic arm vs a 49% control; a source
+    whose lengths are 10× more dispersed). Classic :func:`anova`
+    assumes one pooled within-variance and its false-positive rate
+    degrades exactly when arm sizes and variances are both unequal;
+    Welch weights each arm by ``n/s²`` so no pooling happens —
+    the k-arm generalization of ``ab_compare``'s unpooled Welch
+    standard error. Rank-free; for heavy-tailed/ordinal metrics use
+    :func:`kruskal_wallis` instead.
+
+    Exact semantics (James/Welch 1951 form): ``w_j = n_j/s_j²``,
+    ``x̄_w = Σw_j·x̄_j / Σw_j``,
+    ``Λ = Σ (1 − w_j/W)² / (n_j − 1)``,
+    ``F* = [Σw_j(x̄_j − x̄_w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Λ]``,
+    ``df1 = k−1``, ``df2 = (k²−1)/(3Λ)`` (fractional, reported as a
+    double). Upper-tail p through the same Paulson cube-root F
+    approximation as :func:`anova` (fractional df is exactly what a
+    closed-form tail handles and an integer F table does not).
+    Fails loud when a segment has < 2 arms, an arm with < 2 rows
+    (variance undefined), or a zero-variance arm (its weight would be
+    infinite — a constant metric is a pipeline bug). NULL/NaN rows
+    excluded before aggregation.
+
+    One row per segment: ``(group_by..., n, k, f_stat, df1, df2,
+    p_value)``.
+
+    Scale shape: identical to ``anova`` — one partial-aggregated
+    per-arm pass (k-row reduce), a 1-row weighted-mean broadcast (or
+    keyed join under ``group_by``), closed-form arithmetic after.
+    """
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        *keys, F.col(group_col).alias("__arm"), v.alias("__x")
+    )
+    arms = base.groupBy(*keys, "__arm").agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.avg("__x").alias("__mean"),
+        F.var_samp("__x").alias("__var"),
+    )
+    w = F.when(
+        (F.col("__n") >= 2) & (F.col("__var") > 0),
+        F.col("__n").cast("double") / F.col("__var"),
+    )
+    arms = arms.withColumn("__w", w)
+    totals = arms.groupBy(*keys).agg(
+        F.sum("__w").alias("__wsum"),
+        (F.sum(F.col("__w") * F.col("__mean")) / F.sum("__w")).alias("__mw"),
+    )
+    if keys:
+        t = totals.select(
+            *[F.col(c).alias(f"__wv_{c}") for c in keys], "__wsum", "__mw"
+        )
+        cond = F.lit(True)
+        for c in keys:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__wv_{c}"))
+        joined = arms.join(t, cond).drop(*[f"__wv_{c}" for c in keys])
+    else:
+        # 1-row weighted-totals broadcast (whitelisted BNLJ shape)
+        joined = arms.join(F.broadcast(totals))
+    agg = joined.groupBy(*keys).agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(
+            F.col("__w") * (F.col("__mean") - F.col("__mw")) ** 2
+        ).alias("__A"),
+        F.sum(
+            (1 - F.col("__w") / F.col("__wsum")) ** 2
+            / (F.col("__n") - 1).cast("double")
+        ).alias("__lam"),
+        F.min((F.col("__w").isNotNull()).cast("int")).alias("__all_w"),
+    )
+    kk = F.col("k").cast("double")
+    ok = (F.col("k") >= 2) & (F.col("__all_w") == 1) & (F.col("__lam") > 0)
+    guard = F.assert_true(
+        ok,
+        F.lit(
+            "welch_anova: a segment has fewer than 2 arms, an arm with "
+            "fewer than 2 rows (variance undefined), or a zero-variance "
+            "arm (infinite weight) - a constant metric is a pipeline "
+            "bug, not a result"
+        ),
+    )
+    # every division gated behind the guard predicate (NULL divisors
+    # when ok is false) so ANSI divide-by-zero — e.g. k²−1 at k=1 —
+    # cannot preempt the guard's message (the anova convention)
+    lam = F.when(ok, F.col("__lam"))
+    kkok = F.when(ok, kk)
+    df1 = F.when(ok, kk - 1)
+    fstat = (F.col("__A") / df1) / (
+        1 + F.lit(2.0) * (kkok - 2) / (kkok * kkok - 1) * lam
+    )
+    df2 = (kkok * kkok - 1) / (F.lit(3.0) * lam)
+    pz = (
+        (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * df2))
+        * fstat ** F.lit(1.0 / 3.0)
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * df1))
+    ) / F.sqrt(
+        F.lit(2.0) / (F.lit(9.0) * df1)
+        + F.lit(2.0) / (F.lit(9.0) * df2) * fstat ** F.lit(2.0 / 3.0)
+    )
+    p = 1 - _normal_cdf(pz)
+    return agg.select(
+        *keys,
+        F.when(guard.isNull(), F.col("n")).alias("n"),
+        "k",
+        F.round(fstat, round_to).alias("f_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        F.round(df2, round_to).alias("df2"),
+        F.round(p, round_to).alias("p_value"),
+    )
+
+
 def kaplan_meier(
     df: DataFrame,
     duration_col: str,

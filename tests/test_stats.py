@@ -3712,6 +3712,105 @@ def test_dunn_test(spark):
     assert r.z is None and r.p_value is None
 
 
+def test_welch_anova(spark):
+    """Exact python replay of the Welch F*/df2/Paulson tail; a planted
+    unequal-variance shift flags while a null mixture doesn't; grouped
+    ≡ per-slice; loud guards (tiny arm, zero-variance arm, 1 arm)."""
+    import math
+    import random
+
+    from getl_spark.functions import stats
+
+    rnd = random.Random(23)
+    spec = {"a": (0.0, 1.0, 400), "b": (2.0, 3.0, 90), "c": (0.0, 0.5, 800)}
+    rows = [
+        (arm, rnd.gauss(mu, sd))
+        for arm, (mu, sd, n) in spec.items()
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, "arm STRING, x DOUBLE")
+    r = stats.welch_anova(df, "arm", "x").collect()[0]
+    assert r.n == 1290 and r.k == 3 and r.df1 == 2
+
+    # python replay
+    import statistics as st
+
+    arms = {}
+    for arm, x in rows:
+        arms.setdefault(arm, []).append(x)
+    stats_py = {
+        a: (len(v), st.fmean(v), st.variance(v)) for a, v in arms.items()
+    }
+    w = {a: n / var for a, (n, m, var) in stats_py.items()}
+    W = sum(w.values())
+    mw = sum(w[a] * stats_py[a][1] for a in w) / W
+    k = 3
+    A = sum(w[a] * (stats_py[a][1] - mw) ** 2 for a in w) / (k - 1)
+    lam = sum(
+        (1 - w[a] / W) ** 2 / (stats_py[a][0] - 1) for a in w
+    )
+    fstar = A / (1 + 2 * (k - 2) / (k * k - 1) * lam)
+    df2 = (k * k - 1) / (3 * lam)
+    assert r.f_stat == round(fstar, 6)
+    assert r.df2 == round(df2, 6)
+    # Paulson tail replay
+    z = ((1 - 2 / (9 * df2)) * fstar ** (1 / 3) - (1 - 2 / (9 * 2))) / (
+        math.sqrt(2 / (9 * 2) + 2 / (9 * df2) * fstar ** (2 / 3))
+    )
+    p = math.erfc(z / math.sqrt(2)) / 2
+    assert abs(r.p_value - p) < 2e-6
+    assert r.p_value < 0.01  # arm b's planted shift flags
+
+    # null case: same distribution in every arm -> no flag
+    null_rows = [
+        (arm, rnd.gauss(0, 1)) for arm in ("a", "b", "c") for _ in range(300)
+    ]
+    rn = stats.welch_anova(
+        spark.createDataFrame(null_rows, "arm STRING, x DOUBLE"), "arm", "x"
+    ).collect()[0]
+    assert rn.p_value > 0.01
+
+    # grouped ≡ per-slice
+    from pyspark.sql import functions as F
+
+    gdf = df.withColumn("seg", F.length("arm") + (F.abs(F.hash("x")) % 2))
+    grows = {
+        row.seg: row
+        for row in stats.welch_anova(
+            gdf, "arm", "x", group_by="seg"
+        ).collect()
+    }
+    for seg, row in grows.items():
+        solo = stats.welch_anova(
+            gdf.where(F.col("seg") == seg), "arm", "x"
+        ).collect()[0]
+        assert row.f_stat == solo.f_stat and row.p_value == solo.p_value
+
+    # guards
+    with pytest.raises(Exception, match="welch_anova"):
+        stats.welch_anova(
+            spark.createDataFrame(
+                [("a", 1.0), ("a", 2.0), ("b", 5.0)], "arm STRING, x DOUBLE"
+            ),
+            "arm", "x",
+        ).collect()  # arm b has 1 row
+    with pytest.raises(Exception, match="welch_anova"):
+        stats.welch_anova(
+            spark.createDataFrame(
+                [("a", 1.0)] * 5 + [("b", 2.0), ("b", 3.0)],
+                "arm STRING, x DOUBLE",
+            ),
+            "arm", "x",
+        ).collect()  # arm a zero variance
+    with pytest.raises(Exception, match="welch_anova"):
+        stats.welch_anova(
+            spark.createDataFrame(
+                [("a", 1.0), ("a", 2.0)], "arm STRING, x DOUBLE"
+            ),
+            "arm", "x",
+        ).collect()  # single arm
+
+
 def test_cochran_q_and_mcnemar_pairs(spark):
     """Q vs a python replay; k=2 identity with uncorrected McNemar;
     neutral all-agree items; zero-discordance NULL; completeness and
