@@ -10893,6 +10893,128 @@ FROM (VALUES
 """
 
 
+# Shared edge derivation for the triangle / community queries: the
+# supplier co-occurrence graph — two suppliers are linked when they
+# ship lines of the SAME order. Real multi-table derivation (not a
+# synthetic VALUES graph), and scale-safe by construction: fan-out is
+# bounded by order size (~7 lines -> <=21 pairs per order), so the
+# edge build is one equi-self-join on l_orderkey at any SF.
+_SUPPLIER_EDGE_SQL = """
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+"""
+
+
+def _supplier_edges(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("id_a"),
+            F.col("b.l_suppkey").alias("id_b"),
+        )
+    )
+
+
+def _q_triangle_count(spark, sf_dir):
+    """graph.triangle_count — per-node triangles + local clustering
+    coefficient over the supplier co-occurrence graph (the link-farm /
+    spam-clique signal for crawl graphs, exercised here on a real
+    multi-table derivation). Degree-oriented wedge join (Suri &
+    Vassilvitskii WWW'11): fan-out bounded by O(sqrt(m)) per node, two
+    keyed shuffles, no driver state. Oracle replays the same
+    canonical-triple count in set SQL."""
+    from getl_spark.functions import graph
+
+    return graph.triangle_count(_supplier_edges(spark, sf_dir))
+
+
+TRIANGLE_COUNT_ORACLE = f"""
+WITH und AS (
+{_SUPPLIER_EDGE_SQL}
+),
+sym AS (
+  SELECT u, v FROM und
+  UNION ALL
+  SELECT v AS u, u AS v FROM und
+),
+deg AS (SELECT u AS node, COUNT(*) AS degree FROM sym GROUP BY u),
+tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pernode AS (
+  SELECT node, COUNT(*) AS triangles
+  FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b AS node FROM tris
+    UNION ALL SELECT c AS node FROM tris
+  ) corners
+  GROUP BY node
+)
+SELECT CAST(d.node AS BIGINT) AS node,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2 THEN
+         ROUND(2.0 * COALESCE(p.triangles, 0)
+               / (d.degree * (d.degree - 1)), 9)
+       END AS clustering_coeff
+FROM deg d LEFT JOIN pernode p USING (node)
+"""
+
+
+def _q_label_propagation(spark, sf_dir):
+    """graph.label_propagation — deterministic synchronous LPA
+    (most-frequent neighbor label, frequency ties toward the smallest
+    label, exactly 3 rounds) on the supplier co-occurrence graph. Two
+    keyed shuffles per round, lineage pinned per iteration. The oracle
+    unrolls the same 3 synchronous rounds as windowed SQL — LPA with a
+    FIXED round count is exactly expressible, unlike its
+    converge-until-stable cousins (k_core's golden-VALUES route)."""
+    from getl_spark.functions import graph
+
+    return graph.label_propagation(_supplier_edges(spark, sf_dir), max_iter=3)
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Unrolled synchronous-LPA SQL: it{i} = argmax neighbor label of
+    it{i-1}, ROW_NUMBER ordered by (count DESC, label ASC)."""
+    parts = [
+        f"WITH und AS (\n{_SUPPLIER_EDGE_SQL}\n)",
+        "sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und)",
+        "it0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""it{i} AS (
+  SELECT u AS node, label FROM (
+    SELECT s.u, n.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.u ORDER BY COUNT(*) DESC, n.label ASC
+           ) AS rn
+    FROM sym s JOIN it{i - 1} n ON n.node = s.v
+    GROUP BY s.u, n.label
+  ) ranked WHERE rn = 1
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node,"
+        f" CAST(label AS BIGINT) AS label FROM it{rounds}"
+    )
+
+
+LABEL_PROPAGATION_ORACLE = _lpa_oracle(3)
+
+
 def _q_gains_table(spark, sf_dir):
     """stats.gains_table — decile gains/lift of price-as-a-scorer for
     high-quantity lineitems: the keep-the-top-X% threshold readout.
@@ -12670,6 +12792,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_extract_links": _q_extract_links,
         "stats_welch_anova": _q_welch_anova,
+        "graph_triangle_count": _q_triangle_count,
+        "graph_label_propagation": _q_label_propagation,
     }
 
 
@@ -12925,6 +13049,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         ),
         "text_extract_links": EXTRACT_LINKS_ORACLE,
         "stats_welch_anova": WELCH_ANOVA_ORACLE,
+        "graph_triangle_count": TRIANGLE_COUNT_ORACLE,
+        "graph_label_propagation": LABEL_PROPAGATION_ORACLE,
     }
 
 

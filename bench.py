@@ -187,6 +187,8 @@ DETAIL_QUERIES = [
     "stream_drift_monitor_categorical_drain",
     "text_extract_links",
     "stats_welch_anova",
+    "graph_triangle_count",
+    "graph_label_propagation",
     # stored-index build/query split: the composite rows above
     # (dedup_stored_index, dedup_cdc_stored_index) time build+query
     # together; these isolate the per-increment query leg so its

@@ -605,3 +605,178 @@ def k_core(
         "peel, e.g. a long chain); raise max_iter, or lower "
         "driver_threshold=0 only if the edge set truly cannot collect"
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient —
+    the standard crawl-graph spam signal: link farms are near-cliques
+    (coefficient → 1 at high degree), organic hub pages have many
+    neighbors that do NOT know each other (coefficient → 0). Feed the
+    host graph from ``text.extract_links`` and gate on
+    ``(degree, clustering_coeff)`` jointly.
+
+    Returns one row per node that has at least one edge:
+    ``(node, degree, triangles, clustering_coeff)`` where ``degree``
+    counts distinct neighbors, ``triangles`` counts unordered triangles
+    through the node, and ``clustering_coeff`` =
+    ``2·triangles / (degree·(degree−1))`` (NULL when degree < 2 —
+    undefined, not zero).
+
+    Semantics: the graph is undirected; duplicate / reversed edge rows
+    collapse and self-loops drop (same canonicalization as
+    ``degree_stats``). Scale shape — the classic MapReduce triangle
+    scheme (Suri & Vassilvitskii, "Counting Triangles and the Curse of
+    the Last Reducer", WWW'11 — public literature): orient every edge
+    from the (degree, id)-smaller endpoint to the larger, self-join
+    the oriented list on the source to build wedges (the orientation
+    bounds per-node fan-out by O(√m), so a celebrity hub cannot
+    produce a degree² wedge blow-up), then one equi-join of wedges
+    against the oriented edge set closes them. Two shuffles on node
+    keys + one distributed count — no driver state, no crossJoin.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.where(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    sym = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("deg"))
+
+    # orient each edge toward the (degree, id)-larger endpoint
+    du = deg.select(F.col("u").alias("__n"), F.col("deg").alias("__du"))
+    dv = deg.select(F.col("u").alias("__n"), F.col("deg").alias("__dv"))
+    ranked = (
+        und.join(du, und["u"] == du["__n"]).drop("__n")
+        .join(dv, und["v"] == dv["__n"]).drop("__n")
+    )
+    fwd = F.col("__du") < F.col("__dv")
+    tie = (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    oriented = pin(
+        ranked.select(
+            F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+    )
+
+    # wedges lo→(hi1, hi2): both endpoints outrank lo, hi1 "before"
+    # hi2 in the same orientation order, so each triangle is built
+    # exactly once (at its lowest-rank corner)
+    e1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
+    e2 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("y"))
+    wedges = e1.join(e2, "w").where(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y")),
+        ["x", "y"],
+    ).unionAll(
+        wedges.join(
+            # orientation between x and y is degree-dependent: the
+            # closing edge may be stored as (y, x)
+            oriented.select(F.col("hi").alias("x"), F.col("lo").alias("y")),
+            ["x", "y"],
+        )
+    )
+    per_node = (
+        closed.select(F.explode(F.array("w", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+    out = (
+        deg.select(F.col("u").alias("node"), "deg")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint").alias(
+                "triangles"
+            ),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0 * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    9,
+                ),
+            ).alias("clustering_coeff"),
+        )
+    )
+    # `oriented` stays pinned: the returned lazy plan reads it three
+    # times (both wedge legs + the closing-edge probe); its blocks are
+    # freed by the ContextCleaner once the result is dereferenced
+    return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 5,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, public
+    literature) — community detection on the crawl/host graph, the
+    coarser cousin of ``cluster_components``: components answer "is
+    there ANY path", communities answer "where is the density", which
+    is what mirror-site and content-farm grouping actually needs.
+
+    Deterministic variant: every node starts labeled with its own id;
+    each round every node adopts the label that is most frequent among
+    its neighbors, breaking frequency ties toward the SMALLEST label
+    (plain LPA breaks ties randomly — useless for an oracle-checked
+    engine). All nodes update simultaneously (synchronous), for exactly
+    ``max_iter`` rounds — a fixed round count rather than a convergence
+    probe, because synchronous LPA can oscillate on bipartite
+    structures (two-coloring flip), so "stable" is not a well-defined
+    stopping rule; k rounds of keyed aggregation is. Returns
+    ``(node, label)``.
+
+    Scale shape: per round, one join (labels onto the symmetrized edge
+    list, key = neighbor id) and one two-level aggregation
+    (node×label count → per-node argmax via a (count, −label) max
+    struct) — two keyed shuffles per round, shuffle width ∝ |E|.
+    Iterations pin (``common.scale.pin``) to truncate lineage; prior
+    rounds unpin once the next materializes.
+    """
+    if max_iter < 1:
+        raise ValueError("label_propagation: max_iter must be >= 1")
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.where(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    sym = pin(
+        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    labels = pin(
+        sym.select(F.col("u").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(max_iter):
+        neigh = sym.join(
+            labels.select(
+                F.col("node").alias("v"), F.col("label").alias("__nl")
+            ),
+            "v",
+        )
+        counted = neigh.groupBy("u", "__nl").agg(F.count("*").alias("__c"))
+        # argmax by (count, -label): highest count wins, ties toward
+        # the smallest label — one struct-max, no window sort
+        best = counted.groupBy("u").agg(
+            F.max(F.struct(F.col("__c"), (-F.col("__nl")).alias("__neg")))
+            .alias("__best")
+        )
+        new_labels = pin(
+            best.select(
+                F.col("u").alias("node"),
+                (-F.col("__best.__neg")).alias("label"),
+            )
+        )
+        unpin(labels)
+        labels = new_labels
+    out = labels.select("node", "label")
+    unpin(sym)
+    return out

@@ -669,3 +669,123 @@ def test_k_core_peeling(spark):
 
     with pytest.raises(ValueError, match="k must"):
         graph.k_core(df, 0)
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _brute_triangles(edges):
+    """Driver-side ground truth: adjacency sets, count per node."""
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for n, nbrs in adj.items():
+        lst = sorted(nbrs)
+        for i in range(len(lst)):
+            for j in range(i + 1, len(lst)):
+                if lst[j] in adj[lst[i]]:
+                    tri[n] += 1
+    return adj, tri
+
+
+def test_triangle_count_hand_case(spark):
+    # triangle 1-2-3 + pendant 3-4 + disjoint edge 10-11
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11), (11, 10), (5, 5)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    rows = {r["node"]: r for r in graph.triangle_count(df).collect()}
+    assert rows[1]["triangles"] == 1 and rows[1]["degree"] == 2
+    assert rows[2]["triangles"] == 1
+    assert rows[3]["triangles"] == 1 and rows[3]["degree"] == 3
+    assert rows[4]["triangles"] == 0 and rows[4]["degree"] == 1
+    # coefficient: node 3 has 3 neighbors, 1 of 3 possible pairs linked
+    assert abs(rows[3]["clustering_coeff"] - 1 / 3) < 1e-9
+    assert rows[1]["clustering_coeff"] == 1.0
+    # degree-1 nodes: undefined, NULL not 0
+    assert rows[4]["clustering_coeff"] is None
+    assert rows[10]["triangles"] == 0
+    # self-loop node never appears
+    assert 5 not in rows
+
+
+def test_triangle_count_random_vs_brute(spark):
+    rng = random.Random(7)
+    edges = [(rng.randint(1, 30), rng.randint(1, 30)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["triangles"] for r in graph.triangle_count(df).collect()}
+    adj, want = _brute_triangles(edges)
+    assert got == want
+
+
+def test_triangle_count_clique(spark):
+    # K5: every node in C(4,2)=6 triangles, coefficient exactly 1
+    edges = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    for r in graph.triangle_count(df).collect():
+        assert r["degree"] == 4
+        assert r["triangles"] == 6
+        assert r["clustering_coeff"] == 1.0
+
+
+# ---------------------------------------------------------- label propagation
+
+
+def _brute_lpa(edges, max_iter):
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(max_iter):
+        nxt = {}
+        for n in adj:
+            counts: dict = {}
+            for m in adj[n]:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    # two 4-cliques joined by one bridge edge: communities = cliques
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = c1 + c2 + [(4, 10)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(df, max_iter=4).collect()
+    }
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+    # bridge nodes may adopt either side but must pick ONE clique label
+    assert got[4] in (1, 10) and got[10] in (1, 10)
+
+
+def test_label_propagation_matches_brute(spark):
+    rng = random.Random(11)
+    edges = list(
+        {(rng.randint(1, 25), rng.randint(1, 25)) for _ in range(80)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    for k in (1, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in graph.label_propagation(df, max_iter=k).collect()
+        }
+        assert got == _brute_lpa(edges, k)
+
+
+def test_label_propagation_rejects_bad_iter(spark):
+    df = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="max_iter"):
+        graph.label_propagation(df, max_iter=0)
