@@ -11015,6 +11015,60 @@ def _lpa_oracle(rounds: int = 3) -> str:
 LABEL_PROPAGATION_ORACLE = _lpa_oracle(3)
 
 
+def _q_mmr_rerank(spark, sf_dir):
+    """similarity.mmr_rerank — Maximal Marginal Relevance
+    de-redundancy pass between retrieval and a context window, on a
+    fixed SF-independent fixture chosen so every greedy step is
+    hand-checkable: candidate 2 is a near-duplicate of the rank-1 pick
+    (raw relevance 0.999 — plain top-k would slot it second; the
+    diversity penalty drops it below the orthogonal candidate 4), and
+    query 10 shares the corpus but sees a different candidate subset
+    (exercises per-query grouping). Greedy selection is iterative and
+    SQL-inexpressible, so the oracle pins the hand-derived picks
+    (golden-VALUES convention, as k_core); the distributed path is
+    differential-tested against a pure-python greedy replay in
+    tests/test_similarity.py at three lambdas."""
+    from getl_spark.functions import similarity
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.04471]),
+            (3, [0.0, 1.0]),
+            (4, [0.6, 0.8]),
+            (5, [0.0, -1.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cands = spark.createDataFrame(
+        [
+            (9, 1, 1.0), (9, 2, 0.999), (9, 3, 0.3),
+            (9, 4, 0.8), (9, 5, 0.1),
+            (10, 2, 0.9), (10, 3, 0.5), (10, 4, 0.4),
+        ],
+        "query_id LONG, nbr_id LONG, cosine DOUBLE",
+    )
+    return similarity.mmr_rerank(cands, corpus, k=4, lam=0.6)
+
+
+MMR_RERANK_ORACLE = """
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(nbr_id AS BIGINT) AS nbr_id,
+       CAST(cosine AS DOUBLE) AS cosine,
+       CAST(mmr_score AS DOUBLE) AS mmr_score,
+       CAST(rank AS INTEGER) AS rank
+FROM (VALUES
+  (9, 1, 1.0,   0.6,      1),
+  (9, 4, 0.8,   0.24,     2),
+  (9, 2, 0.999, 0.1998,   3),
+  (9, 5, 0.1,   0.06,     4),
+  (10, 2, 0.9,  0.54,     1),
+  (10, 3, 0.5,  0.282116, 2),
+  (10, 4, 0.4,  -0.08,    3)
+) AS t(query_id, nbr_id, cosine, mmr_score, rank)
+"""
+
+
 def _q_gains_table(spark, sf_dir):
     """stats.gains_table — decile gains/lift of price-as-a-scorer for
     high-quantity lineitems: the keep-the-top-X% threshold readout.
@@ -12794,6 +12848,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_welch_anova": _q_welch_anova,
         "graph_triangle_count": _q_triangle_count,
         "graph_label_propagation": _q_label_propagation,
+        "similarity_mmr_rerank": _q_mmr_rerank,
     }
 
 
@@ -13051,6 +13106,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_welch_anova": WELCH_ANOVA_ORACLE,
         "graph_triangle_count": TRIANGLE_COUNT_ORACLE,
         "graph_label_propagation": LABEL_PROPAGATION_ORACLE,
+        "similarity_mmr_rerank": MMR_RERANK_ORACLE,
     }
 
 

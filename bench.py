@@ -189,6 +189,7 @@ DETAIL_QUERIES = [
     "stats_welch_anova",
     "graph_triangle_count",
     "graph_label_propagation",
+    "similarity_mmr_rerank",
     # stored-index build/query split: the composite rows above
     # (dedup_stored_index, dedup_cdc_stored_index) time build+query
     # together; these isolate the per-increment query leg so its

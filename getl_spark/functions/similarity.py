@@ -1635,3 +1635,118 @@ def knn_label(
             F.col("votes").cast("double") / F.col("n_neighbors"), 6
         ).alias("vote_share"),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "query_id",
+    nbr_col: str = "nbr_id",
+    score_col: str = "cosine",
+    max_candidates: int = 10_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein,
+    SIGIR'98 — public literature) of an ANN/BM25 candidate list:
+    greedily pick the candidate maximizing
+    ``lam·relevance − (1−lam)·max_cosine_to_already_selected`` — the
+    standard de-redundancy pass between retrieval and a context
+    window. A plain top-k hands an LLM five near-identical passages;
+    MMR at ``lam≈0.7`` keeps the relevant ones that say something NEW
+    — same knob RAG stacks expose.
+
+    ``candidates`` is any per-query ranked list carrying
+    ``(query_col, nbr_col, score_col)`` — the exact output shape of
+    ``topk_bruteforce`` / ``topk_ivf`` / ``search.bm25_topk`` (pass
+    ``score_col='score'`` for BM25/dot legs). Candidate vectors come
+    from ``corpus`` by equi-join on ``nbr_col = id_col`` (candidates
+    whose id is absent from the corpus drop — they cannot be compared
+    for redundancy). Returns
+    ``(query_col, nbr_col, score_col, mmr_score, rank)`` with rank 1
+    = first greedy pick; ``mmr_score`` is the value that won the pick
+    (for rank 1 nothing is selected yet, so the diversity term is 0
+    and the score is ``lam·relevance``). All ties break toward the smaller
+    neighbor id, so the result is fully deterministic.
+
+    Scale shape: the greedy loop is inherently sequential PER QUERY
+    but embarrassingly parallel ACROSS queries, and it runs on a
+    candidate list someone already capped (a rerank of top-N, not a
+    corpus scan). So: one equi-join to attach vectors (broadcast when
+    the candidate side is small), one Arrow-batched ``applyInPandas``
+    keyed by query — state per task is one O(N·d) group. The UDF
+    fail-louds beyond ``max_candidates`` rows per query rather than
+    quietly buffering an unbounded group (the documented guard
+    pattern; an uncapped candidate generator is an upstream bug this
+    operator must not absorb).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr_rerank: lam must be in [0, 1], got {lam}")
+    if k < 1:
+        raise ValueError(f"mmr_rerank: k must be >= 1, got {k}")
+    for c in (query_col, nbr_col, score_col):
+        if c not in candidates.columns:
+            raise ValueError(
+                f"mmr_rerank: candidates is missing column '{c}'"
+            )
+
+    vecs = corpus.select(
+        F.col(id_col).alias(nbr_col), F.col(vec_col).alias("__vec")
+    ).where(F.col("__vec").isNotNull())
+    joined = candidates.select(query_col, nbr_col, score_col).join(
+        vecs, nbr_col
+    )
+
+    out_schema = (
+        f"{query_col} {joined.schema[query_col].dataType.simpleString()}, "
+        f"{nbr_col} {joined.schema[nbr_col].dataType.simpleString()}, "
+        f"{score_col} double, mmr_score double, rank int"
+    )
+    kk, ll, cap = int(k), float(lam), int(max_candidates)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > cap:
+            raise ValueError(
+                f"mmr_rerank: query group '{pdf[query_col].iloc[0]}' has "
+                f"{len(pdf)} candidates > max_candidates={cap}; rerank a "
+                "capped top-N list, or raise max_candidates deliberately"
+            )
+        # deterministic candidate order: id ascending
+        pdf = pdf.sort_values(nbr_col, kind="mergesort").reset_index(drop=True)
+        mat = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        safe = np.where(norms > 0, norms, 1.0)
+        unit = mat / safe[:, None]
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        max_sim = np.full(n, -np.inf)  # to selected set; -inf = empty
+        picked: list = []
+        scores: list = []
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(min(kk, n)):
+            div = np.where(np.isneginf(max_sim), 0.0, max_sim)
+            mmr = ll * rel - (1.0 - ll) * div
+            mmr_masked = np.where(remaining, mmr, -np.inf)
+            best = int(np.argmax(mmr_masked))  # first = smallest id on ties
+            picked.append(best)
+            scores.append(mmr_masked[best])
+            remaining[best] = False
+            sims = unit @ unit[best]
+            max_sim = np.maximum(max_sim, sims)
+        sel = pdf.iloc[picked]
+        return pd.DataFrame(
+            {
+                query_col: sel[query_col].to_numpy(),
+                nbr_col: sel[nbr_col].to_numpy(),
+                score_col: np.round(sel[score_col].to_numpy(np.float64), 6),
+                "mmr_score": np.round(np.array(scores), 6),
+                "rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+            }
+        )
+
+    return joined.groupBy(query_col).applyInPandas(greedy, out_schema)

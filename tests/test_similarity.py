@@ -805,3 +805,150 @@ def test_knn_label_majority_vote(spark):
 
     with pytest.raises(ValueError, match="k must"):
         similarity.knn_label(tiny, q, k=0)
+
+
+# ------------------------------------------------------------------ MMR
+
+
+def _brute_mmr(cands, vecs, k, lam):
+    """Pure-python greedy MMR: cands = [(nbr_id, rel)], vecs = {id: vec}."""
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else list(v)
+
+    ids = sorted(i for i, _ in cands)
+    rel = dict(cands)
+    u = {i: unit(vecs[i]) for i in ids}
+    selected, out = [], []
+    remaining = list(ids)
+    for _ in range(min(k, len(ids))):
+        best, best_score = None, None
+        for i in remaining:  # ascending id = tie toward smaller id
+            div = max(
+                (sum(a * b for a, b in zip(u[i], u[j])) for j in selected),
+                default=0.0,
+            )
+            s = lam * rel[i] - (1 - lam) * div
+            if best_score is None or s > best_score:
+                best, best_score = i, s
+        selected.append(best)
+        remaining.remove(best)
+        out.append((best, best_score))
+    return out
+
+
+def test_mmr_rerank_diversifies(spark):
+    # query at angle 0; candidates: two near-duplicates at ~0 and one
+    # orthogonal-ish doc. Plain top-2 keeps the two near-dups; MMR at
+    # lam=0.5 must swap the redundant twin for the diverse doc.
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.04471]),  # near-duplicate of 1
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cands = spark.createDataFrame(
+        [(9, 1, 1.0), (9, 2, 0.999), (9, 3, 0.3)],
+        "query_id LONG, nbr_id LONG, cosine DOUBLE",
+    )
+    got = (
+        similarity.mmr_rerank(cands, corpus, k=2, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.nbr_id for r in got] == [1, 3]
+    assert got[0]["rank"] == 1 and abs(got[0].mmr_score - 0.5) < 1e-9
+
+
+def test_mmr_rerank_matches_brute(spark):
+    import random as _random
+
+    rng = _random.Random(5)
+    dims = 6
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(dims)] for i in range(1, 21)
+    }
+    rows, crows = [], []
+    for q in (101, 102, 103):
+        ids = rng.sample(sorted(vecs), 12)
+        for i in ids:
+            rows.append((q, i, round(rng.uniform(0, 1), 6)))
+    for i, v in vecs.items():
+        crows.append((i, v))
+    corpus = spark.createDataFrame(crows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cands = spark.createDataFrame(
+        rows, "query_id LONG, nbr_id LONG, cosine DOUBLE"
+    )
+    for lam in (0.3, 0.7, 1.0):
+        got = similarity.mmr_rerank(cands, corpus, k=5, lam=lam).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q in (101, 102, 103):
+            mine = sorted(by_q[q], key=lambda r: r["rank"])
+            want = _brute_mmr(
+                [(i, s) for qq, i, s in rows if qq == q], vecs, 5, lam
+            )
+            assert [r.nbr_id for r in mine] == [i for i, _ in want]
+            for r, (_, s) in zip(mine, want):
+                assert abs(r.mmr_score - round(s, 6)) < 1e-6
+
+
+def test_mmr_rerank_lam1_is_plain_topk(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 6)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cands = spark.createDataFrame(
+        [(7, i, i / 10.0) for i in range(1, 6)],
+        "query_id LONG, nbr_id LONG, cosine DOUBLE",
+    )
+    got = (
+        similarity.mmr_rerank(cands, corpus, k=3, lam=1.0)
+        .orderBy("rank")
+        .collect()
+    )
+    # lam=1: pure relevance order
+    assert [r.nbr_id for r in got] == [5, 4, 3]
+
+
+def test_mmr_rerank_guards(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    cands = spark.createDataFrame(
+        [(9, 1, 1.0)], "query_id LONG, nbr_id LONG, cosine DOUBLE"
+    )
+    with pytest.raises(ValueError, match="lam"):
+        similarity.mmr_rerank(cands, corpus, lam=1.5)
+    with pytest.raises(ValueError, match="k must"):
+        similarity.mmr_rerank(cands, corpus, k=0)
+    with pytest.raises(ValueError, match="missing column"):
+        similarity.mmr_rerank(
+            cands.withColumnRenamed("cosine", "x"), corpus
+        )
+    # max_candidates fail-loud surfaces from the executor
+    import py4j
+
+    big = spark.createDataFrame(
+        [(9, i, 0.5) for i in range(1, 8)],
+        "query_id LONG, nbr_id LONG, cosine DOUBLE",
+    )
+    bigc = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(1, 8)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(Exception, match="max_candidates"):
+        similarity.mmr_rerank(big, bigc, k=2, max_candidates=5).collect()
+
+    # candidates missing from the corpus drop (inner join), rest rank on
+    part = spark.createDataFrame(
+        [(9, 1, 0.9), (9, 99, 1.0)],
+        "query_id LONG, nbr_id LONG, cosine DOUBLE",
+    )
+    got = similarity.mmr_rerank(part, corpus, k=2).collect()
+    assert [r.nbr_id for r in got] == [1]
