@@ -11069,6 +11069,86 @@ FROM (VALUES
 """
 
 
+def _q_fisher_exact(spark, sf_dir):
+    """stats.fisher_exact — exact 2×2 test on a genuinely RARE
+    outcome (value > 300: single-digit incident counts at small SF),
+    exactly the small-cell regime where odds_ratio's Wald CI breaks
+    and Fisher is the right tool. Factorial-free construction: the
+    hypergeometric pmf via its exact consecutive-k ratio, one bounded
+    window cumsum in log space, log-sum-exp tails — all plain
+    expressions, so the oracle replays every float op verbatim."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flagged = ev.select(
+        "event_type", (F.col("value") > 300).cast("int").alias("rare")
+    )
+    return stats.fisher_exact(flagged, "event_type", "rare", "view", "click")
+
+
+FISHER_EXACT_ORACLE = """
+WITH cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = 'click' AND value > 300
+             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN event_type = 'click' AND NOT value > 300
+             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN event_type = 'view' AND value > 300
+             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN event_type = 'view' AND NOT value > 300
+             THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM events
+  WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+), m AS (
+  SELECT *,
+         a + b AS n1, c + d AS n2, a + c AS s,
+         GREATEST(0, (a + c) - (c + d)) AS kmin,
+         LEAST(a + b, a + c) AS kmax
+  FROM cells
+), sup AS (
+  SELECT m.*, t.k
+  FROM m, generate_series(0, 1000000) AS t(k)
+  WHERE t.k BETWEEN m.kmin AND m.kmax
+), lq AS (
+  SELECT *,
+         SUM(CASE WHEN k = kmin THEN 0.0
+             ELSE ln(CAST(n1 AS DOUBLE) - k + 1)
+                + ln(CAST(s AS DOUBLE) - k + 1)
+                - ln(CAST(k AS DOUBLE))
+                - ln(CAST(n2 AS DOUBLE) - CAST(s AS DOUBLE) + k)
+             END)
+           OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS logq
+  FROM sup
+), mx AS (
+  SELECT *,
+         MAX(logq) OVER () AS mxq,
+         MAX(CASE WHEN k = a THEN logq END) OVER () AS logq_obs
+  FROM lq
+), agg AS (
+  SELECT a, b, c, d, n1, n2,
+         SUM(exp(logq - mxq)) AS tot,
+         SUM(CASE WHEN logq <= logq_obs + ln(1.0 + 1e-7)
+             THEN exp(logq - mxq) END) AS two,
+         SUM(CASE WHEN k <= a THEN exp(logq - mxq) END) AS less,
+         SUM(CASE WHEN k >= a THEN exp(logq - mxq) END) AS greater
+  FROM mx
+  GROUP BY a, b, c, d, n1, n2
+)
+SELECT CAST(n2 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treatment,
+       CAST(c AS BIGINT) AS events_control,
+       CAST(a AS BIGINT) AS events_treatment,
+       CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+         ROUND((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+               / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 6)
+       END AS odds_ratio,
+       ROUND(LEAST(two / tot, 1.0), 6) AS p_two_sided,
+       ROUND(LEAST(less / tot, 1.0), 6) AS p_less,
+       ROUND(LEAST(greater / tot, 1.0), 6) AS p_greater
+FROM agg
+"""
+
+
 def _q_gains_table(spark, sf_dir):
     """stats.gains_table — decile gains/lift of price-as-a-scorer for
     high-quantity lineitems: the keep-the-top-X% threshold readout.
@@ -12849,6 +12929,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangle_count": _q_triangle_count,
         "graph_label_propagation": _q_label_propagation,
         "similarity_mmr_rerank": _q_mmr_rerank,
+        "stats_fisher_exact": _q_fisher_exact,
     }
 
 
@@ -13107,6 +13188,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "graph_triangle_count": TRIANGLE_COUNT_ORACLE,
         "graph_label_propagation": LABEL_PROPAGATION_ORACLE,
         "similarity_mmr_rerank": MMR_RERANK_ORACLE,
+        "stats_fisher_exact": FISHER_EXACT_ORACLE,
     }
 
 

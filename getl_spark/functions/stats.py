@@ -5,6 +5,7 @@ YAML-callable as ``stats.<name>`` inside ``transform::generic``.
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -6230,4 +6231,171 @@ def odds_ratio(
         F.round(F.when(ok, F.exp(F.log(rr) + zl * se_rr)), round_to).alias(
             "rr_ci_hi"
         ),
+    )
+
+
+def fisher_exact(
+    df: DataFrame,
+    group_col: str,
+    outcome_col: str,
+    control: str,
+    treatment: str,
+    max_terms: int = 100_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fisher's exact test on the 2×2 incident table — the p-value
+    ``odds_ratio``'s Wald CI cannot honestly provide when a cell is
+    SMALL (3 crashes out of 40 canary runs vs 0 of 38: the normal
+    approximation behind chi-squared/Wald is exactly what breaks
+    there, and rare-catastrophic cells are what a safety readout
+    exists for). Same arm/outcome contract as :func:`odds_ratio`:
+    binary 0/1 outcome (loud assert), rows outside the two named arms
+    or with NULL outcome excluded, an empty ARM fails LOUD.
+
+    One row: ``(n_control, n_treatment, events_control,
+    events_treatment, odds_ratio, p_two_sided, p_less, p_greater)``.
+    ``odds_ratio`` is the sample ``ad/bc`` (NULL on any zero cell —
+    same contract as :func:`odds_ratio`); ``p_less`` /``p_greater``
+    are the one-sided tails P(K ≤ a) / P(K ≥ a) under the
+    hypergeometric null (margins fixed), and ``p_two_sided`` sums all
+    tables with point probability ≤ the observed one (the standard
+    two-sided definition, with the conventional 1+1e-7 relative
+    tolerance for float ties).
+
+    HOW without factorials: the hypergeometric pmf is never computed
+    from (log-)gamma — consecutive-k probabilities obey the exact
+    ratio ``P(k)/P(k−1) = (n1−k+1)(s−k+1) / (k·(n2−s+k))``, so
+    unnormalized log-probabilities are ONE running sum of log-ratios
+    over the support, and every tail is a conditional sum normalized
+    by the total (log-sum-exp against the support max for overflow
+    safety). That keeps the whole computation in plain JVM
+    expressions an oracle can replay verbatim.
+
+    Scale shape: one four-cell conditional-count aggregate (map-side
+    combine — the only part that touches data), then a bounded
+    ``sequence(kmin, kmax)`` explode off the 1-row cell table, one
+    ordered window cumsum over it, one final 1-row aggregate. The
+    support size ``min(n1,s) − max(0, s−n2) + 1`` is asserted
+    ≤ ``max_terms`` BEFORE the explode: Fisher's exact sum at
+    corpus-scale margins is statistically pointless (use
+    :func:`odds_ratio` / :func:`chi2_drift` there) and must not
+    silently build a giant table.
+    """
+    g = F.col(group_col)
+    y = F.col(outcome_col).cast("bigint")
+    guard = F.assert_true(
+        y.isin(0, 1),
+        F.lit("stats.fisher_exact: outcome column must be binary 0/1"),
+    )
+    checked = y + F.coalesce(guard.cast("bigint"), F.lit(0))
+    base = df.where(g.isin(control, treatment) & y.isNotNull())
+    agg = base.agg(
+        F.coalesce(F.sum(F.when(g == treatment, checked)), F.lit(0))
+        .cast("bigint")
+        .alias("__a"),
+        F.coalesce(F.sum(F.when(g == treatment, 1 - checked)), F.lit(0))
+        .cast("bigint")
+        .alias("__b"),
+        F.coalesce(F.sum(F.when(g == control, checked)), F.lit(0))
+        .cast("bigint")
+        .alias("__c"),
+        F.coalesce(F.sum(F.when(g == control, 1 - checked)), F.lit(0))
+        .cast("bigint")
+        .alias("__d"),
+    )
+    a_l, b_l = F.col("__a"), F.col("__b")
+    c_l, d_l = F.col("__c"), F.col("__d")
+    arm_guard = F.assert_true(
+        (a_l + b_l > 0) & (c_l + d_l > 0),
+        F.lit(
+            "stats.fisher_exact: an arm is empty — check the control/"
+            "treatment names against the group column (a misspelled "
+            "arm must not produce a silent readout)"
+        ),
+    )
+    n1 = a_l + b_l          # treatment row margin
+    n2 = c_l + d_l          # control row margin
+    s = a_l + c_l           # success column margin
+    kmin = F.greatest(F.lit(0).cast("bigint"), s - n2)
+    kmax = F.least(n1, s)
+    size_guard = F.assert_true(
+        kmax - kmin + 1 <= F.lit(int(max_terms)),
+        F.lit(
+            "stats.fisher_exact: hypergeometric support exceeds "
+            f"max_terms={max_terms} — margins this large are normal-"
+            "approximation territory; use stats.odds_ratio or "
+            "stats.chi2_drift, or raise max_terms deliberately"
+        ),
+    )
+    cells = agg.select(
+        F.when(arm_guard.isNull() & size_guard.isNull(), a_l)
+        .alias("__a"),
+        "__b", "__c", "__d",
+        n1.alias("__n1"), n2.alias("__n2"), s.alias("__s"),
+        kmin.alias("__kmin"), kmax.alias("__kmax"),
+    )
+    sup = cells.select(
+        "*", F.explode(F.sequence(F.col("__kmin"), F.col("__kmax"))).alias("k")
+    )
+    k = F.col("k").cast("double")
+    n1d, n2d, sd = (
+        F.col("__n1").cast("double"),
+        F.col("__n2").cast("double"),
+        F.col("__s").cast("double"),
+    )
+    # exact transition ratio P(k)/P(k-1); 0 at k = kmin (base point).
+    # every log argument is >= 1 on the support, so no NULL/ln(0) path
+    lr = F.when(
+        F.col("k") == F.col("__kmin"), F.lit(0.0)
+    ).otherwise(
+        F.log(n1d - k + 1) + F.log(sd - k + 1)
+        - F.log(k) - F.log(n2d - sd + k)
+    )
+    # partitioned on the (constant) margin column: the support is one
+    # bounded group by construction, and the constant key silences the
+    # global-window warning without changing the single-task plan
+    w = (
+        Window.partitionBy("__n1")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lq = sup.select("*", F.sum(lr).over(w).alias("__logq"))
+    m = Window.partitionBy("__n1")
+    lq = lq.select(
+        "*",
+        F.max("__logq").over(m).alias("__m"),
+        F.max(F.when(F.col("k") == F.col("__a"), F.col("__logq"))).over(m)
+        .alias("__logq_obs"),
+    )
+    e = F.exp(F.col("__logq") - F.col("__m"))
+    obs_cut = F.col("__logq_obs") + F.lit(math.log(1.0 + 1e-7))
+    out = lq.groupBy(
+        "__a", "__b", "__c", "__d", "__n1", "__n2"
+    ).agg(
+        F.sum(e).alias("__tot"),
+        F.sum(F.when(F.col("__logq") <= obs_cut, e)).alias("__two"),
+        F.sum(F.when(F.col("k") <= F.col("__a"), e)).alias("__less"),
+        F.sum(F.when(F.col("k") >= F.col("__a"), e)).alias("__greater"),
+    )
+    ad, bd = F.col("__a").cast("double"), F.col("__b").cast("double")
+    cd, dd = F.col("__c").cast("double"), F.col("__d").cast("double")
+    ok = (F.col("__a") > 0) & (F.col("__b") > 0) & (F.col("__c") > 0) & (
+        F.col("__d") > 0
+    )
+    return out.select(
+        F.col("__n2").alias("n_control"),
+        F.col("__n1").alias("n_treatment"),
+        F.col("__c").alias("events_control"),
+        F.col("__a").alias("events_treatment"),
+        F.round(F.when(ok, (ad * dd) / (bd * cd)), 6).alias("odds_ratio"),
+        F.round(
+            F.least(F.col("__two") / F.col("__tot"), F.lit(1.0)), round_to
+        ).alias("p_two_sided"),
+        F.round(
+            F.least(F.col("__less") / F.col("__tot"), F.lit(1.0)), round_to
+        ).alias("p_less"),
+        F.round(
+            F.least(F.col("__greater") / F.col("__tot"), F.lit(1.0)),
+            round_to,
+        ).alias("p_greater"),
     )

@@ -4052,3 +4052,101 @@ def test_odds_ratio(spark):
             spark.createDataFrame([], "arm STRING, bad INT"),
             "arm", "bad", "control", "treatment",
         ).collect()
+
+
+# ------------------------------------------------------------ fisher exact
+
+
+def _fisher_ref(a, b, c, d):
+    """Exact rational-arithmetic hypergeometric reference."""
+    from fractions import Fraction
+    from math import comb
+
+    n1, n2, s = a + b, c + d, a + c
+    kmin, kmax = max(0, s - n2), min(n1, s)
+    probs = {
+        k: Fraction(comb(n1, k) * comb(n2, s - k), 1)
+        for k in range(kmin, kmax + 1)
+    }
+    tot = sum(probs.values())
+    pobs = probs[a]
+    tol = Fraction(10**7 + 1, 10**7)
+    two = sum(p for p in probs.values() if p <= pobs * tol)
+    less = sum(probs[k] for k in probs if k <= a)
+    greater = sum(probs[k] for k in probs if k >= a)
+    return float(two / tot), float(less / tot), float(greater / tot)
+
+
+def _fisher_df(spark, a, b, c, d):
+    rows = (
+        [("t", 1)] * a + [("t", 0)] * b + [("c", 1)] * c + [("c", 0)] * d
+    )
+    return spark.createDataFrame(rows, "arm STRING, y INT")
+
+
+def test_fisher_exact_matches_exact_reference(spark):
+    from getl_spark.functions import stats
+
+    # incl. the zero-cell safety case (3/40 vs 0/38) and a balanced null
+    for a, b, c, d in [(3, 37, 0, 38), (5, 5, 5, 5), (1, 9, 8, 2),
+                       (12, 48, 5, 55), (7, 3, 2, 8)]:
+        r = stats.fisher_exact(
+            _fisher_df(spark, a, b, c, d), "arm", "y", "c", "t"
+        ).collect()[0]
+        two, less, greater = _fisher_ref(a, b, c, d)
+        assert abs(r.p_two_sided - two) < 1e-6
+        assert abs(r.p_less - less) < 1e-6
+        assert abs(r.p_greater - greater) < 1e-6
+        assert r.n_treatment == a + b and r.n_control == c + d
+        assert r.events_treatment == a and r.events_control == c
+
+
+def test_fisher_exact_zero_cell_contract(spark):
+    from getl_spark.functions import stats
+
+    # zero cell: p-values REAL (that's the point of the exact test),
+    # sample odds ratio NULL per the odds_ratio contract
+    r = stats.fisher_exact(
+        _fisher_df(spark, 3, 37, 0, 38), "arm", "y", "c", "t"
+    ).collect()[0]
+    assert r.odds_ratio is None
+    assert r.p_two_sided is not None and 0 < r.p_two_sided <= 1
+    # degenerate support (no successes anywhere): all tails are 1
+    r = stats.fisher_exact(
+        _fisher_df(spark, 0, 10, 0, 12), "arm", "y", "c", "t"
+    ).collect()[0]
+    assert r.p_two_sided == 1.0 and r.p_less == 1.0 and r.p_greater == 1.0
+
+
+def test_fisher_exact_guards(spark):
+    from getl_spark.functions import stats
+
+    df = _fisher_df(spark, 2, 2, 2, 2)
+    # empty arm (misspelled name) fails loud, matching odds_ratio
+    with pytest.raises(Exception, match="arm is empty"):
+        stats.fisher_exact(df, "arm", "y", "c", "TYPO").collect()
+    # non-binary outcome fails loud
+    bad = spark.createDataFrame(
+        [("t", 2), ("c", 1)], "arm STRING, y INT"
+    )
+    with pytest.raises(Exception, match="binary"):
+        stats.fisher_exact(bad, "arm", "y", "c", "t").collect()
+    # oversized support fails loud BEFORE exploding
+    with pytest.raises(Exception, match="max_terms"):
+        stats.fisher_exact(
+            _fisher_df(spark, 40, 40, 40, 40), "arm", "y", "c", "t",
+            max_terms=10,
+        ).collect()
+
+
+def test_fisher_exact_agrees_with_odds_ratio_cells(spark):
+    from getl_spark.functions import stats
+
+    df = _fisher_df(spark, 7, 13, 4, 16)
+    fe = stats.fisher_exact(df, "arm", "y", "c", "t").collect()[0]
+    orr = stats.odds_ratio(df, "arm", "y", "c", "t").collect()[0]
+    assert (fe.n_control, fe.n_treatment) == (orr.n_control, orr.n_treatment)
+    assert (fe.events_control, fe.events_treatment) == (
+        orr.events_control, orr.events_treatment
+    )
+    assert fe.odds_ratio == orr.odds_ratio
