@@ -11149,6 +11149,54 @@ FROM agg
 """
 
 
+def _q_attribution(spark, sf_dir):
+    """sessions.attribution — U-shaped (position-based) multi-touch
+    credit for purchases with a 3-day lookback over the events table.
+    The engine path is the funnel discipline (per-user capped sorted
+    array + JVM array functions, NO touch×conversion self-join); the
+    oracle replays the SEMANTICS as the classic join+window SQL — the
+    formulation the engine deliberately avoids at scale, which makes
+    the equivalence check meaningful."""
+    from getl_spark.functions import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.attribution(
+        ev, "purchase", model="position", lookback_seconds=3 * 86400.0
+    )
+
+
+ATTRIBUTION_ORACLE = """
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_type AS ch
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+conv AS (SELECT u, t FROM ev WHERE ch = 'purchase'),
+tch AS (SELECT u, t, ch FROM ev WHERE ch <> 'purchase'),
+pairs AS (
+  SELECT c.u, c.t AS ct, s.ch,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.u, c.t ORDER BY s.t, s.ch
+         ) - 1 AS pos,
+         COUNT(*) OVER (PARTITION BY c.u, c.t) AS n
+  FROM conv c
+  JOIN tch s
+    ON s.u = c.u AND s.t <= c.t
+   AND CAST(c.t - s.t AS DOUBLE) <= 3 * 86400.0 * 1e6
+)
+SELECT ch AS channel,
+       ROUND(SUM(CASE WHEN n = 1 THEN 1.0
+                      WHEN n = 2 THEN 0.5
+                      WHEN pos = 0 THEN 0.4
+                      WHEN pos = n - 1 THEN 0.4
+                      ELSE 0.2 / CAST(n - 2 AS DOUBLE) END), 6) AS credit,
+       CAST(COUNT(*) AS BIGINT) AS touches,
+       CAST(COUNT(DISTINCT (u, ct)) AS BIGINT) AS conversions
+FROM pairs
+GROUP BY ch
+"""
+
+
 def _q_gains_table(spark, sf_dir):
     """stats.gains_table — decile gains/lift of price-as-a-scorer for
     high-quantity lineitems: the keep-the-top-X% threshold readout.
@@ -12930,6 +12978,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_propagation": _q_label_propagation,
         "similarity_mmr_rerank": _q_mmr_rerank,
         "stats_fisher_exact": _q_fisher_exact,
+        "sessions_attribution": _q_attribution,
     }
 
 
@@ -13189,6 +13238,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "graph_label_propagation": LABEL_PROPAGATION_ORACLE,
         "similarity_mmr_rerank": MMR_RERANK_ORACLE,
         "stats_fisher_exact": FISHER_EXACT_ORACLE,
+        "sessions_attribution": ATTRIBUTION_ORACLE,
     }
 
 

@@ -191,6 +191,7 @@ DETAIL_QUERIES = [
     "graph_label_propagation",
     "similarity_mmr_rerank",
     "stats_fisher_exact",
+    "sessions_attribution",
     # stored-index build/query split: the composite rows above
     # (dedup_stored_index, dedup_cdc_stored_index) time build+query
     # together; these isolate the per-increment query leg so its

@@ -753,3 +753,175 @@ def resample(
         (F.col("__b") * step_s).cast("bigint").alias("bucket_start_s"),
         *out_cols,
     )
+
+
+def attribution(
+    df: DataFrame,
+    conversion: str,
+    model: str = "linear",
+    touch_types: Optional[Sequence[str]] = None,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    lookback_seconds: Optional[float] = None,
+    half_life_seconds: float = 7 * 86400.0,
+    max_events_per_user: int = 100_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Multi-touch conversion attribution — which CHANNEL gets credit
+    for each conversion, under the standard marketing-analytics credit
+    models: ``first_touch`` / ``last_touch`` (single-touch),
+    ``linear`` (1/n each), ``position`` (U-shaped 40/20/40: 40% first,
+    40% last, 20% split across the middles; 100%/50-50 for 1/2-touch
+    paths), ``time_decay`` (exponential with ``half_life_seconds``,
+    weights normalized per conversion). A touch is any event of a
+    non-conversion type (restrict with ``touch_types``) at or before
+    the conversion instant, and — with ``lookback_seconds`` — no older
+    than the lookback horizon. Conversions with zero eligible touches
+    earn nobody credit (organic conversions; count them upstream).
+
+    Returns one row per channel: ``(channel, credit, touches,
+    conversions)`` — fractional credit summed over conversions, the
+    number of eligible touch instances (including zero-credit ones
+    under single-touch models), and the distinct conversions the
+    channel participated in. Total credit across channels = number of
+    conversions with >= 1 eligible touch.
+
+    Scale shape (the ``funnel`` discipline): NO touch×conversion
+    self-join — a power user with 10⁵ touches and 10³ conversions
+    would put 10⁸ rows into a join's shuffle. Instead the event scan
+    filters to the relevant types (pushed to the scan), ONE shuffle
+    groups each user's events into a sorted array (capped BEFORE the
+    collect by ``max_events_per_user`` with the row_number trick, in
+    the same (t, channel) order the credit pass consumes — under-cap
+    users are bit-identical), and per conversion the eligible-touch
+    scan, position ranks, and decay weights are pure JVM array
+    higher-order functions. The only row growth is the per-conversion
+    credit explode — Σ eligible touches, the size of the ANSWER.
+    Ties: equal-timestamp touches order by (time, channel) for
+    deterministic positions; a touch AT the conversion instant counts.
+    """
+    models = ("first_touch", "last_touch", "linear", "position",
+              "time_decay")
+    if model not in models:
+        raise ValueError(
+            f"attribution: unknown model '{model}' (one of {models})"
+        )
+    if max_events_per_user < 1:
+        raise ValueError("attribution: max_events_per_user must be >= 1")
+    if touch_types is not None and conversion in set(touch_types):
+        raise ValueError(
+            "attribution: conversion type cannot also be a touch type"
+        )
+    types = (
+        list(touch_types) + [conversion] if touch_types is not None else None
+    )
+    base = df.where(
+        F.col(time_col).isNotNull() & F.col(type_col).isNotNull()
+    )
+    if types is not None:
+        base = base.where(F.col(type_col).isin(types))
+    events = base.select(
+        F.col(user_col).alias("user"),
+        F.struct(
+            F.unix_micros(F.col(time_col).cast("timestamp")).alias("t"),
+            F.col(type_col).alias("ch"),
+        ).alias("e"),
+    )
+    capw = Window.partitionBy("user").orderBy(
+        F.col("e.t").asc(), F.col("e.ch").asc()
+    )
+    per_user = (
+        events.withColumn("__rn", F.row_number().over(capw))
+        .where(F.col("__rn") <= max_events_per_user)
+        .groupBy("user")
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+    )
+    conv_lit = F.lit(conversion)
+    split = per_user.select(
+        "user",
+        F.filter("evs", lambda e: e["ch"] == conv_lit).alias("convs"),
+        F.filter("evs", lambda e: e["ch"] != conv_lit).alias("tchs"),
+    ).where(F.size("convs") > 0)
+    look_us = (
+        F.lit(float(lookback_seconds) * 1e6)
+        if lookback_seconds is not None
+        else None
+    )
+
+    def eligible(conv_t):
+        def pred(x):
+            ok = x["t"] <= conv_t
+            if look_us is not None:
+                ok = ok & ((conv_t - x["t"]).cast("double") <= look_us)
+            return ok
+
+        return pred
+
+    per_conv = split.select(
+        "user",
+        F.explode("convs").alias("conv"),
+        "tchs",
+    ).select(
+        "user",
+        F.col("conv.t").alias("conv_t"),
+        F.filter("tchs", eligible(F.col("conv.t"))).alias("elig"),
+    ).where(F.size("elig") > 0)
+
+    half_us = float(half_life_seconds) * 1e6
+    if model == "time_decay":
+        per_conv = per_conv.select(
+            "*",
+            F.aggregate(
+                F.transform(
+                    "elig",
+                    lambda x: F.pow(
+                        F.lit(0.5),
+                        (F.col("conv_t") - x["t"]).cast("double")
+                        / F.lit(half_us),
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, w: acc + w,
+            ).alias("wsum"),
+        )
+    exploded = per_conv.select(
+        "user", "conv_t",
+        F.size("elig").alias("n"),
+        *(["wsum"] if model == "time_decay" else []),
+        F.posexplode("elig").alias("pos", "touch"),
+    )
+    n, pos = F.col("n"), F.col("pos")
+    if model == "first_touch":
+        credit = F.when(pos == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    elif model == "last_touch":
+        credit = F.when(pos == n - 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    elif model == "linear":
+        credit = F.lit(1.0) / n.cast("double")
+    elif model == "position":
+        credit = (
+            F.when(n == 1, F.lit(1.0))
+            .when(n == 2, F.lit(0.5))
+            .when(pos == 0, F.lit(0.4))
+            .when(pos == n - 1, F.lit(0.4))
+            .otherwise(F.lit(0.2) / (n - 2).cast("double"))
+        )
+    else:  # time_decay
+        credit = (
+            F.pow(
+                F.lit(0.5),
+                (F.col("conv_t") - F.col("touch.t")).cast("double")
+                / F.lit(half_us),
+            )
+            / F.col("wsum")
+        )
+    return (
+        exploded.groupBy(F.col("touch.ch").alias("channel"))
+        .agg(
+            F.round(F.sum(credit), round_to).alias("credit"),
+            F.count("*").cast("bigint").alias("touches"),
+            F.countDistinct("user", "conv_t").cast("bigint").alias(
+                "conversions"
+            ),
+        )
+    )

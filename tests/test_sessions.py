@@ -623,3 +623,157 @@ def test_resample_grid(spark):
         sessions.resample(df, "ts", 60, {"v": "sum"}, fill="bfill")
     with pytest.raises(ValueError, match="step_s"):
         sessions.resample(df, "ts", 0, {"v": "sum"})
+
+
+# ------------------------------------------------------------- attribution
+
+
+def _brute_attribution(rows, conversion, model, lookback=None,
+                       half_life=7 * 86400.0):
+    """Pure-python replay: rows = [(user, t_seconds, type)]."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, t, ch in rows:
+        by_user[u].append((t, ch))
+    credit = defaultdict(float)
+    touches = defaultdict(int)
+    convs = defaultdict(set)
+    for u, evs in by_user.items():
+        evs = sorted(evs)  # (t, ch)
+        for ct, cch in [e for e in evs if e[1] == conversion]:
+            elig = [
+                (t, ch) for t, ch in evs
+                if ch != conversion and t <= ct
+                and (lookback is None or ct - t <= lookback)
+            ]
+            m = len(elig)
+            if m == 0:
+                continue
+            if model == "time_decay":
+                ws = [0.5 ** ((ct - t) / half_life) for t, _ in elig]
+                tot = sum(ws)
+            for i, (t, ch) in enumerate(elig):
+                if model == "first_touch":
+                    c = 1.0 if i == 0 else 0.0
+                elif model == "last_touch":
+                    c = 1.0 if i == m - 1 else 0.0
+                elif model == "linear":
+                    c = 1.0 / m
+                elif model == "position":
+                    if m == 1:
+                        c = 1.0
+                    elif m == 2:
+                        c = 0.5
+                    elif i in (0, m - 1):
+                        c = 0.4
+                    else:
+                        c = 0.2 / (m - 2)
+                else:
+                    c = ws[i] / tot
+                credit[ch] += c
+                touches[ch] += 1
+                convs[ch].add((u, ct))
+    return {
+        ch: (round(credit[ch], 6), touches[ch], len(convs[ch]))
+        for ch in credit
+    }
+
+
+def _attr_df(spark, rows):
+    import datetime
+
+    data = [
+        (u, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=t), ch)
+        for u, t, ch in rows
+    ]
+    return spark.createDataFrame(
+        data, "user_id LONG, ts TIMESTAMP, event_type STRING"
+    )
+
+
+ATTR_ROWS = [
+    # user 1: ad -> email -> ad -> buy ; later organic buy (no touches
+    # in 100 s lookback for the second conversion when lookback small)
+    (1, 0, "ad"), (1, 10, "email"), (1, 20, "ad"), (1, 30, "buy"),
+    (1, 5000, "buy"),
+    # user 2: single touch then buy
+    (2, 0, "email"), (2, 50, "buy"),
+    # user 3: touch AFTER the conversion — ineligible
+    (3, 100, "buy"), (3, 200, "ad"),
+    # user 4: simultaneous touch and conversion (counts, <=)
+    (4, 77, "ad"), (4, 77, "buy"),
+]
+
+
+def test_attribution_models_match_brute(spark):
+    from getl_spark.functions import sessions
+
+    df = _attr_df(spark, ATTR_ROWS)
+    for model in ("first_touch", "last_touch", "linear", "position",
+                  "time_decay"):
+        got = {
+            r.channel: (r.credit, r.touches, r.conversions)
+            for r in sessions.attribution(
+                df, "buy", model=model, half_life_seconds=60.0
+            ).collect()
+        }
+        want = _brute_attribution(
+            ATTR_ROWS, "buy", model, half_life=60.0
+        )
+        for ch in set(got) | set(want):
+            g, w = got[ch], want[ch]
+            assert abs(g[0] - w[0]) < 1e-6, (model, ch, g, w)
+            assert g[1:] == w[1:], (model, ch, g, w)
+
+
+def test_attribution_lookback_and_position(spark):
+    from getl_spark.functions import sessions
+
+    df = _attr_df(spark, ATTR_ROWS)
+    got = {
+        r.channel: r.credit
+        for r in sessions.attribution(
+            df, "buy", model="position", lookback_seconds=100.0
+        ).collect()
+    }
+    want = _brute_attribution(ATTR_ROWS, "buy", "position", lookback=100.0)
+    assert got == {ch: v[0] for ch, v in want.items()}
+    # direct check: user 1 first conversion has 3 touches -> 0.4/0.2/0.4
+    # (ad gets 0.4+0.4, email 0.2); user 2: single touch email 1.0;
+    # user 4: single ad 1.0. The 5000-s organic buy earns nothing.
+    assert abs(got["ad"] - (0.8 + 1.0)) < 1e-6
+    assert abs(got["email"] - (0.2 + 1.0)) < 1e-6
+
+
+def test_attribution_total_credit_is_touched_conversions(spark):
+    from getl_spark.functions import sessions
+
+    df = _attr_df(spark, ATTR_ROWS)
+    for model in ("linear", "position", "time_decay", "first_touch"):
+        rows = sessions.attribution(
+            df, "buy", model=model, half_life_seconds=60.0
+        ).collect()
+        total = sum(r.credit for r in rows)
+        # 4 conversions with >=1 eligible touch (u1 both, u2, u4)
+        assert abs(total - 4.0) < 1e-5, model
+
+
+def test_attribution_guards(spark):
+    from getl_spark.functions import sessions
+
+    df = _attr_df(spark, ATTR_ROWS)
+    with pytest.raises(ValueError, match="unknown model"):
+        sessions.attribution(df, "buy", model="shapley")
+    with pytest.raises(ValueError, match="touch type"):
+        sessions.attribution(df, "buy", touch_types=["ad", "buy"])
+    with pytest.raises(ValueError, match="max_events_per_user"):
+        sessions.attribution(df, "buy", max_events_per_user=0)
+    # touch_types restriction drops other channels entirely
+    got = {
+        r.channel
+        for r in sessions.attribution(
+            df, "buy", touch_types=["email"]
+        ).collect()
+    }
+    assert got == {"email"}
