@@ -11197,6 +11197,99 @@ GROUP BY ch
 """
 
 
+def _q_mann_kendall(spark, sf_dir):
+    """stats.mann_kendall — monotone-trend significance per event
+    type on the same day-grain volume rollup ``stats_theil_sen``
+    estimates its slope on: Theil-Sen says how steep, MK says whether
+    the trend is real, both rank-based so one outage day buys
+    nothing. Probe-gated pair join reduced to sum-of-signs, y-tie
+    variance correction, continuity-corrected z, A-S erf p — every
+    float op replayed verbatim in the oracle."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    return stats.mann_kendall(daily, "day", "cnt", group_by="event_type")
+
+
+MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), s AS (
+  SELECT a.event_type AS g,
+         CAST(SUM(SIGN(b.cnt - a.cnt)) AS BIGINT) AS s_stat
+  FROM daily a
+  JOIN daily b ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+), ties AS (
+  SELECT event_type AS g,
+         SUM(t * (t - 1) * (2 * t + 5)) AS tie_var,
+         SUM(t * (t - 1) / 2) AS tie_pairs
+  FROM (
+    SELECT event_type, cnt, CAST(COUNT(*) AS DOUBLE) AS t
+    FROM daily GROUP BY 1, 2
+  ) grp
+  GROUP BY 1
+), cnts AS (
+  SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM daily GROUP BY 1
+), j AS (
+  SELECT c.g, c.n_points, s.s_stat, t.tie_var, t.tie_pairs,
+         CAST(c.n_points AS DOUBLE) AS n,
+         CAST(s.s_stat AS DOUBLE) AS sd
+  FROM cnts c
+  LEFT JOIN s ON s.g = c.g
+  LEFT JOIN ties t ON t.g = c.g
+), calc AS (
+  SELECT *,
+         (n * (n - 1) * (2 * n + 5) - COALESCE(tie_var, 0.0)) / 18.0
+           AS var_s,
+         n * (n - 1) / 2 AS np
+  FROM j
+), calc2 AS (
+  SELECT *,
+         CASE WHEN sqrt((np - COALESCE(tie_pairs, 0.0)) * np) > 0
+              THEN sd / sqrt((np - COALESCE(tie_pairs, 0.0)) * np)
+         END AS tau,
+         CASE WHEN n_points >= 2 AND var_s > 0 THEN
+           CASE WHEN sd > 0 THEN (sd - 1) / sqrt(var_s)
+                WHEN sd < 0 THEN (sd + 1) / sqrt(var_s)
+                ELSE 0.0 END
+         END AS z
+  FROM calc
+), pe AS (
+  SELECT *, abs(z) / sqrt(2.0) AS x,
+         1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+  FROM calc2
+), pf AS (
+  SELECT *,
+         (0.254829592 * tt - 0.284496736 * tt * tt
+          + 1.421413741 * tt * tt * tt
+          - 1.453152027 * tt * tt * tt * tt
+          + 1.061405429 * tt * tt * tt * tt * tt) * exp(-(x * x)) AS p
+  FROM pe
+)
+SELECT g AS event_type,
+       n_points,
+       CASE WHEN n_points >= 2 THEN s_stat END AS s_stat,
+       ROUND(CASE WHEN n_points >= 2 THEN var_s END, 6) AS var_s,
+       ROUND(tau, 6) AS tau,
+       ROUND(z, 6) AS z,
+       ROUND(p, 6) AS p_value,
+       CASE WHEN p < 0.05 AND sd > 0 THEN 'increasing'
+            WHEN p < 0.05 AND sd < 0 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM pf
+"""
+
+
 def _q_gains_table(spark, sf_dir):
     """stats.gains_table — decile gains/lift of price-as-a-scorer for
     high-quantity lineitems: the keep-the-top-X% threshold readout.
@@ -12979,6 +13072,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_mmr_rerank": _q_mmr_rerank,
         "stats_fisher_exact": _q_fisher_exact,
         "sessions_attribution": _q_attribution,
+        "stats_mann_kendall": _q_mann_kendall,
     }
 
 
@@ -13239,6 +13333,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "similarity_mmr_rerank": MMR_RERANK_ORACLE,
         "stats_fisher_exact": FISHER_EXACT_ORACLE,
         "sessions_attribution": ATTRIBUTION_ORACLE,
+        "stats_mann_kendall": MANN_KENDALL_ORACLE,
     }
 
 

@@ -192,6 +192,7 @@ DETAIL_QUERIES = [
     "similarity_mmr_rerank",
     "stats_fisher_exact",
     "sessions_attribution",
+    "stats_mann_kendall",
     # stored-index build/query split: the composite rows above
     # (dedup_stored_index, dedup_cdc_stored_index) time build+query
     # together; these isolate the per-increment query leg so its

@@ -6399,3 +6399,162 @@ def fisher_exact(
             round_to,
         ).alias("p_greater"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_by=None,
+    max_points: int = 2000,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann-Kendall trend TEST per group — the significance companion
+    to :func:`theil_sen`: Theil-Sen answers "how steep", Mann-Kendall
+    answers "is there a monotone trend AT ALL", from the same
+    rank-based machinery (S = Σ sgn(y_later − y_earlier) over all
+    time-ordered pairs), so one outage day cannot buy significance
+    the way it drags an OLS slope's t-test. The standard pairing for
+    "is this source actually shrinking?" on dirty ingest series.
+
+    Same contract as ``theil_sen``: an AGGREGATED series (daily/weekly
+    rollups), ``max_points`` driver probe before the O(n²) pair join.
+    Additionally each group must have DISTINCT x values (loud fail —
+    classic MK is one observation per time point; duplicate timestamps
+    mean the series wasn't rolled up, and silently skipping equal-x
+    pairs would quietly deflate S against its n(n−1)/2 variance).
+
+    One row per group: ``(group_by..., n_points, s_stat, var_s, tau,
+    z, p_value, trend)`` — ``s_stat`` the raw MK sum, ``var_s`` the
+    tie-corrected variance ``[n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18`` over
+    y tie groups, ``tau`` Kendall's tau-b (tie-corrected denominator),
+    ``z`` with the ±1 continuity correction, ``p_value`` two-sided
+    normal (Abramowitz-Stegun erf — replays verbatim in the oracle),
+    ``trend`` ∈ ('increasing', 'decreasing', 'no_trend') at ``alpha``.
+    Groups with < 2 points report NULL statistics and 'no_trend'.
+
+    Scale shape: identical to ``theil_sen`` — one probe-bounded
+    group-keyed self-join immediately reduced to (sum-of-signs, count)
+    per group, one y-tie aggregate (shuffle ∝ distinct y per group),
+    closed-form arithmetic after. Groups stream independently.
+    """
+    if max_points < 2:
+        raise ValueError(
+            f"mann_kendall: max_points must be >= 2, got {max_points}"
+        )
+    keys = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(
+        x.isNotNull() & y.isNotNull() & ~F.isnan(x) & ~F.isnan(y)
+    ).select(*keys, x.alias("__x"), y.alias("__y"))
+    probe = (
+        base.groupBy(*keys)
+        .agg(
+            F.count("*").alias("__n"),
+            F.countDistinct("__x").alias("__nx"),
+        )
+        .where(
+            (F.col("__n") > max_points) | (F.col("__nx") < F.col("__n"))
+        )
+        .limit(1)
+        .collect()
+    )
+    if probe:
+        r = probe[0]
+        if r["__n"] > max_points:
+            raise ValueError(
+                f"mann_kendall: a group has {r['__n']} points "
+                f"(max_points={max_points}). The pair set is O(n²) — "
+                "aggregate the series to a coarser grain first, or "
+                "raise max_points explicitly."
+            )
+        raise ValueError(
+            f"mann_kendall: a group has {r['__n']} rows but only "
+            f"{r['__nx']} distinct x values — classic MK is one "
+            "observation per time point; roll duplicate timestamps up "
+            "first (mean/median per time)."
+        )
+    a = base.select(
+        *[F.col(c).alias(f"__a_{c}") for c in [*keys, "__x", "__y"]]
+    )
+    b = base.select(
+        *[F.col(c).alias(f"__b_{c}") for c in [*keys, "__x", "__y"]]
+    )
+    cond = F.col("__a___x") < F.col("__b___x")
+    for k in keys:
+        cond = cond & F.col(f"__a_{k}").eqNullSafe(F.col(f"__b_{k}"))
+    s_tab = (
+        a.join(b, cond)
+        .groupBy(*[F.col(f"__a_{k}").alias(k) for k in keys])
+        .agg(
+            F.sum(F.signum(F.col("__b___y") - F.col("__a___y")))
+            .cast("bigint")
+            .alias("__s"),
+        )
+    )
+    ties = (
+        base.groupBy(*keys, "__y")
+        .agg(F.count("*").cast("double").alias("__t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ).alias("__tie_var"),
+            F.sum(F.col("__t") * (F.col("__t") - 1) / 2).alias("__tie_pairs"),
+            F.count("*").cast("bigint").alias("__ny"),
+        )
+    )
+    counts = base.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_points")
+    )
+
+    def _join(left, right):
+        if not keys:
+            return left.join(F.broadcast(right), how="left")
+        jc = F.lit(True)
+        for k in keys:
+            jc = jc & left[k].eqNullSafe(right[k])
+        return left.join(right, jc, "left").drop(*[right[k] for k in keys])
+
+    out = _join(_join(counts, s_tab), ties)
+    n = F.col("n_points").cast("double")
+    s = F.col("__s").cast("double")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.coalesce(F.col("__tie_var"), F.lit(0.0)))
+        / F.lit(18.0)
+    )
+    n_pairs = n * (n - 1) / 2
+    tau_den = F.sqrt(
+        (n_pairs - F.coalesce(F.col("__tie_pairs"), F.lit(0.0))) * n_pairs
+    )
+    tau = F.when(tau_den > 0, s / tau_den)
+    zc = F.when(s > 0, (s - 1) / F.sqrt(var_s)).when(
+        s < 0, (s + 1) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    z = F.when((F.col("n_points") >= 2) & (var_s > 0), zc)
+    p = _normal_two_sided_p(z)
+    trend = (
+        F.when(
+            (p < F.lit(float(alpha))) & (s > 0), F.lit("increasing")
+        )
+        .when((p < F.lit(float(alpha))) & (s < 0), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+    )
+    return out.select(
+        *keys,
+        "n_points",
+        F.when(F.col("n_points") >= 2, F.col("__s")).alias("s_stat"),
+        F.round(F.when(F.col("n_points") >= 2, var_s), round_to).alias(
+            "var_s"
+        ),
+        F.round(tau, round_to).alias("tau"),
+        F.round(z, round_to).alias("z"),
+        F.round(p, round_to).alias("p_value"),
+        trend.alias("trend"),
+    )

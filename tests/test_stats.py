@@ -4150,3 +4150,122 @@ def test_fisher_exact_agrees_with_odds_ratio_cells(spark):
         orr.events_control, orr.events_treatment
     )
     assert fe.odds_ratio == orr.odds_ratio
+
+
+# ------------------------------------------------------------ mann-kendall
+
+
+def _mk_ref(xy, alpha=0.05):
+    """Pure-python Mann-Kendall with tie-corrected variance."""
+    import math as _math
+    from collections import Counter
+
+    xy = sorted(xy)
+    n = len(xy)
+    ys = [y for _, y in xy]
+    s = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(n) for j in range(i + 1, n)
+    )
+    t_counts = Counter(ys).values()
+    var_s = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(t * (t - 1) * (2 * t + 5) for t in t_counts)
+    ) / 18.0
+    n_pairs = n * (n - 1) / 2
+    tie_pairs = sum(t * (t - 1) / 2 for t in t_counts)
+    tau = (
+        s / _math.sqrt((n_pairs - tie_pairs) * n_pairs)
+        if n_pairs - tie_pairs > 0
+        else None
+    )
+    if var_s <= 0:
+        return s, var_s, tau, None, None, "no_trend"
+    z = (s - 1) / _math.sqrt(var_s) if s > 0 else (
+        (s + 1) / _math.sqrt(var_s) if s < 0 else 0.0
+    )
+    x = abs(z) / _math.sqrt(2.0)
+    tt = 1.0 / (1.0 + 0.3275911 * x)
+    p = (
+        0.254829592 * tt - 0.284496736 * tt**2 + 1.421413741 * tt**3
+        - 1.453152027 * tt**4 + 1.061405429 * tt**5
+    ) * _math.exp(-x * x)
+    trend = (
+        "increasing" if (p < alpha and s > 0)
+        else "decreasing" if (p < alpha and s < 0) else "no_trend"
+    )
+    return s, var_s, tau, z, p, trend
+
+
+def test_mann_kendall_matches_reference(spark):
+    import random as _random
+
+    from getl_spark.functions import stats
+
+    rng = _random.Random(3)
+    series = {
+        "up": [(i, i + rng.uniform(-2, 2)) for i in range(30)],
+        "flat": [(i, rng.uniform(0, 10)) for i in range(30)],
+        "down": [(i, 50 - 2 * i + rng.uniform(-5, 5)) for i in range(25)],
+        "tied": [(i, float(i // 5)) for i in range(20)],
+    }
+    rows = [(g, float(x), float(y)) for g, xy in series.items() for x, y in xy]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE, y DOUBLE")
+    got = {
+        r.g: r
+        for r in stats.mann_kendall(df, "x", "y", group_by="g").collect()
+    }
+    for g, xy in series.items():
+        s, var_s, tau, z, p, trend = _mk_ref(xy)
+        r = got[g]
+        assert r.s_stat == s, (g, r.s_stat, s)
+        assert abs(r.var_s - var_s) < 1e-6
+        assert abs(r.tau - tau) < 1e-6
+        assert abs(r.z - z) < 1e-6 and abs(r.p_value - p) < 1e-6
+        assert r.trend == trend
+    assert got["up"].trend == "increasing"
+    assert got["down"].trend == "decreasing"
+    assert got["flat"].trend == "no_trend"
+
+
+def test_mann_kendall_outlier_immunity(spark):
+    from getl_spark.functions import stats
+
+    # clean upward series + one catastrophic spike: MK stays significant
+    # and positive (rank-based: the spike is just one point's ranks)
+    xy = [(float(i), float(i)) for i in range(20)]
+    xy[10] = (10.0, 1e6)
+    df = spark.createDataFrame(
+        [("a", x, y) for x, y in xy], "g STRING, x DOUBLE, y DOUBLE"
+    )
+    r = stats.mann_kendall(df, "x", "y", group_by="g").collect()[0]
+    assert r.trend == "increasing" and r.s_stat > 150
+
+
+def test_mann_kendall_guards_and_degenerate(spark):
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 1.0, 3.0)], "g STRING, x DOUBLE, y DOUBLE"
+    )
+    with pytest.raises(ValueError, match="distinct x"):
+        stats.mann_kendall(df, "x", "y", group_by="g")
+    big = spark.createDataFrame(
+        [("a", float(i), 1.0) for i in range(30)],
+        "g STRING, x DOUBLE, y DOUBLE",
+    )
+    with pytest.raises(ValueError, match="max_points"):
+        stats.mann_kendall(big, "x", "y", group_by="g", max_points=10)
+    # single point: NULL stats, no_trend
+    one = spark.createDataFrame(
+        [("a", 1.0, 2.0)], "g STRING, x DOUBLE, y DOUBLE"
+    )
+    r = stats.mann_kendall(one, "x", "y", group_by="g").collect()[0]
+    assert r.s_stat is None and r.p_value is None and r.trend == "no_trend"
+    # constant y: S=0, z=0, p=1, no_trend
+    const = spark.createDataFrame(
+        [("a", float(i), 5.0) for i in range(10)],
+        "g STRING, x DOUBLE, y DOUBLE",
+    )
+    r = stats.mann_kendall(const, "x", "y", group_by="g").collect()[0]
+    assert r.s_stat == 0 and r.trend == "no_trend"
