@@ -11015,6 +11015,78 @@ def _lpa_oracle(rounds: int = 3) -> str:
 LABEL_PROPAGATION_ORACLE = _lpa_oracle(3)
 
 
+def _q_adamic_adar(spark, sf_dir):
+    """graph.adamic_adar — link-prediction strength for candidate
+    supplier pairs over the co-occurrence graph: shared neighbors
+    weighted 1/ln(degree), so promiscuous hubs certify nothing.
+    Pairs mode (the scale path): the candidate list comes from a
+    standard BLOCKING heuristic (same region + an id-window block,
+    the sorted-neighborhood method) so it stays bounded at every SF,
+    then two adjacency equi-joins + one keyed agg score it — no
+    wedge enumeration anywhere."""
+    from getl_spark.functions import graph
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sr = sup.join(
+        nat, sup["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey", "n_regionkey")
+    a, b = sr.alias("a"), sr.alias("b")
+    cand = (
+        a.join(b, F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        .where(
+            (F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+            & (F.col("b.s_suppkey") - F.col("a.s_suppkey") <= 40)
+        )
+        .select(
+            F.col("a.s_suppkey").alias("id_a"),
+            F.col("b.s_suppkey").alias("id_b"),
+        )
+    )
+    return graph.adamic_adar(
+        _supplier_edges(spark, sf_dir), pairs=cand
+    )
+
+
+ADAMIC_ADAR_ORACLE = f"""
+WITH und AS (
+{_SUPPLIER_EDGE_SQL}
+),
+sym AS (
+  SELECT u, v FROM und
+  UNION ALL
+  SELECT v AS u, u AS v FROM und
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+sr AS (
+  SELECT s.s_suppkey, n.n_regionkey
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+cand AS (
+  SELECT DISTINCT a.s_suppkey AS pa, b.s_suppkey AS pb
+  FROM sr a
+  JOIN sr b
+    ON a.n_regionkey = b.n_regionkey
+   AND a.s_suppkey < b.s_suppkey
+   AND b.s_suppkey - a.s_suppkey <= 40
+),
+common AS (
+  SELECT c.pa, c.pb, s1.v AS w
+  FROM cand c
+  JOIN sym s1 ON s1.u = c.pa
+  JOIN sym s2 ON s2.u = c.pb AND s2.v = s1.v
+)
+SELECT m.pa AS node_a,
+       m.pb AS node_b,
+       CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+       ROUND(SUM(CASE WHEN d.deg >= 2
+                 THEN 1.0 / ln(CAST(d.deg AS DOUBLE)) END), 6) AS aa_score
+FROM common m
+JOIN deg d ON d.u = m.w
+GROUP BY m.pa, m.pb
+"""
+
+
 def _q_mmr_rerank(spark, sf_dir):
     """similarity.mmr_rerank — Maximal Marginal Relevance
     de-redundancy pass between retrieval and a context window, on a
@@ -13073,6 +13145,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_fisher_exact": _q_fisher_exact,
         "sessions_attribution": _q_attribution,
         "stats_mann_kendall": _q_mann_kendall,
+        "graph_adamic_adar": _q_adamic_adar,
     }
 
 
@@ -13334,6 +13407,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_fisher_exact": FISHER_EXACT_ORACLE,
         "sessions_attribution": ATTRIBUTION_ORACLE,
         "stats_mann_kendall": MANN_KENDALL_ORACLE,
+        "graph_adamic_adar": ADAMIC_ADAR_ORACLE,
     }
 
 

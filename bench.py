@@ -193,6 +193,7 @@ DETAIL_QUERIES = [
     "stats_fisher_exact",
     "sessions_attribution",
     "stats_mann_kendall",
+    "graph_adamic_adar",
     # stored-index build/query split: the composite rows above
     # (dedup_stored_index, dedup_cdc_stored_index) time build+query
     # together; these isolate the per-increment query leg so its

@@ -780,3 +780,109 @@ def label_propagation(
     out = labels.select("node", "label")
     unpin(sym)
     return out
+
+
+def adamic_adar(
+    edges: DataFrame,
+    pairs: Optional[DataFrame] = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_degree: int = 10_000,
+) -> DataFrame:
+    """Adamic-Adar link-prediction score — "are these two nodes
+    actually related?" from shared neighborhoods, weighting each
+    common neighbor w by ``1/ln(deg(w))`` so a promiscuous hub
+    (every site links the CDN) certifies nothing while a selective
+    mutual contact certifies a lot (Adamic & Adar, "Friends and
+    neighbors on the Web", 2003 — public literature). On a crawl
+    graph this separates genuinely-affiliated host pairs (mirrors,
+    sister sites) from pairs that merely share universal
+    infrastructure — the edge-strength signal ``cluster_components``
+    (any path) and ``label_propagation`` (density) don't give.
+
+    With ``pairs`` (columns ``src``/``dst``): scores exactly those
+    candidate pairs — the cheap path, e.g. re-scoring
+    ``dedup.minhash_lsh`` URL-graph candidates. Without: scores EVERY
+    2-hop pair, the classic wedge enumeration — each neighbor w emits
+    its C(deg,2) neighbor pairs, so the ``max_degree`` probe fails
+    loudly when any node exceeds it (one 10⁶-degree hub = 10¹² wedge
+    rows; cap it, or pre-filter hubs — at that degree the AA weight
+    ``1/ln(10⁶)≈0.07`` contributes almost nothing anyway, which is
+    the principled reason dropping hubs is standard practice).
+
+    Returns ``(node_a, node_b, common_neighbors, aa_score)``,
+    canonical ``node_a < node_b``, one row per scored pair with ≥ 1
+    common neighbor. Degree-1 common neighbors contribute weight
+    ``1/ln(deg)`` only when deg ≥ 2 (``ln(1)=0`` would divide by
+    zero; a degree-1 node cannot be a COMMON neighbor anyway, so the
+    case is structurally impossible — kept as a guard, not a rule).
+
+    Scale shape: symmetrize + degree aggregate (one keyed shuffle),
+    then either (a) pairs mode — two equi-joins of the candidate list
+    onto the adjacency (shuffle ∝ candidates × avg-degree, grouped
+    back per pair), or (b) full mode — one self-join of the adjacency
+    on the shared neighbor key, degree-probe-bounded. No driver
+    state; ln-weights are scan-side.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.where(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    sym = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("deg"))
+    # weight of node w AS a common neighbor
+    wt = deg.select(
+        F.col("u").alias("w"),
+        F.when(F.col("deg") >= 2, 1.0 / F.log(F.col("deg").cast("double")))
+        .alias("wgt"),
+    )
+    adj = sym.select(F.col("u").alias("n"), F.col("v").alias("w"))
+    if pairs is not None:
+        cand = (
+            pairs.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                        & (F.col(src) != F.col(dst)))
+            .select(
+                F.least(F.col(src), F.col(dst)).alias("pa"),
+                F.greatest(F.col(src), F.col(dst)).alias("pb"),
+            )
+            .distinct()
+        )
+        la = cand.join(
+            adj.select(F.col("n").alias("pa"), "w"), "pa"
+        )
+        both = la.join(
+            adj.select(F.col("n").alias("pb"), "w"), ["pb", "w"]
+        )
+    else:
+        big = (
+            deg.where(F.col("deg") > max_degree).limit(1).collect()
+        )
+        if big:
+            raise ValueError(
+                f"adamic_adar: a node has degree {big[0]['deg']} "
+                f"(max_degree={max_degree}) — full 2-hop enumeration "
+                "emits C(deg,2) pairs per neighbor node. Score an "
+                "explicit candidate `pairs` frame instead, pre-filter "
+                "hub nodes, or raise max_degree deliberately."
+            )
+        e1 = adj.select(F.col("w"), F.col("n").alias("pa"))
+        e2 = adj.select(F.col("w"), F.col("n").alias("pb"))
+        both = e1.join(e2, "w").where(F.col("pa") < F.col("pb"))
+    scored = (
+        both.join(wt, "w")
+        .groupBy("pa", "pb")
+        .agg(
+            F.count("*").cast("bigint").alias("common_neighbors"),
+            F.round(F.sum("wgt"), 6).alias("aa_score"),
+        )
+    )
+    return scored.select(
+        F.col("pa").alias("node_a"),
+        F.col("pb").alias("node_b"),
+        "common_neighbors",
+        "aa_score",
+    )

@@ -789,3 +789,78 @@ def test_label_propagation_rejects_bad_iter(spark):
     df = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     with pytest.raises(ValueError, match="max_iter"):
         graph.label_propagation(df, max_iter=0)
+
+
+# ------------------------------------------------------------- adamic-adar
+
+
+def _brute_aa(edges, cand=None):
+    import math
+
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    nodes = sorted(adj)
+    pairs = (
+        sorted({(min(a, b), max(a, b)) for a, b in cand if a != b})
+        if cand is not None
+        else [
+            (a, b)
+            for i, a in enumerate(nodes)
+            for b in nodes[i + 1:]
+        ]
+    )
+    for a, b in pairs:
+        common = adj.get(a, set()) & adj.get(b, set())
+        if not common:
+            continue
+        score = sum(
+            1.0 / math.log(len(adj[w])) for w in common if len(adj[w]) >= 2
+        )
+        out[(a, b)] = (len(common), round(score, 6))
+    return out
+
+
+def test_adamic_adar_full_matches_brute(spark):
+    rng = random.Random(13)
+    edges = list({(rng.randint(1, 20), rng.randint(1, 20)) for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        (r.node_a, r.node_b): (r.common_neighbors, r.aa_score)
+        for r in graph.adamic_adar(df).collect()
+    }
+    want = _brute_aa(edges)
+    assert got == want
+
+
+def test_adamic_adar_pairs_mode(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5)]
+    cand = [(1, 4), (5, 1), (2, 2), (7, 8)]  # incl self + absent nodes
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    pdf = spark.createDataFrame(cand, ["id_a", "id_b"])
+    got = {
+        (r.node_a, r.node_b): (r.common_neighbors, r.aa_score)
+        for r in graph.adamic_adar(df, pairs=pdf).collect()
+    }
+    want = _brute_aa(edges, cand)
+    assert got == want
+    # hub discount: a common neighbor with higher degree certifies less
+    import math
+
+    assert got[(1, 4)][1] == round(1.0 / math.log(3), 6)  # via node 3 (deg 3)
+
+
+def test_adamic_adar_hub_guard(spark):
+    hub = [(0, i) for i in range(1, 30)]
+    df = spark.createDataFrame(hub, ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="max_degree"):
+        graph.adamic_adar(df, max_degree=10)
+    # pairs mode is exempt from the degree probe (bounded by candidates)
+    pdf = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    r = graph.adamic_adar(df, pairs=pdf, max_degree=10).collect()
+    assert len(r) == 1 and r[0].common_neighbors == 1
