@@ -11362,6 +11362,65 @@ FROM pf
 """
 
 
+def _q_cochran_armitage(spark, sf_dir):
+    """stats.cochran_armitage — ordered dose-response trend: does the
+    RETURN rate rise with line-item quantity? One keyed per-level
+    aggregate (shuffle ∝ 50 quantity levels) + a 1-row closed-form
+    combine; spends its single degree of freedom on the ordered
+    alternative chi2 burns across all permutations."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    flagged = li.select(
+        F.col("l_quantity").alias("qty"),
+        (F.col("l_returnflag") == "R").cast("int").alias("returned"),
+    )
+    return stats.cochran_armitage(flagged, "qty", "returned")
+
+
+COCHRAN_ARMITAGE_ORACLE = """
+WITH levels AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS r
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1
+), agg AS (
+  SELECT SUM(n) AS nn, SUM(r) AS rr,
+         SUM(r * x) AS rx, SUM(n * x) AS nx, SUM(n * x * x) AS nxx,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM levels
+), calc AS (
+  SELECT *,
+         rr / nn AS pbar,
+         rx - (rr / nn) * nx AS t_stat,
+         (rr / nn) * (1 - rr / nn) * (nxx - nx * nx / nn) AS var_t
+  FROM agg
+), z AS (
+  SELECT *,
+         CASE WHEN var_t > 0 THEN t_stat / sqrt(var_t) END AS zv
+  FROM calc
+), e AS (
+  SELECT *, abs(zv) / sqrt(2.0) AS x,
+         1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS tt
+  FROM z
+)
+SELECT CAST(nn AS BIGINT) AS n_total,
+       k AS n_groups,
+       ROUND(t_stat, 6) AS t_stat,
+       ROUND(var_t, 6) AS var_t,
+       ROUND(zv, 6) AS z,
+       ROUND((0.254829592 * tt - 0.284496736 * tt * tt
+              + 1.421413741 * tt * tt * tt
+              - 1.453152027 * tt * tt * tt * tt
+              + 1.061405429 * tt * tt * tt * tt * tt)
+             * exp(-(x * x)), 6) AS p_value
+FROM e
+"""
+
+
 def _q_gains_table(spark, sf_dir):
     """stats.gains_table — decile gains/lift of price-as-a-scorer for
     high-quantity lineitems: the keep-the-top-X% threshold readout.
@@ -13146,6 +13205,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_attribution": _q_attribution,
         "stats_mann_kendall": _q_mann_kendall,
         "graph_adamic_adar": _q_adamic_adar,
+        "stats_cochran_armitage": _q_cochran_armitage,
     }
 
 
@@ -13408,6 +13468,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sessions_attribution": ATTRIBUTION_ORACLE,
         "stats_mann_kendall": MANN_KENDALL_ORACLE,
         "graph_adamic_adar": ADAMIC_ADAR_ORACLE,
+        "stats_cochran_armitage": COCHRAN_ARMITAGE_ORACLE,
     }
 
 

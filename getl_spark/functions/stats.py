@@ -6558,3 +6558,90 @@ def mann_kendall(
         F.round(p, round_to).alias("p_value"),
         trend.alias("trend"),
     )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cochran-Armitage test for TREND in proportions across ordered
+    exposure levels — "does the incident RATE rise with the dose?":
+    contamination rate across quality deciles, refusal rate across
+    prompt-length buckets, violation rate across model-version
+    ordinals. ``chi2_drift`` asks "are the buckets different at all"
+    and burns its power on every permutation of them;
+    Cochran-Armitage spends one degree of freedom on the ORDERED
+    alternative, which is the question a dose-response readout
+    actually asks.
+
+    ``score_col`` is the numeric exposure level (bucket score — its
+    SPACING weights the trend, per the standard definition);
+    ``outcome_col`` is binary 0/1 (loud assert). One row:
+    ``(n_total, n_groups, t_stat, var_t, z, p_value)`` with
+    T = Σ r_i·x_i − p̄·Σ n_i·x_i over per-level (n_i, r_i),
+    Var = p̄(1−p̄)·[Σ n_i·x_i² − (Σ n_i·x_i)²/N], z = T/√Var, and the
+    two-sided normal p (Abramowitz-Stegun erf — oracle-replayable).
+    Requires ≥ 2 distinct levels and a non-degenerate pooled rate
+    (0 < p̄ < 1) — both fail LOUD, because "no trend computable" and
+    "no trend present" must not be confused.
+
+    Scale shape: one keyed aggregate to per-level (n_i, r_i) —
+    shuffle ∝ distinct levels — then a 1-row combine and closed-form
+    arithmetic. Nothing driver-side, fully SQL-expressible.
+    """
+    x = F.col(score_col).cast("double")
+    y = F.col(outcome_col).cast("bigint")
+    guard = F.assert_true(
+        y.isin(0, 1),
+        F.lit("stats.cochran_armitage: outcome column must be binary 0/1"),
+    )
+    checked = y + F.coalesce(guard.cast("bigint"), F.lit(0))
+    base = df.where(x.isNotNull() & ~F.isnan(x) & y.isNotNull())
+    levels = base.groupBy(x.alias("__x")).agg(
+        F.count("*").cast("double").alias("__n"),
+        F.sum(checked).cast("double").alias("__r"),
+    )
+    agg = levels.agg(
+        F.sum("__n").alias("__N"),
+        F.sum("__r").alias("__R"),
+        F.sum(F.col("__r") * F.col("__x")).alias("__rx"),
+        F.sum(F.col("__n") * F.col("__x")).alias("__nx"),
+        F.sum(F.col("__n") * F.col("__x") * F.col("__x")).alias("__nxx"),
+        F.count("*").cast("bigint").alias("__k"),
+    )
+    nn, rr = F.col("__N"), F.col("__R")
+    pbar = rr / nn
+    level_guard = F.assert_true(
+        F.col("__k") >= 2,
+        F.lit(
+            "stats.cochran_armitage: need >= 2 distinct score levels — "
+            "a single exposure level has no trend to test"
+        ),
+    )
+    rate_guard = F.assert_true(
+        (rr > 0) & (rr < nn),
+        F.lit(
+            "stats.cochran_armitage: pooled rate is 0 or 1 — the "
+            "variance is zero and no trend is computable (an all-0/"
+            "all-1 outcome usually means a broken upstream flag)"
+        ),
+    )
+    t_stat = F.col("__rx") - pbar * F.col("__nx")
+    var_t = (
+        pbar * (1 - pbar)
+        * (F.col("__nxx") - F.col("__nx") * F.col("__nx") / nn)
+    )
+    z = F.when(var_t > 0, t_stat / F.sqrt(var_t))
+    p = _normal_two_sided_p(z)
+    return agg.select(
+        F.when(
+            level_guard.isNull() & rate_guard.isNull(), nn
+        ).cast("bigint").alias("n_total"),
+        F.col("__k").alias("n_groups"),
+        F.round(t_stat, round_to).alias("t_stat"),
+        F.round(var_t, round_to).alias("var_t"),
+        F.round(z, round_to).alias("z"),
+        F.round(p, round_to).alias("p_value"),
+    )

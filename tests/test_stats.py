@@ -4269,3 +4269,86 @@ def test_mann_kendall_guards_and_degenerate(spark):
     )
     r = stats.mann_kendall(const, "x", "y", group_by="g").collect()[0]
     assert r.s_stat == 0 and r.trend == "no_trend"
+
+
+# ------------------------------------------------------- cochran-armitage
+
+
+def _ca_ref(levels):
+    """Pure-python reference: levels = [(x, n, r)]."""
+    import math as _math
+
+    N = sum(n for _, n, _ in levels)
+    R = sum(r for _, _, r in levels)
+    pbar = R / N
+    t = sum(r * x for x, _, r in levels) - pbar * sum(
+        n * x for x, n, _ in levels
+    )
+    var = pbar * (1 - pbar) * (
+        sum(n * x * x for x, n, _ in levels)
+        - sum(n * x for x, n, _ in levels) ** 2 / N
+    )
+    z = t / _math.sqrt(var)
+    xx = abs(z) / _math.sqrt(2.0)
+    tt = 1.0 / (1.0 + 0.3275911 * xx)
+    p = (
+        0.254829592 * tt - 0.284496736 * tt**2 + 1.421413741 * tt**3
+        - 1.453152027 * tt**4 + 1.061405429 * tt**5
+    ) * _math.exp(-xx * xx)
+    return t, var, z, p
+
+
+def _ca_df(spark, levels):
+    rows = []
+    for x, n, r in levels:
+        rows += [(float(x), 1)] * r + [(float(x), 0)] * (n - r)
+    return spark.createDataFrame(rows, "x DOUBLE, y INT")
+
+
+def test_cochran_armitage_matches_reference(spark):
+    from getl_spark.functions import stats
+
+    cases = [
+        # rising dose-response
+        [(1, 100, 5), (2, 100, 12), (3, 100, 22), (4, 100, 30)],
+        # flat
+        [(0, 50, 10), (1, 50, 11), (2, 50, 9)],
+        # falling, uneven spacing and sizes (spacing must weight it)
+        [(0, 200, 60), (1, 80, 20), (5, 40, 2)],
+    ]
+    for levels in cases:
+        r = stats.cochran_armitage(
+            _ca_df(spark, levels), "x", "y"
+        ).collect()[0]
+        t, var, z, p = _ca_ref(levels)
+        assert abs(r.t_stat - t) < 1e-6
+        assert abs(r.var_t - var) < 1e-4
+        assert abs(r.z - z) < 1e-6 and abs(r.p_value - p) < 1e-6
+        assert r.n_total == sum(n for _, n, _ in levels)
+        assert r.n_groups == len(levels)
+    # the rising case is significant, the flat one is not
+    rise = stats.cochran_armitage(
+        _ca_df(spark, cases[0]), "x", "y"
+    ).collect()[0]
+    flat = stats.cochran_armitage(
+        _ca_df(spark, cases[1]), "x", "y"
+    ).collect()[0]
+    assert rise.p_value < 0.001 and rise.z > 0
+    assert flat.p_value > 0.5
+
+
+def test_cochran_armitage_guards(spark):
+    from getl_spark.functions import stats
+
+    with pytest.raises(Exception, match="binary"):
+        stats.cochran_armitage(
+            spark.createDataFrame([(1.0, 2)], "x DOUBLE, y INT"), "x", "y"
+        ).collect()
+    with pytest.raises(Exception, match="2 distinct score levels"):
+        stats.cochran_armitage(
+            _ca_df(spark, [(1, 10, 3)]), "x", "y"
+        ).collect()
+    with pytest.raises(Exception, match="pooled rate"):
+        stats.cochran_armitage(
+            _ca_df(spark, [(1, 10, 0), (2, 10, 0)]), "x", "y"
+        ).collect()
