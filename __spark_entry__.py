@@ -11421,6 +11421,94 @@ FROM e
 """
 
 
+def _q_pca_whiten(spark, sf_dir):
+    """embedding.pca_project(whiten=True) — unit-variance coordinates
+    on the SAME fixed anisotropic cloud as ``embedding_pca_project``:
+    each component scaled 1/sqrt(lambda) so the first axis cannot
+    dominate downstream distance math purely by variance. The scale
+    folds into the same codegen literals (zero Python, zero shuffle);
+    eigendecomposition is not SQL-expressible, so the oracle pins the
+    projection (golden-VALUES convention), hand-verified against an
+    independent numpy eigh replay at generation time and
+    differential-tested against numpy on random clouds in
+    tests/test_embedding.py (unit-variance + exact 1/sqrt(lambda)
+    rescale identities)."""
+    from getl_spark.functions import embedding as E
+
+    rows = []
+    for i in range(40):
+        t = (i - 20) / 7.0
+        u = ((i * 13) % 9 - 4) / 11.0
+        rows.append(
+            (
+                i,
+                [
+                    t + u,
+                    2.0 * t - u,
+                    -t + 0.5 * u + 0.25 * t * t,
+                    u * u - t,
+                    0.5 * t + 2.0 * u,
+                ],
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(1)
+    model = E.fit_pca(df, "embedding", k=2)
+    proj = E.pca_project(df, model, "embedding", whiten=True)
+    return proj.select(
+        "vec_id",
+        F.round(F.col("pca_vec")[0], 6).alias("w0"),
+        F.round(F.col("pca_vec")[1], 6).alias("w1"),
+    )
+
+
+PCA_WHITEN_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(-1.786896 AS DOUBLE), CAST(-0.083429 AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(-1.688402 AS DOUBLE), CAST(1.006489 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(-1.61263 AS DOUBLE), CAST(2.063879 AS DOUBLE)),
+  (CAST(3 AS BIGINT), CAST(-1.481076 AS DOUBLE), CAST(0.349157 AS DOUBLE)),
+  (CAST(4 AS BIGINT), CAST(-1.40162 AS DOUBLE), CAST(1.437018 AS DOUBLE)),
+  (CAST(5 AS BIGINT), CAST(-1.278665 AS DOUBLE), CAST(-0.271115 AS DOUBLE)),
+  (CAST(6 AS BIGINT), CAST(-1.195526 AS DOUBLE), CAST(0.847219 AS DOUBLE)),
+  (CAST(7 AS BIGINT), CAST(-1.08117 AS DOUBLE), CAST(-0.854325 AS DOUBLE)),
+  (CAST(8 AS BIGINT), CAST(-0.994347 AS DOUBLE), CAST(0.29448 AS DOUBLE)),
+  (CAST(9 AS BIGINT), CAST(-0.88859 AS DOUBLE), CAST(-1.400474 AS DOUBLE)),
+  (CAST(10 AS BIGINT), CAST(-0.798083 AS DOUBLE), CAST(-0.221197 AS DOUBLE)),
+  (CAST(11 AS BIGINT), CAST(-0.7303 AS DOUBLE), CAST(0.925552 AS DOUBLE)),
+  (CAST(12 AS BIGINT), CAST(-0.606735 AS DOUBLE), CAST(-0.699813 AS DOUBLE)),
+  (CAST(13 AS BIGINT), CAST(-0.535268 AS DOUBLE), CAST(0.477407 AS DOUBLE)),
+  (CAST(14 AS BIGINT), CAST(-0.420302 AS DOUBLE), CAST(-1.141368 AS DOUBLE)),
+  (CAST(15 AS BIGINT), CAST(-0.345151 AS DOUBLE), CAST(0.066324 AS DOUBLE)),
+  (CAST(16 AS BIGINT), CAST(-0.238784 AS DOUBLE), CAST(-1.545861 AS DOUBLE)),
+  (CAST(17 AS BIGINT), CAST(-0.15995 AS DOUBLE), CAST(-0.307697 AS DOUBLE)),
+  (CAST(18 AS BIGINT), CAST(-0.062181 AS DOUBLE), CAST(-1.913293 AS DOUBLE)),
+  (CAST(19 AS BIGINT), CAST(0.020337 AS DOUBLE), CAST(-0.644658 AS DOUBLE)),
+  (CAST(20 AS BIGINT), CAST(0.080132 AS DOUBLE), CAST(0.591449 AS DOUBLE)),
+  (CAST(21 AS BIGINT), CAST(0.195708 AS DOUBLE), CAST(-0.944557 AS DOUBLE)),
+  (CAST(22 AS BIGINT), CAST(0.259186 AS DOUBLE), CAST(0.322022 AS DOUBLE)),
+  (CAST(23 AS BIGINT), CAST(0.366164 AS DOUBLE), CAST(-1.207395 AS DOUBLE)),
+  (CAST(24 AS BIGINT), CAST(0.433326 AS DOUBLE), CAST(0.089655 AS DOUBLE)),
+  (CAST(25 AS BIGINT), CAST(0.531705 AS DOUBLE), CAST(-1.433172 AS DOUBLE)),
+  (CAST(26 AS BIGINT), CAST(0.60255 AS DOUBLE), CAST(-0.10565 AS DOUBLE)),
+  (CAST(27 AS BIGINT), CAST(0.69233 AS DOUBLE), CAST(-1.621887 AS DOUBLE)),
+  (CAST(28 AS BIGINT), CAST(0.766859 AS DOUBLE), CAST(-0.263893 AS DOUBLE)),
+  (CAST(29 AS BIGINT), CAST(0.818665 AS DOUBLE), CAST(1.061572 AS DOUBLE)),
+  (CAST(30 AS BIGINT), CAST(0.926253 AS DOUBLE), CAST(-0.385076 AS DOUBLE)),
+  (CAST(31 AS BIGINT), CAST(0.981743 AS DOUBLE), CAST(0.970861 AS DOUBLE)),
+  (CAST(32 AS BIGINT), CAST(1.080732 AS DOUBLE), CAST(-0.469197 AS DOUBLE)),
+  (CAST(33 AS BIGINT), CAST(1.139905 AS DOUBLE), CAST(0.917212 AS DOUBLE)),
+  (CAST(34 AS BIGINT), CAST(1.230296 AS DOUBLE), CAST(-0.516257 AS DOUBLE)),
+  (CAST(35 AS BIGINT), CAST(1.293152 AS DOUBLE), CAST(0.900624 AS DOUBLE)),
+  (CAST(36 AS BIGINT), CAST(1.374944 AS DOUBLE), CAST(-0.526256 AS DOUBLE)),
+  (CAST(37 AS BIGINT), CAST(1.441484 AS DOUBLE), CAST(0.921097 AS DOUBLE)),
+  (CAST(38 AS BIGINT), CAST(1.485301 AS DOUBLE), CAST(2.33592 AS DOUBLE)),
+  (CAST(39 AS BIGINT), CAST(1.584901 AS DOUBLE), CAST(0.978631 AS DOUBLE))
+) AS t(vec_id, w0, w1)
+"""
+
+
 def _q_gains_table(spark, sf_dir):
     """stats.gains_table — decile gains/lift of price-as-a-scorer for
     high-quantity lineitems: the keep-the-top-X% threshold readout.
@@ -13206,6 +13294,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mann_kendall": _q_mann_kendall,
         "graph_adamic_adar": _q_adamic_adar,
         "stats_cochran_armitage": _q_cochran_armitage,
+        "embedding_pca_whiten": _q_pca_whiten,
     }
 
 
@@ -13469,6 +13558,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_mann_kendall": MANN_KENDALL_ORACLE,
         "graph_adamic_adar": ADAMIC_ADAR_ORACLE,
         "stats_cochran_armitage": COCHRAN_ARMITAGE_ORACLE,
+        "embedding_pca_whiten": PCA_WHITEN_ORACLE,
     }
 
 

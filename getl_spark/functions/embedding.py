@@ -11,6 +11,7 @@ YAML-callable as ``embedding.<name>`` inside ``transform::generic``.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
@@ -318,6 +319,8 @@ def pca_project(
     model: PCAModel,
     vec_col: str = "embedding",
     new_col: str = "pca_vec",
+    whiten: bool = False,
+    min_variance: float = 1e-12,
 ) -> DataFrame:
     """Project vectors onto a fitted ``PCAModel``: ``(x - mean) @ Wᵀ``
     as pure JVM expressions — the mean and each component row are
@@ -326,7 +329,39 @@ def pca_project(
     Dimension reduction before ANN/clustering cuts shuffle and index
     bytes by d/k (e.g. 768→64 ≈ 12×), which at 100 TB is the
     difference between a broadcastable and a shuffled index. NULL
-    vectors project to NULL."""
+    vectors project to NULL.
+
+    ``whiten=True`` additionally scales each coordinate by
+    ``1/√λᵢ`` (the component's eigenvalue), making the projected
+    coordinates unit-variance on the fit distribution — the standard
+    preprocessing when downstream distance math (k-means,
+    cosine dedup, Mahalanobis-ish gates) should not let the first
+    component dominate purely by variance. The scale folds into the
+    same codegen literals: still zero Python, zero shuffle. Fails
+    LOUD when the model lacks per-component variances (older pickled
+    fits) or any requested component's λ < ``min_variance`` — a
+    near-zero-variance direction whitened is amplified noise, and
+    the right response is fitting fewer components, not a silent
+    clamp."""
+    if whiten:
+        if model.variances is None:
+            raise ValueError(
+                "pca_project: whiten=True needs a model carrying "
+                "per-component variances — re-run fit_pca (older "
+                "pickled models lack them)"
+            )
+        lam = [float(v) for v in model.variances[: model.k]]
+        bad = [i for i, v in enumerate(lam) if v < min_variance]
+        if bad:
+            raise ValueError(
+                f"pca_project: whiten=True but component(s) {bad} have "
+                f"variance < {min_variance} — whitening a near-zero-"
+                "variance direction amplifies noise; fit fewer "
+                "components (k) instead"
+            )
+        scales = [1.0 / math.sqrt(v) for v in lam]
+    else:
+        scales = None
     d = len(model.mean)
     mean_lit = F.array(*[F.lit(float(m)) for m in model.mean])
     # zip_with NULL-pads on length mismatch, which would silently
@@ -343,15 +378,16 @@ def pca_project(
     )
     centered = F.zip_with(checked, mean_lit, lambda x, m: x - m)
     dots = []
-    for comp in model.components:
+    for i, comp in enumerate(model.components):
         comp_lit = F.array(*[F.lit(float(c)) for c in comp])
-        dots.append(
-            F.aggregate(
-                F.zip_with(centered, comp_lit, lambda x, w: x * w),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
+        dot = F.aggregate(
+            F.zip_with(centered, comp_lit, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda a, x: a + x,
         )
+        if scales is not None:
+            dot = dot * F.lit(scales[i])
+        dots.append(dot)
     return df.withColumn(
         new_col,
         F.when(F.col(vec_col).isNotNull(), F.array(*dots)),

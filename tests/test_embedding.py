@@ -883,3 +883,51 @@ def test_truncate_matryoshka(spark):
     r = similarity.recall_eval(cheap, exact, k=5).collect()[0]
     assert r.n_queries == 10 and r.missing_queries == 0
     assert r.mean_recall > 0.8
+
+
+def test_pca_project_whiten_unit_variance(spark):
+    import numpy as np
+
+    from getl_spark.functions import embedding as E
+
+    rng = np.random.RandomState(9)
+    # anisotropic cloud: variance 25 along axis0-ish, 1 along axis1-ish
+    base = rng.randn(200, 3) * np.array([5.0, 1.0, 0.3]) + 2.0
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(base)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).repartition(1)
+    model = E.fit_pca(df, "embedding", k=2)
+    plain = E.pca_project(df, model, "embedding")
+    white = E.pca_project(df, model, "embedding", whiten=True)
+    p = np.array([r.pca_vec for r in plain.orderBy("vec_id").collect()])
+    w = np.array([r.pca_vec for r in white.orderBy("vec_id").collect()])
+    # plain projection: component variances match the eigenvalues and
+    # are wildly unequal; whitened: every coordinate ~unit variance
+    assert p[:, 0].var(ddof=1) / p[:, 1].var(ddof=1) > 10
+    assert abs(w[:, 0].var(ddof=1) - 1.0) < 0.05
+    assert abs(w[:, 1].var(ddof=1) - 1.0) < 0.05
+    # whiten is exactly the plain projection rescaled by 1/sqrt(lambda)
+    lam = np.array(model.variances[:2])
+    np.testing.assert_allclose(w, p / np.sqrt(lam), rtol=1e-9, atol=1e-9)
+
+
+def test_pca_project_whiten_guards(spark):
+    import numpy as np
+
+    from getl_spark.functions import embedding as E
+
+    rng = np.random.RandomState(4)
+    flat = rng.randn(50, 2) @ np.array([[1.0, 1.0], [0.0, 0.0]])  # rank 1
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(flat)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).repartition(1)
+    model = E.fit_pca(df, "embedding", k=2)
+    with pytest.raises(ValueError, match="variance"):
+        E.pca_project(df, model, "embedding", whiten=True)
+    # a model stripped of variances (older pickled fit) fails loud
+    model2 = E.fit_pca(df, "embedding", k=1)
+    model2.variances = None
+    with pytest.raises(ValueError, match="carrying"):
+        E.pca_project(df, model2, "embedding", whiten=True)
