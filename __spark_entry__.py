@@ -3436,6 +3436,88 @@ FROM orders WHERE o_orderkey % 10 IN (3, 4, 5, 6)
 """
 
 
+def _q_stream_route_drain(spark, sf_dir):
+    """write::stream_route driven end-to-end: the documents table
+    streamed as JSON and split by a first-match-wins route list
+    (long docs → 'long', remaining English → 'en_rest', everything
+    else → the Else lane) inside one foreachBatch drain; the result
+    is the read-back union of all three lanes tagged by lane name.
+    First-match-wins is EXACTLY a SQL CASE over the same predicates —
+    the oracle replays it verbatim on the raw table, so lane
+    disjointness, completeness, and content all value-hash."""
+    import shutil as _shutil
+
+    import yaml as _yaml
+
+    tmp = (
+        "/tmp/getl_spark_q/stream_route_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    _shutil.rmtree(tmp, ignore_errors=True)
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.select("doc_id", "lang", "n_chars").coalesce(2).write.mode(
+        "overwrite"
+    ).json(src)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "lang", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "n_chars", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+    definition = {
+        "LiftJob": {
+            "Read": {
+                "Type": "load::stream_json",
+                "Properties": {"Path": src, "JsonSchema": schema},
+            },
+            "Route": {
+                "Type": "write::stream_route",
+                "Input": "Read",
+                "Properties": {
+                    "Routes": [
+                        {
+                            "Name": "long",
+                            "Condition": "n_chars >= 900",
+                            "Path": f"{out}/long",
+                        },
+                        {
+                            "Name": "en_rest",
+                            "Condition": "lang = 'en'",
+                            "Path": f"{out}/en_rest",
+                        },
+                    ],
+                    "ElsePath": f"{out}/rest",
+                    "Checkpoint": ckpt,
+                },
+            },
+        }
+    }
+    from getl_spark import lift as _lift
+
+    _lift(spark, _yaml.safe_dump(definition, sort_keys=False))
+    lanes = []
+    for lane in ("long", "en_rest", "rest"):
+        lanes.append(
+            spark.read.parquet(f"{out}/{lane}").select(
+                F.lit(lane).alias("lane"), "doc_id", "lang", "n_chars"
+            )
+        )
+    merged = lanes[0].unionByName(lanes[1]).unionByName(lanes[2])
+    return merged
+
+
+STREAM_ROUTE_ORACLE = """
+SELECT CASE WHEN n_chars >= 900 THEN 'long'
+            WHEN lang = 'en' THEN 'en_rest'
+            ELSE 'rest' END AS lane,
+       doc_id, lang, n_chars
+FROM documents
+"""
+
+
 def _q_stream_dedup_drain(spark, sf_dir):
     """transform::stream_dedup on a real stream: an orders sample
     written to JSON in triplicate (exact copies, so the surviving row
@@ -13295,6 +13377,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_adamic_adar": _q_adamic_adar,
         "stats_cochran_armitage": _q_cochran_armitage,
         "embedding_pca_whiten": _q_pca_whiten,
+        "stream_route_drain": _q_stream_route_drain,
     }
 
 
@@ -13559,6 +13642,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "graph_adamic_adar": ADAMIC_ADAR_ORACLE,
         "stats_cochran_armitage": COCHRAN_ARMITAGE_ORACLE,
         "embedding_pca_whiten": PCA_WHITEN_ORACLE,
+        "stream_route_drain": STREAM_ROUTE_ORACLE,
     }
 
 

@@ -685,3 +685,97 @@ def stream_drift_monitor(conf: BlockConfig) -> DataFrame:
         .awaitTermination()
     )
     return df
+
+
+def stream_route(conf: BlockConfig) -> DataFrame:
+    """Predicate ROUTER sink: split one stream across several file
+    sinks by boolean conditions — the streaming quality gate
+    (pass-lane to the training corpus, fail-lane to a quarantine dir
+    for triage) and the source-splitter (one firehose → per-tenant
+    directories) in one block. Built-in streaming writers bind one
+    query to one sink; the router evaluates every route inside ONE
+    ``foreachBatch`` so all lanes advance under a single checkpoint —
+    no per-sink re-read of the source, no cross-sink offset skew.
+
+    Properties:
+
+    * ``Routes`` — ordered list of ``{Name, Condition, Path}``.
+      ``Condition`` is a Spark SQL boolean expression over the input
+      columns. FIRST MATCH WINS: route i takes the rows matching its
+      condition and none of the earlier ones, so the lanes are
+      disjoint and their union is exactly the matched input (router
+      semantics; overlapping conditions cannot double-write a row).
+    * ``ElsePath`` (optional) — rows matching no route land here.
+      Without it unmatched rows are DROPPED (gate semantics) — make
+      the drop explicit by setting ``ElsePath`` whenever the stream
+      is an ingest you cannot replay.
+    * ``Format`` (default ``parquet``) — any batch DataFrameWriter
+      format.
+    * ``WithBatchId`` (default false) — stamp a ``_batch_id`` column
+      on every written row. File appends inside ``foreachBatch`` are
+      AT-LEAST-ONCE on micro-batch retry (the standard caveat of
+      every multi-sink foreachBatch); the stamp makes downstream
+      exact-once reconciliation a one-column dedup.
+    * ``Checkpoint`` (default ``<first route path>__checkpoint``).
+
+    Scale shape: per micro-batch, one filter+write per lane over the
+    SAME batch frame — the batch is computed once by the streaming
+    engine; each lane's filter is scan-side (codegen, no shuffle), so
+    N lanes cost N column-pruned passes over one in-memory batch, not
+    N source reads. ``trigger(availableNow=True)`` drains then stops
+    (incremental-batch, like every stream sink here).
+    """
+    df = conf.input_df()
+    routes = conf.get("Routes")
+    if not routes:
+        raise ValueError("stream_route: Routes must be a non-empty list")
+    for r in routes:
+        for k in ("Name", "Condition", "Path"):
+            if k not in r:
+                raise ValueError(
+                    f"stream_route: every route needs {{Name, Condition, "
+                    f"Path}} — missing '{k}' in {r}"
+                )
+    else_path = conf.get("ElsePath", None)
+    fmt = conf.get("Format", "parquet")
+    with_batch_id = bool(conf.get("WithBatchId", False))
+    checkpoint = conf.get(
+        "Checkpoint", f"{routes[0]['Path'].rstrip('/')}__checkpoint"
+    )
+
+    def route_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_df.isEmpty():
+            return
+        if with_batch_id:
+            batch_df = batch_df.withColumn(
+                "_batch_id", F.lit(int(batch_id)).cast("bigint")
+            )
+        remaining = F.lit(True)
+        for r in routes:
+            cond = F.expr(r["Condition"])
+            (
+                batch_df.where(remaining & cond)
+                .write.mode("append")
+                .format(fmt)
+                .save(r["Path"])
+            )
+            remaining = remaining & ~cond
+        if else_path is not None:
+            (
+                batch_df.where(remaining)
+                .write.mode("append")
+                .format(fmt)
+                .save(else_path)
+            )
+
+    (
+        df.writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(route_batch)
+        .start()
+        .awaitTermination()
+    )
+    return df

@@ -1082,3 +1082,105 @@ def test_stream_drift_monitor_categorical(spark, tmp_path):
     assert rows[(0, "lang")].psi < 0.01 and rows[(1, "lang")].psi > 1.0
     # the numeric column is identically distributed in both waves
     assert rows[(0, "m")].psi < 0.01 and rows[(1, "m")].psi < 0.2
+
+
+def test_stream_route_first_match_wins_and_else_lane(spark, tmp_path):
+    import yaml
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"id": 1, "score": 0.9, "lang": "en"},   # -> gold (first match)
+        {"id": 2, "score": 0.9, "lang": "de"},   # -> gold
+        {"id": 3, "score": 0.5, "lang": "en"},   # -> english (gold misses)
+        {"id": 4, "score": 0.5, "lang": "de"},   # -> else lane
+        {"id": 5, "score": 0.95, "lang": "en"},  # -> gold ONLY (disjoint)
+    ]
+    with open(src / "w1.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "score", "type": "double", "nullable": True, "metadata": {}},
+            {"name": "lang", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    out = tmp_path / "out"
+    definition = {
+        "LiftJob": {
+            "Read": {
+                "Type": "load::stream_json",
+                "Properties": {"Path": str(src), "JsonSchema": schema},
+            },
+            "Route": {
+                "Type": "write::stream_route",
+                "Input": "Read",
+                "Properties": {
+                    "Routes": [
+                        {"Name": "gold", "Condition": "score >= 0.8",
+                         "Path": str(out / "gold")},
+                        {"Name": "english", "Condition": "lang = 'en'",
+                         "Path": str(out / "english")},
+                    ],
+                    "ElsePath": str(out / "rest"),
+                    "WithBatchId": True,
+                    "Checkpoint": str(tmp_path / "ckpt"),
+                },
+            },
+        }
+    }
+    lift(spark, yaml.safe_dump(definition, sort_keys=False))
+    gold = {r.id for r in spark.read.parquet(str(out / "gold")).collect()}
+    english = {r.id for r in spark.read.parquet(str(out / "english")).collect()}
+    rest = {r.id for r in spark.read.parquet(str(out / "rest")).collect()}
+    assert gold == {1, 2, 5}
+    assert english == {3}          # 1 and 5 already taken by gold
+    assert rest == {4}
+    # _batch_id stamped on every lane
+    assert {
+        r._batch_id for r in spark.read.parquet(str(out / "gold")).collect()
+    } == {0}
+
+    # second drain with a new file appends to the same lanes
+    with open(src / "w2.json", "w") as fh:
+        fh.write(json.dumps({"id": 6, "score": 0.99, "lang": "fr"}) + "\n")
+    lift(spark, yaml.safe_dump(definition, sort_keys=False))
+    gold2 = {r.id for r in spark.read.parquet(str(out / "gold")).collect()}
+    assert gold2 == {1, 2, 5, 6}
+
+
+def test_stream_route_requires_route_fields(spark, tmp_path):
+    import yaml
+
+    import pytest as _pytest
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "w1.json", "w") as fh:
+        fh.write(json.dumps({"id": 1}) + "\n")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+        ],
+    }
+    definition = {
+        "LiftJob": {
+            "Read": {
+                "Type": "load::stream_json",
+                "Properties": {"Path": str(src), "JsonSchema": schema},
+            },
+            "Route": {
+                "Type": "write::stream_route",
+                "Input": "Read",
+                "Properties": {
+                    "Routes": [{"Name": "x", "Path": str(tmp_path / "x")}],
+                    "Checkpoint": str(tmp_path / "ckpt"),
+                },
+            },
+        }
+    }
+    with _pytest.raises(Exception, match="missing 'Condition'"):
+        lift(spark, yaml.safe_dump(definition, sort_keys=False))
