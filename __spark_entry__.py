@@ -11591,6 +11591,86 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_ipw_balance(spark, sf_dir):
+    """stats.ipw_balance — observational click-vs-view balance table
+    under stabilized inverse-propensity weights (deterministic
+    logistic propensity on value so the oracle can replay every float
+    op; in production the propensity comes from
+    quality.train_classifier). One melt + one keyed conditional-sum
+    aggregate per covariate, closed form after."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.where(
+        F.col("event_type").isin("view", "click")
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
+        (F.col("event_type") == "click").cast("int").alias("t"),
+        (
+            F.lit(1.0)
+            / (1.0 + F.exp(-(F.col("value") - 100.0) / 50.0))
+        ).alias("p"),
+        F.col("value"),
+        F.hour("ts").cast("double").alias("hour_of_day"),
+    )
+    return stats.ipw_balance(base, "t", "p", ["value", "hour_of_day"])
+
+
+IPW_BALANCE_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS t,
+         LEAST(GREATEST(1.0 / (1.0 + exp(-(value - 100.0) / 50.0)),
+                        0.01), 0.99) AS p,
+         CAST(value AS DOUBLE) AS value,
+         CAST(hour(ts) AS DOUBLE) AS hour_of_day
+  FROM events
+  WHERE event_type IN ('view', 'click')
+    AND value IS NOT NULL AND ts IS NOT NULL
+), shares AS (
+  SELECT SUM(t) * 1.0 / COUNT(*) AS pt FROM base
+), melt AS (
+  SELECT t, p, 'value' AS cov, value AS x FROM base
+  UNION ALL
+  SELECT t, p, 'hour_of_day' AS cov, hour_of_day AS x FROM base
+), agg AS (
+  SELECT cov,
+         CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS nt,
+         CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nc,
+         SUM(CASE WHEN t = 1 THEN x END) AS sxt,
+         SUM(CASE WHEN t = 0 THEN x END) AS sxc,
+         SUM(CASE WHEN t = 1 THEN x * x END) AS sxxt,
+         SUM(CASE WHEN t = 0 THEN x * x END) AS sxxc,
+         SUM(CASE WHEN t = 1 THEN s.pt / p END) AS swt,
+         SUM(CASE WHEN t = 0 THEN (1 - s.pt) / (1 - p) END) AS swc,
+         SUM(CASE WHEN t = 1 THEN (s.pt / p) * x END) AS swxt,
+         SUM(CASE WHEN t = 0 THEN ((1 - s.pt) / (1 - p)) * x END) AS swxc
+  FROM melt, shares s
+  WHERE x IS NOT NULL
+  GROUP BY cov
+), calc AS (
+  SELECT cov,
+         sxt / nt AS mt, sxc / nc AS mc,
+         (sxxt - nt * (sxt / nt) * (sxt / nt)) / (nt - 1) AS vt,
+         (sxxc - nc * (sxc / nc) * (sxc / nc)) / (nc - 1) AS vc,
+         swxt / swt AS wmt, swxc / swc AS wmc
+  FROM agg
+), pool AS (
+  SELECT *, sqrt((vt + vc) / 2) AS pooled FROM calc
+)
+SELECT cov AS covariate,
+       ROUND(mt, 6) AS mean_treated,
+       ROUND(mc, 6) AS mean_control,
+       ROUND(CASE WHEN pooled > 0 THEN (mt - mc) / pooled END, 6)
+         AS smd_before,
+       ROUND(wmt, 6) AS wmean_treated,
+       ROUND(wmc, 6) AS wmean_control,
+       ROUND(CASE WHEN pooled > 0 THEN (wmt - wmc) / pooled END, 6)
+         AS smd_after
+FROM pool
+"""
+
+
 def _q_gains_table(spark, sf_dir):
     """stats.gains_table — decile gains/lift of price-as-a-scorer for
     high-quantity lineitems: the keep-the-top-X% threshold readout.
@@ -13378,6 +13458,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cochran_armitage": _q_cochran_armitage,
         "embedding_pca_whiten": _q_pca_whiten,
         "stream_route_drain": _q_stream_route_drain,
+        "stats_ipw_balance": _q_ipw_balance,
     }
 
 
@@ -13643,6 +13724,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_cochran_armitage": COCHRAN_ARMITAGE_ORACLE,
         "embedding_pca_whiten": PCA_WHITEN_ORACLE,
         "stream_route_drain": STREAM_ROUTE_ORACLE,
+        "stats_ipw_balance": IPW_BALANCE_ORACLE,
     }
 
 

@@ -6645,3 +6645,139 @@ def cochran_armitage(
         F.round(z, round_to).alias("z"),
         F.round(p, round_to).alias("p_value"),
     )
+
+
+def ipw_balance(
+    df: DataFrame,
+    treatment_col: str,
+    propensity_col: str,
+    covariates: List[str],
+    trim: float = 0.01,
+    round_to: int = 6,
+) -> DataFrame:
+    """Inverse-propensity weighting balance report — the readout for
+    OBSERVATIONAL comparisons (the corpus slices were never
+    randomized: docs that got the new cleaning pipeline vs docs that
+    didn't, users who saw the feature vs those who didn't). Feed a
+    propensity score (e.g. :func:`quality.train_classifier`'s
+    calibrated probability of being in the treatment slice) and this
+    computes stabilized IPW weights and, per covariate, the
+    standardized mean difference BEFORE and AFTER weighting — the
+    standard "did weighting actually balance the groups?" diagnostic
+    (|SMD| < 0.1 is the conventional pass bar). An outcome comparison
+    on unbalanced groups measures the confounders, not the treatment;
+    this table is the gate in front of that mistake.
+
+    One row per covariate: ``(covariate, mean_treated, mean_control,
+    smd_before, wmean_treated, wmean_control, smd_after)`` where
+    SMD = (mean_t − mean_c) / √((var_t + var_c)/2) (before: unweighted
+    moments; after: Hájek weighted means over the SAME denominator —
+    the pooled unweighted variance — so before/after are on one
+    scale, the standard reporting convention). Stabilized weights
+    ``w = P(T=1)·t/p + P(T=0)·(1−t)/(1−p)`` with propensities clipped
+    to ``[trim, 1−trim]`` (the standard trim against extreme-weight
+    variance explosion; ``trim=0`` disables). Binary 0/1 treatment
+    and propensities inside (0,1) exclusive are loud asserts — a
+    propensity of exactly 0/1 means the classifier memorized the
+    slice and NO weighting can fix that.
+
+    Scale shape: one melt (covariates × rows — scan-side explode, no
+    UDF) + ONE keyed aggregate per covariate with conditional
+    weighted sums (map-side combine, shuffle ∝ covariates) + closed-
+    form arithmetic. Fully SQL-expressible.
+    """
+    if not covariates:
+        raise ValueError("ipw_balance: covariates must be non-empty")
+    if not 0 <= trim < 0.5:
+        raise ValueError(f"ipw_balance: trim must be in [0, 0.5), got {trim}")
+    t = F.col(treatment_col).cast("bigint")
+    p_raw = F.col(propensity_col).cast("double")
+    t_guard = F.assert_true(
+        t.isin(0, 1),
+        F.lit("stats.ipw_balance: treatment column must be binary 0/1"),
+    )
+    p_guard = F.assert_true(
+        (p_raw > 0) & (p_raw < 1),
+        F.lit(
+            "stats.ipw_balance: propensity must be strictly inside "
+            "(0, 1) — an exact 0/1 propensity means the classifier "
+            "separates the slices perfectly and no weighting can "
+            "balance them (positivity violation)"
+        ),
+    )
+    p = F.least(
+        F.greatest(p_raw, F.lit(float(trim))), F.lit(1.0 - float(trim))
+    )
+    checked_t = t + F.coalesce(t_guard.cast("bigint"), F.lit(0)) + F.coalesce(
+        p_guard.cast("bigint"), F.lit(0)
+    )
+    base = df.where(t.isNotNull() & p_raw.isNotNull() & ~F.isnan(p_raw))
+    melt = base.select(
+        checked_t.alias("__t"),
+        p.alias("__p"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("__cov"),
+                        F.col(c).cast("double").alias("__x"),
+                    )
+                    for c in covariates
+                ]
+            )
+        ).alias("__e"),
+    ).select("__t", "__p", F.col("__e.__cov").alias("__cov"),
+             F.col("__e.__x").alias("__x"))
+    melt = melt.where(F.col("__x").isNotNull() & ~F.isnan(F.col("__x")))
+    # share of treated rows — 1-row aggregate broadcast back (the
+    # stabilization constants)
+    shares = base.agg(
+        (F.sum(checked_t) / F.count("*")).alias("__pt")
+    )
+    m = melt.join(F.broadcast(shares))
+    is_t = F.col("__t") == 1
+    w = F.when(
+        is_t, F.col("__pt") / F.col("__p")
+    ).otherwise((1 - F.col("__pt")) / (1 - F.col("__p")))
+    x = F.col("__x")
+    agg = m.groupBy("__cov").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("__nt"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("__nc"),
+        F.sum(F.when(is_t, x)).alias("__sxt"),
+        F.sum(F.when(~is_t, x)).alias("__sxc"),
+        F.sum(F.when(is_t, x * x)).alias("__sxxt"),
+        F.sum(F.when(~is_t, x * x)).alias("__sxxc"),
+        F.sum(F.when(is_t, w)).alias("__swt"),
+        F.sum(F.when(~is_t, w)).alias("__swc"),
+        F.sum(F.when(is_t, w * x)).alias("__swxt"),
+        F.sum(F.when(~is_t, w * x)).alias("__swxc"),
+    )
+    nt, nc = F.col("__nt").cast("double"), F.col("__nc").cast("double")
+    arm_guard = F.assert_true(
+        (F.col("__nt") > 1) & (F.col("__nc") > 1),
+        F.lit(
+            "stats.ipw_balance: a covariate has < 2 non-null rows in "
+            "an arm — no variance, no SMD; check the treatment flag "
+            "and covariate NULLs"
+        ),
+    )
+    # try_divide everywhere: ANSI divide-by-zero on a degenerate arm
+    # must not preempt arm_guard's loud contract error below
+    mt = F.try_divide(F.col("__sxt"), nt)
+    mc = F.try_divide(F.col("__sxc"), nc)
+    vt = F.try_divide(F.col("__sxxt") - nt * mt * mt, nt - 1)
+    vc = F.try_divide(F.col("__sxxc") - nc * mc * mc, nc - 1)
+    pooled = F.sqrt((vt + vc) / 2)
+    wmt = F.try_divide(F.col("__swxt"), F.col("__swt"))
+    wmc = F.try_divide(F.col("__swxc"), F.col("__swc"))
+    smd_b = F.when(pooled > 0, (mt - mc) / pooled)
+    smd_a = F.when(pooled > 0, (wmt - wmc) / pooled)
+    return agg.select(
+        F.when(arm_guard.isNull(), F.col("__cov")).alias("covariate"),
+        F.round(mt, round_to).alias("mean_treated"),
+        F.round(mc, round_to).alias("mean_control"),
+        F.round(smd_b, round_to).alias("smd_before"),
+        F.round(wmt, round_to).alias("wmean_treated"),
+        F.round(wmc, round_to).alias("wmean_control"),
+        F.round(smd_a, round_to).alias("smd_after"),
+    )

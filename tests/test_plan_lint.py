@@ -55,6 +55,8 @@ NESTED_LOOP_WHITELIST = {
     "sample_split_leakage": "1-row pair-total broadcast (share denominator)",
     "stats_trimmed_mean": "1-row total-count (and winsor bounds) broadcast",
     "stats_anova": "1-row grand-mean/total broadcast onto the k-row arm table",
+    "stats_ipw_balance": "1-row treated-share broadcast (the "
+    "stabilization constants) onto the covariate melt",
     "stats_welch_anova": "1-row weighted-mean/total broadcast onto the "
     "k-row arm table (ungrouped)",
     "stats_levene": "1-row grand-mean/total broadcast (anova decomposition on the |deviation| values)",

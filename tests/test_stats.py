@@ -4352,3 +4352,96 @@ def test_cochran_armitage_guards(spark):
         stats.cochran_armitage(
             _ca_df(spark, [(1, 10, 0), (2, 10, 0)]), "x", "y"
         ).collect()
+
+
+# ------------------------------------------------------------ ipw balance
+
+
+def test_ipw_balance_recovers_balance(spark):
+    import random as _random
+
+    from getl_spark.functions import stats
+
+    # confounded assignment: treatment probability rises with x, so the
+    # naive mean difference on x is large; weighting by the TRUE
+    # propensity must shrink |SMD| dramatically
+    rng = _random.Random(21)
+    rows = []
+    for _ in range(4000):
+        x = rng.gauss(0, 1)
+        p = 1 / (1 + pow(2.718281828, -(1.2 * x)))
+        t = 1 if rng.random() < p else 0
+        z = rng.gauss(5, 2)  # independent covariate: balanced already
+        rows.append((t, min(max(p, 1e-6), 1 - 1e-6), x, z))
+    df = spark.createDataFrame(rows, "t INT, p DOUBLE, x DOUBLE, z DOUBLE")
+    out = {
+        r.covariate: r
+        for r in stats.ipw_balance(df, "t", "p", ["x", "z"]).collect()
+    }
+    assert abs(out["x"].smd_before) > 0.5
+    assert abs(out["x"].smd_after) < 0.15
+    assert abs(out["z"].smd_before) < 0.15  # was never confounded
+
+
+def test_ipw_balance_matches_python_replay(spark):
+    import random as _random
+
+    from getl_spark.functions import stats
+
+    rng = _random.Random(3)
+    rows = [
+        (rng.randint(0, 1), rng.uniform(0.2, 0.8), rng.gauss(0, 1))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "t INT, p DOUBLE, x DOUBLE")
+    r = stats.ipw_balance(df, "t", "p", ["x"], trim=0.01).collect()[0]
+    import math as _math
+
+    pt = sum(t for t, _, _ in rows) / len(rows)
+    xt = [x for t, _, x in rows if t == 1]
+    xc = [x for t, _, x in rows if t == 0]
+    mt, mc = sum(xt) / len(xt), sum(xc) / len(xc)
+    vt = sum((v - mt) ** 2 for v in xt) / (len(xt) - 1)
+    vc = sum((v - mc) ** 2 for v in xc) / (len(xc) - 1)
+    pooled = _math.sqrt((vt + vc) / 2)
+    wt = [(pt / min(max(p, 0.01), 0.99)) for t, p, _ in rows if t == 1]
+    wc = [((1 - pt) / (1 - min(max(p, 0.01), 0.99)))
+          for t, p, _ in rows if t == 0]
+    wmt = sum(w * x for w, (t, _, x) in zip(wt, [r_ for r_ in rows if r_[0] == 1])) / sum(wt)
+    wmc = sum(w * x for w, (t, _, x) in zip(wc, [r_ for r_ in rows if r_[0] == 0])) / sum(wc)
+    assert abs(r.mean_treated - round(mt, 6)) < 1e-6
+    assert abs(r.mean_control - round(mc, 6)) < 1e-6
+    assert abs(r.smd_before - round((mt - mc) / pooled, 6)) < 1e-6
+    assert abs(r.wmean_treated - round(wmt, 6)) < 1e-5
+    assert abs(r.wmean_control - round(wmc, 6)) < 1e-5
+    assert abs(r.smd_after - round((wmt - wmc) / pooled, 6)) < 1e-5
+
+
+def test_ipw_balance_guards(spark):
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [(1, 0.5, 1.0), (0, 0.5, 2.0), (1, 0.6, 3.0), (0, 0.4, 0.0)],
+        "t INT, p DOUBLE, x DOUBLE",
+    )
+    with pytest.raises(ValueError, match="covariates"):
+        stats.ipw_balance(df, "t", "p", [])
+    with pytest.raises(ValueError, match="trim"):
+        stats.ipw_balance(df, "t", "p", ["x"], trim=0.7)
+    bad_t = spark.createDataFrame(
+        [(2, 0.5, 1.0), (0, 0.5, 2.0)], "t INT, p DOUBLE, x DOUBLE"
+    )
+    with pytest.raises(Exception, match="binary"):
+        stats.ipw_balance(bad_t, "t", "p", ["x"]).collect()
+    bad_p = spark.createDataFrame(
+        [(1, 1.0, 1.0), (0, 0.5, 2.0), (1, 0.5, 1.0), (0, 0.3, 2.0)],
+        "t INT, p DOUBLE, x DOUBLE",
+    )
+    with pytest.raises(Exception, match="positivity"):
+        stats.ipw_balance(bad_p, "t", "p", ["x"]).collect()
+    one_arm = spark.createDataFrame(
+        [(1, 0.5, 1.0), (1, 0.5, 2.0), (0, 0.5, 3.0)],
+        "t INT, p DOUBLE, x DOUBLE",
+    )
+    with pytest.raises(Exception, match="< 2 non-null"):
+        stats.ipw_balance(one_arm, "t", "p", ["x"]).collect()
