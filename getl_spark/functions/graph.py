@@ -731,7 +731,9 @@ def label_propagation(
     probe, because synchronous LPA can oscillate on bipartite
     structures (two-coloring flip), so "stable" is not a well-defined
     stopping rule; k rounds of keyed aggregation is. Returns
-    ``(node, label)``.
+    ``(node, label)``. Node ids must be NUMERIC (labels are node ids
+    and the struct-max tie-break negates them) — string ids fail at
+    analysis time; hash them to longs first (``xxhash64``).
 
     Scale shape: per round, one join (labels onto the symmetrized edge
     list, key = neighbor id) and one two-level aggregation
