@@ -11671,6 +11671,78 @@ FROM pool
 """
 
 
+def _q_weak_label_vote(spark, sf_dir):
+    """quality.weak_label_vote — Snorkel-style weighted majority over
+    three heuristic labeling functions (language rule w=2, length
+    rule, source rule; each abstains with NULL outside its domain).
+    Entirely scan-side JVM array functions — the no-Exchange plan is
+    pytest-asserted; the oracle replays the vote as the classic
+    melt + tally + ROW_NUMBER argmax SQL."""
+    from getl_spark.functions import quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", "keep")
+        .when(F.col("lang") == "de", "drop")
+        .alias("lf_lang"),
+        F.when(F.col("n_chars") >= 500, "keep").otherwise("drop")
+        .alias("lf_len"),
+        F.when(F.col("source").isin("src0", "src1"), "drop")
+        .when(F.col("source") == "src2", "keep")
+        .alias("lf_src"),
+    )
+    voted = quality.weak_label_vote(
+        base, ["lf_lang", "lf_len", "lf_src"], weights=[2.0, 1.0, 1.0]
+    )
+    return voted.select(
+        "doc_id", "vote_label", "vote_share", "votes_cast", "n_abstain"
+    )
+
+
+WEAK_LABEL_VOTE_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 'keep'
+              WHEN lang = 'de' THEN 'drop' END AS lf_lang,
+         CASE WHEN n_chars >= 500 THEN 'keep' ELSE 'drop' END AS lf_len,
+         CASE WHEN source IN ('src0', 'src1') THEN 'drop'
+              WHEN source = 'src2' THEN 'keep' END AS lf_src
+  FROM documents
+), melt AS (
+  SELECT doc_id, lf_lang AS lab, CAST(2.0 AS DOUBLE) AS w
+  FROM base WHERE lf_lang IS NOT NULL
+  UNION ALL
+  SELECT doc_id, lf_len AS lab, CAST(1.0 AS DOUBLE) AS w
+  FROM base WHERE lf_len IS NOT NULL
+  UNION ALL
+  SELECT doc_id, lf_src AS lab, CAST(1.0 AS DOUBLE) AS w
+  FROM base WHERE lf_src IS NOT NULL
+), tally AS (
+  SELECT doc_id, lab, SUM(w) AS c FROM melt GROUP BY doc_id, lab
+), tot AS (
+  SELECT doc_id, SUM(c) AS cast_w FROM tally GROUP BY doc_id
+), win AS (
+  SELECT doc_id, lab, c,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY c DESC, lab ASC
+         ) AS rn
+  FROM tally
+)
+SELECT b.doc_id,
+       w.lab AS vote_label,
+       ROUND(w.c / t.cast_w, 6) AS vote_share,
+       ROUND(COALESCE(t.cast_w, 0.0), 6) AS votes_cast,
+       CAST((CASE WHEN b.lf_lang IS NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN b.lf_len IS NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN b.lf_src IS NULL THEN 1 ELSE 0 END)
+         AS INTEGER) AS n_abstain
+FROM base b
+LEFT JOIN (SELECT * FROM win WHERE rn = 1) w ON w.doc_id = b.doc_id
+LEFT JOIN tot t ON t.doc_id = b.doc_id
+"""
+
+
 def _q_gains_table(spark, sf_dir):
     """stats.gains_table — decile gains/lift of price-as-a-scorer for
     high-quantity lineitems: the keep-the-top-X% threshold readout.
@@ -13459,6 +13531,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_whiten": _q_pca_whiten,
         "stream_route_drain": _q_stream_route_drain,
         "stats_ipw_balance": _q_ipw_balance,
+        "quality_weak_label_vote": _q_weak_label_vote,
     }
 
 
@@ -13725,6 +13798,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "embedding_pca_whiten": PCA_WHITEN_ORACLE,
         "stream_route_drain": STREAM_ROUTE_ORACLE,
         "stats_ipw_balance": IPW_BALANCE_ORACLE,
+        "quality_weak_label_vote": WEAK_LABEL_VOTE_ORACLE,
     }
 
 

@@ -198,6 +198,7 @@ DETAIL_QUERIES = [
     "embedding_pca_whiten",
     "stream_route_drain",
     "stats_ipw_balance",
+    "quality_weak_label_vote",
     # stored-index build/query split: the composite rows above
     # (dedup_stored_index, dedup_cdc_stored_index) time build+query
     # together; these isolate the per-increment query leg so its

@@ -421,3 +421,105 @@ def label_noise(
         suspect.alias("noise_suspect"),
         suggested.alias("suggested_label"),
     )
+
+
+def weak_label_vote(
+    df: DataFrame,
+    label_cols,
+    weights=None,
+    out_col: str = "vote_label",
+    round_to: int = 6,
+):
+    """Majority-vote label model over K labeling-function columns —
+    the Snorkel-style baseline that turns heuristic annotators
+    (regex rules, :func:`similarity.knn_label` outputs, zero-shot
+    judge verdicts) into ONE training label per row, with an
+    abstention contract: a NULL in a labeling column is "this LF
+    does not know", not a vote. Optional per-LF ``weights`` (same
+    order as ``label_cols``) let a validated-precision LF outvote a
+    noisy one — the precision-weighted variant that is the standard
+    step before a full generative label model.
+
+    Adds four columns: ``out_col`` (winning label; NULL when every
+    LF abstained), ``vote_share`` (winner weight / cast weight),
+    ``votes_cast`` (total non-abstaining weight) and ``n_abstain``.
+    Frequency ties break toward the SMALLEST label value, so the
+    result is fully deterministic. Gate downstream training on
+    ``vote_share`` exactly like ``knn_label``'s contract.
+
+    Scale shape: there is no shuffle AT ALL — the K labels per row
+    form a bounded array and the whole vote (abstention filter,
+    per-candidate weight sums, deterministic argmax via a sorted
+    comparator) runs as JVM array higher-order functions inside the
+    scan projection. 100 TB costs one pass, and the operator
+    composes under any partitioning.
+    """
+    cols = list(label_cols)
+    if len(cols) < 1:
+        raise ValueError("weak_label_vote: need at least one label column")
+    if weights is not None:
+        weights = [float(w) for w in weights]
+        if len(weights) != len(cols):
+            raise ValueError(
+                f"weak_label_vote: {len(weights)} weights for "
+                f"{len(cols)} label columns"
+            )
+        if any(w <= 0 for w in weights):
+            raise ValueError("weak_label_vote: weights must be > 0")
+    else:
+        weights = [1.0] * len(cols)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(c).alias("lab"), F.lit(w).alias("w")
+            )
+            for c, w in zip(cols, weights)
+        ]
+    )
+    cast_arr = F.filter(pairs, lambda e: e["lab"].isNotNull())
+    votes_cast = F.aggregate(
+        cast_arr, F.lit(0.0), lambda acc, e: acc + e["w"]
+    )
+    n_abstain = F.lit(len(cols)) - F.size(cast_arr)
+    labs = F.array_distinct(
+        F.transform(cast_arr, lambda e: e["lab"])
+    )
+    tallied = F.transform(
+        labs,
+        lambda lab: F.struct(
+            F.aggregate(
+                F.filter(cast_arr, lambda e: e["lab"] == lab),
+                F.lit(0.0),
+                lambda acc, e: acc + e["w"],
+            ).alias("c"),
+            lab.alias("lab"),
+        ),
+    )
+    # deterministic argmax: weight desc, label asc
+    ranked = F.array_sort(
+        tallied,
+        lambda a, b: F.when(a["c"] > b["c"], F.lit(-1))
+        .when(a["c"] < b["c"], F.lit(1))
+        .when(a["lab"] < b["lab"], F.lit(-1))
+        .when(a["lab"] > b["lab"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    winner = F.element_at(ranked, 1)
+    has_votes = F.size(cast_arr) > 0
+    return (
+        df.withColumn(out_col, F.when(has_votes, winner["lab"]))
+        .withColumn(
+            "vote_share",
+            F.when(
+                has_votes,
+                F.round(winner["c"] / votes_cast, round_to),
+            ),
+        )
+        .withColumn(
+            "votes_cast",
+            F.round(F.when(has_votes, votes_cast).otherwise(F.lit(0.0)),
+                    round_to),
+        )
+        .withColumn("n_abstain", n_abstain.cast("int"))
+    )

@@ -395,3 +395,69 @@ def test_label_noise(spark):
             spark.createDataFrame([(2, 0.5)], "label INT, score DOUBLE"),
             "label", "score",
         ).collect()
+
+
+# --------------------------------------------------------- weak label vote
+
+
+def test_weak_label_vote_majority_and_abstention(spark):
+    from getl_spark.functions import quality
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam", "spam", "ham"),    # 2-1 spam
+            (2, "ham", None, "ham"),       # 2-0 ham, one abstain
+            (3, None, None, None),         # all abstain -> NULL
+            (4, "spam", "ham", None),      # 1-1 tie -> smallest label (ham)
+        ],
+        "id LONG, lf1 STRING, lf2 STRING, lf3 STRING",
+    )
+    out = {
+        r.id: r
+        for r in quality.weak_label_vote(df, ["lf1", "lf2", "lf3"]).collect()
+    }
+    assert out[1].vote_label == "spam" and abs(out[1].vote_share - 2 / 3) < 1e-6
+    assert out[2].vote_label == "ham" and out[2].vote_share == 1.0
+    assert out[2].n_abstain == 1 and out[2].votes_cast == 2.0
+    assert out[3].vote_label is None and out[3].n_abstain == 3
+    assert out[3].votes_cast == 0.0 and out[3].vote_share is None
+    assert out[4].vote_label == "ham"  # deterministic tie to smaller label
+
+
+def test_weak_label_vote_weights_flip_winner(spark):
+    from getl_spark.functions import quality
+
+    df = spark.createDataFrame(
+        [(1, "spam", "ham", "ham")], "id LONG, a STRING, b STRING, c STRING"
+    )
+    # unweighted: ham 2-1; with a trusted first LF (w=5): spam 5-2
+    r0 = quality.weak_label_vote(df, ["a", "b", "c"]).collect()[0]
+    assert r0.vote_label == "ham"
+    r1 = quality.weak_label_vote(
+        df, ["a", "b", "c"], weights=[5.0, 1.0, 1.0]
+    ).collect()[0]
+    assert r1.vote_label == "spam"
+    assert abs(r1.vote_share - 5 / 7) < 1e-6
+
+
+def test_weak_label_vote_no_shuffle_plan(spark):
+    from getl_spark.functions import quality
+
+    df = spark.createDataFrame(
+        [(1, "a", "b")], "id LONG, x STRING, y STRING"
+    )
+    plan = quality.weak_label_vote(df, ["x", "y"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_weak_label_vote_guards(spark):
+    from getl_spark.functions import quality
+
+    df = spark.createDataFrame([(1, "a")], "id LONG, x STRING")
+    with pytest.raises(ValueError, match="at least one"):
+        quality.weak_label_vote(df, [])
+    with pytest.raises(ValueError, match="weights"):
+        quality.weak_label_vote(df, ["x"], weights=[1.0, 2.0])
+    with pytest.raises(ValueError, match="> 0"):
+        quality.weak_label_vote(df, ["x"], weights=[0.0])
