@@ -11743,6 +11743,100 @@ LEFT JOIN tot t ON t.doc_id = b.doc_id
 """
 
 
+def _q_diff_in_diff(spark, sf_dir):
+    """stats.diff_in_diff — the rollout readout on events: did click
+    values move after Jan 16 beyond what view values moved anyway?
+    Cancels the permanent click/view level gap AND the common
+    mid-month shock a naive post-only or before/after comparison
+    would report as an effect. One four-cell conditional-moment
+    aggregate + closed form."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    staged = ev.where(
+        F.col("event_type").isin("view", "click") & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "pre")
+        .otherwise("post")
+        .alias("period"),
+        "value",
+    )
+    return stats.diff_in_diff(
+        staged, "event_type", "period", "value",
+        control="view", treatment="click", pre="pre", post="post",
+    )
+
+
+DIFF_IN_DIFF_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'pre'
+              ELSE 'post' END AS per,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+  WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+), agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN g='click' AND per='pre'  THEN 1 ELSE 0 END) AS DOUBLE) AS tpre_n,
+    SUM(CASE WHEN g='click' AND per='pre'  THEN x END) AS tpre_s,
+    SUM(CASE WHEN g='click' AND per='pre'  THEN x*x END) AS tpre_ss,
+    CAST(SUM(CASE WHEN g='click' AND per='post' THEN 1 ELSE 0 END) AS DOUBLE) AS tpost_n,
+    SUM(CASE WHEN g='click' AND per='post' THEN x END) AS tpost_s,
+    SUM(CASE WHEN g='click' AND per='post' THEN x*x END) AS tpost_ss,
+    CAST(SUM(CASE WHEN g='view' AND per='pre'  THEN 1 ELSE 0 END) AS DOUBLE) AS cpre_n,
+    SUM(CASE WHEN g='view' AND per='pre'  THEN x END) AS cpre_s,
+    SUM(CASE WHEN g='view' AND per='pre'  THEN x*x END) AS cpre_ss,
+    CAST(SUM(CASE WHEN g='view' AND per='post' THEN 1 ELSE 0 END) AS DOUBLE) AS cpost_n,
+    SUM(CASE WHEN g='view' AND per='post' THEN x END) AS cpost_s,
+    SUM(CASE WHEN g='view' AND per='post' THEN x*x END) AS cpost_ss
+  FROM base
+), m AS (
+  SELECT *,
+         tpre_s / tpre_n AS mt0, tpost_s / tpost_n AS mt1,
+         cpre_s / cpre_n AS mc0, cpost_s / cpost_n AS mc1,
+         (tpre_ss  - tpre_n  * (tpre_s / tpre_n)   * (tpre_s / tpre_n))
+           / (tpre_n - 1) AS vt0,
+         (tpost_ss - tpost_n * (tpost_s / tpost_n) * (tpost_s / tpost_n))
+           / (tpost_n - 1) AS vt1,
+         (cpre_ss  - cpre_n  * (cpre_s / cpre_n)   * (cpre_s / cpre_n))
+           / (cpre_n - 1) AS vc0,
+         (cpost_ss - cpost_n * (cpost_s / cpost_n) * (cpost_s / cpost_n))
+           / (cpost_n - 1) AS vc1
+  FROM agg
+), d AS (
+  SELECT *,
+         (mt1 - mt0) - (mc1 - mc0) AS did,
+         sqrt(vt0 / tpre_n + vt1 / tpost_n + vc0 / cpre_n
+              + vc1 / cpost_n) AS se
+  FROM m
+), z AS (
+  SELECT *, CASE WHEN se > 0 THEN did / se END AS zv FROM d
+), e AS (
+  SELECT *, abs(zv) / sqrt(2.0) AS x,
+         1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS tt
+  FROM z
+)
+SELECT CAST(tpre_n AS BIGINT) AS n_treat_pre,
+       CAST(tpost_n AS BIGINT) AS n_treat_post,
+       CAST(cpre_n AS BIGINT) AS n_ctrl_pre,
+       CAST(cpost_n AS BIGINT) AS n_ctrl_post,
+       ROUND(mt0, 6) AS mean_treat_pre,
+       ROUND(mt1, 6) AS mean_treat_post,
+       ROUND(mc0, 6) AS mean_ctrl_pre,
+       ROUND(mc1, 6) AS mean_ctrl_post,
+       ROUND(did, 6) AS did,
+       ROUND(se, 6) AS se,
+       ROUND(zv, 6) AS z,
+       ROUND((0.254829592 * tt - 0.284496736 * tt * tt
+              + 1.421413741 * tt * tt * tt
+              - 1.453152027 * tt * tt * tt * tt
+              + 1.061405429 * tt * tt * tt * tt * tt)
+             * exp(-(x * x)), 6) AS p_value
+FROM e
+"""
+
+
 def _q_gains_table(spark, sf_dir):
     """stats.gains_table — decile gains/lift of price-as-a-scorer for
     high-quantity lineitems: the keep-the-top-X% threshold readout.
@@ -13532,6 +13626,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_route_drain": _q_stream_route_drain,
         "stats_ipw_balance": _q_ipw_balance,
         "quality_weak_label_vote": _q_weak_label_vote,
+        "stats_diff_in_diff": _q_diff_in_diff,
     }
 
 
@@ -13799,6 +13894,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stream_route_drain": STREAM_ROUTE_ORACLE,
         "stats_ipw_balance": IPW_BALANCE_ORACLE,
         "quality_weak_label_vote": WEAK_LABEL_VOTE_ORACLE,
+        "stats_diff_in_diff": DIFF_IN_DIFF_ORACLE,
     }
 
 

@@ -6781,3 +6781,116 @@ def ipw_balance(
         F.round(wmc, round_to).alias("wmean_control"),
         F.round(smd_a, round_to).alias("smd_after"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    pre: str,
+    post: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Difference-in-differences — the rollout readout when the
+    treated slice was NOT randomized but you have a BEFORE: the new
+    cleaning pipeline went live for source A on date D; did A's
+    quality move beyond what the untouched sources moved anyway?
+    ``(mean_treat_post − mean_treat_pre) − (mean_ctrl_post −
+    mean_ctrl_pre)`` cancels both the permanent group difference and
+    the common time shock — the two confounders a naive post-only or
+    before/after-only comparison measures instead of the effect.
+    (The identifying assumption — parallel trends absent treatment —
+    is yours to defend; plot pre-period trends per group with
+    ``trend``/``sessions.resample`` first.)
+
+    One row: the four cell means and ns, ``did`` (the estimate),
+    ``se`` (Welch-style: √Σ s²ᵢ/nᵢ over the four cells), ``z``,
+    ``p_value`` (two-sided normal, A-S erf — oracle-replayable).
+    Rows outside the named groups/periods are excluded; any EMPTY
+    cell fails LOUD (a misspelled period name must not produce a
+    silent NULL estimate) — matching the ``ab_compare`` contract.
+
+    Scale shape: ONE conditional-moment aggregate (four cells'
+    n/Σx/Σx², map-side combine) + closed-form arithmetic on the
+    1-row result. Fully SQL-expressible.
+    """
+    g, per = F.col(group_col), F.col(period_col)
+    x = F.col(value_col).cast("double")
+    base = df.where(
+        g.isin(control, treatment)
+        & per.isin(pre, post)
+        & x.isNotNull()
+        & ~F.isnan(x)
+    )
+
+    def cell(gv, pv, what):
+        c = (g == gv) & (per == pv)
+        if what == "n":
+            return F.sum(F.when(c, 1).otherwise(0)).cast("double")
+        if what == "s":
+            return F.sum(F.when(c, x))
+        return F.sum(F.when(c, x * x))
+
+    agg = base.agg(
+        *[
+            expr.alias(f"__{tag}_{w}")
+            for tag, gv, pv in (
+                ("tpre", treatment, pre),
+                ("tpost", treatment, post),
+                ("cpre", control, pre),
+                ("cpost", control, post),
+            )
+            for w, expr in (
+                ("n", cell(gv, pv, "n")),
+                ("s", cell(gv, pv, "s")),
+                ("ss", cell(gv, pv, "ss")),
+            )
+        ]
+    )
+    cells = ("tpre", "tpost", "cpre", "cpost")
+    guard = F.assert_true(
+        (F.col("__tpre_n") > 1) & (F.col("__tpost_n") > 1)
+        & (F.col("__cpre_n") > 1) & (F.col("__cpost_n") > 1),
+        F.lit(
+            "stats.diff_in_diff: a cell has < 2 rows — check the "
+            "group/period names (a misspelled name must not produce "
+            "a silent NULL estimate) and that both periods exist for "
+            "both groups"
+        ),
+    )
+    means = {t: F.try_divide(F.col(f"__{t}_s"), F.col(f"__{t}_n")) for t in cells}
+    varis = {
+        t: F.try_divide(
+            F.col(f"__{t}_ss") - F.col(f"__{t}_n") * means[t] * means[t],
+            F.col(f"__{t}_n") - 1,
+        )
+        for t in cells
+    }
+    did = (means["tpost"] - means["tpre"]) - (means["cpost"] - means["cpre"])
+    se = F.sqrt(
+        sum(
+            F.try_divide(varis[t], F.col(f"__{t}_n")) for t in cells
+        )
+    )
+    z = F.when(se > 0, did / se)
+    p = _normal_two_sided_p(z)
+    out_cols = [
+        F.when(guard.isNull(), F.col("__tpre_n")).cast("bigint").alias(
+            "n_treat_pre"
+        ),
+        F.col("__tpost_n").cast("bigint").alias("n_treat_post"),
+        F.col("__cpre_n").cast("bigint").alias("n_ctrl_pre"),
+        F.col("__cpost_n").cast("bigint").alias("n_ctrl_post"),
+        F.round(means["tpre"], round_to).alias("mean_treat_pre"),
+        F.round(means["tpost"], round_to).alias("mean_treat_post"),
+        F.round(means["cpre"], round_to).alias("mean_ctrl_pre"),
+        F.round(means["cpost"], round_to).alias("mean_ctrl_post"),
+        F.round(did, round_to).alias("did"),
+        F.round(se, round_to).alias("se"),
+        F.round(z, round_to).alias("z"),
+        F.round(p, round_to).alias("p_value"),
+    ]
+    return agg.select(*out_cols)

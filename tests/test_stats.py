@@ -4445,3 +4445,84 @@ def test_ipw_balance_guards(spark):
     )
     with pytest.raises(Exception, match="< 2 non-null"):
         stats.ipw_balance(one_arm, "t", "p", ["x"]).collect()
+
+
+# --------------------------------------------------------------------- DiD
+
+
+def test_diff_in_diff_cancels_confounders(spark):
+    import random as _random
+
+    from getl_spark.functions import stats
+
+    # group effect +10 (permanent), time shock +3 (common), true
+    # treatment effect +2 only on (treat, post)
+    rng = _random.Random(17)
+    rows = []
+    for grp, period, base in (
+        ("c", "pre", 50.0), ("c", "post", 53.0),
+        ("t", "pre", 60.0), ("t", "post", 65.0),  # 60+3+2
+    ):
+        for _ in range(500):
+            rows.append((grp, period, base + rng.gauss(0, 2)))
+    df = spark.createDataFrame(rows, "g STRING, per STRING, v DOUBLE")
+    r = stats.diff_in_diff(
+        df, "g", "per", "v", "c", "t", "pre", "post"
+    ).collect()[0]
+    # naive post-only diff measures ~12; DiD recovers ~2
+    assert abs((r.mean_treat_post - r.mean_ctrl_post) - 12) < 1
+    assert abs(r.did - 2.0) < 0.5
+    assert r.p_value < 0.001
+
+
+def test_diff_in_diff_matches_python_replay(spark):
+    import math as _math
+    import random as _random
+
+    from getl_spark.functions import stats
+
+    rng = _random.Random(5)
+    rows = [
+        (rng.choice("ct"), rng.choice(["pre", "post"]), rng.gauss(10, 3))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, per STRING, v DOUBLE")
+    r = stats.diff_in_diff(
+        df, "g", "per", "v", "c", "t", "pre", "post"
+    ).collect()[0]
+
+    def cellstats(gv, pv):
+        vs = [v for g, p, v in rows if g == gv and p == pv]
+        m = sum(vs) / len(vs)
+        var = sum((v - m) ** 2 for v in vs) / (len(vs) - 1)
+        return len(vs), m, var
+
+    nt0, mt0, vt0 = cellstats("t", "pre")
+    nt1, mt1, vt1 = cellstats("t", "post")
+    nc0, mc0, vc0 = cellstats("c", "pre")
+    nc1, mc1, vc1 = cellstats("c", "post")
+    did = (mt1 - mt0) - (mc1 - mc0)
+    se = _math.sqrt(vt0 / nt0 + vt1 / nt1 + vc0 / nc0 + vc1 / nc1)
+    assert (r.n_treat_pre, r.n_treat_post) == (nt0, nt1)
+    assert abs(r.did - round(did, 6)) < 1e-6
+    assert abs(r.se - round(se, 6)) < 1e-6
+    assert abs(r.z - round(did / se, 6)) < 1e-4
+
+
+def test_diff_in_diff_empty_cell_fails_loud(spark):
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [("t", "pre", 1.0), ("t", "post", 2.0),
+         ("c", "pre", 1.0), ("c", "pre", 2.0),
+         ("t", "pre", 3.0), ("t", "post", 4.0)],
+        "g STRING, per STRING, v DOUBLE",
+    )
+    with pytest.raises(Exception, match="cell has < 2"):
+        stats.diff_in_diff(
+            df, "g", "per", "v", "c", "t", "pre", "post"
+        ).collect()
+    with pytest.raises(Exception, match="cell has < 2"):
+        stats.diff_in_diff(
+            df, "g", "per", "v", "c", "t", "pre", "TYPO"
+        ).collect()
