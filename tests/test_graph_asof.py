@@ -864,3 +864,23 @@ def test_adamic_adar_hub_guard(spark):
     pdf = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     r = graph.adamic_adar(df, pairs=pdf, max_degree=10).collect()
     assert len(r) == 1 and r[0].common_neighbors == 1
+
+
+def test_round10_graph_ops_partition_invariant(spark):
+    """triangle_count / label_propagation / adamic_adar must return
+    identical values whatever the input partitioning — the
+    distributed-determinism contract every oracle-checked op carries."""
+    rng = random.Random(29)
+    edges = list({(rng.randint(1, 30), rng.randint(1, 30)) for _ in range(90)})
+    edges = [(a, b) for a, b in edges if a != b]
+    one = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(1)
+    many = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(13)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(graph.triangle_count(one)) == rows(graph.triangle_count(many))
+    assert rows(graph.label_propagation(one, max_iter=3)) == rows(
+        graph.label_propagation(many, max_iter=3)
+    )
+    assert rows(graph.adamic_adar(one)) == rows(graph.adamic_adar(many))

@@ -777,3 +777,20 @@ def test_attribution_guards(spark):
         ).collect()
     }
     assert got == {"email"}
+
+
+def test_attribution_partition_invariant(spark):
+    from getl_spark.functions import sessions
+
+    df = _attr_df(spark, ATTR_ROWS)
+    a = sorted(
+        map(tuple, sessions.attribution(
+            df.repartition(1), "buy", model="position"
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, sessions.attribution(
+            df.repartition(13), "buy", model="position"
+        ).collect())
+    )
+    assert a == b

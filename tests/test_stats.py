@@ -4526,3 +4526,62 @@ def test_diff_in_diff_empty_cell_fails_loud(spark):
         stats.diff_in_diff(
             df, "g", "per", "v", "c", "t", "pre", "TYPO"
         ).collect()
+
+
+def test_round10_stats_ops_partition_invariant(spark):
+    """fisher_exact / mann_kendall / cochran_armitage / ipw_balance /
+    diff_in_diff: identical values under any input partitioning."""
+    from getl_spark.functions import stats
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    fd = _fisher_df(spark, 7, 13, 4, 16)
+    assert rows(
+        stats.fisher_exact(fd.repartition(1), "arm", "y", "c", "t")
+    ) == rows(stats.fisher_exact(fd.repartition(13), "arm", "y", "c", "t"))
+
+    import random as _random
+
+    rng = _random.Random(31)
+    mk = spark.createDataFrame(
+        [("a", float(i), rng.uniform(0, 10)) for i in range(40)]
+        + [("b", float(i), i + rng.uniform(-1, 1)) for i in range(30)],
+        "g STRING, x DOUBLE, y DOUBLE",
+    )
+    assert rows(
+        stats.mann_kendall(mk.repartition(1), "x", "y", group_by="g")
+    ) == rows(stats.mann_kendall(mk.repartition(13), "x", "y", group_by="g"))
+
+    ca = _ca_df(spark, [(1, 100, 5), (2, 100, 12), (3, 100, 22)])
+    assert rows(
+        stats.cochran_armitage(ca.repartition(1), "x", "y")
+    ) == rows(stats.cochran_armitage(ca.repartition(13), "x", "y"))
+
+    ipw = spark.createDataFrame(
+        [
+            (rng.randint(0, 1), rng.uniform(0.2, 0.8), rng.gauss(0, 1))
+            for _ in range(200)
+        ],
+        "t INT, p DOUBLE, x DOUBLE",
+    )
+    assert rows(
+        stats.ipw_balance(ipw.repartition(1), "t", "p", ["x"])
+    ) == rows(stats.ipw_balance(ipw.repartition(13), "t", "p", ["x"]))
+
+    did = spark.createDataFrame(
+        [
+            (rng.choice("ct"), rng.choice(["pre", "post"]), rng.gauss(10, 3))
+            for _ in range(300)
+        ],
+        "g STRING, per STRING, v DOUBLE",
+    )
+    assert rows(
+        stats.diff_in_diff(
+            did.repartition(1), "g", "per", "v", "c", "t", "pre", "post"
+        )
+    ) == rows(
+        stats.diff_in_diff(
+            did.repartition(13), "g", "per", "v", "c", "t", "pre", "post"
+        )
+    )
