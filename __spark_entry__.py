@@ -11837,6 +11837,53 @@ FROM e
 """
 
 
+def _q_dedup_media(spark, sf_dir):
+    """multimodal.dedup_media — one-call media near-dedup on a fixed
+    SF-independent binary fixture: family A is one pseudo-image plus
+    two light byte-edits (re-encode stand-ins: 15 and 10 bytes
+    touched), family B is a second pattern plus one edit, and two
+    unrelated images stand alone. Survivor = min id per perceptual
+    cluster → {1, 4, 6, 7}. Perceptual hashing is SQL-inexpressible,
+    so the oracle pins the hand-derived survivor set (golden-VALUES
+    convention); family/locality behavior of the hash itself is
+    differential-tested in tests/test_llm_ops.py."""
+    from getl_spark.functions import multimodal as M
+
+    fam_a = bytes(range(256)) * 4
+    a_edit1 = bytearray(fam_a)
+    for i in range(15):
+        a_edit1[100 + i] = 0
+    a_edit2 = bytearray(fam_a)
+    for i in range(10):
+        a_edit2[500 + i] = 255
+    fam_b = bytes((i * 7 + 3) % 256 for i in range(1024))
+    b_edit = bytearray(fam_b)
+    for i in range(12):
+        b_edit[300 + i] = 17
+    lone1 = bytes((i * 37 + 11) % 256 for i in range(1024))
+    lone2 = bytes((i * 53 + 29) % 256 for i in range(1024))
+    df = spark.createDataFrame(
+        [
+            (1, fam_a), (2, bytes(a_edit1)), (3, bytes(a_edit2)),
+            (4, fam_b), (5, bytes(b_edit)),
+            (6, lone1), (7, lone2),
+        ],
+        "doc_id LONG, content BINARY",
+    )
+    out = M.dedup_media(df)
+    return out.select(
+        "doc_id", F.length("content").cast("bigint").alias("n_bytes")
+    )
+
+
+DEDUP_MEDIA_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bytes AS BIGINT) AS n_bytes
+FROM (VALUES (1, 1024), (4, 1024), (6, 1024), (7, 1024))
+  AS t(doc_id, n_bytes)
+"""
+
+
 def _q_gains_table(spark, sf_dir):
     """stats.gains_table — decile gains/lift of price-as-a-scorer for
     high-quantity lineitems: the keep-the-top-X% threshold readout.
@@ -13627,6 +13674,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ipw_balance": _q_ipw_balance,
         "quality_weak_label_vote": _q_weak_label_vote,
         "stats_diff_in_diff": _q_diff_in_diff,
+        "multimodal_dedup_media": _q_dedup_media,
     }
 
 
@@ -13895,6 +13943,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_ipw_balance": IPW_BALANCE_ORACLE,
         "quality_weak_label_vote": WEAK_LABEL_VOTE_ORACLE,
         "stats_diff_in_diff": DIFF_IN_DIFF_ORACLE,
+        "multimodal_dedup_media": DEDUP_MEDIA_ORACLE,
     }
 
 

@@ -200,6 +200,7 @@ DETAIL_QUERIES = [
     "stats_ipw_balance",
     "quality_weak_label_vote",
     "stats_diff_in_diff",
+    "multimodal_dedup_media",
     # stored-index build/query split: the composite rows above
     # (dedup_stored_index, dedup_cdc_stored_index) time build+query
     # together; these isolate the per-increment query leg so its

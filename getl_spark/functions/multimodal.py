@@ -19,7 +19,7 @@ partition.
 from __future__ import annotations
 
 import os
-from typing import Iterator
+from typing import Iterator, Optional
 
 import pandas as pd
 
@@ -293,4 +293,48 @@ def phash_pairs(
         max_hamming=max_hamming,
         bands=bands,
         max_chunk_df=max_chunk_df,
+    )
+
+
+def dedup_media(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int = 4,
+    max_chunk_df: Optional[int] = None,
+    quality_col: Optional[str] = None,
+) -> DataFrame:
+    """One-call media near-dedup: perceptual-hash candidate pairs →
+    connected components → one survivor per near-duplicate cluster
+    (min id, or the best row by ``quality_col`` — e.g. highest
+    resolution / newest crawl). The media symmetric of
+    ``dedup.near_dedup`` (text) and ``dedup.semantic_dedup``
+    (embeddings): the same pairs→clusters→survivor collapse, with
+    ``phash_pairs`` as the candidate generator — re-encoded,
+    resized, and slightly-cropped copies of one image land within
+    ``max_hamming`` bits of each other while distinct images do not.
+    YAML-callable inside ``transform::generic``.
+
+    Scale shape: everything rides audited components — one Arrow
+    ``mapInPandas`` hash pass (decode stubbed honestly in this
+    container; the plumbing is real), the banded hamming equi-self-
+    join (``max_chunk_df`` caps flat-color/black-frame hot buckets,
+    exactly the simhash discipline), components via
+    large-star/small-star (driver union-find below the threshold),
+    and one anti-join of the corpus against the losers. No step is
+    quadratic in the corpus.
+    """
+    pairs = phash_pairs(
+        df,
+        content_col=content_col,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        bands=bands,
+        max_chunk_df=max_chunk_df,
+    )
+    from getl_spark.functions.graph import dedup_by_component
+
+    return dedup_by_component(
+        df, pairs, id_col=id_col, quality_col=quality_col
     )

@@ -2008,3 +2008,45 @@ def test_cdc_stored_index_roundtrip(spark, tmp_path):
         day2, path, min_shared=2, threshold=0.3
     ).collect()
     assert {(r.new_id, r.index_id) for r in d2} == {(200, 1)}
+
+
+def test_dedup_media_collapses_family_keeps_quality_winner(spark):
+    from getl_spark.functions import multimodal as M
+
+    fam_a = bytes(range(256)) * 4
+    edit = bytearray(fam_a)
+    for i in range(15):
+        edit[100 + i] = 0
+    edit2 = bytearray(fam_a)
+    for i in range(10):
+        edit2[500 + i] = 255
+    unrelated = bytes((i * 37 + 11) % 256 for i in range(1024))
+    df = spark.createDataFrame(
+        [
+            (1, fam_a, 100),
+            (2, bytes(edit), 900),     # same family, highest quality
+            (3, bytes(edit2), 500),    # same family
+            (4, unrelated, 50),
+        ],
+        "doc_id LONG, content BINARY, resolution INT",
+    )
+    # min-id survivor by default
+    kept = {r.doc_id for r in M.dedup_media(df).collect()}
+    assert kept == {1, 4}
+    # quality winner keeps the highest-resolution copy instead
+    kept_q = {
+        r.doc_id for r in M.dedup_media(df, quality_col="resolution").collect()
+    }
+    assert kept_q == {2, 4}
+
+
+def test_dedup_media_no_false_merges(spark):
+    from getl_spark.functions import multimodal as M
+
+    # distinct pseudo-images: nothing should collapse
+    rows = [
+        (i, bytes((j * (i + 7) + i * 13) % 256 for j in range(512)))
+        for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, content BINARY")
+    assert M.dedup_media(df).count() == 5
