@@ -9460,8 +9460,8 @@ def _round_number() -> int:
 # redundant pure-custom::sql variants whose engine path q1/q3/q6 always
 # cover), so every demoted query gets a driver-audited CORRECTNESS row
 # every ceil(len(pool)/SLOTS) rounds — at the current pool size
-# (~248 entries / 8 slots) that is a ~31-ROUND cycle: a given demoted
-# entry's most recent driver row can be up to 31 rounds old, and the
+# (~251 entries / 8 slots) that is a ~32-ROUND cycle: a given demoted
+# entry's most recent driver row can be up to 32 rounds old, and the
 # per-round value gate for the whole pool is the pytest DuckDB oracle
 # sweep (tests/test_demoted_oracle.py), not the driver file —
 # instead of living forever behind pytest-only checks; new entries are
