@@ -3442,9 +3442,13 @@ def _q_stream_route_drain(spark, sf_dir):
     (long docs → 'long', remaining English → 'en_rest', everything
     else → the Else lane) inside one foreachBatch drain; the result
     is the read-back union of all three lanes tagged by lane name.
-    First-match-wins is EXACTLY a SQL CASE over the same predicates —
-    the oracle replays it verbatim on the raw table, so lane
-    disjointness, completeness, and content all value-hash."""
+    The source deliberately NULLs out ``n_chars`` (doc_id % 13 = 5)
+    and ``lang`` (doc_id % 11 = 3) on a slice of rows: a NULL route
+    condition is a NON-match that falls through to later lanes /
+    ElsePath, exactly like SQL CASE's NULL-WHEN fall-through — so the
+    oracle replays the same predicates verbatim on the same NULLed
+    table, and lane disjointness, completeness (no NULL row loss),
+    and content all value-hash."""
     import shutil as _shutil
 
     import yaml as _yaml
@@ -3456,9 +3460,11 @@ def _q_stream_route_drain(spark, sf_dir):
     _shutil.rmtree(tmp, ignore_errors=True)
     src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs.select("doc_id", "lang", "n_chars").coalesce(2).write.mode(
-        "overwrite"
-    ).json(src)
+    docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 != 3, F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 13 != 5, F.col("n_chars")).alias("n_chars"),
+    ).coalesce(2).write.mode("overwrite").json(src)
     schema = {
         "type": "struct",
         "fields": [
@@ -3510,11 +3516,17 @@ def _q_stream_route_drain(spark, sf_dir):
 
 
 STREAM_ROUTE_ORACLE = """
+WITH nulled AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 != 3 THEN lang END AS lang,
+         CASE WHEN doc_id % 13 != 5 THEN n_chars END AS n_chars
+  FROM documents
+)
 SELECT CASE WHEN n_chars >= 900 THEN 'long'
             WHEN lang = 'en' THEN 'en_rest'
             ELSE 'rest' END AS lane,
        doc_id, lang, n_chars
-FROM documents
+FROM nulled
 """
 
 

@@ -767,6 +767,7 @@ def attribution(
     half_life_seconds: float = 7 * 86400.0,
     max_events_per_user: int = 100_000,
     round_to: int = 6,
+    with_capped_users: bool = False,
 ) -> DataFrame:
     """Multi-touch conversion attribution — which CHANNEL gets credit
     for each conversion, under the standard marketing-analytics credit
@@ -784,8 +785,13 @@ def attribution(
     conversions)`` — fractional credit summed over conversions, the
     number of eligible touch instances (including zero-credit ones
     under single-touch models), and the distinct conversions the
-    channel participated in. Total credit across channels = number of
-    conversions with >= 1 eligible touch.
+    channel participated in (NULL-user conversions count — the key is
+    a struct, so countDistinct never drops NULL-bearing tuples). Total
+    credit across channels = number of conversions with >= 1 eligible
+    touch. With ``with_capped_users=True`` a constant ``capped_users``
+    column reports how many users had their event list truncated at
+    ``max_events_per_user`` — set it when the readout is published, so
+    the truncation is stated rather than silent.
 
     Scale shape (the ``funnel`` discipline): NO touch×conversion
     self-join — a power user with 10⁵ touches and 10³ conversions
@@ -831,12 +837,21 @@ def attribution(
     capw = Window.partitionBy("user").orderBy(
         F.col("e.t").asc(), F.col("e.ch").asc()
     )
+    ranked = events.withColumn("__rn", F.row_number().over(capw))
     per_user = (
-        events.withColumn("__rn", F.row_number().over(capw))
-        .where(F.col("__rn") <= max_events_per_user)
+        ranked.where(F.col("__rn") <= max_events_per_user)
         .groupBy("user")
         .agg(F.array_sort(F.collect_list("e")).alias("evs"))
     )
+    capped_cnt = None
+    if with_capped_users:
+        # a user was truncated iff their rank sequence exceeds the cap —
+        # one 1-row aggregate over the already-ranked frame, no new
+        # shuffle beyond the count itself
+        capped_cnt = (
+            ranked.where(F.col("__rn") == max_events_per_user + 1)
+            .agg(F.count("*").cast("bigint").alias("capped_users"))
+        )
     conv_lit = F.lit(conversion)
     split = per_user.select(
         "user",
@@ -915,13 +930,19 @@ def attribution(
             )
             / F.col("wsum")
         )
-    return (
+    out = (
         exploded.groupBy(F.col("touch.ch").alias("channel"))
         .agg(
             F.round(F.sum(credit), round_to).alias("credit"),
             F.count("*").cast("bigint").alias("touches"),
-            F.countDistinct("user", "conv_t").cast("bigint").alias(
-                "conversions"
-            ),
+            # struct key: countDistinct over bare (user, conv_t) columns
+            # drops tuples containing a NULL, so NULL-user conversions
+            # would earn credit/touches yet vanish from this count
+            F.countDistinct(F.struct("user", "conv_t"))
+            .cast("bigint")
+            .alias("conversions"),
         )
     )
+    if capped_cnt is not None:
+        out = out.crossJoin(F.broadcast(capped_cnt))
+    return out

@@ -6387,7 +6387,9 @@ def fisher_exact(
         F.col("__n1").alias("n_treatment"),
         F.col("__c").alias("events_control"),
         F.col("__a").alias("events_treatment"),
-        F.round(F.when(ok, (ad * dd) / (bd * cd)), 6).alias("odds_ratio"),
+        F.round(F.when(ok, (ad * dd) / (bd * cd)), round_to).alias(
+            "odds_ratio"
+        ),
         F.round(
             F.least(F.col("__two") / F.col("__tot"), F.lit(1.0)), round_to
         ).alias("p_two_sided"),

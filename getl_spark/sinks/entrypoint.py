@@ -706,6 +706,10 @@ def stream_route(conf: BlockConfig) -> DataFrame:
       disjoint and their union is exactly the matched input (router
       semantics; overlapping conditions cannot double-write a row).
     * ``ElsePath`` (optional) — rows matching no route land here.
+      A condition that evaluates to NULL on a row (three-valued SQL
+      logic, e.g. ``score > 0.5`` with a NULL ``score``) counts as a
+      NON-match for that lane: the row keeps falling through and
+      reaches ``ElsePath`` — it is never silently lost.
       Without it unmatched rows are DROPPED (gate semantics) — make
       the drop explicit by setting ``ElsePath`` whenever the stream
       is an ingest you cannot replay.
@@ -754,7 +758,12 @@ def stream_route(conf: BlockConfig) -> DataFrame:
             )
         remaining = F.lit(True)
         for r in routes:
-            cond = F.expr(r["Condition"])
+            # NULL-safe: a condition that evaluates NULL (e.g. `score >
+            # 0.5` on a NULL score) is a NON-MATCH, not a poison pill.
+            # Without the coalesce, `remaining & ~NULL` = NULL makes the
+            # row fail every later lane AND the ElsePath filter — silent
+            # row loss on exactly the malformed rows ElsePath exists for.
+            cond = F.coalesce(F.expr(r["Condition"]), F.lit(False))
             (
                 batch_df.where(remaining & cond)
                 .write.mode("append")

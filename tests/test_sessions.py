@@ -779,6 +779,46 @@ def test_attribution_guards(spark):
     assert got == {"email"}
 
 
+def test_attribution_null_user_conversions_counted(spark):
+    # a NULL user_id's conversion earns credit AND appears in the
+    # conversions count — countDistinct over a struct key never drops
+    # NULL-bearing tuples (bare-column countDistinct would)
+    from getl_spark.functions import sessions
+
+    rows = [(None, 0, "ad"), (None, 10, "buy"), (7, 0, "email"),
+            (7, 5, "buy")]
+    got = {
+        r.channel: (r.credit, r.touches, r.conversions)
+        for r in sessions.attribution(
+            _attr_df(spark, rows), "buy", model="linear"
+        ).collect()
+    }
+    assert got["ad"] == (1.0, 1, 1)
+    assert got["email"] == (1.0, 1, 1)
+
+
+def test_attribution_capped_users_column(spark):
+    from getl_spark.functions import sessions
+
+    df = _attr_df(spark, ATTR_ROWS)
+    # user 1 has 5 events; everyone else has 2 — cap at 2 truncates
+    # exactly one user, and the constant column says so on every row
+    rows = sessions.attribution(
+        df, "buy", model="linear", max_events_per_user=2,
+        with_capped_users=True,
+    ).collect()
+    assert rows and all(r.capped_users == 1 for r in rows)
+    # default: column absent, schema unchanged
+    assert "capped_users" not in sessions.attribution(
+        df, "buy", model="linear"
+    ).columns
+    # no truncation -> 0
+    rows = sessions.attribution(
+        df, "buy", model="linear", with_capped_users=True
+    ).collect()
+    assert rows and all(r.capped_users == 0 for r in rows)
+
+
 def test_attribution_partition_invariant(spark):
     from getl_spark.functions import sessions
 

@@ -4152,6 +4152,18 @@ def test_fisher_exact_agrees_with_odds_ratio_cells(spark):
     assert fe.odds_ratio == orr.odds_ratio
 
 
+def test_fisher_exact_round_to_applies_to_odds_ratio(spark):
+    from getl_spark.functions import stats
+
+    # (1, 9, 8, 2): OR = (1*2)/(9*8) = 0.02777... — round_to must govern
+    # odds_ratio exactly like the p-value columns
+    df = _fisher_df(spark, 1, 9, 8, 2)
+    r2 = stats.fisher_exact(df, "arm", "y", "c", "t", round_to=2).collect()[0]
+    assert r2.odds_ratio == 0.03
+    r4 = stats.fisher_exact(df, "arm", "y", "c", "t", round_to=4).collect()[0]
+    assert r4.odds_ratio == 0.0278
+
+
 # ------------------------------------------------------------ mann-kendall
 
 

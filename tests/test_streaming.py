@@ -1095,6 +1095,11 @@ def test_stream_route_first_match_wins_and_else_lane(spark, tmp_path):
         {"id": 3, "score": 0.5, "lang": "en"},   # -> english (gold misses)
         {"id": 4, "score": 0.5, "lang": "de"},   # -> else lane
         {"id": 5, "score": 0.95, "lang": "en"},  # -> gold ONLY (disjoint)
+        # NULL conditions are NON-matches, never row loss: NULL score
+        # makes `score >= 0.8` NULL — the row must fall through to the
+        # next lane (7: lang matches) or to ElsePath (8: both NULL).
+        {"id": 7, "score": None, "lang": "en"},  # -> english
+        {"id": 8, "score": None, "lang": None},  # -> else lane
     ]
     with open(src / "w1.json", "w") as fh:
         for r in rows:
@@ -1136,8 +1141,11 @@ def test_stream_route_first_match_wins_and_else_lane(spark, tmp_path):
     english = {r.id for r in spark.read.parquet(str(out / "english")).collect()}
     rest = {r.id for r in spark.read.parquet(str(out / "rest")).collect()}
     assert gold == {1, 2, 5}
-    assert english == {3}          # 1 and 5 already taken by gold
-    assert rest == {4}
+    assert english == {3, 7}       # 1 and 5 already taken by gold
+    assert rest == {4, 8}          # 8: every condition NULL -> else
+    # lane-disjointness AND completeness: union of lanes + else == input
+    assert gold | english | rest == {1, 2, 3, 4, 5, 7, 8}
+    assert not (gold & english) and not (gold & rest) and not (english & rest)
     # _batch_id stamped on every lane
     assert {
         r._batch_id for r in spark.read.parquet(str(out / "gold")).collect()
