@@ -7367,6 +7367,59 @@ def _q_cdc_stored_index_build(spark, sf_dir):
     )
 
 
+def _q_merge_minhash_index_merge_only(spark, sf_dir):
+    """MERGE-ONLY leg of ``dedup_merge_minhash_index``: the composite
+    row times build A + build B + merge + query end-to-end (the
+    capacity-plan number), which hides the cost a consolidation cron
+    actually pays — merging indexes that ALREADY exist. This leg
+    self-builds the two per-period indexes only when absent (bench
+    steady-state never rebuilds), re-merges each run, and screens the
+    odd-doc increment against the merged index. Value semantics
+    carried by ``dedup_merge_minhash_index``'s DuckDB oracle and the
+    merge ≡ build-from-union identity pytest."""
+    from getl_spark.functions import dedup
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tmp = f"/tmp/getl_spark_q/mh_merge_bench_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if not os.path.exists(f"{tmp}/a"):
+        dedup.build_minhash_index(docs.where("doc_id % 4 = 0"), f"{tmp}/a")
+    if not os.path.exists(f"{tmp}/b"):
+        dedup.build_minhash_index(docs.where("doc_id % 4 = 2"), f"{tmp}/b")
+    shutil.rmtree(f"{tmp}/m", ignore_errors=True)
+    dedup.merge_minhash_index(spark, f"{tmp}/a", f"{tmp}/b", f"{tmp}/m")
+    out = dedup.against_stored_index(docs.where("doc_id % 2 = 1"), f"{tmp}/m")
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def _q_merge_ivf_index_merge_only(spark, sf_dir):
+    """MERGE-ONLY leg of ``similarity_merge_ivf_index`` (same split
+    rationale as ``dedup_merge_minhash_index_merge_only``): per-period
+    IVF indexes self-build only when absent; each run re-merges the
+    persisted pair and answers top-5 from the merged index under full
+    probes. Value semantics carried by the composite row's brute-force
+    cosine oracle and the merge identity pytest."""
+    from getl_spark.functions import similarity
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tmp = f"/tmp/getl_spark_q/ivf_merge_bench_{tag}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if not os.path.exists(f"{tmp}/a"):
+        similarity.build_ivf_index(
+            emb.where("vec_id % 3 != 0"), f"{tmp}/a", nlist=8
+        )
+    if not os.path.exists(f"{tmp}/b"):
+        similarity.build_ivf_index(
+            emb.where("vec_id % 3 = 0"), f"{tmp}/b", nlist=4
+        )
+    shutil.rmtree(f"{tmp}/m", ignore_errors=True)
+    similarity.merge_ivf_index(spark, f"{tmp}/a", f"{tmp}/b", f"{tmp}/m")
+    queries = emb.where("vec_id < 8")
+    return similarity.topk_ivf_indexed(
+        spark, queries, f"{tmp}/m", k=5, nprobe=8
+    )
+
+
 def _q_cdc_stored_index_query(spark, sf_dir):
     """QUERY leg of the CDC stored-index bench: screen the {2,4}
     increment against the persisted chunk index (self-building only
@@ -9426,6 +9479,12 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_stored_index_build": _q_cdc_stored_index_build,
         "dedup_cdc_stored_index_query": _q_cdc_stored_index_query,
         "similarity_knn_label_ivf": _q_knn_label_ivf,
+        "dedup_merge_minhash_index_merge_only": (
+            _q_merge_minhash_index_merge_only
+        ),
+        "similarity_merge_ivf_index_merge_only": (
+            _q_merge_ivf_index_merge_only
+        ),
     }
 
 

@@ -210,6 +210,13 @@ DETAIL_QUERIES = [
     "dedup_stored_index_query",
     "dedup_cdc_stored_index_build",
     "dedup_cdc_stored_index_query",
+    # merge-only split: the *_merge_index composite rows above time
+    # build A + build B + merge + query end-to-end (capacity-plan
+    # number); these isolate the merge+query cost a consolidation cron
+    # pays against ALREADY-persisted indexes (first run self-builds,
+    # steady-state runs merge only).
+    "dedup_merge_minhash_index_merge_only",
+    "similarity_merge_ivf_index_merge_only",
 ]
 
 RUNS = 3
