@@ -12677,6 +12677,66 @@ def _q_merge_ivf_index(spark, sf_dir):
 MERGE_IVF_INDEX_ORACLE = SIM_TOPK_ORACLE
 
 
+def _q_ivf_health(spark, sf_dir):
+    """similarity.ivf_health — the index-maintenance readout between
+    builds (merges keep the larger quantizer, appends grow cells
+    without retraining; this prices the damage from metadata alone).
+    The report reads only the centroid rows and the vectors table's
+    ``cell`` partition column and is agnostic to HOW cells were
+    assigned — so the fixture writes an index in the exact
+    ``build_ivf_index`` layout whose assignment is SQL-expressible
+    (``vec_id % 7`` under an 8-cell quantizer, cell 7 deliberately
+    empty), making every output column — histogram, imbalance,
+    retrain trigger — a pure DuckDB replay instead of a golden pin."""
+    from getl_spark.functions import similarity
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tmp = f"/tmp/getl_spark_q/ivf_health_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    spark.createDataFrame(
+        [(i, [float(i)]) for i in range(8)], "cell INT, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids")
+    (
+        emb.select(
+            F.col("vec_id").alias("nbr_id"),
+            F.col("embedding").alias("cvec"),
+            similarity.norm_expr(F.col("embedding")).alias("cnorm"),
+            (F.col("vec_id") % 7).cast("int").alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{tmp}/vectors")
+    )
+    return similarity.ivf_health(spark, tmp)
+
+
+IVF_HEALTH_ORACLE = """
+WITH occ AS (
+  SELECT CAST(vec_id % 7 AS INT) AS cell, COUNT(*) AS n
+  FROM embeddings GROUP BY 1
+), cells AS (
+  SELECT CAST(UNNEST(range(8)) AS INT) AS cell
+), per_cell AS (
+  SELECT c.cell, CAST(COALESCE(o.n, 0) AS BIGINT) AS n
+  FROM cells c LEFT JOIN occ o ON o.cell = c.cell
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS nlist,
+       CAST(SUM(n) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS empty_cells,
+       CAST(MIN(n) AS BIGINT) AS min_cell,
+       CAST(MAX(n) AS BIGINT) AS max_cell,
+       ROUND(SUM(n) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_cell,
+       ROUND(MAX(n) / (SUM(n) / CAST(COUNT(*) AS DOUBLE)), 6) AS imbalance,
+       (MAX(n) / (SUM(n) / CAST(COUNT(*) AS DOUBLE)) > 3.0
+        OR SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END)
+           / CAST(COUNT(*) AS DOUBLE) > 0.25) AS retrain,
+       LIST(n ORDER BY cell) AS occupancy
+FROM per_cell
+"""
+
+
 def _q_label_noise(spark, sf_dir):
     """quality.label_noise — confident-learning mislabel review queue:
     price-in-cents as the scorer for the high-quantity label; rows
@@ -13746,6 +13806,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_weak_label_vote": _q_weak_label_vote,
         "stats_diff_in_diff": _q_diff_in_diff,
         "multimodal_dedup_media": _q_dedup_media,
+        "similarity_ivf_health": _q_ivf_health,
     }
 
 
@@ -14015,6 +14076,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "quality_weak_label_vote": WEAK_LABEL_VOTE_ORACLE,
         "stats_diff_in_diff": DIFF_IN_DIFF_ORACLE,
         "multimodal_dedup_media": DEDUP_MEDIA_ORACLE,
+        "similarity_ivf_health": IVF_HEALTH_ORACLE,
     }
 
 

@@ -571,6 +571,90 @@ def merge_ivf_index(
     )
 
 
+def ivf_health(
+    spark,
+    index_path: str,
+    imbalance_threshold: float = 3.0,
+    max_empty_frac: float = 0.25,
+    round_to: int = 6,
+) -> DataFrame:
+    """Index-maintenance health readout for a persisted IVF index
+    (``build_ivf_index`` layout) — the cheap check between builds.
+    ``merge_ivf_index`` keeps the larger side's quantizer and
+    ``ivf_pq_append`` / ``write::stream_vector_ingest`` grow cells
+    without retraining, so repeated consolidation degrades cell
+    balance (and with it partial-probe recall) while nothing fails
+    loudly. Measuring that with ``recall_eval`` needs a brute-force
+    leg over raw embeddings; THIS report needs only index metadata:
+    the centroids table (nlist rows) and the vectors table's ``cell``
+    column — a partition column, so the scan reads directory metadata
+    and footer counts, never an embedding.
+
+    Returns ONE row: ``(nlist, n_vectors, empty_cells, min_cell,
+    max_cell, mean_cell, imbalance, retrain, occupancy)`` —
+
+    * ``occupancy`` — the cell-occupancy histogram, vector counts in
+      cell order (empty cells as 0), ``nlist`` entries.
+    * ``mean_cell`` — ``n_vectors / nlist`` (empty cells included;
+      that's the balance the quantizer was trained to deliver).
+    * ``imbalance`` — ``max_cell / mean_cell``; 1.0 is perfect, and a
+      probe of the fattest cell costs ``imbalance``× the average probe
+      — tail query latency scales with it.
+    * ``retrain`` — the documented re-train trigger:
+      ``imbalance > imbalance_threshold`` (default 3: the worst probe
+      pays 3× the mean) OR ``empty_cells / nlist > max_empty_frac``
+      (default 0.25: a quarter of the quantizer wasted — partial
+      probes burn ``nprobe`` slots on dead cells). When it fires,
+      rebuild with ``build_ivf_index`` from the consolidated vectors
+      (and re-measure recall with ``recall_eval``).
+
+    Scale shape: one nlist-row centroid read + one metadata-only
+    group-count of the partition column + a single-row aggregate; no
+    raw embeddings, no shuffle wider than nlist rows. Run it after
+    every merge/append cycle — it's O(index files), not O(vectors).
+    """
+    if imbalance_threshold <= 0 or not (0 <= max_empty_frac <= 1):
+        raise ValueError(
+            "ivf_health: imbalance_threshold must be > 0 and "
+            "max_empty_frac in [0, 1]"
+        )
+    cells = spark.read.parquet(f"{index_path}/centroids").select("cell")
+    occ = (
+        spark.read.parquet(f"{index_path}/vectors")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    per_cell = cells.join(occ, "cell", "left").select(
+        "cell", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
+    nlist = F.count("*")
+    total = F.sum("n")
+    mean_cell = total.cast("double") / nlist.cast("double")
+    max_cell = F.max("n")
+    empty = F.sum((F.col("n") == 0).cast("bigint"))
+    return per_cell.agg(
+        nlist.cast("bigint").alias("nlist"),
+        total.cast("bigint").alias("n_vectors"),
+        empty.alias("empty_cells"),
+        F.min("n").cast("bigint").alias("min_cell"),
+        max_cell.cast("bigint").alias("max_cell"),
+        F.round(mean_cell, round_to).alias("mean_cell"),
+        F.round(max_cell.cast("double") / mean_cell, round_to).alias(
+            "imbalance"
+        ),
+        (
+            (max_cell.cast("double") / mean_cell > F.lit(float(imbalance_threshold)))
+            | (
+                empty.cast("double") / nlist.cast("double")
+                > F.lit(float(max_empty_frac))
+            )
+        ).alias("retrain"),
+        F.sort_array(
+            F.collect_list(F.struct("cell", "n"))
+        ).n.alias("occupancy"),
+    )
+
+
 # --------------------------------------------------- YAML-callable forms
 def topk(
     df: DataFrame,

@@ -804,6 +804,47 @@ def test_merge_ivf_index_identity_under_full_probes(spark, tmp_path):
         similarity.merge_ivf_index(spark, pa, ps, str(tmp_path / "x"))
 
 
+def test_ivf_health_real_index_and_triggers(spark, tmp_path):
+    """ivf_health on a freshly built index: histogram covers every
+    cell, totals match the corpus, and the retrain trigger fires on a
+    degenerate (all-one-cell) index under the documented thresholds."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, nlist=8)
+    r = similarity.ivf_health(spark, path).collect()[0]
+    assert r.nlist == 8
+    assert r.n_vectors == emb.count()
+    assert len(r.occupancy) == 8 and sum(r.occupancy) == r.n_vectors
+    assert r.max_cell == max(r.occupancy) and r.min_cell == min(r.occupancy)
+    assert r.imbalance >= 1.0
+    assert abs(r.mean_cell - r.n_vectors / 8) < 1e-6
+    assert r.empty_cells == sum(1 for n in r.occupancy if n == 0)
+
+    # degenerate index: 4 cells, every vector in cell 0 — imbalance 4x
+    # AND 75% empty cells, both over the default triggers
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame(
+        [(i, [float(i)]) for i in range(4)], "cell INT, centroid ARRAY<DOUBLE>"
+    ).write.parquet(f"{bad}/centroids")
+    emb.selectExpr(
+        "vec_id AS nbr_id", "embedding AS cvec",
+        "CAST(1.0 AS DOUBLE) AS cnorm", "CAST(0 AS INT) AS cell",
+    ).write.partitionBy("cell").parquet(f"{bad}/vectors")
+    b = similarity.ivf_health(spark, bad).collect()[0]
+    assert b.retrain and b.imbalance == 4.0 and b.empty_cells == 3
+    assert list(b.occupancy) == [emb.count(), 0, 0, 0]
+    # loosened thresholds: same index, trigger stays quiet
+    ok = similarity.ivf_health(
+        spark, bad, imbalance_threshold=10.0, max_empty_frac=1.0
+    ).collect()[0]
+    assert not ok.retrain
+
+    with pytest.raises(ValueError, match="ivf_health"):
+        similarity.ivf_health(spark, bad, imbalance_threshold=0)
+    with pytest.raises(ValueError, match="ivf_health"):
+        similarity.ivf_health(spark, bad, max_empty_frac=1.5)
+
+
 def test_merge_minhash_index_identity(spark, tmp_path):
     """merge(A, B) must carry table-for-table the same index an
     in-one-shot build over the distinct union produces (the hash
