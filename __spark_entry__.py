@@ -12737,6 +12737,59 @@ FROM per_cell
 """
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """sample.dsir_weights — DSIR importance weights (Xie et al. 2023)
+    for every document against a 'quality English' target slice
+    (lang='en', n_chars >= 300): mean per-token log-ratio of the
+    target vs raw smoothed unigram distributions over the raw >= 2
+    vocabulary. Fully SQL-expressible — the oracle rebuilds both
+    distributions and the OOV bucket verbatim."""
+    from getl_spark.functions import sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where("lang = 'en' AND n_chars >= 300")
+    out = sample.dsir_weights(docs, target)
+    return out.select(
+        "doc_id", "n_tokens", F.round("logw", 6).alias("logw")
+    )
+
+
+DSIR_WEIGHTS_ORACLE = """
+WITH raw_words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+), tgt_words AS (
+  SELECT w FROM (
+    SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS w
+    FROM documents WHERE lang = 'en' AND n_chars >= 300
+  ) WHERE w <> ''
+), vocab AS (
+  SELECT w, COUNT(*) AS cr FROM raw_words GROUP BY w HAVING COUNT(*) >= 2
+), vocab_ct AS (
+  SELECT vocab.w, vocab.cr, COALESCE(t.ct, 0) AS ct
+  FROM vocab LEFT JOIN (
+    SELECT w, COUNT(*) AS ct FROM tgt_words GROUP BY w
+  ) t ON vocab.w = t.w
+), totals AS (
+  SELECT COALESCE(SUM(cr), 0) AS tr, COALESCE(SUM(ct), 0) AS tt,
+         COUNT(*) AS nv
+  FROM vocab_ct
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(
+         (ln(COALESCE(ct, 0) + 0.5) - ln(tt + 0.5 * (nv + 1)))
+         - (ln(COALESCE(cr, 0) + 0.5) - ln(tr + 0.5 * (nv + 1)))
+       ), 6) AS logw
+FROM raw_words LEFT JOIN vocab_ct USING (w) CROSS JOIN totals
+GROUP BY doc_id
+"""
+
+
 def _q_label_noise(spark, sf_dir):
     """quality.label_noise — confident-learning mislabel review queue:
     price-in-cents as the scorer for the high-quantity label; rows
@@ -13807,6 +13860,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_diff_in_diff": _q_diff_in_diff,
         "multimodal_dedup_media": _q_dedup_media,
         "similarity_ivf_health": _q_ivf_health,
+        "sample_dsir_weights": _q_dsir_weights,
     }
 
 
@@ -14077,6 +14131,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_diff_in_diff": DIFF_IN_DIFF_ORACLE,
         "multimodal_dedup_media": DEDUP_MEDIA_ORACLE,
         "similarity_ivf_health": IVF_HEALTH_ORACLE,
+        "sample_dsir_weights": DSIR_WEIGHTS_ORACLE,
     }
 
 

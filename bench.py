@@ -212,6 +212,7 @@ DETAIL_QUERIES = [
     "dedup_cdc_stored_index_query",
     # round-11 operators
     "similarity_ivf_health",
+    "sample_dsir_weights",
     # merge-only split: the *_merge_index composite rows above time
     # build A + build B + merge + query end-to-end (capacity-plan
     # number); these isolate the merge+query cost a consolidation cron

@@ -853,3 +853,163 @@ def kcenter(
         f"{id_col} {id_type}, selection_order int, dist_at_selection double",
     )
     return out
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    smoothing: float = 0.5,
+    agg: str = "mean",
+    new_col: str = "logw",
+) -> DataFrame:
+    """Per-document importance weights for DSIR-style data selection
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every RAW document by how much more
+    likely its words are under the TARGET corpus's unigram
+    distribution than under the raw corpus's own —
+    ``logw(d) = mean/sum over tokens of ln p_target(w) − ln p_raw(w)``.
+    High scorers read like the target domain; selecting by this weight
+    shifts a crawl-scale mixture toward a quality corpus (the paper's
+    hashed-ngram features are replaced by an explicit ≥ ``min_count``
+    word vocabulary — rank-free, so there is no top-K tie ambiguity,
+    and the whole operator is exactly SQL-expressible for the oracle).
+
+    Both distributions share the raw corpus's vocabulary and one OOV
+    bucket, each additively smoothed exactly like
+    ``text.unigram_logprob``:
+    ``p(w) = (c_w + smoothing) / (T + smoothing·(V + 1))`` with ``T``
+    the side's in-vocab token total. ``agg='mean'`` (default) is
+    document-length invariant; ``'sum'`` is the paper's raw
+    log-ratio. Returns ``(id_col, n_tokens, new_col)``; documents with
+    no words after normalization are dropped.
+
+    Scale shape: two corpus scans explode normalized words (row
+    generators, no shuffle), two keyed partial-agg count shuffles
+    (reduce side = vocabulary size), 1-row totals broadcast, the
+    log-ratio table joins back to the raw token stream (broadcast at
+    dimension size, AQE picks SMJ beyond), one keyed agg per document.
+    All JVM expressions — no UDFs, no collects.
+    """
+    if min_count < 1:
+        raise ValueError(
+            f"dsir_weights: min_count must be >= 1, got {min_count}"
+        )
+    if smoothing <= 0.0:
+        raise ValueError(
+            f"dsir_weights: smoothing must be > 0, got {smoothing}"
+        )
+    if agg not in ("mean", "sum"):
+        raise ValueError(f"dsir_weights: agg must be mean|sum, got {agg}")
+    from getl_spark.common.scale import pin
+    from getl_spark.functions.text import _norm_words_expr
+
+    raw_words = (
+        raw.select(
+            F.col(id_col),
+            F.explode(F.split(_norm_words_expr(text_col), " ")).alias("__w"),
+        )
+        .where(F.col("__w") != "")
+        .transform(pin, eager=False)
+    )
+    tgt_words = target.select(
+        F.explode(F.split(_norm_words_expr(text_col), " ")).alias("__w")
+    ).where(F.col("__w") != "")
+    vocab = (
+        raw_words.groupBy("__w")
+        .agg(F.count("*").alias("__cr"))
+        .where(F.col("__cr") >= min_count)
+    )
+    tgt_counts = tgt_words.groupBy("__w").agg(F.count("*").alias("__ct"))
+    # target counts projected onto the raw vocabulary: out-of-vocab
+    # target tokens share the OOV bucket, exactly like raw ones
+    vocab_ct = vocab.join(tgt_counts, "__w", "left").select(
+        "__w", "__cr", F.coalesce("__ct", F.lit(0)).alias("__ct")
+    ).transform(pin, eager=False)
+    totals = vocab_ct.agg(
+        F.coalesce(F.sum("__cr"), F.lit(0)).alias("__tr"),
+        F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tt"),
+        F.count("*").alias("__v"),
+    )
+    s = F.lit(float(smoothing))
+    denom = lambda t: F.log(t + s * (F.col("__v") + F.lit(1)))  # noqa: E731
+    scored = (
+        raw_words.crossJoin(F.broadcast(totals))
+        .join(vocab_ct, "__w", "left")
+        .select(
+            F.col(id_col),
+            (
+                (F.log(F.coalesce(F.col("__ct"), F.lit(0)) + s)
+                 - denom(F.col("__tt")))
+                - (F.log(F.coalesce(F.col("__cr"), F.lit(0)) + s)
+                   - denom(F.col("__tr")))
+            ).alias("__lw"),
+        )
+    )
+    fold = F.avg("__lw") if agg == "mean" else F.sum("__lw")
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"), fold.alias(new_col)
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    smoothing: float = 0.5,
+    agg: str = "mean",
+    temperature: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Select the ``k`` raw documents a DSIR pass keeps: weight with
+    :func:`dsir_weights`, then either take the deterministic top-k by
+    weight (``temperature=0`` — the greedy 'most target-like' slice)
+    or Gumbel-top-k sample (``temperature>0`` — the paper's
+    importance RESAMPLING: each document wins with probability ∝
+    ``exp(logw / temperature)``, so the selection matches the target
+    distribution instead of collapsing onto its mode). The Gumbel keys
+    are content-hashed (xxhash64 of the id + seed), so the sample is
+    reproducible on any cluster at any parallelism — the module's
+    standard no-``rand()`` discipline.
+
+    Returns ``(id_col, n_tokens, logw, selection_rank)`` —
+    ``selection_rank`` is 1-based in descending key order; ties break
+    on id ascending. Scale shape: dsir_weights' plan + ONE k-bounded
+    TakeOrdered (no global sort materializes beyond k rows) + a
+    window over the k selected rows only.
+    """
+    if k < 1:
+        raise ValueError(f"dsir_select: k must be >= 1, got {k}")
+    if temperature < 0:
+        raise ValueError(
+            f"dsir_select: temperature must be >= 0, got {temperature}"
+        )
+    w = dsir_weights(
+        raw, target, id_col=id_col, text_col=text_col,
+        min_count=min_count, smoothing=smoothing, agg=agg,
+    )
+    if temperature == 0.0:
+        key = F.col("logw")
+    else:
+        h = F.xxhash64(F.col(id_col), F.lit(int(seed)))
+        # (pmod + 0.5) / B keeps u strictly inside (0, 1) so the
+        # double-log Gumbel transform never hits ±inf
+        u = (F.pmod(h, F.lit(_BUCKETS)) + F.lit(0.5)) / F.lit(
+            float(_BUCKETS)
+        )
+        key = F.col("logw") / F.lit(float(temperature)) - F.log(-F.log(u))
+    topk = (
+        w.withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+    rank_w = Window.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+    return topk.select(
+        id_col, "n_tokens", "logw",
+        F.row_number().over(rank_w).alias("selection_rank"),
+    )

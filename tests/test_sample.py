@@ -867,3 +867,137 @@ def test_kcenter_cosine_and_guards(spark):
         sample.kcenter(df.where("vec_id < 0"), k=2)
     with pytest.raises(ValueError, match="unknown metric"):
         sample.kcenter(df, k=2, metric="manhattan")
+
+
+# ----------------------------------------------------------------- DSIR
+
+
+def _dsir_ref(raw_docs, tgt_docs, min_count=2, smoothing=0.5, agg="mean"):
+    """Pure-python DSIR replay: docs = [(id, text)]."""
+    import math
+    import re
+    from collections import Counter
+
+    def words(text):
+        t = re.sub(r"[ \n]+", " ", re.sub(r"[^a-z0-9 \n]", " ", text.lower()))
+        return [w for w in t.strip().split(" ") if w]
+
+    cr = Counter(w for _, t in raw_docs for w in words(t))
+    vocab = {w for w, c in cr.items() if c >= min_count}
+    ct = Counter(
+        w for _, t in tgt_docs for w in words(t) if w in vocab
+    )
+    tr = sum(cr[w] for w in vocab)
+    tt = sum(ct.values())
+    v = len(vocab)
+    s = smoothing
+
+    def lw(w):
+        a = math.log((ct[w] if w in vocab else 0) + s) - math.log(
+            tt + s * (v + 1)
+        )
+        b = math.log((cr[w] if w in vocab else 0) + s) - math.log(
+            tr + s * (v + 1)
+        )
+        return a - b
+
+    out = {}
+    for i, t in raw_docs:
+        ws = words(t)
+        if not ws:
+            continue
+        vals = [lw(w) for w in ws]
+        out[i] = (
+            len(vals),
+            sum(vals) / len(vals) if agg == "mean" else sum(vals),
+        )
+    return out
+
+
+RAW_DOCS = [
+    (1, "the cat sat on the mat with the cat"),
+    (2, "stock market prices rose as the market rallied"),
+    (3, "the dog and the cat played on the mat"),
+    (4, "market analysts expect prices to rise in the market"),
+    (5, "a cat a mat a cat"),
+    (6, "!!! ??? ..."),  # no words after normalization -> dropped
+]
+TGT_DOCS = [
+    (101, "the cat sat quietly on the mat"),
+    (102, "a cat and a dog share the mat"),
+    (103, "the cat chased the dog around the mat"),
+]
+
+
+def _dsir_dfs(spark):
+    raw = spark.createDataFrame(RAW_DOCS, "doc_id LONG, text STRING")
+    tgt = spark.createDataFrame(TGT_DOCS, "doc_id LONG, text STRING")
+    return raw, tgt
+
+
+def test_dsir_weights_match_reference(spark):
+    raw, tgt = _dsir_dfs(spark)
+    for agg in ("mean", "sum"):
+        got = {
+            r.doc_id: (r.n_tokens, r.logw)
+            for r in sample.dsir_weights(raw, tgt, agg=agg).collect()
+        }
+        want = _dsir_ref(RAW_DOCS, TGT_DOCS, agg=agg)
+        assert set(got) == set(want)  # doc 6 dropped in both
+        for i in want:
+            assert got[i][0] == want[i][0], i
+            assert abs(got[i][1] - want[i][1]) < 1e-9, i
+    # cat/mat docs (target-like) outscore the market docs
+    got = {
+        r.doc_id: r.logw
+        for r in sample.dsir_weights(raw, tgt).collect()
+    }
+    assert min(got[1], got[3], got[5]) > max(got[2], got[4])
+
+
+def test_dsir_weights_partition_invariant(spark):
+    raw, tgt = _dsir_dfs(spark)
+    a = sorted(
+        (r.doc_id, r.n_tokens, round(r.logw, 9))
+        for r in sample.dsir_weights(raw.repartition(1), tgt).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.n_tokens, round(r.logw, 9))
+        for r in sample.dsir_weights(raw.repartition(7), tgt.repartition(3)).collect()
+    )
+    assert a == b
+
+
+def test_dsir_select_topk_and_gumbel(spark):
+    raw, tgt = _dsir_dfs(spark)
+    top = sample.dsir_select(raw, tgt, k=3).collect()
+    assert [r.selection_rank for r in sorted(top, key=lambda r: r.selection_rank)] == [1, 2, 3]
+    want = _dsir_ref(RAW_DOCS, TGT_DOCS)
+    best3 = sorted(want, key=lambda i: (-want[i][1], i))[:3]
+    assert sorted(r.doc_id for r in top) == sorted(best3)
+
+    # gumbel: deterministic under the same seed, any partitioning
+    g1 = sorted(
+        (r.doc_id, r.selection_rank)
+        for r in sample.dsir_select(
+            raw.repartition(5), tgt, k=3, temperature=1.0, seed=7
+        ).collect()
+    )
+    g2 = sorted(
+        (r.doc_id, r.selection_rank)
+        for r in sample.dsir_select(
+            raw.repartition(2), tgt, k=3, temperature=1.0, seed=7
+        ).collect()
+    )
+    assert g1 == g2 and len(g1) == 3
+
+    with pytest.raises(ValueError, match="k must be"):
+        sample.dsir_select(raw, tgt, k=0)
+    with pytest.raises(ValueError, match="temperature"):
+        sample.dsir_select(raw, tgt, k=2, temperature=-1.0)
+    with pytest.raises(ValueError, match="min_count"):
+        sample.dsir_weights(raw, tgt, min_count=0)
+    with pytest.raises(ValueError, match="smoothing"):
+        sample.dsir_weights(raw, tgt, smoothing=0.0)
+    with pytest.raises(ValueError, match="agg"):
+        sample.dsir_weights(raw, tgt, agg="median")
