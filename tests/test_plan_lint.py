@@ -71,6 +71,8 @@ NESTED_LOOP_WHITELIST = {
     "stats_dunn_test": "k-row arm-table self-join (bounded pair table) + 1-row tie/total broadcast",
     "stats_log_rank": "1-row per-arm totals broadcast onto the duration-counts table",
     "text_unigram_logprob": "1-row vocab-total broadcast",
+    "sample_dsir_weights": "1-row two-side vocab-totals broadcast onto "
+    "the raw token stream",
     "text_logprob_buckets": "1-row vocab-total broadcast",
     "text_bigram_logprob": "1-row vocab-total broadcast",
     "search_bm25": "1-row corpus stats (N, avgdl) broadcast",
