@@ -25,6 +25,7 @@ every LIMIT is preceded by a total order with a unique tie-break.
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 import tempfile
@@ -11374,6 +11375,118 @@ FROM agg
 """
 
 
+def _q_bayes_ab(spark, sf_dir):
+    """stats.bayes_ab — exact Bayesian A/B (Beta-Binomial closed
+    forms, Cook 2005) on the same rare-outcome 2×2 the fisher_exact
+    row uses: P(click beats view on the rare outcome), posterior
+    means, and the expected-loss pair a ship/no-ship review gates on.
+    Factorial-free: base terms via a Stirling-series lnGamma (the
+    oracle replays the identical arithmetic — no engine lgamma
+    builtin on either side), then one exact term-ratio chain summed
+    by a bounded window cumsum in log space."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flagged = ev.select(
+        "event_type", (F.col("value") > 300).cast("int").alias("rare")
+    )
+    return stats.bayes_ab(flagged, "event_type", "rare", "view", "click")
+
+
+def _stirling_lgamma_sql(x: str) -> str:
+    """The SQL replay of stats._lgamma_expr: shift-by-8 into the same
+    Stirling series, same constants, same operation order."""
+    z = f"(({x}) + 8.0)"
+    c = repr(0.5 * math.log(2.0 * math.pi))
+    shift = " + ".join(f"ln(({x}) + {j}.0)" for j in range(8))
+    return (
+        f"(({z} - 0.5) * ln({z}) - {z} + {c}"
+        f" + 1.0 / (12.0 * {z})"
+        f" - 1.0 / (360.0 * {z} * {z} * {z})"
+        f" + 1.0 / (1260.0 * {z} * {z} * {z} * {z} * {z})"
+        f" - 1.0 / (1680.0 * {z} * {z} * {z} * {z} * {z} * {z} * {z})"
+        f" - (0.0 + {shift}))"
+    )
+
+
+def _bayes_ab_oracle_sql() -> str:
+    lg = _stirling_lgamma_sql
+    lnt0 = (
+        f"{lg('ba + bb')} - {lg('aa + ba + bb')}"
+        f" + {lg('aa + ba')} - {lg('ba')}"
+    )
+    lnt0p = (
+        f"{lg('ba + bb')} - {lg('aa + 1.0 + ba + bb')}"
+        f" + {lg('aa + 1.0 + ba')} - {lg('ba')}"
+    )
+    return f"""
+WITH cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = 'click' AND value > 300
+             THEN 1 ELSE 0 END) AS BIGINT) AS st,
+    CAST(SUM(CASE WHEN event_type = 'click' AND NOT value > 300
+             THEN 1 ELSE 0 END) AS BIGINT) AS ft,
+    CAST(SUM(CASE WHEN event_type = 'view' AND value > 300
+             THEN 1 ELSE 0 END) AS BIGINT) AS sc,
+    CAST(SUM(CASE WHEN event_type = 'view' AND NOT value > 300
+             THEN 1 ELSE 0 END) AS BIGINT) AS fc
+  FROM events
+  WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+), p AS (
+  SELECT *,
+         CAST(sc + 1 AS DOUBLE) AS aa, CAST(fc + 1 AS DOUBLE) AS ba,
+         CAST(st + 1 AS DOUBLE) AS ab, CAST(ft + 1 AS DOUBLE) AS bb,
+         CAST(st + 1 AS BIGINT) AS imax
+  FROM cells
+), b AS (
+  SELECT *, {lnt0} AS lnt0, {lnt0p} AS lnt0p FROM p
+), sup AS (
+  SELECT b.*, t.i FROM b, generate_series(0, 10000000) AS t(i)
+  WHERE t.i <= b.imax
+), lq AS (
+  SELECT *,
+    lnt0 + SUM(CASE WHEN i = 0 THEN 0.0
+               ELSE ln(aa + i - 1) + ln(bb + i - 1)
+                  - ln(aa + ba + bb + i - 1) - ln(CAST(i AS DOUBLE)) END)
+             OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS lt1,
+    lnt0p + SUM(CASE WHEN i = 0 THEN 0.0
+               ELSE ln(aa + i) + ln(bb + i - 1)
+                  - ln(aa + 1.0 + ba + bb + i - 1)
+                  - ln(CAST(i AS DOUBLE)) END)
+             OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS lt2
+  FROM sup
+), hs AS (
+  SELECT st, ft, sc, fc, aa, ba, ab, bb,
+    LEAST(GREATEST(SUM(CASE WHEN i < imax THEN exp(lt1) END), 0.0), 1.0)
+      AS h1,
+    LEAST(GREATEST(SUM(CASE WHEN i < imax THEN exp(lt2) END), 0.0), 1.0)
+      AS h2,
+    LEAST(GREATEST(SUM(exp(lt1)), 0.0), 1.0) AS h3
+  FROM lq
+  GROUP BY st, ft, sc, fc, aa, ba, ab, bb, imax
+)
+SELECT CAST(sc + fc AS BIGINT) AS n_control,
+       CAST(st + ft AS BIGINT) AS n_treatment,
+       CAST(sc AS BIGINT) AS events_control,
+       CAST(st AS BIGINT) AS events_treatment,
+       ROUND(aa / (aa + ba), 6) AS rate_control,
+       ROUND(ab / (ab + bb), 6) AS rate_treatment,
+       ROUND(h1, 6) AS prob_beats,
+       ROUND(ab / (ab + bb) - aa / (aa + ba), 6) AS expected_uplift,
+       ROUND(GREATEST(aa / (aa + ba) * (1.0 - h2)
+                      - ab / (ab + bb) * (1.0 - h3), 0.0), 6)
+         AS loss_choose_treatment,
+       ROUND(GREATEST(ab / (ab + bb) - aa / (aa + ba)
+                      + aa / (aa + ba) * (1.0 - h2)
+                      - ab / (ab + bb) * (1.0 - h3), 0.0), 6)
+         AS loss_choose_control
+FROM hs
+"""
+
+
+BAYES_AB_ORACLE = _bayes_ab_oracle_sql()
+
+
 def _q_attribution(spark, sf_dir):
     """sessions.attribution — U-shaped (position-based) multi-touch
     credit for purchases with a 3-day lookback over the events table.
@@ -13861,6 +13974,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dedup_media": _q_dedup_media,
         "similarity_ivf_health": _q_ivf_health,
         "sample_dsir_weights": _q_dsir_weights,
+        "stats_bayes_ab": _q_bayes_ab,
     }
 
 
@@ -14132,6 +14246,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "multimodal_dedup_media": DEDUP_MEDIA_ORACLE,
         "similarity_ivf_health": IVF_HEALTH_ORACLE,
         "sample_dsir_weights": DSIR_WEIGHTS_ORACLE,
+        "stats_bayes_ab": BAYES_AB_ORACLE,
     }
 
 

@@ -213,6 +213,7 @@ DETAIL_QUERIES = [
     # round-11 operators
     "similarity_ivf_health",
     "sample_dsir_weights",
+    "stats_bayes_ab",
     # merge-only split: the *_merge_index composite rows above time
     # build A + build B + merge + query end-to-end (capacity-plan
     # number); these isolate the merge+query cost a consolidation cron

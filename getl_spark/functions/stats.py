@@ -6403,6 +6403,229 @@ def fisher_exact(
     )
 
 
+def _lgamma_expr(x):
+    """ln Γ(x) for x >= 1 as a pure JVM expression: shift-by-8
+    recurrence into Stirling's series at z = x + 8 (truncation error
+    < 3e-12 there — far under the round_to=6 contract), so the whole
+    thing is plain arithmetic an oracle can replay verbatim; no
+    engine-specific lgamma builtin on either side."""
+    z = x + F.lit(8.0)
+    series = (
+        (z - F.lit(0.5)) * F.log(z)
+        - z
+        + F.lit(0.5 * math.log(2.0 * math.pi))
+        + F.lit(1.0) / (F.lit(12.0) * z)
+        - F.lit(1.0) / (F.lit(360.0) * z * z * z)
+        + F.lit(1.0) / (F.lit(1260.0) * z * z * z * z * z)
+        - F.lit(1.0) / (F.lit(1680.0) * z * z * z * z * z * z * z)
+    )
+    shift = sum(
+        (F.log(x + F.lit(float(j))) for j in range(8)),
+        F.lit(0.0),
+    )
+    return series - shift
+
+
+def bayes_ab(
+    df: DataFrame,
+    group_col: str,
+    outcome_col: str,
+    control: str,
+    treatment: str,
+    alpha_prior: int = 1,
+    beta_prior: int = 1,
+    max_terms: int = 100_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact Bayesian A/B readout on a binary outcome — the
+    decision-theoretic complement to :func:`ab_compare`'s frequentist
+    p-value: with independent Beta(``alpha_prior``, ``beta_prior``)
+    priors and binomial arms, the posteriors are
+    ``Beta(alpha + successes, beta + failures)`` and both decision
+    quantities have CLOSED FORMS for integer parameters (Cook 2005,
+    "Exact calculation of beta inequalities"):
+
+    * ``prob_beats`` — P(p_treatment > p_control), the number a
+      launch review actually asks for ("how sure are we B is
+      better?"), exact — no Monte Carlo, no normal approximation;
+    * ``loss_choose_treatment`` — E[max(p_c − p_t, 0)], the expected
+      cost-per-exposure of shipping treatment if it is secretly worse
+      (the standard Bayesian stopping criterion: ship when loss <
+      threshold-of-caring), and symmetrically ``loss_choose_control``.
+
+    Same arm/outcome contract as :func:`fisher_exact` / ``odds_ratio``:
+    binary 0/1 outcome (loud assert), rows outside the two arms or
+    with NULL outcome excluded, an empty arm fails LOUD. One row:
+    ``(n_control, n_treatment, events_control, events_treatment,
+    rate_control, rate_treatment, prob_beats, expected_uplift,
+    loss_choose_treatment, loss_choose_control)`` — rates are
+    posterior means; ``expected_uplift`` their difference.
+
+    HOW without lgamma builtins or MC: P(B > A) =
+    Σ_{i=0}^{a_B−1} B(a_A+i, b_A+b_B) / ((b_B+i)·B(1+i, b_B)·B(a_A, b_A))
+    where consecutive terms obey the exact ratio
+    ``t_i/t_{i−1} = (a_A+i−1)(b_B+i−1) / ((a_A+b_A+b_B+i−1)·i)`` — so
+    the whole sum is ONE bounded ``sequence`` explode + a window
+    cumsum in log space (the :func:`fisher_exact` discipline), seeded
+    by a base term whose four log-gammas come from a Stirling-series
+    expression. The two loss terms reuse the same support: the
+    ``a_B+1`` variant is the same chain with one extra term, and the
+    ``a_A+1`` variant is a second cumsum over the same rows.
+
+    Scale shape: one four-cell conditional-count aggregate (map-side
+    combine — the only part that touches data), one
+    ``sequence(0, a_B)`` explode off the 1-row cell table (asserted
+    ≤ ``max_terms`` BEFORE exploding — the exact path costs
+    O(treatment successes); beyond the cap the posteriors are
+    normal-approximation territory, use :func:`ab_compare`, or swap
+    the arm labels so the smaller-success arm pays), two window
+    cumsums over it, one final 1-row aggregate.
+    """
+    if alpha_prior < 1 or beta_prior < 1 or int(alpha_prior) != alpha_prior \
+            or int(beta_prior) != beta_prior:
+        raise ValueError(
+            "stats.bayes_ab: priors must be integers >= 1 (the exact "
+            "closed form needs integer Beta parameters)"
+        )
+    g = F.col(group_col)
+    y = F.col(outcome_col).cast("bigint")
+    guard = F.assert_true(
+        y.isin(0, 1),
+        F.lit("stats.bayes_ab: outcome column must be binary 0/1"),
+    )
+    checked = y + F.coalesce(guard.cast("bigint"), F.lit(0))
+    base = df.where(g.isin(control, treatment) & y.isNotNull())
+    agg = base.agg(
+        F.coalesce(F.sum(F.when(g == treatment, checked)), F.lit(0))
+        .cast("bigint")
+        .alias("__st"),
+        F.coalesce(F.sum(F.when(g == treatment, 1 - checked)), F.lit(0))
+        .cast("bigint")
+        .alias("__ft"),
+        F.coalesce(F.sum(F.when(g == control, checked)), F.lit(0))
+        .cast("bigint")
+        .alias("__sc"),
+        F.coalesce(F.sum(F.when(g == control, 1 - checked)), F.lit(0))
+        .cast("bigint")
+        .alias("__fc"),
+    )
+    st, ft = F.col("__st"), F.col("__ft")
+    sc, fc = F.col("__sc"), F.col("__fc")
+    arm_guard = F.assert_true(
+        (st + ft > 0) & (sc + fc > 0),
+        F.lit(
+            "stats.bayes_ab: an arm is empty — check the control/"
+            "treatment names against the group column"
+        ),
+    )
+    ap, bp = int(alpha_prior), int(beta_prior)
+    # posterior params: A = control, B = treatment
+    aa = sc + F.lit(ap)
+    ba = fc + F.lit(bp)
+    ab_ = st + F.lit(ap)
+    bb = ft + F.lit(bp)
+    size_guard = F.assert_true(
+        ab_ + 1 <= F.lit(int(max_terms)),
+        F.lit(
+            "stats.bayes_ab: the exact sum has treatment_successes + "
+            f"alpha_prior + 1 terms, over max_terms={max_terms} — use "
+            "stats.ab_compare at this scale, swap the arm labels so "
+            "the smaller-success arm pays, or raise max_terms "
+            "deliberately"
+        ),
+    )
+    cells = agg.select(
+        F.when(arm_guard.isNull() & size_guard.isNull(), st).alias("__st"),
+        "__ft", "__sc", "__fc",
+        aa.cast("double").alias("__aa"),
+        ba.cast("double").alias("__ba"),
+        ab_.cast("double").alias("__ab"),
+        bb.cast("double").alias("__bb"),
+        (ab_).cast("bigint").alias("__imax"),
+    )
+    aa_d, ba_d = F.col("__aa"), F.col("__ba")
+    bb_d = F.col("__bb")
+    # base terms: ln t_0 = lnB(aA, bA+bB) − lnB(aA, bA); the aA+1 loss
+    # variant shifts aA by one
+    lnt0 = (
+        _lgamma_expr(ba_d + bb_d)
+        - _lgamma_expr(aa_d + ba_d + bb_d)
+        + _lgamma_expr(aa_d + ba_d)
+        - _lgamma_expr(ba_d)
+    )
+    lnt0p = (
+        _lgamma_expr(ba_d + bb_d)
+        - _lgamma_expr(aa_d + F.lit(1.0) + ba_d + bb_d)
+        + _lgamma_expr(aa_d + F.lit(1.0) + ba_d)
+        - _lgamma_expr(ba_d)
+    )
+    sup = cells.select(
+        "*",
+        lnt0.alias("__lnt0"),
+        lnt0p.alias("__lnt0p"),
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("__imax"))
+        ).alias("i"),
+    )
+    i_d = F.col("i").cast("double")
+    # exact term ratio t_i/t_{i−1}; 0 at i = 0 (base point)
+    lr1 = F.when(F.col("i") == 0, F.lit(0.0)).otherwise(
+        F.log(aa_d + i_d - 1) + F.log(bb_d + i_d - 1)
+        - F.log(aa_d + ba_d + bb_d + i_d - 1) - F.log(i_d)
+    )
+    lr2 = F.when(F.col("i") == 0, F.lit(0.0)).otherwise(
+        F.log(aa_d + i_d) + F.log(bb_d + i_d - 1)
+        - F.log(aa_d + F.lit(1.0) + ba_d + bb_d + i_d - 1) - F.log(i_d)
+    )
+    w = (
+        Window.partitionBy("__aa")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lq = sup.select(
+        "*",
+        (F.col("__lnt0") + F.sum(lr1).over(w)).alias("__lt1"),
+        (F.col("__lnt0p") + F.sum(lr2).over(w)).alias("__lt2"),
+    )
+    # terms are positive and each sum is a probability <= 1: plain exp
+    out = lq.groupBy(
+        "__st", "__ft", "__sc", "__fc", "__aa", "__ba", "__ab", "__bb"
+    ).agg(
+        F.sum(
+            F.when(F.col("i") < F.col("__imax"), F.exp(F.col("__lt1")))
+        ).alias("__h1"),
+        F.sum(F.exp(F.col("__lt1"))).alias("__h3"),
+        F.sum(
+            F.when(F.col("i") < F.col("__imax"), F.exp(F.col("__lt2")))
+        ).alias("__h2"),
+    )
+    clamp = lambda c: F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))  # noqa: E731
+    h1 = clamp(F.col("__h1"))
+    h2 = clamp(F.col("__h2"))
+    h3 = clamp(F.col("__h3"))
+    mu_a = F.col("__aa") / (F.col("__aa") + F.col("__ba"))
+    mu_b = F.col("__ab") / (F.col("__ab") + F.col("__bb"))
+    loss_t = mu_a * (F.lit(1.0) - h2) - mu_b * (F.lit(1.0) - h3)
+    loss_c = (mu_b - mu_a) + loss_t
+    zero = F.lit(0.0)
+    return out.select(
+        (F.col("__sc") + F.col("__fc")).alias("n_control"),
+        (F.col("__st") + F.col("__ft")).alias("n_treatment"),
+        F.col("__sc").alias("events_control"),
+        F.col("__st").alias("events_treatment"),
+        F.round(mu_a, round_to).alias("rate_control"),
+        F.round(mu_b, round_to).alias("rate_treatment"),
+        F.round(h1, round_to).alias("prob_beats"),
+        F.round(mu_b - mu_a, round_to).alias("expected_uplift"),
+        F.round(F.greatest(loss_t, zero), round_to).alias(
+            "loss_choose_treatment"
+        ),
+        F.round(F.greatest(loss_c, zero), round_to).alias(
+            "loss_choose_control"
+        ),
+    )
+
+
 def mann_kendall(
     df: DataFrame,
     x_col: str,

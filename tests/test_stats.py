@@ -4152,6 +4152,97 @@ def test_fisher_exact_agrees_with_odds_ratio_cells(spark):
     assert fe.odds_ratio == orr.odds_ratio
 
 
+def _bayes_ref(st, ft, sc, fc, ap=1, bp=1):
+    """Pure-python exact Beta-inequality replay via math.lgamma — an
+    lnGamma implementation independent of the operator's Stirling
+    series, so agreement cross-checks both."""
+    import math as _m
+
+    aA, bA = sc + ap, fc + bp
+    aB, bB = st + ap, ft + bp
+
+    def lbeta(x, y):
+        return _m.lgamma(x) + _m.lgamma(y) - _m.lgamma(x + y)
+
+    def h(a1, b1, a2, b2):
+        return sum(
+            _m.exp(
+                lbeta(a1 + i, b1 + b2) - _m.log(b2 + i)
+                - lbeta(1 + i, b2) - lbeta(a1, b1)
+            )
+            for i in range(a2)
+        )
+
+    h1 = h(aA, bA, aB, bB)
+    h2 = h(aA + 1, bA, aB, bB)
+    h3 = h(aA, bA, aB + 1, bB)
+    mu_a, mu_b = aA / (aA + bA), aB / (aB + bB)
+    loss_t = mu_a * (1 - h2) - mu_b * (1 - h3)
+    loss_c = (mu_b - mu_a) + loss_t
+    return h1, mu_a, mu_b, max(loss_t, 0.0), max(loss_c, 0.0)
+
+
+def test_bayes_ab_matches_exact_reference(spark):
+    from getl_spark.functions import stats
+
+    # (st, ft, sc, fc): treatment successes/failures, control s/f —
+    # incl. a zero-success arm, a clear winner, and a dead heat
+    for st, ft, sc, fc in [(5, 5, 5, 5), (12, 48, 5, 55), (0, 10, 3, 7),
+                           (40, 10, 20, 30), (1, 1, 1, 1)]:
+        r = stats.bayes_ab(
+            _fisher_df(spark, st, ft, sc, fc), "arm", "y", "c", "t"
+        ).collect()[0]
+        h1, mu_a, mu_b, lt, lc = _bayes_ref(st, ft, sc, fc)
+        assert r.n_treatment == st + ft and r.n_control == sc + fc
+        assert r.events_treatment == st and r.events_control == sc
+        assert abs(r.prob_beats - h1) < 1e-6, (st, ft, sc, fc)
+        assert abs(r.rate_control - mu_a) < 1e-6
+        assert abs(r.rate_treatment - mu_b) < 1e-6
+        assert abs(r.expected_uplift - (mu_b - mu_a)) < 1e-6
+        assert abs(r.loss_choose_treatment - lt) < 1e-6, (st, ft, sc, fc)
+        assert abs(r.loss_choose_control - lc) < 1e-6, (st, ft, sc, fc)
+    # symmetry: P(B>A) with swapped arms complements (continuous
+    # posteriors, P(A=B)=0)
+    p1 = stats.bayes_ab(
+        _fisher_df(spark, 12, 48, 5, 55), "arm", "y", "c", "t"
+    ).collect()[0].prob_beats
+    p2 = stats.bayes_ab(
+        _fisher_df(spark, 12, 48, 5, 55), "arm", "y", "t", "c"
+    ).collect()[0].prob_beats
+    assert abs((p1 + p2) - 1.0) < 1e-6
+    # informative prior shifts the posterior the right way
+    flat = stats.bayes_ab(
+        _fisher_df(spark, 6, 4, 5, 5), "arm", "y", "c", "t"
+    ).collect()[0]
+    skeptic = stats.bayes_ab(
+        _fisher_df(spark, 6, 4, 5, 5), "arm", "y", "c", "t",
+        alpha_prior=1, beta_prior=20,
+    ).collect()[0]
+    assert skeptic.rate_treatment < flat.rate_treatment
+    h1s, *_ = _bayes_ref(6, 4, 5, 5, ap=1, bp=20)
+    assert abs(skeptic.prob_beats - h1s) < 1e-6
+
+
+def test_bayes_ab_guards(spark):
+    from getl_spark.functions import stats
+
+    df = _fisher_df(spark, 2, 2, 2, 2)
+    with pytest.raises(ValueError, match="priors"):
+        stats.bayes_ab(df, "arm", "y", "c", "t", alpha_prior=0)
+    with pytest.raises(ValueError, match="priors"):
+        stats.bayes_ab(df, "arm", "y", "c", "t", beta_prior=1.5)
+    with pytest.raises(Exception, match="arm is empty"):
+        stats.bayes_ab(df, "arm", "y", "c", "TYPO").collect()
+    bad = spark.createDataFrame([("t", 2), ("c", 1)], "arm STRING, y INT")
+    with pytest.raises(Exception, match="binary"):
+        stats.bayes_ab(bad, "arm", "y", "c", "t").collect()
+    with pytest.raises(Exception, match="max_terms"):
+        stats.bayes_ab(
+            _fisher_df(spark, 40, 40, 40, 40), "arm", "y", "c", "t",
+            max_terms=10,
+        ).collect()
+
+
 def test_fisher_exact_round_to_applies_to_odds_ratio(spark):
     from getl_spark.functions import stats
 
