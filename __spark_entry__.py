@@ -8119,6 +8119,89 @@ FROM e
 """
 
 
+def _q_ratio_metric(spark, sf_dir):
+    """stats.ratio_metric — delta-method ratio-metric A/B: per-user
+    click share (clicks / events) with arms from the user-id parity.
+    Event rows are correlated within a user, so ab_compare's
+    event-level SE would be wrong here by construction — the oracle
+    replays the per-unit totals, the delta-method variance, and the
+    identical A&S erf closed form."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "c").otherwise("t").alias("arm"),
+        "user_id",
+        (F.col("event_type") == "click").cast("int").alias("clicks"),
+        F.lit(1).alias("events"),
+    )
+    return stats.ratio_metric(
+        base, "arm", "clicks", "events", "user_id", "c", "t"
+    )
+
+
+RATIO_METRIC_ORACLE = """
+WITH per_unit AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'c' ELSE 't' END AS g,
+         user_id,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS x,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events
+  GROUP BY 1, 2
+), agg AS (
+  SELECT
+    COUNT(CASE WHEN g = 'c' THEN x END) AS n_c,
+    AVG(CASE WHEN g = 'c' THEN x END) AS mx_c,
+    AVG(CASE WHEN g = 'c' THEN y END) AS my_c,
+    VAR_SAMP(CASE WHEN g = 'c' THEN x END) AS vx_c,
+    VAR_SAMP(CASE WHEN g = 'c' THEN y END) AS vy_c,
+    COVAR_SAMP(CASE WHEN g = 'c' THEN x END,
+               CASE WHEN g = 'c' THEN y END) AS cxy_c,
+    COUNT(CASE WHEN g = 't' THEN x END) AS n_t,
+    AVG(CASE WHEN g = 't' THEN x END) AS mx_t,
+    AVG(CASE WHEN g = 't' THEN y END) AS my_t,
+    VAR_SAMP(CASE WHEN g = 't' THEN x END) AS vx_t,
+    VAR_SAMP(CASE WHEN g = 't' THEN y END) AS vy_t,
+    COVAR_SAMP(CASE WHEN g = 't' THEN x END,
+               CASE WHEN g = 't' THEN y END) AS cxy_t
+  FROM per_unit
+), d AS (
+  SELECT *,
+         mx_c / my_c AS r_c, mx_t / my_t AS r_t,
+         (vx_c - 2.0 * (mx_c / my_c) * cxy_c
+          + (mx_c / my_c) * (mx_c / my_c) * vy_c)
+           / (n_c * my_c * my_c) AS var_rc,
+         (vx_t - 2.0 * (mx_t / my_t) * cxy_t
+          + (mx_t / my_t) * (mx_t / my_t) * vy_t)
+           / (n_t * my_t * my_t) AS var_rt
+  FROM agg
+), z AS (
+  SELECT *,
+         r_t - r_c AS diff,
+         sqrt(GREATEST(var_rc + var_rt, 0.0)) AS stderr,
+         (r_t - r_c) / sqrt(GREATEST(var_rc + var_rt, 0.0)) AS zval,
+         abs((r_t - r_c) / sqrt(GREATEST(var_rc + var_rt, 0.0)))
+           / POWER(2.0, 0.5) AS xx
+  FROM d
+), e AS (SELECT *, 1.0 / (1.0 + 0.3275911 * xx) AS tt FROM z)
+SELECT CAST(n_c AS BIGINT) AS units_control,
+       CAST(n_t AS BIGINT) AS units_treatment,
+       ROUND(r_c, 6) AS ratio_control,
+       ROUND(r_t, 6) AS ratio_treatment,
+       ROUND(diff, 6) AS diff,
+       ROUND(diff / r_c, 6) AS rel_diff,
+       ROUND(stderr, 6) AS stderr,
+       ROUND(zval, 6) AS z,
+       ROUND((0.254829592 * tt - 0.284496736 * POWER(tt, 2)
+              + 1.421413741 * POWER(tt, 3)
+              - 1.453152027 * POWER(tt, 4)
+              + 1.061405429 * POWER(tt, 5)) * exp(-(xx * xx)), 6)
+         AS p_value
+FROM e
+"""
+
+
 def _q_ab_segments(spark, sf_dir):
     """stats.ab_segments — per-segment Welch readout (arms from the
     user-id parity, segmented by event type): one conditional keyed
@@ -13975,6 +14058,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_health": _q_ivf_health,
         "sample_dsir_weights": _q_dsir_weights,
         "stats_bayes_ab": _q_bayes_ab,
+        "stats_ratio_metric": _q_ratio_metric,
     }
 
 
@@ -14247,6 +14331,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "similarity_ivf_health": IVF_HEALTH_ORACLE,
         "sample_dsir_weights": DSIR_WEIGHTS_ORACLE,
         "stats_bayes_ab": BAYES_AB_ORACLE,
+        "stats_ratio_metric": RATIO_METRIC_ORACLE,
     }
 
 

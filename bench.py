@@ -214,6 +214,7 @@ DETAIL_QUERIES = [
     "similarity_ivf_health",
     "sample_dsir_weights",
     "stats_bayes_ab",
+    "stats_ratio_metric",
     # merge-only split: the *_merge_index composite rows above time
     # build A + build B + merge + query end-to-end (capacity-plan
     # number); these isolate the merge+query cost a consolidation cron

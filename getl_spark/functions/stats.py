@@ -658,6 +658,109 @@ def ab_compare(
     )
 
 
+def ratio_metric(
+    df: DataFrame,
+    group_col: str,
+    num_col: str,
+    den_col: str,
+    unit_col: str,
+    control: str,
+    treatment: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Ratio-metric A/B comparison with DELTA-METHOD standard errors —
+    the correct test for per-unit ratio metrics (CTR = clicks/views,
+    revenue-per-session, tokens-per-document) when randomization is by
+    ``unit_col`` (user, session, document) but the metric's numerator
+    and denominator are event-level sums. Feeding event rows straight
+    into :func:`ab_compare` understates the variance (events within a
+    unit are correlated — the classic experimentation trap, Deng et
+    al. 2018); the delta method on per-unit totals fixes it:
+
+        r_g = Σnum / Σden = x̄/ȳ over units,
+        Var(r_g) ≈ (var_x − 2·r·cov_xy + r²·var_y) / (n·ȳ²)
+
+    with per-UNIT sample moments. Returns one row:
+    ``(units_control, units_treatment, ratio_control, ratio_treatment,
+    diff, rel_diff, stderr, z, p_value)`` — two-sided normal p
+    (same A&S erf closed form as :func:`ab_compare`).
+
+    Units contribute to the arm they appear in; a unit present in
+    BOTH arms is a randomization violation this test does not detect
+    — run :func:`srm` / an assignment audit upstream. Fails loud on
+    an empty arm, a single-unit arm (undefined variance), or a zero
+    denominator mean.
+
+    Scale shape: ONE keyed shuffle builds per-(arm, unit) totals
+    (map-side combine), then one conditional 1-row aggregate and pure
+    column arithmetic — no driver math, fully SQL-expressible.
+    """
+    g = F.col(group_col)
+    base = df.where(
+        g.isin(control, treatment)
+        & F.col(num_col).isNotNull()
+        & F.col(den_col).isNotNull()
+    )
+    per_unit = base.groupBy(g.alias("__g"), F.col(unit_col).alias("__u")).agg(
+        F.sum(F.col(num_col).cast("double")).alias("__x"),
+        F.sum(F.col(den_col).cast("double")).alias("__y"),
+    )
+    def arm(name, col):  # conditional per-arm moment
+        return F.when(F.col("__g") == name, F.col(col))
+    agg = per_unit.agg(
+        F.count(arm(control, "__x")).alias("n_c"),
+        F.avg(arm(control, "__x")).alias("mx_c"),
+        F.avg(arm(control, "__y")).alias("my_c"),
+        F.var_samp(arm(control, "__x")).alias("vx_c"),
+        F.var_samp(arm(control, "__y")).alias("vy_c"),
+        F.covar_samp(arm(control, "__x"), arm(control, "__y")).alias("cxy_c"),
+        F.count(arm(treatment, "__x")).alias("n_t"),
+        F.avg(arm(treatment, "__x")).alias("mx_t"),
+        F.avg(arm(treatment, "__y")).alias("my_t"),
+        F.var_samp(arm(treatment, "__x")).alias("vx_t"),
+        F.var_samp(arm(treatment, "__y")).alias("vy_t"),
+        F.covar_samp(arm(treatment, "__x"), arm(treatment, "__y")).alias(
+            "cxy_t"
+        ),
+    )
+    guard = F.assert_true(
+        (F.col("n_c") > 1) & (F.col("n_t") > 1)
+        & (F.col("my_c") != 0) & (F.col("my_t") != 0),
+        F.lit(
+            "stats.ratio_metric: an arm is empty or single-unit "
+            "(undefined variance), or a denominator mean is zero — "
+            "check the arm names and the denominator column"
+        ),
+    )
+    r_c = F.col("mx_c") / F.col("my_c")
+    r_t = F.col("mx_t") / F.col("my_t")
+    var_rc = (
+        F.col("vx_c") - F.lit(2.0) * r_c * F.col("cxy_c")
+        + r_c * r_c * F.col("vy_c")
+    ) / (F.col("n_c") * F.col("my_c") * F.col("my_c"))
+    var_rt = (
+        F.col("vx_t") - F.lit(2.0) * r_t * F.col("cxy_t")
+        + r_t * r_t * F.col("vy_t")
+    ) / (F.col("n_t") * F.col("my_t") * F.col("my_t"))
+    diff = r_t - r_c
+    stderr = F.sqrt(F.greatest(var_rc + var_rt, F.lit(0.0)))
+    z = F.when(stderr > 0, diff / stderr)
+    p = _normal_two_sided_p(z)
+    return agg.select(
+        F.when(guard.isNull(), F.col("n_c")).cast("bigint").alias(
+            "units_control"
+        ),
+        F.col("n_t").cast("bigint").alias("units_treatment"),
+        F.round(r_c, round_to).alias("ratio_control"),
+        F.round(r_t, round_to).alias("ratio_treatment"),
+        F.round(diff, round_to).alias("diff"),
+        F.round(F.when(r_c != 0, diff / r_c), round_to).alias("rel_diff"),
+        F.round(stderr, round_to).alias("stderr"),
+        F.round(z, round_to).alias("z"),
+        F.round(p, round_to).alias("p_value"),
+    )
+
+
 def moments(
     df: DataFrame,
     value_col: str,

@@ -4152,6 +4152,103 @@ def test_fisher_exact_agrees_with_odds_ratio_cells(spark):
     assert fe.odds_ratio == orr.odds_ratio
 
 
+def _ratio_ref(units):
+    """Pure-python delta-method replay: units = [(arm, x, y)] per-unit
+    totals."""
+    import math as _m
+
+    def arm_stats(a):
+        xs = [x for g, x, y in units if g == a]
+        ys = [y for g, x, y in units if g == a]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        vx = sum((v - mx) ** 2 for v in xs) / (n - 1)
+        vy = sum((v - my) ** 2 for v in ys) / (n - 1)
+        cxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (n - 1)
+        r = mx / my
+        vr = (vx - 2 * r * cxy + r * r * vy) / (n * my * my)
+        return n, r, vr
+
+    n_c, r_c, v_c = arm_stats("c")
+    n_t, r_t, v_t = arm_stats("t")
+    diff = r_t - r_c
+    se = _m.sqrt(max(v_c + v_t, 0.0))
+    z = diff / se
+    x = abs(z) / _m.sqrt(2.0)
+    tt = 1.0 / (1.0 + 0.3275911 * x)
+    p = (0.254829592 * tt - 0.284496736 * tt**2 + 1.421413741 * tt**3
+         - 1.453152027 * tt**4 + 1.061405429 * tt**5) * _m.exp(-x * x)
+    return n_c, n_t, r_c, r_t, diff, se, z, p
+
+
+def test_ratio_metric_matches_reference_and_beats_naive(spark):
+    from getl_spark.functions import stats
+
+    # event-level rows: (arm, user, clicks, views) — users have
+    # heterogeneous activity, the exact regime where event-level
+    # t-tests understate variance
+    rows = []
+    for u in range(40):
+        arm = "c" if u % 2 == 0 else "t"
+        for e in range((u % 7) + 1):
+            clicks = 1 if (u * 3 + e) % 4 == 0 else 0
+            clicks += 1 if arm == "t" and (u + e) % 5 == 0 else 0
+            rows.append((arm, u, clicks, 1))
+    df = spark.createDataFrame(
+        rows, "arm STRING, user_id LONG, clicks INT, views INT"
+    )
+    got = stats.ratio_metric(
+        df, "arm", "clicks", "views", "user_id", "c", "t"
+    ).collect()[0]
+    # per-unit totals for the reference
+    from collections import defaultdict
+
+    tot = defaultdict(lambda: [0, 0])
+    arms = {}
+    for a, u, x, y in rows:
+        tot[u][0] += x
+        tot[u][1] += y
+        arms[u] = a
+    units = [(arms[u], float(x), float(y)) for u, (x, y) in tot.items()]
+    n_c, n_t, r_c, r_t, diff, se, z, p = _ratio_ref(units)
+    assert (got.units_control, got.units_treatment) == (n_c, n_t)
+    assert abs(got.ratio_control - r_c) < 1e-6
+    assert abs(got.ratio_treatment - r_t) < 1e-6
+    assert abs(got.diff - diff) < 1e-6
+    assert abs(got.stderr - se) < 1e-6
+    assert abs(got.z - z) < 1e-5
+    assert abs(got.p_value - p) < 1e-6
+    # partition invariance
+    again = stats.ratio_metric(
+        df.repartition(13), "arm", "clicks", "views", "user_id", "c", "t"
+    ).collect()[0]
+    assert tuple(again) == tuple(got)
+
+
+def test_ratio_metric_guards(spark):
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [("c", 1, 1, 1), ("t", 2, 1, 1)],
+        "arm STRING, user_id LONG, clicks INT, views INT",
+    )
+    # single-unit arms: undefined variance must fail loud
+    with pytest.raises(Exception, match="ratio_metric"):
+        stats.ratio_metric(
+            df, "arm", "clicks", "views", "user_id", "c", "t"
+        ).collect()
+    # misspelled arm: empty -> loud
+    big = spark.createDataFrame(
+        [("c", u, 1, 2) for u in range(5)]
+        + [("t", u + 10, 1, 2) for u in range(5)],
+        "arm STRING, user_id LONG, clicks INT, views INT",
+    )
+    with pytest.raises(Exception, match="ratio_metric"):
+        stats.ratio_metric(
+            big, "arm", "clicks", "views", "user_id", "c", "TYPO"
+        ).collect()
+
+
 def _bayes_ref(st, ft, sc, fc, ap=1, bp=1):
     """Pure-python exact Beta-inequality replay via math.lgamma — an
     lnGamma implementation independent of the operator's Stirling
