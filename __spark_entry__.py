@@ -11570,6 +11570,53 @@ FROM hs
 BAYES_AB_ORACLE = _bayes_ab_oracle_sql()
 
 
+def _q_markov_attribution(spark, sf_dir):
+    """sessions.markov_attribution — removal-effect (data-driven)
+    attribution on a FIXED deterministic journey mix (6 journey shapes
+    × 30 users): transition counts are exact integers, the absorption
+    solves are k×k float64 on sorted channel order, so the output pins
+    exactly (golden oracle — matrix inversion is not SQL-expressible;
+    the same chain is independently replayed by the pure-python
+    reference in tests/test_sessions.py::_markov_ref)."""
+    import datetime as _dt
+
+    from getl_spark.functions import sessions
+
+    rows = []
+    for u in range(30):
+        m = u % 5
+        if m == 0:
+            rows += [(u, 0, "social"), (u, 1, "ad"), (u, 2, "buy")]
+        elif m == 1:
+            rows += [(u, 0, "email"), (u, 1, "buy")]
+        elif m == 2:
+            rows += [(u, 0, "ad")]
+        elif m == 3:
+            rows += [(u, 0, "social"), (u, 1, "email"), (u, 2, "ad"),
+                     (u, 3, "buy"), (u, 4, "email")]
+        else:
+            rows += [(u, 0, "email"), (u, 1, "social")]
+    data = [
+        (u, _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=t), ch)
+        for u, t, ch in rows
+    ]
+    df = spark.createDataFrame(
+        data, "user_id LONG, ts TIMESTAMP, event_type STRING"
+    )
+    return sessions.markov_attribution(df, "buy")
+
+
+MARKOV_ATTRIBUTION_ORACLE = """
+SELECT channel, CAST(removal_effect AS DOUBLE) AS removal_effect,
+       CAST(credit AS DOUBLE) AS credit, conversions
+FROM (VALUES
+  ('ad',     0.666667, 7.240223, CAST(18 AS BIGINT)),
+  ('email',  0.62963,  6.837989, CAST(18 AS BIGINT)),
+  ('social', 0.361111, 3.921788, CAST(18 AS BIGINT))
+) AS t(channel, removal_effect, credit, conversions)
+"""
+
+
 def _q_attribution(spark, sf_dir):
     """sessions.attribution — U-shaped (position-based) multi-touch
     credit for purchases with a 3-day lookback over the events table.
@@ -14059,6 +14106,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_dsir_weights": _q_dsir_weights,
         "stats_bayes_ab": _q_bayes_ab,
         "stats_ratio_metric": _q_ratio_metric,
+        "sessions_markov_attribution": _q_markov_attribution,
     }
 
 
@@ -14332,6 +14380,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sample_dsir_weights": DSIR_WEIGHTS_ORACLE,
         "stats_bayes_ab": BAYES_AB_ORACLE,
         "stats_ratio_metric": RATIO_METRIC_ORACLE,
+        "sessions_markov_attribution": MARKOV_ATTRIBUTION_ORACLE,
     }
 
 

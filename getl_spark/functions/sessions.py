@@ -755,6 +755,221 @@ def resample(
     )
 
 
+def markov_attribution(
+    df: DataFrame,
+    conversion: str,
+    touch_types: Optional[Sequence[str]] = None,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    max_events_per_user: int = 100_000,
+    max_channels: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """DATA-DRIVEN multi-touch attribution by Markov removal effect —
+    the model-based complement to :func:`attribution`'s rule-based
+    credit (linear/position/decay weights are assumptions; removal
+    effect measures what each channel actually contributes): build the
+    first-order Markov chain over observed journeys
+    (start → touches → conversion | null), then for each channel ask
+    "if this channel vanished (its traffic lost), how much of the
+    conversion probability goes with it?" —
+    ``removal_effect(c) = 1 − P(conv | chain without c) / P(conv)``,
+    and ``credit(c) = removal_effect(c) / Σ removal_effects × total
+    conversions`` (Anderl et al. 2014's standard formulation).
+
+    Journeys: each user's events sort by (time, type); a conversion
+    ends its journey (the next touch starts a new one), and a trailing
+    unconverted touch run ends in the ``null`` absorber. Transitions
+    are consecutive-state pairs including ``start →`` first touch and
+    last touch ``→ conversion|null``. Restrict eligible touches with
+    ``touch_types``; NULL time/type rows are excluded; per-user events
+    cap at ``max_events_per_user`` (row_number, deterministic).
+
+    Returns one row per channel: ``(channel, removal_effect, credit)``
+    plus the chain-level ``conversions`` count (constant column) —
+    removal effects do NOT sum to 1 (channels share journeys); the
+    normalized credit does sum to the converted-journey count.
+
+    Scale shape: the :func:`attribution` discipline — ONE keyed
+    shuffle groups each user's capped sorted events, transitions are
+    pure JVM array functions (one struct per event + one trailing
+    terminal), and a (src, dst) count aggregate reduces to at most
+    ``(k+2)²`` rows. ONLY that bounded transition table reaches the
+    driver (guarded by ``max_channels``, fail-loud) — the absorption
+    solves are k×k numpy on k ≤ 64 states, the same bounded-driver
+    convention as ``embedding.procrustes_fit``. Distinct-channel
+    count is probed BEFORE the collect.
+    """
+    if max_events_per_user < 1:
+        raise ValueError(
+            "markov_attribution: max_events_per_user must be >= 1"
+        )
+    if max_channels < 1:
+        raise ValueError("markov_attribution: max_channels must be >= 1")
+    if touch_types is not None and conversion in set(touch_types):
+        raise ValueError(
+            "markov_attribution: conversion type cannot also be a "
+            "touch type"
+        )
+    START, CONV, NULL = "__start__", "__conversion__", "__null__"
+    types = (
+        list(touch_types) + [conversion] if touch_types is not None else None
+    )
+    base = df.where(
+        F.col(time_col).isNotNull() & F.col(type_col).isNotNull()
+    )
+    if types is not None:
+        base = base.where(F.col(type_col).isin(types))
+    events = base.select(
+        F.col(user_col).alias("user"),
+        F.struct(
+            F.unix_micros(F.col(time_col).cast("timestamp")).alias("t"),
+            F.col(type_col).alias("ch"),
+        ).alias("e"),
+    )
+    capw = Window.partitionBy("user").orderBy(
+        F.col("e.t").asc(), F.col("e.ch").asc()
+    )
+    per_user = (
+        events.withColumn("__rn", F.row_number().over(capw))
+        .where(F.col("__rn") <= max_events_per_user)
+        .groupBy("user")
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+    )
+    conv_lit = F.lit(conversion)
+    evs = F.col("evs")
+
+    def src_at(i):
+        prev = F.element_at(evs, i)  # 1-based = the element BEFORE
+        # index-i (0-based) — a conversion terminates its journey, so
+        # the event after one restarts from START
+        return (
+            F.when(i == 0, F.lit(START))
+            .when(prev["ch"] == conv_lit, F.lit(START))
+            .otherwise(prev["ch"])
+        )
+
+    def dst_of(e):
+        return F.when(e["ch"] == conv_lit, F.lit(CONV)).otherwise(e["ch"])
+
+    steps = F.transform(
+        evs, lambda e, i: F.struct(
+            src_at(i).alias("src"), dst_of(e).alias("dst")
+        )
+    )
+    last = F.element_at(evs, F.size(evs))
+    trailing = F.when(
+        last["ch"] != conv_lit,
+        F.array(F.struct(
+            last["ch"].alias("src"), F.lit(NULL).alias("dst")
+        )),
+    ).otherwise(F.array().cast("array<struct<src:string,dst:string>>"))
+    trans = (
+        per_user.select(
+            F.explode(F.concat(steps, trailing)).alias("tr")
+        )
+        .groupBy(F.col("tr.src").alias("src"), F.col("tr.dst").alias("dst"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    from getl_spark.common.scale import pin, unpin
+
+    trans = trans.transform(pin)
+    k = (
+        trans.select("src").where(F.col("src") != START).distinct().count()
+    )
+    if k > max_channels:
+        unpin(trans)
+        raise ValueError(
+            f"markov_attribution: {k} distinct channels exceeds "
+            f"max_channels={max_channels} — the absorption solves are "
+            "driver-side k x k; raise the cap deliberately or bucket "
+            "the long tail upstream"
+        )
+    rows = trans.collect()
+    unpin(trans)
+    spark = df.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "channel string, removal_effect double, credit double, "
+            "conversions bigint",
+        )
+    channels = sorted(
+        {r.src for r in rows if r.src != START}
+        | {r.dst for r in rows if r.dst not in (CONV, NULL)}
+    )
+    for ch in channels:
+        if ch in (START, CONV, NULL):
+            raise ValueError(
+                f"markov_attribution: channel name {ch!r} collides with "
+                "a reserved chain state — rename it upstream"
+            )
+    import numpy as np
+
+    states = [START] + channels          # transient states
+    idx = {s: i for i, s in enumerate(states)}
+    m = len(states)
+    counts = np.zeros((m, m + 1))        # last col = conversion absorber
+    for r in rows:
+        i = idx[r.src]
+        if r.dst == CONV:
+            counts[i, m] += r.n
+        elif r.dst == NULL:
+            pass                          # lost mass = null absorber
+        else:
+            counts[i, idx[r.dst]] += r.n
+    outflow = np.zeros(m)
+    for r in rows:
+        outflow[idx[r.src]] += r.n
+    total_conversions = int(sum(r.n for r in rows if r.dst == CONV))
+
+    def absorb_p(keep):
+        """P(conversion | start) over the chain restricted to the kept
+        transient states (removal = drop row+col: mass into a removed
+        channel is lost to null)."""
+        sel = [idx[s] for s in keep]
+        q = counts[np.ix_(sel, sel)]
+        rvec = counts[sel, m]
+        flow = outflow[sel]
+        nz = flow > 0
+        qn = np.zeros_like(q)
+        rn = np.zeros_like(rvec)
+        qn[nz] = q[nz] / flow[nz, None]
+        rn[nz] = rvec[nz] / flow[nz]
+        x = np.linalg.solve(np.eye(len(sel)) - qn, rn)
+        return float(x[0])
+
+    base_p = absorb_p(states)
+    if base_p <= 0:
+        raise ValueError(
+            "markov_attribution: no converted journey in the input — "
+            "removal effects are undefined without conversions"
+        )
+    effects = []
+    for ch in channels:
+        p_wo = absorb_p([s for s in states if s != ch])
+        effects.append(max(0.0, 1.0 - p_wo / base_p))
+    tot_eff = sum(effects)
+    out_rows = [
+        (
+            ch,
+            round(e, round_to),
+            round(
+                (e / tot_eff) * total_conversions if tot_eff > 0 else 0.0,
+                round_to,
+            ),
+            total_conversions,
+        )
+        for ch, e in zip(channels, effects)
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "channel string, removal_effect double, credit double, "
+        "conversions bigint",
+    )
+
+
 def attribution(
     df: DataFrame,
     conversion: str,

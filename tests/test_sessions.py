@@ -834,3 +834,140 @@ def test_attribution_partition_invariant(spark):
         ).collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------- markov attribution
+
+
+def _markov_ref(rows, conversion, removal_channels=None):
+    """Pure-python removal-effect replay: rows = [(user, t, type)].
+    Returns (base_p, {channel: removal_effect}, total_conversions)."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    by_user = defaultdict(list)
+    for u, t, ch in rows:
+        by_user[u].append((t, ch))
+    trans = defaultdict(int)
+    total_conv = 0
+    for u, evs in by_user.items():
+        evs = sorted(evs)
+        prev = "__start__"
+        for t, ch in evs:
+            if ch == conversion:
+                trans[(prev, "__conversion__")] += 1
+                total_conv += 1
+                prev = "__start__"
+            else:
+                trans[(prev, ch)] += 1
+                prev = ch
+        if prev != "__start__":
+            trans[(prev, "__null__")] += 1
+    channels = sorted(
+        {s for s, d in trans if s != "__start__"}
+        | {d for s, d in trans if d not in ("__conversion__", "__null__")}
+    )
+
+    def absorb(keep):
+        states = ["__start__"] + [c for c in channels if c in keep]
+        idx = {s: i for i, s in enumerate(states)}
+        m = len(states)
+        q = np.zeros((m, m))
+        r = np.zeros(m)
+        flow = defaultdict(int)
+        for (s, d), n in trans.items():
+            flow[s] += n
+        for (s, d), n in trans.items():
+            if s not in idx:
+                continue
+            if d == "__conversion__":
+                r[idx[s]] += n / flow[s]
+            elif d in idx:
+                q[idx[s], idx[d]] += n / flow[s]
+        x = np.linalg.solve(np.eye(m) - q, r)
+        return float(x[0])
+
+    base = absorb(set(channels))
+    effects = {
+        c: max(0.0, 1.0 - absorb(set(channels) - {c}) / base)
+        for c in channels
+    }
+    return base, effects, total_conv
+
+
+MARKOV_ROWS = [
+    # u1: ad -> email -> buy, then a second journey ad -> (no conv)
+    (1, 0, "ad"), (1, 10, "email"), (1, 20, "buy"), (1, 30, "ad"),
+    # u2: email -> buy
+    (2, 0, "email"), (2, 5, "buy"),
+    # u3: ad -> ad is impossible here (dedup'd types differ); ad -> null
+    (3, 0, "ad"),
+    # u4: social -> ad -> buy
+    (4, 0, "social"), (4, 1, "ad"), (4, 2, "buy"),
+    # u5: social -> null
+    (5, 0, "social"),
+]
+
+
+def test_markov_attribution_matches_reference(spark):
+    from getl_spark.functions import sessions
+
+    df = _attr_df(spark, MARKOV_ROWS)
+    got = {
+        r.channel: (r.removal_effect, r.credit, r.conversions)
+        for r in sessions.markov_attribution(df, "buy").collect()
+    }
+    base, effects, total = _markov_ref(MARKOV_ROWS, "buy")
+    assert set(got) == set(effects)
+    tot_eff = sum(effects.values())
+    for ch, e in effects.items():
+        assert abs(got[ch][0] - e) < 1e-6, ch
+        assert abs(got[ch][1] - e / tot_eff * total) < 1e-6, ch
+        assert got[ch][2] == total
+    # credits sum to the converted-journey count
+    assert abs(sum(v[1] for v in got.values()) - total) < 1e-5
+
+
+def test_markov_attribution_semantics(spark):
+    from getl_spark.functions import sessions
+
+    # a channel on EVERY converting path has removal effect 1
+    rows = [
+        (1, 0, "ad"), (1, 1, "buy"),
+        (2, 0, "email"), (2, 1, "ad"), (2, 2, "buy"),
+        (3, 0, "email"),
+    ]
+    got = {
+        r.channel: r.removal_effect
+        for r in sessions.markov_attribution(
+            _attr_df(spark, rows), "buy"
+        ).collect()
+    }
+    assert got["ad"] == 1.0
+    assert got["email"] < 1.0
+    # partition invariance
+    df = _attr_df(spark, MARKOV_ROWS)
+    a = sorted(map(tuple, sessions.markov_attribution(
+        df.repartition(1), "buy").collect()))
+    b = sorted(map(tuple, sessions.markov_attribution(
+        df.repartition(11), "buy").collect()))
+    assert a == b
+
+
+def test_markov_attribution_guards(spark):
+    from getl_spark.functions import sessions
+
+    df = _attr_df(spark, MARKOV_ROWS)
+    with pytest.raises(ValueError, match="max_channels"):
+        sessions.markov_attribution(df, "buy", max_channels=1)
+    with pytest.raises(ValueError, match="no converted"):
+        sessions.markov_attribution(
+            _attr_df(spark, [(1, 0, "ad"), (2, 0, "email")]), "buy"
+        )
+    with pytest.raises(ValueError, match="conversion type"):
+        sessions.markov_attribution(df, "buy", touch_types=["ad", "buy"])
+    with pytest.raises(ValueError, match="reserved"):
+        sessions.markov_attribution(
+            _attr_df(spark, [(1, 0, "__null__"), (1, 1, "buy")]), "buy"
+        )
