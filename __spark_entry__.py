@@ -3116,6 +3116,33 @@ def _pagerank_oracle() -> str:
     return pagerank_oracle_sql(PAGERANK_EDGES_SQL, n_iter=8)
 
 
+def _q_hits(spark, sf_dir):
+    """graph.hits — hubs & authorities over the same mixed supply
+    link graph the pagerank row uses (forward supplier→part edges,
+    back-edges for even part keys), so suppliers act as hubs and
+    parts as authorities with genuine asymmetry. Oracle: the
+    unrolled-CTE SQL from ``graph.hits_oracle_sql`` on the identical
+    edge set."""
+    from getl_spark.functions import graph
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    rev = li.where(F.col("l_partkey") % 2 == 0).select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return graph.hits(fwd.union(rev), n_iter=6)
+
+
+def _hits_oracle() -> str:
+    from getl_spark.functions.graph import hits_oracle_sql
+
+    return hits_oracle_sql(PAGERANK_EDGES_SQL, n_iter=6)
+
+
 def _q_asof_events(spark, sf_dir):
     """As-of enrichment: each click event joined to the user's most
     recent purchase at-or-before it. Timestamps compared at microsecond
@@ -14107,6 +14134,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_bayes_ab": _q_bayes_ab,
         "stats_ratio_metric": _q_ratio_metric,
         "sessions_markov_attribution": _q_markov_attribution,
+        "graph_hits": _q_hits,
     }
 
 
@@ -14381,6 +14409,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_bayes_ab": BAYES_AB_ORACLE,
         "stats_ratio_metric": RATIO_METRIC_ORACLE,
         "sessions_markov_attribution": MARKOV_ATTRIBUTION_ORACLE,
+        "graph_hits": _hits_oracle(),
     }
 
 

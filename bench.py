@@ -216,6 +216,7 @@ DETAIL_QUERIES = [
     "stats_bayes_ab",
     "stats_ratio_metric",
     "sessions_markov_attribution",
+    "graph_hits",
     # merge-only split: the *_merge_index composite rows above time
     # build A + build B + merge + query end-to-end (capacity-plan
     # number); these isolate the merge+query cost a consolidation cron

@@ -405,6 +405,173 @@ def pagerank_oracle_sql(
     return "\n".join(parts)
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    nodes: Optional[DataFrame] = None,
+    node_col: str = "node",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    list — the crawl-curation complement to :func:`pagerank`: PageRank
+    scores WHO is endorsed, HITS separates the two roles a link graph
+    mixes — *authorities* (pages good links point TO: the content
+    worth keeping) and *hubs* (pages whose outlinks are good: the
+    directories/link-lists worth crawling FROM, and at corpus-cleaning
+    time the classic signature of link farms and boilerplate link
+    pages when hub ≫ auth).
+
+    Exact semantics (engine-replayable): parallel edges collapse
+    (DISTINCT); the node set is ``distinct(src) ∪ distinct(dst)``
+    plus ``nodes`` when given; hubs start at 1; each of the
+    ``n_iter`` synchronous iterations computes
+
+        auth'(v) = Σ_{(u,v)∈E} hub(u)   then L1-normalizes,
+        hub'(u)  = Σ_{(u,v)∈E} auth'(v) then L1-normalizes
+
+    (L1, not the textbook L2 — same fixpoint direction, and a plain
+    SUM an oracle replays without sqrt ordering concerns; each score
+    vector sums to 1). Fixed iteration count — deterministic output
+    shape. Nodes without in-edges have authority 0; without
+    out-edges, hub 0. Returns ``(node_col, hub, auth)`` rounded to
+    ``round_to`` (``None`` skips).
+
+    100 TB shape: exactly :func:`pagerank`'s — per iteration one
+    edges⋈scores join + one partial-agg shuffle per direction (both
+    key-partitioned), 1-row normalization aggregates broadcast via
+    crossJoin, per-iteration pins keep the lineage flat with
+    superseded frames unpinned. Normalization totals are provably
+    positive whenever the graph has an edge (hub mass only ever
+    lands on nodes with out-edges, auth mass on nodes with
+    in-edges), so no division guard can fire mid-loop.
+    """
+    if n_iter < 1:
+        raise ValueError(f"hits: n_iter must be >= 1, got {n_iter}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .transform(pin)
+    )
+    node_set = e.select("u").union(e.select("v"))
+    if nodes is not None:
+        node_set = node_set.union(
+            nodes.select(F.col(node_col).alias("u")).where(
+                F.col("u").isNotNull()
+            )
+        )
+    node_set = (
+        node_set.distinct().select(F.col("u").alias("node")).transform(pin)
+    )
+    if e.limit(1).count() == 0:
+        unpin(e)
+        out = node_set.select(
+            F.col("node").alias(node_col),
+            F.lit(0.0).alias("hub"),
+            F.lit(0.0).alias("auth"),
+        )
+        return out
+    hubs = node_set.select("node", F.lit(1.0).alias("hub"))
+    auths = None
+    for _ in range(n_iter):
+        auth_un = (
+            e.join(hubs, e["u"] == hubs["node"])
+            .groupBy("v")
+            .agg(F.sum("hub").alias("s"))
+        )
+        tot_a = auth_un.agg(F.sum("s").alias("tot"))
+        new_auths = (
+            node_set.join(auth_un, node_set["node"] == auth_un["v"], "left")
+            .crossJoin(F.broadcast(tot_a))
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("tot")).alias(
+                    "auth"
+                ),
+            )
+            .transform(pin)
+        )
+        if auths is not None:
+            unpin(auths)
+        auths = new_auths
+        hub_un = (
+            e.join(auths, e["v"] == auths["node"])
+            .groupBy("u")
+            .agg(F.sum("auth").alias("s"))
+        )
+        tot_h = hub_un.agg(F.sum("s").alias("tot"))
+        new_hubs = (
+            node_set.join(hub_un, node_set["node"] == hub_un["u"], "left")
+            .crossJoin(F.broadcast(tot_h))
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("tot")).alias(
+                    "hub"
+                ),
+            )
+            .transform(pin)
+        )
+        unpin(hubs)
+        hubs = new_hubs
+    out = hubs.join(auths, "node").select(
+        F.col("node").alias(node_col), "hub", "auth"
+    )
+    if round_to is not None:
+        out = out.withColumn("hub", F.round("hub", round_to)).withColumn(
+            "auth", F.round("auth", round_to)
+        )
+    return out
+
+
+def hits_oracle_sql(
+    edges_sql: str,
+    n_iter: int = 10,
+    round_to: int = 6,
+) -> str:
+    """Unrolled-CTE ANSI SQL replicating :func:`hits` exactly (same
+    conventions as :func:`pagerank_oracle_sql`: ``edges_sql`` yields
+    ``(src, dst)``, every per-iteration CTE is ``AS MATERIALIZED`` so
+    DuckDB does not re-expand the chain exponentially)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        f" ({edges_sql}) raw_e"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL),",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes),",
+    ]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        parts.append(
+            f"au{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(h.hub) AS s"
+            f" FROM edges e JOIN h{p} h ON e.src = h.node GROUP BY e.dst),"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT nd.node,"
+            f" COALESCE(au.s, 0.0) / (SELECT SUM(s) FROM au{k}) AS auth"
+            f" FROM nodes nd LEFT JOIN au{k} au ON nd.node = au.node),"
+        )
+        parts.append(
+            f"hu{k} AS MATERIALIZED (SELECT e.src AS node, SUM(a.auth) AS s"
+            f" FROM edges e JOIN a{k} a ON e.dst = a.node GROUP BY e.src),"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT nd.node,"
+            f" COALESCE(hu.s, 0.0) / (SELECT SUM(s) FROM hu{k}) AS hub"
+            f" FROM nodes nd LEFT JOIN hu{k} hu ON nd.node = hu.node),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(
+        f"SELECT h.node, ROUND(h.hub, {round_to}) AS hub,"
+        f" ROUND(a.auth, {round_to}) AS auth"
+        f" FROM h{n_iter} h JOIN a{n_iter} a ON h.node = a.node"
+    )
+    return "\n".join(parts)
+
+
 def dedup_by_component(
     df: DataFrame,
     pairs: DataFrame,

@@ -884,3 +884,100 @@ def test_round10_graph_ops_partition_invariant(spark):
         graph.label_propagation(many, max_iter=3)
     )
     assert rows(graph.adamic_adar(one)) == rows(graph.adamic_adar(many))
+
+
+# ----------------------------------------------------------------- HITS
+
+
+def _hits_ref(edges, n_iter):
+    """Pure-python L1-normalized HITS replay."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    hub = {n: 1.0 for n in nodes}
+    auth = {}
+    for _ in range(n_iter):
+        auth = {n: 0.0 for n in nodes}
+        for u, v in edges:
+            auth[v] += hub[u]
+        s = sum(auth.values())
+        auth = {n: x / s for n, x in auth.items()}
+        hub = {n: 0.0 for n in nodes}
+        for u, v in edges:
+            hub[u] += auth[v]
+        s = sum(hub.values())
+        hub = {n: x / s for n, x in hub.items()}
+    return hub, auth
+
+
+def test_hits_matches_reference_and_roles(spark):
+    from getl_spark.functions import graph
+
+    # 'dir' is a pure hub (links to everything), 'star' a pure
+    # authority (linked from everywhere), plus a small cycle
+    edges = [
+        ("dir", "star"), ("dir", "a"), ("dir", "b"), ("dir", "c"),
+        ("a", "star"), ("b", "star"), ("c", "star"),
+        ("a", "b"), ("b", "a"),
+    ]
+    df = spark.createDataFrame(edges + edges[:3], "src STRING, dst STRING")
+    got = {
+        r.node: (r.hub, r.auth)
+        for r in graph.hits(df, n_iter=10).collect()
+    }
+    hub, auth = _hits_ref(edges, 10)
+    for n in hub:
+        assert abs(got[n][0] - hub[n]) < 1e-6, n
+        assert abs(got[n][1] - auth[n]) < 1e-6, n
+    # role separation: the directory is the best hub, the star the
+    # best authority; each is weak in the opposite role
+    assert got["dir"][0] == max(v[0] for v in got.values())
+    assert got["star"][1] == max(v[1] for v in got.values())
+    assert got["star"][0] == 0.0  # no out-edges -> hub 0
+    assert got["dir"][1] == 0.0   # no in-edges -> auth 0
+    # L1 normalization: each score vector sums to 1
+    assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-5
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-5
+    # partition invariance
+    again = {
+        r.node: (r.hub, r.auth)
+        for r in graph.hits(df.repartition(7), n_iter=10).collect()
+    }
+    assert again == got
+
+
+def test_hits_oracle_sql_replays(spark):
+    import duckdb
+
+    from getl_spark.functions import graph
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    got = sorted(
+        (r.node, r.hub, r.auth) for r in graph.hits(df, n_iter=5).collect()
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"('{u}', '{v}')" for u, v in edges)
+    sql = graph.hits_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS e(src, dst)", n_iter=5
+    )
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert [(n, round(h, 6), round(a, 6)) for n, h, a in got] == [
+        (n, round(h, 6), round(a, 6)) for n, h, a in want
+    ]
+
+
+def test_hits_guards_and_edge_cases(spark):
+    import pytest as _pytest
+
+    from getl_spark.functions import graph
+
+    df = spark.createDataFrame([("a", "b")], "src STRING, dst STRING")
+    with _pytest.raises(ValueError, match="n_iter"):
+        graph.hits(df, n_iter=0)
+    # no edges (after null filtering): all-zero scores over `nodes`
+    empty = spark.createDataFrame([], "src STRING, dst STRING")
+    nodes = spark.createDataFrame([("x",), ("y",)], "node STRING")
+    rows = graph.hits(empty, nodes=nodes).collect()
+    assert sorted((r.node, r.hub, r.auth) for r in rows) == [
+        ("x", 0.0, 0.0), ("y", 0.0, 0.0)
+    ]
