@@ -13007,6 +13007,68 @@ FROM per_cell
 """
 
 
+def _q_minhash_index_health(spark, sf_dir):
+    """dedup.minhash_index_health — the band-table symmetric of
+    similarity_ivf_health, with the same oracle trick: the health
+    report reads the index AS DATA (meta row, fingerprint count, band
+    buckets) and never re-derives a hash, so the fixture writes an
+    index in the exact ``build_minhash_index`` layout whose band keys
+    are SQL-expressible (``doc_id % 25`` per band over 4 bands),
+    making the bucket histogram aggregates, size-biased probe cost,
+    and candidate-pair workload a pure DuckDB replay."""
+    from getl_spark.functions import dedup
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tmp = f"/tmp/getl_spark_q/mh_health_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spark.createDataFrame(
+        [(3, 8, 4, "bigint")], "n int, num_hashes int, bands int, id_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/meta")
+    docs.select(
+        F.col("doc_id").alias("id"), F.md5("text").alias("fingerprint")
+    ).write.mode("overwrite").parquet(f"{tmp}/fingerprints")
+    bands = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        (F.col("doc_id") % 25).cast("bigint").alias("key"),
+    ).select("id", "band", "key")
+    bands.write.mode("overwrite").partitionBy("band").parquet(f"{tmp}/bands")
+    return dedup.minhash_index_health(spark, tmp)
+
+
+MINHASH_INDEX_HEALTH_ORACLE = """
+WITH entries AS (
+  SELECT CAST(t.b AS INT) AS band, CAST(doc_id % 25 AS BIGINT) AS key,
+         doc_id
+  FROM documents, (SELECT UNNEST(range(4)) AS b) t
+), buckets AS (
+  SELECT band, key, CAST(COUNT(*) AS BIGINT) AS c
+  FROM entries GROUP BY band, key
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(c) AS BIGINT) AS n_entries,
+         CAST(MAX(c) AS BIGINT) AS max_bucket,
+         CAST(SUM(CASE WHEN c > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hot_buckets,
+         SUM(CAST(c AS DOUBLE) * (CAST(c AS DOUBLE) - 1) / 2.0) AS pairs,
+         SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS sq
+  FROM buckets
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+)
+SELECT CAST(4 AS BIGINT) AS bands, CAST(8 AS BIGINT) AS num_hashes,
+       n_docs, n_buckets, n_entries, max_bucket,
+       ROUND(CAST(n_entries AS DOUBLE) / CAST(n_buckets AS DOUBLE), 6)
+         AS mean_bucket,
+       ROUND(sq / CAST(n_entries AS DOUBLE), 6) AS expected_probe,
+       hot_buckets,
+       ROUND(pairs, 1) AS candidate_pairs,
+       hot_buckets > 0 AS attention
+FROM agg CROSS JOIN nd
+"""
+
+
 def _q_dsir_weights(spark, sf_dir):
     """sample.dsir_weights — DSIR importance weights (Xie et al. 2023)
     for every document against a 'quality English' target slice
@@ -14135,6 +14197,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ratio_metric": _q_ratio_metric,
         "sessions_markov_attribution": _q_markov_attribution,
         "graph_hits": _q_hits,
+        "dedup_minhash_index_health": _q_minhash_index_health,
     }
 
 
@@ -14410,6 +14473,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_ratio_metric": RATIO_METRIC_ORACLE,
         "sessions_markov_attribution": MARKOV_ATTRIBUTION_ORACLE,
         "graph_hits": _hits_oracle(),
+        "dedup_minhash_index_health": MINHASH_INDEX_HEALTH_ORACLE,
     }
 
 

@@ -217,6 +217,7 @@ DETAIL_QUERIES = [
     "stats_ratio_metric",
     "sessions_markov_attribution",
     "graph_hits",
+    "dedup_minhash_index_health",
     # merge-only split: the *_merge_index composite rows above time
     # build A + build B + merge + query end-to-end (capacity-plan
     # number); these isolate the merge+query cost a consolidation cron

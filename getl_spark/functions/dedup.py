@@ -1828,6 +1828,93 @@ def merge_minhash_index(
     )
 
 
+def minhash_index_health(
+    spark,
+    index_path: str,
+    hot_bucket: int = 10_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Index-maintenance health readout for a persisted
+    ``build_minhash_index`` — the band-table symmetric of
+    ``similarity.ivf_health``: ``index_append`` /
+    ``write::stream_dedup_ingest`` grow LSH buckets without rebuilding
+    and ``merge_minhash_index`` unions band tables verbatim, so
+    repeated consolidation fattens hot buckets (boilerplate templates,
+    near-constant documents) — and the banded candidate join's cost
+    grows with the SQUARE of bucket size while nothing fails loudly.
+    This prices the damage from index metadata alone: the meta row,
+    the fingerprint count, and the band table — never a signature or
+    the corpus text.
+
+    Returns ONE row: ``(bands, num_hashes, n_docs, n_buckets,
+    n_entries, max_bucket, mean_bucket, expected_probe, hot_buckets,
+    candidate_pairs, attention)`` —
+
+    * ``mean_bucket`` — entries per (band, key) bucket;
+    * ``expected_probe`` — the size-biased mean ``Σc²/Σc``: the bucket
+      size a random increment entry actually lands in (what one new
+      document's candidate lookup costs, per band);
+    * ``candidate_pairs`` — ``Σ c(c−1)/2``: the full self-join
+      candidate workload a corpus-wide dedup pass over this index
+      would generate;
+    * ``hot_buckets`` / ``attention`` — buckets over ``hot_bucket``
+      entries, and the flag that fires when any exist. When it does,
+      rebuild with more bands/hashes or screen the hot keys (they are
+      near-always boilerplate) before the next consolidation.
+
+    Scale shape: one grouped count over the band table (map-side
+    combine, reduce side = bucket count), three 1-row aggregates
+    crossJoin-broadcast together. O(index files), run it after every
+    append/merge cycle.
+    """
+    if hot_bucket < 1:
+        raise ValueError(
+            f"minhash_index_health: hot_bucket must be >= 1, got "
+            f"{hot_bucket}"
+        )
+    meta_row = spark.read.parquet(f"{index_path}/meta").first()
+    meta = spark.read.parquet(f"{index_path}/meta").select(
+        F.col("bands").cast("bigint").alias("bands"),
+        F.col("num_hashes").cast("bigint").alias("num_hashes"),
+    )
+    n_docs = spark.read.parquet(f"{index_path}/fingerprints").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    buckets = (
+        _read_bands(spark, index_path, meta_row)
+        .groupBy("band", "key")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    c = F.col("c")
+    cd = c.cast("double")
+    agg = buckets.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.coalesce(F.sum(c), F.lit(0)).cast("bigint").alias("n_entries"),
+        F.coalesce(F.max(c), F.lit(0)).cast("bigint").alias("max_bucket"),
+        F.coalesce(
+            F.sum(F.when(c > hot_bucket, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("hot_buckets"),
+        F.coalesce(F.sum(cd * (cd - 1) / F.lit(2.0)), F.lit(0.0)).alias(
+            "__pairs"
+        ),
+        F.coalesce(F.sum(cd * cd), F.lit(0.0)).alias("__sq"),
+    )
+    out = agg.crossJoin(F.broadcast(n_docs)).crossJoin(F.broadcast(meta))
+    nb = F.col("n_buckets").cast("double")
+    ne = F.col("n_entries").cast("double")
+    return out.select(
+        "bands", "num_hashes", "n_docs", "n_buckets", "n_entries",
+        "max_bucket",
+        F.round(F.when(nb > 0, ne / nb), round_to).alias("mean_bucket"),
+        F.round(F.when(ne > 0, F.col("__sq") / ne), round_to).alias(
+            "expected_probe"
+        ),
+        "hot_buckets",
+        F.round(F.col("__pairs"), 1).alias("candidate_pairs"),
+        (F.col("hot_buckets") > 0).alias("attention"),
+    )
+
+
 # -------------------------------------------------------- log compaction
 def latest_by_key(
     df: DataFrame,

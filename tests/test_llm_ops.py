@@ -2091,3 +2091,38 @@ def test_dedup_media_no_false_merges(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id LONG, content BINARY")
     assert M.dedup_media(df).count() == 5
+
+
+def test_minhash_index_health_real_and_hot(spark, tmp_path):
+    """minhash_index_health on a real index, then on a boilerplate
+    corpus (identical text -> identical signatures -> every band
+    bucket holds all copies) the hot-bucket flag must fire."""
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    p = str(tmp_path / "idx")
+    dedup.build_minhash_index(docs, p, num_hashes=16, bands=4)
+    r = dedup.minhash_index_health(spark, p).collect()[0]
+    assert (r.bands, r.num_hashes) == (4, 16)
+    assert r.n_docs == 200
+    assert r.n_entries == 200 * 4           # one key per doc per band
+    assert r.max_bucket >= 1 and r.n_buckets <= r.n_entries
+    assert abs(r.mean_bucket - r.n_entries / r.n_buckets) < 1e-6
+    assert r.expected_probe >= r.mean_bucket - 1e-9  # size-biased >= mean
+    assert not r.attention
+
+    # boilerplate corpus: 60 identical docs -> 4 buckets of 60
+    boiler = spark.createDataFrame(
+        [(i, "the same boilerplate footer text repeated verbatim " * 3)
+         for i in range(60)],
+        "doc_id LONG, text STRING",
+    )
+    pb = str(tmp_path / "boiler")
+    dedup.build_minhash_index(boiler, pb, num_hashes=16, bands=4)
+    b = dedup.minhash_index_health(spark, pb, hot_bucket=50).collect()[0]
+    assert b.max_bucket == 60 and b.hot_buckets == 4 and b.attention
+    assert b.expected_probe == 60.0
+    assert b.candidate_pairs == 4 * 60 * 59 / 2
+
+    with pytest.raises(ValueError, match="hot_bucket"):
+        dedup.minhash_index_health(spark, p, hot_bucket=0)
