@@ -73,6 +73,8 @@ NESTED_LOOP_WHITELIST = {
     "text_unigram_logprob": "1-row vocab-total broadcast",
     "sample_dsir_weights": "1-row two-side vocab-totals broadcast onto "
     "the raw token stream",
+    "dedup_minhash_index_health": "1-row bucket-aggregate x 1-row "
+    "fingerprint-count x 1-row meta broadcasts fused",
     "text_logprob_buckets": "1-row vocab-total broadcast",
     "text_bigram_logprob": "1-row vocab-total broadcast",
     "search_bm25": "1-row corpus stats (N, avgdl) broadcast",
