@@ -8146,6 +8146,109 @@ FROM e
 """
 
 
+def _q_meta_analysis(spark, sf_dir):
+    """stats.meta_analysis — per-event-type Welch effects (odd-user
+    arm minus even-user arm on value) pooled into fixed and
+    DerSimonian-Laird random-effects readouts with Cochran's Q / I² /
+    τ². Every statistic is a ratio of plain sums over the segment
+    rows, so the oracle replays the segment construction AND the
+    pooling verbatim (A&S erf for both p-values)."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = F.col("value").cast("double")
+    cv = F.when(F.col("user_id") % 2 == 0, v)
+    tv = F.when(F.col("user_id") % 2 == 1, v)
+    seg = ev.groupBy("event_type").agg(
+        (F.avg(tv) - F.avg(cv)).alias("eff"),
+        F.sqrt(
+            F.var_samp(tv) / F.count(tv) + F.var_samp(cv) / F.count(cv)
+        ).alias("se"),
+    )
+    return stats.meta_analysis(seg, "eff", "se").select(
+        "k", "fixed_effect", "fixed_se", "fixed_z", "fixed_p",
+        "q", "i2", "tau2",
+        "random_effect", "random_se", "random_z", "random_p",
+    )
+
+
+META_ANALYSIS_ORACLE = """
+WITH seg AS (
+  SELECT event_type,
+         AVG(CASE WHEN user_id % 2 = 1 THEN value END)
+           - AVG(CASE WHEN user_id % 2 = 0 THEN value END) AS eff,
+         sqrt(VAR_SAMP(CASE WHEN user_id % 2 = 1 THEN value END)
+                / COUNT(CASE WHEN user_id % 2 = 1 THEN value END)
+              + VAR_SAMP(CASE WHEN user_id % 2 = 0 THEN value END)
+                / COUNT(CASE WHEN user_id % 2 = 0 THEN value END)) AS se
+  FROM events
+  GROUP BY event_type
+), base AS (
+  SELECT eff, se FROM seg
+  WHERE eff IS NOT NULL AND se IS NOT NULL AND se > 0
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(1.0 / (se * se)) AS sw,
+         SUM(eff / (se * se)) AS swx,
+         SUM(eff * eff / (se * se)) AS swx2,
+         SUM(1.0 / (se * se * se * se)) AS sw2
+  FROM base
+), fx AS (
+  SELECT *,
+         swx / sw AS fixed_effect,
+         1.0 / sqrt(sw) AS fixed_se,
+         swx2 - swx * swx / sw AS q
+  FROM agg
+), het AS (
+  SELECT *,
+         CASE WHEN q > 0
+              THEN GREATEST(0.0, (q - (k - 1)) / q) ELSE 0.0 END AS i2,
+         GREATEST(0.0, (q - (k - 1)) / (sw - sw2 / sw)) AS tau2
+  FROM fx
+), rnd AS (
+  SELECT SUM(1.0 / (se * se + (SELECT tau2 FROM het))) AS rw,
+         SUM(eff / (se * se + (SELECT tau2 FROM het))) AS rwx
+  FROM base
+), zz AS (
+  SELECT het.*,
+         rnd.rwx / rnd.rw AS random_effect,
+         1.0 / sqrt(rnd.rw) AS random_se,
+         (het.swx / het.sw) / (1.0 / sqrt(het.sw)) AS fz,
+         (rnd.rwx / rnd.rw) / (1.0 / sqrt(rnd.rw)) AS rz
+  FROM het CROSS JOIN rnd
+), ee AS (
+  SELECT *,
+         abs(fz) / POWER(2.0, 0.5) AS xf,
+         abs(rz) / POWER(2.0, 0.5) AS xr
+  FROM zz
+), pp AS (
+  SELECT *,
+         1.0 / (1.0 + 0.3275911 * xf) AS tf,
+         1.0 / (1.0 + 0.3275911 * xr) AS tr
+  FROM ee
+)
+SELECT k,
+       ROUND(fixed_effect, 6) AS fixed_effect,
+       ROUND(fixed_se, 6) AS fixed_se,
+       ROUND(fz, 6) AS fixed_z,
+       ROUND((0.254829592 * tf - 0.284496736 * POWER(tf, 2)
+              + 1.421413741 * POWER(tf, 3) - 1.453152027 * POWER(tf, 4)
+              + 1.061405429 * POWER(tf, 5)) * exp(-(xf * xf)), 6)
+         AS fixed_p,
+       ROUND(q, 6) AS q,
+       ROUND(i2, 6) AS i2,
+       ROUND(tau2, 6) AS tau2,
+       ROUND(random_effect, 6) AS random_effect,
+       ROUND(random_se, 6) AS random_se,
+       ROUND(rz, 6) AS random_z,
+       ROUND((0.254829592 * tr - 0.284496736 * POWER(tr, 2)
+              + 1.421413741 * POWER(tr, 3) - 1.453152027 * POWER(tr, 4)
+              + 1.061405429 * POWER(tr, 5)) * exp(-(xr * xr)), 6)
+         AS random_p
+FROM pp
+"""
+
+
 def _q_ratio_metric(spark, sf_dir):
     """stats.ratio_metric — delta-method ratio-metric A/B: per-user
     click share (clicks / events) with arms from the user-id parity.
@@ -14198,6 +14301,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_markov_attribution": _q_markov_attribution,
         "graph_hits": _q_hits,
         "dedup_minhash_index_health": _q_minhash_index_health,
+        "stats_meta_analysis": _q_meta_analysis,
     }
 
 
@@ -14474,6 +14578,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sessions_markov_attribution": MARKOV_ATTRIBUTION_ORACLE,
         "graph_hits": _hits_oracle(),
         "dedup_minhash_index_health": MINHASH_INDEX_HEALTH_ORACLE,
+        "stats_meta_analysis": META_ANALYSIS_ORACLE,
     }
 
 

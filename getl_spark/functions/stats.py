@@ -6506,6 +6506,129 @@ def fisher_exact(
     )
 
 
+def meta_analysis(
+    df: DataFrame,
+    effect_col: str,
+    se_col: str,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pool per-segment effect estimates into one overall effect —
+    the right way to combine an experiment's per-market/per-cohort
+    readouts (each row: an effect and its standard error, e.g.
+    :func:`ab_compare` / :func:`ratio_metric` diffs run per segment)
+    instead of eyeballing a forest of intervals or re-pooling raw rows
+    (which silently re-weights segments by traffic). Standard
+    meta-analysis pair:
+
+    * FIXED effect — inverse-variance weighted mean
+      (``w_i = 1/se_i²``), its SE, z, and two-sided p: the answer
+      under "one true effect, segments differ only by noise";
+    * RANDOM effects (DerSimonian-Laird 1986) — heterogeneity is
+      measured first (Cochran's ``Q``, ``I² = max(0, (Q−k+1)/Q)``,
+      between-segment variance ``τ² = max(0, (Q−(k−1)) /
+      (Σw − Σw²/Σw))``), then the pooled effect re-weights with
+      ``w*_i = 1/(se_i² + τ²)``. When ``I²`` is small the two pooled
+      effects agree; when it is large, the random-effects interval is
+      honestly wider and the per-segment story matters.
+
+    Rows with NULL or non-positive SE are excluded; fails loud with
+    fewer than 2 usable segments per group. ``group_by`` pools within
+    groups (e.g. one pooled effect per metric). Returns
+    ``(group..., k, fixed_effect, fixed_se, fixed_z, fixed_p, q,
+    i2, tau2, random_effect, random_se, random_z, random_p)``.
+
+    Scale shape: segments are already aggregates, so this is one
+    partial-agg shuffle over segment rows (map-side combine; reduce
+    side = group count) — every statistic is a ratio of plain sums
+    (Σw, Σwx, Σwx², Σw²), no window, no driver math. Fully
+    SQL-expressible.
+    """
+    gb = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    x = F.col(effect_col).cast("double")
+    se = F.col(se_col).cast("double")
+    base = df.where(x.isNotNull() & se.isNotNull() & (se > 0))
+    w = F.lit(1.0) / (se * se)
+    agg = base.groupBy(*gb).agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(w).alias("__sw"),
+        F.sum(w * x).alias("__swx"),
+        F.sum(w * x * x).alias("__swx2"),
+        F.sum(w * w).alias("__sw2"),
+    )
+    guard = F.assert_true(
+        F.col("k") >= 2,
+        F.lit(
+            "stats.meta_analysis: fewer than 2 usable segments in a "
+            "group (NULL/non-positive SEs are excluded) — pooling one "
+            "segment is that segment"
+        ),
+    )
+    sw, swx = F.col("__sw"), F.col("__swx")
+    fixed = swx / sw
+    fixed_se = F.lit(1.0) / F.sqrt(sw)
+    q = F.col("__swx2") - swx * swx / sw
+    kd = F.col("k").cast("double")
+    # divisions gated so ANSI divide-by-zero can't preempt the guard's
+    # message (identical effects make q = 0 — a legal input where
+    # I² is 0 by definition; k = 1 must reach the loud assert instead)
+    i2 = F.when(q > 0, F.greatest(F.lit(0.0), (q - (kd - 1)) / q)).otherwise(
+        F.lit(0.0)
+    )
+    tau2 = F.when(
+        kd >= 2,
+        F.greatest(
+            F.lit(0.0), (q - (kd - 1)) / (sw - F.col("__sw2") / sw)
+        ),
+    ).otherwise(F.lit(0.0))
+    out = agg.select(
+        *gb,
+        F.when(guard.isNull(), F.col("k")).alias("k"),
+        fixed.alias("__fx"),
+        fixed_se.alias("__fse"),
+        q.alias("__q"),
+        i2.alias("__i2"),
+        tau2.alias("__tau2"),
+    )
+    # random-effects pass re-weights the ORIGINAL segment rows with
+    # tau2 — one more keyed partial agg joined back (broadcast when
+    # groups are dimension-sized)
+    tau_tbl = out.select(*gb, "__tau2")
+    joined = (
+        base.join(F.broadcast(tau_tbl), gb) if gb
+        else base.crossJoin(F.broadcast(tau_tbl))
+    )
+    wr = F.lit(1.0) / (se * se + F.col("__tau2"))
+    rand = joined.groupBy(*gb).agg(
+        F.sum(wr).alias("__rw"),
+        F.sum(wr * x).alias("__rwx"),
+    )
+    full = out.join(rand, gb) if gb else out.crossJoin(F.broadcast(rand))
+    r_eff = F.col("__rwx") / F.col("__rw")
+    r_se = F.lit(1.0) / F.sqrt(F.col("__rw"))
+    fz = F.col("__fx") / F.col("__fse")
+    rz = r_eff / r_se
+    return full.select(
+        *gb,
+        "k",
+        F.round(F.col("__fx"), round_to).alias("fixed_effect"),
+        F.round(F.col("__fse"), round_to).alias("fixed_se"),
+        F.round(fz, round_to).alias("fixed_z"),
+        F.round(_normal_two_sided_p(fz), round_to).alias("fixed_p"),
+        F.round(F.col("__q"), round_to).alias("q"),
+        F.round(F.col("__i2"), round_to).alias("i2"),
+        F.round(F.col("__tau2"), round_to).alias("tau2"),
+        F.round(r_eff, round_to).alias("random_effect"),
+        F.round(r_se, round_to).alias("random_se"),
+        F.round(rz, round_to).alias("random_z"),
+        F.round(_normal_two_sided_p(rz), round_to).alias("random_p"),
+    )
+
+
 def _lgamma_expr(x):
     """ln Γ(x) for x >= 1 as a pure JVM expression: shift-by-8
     recurrence into Stirling's series at z = x + 8 (truncation error

@@ -75,6 +75,9 @@ NESTED_LOOP_WHITELIST = {
     "the raw token stream",
     "dedup_minhash_index_health": "1-row bucket-aggregate x 1-row "
     "fingerprint-count x 1-row meta broadcasts fused",
+    "stats_meta_analysis": "1-row tau2 broadcast back onto the "
+    "segment rows (ungrouped pooling) + 1-row random-effects agg "
+    "fused",
     "text_logprob_buckets": "1-row vocab-total broadcast",
     "text_bigram_logprob": "1-row vocab-total broadcast",
     "search_bm25": "1-row corpus stats (N, avgdl) broadcast",

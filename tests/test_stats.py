@@ -4785,3 +4785,73 @@ def test_round10_stats_ops_partition_invariant(spark):
             did.repartition(13), "g", "per", "v", "c", "t", "pre", "post"
         )
     )
+
+
+# ---------------------------------------------------------- meta-analysis
+
+
+def _meta_ref(pairs):
+    """Pure-python DerSimonian-Laird replay: pairs = [(effect, se)]."""
+    import math as _m
+
+    ws = [1.0 / (s * s) for _, s in pairs]
+    xs = [x for x, _ in pairs]
+    sw = sum(ws)
+    swx = sum(w * x for w, x in zip(ws, xs))
+    swx2 = sum(w * x * x for w, x in zip(ws, xs))
+    sw2 = sum(w * w for w in ws)
+    k = len(pairs)
+    fixed = swx / sw
+    fse = 1.0 / _m.sqrt(sw)
+    q = swx2 - swx * swx / sw
+    i2 = max(0.0, (q - (k - 1)) / q)
+    tau2 = max(0.0, (q - (k - 1)) / (sw - sw2 / sw))
+    wr = [1.0 / (s * s + tau2) for _, s in pairs]
+    reff = sum(w * x for w, x in zip(wr, xs)) / sum(wr)
+    rse = 1.0 / _m.sqrt(sum(wr))
+    return k, fixed, fse, q, i2, tau2, reff, rse
+
+
+def test_meta_analysis_matches_reference(spark):
+    from getl_spark.functions import stats
+
+    # heterogeneous segments (tau2 > 0) and a tight pair (tau2 == 0)
+    hetero = [(0.10, 0.02), (0.30, 0.03), (-0.05, 0.04), (0.22, 0.025)]
+    homo = [(0.10, 0.05), (0.11, 0.05), (0.095, 0.04)]
+    rows = [("h", x, s) for x, s in hetero] + [("o", x, s) for x, s in homo]
+    df = spark.createDataFrame(rows, "m STRING, eff DOUBLE, se DOUBLE")
+    got = {
+        r.m: r
+        for r in stats.meta_analysis(df, "eff", "se", group_by="m").collect()
+    }
+    for name, pairs in (("h", hetero), ("o", homo)):
+        k, fixed, fse, q, i2, tau2, reff, rse = _meta_ref(pairs)
+        g = got[name]
+        assert g.k == k
+        assert abs(g.fixed_effect - fixed) < 1e-6
+        assert abs(g.fixed_se - fse) < 1e-6
+        assert abs(g.q - q) < 1e-6
+        assert abs(g.i2 - i2) < 1e-6
+        assert abs(g.tau2 - tau2) < 1e-6
+        assert abs(g.random_effect - reff) < 1e-6
+        assert abs(g.random_se - rse) < 1e-6
+    # heterogeneity widens the random-effects interval
+    assert got["h"].tau2 > 0 and got["h"].random_se > got["h"].fixed_se
+    # homogeneous segments: tau2 0, both poolings agree
+    assert got["o"].tau2 == 0
+    assert abs(got["o"].fixed_effect - got["o"].random_effect) < 1e-9
+    # ungrouped path + NULL/non-positive SE exclusion
+    df2 = spark.createDataFrame(
+        [(0.1, 0.02), (0.2, 0.03), (0.5, None), (0.5, 0.0)],
+        "eff DOUBLE, se DOUBLE",
+    )
+    one = stats.meta_analysis(df2, "eff", "se").collect()[0]
+    assert one.k == 2
+
+
+def test_meta_analysis_guard(spark):
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame([(0.1, 0.02)], "eff DOUBLE, se DOUBLE")
+    with pytest.raises(Exception, match="meta_analysis"):
+        stats.meta_analysis(df, "eff", "se").collect()
