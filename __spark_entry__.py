@@ -11700,6 +11700,72 @@ FROM hs
 BAYES_AB_ORACLE = _bayes_ab_oracle_sql()
 
 
+def _q_rfm(spark, sf_dir):
+    """sessions.rfm — recency/frequency/monetary scoring of every
+    user in the events table, quintile scores from ONE fused exact
+    percentile aggregate (never a global ntile window), corpus-max
+    anchored recency, and the ordered segment rule. Fully
+    SQL-expressible: Spark percentile ≡ DuckDB quantile_cont (the
+    parity the percentiles row pins), threshold comparisons replay
+    verbatim."""
+    from getl_spark.functions import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.rfm(ev)
+
+
+RFM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id AS u,
+         MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(COALESCE(value, 0.0)) AS monetary
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+), anchor AS (
+  SELECT MAX(last_us) AS anchor_us FROM per_user
+), th AS (
+  SELECT quantile_cont(last_us, 0.2) AS rt0,
+         quantile_cont(last_us, 0.4) AS rt1,
+         quantile_cont(last_us, 0.6) AS rt2,
+         quantile_cont(last_us, 0.8) AS rt3,
+         quantile_cont(frequency, 0.2) AS ft0,
+         quantile_cont(frequency, 0.4) AS ft1,
+         quantile_cont(frequency, 0.6) AS ft2,
+         quantile_cont(frequency, 0.8) AS ft3,
+         quantile_cont(monetary, 0.2) AS mt0,
+         quantile_cont(monetary, 0.4) AS mt1,
+         quantile_cont(monetary, 0.6) AS mt2,
+         quantile_cont(monetary, 0.8) AS mt3
+  FROM per_user
+), scored AS (
+  SELECT u AS user_id,
+         ROUND((anchor_us - last_us) / 86400000000.0, 6) AS recency_days,
+         frequency,
+         ROUND(monetary, 6) AS monetary,
+         1 + CAST(last_us > rt0 AS INT) + CAST(last_us > rt1 AS INT)
+           + CAST(last_us > rt2 AS INT) + CAST(last_us > rt3 AS INT)
+           AS r_score,
+         1 + CAST(frequency > ft0 AS INT) + CAST(frequency > ft1 AS INT)
+           + CAST(frequency > ft2 AS INT) + CAST(frequency > ft3 AS INT)
+           AS f_score,
+         1 + CAST(monetary > mt0 AS INT) + CAST(monetary > mt1 AS INT)
+           + CAST(monetary > mt2 AS INT) + CAST(monetary > mt3 AS INT)
+           AS m_score
+  FROM per_user CROSS JOIN th CROSS JOIN anchor
+)
+SELECT *,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM scored
+"""
+
+
 def _q_markov_attribution(spark, sf_dir):
     """sessions.markov_attribution — removal-effect (data-driven)
     attribution on a FIXED deterministic journey mix (6 journey shapes
@@ -14302,6 +14368,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": _q_hits,
         "dedup_minhash_index_health": _q_minhash_index_health,
         "stats_meta_analysis": _q_meta_analysis,
+        "sessions_rfm": _q_rfm,
     }
 
 
@@ -14579,6 +14646,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "graph_hits": _hits_oracle(),
         "dedup_minhash_index_health": MINHASH_INDEX_HEALTH_ORACLE,
         "stats_meta_analysis": META_ANALYSIS_ORACLE,
+        "sessions_rfm": RFM_ORACLE,
     }
 
 

@@ -219,6 +219,7 @@ DETAIL_QUERIES = [
     "graph_hits",
     "dedup_minhash_index_health",
     "stats_meta_analysis",
+    "sessions_rfm",
     # merge-only split: the *_merge_index composite rows above time
     # build A + build B + merge + query end-to-end (capacity-plan
     # number); these isolate the merge+query cost a consolidation cron

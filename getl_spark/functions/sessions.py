@@ -755,6 +755,126 @@ def resample(
     )
 
 
+def rfm(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: Optional[str] = "value",
+    as_of=None,
+    n_bins: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """RFM segmentation — the classic recency/frequency/monetary
+    user scoring that powers lifecycle marketing and churn triage:
+    per user, days since last event (R), event count (F), and summed
+    ``value_col`` (M), each scored 1..``n_bins`` by exact
+    equal-population percentile thresholds over the user table
+    (score ``n_bins`` = best: most recent / most frequent / highest
+    spend), plus a standard segment label:
+
+    * ``champions``   — r ≥ 4 and f ≥ 4 (recent AND frequent)
+    * ``at_risk``     — r ≤ 2 and f ≥ 3 (was engaged, going quiet —
+      checked before ``loyal``: cold frequency is a retention case,
+      not a loyalty one)
+    * ``loyal``       — f ≥ 4 (frequent, still warm)
+    * ``recent``      — r ≥ 4 and f ≤ 2 (new/reactivated)
+    * ``hibernating`` — r ≤ 2 and f ≤ 2
+    * ``regular``     — everything else
+
+    (thresholds are on the 1..5 scale regardless of ``n_bins``; the
+    label rule uses the scores as computed). ``as_of`` anchors
+    recency (datetime or ISO string); default is the corpus max
+    timestamp — deterministic, no wall clock. ``value_col=None``
+    scores M over frequency's values degenerately as 0 — pass the
+    revenue/usage column whenever one exists. A value exactly AT a
+    threshold takes the LOWER score, deterministically.
+
+    Scale shape: one keyed per-user aggregate (map-side combine), ONE
+    exact ``percentile`` 1-row aggregate for all three thresholds
+    fused (broadcast back — never a global ntile window, which
+    funnels the corpus through one partition), one scan to score.
+    Fully SQL-expressible (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the parity the percentiles row pins).
+    """
+    if n_bins < 2:
+        raise ValueError(f"rfm: n_bins must be >= 2, got {n_bins}")
+    base = df.where(
+        F.col(user_col).isNotNull() & F.col(time_col).isNotNull()
+    )
+    mon = (
+        F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))
+        if value_col is not None
+        else F.lit(0.0)
+    )
+    per_user = base.groupBy(F.col(user_col).alias("user")).agg(
+        F.max(F.unix_micros(F.col(time_col).cast("timestamp"))).alias(
+            "__last"
+        ),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(mon).alias("monetary"),
+    )
+    if as_of is None:
+        anchor = per_user.agg(F.max("__last").alias("__asof"))
+    else:
+        import datetime as _dt
+
+        if isinstance(as_of, str):
+            as_of = _dt.datetime.fromisoformat(as_of)
+        epoch = _dt.datetime(1970, 1, 1)
+        micros = int((as_of - epoch).total_seconds() * 1_000_000)
+        anchor = per_user.sparkSession.range(1).select(
+            F.lit(micros).cast("bigint").alias("__asof")
+        )
+    qs = [i / n_bins for i in range(1, n_bins)]
+    thresholds = per_user.agg(
+        *[
+            F.expr(f"percentile(__last, {q})").alias(f"__rt{i}")
+            for i, q in enumerate(qs)
+        ],
+        *[
+            F.expr(f"percentile(frequency, {q})").alias(f"__ft{i}")
+            for i, q in enumerate(qs)
+        ],
+        *[
+            F.expr(f"percentile(monetary, {q})").alias(f"__mt{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+
+    def score(col, prefix):
+        expr = F.lit(1)
+        for i in range(len(qs)):
+            expr = expr + (F.col(col) > F.col(f"{prefix}{i}")).cast("int")
+        return expr
+
+    scored = (
+        per_user.join(F.broadcast(thresholds))
+        .join(F.broadcast(anchor))
+        .select(
+            F.col("user").alias(user_col),
+            F.round(
+                (F.col("__asof") - F.col("__last"))
+                / F.lit(86400.0 * 1_000_000), round_to
+            ).alias("recency_days"),
+            "frequency",
+            F.round("monetary", round_to).alias("monetary"),
+            score("__last", "__rt").alias("r_score"),
+            score("frequency", "__ft").alias("f_score"),
+            score("monetary", "__mt").alias("m_score"),
+        )
+    )
+    r, f_ = F.col("r_score"), F.col("f_score")
+    segment = (
+        F.when((r >= 4) & (f_ >= 4), "champions")
+        .when((r <= 2) & (f_ >= 3), "at_risk")
+        .when(f_ >= 4, "loyal")
+        .when((r >= 4) & (f_ <= 2), "recent")
+        .when((r <= 2) & (f_ <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", segment)
+
+
 def markov_attribution(
     df: DataFrame,
     conversion: str,

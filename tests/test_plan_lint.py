@@ -78,6 +78,8 @@ NESTED_LOOP_WHITELIST = {
     "stats_meta_analysis": "1-row tau2 broadcast back onto the "
     "segment rows (ungrouped pooling) + 1-row random-effects agg "
     "fused",
+    "sessions_rfm": "1-row fused percentile-thresholds x 1-row "
+    "recency-anchor broadcasts onto the per-user table",
     "text_logprob_buckets": "1-row vocab-total broadcast",
     "text_bigram_logprob": "1-row vocab-total broadcast",
     "search_bm25": "1-row corpus stats (N, avgdl) broadcast",

@@ -971,3 +971,59 @@ def test_markov_attribution_guards(spark):
         sessions.markov_attribution(
             _attr_df(spark, [(1, 0, "__null__"), (1, 1, "buy")]), "buy"
         )
+
+
+# ------------------------------------------------------------------- RFM
+
+
+def test_rfm_scores_and_segments(spark):
+    import datetime as dt
+
+    from getl_spark.functions import sessions
+
+    day = 86400
+    rows = []
+    # u1 champion: 20 recent events, high spend
+    rows += [(1, 29 * day + i, 50.0) for i in range(20)]
+    # u2 hibernating: 2 old events, tiny spend
+    rows += [(2, 0, 1.0), (2, day, 1.0)]
+    # u3 at_risk: 10 old events
+    rows += [(3, i * day // 10, 5.0) for i in range(10)]
+    # u4 recent: 1 very recent event
+    rows += [(4, 30 * day, 10.0)]
+    # u5..u8 middle mass so quintiles separate
+    for u in range(5, 9):
+        rows += [(u, (10 + u) * day + i, 3.0) for i in range(u)]
+    data = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t), v)
+        for u, t, v in rows
+    ]
+    df = spark.createDataFrame(data, "user_id LONG, ts TIMESTAMP, value DOUBLE")
+    out = {r.user_id: r for r in sessions.rfm(df).collect()}
+    assert len(out) == 8
+    # anchored at the corpus max ts: u4's recency is 0 days
+    assert out[4].recency_days == 0.0
+    assert out[1].frequency == 20 and out[1].monetary == 1000.0
+    # scores are within 1..5 and monotone with the raw values
+    for r in out.values():
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+    assert out[1].f_score == 5 and out[1].m_score == 5
+    assert out[2].f_score == 1
+    assert out[1].segment == "champions"
+    assert out[2].segment == "hibernating"
+    assert out[3].segment == "at_risk"
+    assert out[4].segment == "recent"
+    # explicit as_of shifts recency but not frequency/monetary
+    shifted = {
+        r.user_id: r
+        for r in sessions.rfm(
+            df, as_of="2024-02-15T00:00:00"
+        ).collect()
+    }
+    assert shifted[4].recency_days > 0
+    assert shifted[1].frequency == out[1].frequency
+    # partition invariance
+    again = {r.user_id: tuple(r) for r in sessions.rfm(df.repartition(9)).collect()}
+    assert again == {r.user_id: tuple(r) for r in out.values()}
+    with pytest.raises(ValueError, match="n_bins"):
+        sessions.rfm(df, n_bins=1)
