@@ -8249,6 +8249,64 @@ FROM pp
 """
 
 
+def _q_sample_size(spark, sf_dir):
+    """stats.sample_size — per-event-type experiment sizing from the
+    observed rare-outcome baseline (value > 300): required n per arm
+    to detect a +20% relative lift at 80/5. The z quantiles are
+    driver-side Acklam literals; the oracle embeds the identical
+    constants, so the closed-form n replays verbatim."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flagged = ev.select(
+        "event_type", (F.col("value") > 300).cast("int").alias("rare")
+    )
+    return stats.sample_size(
+        flagged, "rare", group_by="event_type", mde_rel=0.20
+    )
+
+
+def _sample_size_oracle_sql() -> str:
+    from getl_spark.functions.stats import _norm_ppf
+
+    za, zb = repr(_norm_ppf(1 - 0.05 / 2)), repr(_norm_ppf(0.8))
+    # the Spark side multiplies by lit(1.0 + mde_rel) — embed the same
+    # DOUBLE (1.0 + 0.20 != 1.2 bit-for-bit), and square via explicit
+    # multiplication, never POWER (libm pow(x, 2) parity is not a
+    # given)
+    m = repr(1.0 + 0.20)
+    num = (
+        f"({za} * sqrt(2.0 * pbar * (1.0 - pbar))"
+        f" + {zb} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))"
+    )
+    return f"""
+WITH agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         AVG(CASE WHEN value > 300 THEN 1.0 ELSE 0.0 END) AS p1
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY event_type
+), d AS (
+  SELECT *, p1 * {m} AS p2, (p1 + p1 * {m}) / 2.0 AS pbar FROM agg
+), n AS (
+  SELECT *,
+         CAST(CEIL(
+           ({num} * {num}) / ((p2 - p1) * (p2 - p1))
+         ) AS BIGINT) AS n_per_arm
+  FROM d
+)
+SELECT event_type, n_rows,
+       ROUND(p1, 6) AS baseline_rate,
+       ROUND(p2, 6) AS target_rate,
+       n_per_arm,
+       n_per_arm * 2 AS total_n
+FROM n
+"""
+
+
+SAMPLE_SIZE_ORACLE = _sample_size_oracle_sql()
+
+
 def _q_ratio_metric(spark, sf_dir):
     """stats.ratio_metric — delta-method ratio-metric A/B: per-user
     click share (clicks / events) with arms from the user-id parity.
@@ -14369,6 +14427,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_index_health": _q_minhash_index_health,
         "stats_meta_analysis": _q_meta_analysis,
         "sessions_rfm": _q_rfm,
+        "stats_sample_size": _q_sample_size,
     }
 
 
@@ -14647,6 +14706,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_minhash_index_health": MINHASH_INDEX_HEALTH_ORACLE,
         "stats_meta_analysis": META_ANALYSIS_ORACLE,
         "sessions_rfm": RFM_ORACLE,
+        "stats_sample_size": SAMPLE_SIZE_ORACLE,
     }
 
 

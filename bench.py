@@ -220,6 +220,7 @@ DETAIL_QUERIES = [
     "dedup_minhash_index_health",
     "stats_meta_analysis",
     "sessions_rfm",
+    "stats_sample_size",
     # merge-only split: the *_merge_index composite rows above time
     # build A + build B + merge + query end-to-end (capacity-plan
     # number); these isolate the merge+query cost a consolidation cron

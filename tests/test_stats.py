@@ -4855,3 +4855,87 @@ def test_meta_analysis_guard(spark):
     df = spark.createDataFrame([(0.1, 0.02)], "eff DOUBLE, se DOUBLE")
     with pytest.raises(Exception, match="meta_analysis"):
         stats.meta_analysis(df, "eff", "se").collect()
+
+
+# ------------------------------------------------------------ sample size
+
+
+def _ppf_bisect(p):
+    """Independent inverse-normal via erf bisection (cross-checks the
+    operator's Acklam constants)."""
+    import math as _m
+
+    lo, hi = -10.0, 10.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if 0.5 * (1 + _m.erf(mid / _m.sqrt(2))) < p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def _n_ref(p1, mde_rel, alpha=0.05, power=0.8):
+    import math as _m
+
+    p2 = p1 * (1 + mde_rel)
+    za, zb = _ppf_bisect(1 - alpha / 2), _ppf_bisect(power)
+    pbar = (p1 + p2) / 2
+    num = za * _m.sqrt(2 * pbar * (1 - pbar)) + zb * _m.sqrt(
+        p1 * (1 - p1) + p2 * (1 - p2)
+    )
+    return _m.ceil(num * num / (p2 - p1) ** 2)
+
+
+def test_sample_size_matches_reference(spark):
+    from getl_spark.functions import stats
+
+    # exact baseline rates by construction: 1 success in 10 (p=0.1)
+    # for segment a; 3 in 10 (p=0.3) for segment b
+    rows = [("a", 1 if i == 0 else 0) for i in range(10)] + [
+        ("b", 1 if i < 3 else 0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "seg STRING, y INT")
+    got = {
+        r.seg: r
+        for r in stats.sample_size(df, "y", group_by="seg",
+                                   mde_rel=0.10).collect()
+    }
+    for seg, p1 in (("a", 0.1), ("b", 0.3)):
+        want = _n_ref(p1, 0.10)
+        g = got[seg]
+        assert g.n_rows == 10 and abs(g.baseline_rate - p1) < 1e-9
+        assert abs(g.target_rate - p1 * 1.1) < 1e-9
+        # Acklam vs bisection agree to <1e-8 on z; ceil can only differ
+        # if the unrounded n sits within ~1e-4 of an integer — assert
+        # exact match here (it does not)
+        assert g.n_per_arm == want, (seg, g.n_per_arm, want)
+        assert g.total_n == 2 * want
+    # the textbook magnitude check: p=0.1, +10% rel, 80/5 -> ~14.7k
+    assert 14000 < got["a"].n_per_arm < 15500
+    # smaller MDE -> larger n
+    tight = stats.sample_size(df.where("seg = 'a'"), "y",
+                              mde_rel=0.05).collect()[0]
+    assert tight.n_per_arm > got["a"].n_per_arm
+
+
+def test_sample_size_guards(spark):
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame([("a", 1), ("a", 0)], "seg STRING, y INT")
+    with pytest.raises(ValueError, match="alpha"):
+        stats.sample_size(df, "y", alpha=0)
+    with pytest.raises(ValueError, match="mde_rel"):
+        stats.sample_size(df, "y", mde_rel=0.0)
+    bad = spark.createDataFrame([("a", 2)], "seg STRING, y INT")
+    with pytest.raises(Exception, match="binary"):
+        stats.sample_size(bad, "y").collect()
+    # degenerate baseline (all zeros) fails loud
+    zeros = spark.createDataFrame([("a", 0), ("a", 0)], "seg STRING, y INT")
+    with pytest.raises(Exception, match="degenerate|outside"):
+        stats.sample_size(zeros, "y").collect()
+    # overshooting mde: p2 >= 1
+    high = spark.createDataFrame([("a", 1), ("a", 1), ("a", 0)],
+                                 "seg STRING, y INT")
+    with pytest.raises(Exception, match="outside"):
+        stats.sample_size(high, "y", mde_rel=0.9).collect()
