@@ -13234,6 +13234,43 @@ FROM per_cell
 """
 
 
+def _q_lsh_plan(spark, sf_dir):
+    """dedup.lsh_plan — the (bands, rows) s-curve planning table for
+    a Jaccard-0.8 dedup pass at 64 hashes: candidate probability
+    1 − (1 − sʳ)ᵇ per factoring × jaccard point, curve midpoints, and
+    the recommended banding. Pure closed-form math over a
+    driver-enumerated divisor frame — the oracle enumerates the same
+    divisors in SQL and replays the identical pow arithmetic."""
+    from getl_spark.functions import dedup
+
+    return dedup.lsh_plan(spark, threshold=0.8, num_hashes=64)
+
+
+LSH_PLAN_ORACLE = """
+WITH f AS (
+  SELECT CAST(b AS INT) AS bands, CAST(64 / b AS INT) AS rows_per_band
+  FROM (SELECT UNNEST(range(1, 65)) AS b)
+  WHERE 64 % b = 0
+), m AS (
+  SELECT CAST(64 AS INT) AS num_hashes, bands, rows_per_band,
+         POWER(1.0 / bands, 1.0 / rows_per_band) AS mid
+  FROM f
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY ABS(mid - 0.8) ASC, bands ASC) = 1
+           AS recommended
+  FROM m
+)
+SELECT num_hashes, bands, rows_per_band,
+       ROUND(mid, 6) AS midpoint, recommended,
+       s,
+       ROUND(1.0 - POWER(1.0 - POWER(s, rows_per_band), bands), 6)
+         AS p_candidate
+FROM r, (SELECT CAST(UNNEST([0.3, 0.5, 0.7, 0.8, 0.9, 0.95]) AS DOUBLE)
+         AS s)
+"""
+
+
 def _q_minhash_index_health(spark, sf_dir):
     """dedup.minhash_index_health — the band-table symmetric of
     similarity_ivf_health, with the same oracle trick: the health
@@ -14428,6 +14465,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_meta_analysis": _q_meta_analysis,
         "sessions_rfm": _q_rfm,
         "stats_sample_size": _q_sample_size,
+        "dedup_lsh_plan": _q_lsh_plan,
     }
 
 
@@ -14707,6 +14745,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_meta_analysis": META_ANALYSIS_ORACLE,
         "sessions_rfm": RFM_ORACLE,
         "stats_sample_size": SAMPLE_SIZE_ORACLE,
+        "dedup_lsh_plan": LSH_PLAN_ORACLE,
     }
 
 

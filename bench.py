@@ -221,6 +221,7 @@ DETAIL_QUERIES = [
     "stats_meta_analysis",
     "sessions_rfm",
     "stats_sample_size",
+    "dedup_lsh_plan",
     # merge-only split: the *_merge_index composite rows above time
     # build A + build B + merge + query end-to-end (capacity-plan
     # number); these isolate the merge+query cost a consolidation cron

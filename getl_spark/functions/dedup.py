@@ -1828,6 +1828,86 @@ def merge_minhash_index(
     )
 
 
+def lsh_plan(
+    spark,
+    threshold: float,
+    num_hashes: int = 128,
+    jaccard_points: "Sequence[float]" = (0.3, 0.5, 0.7, 0.8, 0.9, 0.95),
+    round_to: int = 6,
+) -> DataFrame:
+    """Banding-parameter planner for the MinHash-LSH family — answers
+    "which (bands, rows) should I pass to ``minhash_lsh`` /
+    ``build_minhash_index`` for a Jaccard threshold of ``t``?" with
+    the s-curve table instead of folklore: for every (b, r) factoring
+    of ``num_hashes``, the probability a pair at similarity ``s``
+    becomes a candidate is exactly ``1 − (1 − sʳ)ᵇ``, and the curve's
+    midpoint sits at ``(1/b)^(1/r)``. One row per (factoring ×
+    ``jaccard_points`` entry): read DOWN a factoring's rows to see its
+    false-positive mass below the threshold and its recall above —
+    the planning trade every dedup pass makes (more bands = more
+    recall AND more candidate-join work; pair with
+    :func:`minhash_index_health`'s measured bucket load and
+    :func:`shingle_profile`'s corpus pricing).
+
+    ``recommended`` flags the factoring whose midpoint lands closest
+    to ``threshold`` (ties → fewer bands, the cheaper join).
+    Returns ``(num_hashes, bands, rows_per_band, midpoint,
+    recommended, s, p_candidate)``.
+
+    Scale shape: the factorings are driver-enumerated integers (≤
+    d(num_hashes) ≤ a few dozen rows); the probabilities are JVM
+    closed forms over that literal frame — no data touched, fully
+    SQL-expressible, so the whole planning table value-hashes against
+    the oracle.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(
+            f"lsh_plan: threshold must be in (0, 1), got {threshold}"
+        )
+    if not 2 <= num_hashes <= 4096:
+        raise ValueError(
+            f"lsh_plan: num_hashes must be in [2, 4096], got {num_hashes}"
+        )
+    pts = [float(s) for s in jaccard_points]
+    if not pts or any(not 0.0 < s < 1.0 for s in pts):
+        raise ValueError(
+            "lsh_plan: jaccard_points must be non-empty, all in (0, 1)"
+        )
+    factorings = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    base = spark.createDataFrame(
+        factorings, "bands INT, rows_per_band INT"
+    )
+    bd = F.col("bands").cast("double")
+    rd = F.col("rows_per_band").cast("double")
+    midpoint = F.pow(F.lit(1.0) / bd, F.lit(1.0) / rd)
+    base = base.withColumn("num_hashes", F.lit(int(num_hashes)))
+    # partitioned on the constant num_hashes column: the frame is
+    # divisor-count-sized by construction; the constant key silences
+    # the global-window warning without changing the single-task plan
+    w = Window.partitionBy("num_hashes").orderBy(
+        F.abs(midpoint - F.lit(float(threshold))).asc(),
+        F.col("bands").asc(),
+    )
+    planned = base.select(
+        "num_hashes", "bands", "rows_per_band",
+        F.round(midpoint, round_to).alias("midpoint"),
+        (F.row_number().over(w) == 1).alias("recommended"),
+    )
+    s = F.explode(F.array(*[F.lit(p) for p in pts])).alias("s")
+    p_cand = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.col("s"), rd), bd
+    )
+    return planned.select("*", s).select(
+        "num_hashes", "bands", "rows_per_band", "midpoint", "recommended",
+        F.col("s"),
+        F.round(p_cand, round_to).alias("p_candidate"),
+    )
+
+
 def minhash_index_health(
     spark,
     index_path: str,

@@ -2126,3 +2126,40 @@ def test_minhash_index_health_real_and_hot(spark, tmp_path):
 
     with pytest.raises(ValueError, match="hot_bucket"):
         dedup.minhash_index_health(spark, p, hot_bucket=0)
+
+
+def test_lsh_plan_s_curve(spark):
+    from getl_spark.functions import dedup
+
+    out = dedup.lsh_plan(spark, threshold=0.8, num_hashes=64).collect()
+    # every factoring of 64 x 6 default jaccard points
+    factorings = {(r.bands, r.rows_per_band) for r in out}
+    assert factorings == {(1, 64), (2, 32), (4, 16), (8, 8), (16, 4),
+                          (32, 2), (64, 1)}
+    assert len(out) == 7 * 6
+    rows = {(r.bands, r.s): r.p_candidate for r in out}
+    mids = {r.bands: r.midpoint for r in out}
+    import math
+
+    for b in (1, 2, 4, 8, 16, 32, 64):
+        rr = 64 // b
+        assert abs(mids[b] - (1 / b) ** (1 / rr)) < 1e-6
+        for s in (0.3, 0.5, 0.7, 0.8, 0.9, 0.95):
+            want = 1 - (1 - s ** rr) ** b
+            assert abs(rows[(b, s)] - want) < 1e-6, (b, s)
+    # the classic 16x4 band choice has its midpoint right at 0.5 and
+    # is monotone in s
+    curve = [rows[(16, s)] for s in (0.3, 0.5, 0.7, 0.8, 0.9, 0.95)]
+    assert curve == sorted(curve)
+    # exactly one recommended factoring; its midpoint is the closest
+    rec = {r.bands for r in out if r.recommended}
+    assert len(rec) == 1
+    best = min(mids, key=lambda b: (abs(mids[b] - 0.8), b))
+    assert rec == {best}
+
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.lsh_plan(spark, threshold=1.0)
+    with pytest.raises(ValueError, match="num_hashes"):
+        dedup.lsh_plan(spark, 0.8, num_hashes=1)
+    with pytest.raises(ValueError, match="jaccard_points"):
+        dedup.lsh_plan(spark, 0.8, jaccard_points=[0.5, 1.5])
