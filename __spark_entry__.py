@@ -3116,6 +3116,63 @@ def _pagerank_oracle() -> str:
     return pagerank_oracle_sql(PAGERANK_EDGES_SQL, n_iter=8)
 
 
+def _q_cooccurrence(spark, sf_dir):
+    """graph.cooccurrence — parts co-purchased within an order
+    (lineitem as the basket table) with PMI/NPMI against popularity.
+    The engine generates pairs from per-group sorted arrays (JVM
+    array functions, no raw-table self-join); the oracle replays the
+    SEMANTICS as the classic distinct-self-join SQL — the formulation
+    the plan deliberately avoids at scale — so the equivalence check
+    is meaningful. Orders sampled (mod 7) to keep the oracle join
+    tractable at sf0.01."""
+    from getl_spark.functions import graph
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        "l_orderkey % 7 = 0"
+    )
+    return graph.cooccurrence(
+        li, "l_orderkey", "l_partkey", min_count=2, max_group_size=5
+    )
+
+
+COOCCURRENCE_ORACLE = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+  FROM lineitem
+  WHERE l_orderkey % 7 = 0
+    AND l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+), kept AS (
+  SELECT g, i FROM base
+  WHERE g IN (SELECT g FROM base GROUP BY g HAVING COUNT(*) <= 5)
+), nn AS (
+  SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n FROM kept
+), ni AS (
+  SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM kept GROUP BY i
+), pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM kept a JOIN kept b ON a.g = b.g AND a.i < b.i
+  GROUP BY a.i, b.i
+  HAVING COUNT(*) >= 2
+)
+SELECT p.item_a, p.item_b, p.n_pairs,
+       na.c AS n_a, nb.c AS n_b,
+       ROUND(ln(CAST(p.n_pairs AS DOUBLE) * CAST(n AS DOUBLE)
+                / (CAST(na.c AS DOUBLE) * CAST(nb.c AS DOUBLE))), 6)
+         AS pmi,
+       CASE WHEN p.n_pairs = n THEN 1.0
+            ELSE ROUND(
+              ln(CAST(p.n_pairs AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(na.c AS DOUBLE) * CAST(nb.c AS DOUBLE)))
+              / -ln(CAST(p.n_pairs AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+       END AS npmi
+FROM pairs p
+JOIN ni na ON p.item_a = na.i
+JOIN ni nb ON p.item_b = nb.i
+CROSS JOIN nn
+"""
+
+
 def _q_hits(spark, sf_dir):
     """graph.hits — hubs & authorities over the same mixed supply
     link graph the pagerank row uses (forward supplier→part edges,
@@ -8251,7 +8308,8 @@ FROM pp
 
 def _q_sample_size(spark, sf_dir):
     """stats.sample_size — per-event-type experiment sizing from the
-    observed rare-outcome baseline (value > 300): required n per arm
+    observed outcome baseline (value > 100 — non-degenerate at every
+    test SF, unlike the fisher row's rare outcome): required n per arm
     to detect a +20% relative lift at 80/5. The z quantiles are
     driver-side Acklam literals; the oracle embeds the identical
     constants, so the closed-form n replays verbatim."""
@@ -8259,10 +8317,10 @@ def _q_sample_size(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     flagged = ev.select(
-        "event_type", (F.col("value") > 300).cast("int").alias("rare")
+        "event_type", (F.col("value") > 100).cast("int").alias("hit")
     )
     return stats.sample_size(
-        flagged, "rare", group_by="event_type", mde_rel=0.20
+        flagged, "hit", group_by="event_type", mde_rel=0.20
     )
 
 
@@ -8282,7 +8340,7 @@ def _sample_size_oracle_sql() -> str:
     return f"""
 WITH agg AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         AVG(CASE WHEN value > 300 THEN 1.0 ELSE 0.0 END) AS p1
+         AVG(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END) AS p1
   FROM events
   WHERE value IS NOT NULL
   GROUP BY event_type
@@ -14466,6 +14524,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_rfm": _q_rfm,
         "stats_sample_size": _q_sample_size,
         "dedup_lsh_plan": _q_lsh_plan,
+        "graph_cooccurrence": _q_cooccurrence,
     }
 
 
@@ -14746,6 +14805,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sessions_rfm": RFM_ORACLE,
         "stats_sample_size": SAMPLE_SIZE_ORACLE,
         "dedup_lsh_plan": LSH_PLAN_ORACLE,
+        "graph_cooccurrence": COOCCURRENCE_ORACLE,
     }
 
 

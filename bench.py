@@ -222,6 +222,7 @@ DETAIL_QUERIES = [
     "sessions_rfm",
     "stats_sample_size",
     "dedup_lsh_plan",
+    "graph_cooccurrence",
     # merge-only split: the *_merge_index composite rows above time
     # build A + build B + merge + query end-to-end (capacity-plan
     # number); these isolate the merge+query cost a consolidation cron

@@ -572,6 +572,123 @@ def hits_oracle_sql(
     return "\n".join(parts)
 
 
+def cooccurrence(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_count: int = 2,
+    max_group_size: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Item co-occurrence with PMI over grouped observations — the
+    market-basket / co-click / co-citation primitive (parts bought in
+    the same order, hosts visited in the same session, tags on the
+    same document): for every unordered item pair, in how many groups
+    do both appear, and is that MORE than their popularities predict
+    (PMI > 0) or just two frequent items colliding (PMI ≈ 0 — raw
+    counts always rank frequent×frequent first; PMI is the fix).
+    ``text.collocations`` is this operator specialized to adjacent
+    word pairs; this one takes any (group, item) table.
+
+    Semantics: presence-based (duplicate (group, item) rows collapse);
+    groups larger than ``max_group_size`` are EXCLUDED entirely
+    (documented standard practice — a bot session touching every item
+    contributes C(k,2) junk pairs and no signal; the cap bounds the
+    quadratic blowup deterministically). Pairs order as
+    ``item_a < item_b``. Returns pairs with ``n_pairs >=
+    min_count``: ``(item_a, item_b, n_pairs, n_a, n_b, pmi, npmi)``
+    where ``pmi = ln(n_ab·N / (n_a·n_b))`` over the N kept groups and
+    ``npmi`` normalizes to [−1, 1] (1 = the pair only ever appears
+    together; 1.0 exactly when ``n_ab = N`` by convention).
+
+    Scale shape: one distinct + one windowed size filter (both keyed
+    on group), ONE grouped sorted-array shuffle, pair generation as
+    JVM array functions (bounded C(cap, 2) per group), one keyed
+    count per pair, item counts joined back on the pair keys (plain
+    hash joins — the item table is data-sized, not broadcast), and a
+    1-row N broadcast. No self-join of the raw table — the oracle
+    replays THAT formulation, which is exactly what this plan avoids
+    at 100 TB.
+    """
+    if min_count < 1:
+        raise ValueError(f"cooccurrence: min_count must be >= 1")
+    if max_group_size < 2:
+        raise ValueError(
+            f"cooccurrence: max_group_size must be >= 2, got "
+            f"{max_group_size}"
+        )
+    base = (
+        df.select(
+            F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+        )
+        .where(F.col("__g").isNotNull() & F.col("__i").isNotNull())
+        .distinct()
+    )
+    sized = base.withColumn(
+        "__sz", F.count("*").over(Window.partitionBy("__g"))
+    ).where(F.col("__sz") <= max_group_size).drop("__sz")
+    sized = sized.transform(pin, eager=False)
+    n_groups = sized.agg(
+        F.countDistinct("__g").cast("bigint").alias("__n")
+    )
+    item_counts = sized.groupBy("__i").agg(
+        F.count("*").cast("bigint").alias("__ni")
+    )
+    arrs = sized.groupBy("__g").agg(
+        F.array_sort(F.collect_list("__i")).alias("__items")
+    )
+    items = F.col("__items")
+    pairs = arrs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    items,
+                    lambda x, i: F.transform(
+                        F.slice(
+                            items, i + 2,
+                            F.greatest(F.size(items) - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    counted = (
+        pairs.groupBy(F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .where(F.col("n_pairs") >= min_count)
+    )
+    out = (
+        counted.join(
+            item_counts.select(
+                F.col("__i").alias("item_a"), F.col("__ni").alias("n_a")
+            ),
+            "item_a",
+        )
+        .join(
+            item_counts.select(
+                F.col("__i").alias("item_b"), F.col("__ni").alias("n_b")
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_groups))
+    )
+    nab = F.col("n_pairs").cast("double")
+    nn = F.col("__n").cast("double")
+    pmi = F.log(
+        nab * nn / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    npmi = F.when(F.col("n_pairs") == F.col("__n"), F.lit(1.0)).otherwise(
+        pmi / -F.log(nab / nn)
+    )
+    return out.select(
+        "item_a", "item_b", "n_pairs", "n_a", "n_b",
+        F.round(pmi, round_to).alias("pmi"),
+        F.round(npmi, round_to).alias("npmi"),
+    )
+
+
 def dedup_by_component(
     df: DataFrame,
     pairs: DataFrame,

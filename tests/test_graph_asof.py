@@ -981,3 +981,95 @@ def test_hits_guards_and_edge_cases(spark):
     assert sorted((r.node, r.hub, r.auth) for r in rows) == [
         ("x", 0.0, 0.0), ("y", 0.0, 0.0)
     ]
+
+
+# --------------------------------------------------------- co-occurrence
+
+
+def _cooc_ref(rows, min_count=2, cap=1000):
+    """Pure-python replay: rows = [(group, item)]."""
+    import math
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for g, i in rows:
+        groups[g].add(i)
+    kept = {g: s for g, s in groups.items() if len(s) <= cap}
+    n = len(kept)
+    ni = defaultdict(int)
+    pair = defaultdict(int)
+    for s in kept.values():
+        for i in s:
+            ni[i] += 1
+        items = sorted(s)
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                pair[(items[x], items[y])] += 1
+    out = {}
+    for (a, b), nab in pair.items():
+        if nab < min_count:
+            continue
+        pmi = math.log(nab * n / (ni[a] * ni[b]))
+        npmi = 1.0 if nab == n else pmi / -math.log(nab / n)
+        out[(a, b)] = (nab, ni[a], ni[b], pmi, npmi)
+    return out
+
+
+def test_cooccurrence_matches_reference(spark):
+    from getl_spark.functions import graph
+
+    rows = [
+        # bread+butter in 3 of 5 baskets (strong pair), milk frequent
+        # but independent, (1, 'bread') duplicated -> presence-based
+        (1, "bread"), (1, "bread"), (1, "butter"), (1, "milk"),
+        (2, "bread"), (2, "butter"),
+        (3, "bread"), (3, "butter"), (3, "eggs"),
+        (4, "milk"), (4, "eggs"),
+        (5, "milk"), (5, "bread"),
+    ]
+    df = spark.createDataFrame(rows, "basket LONG, item STRING")
+    got = {
+        (r.item_a, r.item_b): (r.n_pairs, r.n_a, r.n_b, r.pmi, r.npmi)
+        for r in graph.cooccurrence(df, "basket", "item").collect()
+    }
+    want = _cooc_ref(rows)
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g[:3] == w[:3], k
+        assert abs(g[3] - w[3]) < 1e-6 and abs(g[4] - w[4]) < 1e-6, k
+    # bread+butter co-occur more than popularity predicts
+    assert got[("bread", "butter")][3] > 0
+    # an always-together pair pins npmi to exactly 1
+    dual = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")], "g LONG, item STRING"
+    )
+    d = graph.cooccurrence(dual, "g", "item").collect()[0]
+    assert d.npmi == 1.0 and d.n_pairs == 2
+
+
+def test_cooccurrence_oversize_and_guards(spark):
+    from getl_spark.functions import graph
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    # group 9 touches 5 items -> excluded entirely under cap 4
+    rows += [(9, f"i{k}") for k in range(5)] + [(9, "a"), (9, "b")]
+    df = spark.createDataFrame(rows, "g LONG, item STRING")
+    got = {
+        (r.item_a, r.item_b): r.n_pairs
+        for r in graph.cooccurrence(df, "g", "item",
+                                    max_group_size=4).collect()
+    }
+    assert got == {("a", "b"): 2}  # bot group contributed nothing
+    # partition invariance
+    a = sorted(map(tuple, graph.cooccurrence(
+        df.repartition(1), "g", "item", max_group_size=4).collect()))
+    b = sorted(map(tuple, graph.cooccurrence(
+        df.repartition(8), "g", "item", max_group_size=4).collect()))
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_count"):
+        graph.cooccurrence(df, "g", "item", min_count=0)
+    with _pytest.raises(ValueError, match="max_group_size"):
+        graph.cooccurrence(df, "g", "item", max_group_size=1)

@@ -80,6 +80,8 @@ NESTED_LOOP_WHITELIST = {
     "fused",
     "sessions_rfm": "1-row fused percentile-thresholds x 1-row "
     "recency-anchor broadcasts onto the per-user table",
+    "graph_cooccurrence": "1-row kept-group-count broadcast onto the "
+    "pair table (PMI denominator)",
     "text_logprob_buckets": "1-row vocab-total broadcast",
     "text_bigram_logprob": "1-row vocab-total broadcast",
     "search_bm25": "1-row corpus stats (N, avgdl) broadcast",
