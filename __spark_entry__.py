@@ -13232,6 +13232,44 @@ def _q_merge_ivf_index(spark, sf_dir):
 MERGE_IVF_INDEX_ORACLE = SIM_TOPK_ORACLE
 
 
+def _q_topk_hamming(spark, sf_dir):
+    """similarity.topk_hamming — exact Hamming top-5 over
+    sign-binarized embeddings (embedding.binarize packs 32 sign bits
+    per int64 word; distance is one zip_with XOR+popcount fold). The
+    oracle computes the same distance WITHOUT packing — the count of
+    dimensions whose signs disagree — so the word-packing layer is
+    verified against the definition, not against itself."""
+    from getl_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id < 8")
+    return similarity.topk_hamming(emb, queries, k=5)
+
+
+TOPK_HAMMING_ORACLE = """
+WITH q AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8
+), d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         CAST(list_sum(list_transform(
+           range(1, len(c.embedding) + 1),
+           i -> CASE WHEN (c.embedding[i] > 0) != (q.embedding[i] > 0)
+                THEN 1 ELSE 0 END
+         )) AS BIGINT) AS hamming
+  FROM embeddings c, q
+  WHERE c.vec_id != q.vec_id
+)
+SELECT query_id, nbr_id, hamming, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY hamming ASC, nbr_id ASC
+  ) AS rank
+  FROM d
+)
+WHERE rank <= 5
+"""
+
+
 def _q_ivf_health(spark, sf_dir):
     """similarity.ivf_health — the index-maintenance readout between
     builds (merges keep the larger quantizer, appends grow cells
@@ -14525,6 +14563,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_sample_size": _q_sample_size,
         "dedup_lsh_plan": _q_lsh_plan,
         "graph_cooccurrence": _q_cooccurrence,
+        "similarity_topk_hamming": _q_topk_hamming,
     }
 
 
@@ -14806,6 +14845,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_sample_size": SAMPLE_SIZE_ORACLE,
         "dedup_lsh_plan": LSH_PLAN_ORACLE,
         "graph_cooccurrence": COOCCURRENCE_ORACLE,
+        "similarity_topk_hamming": TOPK_HAMMING_ORACLE,
     }
 
 

@@ -1267,3 +1267,60 @@ def truncate(
             ),
         )
     return res
+
+
+def binarize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    new_col: str = "bits",
+    bits_per_word: int = 32,
+    drop: bool = False,
+) -> DataFrame:
+    """Sign-bit binarization of an embedding column — the extreme end
+    of the compression ladder (float64 → int8 → PQ → 1 BIT per
+    dimension): a 768-dim vector becomes 24 int64 words, a 64×
+    memory/shuffle cut, and Hamming distance on the bits preserves
+    angular neighborhoods well enough for candidate generation
+    (rerank the shortlist with exact cosine — the
+    ``similarity.topk_hamming`` + rerank recipe, same discipline as
+    PQ's ADC + exact rerank).
+
+    Encoding: bit j of word w is ``1`` iff ``vec[w·B + j] > 0``
+    (B = ``bits_per_word``; zeros and negatives are 0 — deterministic,
+    no epsilon). Words pack MSB-first by an ``acc·2 + bit`` fold, so
+    the encoding is plain integer arithmetic an oracle replays exactly
+    — and B defaults to 32 so a word can never reach the int64 sign
+    bit (an ANSI-overflow-proof fold; B is capped at 62). The last
+    word of a non-multiple dimension simply folds fewer bits — both
+    sides of any Hamming comparison encode identically, which is all
+    that matters. NULL vectors pass through as NULL.
+
+    Scale shape: pure scan-side JVM array expressions (transform +
+    aggregate folds) — zero shuffle, zero UDFs, whole-stage codegen;
+    binarizing 100 TB costs exactly one scan.
+    """
+    if not 1 <= bits_per_word <= 62:
+        raise ValueError(
+            f"binarize: bits_per_word must be in [1, 62], got "
+            f"{bits_per_word}"
+        )
+    v = F.col(vec_col)
+    b = int(bits_per_word)
+    n_words = F.ceil(F.size(v) / F.lit(b)).cast("int")
+    def word(w):
+        lo = w * F.lit(b)  # 0-based start index of this word
+        hi = F.least(lo + F.lit(b - 1), F.size(v) - 1)
+        return F.aggregate(
+            F.sequence(lo, hi),
+            F.lit(0).cast("bigint"),
+            lambda acc, idx: acc * F.lit(2)
+            + F.when(F.element_at(v, idx + 1) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+    bits = F.when(
+        v.isNotNull(),
+        F.transform(F.sequence(F.lit(0), n_words - 1), word),
+    )
+    out = df.withColumn(new_col, bits)
+    return out.drop(vec_col) if drop else out

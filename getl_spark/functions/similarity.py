@@ -162,6 +162,80 @@ def topk_bruteforce(
     )
 
 
+def topk_hamming(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_col: Optional[str] = None,
+    exclude_self: bool = True,
+    bits_per_word: int = 32,
+) -> DataFrame:
+    """Exact top-k by HAMMING distance over sign-binarized embeddings
+    — the 1-bit-per-dimension candidate generator
+    (``embedding.binarize``): a 768-dim float64 vector compares as 24
+    integer words, so the scan is ~64× lighter in memory and shuffle
+    bytes than float cosine, and XOR+popcount is the cheapest distance
+    a CPU can evaluate. Hamming on sign bits tracks angular
+    neighborhoods (Charikar's hyperplane bound: P[bits agree] =
+    1 − θ/π per dimension); use it to SHORTLIST, then rerank the
+    shortlist with exact cosine — the same two-phase discipline as
+    ``topk_pq``.
+
+    Pass raw float vectors (``vec_col`` — both sides binarized
+    scan-side, zero extra passes) or pre-binarized words
+    (``bits_col`` — the persisted-bits path; ``bits_per_word`` is
+    ignored then). Returns ``(query_id, nbr_id, hamming, rank)``;
+    ties break on distance then neighbor id ascending — fully
+    deterministic. Scale shape: exactly ``topk_bruteforce``'s —
+    queries broadcast, distance as one JVM ``zip_with`` +
+    ``bit_count`` fold inside codegen, one per-query window top-k.
+    """
+    if k < 1:
+        raise ValueError(f"topk_hamming: k must be >= 1, got {k}")
+    from getl_spark.functions.embedding import binarize
+
+    def prep(df, id_alias):
+        if bits_col is not None:
+            return df.select(
+                F.col(id_col).alias(id_alias), F.col(bits_col).alias("__b")
+            )
+        return binarize(
+            df.select(F.col(id_col).alias(id_alias), vec_col),
+            vec_col=vec_col, new_col="__b",
+            bits_per_word=bits_per_word, drop=True,
+        )
+
+    from getl_spark.common.scale import parallelize
+
+    c = parallelize(prep(corpus, "nbr_id"))
+    q = prep(queries, "query_id").withColumnRenamed("__b", "__qb")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__b"), F.col("__qb"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            F.lit(not exclude_self) | (F.col("nbr_id") != F.col("query_id"))
+        )
+        .select("query_id", "nbr_id", dist.alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "hamming", "rank")
+    )
+
+
 def topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -107,6 +107,8 @@ NESTED_LOOP_WHITELIST = {
     # side is the (small) query set or the oracleable exact pairs path;
     # the scale paths are the _lsh/_ivf/banded variants
     "similarity_topk_bruteforce": "broadcast query side (baseline)",
+    "similarity_topk_hamming": "broadcast query side (1-bit sketch "
+    "baseline)",
     "similarity_matryoshka_recall": "broadcast query side on both brute-force legs (MRL dimension-cut eval)",
     "similarity_knn_label": "broadcast query side on the brute-force retrieval leg (seed set is bounded)",
     "similarity_recall_ivf": "broadcast 32-query side (brute-force truth leg of the recall measurement)",

@@ -952,3 +952,83 @@ def test_mmr_rerank_guards(spark):
     )
     got = similarity.mmr_rerank(part, corpus, k=2).collect()
     assert [r.nbr_id for r in got] == [1]
+
+
+# -------------------------------------------------------- hamming top-k
+
+
+def _binarize_ref(vec, b=32):
+    words = []
+    for w in range(0, len(vec), b):
+        acc = 0
+        for x in vec[w:w + b]:
+            acc = acc * 2 + (1 if x > 0 else 0)
+        words.append(acc)
+    return words
+
+
+def test_binarize_packs_sign_bits(spark):
+    from getl_spark.functions import embedding as E
+
+    rows = [
+        (1, [1.0, -2.0, 0.0, 3.0]),            # 1001 -> 9
+        (2, [-1.0] * 33),                       # spills into word 2
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {r.vec_id: r.bits for r in E.binarize(df).collect()}
+    assert list(got[1]) == [9]
+    assert list(got[2]) == [0, 0] and got[3] is None
+    # matches the reference packer on a messier vector
+    v = [((i * 37) % 11) - 5.0 for i in range(70)]
+    df2 = spark.createDataFrame([(1, v)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    assert list(E.binarize(df2).collect()[0].bits) == _binarize_ref(v)
+    # drop + custom word width
+    out = E.binarize(df, bits_per_word=8, drop=True)
+    assert "embedding" not in out.columns
+    with pytest.raises(ValueError, match="bits_per_word"):
+        E.binarize(df, bits_per_word=63)
+
+
+def test_topk_hamming_matches_brute_force(spark):
+    import numpy as np
+
+    from getl_spark.functions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 5")
+    got = similarity.topk_hamming(emb, queries, k=5).collect()
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding) for r in rows}
+
+    def ham(a, b):
+        return int(np.sum((vecs[a] > 0) != (vecs[b] > 0)))
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, lst in by_q.items():
+        lst = sorted(lst, key=lambda r: r.rank)
+        assert len(lst) == 5
+        want = sorted(
+            ((ham(qid, nid), nid) for nid in vecs if nid != qid)
+        )[:5]
+        assert [(r.hamming, r.nbr_id) for r in lst] == want, qid
+    # pre-binarized path gives identical answers
+    from getl_spark.functions import embedding as E
+
+    bits = E.binarize(emb, drop=True)
+    qbits = E.binarize(queries, drop=True)
+    again = similarity.topk_hamming(bits, qbits, k=5, bits_col="bits")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, got))
+    # hamming shortlist tracks angular neighbors: recall@10 against
+    # the exact cosine top-5 far above chance (chance is k/corpus ~=
+    # 0.5% here; the synthetic embeddings are near-uniform, the
+    # hardest case for 1-bit sketches, and still land ~35%)
+    exact = similarity.topk_bruteforce(emb, queries, k=5)
+    short = similarity.topk_hamming(emb, queries, k=10)
+    ex = {(r.query_id, r.nbr_id) for r in exact.collect()}
+    sh = {(r.query_id, r.nbr_id) for r in short.collect()}
+    assert len(ex & sh) / len(ex) >= 0.2
+    with pytest.raises(ValueError, match="k must be"):
+        similarity.topk_hamming(emb, queries, k=0)
