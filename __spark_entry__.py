@@ -8203,6 +8203,49 @@ FROM e
 """
 
 
+def _q_eb_rates(spark, sf_dir):
+    """stats.eb_rates — empirical-Bayes shrinkage of per-user click
+    rates (the sparse-group ranking fix: a 2-event user's 100% CTR
+    must not outrank a 50-event user's 60%): Beta prior by method of
+    moments over users with >= 5 events, posterior-mean rate per
+    user. Fully SQL-expressible — moments, prior constants, and the
+    shrinkage replay verbatim."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flagged = ev.select(
+        "user_id", (F.col("event_type") == "click").cast("int").alias("ok")
+    )
+    return stats.eb_rates(flagged, "ok", "user_id", min_n=5)
+
+
+EB_RATES_ORACLE = """
+WITH per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS successes
+  FROM events
+  GROUP BY user_id
+), withr AS (
+  SELECT *, CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS raw
+  FROM per
+), fit AS (
+  SELECT AVG(raw) AS m, VAR_SAMP(raw) AS v FROM withr WHERE n >= 5
+), prior AS (
+  SELECT m * (m * (1.0 - m) / v - 1.0) AS alpha,
+         (1.0 - m) * (m * (1.0 - m) / v - 1.0) AS beta
+  FROM fit
+)
+SELECT user_id, n, successes,
+       ROUND(raw, 6) AS raw_rate,
+       ROUND((CAST(successes AS DOUBLE) + alpha)
+             / (CAST(n AS DOUBLE) + alpha + beta), 6) AS shrunk_rate,
+       ROUND(alpha, 6) AS alpha,
+       ROUND(beta, 6) AS beta
+FROM withr CROSS JOIN prior
+"""
+
+
 def _q_meta_analysis(spark, sf_dir):
     """stats.meta_analysis — per-event-type Welch effects (odd-user
     arm minus even-user arm on value) pooled into fixed and
@@ -14564,6 +14607,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_plan": _q_lsh_plan,
         "graph_cooccurrence": _q_cooccurrence,
         "similarity_topk_hamming": _q_topk_hamming,
+        "stats_eb_rates": _q_eb_rates,
     }
 
 
@@ -14846,6 +14890,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_lsh_plan": LSH_PLAN_ORACLE,
         "graph_cooccurrence": COOCCURRENCE_ORACLE,
         "similarity_topk_hamming": TOPK_HAMMING_ORACLE,
+        "stats_eb_rates": EB_RATES_ORACLE,
     }
 
 

@@ -6629,6 +6629,91 @@ def meta_analysis(
     )
 
 
+def eb_rates(
+    df: DataFrame,
+    outcome_col: str,
+    group_by,
+    min_n: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-group binary rates — the fix
+    for every "rank hosts by quality-pass rate" readout where a
+    2-document host with 2 passes beats a 10,000-document host at 98%:
+    fit a Beta(α, β) prior to the observed rate distribution by
+    method of moments (over groups with ``n >= min_n`` trials, so
+    noise-dominated groups don't corrupt the prior they exist to
+    borrow from), then report each group's posterior-mean rate
+    ``(s + α)/(n + α + β)`` — small groups shrink toward the corpus
+    prior, big groups keep their own signal, and the ranking becomes
+    usable at every group size (Robinson's classic batting-average
+    construction).
+
+    Returns one row per group: ``(group..., n, successes, raw_rate,
+    shrunk_rate, alpha, beta)`` (α/β constant columns, kept for
+    transparency and replay). Fails loud when fewer than 2 groups
+    qualify for the fit, or when the observed rate variance is 0 or
+    ≥ m(1−m) (no valid Beta by moments — the former means nothing to
+    shrink, the latter over-dispersion a Beta prior cannot express).
+    Binary 0/1 outcome contract as :func:`odds_ratio`.
+
+    Scale shape: one keyed count/sum aggregate per group (map-side
+    combine), ONE 1-row moment aggregate over the qualifying group
+    table, broadcast back as the two prior constants — closed form
+    after, fully SQL-expressible.
+    """
+    if min_n < 1:
+        raise ValueError(f"stats.eb_rates: min_n must be >= 1, got {min_n}")
+    gb = [group_by] if isinstance(group_by, str) else list(group_by)
+    y = F.col(outcome_col).cast("double")
+    guard_bin = F.assert_true(
+        y.isin(0.0, 1.0),
+        F.lit("stats.eb_rates: outcome column must be binary 0/1"),
+    )
+    checked = y + F.coalesce(guard_bin.cast("double"), F.lit(0.0))
+    per = df.where(y.isNotNull()).groupBy(*gb).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(checked).cast("bigint").alias("successes"),
+    )
+    raw = F.col("successes").cast("double") / F.col("n").cast("double")
+    per = per.withColumn("raw_rate", raw)
+    fit = per.where(F.col("n") >= min_n).agg(
+        F.count("*").alias("__k"),
+        F.avg("raw_rate").alias("__m"),
+        F.var_samp("raw_rate").alias("__v"),
+    )
+    m, v = F.col("__m"), F.col("__v")
+    fit_guard = F.assert_true(
+        (F.col("__k") >= 2) & (v > 0) & (v < m * (F.lit(1.0) - m)),
+        F.lit(
+            "stats.eb_rates: cannot fit a Beta prior by moments — "
+            "fewer than 2 groups reach min_n, the qualifying rates "
+            "are constant (variance 0: nothing to shrink toward), or "
+            "the variance is >= m(1-m) (over-dispersion a Beta "
+            "cannot express). Adjust min_n or check the outcome."
+        ),
+    )
+    # method of moments: alpha = m(m(1-m)/v - 1), beta = (1-m)(...)
+    common = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    prior = fit.select(
+        F.when(fit_guard.isNull(), m * common).alias("__alpha"),
+        ((F.lit(1.0) - m) * common).alias("__beta"),
+    )
+    out = per.crossJoin(F.broadcast(prior))
+    a, b = F.col("__alpha"), F.col("__beta")
+    shrunk = (F.col("successes").cast("double") + a) / (
+        F.col("n").cast("double") + a + b
+    )
+    return out.select(
+        *gb,
+        "n",
+        "successes",
+        F.round(F.col("raw_rate"), round_to).alias("raw_rate"),
+        F.round(shrunk, round_to).alias("shrunk_rate"),
+        F.round(a, round_to).alias("alpha"),
+        F.round(b, round_to).alias("beta"),
+    )
+
+
 def _norm_ppf(p: float) -> float:
     """Φ⁻¹(p) on the driver (Acklam's rational approximation,
     |relative error| < 1.15e-9) — used only to turn alpha/power into

@@ -82,6 +82,8 @@ NESTED_LOOP_WHITELIST = {
     "recency-anchor broadcasts onto the per-user table",
     "graph_cooccurrence": "1-row kept-group-count broadcast onto the "
     "pair table (PMI denominator)",
+    "stats_eb_rates": "1-row Beta-prior constants broadcast onto the "
+    "per-group rate table",
     "text_logprob_buckets": "1-row vocab-total broadcast",
     "text_bigram_logprob": "1-row vocab-total broadcast",
     "search_bm25": "1-row corpus stats (N, avgdl) broadcast",

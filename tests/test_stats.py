@@ -4939,3 +4939,73 @@ def test_sample_size_guards(spark):
                                  "seg STRING, y INT")
     with pytest.raises(Exception, match="outside"):
         stats.sample_size(high, "y", mde_rel=0.9).collect()
+
+
+# ------------------------------------------------------------- EB rates
+
+
+def _eb_ref(groups, min_n=5):
+    """Pure-python replay: groups = {g: (n, s)}."""
+    rates = [s / n for n, s in groups.values() if n >= min_n]
+    m = sum(rates) / len(rates)
+    v = sum((r - m) ** 2 for r in rates) / (len(rates) - 1)
+    common = m * (1 - m) / v - 1
+    a, b = m * common, (1 - m) * common
+    return a, b, {
+        g: (s + a) / (n + a + b) for g, (n, s) in groups.items()
+    }
+
+
+def test_eb_rates_matches_reference_and_shrinks(spark):
+    from getl_spark.functions import stats
+
+    # big groups with stable rates + one tiny 2/2 group that a raw
+    # ranking would crown
+    groups = {
+        "big_good": (200, 120),   # 0.60
+        "big_mid": (300, 120),    # 0.40
+        "big_low": (250, 50),     # 0.20
+        "mid": (40, 22),          # 0.55
+        "tiny": (2, 2),           # 1.00 raw
+    }
+    rows = []
+    for g, (n, s) in groups.items():
+        rows += [(g, 1)] * s + [(g, 0)] * (n - s)
+    df = spark.createDataFrame(rows, "host STRING, ok INT")
+    got = {r.host: r for r in stats.eb_rates(df, "ok", "host").collect()}
+    a, b, want = _eb_ref(groups)
+    for g in groups:
+        assert got[g].n == groups[g][0]
+        assert abs(got[g].shrunk_rate - want[g]) < 1e-6, g
+        assert abs(got[g].alpha - a) < 1e-5 and abs(got[g].beta - b) < 1e-5
+    # the 2/2 group no longer outranks the 200-trial 60% group
+    assert got["tiny"].raw_rate == 1.0
+    assert got["tiny"].shrunk_rate < got["big_good"].shrunk_rate
+    # big groups barely move
+    assert abs(got["big_good"].shrunk_rate - 0.6) < 0.05
+    # partition invariance
+    again = {
+        r.host: tuple(r)
+        for r in stats.eb_rates(df.repartition(11), "ok", "host").collect()
+    }
+    assert again == {r.host: tuple(r) for r in got.values()}
+
+
+def test_eb_rates_guards(spark):
+    from getl_spark.functions import stats
+
+    # constant qualifying rates -> variance 0 -> loud
+    rows = [("a", 1)] * 5 + [("a", 0)] * 5 + [("b", 1)] * 5 + [("b", 0)] * 5
+    df = spark.createDataFrame(rows, "g STRING, y INT")
+    with pytest.raises(Exception, match="eb_rates"):
+        stats.eb_rates(df, "y", "g").collect()
+    # only one qualifying group -> loud
+    rows2 = [("a", 1)] * 6 + [("b", 1), ("b", 0)]
+    df2 = spark.createDataFrame(rows2, "g STRING, y INT")
+    with pytest.raises(Exception, match="eb_rates"):
+        stats.eb_rates(df2, "y", "g").collect()
+    with pytest.raises(ValueError, match="min_n"):
+        stats.eb_rates(df, "y", "g", min_n=0)
+    bad = spark.createDataFrame([("a", 3)], "g STRING, y INT")
+    with pytest.raises(Exception, match="binary"):
+        stats.eb_rates(bad, "y", "g").collect()
