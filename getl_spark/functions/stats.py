@@ -6770,10 +6770,16 @@ def sample_size(
         n = (z_{1−α/2}·√(2 p̄(1−p̄)) + z_{power}·√(p₁(1−p₁)+p₂(1−p₂)))²
             / (p₂ − p₁)²
 
-    with ``p̄ = (p₁+p₂)/2``, rounded UP. Returns ``(group..., n_rows,
-    baseline_rate, target_rate, n_per_arm, total_n)`` — compare
-    ``n_per_arm`` against the segment's weekly traffic to read
-    "weeks to significance" directly.
+    with ``p̄ = (p₁+p₂)/2``, rounded UP — Fleiss' formula, the same
+    arithmetic as the driver-side :func:`required_n_prop`. The three
+    differences from that calculator family: baselines come FROM THE
+    DATA per group (no hand-fed rate), the effect is RELATIVE
+    (``mde_rel``, how product asks are phrased), and alpha/power are
+    probabilities (the z quantiles derived internally) — so one call
+    sizes every segment of an experiment at once. Returns
+    ``(group..., n_rows, baseline_rate, target_rate, n_per_arm,
+    total_n)`` — compare ``n_per_arm`` against the segment's weekly
+    traffic to read "weeks to significance" directly.
 
     The z quantiles are DRIVER-SIDE literal constants (Acklam Φ⁻¹,
     |rel err| < 1.2e-9 — far under the rounding contract): no per-row
