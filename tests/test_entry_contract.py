@@ -35,6 +35,12 @@ ROWS_ONLY = {
     # is approximate by design; the vote arithmetic is value-verified
     # by similarity_knn_label's oracle
     "similarity_knn_label_ivf",
+    # merge-only bench split: the consolidation-cron cost against
+    # ALREADY-persisted per-period indexes (value semantics carried by
+    # the dedup_merge_minhash_index / similarity_merge_ivf_index
+    # composite oracles + the merge ≡ build-from-union pytests)
+    "dedup_merge_minhash_index_merge_only",
+    "similarity_merge_ivf_index_merge_only",
 }
 
 
