@@ -3615,6 +3615,90 @@ FROM nulled
 """
 
 
+def _q_stream_sessionize_drain(spark, sf_dir):
+    """transform::stream_sessionize driven end-to-end: the events
+    table streamed as JSON, per-user sessions (2 h gap) closed by
+    later evidence inside one availableNow drain via
+    applyInPandasWithState. The emitted set is EXACTLY every session
+    except each user's trailing open one (a stream cannot know a
+    session ended without a later event) — so the oracle is the
+    classic gap-and-island SQL minus each user's last island."""
+    import yaml as _yaml
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tmp = f"/tmp/getl_spark_q/stream_sessionize_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # micro-second timestamp format on BOTH legs: Spark's default JSON
+    # pattern keeps only milliseconds, and a truncated ts would shift
+    # session boundaries relative to the oracle's parquet. events.ts
+    # is TimestampNTZ, so the WRITER needs timestampNTZFormat (the
+    # plain timestampFormat option silently does not apply to NTZ);
+    # the stream reads it back as a session-tz TIMESTAMP
+    micros_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ev.select("user_id", "ts", "value").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).coalesce(2).write.mode("overwrite").option(
+        "timestampNTZFormat", micros_fmt
+    ).json(src)
+    stream = spark.readStream.schema(
+        "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    ).option("timestampFormat", micros_fmt).json(src)
+    from getl_spark.streaming.stateful import sessionize_stream
+
+    closed = sessionize_stream(
+        stream, "user_id", "ts", gap_seconds=7200, value_col="value"
+    )
+    (
+        closed.writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", out)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("value_sum", 6).alias("value_sum"),
+    )
+
+
+STREAM_SESSIONIZE_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), lagd AS (
+  SELECT *,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                     OVER (PARTITION BY user_id ORDER BY ts)
+                   > 7200000000 THEN 1 ELSE 0 END AS brk
+  FROM ev
+), sess AS (
+  SELECT *,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagd
+), summ AS (
+  SELECT user_id, sid,
+         MIN(ts) AS session_start,
+         MAX(ts) AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(COALESCE(value, 0.0)) AS value_sum
+  FROM sess
+  GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events,
+       ROUND(value_sum, 6) AS value_sum
+FROM summ
+WHERE sid < (SELECT MAX(s2.sid) FROM summ s2
+             WHERE s2.user_id = summ.user_id)
+"""
+
+
 def _q_stream_dedup_drain(spark, sf_dir):
     """transform::stream_dedup on a real stream: an orders sample
     written to JSON in triplicate (exact copies, so the surviving row
@@ -14608,6 +14692,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cooccurrence": _q_cooccurrence,
         "similarity_topk_hamming": _q_topk_hamming,
         "stats_eb_rates": _q_eb_rates,
+        "stream_sessionize_drain": _q_stream_sessionize_drain,
     }
 
 
@@ -14891,6 +14976,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "graph_cooccurrence": COOCCURRENCE_ORACLE,
         "similarity_topk_hamming": TOPK_HAMMING_ORACLE,
         "stats_eb_rates": EB_RATES_ORACLE,
+        "stream_sessionize_drain": STREAM_SESSIONIZE_ORACLE,
     }
 
 

@@ -225,6 +225,7 @@ DETAIL_QUERIES = [
     "graph_cooccurrence",
     "similarity_topk_hamming",
     "stats_eb_rates",
+    "stream_sessionize_drain",
     # merge-only split: the *_merge_index composite rows above time
     # build A + build B + merge + query end-to-end (capacity-plan
     # number); these isolate the merge+query cost a consolidation cron

@@ -344,6 +344,27 @@ def quota_filter(conf: BlockConfig) -> DataFrame:
     )
 
 
+def stream_sessionize(conf: BlockConfig) -> DataFrame:
+    """Stateful streaming sessionization block (batch & streaming).
+
+    Properties: ``Key``, ``TimeColumn``, ``GapSeconds``,
+    ``ValueColumn`` (optional). Streaming inputs emit CLOSED session
+    summaries via per-key ``applyInPandasWithState`` (the trailing
+    open session per key waits in state for closing evidence); batch
+    inputs emit every session through the JVM sessionize + aggregate
+    path.
+    """
+    from getl_spark.streaming.stateful import sessionize_stream as _ss
+
+    return _ss(
+        conf.input_df(),
+        key_col=conf.get("Key"),
+        ts_col=conf.get("TimeColumn"),
+        gap_seconds=int(conf.get("GapSeconds")),
+        value_col=conf.get("ValueColumn", None),
+    )
+
+
 def stream_dedup(conf: BlockConfig) -> DataFrame:
     """Ingest dedup block (batch & streaming).
 

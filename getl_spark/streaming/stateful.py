@@ -103,3 +103,155 @@ def quota_filter(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sessionize_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    value_col: "str | None" = None,
+) -> DataFrame:
+    """Streaming sessionization emitting CLOSED session summaries —
+    the stateful complement to ``streaming.windows.session`` (which
+    aggregates inside Spark's session window) and batch
+    ``sessions.sessionize`` (which labels rows): one output row per
+    finished session ``(key, session_start, session_end, n_events,
+    value_sum)``, where "finished" means a LATER event for the same
+    key arrived more than ``gap_seconds`` after the session's last
+    event. The trailing open session per key stays in state until
+    evidence closes it — a stream cannot know a session ended without
+    a later event, so each key's final session never emits until its
+    next activity (run the batch op over the landed data for the
+    tail; the two agree on every closed session).
+
+    Batch inputs run the same semantics JVM-side (sessionize + one
+    keyed aggregate) and emit EVERY session — a bounded input closes
+    all of them.
+
+    State per key is four longs/doubles (start, last, n, value sum) —
+    O(distinct keys), not O(rows). Within a micro-batch events sort
+    by time; across batches arrival order applies (an event older
+    than the open session's last timestamp merges into it when inside
+    the gap — the watermark-free contract; feed grossly out-of-order
+    streams through a watermarked sort upstream if that matters).
+    Within one batch the per-key work is vectorized pandas (diff >
+    gap → cumsum group ids → one groupby), never a per-row loop.
+    """
+    if gap_seconds <= 0:
+        raise ValueError(
+            f"sessionize_stream: gap_seconds must be > 0, got {gap_seconds}"
+        )
+    if not df.isStreaming:
+        from getl_spark.functions.sessions import sessionize
+
+        labeled = sessionize(df, [key_col], ts_col, gap_seconds)
+        val = (
+            F.sum(F.coalesce(F.col(value_col).cast("double"), F.lit(0.0)))
+            if value_col is not None
+            else F.lit(0.0)
+        )
+        ts = F.col(ts_col).cast("timestamp")
+        return (
+            labeled.groupBy(F.col(key_col), F.col("session_id"))
+            .agg(
+                F.min(ts).alias("session_start"),
+                F.max(ts).alias("session_end"),
+                F.count("*").cast("bigint").alias("n_events"),
+                val.alias("value_sum"),
+            )
+            .drop("session_id")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+
+    key_field = df.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType, True),
+            StructField("session_start", TimestampType(), True),
+            StructField("session_end", TimestampType(), True),
+            StructField("n_events", LongType(), True),
+            StructField("value_sum", DoubleType(), True),
+        ]
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def close_sessions(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        frames = [pdf for pdf in pdf_iter]
+        ev = pd.concat(frames) if len(frames) > 1 else frames[0]
+        ts = (
+            pd.to_datetime(ev[ts_col])
+            .astype("int64")
+            .floordiv(1000)
+            .sort_values()
+            .reset_index(drop=True)
+        )
+        if value_col is not None:
+            vals = (
+                ev.assign(__us=pd.to_datetime(ev[ts_col]).astype("int64")
+                          .floordiv(1000))
+                .sort_values("__us")[value_col]
+                .fillna(0.0)
+                .astype("float64")
+                .reset_index(drop=True)
+            )
+        else:
+            vals = pd.Series([0.0] * len(ts))
+        # vectorized session split within the batch
+        breaks = (ts.diff() > gap_us).fillna(False)
+        gid = breaks.cumsum()
+        grouped = pd.DataFrame(
+            {"g": gid, "t": ts, "v": vals}
+        ).groupby("g", sort=True).agg(
+            start=("t", "min"), last=("t", "max"),
+            n=("t", "size"), vsum=("v", "sum"),
+        )
+        cur = None
+        if state.exists:
+            s_start, s_last, s_n, s_vsum = state.get
+            cur = [s_start, s_last, int(s_n), float(s_vsum)]
+        closed = []
+        for _, row in grouped.iterrows():
+            g_start, g_last = int(row["start"]), int(row["last"])
+            g_n, g_vsum = int(row["n"]), float(row["vsum"])
+            if cur is not None and g_start - cur[1] <= gap_us:
+                cur = [
+                    min(cur[0], g_start), max(cur[1], g_last),
+                    cur[2] + g_n, cur[3] + g_vsum,
+                ]
+            else:
+                if cur is not None:
+                    closed.append(cur)
+                cur = [g_start, g_last, g_n, g_vsum]
+        state.update((cur[0], cur[1], cur[2], cur[3]))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(c[0] * 1000) for c in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(c[1] * 1000) for c in closed
+                    ],
+                    "n_events": [c[2] for c in closed],
+                    "value_sum": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            close_sessions,
+            out_schema,
+            "start long, last long, n long, vsum double",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

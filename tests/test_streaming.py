@@ -1192,3 +1192,128 @@ def test_stream_route_requires_route_fields(spark, tmp_path):
     }
     with _pytest.raises(Exception, match="missing 'Condition'"):
         lift(spark, yaml.safe_dump(definition, sort_keys=False))
+
+
+def test_stream_sessionize_closes_on_evidence(spark, tmp_path):
+    """Sessions emit when a LATER event beyond the gap closes them;
+    each key's trailing open session stays in state; a cross-batch
+    event inside the gap merges into the open session."""
+    from getl_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write_wave(name, rows):
+        with open(src / name, "w") as fh:
+            for user, ts, v in rows:
+                fh.write(json.dumps({"user_id": user, "ts": ts, "value": v}) + "\n")
+
+    # wave 1: u1 has one finished session (09:00-09:05) closed by an
+    # 11:00 event WITHIN the wave; u2 has only an open session
+    write_wave("w1.json", [
+        (1, "2024-01-01T09:00:00", 1.0),
+        (1, "2024-01-01T09:05:00", 2.0),
+        (1, "2024-01-01T11:00:00", 4.0),
+        (2, "2024-01-01T10:00:00", 8.0),
+    ])
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "user_id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "ts", "type": "timestamp", "nullable": True, "metadata": {}},
+            {"name": "value", "type": "double", "nullable": True, "metadata": {}},
+        ],
+    }
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "user_id LONG, ts TIMESTAMP, value DOUBLE"
+            ).json(str(src))
+        )
+        closed = sessionize_stream(
+            stream, "user_id", "ts", gap_seconds=1800, value_col="value"
+        )
+        (
+            closed.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+            .awaitTermination()
+        )
+        return sorted(
+            (r.user_id, str(r.session_start), str(r.session_end),
+             r.n_events, r.value_sum)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    got = drain()
+    assert got == [
+        (1, "2024-01-01 09:00:00", "2024-01-01 09:05:00", 2, 3.0),
+    ]
+
+    # wave 2: an 11:20 event for u1 merges into the open 11:00 session
+    # (within gap); a 15:00 event then closes the merged session.
+    # u2 gets an event beyond the gap -> its wave-1 session closes.
+    write_wave("w2.json", [
+        (1, "2024-01-01T11:20:00", 10.0),
+        (1, "2024-01-01T15:00:00", 0.5),
+        (2, "2024-01-01T12:00:00", 16.0),
+    ])
+    got = drain()
+    assert got == [
+        (1, "2024-01-01 09:00:00", "2024-01-01 09:05:00", 2, 3.0),
+        (1, "2024-01-01 11:00:00", "2024-01-01 11:20:00", 2, 14.0),
+        (2, "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1, 8.0),
+    ]
+
+
+def test_stream_sessionize_batch_path_and_block(spark, tmp_path):
+    import datetime
+
+    import yaml
+
+    from getl_spark.streaming.stateful import sessionize_stream
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 9, 0), 1.0),
+        (1, datetime.datetime(2024, 1, 1, 9, 10), 2.0),
+        (1, datetime.datetime(2024, 1, 1, 12, 0), 4.0),
+        (2, datetime.datetime(2024, 1, 1, 9, 0), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, value DOUBLE")
+    # batch emits EVERY session (bounded input closes all)
+    got = sorted(
+        (r.user_id, r.n_events, r.value_sum)
+        for r in sessionize_stream(
+            df, "user_id", "ts", 1800, value_col="value"
+        ).collect()
+    )
+    assert got == [(1, 1, 4.0), (1, 2, 3.0), (2, 1, 8.0)]
+    # YAML block surface (batch input)
+    src = str(tmp_path / "ev")
+    df.write.parquet(src)
+    definition = {
+        "LiftJob": {
+            "L": {"Type": "load::batch_parquet", "Properties": {"Path": src}},
+            "S": {
+                "Type": "transform::stream_sessionize",
+                "Input": "L",
+                "Properties": {
+                    "Key": "user_id",
+                    "TimeColumn": "ts",
+                    "GapSeconds": 1800,
+                    "ValueColumn": "value",
+                },
+            },
+        }
+    }
+    log = lift(spark, yaml.safe_dump(definition, sort_keys=False))
+    assert log.get("S").count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gap_seconds"):
+        sessionize_stream(df, "user_id", "ts", 0)
