@@ -8287,6 +8287,89 @@ FROM e
 """
 
 
+def _q_qini(spark, sf_dir):
+    """stats.qini — uplift-curve deciles with the event value as the
+    targeting score, user-parity arms, and click as the outcome (a
+    null-effect dataset by construction, so the curve should hug the
+    random line — the correctness check is the CURVE ARITHMETIC, not
+    the model). The oracle replays distinct-score blocks, per-arm
+    window prefix sums, the bucket-of-block-start rule, and the
+    bucket-end selection verbatim."""
+    from getl_spark.functions import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flagged = ev.where(F.col("value").isNotNull()).select(
+        F.col("value").alias("score"),
+        F.when(F.col("user_id") % 2 == 1, "t").otherwise("c").alias("arm"),
+        (F.col("event_type") == "click").cast("int").alias("y"),
+    )
+    return stats.qini(flagged, "score", "arm", "y", "c", "t")
+
+
+QINI_ORACLE = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS s,
+         CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS it,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE value IS NOT NULL
+), blocks AS (
+  SELECT -s AS negs,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(it) AS BIGINT) AS nt,
+         CAST(SUM(1 - it) AS BIGINT) AS nc,
+         CAST(SUM(it * y) AS BIGINT) AS pt,
+         CAST(SUM((1 - it) * y) AS BIGINT) AS pc
+  FROM base GROUP BY -s
+), cum AS (
+  SELECT *,
+         CAST(SUM(n) OVER w AS BIGINT) AS cn,
+         CAST(SUM(nt) OVER w AS BIGINT) AS ccnt,
+         CAST(SUM(nc) OVER w AS BIGINT) AS ccnc,
+         CAST(SUM(pt) OVER w AS BIGINT) AS ccpt,
+         CAST(SUM(pc) OVER w AS BIGINT) AS ccpc
+  FROM blocks
+  WINDOW w AS (ORDER BY negs ROWS UNBOUNDED PRECEDING)
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(nt) AS BIGINT) AS tnt,
+         CAST(SUM(nc) AS BIGINT) AS tnc, CAST(SUM(pt) AS BIGINT) AS tpt,
+         CAST(SUM(pc) AS BIGINT) AS tpc
+  FROM blocks
+), bktd AS (
+  SELECT cum.*, tot.*,
+         CAST(FLOOR(CAST(cn - n AS DOUBLE) * 10 / tn) AS INT) AS bucket
+  FROM cum CROSS JOIN tot
+), ends AS (
+  SELECT * FROM bktd
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY cn DESC) = 1
+)
+SELECT bucket,
+       cn AS cum_rows, ccnt AS cum_treat, ccnc AS cum_ctrl,
+       ccpt AS cum_treat_pos, ccpc AS cum_ctrl_pos,
+       ROUND(CAST(ccpt AS DOUBLE)
+             - CASE WHEN ccnc > 0
+                    THEN CAST(ccpc AS DOUBLE) * CAST(ccnt AS DOUBLE)
+                         / CAST(ccnc AS DOUBLE)
+                    ELSE 0.0 END, 6) + 0.0 AS uplift,
+       ROUND((CAST(tpt AS DOUBLE)
+              - CAST(tpc AS DOUBLE) * CAST(tnt AS DOUBLE)
+                / CAST(tnc AS DOUBLE))
+             * CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE), 6) + 0.0
+         AS random_uplift,
+       ROUND((CAST(ccpt AS DOUBLE)
+              - CASE WHEN ccnc > 0
+                     THEN CAST(ccpc AS DOUBLE) * CAST(ccnt AS DOUBLE)
+                          / CAST(ccnc AS DOUBLE)
+                     ELSE 0.0 END)
+             - (CAST(tpt AS DOUBLE)
+                - CAST(tpc AS DOUBLE) * CAST(tnt AS DOUBLE)
+                  / CAST(tnc AS DOUBLE))
+               * CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE), 6) + 0.0
+         AS qini
+FROM ends
+"""
+
+
 def _q_eb_rates(spark, sf_dir):
     """stats.eb_rates — empirical-Bayes shrinkage of per-user click
     rates (the sparse-group ranking fix: a 2-event user's 100% CTR
@@ -14693,6 +14776,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_hamming": _q_topk_hamming,
         "stats_eb_rates": _q_eb_rates,
         "stream_sessionize_drain": _q_stream_sessionize_drain,
+        "stats_qini": _q_qini,
     }
 
 
@@ -14977,6 +15061,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "similarity_topk_hamming": TOPK_HAMMING_ORACLE,
         "stats_eb_rates": EB_RATES_ORACLE,
         "stream_sessionize_drain": STREAM_SESSIONIZE_ORACLE,
+        "stats_qini": QINI_ORACLE,
     }
 
 

@@ -226,6 +226,7 @@ DETAIL_QUERIES = [
     "similarity_topk_hamming",
     "stats_eb_rates",
     "stream_sessionize_drain",
+    "stats_qini",
     # merge-only split: the *_merge_index composite rows above time
     # build A + build B + merge + query end-to-end (capacity-plan
     # number); these isolate the merge+query cost a consolidation cron

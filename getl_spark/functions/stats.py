@@ -6629,6 +6629,145 @@ def meta_analysis(
     )
 
 
+def qini(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    outcome_col: str,
+    control: str,
+    treatment: str,
+    n_buckets: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Qini/uplift curve table for a TREATMENT-EFFECT model — the
+    gains_table of uplift modeling (Radcliffe): a targeting model
+    scores who to treat; ranking everyone by that score and treating
+    only the top fraction, how many INCREMENTAL conversions does the
+    model capture over random targeting? At each score-ranked prefix
+
+        Q(k) = Y_T(k) − Y_C(k) · N_T(k) / N_C(k)
+
+    (treated positives minus control positives scaled to the treated
+    volume — the causal analogue of cumulative gains; while the
+    prefix holds no control rows the scaled term is 0 by convention),
+    and the random-targeting baseline is the straight line to the
+    full-population Q. One row per bucket END (deciles by default):
+    ``(bucket, cum_rows, cum_treat, cum_ctrl, cum_treat_pos,
+    cum_ctrl_pos, uplift, random_uplift, qini)`` with
+    ``qini = uplift − random_uplift`` — positive means the model
+    targets better than a coin at that depth; read the curve's peak
+    as "treat the top X%".
+
+    Same tie contract as :func:`gains_table` (a tied score block
+    belongs WHOLE to the bucket where it begins), same arm/outcome
+    contract as :func:`ab_compare` (binary 0/1 loud assert, rows
+    outside the named arms or with NULL score/outcome excluded, an
+    empty arm fails LOUD — a qini without a control arm is just a
+    gains curve).
+
+    Scale shape: exactly the gains_table plan — per-distinct-score
+    conditional counts (shuffle ∝ distinct scores), the DISTRIBUTED
+    multi-column prefix sum, 1-row totals broadcast, final aggregate
+    ≤ n_buckets rows.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"stats.qini: n_buckets must be >= 2, got {n_buckets}")
+    g = F.col(group_col)
+    s = F.col(score_col).cast("double")
+    y = F.col(outcome_col).cast("bigint")
+    guard = F.assert_true(
+        y.isin(0, 1),
+        F.lit("stats.qini: outcome column must be binary 0/1"),
+    )
+    checked = y + F.coalesce(guard.cast("bigint"), F.lit(0))
+    base = df.where(
+        g.isin(control, treatment)
+        & s.isNotNull() & ~F.isnan(s)
+        & y.isNotNull()
+    )
+    is_t = (g == treatment).cast("bigint")
+    counts = base.groupBy((-s).alias("__negs")).agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum(is_t).cast("bigint").alias("__nt"),
+        F.sum(1 - is_t).cast("bigint").alias("__nc"),
+        F.sum(is_t * checked).cast("bigint").alias("__pt"),
+        F.sum((1 - is_t) * checked).cast("bigint").alias("__pc"),
+    )
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    cum = grouped_prefix_sum(
+        counts, [], ["__negs"],
+        ["__n", "__nt", "__nc", "__pt", "__pc"],
+        ["__cn", "__cnt", "__cnc", "__cpt", "__cpc"],
+    )
+    totals = counts.agg(
+        F.sum("__n").cast("bigint").alias("__tn"),
+        F.sum("__nt").cast("bigint").alias("__tnt"),
+        F.sum("__nc").cast("bigint").alias("__tnc"),
+        F.sum("__pt").cast("bigint").alias("__tpt"),
+        F.sum("__pc").cast("bigint").alias("__tpc"),
+    )
+    arm_guard = F.assert_true(
+        (F.col("__tnt") > 0) & (F.col("__tnc") > 0),
+        F.lit(
+            "stats.qini: an arm is empty — check the control/treatment "
+            "names against the group column (a qini needs both arms)"
+        ),
+    )
+    j = cum.join(F.broadcast(totals))
+    bucket = F.floor(
+        (F.col("__cn") - F.col("__n")).cast("double")
+        * n_buckets
+        / F.col("__tn")
+    ).cast("int")
+    # bucket END = the tied block with the largest cum_rows inside it
+    per_bucket = (
+        j.select(
+            bucket.alias("bucket"),
+            F.struct(
+                F.col("__cn"), F.col("__cnt"), F.col("__cnc"),
+                F.col("__cpt"), F.col("__cpc"),
+                F.col("__tn"), F.col("__tnt"), F.col("__tnc"),
+                F.col("__tpt"), F.col("__tpc"),
+            ).alias("__st"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("__st").alias("e"))
+        .select("bucket", "e.*")
+    )
+    cnt, cnc = F.col("__cnt").cast("double"), F.col("__cnc").cast("double")
+    q_at = F.col("__cpt").cast("double") - F.when(
+        F.col("__cnc") > 0,
+        F.col("__cpc").cast("double") * cnt / cnc,
+    ).otherwise(F.lit(0.0))
+    # division gated so ANSI divide-by-zero can't preempt the loud
+    # empty-arm assert (same pattern as ab_compare/meta_analysis)
+    q_total = F.col("__tpt").cast("double") - F.when(
+        F.col("__tnc") > 0,
+        F.col("__tpc").cast("double")
+        * F.col("__tnt").cast("double")
+        / F.col("__tnc").cast("double"),
+    ).otherwise(F.lit(0.0))
+    rand = q_total * F.col("__cn").cast("double") / F.col("__tn").cast(
+        "double"
+    )
+    # + 0.0 after rounding: IEEE -0.0 + 0.0 = +0.0, so a null-effect
+    # curve that rounds to negative zero hashes identically to the
+    # oracle's positive zero
+    zz = F.lit(0.0)
+    return per_bucket.select(
+        F.when(arm_guard.isNull(), F.col("bucket")).alias("bucket"),
+        F.col("__cn").alias("cum_rows"),
+        F.col("__cnt").alias("cum_treat"),
+        F.col("__cnc").alias("cum_ctrl"),
+        F.col("__cpt").alias("cum_treat_pos"),
+        F.col("__cpc").alias("cum_ctrl_pos"),
+        (F.round(q_at, round_to) + zz).alias("uplift"),
+        (F.round(rand, round_to) + zz).alias("random_uplift"),
+        (F.round(q_at - rand, round_to) + zz).alias("qini"),
+    ).orderBy("bucket")
+
+
 def eb_rates(
     df: DataFrame,
     outcome_col: str,

@@ -84,6 +84,8 @@ NESTED_LOOP_WHITELIST = {
     "pair table (PMI denominator)",
     "stats_eb_rates": "1-row Beta-prior constants broadcast onto the "
     "per-group rate table",
+    "stats_qini": "1-row arm-totals broadcast onto the distinct-score "
+    "blocks (uplift denominators; the gains_table shape)",
     "text_logprob_buckets": "1-row vocab-total broadcast",
     "text_bigram_logprob": "1-row vocab-total broadcast",
     "search_bm25": "1-row corpus stats (N, avgdl) broadcast",

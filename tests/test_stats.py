@@ -5009,3 +5009,97 @@ def test_eb_rates_guards(spark):
     bad = spark.createDataFrame([("a", 3)], "g STRING, y INT")
     with pytest.raises(Exception, match="binary"):
         stats.eb_rates(bad, "y", "g").collect()
+
+
+# ------------------------------------------------------------------ qini
+
+
+def _qini_ref(rows, n_buckets=10):
+    """Pure-python replay: rows = [(score, arm, y)] with arm in c/t.
+    Returns {bucket: (cum_rows, cnt, cnc, cpt, cpc, uplift, rand, qini)}."""
+    from collections import defaultdict
+
+    blocks = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, nt, nc, pt, pc
+    for s, a, y in rows:
+        b = blocks[-s]
+        b[0] += 1
+        if a == "t":
+            b[1] += 1
+            b[3] += y
+        else:
+            b[2] += 1
+            b[4] += y
+    tn = sum(b[0] for b in blocks.values())
+    tnt = sum(b[1] for b in blocks.values())
+    tnc = sum(b[2] for b in blocks.values())
+    tpt = sum(b[3] for b in blocks.values())
+    tpc = sum(b[4] for b in blocks.values())
+    q_total = tpt - tpc * tnt / tnc
+    out = {}
+    cn = cnt = cnc = cpt = cpc = 0
+    for k in sorted(blocks):
+        b = blocks[k]
+        bucket = (cn * n_buckets) // tn
+        cn += b[0]; cnt += b[1]; cnc += b[2]; cpt += b[3]; cpc += b[4]
+        q = cpt - (cpc * cnt / cnc if cnc > 0 else 0.0)
+        rand = q_total * cn / tn
+        out[bucket] = (cn, cnt, cnc, cpt, cpc, q, rand, q - rand)
+    return out
+
+
+def test_qini_matches_reference_and_finds_uplift(spark):
+    from getl_spark.functions import stats
+
+    # planted persuadables: rows with score >= 70 convert IF TREATED
+    # (effect), low scores convert at base rate regardless
+    rows = []
+    for i in range(400):
+        score = (i * 7919) % 100
+        arm = "t" if i % 2 == 0 else "c"
+        if score >= 70:
+            y = 1 if arm == "t" else 0            # pure persuadables
+        else:
+            y = 1 if (i * 31) % 10 == 0 else 0    # 10% base both arms
+        rows.append((float(score), arm, y))
+    df = spark.createDataFrame(rows, "score DOUBLE, arm STRING, y INT")
+    got = {
+        r.bucket: (r.cum_rows, r.cum_treat, r.cum_ctrl, r.cum_treat_pos,
+                   r.cum_ctrl_pos, r.uplift, r.random_uplift, r.qini)
+        for r in stats.qini(df, "score", "arm", "y", "c", "t").collect()
+    }
+    want = _qini_ref(rows)
+    assert set(got) == set(want)
+    for b, w in want.items():
+        assert got[b][:5] == w[:5], b
+        for gi, wi in zip(got[b][5:], w[5:]):
+            assert abs(gi - wi) < 1e-6, b
+    # the model targets better than random in the high-score deciles
+    assert got[0][7] > 0 and got[2][7] > 0
+    # the curve ends ON the random line (qini(100%) == 0)
+    last = max(got)
+    assert abs(got[last][7]) < 1e-6
+    # partition invariance
+    again = {
+        r.bucket: tuple(r)
+        for r in stats.qini(
+            df.repartition(13), "score", "arm", "y", "c", "t"
+        ).collect()
+    }
+    assert again == {b: (b, *v) for b, v in got.items()}
+
+
+def test_qini_guards(spark):
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [(1.0, "t", 1), (0.5, "t", 0)], "score DOUBLE, arm STRING, y INT"
+    )
+    with pytest.raises(Exception, match="arm is empty"):
+        stats.qini(df, "score", "arm", "y", "c", "t").collect()
+    bad = spark.createDataFrame(
+        [(1.0, "t", 2), (0.5, "c", 1)], "score DOUBLE, arm STRING, y INT"
+    )
+    with pytest.raises(Exception, match="binary"):
+        stats.qini(bad, "score", "arm", "y", "c", "t").collect()
+    with pytest.raises(ValueError, match="n_buckets"):
+        stats.qini(df, "score", "arm", "y", "c", "t", n_buckets=1)
