@@ -9781,6 +9781,42 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_match_distribution(spark, sf_dir):
+    """sample.match_distribution — declared-mix downsampling on the
+    same fixed skewed frame the balanced_downsample row uses
+    (600/300/100 over range(1000)): target 50/30/20 makes books the
+    bottleneck (T = 100/0.2 = 500), so the kept counts are EXACTLY
+    {web 250, code 150, books 100}; the xxhash winner set is
+    golden-pinned via per-class id sums (hash order is not
+    SQL-replayable — the same convention as balanced_downsample)."""
+    from getl_spark.functions import sample
+
+    base = spark.range(0, 1000).select(
+        "id",
+        F.when(F.col("id") % 10 <= 5, F.lit("web"))
+        .when(F.col("id") % 10 <= 8, F.lit("code"))
+        .otherwise(F.lit("books"))
+        .alias("src"),
+    )
+    out = sample.match_distribution(
+        base, "src", {"web": 0.5, "code": 0.3, "books": 0.2}, ["id"],
+        seed=7,
+    )
+    return out.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+    )
+
+
+MATCH_DISTRIBUTION_ORACLE = """
+SELECT * FROM (VALUES
+  ('books', CAST(100 AS BIGINT), CAST(50400 AS BIGINT)),
+  ('code',  CAST(150 AS BIGINT), CAST(76782 AS BIGINT)),
+  ('web',   CAST(250 AS BIGINT), CAST(125748 AS BIGINT))
+) AS t(src, n, id_sum)
+"""
+
+
 def _q_moments(spark, sf_dir):
     """stats.moments — shape summary (skewness, excess kurtosis) of
     lineitem quantity per return flag. Integer-valued metric keeps
@@ -14777,6 +14813,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_eb_rates": _q_eb_rates,
         "stream_sessionize_drain": _q_stream_sessionize_drain,
         "stats_qini": _q_qini,
+        "sample_match_distribution": _q_match_distribution,
     }
 
 
@@ -15062,6 +15099,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_eb_rates": EB_RATES_ORACLE,
         "stream_sessionize_drain": STREAM_SESSIONIZE_ORACLE,
         "stats_qini": QINI_ORACLE,
+        "sample_match_distribution": MATCH_DISTRIBUTION_ORACLE,
     }
 
 

@@ -227,6 +227,7 @@ DETAIL_QUERIES = [
     "stats_eb_rates",
     "stream_sessionize_drain",
     "stats_qini",
+    "sample_match_distribution",
     # merge-only split: the *_merge_index composite rows above time
     # build A + build B + merge + query end-to-end (capacity-plan
     # number); these isolate the merge+query cost a consolidation cron

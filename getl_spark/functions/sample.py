@@ -1013,3 +1013,80 @@ def dsir_select(
         id_col, "n_tokens", "logw",
         F.row_number().over(rank_w).alias("selection_rank"),
     )
+
+
+def match_distribution(
+    df: DataFrame,
+    col: str,
+    target: Dict,
+    id_cols: Sequence[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Downsample so the kept rows MATCH a declared categorical mix —
+    the "make this corpus 30% code / 50% web / 20% books" step stated
+    as the destination instead of per-class knobs:
+    :func:`balanced_downsample` equalizes, :func:`temperature_mix`
+    flattens by a power law, THIS one hits an explicit target
+    distribution exactly. The kept total is the LARGEST achievable
+    under downsampling-only: ``T = min_k n_k / w_k`` (the bottleneck
+    class keeps everything; every other class trims to
+    ``floor(w_k · T)`` rows in deterministic content-hash order — an
+    EXACT cap, not a Bernoulli expectation, so the realized mix is
+    the target to within one row per class).
+
+    ``target`` maps class values to shares (normalized internally).
+    Classes absent from ``target`` are DROPPED (they have share 0 in
+    the destination). A target class with ZERO rows in the data fails
+    LOUD — no downsample can invent its mass, and silently
+    renormalizing would ship a different mix than the one declared.
+    NULL class rows are dropped.
+
+    Scale shape: :func:`balanced_downsample`'s — per-class rank via
+    the DISTRIBUTED prefix count over (class, hash) order (parallelism
+    independent of the class count), per-class caps as a k-row
+    broadcast join, one count aggregate for the bottleneck.
+    """
+    if not target:
+        raise ValueError("match_distribution: target must be non-empty")
+    shares = {k: float(v) for k, v in target.items()}
+    if any(v <= 0 for v in shares.values()):
+        raise ValueError(
+            "match_distribution: every target share must be > 0 — drop "
+            "the class from the target instead of giving it share 0"
+        )
+    tot = sum(shares.values())
+    shares = {k: v / tot for k, v in shares.items()}
+    c = F.col(col)
+    base = df.where(c.isNotNull() & c.isin(list(shares))).withColumn(
+        "__md_h", _unit_hash(id_cols, seed)
+    ).withColumn("__md_one", F.lit(1))
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    ranked = grouped_prefix_sum(
+        base,
+        [col],
+        ["__md_h"] + [str(c_) for c_ in id_cols],
+        "__md_one",
+        "__md_rk",
+    )
+    counts = {
+        r[0]: r[1]
+        for r in base.groupBy(col).agg(F.count("*").alias("n")).collect()
+    }
+    missing = [k for k in shares if counts.get(k, 0) == 0]
+    if missing:
+        raise ValueError(
+            f"match_distribution: target class(es) {missing} have no "
+            "rows — a downsample cannot invent their mass; fix the "
+            "target or the data"
+        )
+    t_max = min(counts[k] / shares[k] for k in shares)
+    caps = [(k, int(shares[k] * t_max)) for k in shares]
+    spark = df.sparkSession
+    cap_df = spark.createDataFrame(
+        caps, f"__md_k {df.schema[col].dataType.simpleString()}, __md_cap bigint"
+    )
+    kept = ranked.join(
+        F.broadcast(cap_df), ranked[col] == cap_df["__md_k"]
+    ).where(F.col("__md_rk") <= F.col("__md_cap"))
+    return kept.drop("__md_h", "__md_one", "__md_rk", "__md_k", "__md_cap")

@@ -1001,3 +1001,61 @@ def test_dsir_select_topk_and_gumbel(spark):
         sample.dsir_weights(raw, tgt, smoothing=0.0)
     with pytest.raises(ValueError, match="agg"):
         sample.dsir_weights(raw, tgt, agg="median")
+
+
+# ------------------------------------------------------- match target mix
+
+
+def test_match_distribution_hits_target(spark):
+    # skewed corpus: 600 web, 300 code, 100 books
+    rows = (
+        [(i, "web") for i in range(600)]
+        + [(1000 + i, "code") for i in range(300)]
+        + [(2000 + i, "books") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, src STRING")
+    out = sample.match_distribution(
+        df, "src", {"web": 0.5, "code": 0.3, "books": 0.2}, ["doc_id"]
+    )
+    got = {r.src: r.cnt for r in out.groupBy("src").agg(
+        F.count("*").alias("cnt")).collect()}
+    # bottleneck: books 100 / 0.2 -> T = 500 -> {web: 250, code: 150,
+    # books: 100} — books keeps everything, exact counts elsewhere
+    assert got == {"web": 250, "code": 150, "books": 100}
+    # classes absent from the target are dropped
+    df2 = df.union(spark.createDataFrame([(9000, "spam")], df.schema))
+    out2 = sample.match_distribution(
+        df2, "src", {"web": 0.5, "code": 0.5}, ["doc_id"]
+    )
+    assert out2.where("src = 'spam'").count() == 0
+    assert out2.where("src = 'books'").count() == 0
+    # determinism across partitionings
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in sample.match_distribution(
+            df.repartition(17), "src",
+            {"web": 0.5, "code": 0.3, "books": 0.2}, ["doc_id"],
+        ).collect()
+    )
+    assert a == b
+    # shares normalize (5/3/2 == 0.5/0.3/0.2)
+    c = sorted(
+        r.doc_id
+        for r in sample.match_distribution(
+            df, "src", {"web": 5, "code": 3, "books": 2}, ["doc_id"]
+        ).collect()
+    )
+    assert a == c
+
+
+def test_match_distribution_guards(spark):
+    df = spark.createDataFrame([(1, "web")], "doc_id LONG, src STRING")
+    with pytest.raises(ValueError, match="non-empty"):
+        sample.match_distribution(df, "src", {}, ["doc_id"])
+    with pytest.raises(ValueError, match="share"):
+        sample.match_distribution(df, "src", {"web": 0.0}, ["doc_id"])
+    with pytest.raises(ValueError, match="no rows"):
+        sample.match_distribution(
+            df, "src", {"web": 0.5, "books": 0.5}, ["doc_id"]
+        )
