@@ -1318,9 +1318,14 @@ def binarize(
             .otherwise(F.lit(0))
             .cast("bigint"),
         )
+    # size(v) = 0 must short-circuit: n_words = 0 would make
+    # sequence(0, -1) DESCEND (Spark infers step -1) and the fold would
+    # call element_at(v, 0) — an invalid-index runtime error instead of
+    # the empty bits array a zero-length vector encodes to. NULL input
+    # falls through both whens and stays NULL.
     bits = F.when(
-        v.isNotNull(),
+        F.size(v) > 0,
         F.transform(F.sequence(F.lit(0), n_words - 1), word),
-    )
+    ).when(v.isNotNull(), F.array().cast("array<bigint>"))
     out = df.withColumn(new_col, bits)
     return out.drop(vec_col) if drop else out

@@ -1081,7 +1081,15 @@ def match_distribution(
             "target or the data"
         )
     t_max = min(counts[k] / shares[k] for k in shares)
-    caps = [(k, int(shares[k] * t_max)) for k in shares]
+    # the bottleneck class's cap must be counts[k] EXACTLY — computing
+    # it as int(share * t_max) re-multiplies the ratio and float
+    # rounding can land one below (share 0.1, n 3: 0.1*(3/0.1) =
+    # 2.999…96 → 2), breaking the documented "bottleneck keeps
+    # everything" contract; min(counts, floor+eps) pins it and every
+    # tied class
+    caps = [
+        (k, min(counts[k], int(shares[k] * t_max + 1e-9))) for k in shares
+    ]
     spark = df.sparkSession
     cap_df = spark.createDataFrame(
         caps, f"__md_k {df.schema[col].dataType.simpleString()}, __md_cap bigint"

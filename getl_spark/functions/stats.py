@@ -6534,7 +6534,9 @@ def meta_analysis(
 
     Rows with NULL or non-positive SE are excluded; fails loud with
     fewer than 2 usable segments per group. ``group_by`` pools within
-    groups (e.g. one pooled effect per metric). Returns
+    groups (e.g. one pooled effect per metric); a NULL group key forms
+    its own group and is pooled like any other (the internal
+    recombining joins are null-safe). Returns
     ``(group..., k, fixed_effect, fixed_se, fixed_z, fixed_p, q,
     i2, tau2, random_effect, random_se, random_z, random_p)``.
 
@@ -6596,10 +6598,23 @@ def meta_analysis(
     )
     # random-effects pass re-weights the ORIGINAL segment rows with
     # tau2 — one more keyed partial agg joined back (broadcast when
-    # groups are dimension-sized)
-    tau_tbl = out.select(*gb, "__tau2")
+    # groups are dimension-sized). Both joins are NULL-SAFE on the
+    # group keys: groupBy keeps a NULL group, and a plain equi-join
+    # (NULL != NULL) would silently drop its pooled row from the
+    # output — renamed key columns + eqNullSafe keep it.
+    def _nullsafe_join(left, right, right_keys):
+        cond = None
+        for c, rc in zip(gb, right_keys):
+            leg = left[c].eqNullSafe(right[rc])
+            cond = leg if cond is None else (cond & leg)
+        return left.join(right, cond).drop(*right_keys)
+
+    tau_keys = [f"__mg_{i}" for i in range(len(gb))]
+    tau_tbl = out.select(
+        *[F.col(c).alias(k) for c, k in zip(gb, tau_keys)], "__tau2"
+    )
     joined = (
-        base.join(F.broadcast(tau_tbl), gb) if gb
+        _nullsafe_join(base, F.broadcast(tau_tbl), tau_keys) if gb
         else base.crossJoin(F.broadcast(tau_tbl))
     )
     wr = F.lit(1.0) / (se * se + F.col("__tau2"))
@@ -6607,7 +6622,15 @@ def meta_analysis(
         F.sum(wr).alias("__rw"),
         F.sum(wr * x).alias("__rwx"),
     )
-    full = out.join(rand, gb) if gb else out.crossJoin(F.broadcast(rand))
+    if gb:
+        rand_keys = [f"__mr_{i}" for i in range(len(gb))]
+        rand = rand.select(
+            *[F.col(c).alias(k) for c, k in zip(gb, rand_keys)],
+            "__rw", "__rwx",
+        )
+        full = _nullsafe_join(out, rand, rand_keys)
+    else:
+        full = out.crossJoin(F.broadcast(rand))
     r_eff = F.col("__rwx") / F.col("__rw")
     r_se = F.lit(1.0) / F.sqrt(F.col("__rw"))
     fz = F.col("__fx") / F.col("__fse")

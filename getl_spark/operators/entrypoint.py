@@ -348,20 +348,26 @@ def stream_sessionize(conf: BlockConfig) -> DataFrame:
     """Stateful streaming sessionization block (batch & streaming).
 
     Properties: ``Key``, ``TimeColumn``, ``GapSeconds``,
-    ``ValueColumn`` (optional). Streaming inputs emit CLOSED session
-    summaries via per-key ``applyInPandasWithState`` (the trailing
-    open session per key waits in state for closing evidence); batch
+    ``ValueColumn`` (optional), ``IdleTimeoutSeconds`` (optional —
+    event-time idle timeout: when the watermark passes a silent key's
+    last event by this much, its open session closes+emits and its
+    state is freed, keeping the store O(active keys)).
+    Streaming inputs emit CLOSED session summaries via per-key
+    ``applyInPandasWithState`` (the trailing open session per key
+    waits in state for closing evidence or the idle timeout); batch
     inputs emit every session through the JVM sessionize + aggregate
     path.
     """
     from getl_spark.streaming.stateful import sessionize_stream as _ss
 
+    idle = conf.get("IdleTimeoutSeconds", None)
     return _ss(
         conf.input_df(),
         key_col=conf.get("Key"),
         ts_col=conf.get("TimeColumn"),
         gap_seconds=int(conf.get("GapSeconds")),
         value_col=conf.get("ValueColumn", None),
+        idle_timeout_seconds=None if idle is None else int(idle),
     )
 
 

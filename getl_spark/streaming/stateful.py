@@ -40,6 +40,13 @@ def quota_filter(
     arrival order (standard streaming quota semantics — a global order
     over an unbounded stream does not exist). ``count_col`` values must
     be nonnegative (a quota consumes; it cannot refund).
+
+    State is deliberately PERMANENT (``NoTimeout``): a budget is a
+    lifetime contract per key — expiring a spent key's one-long state
+    would re-open its quota and re-admit rows. State size is one long
+    per distinct key ever seen; if the key space itself churns
+    unboundedly, cap it upstream (or bucket keys) — an idle timeout
+    here would be a correctness bug, not an optimization.
     """
     if not df.isStreaming:
         from getl_spark.common.scale import grouped_prefix_sum
@@ -111,6 +118,7 @@ def sessionize_stream(
     ts_col: str,
     gap_seconds: int,
     value_col: "str | None" = None,
+    idle_timeout_seconds: "int | None" = None,
 ) -> DataFrame:
     """Streaming sessionization emitting CLOSED session summaries —
     the stateful complement to ``streaming.windows.session`` (which
@@ -119,29 +127,62 @@ def sessionize_stream(
     finished session ``(key, session_start, session_end, n_events,
     value_sum)``, where "finished" means a LATER event for the same
     key arrived more than ``gap_seconds`` after the session's last
-    event. The trailing open session per key stays in state until
-    evidence closes it — a stream cannot know a session ended without
-    a later event, so each key's final session never emits until its
-    next activity (run the batch op over the landed data for the
-    tail; the two agree on every closed session).
+    event — or, with ``idle_timeout_seconds`` set, the key received
+    no data for that long of PROCESSING time.
+
+    ``idle_timeout_seconds`` bounds state to O(ACTIVE keys): without
+    it the trailing open session of every key ever seen stays in
+    state forever (a one-visit user parks 4 scalars for the stream's
+    lifetime — monotone state growth on a churning key space). With
+    it, a key whose open session's last event falls more than the
+    timeout behind the stream's WATERMARK has that session closed,
+    EMITTED, and its state removed — which also delivers each key's
+    final session to the sink instead of stranding it. The idle bound
+    is EVENT time (``EventTimeTimeout`` + an automatic
+    ``withWatermark(ts_col, idle_timeout_seconds)``), not wall-clock:
+    deterministic and replayable, and — unlike a processing-time
+    timeout — compatible with ``availableNow`` maintenance drains
+    (Spark keeps scheduling micro-batches while ANY processing-time
+    timeout is registered, so an availableNow drain would never
+    terminate; the event-time form only reruns while the watermark
+    advances). Two consequences to know: events later than the
+    timeout behind the max seen ``ts_col`` are dropped by the
+    watermark, and a key only times out when OTHER traffic advances
+    the watermark past it (a fully silent stream evicts nothing —
+    exactly the replay-safe contract). Choose it ≫ ``gap_seconds``
+    (e.g. 10×): a timeout shorter than the gap can split a session
+    that event-time rules would merge. Default ``None`` keeps the
+    exact legacy contract (state never expires; tails never emit) —
+    byte-identical drains.
+
+    Rows with a NULL ``ts_col`` are DROPPED in both legs (a NULL
+    timestamp cannot be ordered into any session; without the filter
+    the streaming leg's epoch arithmetic would turn NaT into
+    INT64_MIN and fabricate a garbage session start).
 
     Batch inputs run the same semantics JVM-side (sessionize + one
     keyed aggregate) and emit EVERY session — a bounded input closes
-    all of them.
+    all of them (``idle_timeout_seconds`` is a no-op there).
 
-    State per key is four longs/doubles (start, last, n, value sum) —
-    O(distinct keys), not O(rows). Within a micro-batch events sort
-    by time; across batches arrival order applies (an event older
-    than the open session's last timestamp merges into it when inside
-    the gap — the watermark-free contract; feed grossly out-of-order
-    streams through a watermarked sort upstream if that matters).
-    Within one batch the per-key work is vectorized pandas (diff >
-    gap → cumsum group ids → one groupby), never a per-row loop.
+    State per key is four longs/doubles (start, last, n, value sum).
+    Within a micro-batch events sort by time; across batches arrival
+    order applies (an event older than the open session's last
+    timestamp merges into it when inside the gap — the watermark-free
+    contract; feed grossly out-of-order streams through a watermarked
+    sort upstream if that matters). Within one batch the per-key work
+    is vectorized pandas (diff > gap → cumsum group ids → one
+    groupby), never a per-row loop.
     """
     if gap_seconds <= 0:
         raise ValueError(
             f"sessionize_stream: gap_seconds must be > 0, got {gap_seconds}"
         )
+    if idle_timeout_seconds is not None and idle_timeout_seconds <= 0:
+        raise ValueError(
+            "sessionize_stream: idle_timeout_seconds must be > 0 "
+            f"(or None to disable), got {idle_timeout_seconds}"
+        )
+    df = df.where(F.col(ts_col).isNotNull())
     if not df.isStreaming:
         from getl_spark.functions.sessions import sessionize
 
@@ -179,9 +220,33 @@ def sessionize_stream(
         ]
     )
     gap_us = int(gap_seconds) * 1_000_000
+    timeout_ms = (
+        None if idle_timeout_seconds is None
+        else int(idle_timeout_seconds) * 1000
+    )
+    if timeout_ms is not None:
+        # EventTimeTimeout requires a watermark; its delay IS the idle
+        # bound (also the late-data cutoff — documented above)
+        df = df.withWatermark(ts_col, f"{int(idle_timeout_seconds)} seconds")
 
     def close_sessions(key, pdf_iter, state: GroupState):
         import pandas as pd
+
+        if state.hasTimedOut:
+            # idle key: close + EMIT the open session, free the state —
+            # this is what keeps the store O(active keys)
+            s_start, s_last, s_n, s_vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start": [pd.Timestamp(int(s_start) * 1000)],
+                    "session_end": [pd.Timestamp(int(s_last) * 1000)],
+                    "n_events": [int(s_n)],
+                    "value_sum": [float(s_vsum)],
+                }
+            )
+            return
 
         frames = [pdf for pdf in pdf_iter]
         ev = pd.concat(frames) if len(frames) > 1 else frames[0]
@@ -230,6 +295,14 @@ def sessionize_stream(
                     closed.append(cur)
                 cur = [g_start, g_last, g_n, g_vsum]
         state.update((cur[0], cur[1], cur[2], cur[3]))
+        if timeout_ms is not None:
+            # fire when the watermark passes last-event + timeout; Spark
+            # requires the timestamp to sit beyond the CURRENT watermark,
+            # so a session already idle that long times out next batch
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(cur[1] // 1000 + timeout_ms, wm + 1)
+            )
         if closed:
             yield pd.DataFrame(
                 {
@@ -252,6 +325,8 @@ def sessionize_stream(
             out_schema,
             "start long, last long, n long, vsum double",
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.NoTimeout
+            if timeout_ms is None
+            else GroupStateTimeout.EventTimeTimeout,
         )
     )

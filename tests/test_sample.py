@@ -1059,3 +1059,16 @@ def test_match_distribution_guards(spark):
         sample.match_distribution(
             df, "src", {"web": 0.5, "books": 0.5}, ["doc_id"]
         )
+
+
+def test_match_distribution_bottleneck_keeps_everything_exactly(spark):
+    """The float-rounding trap: share 0.1 with 3 bottleneck rows makes
+    int(0.1 * (3/0.1)) == 2 — the cap must be counts[k] exactly."""
+    rows = [(i, "web") for i in range(90)] + [(100 + i, "rare") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id LONG, src STRING")
+    out = sample.match_distribution(
+        df, "src", {"web": 0.9, "rare": 0.1}, ["doc_id"]
+    )
+    got = {r[0]: r[1] for r in out.groupBy("src").count().collect()}
+    assert got["rare"] == 3  # bottleneck class keeps everything
+    assert got["web"] == 27  # 3/0.1 * 0.9

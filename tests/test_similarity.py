@@ -988,6 +988,16 @@ def test_binarize_packs_sign_bits(spark):
     assert "embedding" not in out.columns
     with pytest.raises(ValueError, match="bits_per_word"):
         E.binarize(df, bits_per_word=63)
+    # zero-length vector -> empty bits array, not a sequence(0,-1)
+    # element_at crash; NULL stays NULL alongside it
+    df3 = spark.createDataFrame(
+        [(1, []), (2, [1.0]), (3, None)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got3 = {r.vec_id: r.bits for r in E.binarize(df3).collect()}
+    assert list(got3[1]) == []
+    assert list(got3[2]) == [1]
+    assert got3[3] is None
 
 
 def test_topk_hamming_matches_brute_force(spark):

@@ -4857,6 +4857,29 @@ def test_meta_analysis_guard(spark):
         stats.meta_analysis(df, "eff", "se").collect()
 
 
+def test_meta_analysis_null_group_key_is_kept(spark):
+    """A NULL group key forms its own pooled group — the internal
+    recombining joins are null-safe, so its row must not vanish."""
+    from getl_spark.functions import stats
+
+    rows = [
+        ("a", 0.10, 0.02), ("a", 0.30, 0.03),
+        (None, 0.12, 0.05), (None, 0.08, 0.04), (None, 0.20, 0.03),
+    ]
+    df = spark.createDataFrame(rows, "m STRING, eff DOUBLE, se DOUBLE")
+    got = {r.m: r for r in
+           stats.meta_analysis(df, "eff", "se", group_by="m").collect()}
+    assert set(got) == {"a", None}
+    assert got[None].k == 3
+    # the NULL group's pooled values match the same rows run ungrouped
+    solo = stats.meta_analysis(
+        df.where("m IS NULL"), "eff", "se"
+    ).collect()[0]
+    assert got[None].fixed_effect == solo.fixed_effect
+    assert got[None].random_effect == solo.random_effect
+    assert got[None].tau2 == solo.tau2
+
+
 # ------------------------------------------------------------ sample size
 
 

@@ -1317,3 +1317,128 @@ def test_stream_sessionize_batch_path_and_block(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="gap_seconds"):
         sessionize_stream(df, "user_id", "ts", 0)
+
+
+def test_stream_sessionize_idle_timeout_emits_and_frees_state(spark, tmp_path):
+    """With idle_timeout_seconds, a key whose open session falls more
+    than the timeout behind the watermark has that session closed,
+    EMITTED, and its state removed — state stays O(active keys) and the
+    tail session reaches the sink. Event-time timeouts: deterministic,
+    no wall-clock sleeps, availableNow-drain compatible (a
+    processing-time timeout would make the drain loop forever)."""
+    from getl_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def write_wave(name, rows):
+        with open(src / name, "w") as fh:
+            for user, ts in rows:
+                fh.write(json.dumps({"user_id": user, "ts": ts}) + "\n")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "user_id LONG, ts TIMESTAMP"
+        ).json(str(src))
+        closed = sessionize_stream(
+            stream, "user_id", "ts", gap_seconds=1800,
+            idle_timeout_seconds=3600,
+        )
+        (
+            closed.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+            .awaitTermination()
+        )
+        return sorted(
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # wave 1: u1 opens a session at 09:00; watermark trails max(ts) by
+    # the 1h timeout (-> 08:00), so nothing can time out yet
+    write_wave("w1.json", [(1, "2024-01-01T09:00:00")])
+    assert drain() == []
+    # wave 2: only u2 arrives, at 12:00 -> watermark 11:00 > u1's
+    # 09:00 + 1h: u1's open session times out, emits, state freed
+    write_wave("w2.json", [(2, "2024-01-01T12:00:00")])
+    got = drain()
+    assert got == [(1, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1)]
+    # wave 3: u1 returns at 12:10 — its state was REMOVED, so this is a
+    # fresh session (no merge with the already-emitted one); wave 4's
+    # 15:00 event moves the watermark to 14:00 > 12:10 + 1h, so the
+    # fresh session times out and emits
+    write_wave("w3.json", [(1, "2024-01-01T12:10:00")])
+    write_wave("w4.json", [(3, "2024-01-01T15:00:00")])
+    got = drain()
+    assert (1, "2024-01-01 12:10:00", "2024-01-01 12:10:00", 1) in got
+    # exactly two u1 rows total: the timed-out 09:00 and 12:10 sessions
+    assert [g for g in got if g[0] == 1] == [
+        (1, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1),
+        (1, "2024-01-01 12:10:00", "2024-01-01 12:10:00", 1),
+    ]
+
+
+def test_stream_sessionize_null_ts_dropped_both_legs(spark, tmp_path):
+    """NULL timestamps are dropped in BOTH legs — without the filter the
+    streaming leg's NaT -> INT64_MIN cast fabricates a garbage session."""
+    import datetime
+
+    from getl_spark.streaming.stateful import sessionize_stream
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 9, 0), 1.0),
+        (1, None, 99.0),
+        (1, datetime.datetime(2024, 1, 1, 9, 10), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, value DOUBLE")
+    got = sessionize_stream(df, "user_id", "ts", 1800, value_col="value").collect()
+    assert len(got) == 1
+    assert got[0].n_events == 2 and got[0].value_sum == 3.0
+
+    # streaming leg: same rows through a file stream
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "w1.json", "w") as fh:
+        fh.write(json.dumps({"user_id": 1, "ts": "2024-01-01T09:00:00", "value": 1.0}) + "\n")
+        fh.write(json.dumps({"user_id": 1, "ts": None, "value": 99.0}) + "\n")
+        fh.write(json.dumps({"user_id": 1, "ts": "2024-01-01T09:10:00", "value": 2.0}) + "\n")
+        # a later event closes the 09:00 session so it emits
+        fh.write(json.dumps({"user_id": 1, "ts": "2024-01-01T12:00:00", "value": 0.0}) + "\n")
+    stream = spark.readStream.schema(
+        "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    ).json(str(src))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (
+        sessionize_stream(stream, "user_id", "ts", 1800, value_col="value")
+        .writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", out)
+        .start()
+        .awaitTermination()
+    )
+    emitted = spark.read.parquet(out).collect()
+    assert len(emitted) == 1
+    r = emitted[0]
+    assert str(r.session_start) == "2024-01-01 09:00:00"
+    assert str(r.session_end) == "2024-01-01 09:10:00"
+    assert r.n_events == 2 and r.value_sum == 3.0
+
+
+def test_stream_sessionize_idle_timeout_guard(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from getl_spark.streaming.stateful import sessionize_stream
+
+    df = spark.createDataFrame([(1,)], "user_id LONG").withColumn(
+        "ts", F.current_timestamp()
+    )
+    with _pytest.raises(ValueError, match="idle_timeout_seconds"):
+        sessionize_stream(df, "user_id", "ts", 10, idle_timeout_seconds=0)
