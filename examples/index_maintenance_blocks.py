@@ -20,8 +20,12 @@ def _build_periods(params):
     similarity.build_ivf_index(
         emb.where("vec_id % 3 = 0"), f"{base}/feb", nlist=4
     )
+    # health_gate=True makes the retrain trigger EXECUTABLE: the merge
+    # refuses inputs whose quantizer already needs retraining instead
+    # of compounding the degradation
     return similarity.merge_ivf_index(
-        emb.sparkSession, f"{base}/jan", f"{base}/feb", f"{base}/merged"
+        emb.sparkSession, f"{base}/jan", f"{base}/feb", f"{base}/merged",
+        health_gate=True,
     )
 
 
@@ -46,6 +50,54 @@ def _minhash_lifecycle(params):
     return dedup.minhash_index_health(docs.sparkSession, path)
 
 
+def _gated_consolidation(params):
+    """The cron's decision step, end to end: try the gated merge; when
+    the gate trips (IndexHealthError), fall back to a REBUILD from the
+    consolidated vectors — the documented recovery — and report which
+    path ran plus the gate's readout. A real cron would alert on
+    decision='rebuild'."""
+    from pyspark.sql import functions as F
+
+    from getl_spark.common.errors import IndexHealthError
+    from getl_spark.functions import similarity
+
+    emb = params["dataframes"]["LoadEmbeddings"]
+    spark = emb.sparkSession
+    base = params["index_root"]
+    # a deliberately degraded period: one fat cell out of four (the
+    # shape repeated unretrained consolidation produces)
+    bad = f"{base}/stale_period"
+    spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(4)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).write.mode("overwrite").parquet(f"{bad}/centroids")
+    emb.selectExpr(
+        "vec_id AS nbr_id", "slice(embedding, 1, 8) AS cvec",
+        "CAST(1.0 AS DOUBLE) AS cnorm", "CAST(0 AS INT) AS cell",
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{bad}/vectors")
+    try:
+        similarity.merge_ivf_index(
+            spark, f"{base}/merged", bad, f"{base}/merged2",
+            health_gate=True,
+        )
+        decision, readout = "merged", {}
+    except IndexHealthError as exc:
+        decision, readout = "rebuild", exc.readout
+        # the recovery: retrain from the consolidated raw vectors
+        similarity.build_ivf_index(
+            emb.select(
+                F.col("vec_id"), F.slice("embedding", 1, 8).alias("embedding")
+            ),
+            f"{base}/rebuilt",
+            nlist=4,
+        )
+    return spark.createDataFrame(
+        [(decision, float(readout.get("imbalance", 0.0)),
+          int(readout.get("empty_cells", 0)))],
+        "decision STRING, imbalance DOUBLE, empty_cells INT",
+    )
+
+
 def _lsh_plan(params):
     """Before the NEXT rebuild: the s-curve table for a 0.8 Jaccard
     threshold at 64 hashes — which (bands, rows) to rebuild with."""
@@ -57,6 +109,7 @@ _STEPS = {
     "build_periods": _build_periods,
     "ivf_health": _ivf_health,
     "minhash_lifecycle": _minhash_lifecycle,
+    "gated_consolidation": _gated_consolidation,
     "lsh_plan": _lsh_plan,
 }
 

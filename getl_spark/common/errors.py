@@ -20,6 +20,18 @@ class BlockError(Exception):
     """A block failed to resolve or execute."""
 
 
+class IndexHealthError(Exception):
+    """A persisted ANN/dedup index failed its health gate (the
+    ``retrain``/``attention`` trigger fired) before a maintenance
+    operation that would have compounded the degradation. Carries
+    ``readout`` — the full health row as a dict — so the caller's
+    alert/rebuild path has the numbers without re-running the check."""
+
+    def __init__(self, message: str, readout: dict):
+        super().__init__(message)
+        self.readout = readout
+
+
 class ValidationError(Exception):
     """A ``transform::validate`` expectation with ``action: fail``
     found violating rows. Carries ``counts`` — a

@@ -1684,6 +1684,7 @@ def index_append(
     text_col: str = "text",
     fingerprint_col: Optional[str] = None,
     sig_col: Optional[str] = None,
+    health_gate: "bool | int" = False,
 ) -> None:
     """Grow a persisted ``build_minhash_index`` with new documents:
     append their signatures, band keys, and — LAST — fingerprints,
@@ -1703,8 +1704,24 @@ def index_append(
     ``fingerprint_col`` / ``sig_col`` (optional): reuse sketches a
     caller already computed (``against_stored_index(keep_sketches=
     True)``) instead of recomputing — the sketch passes are the
-    dominant per-batch cost in the streaming loop."""
+    dominant per-batch cost in the streaming loop.
+
+    ``health_gate`` runs :func:`assert_minhash_index_healthy` on the
+    index first (``True`` = default 10k hot-bucket threshold, an int =
+    that threshold) and refuses the append when a hot bucket already
+    needs attention — appending into a hot bucket compounds its
+    quadratic candidate cost, so the loop's right move is
+    rebuild/screen-then-append."""
     spark = df.sparkSession
+    if health_gate:
+        assert_minhash_index_healthy(
+            spark,
+            index_path,
+            **(
+                {} if health_gate is True
+                else {"hot_bucket": int(health_gate)}
+            ),
+        )
     meta = spark.read.parquet(f"{index_path}/meta").first()
     from getl_spark.functions.text import fingerprint as fp
 
@@ -1737,6 +1754,7 @@ def merge_minhash_index(
     path_a: str,
     path_b: str,
     out_path: str,
+    health_gate: "bool | int" = False,
 ) -> DataFrame:
     """Merge two persisted ``build_minhash_index`` snapshots WITHOUT
     re-sketching — the rolling-corpus consolidation step next to
@@ -1759,6 +1777,12 @@ def merge_minhash_index(
     rows — both contents were seen, and the exact/near phases treat
     the index as "content ever ingested".
 
+    ``health_gate`` runs :func:`assert_minhash_index_healthy` on BOTH
+    inputs first (``True`` = default 10k hot-bucket threshold, an int
+    = that threshold) — unioning a hot bucket into the consolidated
+    index carries its quadratic candidate cost forward, so the cron's
+    right move is rebuild/screen-then-merge.
+
     Scale shape: three table unions with row-level dedup (one keyed
     shuffle each, index-sized — never corpus-sized) + the partitioned
     band write; no text is read, no hashes recomputed. Returns the
@@ -1770,6 +1794,10 @@ def merge_minhash_index(
             "merge_minhash_index: out_path must differ from both inputs "
             "(overwriting an index while lazily reading it loses data)"
         )
+    if health_gate:
+        kw = {} if health_gate is True else {"hot_bucket": int(health_gate)}
+        assert_minhash_index_healthy(spark, path_a, **kw)
+        assert_minhash_index_healthy(spark, path_b, **kw)
     meta_a = spark.read.parquet(f"{path_a}/meta").first()
     meta_b = spark.read.parquet(f"{path_b}/meta").first()
     # getattr default tolerates legacy metas that predate id_type
@@ -1993,6 +2021,38 @@ def minhash_index_health(
         F.round(F.col("__pairs"), 1).alias("candidate_pairs"),
         (F.col("hot_buckets") > 0).alias("attention"),
     )
+
+
+def assert_minhash_index_healthy(
+    spark,
+    index_path: str,
+    hot_bucket: int = 10_000,
+) -> dict:
+    """Executable form of :func:`minhash_index_health`'s attention
+    trigger — the gate the ingest/consolidation loop calls BEFORE
+    :func:`index_append` / :func:`merge_minhash_index` so hot LSH
+    buckets (whose candidate cost grows with the SQUARE of bucket
+    size) cannot silently keep absorbing appends. Returns the health
+    row as a dict when healthy; raises
+    :class:`~getl_spark.common.errors.IndexHealthError` (carrying the
+    same dict as ``.readout``) when ``attention`` fires. Cost is the
+    readout's: band-table metadata only, never a signature or text."""
+    from getl_spark.common.errors import IndexHealthError
+
+    row = minhash_index_health(
+        spark, index_path, hot_bucket
+    ).collect()[0].asDict()
+    if row["attention"]:
+        raise IndexHealthError(
+            f"assert_minhash_index_healthy: index at {index_path} has "
+            f"{row['hot_buckets']} bucket(s) over {hot_bucket} entries "
+            f"(max {row['max_bucket']}; expected probe "
+            f"{row['expected_probe']}) — rebuild with more bands/hashes "
+            "or screen the hot keys (near-always boilerplate) before the "
+            "next append/merge",
+            readout=row,
+        )
+    return row
 
 
 # -------------------------------------------------------- log compaction

@@ -413,6 +413,7 @@ def hits(
     nodes: Optional[DataFrame] = None,
     node_col: str = "node",
     round_to: Optional[int] = 6,
+    tol: Optional[float] = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) over a directed edge
     list — the crawl-curation complement to :func:`pagerank`: PageRank
@@ -433,10 +434,19 @@ def hits(
 
     (L1, not the textbook L2 — same fixpoint direction, and a plain
     SUM an oracle replays without sqrt ordering concerns; each score
-    vector sums to 1). Fixed iteration count — deterministic output
-    shape. Nodes without in-edges have authority 0; without
-    out-edges, hub 0. Returns ``(node_col, hub, auth)`` rounded to
-    ``round_to`` (``None`` skips).
+    vector sums to 1). Fixed iteration count by default —
+    deterministic output shape. ``tol`` adds a convergence early-exit:
+    when the L1 delta between consecutive hub vectors drops below it,
+    remaining iterations are skipped (``n_iter`` stays the hard cap).
+    The check costs one node-sized join over two already-pinned frames
+    plus a 1-row aggregate per iteration — at 100× each SKIPPED
+    iteration saves 2 edge-sized shuffles, so it pays for itself the
+    moment a graph converges early; leave it ``None`` where the
+    bit-exact fixed-iteration output matters (oracle runs).
+    ``hits.last_iterations`` records how many iterations the last call
+    executed (driver-side diagnostic). Nodes without in-edges have
+    authority 0; without out-edges, hub 0. Returns ``(node_col, hub,
+    auth)`` rounded to ``round_to`` (``None`` skips).
 
     100 TB shape: exactly :func:`pagerank`'s — per iteration one
     edges⋈scores join + one partial-agg shuffle per direction (both
@@ -449,6 +459,9 @@ def hits(
     """
     if n_iter < 1:
         raise ValueError(f"hits: n_iter must be >= 1, got {n_iter}")
+    if tol is not None and tol <= 0:
+        raise ValueError(f"hits: tol must be > 0 (or None), got {tol}")
+    hits.last_iterations = 0
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
@@ -475,7 +488,7 @@ def hits(
         return out
     hubs = node_set.select("node", F.lit(1.0).alias("hub"))
     auths = None
-    for _ in range(n_iter):
+    for it in range(n_iter):
         auth_un = (
             e.join(hubs, e["u"] == hubs["node"])
             .groupBy("v")
@@ -513,8 +526,25 @@ def hits(
             )
             .transform(pin)
         )
+        hits.last_iterations = it + 1
+        converged = False
+        if tol is not None and it > 0:
+            # both frames are pinned, so the delta probe is a cached
+            # node-sized join + a 1-row aggregate (bounded collect —
+            # iteration control, same class as k-means' centroid step)
+            delta = (
+                new_hubs.join(
+                    hubs.select("node", F.col("hub").alias("__old")),
+                    "node",
+                )
+                .agg(F.sum(F.abs(F.col("hub") - F.col("__old"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            converged = delta is not None and delta < tol
         unpin(hubs)
         hubs = new_hubs
+        if converged:
+            break
     out = hubs.join(auths, "node").select(
         F.col("node").alias(node_col), "hub", "auth"
     )

@@ -562,6 +562,7 @@ def merge_ivf_index(
     path_a: str,
     path_b: str,
     out_path: str,
+    health_gate: bool = False,
 ) -> DataFrame:
     """Merge two persisted ``build_ivf_index`` snapshots WITHOUT
     retraining — the rolling-corpus consolidation step: periodic
@@ -588,6 +589,13 @@ def merge_ivf_index(
     quantizer the merged index answers with. Dimension mismatch and
     merging onto an input path fail loud.
 
+    ``health_gate=True`` runs :func:`assert_ivf_healthy` on BOTH
+    inputs first (default thresholds) and refuses the merge when
+    either already needs retraining — consolidating onto a degraded
+    quantizer is exactly how repeated merges compound recall loss, so
+    the cron's right move is rebuild-then-merge, and the gate makes
+    the documented trigger executable instead of advisory.
+
     Scale shape: two footer-count probes + one nlist-row centroid
     collect (driver-bounded, same as every IVF query) + one scan of
     the smaller vectors table for re-assignment + the partitioned
@@ -601,6 +609,9 @@ def merge_ivf_index(
             "merge_ivf_index: out_path must differ from both inputs "
             "(overwriting an index while lazily reading it loses data)"
         )
+    if health_gate:
+        assert_ivf_healthy(spark, path_a)
+        assert_ivf_healthy(spark, path_b)
     n_a = spark.read.parquet(f"{path_a}/vectors").count()
     n_b = spark.read.parquet(f"{path_b}/vectors").count()
     big, small = (path_a, path_b) if n_a >= n_b else (path_b, path_a)
@@ -727,6 +738,38 @@ def ivf_health(
             F.collect_list(F.struct("cell", "n"))
         ).n.alias("occupancy"),
     )
+
+
+def assert_ivf_healthy(
+    spark,
+    index_path: str,
+    imbalance_threshold: float = 3.0,
+    max_empty_frac: float = 0.25,
+) -> dict:
+    """Executable form of :func:`ivf_health`'s retrain trigger — the
+    gate the maintenance loop calls BEFORE :func:`merge_ivf_index` /
+    ``ivf_pq_append`` so a degraded quantizer cannot silently keep
+    absorbing consolidations (the readout alone is advisory; this
+    raises). Returns the health row as a dict when healthy; raises
+    :class:`~getl_spark.common.errors.IndexHealthError` (carrying the
+    same dict as ``.readout``) when ``retrain`` fires. Cost is the
+    readout's: index metadata only, never an embedding."""
+    from getl_spark.common.errors import IndexHealthError
+
+    row = ivf_health(
+        spark, index_path, imbalance_threshold, max_empty_frac
+    ).collect()[0].asDict()
+    if row["retrain"]:
+        raise IndexHealthError(
+            f"assert_ivf_healthy: index at {index_path} needs retraining "
+            f"before further maintenance (imbalance {row['imbalance']} vs "
+            f"threshold {imbalance_threshold}, empty {row['empty_cells']}/"
+            f"{row['nlist']} cells vs max_empty_frac {max_empty_frac}) — "
+            "rebuild with build_ivf_index from the consolidated vectors, "
+            "then re-measure recall with recall_eval",
+            readout=row,
+        )
+    return row
 
 
 # --------------------------------------------------- YAML-callable forms

@@ -67,3 +67,22 @@ def test_streaming_rollup_example_drains(spark, tmp_path):
     assert log is not None
     rollup = spark.read.parquet(str(tmp_path / "out" / "hourly"))
     assert rollup.count() == 3
+
+
+def test_index_maintenance_gate_decision(spark, tmp_path):
+    """The gated-consolidation step must actually TRIP on the degraded
+    period and fall back to a rebuild — the executable form of the
+    ivf_health retrain trigger."""
+    log = lift(
+        spark,
+        os.path.join(EXAMPLES, "index_maintenance.yaml"),
+        {"source_dir": SF, "out_dir": str(tmp_path / "out")},
+    )
+    row = log.get("GatedConsolidation").collect()[0]
+    assert row.decision == "rebuild"
+    assert row.imbalance > 3.0  # the degraded period's readout
+    # the recovery rebuild landed a fresh healthy index
+    rebuilt = f"{tmp_path}/out/indexes/rebuilt"
+    from getl_spark.functions import similarity
+
+    assert similarity.assert_ivf_healthy(spark, rebuilt)["retrain"] is False

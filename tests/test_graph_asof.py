@@ -981,6 +981,35 @@ def test_hits_guards_and_edge_cases(spark):
     assert sorted((r.node, r.hub, r.auth) for r in rows) == [
         ("x", 0.0, 0.0), ("y", 0.0, 0.0)
     ]
+    with _pytest.raises(ValueError, match="tol"):
+        graph.hits(df, tol=0.0)
+
+
+def test_hits_tol_early_exit(spark):
+    """A star graph reaches its fixpoint after iteration 1, so with tol
+    set the loop stops at iteration 2 (the first delta probe) instead
+    of burning all n_iter edge-sized shuffle rounds — and the early
+    exit returns the same scores as the full run."""
+    from getl_spark.functions import graph
+
+    edges = [("c", f"l{i}") for i in range(5)]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    full = sorted(
+        (r.node, r.hub, r.auth) for r in graph.hits(df, n_iter=10).collect()
+    )
+    early = sorted(
+        (r.node, r.hub, r.auth)
+        for r in graph.hits(df, n_iter=10, tol=1e-12).collect()
+    )
+    assert graph.hits.last_iterations == 2
+    assert early == full
+    # a cycle that hasn't converged keeps iterating to the cap
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src STRING, dst STRING",
+    )
+    graph.hits(cyc, n_iter=3, tol=1e-15).collect()
+    assert graph.hits.last_iterations == 3
 
 
 # --------------------------------------------------------- co-occurrence

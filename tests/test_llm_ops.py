@@ -845,6 +845,50 @@ def test_ivf_health_real_index_and_triggers(spark, tmp_path):
         similarity.ivf_health(spark, bad, max_empty_frac=1.5)
 
 
+def test_ivf_health_gate_blocks_merge(spark, tmp_path):
+    """The executable maintenance gate: a degraded index refuses to be
+    merged (health_gate=True), so the documented retrain trigger is
+    enforceable, not advisory."""
+    from getl_spark.common.errors import IndexHealthError
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    good_a = str(tmp_path / "a")
+    good_b = str(tmp_path / "b")
+    similarity.build_ivf_index(emb.where("vec_id % 2 = 0"), good_a, nlist=4)
+    similarity.build_ivf_index(emb.where("vec_id % 2 = 1"), good_b, nlist=4)
+    # healthy pass-through: gate returns the readout, merge proceeds
+    row = similarity.assert_ivf_healthy(spark, good_a)
+    assert row["retrain"] is False and row["nlist"] == 4
+    merged = str(tmp_path / "merged")
+    similarity.merge_ivf_index(spark, good_a, good_b, merged,
+                               health_gate=True)
+    assert spark.read.parquet(f"{merged}/vectors").count() == emb.count()
+
+    # degraded index (all vectors in one of 4 cells): gate trips
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(4)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).write.parquet(f"{bad}/centroids")
+    emb.selectExpr(
+        "vec_id AS nbr_id", "slice(embedding, 1, 8) AS cvec",
+        "CAST(1.0 AS DOUBLE) AS cnorm", "CAST(0 AS INT) AS cell",
+    ).write.partitionBy("cell").parquet(f"{bad}/vectors")
+    with pytest.raises(IndexHealthError, match="needs retraining") as ei:
+        similarity.assert_ivf_healthy(spark, bad)
+    assert ei.value.readout["retrain"] is True
+    bad2 = str(tmp_path / "bad2")
+    import shutil
+
+    shutil.copytree(bad, bad2)
+    with pytest.raises(IndexHealthError, match="needs retraining"):
+        similarity.merge_ivf_index(
+            spark, bad, bad2, str(tmp_path / "never"), health_gate=True
+        )
+    # and without the gate the merge still runs (legacy behavior)
+    similarity.merge_ivf_index(spark, bad, bad2, str(tmp_path / "ungated"))
+
+
 def test_merge_minhash_index_identity(spark, tmp_path):
     """merge(A, B) must carry table-for-table the same index an
     in-one-shot build over the distinct union produces (the hash
@@ -2126,6 +2170,52 @@ def test_minhash_index_health_real_and_hot(spark, tmp_path):
 
     with pytest.raises(ValueError, match="hot_bucket"):
         dedup.minhash_index_health(spark, p, hot_bucket=0)
+
+
+def test_minhash_health_gate_blocks_append_and_merge(spark, tmp_path):
+    """The executable maintenance gate on the dedup side: a hot-bucket
+    index refuses appends and merges until rebuilt/screened."""
+    from getl_spark.common.errors import IndexHealthError
+    from getl_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    p = str(tmp_path / "idx")
+    dedup.build_minhash_index(docs, p, num_hashes=16, bands=4)
+    row = dedup.assert_minhash_index_healthy(spark, p, hot_bucket=50)
+    assert row["attention"] is False
+
+    boiler = spark.createDataFrame(
+        [(1000 + i, "the same boilerplate footer text repeated " * 3)
+         for i in range(60)],
+        "doc_id LONG, text STRING",
+    )
+    pb = str(tmp_path / "boiler")
+    dedup.build_minhash_index(boiler, pb, num_hashes=16, bands=4)
+    with pytest.raises(IndexHealthError, match="hot") as ei:
+        dedup.assert_minhash_index_healthy(spark, pb, hot_bucket=50)
+    assert ei.value.readout["attention"] is True
+    # append gate (int threshold) trips; ungated append still works
+    more = spark.createDataFrame(
+        [(5000, "a genuinely different doc about spark shuffles")],
+        "doc_id LONG, text STRING",
+    )
+    with pytest.raises(IndexHealthError, match="hot"):
+        dedup.index_append(more, pb, health_gate=50)
+    dedup.index_append(more, pb)  # legacy: no gate, append proceeds
+    # merge gate trips on the hot input
+    with pytest.raises(IndexHealthError, match="hot"):
+        dedup.merge_minhash_index(
+            spark, p, pb, str(tmp_path / "never"), health_gate=50
+        )
+    # healthy x healthy with the gate on passes
+    p2 = str(tmp_path / "idx2")
+    dedup.build_minhash_index(
+        docs.withColumn("doc_id", F.col("doc_id") + 100000),
+        p2, num_hashes=16, bands=4,
+    )
+    dedup.merge_minhash_index(
+        spark, p, p2, str(tmp_path / "m"), health_gate=50
+    )
 
 
 def test_lsh_plan_s_curve(spark):
