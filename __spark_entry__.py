@@ -10025,6 +10025,27 @@ def _q_recall_ivf_corpus(spark, sf_dir):
     return similarity.recall_eval(approx, exact, k=10)
 
 
+def _q_recall_hamming_corpus(spark, sf_dir):
+    """Measured recall/compression readout for the 1-bit Hamming path
+    (``embedding.binarize`` → ``similarity.topk_hamming``), the same
+    discipline as ``similarity_recall_ivf``: would a 5×-deep Hamming
+    shortlist (k=50, compared at 1 bit/dimension = 64× lighter than
+    float64) recover the true cosine top-10 for 32 real queries? The
+    shortlist's ``rank`` column is dropped so ``recall_eval`` scores
+    the WHOLE shortlist against the exact top-10 — exactly the
+    "shortlist then exact-cosine rerank" recipe the binarize/hamming
+    docstrings prescribe. Value semantics of the readout are
+    driver-verified by ``similarity_recall_eval``'s SQL oracle; the
+    hamming and brute legs by their own driver rows."""
+    from getl_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(32)
+    exact = similarity.topk_bruteforce(emb, queries, k=10)
+    shortlist = similarity.topk_hamming(emb, queries, k=50).drop("rank")
+    return similarity.recall_eval(shortlist, exact, k=10)
+
+
 def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Real-corpus variants whose value semantics are verified through
     a deterministic sibling rather than a DuckDB oracle on this query
@@ -10049,6 +10070,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_corpus": _q_bpe_corpus,
         "corpus_curation_full": _q_corpus_curation_full,
         "similarity_recall_ivf": _q_recall_ivf_corpus,
+        "similarity_recall_hamming": _q_recall_hamming_corpus,
         "dedup_cdc_corpus": _q_cdc_corpus,
         "dedup_stored_index_build": _q_stored_index_build,
         "dedup_stored_index_query": _q_stored_index_query,

@@ -134,6 +134,7 @@ DETAIL_QUERIES = [
     "text_host_mix",
     "similarity_recall_eval",
     "similarity_recall_ivf",
+    "similarity_recall_hamming",
     "dedup_pair_recall_eval",
     "stats_anova",
     "stats_kaplan_meier",

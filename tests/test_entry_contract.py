@@ -23,6 +23,7 @@ ROWS_ONLY = {
     "text_bpe_corpus",
     "corpus_curation_full",
     "similarity_recall_ivf",
+    "similarity_recall_hamming",
     "dedup_cdc_corpus",
     # stored-index bench split: build vs per-increment query medians
     # (value semantics carried by dedup_stored_index /

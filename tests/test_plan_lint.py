@@ -116,6 +116,7 @@ NESTED_LOOP_WHITELIST = {
     "similarity_matryoshka_recall": "broadcast query side on both brute-force legs (MRL dimension-cut eval)",
     "similarity_knn_label": "broadcast query side on the brute-force retrieval leg (seed set is bounded)",
     "similarity_recall_ivf": "broadcast 32-query side (brute-force truth leg of the recall measurement)",
+    "similarity_recall_hamming": "broadcast 32-query side on both legs (1-bit shortlist vs brute-force truth)",
     "similarity_topk_metrics": "broadcast query side (dot/l2 baseline)",
     "similarity_range_search": "broadcast query side (baseline)",
     "topk_between_tables": "broadcast query side (baseline)",
