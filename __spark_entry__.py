@@ -14541,6 +14541,171 @@ FROM g
 """
 
 
+def _q_psm_match(spark, sf_dir):
+    """stats.psm_match — caliper nearest-neighbor propensity matching
+    WITH replacement on a deterministic synthetic propensity over the
+    customer table (integer arithmetic then one division, so Spark and
+    DuckDB compute bit-identical doubles). The Spark plan is the
+    bucketed 3-way control replication + bucket equi-join + per-treated
+    window top-1; the oracle states the same contract as one
+    |diff| <= caliper join — identical admissible pairs, identical
+    (dist, control_id) tie order."""
+    from getl_spark.functions import stats
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = cust.select(
+        F.col("c_custkey"),
+        (F.col("c_custkey") % 5 == 0).cast("int").alias("t"),
+        (((F.col("c_custkey") * 37) % 997) / F.lit(1000.0) + F.lit(0.001)).alias("p"),
+    )
+    return stats.psm_match(df, "t", "p", "c_custkey", caliper=0.003)
+
+
+PSM_MATCH_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS id,
+         CAST(c_custkey % 5 = 0 AS INT) AS t,
+         ((c_custkey * 37) % 997) / 1000.0 + 0.001 AS p
+  FROM customer
+), tr AS (SELECT id, p FROM base WHERE t = 1),
+co AS (SELECT id, p FROM base WHERE t = 0),
+pairs AS (
+  SELECT tr.id AS treated_id, co.id AS control_id,
+         tr.p AS p_treated, co.p AS p_control,
+         ABS(tr.p - co.p) AS dist
+  FROM tr JOIN co ON ABS(tr.p - co.p) <= 0.003
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY treated_id ORDER BY dist, control_id) AS rn
+  FROM pairs
+)
+SELECT treated_id, control_id,
+       ROUND(p_treated, 6) AS p_treated,
+       ROUND(p_control, 6) AS p_control,
+       ROUND(dist, 6) AS dist
+FROM ranked WHERE rn = 1
+"""
+
+
+def _q_winsorize(spark, sf_dir):
+    """stats.winsorize — per-group (l_returnflag) exact-percentile
+    capping of l_extendedprice at [p05, p95]. Spark ``percentile`` ≡
+    DuckDB ``quantile_cont`` (identical linear-interpolation formula —
+    the parity the percentiles_exact row pins), clamping replays as
+    LEAST/GREATEST verbatim."""
+    from getl_spark.functions import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return stats.winsorize(
+        li, ["l_extendedprice"], lower=0.05, upper=0.95,
+        group_by="l_returnflag",
+    )
+
+
+WINSORIZE_ORACLE = """
+WITH caps AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+       LEAST(GREATEST(l.l_extendedprice, c.lo), c.hi) AS l_extendedprice_w
+FROM lineitem l JOIN caps c USING (l_returnflag)
+"""
+
+
+def _q_stickiness(spark, sf_dir):
+    """sessions.stickiness — weekly DAU/WAU engagement ratio over the
+    events table: one (day,user) distinct, day-keyed counts, a
+    period-keyed distinct-user count, dimension-sized recombine. Both
+    engines truncate weeks to Monday."""
+    from getl_spark.functions import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.stickiness(ev, period="week")
+
+
+STICKINESS_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT date_trunc('week', CAST(ts AS TIMESTAMP)) AS p,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         user_id AS u
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), dau AS (
+  SELECT p, d, CAST(COUNT(*) AS BIGINT) AS dau FROM ev GROUP BY p, d
+), per AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS active_days, AVG(dau) AS a
+  FROM dau GROUP BY p
+), pau AS (
+  SELECT p, CAST(COUNT(DISTINCT u) AS BIGINT) AS period_users
+  FROM ev GROUP BY p
+)
+SELECT CAST(per.p AS DATE) AS period_start, period_users, active_days,
+       ROUND(a, 6) AS avg_dau,
+       ROUND(a / period_users, 6) AS stickiness
+FROM per JOIN pau USING (p)
+ORDER BY period_start
+"""
+
+
+def _q_lang_mix(spark, sf_dir):
+    """text.lang_mix — script-mixing measurement over documents with a
+    deterministic cyrillic tail injected on every 7th doc (the corpus
+    itself is pure-latin, so the injection gives the mix fraction real
+    mass on a known slice). Same regexp length-diff machinery both
+    sides; digits/punct-only rows yield NULL (no scripted evidence)."""
+    from getl_spark.functions import text as _text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" привет мир это конец")),
+        ).otherwise(F.col("text")),
+    )
+    return _text.lang_mix(staged).select(
+        "doc_id", "script_main", "script_mix_frac", "script_mixed"
+    )
+
+
+def _lang_mix_oracle() -> str:
+    from getl_spark.functions.text import SCRIPT_RANGES
+
+    cnt = {
+        name: f"(length(t) - length(regexp_replace(t, '[{rng}]', '', 'g')))"
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    names = sorted(cnt)
+    best = "greatest(" + ", ".join(cnt[n] for n in names) + ")"
+    total = " + ".join(cnt[n] for n in names)
+    whens = "\n    ".join(
+        f"WHEN {cnt[n]} = best AND best > 0 THEN '{n}'" for n in names
+    )
+    return f"""
+WITH rewritten AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN text || ' привет мир это конец'
+         ELSE text END AS t
+  FROM documents),
+scored AS (
+  SELECT doc_id, t, {best} AS best, ({total}) AS total
+  FROM rewritten)
+SELECT doc_id,
+  CASE WHEN t IS NULL THEN NULL ELSE (
+    CASE {whens} ELSE 'und' END) END AS script_main,
+  CASE WHEN total > 0
+       THEN ROUND((total - best) / (total * 1.0), 6) END AS script_mix_frac,
+  CASE WHEN total > 0
+       THEN ((total - best) / (total * 1.0)) > 0.15 END AS script_mixed
+FROM scored
+"""
+
+
 def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries folded out of the driver's 50-row budget but still part
     of the public surface: each remains oracle-checked in pytest
@@ -14828,6 +14993,10 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_index_health": _q_minhash_index_health,
         "stats_meta_analysis": _q_meta_analysis,
         "sessions_rfm": _q_rfm,
+        "stats_psm_match": _q_psm_match,
+        "stats_winsorize": _q_winsorize,
+        "sessions_stickiness": _q_stickiness,
+        "text_lang_mix": _q_lang_mix,
         "stats_sample_size": _q_sample_size,
         "dedup_lsh_plan": _q_lsh_plan,
         "graph_cooccurrence": _q_cooccurrence,
@@ -15114,6 +15283,10 @@ def _base_demoted_oracles() -> dict[str, str]:
         "dedup_minhash_index_health": MINHASH_INDEX_HEALTH_ORACLE,
         "stats_meta_analysis": META_ANALYSIS_ORACLE,
         "sessions_rfm": RFM_ORACLE,
+        "stats_psm_match": PSM_MATCH_ORACLE,
+        "stats_winsorize": WINSORIZE_ORACLE,
+        "sessions_stickiness": STICKINESS_ORACLE,
+        "text_lang_mix": _lang_mix_oracle(),
         "stats_sample_size": SAMPLE_SIZE_ORACLE,
         "dedup_lsh_plan": LSH_PLAN_ORACLE,
         "graph_cooccurrence": COOCCURRENCE_ORACLE,

@@ -1281,3 +1281,72 @@ def attribution(
     if capped_cnt is not None:
         out = out.crossJoin(F.broadcast(capped_cnt))
     return out
+
+
+def stickiness(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    period: str = "month",
+    round_to: int = 6,
+) -> DataFrame:
+    """Engagement stickiness per calendar period — the DAU/MAU family:
+    for each period (``month`` default, ``week`` the alternative), the
+    distinct users active in the period, the average DAILY active
+    users over the period's ACTIVE days, and their ratio
+    ``stickiness = avg_dau / period_users`` — the share of the
+    period's audience that shows up on a typical active day (1.0 =
+    everyone, every day; the retention matrix answers "do they come
+    back LATER", this answers "how often within"). ``active_days``
+    is emitted so a caller preferring calendar-day denominators can
+    renormalize (``avg_dau · active_days / days_in_period``) — over
+    the data's own active days the number is well-defined on partial
+    periods instead of silently deflated. NULL user/timestamp rows
+    are excluded.
+
+    Returns ``(period_start, period_users, active_days, avg_dau,
+    stickiness)`` ordered by period.
+
+    Scale shape: one distinct over (day, user) — THE cardinality
+    reducer, everything after is day-sized — then one day-keyed count,
+    one period-keyed distinct count, and a period-keyed recombine of
+    two dimension-sized frames. Fully SQL-expressible.
+    """
+    if period not in ("week", "month"):
+        raise ValueError(
+            f"sessions.stickiness: period must be week|month, got {period}"
+        )
+    ts = F.col(time_col).cast("timestamp")
+    events = (
+        df.where(ts.isNotNull() & F.col(user_col).isNotNull())
+        .select(
+            F.to_date(F.date_trunc(period, ts)).alias("__p"),
+            F.to_date(ts).alias("__d"),
+            F.col(user_col).alias("__u"),
+        )
+        .distinct()
+    )
+    dau = events.groupBy("__p", "__d").agg(
+        F.count("*").cast("bigint").alias("__dau")
+    )
+    per_day = dau.groupBy("__p").agg(
+        F.count("*").cast("bigint").alias("active_days"),
+        F.avg("__dau").alias("__avg_dau"),
+    )
+    pau = events.select("__p", "__u").distinct().groupBy("__p").agg(
+        F.count("*").cast("bigint").alias("period_users")
+    )
+    return (
+        per_day.join(pau, "__p")
+        .select(
+            F.col("__p").alias("period_start"),
+            "period_users",
+            "active_days",
+            F.round("__avg_dau", round_to).alias("avg_dau"),
+            F.round(
+                F.col("__avg_dau") / F.col("period_users").cast("double"),
+                round_to,
+            ).alias("stickiness"),
+        )
+        .orderBy("period_start")
+    )

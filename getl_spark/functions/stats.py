@@ -7723,3 +7723,209 @@ def diff_in_diff(
         F.round(p, round_to).alias("p_value"),
     ]
     return agg.select(*out_cols)
+
+
+def psm_match(
+    df: DataFrame,
+    treatment_col: str,
+    propensity_col: str,
+    id_col: str,
+    caliper: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Propensity-score nearest-neighbor matching WITH replacement —
+    the matched-pairs sibling of :func:`ipw_balance` (weight the
+    control group) and the setup step for :func:`diff_in_diff` /
+    :func:`ab_compare` on observational slices: for every TREATED
+    unit, the single CONTROL unit with the closest propensity, subject
+    to the ``caliper`` (|p_t − p_c| ≤ caliper; Rosenbaum–Rubin's
+    guard against matching across genuinely incomparable units).
+    Treated units with no in-caliper control produce NO row — count
+    them off against ``df``'s treated total; a large unmatched
+    fraction means the groups don't overlap and NO matching estimator
+    is trustworthy (check ``ipw_balance``'s SMDs instead of forcing
+    it).
+
+    Matching is WITH replacement and per-treated independent — ties
+    break on distance then smallest control id, so the result is
+    deterministic, order-free, and embarrassingly parallel (greedy
+    without-replacement matching is sequential by construction and
+    cannot scale; with-replacement is the standard distributed
+    compromise, and downstream variance corrections know it). Binary
+    0/1 treatment and propensities in (0,1) exclusive are loud asserts
+    (same contract as :func:`ipw_balance`); NULL propensity/id rows
+    are excluded. Returns one row per matched treated unit:
+    ``(treated_id, control_id, p_treated, p_control, dist)``.
+
+    Scale shape: scores bucket at caliper width (``floor(p/caliper)``)
+    and each control replicates into its own and both adjacent buckets
+    (a 3× control blow-up, NOT a cross join — any |diff| ≤ caliper
+    pair shares a bucket after replication), then one bucket-keyed
+    equi-join + the exact caliper filter + one treated-keyed window
+    top-1. Shuffle ∝ 3·|control| + |treated|; candidate volume is
+    caliper-local density, never |T|·|C|. Fully SQL-expressible
+    (the oracle states the same thing as one |diff| ≤ caliper join).
+    """
+    if not 0 < caliper < 1:
+        raise ValueError(
+            f"stats.psm_match: caliper must be in (0, 1), got {caliper}"
+        )
+    t = F.col(treatment_col).cast("bigint")
+    p_raw = F.col(propensity_col).cast("double")
+    t_guard = F.assert_true(
+        t.isin(0, 1),
+        F.lit("stats.psm_match: treatment column must be binary 0/1"),
+    )
+    p_guard = F.assert_true(
+        (p_raw > 0) & (p_raw < 1),
+        F.lit(
+            "stats.psm_match: propensities must be inside (0,1) "
+            "exclusive — an exact 0/1 propensity means the model "
+            "memorized the slice and no match is comparable"
+        ),
+    )
+    # the binary guard rides on __t (evaluated by BOTH arm filters for
+    # every row — a t=2 row belongs to neither arm, so a guard attached
+    # only to __p would be pruned away with the row); the propensity
+    # guard rides on __p, which every surviving row materializes
+    t_checked = t + F.coalesce(t_guard.cast("bigint"), F.lit(0))
+    p = p_raw + F.coalesce(p_guard.cast("double"), F.lit(0.0))
+    base = df.where(
+        p_raw.isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"), t_checked.alias("__t"), p.alias("__p")
+    )
+    bucket = F.floor(F.col("__p") / F.lit(float(caliper))).cast("bigint")
+    treated = base.where(F.col("__t") == 1).select(
+        F.col("__id").alias("treated_id"),
+        F.col("__p").alias("p_treated"),
+        bucket.alias("__bk"),
+    )
+    controls = base.where(F.col("__t") == 0).select(
+        F.col("__id").alias("control_id"),
+        F.col("__p").alias("p_control"),
+        bucket.alias("__cb"),
+    )
+    # replicate each control into its own + both adjacent buckets:
+    # |p_t - p_c| <= caliper bounds the bucket difference to 1, so the
+    # bucket equi-join sees every admissible pair exactly once per
+    # shared bucket (the distinct-free window top-1 is unaffected by
+    # a pair appearing under two buckets — same dist, same ids)
+    spread = controls.withColumn(
+        "__bk", F.explode(F.array(F.col("__cb") - 1, F.col("__cb"), F.col("__cb") + 1))
+    ).drop("__cb")
+    pairs = (
+        treated.join(spread, "__bk")
+        .where(
+            F.abs(F.col("p_treated") - F.col("p_control"))
+            <= F.lit(float(caliper))
+        )
+        .select(
+            "treated_id",
+            "control_id",
+            "p_treated",
+            "p_control",
+            F.abs(F.col("p_treated") - F.col("p_control")).alias("dist"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("treated_id").orderBy(
+        F.col("dist").asc(), F.col("control_id").asc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "treated_id",
+            "control_id",
+            F.round("p_treated", round_to).alias("p_treated"),
+            F.round("p_control", round_to).alias("p_control"),
+            F.round("dist", round_to).alias("dist"),
+        )
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    cols: List[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    group_by=None,
+    suffix: str = "_w",
+) -> DataFrame:
+    """Winsorize (percentile-cap) numeric columns — the robust-metrics
+    preprocessing step in front of :func:`ab_compare` /
+    :func:`ratio_metric` when a metric has a heavy tail (revenue,
+    tokens, latency): values below the ``lower`` quantile clamp up to
+    it, values above ``upper`` clamp down, so a single whale cannot
+    own the mean while (unlike trimming, :func:`trimmed_mean`) every
+    unit keeps exactly one row and joins stay intact. Appends
+    ``<col><suffix>`` per input column (originals untouched); NULLs
+    pass through. ``group_by`` computes the caps WITHIN each group
+    (e.g. per experiment arm — the standard practice so one arm's
+    tail cannot set the other's cap ... note cross-arm capping is
+    also defensible; pick per your experiment SOP and the readout
+    names which was used).
+
+    Quantiles are EXACT (Spark's ``percentile``, linear
+    interpolation — bit-replayable by an oracle's ``quantile_cont``).
+    Exact grouped percentiles hold per-(group, column) value counts
+    in the aggregation — fine for metric columns with bounded
+    distinct values or dimension-sized groups, the operator's
+    intended use; for billion-distinct-value columns at 100 TB
+    substitute ``percentile_approx`` upstream and accept the
+    approximation (documented trade, not a silent one).
+
+    Scale shape: ONE grouped aggregate computes every column's two
+    caps together (map-side combine), broadcast-joined back (cap
+    table is group-count-sized), clamping is scan-side
+    ``least``/``greatest`` — no window, no second shuffle.
+    """
+    if not cols:
+        raise ValueError("stats.winsorize: cols must be non-empty")
+    if not 0 <= lower < upper <= 1:
+        raise ValueError(
+            f"stats.winsorize: need 0 <= lower < upper <= 1, got "
+            f"({lower}, {upper})"
+        )
+    gb = (
+        []
+        if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs.append(F.percentile(x, F.lit(float(lower))).alias(f"__lo_{c}"))
+        aggs.append(F.percentile(x, F.lit(float(upper))).alias(f"__hi_{c}"))
+    caps = df.groupBy(*gb).agg(*aggs)
+    if gb:
+        # null-safe recombine: a NULL group key is a legal group and
+        # its rows must still get caps (same contract as meta_analysis)
+        keys = [f"__wg_{i}" for i in range(len(gb))]
+        caps_r = caps.select(
+            *[F.col(c).alias(k) for c, k in zip(gb, keys)],
+            *[F.col(f"__lo_{c}") for c in cols],
+            *[F.col(f"__hi_{c}") for c in cols],
+        )
+        cond = None
+        for c, k in zip(gb, keys):
+            leg = df[c].eqNullSafe(F.col(k))
+            cond = leg if cond is None else (cond & leg)
+        joined = df.join(F.broadcast(caps_r), cond).drop(*keys)
+    else:
+        joined = df.crossJoin(F.broadcast(caps))
+    for c in cols:
+        x = F.col(c).cast("double")
+        joined = joined.withColumn(
+            f"{c}{suffix}",
+            F.when(
+                x.isNotNull(),
+                F.least(
+                    F.greatest(x, F.col(f"__lo_{c}")), F.col(f"__hi_{c}")
+                ),
+            ),
+        )
+    drop = [f"__lo_{c}" for c in cols] + [f"__hi_{c}" for c in cols]
+    return joined.drop(*drop)

@@ -1027,3 +1027,38 @@ def test_rfm_scores_and_segments(spark):
     assert again == {r.user_id: tuple(r) for r in out.values()}
     with pytest.raises(ValueError, match="n_bins"):
         sessions.rfm(df, n_bins=1)
+
+
+def test_stickiness_weekly_ratio(spark):
+    """DAU/periodAU on a hand-computable fixture: 3 users, one week;
+    u0 active every day, u1 two days, u2 one day."""
+    import datetime
+
+    from getl_spark.functions import sessions
+
+    base = datetime.datetime(2024, 1, 1, 12)  # a Monday
+    rows = []
+    for d in range(5):
+        rows.append((0, base + datetime.timedelta(days=d)))
+    rows += [(1, base), (1, base + datetime.timedelta(days=1)),
+             (2, base + datetime.timedelta(days=2)),
+             (0, base)]  # duplicate (day,user) must not double-count
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    out = sessions.stickiness(df, period="week").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert str(r.period_start) == "2024-01-01"
+    assert r.period_users == 3 and r.active_days == 5
+    # day actives: 2,2,2,1,1 -> avg 1.6; stickiness 1.6/3
+    assert abs(r.avg_dau - 1.6) < 1e-9
+    assert abs(r.stickiness - 1.6 / 3) < 1e-6
+    # NULL user/ts rows excluded
+    with_null = df.union(
+        spark.createDataFrame([(None, base), (9, None)], df.schema)
+    )
+    r2 = sessions.stickiness(with_null, period="week").collect()[0]
+    assert r2.period_users == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="period"):
+        sessions.stickiness(df, period="quarter")

@@ -5126,3 +5126,106 @@ def test_qini_guards(spark):
         stats.qini(bad, "score", "arm", "y", "c", "t").collect()
     with pytest.raises(ValueError, match="n_buckets"):
         stats.qini(df, "score", "arm", "y", "c", "t", n_buckets=1)
+
+
+# ------------------------------------------------------------- psm match
+
+
+def test_psm_match_matches_bruteforce(spark):
+    """Bucketed candidate generation must find exactly the pairs a
+    direct |diff| <= caliper scan finds, with the (dist, control_id)
+    tie order."""
+    from getl_spark.functions import stats
+
+    rows = [
+        (i, 1 if i % 4 == 0 else 0, ((i * 53) % 89) / 100.0 + 0.005)
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, t INT, p DOUBLE")
+    caliper = 0.03
+    got = {
+        r.treated_id: (r.control_id, r.dist)
+        for r in stats.psm_match(df, "t", "p", "id", caliper=caliper).collect()
+    }
+    controls = [(i, p) for i, t, p in rows if t == 0]
+    want = {}
+    for ti, t, tp in [(i, t, p) for i, t, p in rows if t == 1]:
+        cands = sorted(
+            (abs(tp - cp), ci) for ci, cp in controls
+            if abs(tp - cp) <= caliper
+        )
+        if cands:
+            want[ti] = cands[0][1]
+    assert {k: v[0] for k, v in got.items()} == want
+    # with replacement: a control may serve several treated units
+    assert len(set(v[0] for v in got.values())) <= len(got)
+    # treated with no in-caliper control are absent, not fabricated
+    lonely = spark.createDataFrame(
+        [(1, 1, 0.5), (2, 0, 0.9)], "id LONG, t INT, p DOUBLE"
+    )
+    assert stats.psm_match(lonely, "t", "p", "id", caliper=0.05).count() == 0
+
+
+def test_psm_match_guards(spark):
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [(1, 1, 0.5), (2, 0, 0.5)], "id LONG, t INT, p DOUBLE"
+    )
+    with pytest.raises(ValueError, match="caliper"):
+        stats.psm_match(df, "t", "p", "id", caliper=0.0)
+    bad_t = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 0, 0.5)], "id LONG, t INT, p DOUBLE"
+    )
+    with pytest.raises(Exception, match="binary"):
+        stats.psm_match(bad_t, "t", "p", "id").collect()
+    bad_p = spark.createDataFrame(
+        [(1, 1, 1.0), (2, 0, 0.5)], "id LONG, t INT, p DOUBLE"
+    )
+    with pytest.raises(Exception, match="propensit"):
+        stats.psm_match(bad_p, "t", "p", "id").collect()
+    # NULL propensity rows are excluded, not crashed on
+    with_null = spark.createDataFrame(
+        [(1, 1, 0.5), (2, 0, 0.501), (3, 0, None)],
+        "id LONG, t INT, p DOUBLE",
+    )
+    out = stats.psm_match(with_null, "t", "p", "id").collect()
+    assert [(r.treated_id, r.control_id) for r in out] == [(1, 2)]
+
+
+# ------------------------------------------------------------- winsorize
+
+
+def test_winsorize_caps_and_contracts(spark):
+    import numpy as np
+
+    from getl_spark.functions import stats
+
+    vals = [float(v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]]
+    rows = [(i, "a", v) for i, v in enumerate(vals)] + [
+        (100 + i, "b", v * 10) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, g STRING, x DOUBLE")
+    out = {
+        (r.g, r.id): r.x_w
+        for r in stats.winsorize(df, ["x"], 0.1, 0.9, group_by="g").collect()
+    }
+    for g, scale in (("a", 1.0), ("b", 10.0)):
+        gv = [v * scale for v in vals]
+        lo, hi = np.percentile(gv, 10), np.percentile(gv, 90)
+        for i, v in enumerate(gv):
+            key = (g, i if g == "a" else 100 + i)
+            assert abs(out[key] - min(max(v, lo), hi)) < 1e-9
+    # ungrouped + NULL passthrough + NULL group key kept
+    with_null = spark.createDataFrame(
+        [(1, None, 5.0), (2, None, None), (3, "a", 7.0)],
+        "id LONG, g STRING, x DOUBLE",
+    )
+    ung = stats.winsorize(with_null, ["x"], 0.0, 1.0).collect()
+    assert {r.id: r.x_w for r in ung} == {1: 5.0, 2: None, 3: 7.0}
+    grp = stats.winsorize(with_null, ["x"], 0.0, 1.0, group_by="g").collect()
+    assert len(grp) == 3  # the NULL group's rows survive the recombine
+    with pytest.raises(ValueError, match="cols"):
+        stats.winsorize(with_null, [])
+    with pytest.raises(ValueError, match="lower"):
+        stats.winsorize(with_null, ["x"], 0.9, 0.1)

@@ -1495,3 +1495,33 @@ def test_extract_links_hand_cases(spark):
         T.extract_links(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_lang_mix_fractions(spark):
+    """Script-mixing measurement: pure text scores 0, a half-and-half
+    doc crosses the threshold, scriptless text is NULL evidence."""
+    from getl_spark.functions import text as T
+
+    rows = [
+        (1, "pure latin text here"),
+        (2, "latin text с небольшой кириллицей внутри да"),
+        (3, "3.14159 + 2 = ???"),
+        (4, None),
+        (5, "tiny мир"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: (r.script_main, r.script_mix_frac, r.script_mixed)
+        for r in T.lang_mix(df).collect()
+    }
+    assert got[1] == ("latin", 0.0, False)
+    main2, frac2, mixed2 = got[2]
+    assert main2 == "cyrillic" and 0 < frac2 < 0.5 and mixed2
+    assert got[3] == ("und", None, None)
+    assert got[4] == (None, None, None)
+    # 'tiny мир': latin 4 vs cyrillic 3 -> latin main, 3/7 mixed
+    assert got[5][0] == "latin" and abs(got[5][1] - 3 / 7) < 1e-6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mixed_threshold"):
+        T.lang_mix(df, mixed_threshold=1.0)
