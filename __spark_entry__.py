@@ -14587,36 +14587,6 @@ FROM ranked WHERE rn = 1
 """
 
 
-def _q_winsorize(spark, sf_dir):
-    """stats.winsorize — per-group (l_returnflag) exact-percentile
-    capping of l_extendedprice at [p05, p95]. Spark ``percentile`` ≡
-    DuckDB ``quantile_cont`` (identical linear-interpolation formula —
-    the parity the percentiles_exact row pins), clamping replays as
-    LEAST/GREATEST verbatim."""
-    from getl_spark.functions import stats
-
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
-    )
-    return stats.winsorize(
-        li, ["l_extendedprice"], lower=0.05, upper=0.95,
-        group_by="l_returnflag",
-    )
-
-
-WINSORIZE_ORACLE = """
-WITH caps AS (
-  SELECT l_returnflag,
-         quantile_cont(l_extendedprice, 0.05) AS lo,
-         quantile_cont(l_extendedprice, 0.95) AS hi
-  FROM lineitem GROUP BY l_returnflag
-)
-SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
-       LEAST(GREATEST(l.l_extendedprice, c.lo), c.hi) AS l_extendedprice_w
-FROM lineitem l JOIN caps c USING (l_returnflag)
-"""
-
-
 def _q_stickiness(spark, sf_dir):
     """sessions.stickiness — weekly DAU/WAU engagement ratio over the
     events table: one (day,user) distinct, day-keyed counts, a
@@ -14994,7 +14964,6 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_meta_analysis": _q_meta_analysis,
         "sessions_rfm": _q_rfm,
         "stats_psm_match": _q_psm_match,
-        "stats_winsorize": _q_winsorize,
         "sessions_stickiness": _q_stickiness,
         "text_lang_mix": _q_lang_mix,
         "stats_sample_size": _q_sample_size,
@@ -15284,7 +15253,6 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_meta_analysis": META_ANALYSIS_ORACLE,
         "sessions_rfm": RFM_ORACLE,
         "stats_psm_match": PSM_MATCH_ORACLE,
-        "stats_winsorize": WINSORIZE_ORACLE,
         "sessions_stickiness": STICKINESS_ORACLE,
         "text_lang_mix": _lang_mix_oracle(),
         "stats_sample_size": SAMPLE_SIZE_ORACLE,

@@ -7844,88 +7844,3 @@ def psm_match(
             F.round("dist", round_to).alias("dist"),
         )
     )
-
-
-def winsorize(
-    df: DataFrame,
-    cols: List[str],
-    lower: float = 0.01,
-    upper: float = 0.99,
-    group_by=None,
-    suffix: str = "_w",
-) -> DataFrame:
-    """Winsorize (percentile-cap) numeric columns — the robust-metrics
-    preprocessing step in front of :func:`ab_compare` /
-    :func:`ratio_metric` when a metric has a heavy tail (revenue,
-    tokens, latency): values below the ``lower`` quantile clamp up to
-    it, values above ``upper`` clamp down, so a single whale cannot
-    own the mean while (unlike trimming, :func:`trimmed_mean`) every
-    unit keeps exactly one row and joins stay intact. Appends
-    ``<col><suffix>`` per input column (originals untouched); NULLs
-    pass through. ``group_by`` computes the caps WITHIN each group
-    (e.g. per experiment arm — the standard practice so one arm's
-    tail cannot set the other's cap ... note cross-arm capping is
-    also defensible; pick per your experiment SOP and the readout
-    names which was used).
-
-    Quantiles are EXACT (Spark's ``percentile``, linear
-    interpolation — bit-replayable by an oracle's ``quantile_cont``).
-    Exact grouped percentiles hold per-(group, column) value counts
-    in the aggregation — fine for metric columns with bounded
-    distinct values or dimension-sized groups, the operator's
-    intended use; for billion-distinct-value columns at 100 TB
-    substitute ``percentile_approx`` upstream and accept the
-    approximation (documented trade, not a silent one).
-
-    Scale shape: ONE grouped aggregate computes every column's two
-    caps together (map-side combine), broadcast-joined back (cap
-    table is group-count-sized), clamping is scan-side
-    ``least``/``greatest`` — no window, no second shuffle.
-    """
-    if not cols:
-        raise ValueError("stats.winsorize: cols must be non-empty")
-    if not 0 <= lower < upper <= 1:
-        raise ValueError(
-            f"stats.winsorize: need 0 <= lower < upper <= 1, got "
-            f"({lower}, {upper})"
-        )
-    gb = (
-        []
-        if group_by is None
-        else [group_by] if isinstance(group_by, str) else list(group_by)
-    )
-    aggs = []
-    for c in cols:
-        x = F.col(c).cast("double")
-        aggs.append(F.percentile(x, F.lit(float(lower))).alias(f"__lo_{c}"))
-        aggs.append(F.percentile(x, F.lit(float(upper))).alias(f"__hi_{c}"))
-    caps = df.groupBy(*gb).agg(*aggs)
-    if gb:
-        # null-safe recombine: a NULL group key is a legal group and
-        # its rows must still get caps (same contract as meta_analysis)
-        keys = [f"__wg_{i}" for i in range(len(gb))]
-        caps_r = caps.select(
-            *[F.col(c).alias(k) for c, k in zip(gb, keys)],
-            *[F.col(f"__lo_{c}") for c in cols],
-            *[F.col(f"__hi_{c}") for c in cols],
-        )
-        cond = None
-        for c, k in zip(gb, keys):
-            leg = df[c].eqNullSafe(F.col(k))
-            cond = leg if cond is None else (cond & leg)
-        joined = df.join(F.broadcast(caps_r), cond).drop(*keys)
-    else:
-        joined = df.crossJoin(F.broadcast(caps))
-    for c in cols:
-        x = F.col(c).cast("double")
-        joined = joined.withColumn(
-            f"{c}{suffix}",
-            F.when(
-                x.isNotNull(),
-                F.least(
-                    F.greatest(x, F.col(f"__lo_{c}")), F.col(f"__hi_{c}")
-                ),
-            ),
-        )
-    drop = [f"__lo_{c}" for c in cols] + [f"__hi_{c}" for c in cols]
-    return joined.drop(*drop)

@@ -5191,41 +5191,3 @@ def test_psm_match_guards(spark):
     )
     out = stats.psm_match(with_null, "t", "p", "id").collect()
     assert [(r.treated_id, r.control_id) for r in out] == [(1, 2)]
-
-
-# ------------------------------------------------------------- winsorize
-
-
-def test_winsorize_caps_and_contracts(spark):
-    import numpy as np
-
-    from getl_spark.functions import stats
-
-    vals = [float(v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]]
-    rows = [(i, "a", v) for i, v in enumerate(vals)] + [
-        (100 + i, "b", v * 10) for i, v in enumerate(vals)
-    ]
-    df = spark.createDataFrame(rows, "id LONG, g STRING, x DOUBLE")
-    out = {
-        (r.g, r.id): r.x_w
-        for r in stats.winsorize(df, ["x"], 0.1, 0.9, group_by="g").collect()
-    }
-    for g, scale in (("a", 1.0), ("b", 10.0)):
-        gv = [v * scale for v in vals]
-        lo, hi = np.percentile(gv, 10), np.percentile(gv, 90)
-        for i, v in enumerate(gv):
-            key = (g, i if g == "a" else 100 + i)
-            assert abs(out[key] - min(max(v, lo), hi)) < 1e-9
-    # ungrouped + NULL passthrough + NULL group key kept
-    with_null = spark.createDataFrame(
-        [(1, None, 5.0), (2, None, None), (3, "a", 7.0)],
-        "id LONG, g STRING, x DOUBLE",
-    )
-    ung = stats.winsorize(with_null, ["x"], 0.0, 1.0).collect()
-    assert {r.id: r.x_w for r in ung} == {1: 5.0, 2: None, 3: 7.0}
-    grp = stats.winsorize(with_null, ["x"], 0.0, 1.0, group_by="g").collect()
-    assert len(grp) == 3  # the NULL group's rows survive the recombine
-    with pytest.raises(ValueError, match="cols"):
-        stats.winsorize(with_null, [])
-    with pytest.raises(ValueError, match="lower"):
-        stats.winsorize(with_null, ["x"], 0.9, 0.1)
