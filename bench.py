@@ -236,6 +236,11 @@ DETAIL_QUERIES = [
     # steady-state runs merge only).
     "dedup_merge_minhash_index_merge_only",
     "similarity_merge_ivf_index_merge_only",
+    # round-12 operators (similarity_recall_hamming is registered
+    # higher up next to similarity_recall_ivf)
+    "stats_psm_match",
+    "sessions_stickiness",
+    "text_lang_mix",
 ]
 
 RUNS = 3
