@@ -1058,6 +1058,10 @@ def test_stickiness_weekly_ratio(spark):
     )
     r2 = sessions.stickiness(with_null, period="week").collect()[0]
     assert r2.period_users == 3
+    # month path: same fixture is one January period
+    m = sessions.stickiness(df, period="month").collect()
+    assert len(m) == 1 and str(m[0].period_start) == "2024-01-01"
+    assert m[0].period_users == 3 and m[0].active_days == 5
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="period"):
