@@ -14541,6 +14541,58 @@ FROM g
 """
 
 
+def _q_bfs_distances(spark, sf_dir):
+    """graph.bfs_distances — bounded-hop BFS from three supplier seeds
+    over the sampled supplier↔part bipartite graph (the pagerank edge
+    construction on a mod-11 order slice to keep the oracle's
+    recursive CTE tractable). The engine runs level-synchronous
+    frontier BFS (one frontier⋈edges join + one visited anti-join per
+    hop); the oracle states the SEMANTICS as DuckDB's recursive CTE
+    with UNION (distinct) recursion + MIN(dist) — the formulation a
+    single-node engine uses and a distributed one deliberately
+    avoids."""
+    from getl_spark.functions import graph
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        "l_orderkey % 11 = 0"
+    )
+    edges = li.selectExpr(
+        "concat('s', CAST(l_suppkey AS STRING)) AS src",
+        "concat('p', CAST(l_partkey AS STRING)) AS dst",
+    ).union(
+        li.where("l_partkey % 2 = 0").selectExpr(
+            "concat('p', CAST(l_partkey AS STRING)) AS src",
+            "concat('s', CAST(l_suppkey AS STRING)) AS dst",
+        )
+    )
+    return graph.bfs_distances(
+        edges, ["s1", "s2", "s3"], max_hops=3
+    ).withColumn("dist", F.col("dist").cast("int"))
+
+
+BFS_DISTANCES_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+           'p' || CAST(l_partkey AS VARCHAR) AS dst
+    FROM lineitem WHERE l_orderkey % 11 = 0
+    UNION ALL
+    SELECT 'p' || CAST(l_partkey AS VARCHAR),
+           's' || CAST(l_suppkey AS VARCHAR)
+    FROM lineitem WHERE l_orderkey % 11 = 0 AND l_partkey % 2 = 0
+  )
+), walk(node, dist) AS (
+  SELECT * FROM (VALUES ('s1', 0), ('s2', 0), ('s3', 0)) AS s(node, dist)
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.dist < 3
+)
+SELECT node, CAST(MIN(dist) AS INT) AS dist
+FROM walk GROUP BY node
+"""
+
+
 def _q_psm_match(spark, sf_dir):
     """stats.psm_match — caliper nearest-neighbor propensity matching
     WITH replacement on a deterministic synthetic propensity over the
@@ -14966,6 +15018,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_psm_match": _q_psm_match,
         "sessions_stickiness": _q_stickiness,
         "text_lang_mix": _q_lang_mix,
+        "graph_bfs_distances": _q_bfs_distances,
         "stats_sample_size": _q_sample_size,
         "dedup_lsh_plan": _q_lsh_plan,
         "graph_cooccurrence": _q_cooccurrence,
@@ -15255,6 +15308,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_psm_match": PSM_MATCH_ORACLE,
         "sessions_stickiness": STICKINESS_ORACLE,
         "text_lang_mix": _lang_mix_oracle(),
+        "graph_bfs_distances": BFS_DISTANCES_ORACLE,
         "stats_sample_size": SAMPLE_SIZE_ORACLE,
         "dedup_lsh_plan": LSH_PLAN_ORACLE,
         "graph_cooccurrence": COOCCURRENCE_ORACLE,

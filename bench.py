@@ -241,6 +241,7 @@ DETAIL_QUERIES = [
     "stats_psm_match",
     "sessions_stickiness",
     "text_lang_mix",
+    "graph_bfs_distances",
 ]
 
 RUNS = 3

@@ -1202,3 +1202,86 @@ def adamic_adar(
         "common_neighbors",
         "aa_score",
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+    node_col: str = "node",
+    directed: bool = True,
+) -> DataFrame:
+    """Bounded-hop BFS distance from a SEED SET over an edge list —
+    the frontier readout the link-graph curation loop needs: "how far
+    is every page from the trusted seed domains?" (crawl-frontier
+    prioritization, the distance feature in quality scoring, and
+    contamination propagation: hops from a known-bad node). Returns
+    ``(node_col, dist)`` for every node REACHED within ``max_hops``
+    edges of any seed — minimum edge count, seeds at 0 (a seed absent
+    from the edge list still reports 0: membership in the seed set is
+    evidence). Unreached nodes produce no row, so the output is the
+    reached set. ``directed=False`` follows edges both ways.
+
+    ``seeds`` is a DataFrame with ``node_col`` (the distributed form)
+    or a plain Python list of node values. NULL endpoints/seeds are
+    dropped; parallel edges collapse (DISTINCT).
+
+    Exact level-synchronous BFS: per hop, one frontier⋈edges keyed
+    join + one anti-join against the visited set (both key-
+    partitioned — pagerank's per-iteration shape with a frontier-
+    sized working set instead of the full node vector), per-hop pins
+    with superseded frames unpinned, and an empty-frontier early exit
+    (one 1-row driver probe per hop, the hits/k-means iteration-
+    control class). ``max_hops`` is the hard cap — at 100 TB each hop
+    is one edges-sized shuffle, and 6 hops cover any small-world link
+    graph's useful signal; raise it consciously.
+    """
+    if max_hops < 1:
+        raise ValueError(f"bfs_distances: max_hops must be >= 1, got {max_hops}")
+    spark = edges.sparkSession
+    if not isinstance(seeds, DataFrame):
+        seed_list = list(seeds)
+        if not seed_list:
+            raise ValueError("bfs_distances: seeds must be non-empty")
+        seeds = spark.createDataFrame(
+            [(s,) for s in seed_list],
+            f"{node_col} {edges.schema[src].dataType.simpleString()}",
+        )
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    )
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.distinct().transform(pin)
+    visited = (
+        seeds.select(F.col(node_col).alias("node"))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .transform(pin)
+    )
+    frontier = visited
+    for hop in range(1, int(max_hops) + 1):
+        if frontier.limit(1).count() == 0:
+            break
+        reached = (
+            e.join(frontier.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new_frontier = (
+            reached.join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .transform(pin)
+        )
+        new_visited = visited.union(new_frontier).transform(pin)
+        if frontier is not visited:
+            unpin(frontier)
+        unpin(visited)
+        visited, frontier = new_visited, new_frontier
+    out = visited.select(F.col("node").alias(node_col), "dist")
+    unpin(e)
+    return out

@@ -1102,3 +1102,79 @@ def test_cooccurrence_oversize_and_guards(spark):
         graph.cooccurrence(df, "g", "item", min_count=0)
     with _pytest.raises(ValueError, match="max_group_size"):
         graph.cooccurrence(df, "g", "item", max_group_size=1)
+
+
+# ------------------------------------------------------------ BFS distances
+
+
+def test_bfs_distances_min_hops(spark):
+    """Hand-built graph: distances are MINIMUM hop counts, unreached
+    nodes absent, a seed missing from the edge list reports 0."""
+    from getl_spark.functions import graph
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"),
+        ("a", "c"),              # shortcut: d is 2 hops via a->c->d
+        ("x", "y"),              # disconnected from the seed
+    ]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    got = {
+        r.node: r.dist
+        for r in graph.bfs_distances(df, ["a", "ghost"], max_hops=5).collect()
+    }
+    assert got == {"a": 0, "ghost": 0, "b": 1, "c": 1, "d": 2}
+    # max_hops truncates the frontier
+    got2 = {
+        r.node: r.dist
+        for r in graph.bfs_distances(df, ["a"], max_hops=1).collect()
+    }
+    assert got2 == {"a": 0, "b": 1, "c": 1}
+    # undirected: reverse edges walk too
+    got3 = {
+        r.node: r.dist
+        for r in graph.bfs_distances(
+            df, ["d"], max_hops=3, directed=False
+        ).collect()
+    }
+    assert got3 == {"d": 0, "c": 1, "a": 2, "b": 2}
+    # DataFrame seed form + multi-seed min
+    seeds = spark.createDataFrame([("a",), ("y",)], "node STRING")
+    got4 = {
+        r.node: r.dist
+        for r in graph.bfs_distances(df, seeds, max_hops=5).collect()
+    }
+    assert got4["y"] == 0 and got4["d"] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hops"):
+        graph.bfs_distances(df, ["a"], max_hops=0)
+    with _pytest.raises(ValueError, match="seeds"):
+        graph.bfs_distances(df, [], max_hops=2)
+
+
+def test_bfs_distances_matches_recursive_oracle(spark):
+    """Engine BFS vs a pure-python Dijkstra-on-unit-weights replay over
+    a mod graph with cycles."""
+    from getl_spark.functions import graph
+
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 17}") for i in range(17)]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    got = {
+        r.node: r.dist
+        for r in graph.bfs_distances(df, ["n0"], max_hops=6).collect()
+    }
+    from collections import deque
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    want, q = {"n0": 0}, deque(["n0"])
+    while q:
+        u = q.popleft()
+        if want[u] >= 6:
+            continue
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want
