@@ -27,6 +27,18 @@ from __future__ import annotations
 
 import math
 import os
+# Per-process scratch root for the roundtrip/stream queries: the
+# driver, bench, pytest sweep, and tools/check_oracle.py may run
+# concurrently, and a shared fixed path lets one harness rmtree an
+# index another is mid-drain on (observed: stream_dedup_ingest row
+# mismatch under a parallel sweep + suite). Three fixture queries
+# (load_binary / malformed_drop / load_batch_text) deliberately KEEP
+# the fixed /tmp/getl_spark_q path: their DuckDB oracle SQL embeds the
+# path as a literal, the written content is deterministic and
+# identical across harnesses, and a fixed path stays valid even if a
+# harness renders oracle_sql() in a different process than the query.
+_QTMP = f"/tmp/getl_spark_q_{os.getpid()}"
+
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -1071,7 +1083,7 @@ SELECT * FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15
 def _q_registry_incremental(spark, sf_dir):
     """Full end-to-end incremental ingest: write source files, let a
     full_scan registry discover them, lift to a sink, read back."""
-    tmp = "/tmp/getl_spark_q/registry_incremental"
+    tmp = f"{_QTMP}/registry_incremental"
     shutil.rmtree(tmp, ignore_errors=True)
     src, out, reg = f"{tmp}/src", f"{tmp}/out", f"{tmp}/registry"
     if True:
@@ -1111,7 +1123,7 @@ def _q_registry_delta_diff(spark, sf_dir):
     fallback without delta-spark): lift 1 sees keys %4==0 and commits
     the key snapshot; the source then grows to keys %2==0; lift 2 must
     return exactly the rows whose key is new (%2==0 but not %4==0)."""
-    tmp = "/tmp/getl_spark_q/registry_delta_diff"
+    tmp = f"{_QTMP}/registry_delta_diff"
     shutil.rmtree(tmp, ignore_errors=True)
     src, reg = f"{tmp}/src", f"{tmp}/registry"
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
@@ -1153,7 +1165,7 @@ WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
 def _q_registry_date_prefix(spark, sf_dir):
     """Date-prefix-scan registry: monthly-partitioned landing zone,
     discovery pruned to the [DefaultStartDate, now] window."""
-    tmp = "/tmp/getl_spark_q/registry_date_prefix"
+    tmp = f"{_QTMP}/registry_date_prefix"
     shutil.rmtree(tmp, ignore_errors=True)
     src, out, reg = f"{tmp}/src", f"{tmp}/out", f"{tmp}/registry"
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1224,7 +1236,7 @@ WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
 def _q_upsert_merge(spark, sf_dir):
     """Delta-semantics merge-upsert through the write block: base =
     pre-1997 orders, updates = doubled totals for 1996-1997 overlap."""
-    tmp = "/tmp/getl_spark_q/upsert_merge"
+    tmp = f"{_QTMP}/upsert_merge"
     shutil.rmtree(tmp, ignore_errors=True)
     if True:
         target = f"{tmp}/t"
@@ -1277,7 +1289,7 @@ SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
 def _q_stream_roundtrip(spark, sf_dir):
     """stream_json → streamed sink with availableNow trigger →
     read back the materialized output."""
-    tmp = "/tmp/getl_spark_q/stream_roundtrip"
+    tmp = f"{_QTMP}/stream_roundtrip"
     shutil.rmtree(tmp, ignore_errors=True)
     src, out = f"{tmp}/src", f"{tmp}/out"
     if True:
@@ -1332,7 +1344,7 @@ def _q_stream_parquet_roundtrip(spark, sf_dir):
     from getl_spark import lift
     from getl_spark.common.tables import ManagedTable
 
-    tmp = "/tmp/getl_spark_q/stream_pq_roundtrip"
+    tmp = f"{_QTMP}/stream_pq_roundtrip"
     shutil.rmtree(tmp, ignore_errors=True)
     src, out = f"{tmp}/src", f"{tmp}/out"
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1481,7 +1493,7 @@ FROM orders GROUP BY o_orderpriority
 
 def _q_load_csv_roundtrip(spark, sf_dir):
     """write::batch_csv → load::batch_csv with header+schema options."""
-    tmp = "/tmp/getl_spark_q/csv_roundtrip"
+    tmp = f"{_QTMP}/csv_roundtrip"
     shutil.rmtree(tmp, ignore_errors=True)
     blocks = _load_blocks(sf_dir, ["nation"])
     blocks["W"] = {
@@ -1512,7 +1524,7 @@ LOAD_CSV_ORACLE = "SELECT * FROM nation"
 def _q_load_orc_roundtrip(spark, sf_dir):
     """write::batch_orc → load::batch_orc (ORC is built into Spark —
     the third columnar format on the surface alongside parquet/delta)."""
-    tmp = "/tmp/getl_spark_q/orc_roundtrip"
+    tmp = f"{_QTMP}/orc_roundtrip"
     shutil.rmtree(tmp, ignore_errors=True)
     blocks = _load_blocks(sf_dir, ["supplier"])
     blocks["W"] = {
@@ -1537,7 +1549,7 @@ def _q_jdbc_roundtrip(spark, sf_dir):
     genuine JDBC pushdown, the same code path a Postgres/MySQL
     deployment runs (reference getl/blocks/load/entrypoint.py:265-301,
     getl/blocks/write/entrypoint.py:21-62)."""
-    tmp = "/tmp/getl_spark_q/jdbc_derby"
+    tmp = f"{_QTMP}/jdbc_derby"
     shutil.rmtree(tmp, ignore_errors=True)
     driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
     url = f"jdbc:derby:{tmp}/db;create=true"
@@ -1596,7 +1608,7 @@ FROM orders GROUP BY o_orderstatus, o_orderpriority
 
 def _q_load_xml_roundtrip(spark, sf_dir):
     """XML writer→reader roundtrip through the batched XML source."""
-    tmp = "/tmp/getl_spark_q/xml_roundtrip"
+    tmp = f"{_QTMP}/xml_roundtrip"
     shutil.rmtree(tmp, ignore_errors=True)
     import os
 
@@ -1645,7 +1657,7 @@ LOAD_XML_ORACLE = "SELECT r_regionkey, r_name FROM region"
 
 def _q_load_json_schema(spark, sf_dir):
     """JSON load with a declared portable JSON schema (no inference)."""
-    tmp = "/tmp/getl_spark_q/json_schema"
+    tmp = f"{_QTMP}/json_schema"
     shutil.rmtree(tmp, ignore_errors=True)
     blocks = _load_blocks(sf_dir, ["supplier"])
     blocks["W"] = {
@@ -3449,7 +3461,7 @@ def _q_stream_upsert_drain(spark, sf_dir):
     versions each (seq 1 garbage, seq 2 final) so the ``OrderBy``
     latest-wins path is exercised driver-visibly. Final state: wave-1
     keys %10<3 original, %10∈{3,4} updated, %10∈{5,6} inserted."""
-    tmp = "/tmp/getl_spark_q/stream_upsert"
+    tmp = f"{_QTMP}/stream_upsert"
     shutil.rmtree(tmp, ignore_errors=True)
     src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -3539,7 +3551,7 @@ def _q_stream_route_drain(spark, sf_dir):
     import yaml as _yaml
 
     tmp = (
-        "/tmp/getl_spark_q/stream_route_"
+        f"{_QTMP}/stream_route_"
         f"{os.path.basename(sf_dir.rstrip('/'))}"
     )
     _shutil.rmtree(tmp, ignore_errors=True)
@@ -3626,7 +3638,7 @@ def _q_stream_sessionize_drain(spark, sf_dir):
     import yaml as _yaml
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    tmp = f"/tmp/getl_spark_q/stream_sessionize_{tag}"
+    tmp = f"{_QTMP}/stream_sessionize_{tag}"
     shutil.rmtree(tmp, ignore_errors=True)
     src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -3705,7 +3717,7 @@ def _q_stream_dedup_drain(spark, sf_dir):
     is deterministic), drained with availableNow through
     dropDuplicatesWithinWatermark into a parquet sink. The oracle is
     the single-copy sample."""
-    tmp = "/tmp/getl_spark_q/stream_dedup"
+    tmp = f"{_QTMP}/stream_dedup"
     shutil.rmtree(tmp, ignore_errors=True)
     src, out = f"{tmp}/src", f"{tmp}/out"
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -3765,7 +3777,7 @@ def _q_scd2_merge(spark, sf_dir):
     changes %10=5, inserts %10∈{6,7}. The final table is full SCD2
     history, replicated in DuckDB as the union of untouched / closed /
     opened version rows."""
-    tmp = "/tmp/getl_spark_q/scd2"
+    tmp = f"{_QTMP}/scd2"
     shutil.rmtree(tmp, ignore_errors=True)
     path = f"{tmp}/dim"
     from getl_spark.common.tables import ManagedTable
@@ -4479,7 +4491,7 @@ def _q_dedup_vec_index(spark, sf_dir):
         for i in range(60)
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    path = "/tmp/getl_spark_q/vec_dedup_index"
+    path = f"{_QTMP}/vec_dedup_index"
     shutil.rmtree(path, ignore_errors=True)
     similarity.build_ivf_pq_index(df, path, nlist=6, m=4, k=8, seed=11)
     # increment: copies of vec 0..5 (ids 100..105, must drop) + two
@@ -5273,7 +5285,7 @@ def _q_bucketed_join(spark, sf_dir):
     counts and exact DECIMAL-summed totals."""
     from getl_spark.functions import layout
 
-    tmp = "/tmp/getl_spark_q/bucketed_join"
+    tmp = f"{_QTMP}/bucketed_join"
     shutil.rmtree(tmp, ignore_errors=True)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -7464,7 +7476,7 @@ def _q_stored_index(spark, sf_dir):
     anti-join directly."""
     from getl_spark.functions import dedup
 
-    tmp = "/tmp/getl_spark_q/minhash_index"
+    tmp = f"{_QTMP}/minhash_index"
     shutil.rmtree(tmp, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     dedup.build_minhash_index(docs.where("doc_id % 2 = 0"), tmp)
@@ -7494,7 +7506,7 @@ def _q_stored_index_build(spark, sf_dir):
     from getl_spark.functions import dedup
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    tmp = f"/tmp/getl_spark_q/minhash_index_bench_{tag}"
+    tmp = f"{_QTMP}/minhash_index_bench_{tag}"
     shutil.rmtree(tmp, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.build_minhash_index(docs.where("doc_id % 2 = 0"), tmp)
@@ -7510,7 +7522,7 @@ def _q_stored_index_query(spark, sf_dir):
     from getl_spark.functions import dedup
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    tmp = f"/tmp/getl_spark_q/minhash_index_bench_{tag}"
+    tmp = f"{_QTMP}/minhash_index_bench_{tag}"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if not os.path.exists(tmp):
         dedup.build_minhash_index(docs.where("doc_id % 2 = 0"), tmp)
@@ -7525,7 +7537,7 @@ def _q_cdc_stored_index_build(spark, sf_dir):
     pinned oracle."""
     from getl_spark.functions import dedup
 
-    tmp = "/tmp/getl_spark_q/cdc_index_bench"
+    tmp = f"{_QTMP}/cdc_index_bench"
     shutil.rmtree(tmp, ignore_errors=True)
     docs = _cdc_fixture_docs()
     base = spark.createDataFrame(
@@ -7549,7 +7561,7 @@ def _q_merge_minhash_index_merge_only(spark, sf_dir):
     from getl_spark.functions import dedup
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    tmp = f"/tmp/getl_spark_q/mh_merge_bench_{tag}"
+    tmp = f"{_QTMP}/mh_merge_bench_{tag}"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if not os.path.exists(f"{tmp}/a"):
         dedup.build_minhash_index(docs.where("doc_id % 4 = 0"), f"{tmp}/a")
@@ -7571,7 +7583,7 @@ def _q_merge_ivf_index_merge_only(spark, sf_dir):
     from getl_spark.functions import similarity
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    tmp = f"/tmp/getl_spark_q/ivf_merge_bench_{tag}"
+    tmp = f"{_QTMP}/ivf_merge_bench_{tag}"
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if not os.path.exists(f"{tmp}/a"):
         similarity.build_ivf_index(
@@ -7595,7 +7607,7 @@ def _q_cdc_stored_index_query(spark, sf_dir):
     when absent) — the per-increment cost."""
     from getl_spark.functions import dedup
 
-    tmp = "/tmp/getl_spark_q/cdc_index_bench"
+    tmp = f"{_QTMP}/cdc_index_bench"
     docs = _cdc_fixture_docs()
     if not os.path.exists(tmp):
         base = spark.createDataFrame(
@@ -7712,7 +7724,7 @@ def _q_ivf_pq_topk(spark, sf_dir):
         for i in range(60)
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    path = "/tmp/getl_spark_q/ivfpq_oracle"
+    path = f"{_QTMP}/ivfpq_oracle"
     shutil.rmtree(path, ignore_errors=True)
     similarity.build_ivf_pq_index(df, path, nlist=6, m=4, k=8, seed=11)
     queries = df.where("vec_id < 6")
@@ -7764,7 +7776,7 @@ def _q_ivf_pq_append(spark, sf_dir):
         for i in range(60)
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    path = "/tmp/getl_spark_q/ivfpq_append"
+    path = f"{_QTMP}/ivfpq_append"
     shutil.rmtree(path, ignore_errors=True)
     similarity.build_ivf_pq_index(
         df.where("vec_id % 2 = 0"), path, nlist=6, m=4, k=8, seed=11
@@ -7800,7 +7812,7 @@ def _q_stream_vector_ingest(spark, sf_dir):
     from getl_spark import lift
     from getl_spark.functions import similarity
 
-    tmp = "/tmp/getl_spark_q/stream_vec_ingest"
+    tmp = f"{_QTMP}/stream_vec_ingest"
     shutil.rmtree(tmp, ignore_errors=True)
     src, out, index, ckpt = (
         f"{tmp}/src", f"{tmp}/vectors", f"{tmp}/index", f"{tmp}/ckpt"
@@ -7873,7 +7885,7 @@ def _q_stream_dedup_ingest(spark, sf_dir):
     from getl_spark import lift
     from getl_spark.functions import dedup
 
-    tmp = "/tmp/getl_spark_q/stream_dedup_ingest"
+    tmp = f"{_QTMP}/stream_dedup_ingest"
     shutil.rmtree(tmp, ignore_errors=True)
     src, corpus, index, ckpt = (
         f"{tmp}/src", f"{tmp}/corpus", f"{tmp}/index", f"{tmp}/ckpt"
@@ -10681,7 +10693,7 @@ def _q_cdc_stored_index(spark, sf_dir):
     rows."""
     from getl_spark.functions import dedup
 
-    tmp = "/tmp/getl_spark_q/cdc_index"
+    tmp = f"{_QTMP}/cdc_index"
     shutil.rmtree(tmp, ignore_errors=True)
     docs = _cdc_fixture_docs()
     base = spark.createDataFrame(
@@ -13455,7 +13467,7 @@ def _q_merge_minhash_index(spark, sf_dir):
     from getl_spark.functions import dedup
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    tmp = f"/tmp/getl_spark_q/mh_merge_{tag}"
+    tmp = f"{_QTMP}/mh_merge_{tag}"
     shutil.rmtree(tmp, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     dedup.build_minhash_index(docs.where("doc_id % 4 = 0"), f"{tmp}/a")
@@ -13485,7 +13497,7 @@ def _q_merge_ivf_index(spark, sf_dir):
     from getl_spark.functions import similarity
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    tmp = f"/tmp/getl_spark_q/ivf_merge_{tag}"
+    tmp = f"{_QTMP}/ivf_merge_{tag}"
     shutil.rmtree(tmp, ignore_errors=True)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     similarity.build_ivf_index(emb.where("vec_id % 3 != 0"), f"{tmp}/a", nlist=8)
@@ -13552,7 +13564,7 @@ def _q_ivf_health(spark, sf_dir):
     from getl_spark.functions import similarity
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    tmp = f"/tmp/getl_spark_q/ivf_health_{tag}"
+    tmp = f"{_QTMP}/ivf_health_{tag}"
     shutil.rmtree(tmp, ignore_errors=True)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     spark.createDataFrame(
@@ -13647,7 +13659,7 @@ def _q_minhash_index_health(spark, sf_dir):
     from getl_spark.functions import dedup
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    tmp = f"/tmp/getl_spark_q/mh_health_{tag}"
+    tmp = f"{_QTMP}/mh_health_{tag}"
     shutil.rmtree(tmp, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     spark.createDataFrame(
@@ -13830,7 +13842,7 @@ def _q_stream_drift_monitor(spark, sf_dir):
     wave 2 replays the same keys at 3× price (psi large, mass clipped
     into the frozen top bin). One file per wave → one micro-batch per
     drain → deterministic batch ids."""
-    tmp = "/tmp/getl_spark_q/stream_drift"
+    tmp = f"{_QTMP}/stream_drift"
     shutil.rmtree(tmp, ignore_errors=True)
     src, report, ckpt = f"{tmp}/src", f"{tmp}/report", f"{tmp}/ckpt"
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -13940,7 +13952,7 @@ def _q_stream_drift_monitor_categorical(spark, sf_dir):
     asc) and the ε-share PSI per wave."""
     # sf-tagged scratch: concurrent harnesses at different SFs
     # (pytest sf0.001 vs check_oracle sf0.01) must not share a path
-    tmp = f"/tmp/getl_spark_q/stream_drift_cat_{os.path.basename(sf_dir.rstrip('/'))}"
+    tmp = f"{_QTMP}/stream_drift_cat_{os.path.basename(sf_dir.rstrip('/'))}"
     shutil.rmtree(tmp, ignore_errors=True)
     src, report, ckpt = f"{tmp}/src", f"{tmp}/report", f"{tmp}/ckpt"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
