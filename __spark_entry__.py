@@ -14640,7 +14640,7 @@ pairs AS (
   FROM tr JOIN co ON ABS(tr.p - co.p) <= 0.003
 ), ranked AS (
   SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY treated_id ORDER BY dist, control_id) AS rn
+    PARTITION BY treated_id ORDER BY dist, control_id, p_control) AS rn
   FROM pairs
 )
 SELECT treated_id, control_id,

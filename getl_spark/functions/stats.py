@@ -7830,8 +7830,12 @@ def psm_match(
     )
     from pyspark.sql.window import Window
 
+    # p_control is the third key: a DUPLICATE control id carrying
+    # mirror propensities (p_t ± d) ties on (dist, id) yet differs in
+    # the reported p_control — without it the winner is plan-dependent
     w = Window.partitionBy("treated_id").orderBy(
-        F.col("dist").asc(), F.col("control_id").asc()
+        F.col("dist").asc(), F.col("control_id").asc(),
+        F.col("p_control").asc(),
     )
     return (
         pairs.withColumn("__rn", F.row_number().over(w))
