@@ -3258,13 +3258,15 @@ def _q_text_script_id(spark, sf_dir):
     from getl_spark.functions import text
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    v = F.pmod(F.col("doc_id"), F.lit(5))
+    v = F.pmod(F.col("doc_id"), F.lit(7))
     rewritten = docs.withColumn(
         "text",
         F.when(v == 0, F.lit("Привет мир это тестовый документ для проверки"))
         .when(v == 1, F.lit("这是一个测试文档 好世界 你好 世界"))
         .when(v == 2, F.lit("هذا مستند تجريبي للاختبار فقط"))
         .when(v == 3, F.concat(F.col("text"), F.lit(" mixed latin tail")))
+        .when(v == 4, F.lit("สวัสดีชาวโลกนี่คือเอกสารทดสอบ"))
+        .when(v == 5, F.lit("こんにちはせかい これはテストです"))
         .otherwise(F.col("text")),
     )
     return text.script_id(rewritten).select("doc_id", "script_pred")
@@ -3289,11 +3291,13 @@ def _script_id_oracle() -> str:
     return f"""
 WITH rewritten AS (
   SELECT doc_id,
-    CASE doc_id % 5
+    CASE doc_id % 7
       WHEN 0 THEN 'Привет мир это тестовый документ для проверки'
       WHEN 1 THEN '这是一个测试文档 好世界 你好 世界'
       WHEN 2 THEN 'هذا مستند تجريبي للاختبار فقط'
       WHEN 3 THEN text || ' mixed latin tail'
+      WHEN 4 THEN 'สวัสดีชาวโลกนี่คือเอกสารทดสอบ'
+      WHEN 5 THEN 'こんにちはせかい これはテストです'
       ELSE text END AS t
   FROM documents),
 scored AS (
@@ -14686,20 +14690,24 @@ ORDER BY period_start
 
 
 def _q_lang_mix(spark, sf_dir):
-    """text.lang_mix — script-mixing measurement over documents with a
-    deterministic cyrillic tail injected on every 7th doc (the corpus
-    itself is pure-latin, so the injection gives the mix fraction real
-    mass on a known slice). Same regexp length-diff machinery both
+    """text.lang_mix — script-mixing measurement over documents with
+    deterministic non-latin tails injected by doc_id band (the corpus
+    itself is pure-latin, so each injection gives the mix fraction
+    real mass on a known slice): every 7th doc gets a cyrillic tail,
+    every 7k+1 doc a Thai tail, every 7k+2 doc a kana+hangul blend —
+    exercising the round-13 SCRIPT_RANGES split (han/kana/hangul +
+    thai/bengali/tamil/telugu). Same regexp length-diff machinery both
     sides; digits/punct-only rows yield NULL (no scripted evidence)."""
     from getl_spark.functions import text as _text
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = F.col("doc_id") % 7
     staged = docs.withColumn(
         "text",
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(F.col("text"), F.lit(" привет мир это конец")),
-        ).otherwise(F.col("text")),
+        F.when(m == 0, F.concat(F.col("text"), F.lit(" привет мир это конец")))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" สวัสดีโลกนะ")))
+        .when(m == 2, F.concat(F.col("text"), F.lit(" こんにちは 안녕하세요")))
+        .otherwise(F.col("text")),
     )
     return _text.lang_mix(staged).select(
         "doc_id", "script_main", "script_mix_frac", "script_mixed"
@@ -14722,8 +14730,10 @@ def _lang_mix_oracle() -> str:
     return f"""
 WITH rewritten AS (
   SELECT doc_id,
-    CASE WHEN doc_id % 7 = 0
-         THEN text || ' привет мир это конец'
+    CASE doc_id % 7
+         WHEN 0 THEN text || ' привет мир это конец'
+         WHEN 1 THEN text || ' สวัสดีโลกนะ'
+         WHEN 2 THEN text || ' こんにちは 안녕하세요'
          ELSE text END AS t
   FROM documents),
 scored AS (

@@ -1135,6 +1135,12 @@ def strip_html(
 
 
 # Writing-system codepoint ranges (BMP core blocks — public Unicode).
+# The pre-round-13 merged "cjk" bucket is split into han/kana/hangul so
+# ja/ko/zh text routes separately (a Japanese-vs-Korean blend is a real
+# mix, not "pure cjk"); thai/bengali/tamil/telugu — each a top-25 web
+# language previously counted as unscripted — are now detected instead
+# of falling through to 'und'. SCRIPT_ALIASES below maps the retired
+# name for YAML/filters written against the old output vocabulary.
 SCRIPT_RANGES = {
     "latin": "A-Za-zÀ-ɏ",
     "cyrillic": "Ѐ-ӿ",
@@ -1142,8 +1148,20 @@ SCRIPT_RANGES = {
     "arabic": "؀-ۿ",
     "hebrew": "֐-׿",
     "devanagari": "ऀ-ॿ",
-    "cjk": "一-鿿぀-ヿ가-힯",
+    "bengali": "ঀ-৿",
+    "tamil": "஀-௿",
+    "telugu": "ఀ-౿",
+    "thai": "฀-๿",
+    "han": "一-鿿",
+    "kana": "぀-ヿ",
+    "hangul": "가-힯",
 }
+
+# Deprecated output names → the split scripts that replaced them.
+# ``script_id``/``lang_mix`` never emit 'cjk' anymore; a downstream
+# filter like ``script_pred == 'cjk'`` should test membership in
+# ``SCRIPT_ALIASES['cjk']`` instead.
+SCRIPT_ALIASES = {"cjk": ("han", "kana", "hangul")}
 
 
 def script_id(
@@ -1153,10 +1171,18 @@ def script_id(
     min_frac: float = 0.3,
 ) -> DataFrame:
     """Writing-system detection by codepoint-range counting: the script
-    (latin/cyrillic/greek/arabic/hebrew/devanagari/cjk) owning the most
-    characters wins, or ``'und'`` when no script reaches ``min_frac``
-    of the non-whitespace characters. Pure JVM expressions — one
-    ``regexp_replace`` length-diff per script, no shuffle.
+    (latin/cyrillic/greek/arabic/hebrew/devanagari/bengali/tamil/telugu/
+    thai/han/kana/hangul) owning the most characters wins, or ``'und'``
+    when no script reaches ``min_frac`` of the non-whitespace
+    characters. Pure JVM expressions — one ``regexp_replace``
+    length-diff per script, no shuffle.
+
+    Since round 13 the former merged ``'cjk'`` bucket is split into
+    ``'han'``/``'kana'``/``'hangul'`` (see ``SCRIPT_ALIASES``): zh/ja/ko
+    routing is what a multilingual training mix actually needs, and a
+    kana-heavy Japanese page no longer reads identically to a Korean
+    one. Filters written against the old ``'cjk'`` value should test
+    ``isin(*SCRIPT_ALIASES['cjk'])``.
 
     The honest complement to ``lang_id``: stopword scoring only works
     within its configured languages, while script detection routes
@@ -1164,12 +1190,28 @@ def script_id(
     without pretending to know the exact language.
     """
     text = F.col(text_col)
-    non_ws = F.length(F.regexp_replace(text, r"\s", ""))
-    counts = {
-        name: F.length(text) - F.length(F.regexp_replace(text, f"[{rng}]", ""))
-        for name, rng in SCRIPT_RANGES.items()
-    }
-    names = sorted(counts)
+    names = sorted(SCRIPT_RANGES)
+    # Stage the per-script counts as intermediate columns so each
+    # regexp_replace runs ONCE per row: inlining them into the
+    # greatest/CASE tree repeats every count O(scripts) times, which
+    # with 13 scripts blows past Janino's 64 KB method limit and drops
+    # the whole stage out of codegen. The two projections stay
+    # separate (CollapseProject won't duplicate non-cheap,
+    # multiply-referenced aliases) yet fuse into one codegen stage.
+    cnt_cols = {n: f"__script_cnt_{n}" for n in names}
+    staged = df.select(
+        "*",
+        F.length(F.regexp_replace(text, r"\s", "")).alias("__script_non_ws"),
+        *[
+            (
+                F.length(text)
+                - F.length(F.regexp_replace(text, f"[{SCRIPT_RANGES[n]}]", ""))
+            ).alias(cnt_cols[n])
+            for n in names
+        ],
+    )
+    counts = {n: F.col(cnt_cols[n]) for n in names}
+    non_ws = F.col("__script_non_ws")
     best = F.greatest(*[counts[n] for n in names])
     result = F.lit("und")
     for name in reversed(names):  # first in sorted order wins ties
@@ -1179,7 +1221,9 @@ def script_id(
             & (best > 0),
             F.lit(name),
         ).otherwise(result)
-    return df.withColumn(new_col, result)
+    return staged.withColumn(new_col, result).drop(
+        "__script_non_ws", *cnt_cols.values()
+    )
 
 
 def pseudonymize(
@@ -2422,11 +2466,22 @@ def lang_mix(
             f"{mixed_threshold}"
         )
     text = F.col(text_col)
-    counts = {
-        name: F.length(text) - F.length(F.regexp_replace(text, f"[{rng}]", ""))
-        for name, rng in SCRIPT_RANGES.items()
-    }
-    names = sorted(counts)
+    names = sorted(SCRIPT_RANGES)
+    # Same count-staging as script_id: one regexp_replace per script
+    # per row, never inlined O(scripts) times into the CASE tree
+    # (keeps the projection inside whole-stage codegen at 13 scripts).
+    cnt_cols = {n: f"__script_cnt_{n}" for n in names}
+    staged = df.select(
+        "*",
+        *[
+            (
+                F.length(text)
+                - F.length(F.regexp_replace(text, f"[{SCRIPT_RANGES[n]}]", ""))
+            ).alias(cnt_cols[n])
+            for n in names
+        ],
+    )
+    counts = {n: F.col(cnt_cols[n]) for n in names}
     total = None
     for n in names:
         total = counts[n] if total is None else total + counts[n]
@@ -2440,11 +2495,16 @@ def lang_mix(
         total > 0,
         (total - best).cast("double") / total.cast("double"),
     )
+    # script_mixed compares the UNROUNDED fraction (the documented
+    # 'script_mix_frac > mixed_threshold' semantics); rounding is
+    # display-only on the emitted column — a fraction landing in
+    # (threshold, threshold + 5e-7] must still flag as mixed.
     return (
-        df.withColumn("script_main", F.when(text.isNotNull(), main))
+        staged.withColumn("script_main", F.when(text.isNotNull(), main))
         .withColumn("script_mix_frac", F.round(mix, 6))
         .withColumn(
             "script_mixed",
-            F.col("script_mix_frac") > F.lit(float(mixed_threshold)),
+            mix > F.lit(float(mixed_threshold)),
         )
+        .drop(*cnt_cols.values())
     )

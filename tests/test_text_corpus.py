@@ -359,9 +359,56 @@ def test_script_id_detects_writing_systems(spark):
     df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
     out = {r.doc_id: r.script_pred for r in T.script_id(df).collect()}
     assert out == {
-        0: "latin", 1: "cyrillic", 2: "cjk", 3: "hebrew",
+        0: "latin", 1: "cyrillic", 2: "han", 3: "hebrew",
         4: "arabic", 5: "und", 6: "greek",
     }
+
+
+def test_script_id_split_cjk_and_new_scripts(spark):
+    """Round-13 SCRIPT_RANGES extension: the merged 'cjk' bucket is
+    split into han/kana/hangul (ja/ko/zh routing), and Thai + the
+    major non-Devanagari Indic scripts are detected instead of
+    falling through to 'und'."""
+    from getl_spark.functions import text as T
+
+    rows = [
+        (0, "你好世界 这是中文"),      # zh: pure han
+        (1, "こんにちは せかい"),      # ja: pure kana
+        (2, "안녕하세요 세계"),            # ko: hangul
+        (3, "สวัสดีโลก"), # thai
+        (4, "হ্যালো বিশ্ব"),  # bengali
+        (5, "வணக்கம் உலகம்"),  # tamil
+        (6, "హలో ప్రపంచం"),  # telugu
+        # ja prose: kana majority over han (typical japanese mixes both)
+        (7, "日本語のぶんしょうはかながゆうせい"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r.script_pred for r in T.script_id(df).collect()}
+    assert out == {
+        0: "han", 1: "kana", 2: "hangul", 3: "thai",
+        4: "bengali", 5: "tamil", 6: "telugu", 7: "kana",
+    }
+    assert T.SCRIPT_ALIASES["cjk"] == ("han", "kana", "hangul")
+
+
+def test_lang_mix_ja_ko_blend_is_mixed(spark):
+    """A Japanese-vs-Korean blend is a genuine script mix after the
+    CJK split — pre-round-13 it read as pure 'cjk'. Also pins that
+    script_mixed uses the UNROUNDED fraction (ADVICE r12)."""
+    from getl_spark.functions import text as T
+
+    rows = [
+        # 6 kana + 4 hangul chars -> kana main, mix 0.4
+        (0, "こんにちはね 안녕하세"),
+        (1, "你好世界"),                               # pure han
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {
+        r.doc_id: (r.script_main, r.script_mix_frac, r.script_mixed)
+        for r in T.lang_mix(df).collect()
+    }
+    assert got[0][0] == "kana" and abs(got[0][1] - 0.4) < 1e-9 and got[0][2]
+    assert got[1] == ("han", 0.0, False)
 
 
 def test_unigram_logprob_hand_computed(spark):
