@@ -14655,6 +14655,94 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _q_psm_att(spark, sf_dir):
+    """stats.psm_match -> stats.psm_att composition — the causal kit's
+    readout: match on the deterministic synthetic propensity (same
+    construction as stats_psm_match), then estimate the ATT on a
+    deterministic integer outcome (y = custkey % 13 + 3·t, so the true
+    effect is ~3 and both engines compute bit-identical doubles). The
+    oracle restates the whole pipeline: the |diff| <= caliper match
+    with the (dist, control_id, p_control) tie order, then the
+    reuse-count-weighted Abadie-Imbens-style variance."""
+    from getl_spark.functions import stats
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = cust.select(
+        F.col("c_custkey"),
+        (F.col("c_custkey") % 5 == 0).cast("int").alias("t"),
+        (((F.col("c_custkey") * 37) % 997) / F.lit(1000.0) + F.lit(0.001)).alias("p"),
+        (
+            (F.col("c_custkey") % 13)
+            + (F.col("c_custkey") % 5 == 0).cast("int") * 3
+        ).cast("double").alias("y"),
+    )
+    pairs = stats.psm_match(df, "t", "p", "c_custkey", caliper=0.003)
+    return stats.psm_att(df, pairs, "y", "c_custkey")
+
+
+PSM_ATT_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS id,
+         CAST(c_custkey % 5 = 0 AS INT) AS t,
+         ((c_custkey * 37) % 997) / 1000.0 + 0.001 AS p,
+         CAST((c_custkey % 13) + CAST(c_custkey % 5 = 0 AS INT) * 3
+              AS DOUBLE) AS y
+  FROM customer
+), tr AS (SELECT id, p FROM base WHERE t = 1),
+co AS (SELECT id, p FROM base WHERE t = 0),
+cand AS (
+  SELECT tr.id AS treated_id, co.id AS control_id,
+         ABS(tr.p - co.p) AS dist, co.p AS p_control
+  FROM tr JOIN co ON ABS(tr.p - co.p) <= 0.003
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY treated_id ORDER BY dist, control_id, p_control) AS rn
+  FROM cand
+), pairs AS (
+  SELECT treated_id, control_id FROM ranked WHERE rn = 1
+), joined AS (
+  SELECT p.treated_id, p.control_id, bt.y AS y_t, bc.y AS y_c
+  FROM pairs p
+  JOIN base bt ON bt.id = p.treated_id
+  JOIN base bc ON bc.id = p.control_id
+), tstats AS (
+  SELECT COUNT(*) AS n_t, AVG(y_t) AS mean_t,
+         VAR_SAMP(y_t) AS s2_t, AVG(y_c) AS mean_c_w
+  FROM joined
+), per_control AS (
+  SELECT control_id, COUNT(*) AS k, MIN(y_c) AS yc
+  FROM joined GROUP BY control_id
+), cstats AS (
+  SELECT COUNT(*) AS n_c, SUM(k * k) AS sum_k2,
+         MAX(k) AS max_reuse, VAR_SAMP(yc) AS s2_c
+  FROM per_control
+), d AS (
+  SELECT n_t, n_c, max_reuse, mean_t, mean_c_w,
+         mean_t - mean_c_w AS att,
+         SQRT((n_t * s2_t + sum_k2 * s2_c) / (n_t * n_t)) AS se
+  FROM tstats, cstats
+), z AS (
+  SELECT *, CASE WHEN se > 0 THEN att / se END AS zval,
+         CASE WHEN se > 0 THEN ABS(att / se) / SQRT(2) END AS x
+  FROM d
+), e AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM z)
+SELECT CAST(n_t AS BIGINT) AS n_treated,
+       CAST(n_c AS BIGINT) AS n_controls,
+       CAST(max_reuse AS BIGINT) AS max_reuse,
+       ROUND(mean_t, 6) AS mean_treated,
+       ROUND(mean_c_w, 6) AS mean_control,
+       ROUND(att, 6) AS att,
+       ROUND(se, 6) AS se,
+       ROUND(zval, 6) AS z,
+       ROUND((0.254829592 * tt - 0.284496736 * tt * tt
+              + 1.421413741 * tt * tt * tt
+              - 1.453152027 * tt * tt * tt * tt
+              + 1.061405429 * tt * tt * tt * tt * tt) * exp(-(x * x)), 6)
+         AS p_value
+FROM e
+"""
+
+
 def _q_stickiness(spark, sf_dir):
     """sessions.stickiness — weekly DAU/WAU engagement ratio over the
     events table: one (day,user) distinct, day-keyed counts, a
@@ -15049,6 +15137,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_drain": _q_stream_sessionize_drain,
         "stats_qini": _q_qini,
         "sample_match_distribution": _q_match_distribution,
+        "stats_psm_att": _q_psm_att,
     }
 
 
@@ -15339,6 +15428,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stream_sessionize_drain": STREAM_SESSIONIZE_ORACLE,
         "stats_qini": QINI_ORACLE,
         "sample_match_distribution": MATCH_DISTRIBUTION_ORACLE,
+        "stats_psm_att": PSM_ATT_ORACLE,
     }
 
 

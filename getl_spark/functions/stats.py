@@ -7753,8 +7753,10 @@ def psm_match(
     cannot scale; with-replacement is the standard distributed
     compromise, and downstream variance corrections know it). Binary
     0/1 treatment and propensities in (0,1) exclusive are loud asserts
-    (same contract as :func:`ipw_balance`); NULL propensity/id rows
-    are excluded. Returns one row per matched treated unit:
+    (same contract as :func:`ipw_balance`); NULL treatment/propensity/
+    id rows are excluded (a NULL treatment is "arm unknown" — neither
+    treated nor control — not a binary-contract violation). Returns
+    one row per matched treated unit:
     ``(treated_id, control_id, p_treated, p_control, dist)``.
 
     Scale shape: scores bucket at caliper width (``floor(p/caliper)``)
@@ -7791,7 +7793,7 @@ def psm_match(
     t_checked = t + F.coalesce(t_guard.cast("bigint"), F.lit(0))
     p = p_raw + F.coalesce(p_guard.cast("double"), F.lit(0.0))
     base = df.where(
-        p_raw.isNotNull() & F.col(id_col).isNotNull()
+        t.isNotNull() & p_raw.isNotNull() & F.col(id_col).isNotNull()
     ).select(
         F.col(id_col).alias("__id"), t_checked.alias("__t"), p.alias("__p")
     )
@@ -7847,4 +7849,148 @@ def psm_match(
             F.round("p_control", round_to).alias("p_control"),
             F.round("dist", round_to).alias("dist"),
         )
+    )
+
+
+def psm_att(
+    df: DataFrame,
+    pairs: DataFrame,
+    outcome_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Average Treatment effect on the Treated from :func:`psm_match`
+    pairs — the readout that completes the causal kit the way
+    :func:`ab_compare` / :func:`diff_in_diff` close their designs:
+    join the matched pairs back to outcomes and report
+
+    ``ATT = mean over matched treated of (Y_treated − Y_matched_control)``
+
+    with a WITH-REPLACEMENT-aware standard error. Matching with
+    replacement reuses controls, so pair differences are NOT
+    independent; writing ``ATT = (ΣY_t − Σ K_j·Y_j)/n_t`` with ``K_j``
+    = the reuse count of control ``j`` gives the Abadie–Imbens-style
+    variance ``Var = (n_t·s²_t + (Σ K_j²)·s²_c) / n_t²`` where
+    ``s²_t``/``s²_c`` are the sample variances of the matched treated
+    outcomes and of the DISTINCT matched control outcomes (the
+    homoskedastic-within-group simplification of Abadie & Imbens 2006
+    — Σ K_j² collapses to n_t exactly when no control is reused, and
+    inflates the SE in proportion to reuse otherwise). A naive paired
+    t-test SE understates under reuse; this one does not.
+
+    Contract: ``pairs`` is :func:`psm_match` output (one row per
+    matched treated unit — ``treated_id`` unique), ``df`` carries one
+    row per unit id with the outcome; a pair id missing from ``df`` or
+    carrying a NULL outcome fails LOUDLY (silently dropping pairs
+    would bias the ATT toward whatever slice kept its outcomes), and
+    fewer than 2 matched treated units or fewer than 2 distinct
+    matched controls is a loud assert too (no variance is estimable).
+    Returns one row: ``(n_treated, n_controls, max_reuse,
+    mean_treated, mean_control, att, se, z, p_value)`` —
+    ``mean_control`` is the K-weighted matched-control mean, so
+    ``att = mean_treated − mean_control`` by construction.
+
+    Scale shape: two keyed equi-joins (pairs⋈outcomes on treated id,
+    then on control id — shuffle ∝ |pairs| + |df|), one control-keyed
+    count for the reuse weights, and 1-row aggregates recombined with
+    a 1-row crossJoin. No window, no driver loop; 100 TB of outcomes
+    costs the two joins.
+    """
+    y = F.col(outcome_col).cast("double")
+    outcomes = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("__oid"), y.alias("__y")
+    )
+    miss_guard_t = F.assert_true(
+        F.col("__y_t").isNotNull(),
+        F.lit(
+            "stats.psm_att: a treated_id from pairs is missing from df "
+            "or has a NULL outcome — dropping it silently would bias "
+            "the ATT; fix the join keys or pre-filter the pairs"
+        ),
+    )
+    miss_guard_c = F.assert_true(
+        F.col("__y_c").isNotNull(),
+        F.lit(
+            "stats.psm_att: a control_id from pairs is missing from df "
+            "or has a NULL outcome — dropping it silently would bias "
+            "the ATT; fix the join keys or pre-filter the pairs"
+        ),
+    )
+    joined = (
+        pairs.select("treated_id", "control_id")
+        .join(
+            outcomes.select(
+                F.col("__oid").alias("treated_id"), F.col("__y").alias("__y_t")
+            ),
+            "treated_id",
+            "left",
+        )
+        .join(
+            outcomes.select(
+                F.col("__oid").alias("control_id"), F.col("__y").alias("__y_c")
+            ),
+            "control_id",
+            "left",
+        )
+        .select(
+            "treated_id",
+            "control_id",
+            # the guard must be the OUTER expression: `y + guard` would
+            # short-circuit in codegen exactly when y is NULL (the rows
+            # the guard exists for); when(guard.isNull(), y) evaluates
+            # the assert on every row first
+            F.when(miss_guard_t.isNull(), F.col("__y_t")).alias("__y_t"),
+            F.when(miss_guard_c.isNull(), F.col("__y_c")).alias("__y_c"),
+        )
+    )
+    # treated-side stats: pair rows ARE the matched treated units
+    # (treated_id is unique in psm_match output)
+    tstats = joined.agg(
+        F.count(F.lit(1)).alias("__n_t"),
+        F.avg("__y_t").alias("__mean_t"),
+        F.var_samp("__y_t").alias("__s2_t"),
+        F.avg("__y_c").alias("__mean_c_w"),  # K-weighted control mean
+    )
+    # control-side stats over DISTINCT matched controls: reuse count
+    # K_j per control, Σ K_j² for the with-replacement inflation
+    per_control = joined.groupBy("control_id").agg(
+        F.count(F.lit(1)).alias("__k"), F.first("__y_c").alias("__yc")
+    )
+    cstats = per_control.agg(
+        F.count(F.lit(1)).alias("__n_c"),
+        F.sum(F.col("__k") * F.col("__k")).alias("__sum_k2"),
+        F.max("__k").alias("__max_reuse"),
+        F.var_samp("__yc").alias("__s2_c"),
+    )
+    both = tstats.crossJoin(cstats)  # 1 row × 1 row
+    size_guard = F.assert_true(
+        (F.col("__n_t") >= 2) & (F.col("__n_c") >= 2),
+        F.lit(
+            "stats.psm_att: need >= 2 matched treated units and >= 2 "
+            "distinct matched controls to estimate a variance — with "
+            "fewer, report the raw pair differences instead"
+        ),
+    )
+    att = F.col("__mean_t") - F.col("__mean_c_w")
+    se = F.sqrt(
+        (
+            F.col("__n_t") * F.col("__s2_t")
+            + F.col("__sum_k2") * F.col("__s2_c")
+        )
+        / (F.col("__n_t") * F.col("__n_t"))
+    )
+    z = F.when(se > 0, att / se)
+    p = _normal_two_sided_p(z)
+    return both.select(
+        F.when(size_guard.isNull(), F.col("__n_t"))
+        .cast("bigint")
+        .alias("n_treated"),
+        F.col("__n_c").cast("bigint").alias("n_controls"),
+        F.col("__max_reuse").cast("bigint").alias("max_reuse"),
+        F.round(F.col("__mean_t"), round_to).alias("mean_treated"),
+        F.round(F.col("__mean_c_w"), round_to).alias("mean_control"),
+        F.round(att, round_to).alias("att"),
+        F.round(se, round_to).alias("se"),
+        F.round(z, round_to).alias("z"),
+        F.round(p, round_to).alias("p_value"),
     )

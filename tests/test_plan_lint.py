@@ -42,6 +42,8 @@ NESTED_LOOP_WHITELIST = {
     "dedup_pair_recall_eval": "1-row count-aggregate crossJoins (recall/precision numerators)",
     "stats_capture_recapture": "1-row count-aggregate crossJoins (Chapman estimator terms)",
     "psi_drift": "1-row per-side totals broadcast",
+    "stats_psm_att": "1-row treated-stats x 1-row control-stats "
+    "crossJoin (ATT recombine)",
     "stats_histogram": "1-row min/max bounds broadcast",
     "stats_js_divergence": "1-row per-side totals broadcast",
     "stats_chi2_drift": "1-row per-side totals broadcast",

@@ -5191,3 +5191,97 @@ def test_psm_match_guards(spark):
     )
     out = stats.psm_match(with_null, "t", "p", "id").collect()
     assert [(r.treated_id, r.control_id) for r in out] == [(1, 2)]
+    # NULL treatment rows are excluded (arm unknown), not crashed on
+    # with a misleading 'must be binary' message (ADVICE r12)
+    with_null_t = spark.createDataFrame(
+        [(1, 1, 0.5), (2, 0, 0.501), (3, None, 0.5)],
+        "id LONG, t INT, p DOUBLE",
+    )
+    out2 = stats.psm_match(with_null_t, "t", "p", "id").collect()
+    assert [(r.treated_id, r.control_id) for r in out2] == [(1, 2)]
+
+
+def test_psm_att_hand_computed(spark):
+    """ATT on a fixture with one reused control, differential checked
+    by hand: pairs (1,11),(2,11),(3,12); y = {1:10, 2:12, 3:8, 11:7,
+    12:9}. diffs (3, 5, -1) -> ATT 7/3; s2_t = 4; distinct controls
+    (7, 9) -> s2_c = 2, K = (2, 1) -> sum K^2 = 5;
+    Var = (3*4 + 5*2)/9 = 22/9."""
+    import math
+
+    from getl_spark.functions import stats
+
+    units = spark.createDataFrame(
+        [(1, 10.0), (2, 12.0), (3, 8.0), (11, 7.0), (12, 9.0)],
+        "id LONG, y DOUBLE",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 11), (2, 11), (3, 12)], "treated_id LONG, control_id LONG"
+    )
+    row = stats.psm_att(units, pairs, "y", "id").collect()[0]
+    assert (row.n_treated, row.n_controls, row.max_reuse) == (3, 2, 2)
+    assert abs(row.mean_treated - 10.0) < 1e-9
+    assert abs(row.mean_control - 23 / 3) < 1e-6
+    assert abs(row.att - 7 / 3) < 1e-6
+    se = math.sqrt(22 / 9)
+    assert abs(row.se - se) < 1e-6
+    z = (7 / 3) / se
+    assert abs(row.z - z) < 1e-6
+    assert abs(row.p_value - math.erfc(z / math.sqrt(2))) < 1e-5
+    # no reuse -> sum K^2 = n_t and the SE collapses to the plain
+    # two-sample form sqrt(s2_t/n + s2_c/n)
+    pairs2 = spark.createDataFrame(
+        [(1, 11), (2, 12)], "treated_id LONG, control_id LONG"
+    )
+    r2 = stats.psm_att(units, pairs2, "y", "id").collect()[0]
+    assert r2.max_reuse == 1
+    s2t, s2c = 2.0, 2.0  # var_samp(10,12), var_samp(7,9)
+    assert abs(r2.se - math.sqrt(s2t / 2 + s2c / 2)) < 1e-6
+
+
+def test_psm_att_guards(spark):
+    from getl_spark.functions import stats
+
+    units = spark.createDataFrame(
+        [(1, 10.0), (2, 12.0), (11, 7.0), (12, 9.0)], "id LONG, y DOUBLE"
+    )
+    # a pair id absent from df fails loudly, never silently drops
+    bad = spark.createDataFrame(
+        [(1, 11), (99, 12)], "treated_id LONG, control_id LONG"
+    )
+    with pytest.raises(Exception, match="missing from df"):
+        stats.psm_att(units, bad, "y", "id").collect()
+    # NULL outcome is the same contract violation
+    null_y = spark.createDataFrame(
+        [(1, 10.0), (2, None), (11, 7.0), (12, 9.0)], "id LONG, y DOUBLE"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 11), (2, 12)], "treated_id LONG, control_id LONG"
+    )
+    with pytest.raises(Exception, match="NULL outcome"):
+        stats.psm_att(null_y, pairs, "y", "id").collect()
+    # < 2 matched treated units: no variance is estimable
+    one = spark.createDataFrame([(1, 11)], "treated_id LONG, control_id LONG")
+    with pytest.raises(Exception, match="variance"):
+        stats.psm_att(units, one, "y", "id").collect()
+
+
+def test_psm_match_att_end_to_end(spark):
+    """psm_match pairs feed psm_att directly: the composition runs and
+    the ATT equals the hand-joined mean pair difference."""
+    from getl_spark.functions import stats
+
+    rows = [
+        (i, 1 if i % 4 == 0 else 0, ((i * 53) % 89) / 100.0 + 0.005,
+         float(i % 7) + (3.0 if i % 4 == 0 else 0.0))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, t INT, p DOUBLE, y DOUBLE")
+    pairs = stats.psm_match(df, "t", "p", "id", caliper=0.03)
+    got = stats.psm_att(df, pairs, "y", "id").collect()[0]
+    ys = {i: y for i, _, _, y in rows}
+    diffs = [
+        ys[r.treated_id] - ys[r.control_id] for r in pairs.collect()
+    ]
+    assert got.n_treated == len(diffs) >= 2
+    assert abs(got.att - sum(diffs) / len(diffs)) < 1e-6
