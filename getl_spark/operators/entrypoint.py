@@ -351,7 +351,10 @@ def stream_sessionize(conf: BlockConfig) -> DataFrame:
     ``ValueColumn`` (optional), ``IdleTimeoutSeconds`` (optional —
     event-time idle timeout: when the watermark passes a silent key's
     last event by this much, its open session closes+emits and its
-    state is freed, keeping the store O(active keys)).
+    state is freed, keeping the store O(active keys)),
+    ``FlushOnDrain`` (optional bool — availableNow drains close+emit
+    EVERY open session at drain end and leave zero state: batch
+    parity for per-drain cron sessionization).
     Streaming inputs emit CLOSED session summaries via per-key
     ``applyInPandasWithState`` (the trailing open session per key
     waits in state for closing evidence or the idle timeout); batch
@@ -368,6 +371,7 @@ def stream_sessionize(conf: BlockConfig) -> DataFrame:
         gap_seconds=int(conf.get("GapSeconds")),
         value_col=conf.get("ValueColumn", None),
         idle_timeout_seconds=None if idle is None else int(idle),
+        flush_on_drain=bool(conf.get("FlushOnDrain", False)),
     )
 
 

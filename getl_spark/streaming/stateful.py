@@ -119,6 +119,7 @@ def sessionize_stream(
     gap_seconds: int,
     value_col: "str | None" = None,
     idle_timeout_seconds: "int | None" = None,
+    flush_on_drain: bool = False,
 ) -> DataFrame:
     """Streaming sessionization emitting CLOSED session summaries —
     the stateful complement to ``streaming.windows.session`` (which
@@ -154,6 +155,28 @@ def sessionize_stream(
     that event-time rules would merge. Default ``None`` keeps the
     exact legacy contract (state never expires; tails never emit) —
     byte-identical drains.
+
+    ``flush_on_drain=True`` gives an ``availableNow`` drain BATCH
+    PARITY: every open session is closed, EMITTED, and its state
+    removed when the drain ends — the cron use case ("sessionize
+    today's files, leave nothing behind"), and it sidesteps the
+    fully-silent-stream limitation of the idle timeout (which needs
+    later traffic to advance the watermark past an idle key).
+    Mechanism: every key's event-time timeout is set to
+    ``watermark + 1 ms``, so the extra micro-batch Spark schedules
+    after the last data batch (the watermark advanced, and
+    ``EventTimeTimeout`` reruns while it does) times out every key
+    that received no further data and flushes it. Two consequences:
+    (1) this is a DRAIN mode — on a long-running trigger it would
+    close a session after any single idle micro-batch, so the gap
+    merge only applies within a drain, not across triggers; run the
+    next drain on the next cron tick instead. (2) a multi-chunk drain
+    (e.g. ``maxFilesPerTrigger``) closes idle keys at chunk
+    boundaries — out-of-event-order data across chunks would be
+    dropped by the watermark anyway, so feed drains in event-time
+    order (the natural shape for dated file feeds). The watermark
+    delay is ``idle_timeout_seconds`` when set (keeping its late-data
+    tolerance), else 0 seconds.
 
     Rows with a NULL ``ts_col`` are DROPPED in both legs (a NULL
     timestamp cannot be ordered into any session; without the filter
@@ -224,10 +247,13 @@ def sessionize_stream(
         None if idle_timeout_seconds is None
         else int(idle_timeout_seconds) * 1000
     )
-    if timeout_ms is not None:
-        # EventTimeTimeout requires a watermark; its delay IS the idle
-        # bound (also the late-data cutoff — documented above)
-        df = df.withWatermark(ts_col, f"{int(idle_timeout_seconds)} seconds")
+    use_event_timeout = timeout_ms is not None or flush_on_drain
+    if use_event_timeout:
+        # EventTimeTimeout requires a watermark; its delay is the idle
+        # bound (also the late-data cutoff — documented above), or 0
+        # in pure flush mode (drain input is in event-time order)
+        delay = 0 if idle_timeout_seconds is None else int(idle_timeout_seconds)
+        df = df.withWatermark(ts_col, f"{delay} seconds")
 
     def close_sessions(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -295,7 +321,11 @@ def sessionize_stream(
                     closed.append(cur)
                 cur = [g_start, g_last, g_n, g_vsum]
         state.update((cur[0], cur[1], cur[2], cur[3]))
-        if timeout_ms is not None:
+        if flush_on_drain:
+            # fire at the very next watermark advance: the post-drain
+            # empty micro-batch flushes every key that got no more data
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        elif timeout_ms is not None:
             # fire when the watermark passes last-event + timeout; Spark
             # requires the timestamp to sit beyond the CURRENT watermark,
             # so a session already idle that long times out next batch
@@ -325,8 +355,8 @@ def sessionize_stream(
             out_schema,
             "start long, last long, n long, vsum double",
             "append",
-            GroupStateTimeout.NoTimeout
-            if timeout_ms is None
-            else GroupStateTimeout.EventTimeTimeout,
+            GroupStateTimeout.EventTimeTimeout
+            if use_event_timeout
+            else GroupStateTimeout.NoTimeout,
         )
     )

@@ -1431,6 +1431,71 @@ def test_stream_sessionize_null_ts_dropped_both_legs(spark, tmp_path):
     assert r.n_events == 2 and r.value_sum == 3.0
 
 
+def test_stream_sessionize_flush_on_drain(spark, tmp_path):
+    """flush_on_drain gives an availableNow drain batch parity: every
+    open session closes AND emits at drain end and state zeroes — a
+    second drain sees the key as brand new (no merge with the already
+    emitted tail), and the flush works with no idle_timeout and no
+    later traffic (the fully-silent-stream case the idle timeout
+    cannot evict)."""
+    from getl_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def write_wave(name, rows):
+        with open(src / name, "w") as fh:
+            for user, ts in rows:
+                fh.write(json.dumps({"user_id": user, "ts": ts}) + "\n")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "user_id LONG, ts TIMESTAMP"
+        ).json(str(src))
+        closed = sessionize_stream(
+            stream, "user_id", "ts", gap_seconds=1800, flush_on_drain=True
+        )
+        (
+            closed.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+            .awaitTermination()
+        )
+        return sorted(
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # wave 1: two users, one of them with a mid-wave gap closure; the
+    # drain must emit EVERY session including the open tails
+    write_wave("w1.json", [
+        (1, "2024-01-01T09:00:00"),
+        (1, "2024-01-01T09:10:00"),
+        (1, "2024-01-01T12:00:00"),   # > gap after 09:10 -> second session
+        (2, "2024-01-01T11:59:00"),
+    ])
+    got = drain()
+    assert got == [
+        (1, "2024-01-01 09:00:00", "2024-01-01 09:10:00", 2),
+        (1, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1),
+        (2, "2024-01-01 11:59:00", "2024-01-01 11:59:00", 1),
+    ]
+    # wave 2: u1 returns WITHIN the gap of its wave-1 tail (12:20 is
+    # 20 min after 12:00) — state was flushed, so this is a FRESH
+    # session, not a merge; batch parity for the per-drain cron
+    write_wave("w2.json", [(1, "2024-01-01T12:20:00")])
+    got = drain()
+    assert [g for g in got if g[0] == 1] == [
+        (1, "2024-01-01 09:00:00", "2024-01-01 09:10:00", 2),
+        (1, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1),
+        (1, "2024-01-01 12:20:00", "2024-01-01 12:20:00", 1),
+    ]
+
+
 def test_stream_sessionize_idle_timeout_guard(spark):
     import pytest as _pytest
     from pyspark.sql import functions as F
