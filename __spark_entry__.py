@@ -39,8 +39,31 @@ import os
 # harness renders oracle_sql() in a different process than the query.
 _QTMP = f"/tmp/getl_spark_q_{os.getpid()}"
 
+import atexit
+import glob as _glob_mod
 import shutil
 import tempfile
+
+# the per-PID root would otherwise accumulate one orphaned index tree
+# per harness/bench/pytest process forever; clean up on exit, and
+# sweep trees whose owning pid is gone (a SIGKILLed harness leaves no
+# atexit) — os.kill(pid, 0) probes liveness without signalling
+atexit.register(shutil.rmtree, _QTMP, ignore_errors=True)
+
+
+def _prune_stale_scratch() -> None:
+    for stale in _glob_mod.glob("/tmp/getl_spark_q_[0-9]*"):
+        try:
+            pid = int(stale.rsplit("_", 1)[-1])
+            if pid != os.getpid():
+                os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except (ValueError, PermissionError):
+            pass
+
+
+_prune_stale_scratch()
 from collections.abc import Callable
 
 import yaml
@@ -14777,6 +14800,37 @@ ORDER BY period_start
 """
 
 
+def _q_stickiness_daily(spark, sf_dir):
+    """sessions.stickiness grain='day' — the per-day DAU series under
+    the weekly rollup: same (day,user) distinct and day-keyed counts,
+    joined to the week's distinct-user denominator, one row per active
+    day with its share of the week audience."""
+    from getl_spark.functions import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.stickiness(ev, period="week", grain="day")
+
+
+STICKINESS_DAILY_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT date_trunc('week', CAST(ts AS TIMESTAMP)) AS p,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         user_id AS u
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), dau AS (
+  SELECT p, d, CAST(COUNT(*) AS BIGINT) AS dau FROM ev GROUP BY p, d
+), pau AS (
+  SELECT p, CAST(COUNT(DISTINCT u) AS BIGINT) AS period_users
+  FROM ev GROUP BY p
+)
+SELECT CAST(dau.p AS DATE) AS period_start, d AS day, dau,
+       period_users,
+       ROUND(dau / (period_users * 1.0), 6) AS day_share
+FROM dau JOIN pau USING (p)
+ORDER BY day
+"""
+
+
 def _q_lang_mix(spark, sf_dir):
     """text.lang_mix — script-mixing measurement over documents with
     deterministic non-latin tails injected by doc_id band (the corpus
@@ -15138,6 +15192,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_qini": _q_qini,
         "sample_match_distribution": _q_match_distribution,
         "stats_psm_att": _q_psm_att,
+        "sessions_stickiness_daily": _q_stickiness_daily,
     }
 
 
@@ -15429,6 +15484,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "stats_qini": QINI_ORACLE,
         "sample_match_distribution": MATCH_DISTRIBUTION_ORACLE,
         "stats_psm_att": PSM_ATT_ORACLE,
+        "sessions_stickiness_daily": STICKINESS_DAILY_ORACLE,
     }
 
 

@@ -444,7 +444,12 @@ def hits(
     moment a graph converges early; leave it ``None`` where the
     bit-exact fixed-iteration output matters (oracle runs).
     ``hits.last_iterations`` records how many iterations the last call
-    executed (driver-side diagnostic). Nodes without in-edges have
+    executed — a SINGLE-THREADED driver-side diagnostic only: it is a
+    module-global function attribute, so concurrent ``hits()`` calls
+    from multiple driver threads clobber each other's value (read it
+    right after a call on the same thread, never from a shared
+    scheduler; the returned DataFrame itself is unaffected).
+    Nodes without in-edges have
     authority 0; without out-edges, hub 0. Returns ``(node_col, hub,
     auth)`` rounded to ``round_to`` (``None`` skips).
 

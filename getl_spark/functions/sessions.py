@@ -1289,6 +1289,7 @@ def stickiness(
     time_col: str = "ts",
     period: str = "month",
     round_to: int = 6,
+    grain: str = "period",
 ) -> DataFrame:
     """Engagement stickiness per calendar period — the DAU/MAU family:
     for each period (``month`` default, ``week`` the alternative), the
@@ -1305,7 +1306,12 @@ def stickiness(
     are excluded.
 
     Returns ``(period_start, period_users, active_days, avg_dau,
-    stickiness)`` ordered by period.
+    stickiness)`` ordered by period. ``grain='day'`` instead emits the
+    per-day DAU series the rollup is computed from — ``(period_start,
+    day, dau, period_users, day_share)`` ordered by day, with
+    ``day_share = dau / period_users`` (the day's slice of the
+    period audience) — so a dashboard plotting the daily curve under
+    the period stickiness number doesn't re-scan the events.
 
     Scale shape: one distinct over (day, user) — THE cardinality
     reducer, everything after is day-sized — then one day-keyed count,
@@ -1315,6 +1321,10 @@ def stickiness(
     if period not in ("week", "month"):
         raise ValueError(
             f"sessions.stickiness: period must be week|month, got {period}"
+        )
+    if grain not in ("period", "day"):
+        raise ValueError(
+            f"sessions.stickiness: grain must be period|day, got {grain}"
         )
     ts = F.col(time_col).cast("timestamp")
     events = (
@@ -1336,6 +1346,21 @@ def stickiness(
     pau = events.select("__p", "__u").distinct().groupBy("__p").agg(
         F.count("*").cast("bigint").alias("period_users")
     )
+    if grain == "day":
+        return (
+            dau.join(pau, "__p")
+            .select(
+                F.col("__p").alias("period_start"),
+                F.col("__d").alias("day"),
+                F.col("__dau").alias("dau"),
+                "period_users",
+                F.round(
+                    F.col("__dau") / F.col("period_users").cast("double"),
+                    round_to,
+                ).alias("day_share"),
+            )
+            .orderBy("day")
+        )
     return (
         per_day.join(pau, "__p")
         .select(

@@ -86,3 +86,38 @@ def test_index_maintenance_gate_decision(spark, tmp_path):
     from getl_spark.functions import similarity
 
     assert similarity.assert_ivf_healthy(spark, rebuilt)["retrain"] is False
+
+
+def test_contamination_audit_propagates_hops(spark, tmp_path):
+    """bfs_distances as executable curation documentation: seeds flag
+    at hop 0, their near-duplicate partners at hop 1, and the hop
+    distance lands on the documents table as a quality feature."""
+    log = lift(
+        spark,
+        os.path.join(EXAMPLES, "contamination_audit.yaml"),
+        {"source_dir": SF, "out_dir": str(tmp_path / "out")},
+    )
+    flagged = {
+        r.doc_id: r.contamination_hops
+        for r in log.get("Flagged").where("contaminated").collect()
+    }
+    # the seeds themselves report hop 0
+    assert flagged[5] == 0 and flagged[328] == 0
+    # their direct near-duplicates (jaccard >= 0.5 partners in the
+    # sf0.001 corpus) report hop 1
+    pair_partners = {
+        (a, b)
+        for a, b in (
+            (r.id_a, r.id_b) for r in log.get("NearDupPairs").collect()
+        )
+    }
+    for a, b in pair_partners:
+        if a in (5, 328) and b not in (5, 328):
+            assert flagged[b] == 1
+        if b in (5, 328) and a not in (5, 328):
+            assert flagged[a] == 1
+    # at least one hop-1 doc exists (the corpus has near-dups of both
+    # seeds) and every unreached doc is NULL, not fabricated
+    assert any(v == 1 for v in flagged.values())
+    total = log.get("Flagged").count()
+    assert total == 500 and len(flagged) < total

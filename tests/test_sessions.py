@@ -1066,3 +1066,34 @@ def test_stickiness_weekly_ratio(spark):
 
     with _pytest.raises(ValueError, match="period"):
         sessions.stickiness(df, period="quarter")
+
+
+def test_stickiness_day_grain_series(spark):
+    """grain='day' emits the per-day DAU series under the period
+    rollup: one row per active day, dau and its share of the period
+    audience, ordered by day — the dashboard curve without a rescan."""
+    import datetime
+
+    from getl_spark.functions import sessions
+
+    base = datetime.datetime(2024, 1, 1, 12)  # a Monday
+    rows = [(0, base + datetime.timedelta(days=d)) for d in range(5)]
+    rows += [(1, base), (1, base + datetime.timedelta(days=1)),
+             (2, base + datetime.timedelta(days=2)),
+             (0, base)]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    out = sessions.stickiness(df, period="week", grain="day").collect()
+    assert [str(r.day) for r in out] == [
+        f"2024-01-0{d}" for d in range(1, 6)
+    ]
+    assert [r.dau for r in out] == [2, 2, 2, 1, 1]
+    assert all(r.period_users == 3 for r in out)
+    assert all(str(r.period_start) == "2024-01-01" for r in out)
+    assert abs(out[0].day_share - 2 / 3) < 1e-6
+    # the day series averages back to the rollup's avg_dau
+    roll = sessions.stickiness(df, period="week").collect()[0]
+    assert abs(sum(r.dau for r in out) / len(out) - roll.avg_dau) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grain"):
+        sessions.stickiness(df, grain="hour")
