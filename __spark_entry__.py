@@ -3151,6 +3151,40 @@ def _pagerank_oracle() -> str:
     return pagerank_oracle_sql(PAGERANK_EDGES_SQL, n_iter=8)
 
 
+def _q_personalized_pagerank(spark, sf_dir):
+    """graph.personalized_pagerank — trust propagation from a seed set
+    over the supply link graph (same edge construction as
+    graph_pagerank, so the two operators are directly comparable):
+    teleport mass concentrated on three supplier seeds, dangling mass
+    returning to the seeds. Oracle: the unrolled-CTE SQL from
+    ``graph.personalized_pagerank_oracle_sql`` on identical edges and
+    seeds."""
+    from getl_spark.functions import graph
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    rev = li.where(F.col("l_partkey") % 2 == 0).select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return graph.personalized_pagerank(
+        fwd.union(rev), ["s1", "s2", "s3"], n_iter=6
+    )
+
+
+def _ppr_oracle() -> str:
+    from getl_spark.functions.graph import personalized_pagerank_oracle_sql
+
+    return personalized_pagerank_oracle_sql(
+        PAGERANK_EDGES_SQL,
+        "SELECT * FROM (VALUES ('s1'), ('s2'), ('s3')) AS s(node)",
+        n_iter=6,
+    )
+
+
 def _q_cooccurrence(spark, sf_dir):
     """graph.cooccurrence — parts co-purchased within an order
     (lineitem as the basket table) with PMI/NPMI against popularity.
@@ -14831,6 +14865,38 @@ ORDER BY day
 """
 
 
+def _q_lness(spark, sf_dir):
+    """sessions.lness — the weekly Lx (days-active) histogram over the
+    events table: (day,user) distinct, per-(week,user) day counts,
+    per-(week,depth) user counts, one week-keyed totals join."""
+    from getl_spark.functions import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.lness(ev, period="week")
+
+
+LNESS_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT date_trunc('week', CAST(ts AS TIMESTAMP)) AS p,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         user_id AS u
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), per_user AS (
+  SELECT p, u, CAST(COUNT(*) AS BIGINT) AS days_active
+  FROM ev GROUP BY p, u
+), hist AS (
+  SELECT p, days_active, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per_user GROUP BY p, days_active
+), totals AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS total FROM per_user GROUP BY p
+)
+SELECT CAST(hist.p AS DATE) AS period_start, days_active, n_users,
+       ROUND(n_users / (total * 1.0), 6) AS frac_users
+FROM hist JOIN totals USING (p)
+ORDER BY period_start, days_active
+"""
+
+
 def _q_lang_mix(spark, sf_dir):
     """text.lang_mix — script-mixing measurement over documents with
     deterministic non-latin tails injected by doc_id band (the corpus
@@ -15193,6 +15259,8 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_match_distribution": _q_match_distribution,
         "stats_psm_att": _q_psm_att,
         "sessions_stickiness_daily": _q_stickiness_daily,
+        "graph_personalized_pagerank": _q_personalized_pagerank,
+        "sessions_lness": _q_lness,
     }
 
 
@@ -15485,6 +15553,8 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sample_match_distribution": MATCH_DISTRIBUTION_ORACLE,
         "stats_psm_att": PSM_ATT_ORACLE,
         "sessions_stickiness_daily": STICKINESS_DAILY_ORACLE,
+        "graph_personalized_pagerank": _ppr_oracle(),
+        "sessions_lness": LNESS_ORACLE,
     }
 
 

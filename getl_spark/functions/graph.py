@@ -1290,3 +1290,236 @@ def bfs_distances(
     out = visited.select(F.col("node").alias(node_col), "dist")
     unpin(e)
     return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    node_col: str = "node",
+    out_col: str = "ppr",
+    round_to: Optional[int] = 6,
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Personalized PageRank from a SEED SET — the weighted companion
+    to :func:`bfs_distances` for propagating trust or contamination
+    over a link/similarity graph (TrustRank-style: Gyöngyi et al.,
+    VLDB 2004): where BFS reports raw hop counts, PPR reports how much
+    of a random surfer's time lands on each node when every teleport
+    returns to the seeds — mass decays with distance AND splits across
+    fan-out, so a page two clean hops away scores higher than one
+    linked by a thousand spam mirrors.
+
+    Exact semantics (replicable by an independent engine): edge
+    handling is :func:`pagerank`'s (DISTINCT pairs; with
+    ``weight_col`` duplicates sum and non-positive/null drop); the
+    node set is ``distinct(src) ∪ distinct(dst) ∪ seeds`` (a seed
+    outside the edge list still holds teleport mass — same evidence
+    rule as BFS); the teleport vector is ``t(v) = 1/|seeds|`` on
+    seeds, 0 elsewhere; ranks start at ``t`` and each of the
+    ``n_iter`` synchronous iterations computes::
+
+        rank'(v) = (1-d)·t(v) + d·(Σ_{(u,v)∈E} rank(u)·w/outw(u)
+                                   + dangling_mass·t(v))
+
+    — dangling mass teleports back to the seeds (not uniformly), the
+    standard personalized formulation, keeping Σ rank = 1 every
+    iteration. Fixed iteration count for oracle determinism (the
+    :func:`pagerank` contract). Returns ``(node_col, out_col)`` for
+    EVERY node — unreached nodes score 0; filter downstream.
+    ``seeds`` is a DataFrame with ``node_col`` or a plain list.
+
+    100 TB shape: identical to :func:`pagerank` — outdeg once, per
+    iteration one edges⋈ranks keyed join + one dst-keyed partial agg,
+    the dangling mass a 1-row aggregate broadcast via crossJoin,
+    per-iteration pins with superseded frames unpinned. The teleport
+    column rides on the pinned node frame, so personalization adds
+    ZERO extra shuffles over standard PageRank.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    spark = edges.sparkSession
+    if not isinstance(seeds, DataFrame):
+        seed_list = [s for s in seeds]
+        if not seed_list:
+            raise ValueError("personalized_pagerank: seeds must be non-empty")
+        seeds = spark.createDataFrame(
+            [(s,) for s in seed_list],
+            f"{node_col} {edges.schema[src].dataType.simpleString()}",
+        )
+    seed_set = (
+        seeds.select(F.col(node_col).alias("node"))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .transform(pin)
+    )
+    n_seeds = seed_set.count()
+    if n_seeds == 0:
+        raise ValueError(
+            "personalized_pagerank: seeds must contain at least one "
+            "non-NULL node"
+        )
+    if weight_col is None:
+        e = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+            .transform(pin)
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("u"),
+                F.col(dst).alias("v"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .where(
+                F.col("u").isNotNull()
+                & F.col("v").isNotNull()
+                & (F.col("w") > 0)
+            )
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
+            .transform(pin)
+        )
+    node_set = (
+        e.select("u")
+        .union(e.select("v"))
+        .union(seed_set.select(F.col("node").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("node"))
+    )
+    # teleport column rides on the node frame: 1/|seeds| on seeds,
+    # 0 elsewhere — personalization costs one node-sized join, once
+    node_set = (
+        node_set.join(
+            seed_set.withColumn("__t", F.lit(1.0 / n_seeds)), "node", "left"
+        )
+        .select("node", F.coalesce(F.col("__t"), F.lit(0.0)).alias("t"))
+        .transform(pin)
+    )
+    outdeg = e.groupBy("u").agg(F.sum("w").alias("deg")).transform(pin)
+    ranks = node_set.select("node", "t", F.col("t").alias("rank"))
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["u"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contribs = (
+            e.join(ranks.select("node", "rank"), e["u"] == F.col("node"))
+            .join(outdeg, "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("deg")).alias("s"))
+        )
+        new_ranks = (
+            node_set.join(contribs, node_set["node"] == contribs["v"], "left")
+            # 1-row dangling-mass aggregate: explicit broadcast keeps
+            # the plan a BroadcastNestedLoop on one row, never a
+            # CartesianProduct (pagerank's discipline)
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "t",
+                (
+                    F.lit(1.0 - damping) * F.col("t")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("dm") * F.col("t")
+                    )
+                ).alias("rank"),
+            )
+            .transform(pin)
+        )
+        unpin(ranks)
+        ranks = new_ranks
+    out = ranks.select(
+        F.col("node").alias(node_col), F.col("rank").alias(out_col)
+    )
+    if round_to is not None:
+        out = out.withColumn(out_col, F.round(F.col(out_col), round_to))
+    unpin(seed_set)
+    return out
+
+
+def personalized_pagerank_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    round_to: int = 6,
+    weighted: bool = False,
+    out_col: str = "ppr",
+) -> str:
+    """Unrolled-CTE ANSI SQL replicating ``personalized_pagerank``
+    exactly (the :func:`pagerank_oracle_sql` pattern — one CTE pair
+    per iteration, ``AS MATERIALIZED`` because each rank vector is
+    referenced twice by the next level). ``edges_sql`` must yield
+    ``(src, dst)`` (+ ``w`` when ``weighted``); ``seeds_sql`` must
+    yield a ``node`` column."""
+    d = damping
+    if weighted:
+        edges_cte = (
+            f"WITH edges AS MATERIALIZED (SELECT src, dst,"
+            f" SUM(CAST(w AS DOUBLE)) AS w FROM ({edges_sql}) raw_e"
+            " WHERE src IS NOT NULL AND dst IS NOT NULL AND w > 0"
+            " GROUP BY src, dst),"
+        )
+        deg_cte = (
+            "outdeg AS MATERIALIZED"
+            " (SELECT src, SUM(w) AS deg FROM edges GROUP BY src),"
+        )
+        contrib = "SUM(r.rank * e.w / o.deg)"
+    else:
+        edges_cte = (
+            f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+            f" ({edges_sql}) raw_e"
+            " WHERE src IS NOT NULL AND dst IS NOT NULL),"
+        )
+        deg_cte = (
+            "outdeg AS MATERIALIZED"
+            " (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),"
+        )
+        contrib = "SUM(r.rank / o.deg)"
+    parts = [
+        edges_cte,
+        "seeds AS MATERIALIZED (SELECT DISTINCT node FROM"
+        f" ({seeds_sql}) raw_s WHERE node IS NOT NULL),",
+        "ns AS MATERIALIZED (SELECT COUNT(*) AS n FROM seeds),",
+        "nodes AS MATERIALIZED (SELECT nd.node,"
+        " CASE WHEN s.node IS NULL THEN 0.0"
+        " ELSE 1.0 / (SELECT n FROM ns) END AS t FROM"
+        " (SELECT src AS node FROM edges UNION SELECT dst FROM edges"
+        " UNION SELECT node FROM seeds) nd"
+        " LEFT JOIN seeds s ON nd.node = s.node),",
+        deg_cte,
+        "r0 AS MATERIALIZED (SELECT node, t, t AS rank FROM nodes),",
+    ]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm"
+            f" FROM r{p} r"
+            f" LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED"
+            f" (SELECT nd.node, nd.t, {(1.0 - d)!r} * nd.t"
+            f" + {d!r} * (COALESCE(c.s, 0.0) + (SELECT dm FROM d{k}) * nd.t)"
+            f" AS rank FROM nodes nd LEFT JOIN ("
+            f"SELECT e.dst AS node, {contrib} AS s FROM edges e"
+            f" JOIN r{p} r ON e.src = r.node JOIN outdeg o ON e.src = o.src"
+            f" GROUP BY e.dst) c ON nd.node = c.node),"
+        )
+    last = parts.pop().rstrip(",")
+    parts.append(last)
+    parts.append(
+        f"SELECT node, ROUND(rank, {round_to}) AS {out_col} FROM r{n_iter}"
+    )
+    return "\n".join(parts)

@@ -1375,3 +1375,66 @@ def stickiness(
         )
         .orderBy("period_start")
     )
+
+
+def lness(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    period: str = "month",
+    round_to: int = 6,
+) -> DataFrame:
+    """Engagement-depth histogram per calendar period — the "Lx curve"
+    (L28/L7) growth teams read next to :func:`stickiness`: for each
+    period, how many users were active on EXACTLY ``k`` distinct days.
+    Stickiness compresses engagement to one ratio; the L-ness
+    histogram shows its SHAPE — a smile (most users at 1 day and at
+    every day, few between) reads completely differently from a hump,
+    at the same average. NULL user/timestamp rows are excluded.
+
+    Returns ``(period_start, days_active, n_users, frac_users)``
+    ordered by period then days_active, where ``frac_users`` is the
+    share of the period's distinct users at that depth (the histogram
+    sums to 1 per period).
+
+    Scale shape: the same (day, user) distinct as :func:`stickiness`
+    — THE cardinality reducer — then a (period, user)-keyed count, a
+    (period, days_active)-keyed count, and one period-keyed join onto
+    the period totals. Everything after the first distinct is
+    user-dimension-sized or smaller. Fully SQL-expressible.
+    """
+    if period not in ("week", "month"):
+        raise ValueError(
+            f"sessions.lness: period must be week|month, got {period}"
+        )
+    ts = F.col(time_col).cast("timestamp")
+    events = (
+        df.where(ts.isNotNull() & F.col(user_col).isNotNull())
+        .select(
+            F.to_date(F.date_trunc(period, ts)).alias("__p"),
+            F.to_date(ts).alias("__d"),
+            F.col(user_col).alias("__u"),
+        )
+        .distinct()
+    )
+    per_user = events.groupBy("__p", "__u").agg(
+        F.count("*").cast("bigint").alias("days_active")
+    )
+    hist = per_user.groupBy("__p", "days_active").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    totals = per_user.groupBy("__p").agg(
+        F.count("*").cast("bigint").alias("__total")
+    )
+    return (
+        hist.join(totals, "__p")
+        .select(
+            F.col("__p").alias("period_start"),
+            "days_active",
+            "n_users",
+            F.round(
+                F.col("n_users") / F.col("__total").cast("double"), round_to
+            ).alias("frac_users"),
+        )
+        .orderBy("period_start", "days_active")
+    )

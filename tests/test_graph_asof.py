@@ -1178,3 +1178,102 @@ def test_bfs_distances_matches_recursive_oracle(spark):
                 want[v] = want[u] + 1
                 q.append(v)
     assert got == want
+
+
+# ------------------------------------------- personalized pagerank
+def _numpy_ppr(edges, seeds, damping=0.85, n_iter=10):
+    """Independent dense reference with the exact documented semantics:
+    distinct edges, teleport 1/|seeds| on seeds, dangling mass
+    teleports back to the seeds."""
+    import numpy as np
+
+    edges = sorted(set(edges))
+    seeds = sorted(set(seeds))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges} | set(seeds))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    t = np.zeros(n)
+    for s in seeds:
+        t[idx[s]] = 1.0 / len(seeds)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = t.copy()
+    for _ in range(n_iter):
+        dangling = sum(r[idx[x]] for x in nodes if x not in outdeg)
+        nxt = (1.0 - damping) * t + damping * dangling * t
+        for u, v in edges:
+            nxt[idx[v]] += damping * r[idx[u]] / outdeg[u]
+        r = nxt
+    return {node: round(float(r[idx[node]]), 6) for node in nodes}
+
+
+def test_personalized_pagerank_matches_dense_reference(spark):
+    """Random directed graph with dangling nodes, parallel edges, and
+    an off-graph seed vs an independent numpy power iteration."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(25), rng.randrange(35)) for _ in range(120)]
+    seeds = [0, 3, 99]  # 99 is off-graph: still holds teleport mass
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["ppr"]
+        for r in graph.personalized_pagerank(df, seeds).collect()
+    }
+    want = _numpy_ppr(edges, seeds)
+    assert got == want
+
+
+def test_personalized_pagerank_properties(spark):
+    """Mass conservation, seed concentration, zero off-component mass,
+    and the duckdb replica of the oracle generator."""
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),      # seed component
+        ("x", "y"), ("y", "x"),                  # disconnected island
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = graph.personalized_pagerank(df, ["a"], n_iter=12).collect()
+    got = {r["node"]: r["ppr"] for r in rows}
+    # sum of ranks stays 1 (teleport + dangling both land on seeds)
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    # nodes unreachable from the seeds hold exactly zero mass
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    # the seed outranks its downstream neighbours
+    assert got["a"] > got["b"] > 0 and got["c"] > 0
+    # oracle generator replicates the engine bit-for-bit at round 6
+    import duckdb
+
+    sql = graph.personalized_pagerank_oracle_sql(
+        "SELECT * FROM (VALUES ('a','b'),('b','c'),('c','a'),"
+        "('x','y'),('y','x')) AS e(src, dst)",
+        "SELECT 'a' AS node",
+        n_iter=12,
+    )
+    want = {n: p for n, p in duckdb.connect().execute(sql).fetchall()}
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seeds"):
+        graph.personalized_pagerank(df, [])
+    with _pytest.raises(ValueError, match="damping"):
+        graph.personalized_pagerank(df, ["a"], damping=1.0)
+
+
+def test_personalized_pagerank_weighted(spark):
+    """weight_col: duplicate edges sum, non-positive drop, and rank
+    flows proportional to weight — b gets 3x c's share from a."""
+    edges = [
+        ("a", "b", 2.0), ("a", "b", 1.0), ("a", "c", 1.0),
+        ("a", "z", -5.0),  # dropped
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r["node"]: r["ppr"]
+        for r in graph.personalized_pagerank(
+            df, ["a"], weight_col="w", n_iter=4
+        ).collect()
+    }
+    assert "z" not in got
+    assert abs(got["b"] / got["c"] - 3.0) < 1e-3

@@ -1097,3 +1097,29 @@ def test_stickiness_day_grain_series(spark):
 
     with _pytest.raises(ValueError, match="grain"):
         sessions.stickiness(df, grain="hour")
+
+
+def test_lness_histogram(spark):
+    """Days-active histogram on the stickiness fixture: u0 five days,
+    u1 two, u2 one — one row per depth, fractions sum to 1, duplicate
+    (day,user) events don't double-count."""
+    import datetime
+
+    from getl_spark.functions import sessions
+
+    base = datetime.datetime(2024, 1, 1, 12)  # a Monday
+    rows = [(0, base + datetime.timedelta(days=d)) for d in range(5)]
+    rows += [(1, base), (1, base + datetime.timedelta(days=1)),
+             (2, base + datetime.timedelta(days=2)),
+             (0, base)]  # duplicate (day,user)
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    out = sessions.lness(df, period="week").collect()
+    got = {r.days_active: (r.n_users, r.frac_users) for r in out}
+    assert got == {1: (1, round(1 / 3, 6)), 2: (1, round(1 / 3, 6)),
+                   5: (1, round(1 / 3, 6))}
+    assert all(str(r.period_start) == "2024-01-01" for r in out)
+    assert abs(sum(r.frac_users for r in out) - 1.0) < 1e-5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="period"):
+        sessions.lness(df, period="day")
