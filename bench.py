@@ -242,6 +242,11 @@ DETAIL_QUERIES = [
     "sessions_stickiness",
     "text_lang_mix",
     "graph_bfs_distances",
+    # round-13 operators
+    "stats_psm_att",
+    "sessions_stickiness_daily",
+    "sessions_lness",
+    "graph_personalized_pagerank",
 ]
 
 RUNS = 3
