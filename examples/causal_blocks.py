@@ -24,12 +24,17 @@ def _panel(params):
     # confounded assignment: treated iff a balance-linked hash clears
     # the unit's own propensity band (deterministic, no RNG state)
     band = (F.abs(F.xxhash64("c_custkey")) % 1000) / 1000.0
+    treated = (band < propensity).cast("int")
+    # outcome with a KNOWN effect: y = balance/1000 + 2·treated — the
+    # raw treated-vs-control mean gap is inflated by the confounder
+    # (treated skew rich), the matched ATT should recover ~2
     return cust.select(
         "c_custkey",
         F.col("c_acctbal").alias("balance"),
         F.col("c_nationkey").cast("double").alias("nation"),
         F.round(propensity, 6).alias("propensity"),
-        (band < propensity).cast("int").alias("treated"),
+        treated.alias("treated"),
+        (F.col("c_acctbal") / F.lit(1000.0) + F.lit(2.0) * treated).alias("y"),
     )
 
 
@@ -90,11 +95,23 @@ def _effect(params):
     )
 
 
+def _att(params):
+    """The matched-pairs readout: mean treated-minus-matched-control
+    outcome difference with the with-replacement-aware SE. On this
+    panel the true effect is 2.0 by construction; the naive
+    treated-vs-control mean gap overstates it because treatment is
+    confounded with balance — the matched ATT is the honest number."""
+    panel = params["dataframes"]["Panel"]
+    pairs = params["dataframes"]["Matched"]
+    return stats.psm_att(panel, pairs, "y", "c_custkey")
+
+
 _STEPS = {
     "panel": _panel,
     "match": _match,
     "balance": _balance,
     "effect": _effect,
+    "att": _att,
 }
 
 

@@ -121,3 +121,28 @@ def test_contamination_audit_propagates_hops(spark, tmp_path):
     assert any(v == 1 for v in flagged.values())
     total = log.get("Flagged").count()
     assert total == 500 and len(flagged) < total
+
+
+def test_causal_kit_att_recovers_known_effect(spark, tmp_path):
+    """The causal kit's matched ATT must recover the constructed
+    effect (2.0) that the naive confounded mean gap (~4.6 on this
+    panel) wildly overstates — the whole point of the workflow."""
+    from pyspark.sql import functions as F
+
+    log = lift(
+        spark,
+        os.path.join(EXAMPLES, "causal_kit.yaml"),
+        {"source_dir": SF, "out_dir": str(tmp_path / "out")},
+    )
+    att = log.get("Att").collect()[0]
+    assert abs(att.att - 2.0) < 0.3
+    assert att.max_reuse > 1  # controls reused: the SE must know
+    assert att.se > 0 and att.p_value < 0.05
+    naive = {
+        r.treated: r.m
+        for r in log.get("Panel")
+        .groupBy("treated")
+        .agg(F.avg("y").alias("m"))
+        .collect()
+    }
+    assert naive[1] - naive[0] > 3.0  # the confounded gap ATT corrects
