@@ -3185,6 +3185,85 @@ def _ppr_oracle() -> str:
     )
 
 
+def _q_ols(spark, sf_dir):
+    """stats.ols — one-pass closed-form OLS (intercept + 2 features)
+    over the customer table with O(1)-scaled deterministic features
+    (scaling keeps the normal-equation moments O(n), so both engines'
+    different summation orders agree far inside round-6). The engine
+    solves the 3x3 normal equations driver-side (numpy); the oracle
+    restates them with Cramer's rule and cofactor diagonals in pure
+    SQL — an algorithmically independent solve of the same moments."""
+    from getl_spark.functions import stats
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    staged = cust.select(
+        (F.col("c_acctbal") / F.lit(1000.0)).alias("y"),
+        ((F.col("c_custkey") % 97) / F.lit(97.0)).alias("x1"),
+        (F.col("c_nationkey") / F.lit(25.0)).alias("x2"),
+    )
+    return stats.ols(staged, "y", ["x1", "x2"])
+
+
+OLS_ORACLE = """
+WITH base AS (
+  SELECT c_acctbal / 1000.0 AS y,
+         (c_custkey % 97) / 97.0 AS x1,
+         c_nationkey / 25.0 AS x2
+  FROM customer
+  WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL
+        AND c_nationkey IS NOT NULL
+), m AS (
+  SELECT COUNT(*) * 1.0 AS m00, SUM(x1) AS m01, SUM(x2) AS m02,
+         SUM(x1*x1) AS m11, SUM(x1*x2) AS m12, SUM(x2*x2) AS m22,
+         SUM(y) AS v0, SUM(x1*y) AS v1, SUM(x2*y) AS v2,
+         SUM(y*y) AS syy, COUNT(*) AS n
+  FROM base
+), solved AS (
+  SELECT *,
+    m00*(m11*m22 - m12*m12) - m01*(m01*m22 - m12*m02)
+      + m02*(m01*m12 - m11*m02) AS det
+  FROM m
+), beta AS (
+  SELECT *,
+    (v0*(m11*m22 - m12*m12) - m01*(v1*m22 - m12*v2)
+      + m02*(v1*m12 - m11*v2)) / det AS b0,
+    (m00*(v1*m22 - v2*m12) - v0*(m01*m22 - m12*m02)
+      + m02*(m01*v2 - v1*m02)) / det AS b1,
+    (m00*(m11*v2 - m12*v1) - m01*(m01*v2 - v1*m02)
+      + v0*(m01*m12 - m11*m02)) / det AS b2,
+    (m11*m22 - m12*m12) / det AS inv00,
+    (m00*m22 - m02*m02) / det AS inv11,
+    (m00*m11 - m01*m01) / det AS inv22
+  FROM solved
+), fitted AS (
+  SELECT *,
+    (syy - (v0*b0 + v1*b1 + v2*b2)) / (n - 3) AS sigma2,
+    1.0 - (syy - (v0*b0 + v1*b1 + v2*b2)) / (syy - v0*v0 / n) AS r2
+  FROM beta
+), rows3 AS (
+  SELECT 'intercept' AS feature, b0 AS coef,
+         SQRT(GREATEST(sigma2 * inv00, 0)) AS se, n, r2, 0 AS o FROM fitted
+  UNION ALL
+  SELECT 'x1', b1, SQRT(GREATEST(sigma2 * inv11, 0)), n, r2, 1 FROM fitted
+  UNION ALL
+  SELECT 'x2', b2, SQRT(GREATEST(sigma2 * inv22, 0)), n, r2, 2 FROM fitted
+), z AS (
+  SELECT *, CASE WHEN se > 0 THEN coef / se END AS zval,
+         CASE WHEN se > 0 THEN ABS(coef / se) / SQRT(2) END AS x
+  FROM rows3
+), e AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM z)
+SELECT feature, ROUND(coef, 6) AS coef, ROUND(se, 6) AS se,
+       ROUND(zval, 6) AS z,
+       ROUND((0.254829592 * tt - 0.284496736 * tt * tt
+              + 1.421413741 * tt * tt * tt
+              - 1.453152027 * tt * tt * tt * tt
+              + 1.061405429 * tt * tt * tt * tt * tt) * exp(-(x * x)), 6)
+         AS p_value,
+       CAST(n AS BIGINT) AS n, ROUND(r2, 6) AS r2
+FROM e ORDER BY o
+"""
+
+
 def _q_cooccurrence(spark, sf_dir):
     """graph.cooccurrence — parts co-purchased within an order
     (lineitem as the basket table) with PMI/NPMI against popularity.
@@ -15261,6 +15340,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_stickiness_daily": _q_stickiness_daily,
         "graph_personalized_pagerank": _q_personalized_pagerank,
         "sessions_lness": _q_lness,
+        "stats_ols": _q_ols,
     }
 
 
@@ -15555,6 +15635,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "sessions_stickiness_daily": STICKINESS_DAILY_ORACLE,
         "graph_personalized_pagerank": _ppr_oracle(),
         "sessions_lness": LNESS_ORACLE,
+        "stats_ols": OLS_ORACLE,
     }
 
 

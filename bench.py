@@ -247,6 +247,7 @@ DETAIL_QUERIES = [
     "sessions_stickiness_daily",
     "sessions_lness",
     "graph_personalized_pagerank",
+    "stats_ols",
 ]
 
 RUNS = 3

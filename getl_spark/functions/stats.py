@@ -7994,3 +7994,119 @@ def psm_att(
         F.round(z, round_to).alias("z"),
         F.round(p, round_to).alias("p_value"),
     )
+
+
+def ols(
+    df: DataFrame,
+    y_col: str,
+    x_cols,
+    round_to: int = 6,
+) -> DataFrame:
+    """Multi-feature ordinary least squares in ONE distributed pass —
+    the regression-adjustment primitive the experimentation kit was
+    missing between :func:`cuped` (one covariate, effect on variance
+    only) and a full ML fit: ``ols(df, outcome, ['treated', 'pre_metric',
+    ...])`` is the Lin (2013) regression-adjusted treatment readout
+    (read the ``treated`` coefficient and its SE), and the same call is
+    per-source quality-metric attribution, capacity trend fitting with
+    covariates, or any small-k linear model over an arbitrarily large
+    table.
+
+    Exact closed form, no gradient steps: one aggregate computes every
+    cross-moment Σxᵢxⱼ, Σxᵢy, Σy, Σy² (with an intercept column) —
+    (k+1)(k+2)/2 + k + 3 partial sums in a single map-side-combined
+    pass — then the driver solves the (k+1)×(k+1) normal equations
+    (numpy, model-table-sized like the k-means/markov solves).
+    Classical homoskedastic inference: ``σ² = RSS/(n−p)``,
+    ``Var(β) = σ²(XᵀX)⁻¹``, two-sided normal p-values (n ≫ p in any
+    corpus-scale use, so t≈z). Returns one row per feature —
+    ``(feature, coef, se, z, p_value, n, r2)`` with ``intercept``
+    first, then ``x_cols`` in the given order; ``n``/``r2`` repeat per
+    row for one-pass dashboard reads.
+
+    Loud guards: rows with a NULL outcome or any NULL feature are
+    EXCLUDED (count them off against ``df`` — regression on silently
+    imputed zeros is a wrong answer); n ≤ k+1 and a singular/collinear
+    XᵀX (a constant feature, duplicated columns) raise with the
+    offending condition named rather than returning NaN coefficients.
+
+    100 TB shape: ONE scan with a 1-row aggregate (every Σ is
+    map-side combined); the driver work is a (k+1)² solve — k is the
+    feature count (single digits), never the row count. No shuffle
+    beyond the aggregate's final combine. Fully SQL-expressible for
+    fixed small k (the driver oracle states k=2 via Cramer's rule).
+    """
+    x_cols = list(x_cols)
+    if not x_cols:
+        raise ValueError("stats.ols: x_cols must be non-empty")
+    if len(set(x_cols)) != len(x_cols):
+        raise ValueError(f"stats.ols: duplicate x_cols {x_cols}")
+    import numpy as np
+
+    y = F.col(y_col).cast("double")
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in x_cols]
+    names = ["intercept"] + x_cols
+    p = len(xs)
+    keep = y.isNotNull()
+    for c in x_cols:
+        keep = keep & F.col(c).cast("double").isNotNull()
+    base = df.where(keep)
+    aggs = [F.count(F.lit(1)).alias("__n"),
+            F.sum(y * y).alias("__syy")]
+    for i in range(p):
+        aggs.append(F.sum(xs[i] * y).alias(f"__xy_{i}"))
+        for j in range(i, p):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"__xx_{i}_{j}"))
+    row = base.agg(*aggs).collect()[0]
+    n = row["__n"]
+    if n <= p:
+        raise ValueError(
+            f"stats.ols: need more than {p} complete rows to fit "
+            f"{p} coefficients, got {n} (NULL outcome/feature rows "
+            "are excluded)"
+        )
+    xtx = np.empty((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            xtx[i, j] = xtx[j, i] = row[f"__xx_{i}_{j}"]
+    xty = np.array([row[f"__xy_{i}"] for i in range(p)])
+    # rank check BEFORE solving: a collinear/constant feature gives a
+    # numerically singular system that np.linalg.solve may "solve"
+    # into garbage coefficients instead of raising
+    cond = np.linalg.cond(xtx)
+    if not np.isfinite(cond) or cond > 1e12:
+        raise ValueError(
+            "stats.ols: X'X is singular or near-singular "
+            f"(condition number {cond:.3g}) — a feature is constant "
+            "or collinear with others; drop it"
+        )
+    beta = np.linalg.solve(xtx, xty)
+    rss = float(row["__syy"] - xty @ beta)
+    sy = float(row[f"__xy_{0}"])  # Σ1·y = Σy
+    tss = float(row["__syy"] - sy * sy / n)
+    sigma2 = max(rss, 0.0) / (n - p)
+    covb = sigma2 * np.linalg.inv(xtx)
+    ses = np.sqrt(np.maximum(np.diag(covb), 0.0))
+    r2 = 1.0 - rss / tss if tss > 0 else None
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [
+            (names[i], float(beta[i]), float(ses[i]), int(n),
+             None if r2 is None else float(r2), i)
+            for i in range(p)
+        ],
+        "feature string, coef double, se double, n long, r2 double, __o int",
+    )
+    z = F.when(F.col("se") > 0, F.col("coef") / F.col("se"))
+    return (
+        out.orderBy("__o")
+        .select(
+            "feature",
+            F.round("coef", round_to).alias("coef"),
+            F.round("se", round_to).alias("se"),
+            F.round(z, round_to).alias("z"),
+            F.round(_normal_two_sided_p(z), round_to).alias("p_value"),
+            "n",
+            F.round("r2", round_to).alias("r2"),
+        )
+    )

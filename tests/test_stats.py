@@ -5285,3 +5285,98 @@ def test_psm_match_att_end_to_end(spark):
     ]
     assert got.n_treated == len(diffs) >= 2
     assert abs(got.att - sum(diffs) / len(diffs)) < 1e-6
+
+
+# ------------------------------------------------------------- ols
+def test_ols_exact_and_noisy_vs_numpy(spark):
+    """Exact plane recovered to machine precision; noisy fit matches
+    an independent numpy lstsq + classical-SE computation."""
+    import numpy as np
+
+    from getl_spark.functions import stats
+
+    rng = np.random.RandomState(3)
+    x1 = rng.uniform(-2, 2, 200)
+    x2 = rng.uniform(0, 5, 200)
+    # exact: y = 3 + 2 x1 - 0.5 x2
+    y_exact = 3.0 + 2.0 * x1 - 0.5 * x2
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y_exact)],
+        "x1 double, x2 double, y double",
+    )
+    got = {r.feature: r for r in stats.ols(df, "y", ["x1", "x2"]).collect()}
+    assert abs(got["intercept"].coef - 3.0) < 1e-6
+    assert abs(got["x1"].coef - 2.0) < 1e-6
+    assert abs(got["x2"].coef + 0.5) < 1e-6
+    assert got["x1"].r2 == 1.0 and got["x1"].n == 200
+
+    # noisy: compare against numpy's normal-equation solution + SEs
+    noise = rng.normal(0, 1.0, 200)
+    y = y_exact + noise
+    df2 = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y double",
+    )
+    rows = {r.feature: r for r in stats.ols(df2, "y", ["x1", "x2"]).collect()}
+    X = np.column_stack([np.ones(200), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    sigma2 = (resid @ resid) / (200 - 3)
+    ses = np.sqrt(np.diag(sigma2 * np.linalg.inv(X.T @ X)))
+    for i, name in enumerate(["intercept", "x1", "x2"]):
+        assert abs(rows[name].coef - beta[i]) < 1e-5
+        assert abs(rows[name].se - ses[i]) < 1e-5
+    r2_ref = 1 - (resid @ resid) / ((y - y.mean()) @ (y - y.mean()))
+    assert abs(rows["x1"].r2 - r2_ref) < 1e-5
+
+
+def test_ols_lin_adjusted_effect(spark):
+    """The Lin regression-adjusted readout: y = 2*t + balance/1000 with
+    t confounded by balance — OLS on (t, balance) recovers the true
+    effect 2.0 where the naive difference in means is inflated."""
+    from pyspark.sql import functions as F
+
+    from getl_spark.functions import stats
+
+    df = (
+        spark.range(0, 2000)
+        .select(
+            (F.col("id") % 997 * 7.13).alias("balance"),
+            ((F.abs(F.xxhash64("id")) % 1000) / 1000.0
+             < (F.col("id") % 997) / 997.0).cast("int").alias("t"),
+        )
+        .withColumn("y", F.lit(2.0) * F.col("t") + F.col("balance") / 1000.0)
+    )
+    rows = {r.feature: r for r in stats.ols(df, "y", ["t", "balance"]).collect()}
+    assert abs(rows["t"].coef - 2.0) < 1e-6
+    assert abs(rows["balance"].coef - 0.001) < 1e-9
+
+
+def test_ols_guards(spark):
+    import numpy as np  # noqa: F401
+
+    from getl_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 8.0), (3.0, 6.0, 11.0), (4.0, 8.0, 14.0)],
+        "x1 double, x2 double, y double",
+    )
+    with pytest.raises(ValueError, match="x_cols"):
+        stats.ols(df, "y", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        stats.ols(df, "y", ["x1", "x1"])
+    # x2 = 2*x1: collinear must raise, not emit garbage
+    with pytest.raises(ValueError, match="singular"):
+        stats.ols(df, "y", ["x1", "x2"])
+    # n <= p
+    tiny = spark.createDataFrame([(1.0, 2.0)], "x1 double, y double")
+    with pytest.raises(ValueError, match="complete rows"):
+        stats.ols(tiny, "y", ["x1"])
+    # NULL rows excluded, not imputed
+    with_null = spark.createDataFrame(
+        [(1.0, 3.0), (2.0, 5.0), (None, 99.0), (3.0, 7.0), (4.0, None)],
+        "x1 double, y double",
+    )
+    rows = {r.feature: r for r in stats.ols(with_null, "y", ["x1"]).collect()}
+    assert rows["x1"].n == 3
+    assert abs(rows["x1"].coef - 2.0) < 1e-9
