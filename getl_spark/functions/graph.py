@@ -199,6 +199,40 @@ def cluster_components(
     return comp.select(node_col, out_col)
 
 
+def _prep_weighted_edges(
+    edges: DataFrame, src: str, dst: str, weight_col: Optional[str]
+) -> DataFrame:
+    """Shared rank-propagation edge normalization (pagerank +
+    personalized_pagerank — their docstrings promise IDENTICAL edge
+    handling, so it lives once): NULL endpoints drop; unweighted
+    edges dedup to DISTINCT pairs with w=1; weighted duplicates SUM
+    and non-positive/NULL weights drop. Pinned — every iteration
+    rejoins the frame."""
+    if weight_col is None:
+        return (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+            .transform(pin)
+        )
+    return (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .where(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("w") > 0)
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .transform(pin)
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -252,30 +286,7 @@ def pagerank(
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    if weight_col is None:
-        e = (
-            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-            .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-            .distinct()
-            .withColumn("w", F.lit(1.0))
-            .transform(pin)
-        )
-    else:
-        e = (
-            edges.select(
-                F.col(src).alias("u"),
-                F.col(dst).alias("v"),
-                F.col(weight_col).cast("double").alias("w"),
-            )
-            .where(
-                F.col("u").isNotNull()
-                & F.col("v").isNotNull()
-                & (F.col("w") > 0)
-            )
-            .groupBy("u", "v")
-            .agg(F.sum("w").alias("w"))
-            .transform(pin)
-        )
+    e = _prep_weighted_edges(edges, src, dst, weight_col)
     node_set = e.select("u").union(e.select("v"))
     if nodes is not None:
         node_set = node_set.union(
@@ -1364,30 +1375,7 @@ def personalized_pagerank(
             "personalized_pagerank: seeds must contain at least one "
             "non-NULL node"
         )
-    if weight_col is None:
-        e = (
-            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-            .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-            .distinct()
-            .withColumn("w", F.lit(1.0))
-            .transform(pin)
-        )
-    else:
-        e = (
-            edges.select(
-                F.col(src).alias("u"),
-                F.col(dst).alias("v"),
-                F.col(weight_col).cast("double").alias("w"),
-            )
-            .where(
-                F.col("u").isNotNull()
-                & F.col("v").isNotNull()
-                & (F.col("w") > 0)
-            )
-            .groupBy("u", "v")
-            .agg(F.sum("w").alias("w"))
-            .transform(pin)
-        )
+    e = _prep_weighted_edges(edges, src, dst, weight_col)
     node_set = (
         e.select("u")
         .union(e.select("v"))

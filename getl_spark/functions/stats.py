@@ -7942,6 +7942,10 @@ def psm_att(
             F.when(miss_guard_t.isNull(), F.col("__y_t")).alias("__y_t"),
             F.when(miss_guard_c.isNull(), F.col("__y_c")).alias("__y_c"),
         )
+        # both the treated-stats aggregate and the per-control reuse
+        # count consume this frame: without the pin the two outcome
+        # joins (and the whole upstream pairs pipeline) execute twice
+        .transform(pin)
     )
     # treated-side stats: pair rows ARE the matched treated units
     # (treated_id is unique in psm_match output)
@@ -7971,13 +7975,21 @@ def psm_att(
             "fewer, report the raw pair differences instead"
         ),
     )
-    att = F.col("__mean_t") - F.col("__mean_c_w")
-    se = F.sqrt(
-        (
-            F.col("__n_t") * F.col("__s2_t")
-            + F.col("__sum_k2") * F.col("__s2_c")
-        )
-        / (F.col("__n_t") * F.col("__n_t"))
+    # the size assert rides on att AND se (the columns every caller
+    # consumes), not only on n_treated: a .select('att','se') would
+    # prune an n_treated-only guard away (the round-12 hazard class)
+    att = F.when(
+        size_guard.isNull(), F.col("__mean_t") - F.col("__mean_c_w")
+    )
+    se = F.when(
+        size_guard.isNull(),
+        F.sqrt(
+            (
+                F.col("__n_t") * F.col("__s2_t")
+                + F.col("__sum_k2") * F.col("__s2_c")
+            )
+            / (F.col("__n_t") * F.col("__n_t"))
+        ),
     )
     z = F.when(se > 0, att / se)
     p = _normal_two_sided_p(z)

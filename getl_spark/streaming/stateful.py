@@ -176,7 +176,13 @@ def sessionize_stream(
     dropped by the watermark anyway, so feed drains in event-time
     order (the natural shape for dated file feeds). The watermark
     delay is ``idle_timeout_seconds`` when set (keeping its late-data
-    tolerance), else 0 seconds.
+    tolerance), else 0 seconds. (3) the flush mechanism IS the
+    watermark: a drain whose data does not ADVANCE it — every event
+    at or before the prior drain's max timestamp — schedules no
+    post-drain timeout batch, so such a (degenerate) drain cannot
+    flush; its open sessions carry to the next drain that does move
+    event time. Inherent to event-time timeouts, and harmless for the
+    cron shape (each day's drain carries later timestamps).
 
     Rows with a NULL ``ts_col`` are DROPPED in both legs (a NULL
     timestamp cannot be ordered into any session; without the filter

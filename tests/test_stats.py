@@ -5260,10 +5260,14 @@ def test_psm_att_guards(spark):
     )
     with pytest.raises(Exception, match="NULL outcome"):
         stats.psm_att(null_y, pairs, "y", "id").collect()
-    # < 2 matched treated units: no variance is estimable
+    # < 2 matched treated units: no variance is estimable — and the
+    # guard must survive a projection that drops n_treated (it rides
+    # on att/se, the columns every caller consumes)
     one = spark.createDataFrame([(1, 11)], "treated_id LONG, control_id LONG")
     with pytest.raises(Exception, match="variance"):
         stats.psm_att(units, one, "y", "id").collect()
+    with pytest.raises(Exception, match="variance"):
+        stats.psm_att(units, one, "y", "id").select("att", "se").collect()
 
 
 def test_psm_match_att_end_to_end(spark):
