@@ -3264,6 +3264,74 @@ FROM e ORDER BY o
 """
 
 
+def _q_grouped_ols(spark, sf_dir):
+    """grouped.ols — per-market-segment simple regression (intercept +
+    one O(1)-scaled feature) over customer: the engine computes
+    per-group cross-moments in one keyed aggregate and solves each
+    group's normal equations in a mapInPandas over the moment frame;
+    the oracle states the k=1 closed form (slope/intercept/SEs from
+    the five moment sums) per group — algorithmically independent."""
+    from getl_spark.functions import grouped
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    staged = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal") / F.lit(1000.0)).alias("y"),
+        ((F.col("c_custkey") % 97) / F.lit(97.0)).alias("x1"),
+    )
+    return grouped.ols(staged, ["seg"], "y", ["x1"])
+
+
+GROUPED_OLS_ORACLE = """
+WITH base AS (
+  SELECT c_mktsegment AS seg,
+         c_acctbal / 1000.0 AS y,
+         (c_custkey % 97) / 97.0 AS x1
+  FROM customer
+  WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL
+        AND c_mktsegment IS NOT NULL
+), m AS (
+  SELECT seg, COUNT(*) AS n, SUM(x1) AS sx, SUM(x1*x1) AS sxx,
+         SUM(y) AS sy, SUM(x1*y) AS sxy, SUM(y*y) AS syy
+  FROM base GROUP BY seg
+), fit AS (
+  SELECT *,
+    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1
+  FROM m
+), fit2 AS (
+  SELECT *, (sy - b1 * sx) / n AS b0 FROM fit
+), fit3 AS (
+  SELECT *,
+    (syy - b0 * sy - b1 * sxy) / (n - 2) AS sigma2,
+    syy - b0 * sy - b1 * sxy AS rss
+  FROM fit2
+), rows2 AS (
+  SELECT seg, 'intercept' AS feature, b0 AS coef,
+         SQRT(GREATEST(sigma2 * sxx / (n * sxx - sx * sx), 0)) AS se,
+         n, 1.0 - rss / (syy - sy * sy / n) AS r2
+  FROM fit3
+  UNION ALL
+  SELECT seg, 'x1', b1,
+         SQRT(GREATEST(sigma2 * n / (n * sxx - sx * sx), 0)),
+         n, 1.0 - rss / (syy - sy * sy / n)
+  FROM fit3
+), z AS (
+  SELECT *, CASE WHEN se > 0 THEN coef / se END AS zval,
+         CASE WHEN se > 0 THEN ABS(coef / se) / SQRT(2) END AS x
+  FROM rows2
+), e AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM z)
+SELECT seg, feature, ROUND(coef, 6) AS coef, ROUND(se, 6) AS se,
+       ROUND(zval, 6) AS z,
+       ROUND((0.254829592 * tt - 0.284496736 * tt * tt
+              + 1.421413741 * tt * tt * tt
+              - 1.453152027 * tt * tt * tt * tt
+              + 1.061405429 * tt * tt * tt * tt * tt) * exp(-(x * x)), 6)
+         AS p_value,
+       CAST(n AS BIGINT) AS n, ROUND(r2, 6) AS r2
+FROM e
+"""
+
+
 def _q_cooccurrence(spark, sf_dir):
     """graph.cooccurrence — parts co-purchased within an order
     (lineitem as the basket table) with PMI/NPMI against popularity.
@@ -15341,6 +15409,7 @@ def _base_demoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_personalized_pagerank": _q_personalized_pagerank,
         "sessions_lness": _q_lness,
         "stats_ols": _q_ols,
+        "grouped_ols": _q_grouped_ols,
     }
 
 
@@ -15636,6 +15705,7 @@ def _base_demoted_oracles() -> dict[str, str]:
         "graph_personalized_pagerank": _ppr_oracle(),
         "sessions_lness": LNESS_ORACLE,
         "stats_ols": OLS_ORACLE,
+        "grouped_ols": GROUPED_OLS_ORACLE,
     }
 
 

@@ -248,6 +248,7 @@ DETAIL_QUERIES = [
     "sessions_lness",
     "graph_personalized_pagerank",
     "stats_ols",
+    "grouped_ols",
 ]
 
 RUNS = 3

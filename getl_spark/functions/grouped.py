@@ -181,3 +181,126 @@ def robust_zscore(
     return joined.withColumn(out_col, F.round(z, round_to)).drop(
         "__rz_med", "__rz_mad"
     )
+
+
+def ols(
+    df: DataFrame,
+    group_by: List[str],
+    y_col: str,
+    x_cols: List[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group closed-form OLS — :func:`getl_spark.functions.stats.ols`
+    fitted independently inside every group ("which SOURCES' quality is
+    declining after adjusting for document length?", per-segment
+    regression-adjusted effects, per-host trend-with-covariates): the
+    distributed generalization of ``stats.trend`` (one covariate,
+    slope only) to arbitrary small-k feature sets with intercept, SEs
+    and R² per group.
+
+    Returns LONG format — one row per group per feature:
+    ``(*group_by, feature, coef, se, n, r2)`` with ``intercept`` first
+    then ``x_cols`` in order. Contract difference vs the global
+    ``stats.ols`` (which raises): a group that cannot be fit — fewer
+    complete rows than coefficients, or a singular/collinear design —
+    emits its rows with NULL ``coef``/``se``/``r2`` instead of failing
+    the job; one degenerate group must not kill the other 100k (filter
+    ``coef IS NULL`` to find them). Rows with NULL outcome or features
+    are excluded per group.
+
+    100 TB shape: ONE group-keyed aggregate computes every
+    cross-moment map-side-combined (no group's raw rows ever
+    colocate — unlike the applyInPandas operators above, group size
+    is unbounded); the per-group (k+1)² solves then run via
+    ``mapInPandas`` over the GROUP-DIMENSION-sized moment frame
+    (1 row per group in, k+1 rows out). Shuffle ∝ groups × k²."""
+    from pyspark.sql import functions as F
+
+    from getl_spark.functions.stats import _normal_two_sided_p
+
+    x_cols = list(x_cols)
+    if not group_by:
+        raise ValueError("grouped.ols: group_by must be non-empty")
+    if not x_cols:
+        raise ValueError("grouped.ols: x_cols must be non-empty")
+    if len(set(x_cols)) != len(x_cols):
+        raise ValueError(f"grouped.ols: duplicate x_cols {x_cols}")
+    y = F.col(y_col).cast("double")
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in x_cols]
+    names = ["intercept"] + x_cols
+    p = len(xs)
+    keep = y.isNotNull()
+    for c in x_cols:
+        keep = keep & F.col(c).cast("double").isNotNull()
+    aggs = [F.count(F.lit(1)).alias("__n"), F.sum(y * y).alias("__syy")]
+    for i in range(p):
+        aggs.append(F.sum(xs[i] * y).alias(f"__xy_{i}"))
+        for j in range(i, p):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"__xx_{i}_{j}"))
+    moments = df.where(keep).groupBy(*group_by).agg(*aggs)
+
+    group_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*group_by).schema
+    )
+    out_schema = (
+        f"{group_fields}, feature string, coef double, se double, "
+        "n long, r2 double, __o int"
+    )
+
+    def solve(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                k: [] for k in
+                list(group_by) + ["feature", "coef", "se", "n", "r2", "__o"]
+            }
+            # to_dict, not itertuples: namedtuple field renaming mangles
+            # the leading-underscore moment column names
+            for r in pdf.to_dict("records"):
+                n = int(r["__n"])
+                xtx = np.empty((p, p))
+                for i in range(p):
+                    for j in range(i, p):
+                        xtx[i, j] = xtx[j, i] = r[f"__xx_{i}_{j}"]
+                xty = np.array([r[f"__xy_{i}"] for i in range(p)])
+                coefs = ses = None
+                r2 = None
+                if n > p:
+                    cond = np.linalg.cond(xtx)
+                    if np.isfinite(cond) and cond <= 1e12:
+                        beta = np.linalg.solve(xtx, xty)
+                        rss = float(r["__syy"] - xty @ beta)
+                        sy = float(r["__xy_0"])
+                        tss = float(r["__syy"] - sy * sy / n)
+                        sigma2 = max(rss, 0.0) / (n - p)
+                        covb = sigma2 * np.linalg.inv(xtx)
+                        coefs = beta
+                        ses = np.sqrt(np.maximum(np.diag(covb), 0.0))
+                        r2 = 1.0 - rss / tss if tss > 0 else None
+                for i in range(p):
+                    for g in group_by:
+                        out[g].append(r[g])
+                    out["feature"].append(names[i])
+                    out["coef"].append(
+                        None if coefs is None else float(coefs[i])
+                    )
+                    out["se"].append(None if ses is None else float(ses[i]))
+                    out["n"].append(n)
+                    out["r2"].append(r2)
+                    out["__o"].append(i)
+            yield pd.DataFrame(out)
+
+    solved = moments.mapInPandas(solve, out_schema)
+    z = F.when(F.col("se") > 0, F.col("coef") / F.col("se"))
+    return solved.select(
+        *group_by,
+        "feature",
+        F.round("coef", round_to).alias("coef"),
+        F.round("se", round_to).alias("se"),
+        F.round(z, round_to).alias("z"),
+        F.round(_normal_two_sided_p(z), round_to).alias("p_value"),
+        "n",
+        F.round("r2", round_to).alias("r2"),
+    )

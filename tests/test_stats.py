@@ -5384,3 +5384,53 @@ def test_ols_guards(spark):
     rows = {r.feature: r for r in stats.ols(with_null, "y", ["x1"]).collect()}
     assert rows["x1"].n == 3
     assert abs(rows["x1"].coef - 2.0) < 1e-9
+
+
+def test_grouped_ols_matches_global_and_handles_degenerates(spark):
+    """Each group's fit equals the global stats.ols run on that group's
+    slice; a too-small group and a collinear group emit NULL rows
+    instead of failing the job."""
+    import numpy as np
+
+    from getl_spark.functions import grouped, stats
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for g, (b0, b1, b2) in [("a", (1.0, 2.0, -1.0)), ("b", (-3.0, 0.5, 4.0))]:
+        x1 = rng.uniform(-2, 2, 80)
+        x2 = rng.uniform(0, 3, 80)
+        yv = b0 + b1 * x1 + b2 * x2 + rng.normal(0, 0.5, 80)
+        rows += [(g, float(a), float(b), float(c))
+                 for a, b, c in zip(x1, x2, yv)]
+    rows += [("tiny", 1.0, 2.0, 3.0)]                      # n <= p
+    rows += [("collinear", float(v), float(2 * v), float(v))
+             for v in range(1, 9)]                         # x2 = 2*x1
+    df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+    out = grouped.ols(df, ["g"], "y", ["x1", "x2"]).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, {})[r.feature] = r
+    # healthy groups match the global operator on their slice exactly
+    for g in ("a", "b"):
+        want = {
+            r.feature: r
+            for r in stats.ols(
+                df.where(df.g == g), "y", ["x1", "x2"]
+            ).collect()
+        }
+        for feat in ("intercept", "x1", "x2"):
+            assert by_g[g][feat].coef == want[feat].coef
+            assert by_g[g][feat].se == want[feat].se
+            assert by_g[g][feat].r2 == want[feat].r2
+    # degenerate groups: rows present, NULL fit, job alive
+    for g in ("tiny", "collinear"):
+        assert set(by_g[g]) == {"intercept", "x1", "x2"}
+        assert all(by_g[g][f].coef is None for f in by_g[g])
+    assert by_g["tiny"]["x1"].n == 1 and by_g["collinear"]["x1"].n == 8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="group_by"):
+        grouped.ols(df, [], "y", ["x1"])
+    with _pytest.raises(ValueError, match="duplicate"):
+        grouped.ols(df, ["g"], "y", ["x1", "x1"])
