@@ -23,6 +23,7 @@ YAML-callable as ``graph.cluster_components`` inside
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -271,16 +272,22 @@ def pagerank(
     (well above double summation-order noise, so two engines agree
     bit-for-bit on the rounded value; pass ``None`` to skip).
 
-    100 TB shape: ``outdeg`` is computed once (one shuffle on src);
-    each iteration is one join of edges to ranks on src plus one
-    partial-agg shuffle on dst — both key-partitioned, no driver
-    state; the dangling mass is a 1-row aggregate broadcast via
-    crossJoin; ranks are pinned per iteration so the
-    iterative plan's lineage stays flat (same discipline as
-    ``cluster_components``). High in-degree hubs are safe (the dst
-    aggregation combines map-side); high out-degree spam pages cost
-    one fan-out row per edge — identical to every published
-    MapReduce/Pregel formulation.
+    100 TB shape: ``outdeg`` is computed once (one shuffle on src) and
+    attached to the edge frame ONCE (``ew``, pinned) rather than
+    re-joined every iteration; the node frame carries a precomputed
+    dangling flag so the per-iteration dangling mass is a filter +
+    1-row aggregate over the pinned rank frame, not an anti-join.
+    Each iteration is then exactly one join of ``ew`` to ranks on src
+    plus one partial-agg shuffle on dst — both key-partitioned, no
+    driver state; the dangling mass broadcasts via crossJoin; ranks
+    are pinned per iteration so the iterative plan's lineage stays
+    flat (same discipline as ``cluster_components``). High in-degree
+    hubs are safe (the dst aggregation combines map-side); high
+    out-degree spam pages cost one fan-out row per edge — identical
+    to every published MapReduce/Pregel formulation. The ``ew`` pin
+    holds edge-sized blocks for the loop's lifetime — the price of
+    removing an edge-sized join AND a node-sized anti-join from every
+    iteration (2·n_iter shuffles for one materialization).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
@@ -294,22 +301,44 @@ def pagerank(
                 F.col("u").isNotNull()
             )
         )
-    node_set = node_set.distinct().select(F.col("u").alias("node")).transform(pin)
+    outdeg = e.groupBy("u").agg(F.sum("w").alias("deg")).transform(pin)
+    # the node frame carries a dangling flag so each iteration's
+    # dangling-mass aggregate is a FILTER over the pinned rank frame
+    # instead of a node-sized anti-join (r13: one join per iteration
+    # removed; outdeg keys are unique, so the flag join keeps row
+    # counts exact)
+    node_set = (
+        node_set.distinct()
+        .select(F.col("u").alias("node"))
+        .join(
+            outdeg.select(F.col("u").alias("node")).withColumn(
+                "__out", F.lit(True)
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.col("__out").isNull().alias("__dang"))
+        .transform(pin)
+    )
     n = node_set.count()
     if n == 0:
         return node_set.select(
             F.col("node").alias(node_col), F.lit(0.0).alias(out_col)
         )
-    outdeg = e.groupBy("u").agg(F.sum("w").alias("deg")).transform(pin)
-    ranks = node_set.select("node", F.lit(1.0 / n).alias("rank"))
+    # hoist the per-edge out-degree attach out of the loop: each
+    # iteration used to pay an edge-sized e⋈outdeg join; ew pins the
+    # (u, v, w, deg) frame once and the loop's only edge-sized work is
+    # the contribution join + partial-agg shuffle (r13; the per-row
+    # rank*w/deg expression is unchanged, so values are bit-identical)
+    ew = pin(e.join(outdeg, "u"))
+    unpin(e)  # node_set/outdeg/ew are materialized; e is no longer read
+    ranks = node_set.select("node", "__dang", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
-        dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["u"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        dangling = ranks.where(F.col("__dang")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         contribs = (
-            e.join(ranks, e["u"] == ranks["node"])
-            .join(outdeg, "u")
+            ew.join(ranks.select("node", "rank"), ew["u"] == F.col("node"))
             .groupBy("v")
             .agg(
                 F.sum(F.col("rank") * F.col("w") / F.col("deg")).alias("s")
@@ -323,6 +352,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "__dang",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -332,7 +362,7 @@ def pagerank(
             .transform(pin)
         )
         # release the superseded round's pin (no-op on the unpinned
-        # initial ranks frame); node_set/outdeg stay pinned — every
+        # initial ranks frame); node_set/outdeg/ew stay pinned — every
         # iteration rejoins them
         unpin(ranks)
         ranks = new_ranks
@@ -464,14 +494,30 @@ def hits(
     authority 0; without out-edges, hub 0. Returns ``(node_col, hub,
     auth)`` rounded to ``round_to`` (``None`` skips).
 
-    100 TB shape: exactly :func:`pagerank`'s — per iteration one
-    edges⋈scores join + one partial-agg shuffle per direction (both
-    key-partitioned), 1-row normalization aggregates broadcast via
-    crossJoin, per-iteration pins keep the lineage flat with
-    superseded frames unpinned. Normalization totals are provably
-    positive whenever the graph has an edge (hub mass only ever
-    lands on nodes with out-edges, auth mass on nodes with
-    in-edges), so no division guard can fire mid-loop.
+    100 TB shape: per iteration one edges⋈scores join + one
+    partial-agg shuffle per direction (both key-partitioned). The
+    in-loop score frames are RESTRICTED to the nodes that can carry
+    mass — auth lives only on nodes with in-edges, hub only on nodes
+    with out-edges; every other node is exactly 0.0 every iteration,
+    and the two leading-zero left-joins against the full node set
+    that used to run per half-iteration are folded into two final
+    output joins instead (r13: at 6 iterations that removes 12
+    node-sized joins from the loop with bit-identical output — the
+    restricted nodes never match the edge join, so no sum term
+    changes). Normalization totals are 1-row aggregates over the
+    pinned unnormalized score frame, collected and folded in as
+    literals (bounded driver state — iteration control, the k-means
+    centroid class): one fewer broadcast exchange per half-iteration,
+    and the pin materializes the restricted unnormalized frame —
+    in-node-sized for auth, out-node-sized for hub. Locally this
+    measures even with the round-12 shape (stage-count-bound at
+    sf0.1, ±20% run variance); the removed per-half-iteration
+    node-sized joins are the at-scale win. Totals are provably
+    positive
+    whenever the graph has an edge (hub mass only ever lands on
+    nodes with out-edges, auth mass on nodes with in-edges), so no
+    division guard can fire mid-loop. Per-iteration pins keep the
+    lineage flat with superseded frames unpinned.
     """
     if n_iter < 1:
         raise ValueError(f"hits: n_iter must be >= 1, got {n_iter}")
@@ -502,52 +548,47 @@ def hits(
             F.lit(0.0).alias("auth"),
         )
         return out
+    # Initial hubs ride the full node frame (hub=1 everywhere); from
+    # iteration 1 on, score frames are restricted to the nodes the
+    # edge joins can actually reach — see the 100 TB note above.
     hubs = node_set.select("node", F.lit(1.0).alias("hub"))
+    hubs_pinned = None  # the loop's own pin for the current hub frame
+    auths_pinned = None
     auths = None
     for it in range(n_iter):
-        auth_un = (
+        # unnormalized auth mass per in-node; pinned so the total, the
+        # normalization projection, and the next edge join all read one
+        # materialized copy (the 1-row total is a bounded collect —
+        # iteration control, the k-means centroid class)
+        auth_un = pin(
             e.join(hubs, e["u"] == hubs["node"])
             .groupBy("v")
             .agg(F.sum("hub").alias("s"))
         )
-        tot_a = auth_un.agg(F.sum("s").alias("tot"))
-        new_auths = (
-            node_set.join(auth_un, node_set["node"] == auth_un["v"], "left")
-            .crossJoin(F.broadcast(tot_a))
-            .select(
-                "node",
-                (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("tot")).alias(
-                    "auth"
-                ),
-            )
-            .transform(pin)
+        tot_a = auth_un.agg(F.sum("s").alias("tot")).collect()[0]["tot"]
+        new_auths = auth_un.select(
+            F.col("v").alias("node"), (F.col("s") / F.lit(tot_a)).alias("auth")
         )
-        if auths is not None:
-            unpin(auths)
+        if auths_pinned is not None:
+            unpin(auths_pinned)
+        auths_pinned = auth_un
         auths = new_auths
-        hub_un = (
+        hub_un = pin(
             e.join(auths, e["v"] == auths["node"])
             .groupBy("u")
             .agg(F.sum("auth").alias("s"))
         )
-        tot_h = hub_un.agg(F.sum("s").alias("tot"))
-        new_hubs = (
-            node_set.join(hub_un, node_set["node"] == hub_un["u"], "left")
-            .crossJoin(F.broadcast(tot_h))
-            .select(
-                "node",
-                (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("tot")).alias(
-                    "hub"
-                ),
-            )
-            .transform(pin)
+        tot_h = hub_un.agg(F.sum("s").alias("tot")).collect()[0]["tot"]
+        new_hubs = hub_un.select(
+            F.col("u").alias("node"), (F.col("s") / F.lit(tot_h)).alias("hub")
         )
         hits.last_iterations = it + 1
         converged = False
         if tol is not None and it > 0:
-            # both frames are pinned, so the delta probe is a cached
-            # node-sized join + a 1-row aggregate (bounded collect —
-            # iteration control, same class as k-means' centroid step)
+            # both frames are thin projections over pins, so the delta
+            # probe is a cached out-node-sized join + a 1-row aggregate
+            # (bounded collect — iteration control, same class as
+            # k-means' centroid step)
             delta = (
                 new_hubs.join(
                     hubs.select("node", F.col("hub").alias("__old")),
@@ -557,12 +598,25 @@ def hits(
                 .collect()[0]["d"]
             )
             converged = delta is not None and delta < tol
-        unpin(hubs)
+        if hubs_pinned is not None:
+            unpin(hubs_pinned)
+        hubs_pinned = hub_un
         hubs = new_hubs
         if converged:
             break
-    out = hubs.join(auths, "node").select(
-        F.col("node").alias(node_col), "hub", "auth"
+    # the loop's last pins carry the scores; the edge pin is done
+    unpin(e)
+    # fold the leading zeros back in exactly once: nodes without
+    # out-edges have hub 0, without in-edges auth 0 — the two joins the
+    # loop used to pay per half-iteration
+    out = (
+        node_set.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            F.col("node").alias(node_col),
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+        )
     )
     if round_to is not None:
         out = out.withColumn("hub", F.round("hub", round_to)).withColumn(
@@ -1245,12 +1299,15 @@ def bfs_distances(
     dropped; parallel edges collapse (DISTINCT).
 
     Exact level-synchronous BFS: per hop, one frontier⋈edges keyed
-    join + one anti-join against the visited set (both key-
-    partitioned — pagerank's per-iteration shape with a frontier-
-    sized working set instead of the full node vector), per-hop pins
-    with superseded frames unpinned, and an empty-frontier early exit
-    (one 1-row driver probe per hop, the hits/k-means iteration-
-    control class). ``max_hops`` is the hard cap — at 100 TB each hop
+    join + one anti-join against the union of the per-hop LEVEL pins
+    (both key-partitioned — pagerank's per-iteration shape with a
+    frontier-sized working set instead of the full node vector), and
+    an empty-frontier early exit (one 1-row driver probe per hop, the
+    hits/k-means iteration-control class). Each level is pinned
+    exactly once and stays pinned (the output unions all of them) —
+    r13: the previous shape additionally re-materialized a growing
+    visited frame every hop, one avoidable pin job + visited-sized
+    copy per hop. ``max_hops`` is the hard cap — at 100 TB each hop
     is one edges-sized shuffle, and 6 hops cover any small-world link
     graph's useful signal; raise it consciously.
     """
@@ -1272,14 +1329,20 @@ def bfs_distances(
     if not directed:
         e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     e = e.distinct().transform(pin)
-    visited = (
+    frontier = (
         seeds.select(F.col(node_col).alias("node"))
         .where(F.col("node").isNotNull())
         .distinct()
         .withColumn("dist", F.lit(0))
         .transform(pin)
     )
-    frontier = visited
+    # the visited set is the union of the per-hop frontier pins — each
+    # hop's anti-join reads the pinned levels directly instead of
+    # re-materializing a growing visited frame (r13: one pin job +
+    # one visited-sized materialization removed per hop; every level
+    # is pinned exactly once and stays pinned because the output reads
+    # all of them)
+    levels = [frontier]
     for hop in range(1, int(max_hops) + 1):
         if frontier.limit(1).count() == 0:
             break
@@ -1288,17 +1351,18 @@ def bfs_distances(
             .select(F.col("v").alias("node"))
             .distinct()
         )
-        new_frontier = (
-            reached.join(visited.select("node"), "node", "left_anti")
+        visited_nodes = reduce(
+            DataFrame.union, [lv.select("node") for lv in levels]
+        )
+        frontier = (
+            reached.join(visited_nodes, "node", "left_anti")
             .withColumn("dist", F.lit(hop))
             .transform(pin)
         )
-        new_visited = visited.union(new_frontier).transform(pin)
-        if frontier is not visited:
-            unpin(frontier)
-        unpin(visited)
-        visited, frontier = new_visited, new_frontier
-    out = visited.select(F.col("node").alias(node_col), "dist")
+        levels.append(frontier)
+    out = reduce(DataFrame.union, levels).select(
+        F.col("node").alias(node_col), "dist"
+    )
     unpin(e)
     return out
 
@@ -1343,12 +1407,14 @@ def personalized_pagerank(
     EVERY node — unreached nodes score 0; filter downstream.
     ``seeds`` is a DataFrame with ``node_col`` or a plain list.
 
-    100 TB shape: identical to :func:`pagerank` — outdeg once, per
-    iteration one edges⋈ranks keyed join + one dst-keyed partial agg,
-    the dangling mass a 1-row aggregate broadcast via crossJoin,
-    per-iteration pins with superseded frames unpinned. The teleport
-    column rides on the pinned node frame, so personalization adds
-    ZERO extra shuffles over standard PageRank.
+    100 TB shape: identical to :func:`pagerank` (r13 shape) — outdeg
+    computed once and attached to the pinned ``ew`` edge frame once,
+    per iteration one ``ew``⋈ranks keyed join + one dst-keyed partial
+    agg, the dangling mass a filter + 1-row aggregate over the pinned
+    rank frame (the node frame carries the dangling flag) broadcast
+    via crossJoin, per-iteration pins with superseded frames
+    unpinned. The teleport column rides on the pinned node frame, so
+    personalization adds ZERO extra shuffles over standard PageRank.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
@@ -1383,25 +1449,40 @@ def personalized_pagerank(
         .distinct()
         .select(F.col("u").alias("node"))
     )
-    # teleport column rides on the node frame: 1/|seeds| on seeds,
-    # 0 elsewhere — personalization costs one node-sized join, once
+    outdeg = e.groupBy("u").agg(F.sum("w").alias("deg")).transform(pin)
+    # teleport column AND dangling flag ride on the node frame: 1/|seeds|
+    # on seeds, 0 elsewhere — personalization costs one node-sized join,
+    # once; the flag makes each iteration's dangling mass a filter +
+    # 1-row aggregate instead of an anti-join (pagerank's r13 shape)
     node_set = (
         node_set.join(
             seed_set.withColumn("__t", F.lit(1.0 / n_seeds)), "node", "left"
         )
-        .select("node", F.coalesce(F.col("__t"), F.lit(0.0)).alias("t"))
+        .join(
+            outdeg.select(F.col("u").alias("node")).withColumn(
+                "__out", F.lit(True)
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce(F.col("__t"), F.lit(0.0)).alias("t"),
+            F.col("__out").isNull().alias("__dang"),
+        )
         .transform(pin)
     )
-    outdeg = e.groupBy("u").agg(F.sum("w").alias("deg")).transform(pin)
-    ranks = node_set.select("node", "t", F.col("t").alias("rank"))
+    # per-edge out-degree attached once (pagerank's r13 hoist): the
+    # loop's only edge-sized work is the contribution join + partial agg
+    ew = pin(e.join(outdeg, "u"))
+    unpin(e)
+    ranks = node_set.select("node", "t", "__dang", F.col("t").alias("rank"))
     for _ in range(n_iter):
-        dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["u"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        dangling = ranks.where(F.col("__dang")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         contribs = (
-            e.join(ranks.select("node", "rank"), e["u"] == F.col("node"))
-            .join(outdeg, "u")
+            ew.join(ranks.select("node", "rank"), ew["u"] == F.col("node"))
             .groupBy("v")
             .agg(F.sum(F.col("rank") * F.col("w") / F.col("deg")).alias("s"))
         )
@@ -1414,6 +1495,7 @@ def personalized_pagerank(
             .select(
                 "node",
                 "t",
+                "__dang",
                 (
                     F.lit(1.0 - damping) * F.col("t")
                     + F.lit(damping)
