@@ -307,3 +307,37 @@ def grouped_prefix_scan(
         *[f"__gps_local_{i}" for i in range(len(value_cols))],
         *[f"__gps_off_{i}" for i in range(len(value_cols))],
     )
+
+
+def local_df(spark, rows, schema):
+    """Small LOCAL DataFrame (meta tables, centroid/model frames,
+    seed lists — tens to thousands of rows) built with ONE input
+    partition instead of ``createDataFrame``'s default
+    ``defaultParallelism`` slices.
+
+    Why: classic ``spark.createDataFrame(list, schema)`` parallelizes
+    the rows into ``defaultParallelism`` (e.g. 32) slices, each served
+    by its own Python-worker partition. Any downstream single-task
+    consumer — ``coalesce(1)`` before a meta write, a broadcast build,
+    a ``first()`` — then pays the per-partition Python channel setup
+    ~32× SERIALLY: measured 5-6 s steady-state for a 1-row
+    ``meta.coalesce(1).write`` at local[32] vs 0.4 s through this
+    helper (r13). One slice is the right shape for every local frame
+    this engine builds (they are model/dimension-sized by contract);
+    rows beyond ~10k get one extra slice per 10k so a large literal
+    list still parallelizes.
+
+    Falls back to plain ``createDataFrame`` under Spark Connect
+    (no SparkContext there; Connect ships local data as a single
+    Arrow relation already).
+    """
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    try:
+        sc = spark.sparkContext
+    except Exception:  # pragma: no cover - Spark Connect
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(
+        sc.parallelize(rows, 1 + len(rows) // 10000), schema
+    )

@@ -50,7 +50,7 @@ def exact(
 
 
 # ------------------------------------------------------------ shingling
-from getl_spark.common.scale import parallelize as _parallelize, pin  # noqa: E402
+from getl_spark.common.scale import parallelize as _parallelize, pin, local_df  # noqa: E402
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -1386,7 +1386,7 @@ def semantic_pairs(
         # empty corpus yields zero pairs, like every other pair
         # generator here — not a training failure
         id_type = df.schema[id_col].dataType.simpleString()
-        return df.sparkSession.createDataFrame(
+        return local_df(df.sparkSession,
             [], f"id_a {id_type}, id_b {id_type}, cosine double"
         )
     cent_n = _train_centroids(
@@ -1466,7 +1466,7 @@ def build_minhash_index(
 
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    spark.createDataFrame(
+    local_df(spark,
         [(n, num_hashes, bands, id_type)],
         "n int, num_hashes int, bands int, id_type string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -1810,7 +1810,7 @@ def merge_minhash_index(
                 f"({va} vs {vb}) — indexes sketched with different "
                 "families cannot merge; rebuild one side"
             )
-    spark.createDataFrame(
+    local_df(spark,
         [(
             meta_a.n,
             meta_a.num_hashes,
@@ -1906,7 +1906,7 @@ def lsh_plan(
         for b in range(1, num_hashes + 1)
         if num_hashes % b == 0
     ]
-    base = spark.createDataFrame(
+    base = local_df(spark,
         factorings, "bands INT, rows_per_band INT"
     )
     bd = F.col("bands").cast("double")
@@ -2618,7 +2618,7 @@ def build_cdc_index(
     """
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    spark.createDataFrame(
+    local_df(spark,
         [(min_size, avg_size, max_size, id_type)],
         "min_size int, avg_size int, max_size int, id_type string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")

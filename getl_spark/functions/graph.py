@@ -28,7 +28,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from getl_spark.common.scale import pin, unpin
+from getl_spark.common.scale import pin, unpin, local_df
 
 
 def _signature(edges: DataFrame) -> tuple:
@@ -86,7 +86,7 @@ def _driver_union_find(
             StructField(out_col, id_field.dataType, True),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def cluster_components(
@@ -956,7 +956,7 @@ def k_core(
                     StructField("core_degree", LongType(), True),
                 ]
             )
-            return e.sparkSession.createDataFrame(rows, schema)
+            return local_df(e.sparkSession, rows, schema)
     for _ in range(max_iter):
         sym = e.union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -1318,7 +1318,7 @@ def bfs_distances(
         seed_list = list(seeds)
         if not seed_list:
             raise ValueError("bfs_distances: seeds must be non-empty")
-        seeds = spark.createDataFrame(
+        seeds = local_df(spark,
             [(s,) for s in seed_list],
             f"{node_col} {edges.schema[src].dataType.simpleString()}",
         )
@@ -1425,7 +1425,7 @@ def personalized_pagerank(
         seed_list = [s for s in seeds]
         if not seed_list:
             raise ValueError("personalized_pagerank: seeds must be non-empty")
-        seeds = spark.createDataFrame(
+        seeds = local_df(spark,
             [(s,) for s in seed_list],
             f"{node_col} {edges.schema[src].dataType.simpleString()}",
         )

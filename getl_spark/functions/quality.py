@@ -36,7 +36,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
-from getl_spark.common.scale import pin
+from getl_spark.common.scale import pin, local_df
 
 from getl_spark.functions.embedding import hash_embed
 
@@ -135,7 +135,7 @@ def score(
         new_col="__feat", seed=model["seed"], normalize=model["normalize"],
     )
     spark = df.sparkSession
-    wrow = spark.createDataFrame(
+    wrow = local_df(spark,
         [([float(w) for w in model["weights"]],)], "__w array<double>"
     )
     z = F.aggregate(

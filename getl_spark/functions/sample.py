@@ -24,6 +24,8 @@ from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from getl_spark.common.scale import local_df
+
 # hash bucket granularity: probabilities resolve to 1/2^20 steps
 _BUCKETS = 1 << 20
 
@@ -89,7 +91,7 @@ def balanced_downsample(
     (``common/scale.py``), so parallelism is independent of the class
     count; the min-class-size cap attaches as a 1-row broadcast.
     """
-    from getl_spark.common.scale import grouped_prefix_sum
+    from getl_spark.common.scale import grouped_prefix_sum, local_df
 
     lbl = F.col(label_col)
     base = df.where(lbl.isNotNull()).withColumn(
@@ -358,7 +360,7 @@ def token_budget_mix(
         F.col(order_col) if order_col is not None else _unit_hash(id_cols, seed)
     )
     spark = df.sparkSession
-    btab = spark.createDataFrame(
+    btab = local_df(spark,
         [(s, int(b)) for s, b in budgets.items()],
         "__src string, __budget bigint",
     )
@@ -848,7 +850,7 @@ def kcenter(
     unpin(state)
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    out = spark.createDataFrame(
+    out = local_df(spark,
         [(cid, i, d) for i, (cid, d) in enumerate(chosen)],
         f"{id_col} {id_type}, selection_order int, dist_at_selection double",
     )
@@ -1091,7 +1093,7 @@ def match_distribution(
         (k, min(counts[k], int(shares[k] * t_max + 1e-9))) for k in shares
     ]
     spark = df.sparkSession
-    cap_df = spark.createDataFrame(
+    cap_df = local_df(spark,
         caps, f"__md_k {df.schema[col].dataType.simpleString()}, __md_cap bigint"
     )
     kept = ranked.join(

@@ -24,6 +24,8 @@ from typing import Dict
 
 from pyspark.sql import DataFrame, functions as F
 
+from getl_spark.common.scale import local_df
+
 _INTISH = ("tinyint", "smallint", "int", "bigint", "long", "integer")
 
 
@@ -173,4 +175,4 @@ def diff(left: DataFrame, right: DataFrame) -> DataFrame:
             StructField("change", StringType(), False),
         ]
     )
-    return left.sparkSession.createDataFrame(rows, schema)
+    return local_df(left.sparkSession, rows, schema)

@@ -36,6 +36,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from getl_spark.common.scale import local_df
+
 _INDEX_COLS = ["id", "token", "tf", "dl"]
 
 
@@ -123,7 +125,7 @@ def bm25_topk(
     )
 
     qterms = (
-        spark.createDataFrame(
+        local_df(spark,
             [(i, q) for i, q in enumerate(queries)], "query_id INT, query STRING"
         )
         .select(

@@ -992,7 +992,7 @@ def markov_attribution(
         .groupBy(F.col("tr.src").alias("src"), F.col("tr.dst").alias("dst"))
         .agg(F.count("*").cast("bigint").alias("n"))
     )
-    from getl_spark.common.scale import pin, unpin
+    from getl_spark.common.scale import pin, unpin, local_df
 
     trans = trans.transform(pin)
     k = (
@@ -1010,7 +1010,7 @@ def markov_attribution(
     unpin(trans)
     spark = df.sparkSession
     if not rows:
-        return spark.createDataFrame(
+        return local_df(spark,
             [],
             "channel string, removal_effect double, credit double, "
             "conversions bigint",
@@ -1083,7 +1083,7 @@ def markov_attribution(
         )
         for ch, e in zip(channels, effects)
     ]
-    return spark.createDataFrame(
+    return local_df(spark,
         out_rows,
         "channel string, removal_effect double, credit double, "
         "conversions bigint",

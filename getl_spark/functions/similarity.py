@@ -23,7 +23,7 @@ from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from getl_spark.common.scale import pin
+from getl_spark.common.scale import pin, local_df
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -508,7 +508,7 @@ def build_ivf_index(
         corpus, id_col, vec_col, nlist, seed, train_limit, kmeans_iters
     )
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    local_df(spark,
         [(i, [float(x) for x in cent]) for i, cent in enumerate(cent_n)],
         "cell INT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -625,7 +625,7 @@ def merge_ivf_index(
             "merge_ivf_index: dimension mismatch — "
             f"{cent_n.shape[1]} vs {len(other_dim.centroid)}"
         )
-    spark.createDataFrame(
+    local_df(spark,
         [(r.cell, [float(x) for x in r.centroid]) for r in cent_rows],
         "cell INT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/centroids")
@@ -1080,7 +1080,7 @@ def topk_pq(
         .where(F.col("code").isNotNull())
         .mapInPandas(score_batches, out_schema)
     )
-    qmap = corpus.sparkSession.createDataFrame(
+    qmap = local_df(corpus.sparkSession,
         [(i, qid) for i, qid in enumerate(q_ids)],
         f"qi int, query_id {id_type}",
     )
@@ -1233,7 +1233,7 @@ def build_ivf_pq_index(
         sample=train,
     )
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    local_df(spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cent_n)],
         "cell INT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -1247,7 +1247,7 @@ def build_ivf_pq_index(
         train_limit=train_limit, kmeans_iters=kmeans_iters,
         sample=residuals,
     )
-    spark.createDataFrame(
+    local_df(spark,
         [
             (j, c, [float(x) for x in cent])
             for j, book in enumerate(pq.codebooks)
@@ -1475,7 +1475,7 @@ def topk_ivf_pq(
         F.col("cell").isin(cells_wanted)  # partition pruning
     )
     scored = codes_df.mapInPandas(score_batches, out_schema)
-    qmap = spark.createDataFrame(
+    qmap = local_df(spark,
         [(i, qid) for i, qid in enumerate(q_ids)],
         f"qi int, query_id {id_type}",
     )

@@ -19,6 +19,8 @@ from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from getl_spark.common.scale import local_df
+
 DEFAULT_LGK = 12  # 2^12 buckets ≈ 2% relative standard error
 
 
@@ -334,7 +336,7 @@ def freq_estimate(
         f"`{c}` {sketches.schema[c].dataType.simpleString()}, "
         for c in group_cols
     )
-    return spark.createDataFrame(
+    return local_df(spark,
         out,
         f"{schema_groups}`{item_col}` {item_type}, `{estimate_col}` bigint",
     )

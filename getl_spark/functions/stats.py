@@ -10,7 +10,7 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from getl_spark.common.scale import pin
+from getl_spark.common.scale import pin, local_df
 
 
 def profile(df: DataFrame, columns: Optional[List[str]] = None) -> DataFrame:
@@ -1668,7 +1668,7 @@ def bt_ratings(
         )
         for i in range(k)
     ]
-    return df.sparkSession.createDataFrame(
+    return local_df(df.sparkSession,
         out, "model STRING, n_games BIGINT, n_wins DOUBLE, rating DOUBLE"
     )
 
@@ -8101,7 +8101,7 @@ def ols(
     ses = np.sqrt(np.maximum(np.diag(covb), 0.0))
     r2 = 1.0 - rss / tss if tss > 0 else None
     spark = df.sparkSession
-    out = spark.createDataFrame(
+    out = local_df(spark,
         [
             (names[i], float(beta[i]), float(ses[i]), int(n),
              None if r2 is None else float(r2), i)

@@ -19,6 +19,8 @@ from abc import ABC, abstractmethod
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType, StringType, TimestampType
 
+from getl_spark.common.scale import local_df
+
 from getl_spark.common.tables import ManagedTable
 
 LOGGER = logging.getLogger(__name__)
@@ -90,7 +92,7 @@ class ControlTableRegistry(FileRegistry, ABC):
             if batch is not None and len(batch) > _ISIN_LIMIT:
                 # join-based stamping: an isin() over a huge batch builds
                 # an In-expression as wide as the batch
-                keys = self.spark.createDataFrame(
+                keys = local_df(self.spark,
                     [(p,) for p in batch], "file_path string"
                 )
                 self.table.update_matching(keys, "file_path", condition, stamp)
@@ -103,7 +105,7 @@ class ControlTableRegistry(FileRegistry, ABC):
         """Insert-only merge of newly discovered files."""
         if not rows:
             return
-        updates = self.spark.createDataFrame(rows, self.schema)
+        updates = local_df(self.spark, rows, self.schema)
         self.table.insert_all(updates, "source.file_path = updates.file_path")
 
     def _unlifted_paths(self) -> list:

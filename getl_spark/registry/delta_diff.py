@@ -25,7 +25,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
-from getl_spark.common.scale import pin
+from getl_spark.common.scale import pin, local_df
 
 from getl_spark.common.tables import HAS_DELTA, ManagedTable
 from getl_spark.registry.base import FileRegistry, utcnow
@@ -77,7 +77,7 @@ class DeltaDiff(FileRegistry):
         return current.join(baseline, self.join_fields, how="anti")
 
     def update(self) -> None:
-        watermark = self.spark.createDataFrame(
+        watermark = local_df(self.spark,
             [(self._as_of or utcnow(),)], "version_date timestamp"
         )
         self.watermark_table.write(watermark, mode="overwrite")

@@ -18,7 +18,7 @@ from typing import Callable, List, Optional
 
 from pyspark.sql import DataFrame
 
-from getl_spark.common.scale import pin
+from getl_spark.common.scale import pin, local_df
 
 from getl_spark.common.tables import DEFAULT_FORMAT, HiveTable, ManagedTable
 from getl_spark.plans.context import BlockConfig
@@ -671,7 +671,7 @@ def stream_drift_monitor(conf: BlockConfig) -> DataFrame:
                 p, q = p0 + eps, q0 + eps
                 psi += (q - p) * math.log(q / p)
             out_rows.append((int(batch_id), c, int(n_batch), round(psi, 6)))
-        report = spark.createDataFrame(
+        report = local_df(spark,
             out_rows, "batch_id LONG, column STRING, batch_rows LONG, psi DOUBLE"
         )
         report_table.write(report, "append")
