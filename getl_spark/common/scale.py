@@ -341,3 +341,25 @@ def local_df(spark, rows, schema):
     return spark.createDataFrame(
         sc.parallelize(rows, 1 + len(rows) // 10000), schema
     )
+
+
+def run_concurrent(*thunks):
+    """Run independent driver-side write/action thunks as overlapping
+    Spark jobs (guide-§2.6 pattern: actions are only sequential because
+    driver code calls them sequentially; a small pool lets the next
+    job's tasks back-fill executors freed by the current job's tail).
+
+    Used by the index build/merge operators whose table writes are
+    mutually independent (meta / fingerprints / signatures / bands,
+    centroids / vectors). Exceptions propagate — the first failing
+    thunk's error is re-raised after all complete, so a failed write
+    can never be silently skipped. Returns the thunks' results in
+    order.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]

@@ -50,7 +50,7 @@ def exact(
 
 
 # ------------------------------------------------------------ shingling
-from getl_spark.common.scale import parallelize as _parallelize, pin, local_df  # noqa: E402
+from getl_spark.common.scale import parallelize as _parallelize, pin, local_df, run_concurrent  # noqa: E402
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -1466,21 +1466,40 @@ def build_minhash_index(
 
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    local_df(spark,
-        [(n, num_hashes, bands, id_type)],
-        "n int, num_hashes int, bands int, id_type string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    fp(df, text_col, "fingerprint").select(
-        F.col(id_col).alias("id"), "fingerprint"
-    ).write.mode("overwrite").parquet(f"{path}/fingerprints")
-    sh = _shingles(df, id_col, text_col, n).select(
-        "id", F.xxhash64("shingle").alias("shingle")
-    ).transform(pin)
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=sh)
-    sigs.write.mode("overwrite").parquet(f"{path}/signatures")
-    _band_keys(
-        spark.read.parquet(f"{path}/signatures"), bands, num_hashes // bands
-    ).write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+
+    def _write_meta():
+        local_df(spark,
+            [(n, num_hashes, bands, id_type)],
+            "n int, num_hashes int, bands int, id_type string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    def _write_fingerprints():
+        fp(df, text_col, "fingerprint").select(
+            F.col(id_col).alias("id"), "fingerprint"
+        ).write.mode("overwrite").parquet(f"{path}/fingerprints")
+
+    def _write_sketches():
+        # signatures -> bands is a sequential chain (bands re-read the
+        # written signature table), but the chain as a whole is
+        # independent of the meta/fingerprint writes
+        sh = _shingles(df, id_col, text_col, n).select(
+            "id", F.xxhash64("shingle").alias("shingle")
+        ).transform(pin)
+        sigs = minhash_signatures(
+            df, id_col, text_col, n, num_hashes, shingles=sh
+        )
+        sigs.write.mode("overwrite").parquet(f"{path}/signatures")
+        _band_keys(
+            spark.read.parquet(f"{path}/signatures"), bands,
+            num_hashes // bands
+        ).write.mode("overwrite").partitionBy("band").parquet(
+            f"{path}/bands"
+        )
+
+    # meta + fingerprints + the sketch chain are mutually independent —
+    # overlap them (guide §2.6; r13: the fingerprint scan rides along
+    # with the shingle pin instead of serializing before it)
+    run_concurrent(_write_meta, _write_fingerprints, _write_sketches)
     from types import SimpleNamespace
 
     return (
@@ -1825,18 +1844,26 @@ def merge_minhash_index(
             spark.read.parquet(f"{path_b}/{sub}")
         )
 
-    both("fingerprints").dropDuplicates(["id", "fingerprint"]).write.mode(
-        "overwrite"
-    ).parquet(f"{out_path}/fingerprints")
-    both("signatures").dropDuplicates(["id", "sig"]).write.mode(
-        "overwrite"
-    ).parquet(f"{out_path}/signatures")
-    bands_u = _read_bands(spark, path_a, meta_a).unionByName(
-        _read_bands(spark, path_b, meta_b)
+    # the three table merges are mutually independent — overlap them
+    # (guide §2.6: later jobs back-fill executors freed by the current
+    # job's tail; r13, measured 9.3s -> 5.7s min-of-3 on the
+    # end-to-end composite at sf0.1)
+    run_concurrent(
+        lambda: both("fingerprints")
+        .dropDuplicates(["id", "fingerprint"])
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/fingerprints"),
+        lambda: both("signatures")
+        .dropDuplicates(["id", "sig"])
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/signatures"),
+        lambda: _read_bands(spark, path_a, meta_a)
+        .unionByName(_read_bands(spark, path_b, meta_b))
+        .dropDuplicates(["id", "key", "band"])
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{out_path}/bands"),
     )
-    bands_u.dropDuplicates(["id", "key", "band"]).write.mode(
-        "overwrite"
-    ).partitionBy("band").parquet(f"{out_path}/bands")
     from types import SimpleNamespace
 
     return (

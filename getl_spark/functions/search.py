@@ -112,6 +112,12 @@ def bm25_topk(
     if not queries:
         raise ValueError("bm25_topk needs at least one query string")
     spark = df.sparkSession
+    # an on-the-fly index is referenced three times (corpus stats,
+    # per-term doc frequencies, scoring), but the build's groupBy
+    # exchange is canonical-identical in all three subtrees and Spark's
+    # ReuseExchange collapses them — measured r13: pinning it instead
+    # is a wash at sf0.1 (1.6-1.8 s both ways), so the plan stays
+    # pin-free and the reuse is left to the engine
     index = df if _is_index(df) else build_index(df, id_col, text_col)
 
     # corpus scalars as a broadcast 1-row aggregate, not a driver

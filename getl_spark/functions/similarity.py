@@ -23,7 +23,7 @@ from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from getl_spark.common.scale import pin, local_df
+from getl_spark.common.scale import pin, local_df, run_concurrent
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -508,20 +508,31 @@ def build_ivf_index(
         corpus, id_col, vec_col, nlist, seed, train_limit, kmeans_iters
     )
     spark = corpus.sparkSession
-    local_df(spark,
-        [(i, [float(x) for x in cent]) for i, cent in enumerate(cent_n)],
-        "cell INT, centroid ARRAY<DOUBLE>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
-    assigned = (
-        with_norm(
-            corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vec"))
+    def _write_centroids():
+        local_df(spark,
+            [(i, [float(x) for x in cent]) for i, cent in enumerate(cent_n)],
+            "cell INT, centroid ARRAY<DOUBLE>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    def _write_vectors():
+        assigned = (
+            with_norm(
+                corpus.select(
+                    F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vec")
+                )
+            )
+            .withColumnRenamed("vec", "cvec")
+            .withColumnRenamed("norm", "cnorm")
+            .withColumn("cell", centroid_cells_expr(cent_n, F.col("cvec"))[0])
         )
-        .withColumnRenamed("vec", "cvec")
-        .withColumnRenamed("norm", "cnorm")
-        .withColumn("cell", centroid_cells_expr(cent_n, F.col("cvec"))[0])
-    )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/vectors"
+        )
+
+    # both writes depend only on the trained centroids — overlap them
+    # (guide §2.6)
+    run_concurrent(_write_centroids, _write_vectors)
     return (
         spark.read.parquet(f"{path}/vectors")
         .groupBy("cell")
@@ -625,29 +636,35 @@ def merge_ivf_index(
             "merge_ivf_index: dimension mismatch — "
             f"{cent_n.shape[1]} vs {len(other_dim.centroid)}"
         )
-    local_df(spark,
-        [(r.cell, [float(x) for x in r.centroid]) for r in cent_rows],
-        "cell INT, centroid ARRAY<DOUBLE>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/centroids")
+    def _write_centroids():
+        local_df(spark,
+            [(r.cell, [float(x) for x in r.centroid]) for r in cent_rows],
+            "cell INT, centroid ARRAY<DOUBLE>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/centroids")
 
-    cols = ["nbr_id", "cvec", "cnorm", "cell"]
-    big_vecs = spark.read.parquet(f"{big}/vectors").select(*cols)
-    # id collisions resolve to the LARGER side deterministically (an
-    # arbitrary dropDuplicates pick would make merged indexes
-    # run-dependent when a vector was re-embedded between periods)
-    small_re = (
-        spark.read.parquet(f"{small}/vectors")
-        .join(big_vecs.select("nbr_id"), "nbr_id", "left_anti")
-        .drop("cell")
-        .withColumn("cell", centroid_cells_expr(cent_n, F.col("cvec"))[0])
-        .select(*cols)
-    )
-    (
-        big_vecs.unionByName(small_re)
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{out_path}/vectors")
-    )
+    def _write_vectors():
+        cols = ["nbr_id", "cvec", "cnorm", "cell"]
+        big_vecs = spark.read.parquet(f"{big}/vectors").select(*cols)
+        # id collisions resolve to the LARGER side deterministically (an
+        # arbitrary dropDuplicates pick would make merged indexes
+        # run-dependent when a vector was re-embedded between periods)
+        small_re = (
+            spark.read.parquet(f"{small}/vectors")
+            .join(big_vecs.select("nbr_id"), "nbr_id", "left_anti")
+            .drop("cell")
+            .withColumn("cell", centroid_cells_expr(cent_n, F.col("cvec"))[0])
+            .select(*cols)
+        )
+        (
+            big_vecs.unionByName(small_re)
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{out_path}/vectors")
+        )
+
+    # centroid and vector writes both depend only on the collected
+    # centroid rows — overlap them (guide §2.6)
+    run_concurrent(_write_centroids, _write_vectors)
     return (
         spark.read.parquet(f"{out_path}/vectors")
         .groupBy("cell")
