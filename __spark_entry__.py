@@ -70,6 +70,8 @@ import yaml
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from getl_spark.common.scale import local_df as _local_df
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -3607,7 +3609,7 @@ def _q_embedding_hash_embed(spark, sf_dir):
     vectors."""
     from getl_spark.functions import embedding
 
-    docs = spark.createDataFrame(
+    docs = _local_df(spark, 
         [
             (0, "the quick brown fox"),
             (1, "jumps over the lazy dog"),
@@ -3649,7 +3651,7 @@ def _q_sketch_jaccard_matrix(spark, sf_dir):
         rows.append(("src_a", f"{base} doc{i}"))
         rows.append(("src_b", f"{alt} doc{i}"))
         rows.append(("src_c", f"{other} doc{i}"))
-    gdf = spark.createDataFrame(rows, "source STRING, text STRING")
+    gdf = _local_df(spark, rows, "source STRING, text STRING")
     return sketch.jaccard_matrix(gdf, "source", num_hashes=128)
 
 
@@ -4531,7 +4533,7 @@ def _twin_docs(spark):
         words = [f"w{i % 8}_{j}" for j in range(30)]
         words[i % 30] = f"x{i}"
         rows.append((i, " ".join(words)))
-    return spark.createDataFrame(rows, "doc_id long, text string")
+    return _local_df(spark, rows, "doc_id long, text string")
 
 
 def _q_minhash_twin(spark, sf_dir):
@@ -4649,7 +4651,7 @@ def _q_topk_lsh_twin(spark, sf_dir):
         )
         for i in range(60)
     ]
-    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vecs = _local_df(spark, rows, "vec_id long, embedding array<double>")
     return similarity.topk_lsh(
         vecs, vecs.where("vec_id < 6"), k=3, planes=6
     ).select(
@@ -4698,7 +4700,7 @@ def _q_dedup_vec_index(spark, sf_dir):
         )
         for i in range(60)
     ]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = _local_df(spark, rows, "vec_id long, embedding array<double>")
     path = f"{_QTMP}/vec_dedup_index"
     shutil.rmtree(path, ignore_errors=True)
     similarity.build_ivf_pq_index(df, path, nlist=6, m=4, k=8, seed=11)
@@ -4709,7 +4711,7 @@ def _q_dedup_vec_index(spark, sf_dir):
         (200, [0.0] * 6 + [10.0, 0.0]),
         (201, [0.0] * 7 + [10.0]),
     ]
-    inc = spark.createDataFrame(inc_rows, "vec_id long, embedding array<double>")
+    inc = _local_df(spark, inc_rows, "vec_id long, embedding array<double>")
     out = similarity.dedup_against_index(inc, path, threshold=0.9, nprobe=6)
     return out.select("vec_id")
 
@@ -5583,7 +5585,7 @@ def _q_pca_project(spark, sf_dir):
                 ],
             )
         )
-    df = spark.createDataFrame(
+    df = _local_df(spark, 
         rows, "vec_id long, embedding array<double>"
     ).repartition(1)
     model = E.fit_pca(df, "embedding", k=2)
@@ -5663,7 +5665,7 @@ def _q_semantic_pairs(spark, sf_dir):
         )
         for i in range(60)
     ]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = _local_df(spark, rows, "vec_id long, embedding array<double>")
     return dedup.semantic_pairs(
         df, "vec_id", "embedding", threshold=0.9, nlist=6, nassign=2, seed=11
     ).select("id_a", "id_b", "cosine")
@@ -5702,7 +5704,7 @@ def _q_semantic_dedup(spark, sf_dir):
         )
         for i in range(60)
     ]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = _local_df(spark, rows, "vec_id long, embedding array<double>")
     return dedup.semantic_dedup(
         df, "vec_id", "embedding", threshold=0.9, nlist=6, nassign=2, seed=11
     ).select("vec_id")
@@ -5786,7 +5788,7 @@ def _q_quality_score(spark, sf_dir):
     replica of the same arithmetic."""
     from getl_spark.functions import quality
 
-    docs = spark.createDataFrame(
+    docs = _local_df(spark, 
         [
             (0, "the quick brown fox"),
             (1, "jumps over the lazy dog"),
@@ -5836,7 +5838,7 @@ def _q_uncertainty_sample(spark, sf_dir):
     oracle replays score arithmetic + boundary filter + ordered cap."""
     from getl_spark.functions import quality
 
-    docs = spark.createDataFrame(
+    docs = _local_df(spark, 
         [
             (0, "the quick brown fox"),
             (1, "jumps over the lazy dog"),
@@ -7364,7 +7366,7 @@ def _q_kmeans_stats(spark, sf_dir):
         )
         for i in range(60)
     ]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = _local_df(spark, rows, "vec_id long, embedding array<double>")
     model = {
         "centroids": [
             [1.0 if j == c else 0.0 for j in range(8)] for c in range(6)
@@ -7651,7 +7653,7 @@ def _q_kmeans_assign(spark, sf_dir):
         )
         for i in range(60)
     ]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = _local_df(spark, rows, "vec_id long, embedding array<double>")
     model = {
         "centroids": [
             [1.0 if j == c else 0.0 for j in range(8)] for c in range(6)
@@ -7748,7 +7750,7 @@ def _q_cdc_stored_index_build(spark, sf_dir):
     tmp = f"{_QTMP}/cdc_index_bench"
     shutil.rmtree(tmp, ignore_errors=True)
     docs = _cdc_fixture_docs()
-    base = spark.createDataFrame(
+    base = _local_df(spark, 
         [d for d in docs if d[0] in (1, 3, 5)], "doc_id LONG, text STRING"
     )
     return dedup.build_cdc_index(
@@ -7818,14 +7820,14 @@ def _q_cdc_stored_index_query(spark, sf_dir):
     tmp = f"{_QTMP}/cdc_index_bench"
     docs = _cdc_fixture_docs()
     if not os.path.exists(tmp):
-        base = spark.createDataFrame(
+        base = _local_df(spark, 
             [d for d in docs if d[0] in (1, 3, 5)],
             "doc_id LONG, text STRING",
         )
         dedup.build_cdc_index(
             base, tmp, min_size=32, avg_size=128, max_size=512
         )
-    inc = spark.createDataFrame(
+    inc = _local_df(spark, 
         [d for d in docs if d[0] in (2, 4)], "doc_id LONG, text STRING"
     )
     return dedup.cdc_against_stored_index(inc, tmp, min_shared=2)
@@ -7846,7 +7848,7 @@ def _q_pq_encode(spark, sf_dir):
         )
         for i in range(48)
     ]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = _local_df(spark, rows, "vec_id long, embedding array<double>")
     model = E.train_pq(df, m=4, k=8, seed=5, kmeans_iters=8)
     codes = E.pq_encode(df, model)
     return codes.select(
@@ -7931,7 +7933,7 @@ def _q_ivf_pq_topk(spark, sf_dir):
         )
         for i in range(60)
     ]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = _local_df(spark, rows, "vec_id long, embedding array<double>")
     path = f"{_QTMP}/ivfpq_oracle"
     shutil.rmtree(path, ignore_errors=True)
     similarity.build_ivf_pq_index(df, path, nlist=6, m=4, k=8, seed=11)
@@ -7983,7 +7985,7 @@ def _q_ivf_pq_append(spark, sf_dir):
         )
         for i in range(60)
     ]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = _local_df(spark, rows, "vec_id long, embedding array<double>")
     path = f"{_QTMP}/ivfpq_append"
     shutil.rmtree(path, ignore_errors=True)
     similarity.build_ivf_pq_index(
@@ -8100,7 +8102,7 @@ def _q_stream_dedup_ingest(spark, sf_dir):
     )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     dedup.build_minhash_index(
-        spark.createDataFrame([], "doc_id long, text string, lang string"),
+        _local_df(spark, [], "doc_id long, text string, lang string"),
         index,
     )
 
@@ -8271,10 +8273,10 @@ def _q_pair_recall_eval(spark, sf_dir):
     normalized set overlap."""
     from getl_spark.functions import dedup
 
-    exact = spark.createDataFrame(
+    exact = _local_df(spark, 
         [(1, 2), (3, 4), (5, 6), (7, 8)], "id_a LONG, id_b LONG"
     )
-    approx = spark.createDataFrame(
+    approx = _local_df(spark, 
         [(2, 1), (3, 4), (3, 4), (9, 10)], "id_a LONG, id_b LONG"
     )
     return dedup.pair_recall_eval(approx, exact)
@@ -8315,14 +8317,14 @@ def _q_recall_eval(spark, sf_dir):
     arithmetic in SQL."""
     from getl_spark.functions import similarity
 
-    exact = spark.createDataFrame(
+    exact = _local_df(spark, 
         [(1, "a", 1), (1, "b", 2), (1, "c", 3),
          (2, "d", 1), (2, "e", 2),
          (3, "f", 1), (3, "g", 2), (3, "h", 3),
          (4, "p", 1), (4, "q", 2)],
         "query_id INT, nbr_id STRING, rank INT",
     )
-    approx = spark.createDataFrame(
+    approx = _local_df(spark, 
         # q3 absent entirely -> missing; q4 present but ALL WRONG ->
         # recall 0 yet NOT missing (ranking failure, not empty retrieval)
         [(1, "a", 1), (1, "x", 2), (1, "b", 3), (1, "c", 4),
@@ -9051,7 +9053,7 @@ def _q_phash_pairs(spark, sf_dir):
     (tests/test_llm_ops.py::_ref_phash), not the operator's output."""
     from getl_spark.functions import multimodal as M
 
-    df = spark.createDataFrame(_phash_corpus(), "doc_id LONG, content BINARY")
+    df = _local_df(spark, _phash_corpus(), "doc_id LONG, content BINARY")
     return M.phash_pairs(df, max_hamming=3, bands=4)
 
 
@@ -9849,7 +9851,7 @@ def _q_bpe_token_count(spark, sf_dir):
     (tests/test_text_corpus.py::test_bpe_token_count_differential_random)."""
     from getl_spark.functions import text
 
-    docs = spark.createDataFrame(
+    docs = _local_df(spark, 
         [
             (0, "the thin other"),
             (1, "running and jumping and singing"),
@@ -10786,7 +10788,7 @@ def _q_cdc_pairs(spark, sf_dir):
     hand at pin time)."""
     from getl_spark.functions import dedup
 
-    df = spark.createDataFrame(
+    df = _local_df(spark, 
         _cdc_fixture_docs(), "doc_id LONG, text STRING"
     )
     return dedup.cdc_pairs(
@@ -10904,10 +10906,10 @@ def _q_cdc_stored_index(spark, sf_dir):
     tmp = f"{_QTMP}/cdc_index"
     shutil.rmtree(tmp, ignore_errors=True)
     docs = _cdc_fixture_docs()
-    base = spark.createDataFrame(
+    base = _local_df(spark, 
         [d for d in docs if d[0] in (1, 3, 5)], "doc_id LONG, text STRING"
     )
-    inc = spark.createDataFrame(
+    inc = _local_df(spark, 
         [d for d in docs if d[0] in (2, 4)], "doc_id LONG, text STRING"
     )
     dedup.build_cdc_index(base, tmp, min_size=32, avg_size=128, max_size=512)
@@ -11182,7 +11184,7 @@ def _q_outlier_score(spark, sf_dir):
             )
         )
     rows.append((99, [0.05, -0.1, 4.0, 3.5, 0.02]))
-    df = spark.createDataFrame(
+    df = _local_df(spark, 
         rows, "vec_id long, embedding array<double>"
     ).repartition(1)
     model = E.fit_pca(df, "embedding", k=2)
@@ -11850,7 +11852,7 @@ def _q_k_core(spark, sf_dir):
         + [(20, 21), (21, 22), (22, 23)]
         + [(30, 31), (31, 32), (32, 33), (33, 34), (34, 30)]
     )
-    df = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    df = _local_df(spark, edges, "id_a LONG, id_b LONG")
     return graph.k_core(df, 2)
 
 
@@ -12073,7 +12075,7 @@ def _q_mmr_rerank(spark, sf_dir):
     tests/test_similarity.py at three lambdas."""
     from getl_spark.functions import similarity
 
-    corpus = spark.createDataFrame(
+    corpus = _local_df(spark, 
         [
             (1, [1.0, 0.0]),
             (2, [0.999, 0.04471]),
@@ -12083,7 +12085,7 @@ def _q_mmr_rerank(spark, sf_dir):
         ],
         "vec_id LONG, embedding ARRAY<DOUBLE>",
     )
-    cands = spark.createDataFrame(
+    cands = _local_df(spark, 
         [
             (9, 1, 1.0), (9, 2, 0.999), (9, 3, 0.3),
             (9, 4, 0.8), (9, 5, 0.1),
@@ -12400,7 +12402,7 @@ def _q_markov_attribution(spark, sf_dir):
         (u, _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=t), ch)
         for u, t, ch in rows
     ]
-    df = spark.createDataFrame(
+    df = _local_df(spark, 
         data, "user_id LONG, ts TIMESTAMP, event_type STRING"
     )
     return sessions.markov_attribution(df, "buy")
@@ -12647,7 +12649,7 @@ def _q_pca_whiten(spark, sf_dir):
                 ],
             )
         )
-    df = spark.createDataFrame(
+    df = _local_df(spark, 
         rows, "vec_id long, embedding array<double>"
     ).repartition(1)
     model = E.fit_pca(df, "embedding", k=2)
@@ -12976,7 +12978,7 @@ def _q_dedup_media(spark, sf_dir):
         b_edit[300 + i] = 17
     lone1 = bytes((i * 37 + 11) % 256 for i in range(1024))
     lone2 = bytes((i * 53 + 29) % 256 for i in range(1024))
-    df = spark.createDataFrame(
+    df = _local_df(spark, 
         [
             (1, fam_a), (2, bytes(a_edit1)), (3, bytes(a_edit2)),
             (4, fam_b), (5, bytes(b_edit)),
@@ -13149,11 +13151,11 @@ def _q_procrustes_align(spark, sf_dir):
     q0 = np.linalg.qr(m0)[0]
     shift = np.array([((j * 11) % 7) - 3 + 0.5 for j in range(d)])
     new_rows = (np.array(old_rows) @ q0) * 0.6 + shift
-    old = spark.createDataFrame(
+    old = _local_df(spark, 
         [(i, [float(v) for v in r]) for i, r in enumerate(old_rows)],
         "vec_id long, embedding array<double>",
     )
-    new = spark.createDataFrame(
+    new = _local_df(spark, 
         [(i, [float(v) for v in r]) for i, r in enumerate(new_rows)],
         "vec_id long, embedding array<double>",
     )
@@ -13188,7 +13190,7 @@ def _q_extract_links(spark, sf_dir):
     so the oracle replays the identical expressions verbatim."""
     from getl_spark.functions import text
 
-    docs = spark.createDataFrame(
+    docs = _local_df(spark, 
         [
             (0, "see https://example.org/a. and "
                 "http://www.Foo.COM:8080/b?q=1,2 end"),
@@ -13247,7 +13249,7 @@ def _q_kcenter(spark, sf_dir):
     from getl_spark.functions import sample
 
     pos = [0, 1, 2, 4, 8, 16, 32, 64, 100, 101]
-    df = spark.createDataFrame(
+    df = _local_df(spark, 
         [(i, [float(p)]) for i, p in enumerate(pos)],
         "vec_id long, embedding array<double>",
     )
@@ -13775,7 +13777,7 @@ def _q_ivf_health(spark, sf_dir):
     tmp = f"{_QTMP}/ivf_health_{tag}"
     shutil.rmtree(tmp, ignore_errors=True)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    spark.createDataFrame(
+    _local_df(spark, 
         [(i, [float(i)]) for i in range(8)], "cell INT, centroid ARRAY<DOUBLE>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids")
     (
@@ -13870,7 +13872,7 @@ def _q_minhash_index_health(spark, sf_dir):
     tmp = f"{_QTMP}/mh_health_{tag}"
     shutil.rmtree(tmp, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    spark.createDataFrame(
+    _local_df(spark, 
         [(3, 8, 4, "bigint")], "n int, num_hashes int, bands int, id_type string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/meta")
     docs.select(
