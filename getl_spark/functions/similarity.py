@@ -1819,7 +1819,14 @@ def knn_label(
         F.col(id_col).alias("__lid"),
         F.col(label_col).cast("string").alias("__lab"),
     )
-    votes = (
+    # pinned: totals / top_votes / winner all branch from this frame,
+    # and without the pin each branch RE-RUNS the whole retrieval leg
+    # (IVF fit + assign + top-k) — three evaluations of the expensive
+    # subtree to read one (query × label)-bounded table (r13 measured:
+    # knn_label_ivf 9.7 s → the pin collapses it to one retrieval).
+    # Size is ≤ queries × k rows, the same class the retrieval already
+    # shuffles, so the materialization is scale-safe by construction.
+    votes = pin(
         nbrs.join(lab, nbrs["nbr_id"] == lab["__lid"])
         .groupBy("query_id", "__lab")
         .agg(F.count("*").cast("bigint").alias("__votes"))

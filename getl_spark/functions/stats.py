@@ -3668,6 +3668,72 @@ def bh_adjust(
     )
 
 
+def _bh_adjust_bounded(
+    df: DataFrame,
+    p_col: str,
+    q: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`bh_adjust` for frames that are BOUNDED BY CONSTRUCTION
+    (the k(k−1)/2-row pair tables of :func:`dunn_test` /
+    :func:`mcnemar_pairs`, k = a handful of arms/models by
+    definition) — same arithmetic, same output columns, none of the
+    distributed prefix-scan machinery.
+
+    Why a second path exists: ``bh_adjust`` is shaped for a
+    million-p-value segment scan — ranks and the step-up cummin each
+    run the two-pass distributed prefix scan (range exchange + pin +
+    offsets join), and results re-join onto the input, which
+    RE-EVALUATES the caller's whole upstream plan once per branch.
+    For a pair table whose entire upstream is a full-corpus
+    aggregation, that triples the corpus scans to adjust three rows
+    (r13 measured: dunn_test 10.2 s / mcnemar_pairs 13.4 s at sf0.1,
+    dominated by exactly this). Here everything is three global
+    window expressions computed IN-LINE on the bounded frame — no
+    self-join, no re-evaluation, one partition, which is the correct
+    scale shape when the row count is k²-bounded.
+
+    Equivalence to ``bh_adjust``: rank-with-ties = count of p′ ≤ p
+    (range frame includes the whole tie block = the largest tied
+    rank); step-up = min of m·p′/k′ over p′ ≥ p (descending range
+    frame; min is order-exact, so fold order cannot change the
+    double); NULL/NaN p excluded from m and passed through with NULL
+    ``p_adj``/``discovery``; out-of-[0,1] p fails loudly.
+    """
+    p = F.col(p_col).cast("double")
+    valid = p.isNotNull() & ~F.isnan(p)
+    guard = F.assert_true(
+        ~valid | ((p >= 0) & (p <= 1)),
+        F.lit("bh_adjust: p-values must be in [0, 1]"),
+    )
+    pp = F.when(valid, p + F.coalesce(guard.cast("double"), F.lit(0.0)))
+    tagged = df.withColumn("__bhp", pp)
+    w_all = Window.partitionBy()
+    w_le = (
+        Window.orderBy(F.col("__bhp").asc_nulls_last())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ge = (
+        Window.orderBy(F.col("__bhp").desc_nulls_last())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.count("__bhp").over(w_all).cast("double")
+    k = F.count("__bhp").over(w_le).cast("double")
+    # staged: a window expression may not nest inside another window's
+    # argument, so raw = m·p/k lands as a column before the step-up min
+    staged = tagged.withColumn("__bhraw", m * F.col("__bhp") / k)
+    adj = F.min("__bhraw").over(w_ge)
+    p_adj = F.when(
+        F.col("__bhp").isNotNull(),
+        F.round(F.least(F.lit(1.0), adj), round_to),
+    )
+    return (
+        staged.withColumn("p_adj", p_adj)
+        .withColumn("discovery", F.col("p_adj") <= F.lit(float(q)))
+        .drop("__bhp", "__bhraw")
+    )
+
+
 def msprt(
     df: DataFrame,
     group_col: str,
@@ -5754,8 +5820,10 @@ def kruskal_wallis(
     distinct values), GLOBAL midranks ride the distributed prefix
     sum, per-arm rank sums are one keyed aggregate over the counts
     table, and the H arithmetic folds on the k-row arm table with a
-    1-row total broadcast. No global sort, no per-arm window, rows
-    scanned once.
+    1-row total broadcast. No global sort, no per-arm window; the
+    input is scanned ONCE — the (arm, value) count table is pinned
+    and the per-value counts / tie stats derive from it (r13: the
+    previous vc/ties/gv fan-out re-evaluated the source per branch).
     """
     from getl_spark.common.scale import grouped_prefix_sum
 
@@ -5763,8 +5831,15 @@ def kruskal_wallis(
     base = df.where(
         v.isNotNull() & ~F.isnan(v) & F.col(group_col).isNotNull()
     ).select(F.col(group_col).alias("__g"), v.alias("__v"))
+    # ONE pass over the input; every downstream frame reads this
+    # pinned (arm × distinct-value)-bounded table
+    gv = pin(
+        base.groupBy("__g", "__v").agg(
+            F.count("*").cast("bigint").alias("__c")
+        )
+    )
     # per-value counts across ALL arms -> global midranks
-    vc = base.groupBy("__v").agg(F.count("*").cast("bigint").alias("__n"))
+    vc = gv.groupBy("__v").agg(F.sum("__c").cast("bigint").alias("__n"))
     cum = grouped_prefix_sum(vc, [], ["__v"], "__n", "__cum")
     ranks = cum.select(
         "__v",
@@ -5778,10 +5853,6 @@ def kruskal_wallis(
             F.col("__n").cast("double") ** 3 - F.col("__n").cast("double")
         ).alias("__t"),
         F.sum("__n").cast("bigint").alias("__N"),
-    )
-    # per-(arm, value) counts attach the value's global midrank
-    gv = base.groupBy("__g", "__v").agg(
-        F.count("*").cast("bigint").alias("__c")
     )
     rk = ranks.select(F.col("__v").alias("__rv"), "__rank")
     arm = (
@@ -5847,7 +5918,13 @@ def dunn_test(
     to a k-row arm table; the pair table is k²-bounded (arms are a
     handful by definition — this is the bounded-model-table pattern,
     built by a self-join of the k-row table, not a window), and the
-    BH adjustment runs on the pair-count-sized frame.
+    BH adjustment runs on the pair-count-sized frame. The input is
+    scanned ONCE: the (arm, value) count table is pinned and every
+    downstream frame (per-value counts, tie stats, arm rank sums)
+    derives from it — value-count order, never input order (r13: the
+    previous vc/ties/gv fan-out re-evaluated the source per branch,
+    5-6 scans + a double-evaluated BH join, 10.2 s → the pin plus
+    the bounded BH removed all of it).
     """
     from getl_spark.common.scale import grouped_prefix_sum
 
@@ -5855,7 +5932,14 @@ def dunn_test(
     base = df.where(
         v.isNotNull() & ~F.isnan(v) & F.col(group_col).isNotNull()
     ).select(F.col(group_col).alias("__g"), v.alias("__v"))
-    vc = base.groupBy("__v").agg(F.count("*").cast("bigint").alias("__n"))
+    # ONE pass over the input; everything else reads this pinned
+    # (arm × distinct-value)-bounded table
+    gv = pin(
+        base.groupBy("__g", "__v").agg(
+            F.count("*").cast("bigint").alias("__c")
+        )
+    )
+    vc = gv.groupBy("__v").agg(F.sum("__c").cast("bigint").alias("__n"))
     cum = grouped_prefix_sum(vc, [], ["__v"], "__n", "__cum")
     ranks = cum.select(
         "__v",
@@ -5870,11 +5954,9 @@ def dunn_test(
         ).alias("__t"),
         F.sum("__n").cast("bigint").alias("__N"),
     )
-    gv = base.groupBy("__g", "__v").agg(
-        F.count("*").cast("bigint").alias("__c")
-    )
     rk = ranks.select(F.col("__v").alias("__rv"), "__rank")
-    arm = (
+    # pinned k-row table: the a/b pair self-join below branches it
+    arm = pin(
         gv.join(rk, gv["__v"] == rk["__rv"])
         .groupBy("__g")
         .agg(
@@ -5916,7 +5998,7 @@ def dunn_test(
         F.round(p, round_to).alias("p_value"),
         p.alias("__p_raw"),
     )
-    adj = bh_adjust(scored, "__p_raw", round_to=round_to)
+    adj = _bh_adjust_bounded(scored, "__p_raw", round_to=round_to)
     return adj.select(
         "arm_a",
         "arm_b",
@@ -6079,10 +6161,16 @@ def mcnemar_pairs(
     passed and model_b failed; a pair that never disagrees gets NULL
     chi2/p (excluded from the BH ``m``), matching :func:`mcnemar`.
 
-    Scale shape: one item-keyed self-join (k rows join k rows per
-    item — k² × items candidate rows, model count is small by
-    construction) into ONE (pair)-keyed count aggregate; BH runs on
-    the k(k−1)/2-row result.
+    Scale shape: ONE item-keyed aggregate collects each item's k
+    (model, outcome) structs (k is small by construction), the k(k−1)/2
+    ordered pairs expand JVM-side with array higher-order functions,
+    and one (pair)-keyed count aggregate (map-side partial) folds them
+    to the k²-bounded result — a single shuffle of the input and a
+    single pass over the source, where the previous item-keyed
+    self-join shuffled the input twice and EVALUATED THE CALLER'S
+    UPSTREAM PLAN twice (r13: 13.4 s → the source-scan count was the
+    whole cost for union-of-gates callers). BH runs in-line on the
+    bounded pair table (:func:`_bh_adjust_bounded`).
     """
     y = F.col(outcome_col).cast("bigint")
     guard_bin = F.assert_true(
@@ -6099,23 +6187,42 @@ def mcnemar_pairs(
         F.col(model_col).alias("__md"),
         checked.alias("__y"),
     )
-    a = base.select(
-        F.col("__it"), F.col("__md").alias("model_a"), F.col("__y").alias("__ya")
+    per_item = base.groupBy("__it").agg(
+        F.collect_list(F.struct("__md", "__y")).alias("__ms")
     )
-    b = base.select(
-        F.col("__it").alias("__itb"),
-        F.col("__md").alias("model_b"),
-        F.col("__y").alias("__yb"),
+    # ordered-pair expansion (model_a < model_b) without a self-join:
+    # list order is irrelevant — the filter keeps exactly one
+    # orientation of every unordered pair, duplicates included with
+    # the same cross-product semantics the join had
+    pair_arr = F.flatten(
+        F.transform(
+            "__ms",
+            lambda xv: F.filter(
+                F.transform(
+                    "__ms",
+                    lambda yv: F.struct(
+                        xv["__md"].alias("__ma"),
+                        yv["__md"].alias("__mb"),
+                        xv["__y"].alias("__ya"),
+                        yv["__y"].alias("__yb"),
+                    ),
+                ),
+                lambda s: s["__ma"] < s["__mb"],
+            ),
+        )
     )
     pairs = (
-        a.join(b, (a["__it"] == b["__itb"]) & (a["model_a"] < b["model_b"]))
-        .groupBy("model_a", "model_b")
+        per_item.select(F.explode(pair_arr).alias("__pr"))
+        .groupBy(
+            F.col("__pr.__ma").alias("model_a"),
+            F.col("__pr.__mb").alias("model_b"),
+        )
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),
-            F.sum(F.col("__ya") * (1 - F.col("__yb")))
+            F.sum(F.col("__pr.__ya") * (1 - F.col("__pr.__yb")))
             .cast("bigint")
             .alias("only_a"),
-            F.sum((1 - F.col("__ya")) * F.col("__yb"))
+            F.sum((1 - F.col("__pr.__ya")) * F.col("__pr.__yb"))
             .cast("bigint")
             .alias("only_b"),
         )
@@ -6139,7 +6246,7 @@ def mcnemar_pairs(
         F.round(p, round_to).alias("p_value"),
         p.alias("__p_raw"),
     )
-    adj = bh_adjust(scored, "__p_raw", round_to=round_to)
+    adj = _bh_adjust_bounded(scored, "__p_raw", round_to=round_to)
     return adj.select(
         "model_a",
         "model_b",

@@ -1699,6 +1699,62 @@ def test_bh_adjust_grouped_nulls_and_guard(spark):
         S.bh_adjust(bad, "p").collect()
 
 
+def test_bh_adjust_bounded_matches_full_path(spark):
+    """The bounded-frame BH used by dunn_test/mcnemar_pairs must be
+    value-identical to bh_adjust on the same p set — ties, NULLs, and
+    the out-of-range guard included (r13 optimization: the bounded
+    path replaces two prefix-scan machineries + a re-evaluating join
+    with three in-line global windows)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from getl_spark.functions import stats as S
+
+    rng = np.random.RandomState(11)
+    ps = list(rng.rand(25).round(2)) + [0.5, 0.5, None, 0.007]
+    df = spark.createDataFrame(
+        [(i, v if v is None else float(v)) for i, v in enumerate(ps)],
+        "test_id LONG, p DOUBLE",
+    )
+    full = {r.test_id: r for r in S.bh_adjust(df, "p").collect()}
+    fast = {r.test_id: r for r in S._bh_adjust_bounded(df, "p").collect()}
+    assert set(full) == set(fast) == set(range(len(ps)))
+    for i in full:
+        assert full[i].p_adj == fast[i].p_adj, i
+        assert full[i].discovery == fast[i].discovery, i
+    bad = spark.createDataFrame([(1, 1.5)], "test_id LONG, p DOUBLE")
+    with _pytest.raises(Exception, match="0, 1"):
+        S._bh_adjust_bounded(bad, "p").collect()
+
+
+def test_mcnemar_pairs_duplicate_items_cross_semantics(spark):
+    """The r13 array-expansion rewrite of mcnemar_pairs must keep the
+    self-join's cross-product semantics for duplicated (item, model)
+    rows — every copy of model A pairs with every copy of model B
+    within an item — and items missing a model simply contribute no
+    pair for it."""
+    from getl_spark.functions import stats as S
+
+    rows = [
+        # item 1: m1 duplicated (2 copies) -> 2 (m1,m2) pairs
+        (1, "m1", 1),
+        (1, "m1", 0),
+        (1, "m2", 0),
+        # item 2: complete single panel
+        (2, "m1", 0),
+        (2, "m2", 1),
+        # item 3: only m1 -> no pairs at all
+        (3, "m1", 1),
+    ]
+    df = spark.createDataFrame(rows, "item LONG, model STRING, y INT")
+    out = {(r.model_a, r.model_b): r for r in
+           S.mcnemar_pairs(df, "item", "model", "y").collect()}
+    assert set(out) == {("m1", "m2")}
+    r = out[("m1", "m2")]
+    # pairs: item1 (1,0),(0,0); item2 (0,1) -> n=3, only_a=1, only_b=1
+    assert r.n_pairs == 3 and r.only_a == 1 and r.only_b == 1
+
+
 def test_proportion_ci_wilson_closed_form(spark):
     """Grouped Wilson bounds match the closed form, never escape
     [0,1] at extreme small-n rates, and NULLs stay out of n."""
