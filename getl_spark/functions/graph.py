@@ -1028,8 +1028,16 @@ def triangle_count(
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .distinct()
     )
+    # pinned: und feeds the degree aggregate AND both orientation
+    # joins, deg feeds both orientation sides AND the final readout
+    # join — without the pins each reference re-runs the full
+    # distinct/aggregate over the input (r13 A/B: pins+probe-side
+    # union 3.0 s, union alone 4.7 s, neither 5.7 s at sf0.1; in
+    # adamic_adar the same pins measured SLOWER — here deg is read 3×
+    # and und 3×, there the probe collect already forces deg once)
+    und = pin(und)
     sym = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("deg"))
+    deg = pin(sym.groupBy("u").agg(F.count("*").cast("bigint").alias("deg")))
 
     # orient each edge toward the (degree, id)-larger endpoint
     du = deg.select(F.col("u").alias("__n"), F.col("deg").alias("__du"))
@@ -1053,17 +1061,17 @@ def triangle_count(
     e1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
     e2 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("y"))
     wedges = e1.join(e2, "w").where(F.col("x") < F.col("y"))
-    closed = wedges.join(
-        oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y")),
-        ["x", "y"],
+    # orientation between x and y is degree-dependent: the closing
+    # edge may be stored as (x, y) or (y, x), so probe BOTH storages
+    # in one join — union on the (pinned, cheap) edge side, not the
+    # wedge side: join distributes over unionAll exactly, and the
+    # expensive wedge self-join then evaluates once instead of twice
+    closing = oriented.select(
+        F.col("lo").alias("x"), F.col("hi").alias("y")
     ).unionAll(
-        wedges.join(
-            # orientation between x and y is degree-dependent: the
-            # closing edge may be stored as (y, x)
-            oriented.select(F.col("hi").alias("x"), F.col("lo").alias("y")),
-            ["x", "y"],
-        )
+        oriented.select(F.col("hi").alias("x"), F.col("lo").alias("y"))
     )
+    closed = wedges.join(closing, ["x", "y"])
     per_node = (
         closed.select(F.explode(F.array("w", "x", "y")).alias("node"))
         .groupBy("node")
