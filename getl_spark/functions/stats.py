@@ -2138,7 +2138,10 @@ def mann_whitney(
         .groupBy("v")
         .agg(F.count("*").cast("bigint").alias("nr"))
     )
-    merged = (
+    # pinned: the prefix scan's repartitionByRange samples its child
+    # in a separate pass, so an unpinned merged frame re-evaluates
+    # the full-outer join AND both side scans twice (r13)
+    merged = pin(
         lc.join(rc, "v", "full")
         .select(
             "v",
@@ -2468,8 +2471,14 @@ def spearman(
     )
 
     def midranks(col: str, out: str) -> DataFrame:
-        counts = base.groupBy(*keys, F.col(col)).agg(
-            F.count("*").cast("bigint").alias("__n")
+        # pinned: the prefix scan's repartitionByRange SAMPLES its
+        # child in a separate pass, so an unpinned counts frame
+        # re-evaluates base (and the caller's whole upstream) twice
+        # per rank table (r13)
+        counts = pin(
+            base.groupBy(*keys, F.col(col)).agg(
+                F.count("*").cast("bigint").alias("__n")
+            )
         )
         cum = grouped_prefix_sum(counts, keys, [col], "__n", "__cum")
         return cum.select(
@@ -3632,8 +3641,14 @@ def bh_adjust(
         *keys,
         (p + F.coalesce(guard.cast("double"), F.lit(0.0))).alias("__p"),
     )
-    counts = base.groupBy(*keys, "__p").agg(
-        F.count("*").cast("bigint").alias("__n")
+    # pinned: counts feeds the rank prefix scan (whose
+    # repartitionByRange samples it in an extra pass) AND the per-group
+    # totals m — unpinned, the caller's whole upstream re-evaluates
+    # three times (r13)
+    counts = pin(
+        base.groupBy(*keys, "__p").agg(
+            F.count("*").cast("bigint").alias("__n")
+        )
     )
     # inclusive cumsum of tied-block sizes = the LARGEST rank of each
     # tied p (the index BH uses for ties)
