@@ -2233,9 +2233,13 @@ def wilcoxon(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .select((F.col("a") - F.col("b")).alias("d"))
     )
-    counts = d.groupBy(F.abs(F.col("d")).alias("ad")).agg(
-        F.count("*").cast("bigint").alias("t"),
-        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("bigint").alias("npos"),
+    # pinned: feeds the zero-count probe AND the prefix scan (whose
+    # repartitionByRange samples its child in an extra pass) — r13
+    counts = pin(
+        d.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+            F.count("*").cast("bigint").alias("t"),
+            F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("bigint").alias("npos"),
+        )
     )
     zeros = counts.where(F.col("ad") == 0).agg(
         F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_zeros")
@@ -5364,7 +5368,9 @@ def gains_table(
         F.lit("stats.gains_table: label column must be binary 0/1"),
     )
     checked = y + F.coalesce(guard.cast("bigint"), F.lit(0))
-    counts = (
+    # pinned: feeds the prefix scan (sampled in an extra pass) and
+    # the totals aggregate — r13
+    counts = pin(
         df.where(s.isNotNull() & y.isNotNull() & ~F.isnan(s))
         .groupBy(*keys, (-s).alias("__negs"))
         .agg(
@@ -6831,12 +6837,16 @@ def qini(
         & y.isNotNull()
     )
     is_t = (g == treatment).cast("bigint")
-    counts = base.groupBy((-s).alias("__negs")).agg(
-        F.count("*").cast("bigint").alias("__n"),
-        F.sum(is_t).cast("bigint").alias("__nt"),
-        F.sum(1 - is_t).cast("bigint").alias("__nc"),
-        F.sum(is_t * checked).cast("bigint").alias("__pt"),
-        F.sum((1 - is_t) * checked).cast("bigint").alias("__pc"),
+    # pinned: feeds the prefix scan (sampled in an extra pass) and
+    # the totals aggregate — r13
+    counts = pin(
+        base.groupBy((-s).alias("__negs")).agg(
+            F.count("*").cast("bigint").alias("__n"),
+            F.sum(is_t).cast("bigint").alias("__nt"),
+            F.sum(1 - is_t).cast("bigint").alias("__nc"),
+            F.sum(is_t * checked).cast("bigint").alias("__pt"),
+            F.sum((1 - is_t) * checked).cast("bigint").alias("__pc"),
+        )
     )
     from getl_spark.common.scale import grouped_prefix_sum
 
