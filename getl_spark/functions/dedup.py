@@ -366,6 +366,11 @@ def shingle_profile(
         .cast("double")
         .alias("pair_mass"),
     )
+    # pinned: buckets feeds the prefix scan (range-sampled in an
+    # extra pass) AND the total aggregate; unpinned, the full shingle
+    # reduction upstream re-evaluates three times (r13). The frame is
+    # histogram-bucket-sized
+    buckets = pin(buckets)
     cum = grouped_prefix_sum(buckets, [], ["bucket"], "pair_mass", "cum_pairs")
     total = buckets.agg(
         F.coalesce(F.sum("pair_mass"), F.lit(0.0)).alias("__sp_total")

@@ -265,14 +265,18 @@ def coverage(
     where ``span`` is last end − first start and ``largest_gap`` the
     widest uncovered hole between islands (NULL when one island).
     """
-    islands = merge(df, start_col, end_col, group_by, min_gap)
+    from getl_spark.common.scale import grouped_prefix_scan, pin
+
+    # pinned: the prefix scan's repartitionByRange samples its child
+    # in an extra pass, so an unpinned islands frame re-runs the WHOLE
+    # merge machinery (its own range exchange, pin and offsets join)
+    # twice (r13); islands is merged-interval-sized, ≤ input rows
+    islands = pin(merge(df, start_col, end_col, group_by, min_gap))
     keys = (
         []
         if group_by is None
         else [group_by] if isinstance(group_by, str) else list(group_by)
     )
-    from getl_spark.common.scale import grouped_prefix_scan
-
     prev_end = grouped_prefix_scan(
         islands, keys, ["island"], "end", "__prev_end",
         fn="max", inclusive=False,
@@ -331,9 +335,11 @@ def gaps(
     gap folds from a per-group 1-row aggregate. No windows over raw
     rows, no per-group buffering.
     """
-    from getl_spark.common.scale import grouped_prefix_scan
+    from getl_spark.common.scale import grouped_prefix_scan, pin
 
-    islands = merge(df, start_col, end_col, group_by, min_gap)
+    # pinned: same reason as coverage() — an unpinned islands frame
+    # re-runs the whole merge machinery for the range-bounds sample
+    islands = pin(merge(df, start_col, end_col, group_by, min_gap))
     keys = (
         []
         if group_by is None
