@@ -379,7 +379,7 @@ def main() -> None:
             "per-increment, so the composite total is the number a "
             "capacity plan needs. "
             "r11: text_bigram_logprob's r10 canary-relative blip (0.87->1.11 s) did NOT recur — back to 0.79 s min at a flat cpu canary, confirming machine noise (the r10 diff never touched the logprob paths); watch substring_dedup instead (1.12->1.55 s this round, nothing in the r11 diff touches it). The *_merge_only rows self-build their per-period indexes on the FIRST run only, so their medians price the consolidation-cron steady state (merge + one query against persisted indexes); the two *_health oracle rows rebuild their SQL-expressible fixture index every run by design (a correctness row must never read a stale fixture), so their medians are fixture-write-dominated — the health read itself is O(index files). graph_hits prices 6 full HITS iterations (2 edge-sized keyed shuffles + 2 one-row normalization aggs each) — stage-count-dominated at sf0.1, the same accepted shape as pagerank. "
-            "r13: the q17_small_quantity_revenue watch CLOSES as noise — 0.68 s this round vs 0.74 (r12) / 0.60 (r11) at a flat cpu canary and a 1.3x SLOWER scan canary (it improved against the disk headwind; the r12 blip was warmup). text_lang_mix/text_script_id now count 13 script ranges (was 7) at unchanged cost: the per-script regexp counts are staged as intermediate columns, keeping the projection inside whole-stage codegen (inlining 13 counts into the CASE tree blew Janino's 64 KB method limit and silently dropped to interpreted). graph_personalized_pagerank prices 6 fixed iterations, one propagation direction — the same stage-count-dominated shape as pagerank/hits (hits runs 2 directions, hence ~1.4x ppr). One-round watch opened on q21_sole_returner (0.75->1.02 s, 1.36x raw against a 1.18x scan canary — nothing in the r13 diff touches its path); bisect if it recurs canary-relative."
+            "r13: the q17_small_quantity_revenue watch CLOSES as noise — 0.68 s this round vs 0.74 (r12) / 0.60 (r11) at a flat cpu canary and a 1.3x SLOWER scan canary (it improved against the disk headwind; the r12 blip was warmup). text_lang_mix/text_script_id now count 13 script ranges (was 7) at unchanged cost: the per-script regexp counts are staged as intermediate columns, keeping the projection inside whole-stage codegen (inlining 13 counts into the CASE tree blew Janino's 64 KB method limit and silently dropped to interpreted). graph_personalized_pagerank prices 6 fixed iterations, one propagation direction — the same stage-count-dominated shape as pagerank/hits (hits runs 2 directions, hence ~1.4x ppr). The q21_sole_returner watch CLOSES within the round: the final r13 bench has it at 0.88 s vs 0.76 baseline (1.16x raw) under a 1.36x slower cpu canary — inside the drift, did not recur canary-relative."
         ),
         "canary": canary,
     }
