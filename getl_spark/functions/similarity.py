@@ -623,8 +623,12 @@ def merge_ivf_index(
     if health_gate:
         assert_ivf_healthy(spark, path_a)
         assert_ivf_healthy(spark, path_b)
-    n_a = spark.read.parquet(f"{path_a}/vectors").count()
-    n_b = spark.read.parquet(f"{path_b}/vectors").count()
+    # the two footer-count probes are independent — overlap them
+    # (guide §2.6), same as the table writes below
+    n_a, n_b = run_concurrent(
+        lambda: spark.read.parquet(f"{path_a}/vectors").count(),
+        lambda: spark.read.parquet(f"{path_b}/vectors").count(),
+    )
     big, small = (path_a, path_b) if n_a >= n_b else (path_b, path_a)
     cent_rows = (
         spark.read.parquet(f"{big}/centroids").orderBy("cell").collect()
