@@ -3620,18 +3620,29 @@ def _q_embedding_hash_embed(spark, sf_dir):
         ],
         "doc_id BIGINT, text STRING",
     )
-    return embedding.hash_embed(docs, dim=8, normalize=False)
+    # posexplode the vector to scalar rows: the driver's pandas
+    # canonicalizer cannot sort list-typed columns (round-13
+    # embedding_kmeans_assign gate failure), so rotation-eligible
+    # queries must return scalar columns only. Same values, fully
+    # checked, one row per (doc, dimension).
+    out = embedding.hash_embed(docs, dim=8, normalize=False)
+    return out.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "weight")
+    )
 
 
 HASH_EMBED_ORACLE = """
-SELECT * FROM (VALUES
+WITH t(doc_id, embedding) AS (VALUES
   (CAST(0 AS BIGINT), CAST([1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0] AS FLOAT[])),
   (CAST(1 AS BIGINT), CAST([0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0] AS FLOAT[])),
   (CAST(2 AS BIGINT), CAST([0.0, 0.0, 0.0, 0.0, 0.0, 3.0, 0.0, 0.0] AS FLOAT[])),
   (CAST(3 AS BIGINT), CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS FLOAT[])),
   (CAST(4 AS BIGINT), CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS FLOAT[])),
   (CAST(5 AS BIGINT), CAST([-2.0, 0.0, 0.0, -1.0, -1.0, 1.0, -1.0, 1.0] AS FLOAT[]))
-) AS t(doc_id, embedding)
+)
+SELECT doc_id, CAST(j AS INT) AS pos,
+       CAST(embedding[CAST(j AS INT) + 1] AS FLOAT) AS weight
+FROM t CROSS JOIN range(0, 8) AS r(j)
 """
 
 
@@ -6866,25 +6877,38 @@ def _q_random_projection(spark, sf_dir):
     from getl_spark.functions import embedding
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding.random_projection(
-        emb, out_dim=8, hash_fn="md5"
-    ).select("vec_id", "proj")
+    # posexplode to scalar rows (driver canonicalizer cannot sort
+    # list-typed columns; see embedding_hash_embed). posexplode_outer
+    # keeps a (vec_id, NULL, NULL) row for a NULL input vector.
+    proj = embedding.random_projection(emb, out_dim=8, hash_fn="md5")
+    return proj.select(
+        "vec_id", F.posexplode_outer("proj").alias("pos", "val")
+    )
 
 
 RANDOM_PROJECTION_ORACLE = """
-SELECT vec_id,
-       CASE WHEN embedding IS NULL THEN NULL ELSE
-         list_transform(generate_series(0, 7), j ->
-           ROUND(list_aggregate(
-             list_transform(generate_series(1, len(embedding)), i ->
-               CAST(embedding[i] AS DOUBLE) *
-               (CASE WHEN ('0x' || substr(md5(concat_ws(':', '42',
-                      CAST(i - 1 AS VARCHAR), CAST(j AS VARCHAR))), 1, 1)
-                     )::INTEGER % 2 = 0
-                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
-             'sum') / sqrt(8), 6))
-       END AS proj
-FROM embeddings
+WITH base AS (
+  SELECT vec_id,
+         CASE WHEN embedding IS NULL THEN NULL ELSE
+           list_transform(generate_series(0, 7), j ->
+             ROUND(list_aggregate(
+               list_transform(generate_series(1, len(embedding)), i ->
+                 CAST(embedding[i] AS DOUBLE) *
+                 (CASE WHEN ('0x' || substr(md5(concat_ws(':', '42',
+                        CAST(i - 1 AS VARCHAR), CAST(j AS VARCHAR))), 1, 1)
+                       )::INTEGER % 2 = 0
+                       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+               'sum') / sqrt(8), 6))
+         END AS proj
+  FROM embeddings
+)
+SELECT vec_id, CAST(j AS INT) AS pos,
+       proj[CAST(j AS INT) + 1] AS val
+FROM base CROSS JOIN range(0, 8) AS r(j)
+WHERE proj IS NOT NULL
+UNION ALL
+SELECT vec_id, CAST(NULL AS INT) AS pos, CAST(NULL AS DOUBLE) AS val
+FROM base WHERE proj IS NULL
 """
 
 
@@ -7659,7 +7683,12 @@ def _q_kmeans_assign(spark, sf_dir):
             [1.0 if j == c else 0.0 for j in range(8)] for c in range(6)
         ]
     }
-    return embedding.kmeans_assign(df, model)  # (vec_id, embedding, cell)
+    # Project the raw array<double> column OUT of the returned frame:
+    # the driver's pandas canonicalizer sorts every result column and a
+    # list-typed column raises "unhashable type: 'list'" before any
+    # comparison happens (round-13 gate failure). The assignment path
+    # stays fully covered by (vec_id, cell).
+    return embedding.kmeans_assign(df, model).select("vec_id", "cell")
 
 
 KMEANS_ASSIGN_ORACLE = """
@@ -7670,7 +7699,7 @@ WITH vecs AS (
            + ((i * 7 + j * 3) % 5 - 2) / 10.0) AS embedding
   FROM range(0, 60) t(i)
 )
-SELECT vec_id, embedding,
+SELECT vec_id,
        CAST(list_position(embedding[1:6], list_max(embedding[1:6])) - 1
             AS INT) AS cell
 FROM vecs
@@ -13791,7 +13820,14 @@ def _q_ivf_health(spark, sf_dir):
         .partitionBy("cell")
         .parquet(f"{tmp}/vectors")
     )
-    return similarity.ivf_health(spark, tmp)
+    # Stringify the BIGINT[] histogram: the driver's pandas
+    # canonicalizer cannot sort list-typed columns (see
+    # embedding_hash_embed). Exact — BIGINT → decimal string both
+    # sides; the report is a single row so the cast is free.
+    report = similarity.ivf_health(spark, tmp)
+    return report.withColumn(
+        "occupancy", F.concat_ws(",", F.col("occupancy").cast("array<string>"))
+    )
 
 
 IVF_HEALTH_ORACLE = """
@@ -13815,7 +13851,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS nlist,
        (MAX(n) / (SUM(n) / CAST(COUNT(*) AS DOUBLE)) > 3.0
         OR SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END)
            / CAST(COUNT(*) AS DOUBLE) > 0.25) AS retrain,
-       LIST(n ORDER BY cell) AS occupancy
+       array_to_string(LIST(n ORDER BY cell), ',') AS occupancy
 FROM per_cell
 """
 

@@ -53,8 +53,10 @@ _SAFE_SCALARS = {
 
 def _type_ok(type_str: str) -> bool:
     t = type_str.strip().upper()
-    if t.endswith("[]"):  # array of a safe scalar is safe
-        return _type_ok(t[:-2])
+    # Arrays are NOT driver-safe even over safe scalars: the driver's
+    # pandas canonicalizer sort_values() raises "unhashable type: 'list'"
+    # on any list-typed result column (round-13 embedding_kmeans_assign
+    # gate failure). Declared queries must return scalar columns only.
     return t in _SAFE_SCALARS
 
 
