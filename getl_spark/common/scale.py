@@ -137,11 +137,119 @@ def grouped_prefix_sum(
     order_cols,
     value_col,
     new_col,
+    prepinned: bool = False,
 ):
     """``grouped_prefix_scan`` with the running aggregate fixed to
     ``sum`` — see there for the contract. Kept as the named entry
     point because a running sum is what nearly every caller means."""
-    return grouped_prefix_scan(df, keys, order_cols, value_col, new_col)
+    return grouped_prefix_scan(
+        df, keys, order_cols, value_col, new_col, prepinned=prepinned
+    )
+
+
+def _sample_range_bounds(ck, cols, n_buckets):
+    """One-pass deterministic range-boundary sample over ``cols``.
+
+    Per input partition, one aggregate computes the exact row count and
+    K pseudo-random sample tuples (``max_by`` over ``xxhash64`` with K
+    salts — uniform-ish, deterministic, bounded memory; no ``rand()``,
+    so task retries cannot resample, SPARK-38388 class). The driver
+    then takes count-weighted equal-depth quantiles, exactly the job
+    ``RangePartitioner`` does with its reservoir — but the boundaries
+    become plan LITERALS here, which is what makes the bucket id a
+    deterministic column instead of an opaque physical partition id.
+
+    Returns ``(total_rows, boundaries)`` where boundaries is a sorted,
+    deduped list of at most ``n_buckets - 1`` tuples.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    K = 20
+    rs = F.struct(*[F.col(c) for c in cols])
+    sampled = (
+        ck.select(*cols)
+        .groupBy(F.spark_partition_id().alias("__p"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.max_by(rs, F.xxhash64(rs, F.lit(i))).alias(f"__s{i}")
+                for i in range(K)
+            ],
+        )
+        .collect()
+    )
+    total = sum(r["__n"] for r in sampled)
+
+    def skey(t):
+        # Spark sort order per field: NULL first, NaN last, value between
+        out = []
+        for v in t:
+            if v is None:
+                out.append((0, 0))
+            elif isinstance(v, float) and math.isnan(v):
+                out.append((2, 0))
+            else:
+                out.append((1, v))
+        return tuple(out)
+
+    weighted = []
+    for r in sampled:
+        if not r["__n"]:
+            continue
+        w = r["__n"] / float(K)
+        uniq = {}
+        for i in range(K):
+            s = r[f"__s{i}"]
+            if s is not None:
+                s = tuple(s)
+                uniq[s] = uniq.get(s, 0) + 1
+        for s, c in uniq.items():
+            weighted.append((s, w * c))
+    weighted.sort(key=lambda x: skey(x[0]))
+    bounds = []
+    if weighted and n_buckets > 1 and total:
+        step = total / float(n_buckets)
+        acc, target = 0.0, step
+        for s, w in weighted:
+            acc += w
+            while acc >= target and len(bounds) < n_buckets - 1:
+                bounds.append(s)
+                target += step
+    deduped = []
+    for b in bounds:
+        if not deduped or skey(b) != skey(deduped[-1]):
+            deduped.append(b)
+    return total, deduped
+
+
+def _bucket_expr(bounds, fields, rs):
+    """Bucket id = |{boundary <= row}| as a balanced binary-search
+    ``when`` tree: log2(len(bounds)) struct comparisons per row. Spark
+    struct comparison is a total order with NULL-first / NaN-last per
+    field, matching the sampler's sort key."""
+    from pyspark.sql import functions as F
+
+    blits = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(b, fields)
+            ]
+        )
+        for b in bounds
+    ]
+
+    def rank(lo, hi):
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(blits[mid] <= rs, rank(mid + 1, hi)).otherwise(
+            rank(lo, mid)
+        )
+
+    return rank(0, len(bounds)).cast("int")
 
 
 def grouped_prefix_scan(
@@ -152,6 +260,7 @@ def grouped_prefix_scan(
     new_col,
     fn="sum",
     inclusive: bool = True,
+    prepinned: bool = False,
 ):
     """Per-key running aggregate (``sum`` / ``min`` / ``max``) of
     ``value_col`` in ``order_cols`` order, WITHOUT collapsing
@@ -178,12 +287,28 @@ def grouped_prefix_scan(
     aggregates are associative, so results are boundary-invariant and
     the output equals the single-window formulation row for row.
 
-    Tie contract: rows equal on (keys..., order...) may be split
-    across slices, in which case they consume the prefix in slice
-    order — one of the valid tie orders a plain window could also
-    pick. Callers needing a deterministic row-level cumsum should
+    Tie contract: rows equal on (keys..., order...) all land in the
+    same slice (the bucket id is a deterministic expression over the
+    row's key/order values), and within a slice the window may emit
+    any tie order — one of the valid tie orders a plain window could
+    also pick. Callers needing a deterministic row-level cumsum should
     include a unique tiebreak in ``order_cols``, exactly as they
     would with a window.
+
+    ``prepinned=True`` promises the input frame is already
+    materialized (checkpoint/pinned), so the machinery samples and
+    branches it directly instead of pinning its own copy — callers
+    that pin for other consumers anyway should pass it.
+
+    Plan shape (r14): the slice id is computed as a deterministic
+    range-bucket expression from sampled literal boundaries, then the
+    frame is shuffled ONCE with ``repartition(B, pid)``. Because that
+    exchange's HashPartitioning(pid) satisfies the window's and the
+    offsets aggregate's ClusteredDistribution(pid, keys...), neither
+    needs its own exchange — the previous formulation (opaque
+    ``repartitionByRange`` + ``spark_partition_id``) forced a second
+    full-data hash exchange for the window, because the planner cannot
+    know a physical partition id clusters with physical partitions.
     """
     from pyspark.sql import Window, functions as F
 
@@ -208,22 +333,41 @@ def grouped_prefix_scan(
     bad = [f for f in fns if f not in aggs]
     if bad:
         raise ValueError(f"grouped_prefix_scan: unsupported fn {bad}")
-    parts = [F.col(c) for c in keys + order_cols]
-    # pin() materializes the range exchange + pid tagging before the
-    # plan branches into `local` and `offsets`. Both branches must
-    # observe IDENTICAL partition-id assignments; without the pin they
-    # are two separate evaluations of this subtree, and exchange reuse
-    # is not guaranteed (column pruning can give the two exchanges
-    # different child plans, and repartitionByRange samples its bounds
-    # per-execution) — divergent pids would make the offset join
-    # silently wrong. The materialization cost is one pass over data
-    # the operator already shuffles; pin's durability ladder decides
-    # localCheckpoint vs reliable checkpoint vs replicated persist.
-    ranged = (
-        df.repartitionByRange(*parts)
-        .withColumn("__gps_pid", F.spark_partition_id())
-        .transform(pin)
+    parts = keys + order_cols
+    # pin() materializes the INPUT once; the boundary sampler, the
+    # bucketed exchange, and the offsets aggregate all read that one
+    # copy (the old formulation evaluated the upstream twice — once
+    # for repartitionByRange's hidden bounds-sampling pass, once for
+    # the shuffle itself). The slice id is a deterministic expression
+    # over sampled boundary LITERALS, so branch consistency no longer
+    # depends on the pin — it is purely a cost saving now.
+    ck = df if prepinned else pin(df)
+    spark = ck.sparkSession
+    try:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover - e.g. non-integer override
+        n_buckets = 200
+    # Boundary literals live in the plan, so their count is capped
+    # independently of shuffle.partitions (a 100k-partition cluster
+    # conf must not inline 100k struct literals). Overridable per
+    # session for deployments that want wider scan parallelism.
+    try:
+        max_buckets = int(
+            spark.conf.get("spark.getl.prefixScan.maxBuckets", "4096")
+        )
+    except Exception:  # pragma: no cover
+        max_buckets = 4096
+    total, bounds = _sample_range_bounds(
+        ck, parts, min(n_buckets, max_buckets)
     )
+    fields = ck.select(*parts).schema.fields
+    rs = F.struct(*[F.col(c) for c in parts])
+    # one slice when every sampled tuple is equal or the input is
+    # empty: the scan degenerates to a single ordered task and the
+    # offsets fold is moot (identical to the old degenerate case where
+    # RangePartitioner saw all-equal samples)
+    pid_expr = _bucket_expr(bounds, fields, rs) if bounds else F.lit(0)
+    ranged = ck.withColumn("__gps_pid", pid_expr)
     win_local = (
         Window.partitionBy("__gps_pid", *keys)
         .orderBy(*[F.col(c).asc() for c in order_cols])
@@ -232,15 +376,37 @@ def grouped_prefix_scan(
             Window.currentRow if inclusive else -1,
         )
     )
-    local = ranged.select(
+    # the ONLY full-data exchange: HashPartitioning(__gps_pid)
+    # satisfies the window's ClusteredDistribution(__gps_pid, keys...),
+    # so the window plans directly above this shuffle — the previous
+    # formulation needed a second full-data hash exchange here because
+    # spark_partition_id is opaque to the planner
+    local = ranged.repartition(n_buckets, "__gps_pid").select(
         "*",
         *[
             aggs[f](v).over(win_local).alias(f"__gps_local_{i}")
             for i, (v, f) in enumerate(zip(value_cols, fns))
         ],
     )
+    if not bounds:
+        # single slice: no preceding-slice offsets exist; the local
+        # scan IS the answer (an all-NULL offset is the identity for
+        # sum/min/max in _combine below)
+        out = local.select(
+            "*",
+            *[
+                F.col(f"__gps_local_{i}").alias(nc)
+                for i, nc in enumerate(new_cols)
+            ],
+        )
+        return out.drop(
+            "__gps_pid",
+            *[f"__gps_local_{i}" for i in range(len(value_cols))],
+        )
     # offset = the aggregate over all PRECEDING slices of the key
-    # (NULL for a key's first slice)
+    # (NULL for a key's first slice). Aggregates straight off the pin:
+    # map-side partial aggregation reduces to <= n_slices x n_keys
+    # rows before its (tiny) exchange.
     win_off = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__gps_pid").asc())
@@ -355,11 +521,23 @@ def run_concurrent(*thunks):
     thunk's error is re-raised after all complete, so a failed write
     can never be silently skipped. Returns the thunks' results in
     order.
+
+    Thunks are wrapped with ``pyspark.inheritable_thread_target`` so
+    the caller's SparkContext local properties (job group/description,
+    scheduler pool, tags) propagate into the pool threads — without
+    it, job-group cancellation and pool assignment silently miss the
+    overlapped jobs (they are thread-local in the JVM).
     """
     from concurrent.futures import ThreadPoolExecutor
 
     if len(thunks) == 1:
         return [thunks[0]()]
+    try:
+        from pyspark import inheritable_thread_target
+
+        thunks = [inheritable_thread_target(t) for t in thunks]
+    except Exception:  # pragma: no cover - Connect builds want a session arg
+        pass
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
         futures = [pool.submit(t) for t in thunks]
         return [f.result() for f in futures]

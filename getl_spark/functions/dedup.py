@@ -371,7 +371,9 @@ def shingle_profile(
     # reduction upstream re-evaluates three times (r13). The frame is
     # histogram-bucket-sized
     buckets = pin(buckets)
-    cum = grouped_prefix_sum(buckets, [], ["bucket"], "pair_mass", "cum_pairs")
+    cum = grouped_prefix_sum(
+        buckets, [], ["bucket"], "pair_mass", "cum_pairs", prepinned=True
+    )
     total = buckets.agg(
         F.coalesce(F.sum("pair_mass"), F.lit(0.0)).alias("__sp_total")
     )

@@ -279,7 +279,7 @@ def coverage(
     )
     prev_end = grouped_prefix_scan(
         islands, keys, ["island"], "end", "__prev_end",
-        fn="max", inclusive=False,
+        fn="max", inclusive=False, prepinned=True,
     )
     with_gap = prev_end.select(
         *keys,
@@ -347,7 +347,7 @@ def gaps(
     )
     prev_end = grouped_prefix_scan(
         islands, keys, ["island"], "end", "__prev_end",
-        fn="max", inclusive=False,
+        fn="max", inclusive=False, prepinned=True,
     )
     # internal gaps; with a horizon, the first island's NULL prev_end
     # becomes the horizon edge

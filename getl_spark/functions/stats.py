@@ -2138,10 +2138,10 @@ def mann_whitney(
         .groupBy("v")
         .agg(F.count("*").cast("bigint").alias("nr"))
     )
-    # pinned: the prefix scan's repartitionByRange samples its child
-    # in a separate pass, so an unpinned merged frame re-evaluates
-    # the full-outer join AND both side scans twice (r13)
-    merged = pin(
+    # the prefix scan pins its input internally (one materialization
+    # feeds its sampler, shuffle and offsets branches — r14), and the
+    # scan is this frame's only consumer, so no caller pin needed
+    merged = (
         lc.join(rc, "v", "full")
         .select(
             "v",
@@ -2233,8 +2233,9 @@ def wilcoxon(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .select((F.col("a") - F.col("b")).alias("d"))
     )
-    # pinned: feeds the zero-count probe AND the prefix scan (whose
-    # repartitionByRange samples its child in an extra pass) — r13
+    # pinned: feeds the zero-count probe AND the prefix scan; the scan
+    # input is a filter over this pin, so prepinned=True skips the
+    # machinery's own (redundant) materialization — r13/r14
     counts = pin(
         d.groupBy(F.abs(F.col("d")).alias("ad")).agg(
             F.count("*").cast("bigint").alias("t"),
@@ -2244,7 +2245,10 @@ def wilcoxon(
     zeros = counts.where(F.col("ad") == 0).agg(
         F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_zeros")
     )
-    cum = grouped_prefix_sum(counts.where(F.col("ad") > 0), [], ["ad"], "t", "cum")
+    cum = grouped_prefix_sum(
+        counts.where(F.col("ad") > 0), [], ["ad"], "t", "cum",
+        prepinned=True,
+    )
     midrank = (F.col("cum") - F.col("t")) + (F.col("t") + F.lit(1)) / F.lit(2.0)
     agg = cum.select(
         "t",
@@ -2475,14 +2479,10 @@ def spearman(
     )
 
     def midranks(col: str, out: str) -> DataFrame:
-        # pinned: the prefix scan's repartitionByRange SAMPLES its
-        # child in a separate pass, so an unpinned counts frame
-        # re-evaluates base (and the caller's whole upstream) twice
-        # per rank table (r13)
-        counts = pin(
-            base.groupBy(*keys, F.col(col)).agg(
-                F.count("*").cast("bigint").alias("__n")
-            )
+        # the prefix scan pins its input internally (r14) and is this
+        # frame's only consumer, so no caller pin needed
+        counts = base.groupBy(*keys, F.col(col)).agg(
+            F.count("*").cast("bigint").alias("__n")
         )
         cum = grouped_prefix_sum(counts, keys, [col], "__n", "__cum")
         return cum.select(
@@ -3141,7 +3141,9 @@ def quantiles(
         .agg(F.count("*").cast("bigint").alias("__n"))
         .transform(pin)
     )
-    cum = grouped_prefix_sum(counts, keys, ["__x"], "__n", "__cum")
+    cum = grouped_prefix_sum(
+        counts, keys, ["__x"], "__n", "__cum", prepinned=True
+    )
     totals = counts.groupBy(*keys).agg(F.sum("__n").alias("__tot"))
     if keys:
         t = totals.select(
@@ -3656,7 +3658,9 @@ def bh_adjust(
     )
     # inclusive cumsum of tied-block sizes = the LARGEST rank of each
     # tied p (the index BH uses for ties)
-    ranked = grouped_prefix_sum(counts, keys, ["__p"], "__n", "__k")
+    ranked = grouped_prefix_sum(
+        counts, keys, ["__p"], "__n", "__k", prepinned=True
+    )
     m = counts.groupBy(*keys).agg(F.sum("__n").cast("bigint").alias("__m"))
     if keys:
         ranked = ranked.join(F.broadcast(m), keys)
@@ -4168,7 +4172,9 @@ def kaplan_meier(
         .withColumn("__w", F.col("__d") + F.col("__c"))
         .transform(pin)
     )
-    cum = grouped_prefix_sum(counts, keys, ["__t"], "__w", "__cum")
+    cum = grouped_prefix_sum(
+        counts, keys, ["__t"], "__w", "__cum", prepinned=True
+    )
     totals = counts.groupBy(*keys).agg(F.sum("__w").alias("__tot"))
     if keys:
         tt = totals.select(
@@ -4288,7 +4294,8 @@ def log_rank(
         .transform(pin)
     )
     cum = grouped_prefix_sum(
-        counts, [], ["__t"], ["__w", "__w1"], ["__cum", "__cum1"]
+        counts, [], ["__t"], ["__w", "__w1"], ["__cum", "__cum1"],
+        prepinned=True,
     )
     totals = counts.agg(
         F.sum("__w").alias("__tot"),
@@ -5381,7 +5388,8 @@ def gains_table(
     from getl_spark.common.scale import grouped_prefix_sum
 
     cum = grouped_prefix_sum(
-        counts, keys, ["__negs"], ["__n", "__np"], ["__cn", "__cp"]
+        counts, keys, ["__negs"], ["__n", "__np"], ["__cn", "__cp"],
+        prepinned=True,
     )
     totals = counts.groupBy(*keys).agg(
         F.sum("__n").cast("bigint").alias("__tn"),
@@ -6170,6 +6178,7 @@ def mcnemar_pairs(
     outcome_col: str,
     correction: bool = True,
     round_to: int = 6,
+    max_models_per_item: int = 1000,
 ) -> DataFrame:
     """Pairwise McNemar post-hoc after a significant :func:`cochran_q`
     — WHICH model pairs actually differ, with Benjamini-Hochberg
@@ -6211,6 +6220,30 @@ def mcnemar_pairs(
     per_item = base.groupBy("__it").agg(
         F.collect_list(F.struct("__md", "__y")).alias("__ms")
     )
+    # fail-loud skew guard: the k² pair expansion below runs WITHIN a
+    # single row, so one item with an unexpectedly large (or
+    # duplicate-heavy) model list concentrates the whole quadratic
+    # blow-up in one task where the old self-join spread it. Model
+    # cardinality is small by construction; an item exceeding the cap
+    # is a data bug — raise instead of silently stalling an executor.
+    # assert_true rides inside the kept column so pruning can't elide
+    # it; NULL on success makes it a no-op append.
+    if max_models_per_item is not None:
+        guard_k = F.assert_true(
+            F.size("__ms") <= F.lit(int(max_models_per_item)),
+            F.concat(
+                F.lit(
+                    "stats.mcnemar_pairs: item exceeds max_models_per_item="
+                    f"{int(max_models_per_item)} (got "
+                ),
+                F.size("__ms").cast("string"),
+                F.lit(" rows) — raise the cap or dedupe (item, model)"),
+            ),
+        )
+        per_item = per_item.select(
+            "__it",
+            F.when(guard_k.isNull(), F.col("__ms")).alias("__ms"),
+        )
     # ordered-pair expansion (model_a < model_b) without a self-join:
     # list order is irrelevant — the filter keeps exactly one
     # orientation of every unordered pair, duplicates included with
@@ -6854,6 +6887,7 @@ def qini(
         counts, [], ["__negs"],
         ["__n", "__nt", "__nc", "__pt", "__pc"],
         ["__cn", "__cnt", "__cnc", "__cpt", "__cpc"],
+        prepinned=True,
     )
     totals = counts.agg(
         F.sum("__n").cast("bigint").alias("__tn"),

@@ -193,3 +193,64 @@ def test_grouped_prefix_scan_still_partition_invariant(spark):
             acc += v
             want.append((g, i, acc))
     assert outs[0] == sorted(want)
+
+
+def test_grouped_prefix_scan_single_full_exchange(spark):
+    """r14 plan contract: the scan's only full-data exchange is the
+    explicit repartition on the deterministic bucket id; the window
+    plans DIRECTLY above it (HashPartitioning(pid) satisfies the
+    window's ClusteredDistribution), with no second hash exchange of
+    the data. The offsets side exchanges only partial aggregates."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    base = spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 101).cast("double").alias("o"),
+        F.col("id").alias("tb"),
+        F.lit(1).alias("one"),
+    )
+    out = grouped_prefix_sum(base, ["g"], ["o", "tb"], "one", "rk")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one REPARTITION_BY_NUM exchange carries the full frame
+    assert plan.count("REPARTITION_BY_NUM") == 1
+    # the window must NOT have its own ENSURE_REQUIREMENTS hash
+    # exchange over the bucket id + keys (the r13 shape); the only
+    # ENSURE_REQUIREMENTS exchanges belong to the tiny offsets branch,
+    # which sits under a BroadcastExchange
+    main_side = plan.split("BroadcastExchange")[0]
+    assert "ENSURE_REQUIREMENTS" not in main_side
+
+
+def test_grouped_prefix_scan_null_and_nan_ordering(spark):
+    """Bucket boundaries are struct literals compared with Spark's
+    total order (NULL first, NaN last): rows carrying NULL keys, NULL
+    order values and NaNs must land identically to the plain-window
+    formulation."""
+    from pyspark.sql import Window, functions as F
+
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    rows = []
+    for i in range(400):
+        k = None if i % 5 == 0 else f"k{i % 3}"
+        v = float("nan") if i % 11 == 0 else float(i % 37)
+        rows.append((k, v, i, i % 7))
+    base = spark.createDataFrame(rows, "k STRING, v DOUBLE, tb LONG, val INT")
+    got = grouped_prefix_sum(base, ["k"], ["v", "tb"], "val", "cum")
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("v").asc(), F.col("tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = base.select("*", F.sum("val").over(w).alias("cum"))
+
+    def canon(df):
+        return sorted(
+            tuple((c is not None, repr(c)) for c in r) for r in df.collect()
+        )
+
+    assert canon(got) == canon(want)

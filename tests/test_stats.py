@@ -1755,6 +1755,24 @@ def test_mcnemar_pairs_duplicate_items_cross_semantics(spark):
     assert r.n_pairs == 3 and r.only_a == 1 and r.only_b == 1
 
 
+def test_mcnemar_pairs_model_cap_guard(spark):
+    """The k² pair expansion runs inside a single row, so an item with
+    an oversized model list must raise (fail-loud skew guard), not
+    silently stall one task; under the cap results are unchanged."""
+    import pytest
+
+    from getl_spark.functions import stats as S
+
+    rows = [(1, f"m{i}", i % 2) for i in range(6)] + [(2, "m0", 1), (2, "m1", 0)]
+    df = spark.createDataFrame(rows, "item LONG, model STRING, y INT")
+    ok = S.mcnemar_pairs(df, "item", "model", "y", max_models_per_item=6)
+    assert ok.count() == 15  # 6 choose 2 pairs
+    with pytest.raises(Exception, match="max_models_per_item"):
+        S.mcnemar_pairs(
+            df, "item", "model", "y", max_models_per_item=5
+        ).collect()
+
+
 def test_proportion_ci_wilson_closed_form(spark):
     """Grouped Wilson bounds match the closed form, never escape
     [0,1] at extreme small-n rates, and NULLs stay out of n."""
