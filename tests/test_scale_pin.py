@@ -254,3 +254,40 @@ def test_grouped_prefix_scan_null_and_nan_ordering(spark):
         )
 
     assert canon(got) == canon(want)
+
+
+def test_grouped_prefix_scan_sampler_yields_real_slices(spark):
+    """r14 sampler rewrite (single-hash sub-bucket max_by behind a
+    deterministic 1/S row pre-filter): on a few-thousand-row frame the
+    boundary sample must still produce a MULTI-slice bucketing — if
+    the pre-filter ever sampled empty on real inputs the scan would
+    silently degenerate to one slice (correct but serial). Also
+    re-checks value parity against the plain window on this exact
+    path."""
+    from pyspark.sql import Window, functions as F
+
+    from getl_spark.common.scale import _sample_range_bounds, pin
+
+    base = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 2654435761 % 9973).alias("o"),
+        F.col("id").alias("tb"),
+        F.lit(2).alias("val"),
+    )
+    total, bounds = _sample_range_bounds(pin(base), ["g", "o", "tb"], 32)
+    assert total > 0
+    # 5000 rows / 16 pre-filter ~ 312 samples: plenty for real bounds
+    assert len(bounds) >= 4
+
+    from getl_spark.common.scale import grouped_prefix_sum
+
+    got = grouped_prefix_sum(base, ["g"], ["o", "tb"], "val", "cum")
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("o").asc(), F.col("tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = base.select("*", F.sum("val").over(w).alias("cum"))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
