@@ -560,10 +560,17 @@ def hits(
         # normalization projection, and the next edge join all read one
         # materialized copy (the 1-row total is a bounded collect —
         # iteration control, the k-means centroid class)
+        # LAZY pin folded into the total's action (r14): the 1-row
+        # total aggregate is the job that materializes the checkpoint
+        # blocks, so each half-iteration schedules ONE job instead of
+        # two (pin-eager count + separate total agg). Values are
+        # unchanged — the total is computed from the same deterministic
+        # join+agg lineage the checkpoint stores.
         auth_un = pin(
             e.join(hubs, e["u"] == hubs["node"])
             .groupBy("v")
-            .agg(F.sum("hub").alias("s"))
+            .agg(F.sum("hub").alias("s")),
+            eager=False,
         )
         tot_a = auth_un.agg(F.sum("s").alias("tot")).collect()[0]["tot"]
         new_auths = auth_un.select(
@@ -576,7 +583,8 @@ def hits(
         hub_un = pin(
             e.join(auths, e["v"] == auths["node"])
             .groupBy("u")
-            .agg(F.sum("auth").alias("s"))
+            .agg(F.sum("auth").alias("s")),
+            eager=False,
         )
         tot_h = hub_un.agg(F.sum("s").alias("tot")).collect()[0]["tot"]
         new_hubs = hub_un.select(
