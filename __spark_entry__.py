@@ -10245,6 +10245,16 @@ def _q_corpus_curation_full(spark, sf_dir):
     )
     s5 = text.c4_clean(lifted, min_words_per_line=3, min_sentences=1)
     eval_df = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    # decontaminate's flag-join evaluates its input twice in one plan
+    # (n-gram-explode subtree + probe side) — correct for a bare
+    # parquet scan, but here the input is the whole curation pipeline
+    # (by_url → exact → anti-join → gopher → c4), so pin the curated
+    # frame once and let both consumers read the materialized copy
+    # (guide §5: reuse × recompute cost). Values unchanged — the pin
+    # is a lineage barrier, not a transformation.
+    from getl_spark.common.scale import pin as _pin
+
+    s5 = _pin(s5)
     s6 = text.decontaminate(s5, eval_df, n=8, remove=True)
     budgets = {f"src{i}": 3000 for i in range(5)}
     s7 = sample.token_budget_mix(
@@ -13806,20 +13816,32 @@ def _q_ivf_health(spark, sf_dir):
     tmp = f"{_QTMP}/ivf_health_{tag}"
     shutil.rmtree(tmp, ignore_errors=True)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    _local_df(spark, 
-        [(i, [float(i)]) for i in range(8)], "cell INT, centroid ARRAY<DOUBLE>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids")
-    (
-        emb.select(
-            F.col("vec_id").alias("nbr_id"),
-            F.col("embedding").alias("cvec"),
-            similarity.norm_expr(F.col("embedding")).alias("cnorm"),
-            (F.col("vec_id") % 7).cast("int").alias("cell"),
+
+    # the two fixture tables are independent writes — overlap them so
+    # the vectors job's tail back-fills the single-task centroid write
+    # (guide §2.6; same pattern as build_ivf_index's own writes)
+    def _write_centroids():
+        _local_df(spark,
+            [(i, [float(i)]) for i in range(8)],
+            "cell INT, centroid ARRAY<DOUBLE>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids")
+
+    def _write_vectors():
+        (
+            emb.select(
+                F.col("vec_id").alias("nbr_id"),
+                F.col("embedding").alias("cvec"),
+                similarity.norm_expr(F.col("embedding")).alias("cnorm"),
+                (F.col("vec_id") % 7).cast("int").alias("cell"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{tmp}/vectors")
         )
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{tmp}/vectors")
-    )
+
+    from getl_spark.common.scale import run_concurrent as _rc
+
+    _rc(_write_centroids, _write_vectors)
     # Stringify the BIGINT[] histogram: the driver's pandas
     # canonicalizer cannot sort list-typed columns (see
     # embedding_hash_embed). Exact — BIGINT → decimal string both
@@ -13908,18 +13930,32 @@ def _q_minhash_index_health(spark, sf_dir):
     tmp = f"{_QTMP}/mh_health_{tag}"
     shutil.rmtree(tmp, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    _local_df(spark, 
-        [(3, 8, 4, "bigint")], "n int, num_hashes int, bands int, id_type string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/meta")
-    docs.select(
-        F.col("doc_id").alias("id"), F.md5("text").alias("fingerprint")
-    ).write.mode("overwrite").parquet(f"{tmp}/fingerprints")
-    bands = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-        (F.col("doc_id") % 25).cast("bigint").alias("key"),
-    ).select("id", "band", "key")
-    bands.write.mode("overwrite").partitionBy("band").parquet(f"{tmp}/bands")
+
+    # three independent fixture writes overlapped (guide §2.6; the
+    # same pattern build_minhash_index itself uses for its tables)
+    def _write_meta():
+        _local_df(spark,
+            [(3, 8, 4, "bigint")],
+            "n int, num_hashes int, bands int, id_type string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/meta")
+
+    def _write_fps():
+        docs.select(
+            F.col("doc_id").alias("id"), F.md5("text").alias("fingerprint")
+        ).write.mode("overwrite").parquet(f"{tmp}/fingerprints")
+
+    def _write_bands():
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+            (F.col("doc_id") % 25).cast("bigint").alias("key"),
+        ).select("id", "band", "key").write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(f"{tmp}/bands")
+
+    from getl_spark.common.scale import run_concurrent as _rc
+
+    _rc(_write_meta, _write_fps, _write_bands)
     return dedup.minhash_index_health(spark, tmp)
 
 

@@ -1761,10 +1761,20 @@ def index_append(
             df, id_col, text_col, meta.n, meta.num_hashes, shingles=sh
         )
     sigs = sigs.transform(pin)
-    sigs.write.mode("append").parquet(f"{index_path}/signatures")
-    _band_keys(sigs, meta.bands, meta.num_hashes // meta.bands).write.mode(
-        "append"
-    ).partitionBy("band").parquet(f"{index_path}/bands")
+    # signatures and bands both project off the pinned sigs and are
+    # mutually independent — overlap them (guide §2.6). The
+    # fingerprint append stays strictly AFTER both: it is the commit
+    # marker of the crash-safety contract above, so it must never be
+    # in flight while either could still fail.
+    run_concurrent(
+        lambda: sigs.write.mode("append").parquet(
+            f"{index_path}/signatures"
+        ),
+        lambda: _band_keys(sigs, meta.bands, meta.num_hashes // meta.bands)
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(f"{index_path}/bands"),
+    )
     fps = (
         df.select(F.col(id_col).alias("id"), F.col(fingerprint_col).alias("fingerprint"))
         if fingerprint_col is not None
