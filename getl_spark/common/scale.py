@@ -353,8 +353,11 @@ def grouped_prefix_scan(
     # for repartitionByRange's hidden bounds-sampling pass, once for
     # the shuffle itself). The slice id is a deterministic expression
     # over sampled boundary LITERALS, so branch consistency no longer
-    # depends on the pin — it is purely a cost saving now.
-    ck = df if prepinned else pin(df)
+    # depends on the pin — it is purely a cost saving now. The pin is
+    # LAZY: the sampler's collect below is the action that
+    # materializes the checkpoint, so the machinery schedules one job
+    # for pin+sample instead of two (r14; same fold as HITS' totals).
+    ck = df if prepinned else pin(df, eager=False)
     spark = ck.sparkSession
     try:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
