@@ -10,11 +10,21 @@ from getl_spark import get_spark  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
+    import os as _os
+
     session = get_spark(
         "getl-tests",
-        master="local[4]",
-        shuffle_partitions=4,
-        extra_conf={"spark.sql.warehouse.dir": "/tmp/getl_test_warehouse"},
+        master=_os.environ.get("GETL_TEST_MASTER", "local[4]"),
+        shuffle_partitions=int(_os.environ.get("GETL_TEST_SHUFFLE", "4")),
+        extra_conf={
+            "spark.sql.warehouse.dir": "/tmp/getl_test_warehouse",
+            "spark.sql.adaptive.enabled": _os.environ.get(
+                "GETL_TEST_AQE", "true"
+            ),
+            # plan strings captured for tests/_plan_cache.py must not
+            # truncate field lists or the plan-lint regexes go blind
+            "spark.sql.debug.maxToStringFields": "2000",
+        },
     )
     yield session
 

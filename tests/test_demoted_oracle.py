@@ -41,6 +41,12 @@ def duck():
 def test_demoted_query_matches_oracle(spark, duck, name):
     fn = entry.demoted_queries()[name]
     df = fn(spark, SF_DIR)
+    # record the pre-action plan string for test_plan_lint so the lint
+    # does not have to BUILD the query (and pay its eager driver-side
+    # work) a second time — see tests/_plan_cache.py
+    from tests._plan_cache import PLANS
+
+    PLANS[name] = df._jdf.queryExecution().executedPlan().toString()
     spark_rows = [tuple(r) for r in df.collect()]
     spark_cols = df.columns
 

@@ -145,6 +145,15 @@ def _full_plan_strings(spark):
 
 
 def _plan(spark, name: str) -> str:
+    # reuse the plan string test_demoted_oracle captured while it was
+    # value-hashing this query (same fn, same session, same SF, same
+    # pre-action state) instead of re-running the query's eager work;
+    # falls back to building it when this file runs alone / filtered
+    from tests._plan_cache import PLANS
+
+    cached = PLANS.get(name)
+    if cached is not None:
+        return cached
     df = entry.all_queries()[name](spark, SF_DIR)
     return df._jdf.queryExecution().executedPlan().toString()
 
