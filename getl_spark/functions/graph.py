@@ -1232,6 +1232,16 @@ def adamic_adar(
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .distinct()
     )
+    # Deliberately UNPINNED. und feeds the weight aggregate and both
+    # adjacency probes, and the plan evaluates the edge derivation +
+    # distinct six times (12 lineitem scans on the bench query) — yet
+    # pinning measures SLOWER twice over: r13 (und+deg pins) and r14
+    # (und pin alone, 4.2 s → 6.2 s min-of-4): the pin serializes the
+    # whole derivation into one up-front job while the unpinned
+    # branches evaluate as parallel stages of one job, and the
+    # redundant evaluations are cheap column-pruned scans. At 100 TB
+    # the trade may flip — revisit with a real cluster measurement,
+    # not by assuming the scan count wins.
     sym = und.unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

@@ -750,34 +750,56 @@ def stream_route(conf: BlockConfig) -> DataFrame:
     def route_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
+        from getl_spark.common.scale import run_concurrent
+
         if batch_df.isEmpty():
             return
         if with_batch_id:
             batch_df = batch_df.withColumn(
                 "_batch_id", F.lit(int(batch_id)).cast("bigint")
             )
-        remaining = F.lit(True)
-        for r in routes:
-            # NULL-safe: a condition that evaluates NULL (e.g. `score >
-            # 0.5` on a NULL score) is a NON-MATCH, not a poison pill.
-            # Without the coalesce, `remaining & ~NULL` = NULL makes the
-            # row fail every later lane AND the ElsePath filter — silent
-            # row loss on exactly the malformed rows ElsePath exists for.
-            cond = F.coalesce(F.expr(r["Condition"]), F.lit(False))
-            (
-                batch_df.where(remaining & cond)
-                .write.mode("append")
-                .format(fmt)
-                .save(r["Path"])
-            )
-            remaining = remaining & ~cond
-        if else_path is not None:
-            (
-                batch_df.where(remaining)
-                .write.mode("append")
-                .format(fmt)
-                .save(else_path)
-            )
+        # one materialization of the micro-batch for ALL lanes: each
+        # lane's write is a separate action, and without the persist
+        # every lane re-reads and re-parses the batch source (N-lane
+        # route = N source scans — exactly the re-read this block's
+        # contract rules out). persist (not localCheckpoint) keeps the
+        # batch's lineage for streaming fault-tolerance semantics.
+        batch_df = batch_df.persist()
+        try:
+            remaining = F.lit(True)
+            writes = []
+            for r in routes:
+                # NULL-safe: a condition that evaluates NULL (e.g.
+                # `score > 0.5` on a NULL score) is a NON-MATCH, not a
+                # poison pill. Without the coalesce, `remaining & ~NULL`
+                # = NULL makes the row fail every later lane AND the
+                # ElsePath filter — silent row loss on exactly the
+                # malformed rows ElsePath exists for.
+                cond = F.coalesce(F.expr(r["Condition"]), F.lit(False))
+                lane_pred, lane_path = remaining & cond, r["Path"]
+
+                def _w(pred=lane_pred, path=lane_path):
+                    batch_df.where(pred).write.mode("append").format(
+                        fmt
+                    ).save(path)
+
+                writes.append(_w)
+                remaining = remaining & ~cond
+            if else_path is not None:
+                writes.append(
+                    lambda pred=remaining: batch_df.where(pred)
+                    .write.mode("append")
+                    .format(fmt)
+                    .save(else_path)
+                )
+            # lanes are disjoint filters over the persisted batch into
+            # distinct paths — independent writes, overlapped so each
+            # lane's straggler tail back-fills (guide §2.6). Crash
+            # semantics are unchanged: file appends in foreachBatch
+            # are at-least-once on batch replay regardless of order.
+            run_concurrent(*writes)
+        finally:
+            batch_df.unpersist()
 
     (
         df.writeStream.trigger(availableNow=True)
