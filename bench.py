@@ -325,48 +325,79 @@ def main() -> None:
     from pyspark.sql import functions as PF
 
     def _scale_probe_cpu(sp, d):
-        # 256 hashed replicas of lineitem keys: ~154M xxhash64 rows at
-        # sf0.1, folded with bit_xor — codegen-bound, shuffle-free
-        # (partial agg), embarrassingly parallel.
+        # 32 sha2-hashed replicas of lineitem keys (~19M digests at
+        # sf0.1), folded with bit_xor — compute-bound, shuffle-light,
+        # embarrassingly parallel. Two probe-validity details learned
+        # the hard way: (1) the sf0.1 parquet arrives as 1-2 scan
+        # partitions, so WITHOUT the repartition the explode+hash runs
+        # serially and c8≈c32 — the repartition target derives from
+        # defaultParallelism (i.e. SPARK_GRAFT_CPUS), never a literal;
+        # (2) the returned row is FILTERED on the aggregate value so
+        # the bench's count() action cannot column-prune the hash work
+        # away (guide §1.4 — unreferenced, it measured ~0).
+        # sha2, not xxhash64: the plain hash loop is memory-bound and
+        # saturates ~8 JVM threads on this class of box (measured:
+        # 200M xxhash64 rows 8p 0.48 s vs 32p 0.39 s, while 3M sha2
+        # rows go 4p 2.34 s → 32p 0.56 s) — the probe needs a kernel
+        # whose throughput actually follows the core count.
         li = sp.read.parquet(f"{d}/lineitem.parquet").select(
             "l_orderkey", "l_partkey", "l_suppkey"
         )
         return (
-            li.select(
+            li.repartition(sp.sparkContext.defaultParallelism)
+            .select(
                 "*",
                 PF.explode(
-                    PF.sequence(PF.lit(1), PF.lit(256))
+                    PF.sequence(PF.lit(1), PF.lit(32))
                 ).alias("rep"),
             )
             .agg(
                 PF.expr(
-                    "bit_xor(xxhash64(l_orderkey, l_partkey,"
-                    " l_suppkey, rep))"
+                    "bit_xor(xxhash64(sha2(concat_ws(':',"
+                    " l_orderkey, l_partkey, l_suppkey, rep), 256)))"
                 ).alias("h")
             )
+            .where(PF.col("h").isNotNull())
         )
 
     def _scale_probe_shuffle(sp, d):
-        # 64 replicas grouped on a ~1M-key derived hash: one real
-        # exchange whose map+reduce work scales with cores.
+        # 16 sha2-keyed replicas grouped on a ~200k-key hash: one real
+        # exchange whose map-side partial agg and reduce work both
+        # scale with cores. Same two probe-validity guards as the cpu
+        # probe (parallel scan via defaultParallelism repartition;
+        # count()-pruning blocked by filtering on the fold).
         li = sp.read.parquet(f"{d}/lineitem.parquet").select(
             "l_orderkey", "l_partkey", "l_quantity"
         )
-        keyed = li.select(
-            "*",
-            PF.explode(PF.sequence(PF.lit(1), PF.lit(64))).alias("rep"),
-        ).select(
-            PF.pmod(
-                PF.xxhash64("l_orderkey", "rep"), PF.lit(1_000_000)
-            ).alias("k"),
-            "l_quantity",
+        keyed = (
+            li.repartition(sp.sparkContext.defaultParallelism)
+            .select(
+                "*",
+                PF.explode(
+                    PF.sequence(PF.lit(1), PF.lit(16))
+                ).alias("rep"),
+            )
+            .select(
+                # sha2-derived key for the same reason as the cpu
+                # probe: the map side must be compute-bound for the
+                # ratio to track cores
+                PF.pmod(
+                    PF.xxhash64(
+                        PF.sha2(
+                            PF.concat_ws(":", "l_orderkey", "rep"), 256
+                        )
+                    ),
+                    PF.lit(200_000),
+                ).alias("k"),
+                "l_quantity",
+            )
         )
         per_key = keyed.groupBy("k").agg(
             PF.sum("l_quantity").alias("q"), PF.count("*").alias("n")
         )
         return per_key.agg(
             PF.expr("bit_xor(xxhash64(k, q, n))").alias("h")
-        )
+        ).where(PF.col("h").isNotNull())
 
     SCALE_PROBES = {
         "scale_probe_cpu": _scale_probe_cpu,
